@@ -1,0 +1,80 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and prints ONE JSON line.
+
+Methodology: one warm-up execution of a trivial action to absorb JVM
+startup, then each query is executed once and timed end-to-end
+(plan + execute + collect to driver). The metric is total wall seconds
+across the headline set.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: one per operator family — scan+facet+stats, filter,
+# full-text, ranking, window, stats, distinct, pivot, CDC compaction,
+# star join, top-k, dedup exact, near-dup, vector search, text analysis.
+HEADLINE = [
+    "flagship",
+    "q02_range_filter",
+    "q04_fulltext_and",
+    "q06_tfidf_topk",
+    "q13_stats_field",
+    "q14_distinct",
+    "q15_group_topn",
+    "q16_pivot",
+    "cdc_latest_per_key",
+    "cdc_live_cells",
+    "olap_pricing_summary",
+    "olap_revenue_by_region",
+    "olap_top_customers",
+    "e1_exact_dedup",
+    "e2_ngram_jaccard",
+    "e3_cosine_topk",
+    "e4_token_counts",
+    "e4b_quality",
+    "e5_multimodal_join",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from hbase_increment_index_spark.queries import QUERIES
+    from hbase_increment_index_spark.session import get_spark
+
+    spark = get_spark("bench")
+    spark.range(1).count()  # JVM warm-up
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.time()
+        # toPandas() forces full materialization to the driver, matching
+        # what a client of the engine would receive
+        n = len(fn(spark, sf_dir).toPandas())
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_clock_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

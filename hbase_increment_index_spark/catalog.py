@@ -1,0 +1,56 @@
+"""Table catalog over the driver's parquet fixtures.
+
+The reference's "tables" are an HBase primary table plus a Solr index
+(SURVEY.md §1); here the primary store is parquet (columnar, scan-
+pruned) and the query layer is Spark SQL over these frames. Reads are
+plain ``spark.read.parquet`` so Catalyst gets predicate pushdown,
+column pruning and partition pruning for free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimension tables that should always be broadcast in joins.
+BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "customer", "part"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS) — Spark has no ns type, so
+        # read it as long and truncate to µs (exact integer DIV, no double
+        # round-trip: 2024-era ns epochs exceed a double's 53-bit mantissa).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        from pyspark.sql import functions as F
+
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every fixture table as a temp view (mirrors the DuckDB
+    oracle's pre-registered views) and return the frames."""
+    frames = load_all(spark, sf_dir)
+    for name, df in frames.items():
+        df.createOrReplaceTempView(name)
+    return frames

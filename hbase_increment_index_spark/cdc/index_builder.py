@@ -1,0 +1,91 @@
+"""Index-table builder — the "Solr index" as a columnar Spark table
+(SURVEY.md §2.1 S3/S6/S7; reference HbaseSolrIndexCoprocesser.java:40-52,
+SolrIndexTools.java:121-144).
+
+The reference builds one flat SolrInputDocument per HBase row: unique
+key + one field per qualifier. Here that is a pivot of live cells into
+a wide row, written as parquet. The write path replaces the
+reference's whole buffering/commit apparatus:
+
+  reference                         Spark
+  ---------                         -----
+  add buffer + 10k threshold        task-level columnar buffering (free)
+  delete buffer + 2k threshold      anti-join in the same job
+  30 s Timer commit                 batch job boundary / stream trigger
+  Semaphore(1) single-writer        atomic parquet job commit
+  crash → buffer loss               job re-run, exactly-once output
+
+Scale: ``documents_from_cells`` is one shuffle (the pivot groupBy).
+Writing ``partitionBy`` a low-cardinality field gives partition
+pruning on the read side; repartitioning by the unique key before
+write gives bucketing-like locality for later point lookups/merges.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hbase_increment_index_spark.cdc.compaction import live_cells
+
+
+def documents_from_cells(cell_log: DataFrame, qualifiers: list[str]) -> DataFrame:
+    """Pivot live cells into one flat document row per row_key
+    (rowkey → ``id`` + one string field per qualifier), the exact
+    document shape of reference HbaseSolrIndexCoprocesser.java:40-50.
+
+    ``qualifiers`` must be the explicit field list: passing pivot
+    values up front avoids an extra distinct-scan job and keeps the
+    output schema stable (a requirement for any real index).
+    """
+    live = live_cells(cell_log)
+    return (
+        live.groupBy(F.col("row_key").alias("id"))
+        .pivot("qualifier", qualifiers)
+        .agg(F.first("value"))
+    )
+
+
+def write_index(
+    df: DataFrame,
+    path: str,
+    key_col: str = "id",
+    partition_by: str | None = None,
+    n_buckets: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write the index table. Repartitioning by the unique key keeps
+    each key in exactly one file (point-lookup locality, merge-friendly);
+    ``partition_by`` adds directory-level pruning for a facet field."""
+    if n_buckets:
+        df = df.repartition(n_buckets, F.col(key_col))
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(partition_by)
+    writer.parquet(path)
+
+
+def merge_increment(index: DataFrame, increment_cells: DataFrame, qualifiers: list[str]) -> DataFrame:
+    """Apply a new micro-batch of CDC cells to an existing index table —
+    the batch equivalent of one reference commit cycle
+    (SolrIndexTools.java:51-82): upserts overwrite by id, deletes drop ids.
+
+    Plan: compact the increment (small) → broadcast-anti/outer merge
+    against the big index. The big side is never shuffled when the
+    increment fits the broadcast threshold — the common case for a
+    30 s micro-batch against a 100 TB index.
+    """
+    from hbase_increment_index_spark.cdc.compaction import latest_per_key
+
+    latest = latest_per_key(increment_cells)
+    touched = latest.select(F.col("row_key").alias("id")).distinct()
+    upserts = documents_from_cells(
+        increment_cells.join(
+            latest.filter(F.col("op") == "put").select("row_key").distinct(),
+            "row_key",
+            "left_semi",
+        ),
+        qualifiers,
+    )
+    kept = index.join(F.broadcast(touched), "id", "left_anti")
+    return kept.unionByName(upserts, allowMissingColumns=True)

@@ -1,0 +1,379 @@
+"""Deduplication — SURVEY.md §2.3 E1/E2: exact, MinHash+LSH, SimHash,
+n-gram Jaccard.
+
+Scale design notes (the part that matters at 100 TB):
+
+- Exact dedup is a fingerprint groupBy — one shuffle on a 128-bit key,
+  perfectly balanced unless the corpus is one giant duplicate cluster.
+- All-pairs similarity is never computed. Near-dup goes through
+  *banding*: documents only meet if they share an LSH band bucket
+  (MinHash) or a shingle (n-gram Jaccard). The self-join is on the
+  bucket key; hot buckets (stop-shingles) are the skew risk — the
+  n-gram path drops shingles above a document-frequency ceiling, the
+  LSH path's buckets are already uniform by construction.
+- Signatures are computed per row with higher-order functions
+  (``transform``/``aggregate`` over the token array) — no Python, no
+  shuffle, embarrassingly parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hbase_increment_index_spark.pipeline.text import fingerprint
+from hbase_increment_index_spark.search.tokenize import tokens
+
+
+# ---------------------------------------------------------------- E1 exact
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep one representative (lowest id) per exact-content group.
+
+    Grouping key is the md5 fingerprint of normalized text — at scale
+    you groupBy the 16-byte digest, never the text payload itself.
+    """
+    fp = fingerprint(text_col).alias("_fp")
+    w_min = F.min(id_col)
+    keep = (
+        df.select(fp, F.col(id_col))
+        .groupBy("_fp")
+        .agg(w_min.alias(id_col))
+        .select(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+def duplicate_clusters(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact-duplicate clusters: fingerprint, cluster size, member ids.
+    (The audit view of exact_dedup.)"""
+    return (
+        df.select(fingerprint(text_col).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.sort_array(F.collect_list(id_col)).alias("member_ids"),
+        )
+        .filter(F.col("cluster_size") > 1)
+    )
+
+
+# ------------------------------------------------------------- shingling
+
+def shingles(text_col: Column | str, n: int = 3) -> Column:
+    """Distinct token n-gram shingles (space-joined), sorted for
+    determinism. Expression-level: transform over token positions."""
+    toks = tokens(text_col)
+    k = F.size(toks) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(k - 1, F.lit(-1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return F.array_sort(F.array_distinct(F.when(k > 0, grams).otherwise(F.array())))
+
+
+# ------------------------------------------------- E2a n-gram Jaccard
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via posting self-join.
+
+    Plan: distinct (id, shingle) postings → self-join on shingle
+    (documents meet only where they share a shingle) → count common →
+    jaccard = common / (|A| + |B| - common). ``max_shingle_df`` drops
+    ubiquitous shingles before the join — the skew guard at scale.
+    Output: (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    sh = df.select(F.col(id_col).alias("doc"), F.explode(shingles(text_col, n)).alias("sh"))
+    if max_shingle_df is not None:
+        rare = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("sdf")).filter(
+            F.col("sdf") <= max_shingle_df
+        )
+        sh = sh.join(rare.select("sh"), "sh", "left_semi")
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+
+    a = sh.select(F.col("doc").alias("id_a"), "sh")
+    b = sh.select(F.col("doc").alias("id_b"), "sh")
+    common = (
+        a.join(b, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    out = (
+        common.join(sizes.withColumnsRenamed({"doc": "id_a", "n_sh": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"doc": "id_b", "n_sh": "n_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+# ---------------------------------------------------- E2b MinHash + LSH
+
+_MERSENNE = (1 << 31) - 1  # 2^31-1, prime
+
+
+def _perm_params(num_perm: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the universal-hash permutation
+    family h_i(x) = (a_i·x + b_i) mod 2^31-1 — derived from a fixed
+    integer recurrence (splitmix-style), no RNG state."""
+    params = []
+    state = 0x9E3779B97F4A7C15
+    for _ in range(num_perm):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        a = (state >> 16) % (_MERSENNE - 1) + 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        b = (state >> 16) % _MERSENNE
+        params.append((a, b))
+    return params
+
+
+def shingle_hashes(text_col: Column | str, shingle_n: int = 3) -> Column:
+    """Distinct shingles hashed once to 31-bit ints (xxhash64 folded
+    mod 2^31-1). This is the expensive per-row step — materialize it
+    as its own column so the 64 permutation lanes reuse it instead of
+    re-hashing strings."""
+    sh = shingles(text_col, shingle_n)
+    return F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
+
+
+def minhash_signature_from_hashes(hs_col: Column | str, num_perm: int = 64) -> Column:
+    """MinHash signature (array<bigint>, length num_perm) from a
+    pre-hashed shingle column: lane i = min over shingles of
+    (a_i·h + b_i) mod 2^31-1 — integer multiply-add per lane, no
+    string hashing (products < 2^62: safe under ANSI overflow checks).
+    Deterministic everywhere — no RNG state (SURVEY.md §7 hard-part 2).
+    Empty docs get an all-MAX signature that never collides."""
+    hs = F.col(hs_col) if isinstance(hs_col, str) else hs_col
+
+    def _lane(a: int, b: int):
+        # factory closure: default-arg lambdas change the visible arity,
+        # which PySpark uses to decide the HOF's argument count
+        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(_MERSENNE)
+
+    return F.array(
+        *[
+            F.when(
+                F.size(hs) > 0,
+                F.array_min(F.transform(hs, _lane(a, b))),
+            ).otherwise(F.lit(2**63 - 1))
+            for a, b in _perm_params(num_perm)
+        ]
+    )
+
+
+def minhash_signature(text_col: Column | str, num_perm: int = 64, shingle_n: int = 3) -> Column:
+    """Convenience one-shot form; prefer the staged
+    shingle_hashes → minhash_signature_from_hashes in plans that reuse
+    the signature (see minhash_lsh_pairs)."""
+    return minhash_signature_from_hashes(shingle_hashes(text_col, shingle_n), num_perm)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs via MinHash banding + exact Jaccard verify.
+
+    rows_per_band = num_perm / bands; two docs become candidates iff
+    some band of their signatures matches exactly (probability
+    1-(1-s^r)^b for true Jaccard s). Candidates are then verified with
+    exact shingle Jaccard, so the output has no false positives —
+    banding only bounds recall.
+
+    Shuffle profile: explode to (band_idx, band_hash) — self-join on
+    the band bucket — verify join. Bucket keys are hashes, so the join
+    is skew-free by construction.
+    """
+    if num_perm % bands:
+        raise ValueError("num_perm must be divisible by bands")
+    r = num_perm // bands
+
+    # staged: shingles → hashed shingles → signature, each materialized
+    # once per row; cached because banding, candidate gen and verify all
+    # reuse it (at 100 TB this intermediate would be a checkpointed table)
+    base = (
+        df.select(F.col(id_col).alias("doc"), shingles(text_col, shingle_n).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .withColumn("hs", F.transform("sh", lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE))))
+        .withColumn("sig", minhash_signature_from_hashes("hs", num_perm))
+        .persist()
+    )
+
+    banded = base.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(F.concat_ws(",", F.slice("sig", bi * r + 1, r))).alias("bh"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc", "b.band", "b.bh")
+
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "bh"])
+        .filter(F.col("x.doc") < F.col("y.doc"))
+        .select(F.col("x.doc").alias("id_a"), F.col("y.doc").alias("id_b"))
+        .distinct()
+    )
+
+    sh_a = base.select(F.col("doc").alias("id_a"), F.col("sh").alias("sh_a"))
+    sh_b = base.select(F.col("doc").alias("id_b"), F.col("sh").alias("sh_b"))
+    verified = (
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return verified
+
+
+# ----------------------------------------------------------- E2c SimHash
+
+def simhash_counts(text_col: Column | str) -> Column:
+    """Per-bit contribution sums (array<long>[64]) for SimHash.
+
+    Per token: h = xxhash64(token); bit i contributes +1 if set else
+    -1. A per-row ``aggregate`` over the token-hash array — no shuffle.
+    Materialize this as its own column, then apply :func:`pack_bits`
+    (referencing it 64× inline would re-run the fold per bit lane).
+    """
+    # hash every token exactly once (string hashing dominates cost),
+    # then fold cheap bit ops over the hash array; bit positions are
+    # Python literals (shiftright takes an int, not a Column)
+    token_hashes = F.transform(tokens(text_col), lambda t: F.xxhash64(t))
+    zero = F.array_repeat(F.lit(0).cast("long"), 64)
+    counts = F.aggregate(
+        token_hashes,
+        zero,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1)
+                    .otherwise(-1)
+                    .cast("long")
+                    for i in range(64)
+                ]
+            ),
+            lambda a, c: a + c,
+        ),
+    )
+    return counts
+
+
+def pack_bits(counts_col: Column | str) -> Column:
+    """Pack a 64-long counts array into one bigint signature
+    (bit i = 1 iff counts[i] >= 0)."""
+    counts = F.col(counts_col) if isinstance(counts_col, str) else counts_col
+    bit_terms = [
+        F.when(F.element_at(counts, i + 1) >= 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        for i in range(63)
+    ]
+    # bit 63 is the sign bit: set it via negative literal to stay in int64
+    sign = F.when(F.element_at(counts, 64) >= 0, F.lit(-(1 << 63)).cast("long")).otherwise(
+        F.lit(0).cast("long")
+    )
+    out = sign
+    for term in bit_terms:
+        out = out.bitwiseOR(term)
+    return out
+
+
+def simhash64(text_col: Column | str) -> Column:
+    """One-shot 64-bit SimHash (bigint). For plans that reuse the
+    signature, stage simhash_counts → pack_bits as separate columns
+    instead (see simhash_pairs)."""
+    return pack_bits(simhash_counts(text_col))
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs with SimHash Hamming distance <= max_hamming.
+
+    Block trick: split the 64-bit signature into (max_hamming + 1)
+    16-bit blocks; by pigeonhole, any pair within distance k shares at
+    least one exact block — candidates come from a self-join on
+    (block_idx, block_value), then exact Hamming verify via bit_count.
+    """
+    n_blocks = max_hamming + 1
+    width = 64 // n_blocks
+    # staged + cached: the signature feeds the block explode AND both
+    # sides of the candidate self-join
+    sig = (
+        df.select(F.col(id_col).alias("doc"), simhash_counts(text_col).alias("_cnt"))
+        .withColumn("sig", pack_bits("_cnt"))
+        .drop("_cnt")
+        .persist()
+    )
+
+    # block offsets are Python literals (shift distances must be ints)
+    blocked = sig.select(
+        "doc",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("blk"),
+                        F.shiftrightunsigned(F.col("sig"), bi * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("bv"),
+                    )
+                    for bi in range(n_blocks)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc", "sig", "b.blk", "b.bv")
+
+    pairs = (
+        blocked.alias("x")
+        .join(blocked.alias("y"), ["blk", "bv"])
+        .filter(F.col("x.doc") < F.col("y.doc"))
+        .select(
+            F.col("x.doc").alias("id_a"),
+            F.col("y.doc").alias("id_b"),
+            F.col("x.sig").alias("sig_a"),
+            F.col("y.sig").alias("sig_b"),
+        )
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+    return pairs

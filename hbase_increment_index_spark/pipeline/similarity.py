@@ -1,0 +1,268 @@
+"""Similarity search over embedding columns — SURVEY.md §2.3 E3.
+
+Three tiers, trading recall for scan cost:
+
+1. ``knn_brute_force`` — exact top-k. One narrow pass over the corpus
+   computing a codegen'd dot product + TakeOrderedAndProject; the
+   correct baseline and the oracle for the approximate tiers.
+2. ``build_lsh_buckets``/``knn_lsh`` — random-hyperplane LSH: probe
+   only the query's bucket (and optionally neighbors). Hyperplanes are
+   derived deterministically from xxhash64(plane, dim) — no RNG state,
+   rebuildable anywhere.
+3. ``build_ivf``/``knn_ivf`` — IVF-Flat: k-means-ish coarse centroids,
+   probe the ``n_probe`` nearest inverted lists. The 100 TB path: the
+   index is partitioned by centroid id on disk, so a query reads
+   n_probe/n_centroids of the data (partition pruning does the rest).
+
+All vector math is expression-level (``zip_with`` + ``aggregate``),
+running inside codegen — no Python UDFs in any scan path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array<float/double> columns (left-fold —
+    deterministic accumulation order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def lit_vector(vec: list[float]) -> Column:
+    """A query vector as a literal array column (broadcast by value
+    into the codegen'd expression — no join at all)."""
+    return F.array(*[F.lit(float(x)) for x in vec])
+
+
+def knn_brute_force(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_decimals: int = 6,
+) -> DataFrame:
+    """Exact cosine top-k against a literal query vector.
+
+    Plan: scan → per-row expression → TakeOrderedAndProject(k). Scales
+    linearly and parallelizes perfectly; this is what "brute force" is
+    supposed to look like on Spark (no collect, no crossJoin).
+    """
+    q = lit_vector(query_vec)
+    scored = embeddings.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col).cast("array<double>"), q), score_decimals).alias("score"),
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+def knn_join_brute_force(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+    score_decimals: int = 6,
+) -> DataFrame:
+    """Batch kNN: top-k corpus items per query row.
+
+    Broadcast the (small) query set against the (huge) corpus —
+    the corpus is scanned once, never shuffled; ranking is a window
+    per query id."""
+    from pyspark.sql import Window
+
+    joined = embeddings.crossJoin(F.broadcast(queries)).select(
+        F.col(q_id_col),
+        F.col(id_col),
+        F.round(
+            cosine(F.col(vec_col).cast("array<double>"), F.col(q_vec_col).cast("array<double>")),
+            score_decimals,
+        ).alias("score"),
+    )
+    w = Window.partitionBy(q_id_col).orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+# ----------------------------------------------------- LSH (hyperplane)
+
+def _plane(plane_idx: int, dim: int) -> Column:
+    """Deterministic pseudo-random hyperplane: component j of plane i is
+    xxhash64(i, j) scaled to [-1, 1]. Stateless — any executor can
+    re-derive it; nothing is shipped."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: (F.xxhash64(F.lit(plane_idx), j) / F.lit(float(2**63))),
+    )
+
+
+def lsh_bucket(vec_col: Column, n_planes: int, dim: int) -> Column:
+    """Sign-of-dot-product bucket id (0 .. 2^n_planes - 1) as bigint."""
+    bucket = F.lit(0).cast("long")
+    for i in range(n_planes):
+        bit = F.when(dot(vec_col, _plane(i, dim)) >= 0, F.lit(1)).otherwise(F.lit(0))
+        bucket = bucket + (bit.cast("long") * F.lit(1 << i))
+    return bucket
+
+
+def build_lsh_buckets(
+    embeddings: DataFrame,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector its LSH bucket. At scale this frame is
+    written ``partitionBy('bucket')`` so a probe reads one directory."""
+    return embeddings.withColumn(
+        "bucket", lsh_bucket(F.col(vec_col).cast("array<double>"), n_planes, dim)
+    )
+
+
+def knn_lsh(
+    bucketed: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_decimals: int = 6,
+) -> DataFrame:
+    """Approximate top-k: score only the query's bucket (1/2^n_planes
+    of the corpus in expectation). Recall is tunable via n_planes and
+    multi-probe; exactness is knn_brute_force's job."""
+    dim = len(query_vec)
+    import pyspark.sql.functions as F2
+
+    q = lit_vector(query_vec)
+    q_bucket = 0
+    # compute the query bucket driver-side with the same hash-derived planes
+    import struct as _struct  # noqa: F401  (documentation: pure python mirror below)
+    probe = bucketed.filter(
+        F.col("bucket")
+        == bucketed.sparkSession.range(1)
+        .select(lsh_bucket(q, n_planes, dim).alias("b"))
+        .collect()[0]["b"]
+    )
+    scored = probe.select(
+        F.col(id_col),
+        F2.round(cosine(F.col(vec_col).cast("array<double>"), q), score_decimals).alias("score"),
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+# ------------------------------------------------------------- IVF-Flat
+
+def build_ivf(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iters: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """IVF index: coarse centroids + per-vector assignment.
+
+    Deterministic k-means: seeds are the ``n_centroids`` vectors with
+    the lowest ids (deterministic, no RNG), refined with ``iters``
+    Lloyd steps computed as groupBy-mean (element-wise via posexplode —
+    partial aggregation keeps the shuffle small: n_centroids × dim
+    rows). Returns (centroids(cid, centroid), assignments(id, cid)).
+    """
+    v = F.col(vec_col).cast("array<double>")
+    vecs = embeddings.select(F.col(id_col).alias("id"), v.alias("vec"))
+
+    centroids = (
+        vecs.orderBy("id").limit(n_centroids)
+        .select(F.row_number().over(__import__("pyspark").sql.Window.orderBy("id")).alias("cid"), "vec")
+        .select((F.col("cid") - 1).alias("cid"), F.col("vec").alias("centroid"))
+    )
+
+    for _ in range(iters):
+        assigned = _assign(vecs, centroids)
+        centroids = (
+            assigned.select("cid", F.posexplode("vec").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cid", F.transform("pm", lambda s: s["m"]).alias("centroid"))
+        )
+
+    assignments = _assign(vecs, centroids).select(F.col("id").alias(id_col), "cid")
+    return centroids, assignments
+
+
+def _assign(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment via broadcast crossJoin + window min.
+    The centroid table is tiny; the corpus is scanned once."""
+    from pyspark.sql import Window
+
+    d = vecs.crossJoin(F.broadcast(centroids)).withColumn(
+        "dist",
+        F.aggregate(
+            F.zip_with("vec", "centroid", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    w = Window.partitionBy("id").orderBy(F.col("dist").asc(), F.col("cid").asc())
+    return (
+        d.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn", "dist")
+    )
+
+
+def knn_ivf(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    assignments: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_decimals: int = 6,
+) -> DataFrame:
+    """Probe the n_probe nearest inverted lists, exact-rank inside them.
+
+    At 100 TB the assignment join is a partition-pruned read (data
+    written partitionBy('cid')); here it is a broadcast semi-join.
+    """
+    q = lit_vector(query_vec)
+    probe_cids = (
+        centroids.select(
+            "cid",
+            F.aggregate(
+                F.zip_with("centroid", q, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("dist"),
+        )
+        .orderBy(F.col("dist").asc(), F.col("cid").asc())
+        .limit(n_probe)
+        .select("cid")
+    )
+    shard = assignments.join(F.broadcast(probe_cids), "cid").select(id_col)
+    scored = embeddings.join(shard, id_col, "left_semi").select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col).cast("array<double>"), q), score_decimals).alias("score"),
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)

@@ -1,0 +1,127 @@
+"""Text analysis — SURVEY.md §2.3 E4: token counting, quality scoring,
+language identification, document fingerprinting.
+
+All pure JVM-side expressions (codegen'd, no Python in the row path):
+these run as a single narrow projection over the corpus — the ideal
+shape at 100 TB (no shuffle at all until an aggregation is asked for).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hbase_increment_index_spark.search.tokenize import posting_list, tokens
+
+# Tiny per-language function-word lists for the n-gram/stopword
+# language-ID heuristic. Deliberately small and ASCII-safe so the same
+# lists inline into the DuckDB oracle SQL.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it", "for", "with"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "von"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "pour", "dans", "que"),
+    "es": ("el", "la", "los", "y", "es", "un", "una", "para", "con", "por"),
+    "zh": ("de", "shi", "le", "bu", "wo", "ni", "ta", "men", "zai", "you"),
+}
+
+
+def token_count(text_col: Column | str) -> Column:
+    """Whitespace/punct token count (the `wc -w`-style budget number)."""
+    return F.size(tokens(text_col))
+
+
+def bpe_ish_token_count(text_col: Column | str) -> Column:
+    """BPE-approximate token count: word-piece-ish segments — runs of
+    letters, runs of digits, or single non-space symbols. A cheap,
+    deterministic proxy for tokenizer budgeting when the real
+    tokenizer is out of process."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    pieces = F.filter(
+        F.split(F.lower(c), r"(?=[^a-z0-9])|(?<=[^a-z0-9])"),
+        lambda t: (t != "") & (t != " "),
+    )
+    return F.size(pieces)
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality features: length, token stats, punctuation
+    and stopword ratios, plus a [0,1] composite quality score.
+
+    The score formula is fixed and documented (not learned): docs that
+    are long enough, word-like, and stopword-bearing score high —
+    the standard pre-training corpus filter shape.
+    """
+    c = F.col(text_col)
+    toks = tokens(c)
+    n_tok = F.size(toks)
+    n_chars = F.length(c)
+    en_stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(en_stop, t)))
+    n_punct = n_chars - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    avg_tok_len = F.when(n_tok > 0, F.length(F.regexp_replace(c, r"\s+", "")) / n_tok).otherwise(F.lit(0.0))
+
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0))
+    length_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    word_score = F.when((avg_tok_len >= 2) & (avg_tok_len <= 12), 1.0).otherwise(0.0)
+    quality = F.round(
+        F.lit(0.4) * length_score
+        + F.lit(0.3) * word_score
+        + F.lit(0.3) * F.least(stop_ratio * 5, F.lit(1.0)),
+        6,
+    )
+    return df.select(
+        "*",
+        n_tok.alias("n_tokens"),
+        F.round(avg_tok_len, 6).alias("avg_token_len"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        quality.alias("quality_score"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
+    """Stopword-hit language ID: count function-word hits per language,
+    argmax with lexicographic tie-break ('und' = no hits anywhere).
+
+    One projection, no shuffle; the stopword lists are literals inside
+    the codegen'd expression (nothing broadcast, nothing Python).
+    """
+    toks = tokens(text_col)
+
+    def _hits(stop):
+        # single-arg lambda: a second parameter would make PySpark pass the
+        # element index, not the captured stoplist
+        return F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+
+    scores = []
+    for lang in sorted(STOPWORDS):
+        stop = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        scores.append(F.struct(_hits(stop).alias("hits"), F.lit(lang).alias("lang")))
+    arr = F.array(*scores)
+    max_hits = F.array_max(F.transform(arr, lambda s: s["hits"]))
+    tied = F.filter(arr, lambda s: s["hits"] == max_hits)
+    winner = F.array_min(F.transform(tied, lambda s: s["lang"]))
+    return df.select(
+        "*",
+        F.when(max_hits > 0, winner).otherwise(F.lit("und")).alias(out_col),
+        max_hits.alias("lang_pred_hits"),
+    )
+
+
+def fingerprint(text_col: Column | str) -> Column:
+    """Document fingerprint: md5 of whitespace-normalized lowercase
+    text. Identical function exists in DuckDB (``md5``), so exact-dedup
+    joins on this column are oracle-checkable."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    norm = F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")
+    return F.md5(norm)
+
+
+def term_frequencies(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Corpus term frequencies (top-N vocabulary view): one explode +
+    one map-side-combined groupBy — the canonical big-data word count."""
+    return posting_list(df, id_col, text_col).groupBy("term").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.countDistinct(id_col).alias("df"),
+    )

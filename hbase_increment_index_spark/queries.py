@@ -1,0 +1,945 @@
+"""Query registry: every operator from SURVEY.md §2 as a
+(spark_callable, oracle_sql) pair.
+
+Conventions that keep the DuckDB value-hash comparison green:
+
+- every computed column is aliased identically on both sides;
+- double aggregations go through exact decimal sums (numeric.py) —
+  order-independent, bit-identical in both engines;
+- scores/ratios are ROUND()ed at a fixed scale on both sides;
+- every LIMIT/top-k has a unique tie-break column so the selected row
+  *set* is deterministic;
+- timestamps leave the query as formatted strings (engine-independent
+  representation).
+
+Queries without an oracle entry (engine-hash-dependent: MinHash/
+SimHash/LSH/IVF/approx-distinct/multimodal-UDF) get the driver's
+rows-only check; their exact-counterpart queries are oracle-checked.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hbase_increment_index_spark.catalog import load_table
+from hbase_increment_index_spark.cdc.cell_model import cell_log_from_events
+from hbase_increment_index_spark.cdc.compaction import apply_deletes, latest_per_key, live_cells
+from hbase_increment_index_spark.numeric import exact_avg, exact_std, exact_sum
+from hbase_increment_index_spark.pipeline.dedup import (
+    duplicate_clusters,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from hbase_increment_index_spark.pipeline.multimodal import extract_features, synth_media
+from hbase_increment_index_spark.pipeline.similarity import knn_brute_force
+from hbase_increment_index_spark.pipeline.text import (
+    STOPWORDS,
+    fingerprint,
+    language_id,
+    quality_features,
+    term_frequencies,
+)
+from hbase_increment_index_spark.search import facets, filters, paging, ranking, stats
+from hbase_increment_index_spark.search.tokenize import has_all_tokens
+
+# SQL fragment: DuckDB tokenizer identical to search.tokenize.tokens()
+_SQL_TOKS = "list_filter(regexp_split_to_array(lower({c}), '[^a-z0-9]+'), t -> t <> '')"
+# SQL fragment: md5 fingerprint identical to pipeline.text.fingerprint()
+_SQL_FP = "md5(regexp_replace(trim(lower({c})), '\\s+', ' ', 'g'))"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# Flagship (entry): filter + facet + stats over events — S-scan + Q1 + Q10 +
+# Q13 + Q7 in one query.
+# --------------------------------------------------------------------------
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.filter(F.col("value") > 1.0)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            exact_sum("value", 6).alias("sum_value"),
+            exact_avg("value", 6).alias("avg_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy(F.col("n_events").desc(), F.col("event_type").asc())
+    )
+
+
+FLAGSHIP_SQL = """
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value,
+       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(value) AS avg_value,
+       count(DISTINCT user_id) AS n_users
+FROM events
+WHERE value > 1.0
+GROUP BY event_type
+ORDER BY n_events DESC, event_type ASC
+"""
+
+
+# --------------------------------------------------------------------------
+# Q1–Q5, Q9, Q17 — filter surface
+# --------------------------------------------------------------------------
+
+def q01_filter_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.filter(filters.eq("o_orderstatus", "F")).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+Q01_SQL = "SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderstatus = 'F'"
+
+
+def q02_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        filters.range_between("l_quantity", 10.0, 20.0)
+        & (F.col("l_shipdate") >= F.lit("1995-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01"))
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_date"),
+    )
+
+
+Q02_SQL = """
+SELECT l_orderkey, l_linenumber, l_quantity,
+       strftime(l_shipdate, '%Y-%m-%d') AS ship_date
+FROM lineitem
+WHERE l_quantity BETWEEN 10.0 AND 20.0
+  AND l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l_shipdate <  TIMESTAMP '1996-01-01'
+"""
+
+
+def q03_boolean_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    pred = (filters.eq("o_orderstatus", "O") & (F.col("o_totalprice") > 150000.0)) | (
+        filters.eq("o_orderpriority", "1-URGENT") & ~(F.col("o_custkey") % 2 == 0)
+    )
+    return orders.filter(pred).select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+
+
+Q03_SQL = """
+SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+FROM orders
+WHERE (o_orderstatus = 'O' AND o_totalprice > 150000.0)
+   OR (o_orderpriority = '1-URGENT' AND NOT (o_custkey % 2 = 0))
+"""
+
+
+def q04_fulltext_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.filter(has_all_tokens("text", ["spark", "join"])).select("doc_id", "lang", "source")
+
+
+Q04_SQL = f"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE list_contains({_SQL_TOKS.format(c='text')}, 'spark')
+  AND list_contains({_SQL_TOKS.format(c='text')}, 'join')
+"""
+
+
+def q05_prefix_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.filter(
+        filters.prefix("source", "src1") & filters.wildcard("lang", "e?")
+    ).select("doc_id", "lang", "source")
+
+
+Q05_SQL = """
+SELECT doc_id, lang, source
+FROM documents
+WHERE source LIKE 'src1%' AND lang LIKE 'e_'
+"""
+
+
+def q05b_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.filter(filters.phrase("text", ["group", "by"])).select("doc_id", "source")
+
+
+Q05B_SQL = r"""
+SELECT doc_id, source
+FROM documents
+WHERE regexp_matches(lower(text), '\bgroup\s+by\b')
+"""
+
+
+def q09_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    return cust.select("c_custkey", "c_name", "c_mktsegment")
+
+
+Q09_SQL = "SELECT c_custkey, c_name, c_mktsegment FROM customer"
+
+
+def q17_by_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return filters.by_id(docs, "doc_id", 42).select("doc_id", "lang", "source", "n_chars")
+
+
+Q17_SQL = "SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id = 42"
+
+
+# --------------------------------------------------------------------------
+# Q6 — relevance ranking
+# --------------------------------------------------------------------------
+
+_TFIDF_TERMS = ["spark", "join", "query"]
+
+
+def q06_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return ranking.tfidf_topk(docs, "doc_id", "text", _TFIDF_TERMS, k=10)
+
+
+Q06_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SQL_TOKS.format(c='text')}) AS term FROM documents
+),
+hits AS (SELECT * FROM toks WHERE term IN ('join', 'query', 'spark')),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM hits GROUP BY 1, 2),
+dft AS (SELECT term, count(DISTINCT doc_id) AS df_t FROM hits GROUP BY 1),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents)
+SELECT tf.doc_id, ROUND(SUM(tf.tf * ln(n.n_docs / dft.df_t)), 6) AS score
+FROM tf JOIN dft USING (term), n
+GROUP BY tf.doc_id
+ORDER BY score DESC, tf.doc_id ASC
+LIMIT 10
+"""
+
+
+def q06b_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return ranking.bm25_topk(docs, "doc_id", "text", _TFIDF_TERMS, k=10)
+
+
+# --------------------------------------------------------------------------
+# Q7/Q8/Q15 — sort, pagination, group-top-N
+# --------------------------------------------------------------------------
+
+def q07_sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return paging.sorted_page(
+        orders.select("o_orderkey", "o_totalprice", "o_orderpriority"),
+        order=[F.col("o_totalprice").desc()],
+        tie_break="o_orderkey",
+        start=0,
+        rows=20,
+    )
+
+
+Q07_SQL = """
+SELECT o_orderkey, o_totalprice, o_orderpriority
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 20
+"""
+
+
+def q08_deep_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return paging.sorted_page(
+        orders.select("o_orderkey", "o_totalprice"),
+        order=[F.col("o_totalprice").desc()],
+        tie_break="o_orderkey",
+        start=100,
+        rows=20,
+    )
+
+
+Q08_SQL = """
+SELECT o_orderkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 20 OFFSET 100
+"""
+
+
+def q15_group_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return paging.group_top_n(
+        orders.select("o_custkey", "o_orderkey", "o_totalprice"),
+        group_field="o_custkey",
+        order=[F.col("o_totalprice").desc()],
+        tie_break="o_orderkey",
+        n=2,
+    )
+
+
+Q15_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice
+FROM orders
+QUALIFY row_number() OVER (
+  PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC
+) <= 2
+"""
+
+
+# --------------------------------------------------------------------------
+# Q10–Q14, Q16 — facets, stats, distinct, pivot
+# --------------------------------------------------------------------------
+
+def q10_facet_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return facets.facet_field(docs, "lang", count_alias="n")
+
+
+Q10_SQL = "SELECT lang, count(*) AS n FROM documents GROUP BY lang"
+
+
+def q11_facet_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    out = facets.facet_range(orders, "o_totalprice", 20000.0, bucket_alias="bucket_start", count_alias="n")
+    return out.withColumn("bucket_start", F.col("bucket_start").cast("long"))
+
+
+Q11_SQL = """
+SELECT CAST(FLOOR(o_totalprice / 20000.0) * 20000.0 AS BIGINT) AS bucket_start,
+       count(*) AS n
+FROM orders
+GROUP BY 1
+"""
+
+
+def q11b_facet_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    out = facets.facet_time(events, "ts", unit="day", bucket_alias="bucket", count_alias="n")
+    return out.select(F.date_format("bucket", "yyyy-MM-dd").alias("day"), "n")
+
+
+Q11B_SQL = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, count(*) AS n
+FROM events
+GROUP BY 1
+"""
+
+
+def q12_facet_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return facets.facet_queries(
+        li,
+        {
+            "n_cheap": F.col("l_extendedprice") < 10000.0,
+            "n_discounted": F.col("l_discount") > 0.05,
+            "n_returned": F.col("l_returnflag") == "R",
+        },
+    )
+
+
+Q12_SQL = """
+SELECT CAST(SUM(CASE WHEN l_extendedprice < 10000.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_cheap,
+       CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_discounted,
+       CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned
+FROM lineitem
+"""
+
+
+def q13_stats_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    out = stats.stats_field(li, "l_extendedprice", group_by=["l_returnflag"])
+    return out.withColumn("stddev_v", F.round("stddev_v", 4)).withColumn(
+        "mean_v", F.round("mean_v", 6)
+    )
+
+
+Q13_SQL = """
+SELECT l_returnflag,
+       min(l_extendedprice) AS min_v,
+       max(l_extendedprice) AS max_v,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_v,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) / COUNT(l_extendedprice), 6) AS mean_v,
+       ROUND(SQRT((CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,10))) AS DOUBLE)
+             - CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE)
+               * CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE) / COUNT(l_extendedprice))
+            / (COUNT(l_extendedprice) - 1)), 4) AS stddev_v,
+       count(l_extendedprice) AS count_v,
+       CAST(SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS missing_v
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def q14_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+Q14_SQL = """
+SELECT l_returnflag,
+       count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_suppkey) AS n_supps
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def q14b_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ cardinality — the 100 TB path; implementation-
+    specific sketch, so rows-only check (no oracle)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(F.approx_count_distinct("l_partkey").alias("n_approx"))
+
+
+def q16_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    joined = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    return facets.facet_pivot(joined, ["n_name", "c_mktsegment"], count_alias="n")
+
+
+Q16_SQL = """
+SELECT n_name, c_mktsegment, count(*) AS n
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name, c_mktsegment
+"""
+
+
+def q16b_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    joined = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    return facets.facet_pivot_rollup(joined, ["n_name", "c_mktsegment"], count_alias="n")
+
+
+Q16B_SQL = """
+SELECT n_name, c_mktsegment, count(*) AS n
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY ROLLUP (n_name, c_mktsegment)
+"""
+
+
+# --------------------------------------------------------------------------
+# CDC — the reference's own dataflow (S1–S7, S9) in batch form
+# --------------------------------------------------------------------------
+
+_CDC_TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+_SQL_CELL_LOG = """
+SELECT CASE WHEN event_type = '{delete_type}' THEN 'delete' ELSE 'put' END AS op,
+       CAST(user_id AS VARCHAR) AS row_key,
+       'cf' AS family,
+       event_type AS qualifier,
+       CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) AS value,
+       ts, event_id AS seq
+FROM events
+"""
+
+
+def cdc_cell_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    log = cell_log_from_events(events)
+    return log.select(
+        "op", "row_key", "family", "qualifier", "value",
+        F.date_format("ts", _CDC_TS_FMT).alias("ts_str"), "seq",
+    )
+
+
+CDC_CELL_LOG_SQL = f"""
+SELECT op, row_key, family, qualifier, value,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str, seq
+FROM ({_SQL_CELL_LOG.format(delete_type='delete')})
+"""
+
+
+def cdc_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    log = cell_log_from_events(events)
+    return latest_per_key(log).select("row_key", "qualifier", "value", "seq")
+
+
+CDC_LATEST_SQL = f"""
+SELECT row_key, qualifier, value, seq
+FROM ({_SQL_CELL_LOG.format(delete_type='delete')})
+QUALIFY row_number() OVER (PARTITION BY row_key ORDER BY ts DESC, seq DESC) = 1
+"""
+
+
+def cdc_apply_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 'error' events stand in for deletes so the anti-join actually fires
+    events = _t(spark, sf_dir, "events")
+    log = cell_log_from_events(events, delete_event_type="error")
+    return apply_deletes(log).select("row_key", "qualifier", "value", "seq")
+
+
+CDC_APPLY_SQL = f"""
+SELECT row_key, qualifier, value, seq
+FROM ({_SQL_CELL_LOG.format(delete_type='error')})
+QUALIFY row_number() OVER (PARTITION BY row_key ORDER BY ts DESC, seq DESC) = 1
+   AND op = 'put'
+"""
+
+
+def cdc_live_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    log = cell_log_from_events(events, delete_event_type="error")
+    return live_cells(log).select("row_key", "family", "qualifier", "value", "seq")
+
+
+CDC_LIVE_CELLS_SQL = f"""
+WITH log AS ({_SQL_CELL_LOG.format(delete_type='error')}),
+cell_latest AS (
+  SELECT * FROM log
+  QUALIFY row_number() OVER (
+    PARTITION BY row_key, family, qualifier ORDER BY ts DESC, seq DESC) = 1
+),
+row_latest AS (
+  SELECT row_key, op AS row_op FROM log
+  QUALIFY row_number() OVER (PARTITION BY row_key ORDER BY ts DESC, seq DESC) = 1
+)
+SELECT c.row_key, c.family, c.qualifier, c.value, c.seq
+FROM cell_latest c JOIN row_latest r USING (row_key)
+WHERE c.op = 'put' AND r.row_op = 'put'
+"""
+
+
+# --------------------------------------------------------------------------
+# OLAP — star-schema joins + aggregation (the "real-time OLAP" claim,
+# reference README.md:5-6)
+# --------------------------------------------------------------------------
+
+def olap_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            exact_sum("l_quantity", 2).alias("sum_qty"),
+            exact_sum("l_extendedprice", 2).alias("sum_base_price"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(30,6)")
+            ).cast("double").alias("sum_disc_price"),
+            F.round(exact_avg("l_quantity", 2), 6).alias("avg_qty"),
+            F.round(exact_avg("l_discount", 2), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+OLAP_PRICING_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS sum_disc_price,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) / COUNT(l_quantity), 6) AS avg_qty,
+       ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(30,2))) AS DOUBLE) / COUNT(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def olap_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: fact lineitem ⋈ orders, dims broadcast. At 100 TB the
+    fact-fact join shuffles on orderkey (or is bucket-co-located); the
+    dimension chain never shuffles."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    dims = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "r_name")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+        .groupBy("r_name")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(30,6)")
+            ).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("r_name")
+    )
+
+
+OLAP_REVENUE_SQL = """
+SELECT r_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name
+ORDER BY r_name
+"""
+
+
+def olap_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    rev = (
+        orders.groupBy("o_custkey")
+        .agg(exact_sum("o_totalprice", 2).alias("revenue"), F.count(F.lit(1)).alias("n_orders"))
+    )
+    return (
+        rev.join(F.broadcast(cust), rev.o_custkey == cust.c_custkey)
+        .select("c_custkey", "c_name", "revenue", "n_orders")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(10)
+    )
+
+
+OLAP_TOP_CUST_SQL = """
+SELECT c_custkey, c_name,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS revenue,
+       count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# E1–E5 — LLM-pipeline extensions
+# --------------------------------------------------------------------------
+
+def e1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy(fingerprint("text")).orderBy(F.col("doc_id").asc())
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "lang", "source")
+    )
+
+
+E1_SQL = f"""
+SELECT doc_id, lang, source
+FROM documents
+QUALIFY row_number() OVER (
+  PARTITION BY {_SQL_FP.format(c='text')} ORDER BY doc_id ASC) = 1
+"""
+
+
+def e1b_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    out = duplicate_clusters(docs, "doc_id", "text")
+    return out.select(
+        "fp",
+        "cluster_size",
+        F.element_at("member_ids", 1).alias("min_id"),
+        F.element_at("member_ids", -1).alias("max_id"),
+    )
+
+
+E1B_SQL = f"""
+SELECT {_SQL_FP.format(c='text')} AS fp,
+       count(*) AS cluster_size,
+       min(doc_id) AS min_id,
+       max(doc_id) AS max_id
+FROM documents
+GROUP BY 1
+HAVING count(*) > 1
+"""
+
+
+def e2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.30)
+
+
+E2_SQL = f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id AS doc,
+         unnest(list_distinct(
+           list_transform(
+             generate_series(1, greatest(len({_SQL_TOKS.format(c='text')}) - 2, 0)),
+             i -> array_to_string(list_slice({_SQL_TOKS.format(c='text')}, i, i + 2), ' ')
+           ))) AS sh
+  FROM documents
+),
+sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
+common AS (
+  SELECT a.doc AS id_a, b.doc AS id_b, count(*) AS common
+  FROM sh a JOIN sh b USING (sh)
+  WHERE a.doc < b.doc
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(common / (sa.n_sh + sb.n_sh - common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc = id_a
+JOIN sizes sb ON sb.doc = id_b
+WHERE ROUND(common / (sa.n_sh + sb.n_sh - common), 6) >= 0.30
+"""
+
+
+def e2b_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup (xxhash64 signatures — rows-only check)."""
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, "doc_id", "text", num_perm=64, bands=16, threshold=0.30)
+
+
+def e2c_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash hamming<=3 near-dup (xxhash64-based — rows-only check)."""
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+def e3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()["embedding"]]
+    return knn_brute_force(emb.filter(F.col("vec_id") != 0), qvec, k=10)
+
+
+E3_SQL = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       ROUND(
+         list_dot_product(CAST(embedding AS DOUBLE[]), q.qv)
+         / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+            * sqrt(list_dot_product(q.qv, q.qv))), 6) AS score
+FROM embeddings, q
+WHERE vec_id <> 0
+ORDER BY score DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+def e3b_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat approximate kNN — rows-only check (probe set is
+    index-construction-dependent)."""
+    from hbase_increment_index_spark.pipeline.similarity import build_ivf, knn_ivf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()["embedding"]]
+    centroids, assignments = build_ivf(emb, n_centroids=8, iters=1)
+    return knn_ivf(emb.filter(F.col("vec_id") != 0), centroids, assignments, qvec, k=10, n_probe=3)
+
+
+def e4_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tf = term_frequencies(docs, "doc_id", "text")
+    return tf.orderBy(F.col("tf").desc(), F.col("term").asc()).limit(25)
+
+
+E4_TOKENS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SQL_TOKS.format(c='text')}) AS term FROM documents
+)
+SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
+FROM toks
+GROUP BY term
+ORDER BY tf DESC, term ASC
+LIMIT 25
+"""
+
+
+def e4b_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    out = quality_features(docs, "text")
+    return out.select(
+        "doc_id", "n_tokens", "avg_token_len", "punct_ratio", "stopword_ratio", "quality_score"
+    )
+
+
+_EN_STOP_SQL = "['" + "', '".join(STOPWORDS["en"]) + "']"
+E4B_SQL = f"""
+WITH base AS (
+  SELECT doc_id, text,
+         {_SQL_TOKS.format(c='text')} AS toks,
+         length(text) AS n_chars
+  FROM documents
+),
+feat AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         CASE WHEN len(toks) > 0
+              THEN length(regexp_replace(text, '\\s+', '', 'g')) / len(toks)
+              ELSE 0.0 END AS raw_avg_tok,
+         n_chars - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,
+         n_chars,
+         len(list_filter(toks, t -> list_contains({_EN_STOP_SQL}, t))) AS n_stop
+  FROM base
+)
+SELECT doc_id, n_tokens,
+       ROUND(raw_avg_tok, 6) AS avg_token_len,
+       ROUND(CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END, 6) AS punct_ratio,
+       ROUND(CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0.0 END, 6) AS stopword_ratio,
+       ROUND(0.4 * least(n_tokens / 100.0, 1.0)
+             + 0.3 * (CASE WHEN raw_avg_tok >= 2 AND raw_avg_tok <= 12 THEN 1.0 ELSE 0.0 END)
+             + 0.3 * least((CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0.0 END) * 5, 1.0), 6)
+         AS quality_score
+FROM feat
+"""
+
+
+def e4c_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    out = language_id(docs, "text")
+    return out.select("doc_id", "lang", "lang_pred", "lang_pred_hits")
+
+
+def _langid_sql() -> str:
+    toks = _SQL_TOKS.format(c="text")
+    hit_cols = []
+    for lang in sorted(STOPWORDS):
+        lst = "['" + "', '".join(STOPWORDS[lang]) + "']"
+        hit_cols.append(
+            f"len(list_filter(toks, t -> list_contains({lst}, t))) AS h_{lang}"
+        )
+    langs = sorted(STOPWORDS)
+    g = "greatest(" + ", ".join(f"h_{lang}" for lang in langs) + ")"
+    case = "CASE WHEN " + g + " = 0 THEN 'und' " + " ".join(
+        f"WHEN h_{lang} = {g} THEN '{lang}'" for lang in langs
+    ) + " END"
+    return f"""
+WITH t AS (SELECT doc_id, lang, {toks} AS toks FROM documents),
+s AS (SELECT doc_id, lang, {', '.join(hit_cols)} FROM t)
+SELECT doc_id, lang, {case} AS lang_pred, {g} AS lang_pred_hits
+FROM s
+"""
+
+
+E4C_SQL = _langid_sql()
+
+
+def e4d_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint("text").alias("fp"))
+
+
+E4D_SQL = f"SELECT doc_id, {_SQL_FP.format(c='text')} AS fp FROM documents"
+
+
+def e5_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    joined = docs.join(emb.withColumnRenamed("vec_id", "doc_id"), "doc_id", "inner")
+    return joined.select("doc_id", "lang", "n_chars", "label", F.size("embedding").alias("dim"))
+
+
+E5_SQL = """
+SELECT doc_id, lang, n_chars, label, len(embedding) AS dim
+FROM documents JOIN embeddings ON doc_id = vec_id
+"""
+
+
+def e5b_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode plumbing (mapInPandas over binary payloads) —
+    rows-only check (Python feature extraction isn't SQL)."""
+    docs = _t(spark, sf_dir, "documents")
+    media = synth_media(docs)
+    feats = extract_features(media)
+    return feats.select("media_id", "kind", "n_bytes", F.size("feature").alias("feat_dim"))
+
+
+# --------------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "flagship": flagship,
+    "q01_filter_eq": q01_filter_eq,
+    "q02_range_filter": q02_range_filter,
+    "q03_boolean_filter": q03_boolean_filter,
+    "q04_fulltext_and": q04_fulltext_and,
+    "q05_prefix_wildcard": q05_prefix_wildcard,
+    "q05b_phrase": q05b_phrase,
+    "q06_tfidf_topk": q06_tfidf_topk,
+    "q06b_bm25_topk": q06b_bm25_topk,
+    "q07_sort_topk": q07_sort_topk,
+    "q08_deep_page": q08_deep_page,
+    "q09_projection": q09_projection,
+    "q10_facet_field": q10_facet_field,
+    "q11_facet_range": q11_facet_range,
+    "q11b_facet_time": q11b_facet_time,
+    "q12_facet_query": q12_facet_query,
+    "q13_stats_field": q13_stats_field,
+    "q14_distinct": q14_distinct,
+    "q14b_approx_distinct": q14b_approx_distinct,
+    "q15_group_topn": q15_group_topn,
+    "q16_pivot": q16_pivot,
+    "q16b_rollup": q16b_rollup,
+    "q17_by_id": q17_by_id,
+    "cdc_cell_log": cdc_cell_log,
+    "cdc_latest_per_key": cdc_latest_per_key,
+    "cdc_apply_deletes": cdc_apply_deletes,
+    "cdc_live_cells": cdc_live_cells,
+    "olap_pricing_summary": olap_pricing_summary,
+    "olap_revenue_by_region": olap_revenue_by_region,
+    "olap_top_customers": olap_top_customers,
+    "e1_exact_dedup": e1_exact_dedup,
+    "e1b_duplicate_clusters": e1b_duplicate_clusters,
+    "e2_ngram_jaccard": e2_ngram_jaccard,
+    "e2b_minhash_lsh": e2b_minhash_lsh,
+    "e2c_simhash": e2c_simhash,
+    "e3_cosine_topk": e3_cosine_topk,
+    "e3b_knn_ivf": e3b_knn_ivf,
+    "e4_token_counts": e4_token_counts,
+    "e4b_quality": e4b_quality,
+    "e4c_langid": e4c_langid,
+    "e4d_fingerprint": e4d_fingerprint,
+    "e5_multimodal_join": e5_multimodal_join,
+    "e5b_media_features": e5b_media_features,
+}
+
+ORACLES: dict[str, str] = {
+    "flagship": FLAGSHIP_SQL,
+    "q01_filter_eq": Q01_SQL,
+    "q02_range_filter": Q02_SQL,
+    "q03_boolean_filter": Q03_SQL,
+    "q04_fulltext_and": Q04_SQL,
+    "q05_prefix_wildcard": Q05_SQL,
+    "q05b_phrase": Q05B_SQL,
+    "q06_tfidf_topk": Q06_SQL,
+    "q07_sort_topk": Q07_SQL,
+    "q08_deep_page": Q08_SQL,
+    "q09_projection": Q09_SQL,
+    "q10_facet_field": Q10_SQL,
+    "q11_facet_range": Q11_SQL,
+    "q11b_facet_time": Q11B_SQL,
+    "q12_facet_query": Q12_SQL,
+    "q13_stats_field": Q13_SQL,
+    "q14_distinct": Q14_SQL,
+    "q15_group_topn": Q15_SQL,
+    "q16_pivot": Q16_SQL,
+    "q16b_rollup": Q16B_SQL,
+    "q17_by_id": Q17_SQL,
+    "cdc_cell_log": CDC_CELL_LOG_SQL,
+    "cdc_latest_per_key": CDC_LATEST_SQL,
+    "cdc_apply_deletes": CDC_APPLY_SQL,
+    "cdc_live_cells": CDC_LIVE_CELLS_SQL,
+    "olap_pricing_summary": OLAP_PRICING_SQL,
+    "olap_revenue_by_region": OLAP_REVENUE_SQL,
+    "olap_top_customers": OLAP_TOP_CUST_SQL,
+    "e1_exact_dedup": E1_SQL,
+    "e1b_duplicate_clusters": E1B_SQL,
+    "e2_ngram_jaccard": E2_SQL,
+    "e3_cosine_topk": E3_SQL,
+    "e4_token_counts": E4_TOKENS_SQL,
+    "e4b_quality": E4B_SQL,
+    "e4c_langid": E4C_SQL,
+    "e4d_fingerprint": E4D_SQL,
+    "e5_multimodal_join": E5_SQL,
+}

@@ -1,0 +1,55 @@
+"""Filter/predicate surface — SURVEY.md §2.2 Q1–Q5, Q9, Q17.
+
+These are deliberately thin: each returns a plain Column/DataFrame so
+Catalyst sees an ordinary predicate and pushes it into the parquet
+scan (check with ``.explain`` → ``PushedFilters``). The value of the
+module is naming the Solr semantics, not inventing machinery.
+
+Reference anchors: the Solr ``fq``/``q`` surface the coprocessor's
+index feeds (reference README.md:5-10); retrieval-by-unique-key uses
+the rowkey field (reference application.properties:4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def eq(field: str, value) -> Column:
+    """Q1 — Solr ``fq=field:value``."""
+    return F.col(field) == F.lit(value)
+
+
+def range_between(field: str, lo, hi) -> Column:
+    """Q2 — Solr ``fq=field:[lo TO hi]`` (inclusive both ends)."""
+    return F.col(field).between(lo, hi)
+
+
+def prefix(field: str, pre: str) -> Column:
+    """Q5 — Solr ``q=field:pre*``."""
+    return F.col(field).startswith(pre)
+
+
+def wildcard(field: str, pattern: str) -> Column:
+    """Q5 — Solr wildcard ``?``/``*`` translated to SQL LIKE ``_``/``%``."""
+    like = pattern.replace("%", r"\%").replace("_", r"\_")
+    like = like.replace("*", "%").replace("?", "_")
+    return F.col(field).like(like)
+
+
+def phrase(text_field: str, words: list[str]) -> Column:
+    """Q5 — phrase query: adjacent tokens in order.
+
+    Matched on the raw lowercased text with a word-boundary regex —
+    equivalent to a position-aware posting check for space-separated
+    corpora, without materializing positions.
+    """
+    needle = r"\b" + r"\s+".join(words) + r"\b"
+    return F.lower(F.col(text_field)).rlike(needle.lower())
+
+
+def by_id(df: DataFrame, key_field: str, key) -> DataFrame:
+    """Q17 — unique-key retrieval (Solr ``q=rowkey:k``;
+    reference application.properties:4)."""
+    return df.filter(F.col(key_field) == F.lit(key))

@@ -1,0 +1,119 @@
+"""Relevance ranking — SURVEY.md §2.2 Q6 (Solr ``sort=score desc``).
+
+TF-IDF and BM25 expressed as plain aggregations + joins so the whole
+computation stays in Tungsten codegen and is oracle-checkable in SQL.
+
+Shape of the plan (and why it scales):
+
+  postings(id, term)                    -- explode, no shuffle
+    ⋈ query_terms (broadcast, k rows)   -- semi-filter BEFORE any agg:
+                                        -- only postings for query terms
+                                        -- survive, so the groupBy input
+                                        -- is ~k/|V| of the corpus
+  groupBy(id, term) -> tf               -- map-side partial agg
+  ⋈ df(term)  (broadcast, k rows)       -- document frequency per term,
+                                        -- computed on the same filtered
+                                        -- postings
+  groupBy(id) -> score = Σ tf·idf       -- map-side partial agg
+  orderBy(score desc, id) limit k       -- TakeOrderedAndProject
+
+The only wide exchanges are group-bys on (id, term) and (id) — both
+pre-aggregated map-side. Nothing here is proportional to vocabulary
+size at query time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hbase_increment_index_spark.search.tokenize import posting_list
+
+
+def tfidf_topk(
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k: int = 10,
+    score_decimals: int = 6,
+) -> DataFrame:
+    """Top-k documents by TF-IDF for an OR-of-terms query.
+
+    score(d) = Σ_t tf(t,d) · ln(N / df(t)), standard raw-tf / raw-idf.
+    The score is rounded to ``score_decimals`` and ties break on id so
+    the selected top-k set is total-order deterministic (required for
+    hash comparison against the oracle and for stable pagination).
+    """
+    spark = corpus.sparkSession
+    n_docs = corpus.count()  # one cheap count job; cached upstream in practice
+
+    terms = spark.createDataFrame(
+        [(t.lower(),) for t in sorted(set(query_terms))], ["term"]
+    )
+
+    postings = posting_list(corpus, id_col, text_col)
+    hits = postings.join(F.broadcast(terms), "term")  # filter early
+
+    tf = hits.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = hits.groupBy("term").agg(F.countDistinct(id_col).alias("df_t"))
+
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .withColumn("w", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df_t")))
+        .groupBy(id_col)
+        .agg(F.round(F.sum("w"), score_decimals).alias("score"))
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+def bm25_topk(
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    score_decimals: int = 6,
+) -> DataFrame:
+    """Top-k by Okapi BM25. Same plan shape as tfidf_topk plus a
+    broadcast of per-doc length and the corpus-average length.
+
+    idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5));
+    score  = Σ idf · tf·(k1+1) / (tf + k1·(1 - b + b·len/avglen)).
+    """
+    spark = corpus.sparkSession
+    n_docs = corpus.count()
+
+    terms = spark.createDataFrame(
+        [(t.lower(),) for t in sorted(set(query_terms))], ["term"]
+    )
+    postings = posting_list(corpus, id_col, text_col)
+
+    doc_len = postings.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    # avg doc length as exact ratio of two counts — order-independent
+    totals = doc_len.agg(
+        F.sum("dl").alias("total_dl"), F.count(F.lit(1)).alias("n_d")
+    ).collect()[0]
+    avg_dl = float(totals["total_dl"]) / float(totals["n_d"])
+
+    hits = postings.join(F.broadcast(terms), "term")
+    tf = hits.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = hits.groupBy("term").agg(F.countDistinct(id_col).alias("df_t"))
+
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df_t") + F.lit(0.5)) / (F.col("df_t") + F.lit(0.5))
+    )
+    tf_part = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + F.lit(k1) * (1 - b + b * F.col("dl") / F.lit(avg_dl))
+    )
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .join(doc_len, id_col)
+        .withColumn("w", idf * tf_part)
+        .groupBy(id_col)
+        .agg(F.round(F.sum("w"), score_decimals).alias("score"))
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)

@@ -1,0 +1,60 @@
+"""Tokenization — the Spark stand-in for Solr's analyzer chain.
+
+The reference configures analysis out-of-band in the Solr schema
+("提前定制好schemal", reference README.md:33). Here the analyzer is an
+explicit, deterministic expression: lowercase → split on non-
+alphanumeric runs → drop empties. Kept as a JVM-side expression (no
+Python UDF) so it stays inside whole-stage codegen.
+
+DuckDB-oracle equivalent of ``tokens(c)``::
+
+    list_filter(regexp_split_to_array(lower(c), '[^a-z0-9]+'), t -> t <> '')
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+
+def tokens(col: Column | str) -> Column:
+    """Array of lowercase tokens for a text column."""
+    c = F.col(col) if isinstance(col, str) else col
+    raw = F.split(F.lower(c), TOKEN_SPLIT_RE)
+    return F.filter(raw, lambda t: t != "")
+
+
+def has_token(col: Column | str, term: str) -> Column:
+    """Full-text single-term match (Solr ``q=field:term``)."""
+    return F.array_contains(tokens(col), term.lower())
+
+
+def has_all_tokens(col: Column | str, terms: list[str]) -> Column:
+    """AND-of-terms match (Solr ``q=field:(w1 w2)`` with q.op=AND)."""
+    pred = F.lit(True)
+    for t in terms:
+        pred = pred & has_token(col, t)
+    return pred
+
+
+def has_any_token(col: Column | str, terms: list[str]) -> Column:
+    pred = F.lit(False)
+    for t in terms:
+        pred = pred | has_token(col, t)
+    return pred
+
+
+def posting_list(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Explode a corpus to (id, term) postings — the inverted-index
+    building block used by ranking (TF) and term-count facets.
+
+    One narrow shuffle-free projection; downstream groupBys aggregate
+    map-side first, so the exploded width never hits the shuffle in
+    full at scale.
+    """
+    return df.select(
+        F.col(id_col),
+        F.explode(tokens(text_col)).alias("term"),
+    )

@@ -1,0 +1,106 @@
+"""Streaming index maintenance — the reference's timer-flush loop as
+Structured Streaming (SURVEY.md §2.1 S8/S9; reference
+SolrIndexTools.java:47-82, application.properties:10-16).
+
+Mapping:
+
+  30 s Timer commit            → trigger(processingTime='30 seconds')
+  10k add / 2k delete buffers  → micro-batch contents (Spark batches)
+  commit-only-if-data          → foreachBatch no-ops on empty batches
+  Semaphore single-writer      → micro-batches are serialized per query
+  crash loses buffers          → checkpointLocation (exactly-once)
+
+The merge inside foreachBatch is the same ``merge_increment`` the
+batch path uses — one code path for both, which is the point of
+Structured Streaming.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from hbase_increment_index_spark.cdc.index_builder import documents_from_cells, merge_increment
+
+CELL_LOG_DDL = (
+    "op string, row_key string, family string, qualifier string, "
+    "value string, ts timestamp, seq long"
+)
+
+
+def read_cell_stream(
+    spark: SparkSession, log_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream over a directory of CDC-log parquet files —
+    the stand-in for the coprocessor's hook feed. maxFilesPerTrigger is
+    the back-pressure knob (the analogue of the reference's batch
+    thresholds, application.properties:14,16)."""
+    return (
+        spark.readStream.schema(CELL_LOG_DDL)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(log_dir)
+    )
+
+
+def start_index_maintenance(
+    cell_stream: DataFrame,
+    index_path: str,
+    checkpoint_path: str,
+    qualifiers: list[str],
+    trigger_seconds: int | None = 30,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Continuously fold CDC micro-batches into the index table.
+
+    Each micro-batch: read current index → merge_increment (broadcast
+    anti-join on touched keys + union of fresh docs) → atomic rewrite.
+    Real deployments would target a MERGE-capable table format
+    (Delta/Iceberg) so the rewrite touches only matching files; plain
+    parquet rewrite keeps this container-dependency-free.
+    """
+    spark = cell_stream.sparkSession
+
+    def _merge(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():  # commit-only-if-data (SolrIndexTools.java:66-67)
+            return
+        try:
+            index = spark.read.parquet(index_path)
+            merged = merge_increment(index, batch, qualifiers)
+        except Exception:
+            merged = documents_from_cells(batch, qualifiers)
+        # rewrite via staging dir for atomicity on plain parquet
+        tmp = index_path + f"._staging_{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        import shutil
+
+        final_df = spark.read.parquet(tmp)
+        final_df.write.mode("overwrite").parquet(index_path)
+        shutil.rmtree(tmp.replace("file:", ""), ignore_errors=True)
+
+    writer = cell_stream.writeStream.foreachBatch(_merge).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
+def windowed_event_counts(
+    events_stream: DataFrame,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Event-time tumbling-window counts with late-data handling —
+    the [EXT] streaming polish beyond the reference's processing-time
+    world (SURVEY.md §2.4 streaming note)."""
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_duration), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("sum_value"),
+        )
+    )

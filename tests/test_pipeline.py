@@ -1,0 +1,114 @@
+"""Unit tests for dedup / similarity / text / multimodal operators on
+hand-built fixtures with known answers."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hbase_increment_index_spark.pipeline.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from hbase_increment_index_spark.pipeline.multimodal import (
+    extract_features,
+    sample_frames,
+    synth_media,
+)
+from hbase_increment_index_spark.pipeline.similarity import (
+    build_ivf,
+    build_lsh_buckets,
+    knn_brute_force,
+    knn_ivf,
+)
+from hbase_increment_index_spark.pipeline.text import language_id, token_count
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base, "en"),
+        (2, base, "en"),  # exact dup of 1
+        (3, base.replace("today", "tomorrow"), "en"),  # near dup
+        (4, "der hund ist nicht ein fuchs und das ist gut so oder nicht", "de"),
+        (5, "completely different content about spark query engines and shuffles", "en"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_exact_dedup(docs):
+    kept = exact_dedup(docs, "doc_id", "text")
+    ids = {r["doc_id"] for r in kept.collect()}
+    assert ids == {1, 3, 4, 5}  # 2 collapsed into 1
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+             ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.3).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and 0.5 < pairs[(1, 3)] < 1.0
+    assert (1, 4) not in pairs
+
+
+def test_minhash_lsh_finds_near_dup(docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             minhash_lsh_pairs(docs, "doc_id", "text", num_perm=32, bands=8, threshold=0.3).collect()}
+    assert (1, 2) in pairs and (1, 3) in pairs
+    assert (1, 5) not in pairs
+
+
+def test_simhash_exact_dup_distance_zero(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+             simhash_pairs(docs, "doc_id", "text", max_hamming=3).collect()}
+    assert pairs[(1, 2)] == 0
+
+
+def test_knn_brute_force_self_nearest(spark):
+    vecs = [(i, [float(i == j) for j in range(4)]) for i in range(4)]
+    vecs.append((9, [0.9, 0.1, 0.0, 0.0]))
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    top = knn_brute_force(emb, [1.0, 0.0, 0.0, 0.0], k=2).collect()
+    assert top[0]["vec_id"] == 0 and top[0]["score"] == 1.0
+    assert top[1]["vec_id"] == 9
+
+
+def test_ivf_probes_subset(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    centroids, assign = build_ivf(emb, n_centroids=4, iters=1)
+    assert centroids.count() == 4
+    assert assign.count() == emb.count()
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    top = knn_ivf(emb, centroids, assign, q, k=5, n_probe=2)
+    assert top.count() == 5
+
+
+def test_lsh_buckets_partition_corpus(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    b = build_lsh_buckets(emb, n_planes=4, dim=64)
+    n_buckets = b.select("bucket").distinct().count()
+    assert 2 <= n_buckets <= 16
+
+
+def test_language_id(docs):
+    out = {r["doc_id"]: r["lang_pred"] for r in language_id(docs).collect()}
+    assert out[1] == "en" and out[4] == "de"
+
+
+def test_token_count(docs):
+    n = docs.select(token_count("text").alias("n")).filter(F.col("n") <= 0).count()
+    assert n == 0
+
+
+def test_multimodal_plumbing(docs):
+    media = synth_media(
+        docs.withColumn("n_chars", F.length("text")), kind="video"
+    )
+    feats = extract_features(media)
+    rows = feats.collect()
+    assert all(len(r["feature"]) == 8 for r in rows)
+    assert all(r["n_bytes"] > 0 for r in rows)
+    frames = sample_frames(media, every_ms=100)
+    assert frames.count() > docs.count()  # several frames per video

@@ -60,16 +60,28 @@ def duplicate_clusters(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 # ------------------------------------------------------------- shingling
 
-def shingles(text_col: Column | str, n: int = 3) -> Column:
-    """Distinct token n-gram shingles (space-joined), sorted for
-    determinism. Expression-level: transform over token positions."""
+def shingle_grams(text_col: Column | str, n: int = 3) -> Column:
+    """Token n-gram shingles (space-joined), WITH duplicates.
+
+    Built from n-1 shifted-array zips (each O(T)) instead of a
+    slice+concat per position (O(T·n) array copies) — ~2× faster on
+    real corpora. Use this form wherever duplicates are harmless
+    (MinHash: min over dups == min over distinct; Jaccard via
+    array_intersect/array_union: both dedup internally)."""
     toks = tokens(text_col)
     k = F.size(toks) - (n - 1)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(k - 1, F.lit(-1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-    )
-    return F.array_sort(F.array_distinct(F.when(k > 0, grams).otherwise(F.array())))
+    grams = toks
+    for off in range(2, n + 1):
+        shifted = F.slice(toks, off, F.greatest(F.size(toks) - (off - 1), F.lit(0)))
+        grams = F.zip_with(grams, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.when(k > 0, F.slice(grams, 1, k)).otherwise(F.array().cast("array<string>"))
+
+
+def shingles(text_col: Column | str, n: int = 3) -> Column:
+    """Distinct token n-gram shingles — set semantics for exact
+    Jaccard. Prefer shingle_grams + row-level dedup (explode +
+    distinct) in posting-list plans: array_distinct is O(S²) per row."""
+    return F.array_distinct(shingle_grams(text_col, n))
 
 
 # ------------------------------------------------- E2a n-gram Jaccard
@@ -90,12 +102,19 @@ def ngram_jaccard_pairs(
     ubiquitous shingles before the join — the skew guard at scale.
     Output: (id_a, id_b, jaccard) with id_a < id_b.
     """
-    sh = df.select(F.col(id_col).alias("doc"), F.explode(shingles(text_col, n)).alias("sh"))
+    # row-level dedup (map-side-combined distinct) instead of per-row
+    # array_distinct: same set semantics, no O(S²) array scan
+    sh = df.select(
+        F.col(id_col).alias("doc"), F.explode(shingle_grams(text_col, n)).alias("sh")
+    ).distinct()
     if max_shingle_df is not None:
         rare = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("sdf")).filter(
             F.col("sdf") <= max_shingle_df
         )
         sh = sh.join(rare.select("sh"), "sh", "left_semi")
+    # the postings feed three consumers (sizes + both self-join sides):
+    # persist so shingling runs once, not three times
+    sh = sh.persist()
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
 
     a = sh.select(F.col("doc").alias("id_a"), "sh")
@@ -211,7 +230,7 @@ def minhash_lsh_pairs(
     # once per row; cached because banding, candidate gen and verify all
     # reuse it (at 100 TB this intermediate would be a checkpointed table)
     base = (
-        df.select(F.col(id_col).alias("doc"), shingles(text_col, shingle_n).alias("sh"))
+        df.select(F.col(id_col).alias("doc"), shingle_grams(text_col, shingle_n).alias("sh"))
         .filter(F.size("sh") > 0)
         .withColumn("hs", F.transform("sh", lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE))))
         .withColumn("sig", minhash_signature_from_hashes("hs", num_perm))

@@ -1,0 +1,165 @@
+"""User-facing facade: the reference system's two roles in one class.
+
+A user of ``qindongliang/hbase-increment-index`` interacts with:
+
+1. an HBase table whose Puts/Deletes are mirrored into a Solr index by
+   the coprocessor (reference HbaseSolrIndexCoprocesser.java:37-61,
+   configured via application.properties families/rowkey/batching);
+2. Solr's ``select`` handler for queries: q / fq / fl / sort /
+   start+rows / facet / stats / group (reference README.md:5-10).
+
+:class:`SecondaryIndex` re-expresses both: ``apply_mutations`` is the
+coprocessor+commit pipeline in batch (or via Structured Streaming, see
+streaming.cdc_stream), and :meth:`search` is the select handler over
+the maintained document table. Everything returns DataFrames — the
+plan stays declarative end-to-end, so Catalyst prunes/pushes/broadcasts
+across the facade boundary too.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hbase_increment_index_spark.cdc.cell_model import drop_empty_cells, filter_families
+from hbase_increment_index_spark.cdc.index_builder import documents_from_cells, merge_increment
+from hbase_increment_index_spark.search import facets as _facets
+from hbase_increment_index_spark.search import stats as _stats
+from hbase_increment_index_spark.search.paging import group_top_n, sorted_page
+from hbase_increment_index_spark.search.ranking import bm25_topk, tfidf_topk
+from hbase_increment_index_spark.search.tokenize import has_all_tokens, has_any_token
+
+
+@dataclass
+class SearchResponse:
+    """Mirror of a Solr select response: docs + optional facet/stats
+    blocks, each a DataFrame (lazily evaluated until the caller acts)."""
+
+    docs: DataFrame
+    facets: dict[str, DataFrame] = field(default_factory=dict)
+    stats: dict[str, DataFrame] = field(default_factory=dict)
+
+
+class SecondaryIndex:
+    """Maintained secondary index + query surface.
+
+    Parameters mirror the reference's application.properties:
+    ``families``   — hbase_column_family allow-list (line 2)
+    ``key_field``  — solr_hbase_rowkey_name (line 4), output id column
+    ``qualifiers`` — the document field list (Solr schema, README.md:33)
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        families: list[str],
+        qualifiers: list[str],
+        key_field: str = "rowkey",
+    ) -> None:
+        self.spark = spark
+        self.families = list(families)
+        self.qualifiers = list(qualifiers)
+        self.key_field = key_field
+        self._index: DataFrame | None = None
+
+    # ----------------------------------------------------------- maintain
+
+    def apply_mutations(self, cell_log: DataFrame) -> DataFrame:
+        """Fold a batch of cell-level mutations into the index — the
+        batch equivalent of one coprocessor lifetime: family filter →
+        empty-skip → compaction → delete application → pivot → merge."""
+        cells = drop_empty_cells(filter_families(cell_log, self.families))
+        if self._index is None:
+            self._index = documents_from_cells(cells, self.qualifiers)
+        else:
+            self._index = merge_increment(self._index, cells, self.qualifiers)
+        return self.documents
+
+    @property
+    def documents(self) -> DataFrame:
+        """The maintained document table, unique key exposed under
+        ``key_field`` (internal merges keep the column named 'id')."""
+        if self._index is None:
+            raise ValueError("index is empty — call apply_mutations or attach first")
+        if self.key_field != "id" and "id" in self._index.columns:
+            return self._index.withColumnRenamed("id", self.key_field)
+        return self._index
+
+    def attach(self, documents: DataFrame) -> "SecondaryIndex":
+        """Adopt an existing document table (e.g. read back from the
+        index parquet written by cdc.index_builder.write_index)."""
+        self._index = documents
+        return self
+
+    # -------------------------------------------------------------- query
+
+    def search(
+        self,
+        fq: list[Column] | None = None,
+        q_text: tuple[str, list[str], str] | None = None,
+        fl: list[str] | None = None,
+        sort: list[Column] | None = None,
+        start: int = 0,
+        rows: int | None = 10,
+        tie_break: str | None = None,
+        facet_fields: list[str] | None = None,
+        facet_queries: dict[str, Column] | None = None,
+        stats_fields: list[str] | None = None,
+        group_field: str | None = None,
+        group_limit: int = 1,
+    ) -> SearchResponse:
+        """Solr ``select`` over the document table.
+
+        ``fq``      — filter predicates (Column), ANDed (Q1–Q3, Q5)
+        ``q_text``  — (field, terms, 'and'|'or') full-text match (Q4)
+        ``fl``      — projection (Q9)
+        ``sort``    — order columns (Q7); ``start``/``rows`` (Q8)
+        ``facet_fields`` / ``facet_queries`` — Q10 / Q12
+        ``stats_fields`` — Q13
+        ``group_field`` + ``group_limit`` — Q15
+        """
+        df = self.documents
+        if fq:
+            for pred in fq:
+                df = df.filter(pred)
+        if q_text:
+            field_, terms, op = q_text
+            match = has_all_tokens(field_, terms) if op == "and" else has_any_token(field_, terms)
+            df = df.filter(match)
+
+        matched = df  # facets/stats compute over the full filtered set
+
+        out = df.select(*fl) if fl else df
+        tb = tie_break or (fl[0] if fl else out.columns[0])
+        if sort:
+            out = sorted_page(out, order=sort, tie_break=tb, start=start, rows=rows or 10)
+        elif rows is not None:
+            out = out.limit(rows)
+        if group_field:
+            out = group_top_n(
+                df, group_field, order=sort or [F.col(tb).asc()], tie_break=tb, n=group_limit
+            )
+
+        resp = SearchResponse(docs=out)
+        for f_ in facet_fields or []:
+            resp.facets[f_] = _facets.facet_field(matched, f_)
+        if facet_queries:
+            resp.facets["queries"] = _facets.facet_queries(matched, facet_queries)
+        for s in stats_fields or []:
+            resp.stats[s] = _stats.stats_field(matched, s)
+        return resp
+
+    def rank(
+        self,
+        text_field: str,
+        terms: list[str],
+        k: int = 10,
+        scorer: str = "tfidf",
+        id_col: str | None = None,
+    ) -> DataFrame:
+        """Q6 — relevance top-k over the document table."""
+        id_col = id_col or self.documents.columns[0]
+        fn = tfidf_topk if scorer == "tfidf" else bm25_topk
+        return fn(self.documents, id_col, text_field, terms, k=k)

@@ -44,7 +44,7 @@ from hbase_increment_index_spark.pipeline.text import (
     term_frequencies,
 )
 from hbase_increment_index_spark.search import facets, filters, paging, ranking, stats
-from hbase_increment_index_spark.search.tokenize import has_all_tokens
+from hbase_increment_index_spark.search.tokenize import has_all_tokens, has_any_token
 
 # SQL fragment: DuckDB tokenizer identical to search.tokenize.tokens()
 _SQL_TOKS = "list_filter(regexp_split_to_array(lower({c}), '[^a-z0-9]+'), t -> t <> '')"
@@ -182,6 +182,21 @@ WHERE regexp_matches(lower(text), '\bgroup\s+by\b')
 """
 
 
+def q04b_fulltext_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.filter(has_any_token("text", ["dup", "hash"])).select(
+        "doc_id", "lang", "source"
+    )
+
+
+Q04B_SQL = f"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE list_contains({_SQL_TOKS.format(c='text')}, 'dup')
+   OR list_contains({_SQL_TOKS.format(c='text')}, 'hash')
+"""
+
+
 def q09_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
     return cust.select("c_custkey", "c_name", "c_mktsegment")
@@ -229,6 +244,28 @@ LIMIT 10
 def q06b_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return ranking.bm25_topk(docs, "doc_id", "text", _TFIDF_TERMS, k=10)
+
+
+Q06B_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SQL_TOKS.format(c='text')}) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+avgdl AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS a FROM dl),
+hits AS (SELECT * FROM toks WHERE term IN ('join', 'query', 'spark')),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM hits GROUP BY 1, 2),
+dft AS (SELECT term, count(DISTINCT doc_id) AS df_t FROM hits GROUP BY 1),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents)
+SELECT tf.doc_id,
+       ROUND(SUM(
+         ln(1.0 + (n.n_docs - dft.df_t + 0.5) / (dft.df_t + 0.5))
+         * (tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl.a))
+       ), 6) AS score
+FROM tf JOIN dft USING (term) JOIN dl USING (doc_id), n, avgdl
+GROUP BY tf.doc_id
+ORDER BY score DESC, tf.doc_id ASC
+LIMIT 10
+"""
 
 
 # --------------------------------------------------------------------------
@@ -429,6 +466,42 @@ GROUP BY ROLLUP (n_name, c_mktsegment)
 """
 
 
+def q18_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cube over (returnflag, linestatus): all subtotal combinations in
+    one pass (Spark expands to grouping sets — one shuffle)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), exact_sum("l_quantity", 2).alias("sum_qty"))
+    )
+
+
+Q18_SQL = """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def q19_facet_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Facet with a minimum bucket count (Solr facet.mincount)."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 50)
+    )
+
+
+Q19_SQL = """
+SELECT user_id, count(*) AS n
+FROM events
+GROUP BY user_id
+HAVING count(*) >= 50
+"""
+
+
 # --------------------------------------------------------------------------
 # CDC — the reference's own dataflow (S1–S7, S9) in batch form
 # --------------------------------------------------------------------------
@@ -509,6 +582,43 @@ row_latest AS (
 SELECT c.row_key, c.family, c.qualifier, c.value, c.seq
 FROM cell_latest c JOIN row_latest r USING (row_key)
 WHERE c.op = 'put' AND r.row_op = 'put'
+"""
+
+
+def cdc_index_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/S6 end-to-end: live cells pivoted into the flat one-row-per-
+    rowkey document table (the 'Solr index' itself), wide string fields
+    per qualifier — reference HbaseSolrIndexCoprocesser.java:40-50."""
+    from hbase_increment_index_spark.cdc.index_builder import documents_from_cells
+
+    events = _t(spark, sf_dir, "events")
+    log = cell_log_from_events(events, delete_event_type="error")
+    quals = ["click", "purchase", "signup", "view"]
+    return documents_from_cells(log, quals)
+
+
+CDC_INDEX_DOCS_SQL = f"""
+WITH log AS ({_SQL_CELL_LOG.format(delete_type='error')}),
+cell_latest AS (
+  SELECT * FROM log
+  QUALIFY row_number() OVER (
+    PARTITION BY row_key, family, qualifier ORDER BY ts DESC, seq DESC) = 1
+),
+row_latest AS (
+  SELECT row_key, op AS row_op FROM log
+  QUALIFY row_number() OVER (PARTITION BY row_key ORDER BY ts DESC, seq DESC) = 1
+),
+live AS (
+  SELECT c.* FROM cell_latest c JOIN row_latest r USING (row_key)
+  WHERE c.op = 'put' AND r.row_op = 'put'
+)
+SELECT row_key AS id,
+       min(CASE WHEN qualifier = 'click'    THEN value END) AS click,
+       min(CASE WHEN qualifier = 'purchase' THEN value END) AS purchase,
+       min(CASE WHEN qualifier = 'signup'   THEN value END) AS signup,
+       min(CASE WHEN qualifier = 'view'     THEN value END) AS view
+FROM live
+GROUP BY row_key
 """
 
 
@@ -616,6 +726,51 @@ FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_custkey, c_name
 ORDER BY revenue DESC, c_custkey ASC
 LIMIT 10
+"""
+
+
+def olap_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS-style semi-join: orders that have at least one high-
+    quantity line item (left_semi keeps the big side unduplicated —
+    no fan-out, one shuffle on the join key)."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    hot = li.filter(F.col("l_quantity") >= 45.0).select("l_orderkey")
+    return (
+        orders.join(hot, orders.o_orderkey == hot.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+OLAP_SEMI_SQL = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 45.0
+)
+GROUP BY o_orderpriority
+"""
+
+
+def olap_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT-EXISTS anti-join: customers with no URGENT orders (the same
+    plan shape as CDC delete application — SolrIndexTools.java:63,129)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return (
+        cust.join(urgent, cust.c_custkey == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+OLAP_ANTI_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+)
 """
 
 
@@ -735,6 +890,79 @@ def e3b_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()["embedding"]]
     centroids, assignments = build_ivf(emb, n_centroids=8, iters=1)
     return knn_ivf(emb.filter(F.col("vec_id") != 0), centroids, assignments, qvec, k=10, n_probe=3)
+
+
+def e3c_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cosine >= 0.40, id_a < id_b).
+
+    Brute-force all-pairs is the exactness baseline; the banded scale
+    path is e3d (LSH buckets). The join is a crossJoin pruned by the
+    threshold filter — at 100 TB you run e3d and verify candidates
+    with this scorer."""
+    from hbase_increment_index_spark.pipeline.similarity import cosine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").cast("array<double>").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").cast("array<double>").alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cos") >= 0.40)
+        .select("id_a", "id_b", "cos")
+    )
+
+
+E3C_SQL = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_dot_product(a.e, b.e)
+             / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS cos
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE ROUND(list_dot_product(a.e, b.e)
+      / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) >= 0.40
+"""
+
+
+def e3d_lsh_bucket_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucket histogram — the partition-pruning scale
+    path for e3c (rows-only: buckets depend on xxhash-derived planes)."""
+    from hbase_increment_index_spark.pipeline.similarity import build_lsh_buckets
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return build_lsh_buckets(emb, n_planes=6, dim=64).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def e4e_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top token bigrams — shingle construction parity check (n=2)."""
+    from hbase_increment_index_spark.pipeline.dedup import shingle_grams
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(shingle_grams("text", 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram").asc())
+        .limit(20)
+    )
+
+
+E4E_SQL = f"""
+WITH toks AS (SELECT {_SQL_TOKS.format(c='text')} AS t FROM documents),
+grams AS (
+  SELECT unnest(list_transform(
+           generate_series(1, greatest(len(t) - 1, 0)),
+           i -> array_to_string(list_slice(t, i, i + 1), ' ')
+         )) AS bigram
+  FROM toks
+)
+SELECT bigram, count(*) AS n
+FROM grams
+GROUP BY bigram
+ORDER BY n DESC, bigram ASC
+LIMIT 20
+"""
 
 
 def e4_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -864,6 +1092,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q02_range_filter": q02_range_filter,
     "q03_boolean_filter": q03_boolean_filter,
     "q04_fulltext_and": q04_fulltext_and,
+    "q04b_fulltext_or": q04b_fulltext_or,
     "q05_prefix_wildcard": q05_prefix_wildcard,
     "q05b_phrase": q05b_phrase,
     "q06_tfidf_topk": q06_tfidf_topk,
@@ -882,13 +1111,18 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q16_pivot": q16_pivot,
     "q16b_rollup": q16b_rollup,
     "q17_by_id": q17_by_id,
+    "q18_cube": q18_cube,
+    "q19_facet_having": q19_facet_having,
     "cdc_cell_log": cdc_cell_log,
     "cdc_latest_per_key": cdc_latest_per_key,
     "cdc_apply_deletes": cdc_apply_deletes,
     "cdc_live_cells": cdc_live_cells,
+    "cdc_index_documents": cdc_index_documents,
     "olap_pricing_summary": olap_pricing_summary,
     "olap_revenue_by_region": olap_revenue_by_region,
     "olap_top_customers": olap_top_customers,
+    "olap_semi_join": olap_semi_join,
+    "olap_anti_join": olap_anti_join,
     "e1_exact_dedup": e1_exact_dedup,
     "e1b_duplicate_clusters": e1b_duplicate_clusters,
     "e2_ngram_jaccard": e2_ngram_jaccard,
@@ -896,7 +1130,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e2c_simhash": e2c_simhash,
     "e3_cosine_topk": e3_cosine_topk,
     "e3b_knn_ivf": e3b_knn_ivf,
+    "e3c_embedding_pairs": e3c_embedding_pairs,
+    "e3d_lsh_bucket_sizes": e3d_lsh_bucket_sizes,
     "e4_token_counts": e4_token_counts,
+    "e4e_bigram_counts": e4e_bigram_counts,
     "e4b_quality": e4b_quality,
     "e4c_langid": e4c_langid,
     "e4d_fingerprint": e4d_fingerprint,
@@ -910,9 +1147,11 @@ ORACLES: dict[str, str] = {
     "q02_range_filter": Q02_SQL,
     "q03_boolean_filter": Q03_SQL,
     "q04_fulltext_and": Q04_SQL,
+    "q04b_fulltext_or": Q04B_SQL,
     "q05_prefix_wildcard": Q05_SQL,
     "q05b_phrase": Q05B_SQL,
     "q06_tfidf_topk": Q06_SQL,
+    "q06b_bm25_topk": Q06B_SQL,
     "q07_sort_topk": Q07_SQL,
     "q08_deep_page": Q08_SQL,
     "q09_projection": Q09_SQL,
@@ -926,18 +1165,25 @@ ORACLES: dict[str, str] = {
     "q16_pivot": Q16_SQL,
     "q16b_rollup": Q16B_SQL,
     "q17_by_id": Q17_SQL,
+    "q18_cube": Q18_SQL,
+    "q19_facet_having": Q19_SQL,
     "cdc_cell_log": CDC_CELL_LOG_SQL,
     "cdc_latest_per_key": CDC_LATEST_SQL,
     "cdc_apply_deletes": CDC_APPLY_SQL,
     "cdc_live_cells": CDC_LIVE_CELLS_SQL,
+    "cdc_index_documents": CDC_INDEX_DOCS_SQL,
     "olap_pricing_summary": OLAP_PRICING_SQL,
     "olap_revenue_by_region": OLAP_REVENUE_SQL,
     "olap_top_customers": OLAP_TOP_CUST_SQL,
+    "olap_semi_join": OLAP_SEMI_SQL,
+    "olap_anti_join": OLAP_ANTI_SQL,
     "e1_exact_dedup": E1_SQL,
     "e1b_duplicate_clusters": E1B_SQL,
     "e2_ngram_jaccard": E2_SQL,
     "e3_cosine_topk": E3_SQL,
+    "e3c_embedding_pairs": E3C_SQL,
     "e4_token_counts": E4_TOKENS_SQL,
+    "e4e_bigram_counts": E4E_SQL,
     "e4b_quality": E4B_SQL,
     "e4c_langid": E4C_SQL,
     "e4d_fingerprint": E4D_SQL,

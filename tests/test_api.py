@@ -1,0 +1,76 @@
+"""SecondaryIndex facade: maintain-then-search round trips."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from hbase_increment_index_spark.api import SecondaryIndex
+
+SCHEMA = (
+    "op string, row_key string, family string, qualifier string, "
+    "value string, ts timestamp, seq long"
+)
+
+
+def _ts(s: int):
+    return dt.datetime(2024, 1, 1, 0, 0, s)
+
+
+@pytest.fixture()
+def index(spark):
+    idx = SecondaryIndex(spark, families=["cf"], qualifiers=["name", "price"])
+    cells = [
+        ("put", "r1", "cf", "name", "apple pie recipe", _ts(1), 1),
+        ("put", "r1", "cf", "price", "10", _ts(1), 2),
+        ("put", "r2", "cf", "name", "banana bread recipe", _ts(2), 3),
+        ("put", "r2", "cf", "price", "20", _ts(2), 4),
+        ("put", "r3", "cf", "name", "apple cider", _ts(3), 5),
+        ("put", "r3", "cf", "price", "30", _ts(3), 6),
+        ("put", "r3", "other", "ignored", "x", _ts(3), 7),  # non-indexed family
+    ]
+    idx.apply_mutations(spark.createDataFrame(cells, SCHEMA))
+    return idx
+
+
+def test_maintain_then_delete(spark, index):
+    assert {r["rowkey"] for r in index.documents.collect()} == {"r1", "r2", "r3"}
+    inc = [
+        ("delete", "r2", "cf", None, None, _ts(9), 10),
+        ("put", "r4", "cf", "name", "cherry tart", _ts(9), 11),
+        ("put", "r4", "cf", "price", "40", _ts(9), 12),
+    ]
+    index.apply_mutations(spark.createDataFrame(inc, SCHEMA))
+    got = {r["rowkey"]: r["name"] for r in index.documents.collect()}
+    assert got == {"r1": "apple pie recipe", "r3": "apple cider", "r4": "cherry tart"}
+
+
+def test_search_fq_and_fulltext(index):
+    resp = index.search(
+        q_text=("name", ["apple"], "and"),
+        fq=[F.col("price").cast("int") >= 20],
+        fl=["rowkey", "name"],
+        sort=[F.col("rowkey").asc()],
+        rows=10,
+        tie_break="rowkey",
+    )
+    rows = resp.docs.collect()
+    assert [r["rowkey"] for r in rows] == ["r3"]
+
+
+def test_search_facets_and_stats(index):
+    resp = index.search(
+        rows=None,
+        facet_fields=["name"],
+        facet_queries={"n_cheap": F.col("price").cast("int") < 25},
+        stats_fields=[],
+    )
+    assert resp.facets["name"].count() == 3
+    assert resp.facets["queries"].collect()[0]["n_cheap"] == 2
+
+
+def test_rank(index):
+    top = index.rank("name", ["apple", "recipe"], k=2, id_col="rowkey").collect()
+    assert top[0]["rowkey"] == "r1"  # matches both terms

@@ -24,7 +24,11 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hbase_increment_index_spark.cdc.cell_model import drop_empty_cells, filter_families
-from hbase_increment_index_spark.cdc.index_builder import documents_from_cells, merge_increment
+from hbase_increment_index_spark.cdc.index_builder import (
+    compact_state,
+    documents_from_state,
+    merge_state,
+)
 from hbase_increment_index_spark.search import facets as _facets
 from hbase_increment_index_spark.search import stats as _stats
 from hbase_increment_index_spark.search.paging import group_top_n, sorted_page
@@ -62,35 +66,43 @@ class SecondaryIndex:
         self.families = list(families)
         self.qualifiers = list(qualifiers)
         self.key_field = key_field
-        self._index: DataFrame | None = None
+        #: compacted cell state (latest cell per (row_key, qualifier) +
+        #: row tombstones) — the merge substrate; documents are derived
+        self._state: DataFrame | None = None
+        self._attached_docs: DataFrame | None = None
 
     # ----------------------------------------------------------- maintain
 
     def apply_mutations(self, cell_log: DataFrame) -> DataFrame:
         """Fold a batch of cell-level mutations into the index — the
         batch equivalent of one coprocessor lifetime: family filter →
-        empty-skip → compaction → delete application → pivot → merge."""
+        empty-skip → cell-state merge (event-time conflict resolution,
+        out-of-order safe) → document pivot."""
         cells = drop_empty_cells(filter_families(cell_log, self.families))
-        if self._index is None:
-            self._index = documents_from_cells(cells, self.qualifiers)
+        if self._state is None:
+            self._state = compact_state(cells)
         else:
-            self._index = merge_increment(self._index, cells, self.qualifiers)
+            self._state = merge_state(self._state, cells)
         return self.documents
 
     @property
     def documents(self) -> DataFrame:
-        """The maintained document table, unique key exposed under
-        ``key_field`` (internal merges keep the column named 'id')."""
-        if self._index is None:
+        """The document serving view, unique key exposed under
+        ``key_field``."""
+        if self._attached_docs is not None:
+            return self._attached_docs
+        if self._state is None:
             raise ValueError("index is empty — call apply_mutations or attach first")
-        if self.key_field != "id" and "id" in self._index.columns:
-            return self._index.withColumnRenamed("id", self.key_field)
-        return self._index
+        docs = documents_from_state(self._state, self.qualifiers)
+        if self.key_field != "id":
+            docs = docs.withColumnRenamed("id", self.key_field)
+        return docs
 
     def attach(self, documents: DataFrame) -> "SecondaryIndex":
         """Adopt an existing document table (e.g. read back from the
-        index parquet written by cdc.index_builder.write_index)."""
-        self._index = documents
+        index parquet written by cdc.index_builder.write_index).
+        Query-only: further apply_mutations requires the cell state."""
+        self._attached_docs = documents
         return self
 
     # -------------------------------------------------------------- query

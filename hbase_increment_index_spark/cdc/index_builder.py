@@ -65,27 +65,43 @@ def write_index(
     writer.parquet(path)
 
 
-def merge_increment(index: DataFrame, increment_cells: DataFrame, qualifiers: list[str]) -> DataFrame:
-    """Apply a new micro-batch of CDC cells to an existing index table —
-    the batch equivalent of one reference commit cycle
-    (SolrIndexTools.java:51-82): upserts overwrite by id, deletes drop ids.
+def compact_state(cell_log: DataFrame) -> DataFrame:
+    """The index's merge substrate: latest event per (row_key, family,
+    qualifier), INCLUDING row tombstones (deletes carry qualifier NULL,
+    so the newest delete survives as its own 'cell').
 
-    Plan: compact the increment (small) → broadcast-anti/outer merge
-    against the big index. The big side is never shuffled when the
-    increment fits the broadcast threshold — the common case for a
-    30 s micro-batch against a 100 TB index.
+    Key property (HBase's own storage model — cells carry versions,
+    tombstones persist until compaction): the row-level latest event is
+    always among the per-cell latest events, so
+    ``live_cells(compact_state(log)) == live_cells(log)`` and
+    ``compact_state`` is idempotent. That makes state merging exact and
+    associative — micro-batch boundaries can never change the result
+    (property-tested in tests/test_properties.py).
     """
-    from hbase_increment_index_spark.cdc.compaction import latest_per_key
+    from hbase_increment_index_spark.cdc.compaction import latest_per_cell
 
-    latest = latest_per_key(increment_cells)
-    touched = latest.select(F.col("row_key").alias("id")).distinct()
-    upserts = documents_from_cells(
-        increment_cells.join(
-            latest.filter(F.col("op") == "put").select("row_key").distinct(),
-            "row_key",
-            "left_semi",
-        ),
-        qualifiers,
-    )
-    kept = index.join(F.broadcast(touched), "id", "left_anti")
-    return kept.unionByName(upserts, allowMissingColumns=True)
+    return latest_per_cell(cell_log)
+
+
+def merge_state(state: DataFrame, increment_cells: DataFrame) -> DataFrame:
+    """Fold one micro-batch of CDC cells into the compacted cell state —
+    the batch equivalent of one reference commit cycle
+    (SolrIndexTools.java:51-82), but conflict resolution is by cell
+    (ts, seq), not arrival order, so out-of-order delivery is safe.
+
+    Plan: rows untouched by the increment pass through an anti-join
+    against the (small, broadcast) touched-key set — the 100 TB state
+    table is never shuffled; only the touched slice is re-compacted.
+    """
+    touched = increment_cells.select("row_key").distinct()
+    untouched = state.join(F.broadcast(touched), "row_key", "left_anti")
+    affected = state.join(F.broadcast(touched), "row_key", "left_semi")
+    merged = compact_state(affected.unionByName(increment_cells))
+    return untouched.unionByName(merged)
+
+
+def documents_from_state(state: DataFrame, qualifiers: list[str]) -> DataFrame:
+    """Serving view over the cell state: identical to
+    ``documents_from_cells`` (a compacted state is itself a valid cell
+    log — see compact_state)."""
+    return documents_from_cells(state, qualifiers)

@@ -201,6 +201,49 @@ def minhash_signature(text_col: Column | str, num_perm: int = 64, shingle_n: int
     return minhash_signature_from_hashes(shingle_hashes(text_col, shingle_n), num_perm)
 
 
+def minhash_signatures_vectorized(
+    df: "DataFrame",
+    id_col: str,
+    hs_col: str = "hs",
+    num_perm: int = 64,
+) -> "DataFrame":
+    """Arrow-batched numpy twin of minhash_signature_from_hashes.
+
+    Input: (id, hs) where hs is the pre-hashed shingle array from
+    :func:`shingle_hashes` (string hashing stays JVM-side — only the
+    permutation lanes move to numpy). Output: (doc, sig) with
+    signatures BIT-IDENTICAL to the expression version (same
+    ``_perm_params``, same mod arithmetic) — asserted in tests.
+
+    Why it exists: the 64-lane HOF runs interpreted (~0.5 ms/doc);
+    numpy does the (P × S) multiply-add-mod as one broadcasted int64
+    matrix op per Arrow batch. Same banding/join topology either way —
+    this swaps only the per-row kernel (SCALE.md "known costs").
+    """
+    import numpy as np
+    import pandas as pd
+
+    params = _perm_params(num_perm)
+    a = np.array([p[0] for p in params], dtype=np.uint64)[:, None]
+    b = np.array([p[1] for p in params], dtype=np.uint64)[:, None]
+    sentinel = np.int64(2**63 - 1)
+    m = np.uint64(_MERSENNE)
+
+    def _batches(it):
+        for pdf in it:
+            sigs = []
+            for hs in pdf[hs_col]:
+                if hs is None or len(hs) == 0:
+                    sigs.append(np.full(num_perm, sentinel, dtype=np.int64))
+                    continue
+                h = np.asarray(hs, dtype=np.uint64)[None, :]
+                lanes = (a * h + b) % m  # (P, S) uint64 — exact: a,h < 2^31
+                sigs.append(lanes.min(axis=1).astype(np.int64))
+            yield pd.DataFrame({"doc": pdf[id_col], "sig": sigs})
+
+    return df.mapInPandas(_batches, schema="doc long, sig array<long>")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -209,8 +252,14 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    impl: str = "expr",
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding + exact Jaccard verify.
+
+    ``impl``: 'expr' computes signatures with codegen-free higher-order
+    functions (zero Python); 'pandas' uses the numpy kernel
+    (minhash_signatures_vectorized) — bit-identical signatures, faster
+    per-row at high num_perm. The join topology is identical.
 
     rows_per_band = num_perm / bands; two docs become candidates iff
     some band of their signatures matches exactly (probability
@@ -229,13 +278,35 @@ def minhash_lsh_pairs(
     # staged: shingles → hashed shingles → signature, each materialized
     # once per row; cached because banding, candidate gen and verify all
     # reuse it (at 100 TB this intermediate would be a checkpointed table)
-    base = (
+    pre = (
         df.select(F.col(id_col).alias("doc"), shingle_grams(text_col, shingle_n).alias("sh"))
         .filter(F.size("sh") > 0)
         .withColumn("hs", F.transform("sh", lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE))))
-        .withColumn("sig", minhash_signature_from_hashes("hs", num_perm))
-        .persist()
     )
+    if impl == "pandas":
+        import numpy as np
+        import pandas as pd
+
+        params = _perm_params(num_perm)
+        a = np.array([p[0] for p in params], dtype=np.uint64)[:, None]
+        b = np.array([p[1] for p in params], dtype=np.uint64)[:, None]
+        m = np.uint64(_MERSENNE)
+
+        def _sig(it):
+            for pdf in it:
+                sigs = [
+                    ((a * np.asarray(hs, dtype=np.uint64)[None, :] + b) % m)
+                    .min(axis=1)
+                    .astype(np.int64)
+                    for hs in pdf["hs"]
+                ]
+                yield pd.DataFrame({"doc": pdf["doc"], "sh": pdf["sh"], "sig": sigs})
+
+        base = pre.mapInPandas(
+            _sig, schema="doc long, sh array<string>, sig array<long>"
+        ).persist()
+    else:
+        base = pre.withColumn("sig", minhash_signature_from_hashes("hs", num_perm)).persist()
 
     banded = base.select(
         "doc",

@@ -852,7 +852,9 @@ WHERE ROUND(common / (sa.n_sh + sb.n_sh - common), 6) >= 0.30
 def e2b_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup (xxhash64 signatures — rows-only check)."""
     docs = _t(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(docs, "doc_id", "text", num_perm=64, bands=16, threshold=0.30)
+    return minhash_lsh_pairs(
+        docs, "doc_id", "text", num_perm=64, bands=16, threshold=0.30, impl="pandas"
+    )
 
 
 def e2c_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -10,9 +10,12 @@ Mapping:
   Semaphore single-writer      → micro-batches are serialized per query
   crash loses buffers          → checkpointLocation (exactly-once)
 
-The merge inside foreachBatch is the same ``merge_increment`` the
-batch path uses — one code path for both, which is the point of
-Structured Streaming.
+The merge inside foreachBatch is the same ``merge_state`` the batch
+path uses — one code path for both, which is the point of Structured
+Streaming. The persisted index is the compacted CELL STATE (with
+tombstones), so conflict resolution is by cell (ts, seq) and
+micro-batch boundaries can never change the result; the flat document
+table is the derived serving view.
 """
 
 from __future__ import annotations
@@ -21,7 +24,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from hbase_increment_index_spark.cdc.index_builder import documents_from_cells, merge_increment
+from hbase_increment_index_spark.cdc.index_builder import (
+    compact_state,
+    documents_from_state,
+    merge_state,
+)
 
 CELL_LOG_DDL = (
     "op string, row_key string, family string, qualifier string, "
@@ -51,32 +58,36 @@ def start_index_maintenance(
     trigger_seconds: int | None = 30,
     available_now: bool = False,
 ) -> StreamingQuery:
-    """Continuously fold CDC micro-batches into the index table.
+    """Continuously fold CDC micro-batches into the index.
 
-    Each micro-batch: read current index → merge_increment (broadcast
-    anti-join on touched keys + union of fresh docs) → atomic rewrite.
+    Each micro-batch: read current cell state → merge_state (broadcast
+    anti-join on touched keys; only the touched slice re-compacts) →
+    atomic rewrite of the state + re-derive the document serving view.
     Real deployments would target a MERGE-capable table format
     (Delta/Iceberg) so the rewrite touches only matching files; plain
     parquet rewrite keeps this container-dependency-free.
     """
     spark = cell_stream.sparkSession
+    state_path = index_path + "_state"
 
     def _merge(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():  # commit-only-if-data (SolrIndexTools.java:66-67)
             return
         try:
-            index = spark.read.parquet(index_path)
-            merged = merge_increment(index, batch, qualifiers)
+            state = spark.read.parquet(state_path)
+            merged = merge_state(state, batch)
         except Exception:
-            merged = documents_from_cells(batch, qualifiers)
+            merged = compact_state(batch)
         # rewrite via staging dir for atomicity on plain parquet
-        tmp = index_path + f"._staging_{batch_id}"
-        merged.write.mode("overwrite").parquet(tmp)
         import shutil
 
-        final_df = spark.read.parquet(tmp)
-        final_df.write.mode("overwrite").parquet(index_path)
+        tmp = state_path + f"._staging_{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(state_path)
         shutil.rmtree(tmp.replace("file:", ""), ignore_errors=True)
+        documents_from_state(spark.read.parquet(state_path), qualifiers).write.mode(
+            "overwrite"
+        ).parquet(index_path)
 
     writer = cell_stream.writeStream.foreachBatch(_merge).option(
         "checkpointLocation", checkpoint_path

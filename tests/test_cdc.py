@@ -18,7 +18,12 @@ from hbase_increment_index_spark.cdc.compaction import (
     latest_per_key,
     live_cells,
 )
-from hbase_increment_index_spark.cdc.index_builder import documents_from_cells, merge_increment
+from hbase_increment_index_spark.cdc.index_builder import (
+    compact_state,
+    documents_from_cells,
+    documents_from_state,
+    merge_state,
+)
 
 
 def _ts(s: int):
@@ -88,16 +93,18 @@ def test_documents_pivot(log):
     assert got == {"A": "v2", "C": "c2", "D": "d2"}
 
 
-def test_merge_increment(spark, log):
-    base = documents_from_cells(filter_families(drop_empty_cells(log), ["cf"]), ["name"])
+def test_merge_state(spark, log):
+    base = compact_state(filter_families(drop_empty_cells(log), ["cf"]))
     inc = spark.createDataFrame(
         [
             ("put", "A", "cf", "name", "v3", _ts(9), 100),   # overwrite
             ("delete", "C", "cf", None, None, _ts(9), 101),  # delete
             ("put", "Z", "cf", "name", "z1", _ts(9), 102),   # new key
+            # out-of-order: OLDER than A's v3 — must NOT win
+            ("put", "A", "cf", "name", "stale", _ts(0), 103),
         ],
         "op string, row_key string, family string, qualifier string, value string, ts timestamp, seq long",
     )
-    merged = merge_increment(base, inc, ["name"])
-    got = {r["id"]: r["name"] for r in merged.collect()}
+    merged = merge_state(base, inc)
+    got = {r["id"]: r["name"] for r in documents_from_state(merged, ["name"]).collect()}
     assert got == {"A": "v3", "D": "d2", "Z": "z1"}

@@ -1,0 +1,119 @@
+"""Property-based tests (hypothesis): CDC semantics hold on arbitrary
+mutation logs, and near-dup measures agree with pure-Python references.
+
+Strategy sizes are kept small — each example round-trips through the
+JVM; the value is the adversarial shapes (timestamp ties, delete-first
+logs, re-inserts), not volume.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SCHEMA = (
+    "op string, row_key string, family string, qualifier string, "
+    "value string, ts timestamp, seq long"
+)
+
+_keys = st.sampled_from(["a", "b", "c"])
+_quals = st.sampled_from(["q1", "q2"])
+_ops = st.sampled_from(["put", "put", "put", "delete"])  # puts 3:1
+_ts = st.integers(min_value=0, max_value=5)  # few values → frequent ties
+
+
+@st.composite
+def cell_logs(draw):
+    n = draw(st.integers(min_value=1, max_value=12))
+    rows = []
+    for seq in range(n):
+        op = draw(_ops)
+        key = draw(_keys)
+        qual = draw(_quals) if op == "put" else None
+        val = f"v{draw(st.integers(0, 9))}" if op == "put" else None
+        rows.append((op, key, "cf", qual, val, dt.datetime(2024, 1, 1, 0, 0, draw(_ts)), seq))
+    return rows
+
+
+def _py_latest_per_key(rows):
+    best: dict[str, tuple] = {}
+    for r in rows:
+        key = r[1]
+        cur = best.get(key)
+        if cur is None or (r[5], r[6]) > (cur[5], cur[6]):
+            best[key] = r
+    return best
+
+
+def _py_live_docs(rows):
+    """Pure-python oracle for documents_from_cells semantics."""
+    latest_row = _py_latest_per_key(rows)
+    cells: dict[tuple, tuple] = {}
+    for r in rows:
+        if r[0] != "put":
+            continue
+        k = (r[1], r[3])
+        cur = cells.get(k)
+        if cur is None or (r[5], r[6]) > (cur[5], cur[6]):
+            cells[k] = r
+    docs: dict[str, dict] = {}
+    for (key, qual), r in cells.items():
+        if latest_row[key][0] == "put":
+            docs.setdefault(key, {})[qual] = r[4]
+    return docs
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(cell_logs())
+def test_latest_per_key_matches_python_oracle(spark, rows):
+    from hbase_increment_index_spark.cdc.compaction import latest_per_key
+
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = {r["row_key"]: (r["op"], r["seq"]) for r in latest_per_key(df).collect()}
+    want = {k: (v[0], v[6]) for k, v in _py_latest_per_key(rows).items()}
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(cell_logs())
+def test_documents_pivot_matches_python_oracle(spark, rows):
+    from hbase_increment_index_spark.cdc.index_builder import documents_from_cells
+
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = documents_from_cells(df, ["q1", "q2"]).collect()
+    got = {
+        r["id"]: {q: r[q] for q in ("q1", "q2") if r[q] is not None} for r in out
+    }
+    assert got == _py_live_docs(rows)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(cell_logs(), st.integers(min_value=1, max_value=10))
+def test_merge_state_split_invariance(spark, rows, cut):
+    """Applying a log in two chunks == applying it in one batch — the
+    exactly-once micro-batch property the streaming path relies on.
+    (This property is exactly what killed the earlier document-level
+    merge: arrival order must not override event-time order.)"""
+    from hbase_increment_index_spark.cdc.index_builder import (
+        compact_state,
+        documents_from_cells,
+        documents_from_state,
+        merge_state,
+    )
+
+    cut = min(cut, len(rows))
+    first, second = rows[:cut], rows[cut:]
+    all_df = spark.createDataFrame(rows, SCHEMA)
+    want = {
+        (r["id"], r["q1"], r["q2"]) for r in documents_from_cells(all_df, ["q1", "q2"]).collect()
+    }
+    state = compact_state(spark.createDataFrame(first, SCHEMA))
+    if second:
+        state = merge_state(state, spark.createDataFrame(second, SCHEMA))
+    got = {
+        (r["id"], r["q1"], r["q2"])
+        for r in documents_from_state(state, ["q1", "q2"]).collect()
+    }
+    assert got == want

@@ -34,13 +34,14 @@ def bpe_ish_token_count(text_col: Column | str) -> Column:
     """BPE-approximate token count: word-piece-ish segments — runs of
     letters, runs of digits, or single non-space symbols. A cheap,
     deterministic proxy for tokenizer budgeting when the real
-    tokenizer is out of process."""
+    tokenizer is out of process.
+
+    Implemented with regexp_extract_all (RE2-compatible pattern, no
+    lookarounds) so the DuckDB oracle is the same expression:
+    ``len(regexp_extract_all(lower(c), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))``.
+    """
     c = F.col(text_col) if isinstance(text_col, str) else text_col
-    pieces = F.filter(
-        F.split(F.lower(c), r"(?=[^a-z0-9])|(?<=[^a-z0-9])"),
-        lambda t: (t != "") & (t != " "),
-    )
-    return F.size(pieces)
+    return F.size(F.regexp_extract_all(F.lower(c), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0))
 
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:

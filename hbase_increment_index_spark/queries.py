@@ -502,6 +502,104 @@ HAVING count(*) >= 50
 """
 
 
+def q20_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running event-value sum ordered by time — frame-spec
+    window (rows unbounded preceding → current). One shuffle on
+    user_id; each partition streams once."""
+    events = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return events.select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("value").cast("decimal(30,2)")).over(w).cast("double").alias("running_value"),
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc()))
+        .alias("event_rank"),
+    )
+
+
+Q20_SQL = """
+SELECT user_id, event_id,
+       CAST(SUM(CAST(value AS DECIMAL(30,2))) OVER (
+         PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value,
+       row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS event_rank
+FROM events
+"""
+
+
+def q21_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-minute inactivity): lag + cumulative
+    session-break sum — the standard two-window formulation; both
+    windows share one shuffle on user_id."""
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    # exact integer microseconds (unix_timestamp would truncate to
+    # seconds and disagree with the oracle at the gap boundary)
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    is_break = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    sess = (
+        events.withColumn("brk", is_break)
+        .withColumn("session_id", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+    )
+
+
+Q21_SQL = """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+),
+s AS (
+  SELECT user_id, ts,
+         CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM g
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start
+FROM s
+GROUP BY user_id, session_id
+"""
+
+
+def q22_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide pivot: one column per event_type with per-user counts
+    (groupBy().pivot() — Spark compiles it to conditional aggregation,
+    a single pass, which is exactly what the SQL oracle spells out)."""
+    events = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        events.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+    )
+
+
+Q22_SQL = """
+SELECT user_id,
+       CAST(SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS click,
+       CAST(SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS error,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+       CAST(SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS view
+FROM events
+GROUP BY user_id
+"""
+
+
 # --------------------------------------------------------------------------
 # CDC — the reference's own dataflow (S1–S7, S9) in batch form
 # --------------------------------------------------------------------------
@@ -619,6 +717,44 @@ SELECT row_key AS id,
        min(CASE WHEN qualifier = 'view'     THEN value END) AS view
 FROM live
 GROUP BY row_key
+"""
+
+
+def cdc_merge_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6–S9 micro-batch merge, oracle-checked: the cell log split into
+    two arbitrary chunks (odd/even seq — deliberately interleaved in
+    event time), folded through compact_state + merge_state, must equal
+    the one-shot index build. Same oracle SQL as cdc_index_documents —
+    that equality IS the exactly-once/out-of-order-safety claim."""
+    from hbase_increment_index_spark.cdc.index_builder import (
+        compact_state,
+        documents_from_state,
+        merge_state,
+    )
+
+    events = _t(spark, sf_dir, "events")
+    log = cell_log_from_events(events, delete_event_type="error")
+    state = compact_state(log.filter(F.col("seq") % 2 == 0))
+    state = merge_state(state, log.filter(F.col("seq") % 2 == 1))
+    return documents_from_state(state, ["click", "purchase", "signup", "view"])
+
+
+def e4f_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbase_increment_index_spark.pipeline.text import bpe_ish_token_count, token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_words"),
+        bpe_ish_token_count("text").alias("n_bpe_ish"),
+    )
+
+
+E4F_SQL = r"""
+SELECT doc_id,
+       len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS n_words,
+       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe_ish
+FROM documents
 """
 
 
@@ -1115,11 +1251,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q17_by_id": q17_by_id,
     "q18_cube": q18_cube,
     "q19_facet_having": q19_facet_having,
+    "q20_running_sum": q20_running_sum,
+    "q21_sessionize": q21_sessionize,
+    "q22_pivot_wide": q22_pivot_wide,
     "cdc_cell_log": cdc_cell_log,
     "cdc_latest_per_key": cdc_latest_per_key,
     "cdc_apply_deletes": cdc_apply_deletes,
     "cdc_live_cells": cdc_live_cells,
     "cdc_index_documents": cdc_index_documents,
+    "cdc_merge_batches": cdc_merge_batches,
     "olap_pricing_summary": olap_pricing_summary,
     "olap_revenue_by_region": olap_revenue_by_region,
     "olap_top_customers": olap_top_customers,
@@ -1136,6 +1276,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e3d_lsh_bucket_sizes": e3d_lsh_bucket_sizes,
     "e4_token_counts": e4_token_counts,
     "e4e_bigram_counts": e4e_bigram_counts,
+    "e4f_bpe_token_count": e4f_bpe_token_count,
     "e4b_quality": e4b_quality,
     "e4c_langid": e4c_langid,
     "e4d_fingerprint": e4d_fingerprint,
@@ -1169,11 +1310,15 @@ ORACLES: dict[str, str] = {
     "q17_by_id": Q17_SQL,
     "q18_cube": Q18_SQL,
     "q19_facet_having": Q19_SQL,
+    "q20_running_sum": Q20_SQL,
+    "q21_sessionize": Q21_SQL,
+    "q22_pivot_wide": Q22_SQL,
     "cdc_cell_log": CDC_CELL_LOG_SQL,
     "cdc_latest_per_key": CDC_LATEST_SQL,
     "cdc_apply_deletes": CDC_APPLY_SQL,
     "cdc_live_cells": CDC_LIVE_CELLS_SQL,
     "cdc_index_documents": CDC_INDEX_DOCS_SQL,
+    "cdc_merge_batches": CDC_INDEX_DOCS_SQL,
     "olap_pricing_summary": OLAP_PRICING_SQL,
     "olap_revenue_by_region": OLAP_REVENUE_SQL,
     "olap_top_customers": OLAP_TOP_CUST_SQL,
@@ -1186,6 +1331,7 @@ ORACLES: dict[str, str] = {
     "e3c_embedding_pairs": E3C_SQL,
     "e4_token_counts": E4_TOKENS_SQL,
     "e4e_bigram_counts": E4E_SQL,
+    "e4f_bpe_token_count": E4F_SQL,
     "e4b_quality": E4B_SQL,
     "e4c_langid": E4C_SQL,
     "e4d_fingerprint": E4D_SQL,

@@ -151,21 +151,18 @@ def knn_lsh(
     of the corpus in expectation). Recall is tunable via n_planes and
     multi-probe; exactness is knn_brute_force's job."""
     dim = len(query_vec)
-    import pyspark.sql.functions as F2
-
     q = lit_vector(query_vec)
-    q_bucket = 0
-    # compute the query bucket driver-side with the same hash-derived planes
-    import struct as _struct  # noqa: F401  (documentation: pure python mirror below)
-    probe = bucketed.filter(
-        F.col("bucket")
-        == bucketed.sparkSession.range(1)
+    # derive the query's bucket with the same hash-derived planes (one
+    # 1-row job — O(1) driver data, the planes live in the expression)
+    q_bucket = (
+        bucketed.sparkSession.range(1)
         .select(lsh_bucket(q, n_planes, dim).alias("b"))
         .collect()[0]["b"]
     )
+    probe = bucketed.filter(F.col("bucket") == q_bucket)
     scored = probe.select(
         F.col(id_col),
-        F2.round(cosine(F.col(vec_col).cast("array<double>"), q), score_decimals).alias("score"),
+        F.round(cosine(F.col(vec_col).cast("array<double>"), q), score_decimals).alias("score"),
     )
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
 
@@ -190,9 +187,11 @@ def build_ivf(
     v = F.col(vec_col).cast("array<double>")
     vecs = embeddings.select(F.col(id_col).alias("id"), v.alias("vec"))
 
+    from pyspark.sql import Window
+
     centroids = (
         vecs.orderBy("id").limit(n_centroids)
-        .select(F.row_number().over(__import__("pyspark").sql.Window.orderBy("id")).alias("cid"), "vec")
+        .select(F.row_number().over(Window.orderBy("id")).alias("cid"), "vec")
         .select((F.col("cid") - 1).alias("cid"), F.col("vec").alias("centroid"))
     )
 

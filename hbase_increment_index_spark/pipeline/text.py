@@ -53,16 +53,31 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     the standard pre-training corpus filter shape.
     """
     c = F.col(text_col)
-    toks = tokens(c)
-    n_tok = F.size(toks)
-    n_chars = F.length(c)
     en_stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(en_stop, t)))
-    n_punct = n_chars - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
-    avg_tok_len = F.when(n_tok > 0, F.length(F.regexp_replace(c, r"\s+", "")) / n_tok).otherwise(F.lit(0.0))
 
+    # stage 1: materialize the token array and raw counts once — the
+    # derived ratios reference them many times, and projection staging
+    # keeps the expensive regexp/HOF work single-evaluation
+    staged = df.withColumns(
+        {
+            "_toks": tokens(c),
+            "_n_chars": F.length(c),
+            "_n_nospace": F.length(F.regexp_replace(c, r"\s+", "")),
+            "_n_nopunct": F.length(F.regexp_replace(c, r"[^\w\s]", "")),
+        }
+    ).withColumns(
+        {
+            "_n_tok": F.size("_toks"),
+            "_n_stop": F.size(F.filter("_toks", lambda t: F.array_contains(en_stop, t))),
+        }
+    )
+
+    n_tok = F.col("_n_tok")
+    n_chars = F.col("_n_chars")
+    n_punct = n_chars - F.col("_n_nopunct")
+    avg_tok_len = F.when(n_tok > 0, F.col("_n_nospace") / n_tok).otherwise(F.lit(0.0))
     punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
-    stop_ratio = F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tok > 0, F.col("_n_stop") / n_tok).otherwise(F.lit(0.0))
     length_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
     word_score = F.when((avg_tok_len >= 2) & (avg_tok_len <= 12), 1.0).otherwise(0.0)
     quality = F.round(
@@ -71,8 +86,8 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         + F.lit(0.3) * F.least(stop_ratio * 5, F.lit(1.0)),
         6,
     )
-    return df.select(
-        "*",
+    return staged.select(
+        *df.columns,
         n_tok.alias("n_tokens"),
         F.round(avg_tok_len, 6).alias("avg_token_len"),
         F.round(punct_ratio, 6).alias("punct_ratio"),

@@ -600,6 +600,29 @@ GROUP BY user_id
 """
 
 
+def q23_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (Solr stats.percentiles): Spark ``percentile``
+    and DuckDB ``quantile_cont`` both use linear interpolation on the
+    sorted values. The approx path at scale is percentile_approx
+    (rows-only twin not needed — same operator, sketch variant)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
+    )
+
+
+Q23_SQL = """
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+       ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+       ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
 # --------------------------------------------------------------------------
 # CDC — the reference's own dataflow (S1–S7, S9) in batch form
 # --------------------------------------------------------------------------
@@ -1254,6 +1277,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q20_running_sum": q20_running_sum,
     "q21_sessionize": q21_sessionize,
     "q22_pivot_wide": q22_pivot_wide,
+    "q23_percentiles": q23_percentiles,
     "cdc_cell_log": cdc_cell_log,
     "cdc_latest_per_key": cdc_latest_per_key,
     "cdc_apply_deletes": cdc_apply_deletes,
@@ -1313,6 +1337,7 @@ ORACLES: dict[str, str] = {
     "q20_running_sum": Q20_SQL,
     "q21_sessionize": Q21_SQL,
     "q22_pivot_wide": Q22_SQL,
+    "q23_percentiles": Q23_SQL,
     "cdc_cell_log": CDC_CELL_LOG_SQL,
     "cdc_latest_per_key": CDC_LATEST_SQL,
     "cdc_apply_deletes": CDC_APPLY_SQL,

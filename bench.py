@@ -30,6 +30,7 @@ HEADLINE = [
     "q16_pivot",
     "cdc_latest_per_key",
     "cdc_live_cells",
+    "cdc_merge_batches",
     "olap_pricing_summary",
     "olap_revenue_by_region",
     "olap_top_customers",

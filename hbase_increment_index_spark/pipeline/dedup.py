@@ -1,6 +1,14 @@
 """Deduplication — SURVEY.md §2.3 E1/E2: exact, MinHash+LSH, SimHash,
 n-gram Jaccard.
 
+Algorithms follow the public literature: MinHash resemblance sketches
+(Broder, "On the resemblance and containment of documents", 1997),
+banding analysis as in Mining of Massive Datasets ch. 3 (Leskovec/
+Rajaraman/Ullman), SimHash (Charikar, "Similarity estimation
+techniques from rounding algorithms", STOC 2002) with the Hamming
+block trick from Manku et al., "Detecting near-duplicates for web
+crawling", WWW 2007.
+
 Scale design notes (the part that matters at 100 TB):
 
 - Exact dedup is a fingerprint groupBy — one shuffle on a 128-bit key,

@@ -1,5 +1,10 @@
 """Similarity search over embedding columns — SURVEY.md §2.3 E3.
 
+Index designs follow the public literature: random-hyperplane LSH
+(Charikar, STOC 2002), IVF coarse quantization (Jégou/Douze/Schmid,
+"Product quantization for nearest neighbor search", TPAMI 2011 — the
+IVF-Flat special case).
+
 Three tiers, trading recall for scan cost:
 
 1. ``knn_brute_force`` — exact top-k. One narrow pass over the corpus

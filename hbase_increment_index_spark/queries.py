@@ -1243,6 +1243,25 @@ def e5b_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("media_id", "kind", "n_bytes", F.size("feature").alias("feat_dim"))
 
 
+def e5c_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling over typed media metadata: one row per
+    sampled offset (explode of a sequence — the decode itself only runs
+    on sampled frames). Oracle: the same arithmetic in SQL."""
+    from hbase_increment_index_spark.pipeline.multimodal import sample_frames
+
+    docs = _t(spark, sf_dir, "documents")
+    media = synth_media(docs, kind="video")
+    frames = sample_frames(media, every_ms=60000)
+    return frames.groupBy("media_id").agg(F.count(F.lit(1)).alias("n_frames"))
+
+
+E5C_SQL = """
+SELECT doc_id AS media_id,
+       CAST((n_chars * 10) // 60000 + 1 AS BIGINT) AS n_frames
+FROM documents
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1306,6 +1325,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e4d_fingerprint": e4d_fingerprint,
     "e5_multimodal_join": e5_multimodal_join,
     "e5b_media_features": e5b_media_features,
+    "e5c_frame_sample": e5c_frame_sample,
 }
 
 ORACLES: dict[str, str] = {
@@ -1361,4 +1381,5 @@ ORACLES: dict[str, str] = {
     "e4c_langid": E4C_SQL,
     "e4d_fingerprint": E4D_SQL,
     "e5_multimodal_join": E5_SQL,
+    "e5c_frame_sample": E5C_SQL,
 }

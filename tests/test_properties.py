@@ -89,6 +89,24 @@ def test_documents_pivot_matches_python_oracle(spark, rows):
     assert got == _py_live_docs(rows)
 
 
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.text(alphabet=st.characters(codec="utf-8"), max_size=40), min_size=1, max_size=6))
+def test_tokenizer_matches_python_re(spark, texts):
+    """Spark tokens() == Python re tokens for arbitrary unicode input —
+    the contract every oracle SQL tokenizer fragment relies on."""
+    import re
+
+    from hbase_increment_index_spark.search.tokenize import tokens
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, text string")
+    got = {r["i"]: list(r["toks"]) for r in df.select("i", tokens("text").alias("toks")).collect()}
+    want = {
+        i: [t for t in re.split(r"[^a-z0-9]+", txt.lower()) if t != ""]
+        for i, txt in enumerate(texts)
+    }
+    assert got == want
+
+
 @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
 @given(cell_logs(), st.integers(min_value=1, max_value=10))
 def test_merge_state_split_invariance(spark, rows, cut):

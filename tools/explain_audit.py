@@ -1,0 +1,62 @@
+"""Physical-plan audit: regenerates the evidence behind SCALE.md.
+
+For each audited query, prints join strategies, pushed filters and
+read schemas from `.explain("formatted")`. Run after changing any
+operator to confirm the plan still has the shape you want:
+
+  python tools/explain_audit.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+
+AUDITED = [
+    "q01_filter_eq",
+    "q02_range_filter",
+    "q07_sort_topk",
+    "q06_tfidf_topk",
+    "olap_pricing_summary",
+    "olap_revenue_by_region",
+    "olap_semi_join",
+    "olap_anti_join",
+    "cdc_latest_per_key",
+    "cdc_merge_batches",
+    "e1_exact_dedup",
+    "e3_cosine_topk",
+]
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    names = sys.argv[2:] or AUDITED
+
+    sys.path.insert(0, "/root/repo")
+    from hbase_increment_index_spark.queries import QUERIES
+    from hbase_increment_index_spark.session import get_spark
+
+    spark = get_spark("explain_audit")
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+
+    for name in names:
+        plan = QUERIES[name](spark, sf_dir)._jdf.queryExecution().explainString(mode)
+        pushed = [l.strip() for l in plan.splitlines() if "PushedFilters" in l and ": []" not in l]
+        scans = [l.strip() for l in plan.splitlines() if "ReadSchema" in l]
+        print(f"== {name}")
+        print(
+            f"   joins: broadcast={plan.count('BroadcastHashJoin')}"
+            f" sortmerge={plan.count('SortMergeJoin')}"
+            f" shuffledhash={plan.count('ShuffledHashJoin')}"
+            f" nestedloop={plan.count('BroadcastNestedLoopJoin')}"
+            f"  exchanges={plan.count('Exchange')}"
+            f"  topk={'TakeOrderedAndProject' in plan}"
+        )
+        for line in pushed[:4]:
+            print(f"   {line[:160]}")
+        for line in scans[:4]:
+            print(f"   {line[:160]}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

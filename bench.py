@@ -52,10 +52,11 @@ def main() -> None:
 
     spark = get_spark("bench")
     spark.range(1).count()  # JVM warm-up
-    # one untimed query absorbs one-time costs (codegen compiler init,
-    # parquet footer reads, shuffle service spin-up) so per-query numbers
-    # measure the plan, not process startup
+    # untimed warm-up queries absorb one-time costs (codegen compiler
+    # init, parquet footer reads, tokenizer-expression compilation) so
+    # per-query numbers measure the plan, not process startup
     QUERIES["flagship"](spark, sf_dir).toPandas()
+    QUERIES["e4_token_counts"](spark, sf_dir).toPandas()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -56,7 +56,10 @@ def tfidf_topk(
     hits = postings.join(F.broadcast(terms), "term")  # filter early
 
     tf = hits.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_t = hits.groupBy("term").agg(F.countDistinct(id_col).alias("df_t"))
+    # document frequency derives from the (tiny) tf aggregate — one row
+    # per matching (doc, term) — instead of re-exploding the corpus for
+    # a countDistinct: one postings pass total, not two
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
 
     scored = (
         tf.join(F.broadcast(df_t), "term")
@@ -89,18 +92,20 @@ def bm25_topk(
     terms = spark.createDataFrame(
         [(t.lower(),) for t in sorted(set(query_terms))], ["term"]
     )
-    postings = posting_list(corpus, id_col, text_col)
 
-    doc_len = postings.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    # doc length straight from the token array — no explode, no shuffle
+    from hbase_increment_index_spark.search.tokenize import tokens
+
+    doc_len = corpus.select(F.col(id_col), F.size(tokens(text_col)).alias("dl"))
     # avg doc length as exact ratio of two counts — order-independent
     totals = doc_len.agg(
         F.sum("dl").alias("total_dl"), F.count(F.lit(1)).alias("n_d")
     ).collect()[0]
     avg_dl = float(totals["total_dl"]) / float(totals["n_d"])
 
-    hits = postings.join(F.broadcast(terms), "term")
+    hits = posting_list(corpus, id_col, text_col).join(F.broadcast(terms), "term")
     tf = hits.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_t = hits.groupBy("term").agg(F.countDistinct(id_col).alias("df_t"))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
 
     idf = F.log(
         F.lit(1.0)

@@ -156,6 +156,22 @@ WHERE list_contains({_SQL_TOKS.format(c='text')}, 'spark')
 """
 
 
+def q04c_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same semantics as q04_fulltext_and but answered through the
+    materialized inverted index (build → posting join → semi-join back)
+    — the Solr/Lucene build-once path. Oracle: identical to Q04."""
+    from hbase_increment_index_spark.search.inverted import (
+        build_inverted_index,
+        search_with_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    postings = build_inverted_index(docs, "doc_id", "text")
+    return search_with_index(docs, postings, "doc_id", ["spark", "join"], op="and").select(
+        "doc_id", "lang", "source"
+    )
+
+
 def q05_prefix_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.filter(
@@ -652,6 +668,36 @@ CDC_CELL_LOG_SQL = f"""
 SELECT op, row_key, family, qualifier, value,
        strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str, seq
 FROM ({_SQL_CELL_LOG.format(delete_type='delete')})
+"""
+
+
+def cdc_family_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 with real effect: cells derived into TWO column families
+    (mirroring the reference's cf_product,cf_order config,
+    application.properties:2), allow-list keeps only one."""
+    events = _t(spark, sf_dir, "events")
+    log = cell_log_from_events(events)
+    two_fam = log.withColumn(
+        "family",
+        F.when(F.col("qualifier").isin("click", "view"), "cf_activity").otherwise("cf_business"),
+    )
+    from hbase_increment_index_spark.cdc.cell_model import filter_families
+
+    kept = filter_families(two_fam, ["cf_business"])
+    return kept.groupBy("family", "qualifier").agg(F.count(F.lit(1)).alias("n"))
+
+
+CDC_FAMILY_SQL = f"""
+WITH log AS ({_SQL_CELL_LOG.format(delete_type='delete')}),
+two_fam AS (
+  SELECT *, CASE WHEN qualifier IN ('click', 'view')
+                 THEN 'cf_activity' ELSE 'cf_business' END AS fam
+  FROM log
+)
+SELECT fam AS family, qualifier, count(*) AS n
+FROM two_fam
+WHERE fam IN ('cf_business')
+GROUP BY fam, qualifier
 """
 
 
@@ -1273,6 +1319,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q03_boolean_filter": q03_boolean_filter,
     "q04_fulltext_and": q04_fulltext_and,
     "q04b_fulltext_or": q04b_fulltext_or,
+    "q04c_inverted_index": q04c_inverted_index,
     "q05_prefix_wildcard": q05_prefix_wildcard,
     "q05b_phrase": q05b_phrase,
     "q06_tfidf_topk": q06_tfidf_topk,
@@ -1298,6 +1345,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q22_pivot_wide": q22_pivot_wide,
     "q23_percentiles": q23_percentiles,
     "cdc_cell_log": cdc_cell_log,
+    "cdc_family_filter": cdc_family_filter,
     "cdc_latest_per_key": cdc_latest_per_key,
     "cdc_apply_deletes": cdc_apply_deletes,
     "cdc_live_cells": cdc_live_cells,
@@ -1335,6 +1383,7 @@ ORACLES: dict[str, str] = {
     "q03_boolean_filter": Q03_SQL,
     "q04_fulltext_and": Q04_SQL,
     "q04b_fulltext_or": Q04B_SQL,
+    "q04c_inverted_index": Q04_SQL,
     "q05_prefix_wildcard": Q05_SQL,
     "q05b_phrase": Q05B_SQL,
     "q06_tfidf_topk": Q06_SQL,
@@ -1359,6 +1408,7 @@ ORACLES: dict[str, str] = {
     "q22_pivot_wide": Q22_SQL,
     "q23_percentiles": Q23_SQL,
     "cdc_cell_log": CDC_CELL_LOG_SQL,
+    "cdc_family_filter": CDC_FAMILY_SQL,
     "cdc_latest_per_key": CDC_LATEST_SQL,
     "cdc_apply_deletes": CDC_APPLY_SQL,
     "cdc_live_cells": CDC_LIVE_CELLS_SQL,

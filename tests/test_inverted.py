@@ -1,0 +1,40 @@
+"""Inverted-index build/write/query round trip."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hbase_increment_index_spark.search.inverted import (
+    build_inverted_index,
+    search_with_index,
+    term_match_ids,
+    write_inverted_index,
+)
+from hbase_increment_index_spark.search.tokenize import has_all_tokens, has_any_token
+
+
+def test_index_matches_scan_semantics(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    postings = build_inverted_index(docs, "doc_id", "text")
+
+    for op, pred in [
+        ("and", has_all_tokens("text", ["spark", "join"])),
+        ("or", has_any_token("text", ["spark", "join"])),
+    ]:
+        via_index = {
+            r["doc_id"]
+            for r in search_with_index(docs, postings, "doc_id", ["spark", "join"], op).collect()
+        }
+        via_scan = {r["doc_id"] for r in docs.filter(pred).collect()}
+        assert via_index == via_scan, op
+
+
+def test_write_read_round_trip(spark, sf_dir, tmp_path):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    postings = build_inverted_index(docs, "doc_id", "text")
+    path = str(tmp_path / "inv")
+    write_inverted_index(postings, path, n_ranges=4)
+    back = spark.read.parquet(path)
+    assert back.count() == postings.count()
+    ids = term_match_ids(back, "doc_id", ["spark"], "or")
+    assert ids.count() == docs.filter(has_any_token("text", ["spark"])).count()

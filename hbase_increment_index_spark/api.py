@@ -109,6 +109,8 @@ class SecondaryIndex:
 
     def search(
         self,
+        q: str | None = None,
+        text_fields: set[str] | None = None,
         fq: list[Column] | None = None,
         q_text: tuple[str, list[str], str] | None = None,
         fl: list[str] | None = None,
@@ -124,6 +126,9 @@ class SecondaryIndex:
     ) -> SearchResponse:
         """Solr ``select`` over the document table.
 
+        ``q``       — a raw Solr query string (``field:value AND
+                      price:[10 TO 20] NOT x:y*``), compiled by
+                      search.solr_query — what a reference user types
         ``fq``      — filter predicates (Column), ANDed (Q1–Q3, Q5)
         ``q_text``  — (field, terms, 'and'|'or') full-text match (Q4)
         ``fl``      — projection (Q9)
@@ -133,6 +138,10 @@ class SecondaryIndex:
         ``group_field`` + ``group_limit`` — Q15
         """
         df = self.documents
+        if q:
+            from hbase_increment_index_spark.search.solr_query import parse_query
+
+            df = df.filter(parse_query(q, text_fields))
         if fq:
             for pred in fq:
                 df = df.filter(pred)

@@ -156,6 +156,25 @@ WHERE list_contains({_SQL_TOKS.format(c='text')}, 'spark')
 """
 
 
+def q03b_solr_query_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference user's actual query language: a raw Solr query
+    string parsed by search.solr_query into the same predicate Q3
+    builds by hand. Oracle spells out the equivalent SQL."""
+    from hbase_increment_index_spark.search.solr_query import solr_select
+
+    orders = _t(spark, sf_dir, "orders")
+    q = "(o_orderstatus:O AND o_totalprice:[150000 TO *]) OR NOT o_orderpriority:1-URGENT"
+    return solr_select(orders, q).select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+Q03B_SQL = """
+SELECT o_orderkey, o_orderstatus, o_totalprice
+FROM orders
+WHERE (o_orderstatus = 'O' AND o_totalprice >= 150000)
+   OR NOT (o_orderpriority = '1-URGENT')
+"""
+
+
 def q04c_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same semantics as q04_fulltext_and but answered through the
     materialized inverted index (build → posting join → semi-join back)
@@ -210,6 +229,45 @@ SELECT doc_id, lang, source
 FROM documents
 WHERE list_contains({_SQL_TOKS.format(c='text')}, 'dup')
    OR list_contains({_SQL_TOKS.format(c='text')}, 'hash')
+"""
+
+
+def q08b_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cursor (keyset) pagination: page 2 fetched via the last key of
+    page 1 — O(rows) at any depth, unlike offset paging. The 'after'
+    cursor is fixed to page-1's true last row so the oracle can state
+    the same predicate."""
+    from hbase_increment_index_spark.search.paging import keyset_page, sorted_page
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    page1 = sorted_page(
+        orders, order=[F.col("o_totalprice").desc()], tie_break="o_orderkey", rows=20
+    )
+    last = page1.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").desc()).head()
+    return keyset_page(
+        orders,
+        "o_totalprice",
+        "o_orderkey",
+        after=(last["o_totalprice"], last["o_orderkey"]),
+        rows=20,
+    )
+
+
+Q08B_SQL = """
+WITH p1 AS (
+  SELECT o_orderkey, o_totalprice FROM orders
+  ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
+),
+last AS (
+  SELECT o_totalprice AS sv, o_orderkey AS tv FROM p1
+  ORDER BY o_totalprice ASC, o_orderkey DESC LIMIT 1
+)
+SELECT o_orderkey, o_totalprice
+FROM orders, last
+WHERE o_totalprice < last.sv
+   OR (o_totalprice = last.sv AND o_orderkey > last.tv)
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 20
 """
 
 
@@ -1317,6 +1375,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_filter_eq": q01_filter_eq,
     "q02_range_filter": q02_range_filter,
     "q03_boolean_filter": q03_boolean_filter,
+    "q03b_solr_query_string": q03b_solr_query_string,
     "q04_fulltext_and": q04_fulltext_and,
     "q04b_fulltext_or": q04b_fulltext_or,
     "q04c_inverted_index": q04c_inverted_index,
@@ -1326,6 +1385,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q06b_bm25_topk": q06b_bm25_topk,
     "q07_sort_topk": q07_sort_topk,
     "q08_deep_page": q08_deep_page,
+    "q08b_keyset_page": q08b_keyset_page,
     "q09_projection": q09_projection,
     "q10_facet_field": q10_facet_field,
     "q11_facet_range": q11_facet_range,
@@ -1381,6 +1441,7 @@ ORACLES: dict[str, str] = {
     "q01_filter_eq": Q01_SQL,
     "q02_range_filter": Q02_SQL,
     "q03_boolean_filter": Q03_SQL,
+    "q03b_solr_query_string": Q03B_SQL,
     "q04_fulltext_and": Q04_SQL,
     "q04b_fulltext_or": Q04B_SQL,
     "q04c_inverted_index": Q04_SQL,
@@ -1390,6 +1451,7 @@ ORACLES: dict[str, str] = {
     "q06b_bm25_topk": Q06B_SQL,
     "q07_sort_topk": Q07_SQL,
     "q08_deep_page": Q08_SQL,
+    "q08b_keyset_page": Q08B_SQL,
     "q09_projection": Q09_SQL,
     "q10_facet_field": Q10_SQL,
     "q11_facet_range": Q11_SQL,

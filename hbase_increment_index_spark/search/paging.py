@@ -38,6 +38,32 @@ def sorted_page(
     )
 
 
+def keyset_page(
+    df: DataFrame,
+    sort_col: str,
+    tie_break: str,
+    after: tuple | None = None,
+    rows: int = 10,
+    descending: bool = True,
+) -> DataFrame:
+    """Solr cursorMark-style keyset pagination — the deep-paging path
+    that stays O(rows) at any depth (offset pagination ranks everything
+    before the offset; a cursor just filters past the last-seen key).
+
+    ``after`` = (last_sort_value, last_tie_break) from the previous
+    page; None = first page. The (sort, tie) pair is a total order, so
+    pages partition the result set exactly — no skips, no repeats.
+    """
+    s, t = F.col(sort_col), F.col(tie_break)
+    if after is not None:
+        sv, tv = after
+        gap = (s < F.lit(sv)) if descending else (s > F.lit(sv))
+        pred = gap | ((s == F.lit(sv)) & (t > F.lit(tv)))
+        df = df.filter(pred)
+    order = [s.desc() if descending else s.asc(), t.asc()]
+    return df.orderBy(*order).limit(rows)
+
+
 def group_top_n(
     df: DataFrame,
     group_field: str,

@@ -1,0 +1,191 @@
+"""Solr query-string parser: the ``q``/``fq`` syntax a user of the
+reference system types today (reference README.md:5-10 — the Solr
+select handler is the system's entire read API), compiled to Spark
+Column predicates.
+
+Supported grammar (the standard-query-parser subset that maps to a
+deterministic relational predicate — no fuzzy/boost/proximity):
+
+    query     := clause (("AND" | "OR") clause)*     # left-assoc
+    clause    := ["NOT"] atom
+    atom      := "(" query ")" | term
+    term      := field ":" value
+    value     := "[" lit "TO" lit "]"                # inclusive range
+               | quoted phrase "..."                 # phrase match
+               | bare* | bare?pattern                # wildcard/prefix
+               | bare                                # exact or token match
+
+Default operator is AND (Solr q.op=AND). A bare value on a text field
+matches tokens (full-text); on any other field it is an equality.
+Numeric-looking literals are compared numerically.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hbase_increment_index_spark.search import filters
+from hbase_increment_index_spark.search.tokenize import has_token
+
+_TOKEN_RE = re.compile(
+    r"""\s*(?:
+        (?P<lparen>\() | (?P<rparen>\)) |
+        (?P<op>AND\b|OR\b|NOT\b) |
+        (?P<term>[A-Za-z_][\w.]*):(?:
+            (?P<range>\[[^\]]+\]) |
+            "(?P<phrase>[^"]*)" |
+            (?P<value>[^\s()]+)
+        )
+    )""",
+    re.VERBOSE,
+)
+
+
+@dataclass
+class _Tok:
+    kind: str
+    payload: tuple
+
+
+class SolrQueryError(ValueError):
+    pass
+
+
+def _lex(q: str) -> list[_Tok]:
+    toks, pos = [], 0
+    while pos < len(q):
+        m = _TOKEN_RE.match(q, pos)
+        if not m:
+            if q[pos:].strip() == "":
+                break
+            raise SolrQueryError(f"cannot parse query at: {q[pos:]!r}")
+        pos = m.end()
+        if m.group("lparen"):
+            toks.append(_Tok("(", ()))
+        elif m.group("rparen"):
+            toks.append(_Tok(")", ()))
+        elif m.group("op"):
+            toks.append(_Tok(m.group("op"), ()))
+        else:
+            field = m.group("term")
+            if m.group("range") is not None:
+                body = m.group("range")[1:-1]
+                parts = re.split(r"\s+TO\s+", body.strip())
+                if len(parts) != 2:
+                    raise SolrQueryError(f"bad range: {body!r}")
+                toks.append(_Tok("range", (field, parts[0].strip(), parts[1].strip())))
+            elif m.group("phrase") is not None:
+                toks.append(_Tok("phrase", (field, m.group("phrase"))))
+            else:
+                toks.append(_Tok("value", (field, m.group("value"))))
+    return toks
+
+
+def _lit(v: str):
+    if v == "*":
+        return None
+    try:
+        return int(v)
+    except ValueError:
+        pass
+    try:
+        return float(v)
+    except ValueError:
+        return v
+
+
+class _Parser:
+    def __init__(self, toks: list[_Tok], text_fields: set[str]):
+        self.toks = toks
+        self.i = 0
+        self.text_fields = text_fields
+
+    def peek(self) -> _Tok | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def next(self) -> _Tok:
+        t = self.peek()
+        if t is None:
+            raise SolrQueryError("unexpected end of query")
+        self.i += 1
+        return t
+
+    def parse(self) -> Column:
+        col = self.query()
+        if self.peek() is not None:
+            raise SolrQueryError(f"trailing input after position {self.i}")
+        return col
+
+    def query(self) -> Column:
+        left = self.clause()
+        while True:
+            t = self.peek()
+            if t is None or t.kind == ")":
+                return left
+            if t.kind in ("AND", "OR"):
+                self.next()
+                right = self.clause()
+                left = (left & right) if t.kind == "AND" else (left | right)
+            else:  # implicit default operator: AND (Solr q.op=AND)
+                right = self.clause()
+                left = left & right
+
+    def clause(self) -> Column:
+        t = self.peek()
+        if t is not None and t.kind == "NOT":
+            self.next()
+            return ~self.atom()
+        return self.atom()
+
+    def atom(self) -> Column:
+        t = self.next()
+        if t.kind == "(":
+            inner = self.query()
+            if self.next().kind != ")":
+                raise SolrQueryError("expected )")
+            return inner
+        if t.kind == "range":
+            field, lo, hi = t.payload
+            lo_l, hi_l = _lit(lo), _lit(hi)
+            if lo_l is None and hi_l is None:
+                return F.col(field).isNotNull()
+            if lo_l is None:
+                return F.col(field) <= F.lit(hi_l)
+            if hi_l is None:
+                return F.col(field) >= F.lit(lo_l)
+            return filters.range_between(field, lo_l, hi_l)
+        if t.kind == "phrase":
+            field, words = t.payload
+            return filters.phrase(field, words.split())
+        if t.kind == "value":
+            field, value = t.payload
+            if value == "*":
+                return F.col(field).isNotNull()
+            if "*" in value or "?" in value:
+                return filters.wildcard(field, value)
+            if field in self.text_fields:
+                return has_token(field, value)
+            return filters.eq(field, _lit(value))
+        raise SolrQueryError(f"unexpected token {t.kind}")
+
+
+def parse_query(q: str, text_fields: set[str] | None = None) -> Column:
+    """Compile a Solr query string to a Column predicate.
+
+    ``text_fields`` — fields that get tokenized full-text matching for
+    bare values (everything else is exact equality, like a Solr string
+    field vs a text field).
+    """
+    toks = _lex(q)
+    if not toks:
+        raise SolrQueryError("empty query")
+    return _Parser(toks, text_fields or set()).parse()
+
+
+def solr_select(df: DataFrame, q: str, text_fields: set[str] | None = None) -> DataFrame:
+    """``df`` filtered by a Solr query string — the ``/select?q=`` path."""
+    return df.filter(parse_query(q, text_fields))

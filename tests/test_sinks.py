@@ -1,0 +1,58 @@
+"""Sink format selection (S10) + keyset pagination round trips."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hbase_increment_index_spark.search.paging import keyset_page, sorted_page
+from hbase_increment_index_spark.sinks import read_results, write_results
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "json", "csv"])
+def test_write_read_round_trip(spark, sf_dir, tmp_path, fmt):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "lang", "source")
+    path = str(tmp_path / fmt)
+    write_results(docs, path, fmt=fmt)
+    back = read_results(spark, path, fmt=fmt)
+    assert back.count() == docs.count()
+    assert set(back.columns) == set(docs.columns)
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = str(tmp_path / "bylang")
+    write_results(docs, path, fmt="parquet", partition_by="lang")
+    one = spark.read.parquet(path).filter(F.col("lang") == "en")
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(lang" in plan  # directory pruning active
+    assert one.count() == docs.filter(F.col("lang") == "en").count()
+
+
+def test_bad_format_rejected(spark, sf_dir, tmp_path):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with pytest.raises(ValueError):
+        write_results(docs, str(tmp_path / "x"), fmt="xml")
+
+
+def test_keyset_pages_partition_exactly(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_orderkey", "o_totalprice")
+    seen: list[tuple] = []
+    after = None
+    for _ in range(5):
+        page = keyset_page(orders, "o_totalprice", "o_orderkey", after=after, rows=50)
+        rows = page.collect()
+        if not rows:
+            break
+        seen.extend((r["o_orderkey"], r["o_totalprice"]) for r in rows)
+        last = rows[-1]
+        after = (last["o_totalprice"], last["o_orderkey"])
+    # no repeats, and identical to one big offset-free sorted prefix
+    assert len(seen) == len(set(seen))
+    want = [
+        (r["o_orderkey"], r["o_totalprice"])
+        for r in sorted_page(
+            orders, order=[F.col("o_totalprice").desc()], tie_break="o_orderkey", rows=len(seen)
+        ).collect()
+    ]
+    assert seen == want

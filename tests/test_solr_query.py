@@ -1,0 +1,74 @@
+"""Solr query-string parser → Column predicate compilation."""
+
+from __future__ import annotations
+
+import pytest
+
+from hbase_increment_index_spark.search.solr_query import SolrQueryError, solr_select
+
+
+@pytest.fixture(scope="module")
+def orders(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_eq_and_range(orders):
+    got = solr_select(orders, "o_orderstatus:F AND o_totalprice:[100000 TO 200000]")
+    from pyspark.sql import functions as F
+
+    want = orders.filter(
+        (F.col("o_orderstatus") == "F") & F.col("o_totalprice").between(100000, 200000)
+    )
+    assert got.count() == want.count() > 0
+
+
+def test_boolean_not_parens(orders):
+    got = solr_select(
+        orders, "(o_orderstatus:F OR o_orderstatus:O) AND NOT o_orderpriority:1-URGENT"
+    )
+    from pyspark.sql import functions as F
+
+    want = orders.filter(
+        F.col("o_orderstatus").isin("F", "O") & (F.col("o_orderpriority") != "1-URGENT")
+    )
+    assert got.count() == want.count() > 0
+
+
+def test_default_op_is_and(orders):
+    a = solr_select(orders, "o_orderstatus:F o_orderpriority:5-LOW").count()
+    b = solr_select(orders, "o_orderstatus:F AND o_orderpriority:5-LOW").count()
+    assert a == b
+
+
+def test_fulltext_field(docs):
+    got = solr_select(docs, "text:spark AND text:join", text_fields={"text"})
+    from hbase_increment_index_spark.search.tokenize import has_all_tokens
+
+    want = docs.filter(has_all_tokens("text", ["spark", "join"]))
+    assert got.count() == want.count() > 0
+
+
+def test_wildcard_and_open_range(docs):
+    assert solr_select(docs, "source:src1*").count() > 0
+    assert solr_select(docs, "n_chars:[400 TO *]").count() > 0
+    assert solr_select(docs, "lang:*").count() == docs.count()
+
+
+def test_phrase(docs):
+    n = solr_select(docs, 'text:"row scan"').count()
+    from hbase_increment_index_spark.search import filters
+
+    assert n == docs.filter(filters.phrase("text", ["row", "scan"])).count()
+
+
+def test_parse_errors():
+    from hbase_increment_index_spark.search.solr_query import parse_query
+
+    for bad in ["", "field:", "(a:b", "a:[1 TO", "::", "a:b extra:("]:
+        with pytest.raises(SolrQueryError):
+            parse_query(bad)

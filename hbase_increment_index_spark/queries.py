@@ -697,6 +697,37 @@ GROUP BY l_returnflag
 """
 
 
+def q24_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase (salted) aggregation for hot-key skew: the salt fans a
+    hot group over 16 reducers, phase 2 combines partials. The oracle
+    is the PLAIN aggregation — salting must be invisible in results
+    (guaranteed because the aggregates are algebraic + decimal-exact)."""
+    from hbase_increment_index_spark.functions.skew import two_phase_agg
+
+    events = _t(spark, sf_dir, "events")
+    return two_phase_agg(
+        events,
+        ["event_type"],
+        "value",
+        partials={
+            "n": F.count(F.lit(1)),
+            "sum_value": F.sum(F.col("value").cast("decimal(30,6)")),
+        },
+        finals={
+            "n": F.sum("n").cast("long"),
+            "sum_value": F.sum("sum_value").cast("double"),
+        },
+    )
+
+
+Q24_SQL = """
+SELECT event_type, count(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY event_type
+"""
+
+
 # --------------------------------------------------------------------------
 # CDC — the reference's own dataflow (S1–S7, S9) in batch form
 # --------------------------------------------------------------------------
@@ -1404,6 +1435,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q21_sessionize": q21_sessionize,
     "q22_pivot_wide": q22_pivot_wide,
     "q23_percentiles": q23_percentiles,
+    "q24_salted_agg": q24_salted_agg,
     "cdc_cell_log": cdc_cell_log,
     "cdc_family_filter": cdc_family_filter,
     "cdc_latest_per_key": cdc_latest_per_key,
@@ -1469,6 +1501,7 @@ ORACLES: dict[str, str] = {
     "q21_sessionize": Q21_SQL,
     "q22_pivot_wide": Q22_SQL,
     "q23_percentiles": Q23_SQL,
+    "q24_salted_agg": Q24_SQL,
     "cdc_cell_log": CDC_CELL_LOG_SQL,
     "cdc_family_filter": CDC_FAMILY_SQL,
     "cdc_latest_per_key": CDC_LATEST_SQL,

@@ -1,0 +1,84 @@
+"""Custom stateful streaming operators via applyInPandasWithState —
+the [EXT] streaming surface beyond the reference's stateless
+timer-flush loop (SURVEY.md §2.4: the reference has no event-time or
+state semantics; these are the training-pipeline streaming primitives
+the north star asks for).
+
+Both operators keep per-group state bounded: the dedup filter stores
+one fingerprint set per group (cap-able), the running counter two
+scalars. State lives in the state store (checkpointed, exactly-once
+across restarts) — the scale property the reference's in-memory
+buffers lacked (reference README.md:19-20).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+DEDUP_OUT_SCHEMA = "doc_id long, fp string, first_seen boolean"
+DEDUP_STATE_SCHEMA = "fps array<string>"
+
+COUNT_OUT_SCHEMA = "user_id long, n_events long, sum_value double"
+COUNT_STATE_SCHEMA = "n long, s double"
+
+
+def streaming_dedup(fingerprinted: DataFrame, group_col: str = "shard") -> DataFrame:
+    """Continuous exact dedup: emit each (doc_id, fp) with a
+    first_seen flag; state = the set of fingerprints seen per shard.
+
+    Input must carry a ``shard`` column (e.g. pmod(xxhash64(fp), N)) so
+    state partitions evenly — the fingerprint space is the shard key,
+    NOT the doc id, so duplicates always meet the same state.
+    """
+
+    def _dedup(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        seen = set(state.get[0]) if state.exists else set()
+        for pdf in pdfs:
+            flags = []
+            for fp in pdf["fp"]:
+                fresh = fp not in seen
+                if fresh:
+                    seen.add(fp)
+                flags.append(fresh)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "fp": pdf["fp"], "first_seen": flags}
+            )
+        state.update((sorted(seen),))
+
+    return fingerprinted.groupBy(group_col).applyInPandasWithState(
+        _dedup,
+        outputStructType=DEDUP_OUT_SCHEMA,
+        stateStructType=DEDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def running_user_counts(events: DataFrame) -> DataFrame:
+    """Per-user lifetime event count + exact value sum, updated each
+    micro-batch (the stateful analogue of flagship's batch stats)."""
+
+    def _count(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            # cents-exact accumulation in int space, like numeric.py
+            s += float(pd.Series(pdf["value"]).mul(100).round().sum()) / 100.0
+        state.update((n, s))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "sum_value": [s]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        _count,
+        outputStructType=COUNT_OUT_SCHEMA,
+        stateStructType=COUNT_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,101 @@
+"""Stateful streaming operators: dedup-across-batches and running
+counts, driven through real micro-batches (file source, availableNow)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hbase_increment_index_spark.functions.skew import two_phase_agg
+from hbase_increment_index_spark.streaming.stateful import running_user_counts, streaming_dedup
+
+
+def test_streaming_dedup_across_batches(spark, tmp_path):
+    src = str(tmp_path / "src")
+    # batch 1: docs 1,2 ; batch 2: doc 3 plus a DUPLICATE of doc 1's text
+    spark.createDataFrame([(1, "aaa"), (2, "bbb")], "doc_id long, text string").write.parquet(
+        f"{src}/b1"
+    )
+    spark.createDataFrame([(3, "ccc"), (4, "aaa")], "doc_id long, text string").write.parquet(
+        f"{src}/b2"
+    )
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    fingerprinted = stream.select(
+        "doc_id",
+        F.md5("text").alias("fp"),
+        F.pmod(F.xxhash64(F.md5("text")), F.lit(4)).alias("shard"),
+    )
+    out = streaming_dedup(fingerprinted)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r["doc_id"]: r["first_seen"] for r in spark.sql("SELECT * FROM dedup_out").collect()}
+    assert rows[1] and rows[2] and rows[3]
+    assert rows[4] is False  # duplicate of doc 1, seen in an EARLIER batch
+
+
+def test_running_user_counts(spark, sf_dir, tmp_path):
+    from hbase_increment_index_spark.catalog import load_table
+
+    events = load_table(spark, sf_dir, "events").select("user_id", "value")
+    src = str(tmp_path / "ev")
+    events.write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    out = running_user_counts(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("counts_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["user_id"]: r["n_events"]
+        for r in spark.sql(
+            "SELECT user_id, max(n_events) AS n_events FROM counts_out GROUP BY user_id"
+        ).collect()
+    }
+    want = {r["user_id"]: r["n"] for r in events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == want
+
+
+def test_two_phase_agg_equals_plain(spark, sf_dir):
+    from hbase_increment_index_spark.catalog import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    plain = {
+        (r["event_type"]): (r["n"], r["s"])
+        for r in events.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(30,2)")).cast("double").alias("s"),
+        )
+        .collect()
+    }
+    saltedr = {
+        (r["event_type"]): (r["n"], r["s"])
+        for r in two_phase_agg(
+            events,
+            ["event_type"],
+            "value",
+            partials={
+                "n": F.count(F.lit(1)),
+                "s": F.sum(F.col("value").cast("decimal(30,2)")),
+            },
+            finals={"n": F.sum("n").cast("long"), "s": F.sum("s").cast("double")},
+        ).collect()
+    }
+    assert plain == saltedr

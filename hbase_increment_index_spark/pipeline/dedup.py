@@ -358,6 +358,78 @@ def minhash_lsh_pairs(
     return verified
 
 
+# ------------------------------------------- near-dup clusters (E2 final)
+
+def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Connected components over a near-dup pair list → (doc, component)
+    where component = min doc id in the component (the canonical
+    representative a dedup pass keeps).
+
+    Iterative label propagation: every node adopts the minimum label in
+    its neighborhood until fixed point. Iterations are O(diameter) —
+    near-dup graphs are unions of small cliques, so 2–3 rounds in
+    practice; ``max_iters`` bounds adversarial chains. Each round is
+    one groupBy over the (small) edge list — the corpus is never
+    touched. Checkpoint-free because the edge list is tiny relative to
+    the corpus; at 100 TB you persist labels per round.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .union(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
+        .distinct()
+        .persist()
+    )
+    labels = edges.select("u").distinct().withColumn("label", F.col("u"))
+
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels.withColumnRenamed("u", "v"), "v")
+            .groupBy("u")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "u", "left")
+            .select("u", F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias("label"))
+        ).persist()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "u")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("u").alias("doc"), F.col("label").alias("component"))
+
+
+def near_dup_clusters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    **lsh_kwargs,
+) -> DataFrame:
+    """End-to-end near-dup dedup: MinHash-LSH candidate pairs →
+    connected components → (id, component, is_canonical). Keep rows
+    with is_canonical (or component is null — unique docs never enter
+    the pair graph and are implicitly canonical)."""
+    pairs = minhash_lsh_pairs(df, id_col, text_col, threshold=threshold, **lsh_kwargs)
+    comp = connected_components(pairs)
+    return (
+        df.select(F.col(id_col))
+        .join(comp.withColumnRenamed("doc", id_col), id_col, "left")
+        .select(
+            id_col,
+            "component",
+            (F.col("component").isNull() | (F.col("component") == F.col(id_col))).alias(
+                "is_canonical"
+            ),
+        )
+    )
+
+
 # ----------------------------------------------------------- E2c SimHash
 
 def simhash_counts(text_col: Column | str) -> Column:

@@ -1151,6 +1151,19 @@ def e2b_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def e2d_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering end-to-end (LSH pairs → connected
+    components → canonical flags) — iterative algorithm, rows-only
+    check per the driver contract."""
+    from hbase_increment_index_spark.pipeline.dedup import near_dup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    out = near_dup_clusters(
+        docs, "doc_id", "text", threshold=0.30, num_perm=64, bands=16, impl="pandas"
+    )
+    return out.filter(F.col("component").isNotNull())
+
+
 def e2c_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash hamming<=3 near-dup (xxhash64-based — rows-only check)."""
     docs = _t(spark, sf_dir, "documents")
@@ -1453,6 +1466,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e2_ngram_jaccard": e2_ngram_jaccard,
     "e2b_minhash_lsh": e2b_minhash_lsh,
     "e2c_simhash": e2c_simhash,
+    "e2d_dedup_clusters": e2d_dedup_clusters,
     "e3_cosine_topk": e3_cosine_topk,
     "e3b_knn_ivf": e3b_knn_ivf,
     "e3c_embedding_pairs": e3c_embedding_pairs,

@@ -60,6 +60,23 @@ def test_minhash_lsh_finds_near_dup(docs):
     assert (1, 5) not in pairs
 
 
+def test_connected_components_and_clusters(spark, docs):
+    from hbase_increment_index_spark.pipeline.dedup import connected_components, near_dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "id_a long, id_b long"
+    )  # chain 1-2-3 and pair 7-8
+    comp = {r["doc"]: r["component"] for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
+
+    out = {r["doc_id"]: (r["component"], r["is_canonical"])
+           for r in near_dup_clusters(docs, "doc_id", "text", threshold=0.3,
+                                      num_perm=32, bands=8).collect()}
+    # docs 1,2,3 are one near-dup cluster with canonical 1; 4,5 unique
+    assert out[1] == (1, True) and out[2] == (1, False) and out[3] == (1, False)
+    assert out[4][1] and out[5][1]
+
+
 def test_simhash_exact_dup_distance_zero(docs):
     pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in
              simhash_pairs(docs, "doc_id", "text", max_hamming=3).collect()}

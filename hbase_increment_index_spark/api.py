@@ -154,14 +154,16 @@ class SecondaryIndex:
 
         out = df.select(*fl) if fl else df
         tb = tie_break or (fl[0] if fl else out.columns[0])
-        if sort:
-            out = sorted_page(out, order=sort, tie_break=tb, start=start, rows=rows or 10)
-        elif rows is not None:
-            out = out.limit(rows)
         if group_field:
             out = group_top_n(
                 df, group_field, order=sort or [F.col(tb).asc()], tie_break=tb, n=group_limit
             )
+            if fl:
+                out = out.select(*dict.fromkeys([group_field, *fl]))
+        elif sort:
+            out = sorted_page(out, order=sort, tie_break=tb, start=start, rows=rows or 10)
+        elif rows is not None:
+            out = out.limit(rows)
 
         resp = SearchResponse(docs=out)
         for f_ in facet_fields or []:

@@ -1112,6 +1112,37 @@ HAVING count(*) > 1
 """
 
 
+def e1c_dedup_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup exercised on a corpus that actually contains
+    duplicates (documents unioned with a re-keyed copy of itself):
+    each text collapses to its minimum doc_id — sizes and survivors
+    are oracle-checked, not just trivially empty like e1b on the
+    dup-free fixture."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    corpus = docs.unionByName(dup)
+    w = Window.partitionBy(fingerprint("text")).orderBy(F.col("doc_id").asc())
+    kept = (
+        corpus.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_sz", F.count(F.lit(1)).over(Window.partitionBy(fingerprint("text"))))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", F.col("_sz").alias("cluster_size"))
+    )
+    return kept
+
+
+E1C_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+)
+SELECT min(doc_id) AS doc_id, count(*) AS cluster_size
+FROM corpus
+GROUP BY {_SQL_FP.format(c='text')}
+"""
+
+
 def e2_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.30)
@@ -1463,6 +1494,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "olap_anti_join": olap_anti_join,
     "e1_exact_dedup": e1_exact_dedup,
     "e1b_duplicate_clusters": e1b_duplicate_clusters,
+    "e1c_dedup_with_dups": e1c_dedup_with_dups,
     "e2_ngram_jaccard": e2_ngram_jaccard,
     "e2b_minhash_lsh": e2b_minhash_lsh,
     "e2c_simhash": e2c_simhash,
@@ -1530,6 +1562,7 @@ ORACLES: dict[str, str] = {
     "olap_anti_join": OLAP_ANTI_SQL,
     "e1_exact_dedup": E1_SQL,
     "e1b_duplicate_clusters": E1B_SQL,
+    "e1c_dedup_with_dups": E1C_SQL,
     "e2_ngram_jaccard": E2_SQL,
     "e3_cosine_topk": E3_SQL,
     "e3c_embedding_pairs": E3C_SQL,

@@ -71,6 +71,25 @@ def test_search_facets_and_stats(index):
     assert resp.facets["queries"].collect()[0]["n_cheap"] == 2
 
 
+def test_search_group_top_n(index):
+    resp = index.search(
+        group_field="name",
+        group_limit=1,
+        sort=[F.col("price").cast("int").desc()],
+        tie_break="rowkey",
+        fl=["rowkey", "price"],
+    )
+    rows = resp.docs.collect()
+    assert len(rows) == 3  # one per distinct name
+    assert set(rows[0].asDict()) == {"name", "rowkey", "price"}
+
+
+def test_search_solr_query_string(index):
+    resp = index.search(q="name:apple AND price:[20 TO *]", text_fields={"name"}, rows=10,
+                        fl=["rowkey"], tie_break="rowkey")
+    assert [r["rowkey"] for r in resp.docs.collect()] == ["r3"]
+
+
 def test_rank(index):
     top = index.rank("name", ["apple", "recipe"], k=2, id_col="rowkey").collect()
     assert top[0]["rowkey"] == "r1"  # matches both terms

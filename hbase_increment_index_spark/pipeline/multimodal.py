@@ -113,6 +113,40 @@ def extract_features(media: DataFrame, batch_size_hint: int = 256) -> DataFrame:
     return media.mapInPandas(_extract, schema=FEATURE_SCHEMA)
 
 
+def resize_images(media: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
+    """Image resize over binary payloads (mapInPandas; the pixel
+    resample itself is the stubbed step — a real deployment swaps in
+    PIL's ``Image.resize``). The deterministic fake emits a payload of
+    exactly width*height bytes derived from the source bytes, so batch
+    shapes, output sizes and metadata rewriting are all real and
+    testable."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n_out = width * height
+        for pdf in batches:
+            outs = []
+            for p in pdf["payload"]:
+                if p is None:
+                    raise NotImplementedError("real decode requires PIL — not in container")
+                src = bytes(p)
+                # deterministic fake resample: stride-sample / tile source bytes
+                outs.append(bytes(src[(i * max(len(src), 1)) // n_out % len(src)] for i in range(n_out)) if src else b"\x00" * n_out)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": outs,
+                    "width": [width] * len(pdf),
+                    "height": [height] * len(pdf),
+                }
+            )
+
+    return media.mapInPandas(
+        _resize,
+        schema="media_id long, kind string, payload binary, width int, height int",
+    )
+
+
 def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame sampling: one output row per sampled frame offset.
     Offsets come from the typed metadata (duration), the frame decode

@@ -216,22 +216,32 @@ def build_ivf(
 
 
 def _assign(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment via broadcast crossJoin + window min.
-    The centroid table is tiny; the corpus is scanned once."""
-    from pyspark.sql import Window
+    """Nearest-centroid assignment as a pure per-row expression.
 
-    d = vecs.crossJoin(F.broadcast(centroids)).withColumn(
-        "dist",
-        F.aggregate(
-            F.zip_with("vec", "centroid", lambda x, y: (x - y) * (x - y)),
+    Centroids are collected to the driver (k × dim doubles — tiny by
+    definition, that's what makes them 'coarse') and inlined as
+    literals, so assignment is ZERO-shuffle: one scan computing an
+    argmin over k codegen'd distance expressions. This replaces the
+    crossJoin + per-id window (which shuffled the whole corpus on id).
+    """
+    cents = sorted(
+        ((r["cid"], list(r["centroid"])) for r in centroids.collect()), key=lambda c: c[0]
+    )
+
+    def dist_to(c: list[float]) -> Column:
+        return F.aggregate(
+            F.zip_with("vec", lit_vector(c), lambda x, y: (x - y) * (x - y)),
             F.lit(0.0),
             lambda acc, x: acc + x,
-        ),
+        )
+
+    scored = vecs.withColumn(
+        "_d", F.array(*[dist_to(c) for _, c in cents])
     )
-    w = Window.partitionBy("id").orderBy(F.col("dist").asc(), F.col("cid").asc())
-    return (
-        d.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn", "dist")
-    )
+    # argmin with deterministic low-cid tie-break: array_position of the min
+    best = F.array_position("_d", F.array_min("_d")) - 1
+    cid_lookup = F.array(*[F.lit(cid) for cid, _ in cents])
+    return scored.select("id", "vec", F.element_at(cid_lookup, (best + 1).cast("int")).alias("cid"))
 
 
 def knn_ivf(

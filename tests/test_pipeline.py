@@ -119,6 +119,17 @@ def test_token_count(docs):
     assert n == 0
 
 
+def test_resize_images_shapes(docs):
+    from pyspark.sql import functions as F
+
+    from hbase_increment_index_spark.pipeline.multimodal import resize_images, synth_media
+
+    media = synth_media(docs.withColumn("n_chars", F.length("text")))
+    out = resize_images(media, width=8, height=8).collect()
+    assert all(len(r["payload"]) == 64 for r in out)
+    assert all(r["width"] == 8 and r["height"] == 8 for r in out)
+
+
 def test_multimodal_plumbing(docs):
     media = synth_media(
         docs.withColumn("n_chars", F.length("text")), kind="video"

@@ -1,0 +1,70 @@
+"""Temporal operators: as-of (point-in-time) join.
+
+Not part of the reference surface (SURVEY.md §2.4: no theta/as-of join
+exists there) — added because point-in-time correctness is foundational
+for training-data pipelines (feature values as they were at event
+time), and because the naive formulation (range join + per-row top-1)
+is quadratic while the union-window formulation below is one sort.
+
+Plan shape: tag both sides, union, one window over (key, ts) carrying
+the right side's columns forward with ``last(ignorenulls)``. Cost =
+one shuffle on the key + one sort — the same as a sort-merge join,
+with no range-join explosion. At 100 TB both sides bucket by key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    payload: list[str],
+    right_tie: str,
+) -> DataFrame:
+    """For each left row: the right row with the greatest ``right_ts``
+    <= ``left_ts`` for the same key (ties on right_ts broken by the
+    greatest ``right_tie`` — total order, deterministic).
+
+    Returns left columns + the matched payload columns (NULL payload =
+    no right row at or before the event; filter on it for inner
+    semantics).
+    """
+    l_tag = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_is_left"),
+        F.lit(None).cast("long").alias("_tie"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_p_{c}") for c in payload],
+        F.struct(*left.columns).alias("_row"),
+    )
+    r_tag = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_is_left"),
+        F.col(right_tie).cast("long").alias("_tie"),
+        *[F.col(c).alias(f"_p_{c}") for c in payload],
+        F.lit(None).cast(l_tag.schema["_row"].dataType).alias("_row"),
+    )
+    unioned = l_tag.unionByName(r_tag)
+
+    # rights sort before lefts at equal ts (_is_left asc); among equal-ts
+    # rights the greatest tie sorts last, so last(ignorenulls) picks it
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_ts").asc(), F.col("_is_left").asc(), F.col("_tie").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        "*", *[F.last(f"_p_{c}", ignorenulls=True).over(w).alias(f"_m_{c}") for c in payload]
+    )
+    out = filled.filter(F.col("_is_left") == 1).select(
+        *[F.col("_row")[c].alias(c) for c in left.columns],
+        *[F.col(f"_m_{c}").alias(c) for c in payload],
+    )
+    return out

@@ -728,6 +728,70 @@ GROUP BY event_type
 """
 
 
+def q25_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: for each event, the customer's most recent
+    order at or before the event (ties: max orderkey). Union-window
+    formulation — one shuffle, no range-join explosion; the oracle is
+    the explicit rank-1 range join."""
+    from hbase_increment_index_spark.functions.temporal import asof_join_backward
+
+    events = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderdate", "o_orderkey", "o_totalprice"
+    )
+    out = asof_join_backward(
+        events,
+        orders,
+        key="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        payload=["o_orderkey", "o_totalprice"],
+        right_tie="o_orderkey",
+    )
+    return out.filter(F.col("o_orderkey").isNotNull()).select(
+        "event_id",
+        "user_id",
+        F.col("o_orderkey").alias("last_orderkey"),
+        F.col("o_totalprice").alias("last_totalprice"),
+    )
+
+
+Q25_SQL = """
+SELECT event_id, user_id, o_orderkey AS last_orderkey, o_totalprice AS last_totalprice
+FROM (
+  SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
+         row_number() OVER (
+           PARTITION BY e.event_id
+           ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+  FROM events e
+  JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+)
+WHERE rn = 1
+"""
+
+
+def q26_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators: customers appearing in urgent orders INTERSECT
+    high-value orders, EXCEPT any appearing in 'F'-status orders —
+    distinct-set semantics on both engines."""
+    orders = _t(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    high = orders.filter(F.col("o_totalprice") > 200000.0).select("o_custkey")
+    failed = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return urgent.intersect(high).exceptAll(failed.distinct()).withColumnRenamed(
+        "o_custkey", "custkey"
+    )
+
+
+Q26_SQL = """
+SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_totalprice > 200000.0
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
 # --------------------------------------------------------------------------
 # CDC — the reference's own dataflow (S1–S7, S9) in batch form
 # --------------------------------------------------------------------------
@@ -1480,6 +1544,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q22_pivot_wide": q22_pivot_wide,
     "q23_percentiles": q23_percentiles,
     "q24_salted_agg": q24_salted_agg,
+    "q25_asof_join": q25_asof_join,
+    "q26_set_ops": q26_set_ops,
     "cdc_cell_log": cdc_cell_log,
     "cdc_family_filter": cdc_family_filter,
     "cdc_latest_per_key": cdc_latest_per_key,
@@ -1548,6 +1614,8 @@ ORACLES: dict[str, str] = {
     "q22_pivot_wide": Q22_SQL,
     "q23_percentiles": Q23_SQL,
     "q24_salted_agg": Q24_SQL,
+    "q25_asof_join": Q25_SQL,
+    "q26_set_ops": Q26_SQL,
     "cdc_cell_log": CDC_CELL_LOG_SQL,
     "cdc_family_filter": CDC_FAMILY_SQL,
     "cdc_latest_per_key": CDC_LATEST_SQL,

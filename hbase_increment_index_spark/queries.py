@@ -1132,6 +1132,91 @@ WHERE NOT EXISTS (
 """
 
 
+def q27_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: parse the events.props JSON payload
+    (the open/dynamic part of the cell model — qualifiers the schema
+    didn't anticipate) and aggregate a field from it. JVM-side
+    get_json_object — no Python in the path."""
+    events = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+Q27_SQL = """
+SELECT event_type,
+       count(k) AS n_with_k,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       min(k) AS min_k,
+       max(k) AS max_k
+FROM (
+  SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+GROUP BY event_type
+"""
+
+
+def olap_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by part brand: fact ⋈ broadcast part dim."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(30,6)")
+            ).cast("double").alias("revenue"),
+            F.countDistinct("p_partkey").alias("n_parts"),
+        )
+    )
+
+
+OLAP_BRAND_SQL = """
+SELECT p_brand,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+       count(DISTINCT p_partkey) AS n_parts
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+def olap_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per supplier with nation name (two broadcast dims)."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("s_suppkey", "s_name", "n_name")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(30,2)")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+OLAP_SUPPLIER_SQL = """
+SELECT s_suppkey, s_name, n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+GROUP BY s_suppkey, s_name, n_name
+"""
+
+
 # --------------------------------------------------------------------------
 # E1–E5 — LLM-pipeline extensions
 # --------------------------------------------------------------------------
@@ -1558,6 +1643,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "olap_top_customers": olap_top_customers,
     "olap_semi_join": olap_semi_join,
     "olap_anti_join": olap_anti_join,
+    "olap_brand_revenue": olap_brand_revenue,
+    "olap_supplier_revenue": olap_supplier_revenue,
+    "q27_json_extract": q27_json_extract,
     "e1_exact_dedup": e1_exact_dedup,
     "e1b_duplicate_clusters": e1b_duplicate_clusters,
     "e1c_dedup_with_dups": e1c_dedup_with_dups,
@@ -1628,6 +1716,9 @@ ORACLES: dict[str, str] = {
     "olap_top_customers": OLAP_TOP_CUST_SQL,
     "olap_semi_join": OLAP_SEMI_SQL,
     "olap_anti_join": OLAP_ANTI_SQL,
+    "olap_brand_revenue": OLAP_BRAND_SQL,
+    "olap_supplier_revenue": OLAP_SUPPLIER_SQL,
+    "q27_json_extract": Q27_SQL,
     "e1_exact_dedup": E1_SQL,
     "e1b_duplicate_clusters": E1B_SQL,
     "e1c_dedup_with_dups": E1C_SQL,

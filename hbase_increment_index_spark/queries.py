@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from hbase_increment_index_spark.catalog import load_table
 from hbase_increment_index_spark.cdc.cell_model import cell_log_from_events
 from hbase_increment_index_spark.cdc.compaction import apply_deletes, latest_per_key, live_cells
-from hbase_increment_index_spark.numeric import exact_avg, exact_std, exact_sum
+from hbase_increment_index_spark.numeric import exact_avg, exact_sum
 from hbase_increment_index_spark.pipeline.dedup import (
     duplicate_clusters,
     minhash_lsh_pairs,

@@ -92,6 +92,22 @@ def test_knn_brute_force_self_nearest(spark):
     assert top[1]["vec_id"] == 9
 
 
+def test_knn_join_topk_per_query(spark):
+    from hbase_increment_index_spark.pipeline.similarity import knn_join_brute_force
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i == j) for j in range(4)]) for i in range(4)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0, 0.0]), (200, [0.0, 1.0, 0.0, 0.0])],
+        "q_id long, q_vec array<double>",
+    )
+    out = knn_join_brute_force(corpus, queries, k=1)
+    got = {r["q_id"]: r["vec_id"] for r in out.collect()}
+    assert got == {100: 0, 200: 1}
+
+
 def test_ivf_probes_subset(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     centroids, assign = build_ivf(emb, n_centroids=4, iters=1)

@@ -35,11 +35,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # events.ts is parquet TIMESTAMP(NANOS) — Spark has no ns type, so
         # read it as long and truncate to µs (exact integer DIV, no double
         # round-trip: 2024-era ns epochs exceed a double's 53-bit mantissa).
+        # Reconstructed as TIMESTAMP_NTZ (matching every other fixture
+        # table and the DuckDB oracle's naive timestamps): timestamp_micros
+        # would yield LTZ, whose rendering shifts with the session timezone
+        # — a wrong answer in any non-UTC driver session. The day/micros
+        # split with a DECIMAL seconds interval keeps it exact to the µs.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
         from pyspark.sql import functions as F
 
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ntz = F.expr(
+            "make_timestamp_ntz(1970, 1, 1, 0, 0, 0) + make_dt_interval("
+            "ts div 86400000000000, 0, 0, "
+            "CAST((ts % 86400000000000) div 1000 AS DECIMAL(18,6)) / 1000000)"
+        )
+        return df.withColumn("ts", ntz)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -612,10 +612,12 @@ def q21_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows share one shuffle on user_id."""
     events = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
-    # exact integer microseconds (unix_timestamp would truncate to
-    # seconds and disagree with the oracle at the gap boundary)
-    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
-    is_break = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
+    # NTZ-safe exact gap: timestamp difference as an interval, compared
+    # against a literal interval (µs-exact; unix_timestamp would
+    # truncate to seconds and disagree with the oracle at the boundary)
+    prev = F.lag("ts").over(w)
+    gap_break = (F.col("ts") - prev) > F.expr("INTERVAL '1800' SECOND")
+    is_break = F.when(prev.isNull() | gap_break, 1).otherwise(0)
     sess = (
         events.withColumn("brk", is_break)
         .withColumn("session_id", F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)))

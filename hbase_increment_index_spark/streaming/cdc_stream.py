@@ -106,7 +106,16 @@ def windowed_event_counts(
 ) -> DataFrame:
     """Event-time tumbling-window counts with late-data handling —
     the [EXT] streaming polish beyond the reference's processing-time
-    world (SURVEY.md §2.4 streaming note)."""
+    world (SURVEY.md §2.4 streaming note).
+
+    Watermarks require TIMESTAMP (with local tz); the batch catalog
+    reads events.ts as TIMESTAMP_NTZ, so cast here — the instant is
+    unchanged in a UTC session and the window math is tz-consistent
+    either way."""
+    from pyspark.sql.types import TimestampNTZType
+
+    if isinstance(events_stream.schema["ts"].dataType, TimestampNTZType):
+        events_stream = events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return (
         events_stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window_duration), F.col("event_type"))

@@ -66,6 +66,24 @@ def duplicate_clusters(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- portable string hash
+
+# DuckDB fragment computing the same value as :func:`portable_hash60`
+# (oracle SQL interpolates {c} with a VARCHAR expression).
+PORTABLE_HASH60_SQL = "(('0x' || substr(md5({c}), 1, 15))::BIGINT)"
+
+
+def portable_hash60(c: Column | str) -> Column:
+    """60-bit integer hash both engines compute identically: the first
+    15 hex chars of md5, parsed base-16. xxhash64 is the production
+    default (JVM-native, ~4× faster); this variant exists so
+    hash-dependent operators (MinHash banding, SimHash) can be checked
+    value-for-value against the DuckDB oracle — same algorithm, only
+    the string→int kernel swapped."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
 # ------------------------------------------------------------- shingling
 
 def shingle_grams(text_col: Column | str, n: int = 3) -> Column:
@@ -261,6 +279,7 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     impl: str = "expr",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding + exact Jaccard verify.
 
@@ -268,6 +287,10 @@ def minhash_lsh_pairs(
     functions (zero Python); 'pandas' uses the numpy kernel
     (minhash_signatures_vectorized) — bit-identical signatures, faster
     per-row at high num_perm. The join topology is identical.
+
+    ``hash_fn``: 'xxhash64' (production default) or 'md5' — the
+    portable_hash60 kernel whose lane minima the DuckDB oracle can
+    reproduce exactly.
 
     rows_per_band = num_perm / bands; two docs become candidates iff
     some band of their signatures matches exactly (probability
@@ -286,10 +309,14 @@ def minhash_lsh_pairs(
     # staged: shingles → hashed shingles → signature, each materialized
     # once per row; cached because banding, candidate gen and verify all
     # reuse it (at 100 TB this intermediate would be a checkpointed table)
+    if hash_fn == "md5":
+        _shash = lambda s: F.pmod(portable_hash60(s), F.lit(_MERSENNE))  # noqa: E731
+    else:
+        _shash = lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE))  # noqa: E731
     pre = (
         df.select(F.col(id_col).alias("doc"), shingle_grams(text_col, shingle_n).alias("sh"))
         .filter(F.size("sh") > 0)
-        .withColumn("hs", F.transform("sh", lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE))))
+        .withColumn("hs", F.transform("sh", _shash))
     )
     if impl == "pandas":
         import numpy as np
@@ -432,19 +459,23 @@ def near_dup_clusters(
 
 # ----------------------------------------------------------- E2c SimHash
 
-def simhash_counts(text_col: Column | str) -> Column:
-    """Per-bit contribution sums (array<long>[64]) for SimHash.
+def simhash_counts(text_col: Column | str, bits: int = 64, hash_fn: str = "xxhash64") -> Column:
+    """Per-bit contribution sums (array<long>[bits]) for SimHash.
 
-    Per token: h = xxhash64(token); bit i contributes +1 if set else
+    Per token: h = hash(token); bit i contributes +1 if set else
     -1. A per-row ``aggregate`` over the token-hash array — no shuffle.
     Materialize this as its own column, then apply :func:`pack_bits`
     (referencing it 64× inline would re-run the fold per bit lane).
+
+    ``hash_fn='md5'`` uses portable_hash60 (oracle-reproducible);
+    pair it with bits <= 60.
     """
     # hash every token exactly once (string hashing dominates cost),
     # then fold cheap bit ops over the hash array; bit positions are
     # Python literals (shiftright takes an int, not a Column)
-    token_hashes = F.transform(tokens(text_col), lambda t: F.xxhash64(t))
-    zero = F.array_repeat(F.lit(0).cast("long"), 64)
+    _thash = portable_hash60 if hash_fn == "md5" else F.xxhash64
+    token_hashes = F.transform(tokens(text_col), lambda t: _thash(t))
+    zero = F.array_repeat(F.lit(0).cast("long"), bits)
     counts = F.aggregate(
         token_hashes,
         zero,
@@ -455,7 +486,7 @@ def simhash_counts(text_col: Column | str) -> Column:
                     F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1)
                     .otherwise(-1)
                     .cast("long")
-                    for i in range(64)
+                    for i in range(bits)
                 ]
             ),
             lambda a, c: a + c,
@@ -464,21 +495,22 @@ def simhash_counts(text_col: Column | str) -> Column:
     return counts
 
 
-def pack_bits(counts_col: Column | str) -> Column:
-    """Pack a 64-long counts array into one bigint signature
+def pack_bits(counts_col: Column | str, bits: int = 64) -> Column:
+    """Pack a counts array into one bigint signature
     (bit i = 1 iff counts[i] >= 0)."""
     counts = F.col(counts_col) if isinstance(counts_col, str) else counts_col
     bit_terms = [
         F.when(F.element_at(counts, i + 1) >= 0, F.lit(1 << i).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
-        for i in range(63)
+        for i in range(min(bits, 63))
     ]
-    # bit 63 is the sign bit: set it via negative literal to stay in int64
-    sign = F.when(F.element_at(counts, 64) >= 0, F.lit(-(1 << 63)).cast("long")).otherwise(
-        F.lit(0).cast("long")
-    )
-    out = sign
+    out = F.lit(0).cast("long")
+    if bits == 64:
+        # bit 63 is the sign bit: set it via negative literal to stay in int64
+        out = F.when(F.element_at(counts, 64) >= 0, F.lit(-(1 << 63)).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
     for term in bit_terms:
         out = out.bitwiseOR(term)
     return out
@@ -492,23 +524,32 @@ def simhash64(text_col: Column | str) -> Column:
 
 
 def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bits: int = 64,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs with SimHash Hamming distance <= max_hamming.
 
-    Block trick: split the 64-bit signature into (max_hamming + 1)
-    16-bit blocks; by pigeonhole, any pair within distance k shares at
-    least one exact block — candidates come from a self-join on
-    (block_idx, block_value), then exact Hamming verify via bit_count.
+    Block trick: split the ``bits``-wide signature into
+    (max_hamming + 1) equal blocks; by pigeonhole, any pair within
+    distance k shares at least one exact block — candidates come from a
+    self-join on (block_idx, block_value), then exact Hamming verify
+    via bit_count. Docs with no tokens are excluded (their all-ones
+    zero-count signature would pair every empty doc with every other).
     """
     n_blocks = max_hamming + 1
-    width = 64 // n_blocks
+    width = bits // n_blocks
     # staged + cached: the signature feeds the block explode AND both
     # sides of the candidate self-join
     sig = (
-        df.select(F.col(id_col).alias("doc"), simhash_counts(text_col).alias("_cnt"))
-        .withColumn("sig", pack_bits("_cnt"))
-        .drop("_cnt")
+        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_txt"))
+        .filter(F.size(tokens("_txt")) > 0)
+        .withColumn("_cnt", simhash_counts(F.col("_txt"), bits, hash_fn))
+        .withColumn("sig", pack_bits("_cnt", bits))
+        .drop("_cnt", "_txt")
         .persist()
     )
 

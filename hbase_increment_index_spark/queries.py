@@ -1326,11 +1326,71 @@ WHERE ROUND(common / (sa.n_sh + sb.n_sh - common), 6) >= 0.30
 
 
 def e2b_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup (xxhash64 signatures — rows-only check)."""
+    """MinHash+LSH near-dup pairs, fully oracle-checked: signatures use
+    the portable md5-derived shingle hash so DuckDB reproduces the lane
+    minima, band buckets, candidate set, AND verified jaccard exactly.
+    (Production default stays xxhash64 — exercised by e2d's pandas
+    kernel — only the string→int kernel differs.)"""
     docs = _t(spark, sf_dir, "documents")
     return minhash_lsh_pairs(
-        docs, "doc_id", "text", num_perm=64, bands=16, threshold=0.30, impl="pandas"
+        docs, "doc_id", "text", num_perm=64, bands=16, threshold=0.30,
+        impl="expr", hash_fn="md5",
     )
+
+
+def _e2b_sql() -> str:
+    from hbase_increment_index_spark.pipeline.dedup import (
+        _MERSENNE,
+        _perm_params,
+        PORTABLE_HASH60_SQL,
+    )
+
+    params = ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(_perm_params(64))
+    )
+    toks = _SQL_TOKS.format(c="text")
+    h = PORTABLE_HASH60_SQL.format(c="sh")
+    return f"""
+WITH base AS (
+  SELECT doc_id AS doc,
+         list_transform(
+           generate_series(1, greatest(len({toks}) - 2, 0)),
+           i -> array_to_string(list_slice({toks}, i, i + 2), ' ')
+         ) AS grams
+  FROM documents
+),
+sh AS (SELECT DISTINCT doc, unnest(grams) AS sh FROM base WHERE len(grams) > 0),
+hs AS (SELECT doc, {h} % {_MERSENNE} AS hv FROM sh),
+params(lane, a, b) AS (VALUES {params}),
+lanes AS (
+  SELECT doc, lane, MIN((a * hv + b) % {_MERSENNE}) AS m
+  FROM hs CROSS JOIN params GROUP BY doc, lane
+),
+bandkeys AS (
+  SELECT doc, lane // 4 AS band,
+         string_agg(CAST(m AS VARCHAR), ',' ORDER BY lane) AS bk
+  FROM lanes GROUP BY doc, lane // 4
+),
+cand AS (
+  SELECT DISTINCT x.doc AS id_a, y.doc AS id_b
+  FROM bandkeys x JOIN bandkeys y USING (band, bk)
+  WHERE x.doc < y.doc
+),
+sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
+common AS (
+  SELECT c.id_a, c.id_b, count(*) AS common
+  FROM cand c
+  JOIN sh a ON a.doc = c.id_a
+  JOIN sh b ON b.doc = c.id_b AND b.sh = a.sh
+  GROUP BY c.id_a, c.id_b
+)
+SELECT id_a, id_b,
+       ROUND(common / (sa.n_sh + sb.n_sh - common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc = id_a
+JOIN sizes sb ON sb.doc = id_b
+WHERE ROUND(common / (sa.n_sh + sb.n_sh - common), 6) >= 0.30
+"""
 
 
 def e2d_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1347,9 +1407,52 @@ def e2d_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def e2c_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash hamming<=3 near-dup (xxhash64-based — rows-only check)."""
+    """SimHash near-dup pairs (hamming <= 3 over a 60-bit signature),
+    fully oracle-checked via the portable md5 token hash — DuckDB
+    rebuilds the same per-bit sums, packed signatures, block-join
+    candidates, and hamming verify. (64-bit xxhash64 remains the
+    production default, covered by unit tests.)"""
     docs = _t(spark, sf_dir, "documents")
-    return simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+    return simhash_pairs(docs, "doc_id", "text", max_hamming=3, bits=60, hash_fn="md5")
+
+
+def _e2c_sql() -> str:
+    from hbase_increment_index_spark.pipeline.dedup import PORTABLE_HASH60_SQL
+
+    toks = _SQL_TOKS.format(c="text")
+    h = PORTABLE_HASH60_SQL.format(c="t")
+    return f"""
+WITH tok AS (
+  SELECT doc_id AS doc, unnest({toks}) AS t
+  FROM documents WHERE len({toks}) > 0
+),
+th AS (SELECT doc, {h} AS hv FROM tok),
+bitsums AS (
+  SELECT doc, b.i AS i,
+         SUM(CASE WHEN (hv >> b.i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM th CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS i) b
+  GROUP BY doc, b.i
+),
+sig AS (
+  SELECT doc,
+         CAST(SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << i)
+                       ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sig
+  FROM bitsums GROUP BY doc
+),
+blk AS (
+  SELECT doc, sig, b.i AS blk, (sig >> (15 * b.i)) & 32767 AS bv
+  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) b
+),
+cand AS (
+  SELECT DISTINCT x.doc AS id_a, y.doc AS id_b,
+         x.sig AS sig_a, y.sig AS sig_b
+  FROM blk x JOIN blk y USING (blk, bv)
+  WHERE x.doc < y.doc
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(sig_a, sig_b)) <= 3
+"""
 
 
 def e3_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1725,6 +1828,8 @@ ORACLES: dict[str, str] = {
     "e1b_duplicate_clusters": E1B_SQL,
     "e1c_dedup_with_dups": E1C_SQL,
     "e2_ngram_jaccard": E2_SQL,
+    "e2b_minhash_lsh": _e2b_sql(),
+    "e2c_simhash": _e2c_sql(),
     "e3_cosine_topk": E3_SQL,
     "e3c_embedding_pairs": E3C_SQL,
     "e4_token_counts": E4_TOKENS_SQL,

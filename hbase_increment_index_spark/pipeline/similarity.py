@@ -110,21 +110,40 @@ def knn_join_brute_force(
 
 # ----------------------------------------------------- LSH (hyperplane)
 
-def _plane(plane_idx: int, dim: int) -> Column:
+def _plane(plane_idx: int, dim: int, plane_fn: str = "xxhash64") -> Column:
     """Deterministic pseudo-random hyperplane: component j of plane i is
-    xxhash64(i, j) scaled to [-1, 1]. Stateless — any executor can
-    re-derive it; nothing is shipped."""
+    hash(i, j) scaled to [-1, 1]. Stateless — any executor can
+    re-derive it; nothing is shipped.
+
+    ``plane_fn='md5'`` derives components from portable_hash60 as exact
+    rationals (k/1e6) so the DuckDB oracle rebuilds the identical
+    planes; the fold order of :func:`dot` is left-to-right in both
+    engines, so even the float dot product is bit-reproducible."""
+    if plane_fn == "md5":
+        from hbase_increment_index_spark.pipeline.dedup import portable_hash60
+
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda j: (
+                F.pmod(
+                    portable_hash60(F.concat(F.lit(f"{plane_idx},"), j.cast("string"))),
+                    F.lit(2000001),
+                )
+                - F.lit(1000000)
+            )
+            / F.lit(1000000.0),
+        )
     return F.transform(
         F.sequence(F.lit(0), F.lit(dim - 1)),
         lambda j: (F.xxhash64(F.lit(plane_idx), j) / F.lit(float(2**63))),
     )
 
 
-def lsh_bucket(vec_col: Column, n_planes: int, dim: int) -> Column:
+def lsh_bucket(vec_col: Column, n_planes: int, dim: int, plane_fn: str = "xxhash64") -> Column:
     """Sign-of-dot-product bucket id (0 .. 2^n_planes - 1) as bigint."""
     bucket = F.lit(0).cast("long")
     for i in range(n_planes):
-        bit = F.when(dot(vec_col, _plane(i, dim)) >= 0, F.lit(1)).otherwise(F.lit(0))
+        bit = F.when(dot(vec_col, _plane(i, dim, plane_fn)) >= 0, F.lit(1)).otherwise(F.lit(0))
         bucket = bucket + (bit.cast("long") * F.lit(1 << i))
     return bucket
 
@@ -135,11 +154,12 @@ def build_lsh_buckets(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    plane_fn: str = "xxhash64",
 ) -> DataFrame:
     """Assign every vector its LSH bucket. At scale this frame is
     written ``partitionBy('bucket')`` so a probe reads one directory."""
     return embeddings.withColumn(
-        "bucket", lsh_bucket(F.col(vec_col).cast("array<double>"), n_planes, dim)
+        "bucket", lsh_bucket(F.col(vec_col).cast("array<double>"), n_planes, dim, plane_fn)
     )
 
 

@@ -1519,13 +1519,38 @@ WHERE ROUND(list_dot_product(a.e, b.e)
 
 def e3d_lsh_bucket_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH bucket histogram — the partition-pruning scale
-    path for e3c (rows-only: buckets depend on xxhash-derived planes)."""
+    path for e3c. Fully oracle-checked: planes come from the portable
+    md5 hash as exact rationals, and the dot product is a left fold in
+    both engines, so bucket assignment is bit-reproducible."""
     from hbase_increment_index_spark.pipeline.similarity import build_lsh_buckets
 
     emb = _t(spark, sf_dir, "embeddings")
-    return build_lsh_buckets(emb, n_planes=6, dim=64).groupBy("bucket").agg(
+    return build_lsh_buckets(emb, n_planes=6, dim=64, plane_fn="md5").groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+E3D_SQL = """
+WITH planes AS (
+  SELECT i, list_transform(
+           generate_series(0, 63),
+           j -> ((('0x' || substr(md5(CAST(i AS VARCHAR) || ',' || CAST(j AS VARCHAR)), 1, 15))::BIGINT
+                  % 2000001) - 1000000) / 1000000.0
+         ) AS w
+  FROM (SELECT unnest(generate_series(0, 5)) AS i)
+),
+bits AS (
+  SELECT e.vec_id, p.i,
+         CASE WHEN list_reduce(
+                list_prepend(0.0, list_transform(
+                  list_zip(CAST(e.embedding AS DOUBLE[]), p.w), s -> s[1] * s[2])),
+                (a, b) -> a + b) >= 0
+              THEN CAST(1 AS BIGINT) << p.i ELSE CAST(0 AS BIGINT) END AS term
+  FROM embeddings e CROSS JOIN planes p
+),
+buckets AS (SELECT vec_id, CAST(SUM(term) AS BIGINT) AS bucket FROM bits GROUP BY vec_id)
+SELECT bucket, count(*) AS n FROM buckets GROUP BY bucket
+"""
 
 
 def e4e_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1832,6 +1857,7 @@ ORACLES: dict[str, str] = {
     "e2c_simhash": _e2c_sql(),
     "e3_cosine_topk": E3_SQL,
     "e3c_embedding_pairs": E3C_SQL,
+    "e3d_lsh_bucket_sizes": E3D_SQL,
     "e4_token_counts": E4_TOKENS_SQL,
     "e4e_bigram_counts": E4E_SQL,
     "e4f_bpe_token_count": E4F_SQL,

@@ -1338,7 +1338,10 @@ def e2b_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _e2b_sql() -> str:
+def _minhash_sql_ctes() -> str:
+    """Shared CTE chain rebuilding minhash_lsh_pairs(hash_fn='md5')
+    in DuckDB, ending in a ``pairs(id_a, id_b, jaccard)`` CTE
+    (threshold 0.30 applied). Used by the e2b and e2d oracles."""
     from hbase_increment_index_spark.pipeline.dedup import (
         _MERSENNE,
         _perm_params,
@@ -1350,8 +1353,7 @@ def _e2b_sql() -> str:
     )
     toks = _SQL_TOKS.format(c="text")
     h = PORTABLE_HASH60_SQL.format(c="sh")
-    return f"""
-WITH base AS (
+    return f"""base AS (
   SELECT doc_id AS doc,
          list_transform(
            generate_series(1, greatest(len({toks}) - 2, 0)),
@@ -1383,25 +1385,54 @@ common AS (
   JOIN sh a ON a.doc = c.id_a
   JOIN sh b ON b.doc = c.id_b AND b.sh = a.sh
   GROUP BY c.id_a, c.id_b
-)
-SELECT id_a, id_b,
-       ROUND(common / (sa.n_sh + sb.n_sh - common), 6) AS jaccard
-FROM common
-JOIN sizes sa ON sa.doc = id_a
-JOIN sizes sb ON sb.doc = id_b
-WHERE ROUND(common / (sa.n_sh + sb.n_sh - common), 6) >= 0.30
+),
+pairs AS (
+  SELECT id_a, id_b,
+         ROUND(common / (sa.n_sh + sb.n_sh - common), 6) AS jaccard
+  FROM common
+  JOIN sizes sa ON sa.doc = id_a
+  JOIN sizes sb ON sb.doc = id_b
+  WHERE ROUND(common / (sa.n_sh + sb.n_sh - common), 6) >= 0.30
+)"""
+
+
+def _e2b_sql() -> str:
+    return f"WITH {_minhash_sql_ctes()}\nSELECT id_a, id_b, jaccard FROM pairs"
+
+
+def _e2d_sql() -> str:
+    """Near-dup clusters oracle: minhash pairs (portable hash) →
+    transitive closure via recursive CTE → component = min reachable
+    id (exactly what label propagation converges to)."""
+    return f"""
+WITH RECURSIVE {_minhash_sql_ctes()},
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+comp AS (SELECT u, least(u, min(v)) AS component FROM reach GROUP BY u)
+SELECT u AS doc_id, component, (component = u) AS is_canonical FROM comp
 """
 
 
 def e2d_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clustering end-to-end (LSH pairs → connected
-    components → canonical flags) — iterative algorithm, rows-only
-    check per the driver contract."""
+    components → canonical flags), fully oracle-checked: portable-hash
+    pairs (numpy pandas kernel — bit-identical to the expression path)
+    and label propagation converges to min-id-per-component, which the
+    oracle rebuilds as a recursive-CTE transitive closure."""
     from hbase_increment_index_spark.pipeline.dedup import near_dup_clusters
 
     docs = _t(spark, sf_dir, "documents")
     out = near_dup_clusters(
-        docs, "doc_id", "text", threshold=0.30, num_perm=64, bands=16, impl="pandas"
+        docs, "doc_id", "text", threshold=0.30, num_perm=64, bands=16,
+        impl="pandas", hash_fn="md5",
     )
     return out.filter(F.col("component").isNotNull())
 
@@ -1855,6 +1886,7 @@ ORACLES: dict[str, str] = {
     "e2_ngram_jaccard": E2_SQL,
     "e2b_minhash_lsh": _e2b_sql(),
     "e2c_simhash": _e2c_sql(),
+    "e2d_dedup_clusters": _e2d_sql(),
     "e3_cosine_topk": E3_SQL,
     "e3c_embedding_pairs": E3C_SQL,
     "e3d_lsh_bucket_sizes": E3D_SQL,

@@ -1,0 +1,112 @@
+"""Dataset sampling / splitting / packing — the training-data-pipeline
+operators a 100 TB corpus job runs after dedup and quality filtering
+(BASELINE.json north_star: LLM-data-pipeline operators beyond the
+reference surface).
+
+Everything here is DETERMINISTIC BY CONTENT — assignment is a pure
+function of the row's id via the portable hash, never an RNG:
+
+- reruns and backfills produce the same split (reproducible training);
+- no shuffle is needed for split/sample — they're narrow projections
+  and filters, embarrassingly parallel at any scale;
+- the DuckDB oracle computes the identical assignment, so these are
+  value-checked, not just row-counted.
+
+Packing is the one operator that needs an order: it windows a running
+token total per shard (shard = hash of id), so the only shuffle is on
+the shard key — bounded parallelism with deterministic output, instead
+of a single global sort that would bottleneck at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from hbase_increment_index_spark.pipeline.dedup import portable_hash60
+
+# Assignment granularity: hash is reduced mod 1e6 and compared against
+# frac * 1e6 — exact integer thresholds, no float comparison drift.
+_BUCKETS = 1_000_000
+
+
+def _unit_bucket(id_col: Column | str, salt: str) -> Column:
+    """Deterministic bucket in [0, 1e6) from (salt, id). The salt keeps
+    independent decisions (split vs sample) uncorrelated — same idea as
+    seeding two RNG streams, but content-addressed."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.pmod(portable_hash60(F.concat(F.lit(salt + ":"), c.cast("string"))), F.lit(_BUCKETS))
+
+
+def train_val_split(
+    df: DataFrame,
+    id_col: str,
+    val_frac: float = 0.1,
+    test_frac: float = 0.0,
+    salt: str = "split",
+) -> DataFrame:
+    """Add a ``split`` column ('train' / 'val' / 'test') by hashed id.
+
+    Fractions are exact integer thresholds on a 1e6-bucket hash, so
+    expected proportions hold corpus-wide and every executor decides a
+    row locally (no shuffle, no coordination)."""
+    b = _unit_bucket(id_col, salt)
+    val_hi = int(val_frac * _BUCKETS)
+    test_hi = val_hi + int(test_frac * _BUCKETS)
+    split = (
+        F.when(b < F.lit(val_hi), F.lit("val"))
+        .when(b < F.lit(test_hi), F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+    return df.withColumn("split", split)
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_frac: float = 0.0,
+    salt: str = "sample",
+) -> DataFrame:
+    """Keep a per-stratum deterministic fraction of rows (domain-mixing
+    downsampling: e.g. keep 100% of books, 10% of web crawl).
+
+    A filter over a narrow projection — no shuffle, no sampleBy RNG;
+    the kept set is stable across reruns and cluster sizes."""
+    b = _unit_bucket(id_col, salt)
+    thresh = F.lit(int(default_frac * _BUCKETS))
+    for value, frac in sorted(fractions.items()):
+        thresh = F.when(F.col(strata_col) == value, F.lit(int(frac * _BUCKETS))).otherwise(thresh)
+    return df.filter(b < thresh)
+
+
+def pack_batches(
+    df: DataFrame,
+    id_col: str,
+    token_col: Column | str,
+    budget: int,
+    n_shards: int = 64,
+    salt: str = "pack",
+) -> DataFrame:
+    """Assign each document a (shard, batch_id) so every batch holds
+    consecutive docs totalling ~``budget`` tokens (sequence packing for
+    training). batch_id = exclusive-prefix-sum(tokens) div budget
+    within the shard, docs ordered by id — a document that crosses a
+    budget boundary starts the next batch's count but stays whole.
+
+    Sharding first (by hashed id) keeps the window partition bounded:
+    the shuffle is on ``n_shards`` keys sized corpus/n_shards, not one
+    global sort. Deterministic: same corpus → same batches, regardless
+    of parallelism."""
+    tok = F.col(token_col) if isinstance(token_col, str) else token_col
+    shard = F.pmod(portable_hash60(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))), F.lit(n_shards))
+    staged = df.withColumn("shard", shard).withColumn("_tok", tok)
+    w = Window.partitionBy("shard").orderBy(F.col(id_col).asc())
+    prefix_excl = F.coalesce(
+        F.sum("_tok").over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+    )
+    return (
+        staged.withColumn("batch_id", F.floor(prefix_excl / F.lit(budget)).cast("long"))
+        .drop("_tok")
+    )

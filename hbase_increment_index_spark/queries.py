@@ -1752,6 +1752,82 @@ FROM documents
 
 
 # --------------------------------------------------------------------------
+# E6 — dataset sampling / splitting / packing (training-pipeline ops)
+# --------------------------------------------------------------------------
+
+# DuckDB twin of sampling._unit_bucket: hash('salt:id') mod 1e6
+_SQL_BUCKET = "((('0x' || substr(md5('{salt}:' || CAST({c} AS VARCHAR)), 1, 15))::BIGINT) % 1000000)"
+
+
+def e6a_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split by hashed doc id (10% val,
+    5% test) — per-document assignment, value-checked by the oracle."""
+    from hbase_increment_index_spark.pipeline.sampling import train_val_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return train_val_split(docs, "doc_id", val_frac=0.10, test_frac=0.05).select(
+        "doc_id", "split"
+    )
+
+
+E6A_SQL = f"""
+SELECT doc_id,
+       CASE WHEN {_SQL_BUCKET.format(salt='split', c='doc_id')} < 100000 THEN 'val'
+            WHEN {_SQL_BUCKET.format(salt='split', c='doc_id')} < 150000 THEN 'test'
+            ELSE 'train' END AS split
+FROM documents
+"""
+
+
+def e6b_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixing downsample: keep 50% of English, all of Chinese,
+    10% of everything else — deterministic per-stratum hash filter."""
+    from hbase_increment_index_spark.pipeline.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = stratified_sample(
+        docs, "doc_id", "lang", {"en": 0.5, "zh": 1.0}, default_frac=0.1
+    )
+    return out.select("doc_id", "lang")
+
+
+E6B_SQL = f"""
+SELECT doc_id, lang
+FROM documents
+WHERE {_SQL_BUCKET.format(salt='sample', c='doc_id')} <
+      CASE lang WHEN 'en' THEN 500000 WHEN 'zh' THEN 1000000 ELSE 100000 END
+"""
+
+
+def e6c_pack_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: shard by hashed id, then batch consecutive
+    docs (by id within shard) into ~2000-token groups via an
+    exclusive-prefix-sum window."""
+    from hbase_increment_index_spark.pipeline.sampling import pack_batches
+    from hbase_increment_index_spark.pipeline.text import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    out = pack_batches(docs, "doc_id", token_count(F.col("text")), budget=2000, n_shards=8)
+    return out.select("doc_id", "shard", "batch_id")
+
+
+E6C_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         ((('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT) % 8) AS shard,
+         len({_SQL_TOKS.format(c='text')}) AS tok
+  FROM documents
+)
+SELECT doc_id, shard,
+       CAST(COALESCE(SUM(tok) OVER (
+              PARTITION BY shard ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2000
+            AS BIGINT) AS batch_id
+FROM t
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -1827,6 +1903,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e5_multimodal_join": e5_multimodal_join,
     "e5b_media_features": e5b_media_features,
     "e5c_frame_sample": e5c_frame_sample,
+    "e6a_hash_split": e6a_hash_split,
+    "e6b_stratified_sample": e6b_stratified_sample,
+    "e6c_pack_batches": e6c_pack_batches,
 }
 
 ORACLES: dict[str, str] = {
@@ -1898,4 +1977,7 @@ ORACLES: dict[str, str] = {
     "e4d_fingerprint": E4D_SQL,
     "e5_multimodal_join": E5_SQL,
     "e5c_frame_sample": E5C_SQL,
+    "e6a_hash_split": E6A_SQL,
+    "e6b_stratified_sample": E6B_SQL,
+    "e6c_pack_batches": E6C_SQL,
 }

@@ -156,3 +156,38 @@ def test_multimodal_plumbing(docs):
     assert all(r["n_bytes"] > 0 for r in rows)
     frames = sample_frames(media, every_ms=100)
     assert frames.count() > docs.count()  # several frames per video
+
+
+def test_train_val_split_deterministic_and_partitioned(docs):
+    from hbase_increment_index_spark.pipeline.sampling import train_val_split
+
+    a = {r["doc_id"]: r["split"] for r in train_val_split(docs, "doc_id", 0.3, 0.2).collect()}
+    b = {r["doc_id"]: r["split"] for r in train_val_split(docs, "doc_id", 0.3, 0.2).collect()}
+    assert a == b  # content-addressed, rerun-stable
+    assert set(a.values()) <= {"train", "val", "test"}
+
+
+def test_stratified_sample_respects_full_and_zero(docs):
+    from hbase_increment_index_spark.pipeline.sampling import stratified_sample
+
+    docs2 = docs.withColumn("stratum", F.lit("keep"))
+    kept = stratified_sample(docs2, "doc_id", "stratum", {"keep": 1.0})
+    assert kept.count() == docs.count()
+    dropped = stratified_sample(docs2, "doc_id", "stratum", {"keep": 0.0})
+    assert dropped.count() == 0
+
+
+def test_pack_batches_budget(spark):
+    from hbase_increment_index_spark.pipeline.sampling import pack_batches
+
+    rows = [(i, 100) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, tok long")
+    out = pack_batches(df, "id", "tok", budget=300, n_shards=2)
+    # within a (shard, batch): ordered prefix sums never start past the
+    # budget boundary — each batch's exclusive prefix div budget is const
+    agg = out.groupBy("shard", "batch_id").agg(F.count("*").alias("n")).collect()
+    assert all(r["n"] <= 3 for r in agg)  # 3 x 100 tokens fills a 300 budget
+    # deterministic across repartitioning
+    out2 = pack_batches(df.repartition(7), "id", "tok", budget=300, n_shards=2)
+    assert sorted(map(tuple, out.select("id", "shard", "batch_id").collect())) == \
+        sorted(map(tuple, out2.select("id", "shard", "batch_id").collect()))

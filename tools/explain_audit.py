@@ -24,6 +24,9 @@ AUDITED = [
     "cdc_merge_batches",
     "e1_exact_dedup",
     "e3_cosine_topk",
+    "e2b_minhash_lsh",
+    "e6a_hash_split",
+    "e6c_pack_batches",
 ]
 
 

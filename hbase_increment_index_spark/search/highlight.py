@@ -1,0 +1,73 @@
+"""Suggester + highlighting — the remaining pieces of the Solr
+`select`-handler surface the reference delegates queries to
+(SURVEY.md §2.2; Solr suggest/spellcheck and highlighting components
+a "搭建一套solr" deployment exposes alongside q/fq/facet).
+
+Both are single-pass, shuffle-light plans:
+
+- suggest: postings explode → prefix filter (pushed into the scan's
+  projection) → groupBy(term) with map-side combine → top-k. The
+  vocabulary aggregate is tiny; at 100 TB you'd serve it from the
+  materialized inverted index (search.inverted) instead of re-scanning.
+- snippets: a pure per-row projection (tokenize → first-match position
+  → slice a window) — zero shuffle, embarrassingly parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hbase_increment_index_spark.search.tokenize import tokens
+
+
+def suggest_terms(
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    prefix: str,
+    k: int = 10,
+) -> DataFrame:
+    """Top-k vocabulary completions for ``prefix`` ranked by corpus
+    frequency (Solr suggester semantics: popular terms first, ties
+    lexicographic). Returns (term, freq)."""
+    return (
+        corpus.select(F.explode(tokens(text_col)).alias("term"))
+        .filter(F.col("term").startswith(prefix))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("term").asc())
+        .limit(k)
+    )
+
+
+def snippets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    term: str,
+    window: int = 3,
+) -> DataFrame:
+    """Highlighting: for documents containing ``term``, a snippet of
+    ``window`` tokens on each side of the FIRST occurrence (Solr
+    hl.fragsize analogue, token-based and deterministic).
+
+    Returns (id, pos, snippet) for matching docs only; pos is the
+    1-based token position of the first hit."""
+    toks = tokens(text_col)
+    staged = df.select(F.col(id_col), toks.alias("_toks")).withColumn(
+        "pos", F.array_position("_toks", term)
+    )
+    start = F.greatest(F.col("pos") - window, F.lit(1))
+    # slice length: window both sides + the hit, clipped at array end
+    length = F.least(
+        F.col("pos") + window, F.size("_toks")
+    ) - start + 1
+    return (
+        staged.filter(F.col("pos") > 0)
+        .select(
+            F.col(id_col),
+            F.col("pos"),
+            F.array_join(F.slice("_toks", start, length), " ").alias("snippet"),
+        )
+    )

@@ -152,8 +152,11 @@ class SecondaryIndex:
 
         matched = df  # facets/stats compute over the full filtered set
 
-        out = df.select(*fl) if fl else df
-        tb = tie_break or (fl[0] if fl else out.columns[0])
+        # Sort/pagination run on the FULL row (before the fl projection)
+        # so the order/tie-break columns need not appear in fl; tie-break
+        # defaults to the unique key, which is the only column guaranteed
+        # to give the deterministic total order paging.py requires.
+        tb = tie_break or self.key_field
         if group_field:
             out = group_top_n(
                 df, group_field, order=sort or [F.col(tb).asc()], tie_break=tb, n=group_limit
@@ -161,9 +164,13 @@ class SecondaryIndex:
             if fl:
                 out = out.select(*dict.fromkeys([group_field, *fl]))
         elif sort:
-            out = sorted_page(out, order=sort, tie_break=tb, start=start, rows=rows or 10)
-        elif rows is not None:
-            out = out.limit(rows)
+            out = sorted_page(df, order=sort, tie_break=tb, start=start, rows=rows or 10)
+            if fl:
+                out = out.select(*fl)
+        else:
+            out = df.select(*fl) if fl else df
+            if rows is not None:
+                out = out.limit(rows)
 
         resp = SearchResponse(docs=out)
         for f_ in facet_fields or []:

@@ -34,13 +34,21 @@ def asof_join_backward(
     Returns left columns + the matched payload columns (NULL payload =
     no right row at or before the event; filter on it for inner
     semantics).
+
+    The payload travels as ONE struct through ``last(ignorenulls)``, so
+    every payload column comes from the same matched right row — a NULL
+    field inside the match stays NULL instead of being backfilled
+    column-by-column from an older right row.
     """
+    r_payload = F.struct(*[F.col(c).alias(c) for c in payload])
     l_tag = left.select(
         F.col(key).alias("_k"),
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_is_left"),
         F.lit(None).cast("long").alias("_tie"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_p_{c}") for c in payload],
+        F.lit(None)
+        .cast(right.select(r_payload.alias("_p")).schema["_p"].dataType)
+        .alias("_p"),
         F.struct(*left.columns).alias("_row"),
     )
     r_tag = right.select(
@@ -48,7 +56,7 @@ def asof_join_backward(
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_is_left"),
         F.col(right_tie).cast("long").alias("_tie"),
-        *[F.col(c).alias(f"_p_{c}") for c in payload],
+        r_payload.alias("_p"),
         F.lit(None).cast(l_tag.schema["_row"].dataType).alias("_row"),
     )
     unioned = l_tag.unionByName(r_tag)
@@ -60,11 +68,9 @@ def asof_join_backward(
         .orderBy(F.col("_ts").asc(), F.col("_is_left").asc(), F.col("_tie").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = unioned.select(
-        "*", *[F.last(f"_p_{c}", ignorenulls=True).over(w).alias(f"_m_{c}") for c in payload]
-    )
+    filled = unioned.select("*", F.last("_p", ignorenulls=True).over(w).alias("_m"))
     out = filled.filter(F.col("_is_left") == 1).select(
         *[F.col("_row")[c].alias(c) for c in left.columns],
-        *[F.col(f"_m_{c}").alias(c) for c in payload],
+        *[F.col("_m")[c].alias(c) for c in payload],
     )
     return out

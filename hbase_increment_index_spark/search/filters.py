@@ -12,6 +12,8 @@ the rowkey field (reference application.properties:4).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -44,9 +46,21 @@ def phrase(text_field: str, words: list[str]) -> Column:
     Matched on the raw lowercased text with a word-boundary regex —
     equivalent to a position-aware posting check for space-separated
     corpora, without materializing positions.
+
+    Each word is regex-escaped, so quoted phrases containing
+    metacharacters (``"3.5 (beta)"``, ``"c++"``) match literally instead
+    of blowing up pattern compilation. ``\\b`` anchors are only applied
+    where the phrase edge is a word character — after ``+`` or ``)``
+    there is no word boundary to assert.
     """
-    needle = r"\b" + r"\s+".join(words) + r"\b"
-    return F.lower(F.col(text_field)).rlike(needle.lower())
+    if not words:
+        return F.lit(True)
+    parts = [re.escape(w.lower()) for w in words]
+    first, last = words[0].lower(), words[-1].lower()
+    lead = r"\b" if (first[:1].isalnum() or first[:1] == "_") else ""
+    trail = r"\b" if (last[-1:].isalnum() or last[-1:] == "_") else ""
+    needle = lead + r"\s+".join(parts) + trail
+    return F.lower(F.col(text_field)).rlike(needle)
 
 
 def by_id(df: DataFrame, key_field: str, key) -> DataFrame:

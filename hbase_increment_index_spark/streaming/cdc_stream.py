@@ -36,6 +36,19 @@ CELL_LOG_DDL = (
 )
 
 
+def _committed_state_exists(spark: SparkSession, path: str) -> bool:
+    """True iff a previous micro-batch COMMITTED state at ``path``.
+
+    Uses Hadoop FileSystem (scheme-agnostic: file://, hdfs://, s3a://)
+    and requires the _SUCCESS marker, so a half-written directory from a
+    crashed overwrite counts as absent while a transient read failure of
+    existing data still surfaces as an error in the caller's read."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(jvm.org.apache.hadoop.fs.Path(path, "_SUCCESS")))
+
+
 def read_cell_stream(
     spark: SparkSession, log_dir: str, max_files_per_trigger: int = 1
 ) -> DataFrame:
@@ -73,10 +86,15 @@ def start_index_maintenance(
     def _merge(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():  # commit-only-if-data (SolrIndexTools.java:66-67)
             return
-        try:
+        # Bootstrap-vs-merge is decided by an EXPLICIT existence probe of
+        # the committed state (the _SUCCESS marker a successful overwrite
+        # leaves behind), never by catching read errors: a transient IO
+        # failure must propagate and fail the micro-batch (checkpoint
+        # retries it) rather than silently resetting accumulated state.
+        if _committed_state_exists(spark, state_path):
             state = spark.read.parquet(state_path)
             merged = merge_state(state, batch)
-        except Exception:
+        else:
             merged = compact_state(batch)
         # rewrite via staging dir for atomicity on plain parquet
         import shutil

@@ -26,30 +26,47 @@ COUNT_OUT_SCHEMA = "user_id long, n_events long, sum_value double"
 COUNT_STATE_SCHEMA = "n long, s double"
 
 
-def streaming_dedup(fingerprinted: DataFrame, group_col: str = "shard") -> DataFrame:
+def streaming_dedup(
+    fingerprinted: DataFrame,
+    group_col: str = "shard",
+    max_fps_per_shard: int | None = None,
+) -> DataFrame:
     """Continuous exact dedup: emit each (doc_id, fp) with a
     first_seen flag; state = the set of fingerprints seen per shard.
 
     Input must carry a ``shard`` column (e.g. pmod(xxhash64(fp), N)) so
     state partitions evenly — the fingerprint space is the shard key,
     NOT the doc id, so duplicates always meet the same state.
+
+    ``max_fps_per_shard`` bounds state size: once a shard holds that
+    many fingerprints, NEW fingerprints are no longer remembered across
+    batches (their rows still emit first_seen=true; within-batch
+    duplicates are still caught, but duplicates arriving in LATER
+    batches re-emit first_seen=true). That trades recall on post-cap
+    duplicates for a hard ceiling on state-store size and per-batch
+    serialization — size it as target_total_fps / n_shards. The state
+    list is append-ordered (never re-sorted), so per-batch cost is
+    O(batch + state_size) serialization, not O(state log state).
     """
 
     def _dedup(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        seen = set(state.get[0]) if state.exists else set()
+        fps = list(state.get[0]) if state.exists else []
+        seen = set(fps)
         for pdf in pdfs:
             flags = []
             for fp in pdf["fp"]:
                 fresh = fp not in seen
                 if fresh:
-                    seen.add(fp)
+                    seen.add(fp)  # within-batch dedup is always exact
+                    if max_fps_per_shard is None or len(fps) < max_fps_per_shard:
+                        fps.append(fp)  # cross-batch memory is what the cap bounds
                 flags.append(fresh)
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "fp": pdf["fp"], "first_seen": flags}
             )
-        state.update((sorted(seen),))
+        state.update((fps,))
 
     return fingerprinted.groupBy(group_col).applyInPandasWithState(
         _dedup,

@@ -93,3 +93,20 @@ def test_search_solr_query_string(index):
 def test_rank(index):
     top = index.rank("name", ["apple", "recipe"], k=2, id_col="rowkey").collect()
     assert top[0]["rowkey"] == "r1"  # matches both terms
+
+
+def test_search_fl_omits_sort_column(index):
+    # fl projects AWAY the sort column and the tie-break (rowkey); the
+    # sort must still work because pagination runs pre-projection and
+    # tie-break defaults to key_field (ADVICE r1).
+    resp = index.search(
+        sort=[F.col("price").cast("int").desc()],
+        fl=["name"],
+        start=1,
+        rows=2,
+    )
+    assert [r["name"] for r in resp.docs.collect()] == [
+        "banana bread recipe",
+        "apple pie recipe",
+    ]
+    assert resp.docs.columns == ["name"]

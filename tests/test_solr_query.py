@@ -66,6 +66,31 @@ def test_phrase(docs):
     assert n == docs.filter(filters.phrase("text", ["row", "scan"])).count()
 
 
+def test_phrase_with_regex_metacharacters(spark):
+    # quoted phrases with regex metachars must match literally, not blow
+    # up rlike pattern compilation (ADVICE r1)
+    from pyspark.sql import functions as F
+
+    from hbase_increment_index_spark.search import filters
+
+    df = spark.createDataFrame(
+        [
+            (1, "released 3.5 (beta) today"),
+            (2, "released 3x5 Xbeta) today"),  # same text modulo metachars
+            (3, "we use c++ daily"),
+            (4, "we use cxx daily"),
+        ],
+        "id long, title string",
+    )
+    got35 = {r["id"] for r in df.filter(filters.phrase("title", ["3.5", "(beta)"])).collect()}
+    assert got35 == {1}
+    gotcpp = {r["id"] for r in df.filter(filters.phrase("title", ["c++"])).collect()}
+    assert gotcpp == {3}
+    # solr_select end-to-end with a quoted metachar phrase
+    n = solr_select(df, 'title:"3.5 (beta)"').count()
+    assert n == 1
+
+
 def test_parse_errors():
     from hbase_increment_index_spark.search.solr_query import parse_query
 

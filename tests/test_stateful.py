@@ -45,6 +45,48 @@ def test_streaming_dedup_across_batches(spark, tmp_path):
     assert rows[4] is False  # duplicate of doc 1, seen in an EARLIER batch
 
 
+def test_streaming_dedup_state_cap(spark, tmp_path):
+    # cap = 1: only the first fingerprint per shard is remembered across
+    # batches; a post-cap fingerprint re-emits first_seen on its next
+    # batch, but a pre-cap one stays deduped (ADVICE r1 bounded state)
+    src = str(tmp_path / "src")
+    # b1 fills the cap with 'aaa'; b2 then offers 'bbb' (over cap, not
+    # remembered) and a dup of 'aaa'; b3 re-offers 'bbb'
+    spark.createDataFrame([(1, "aaa")], "doc_id long, text string").write.parquet(f"{src}/b1")
+    spark.createDataFrame(
+        [(2, "bbb"), (3, "aaa")], "doc_id long, text string"
+    ).write.parquet(f"{src}/b2")
+    spark.createDataFrame([(4, "bbb")], "doc_id long, text string").write.parquet(f"{src}/b3")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    # single shard so both fps compete for the cap; deterministic batch
+    # order via maxFilesPerTrigger + lexicographic file listing
+    fingerprinted = stream.select(
+        "doc_id", F.md5("text").alias("fp"), F.lit(0).alias("shard")
+    )
+    out = streaming_dedup(fingerprinted, max_fps_per_shard=1)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_cap_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_cap"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        r["doc_id"]: r["first_seen"]
+        for r in spark.sql("SELECT * FROM dedup_cap_out").collect()
+    }
+    assert rows[1] is True              # fresh, fills the cap
+    assert rows[2] is True              # fresh but over cap -> not stored
+    assert rows[3] is False             # 'aaa' held in capped state
+    assert rows[4] is True              # 'bbb' was forgotten (recall trade-off)
+
+
 def test_running_user_counts(spark, sf_dir, tmp_path):
     from hbase_increment_index_spark.catalog import load_table
 

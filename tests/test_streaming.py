@@ -62,6 +62,22 @@ def test_stream_matches_batch(spark, dirs):
     assert got == want == {"A": "v2", "C": "c1"}
 
 
+def test_committed_state_probe(spark, tmp_path):
+    # bootstrap-vs-merge is decided by an explicit probe, not a bare
+    # except around the read (ADVICE r1): missing dir and half-written
+    # dir (no _SUCCESS) both read as "no committed state"
+    from hbase_increment_index_spark.streaming.cdc_stream import _committed_state_exists
+
+    p = str(tmp_path / "state")
+    assert _committed_state_exists(spark, p) is False
+    import os
+
+    os.makedirs(p)  # directory exists but no _SUCCESS -> still absent
+    assert _committed_state_exists(spark, p) is False
+    spark.range(1).write.mode("overwrite").parquet(p)
+    assert _committed_state_exists(spark, p) is True
+
+
 def test_windowed_event_counts_streaming(spark, sf_dir, tmp_path):
     # rate-limited file stream over the events fixture, event-time windows
     from hbase_increment_index_spark.catalog import load_table

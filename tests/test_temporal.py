@@ -37,3 +37,19 @@ def test_asof_backward_semantics(spark):
     assert out[2] == (None, None)     # nothing at or before
     assert out[3] == (None, None)     # right exists but strictly later
     assert out[4] == (None, None)     # key never seen on the right
+
+
+def test_asof_null_payload_field_not_stitched(spark):
+    # The matched right row has val=NULL; that NULL must survive instead
+    # of being backfilled from the older right row (10, 1.0) — all
+    # payload fields come from ONE matched row (ADVICE r1).
+    left = spark.createDataFrame([(1, "a", _ts(9))], "event_id long, k string, ts timestamp")
+    right = spark.createDataFrame(
+        [("a", _ts(2), 10, 1.0), ("a", _ts(5), 11, None)],
+        "k string, rts timestamp, rid long, val double",
+    )
+    row = asof_join_backward(
+        left, right, key="k", left_ts="ts", right_ts="rts",
+        payload=["rid", "val"], right_tie="rid",
+    ).collect()[0]
+    assert row["rid"] == 11 and row["val"] is None

@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from hbase_increment_index_spark.functions.layout import fan_out
 from hbase_increment_index_spark.pipeline.text import fingerprint
 from hbase_increment_index_spark.search.tokenize import tokens
 
@@ -129,7 +130,10 @@ def ngram_jaccard_pairs(
     Output: (id_a, id_b, jaccard) with id_a < id_b.
     """
     # row-level dedup (map-side-combined distinct) instead of per-row
-    # array_distinct: same set semantics, no O(S²) array scan
+    # array_distinct: same set semantics, no O(S²) array scan;
+    # fan_out spreads the interpreted-HOF shingling across cores when
+    # the source scan is under-partitioned (no-op at scale)
+    df = fan_out(df)
     sh = df.select(
         F.col(id_col).alias("doc"), F.explode(shingle_grams(text_col, n)).alias("sh")
     ).distinct()
@@ -314,7 +318,8 @@ def minhash_lsh_pairs(
     else:
         _shash = lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE))  # noqa: E731
     pre = (
-        df.select(F.col(id_col).alias("doc"), shingle_grams(text_col, shingle_n).alias("sh"))
+        fan_out(df)  # shingling + lane hashing is map-side CPU
+        .select(F.col(id_col).alias("doc"), shingle_grams(text_col, shingle_n).alias("sh"))
         .filter(F.size("sh") > 0)
         .withColumn("hs", F.transform("sh", _shash))
     )
@@ -545,7 +550,8 @@ def simhash_pairs(
     # staged + cached: the signature feeds the block explode AND both
     # sides of the candidate self-join
     sig = (
-        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_txt"))
+        fan_out(df)  # 64-lane bit counting is map-side CPU
+        .select(F.col(id_col).alias("doc"), F.col(text_col).alias("_txt"))
         .filter(F.size(tokens("_txt")) > 0)
         .withColumn("_cnt", simhash_counts(F.col("_txt"), bits, hash_fn))
         .withColumn("sig", pack_bits("_cnt", bits))

@@ -988,9 +988,12 @@ FROM documents
 # --------------------------------------------------------------------------
 
 def olap_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbase_increment_index_spark.functions.layout import fan_out
+
     li = _t(spark, sf_dir, "lineitem")
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        fan_out(li)  # decimal partial agg is the map-side cost
+        .filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             exact_sum("l_quantity", 2).alias("sum_qty"),
@@ -1030,11 +1033,14 @@ def olap_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation")
     region = _t(spark, sf_dir, "region")
+    from hbase_increment_index_spark.functions.layout import fan_out
+
     dims = (
         cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .select("c_custkey", "r_name")
     )
+    li = fan_out(li)  # orders/dims broadcast: join+agg run in the scan tasks
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from hbase_increment_index_spark.functions.layout import fan_out
 from hbase_increment_index_spark.search.tokenize import posting_list
 
 
@@ -47,6 +48,7 @@ def tfidf_topk(
     """
     spark = corpus.sparkSession
     n_docs = corpus.count()  # one cheap count job; cached upstream in practice
+    corpus = fan_out(corpus)  # tokenization is map-side CPU: spread the scan
 
     terms = spark.createDataFrame(
         [(t.lower(),) for t in sorted(set(query_terms))], ["term"]
@@ -88,6 +90,7 @@ def bm25_topk(
     """
     spark = corpus.sparkSession
     n_docs = corpus.count()
+    corpus = fan_out(corpus)  # tokenization is map-side CPU: spread the scan
 
     terms = spark.createDataFrame(
         [(t.lower(),) for t in sorted(set(query_terms))], ["term"]

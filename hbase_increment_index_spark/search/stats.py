@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from hbase_increment_index_spark.functions.layout import fan_out
 from hbase_increment_index_spark.numeric import exact_avg, exact_std, exact_sum
 
 
@@ -16,7 +17,12 @@ def stats_field(
     df: DataFrame, field: str, group_by: list[str] | None = None, scale: int = 6
 ) -> DataFrame:
     """Q13 — min/max/sum/mean/stddev/count/missing for a numeric field,
-    optionally per group (Solr ``stats.field=f&stats.facet=g``)."""
+    optionally per group (Solr ``stats.field=f&stats.facet=g``).
+
+    fan_out: the exact-decimal partial aggregation is the dominant
+    map-side cost; on an under-partitioned scan it would otherwise run
+    inside a single scan task."""
+    df = fan_out(df)
     c = F.col(field)
     aggs = [
         F.min(c).alias("min_v"),

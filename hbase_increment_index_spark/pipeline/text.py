@@ -134,6 +134,88 @@ def fingerprint(text_col: Column | str) -> Column:
     return F.md5(norm)
 
 
+# PII patterns (applied in order; counts are measured on the raw text).
+# RE2-compatible (no lookarounds/backrefs) so the DuckDB oracle runs the
+# identical patterns; ``\b`` and ``\d`` mean the same in Java regex and RE2.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}[-.]\d{3,4}[-.]\d{4}\b", "<PHONE>"),
+)
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text", out_col: str = "clean_text") -> DataFrame:
+    """PII redaction for training corpora: replace emails / IPv4s /
+    phone-shaped numbers with typed placeholder tokens and report
+    per-doc match counts.
+
+    One narrow projection (regexp_replace chain, codegen'd, no
+    shuffle). Replacement order matters: emails go first so their
+    digit-bearing local parts can't later match the phone pattern;
+    placeholders contain no digits, so later patterns never touch
+    earlier redactions.
+    """
+    c = F.col(text_col)
+    counts = [
+        F.size(F.regexp_extract_all(c, F.lit(pat), 0)).alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    out = c
+    for _, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return df.select("*", *counts, out.alias(out_col))
+
+
+def repetition_features(df: DataFrame, id_col: str, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition/boilerplate signals per document
+    (Rae et al., "Scaling Language Models: ... Gopher", 2021, §A1.1):
+    type-token ratio, duplicate-bigram and duplicate-trigram fractions,
+    and the fraction of tokens taken by the single most frequent token.
+    High duplicate fractions flag boilerplate/spam for corpus filtering.
+
+    All per-row array expressions (no shuffle). The top-token scan is
+    O(distinct·tokens) per row — bounded by document length, which a
+    real pipeline caps upstream; at 100 TB this stays embarrassingly
+    parallel map work.
+    """
+    from hbase_increment_index_spark.pipeline.dedup import shingle_grams
+
+    toks = tokens(text_col)
+
+    def frac_dup(grams) -> Column:
+        n = F.size(grams)
+        return F.when(
+            n > 0, F.round(1 - F.size(F.array_distinct(grams)) / n, 6)
+        ).otherwise(F.lit(0.0))
+
+    staged = df.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        shingle_grams(text_col, 2).alias("_bi"),
+        shingle_grams(text_col, 3).alias("_tri"),
+    )
+    n_tok = F.size("_toks")
+    distinct_toks = F.array_distinct("_toks")
+    top_count = F.array_max(
+        F.transform(
+            distinct_toks,
+            lambda t: F.size(F.filter(F.col("_toks"), lambda x: x == t)),
+        )
+    )
+    return staged.select(
+        id_col,
+        n_tok.alias("n_tokens"),
+        F.when(n_tok > 0, F.round(F.size(distinct_toks) / n_tok, 6))
+        .otherwise(F.lit(0.0))
+        .alias("type_token_ratio"),
+        frac_dup(F.col("_bi")).alias("dup_bigram_frac"),
+        frac_dup(F.col("_tri")).alias("dup_trigram_frac"),
+        F.when(n_tok > 0, F.round(top_count / n_tok, 6))
+        .otherwise(F.lit(0.0))
+        .alias("top_token_frac"),
+    )
+
+
 def term_frequencies(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Corpus term frequencies (top-N vocabulary view): one explode +
     one map-side-combined groupBy — the canonical big-data word count."""

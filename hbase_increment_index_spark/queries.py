@@ -1173,6 +1173,182 @@ GROUP BY event_type
 """
 
 
+def q21b_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via Spark's native ``session_window`` (dynamic-gap
+    event-time sessions — the Structured-Streaming-compatible form of
+    q21; in batch it computes the same islands). Oracle: gaps-and-
+    islands with a >= gap break, which is exactly the semantics of
+    session windows ([start, last+gap) intervals merged while they
+    overlap)."""
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format(F.col("session_window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+Q21B_SQL = """
+WITH g AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800 * 1000000
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+),
+s AS (
+  SELECT user_id, ts, value,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM g
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       count(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(30,2))) AS DOUBLE) AS sum_value
+FROM s
+GROUP BY user_id, sid
+"""
+
+
+def q28_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time RANGE-frame window: per user, count and exact sum of
+    event values in the trailing hour (inclusive) at each event — the
+    rate/feature-engineering shape (q20 is the ROWS-frame twin). One
+    shuffle on user_id; the frame slides over microsecond epochs, which
+    both engines hold exactly (fixture timestamps are µs-aligned)."""
+    events = _t(spark, sf_dir, "events")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, make_timestamp_ntz(1970, 1, 1, 0, 0, 0), ts)"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return events.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("trailing_n"),
+        F.sum(F.col("value").cast("decimal(30,2)")).over(w).cast("double").alias("trailing_sum"),
+    )
+
+
+Q28_SQL = """
+SELECT user_id, event_id,
+       COUNT(*) OVER w AS trailing_n,
+       CAST(SUM(CAST(value AS DECIMAL(30,2))) OVER w AS DOUBLE) AS trailing_sum
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
+# PII-enrichment expression shared by the Spark query and its oracle:
+# the fixture corpus carries no PII, so both sides append deterministic
+# synthetic PII derived from doc_id before scrubbing.
+_PII_SUFFIX_SQL = (
+    "text || ' reach user' || CAST(doc_id AS VARCHAR) || '@example.com via 10.0.' || "
+    "CAST(doc_id % 256 AS VARCHAR) || '.7 tel 555-123-' || "
+    "CAST(1000 + doc_id % 9000 AS VARCHAR)"
+)
+
+
+def e4g_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails / IPv4s / phone numbers → typed
+    placeholders) with per-doc match counts — pipeline.text.scrub_pii
+    over the corpus enriched with deterministic synthetic PII."""
+    from hbase_increment_index_spark.pipeline.text import scrub_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    enriched = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" reach user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com via 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 tel 555-123-"),
+            (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+        ).alias("text"),
+    )
+    return scrub_pii(enriched, "text", out_col="clean_text")
+
+
+def _e4g_sql() -> str:
+    from hbase_increment_index_spark.pipeline.text import PII_PATTERNS
+
+    pats = {name: pat for name, pat, _ in PII_PATTERNS}
+    repl = "text"
+    for name, pat, token in PII_PATTERNS:
+        repl = f"regexp_replace({repl}, '{pat}', '{token}', 'g')"
+    counts = ",\n       ".join(
+        f"len(regexp_extract_all(text, '{pats[name]}')) AS n_{name}"
+        for name, _, _ in PII_PATTERNS
+    )
+    return f"""
+WITH enriched AS (
+  SELECT doc_id, {_PII_SUFFIX_SQL} AS text FROM documents
+)
+SELECT doc_id, text,
+       {counts},
+       {repl} AS clean_text
+FROM enriched
+"""
+
+
+def e4h_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/boilerplate features per document."""
+    from hbase_increment_index_spark.pipeline.text import repetition_features
+
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_features(docs, "doc_id", "text")
+
+
+def _e4h_sql() -> str:
+    toks = _SQL_TOKS.format(c="text")
+
+    def grams(n: int) -> str:
+        return (
+            f"list_transform(generate_series(1, greatest(len(t) - {n - 1}, 0)), "
+            f"i -> array_to_string(list_slice(t, i, i + {n - 1}), ' '))"
+        )
+
+    return f"""
+WITH staged AS (
+  SELECT doc_id, {toks} AS t FROM documents
+),
+g AS (
+  SELECT doc_id, t, {grams(2)} AS bi, {grams(3)} AS tri FROM staged
+)
+SELECT doc_id,
+       len(t) AS n_tokens,
+       CASE WHEN len(t) > 0
+            THEN ROUND(len(list_distinct(t)) / len(t), 6) ELSE 0.0 END AS type_token_ratio,
+       CASE WHEN len(bi) > 0
+            THEN ROUND(1 - len(list_distinct(bi)) / len(bi), 6) ELSE 0.0 END AS dup_bigram_frac,
+       CASE WHEN len(tri) > 0
+            THEN ROUND(1 - len(list_distinct(tri)) / len(tri), 6) ELSE 0.0 END AS dup_trigram_frac,
+       CASE WHEN len(t) > 0
+            THEN ROUND(list_max(list_transform(list_distinct(t),
+                         w -> len(list_filter(t, x -> x = w)))) / len(t), 6)
+            ELSE 0.0 END AS top_token_frac
+FROM g
+"""
+
+
 def olap_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue by part brand: fact ⋈ broadcast part dim."""
     li = _t(spark, sf_dir, "lineitem")
@@ -1889,6 +2065,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "olap_brand_revenue": olap_brand_revenue,
     "olap_supplier_revenue": olap_supplier_revenue,
     "q27_json_extract": q27_json_extract,
+    "q21b_session_window": q21b_session_window,
+    "q28_trailing_window": q28_trailing_window,
+    "e4g_pii_scrub": e4g_pii_scrub,
+    "e4h_repetition": e4h_repetition,
     "e1_exact_dedup": e1_exact_dedup,
     "e1b_duplicate_clusters": e1b_duplicate_clusters,
     "e1c_dedup_with_dups": e1c_dedup_with_dups,
@@ -1965,6 +2145,10 @@ ORACLES: dict[str, str] = {
     "olap_brand_revenue": OLAP_BRAND_SQL,
     "olap_supplier_revenue": OLAP_SUPPLIER_SQL,
     "q27_json_extract": Q27_SQL,
+    "q21b_session_window": Q21B_SQL,
+    "q28_trailing_window": Q28_SQL,
+    "e4g_pii_scrub": _e4g_sql(),
+    "e4h_repetition": _e4h_sql(),
     "e1_exact_dedup": E1_SQL,
     "e1b_duplicate_clusters": E1B_SQL,
     "e1c_dedup_with_dups": E1C_SQL,

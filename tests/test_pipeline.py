@@ -191,3 +191,47 @@ def test_pack_batches_budget(spark):
     out2 = pack_batches(df.repartition(7), "id", "tok", budget=300, n_shards=2)
     assert sorted(map(tuple, out.select("id", "shard", "batch_id").collect())) == \
         sorted(map(tuple, out2.select("id", "shard", "batch_id").collect()))
+
+
+def test_scrub_pii(spark):
+    from hbase_increment_index_spark.pipeline.text import scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail alice.smith+x@sub.example.org now"),
+            (2, "server at 192.168.0.1 port open"),
+            (3, "call 555-123-4567 or 555-12-1234 today"),  # 2nd not phone-shaped
+            (4, "nothing sensitive here"),
+        ],
+        "id long, text string",
+    )
+    rows = {r["id"]: r for r in scrub_pii(df, "text").collect()}
+    assert rows[1]["n_email"] == 1 and "<EMAIL>" in rows[1]["clean_text"]
+    assert "@" not in rows[1]["clean_text"]
+    assert rows[2]["n_ip"] == 1 and rows[2]["clean_text"] == "server at <IP> port open"
+    assert rows[3]["n_phone"] == 1
+    assert rows[3]["clean_text"] == "call <PHONE> or 555-12-1234 today"
+    assert rows[4]["clean_text"] == "nothing sensitive here"
+    assert rows[4]["n_email"] == rows[4]["n_ip"] == rows[4]["n_phone"] == 0
+
+
+def test_repetition_features(spark):
+    from hbase_increment_index_spark.pipeline.text import repetition_features
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),             # maximal repetition
+            (2, "all four tokens differ"),           # no repetition
+            (3, ""),                                 # empty doc
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_features(df, "doc_id").collect()}
+    assert rows[1]["n_tokens"] == 4
+    assert rows[1]["type_token_ratio"] == 0.25
+    assert rows[1]["dup_bigram_frac"] == pytest.approx(2 / 3, abs=1e-6)
+    assert rows[1]["top_token_frac"] == 1.0
+    assert rows[2]["type_token_ratio"] == 1.0
+    assert rows[2]["dup_bigram_frac"] == 0.0
+    assert rows[2]["top_token_frac"] == 0.25
+    assert rows[3]["n_tokens"] == 0 and rows[3]["type_token_ratio"] == 0.0

@@ -1255,6 +1255,80 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
 """
 
 
+def q29_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr suggester: top vocabulary completions for a prefix, ranked
+    by corpus frequency (ties lexicographic)."""
+    from hbase_increment_index_spark.search.highlight import suggest_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    return suggest_terms(docs, "doc_id", "text", prefix="s", k=10)
+
+
+Q29_SQL = f"""
+SELECT term, count(*) AS freq
+FROM (SELECT unnest({_SQL_TOKS.format(c='text')}) AS term FROM documents)
+WHERE term LIKE 's%'
+GROUP BY term
+ORDER BY freq DESC, term ASC
+LIMIT 10
+"""
+
+
+def q30_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr highlighting: token-window snippet around the first hit of
+    a term, for matching docs only (search.highlight.snippets)."""
+    from hbase_increment_index_spark.search.highlight import snippets
+
+    docs = _t(spark, sf_dir, "documents")
+    out = snippets(docs, "doc_id", "text", term="stream", window=3)
+    return out.select("doc_id", F.col("pos").cast("long").alias("pos"), "snippet")
+
+
+Q30_SQL = f"""
+WITH p AS (
+  SELECT doc_id, {_SQL_TOKS.format(c='text')} AS t FROM documents
+),
+hit AS (
+  SELECT doc_id, t, list_position(t, 'stream') AS pos FROM p
+)
+SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+       array_to_string(list_slice(t, greatest(pos - 3, 1), least(pos + 3, len(t))), ' ') AS snippet
+FROM hit
+WHERE pos IS NOT NULL AND pos > 0
+"""
+
+
+def q31_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr MoreLikeThis against doc 7 (search.ranking.more_like_this)."""
+    from hbase_increment_index_spark.search.ranking import more_like_this
+
+    docs = _t(spark, sf_dir, "documents")
+    return more_like_this(docs, "doc_id", "text", doc_id=7, k=10, max_query_terms=20)
+
+
+Q31_SQL = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, term
+  FROM (SELECT doc_id, unnest({_SQL_TOKS.format(c='text')}) AS term FROM documents)
+),
+dft AS (SELECT term, count(*) AS df_t FROM toks GROUP BY 1),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+src AS (
+  SELECT term, ln(n.n_docs / dft.df_t) AS idf
+  FROM toks JOIN dft USING (term), n
+  WHERE doc_id = 7
+  ORDER BY dft.df_t ASC, term ASC
+  LIMIT 20
+)
+SELECT t.doc_id, ROUND(SUM(src.idf), 6) AS score
+FROM toks t JOIN src USING (term)
+WHERE t.doc_id <> 7
+GROUP BY t.doc_id
+ORDER BY score DESC, t.doc_id ASC
+LIMIT 10
+"""
+
+
 # PII-enrichment expression shared by the Spark query and its oracle:
 # the fixture corpus carries no PII, so both sides append deterministic
 # synthetic PII derived from doc_id before scrubbing.
@@ -2067,6 +2141,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q27_json_extract": q27_json_extract,
     "q21b_session_window": q21b_session_window,
     "q28_trailing_window": q28_trailing_window,
+    "q29_suggest": q29_suggest,
+    "q30_highlight": q30_highlight,
+    "q31_more_like_this": q31_more_like_this,
     "e4g_pii_scrub": e4g_pii_scrub,
     "e4h_repetition": e4h_repetition,
     "e1_exact_dedup": e1_exact_dedup,
@@ -2147,6 +2224,9 @@ ORACLES: dict[str, str] = {
     "q27_json_extract": Q27_SQL,
     "q21b_session_window": Q21B_SQL,
     "q28_trailing_window": Q28_SQL,
+    "q29_suggest": Q29_SQL,
+    "q30_highlight": Q30_SQL,
+    "q31_more_like_this": Q31_SQL,
     "e4g_pii_scrub": _e4g_sql(),
     "e4h_repetition": _e4h_sql(),
     "e1_exact_dedup": E1_SQL,

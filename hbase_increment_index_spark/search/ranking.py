@@ -27,8 +27,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from hbase_increment_index_spark.functions.layout import fan_out
 from hbase_increment_index_spark.search.tokenize import posting_list
+
+# NOTE: ranking deliberately does NOT fan_out the corpus scan — the
+# broadcast terms-filter drops ~all postings before any aggregation, so
+# tokenize cost is small relative to an extra shuffle (A/B-measured).
 
 
 def tfidf_topk(
@@ -48,7 +51,6 @@ def tfidf_topk(
     """
     spark = corpus.sparkSession
     n_docs = corpus.count()  # one cheap count job; cached upstream in practice
-    corpus = fan_out(corpus)  # tokenization is map-side CPU: spread the scan
 
     terms = spark.createDataFrame(
         [(t.lower(),) for t in sorted(set(query_terms))], ["term"]
@@ -72,6 +74,49 @@ def tfidf_topk(
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
 
 
+def more_like_this(
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    doc_id,
+    k: int = 10,
+    max_query_terms: int = 20,
+    score_decimals: int = 6,
+) -> DataFrame:
+    """Solr MoreLikeThis: documents similar to a given document, ranked
+    by the summed rarity (idf) of shared terms.
+
+    Model: the source doc's "interesting terms" are its
+    ``max_query_terms`` rarest distinct terms (selected by document
+    frequency ascending, term ascending — integer ordering, so the
+    selection is engine-exact); every other doc scores
+    Σ idf(t) = Σ ln(N / df(t)) over the terms it shares. Same plan
+    skeleton as tfidf_topk: distinct postings → tiny broadcast of the
+    query-term set → one groupBy(id) — per-query work is proportional
+    to postings matching the ~20 query terms, never the corpus.
+    """
+    spark = corpus.sparkSession
+    n_docs = corpus.count()
+
+    postings = posting_list(corpus, id_col, text_col).distinct()
+    df_t = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    src = (
+        postings.filter(F.col(id_col) == F.lit(doc_id))
+        .join(df_t, "term")
+        .orderBy(F.col("df_t").asc(), F.col("term").asc())
+        .limit(max_query_terms)
+        .withColumn("idf", F.log(F.lit(float(n_docs)) / F.col("df_t")))
+        .select("term", "idf")
+    )
+    scored = (
+        postings.filter(F.col(id_col) != F.lit(doc_id))
+        .join(F.broadcast(src), "term")
+        .groupBy(id_col)
+        .agg(F.round(F.sum("idf"), score_decimals).alias("score"))
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
 def bm25_topk(
     corpus: DataFrame,
     id_col: str,
@@ -90,7 +135,6 @@ def bm25_topk(
     """
     spark = corpus.sparkSession
     n_docs = corpus.count()
-    corpus = fan_out(corpus)  # tokenization is map-side CPU: spread the scan
 
     terms = spark.createDataFrame(
         [(t.lower(),) for t in sorted(set(query_terms))], ["term"]

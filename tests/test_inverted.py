@@ -38,3 +38,19 @@ def test_write_read_round_trip(spark, sf_dir, tmp_path):
     assert back.count() == postings.count()
     ids = term_match_ids(back, "doc_id", ["spark"], "or")
     assert ids.count() == docs.filter(has_any_token("text", ["spark"])).count()
+
+
+def test_more_like_this_prefers_shared_rare_terms(spark):
+    from hbase_increment_index_spark.search.ranking import more_like_this
+
+    rows = [
+        (1, "rare unicorn words plus common filler filler"),
+        (2, "rare unicorn words here too with filler"),   # shares both rare terms
+        (3, "common filler filler only nothing else"),    # shares only common terms
+        (4, "totally unrelated vocabulary zone"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    top = more_like_this(df, "doc_id", "text", doc_id=1, k=3).collect()
+    assert top[0]["doc_id"] == 2          # rare-term overlap dominates
+    ids = [r["doc_id"] for r in top]
+    assert 4 not in ids                   # no shared terms -> no score

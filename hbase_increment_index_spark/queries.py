@@ -958,7 +958,11 @@ def cdc_merge_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = _t(spark, sf_dir, "events")
     log = cell_log_from_events(events, delete_event_type="error")
-    state = compact_state(log.filter(F.col("seq") % 2 == 0))
+    # persist the intermediate state: merge_state consumes it twice
+    # (anti-join + semi-join); in production it IS a materialized table
+    # read from disk (streaming/cdc_stream), so recomputing the lineage
+    # per consumer is an artifact this cache removes
+    state = compact_state(log.filter(F.col("seq") % 2 == 0)).persist()
     state = merge_state(state, log.filter(F.col("seq") % 2 == 1))
     return documents_from_state(state, ["click", "purchase", "signup", "view"])
 
@@ -1871,6 +1875,36 @@ LIMIT 20
 """
 
 
+def e3e_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch kNN: top-3 corpus neighbours for each of 5 query vectors
+    (similarity.knn_join_brute_force — broadcast queries, corpus
+    scanned once, per-query window ranking)."""
+    from hbase_increment_index_spark.pipeline.similarity import knn_join_brute_force
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    return knn_join_brute_force(emb, queries, k=3)
+
+
+E3E_SQL = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+q AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id < 5),
+scored AS (
+  SELECT q_id, vec_id,
+         ROUND(list_dot_product(e, qe)
+               / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe))), 6) AS score
+  FROM v CROSS JOIN q
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) AS rn
+  FROM scored
+)
+SELECT q_id, vec_id, score FROM r WHERE rn <= 3
+"""
+
+
 def e4_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     tf = term_frequencies(docs, "doc_id", "text")
@@ -2157,6 +2191,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e3b_knn_ivf": e3b_knn_ivf,
     "e3c_embedding_pairs": e3c_embedding_pairs,
     "e3d_lsh_bucket_sizes": e3d_lsh_bucket_sizes,
+    "e3e_knn_join": e3e_knn_join,
     "e4_token_counts": e4_token_counts,
     "e4e_bigram_counts": e4e_bigram_counts,
     "e4f_bpe_token_count": e4f_bpe_token_count,
@@ -2239,6 +2274,7 @@ ORACLES: dict[str, str] = {
     "e3_cosine_topk": E3_SQL,
     "e3c_embedding_pairs": E3C_SQL,
     "e3d_lsh_bucket_sizes": E3D_SQL,
+    "e3e_knn_join": E3E_SQL,
     "e4_token_counts": E4_TOKENS_SQL,
     "e4e_bigram_counts": E4E_SQL,
     "e4f_bpe_token_count": E4F_SQL,

@@ -24,9 +24,15 @@ AUDITED = [
     "cdc_merge_batches",
     "e1_exact_dedup",
     "e3_cosine_topk",
+    "e3e_knn_join",
     "e2b_minhash_lsh",
     "e6a_hash_split",
     "e6c_pack_batches",
+    "q13_stats_field",
+    "q28_trailing_window",
+    "q31_more_like_this",
+    "e4g_pii_scrub",
+    "e4h_repetition",
 ]
 
 

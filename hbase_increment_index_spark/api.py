@@ -193,3 +193,27 @@ class SecondaryIndex:
         id_col = id_col or self.documents.columns[0]
         fn = tfidf_topk if scorer == "tfidf" else bm25_topk
         return fn(self.documents, id_col, text_field, terms, k=k)
+
+    def suggest(self, text_field: str, prefix: str, k: int = 10) -> DataFrame:
+        """Solr suggester: top-k prefix completions by corpus frequency."""
+        from hbase_increment_index_spark.search.highlight import suggest_terms
+
+        return suggest_terms(self.documents, self.key_field, text_field, prefix, k=k)
+
+    def highlight(self, text_field: str, term: str, window: int = 3) -> DataFrame:
+        """Solr highlighting: token-window snippets around the first hit."""
+        from hbase_increment_index_spark.search.highlight import snippets
+
+        return snippets(self.documents, self.key_field, text_field, term, window=window)
+
+    def more_like_this(
+        self, text_field: str, doc_key, k: int = 10, max_query_terms: int = 20
+    ) -> DataFrame:
+        """Solr MoreLikeThis: docs similar to ``doc_key`` by shared rare
+        terms."""
+        from hbase_increment_index_spark.search.ranking import more_like_this
+
+        return more_like_this(
+            self.documents, self.key_field, text_field, doc_key, k=k,
+            max_query_terms=max_query_terms,
+        )

@@ -110,3 +110,12 @@ def test_search_fl_omits_sort_column(index):
         "apple pie recipe",
     ]
     assert resp.docs.columns == ["name"]
+
+
+def test_suggest_highlight_mlt_facade(index):
+    sug = index.suggest("name", "app", k=5).collect()
+    assert [r["term"] for r in sug][:1] == ["apple"]  # 2 docs contain it
+    hl = {r["rowkey"]: r["snippet"] for r in index.highlight("name", "recipe").collect()}
+    assert set(hl) == {"r1", "r2"} and "recipe" in hl["r1"]
+    mlt = index.more_like_this("name", "r1", k=3).collect()
+    assert mlt[0]["rowkey"] in {"r2", "r3"}  # shares terms with r1

@@ -37,6 +37,31 @@ def write_results(
     getattr(writer, fmt)(path)
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    key_col: str,
+    n_buckets: int,
+    sort_by: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed, catalog-backed write — the 100 TB fact-fact join layout
+    (SCALE.md "Bucketing / layout prescriptions").
+
+    Unlike a plain ``repartition(n, key)`` parquet write, ``bucketBy``
+    records the bucketing in the table catalog, so a join between two
+    tables bucketed on the same key with the same bucket count is
+    CO-LOCATED: Spark plans a SortMergeJoin with zero shuffle exchanges
+    (and zero sorts if ``sort_by`` matches the join key). This is the
+    difference between shuffling 100 TB per join and shuffling nothing
+    — asserted in tests/test_sinks.py.
+    """
+    writer = df.write.mode(mode).bucketBy(n_buckets, key_col)
+    if sort_by:
+        writer = writer.sortBy(sort_by)
+    writer.format("parquet").saveAsTable(table_name)
+
+
 def read_results(spark, path: str, fmt: str = "parquet") -> DataFrame:
     if fmt not in FORMATS:
         raise ValueError(f"unknown sink format {fmt!r}")

@@ -117,6 +117,29 @@ def start_index_maintenance(
     return writer.start()
 
 
+def sessionized_event_counts(
+    events_stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Event-time session windows over the stream (the streaming twin of
+    the batch q21b_session_window query): sessions close ``gap`` after
+    their last event; the watermark bounds state for late data. Same
+    [EXT] streaming-polish tier as windowed_event_counts."""
+    from pyspark.sql.types import TimestampNTZType
+
+    if isinstance(events_stream.schema["ts"].dataType, TimestampNTZType):
+        events_stream = events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
 def windowed_event_counts(
     events_stream: DataFrame,
     window_duration: str = "1 hour",

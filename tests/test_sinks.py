@@ -56,3 +56,33 @@ def test_keyset_pages_partition_exactly(spark, sf_dir):
         ).collect()
     ]
     assert seen == want
+
+
+def test_bucketed_tables_join_without_exchange(spark, sf_dir):
+    """The 100 TB co-located join claim: two tables bucketed+sorted on
+    the join key join as SortMergeJoin with ZERO shuffle exchanges."""
+    from hbase_increment_index_spark.sinks import write_bucketed_table
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    write_bucketed_table(li, "t_li_bucketed", "l_orderkey", 8, sort_by="l_orderkey")
+    write_bucketed_table(orders, "t_ord_bucketed", "l_orderkey", 8, sort_by="l_orderkey")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("t_li_bucketed").join(spark.table("t_ord_bucketed"), "l_orderkey")
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        plan = j._jdf.queryExecution().explainString(mode)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # co-located: nothing shuffles
+        # and it computes the right thing
+        expect = li.join(orders, "l_orderkey").count()
+        assert j.count() == expect > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_li_bucketed")
+        spark.sql("DROP TABLE IF EXISTS t_ord_bucketed")

@@ -100,3 +100,37 @@ def test_windowed_event_counts_streaming(spark, sf_dir, tmp_path):
     q.awaitTermination(120)
     got = spark.sql("SELECT sum(n) AS total FROM win_counts").collect()[0]["total"]
     assert got == events.count()
+
+
+def test_sessionized_event_counts_matches_batch(spark, sf_dir, tmp_path):
+    # streaming session windows over micro-batched files == batch
+    # session_window over the same events
+    from hbase_increment_index_spark.catalog import load_table
+    from hbase_increment_index_spark.streaming.cdc_stream import sessionized_event_counts
+
+    events = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "ev_sessions")
+    events.write.parquet(src)
+    stream = (
+        spark.readStream.schema(events.schema).option("maxFilesPerTrigger", "4").parquet(src)
+    )
+    agg = sessionized_event_counts(stream, gap="30 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sess_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT count(*) AS n_sessions, sum(n) AS total FROM sess_counts"
+    ).collect()[0]
+
+    batch = (
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .count()
+    )
+    assert got["total"] == events.count()
+    assert got["n_sessions"] == batch.count()

@@ -2,11 +2,11 @@
 (default /root/testdata/sf0.1) and prints ONE JSON line.
 
 Methodology: one warm-up execution of a trivial action to absorb JVM
-startup, then each query is executed twice end-to-end (plan + execute
-+ collect to driver) and the better run is kept — single-shot timings
-on a shared machine vary 2-4x with background load, and best-of-2
-measures the plan rather than the noise. The metric is total wall
-seconds across the headline set.
+startup, then each query is executed three times end-to-end (plan +
+execute + collect to driver) and the best run is kept — single-shot
+timings on a shared machine vary 2-4x with background load, and
+best-of-3 measures the plan rather than the noise. The metric is total
+wall seconds across the headline set.
 """
 
 from __future__ import annotations
@@ -64,7 +64,7 @@ def main() -> None:
     for name in HEADLINE:
         fn = QUERIES[name]
         best, n = float("inf"), 0
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             # toPandas() forces full materialization to the driver,
             # matching what a client of the engine would receive

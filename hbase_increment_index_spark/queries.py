@@ -1333,6 +1333,37 @@ LIMIT 10
 """
 
 
+def q32_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form behind Q16's rollup/
+    cube): per-returnflag, per-linestatus, and grand-total aggregates in
+    one pass, with GROUPING() markers disambiguating real NULL keys from
+    subtotal rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("_q32_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               grouping(l_returnflag) AS g_flag,
+               grouping(l_linestatus) AS g_status,
+               count(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty
+        FROM _q32_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+Q32_SQL = """
+SELECT l_returnflag, l_linestatus,
+       GROUPING(l_returnflag) AS g_flag,
+       GROUPING(l_linestatus) AS g_status,
+       count(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
 # PII-enrichment expression shared by the Spark query and its oracle:
 # the fixture corpus carries no PII, so both sides append deterministic
 # synthetic PII derived from doc_id before scrubbing.
@@ -2178,6 +2209,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q29_suggest": q29_suggest,
     "q30_highlight": q30_highlight,
     "q31_more_like_this": q31_more_like_this,
+    "q32_grouping_sets": q32_grouping_sets,
     "e4g_pii_scrub": e4g_pii_scrub,
     "e4h_repetition": e4h_repetition,
     "e1_exact_dedup": e1_exact_dedup,
@@ -2262,6 +2294,7 @@ ORACLES: dict[str, str] = {
     "q29_suggest": Q29_SQL,
     "q30_highlight": Q30_SQL,
     "q31_more_like_this": Q31_SQL,
+    "q32_grouping_sets": Q32_SQL,
     "e4g_pii_scrub": _e4g_sql(),
     "e4h_repetition": _e4h_sql(),
     "e1_exact_dedup": E1_SQL,

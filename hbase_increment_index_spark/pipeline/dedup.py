@@ -170,6 +170,39 @@ def ngram_jaccard_pairs(
     return out
 
 
+def cross_contamination(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    min_collisions: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing at least
+    ``min_collisions`` distinct token n-grams with an evaluation set
+    (the standard pre-training hygiene check — e.g. GPT-3's 13-gram
+    collision filter, Brown et al. 2020 §C, here parameterized).
+
+    Plan: distinct corpus (id, gram) postings ⋈ the eval set's distinct
+    gram vocabulary (small by definition — broadcast) → per-doc
+    collision count. The corpus is scanned once and never self-joined;
+    at 100 TB the eval-gram list is a few MB broadcast to every
+    executor. Returns (id, n_collisions) for flagged docs only.
+    """
+    c_grams = (
+        fan_out(corpus)
+        .select(F.col(id_col), F.explode(shingle_grams(text_col, n)).alias("g"))
+        .distinct()
+    )
+    e_grams = eval_set.select(F.explode(shingle_grams(text_col, n)).alias("g")).distinct()
+    return (
+        c_grams.join(F.broadcast(e_grams), "g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_collisions"))
+        .filter(F.col("n_collisions") >= min_collisions)
+    )
+
+
 # ---------------------------------------------------- E2b MinHash + LSH
 
 _MERSENNE = (1 << 31) - 1  # 2^31-1, prime

@@ -1936,6 +1936,40 @@ SELECT q_id, vec_id, score FROM r WHERE rn <= 3
 """
 
 
+def e7_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing a distinct
+    4-gram shingle with a held-out eval slice (doc_id % 50 == 0; the
+    eval docs themselves are excluded from the scan)."""
+    from hbase_increment_index_spark.pipeline.dedup import cross_contamination
+
+    docs = _t(spark, sf_dir, "documents")
+    eval_set = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    return cross_contamination(corpus, eval_set, "doc_id", "text", n=4, min_collisions=1)
+
+
+def _e7_sql() -> str:
+    toks = _SQL_TOKS.format(c="text")
+    grams = (
+        f"list_transform(generate_series(1, greatest(len({toks}) - 3, 0)), "
+        f"i -> array_to_string(list_slice({toks}, i, i + 3), ' '))"
+    )
+    return f"""
+WITH c AS (
+  SELECT DISTINCT doc_id, g
+  FROM (SELECT doc_id, unnest({grams}) AS g FROM documents WHERE doc_id % 50 <> 0)
+),
+e AS (
+  SELECT DISTINCT g
+  FROM (SELECT unnest({grams}) AS g FROM documents WHERE doc_id % 50 = 0)
+)
+SELECT doc_id, count(*) AS n_collisions
+FROM c JOIN e USING (g)
+GROUP BY doc_id
+HAVING count(*) >= 1
+"""
+
+
 def e4_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     tf = term_frequencies(docs, "doc_id", "text")
@@ -2236,6 +2270,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e6a_hash_split": e6a_hash_split,
     "e6b_stratified_sample": e6b_stratified_sample,
     "e6c_pack_batches": e6c_pack_batches,
+    "e7_decontaminate": e7_decontaminate,
 }
 
 ORACLES: dict[str, str] = {
@@ -2319,4 +2354,5 @@ ORACLES: dict[str, str] = {
     "e6a_hash_split": E6A_SQL,
     "e6b_stratified_sample": E6B_SQL,
     "e6c_pack_batches": E6C_SQL,
+    "e7_decontaminate": _e7_sql(),
 }

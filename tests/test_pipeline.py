@@ -235,3 +235,26 @@ def test_repetition_features(spark):
     assert rows[2]["dup_bigram_frac"] == 0.0
     assert rows[2]["top_token_frac"] == 0.25
     assert rows[3]["n_tokens"] == 0 and rows[3]["type_token_ratio"] == 0.0
+
+
+def test_cross_contamination(spark):
+    from hbase_increment_index_spark.pipeline.dedup import cross_contamination
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon entirely fresh"),
+            (2, "the exact eval phrase appears right here verbatim"),
+            (3, "unrelated text with no overlap at all"),
+        ],
+        "doc_id long, text string",
+    )
+    eval_set = spark.createDataFrame(
+        [(100, "note the exact eval phrase appears in benchmarks")],
+        "doc_id long, text string",
+    )
+    flagged = {
+        r["doc_id"]: r["n_collisions"]
+        for r in cross_contamination(corpus, eval_set, "doc_id", "text", n=4).collect()
+    }
+    assert 2 in flagged and flagged[2] >= 1   # shares 'the exact eval phrase' 4-grams
+    assert 1 not in flagged and 3 not in flagged

@@ -1616,6 +1616,46 @@ WHERE ROUND(common / (sa.n_sh + sb.n_sh - common), 6) >= 0.30
 """
 
 
+def e2e_ngram_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """e2 with the skew guard ACTIVE (max_shingle_df=20): ubiquitous
+    shingles are dropped before the self-join — the 100 TB hot-key
+    mitigation (SCALE.md) — and the oracle mirrors the ceiling, so the
+    guarded plan's exact output is verified, not just the unguarded
+    one."""
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.30, max_shingle_df=20
+    )
+
+
+E2E_SQL = f"""
+WITH sh0 AS (
+  SELECT DISTINCT doc_id AS doc,
+         unnest(list_distinct(
+           list_transform(
+             generate_series(1, greatest(len({_SQL_TOKS.format(c='text')}) - 2, 0)),
+             i -> array_to_string(list_slice({_SQL_TOKS.format(c='text')}, i, i + 2), ' ')
+           ))) AS sh
+  FROM documents
+),
+rare AS (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= 20),
+sh AS (SELECT sh0.* FROM sh0 JOIN rare USING (sh)),
+sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
+common AS (
+  SELECT a.doc AS id_a, b.doc AS id_b, count(*) AS common
+  FROM sh a JOIN sh b USING (sh)
+  WHERE a.doc < b.doc
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(common / (sa.n_sh + sb.n_sh - common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc = id_a
+JOIN sizes sb ON sb.doc = id_b
+WHERE ROUND(common / (sa.n_sh + sb.n_sh - common), 6) >= 0.30
+"""
+
+
 def e2b_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs, fully oracle-checked: signatures use
     the portable md5-derived shingle hash so DuckDB reproduces the lane
@@ -2250,6 +2290,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e1b_duplicate_clusters": e1b_duplicate_clusters,
     "e1c_dedup_with_dups": e1c_dedup_with_dups,
     "e2_ngram_jaccard": e2_ngram_jaccard,
+    "e2e_ngram_guarded": e2e_ngram_guarded,
     "e2b_minhash_lsh": e2b_minhash_lsh,
     "e2c_simhash": e2c_simhash,
     "e2d_dedup_clusters": e2d_dedup_clusters,
@@ -2336,6 +2377,7 @@ ORACLES: dict[str, str] = {
     "e1b_duplicate_clusters": E1B_SQL,
     "e1c_dedup_with_dups": E1C_SQL,
     "e2_ngram_jaccard": E2_SQL,
+    "e2e_ngram_guarded": E2E_SQL,
     "e2b_minhash_lsh": _e2b_sql(),
     "e2c_simhash": _e2c_sql(),
     "e2d_dedup_clusters": _e2d_sql(),

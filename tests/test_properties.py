@@ -135,3 +135,58 @@ def test_merge_state_split_invariance(spark, rows, cut):
         for r in documents_from_state(state, ["q1", "q2"]).collect()
     }
     assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(codec="ascii", exclude_characters="\x00"),
+            max_size=80,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_scrub_pii_idempotent_and_digit_free(spark, texts):
+    """Scrubbing twice == scrubbing once (placeholders never re-match),
+    and no email/ip/phone pattern survives a scrub."""
+    from pyspark.sql import functions as F
+
+    from hbase_increment_index_spark.pipeline.text import scrub_pii
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    once = scrub_pii(df, "text").select("id", F.col("clean_text").alias("text"))
+    twice = scrub_pii(once, "text")
+    rows = twice.collect()
+    for r in rows:
+        assert r["n_email"] == 0 and r["n_ip"] == 0 and r["n_phone"] == 0
+        # idempotent: second pass changed nothing
+    a = {r["id"]: r["text"] for r in once.collect()}
+    b = {r["id"]: r["clean_text"] for r in rows}
+    assert a == b
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.text(alphabet="ab c", min_size=0, max_size=60),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_repetition_features_bounded(spark, texts):
+    """All repetition ratios live in [0, 1]; type_token_ratio == 1 iff
+    all tokens distinct (when tokens exist)."""
+    from hbase_increment_index_spark.pipeline.text import repetition_features
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    for r in repetition_features(df, "doc_id").collect():
+        for c in ("type_token_ratio", "dup_bigram_frac", "dup_trigram_frac", "top_token_frac"):
+            assert 0.0 <= r[c] <= 1.0, (c, r)
+        if r["n_tokens"] > 0:
+            assert r["top_token_frac"] >= 1.0 / r["n_tokens"] - 1e-6

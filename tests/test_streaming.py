@@ -62,6 +62,56 @@ def test_stream_matches_batch(spark, dirs):
     assert got == want == {"A": "v2", "C": "c1"}
 
 
+def test_restart_resumes_from_checkpoint(spark, dirs):
+    """Exactly-once across restarts: stop the maintenance query, append
+    new CDC files, restart with the SAME checkpoint — already-processed
+    files are not re-folded, new ones are, and a restart with no new
+    data leaves the index byte-identical (the crash-safety the
+    reference's in-memory buffers lack, README.md:19-20)."""
+    log_dir, index_path, ckpt = dirs
+    batch1 = [
+        ("put", "A", "cf", "name", "v1", _ts(1), 1),
+        ("put", "B", "cf", "name", "b1", _ts(2), 2),
+    ]
+    batch2 = [
+        ("put", "A", "cf", "name", "v2", _ts(3), 3),
+        ("delete", "B", "cf", None, None, _ts(4), 4),
+        ("put", "C", "cf", "name", "c1", _ts(5), 5),
+    ]
+    spark.createDataFrame(batch1, SCHEMA).write.parquet(f"{log_dir}/b1")
+
+    def run_to_end():
+        q = start_index_maintenance(
+            read_cell_stream(spark, f"{log_dir}/*", max_files_per_trigger=1),
+            index_path,
+            ckpt,
+            qualifiers=["name"],
+            available_now=True,
+        )
+        q.awaitTermination(120)
+
+    run_to_end()  # processes b1 only
+    assert {r["id"]: r["name"] for r in spark.read.parquet(index_path).collect()} == {
+        "A": "v1",
+        "B": "b1",
+    }
+
+    spark.createDataFrame(batch2, SCHEMA).write.parquet(f"{log_dir}/b2")
+    run_to_end()  # resumes: folds b2 on top of committed state, not b1 again
+    want = {
+        r["id"]: r["name"]
+        for r in documents_from_cells(
+            spark.createDataFrame(batch1 + batch2, SCHEMA), ["name"]
+        ).collect()
+    }
+    got = {r["id"]: r["name"] for r in spark.read.parquet(index_path).collect()}
+    assert got == want == {"A": "v2", "C": "c1"}
+
+    run_to_end()  # no new files -> no-op restart, state untouched
+    again = {r["id"]: r["name"] for r in spark.read.parquet(index_path).collect()}
+    assert again == want
+
+
 def test_committed_state_probe(spark, tmp_path):
     # bootstrap-vs-merge is decided by an explicit probe, not a bare
     # except around the read (ADVICE r1): missing dir and half-written

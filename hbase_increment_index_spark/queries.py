@@ -1364,6 +1364,88 @@ GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
 """
 
 
+def q33_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr fuzzy term query ``q=text:stream~1`` — docs holding any
+    token within edit distance 1 of the term, one row per matched
+    (doc, vocabulary token) (search.filters.fuzzy_search; zero-shuffle
+    projection plan)."""
+    from hbase_increment_index_spark.search.filters import fuzzy_search
+
+    docs = _t(spark, sf_dir, "documents")
+    return fuzzy_search(docs, "doc_id", "text", term="stream", max_edits=1)
+
+
+Q33_SQL = f"""
+SELECT doc_id, unnest(list_distinct(list_filter(
+         {_SQL_TOKS.format(c='text')},
+         t -> levenshtein(t, 'stream') <= 1))) AS term
+FROM documents
+"""
+
+
+def q34_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr terms component ``terms.fl=text&terms.prefix=s`` — vocab
+    enumeration by DOCUMENT frequency (distinct docs per term), df desc
+    / term asc (search.highlight.terms_component)."""
+    from hbase_increment_index_spark.search.highlight import terms_component
+
+    docs = _t(spark, sf_dir, "documents")
+    return terms_component(docs, "doc_id", "text", prefix="s", k=20)
+
+
+Q34_SQL = f"""
+SELECT term, count(DISTINCT doc_id) AS docfreq
+FROM (SELECT doc_id, unnest({_SQL_TOKS.format(c='text')}) AS term FROM documents)
+WHERE term LIKE 's%'
+GROUP BY term
+ORDER BY docfreq DESC, term ASC
+LIMIT 20
+"""
+
+
+def q35_boosted_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr boost query ``bq=lang:en^1.5`` on top of BM25 relevance
+    (search.ranking.boosted_bm25_topk): additive bump reorders the
+    ranked list without widening the match set."""
+    docs = _t(spark, sf_dir, "documents")
+    return ranking.boosted_bm25_topk(
+        docs,
+        "doc_id",
+        "text",
+        _TFIDF_TERMS,
+        boost=F.col("lang") == "en",
+        boost_weight=1.5,
+        k=10,
+    )
+
+
+Q35_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SQL_TOKS.format(c='text')}) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+avgdl AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS a FROM dl),
+hits AS (SELECT * FROM toks WHERE term IN ('join', 'query', 'spark')),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM hits GROUP BY 1, 2),
+dft AS (SELECT term, count(DISTINCT doc_id) AS df_t FROM hits GROUP BY 1),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+bm25 AS (
+  SELECT tf.doc_id,
+         ROUND(SUM(
+           ln(1.0 + (n.n_docs - dft.df_t + 0.5) / (dft.df_t + 0.5))
+           * (tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl.a))
+         ), 6) AS score
+  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id), n, avgdl
+  GROUP BY tf.doc_id
+)
+SELECT b.doc_id,
+       ROUND(b.score + CASE WHEN d.lang = 'en' THEN 1.5 ELSE 0.0 END, 6) AS score
+FROM bm25 b JOIN documents d ON b.doc_id = d.doc_id
+ORDER BY score DESC, b.doc_id ASC
+LIMIT 10
+"""
+
+
 # PII-enrichment expression shared by the Spark query and its oracle:
 # the fixture corpus carries no PII, so both sides append deterministic
 # synthetic PII derived from doc_id before scrubbing.
@@ -2284,6 +2366,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q30_highlight": q30_highlight,
     "q31_more_like_this": q31_more_like_this,
     "q32_grouping_sets": q32_grouping_sets,
+    "q33_fuzzy": q33_fuzzy,
+    "q34_terms": q34_terms,
+    "q35_boosted_bm25": q35_boosted_bm25,
     "e4g_pii_scrub": e4g_pii_scrub,
     "e4h_repetition": e4h_repetition,
     "e1_exact_dedup": e1_exact_dedup,
@@ -2371,6 +2456,9 @@ ORACLES: dict[str, str] = {
     "q30_highlight": Q30_SQL,
     "q31_more_like_this": Q31_SQL,
     "q32_grouping_sets": Q32_SQL,
+    "q33_fuzzy": Q33_SQL,
+    "q34_terms": Q34_SQL,
+    "q35_boosted_bm25": Q35_SQL,
     "e4g_pii_scrub": _e4g_sql(),
     "e4h_repetition": _e4h_sql(),
     "e1_exact_dedup": E1_SQL,

@@ -67,3 +67,34 @@ def by_id(df: DataFrame, key_field: str, key) -> DataFrame:
     """Q17 — unique-key retrieval (Solr ``q=rowkey:k``;
     reference application.properties:4)."""
     return df.filter(F.col(key_field) == F.lit(key))
+
+
+def fuzzy_search(
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    term: str,
+    max_edits: int = 1,
+) -> DataFrame:
+    """Q5 family — Solr fuzzy term query ``q=field:term~N`` (edit
+    distance ≤ N, Solr 5.x select handler; the surface the reference's
+    index serves, SURVEY.md §2.2).
+
+    Returns one row per (id, matched vocabulary token). Implemented as
+    a pure per-row projection — tokenize, keep tokens within
+    ``max_edits`` of the query term, dedupe in-array, explode — so the
+    plan has ZERO shuffles and parallelizes with the scan at any data
+    size. The levenshtein call runs per token occurrence; if a profile
+    ever shows that dominating, the same semantics can be served from
+    the materialized vocabulary (search.inverted) with the distance
+    computed once per distinct term, at the cost of a broadcast.
+    """
+    t = term.lower()
+    toks = F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")
+    matched = F.array_distinct(
+        F.filter(
+            toks,
+            lambda x: (x != "") & (F.levenshtein(x, F.lit(t)) <= F.lit(max_edits)),
+        )
+    )
+    return corpus.select(F.col(id_col), F.explode(matched).alias("term"))

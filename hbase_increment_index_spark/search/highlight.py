@@ -41,6 +41,37 @@ def suggest_terms(
     )
 
 
+def terms_component(
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    prefix: str | None = None,
+    k: int = 20,
+) -> DataFrame:
+    """Solr terms component (``terms.fl``/``terms.prefix``): vocabulary
+    enumeration with DOCUMENT frequency — distinct docs containing the
+    term, unlike the suggester's total-occurrence count. Returns
+    (term, docfreq) ranked df-desc, term-asc.
+
+    Plan: explode → optional prefix filter → countDistinct(id) per
+    term. Spark plans countDistinct as two-phase partial aggregation
+    (map-side dedupe of (term, id) before the shuffle), so the exchange
+    carries at most one row per distinct pair per task — vocabulary-
+    bounded, not corpus-bounded, at 100 TB.
+    """
+    from hbase_increment_index_spark.search.tokenize import posting_list
+
+    postings = posting_list(corpus, id_col, text_col)
+    if prefix is not None:
+        postings = postings.filter(F.col("term").startswith(prefix))
+    return (
+        postings.groupBy("term")
+        .agg(F.countDistinct(F.col(id_col)).alias("docfreq"))
+        .orderBy(F.col("docfreq").desc(), F.col("term").asc())
+        .limit(k)
+    )
+
+
 def snippets(
     df: DataFrame,
     id_col: str,

@@ -117,18 +117,19 @@ def more_like_this(
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
 
 
-def bm25_topk(
+def bm25_scores(
     corpus: DataFrame,
     id_col: str,
     text_col: str,
     query_terms: list[str],
-    k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
     score_decimals: int = 6,
 ) -> DataFrame:
-    """Top-k by Okapi BM25. Same plan shape as tfidf_topk plus a
-    broadcast of per-doc length and the corpus-average length.
+    """Per-document Okapi BM25 scores (un-truncated) — the shared core
+    of ``bm25_topk`` and ``boosted_bm25_topk``. Same plan shape as
+    tfidf_topk plus a broadcast of per-doc length and the corpus-average
+    length.
 
     idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5));
     score  = Σ idf · tf·(k1+1) / (tf + k1·(1 - b + b·len/avglen)).
@@ -161,11 +162,65 @@ def bm25_topk(
     tf_part = (F.col("tf") * (k1 + 1)) / (
         F.col("tf") + F.lit(k1) * (1 - b + b * F.col("dl") / F.lit(avg_dl))
     )
-    scored = (
+    return (
         tf.join(F.broadcast(df_t), "term")
         .join(doc_len, id_col)
         .withColumn("w", idf * tf_part)
         .groupBy(id_col)
         .agg(F.round(F.sum("w"), score_decimals).alias("score"))
     )
+
+
+def bm25_topk(
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    score_decimals: int = 6,
+) -> DataFrame:
+    """Top-k by Okapi BM25 (Solr default relevance sort, SURVEY.md §2.2
+    Q6). Deterministic total order: score desc, id asc."""
+    scored = bm25_scores(corpus, id_col, text_col, query_terms, k1, b, score_decimals)
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+def boosted_bm25_topk(
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    boost,
+    boost_weight: float = 1.5,
+    k: int = 10,
+    score_decimals: int = 6,
+) -> DataFrame:
+    """Solr boost query (``bq=``): additive score bump for documents
+    matching a structured predicate, on top of BM25 relevance —
+    e.g. ``bq=lang:en^1.5``. ``boost`` is any Column predicate over the
+    corpus row.
+
+    Plan: the BM25 aggregate (one row per doc matching a query term)
+    joins back to the corpus projection carrying only (id, boost-bit).
+    Both sides are keyed on id; AQE picks broadcast when the scored
+    side is small. The boost never widens the match set — Solr bq
+    reorders results, it does not recall new ones.
+    """
+    scored = bm25_scores(
+        corpus, id_col, text_col, query_terms, score_decimals=score_decimals
+    )
+    bits = corpus.select(
+        F.col(id_col),
+        F.when(boost, F.lit(float(boost_weight))).otherwise(F.lit(0.0)).alias("_bq"),
+    )
+    return (
+        scored.join(bits, id_col)
+        .select(
+            F.col(id_col),
+            F.round(F.col("score") + F.col("_bq"), score_decimals).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -188,11 +188,36 @@ class SecondaryIndex:
         k: int = 10,
         scorer: str = "tfidf",
         id_col: str | None = None,
+        boost: Column | None = None,
+        boost_weight: float = 1.5,
     ) -> DataFrame:
-        """Q6 — relevance top-k over the document table."""
+        """Q6 — relevance top-k over the document table. Passing
+        ``boost`` (a predicate over document columns) applies a Solr
+        boost query (``bq=...^weight``) on top of BM25."""
         id_col = id_col or self.documents.columns[0]
+        if boost is not None:
+            from hbase_increment_index_spark.search.ranking import boosted_bm25_topk
+
+            return boosted_bm25_topk(
+                self.documents, id_col, text_field, terms,
+                boost=boost, boost_weight=boost_weight, k=k,
+            )
         fn = tfidf_topk if scorer == "tfidf" else bm25_topk
         return fn(self.documents, id_col, text_field, terms, k=k)
+
+    def fuzzy(self, text_field: str, term: str, max_edits: int = 1) -> DataFrame:
+        """Solr fuzzy query ``q=field:term~N`` — (key, matched token)
+        pairs for docs holding a token within ``max_edits`` of term."""
+        from hbase_increment_index_spark.search.filters import fuzzy_search
+
+        return fuzzy_search(self.documents, self.key_field, text_field, term, max_edits)
+
+    def terms(self, text_field: str, prefix: str | None = None, k: int = 20) -> DataFrame:
+        """Solr terms component: vocabulary enumeration by document
+        frequency."""
+        from hbase_increment_index_spark.search.highlight import terms_component
+
+        return terms_component(self.documents, self.key_field, text_field, prefix, k=k)
 
     def suggest(self, text_field: str, prefix: str, k: int = 10) -> DataFrame:
         """Solr suggester: top-k prefix completions by corpus frequency."""

@@ -119,3 +119,17 @@ def test_suggest_highlight_mlt_facade(index):
     assert set(hl) == {"r1", "r2"} and "recipe" in hl["r1"]
     mlt = index.more_like_this("name", "r1", k=3).collect()
     assert mlt[0]["rowkey"] in {"r2", "r3"}  # shares terms with r1
+
+
+def test_fuzzy_terms_boost_facade(index):
+    # fuzzy: 'recipes'~1 matches the 'recipe' token in r1/r2
+    fz = index.fuzzy("name", "recipes", max_edits=1).collect()
+    assert {(r["rowkey"], r["term"]) for r in fz} == {("r1", "recipe"), ("r2", "recipe")}
+    # terms component: docfreq, not occurrence count
+    tc = {r["term"]: r["docfreq"] for r in index.terms("name").collect()}
+    assert tc["apple"] == 2 and tc["recipe"] == 2 and tc["cider"] == 1
+    # boost query: r3 ties with r2 on 'apple' relevance, boost on price=30 lifts it
+    ranked = index.rank(
+        "name", ["apple"], k=3, boost=F.col("price") == "30", boost_weight=5.0
+    ).collect()
+    assert ranked[0]["rowkey"] == "r3"

@@ -31,6 +31,9 @@ AUDITED = [
     "q13_stats_field",
     "q28_trailing_window",
     "q31_more_like_this",
+    "q33_fuzzy",
+    "q34_terms",
+    "q35_boosted_bm25",
     "e4g_pii_scrub",
     "e4h_repetition",
 ]

@@ -300,3 +300,74 @@ def knn_ivf(
         F.round(cosine(F.col(vec_col).cast("array<double>"), q), score_decimals).alias("score"),
     )
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+def quantize_int8(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale_decimals: int = 9,
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the standard storage/
+    bandwidth reducer for embedding corpora (4× smaller than float32,
+    8× than float64) ahead of ANN indexing or shipping to a trainer.
+
+    q_i = floor(x_i / s + 0.5), s = max|x| / 127 — every step is a
+    per-row sequential array expression, so the result is bit-portable
+    across engines and partitionings (no parallel float accumulation
+    anywhere). floor(+0.5) is used instead of round() because SQL
+    engines disagree on round-half ties; floor does not.
+
+    Returns (id, scale, q_csv, q_sum): the quantized vector serialized
+    as a CSV string (engine-portable for the oracle hash) plus its
+    exact integer checksum. Zero shuffles — a pure projection.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    s = F.array_max(F.transform(v, F.abs)) / F.lit(127.0)
+    q = F.transform(v, lambda x: F.floor(x / s + F.lit(0.5)).cast("long"))
+    return embeddings.select(
+        F.col(id_col),
+        F.round(s, scale_decimals).alias("scale"),
+        F.array_join(F.transform(q, lambda x: x.cast("string")), ",").alias("q_csv"),
+        F.aggregate(q, F.lit(0).cast("long"), lambda acc, x: acc + x).alias("q_sum"),
+    )
+
+
+def label_centroids(
+    embeddings: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    mean_decimals: int = 6,
+) -> DataFrame:
+    """Per-label mean embedding (class centroids) — the building block
+    for centroid classifiers, cluster summaries, and IVF re-seeding.
+
+    Returns one row per (label, dimension): (label, pos, mean_v, n)
+    with pos 1-based. Each element is rounded once to decimal(27,10)
+    (both engines round the float's value identically at that scale)
+    and the per-dimension sum is then EXACT decimal arithmetic, so the
+    centroid is identical under any partitioning/retry — the same
+    determinism-by-construction used by the OLAP decimal aggregates
+    (numeric.py). The mean converts to double only at the end.
+
+    Plan: posexplode → one shuffle on (label, pos) with map-side
+    partial sums — shuffle rows ≤ n_labels × dim per task, never
+    corpus-sized.
+    """
+    exploded = embeddings.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(F.col(vec_col)).alias("pos0", "v"),
+    ).select("label", (F.col("pos0") + 1).alias("pos"), F.col("v"))
+    return (
+        exploded.groupBy("label", "pos")
+        .agg(
+            F.sum(F.col("v").cast("decimal(27,10)")).alias("_s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "label",
+            "pos",
+            F.round(F.col("_s").cast("double") / F.col("n"), mean_decimals).alias("mean_v"),
+            "n",
+        )
+    )

@@ -2058,6 +2058,59 @@ SELECT q_id, vec_id, score FROM r WHERE rn <= 3
 """
 
 
+def e3f_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding corpus
+    (similarity.quantize_int8): per-vector scale + CSV-serialized
+    codes + integer checksum; zero-shuffle projection."""
+    from hbase_increment_index_spark.pipeline.similarity import quantize_int8
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return quantize_int8(emb)
+
+
+E3F_SQL = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+s AS (
+  SELECT vec_id, e,
+         list_max(list_transform(e, x -> abs(x))) / 127.0 AS sc
+  FROM v
+),
+q AS (
+  SELECT vec_id, sc,
+         list_transform(e, x -> CAST(floor(x / sc + 0.5) AS BIGINT)) AS qv
+  FROM s
+)
+SELECT vec_id,
+       ROUND(sc, 9) AS scale,
+       array_to_string(list_transform(qv, x -> CAST(x AS VARCHAR)), ',') AS q_csv,
+       CAST(list_sum(qv) AS BIGINT) AS q_sum
+FROM q
+"""
+
+
+def e3g_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label class centroids over the embedding corpus
+    (similarity.label_centroids): exact-decimal per-dimension sums so
+    the centroid is identical under any partitioning."""
+    from hbase_increment_index_spark.pipeline.similarity import label_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return label_centroids(emb)
+
+
+E3G_SQL = """
+WITH x AS (
+  SELECT label, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
+  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i)
+)
+SELECT label, pos,
+       ROUND(CAST(SUM(CAST(v AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*), 6) AS mean_v,
+       COUNT(*) AS n
+FROM x
+GROUP BY label, pos
+"""
+
+
 def e7_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: corpus docs sharing a distinct
     4-gram shingle with a held-out eval slice (doc_id % 50 == 0; the
@@ -2384,6 +2437,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e3c_embedding_pairs": e3c_embedding_pairs,
     "e3d_lsh_bucket_sizes": e3d_lsh_bucket_sizes,
     "e3e_knn_join": e3e_knn_join,
+    "e3f_quantize": e3f_quantize,
+    "e3g_centroids": e3g_centroids,
     "e4_token_counts": e4_token_counts,
     "e4e_bigram_counts": e4e_bigram_counts,
     "e4f_bpe_token_count": e4f_bpe_token_count,
@@ -2473,6 +2528,8 @@ ORACLES: dict[str, str] = {
     "e3c_embedding_pairs": E3C_SQL,
     "e3d_lsh_bucket_sizes": E3D_SQL,
     "e3e_knn_join": E3E_SQL,
+    "e3f_quantize": E3F_SQL,
+    "e3g_centroids": E3G_SQL,
     "e4_token_counts": E4_TOKENS_SQL,
     "e4e_bigram_counts": E4E_SQL,
     "e4f_bpe_token_count": E4F_SQL,

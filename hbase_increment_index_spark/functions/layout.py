@@ -20,7 +20,8 @@ serial CPU time it buys back.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
 
 
 def fan_out(df: DataFrame, multiple: int = 1) -> DataFrame:
@@ -33,3 +34,39 @@ def fan_out(df: DataFrame, multiple: int = 1) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def zorder_key(cols: list[Column | str], bits: int = 16) -> Column:
+    """Morton (Z-order) key over 2+ already-normalized integer columns.
+
+    Each input must be a non-negative integer column < 2**bits (rank or
+    bucket it first — see ``zorder_rank``). Bits are interleaved
+    column-major: output bit (i*len(cols)+j) is bit i of column j. The
+    result clusters rows so that a range predicate on ANY input column
+    touches a contiguous-ish band of the sort order — the multi-column
+    data-skipping layout (parquet min/max row-group stats + file
+    pruning) that a single-column sort cannot give at 100 TB.
+
+    Pure integer bit arithmetic (shiftleft/&/|) — codegen'd, portable,
+    oracle-checkable. Sort the write with
+    ``df.repartitionByRange(N, zkey).sortWithinPartitions(zkey)`` so
+    every file covers a tight hyper-rectangle of the key space.
+    """
+    cs = [F.col(c) if isinstance(c, str) else c for c in cols]
+    k = len(cs)
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, c in enumerate(cs):
+            bit = F.shiftright(c.cast("long"), i).bitwiseAND(F.lit(1))
+            out = out.bitwiseOR(F.shiftleft(bit, i * k + j))
+    return out
+
+
+def zorder_rank(col: Column | str, bits: int = 16) -> Column:
+    """Equi-width bucket of a long column into [0, 2**bits) by modulo —
+    the cheap normalizer for ``zorder_key`` when the column is already
+    roughly uniform (ids, hashes, epochs). For skewed value
+    distributions use a percentile-rank normalization at write time
+    instead; the key layout downstream is identical."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.pmod(c.cast("long"), F.lit(1 << bits))

@@ -2111,6 +2111,41 @@ GROUP BY label, pos
 """
 
 
+def e8_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout key over events (user_id × event-time
+    second): the multi-column data-skipping sort key for 100 TB writes
+    (functions.layout.zorder_key — pure codegen'd bit interleave).
+    Emits (event_id, zkey); the write side sorts by zkey so parquet
+    min/max stats prune on BOTH dimensions."""
+    from hbase_increment_index_spark.functions.layout import zorder_key, zorder_rank
+
+    events = _t(spark, sf_dir, "events")
+    sec = F.expr(
+        "timestampdiff(SECOND, make_timestamp_ntz(1970, 1, 1, 0, 0, 0), ts)"
+    )
+    z = zorder_key([zorder_rank("user_id"), zorder_rank(sec)], bits=16)
+    return events.select("event_id", z.alias("zkey"))
+
+
+def _z_sql_terms(c1: str, c2: str, bits: int = 16) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({c1} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({c2} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+E8_SQL = f"""
+WITH x AS (
+  SELECT event_id,
+         user_id % 65536 AS u,
+         (epoch_us(ts) // 1000000) % 65536 AS s
+  FROM events
+)
+SELECT event_id, CAST({_z_sql_terms('u', 's')} AS BIGINT) AS zkey FROM x
+"""
+
+
 def e7_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: corpus docs sharing a distinct
     4-gram shingle with a held-out eval slice (doc_id % 50 == 0; the
@@ -2452,6 +2487,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e6b_stratified_sample": e6b_stratified_sample,
     "e6c_pack_batches": e6c_pack_batches,
     "e7_decontaminate": e7_decontaminate,
+    "e8_zorder": e8_zorder,
 }
 
 ORACLES: dict[str, str] = {
@@ -2542,4 +2578,5 @@ ORACLES: dict[str, str] = {
     "e6b_stratified_sample": E6B_SQL,
     "e6c_pack_batches": E6C_SQL,
     "e7_decontaminate": _e7_sql(),
+    "e8_zorder": E8_SQL,
 }

@@ -77,8 +77,9 @@ def fuzzy_search(
     max_edits: int = 1,
 ) -> DataFrame:
     """Q5 family — Solr fuzzy term query ``q=field:term~N`` (edit
-    distance ≤ N, Solr 5.x select handler; the surface the reference's
-    index serves, SURVEY.md §2.2).
+    distance ≤ N, Solr 5.x select handler; the query surface the
+    reference's index exists to serve — reference README.md:5-10,
+    solrj dep pom.xml:98-109; SURVEY.md §2.2).
 
     Returns one row per (id, matched vocabulary token). Implemented as
     a pure per-row projection — tokenize, keep tokens within

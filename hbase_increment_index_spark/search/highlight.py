@@ -51,7 +51,8 @@ def terms_component(
     """Solr terms component (``terms.fl``/``terms.prefix``): vocabulary
     enumeration with DOCUMENT frequency — distinct docs containing the
     term, unlike the suggester's total-occurrence count. Returns
-    (term, docfreq) ranked df-desc, term-asc.
+    (term, docfreq) ranked df-desc, term-asc. (Solr select-handler
+    surface per reference README.md:5-10; SURVEY.md §2.2 Q-TRM.)
 
     Plan: explode → optional prefix filter → countDistinct(id) per
     term. Spark plans countDistinct as two-phase partial aggregation

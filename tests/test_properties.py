@@ -172,6 +172,46 @@ def test_scrub_pii_idempotent_and_digit_free(spark, texts):
 @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     st.lists(
+        st.lists(
+            st.floats(
+                min_value=-100.0,
+                max_value=100.0,
+                allow_nan=False,
+                allow_infinity=False,
+                width=32,
+            ),
+            min_size=2,
+            max_size=8,
+        ).filter(lambda v: any(x != 0 for x in v)),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_quantize_int8_reconstruction_bound(spark, vecs):
+    """Dequantized values are within scale/2 of the original, codes fit
+    int8, and the max-|x| element always maps to ±127."""
+    from hbase_increment_index_spark.pipeline.similarity import quantize_int8
+
+    # pad/truncate to equal dims not required — each row independent
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["vec_id"]: r for r in quantize_int8(df).collect()}
+    for i, v in enumerate(vecs):
+        r = out[i]
+        codes = [int(c) for c in r["q_csv"].split(",")]
+        s = max(abs(x) for x in v) / 127.0
+        assert all(-128 <= c <= 127 for c in codes)
+        assert max(abs(c) for c in codes) == 127
+        for c, x in zip(codes, v):
+            assert abs(c * s - x) <= s / 2 + 1e-9 * abs(x)
+        assert r["q_sum"] == sum(codes)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
         st.text(alphabet="ab c", min_size=0, max_size=60),
         min_size=1,
         max_size=6,

@@ -110,3 +110,37 @@ def pack_batches(
         staged.withColumn("batch_id", F.floor(prefix_excl / F.lit(budget)).cast("long"))
         .drop("_tok")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    n: int,
+    salt: str = "wsample",
+    key_decimals: int = 9,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement: keep the ``n`` rows with
+    the largest Efraimidis–Spirakis key u^(1/w) (IPL 2006) — the
+    standard distributed weighted reservoir, here with u derived from
+    the portable content hash instead of an RNG, so the selected set is
+    a pure function of (salt, ids, weights): rerun-stable at any
+    parallelism, like every sampler in this module.
+
+    Ranked on ln(u)/w (monotone in u^(1/w)), rounded so both engines
+    rank identical keys; ties break on id. Rows with non-positive
+    weight are excluded (zero weight = never sampled).
+
+    Plan: narrow projection → TakeOrderedAndProject(n) — per-partition
+    heaps and a driver merge of n·P candidates, no global sort.
+    """
+    b = _unit_bucket(id_col, salt)
+    u = (b.cast("double") + F.lit(0.5)) / F.lit(float(_BUCKETS))
+    w = F.col(weight_col).cast("double")
+    key = F.round(F.log(u) / w, key_decimals)
+    return (
+        df.filter(w > 0)
+        .withColumn("es_key", key)
+        .orderBy(F.col("es_key").desc(), F.col(id_col).asc())
+        .limit(n)
+    )

@@ -2392,6 +2392,29 @@ FROM t
 """
 
 
+def e6d_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis key
+    on the portable content hash; sampling.weighted_sample): 100 docs
+    drawn ∝ length — rerun-stable, RNG-free."""
+    from hbase_increment_index_spark.pipeline.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return weighted_sample(docs, "doc_id", "n_chars", n=100).select(
+        "doc_id", "n_chars", "es_key"
+    )
+
+
+E6D_SQL = f"""
+SELECT doc_id, n_chars,
+       ROUND(ln(({_SQL_BUCKET.format(salt='wsample', c='doc_id')} + 0.5) / 1000000.0)
+             / CAST(n_chars AS DOUBLE), 9) AS es_key
+FROM documents
+WHERE n_chars > 0
+ORDER BY es_key DESC, doc_id ASC
+LIMIT 100
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2486,6 +2509,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e6a_hash_split": e6a_hash_split,
     "e6b_stratified_sample": e6b_stratified_sample,
     "e6c_pack_batches": e6c_pack_batches,
+    "e6d_weighted_sample": e6d_weighted_sample,
     "e7_decontaminate": e7_decontaminate,
     "e8_zorder": e8_zorder,
 }
@@ -2577,6 +2601,7 @@ ORACLES: dict[str, str] = {
     "e6a_hash_split": E6A_SQL,
     "e6b_stratified_sample": E6B_SQL,
     "e6c_pack_batches": E6C_SQL,
+    "e6d_weighted_sample": E6D_SQL,
     "e7_decontaminate": _e7_sql(),
     "e8_zorder": E8_SQL,
 }

@@ -4,7 +4,7 @@ select handler is the system's entire read API), compiled to Spark
 Column predicates.
 
 Supported grammar (the standard-query-parser subset that maps to a
-deterministic relational predicate — no fuzzy/boost/proximity):
+deterministic relational predicate — no boost/proximity):
 
     query     := clause (("AND" | "OR") clause)*     # left-assoc
     clause    := ["NOT"] atom
@@ -13,6 +13,7 @@ deterministic relational predicate — no fuzzy/boost/proximity):
     value     := "[" lit "TO" lit "]"                # inclusive range
                | quoted phrase "..."                 # phrase match
                | bare* | bare?pattern                # wildcard/prefix
+               | bare~N | bare~                      # fuzzy (edit dist ≤ N, default 2)
                | bare                                # exact or token match
 
 Default operator is AND (Solr q.op=AND). A bare value on a text field
@@ -165,6 +166,13 @@ class _Parser:
             field, value = t.payload
             if value == "*":
                 return F.col(field).isNotNull()
+            fz = re.fullmatch(r"(?P<w>[^~]+)~(?P<d>[0-2]?)", value)
+            if fz:  # Solr fuzzy term: word~N (bare ~ = Lucene default 2)
+                from hbase_increment_index_spark.search.tokenize import has_fuzzy_token
+
+                return has_fuzzy_token(
+                    field, fz.group("w"), int(fz.group("d") or 2)
+                )
             if "*" in value or "?" in value:
                 return filters.wildcard(field, value)
             if field in self.text_fields:

@@ -31,6 +31,17 @@ def has_token(col: Column | str, term: str) -> Column:
     return F.array_contains(tokens(col), term.lower())
 
 
+def has_fuzzy_token(col: Column | str, term: str, max_edits: int = 2) -> Column:
+    """Fuzzy single-term match (Solr ``q=field:term~N``; Lucene default
+    N=2): true iff any token is within ``max_edits`` of ``term``.
+    A pure per-row ``exists`` over the token array — pushdown-friendly
+    and zero-shuffle, same plan class as has_token."""
+    t = term.lower()
+    return F.exists(
+        tokens(col), lambda x: F.levenshtein(x, F.lit(t)) <= F.lit(max_edits)
+    )
+
+
 def has_all_tokens(col: Column | str, terms: list[str]) -> Column:
     """AND-of-terms match (Solr ``q=field:(w1 w2)`` with q.op=AND)."""
     pred = F.lit(True)

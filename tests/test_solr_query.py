@@ -91,6 +91,25 @@ def test_phrase_with_regex_metacharacters(spark):
     assert n == 1
 
 
+def test_fuzzy_term(spark):
+    df = spark.createDataFrame(
+        [(1, "stream processing"), (2, "steam engine"), (3, "strange things"), (4, "dog")],
+        "id long, text string",
+    )
+    # streams~1: 'stream' (1 edit) and 'steam'? ('steam'->'streams' = 2) -> only 1
+    got1 = {r["id"] for r in solr_select(df, "text:streams~1").collect()}
+    assert got1 == {1}
+    # stream~2 widens to 'steam' (1 edit) but not 'strange' (4 edits)
+    got2 = {r["id"] for r in solr_select(df, "text:stream~2").collect()}
+    assert got2 == {1, 2}
+    # bare ~ uses the Lucene default distance of 2
+    assert {r["id"] for r in solr_select(df, "text:stream~").collect()} == got2
+    # composes with boolean grammar (text declared as a full-text field
+    # so the NOT clause is a token match, not whole-string equality)
+    both = solr_select(df, "text:stream~2 AND NOT text:engine", text_fields={"text"})
+    assert {r["id"] for r in both.collect()} == {1}
+
+
 def test_parse_errors():
     from hbase_increment_index_spark.search.solr_query import parse_query
 

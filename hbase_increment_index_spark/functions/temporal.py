@@ -74,3 +74,45 @@ def asof_join_backward(
         *[F.col("_m")[c].alias(c) for c in payload],
     )
     return out
+
+
+def interval_join(
+    events: DataFrame,
+    anchors: DataFrame,
+    key: str,
+    event_ts_us: str,
+    lo_us: str,
+    hi_us: str,
+    bin_width_us: int = 3_600_000_000,
+) -> DataFrame:
+    """Interval (range) join: every event row whose timestamp falls in
+    an anchor's [lo, hi] window, matched per key — "all activity within
+    an hour of signup"-shaped queries. Like the as-of join, absent from
+    the reference surface (SURVEY.md §2.4: equi only) but foundational
+    for event-window feature extraction.
+
+    Spark has no native range join; the naive formulation is a
+    nested-loop (quadratic). This uses the standard bin decomposition:
+    anchors explode to every ``bin_width_us`` bucket their interval
+    overlaps, events compute their single bucket, the engine equi-joins
+    on (key, bucket) — hash join, shuffle bounded by key×bucket — and
+    the exact ``BETWEEN`` predicate filters residue. Each event joins
+    its one bucket, so no pair can duplicate. Choose the bin near the
+    median interval width: wider bins → fewer anchor replicas, more
+    residue filtering; narrower → the reverse. All timestamp math is on
+    integer microseconds (engine-portable, no tz semantics).
+
+    Returns anchors' columns (minus lo/hi) + the event row's columns,
+    inner semantics.
+    """
+    ev_bin = F.floor(F.col(event_ts_us) / F.lit(bin_width_us))
+    a_bins = F.sequence(
+        F.floor(F.col(lo_us) / F.lit(bin_width_us)),
+        F.floor(F.col(hi_us) / F.lit(bin_width_us)),
+    )
+    a = anchors.withColumn("_bin", F.explode(a_bins))
+    e = events.withColumn("_bin", ev_bin)
+    joined = a.join(e, on=[key, "_bin"]).filter(
+        F.col(event_ts_us).between(F.col(lo_us), F.col(hi_us))
+    )
+    return joined.drop("_bin", lo_us, hi_us)

@@ -772,6 +772,43 @@ WHERE rn = 1
 """
 
 
+def q25b_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join via bin decomposition (temporal.interval_join):
+    every event within one hour after the same user's signup — hash
+    equi-join on (user, hour-bucket) + exact BETWEEN residue, instead
+    of a quadratic range join."""
+    from hbase_increment_index_spark.functions.temporal import interval_join
+
+    us = F.expr(
+        "timestampdiff(MICROSECOND, make_timestamp_ntz(1970, 1, 1, 0, 0, 0), ts)"
+    )
+    events = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", us.alias("ts_us")
+    )
+    anchors = events.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("anchor_id"),
+        "user_id",
+        F.col("ts_us").alias("lo_us"),
+        (F.col("ts_us") + F.lit(3_600_000_000)).alias("hi_us"),
+    )
+    out = interval_join(
+        events, anchors, key="user_id", event_ts_us="ts_us",
+        lo_us="lo_us", hi_us="hi_us",
+    )
+    return out.select("anchor_id", "event_id", "user_id", "event_type")
+
+
+Q25B_SQL = """
+WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+a AS (
+  SELECT event_id AS anchor_id, user_id, ts_us AS lo_us, ts_us + 3600000000 AS hi_us
+  FROM e WHERE event_type = 'signup'
+)
+SELECT a.anchor_id, e.event_id, e.user_id, e.event_type
+FROM a JOIN e ON e.user_id = a.user_id AND e.ts_us BETWEEN a.lo_us AND a.hi_us
+"""
+
+
 def q26_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operators: customers appearing in urgent orders INTERSECT
     high-value orders, EXCEPT any appearing in 'F'-status orders —
@@ -2455,6 +2492,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q23_percentiles": q23_percentiles,
     "q24_salted_agg": q24_salted_agg,
     "q25_asof_join": q25_asof_join,
+    "q25b_interval_join": q25b_interval_join,
     "q26_set_ops": q26_set_ops,
     "cdc_cell_log": cdc_cell_log,
     "cdc_family_filter": cdc_family_filter,
@@ -2549,6 +2587,7 @@ ORACLES: dict[str, str] = {
     "q23_percentiles": Q23_SQL,
     "q24_salted_agg": Q24_SQL,
     "q25_asof_join": Q25_SQL,
+    "q25b_interval_join": Q25B_SQL,
     "q26_set_ops": Q26_SQL,
     "cdc_cell_log": CDC_CELL_LOG_SQL,
     "cdc_family_filter": CDC_FAMILY_SQL,

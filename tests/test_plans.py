@@ -57,6 +57,15 @@ def test_ranking_filters_before_aggregation(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_interval_join_is_hash_not_nested_loop(spark, sf_dir):
+    # the bin decomposition must keep the range join an equi hash join;
+    # a BroadcastNestedLoopJoin here means the quadratic plan came back
+    plan = _plan(spark, sf_dir, "q25b_interval_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
 def test_cdc_compaction_single_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "cdc_latest_per_key")
     # one exchange on row_key feeds the window; AQE may add a read stage

@@ -223,3 +223,43 @@ def term_frequencies(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.count(F.lit(1)).alias("tf"),
         F.countDistinct(id_col).alias("df"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_tokens: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Split documents into overlapping fixed-token windows — the
+    context-window preprocessing step between cleaning and packing in
+    a training pipeline (stride < max_tokens gives the standard
+    sliding-window overlap; stride == max_tokens is disjoint chunks).
+
+    Chunk starts are token positions 1, 1+stride, 2·stride+1, … ≤ doc
+    length, so every token lands in ≥1 chunk and the final chunk may
+    run short. Emits (id, chunk_idx, n_chunk_tokens, chunk_text) —
+    a pure array projection + explode, zero shuffles at any scale.
+    """
+    toks = tokens(text_col)
+    n = F.size(toks)
+    starts = F.when(n > 0, F.sequence(F.lit(1), n, F.lit(stride))).otherwise(
+        F.array().cast("array<int>")
+    )
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            F.least(F.lit(max_tokens), n - s + 1).alias("n_chunk_tokens"),
+            F.array_join(F.slice(toks, s, max_tokens), " ").alias("chunk_text"),
+        ),
+    )
+    return df.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_idx", "_c"),
+    ).select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("_c.n_chunk_tokens").cast("long").alias("n_chunk_tokens"),
+        F.col("_c.chunk_text").alias("chunk_text"),
+    )

@@ -2429,6 +2429,32 @@ FROM t
 """
 
 
+def e4i_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking into 64-token windows with stride 48
+    (text.chunk_documents): the context-window preprocessing step;
+    zero-shuffle array projection + explode."""
+    from hbase_increment_index_spark.pipeline.text import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, "doc_id", "text", max_tokens=64, stride=48)
+
+
+E4I_SQL = f"""
+WITH t AS (
+  SELECT doc_id, {_SQL_TOKS.format(c='text')} AS t FROM documents
+),
+s AS (SELECT doc_id, t, len(t) AS n FROM t),
+c AS (
+  SELECT doc_id, t, n, unnest(generate_series(1, n, 48)) AS st FROM s
+)
+SELECT doc_id,
+       CAST((st - 1) / 48 AS BIGINT) AS chunk_idx,
+       CAST(least(64, n - st + 1) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(list_slice(t, st, least(st + 63, n)), ' ') AS chunk_text
+FROM c
+"""
+
+
 def e6d_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted sampling without replacement (Efraimidis–Spirakis key
     on the portable content hash; sampling.weighted_sample): 100 docs
@@ -2547,6 +2573,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e6a_hash_split": e6a_hash_split,
     "e6b_stratified_sample": e6b_stratified_sample,
     "e6c_pack_batches": e6c_pack_batches,
+    "e4i_chunks": e4i_chunks,
     "e6d_weighted_sample": e6d_weighted_sample,
     "e7_decontaminate": e7_decontaminate,
     "e8_zorder": e8_zorder,
@@ -2640,6 +2667,7 @@ ORACLES: dict[str, str] = {
     "e6a_hash_split": E6A_SQL,
     "e6b_stratified_sample": E6B_SQL,
     "e6c_pack_batches": E6C_SQL,
+    "e4i_chunks": E4I_SQL,
     "e6d_weighted_sample": E6D_SQL,
     "e7_decontaminate": _e7_sql(),
     "e8_zorder": E8_SQL,

@@ -31,6 +31,7 @@ AUDITED = [
     "q13_stats_field",
     "q28_trailing_window",
     "q31_more_like_this",
+    "q25b_interval_join",
     "q33_fuzzy",
     "q34_terms",
     "q35_boosted_bm25",

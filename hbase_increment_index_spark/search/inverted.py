@@ -63,3 +63,37 @@ def search_with_index(
     store still push down — the semi-join only constrains ids)."""
     ids = term_match_ids(postings, id_col, terms, op)
     return corpus.join(ids, id_col, "left_semi")
+
+
+def merge_postings(
+    postings: DataFrame,
+    changed_docs: DataFrame,
+    deleted_ids: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Incremental index maintenance — the postings-level twin of
+    cdc.index_builder.merge_state, and the exact capability the
+    reference exists to provide (keep a full-text index in sync with a
+    mutating row store, reference README.md:5-10; its Solr client does
+    add+deleteById per batch, SolrIndexTools.java:60-63,127-131).
+
+    A micro-batch touches ``changed_docs`` (new/updated, with current
+    text) and ``deleted_ids``. Updated/deleted docs' old postings are
+    dropped with an anti-join on id, then the changed docs' fresh
+    postings are appended. Postings for untouched docs pass through
+    unchanged — at 100 TB the anti-join broadcasts the (tiny) touched-id
+    set against the postings table, so the big side never shuffles, the
+    same plan class as the cell-state merge.
+
+    Equivalent by construction to rebuilding from the post-mutation
+    corpus (tested); idempotent for re-delivered batches.
+    """
+    touched = (
+        changed_docs.select(id_col)
+        .unionByName(deleted_ids.select(id_col))
+        .distinct()
+    )
+    kept = postings.join(F.broadcast(touched), id_col, "left_anti")
+    fresh = build_inverted_index(changed_docs, id_col, text_col)
+    return kept.unionByName(fresh.select(*kept.columns))

@@ -70,6 +70,7 @@ def start_index_maintenance(
     qualifiers: list[str],
     trigger_seconds: int | None = 30,
     available_now: bool = False,
+    postings_field: str | None = None,
 ) -> StreamingQuery:
     """Continuously fold CDC micro-batches into the index.
 
@@ -79,9 +80,18 @@ def start_index_maintenance(
     Real deployments would target a MERGE-capable table format
     (Delta/Iceberg) so the rewrite touches only matching files; plain
     parquet rewrite keeps this container-dependency-free.
+
+    With ``postings_field`` set, the FULL-TEXT index is maintained
+    incrementally too (the reference's actual job — keep Solr in sync
+    with the row store, reference README.md:5-10): per batch, postings
+    for touched row keys are dropped via a broadcast anti-join and the
+    touched keys' fresh postings appended (search.inverted.
+    merge_postings) — work ∝ batch size, never corpus size. Written to
+    ``index_path + "_postings"``.
     """
     spark = cell_stream.sparkSession
     state_path = index_path + "_state"
+    postings_path = index_path + "_postings"
 
     def _merge(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():  # commit-only-if-data (SolrIndexTools.java:66-67)
@@ -103,9 +113,34 @@ def start_index_maintenance(
         merged.write.mode("overwrite").parquet(tmp)
         spark.read.parquet(tmp).write.mode("overwrite").parquet(state_path)
         shutil.rmtree(tmp.replace("file:", ""), ignore_errors=True)
-        documents_from_state(spark.read.parquet(state_path), qualifiers).write.mode(
-            "overwrite"
-        ).parquet(index_path)
+        docs = documents_from_state(spark.read.parquet(state_path), qualifiers)
+        docs.write.mode("overwrite").parquet(index_path)
+
+        if postings_field is not None:
+            from hbase_increment_index_spark.search.inverted import (
+                build_inverted_index,
+                merge_postings,
+            )
+
+            docs = spark.read.parquet(index_path)
+            touched = batch.select(F.col("row_key").alias("id")).distinct()
+            changed = docs.join(F.broadcast(touched), "id", "left_semi").select(
+                "id", postings_field
+            )
+            if _committed_state_exists(spark, postings_path):
+                postings = merge_postings(
+                    spark.read.parquet(postings_path),
+                    changed,
+                    touched,
+                    "id",
+                    postings_field,
+                )
+            else:
+                postings = build_inverted_index(docs, "id", postings_field)
+            ptmp = postings_path + f"._staging_{batch_id}"
+            postings.write.mode("overwrite").parquet(ptmp)
+            spark.read.parquet(ptmp).write.mode("overwrite").parquet(postings_path)
+            shutil.rmtree(ptmp.replace("file:", ""), ignore_errors=True)
 
     writer = cell_stream.writeStream.foreachBatch(_merge).option(
         "checkpointLocation", checkpoint_path

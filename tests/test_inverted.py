@@ -54,3 +54,39 @@ def test_more_like_this_prefers_shared_rare_terms(spark):
     assert top[0]["doc_id"] == 2          # rare-term overlap dominates
     ids = [r["doc_id"] for r in top]
     assert 4 not in ids                   # no shared terms -> no score
+
+
+def test_merge_postings_equals_rebuild(spark):
+    from hbase_increment_index_spark.search.inverted import merge_postings
+
+    v1 = spark.createDataFrame(
+        [(1, "apple pie recipe"), (2, "banana bread"), (3, "cherry cake")],
+        "doc_id long, text string",
+    )
+    postings = build_inverted_index(v1, "doc_id", "text")
+
+    # micro-batch: doc 1 updated, doc 3 deleted, doc 4 inserted
+    changed = spark.createDataFrame(
+        [(1, "apple tart recipe"), (4, "damson jam")], "doc_id long, text string"
+    )
+    deleted = spark.createDataFrame([(3,)], "doc_id long")
+    merged = merge_postings(postings, changed, deleted, "doc_id", "text")
+
+    v2 = spark.createDataFrame(
+        [(1, "apple tart recipe"), (2, "banana bread"), (4, "damson jam")],
+        "doc_id long, text string",
+    )
+    want = build_inverted_index(v2, "doc_id", "text")
+
+    key = lambda df: {tuple(r) for r in df.select("term", "doc_id", "tf").collect()}
+    assert key(merged) == key(want)
+
+    # idempotent on re-delivery of the same batch
+    again = merge_postings(merged, changed, deleted, "doc_id", "text")
+    assert key(again) == key(want)
+
+    # queries through the merged index see the new state
+    ids = {r["doc_id"] for r in term_match_ids(merged, "doc_id", ["tart"]).collect()}
+    assert ids == {1}
+    assert term_match_ids(merged, "doc_id", ["pie"]).count() == 0
+    assert term_match_ids(merged, "doc_id", ["cherry"]).count() == 0

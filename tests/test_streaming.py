@@ -112,6 +112,52 @@ def test_restart_resumes_from_checkpoint(spark, dirs):
     assert again == want
 
 
+def test_incremental_postings_maintenance(spark, dirs):
+    """With postings_field set, the full-text index is maintained
+    incrementally per micro-batch and ends identical to a from-scratch
+    build over the final document table."""
+    from hbase_increment_index_spark.search.inverted import build_inverted_index
+
+    log_dir, index_path, ckpt = dirs
+    batch1 = [
+        ("put", "A", "cf", "name", "apple pie", _ts(1), 1),
+        ("put", "B", "cf", "name", "banana bread", _ts(2), 2),
+    ]
+    batch2 = [
+        ("put", "A", "cf", "name", "apple tart", _ts(3), 3),   # reindex A
+        ("delete", "B", "cf", None, None, _ts(4), 4),          # drop B's postings
+        ("put", "C", "cf", "name", "cherry cake", _ts(5), 5),
+    ]
+    spark.createDataFrame(batch1, SCHEMA).write.parquet(f"{log_dir}/b1")
+    spark.createDataFrame(batch2, SCHEMA).write.parquet(f"{log_dir}/b2")
+
+    q = start_index_maintenance(
+        read_cell_stream(spark, f"{log_dir}/*", max_files_per_trigger=1),
+        index_path,
+        ckpt,
+        qualifiers=["name"],
+        available_now=True,
+        postings_field="name",
+    )
+    q.awaitTermination(120)
+
+    got = {
+        tuple(r)
+        for r in spark.read.parquet(index_path + "_postings")
+        .select("term", "id", "tf")
+        .collect()
+    }
+    want = {
+        tuple(r)
+        for r in build_inverted_index(spark.read.parquet(index_path), "id", "name")
+        .select("term", "id", "tf")
+        .collect()
+    }
+    assert got == want
+    terms = {t for t, _, _ in got}
+    assert "tart" in terms and "pie" not in terms and "banana" not in terms
+
+
 def test_committed_state_probe(spark, tmp_path):
     # bootstrap-vs-merge is decided by an explicit probe, not a bare
     # except around the read (ADVICE r1): missing dir and half-written

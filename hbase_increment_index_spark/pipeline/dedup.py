@@ -137,18 +137,27 @@ def ngram_jaccard_pairs(
     sh = df.select(
         F.col(id_col).alias("doc"), F.explode(shingle_grams(text_col, n)).alias("sh")
     ).distinct()
+    # per-shingle document frequency via count-over-window: one shuffle
+    # on sh that ALSO leaves the postings hash-partitioned by sh — the
+    # exact partitioning the self-join below needs, so it is reused
+    from pyspark.sql import Window
+
+    sh = sh.withColumn("sdf", F.count(F.lit(1)).over(Window.partitionBy("sh")))
     if max_shingle_df is not None:
-        rare = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("sdf")).filter(
-            F.col("sdf") <= max_shingle_df
-        )
-        sh = sh.join(rare.select("sh"), "sh", "left_semi")
+        sh = sh.filter(F.col("sdf") <= max_shingle_df)
     # the postings feed three consumers (sizes + both self-join sides):
     # persist so shingling runs once, not three times
     sh = sh.persist()
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
 
-    a = sh.select(F.col("doc").alias("id_a"), "sh")
-    b = sh.select(F.col("doc").alias("id_b"), "sh")
+    # df==1 shingles can never contribute a pair: pruning them from the
+    # join inputs (NOT from sizes) leaves the result bit-identical and
+    # shrinks the self-join to the co-occurring minority of postings —
+    # on real corpora most shingles are unique, so this is the
+    # difference between joining the whole index and joining its tail
+    shj = sh.filter(F.col("sdf") >= 2)
+    a = shj.select(F.col("doc").alias("id_a"), "sh")
+    b = shj.select(F.col("doc").alias("id_b"), "sh")
     common = (
         a.join(b, "sh")
         .filter(F.col("id_a") < F.col("id_b"))

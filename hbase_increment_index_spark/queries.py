@@ -1004,6 +1004,46 @@ def cdc_merge_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return documents_from_state(state, ["click", "purchase", "signup", "view"])
 
 
+def cdc_merge_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental FULL-TEXT index maintenance, oracle-checked: the
+    postings-level analogue of cdc_merge_batches and the reference's
+    whole reason to exist (keep the Solr index in sync with a mutating
+    table — add + deleteById per batch, SolrIndexTools.java:60-63,
+    127-131). Corpus v1 (10% of docs not yet inserted, 10% holding a
+    stale prefix of their text) takes one micro-batch of inserts +
+    updates + deletes through merge_postings; the result must equal the
+    index rebuilt from the final corpus — which is exactly what the
+    oracle SQL computes."""
+    from hbase_increment_index_spark.search.inverted import (
+        build_inverted_index,
+        merge_postings,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 10
+    v1 = docs.filter(m != 0).withColumn(
+        "text", F.when(m == 1, F.substring("text", 1, 20)).otherwise(F.col("text"))
+    )
+    postings_v1 = build_inverted_index(v1, "doc_id", "text")
+    changed = docs.filter(m.isin(0, 1)).select("doc_id", "text")
+    deleted = docs.filter(m == 2).select("doc_id")
+    return merge_postings(postings_v1, changed, deleted, "doc_id", "text")
+
+
+CDC_MERGE_POSTINGS_SQL = """
+WITH final AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 2),
+toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                            t -> t <> '')) AS term
+  FROM final
+)
+SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+FROM toks
+GROUP BY term, doc_id
+"""
+
+
 def e4f_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hbase_increment_index_spark.pipeline.text import bpe_ish_token_count, token_count
 
@@ -2527,6 +2567,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_live_cells": cdc_live_cells,
     "cdc_index_documents": cdc_index_documents,
     "cdc_merge_batches": cdc_merge_batches,
+    "cdc_merge_postings": cdc_merge_postings,
     "olap_pricing_summary": olap_pricing_summary,
     "olap_revenue_by_region": olap_revenue_by_region,
     "olap_top_customers": olap_top_customers,
@@ -2623,6 +2664,7 @@ ORACLES: dict[str, str] = {
     "cdc_live_cells": CDC_LIVE_CELLS_SQL,
     "cdc_index_documents": CDC_INDEX_DOCS_SQL,
     "cdc_merge_batches": CDC_INDEX_DOCS_SQL,
+    "cdc_merge_postings": CDC_MERGE_POSTINGS_SQL,
     "olap_pricing_summary": OLAP_PRICING_SQL,
     "olap_revenue_by_region": OLAP_REVENUE_SQL,
     "olap_top_customers": OLAP_TOP_CUST_SQL,

@@ -26,6 +26,8 @@ AUDITED = [
     "e3_cosine_topk",
     "e3e_knn_join",
     "e2b_minhash_lsh",
+    "e2_ngram_jaccard",
+    "cdc_merge_postings",
     "e6a_hash_split",
     "e6c_pack_batches",
     "q13_stats_field",

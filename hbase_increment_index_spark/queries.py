@@ -346,6 +346,44 @@ LIMIT 10
 # Q7/Q8/Q15 — sort, pagination, group-top-N
 # --------------------------------------------------------------------------
 
+def q06c_bm25_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same ranking as q06b but served purely from the materialized
+    inverted index — the corpus is never re-read or re-tokenized at
+    query time (the Solr serving path; doc lengths and corpus stats
+    derive from the postings). n_docs counts indexed docs (≥1 token),
+    which equals the corpus count on these fixtures."""
+    from hbase_increment_index_spark.search.inverted import build_inverted_index
+
+    docs = _t(spark, sf_dir, "documents")
+    postings = build_inverted_index(docs, "doc_id", "text")
+    return ranking.bm25_topk_from_index(postings, "doc_id", list(_TFIDF_TERMS), k=10)
+
+
+Q06C_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SQL_TOKS.format(c='text')}) AS term FROM documents
+),
+p AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, SUM(tf) AS dl FROM p GROUP BY 1),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         CAST(SUM(dl) AS DOUBLE) / count(*) AS avg_dl
+  FROM dl
+),
+hits AS (SELECT * FROM p WHERE term IN ('join', 'query', 'spark')),
+dft AS (SELECT term, count(*) AS df_t FROM hits GROUP BY 1)
+SELECT h.doc_id,
+       ROUND(SUM(
+         ln(1.0 + (s.n_docs - dft.df_t + 0.5) / (dft.df_t + 0.5))
+         * (h.tf * (1.2 + 1)) / (h.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avg_dl))
+       ), 6) AS score
+FROM hits h JOIN dft USING (term) JOIN dl USING (doc_id), stats s
+GROUP BY h.doc_id
+ORDER BY score DESC, h.doc_id ASC
+LIMIT 10
+"""
+
+
 def q07_sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     return paging.sorted_page(
@@ -2535,6 +2573,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q05b_phrase": q05b_phrase,
     "q06_tfidf_topk": q06_tfidf_topk,
     "q06b_bm25_topk": q06b_bm25_topk,
+    "q06c_bm25_from_index": q06c_bm25_from_index,
     "q07_sort_topk": q07_sort_topk,
     "q08_deep_page": q08_deep_page,
     "q08b_keyset_page": q08b_keyset_page,
@@ -2633,6 +2672,7 @@ ORACLES: dict[str, str] = {
     "q05b_phrase": Q05B_SQL,
     "q06_tfidf_topk": Q06_SQL,
     "q06b_bm25_topk": Q06B_SQL,
+    "q06c_bm25_from_index": Q06C_SQL,
     "q07_sort_topk": Q07_SQL,
     "q08_deep_page": Q08_SQL,
     "q08b_keyset_page": Q08B_SQL,

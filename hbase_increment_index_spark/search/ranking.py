@@ -187,6 +187,60 @@ def bm25_topk(
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
 
 
+def bm25_topk_from_index(
+    postings: DataFrame,
+    id_col: str,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    score_decimals: int = 6,
+) -> DataFrame:
+    """Okapi BM25 served ENTIRELY from the materialized postings table
+    (term, id, tf) — the Solr/Lucene serving path: the corpus is never
+    read or re-tokenized at query time (the reference delegates all
+    query-time work to its index, reference README.md:9-10).
+
+    Doc lengths and corpus stats are derived from the index itself —
+    at scale those are the tiny side-tables persisted next to the
+    postings at build time; deriving them here costs one aggregate over
+    the index, never a corpus scan. The whole query is one lazy plan:
+    the scalar (n_docs, avg_dl) row enters via a broadcast cross-join,
+    not a driver collect, and the query-term filter is a broadcast
+    semi-structure so only matching postings ever shuffle.
+    """
+    spark = postings.sparkSession
+    terms = spark.createDataFrame(
+        [(t.lower(),) for t in sorted(set(query_terms))], ["term"]
+    )
+    doc_len = postings.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    stats = doc_len.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avg_dl"),
+    )
+    hits = postings.join(F.broadcast(terms), "term")
+    # postings are distinct (term, id): row count per term == df
+    df_t = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    scored = (
+        hits.join(F.broadcast(df_t), "term")
+        .join(doc_len, id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "w",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df_t") + F.lit(0.5))
+                / (F.col("df_t") + F.lit(0.5))
+            )
+            * (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + F.lit(k1) * (1 - b + b * F.col("dl") / F.col("avg_dl"))),
+        )
+        .groupBy(id_col)
+        .agg(F.round(F.sum("w"), score_decimals).alias("score"))
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
 def boosted_bm25_topk(
     corpus: DataFrame,
     id_col: str,

@@ -90,3 +90,19 @@ def test_merge_postings_equals_rebuild(spark):
     assert ids == {1}
     assert term_match_ids(merged, "doc_id", ["pie"]).count() == 0
     assert term_match_ids(merged, "doc_id", ["cherry"]).count() == 0
+
+
+def test_bm25_from_index_matches_corpus_scan(spark, sf_dir):
+    """The index-served BM25 (postings only, corpus never re-read)
+    ranks identically to the corpus-scan formulation."""
+    from hbase_increment_index_spark.search.ranking import (
+        bm25_topk,
+        bm25_topk_from_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    postings = build_inverted_index(docs, "doc_id", "text")
+    terms = ["spark", "join", "query"]
+    via_corpus = [tuple(r) for r in bm25_topk(docs, "doc_id", "text", terms, k=10).collect()]
+    via_index = [tuple(r) for r in bm25_topk_from_index(postings, "doc_id", terms, k=10).collect()]
+    assert via_index == via_corpus

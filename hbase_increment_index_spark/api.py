@@ -70,6 +70,9 @@ class SecondaryIndex:
         #: row tombstones) — the merge substrate; documents are derived
         self._state: DataFrame | None = None
         self._attached_docs: DataFrame | None = None
+        #: materialized postings per text field (build_postings);
+        #: maintained incrementally by apply_mutations
+        self._postings: dict[str, DataFrame] = {}
 
     # ----------------------------------------------------------- maintain
 
@@ -83,6 +86,27 @@ class SecondaryIndex:
             self._state = compact_state(cells)
         else:
             self._state = merge_state(self._state, cells)
+        if self._postings:
+            # keep materialized full-text postings in sync — the
+            # reference's whole job (add+deleteById per batch,
+            # SolrIndexTools.java:60-63,127-131): touched keys' old
+            # postings drop via broadcast anti-join, fresh ones append;
+            # work ∝ batch, never index size
+            from hbase_increment_index_spark.search.inverted import merge_postings
+
+            touched = cells.select(
+                F.col("row_key").alias(self.key_field)
+            ).distinct()
+            docs = self.documents
+            for text_field, postings in self._postings.items():
+                changed = docs.join(F.broadcast(touched), self.key_field, "left_semi")
+                self._postings[text_field] = merge_postings(
+                    postings,
+                    changed.select(self.key_field, text_field),
+                    touched,
+                    self.key_field,
+                    text_field,
+                )
         return self.documents
 
     @property
@@ -193,7 +217,10 @@ class SecondaryIndex:
     ) -> DataFrame:
         """Q6 — relevance top-k over the document table. Passing
         ``boost`` (a predicate over document columns) applies a Solr
-        boost query (``bq=...^weight``) on top of BM25."""
+        boost query (``bq=...^weight``) on top of BM25.
+        ``scorer='bm25_index'`` serves the ranking from the
+        materialized postings (build_postings first) — the corpus is
+        never re-tokenized at query time."""
         id_col = id_col or self.documents.columns[0]
         if boost is not None:
             from hbase_increment_index_spark.search.ranking import boosted_bm25_topk
@@ -202,8 +229,39 @@ class SecondaryIndex:
                 self.documents, id_col, text_field, terms,
                 boost=boost, boost_weight=boost_weight, k=k,
             )
+        if scorer == "bm25_index":
+            from hbase_increment_index_spark.search.ranking import bm25_topk_from_index
+
+            return bm25_topk_from_index(
+                self._postings[text_field], self.key_field, terms, k=k
+            )
         fn = tfidf_topk if scorer == "tfidf" else bm25_topk
         return fn(self.documents, id_col, text_field, terms, k=k)
+
+    def build_postings(self, text_field: str) -> DataFrame:
+        """Materialize the inverted index for a text field (the Solr
+        build-once path). Once built, ``search_index`` and
+        ``rank(scorer='bm25_index')`` answer from the postings without
+        re-tokenizing the corpus, and ``apply_mutations`` keeps the
+        postings in sync incrementally. In production the returned
+        frame is persisted range-partitioned by term
+        (inverted.write_inverted_index); here it stays a lazy view."""
+        from hbase_increment_index_spark.search.inverted import build_inverted_index
+
+        self._postings[text_field] = build_inverted_index(
+            self.documents, self.key_field, text_field
+        )
+        return self._postings[text_field]
+
+    def search_index(self, text_field: str, terms: list[str], op: str = "and") -> DataFrame:
+        """Full-text match served via the materialized postings
+        (posting lookup → semi-join back to the documents); requires
+        ``build_postings(text_field)`` first."""
+        from hbase_increment_index_spark.search.inverted import search_with_index
+
+        return search_with_index(
+            self.documents, self._postings[text_field], self.key_field, terms, op
+        )
 
     def fuzzy(self, text_field: str, term: str, max_edits: int = 1) -> DataFrame:
         """Solr fuzzy query ``q=field:term~N`` — (key, matched token)

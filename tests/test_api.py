@@ -133,3 +133,32 @@ def test_fuzzy_terms_boost_facade(index):
         "name", ["apple"], k=3, boost=F.col("price") == "30", boost_weight=5.0
     ).collect()
     assert ranked[0]["rowkey"] == "r3"
+
+
+def test_postings_maintained_through_mutations(spark, index):
+    """build_postings, then mutate: the facade keeps the full-text
+    index in sync incrementally; index-served queries see the new
+    state and rank identically to a from-scratch rebuild."""
+    from hbase_increment_index_spark.search.inverted import build_inverted_index
+
+    index.build_postings("name")
+    inc = [
+        ("put", "r1", "cf", "name", "apple tart recipe", _ts(9), 10),  # update
+        ("delete", "r3", "cf", None, None, _ts(9), 11),                # delete
+        ("put", "r4", "cf", "name", "damson jam", _ts(9), 12),         # insert
+    ]
+    index.apply_mutations(spark.createDataFrame(inc, SCHEMA))
+
+    key = lambda df: {tuple(r) for r in df.select("term", "rowkey", "tf").collect()}
+    rebuilt = build_inverted_index(index.documents, "rowkey", "name")
+    assert key(index._postings["name"]) == key(rebuilt)
+
+    hits = {r["rowkey"] for r in index.search_index("name", ["tart"]).collect()}
+    assert hits == {"r1"}
+    assert index.search_index("name", ["cider"]).count() == 0  # r3 deleted
+
+    from hbase_increment_index_spark.search.ranking import bm25_topk
+
+    via_index = [tuple(r) for r in index.rank("name", ["recipe"], scorer="bm25_index").collect()]
+    via_scan = [tuple(r) for r in bm25_topk(index.documents, "rowkey", "name", ["recipe"]).collect()]
+    assert via_index == via_scan

@@ -192,6 +192,91 @@ def knn_lsh(
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
 
 
+def lsh_recall(
+    embeddings: DataFrame,
+    query_pred: Column,
+    k: int = 10,
+    n_planes: int = 6,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    plane_fn: str = "xxhash64",
+    score_decimals: int = 6,
+) -> DataFrame:
+    """Recall@k of single-probe hyperplane-LSH kNN against the exact
+    brute-force ranking — the ANN quality evaluator a pipeline runs
+    before trusting an approximate index at scale.
+
+    Rows matching ``query_pred`` are the query set (self-matches are
+    excluded from both rankings). Both paths share one bucketed scan:
+    exact top-k is a broadcast crossJoin + per-query window; the LSH
+    path restricts candidates to the query's own bucket before the
+    same ranking. Recall = |approx ∩ exact| / k per query — the
+    denominator stays k even when the probe bucket holds fewer than k
+    candidates (the honest single-probe number).
+
+    With ``plane_fn='md5'`` the planes are exact rationals derived from
+    portable_hash60, so the DuckDB oracle rebuilds bit-identical
+    buckets and the whole evaluator is value-checked, not just
+    row-counted.
+    """
+    from pyspark.sql import Window
+
+    bucketed = build_lsh_buckets(
+        embeddings, n_planes=n_planes, dim=dim,
+        id_col=id_col, vec_col=vec_col, plane_fn=plane_fn,
+    )
+    queries = bucketed.filter(query_pred).select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col("bucket").alias("q_bucket"),
+    )
+
+    scored = (
+        bucketed.crossJoin(F.broadcast(queries))
+        .filter(F.col(id_col) != F.col("q_id"))
+        .select(
+            "q_id",
+            "q_bucket",
+            "bucket",
+            F.col(id_col),
+            F.round(
+                cosine(
+                    F.col(vec_col).cast("array<double>"),
+                    F.col("q_vec").cast("array<double>"),
+                ),
+                score_decimals,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col(id_col).asc())
+    exact = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("q_id", id_col)
+    )
+    in_bucket = scored.filter(F.col("bucket") == F.col("q_bucket"))
+    approx = (
+        in_bucket.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("q_id", id_col)
+    )
+    hits = exact.join(approx, ["q_id", id_col]).groupBy("q_id").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return (
+        queries.select("q_id")
+        .join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.round(F.coalesce("n_hits", F.lit(0)) / F.lit(float(k)), 6).alias(
+                "recall_at_k"
+            ),
+        )
+    )
+
+
 # ------------------------------------------------------------- IVF-Flat
 
 def build_ivf(

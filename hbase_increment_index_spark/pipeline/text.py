@@ -96,6 +96,41 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def source_quality_rollup(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    low_threshold: float = 0.5,
+) -> DataFrame:
+    """Per-source curation dashboard: doc and token volume, mean
+    quality, and the low-quality share — the aggregate a pipeline
+    operator reads before deciding which sources to down-weight.
+
+    Composition of :func:`quality_features` (pure projection) with one
+    hash aggregate on the source key; sums go through exact decimals
+    (numeric.py) so the mean is order-independent and oracle-stable.
+    Sources are low-cardinality, so the shuffle carries one partial
+    row per (partition, source) — linear scan at any scale.
+    """
+    from hbase_increment_index_spark.numeric import exact_avg, exact_sum
+
+    feat = quality_features(df, text_col)
+    low = F.when(F.col("quality_score") < F.lit(low_threshold), 1).otherwise(0)
+    return (
+        feat.groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(exact_avg("quality_score"), 6).alias("mean_quality"),
+            F.sum(low).cast("long").alias("n_low_quality"),
+        )
+        .withColumn(
+            "low_quality_share",
+            F.round(F.col("n_low_quality") / F.col("n_docs"), 6),
+        )
+    )
+
+
 def language_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
     """Stopword-hit language ID: count function-word hits per language,
     argmax with lexicographic tie-break ('und' = no hits anywhere).

@@ -2556,6 +2556,192 @@ LIMIT 100
 """
 
 
+def q36_interval_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr ``facet.interval`` — explicit, possibly-overlapping
+    [lo, hi) buckets over o_totalprice (facet.range can't overlap;
+    this can, so it is conditional aggregation, not group-by)."""
+    orders = _t(spark, sf_dir, "orders")
+    return facets.facet_intervals(
+        orders,
+        "o_totalprice",
+        [
+            ("under_50k", None, 50000.0),
+            ("mid_50k_200k", 50000.0, 200000.0),
+            ("over_200k", 200000.0, None),
+            ("over_100k_overlap", 100000.0, None),
+        ],
+        label_alias="bucket_label",
+    )
+
+
+Q36_SQL = """
+SELECT 'under_50k' AS bucket_label,
+       CAST(count(*) FILTER (o_totalprice < 50000.0) AS BIGINT) AS n FROM orders
+UNION ALL
+SELECT 'mid_50k_200k',
+       CAST(count(*) FILTER (o_totalprice >= 50000.0 AND o_totalprice < 200000.0) AS BIGINT) FROM orders
+UNION ALL
+SELECT 'over_200k',
+       CAST(count(*) FILTER (o_totalprice >= 200000.0) AS BIGINT) FROM orders
+UNION ALL
+SELECT 'over_100k_overlap',
+       CAST(count(*) FILTER (o_totalprice >= 100000.0) AS BIGINT) FROM orders
+"""
+
+
+def q37_group_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr ``group.query`` — named predicates each return their
+    top-5 docs by price with in-group rank; groups may overlap."""
+    orders = _t(spark, sf_dir, "orders")
+    return facets.group_query(
+        orders.select("o_orderkey", "o_totalprice", "o_orderpriority"),
+        {
+            "urgent": F.col("o_orderpriority") == "1-URGENT",
+            "high_value": F.col("o_totalprice") > 400000.0,
+            "low_value": F.col("o_totalprice") < 10000.0,
+        },
+        order=[F.col("o_totalprice").desc()],
+        tie_break="o_orderkey",
+        limit=5,
+    )
+
+
+Q37_SQL = """
+WITH g AS (
+  SELECT 'urgent' AS group_name, o_orderkey, o_totalprice, o_orderpriority
+  FROM orders WHERE o_orderpriority = '1-URGENT'
+  UNION ALL
+  SELECT 'high_value', o_orderkey, o_totalprice, o_orderpriority
+  FROM orders WHERE o_totalprice > 400000.0
+  UNION ALL
+  SELECT 'low_value', o_orderkey, o_totalprice, o_orderpriority
+  FROM orders WHERE o_totalprice < 10000.0
+),
+r AS (
+  SELECT o_orderkey, o_totalprice, o_orderpriority, group_name,
+         row_number() OVER (PARTITION BY group_name
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank_in_group
+  FROM g
+)
+SELECT o_orderkey, o_totalprice, o_orderpriority, group_name,
+       CAST(rank_in_group AS BIGINT) AS rank_in_group
+FROM r WHERE rank_in_group <= 5
+"""
+
+
+def e9_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation rollup (text.source_quality_rollup): doc and
+    token volume, mean quality, low-quality share — the aggregate that
+    drives source up/down-weighting in a training-data pipeline."""
+    from hbase_increment_index_spark.pipeline.text import source_quality_rollup
+
+    docs = _t(spark, sf_dir, "documents")
+    return source_quality_rollup(docs)
+
+
+E9_SQL = f"""
+WITH base AS (
+  SELECT source, text,
+         {_SQL_TOKS.format(c='text')} AS toks,
+         length(text) AS n_chars
+  FROM documents
+),
+feat AS (
+  SELECT source,
+         len(toks) AS n_tokens,
+         CASE WHEN len(toks) > 0
+              THEN length(regexp_replace(text, '\\s+', '', 'g')) / len(toks)
+              ELSE 0.0 END AS raw_avg_tok,
+         n_chars,
+         len(list_filter(toks, t -> list_contains({_EN_STOP_SQL}, t))) AS n_stop
+  FROM base
+),
+scored AS (
+  SELECT source, n_tokens,
+         ROUND(0.4 * least(n_tokens / 100.0, 1.0)
+               + 0.3 * (CASE WHEN raw_avg_tok >= 2 AND raw_avg_tok <= 12 THEN 1.0 ELSE 0.0 END)
+               + 0.3 * least((CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0.0 END) * 5, 1.0), 6)
+           AS q
+  FROM feat
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       ROUND(CAST(SUM(CAST(q AS DECIMAL(30,6))) AS DOUBLE) / count(*), 6) AS mean_quality,
+       CAST(count(*) FILTER (q < 0.5) AS BIGINT) AS n_low_quality,
+       ROUND(count(*) FILTER (q < 0.5) / count(*), 6) AS low_quality_share
+FROM scored
+GROUP BY source
+"""
+
+
+def e3h_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluator: recall@10 of single-probe hyperplane-LSH
+    vs the exact brute-force ranking, per query vector. Runs on the
+    portable md5-derived planes so the bucket assignment AND both
+    rankings are value-checked against the oracle (the xxhash64
+    production kernel differs only in the string→int hash)."""
+    from hbase_increment_index_spark.pipeline.similarity import lsh_recall
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_recall(
+        emb, F.col("vec_id") % 50 == 0, k=10, n_planes=6, dim=64, plane_fn="md5"
+    )
+
+
+E3H_SQL = """
+WITH planes AS (
+  SELECT i, list_transform(
+           generate_series(0, 63),
+           j -> ((('0x' || substr(md5(CAST(i AS VARCHAR) || ',' || CAST(j AS VARCHAR)), 1, 15))::BIGINT
+                  % 2000001) - 1000000) / 1000000.0
+         ) AS w
+  FROM (SELECT unnest(generate_series(0, 5)) AS i)
+),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+bits AS (
+  SELECT v.vec_id, p.i,
+         CASE WHEN list_reduce(
+                list_prepend(0.0, list_transform(
+                  list_zip(v.e, p.w), s -> s[1] * s[2])),
+                (a, b) -> a + b) >= 0
+              THEN CAST(1 AS BIGINT) << p.i ELSE CAST(0 AS BIGINT) END AS term
+  FROM v CROSS JOIN planes p
+),
+buckets AS (SELECT vec_id, CAST(SUM(term) AS BIGINT) AS bucket FROM bits GROUP BY vec_id),
+q AS (
+  SELECT v.vec_id AS q_id, v.e AS qe, b.bucket AS q_bucket
+  FROM v JOIN buckets b USING (vec_id) WHERE vec_id % 50 = 0
+),
+scored AS (
+  SELECT q.q_id, q.q_bucket, b.bucket, v.vec_id,
+         ROUND(list_dot_product(v.e, q.qe)
+               / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(q.qe, q.qe))), 6) AS score
+  FROM v JOIN buckets b USING (vec_id) CROSS JOIN q
+  WHERE v.vec_id <> q.q_id
+),
+exact AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q_id, vec_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) AS rn
+    FROM scored) WHERE rn <= 10
+),
+approx AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q_id, vec_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) AS rn
+    FROM scored WHERE bucket = q_bucket) WHERE rn <= 10
+),
+hits AS (
+  SELECT q_id, count(*) AS n_hits FROM exact JOIN approx USING (q_id, vec_id) GROUP BY q_id
+)
+SELECT q.q_id,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       ROUND(COALESCE(h.n_hits, 0) / 10.0, 6) AS recall_at_k
+FROM q LEFT JOIN hits h ON h.q_id = q.q_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2624,6 +2810,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q33_fuzzy": q33_fuzzy,
     "q34_terms": q34_terms,
     "q35_boosted_bm25": q35_boosted_bm25,
+    "q36_interval_facet": q36_interval_facet,
+    "q37_group_query": q37_group_query,
     "e4g_pii_scrub": e4g_pii_scrub,
     "e4h_repetition": e4h_repetition,
     "e1_exact_dedup": e1_exact_dedup,
@@ -2641,6 +2829,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e3e_knn_join": e3e_knn_join,
     "e3f_quantize": e3f_quantize,
     "e3g_centroids": e3g_centroids,
+    "e3h_lsh_recall": e3h_lsh_recall,
     "e4_token_counts": e4_token_counts,
     "e4e_bigram_counts": e4e_bigram_counts,
     "e4f_bpe_token_count": e4f_bpe_token_count,
@@ -2657,6 +2846,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e6d_weighted_sample": e6d_weighted_sample,
     "e7_decontaminate": e7_decontaminate,
     "e8_zorder": e8_zorder,
+    "e9_source_quality": e9_source_quality,
 }
 
 ORACLES: dict[str, str] = {
@@ -2722,6 +2912,8 @@ ORACLES: dict[str, str] = {
     "q33_fuzzy": Q33_SQL,
     "q34_terms": Q34_SQL,
     "q35_boosted_bm25": Q35_SQL,
+    "q36_interval_facet": Q36_SQL,
+    "q37_group_query": Q37_SQL,
     "e4g_pii_scrub": _e4g_sql(),
     "e4h_repetition": _e4h_sql(),
     "e1_exact_dedup": E1_SQL,
@@ -2738,6 +2930,7 @@ ORACLES: dict[str, str] = {
     "e3e_knn_join": E3E_SQL,
     "e3f_quantize": E3F_SQL,
     "e3g_centroids": E3G_SQL,
+    "e3h_lsh_recall": E3H_SQL,
     "e4_token_counts": E4_TOKENS_SQL,
     "e4e_bigram_counts": E4E_SQL,
     "e4f_bpe_token_count": E4F_SQL,
@@ -2753,4 +2946,5 @@ ORACLES: dict[str, str] = {
     "e6d_weighted_sample": E6D_SQL,
     "e7_decontaminate": _e7_sql(),
     "e8_zorder": E8_SQL,
+    "e9_source_quality": E9_SQL,
 }

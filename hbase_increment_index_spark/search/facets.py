@@ -55,6 +55,88 @@ def facet_queries(df: DataFrame, buckets: dict[str, Column]) -> DataFrame:
     return df.agg(*aggs)
 
 
+def facet_intervals(
+    df: DataFrame,
+    field: str,
+    intervals: list[tuple[str, float | None, float | None]],
+    label_alias: str = "interval",
+    count_alias: str = "n",
+) -> DataFrame:
+    """Q-INT — Solr ``facet.interval``: counts for an explicit list of
+    half-open intervals ``(label, lo, hi)`` meaning ``[lo, hi)``; a
+    ``None`` bound is unbounded (Solr's ``*``). Unlike ``facet.range``
+    the buckets are arbitrary and may overlap, so this is conditional
+    aggregation (one scan, map-side partials), not a group-by — the
+    wide single row is then unpivoted driver-free with ``stack`` to
+    one row per interval, preserving the requested order via an index.
+    """
+    preds = []
+    for label, lo, hi in intervals:
+        p = F.lit(True)
+        if lo is not None:
+            p = p & (F.col(field) >= F.lit(lo))
+        if hi is not None:
+            p = p & (F.col(field) < F.lit(hi))
+        preds.append((label, p))
+    wide = df.agg(
+        *[
+            F.sum(F.when(p, 1).otherwise(0)).cast("long").alias(f"_b{i}")
+            for i, (_, p) in enumerate(preds)
+        ]
+    )
+    stack_args = ", ".join(
+        f"'{label}', _b{i}" for i, (label, _) in enumerate(preds)
+    )
+    return wide.selectExpr(
+        f"stack({len(preds)}, {stack_args}) AS ({label_alias}, {count_alias})"
+    )
+
+
+def group_query(
+    df: DataFrame,
+    groups: dict[str, Column],
+    order: list[Column],
+    tie_break: str,
+    limit: int = 5,
+    group_alias: str = "group_name",
+    rank_alias: str = "rank_in_group",
+) -> DataFrame:
+    """Q-GRPQ — Solr ``group.query``: each named predicate defines a
+    result group whose top-``limit`` docs (by ``order`` + unique
+    ``tie_break``) are returned with their in-group rank.
+
+    One scan tags each row with every group it matches (groups may
+    overlap, exactly as in Solr), explodes the tag array — rows
+    matching nothing are dropped pre-shuffle — then one window per
+    (group) partition ranks and prunes. At 100 TB this is a single
+    shuffle on group_name carrying only matching rows; with selective
+    predicates that is a small fraction of the scan."""
+    from pyspark.sql import Window
+
+    tags = F.array_compact(
+        F.array(
+            *[
+                F.when(pred, F.lit(name)).otherwise(F.lit(None))
+                for name, pred in groups.items()
+            ]
+        )
+    )
+    tagged = (
+        df.withColumn("_g", tags)
+        .filter(F.size("_g") > 0)
+        .select("*", F.explode("_g").alias(group_alias))
+        .drop("_g")
+    )
+    w = Window.partitionBy(group_alias).orderBy(
+        *order, F.col(tie_break).asc()
+    )
+    return (
+        tagged.withColumn(rank_alias, F.row_number().over(w))
+        .filter(F.col(rank_alias) <= limit)
+        .withColumn(rank_alias, F.col(rank_alias).cast("long"))
+    )
+
+
 def facet_pivot(df: DataFrame, fields: list[str], count_alias: str = "n") -> DataFrame:
     """Q16 — ``facet.pivot=a,b``: nested value counts (leaf level)."""
     return df.groupBy(*fields).agg(F.count(F.lit(1)).alias(count_alias))

@@ -1,0 +1,74 @@
+"""Unit tests for facet.interval and group.query (search.facets) on
+hand-built fixtures with known answers."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hbase_increment_index_spark.search.facets import facet_intervals, group_query
+
+
+@pytest.fixture(scope="module")
+def sales(spark):
+    rows = [
+        (1, 10.0, "a"),
+        (2, 50.0, "a"),
+        (3, 100.0, "b"),
+        (4, 150.0, "b"),
+        (5, 500.0, "c"),
+    ]
+    return spark.createDataFrame(rows, "id long, price double, cat string")
+
+
+def test_facet_intervals_counts_and_order(sales):
+    out = facet_intervals(
+        sales,
+        "price",
+        [
+            ("small", None, 100.0),
+            ("mid", 100.0, 200.0),
+            ("big", 200.0, None),
+            ("over_50_overlap", 50.0, None),  # overlaps mid+big
+        ],
+    ).collect()
+    got = {r["interval"]: r["n"] for r in out}
+    assert got == {"small": 2, "mid": 2, "big": 1, "over_50_overlap": 4}
+    # requested order preserved
+    assert [r["interval"] for r in out] == ["small", "mid", "big", "over_50_overlap"]
+
+
+def test_facet_intervals_open_bounds(sales):
+    out = facet_intervals(sales, "price", [("all", None, None)]).collect()
+    assert out[0]["n"] == 5
+
+
+def test_group_query_topk_and_overlap(sales):
+    out = group_query(
+        sales,
+        {
+            "cheap": F.col("price") < 120.0,
+            "cat_b": F.col("cat") == "b",
+        },
+        order=[F.col("price").desc()],
+        tie_break="id",
+        limit=2,
+    ).collect()
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r["group_name"], []).append((r["rank_in_group"], r["id"]))
+    # cheap: prices 100, 50 (desc) -> ids 3, 2
+    assert sorted(by_group["cheap"]) == [(1, 3), (2, 2)]
+    # cat_b: prices 150, 100 -> ids 4, 3; id 3 appears in BOTH groups
+    assert sorted(by_group["cat_b"]) == [(1, 4), (2, 3)]
+
+
+def test_group_query_drops_nonmatching_rows(sales):
+    out = group_query(
+        sales,
+        {"expensive": F.col("price") > 400.0},
+        order=[F.col("price").desc()],
+        tie_break="id",
+        limit=5,
+    ).collect()
+    assert [r["id"] for r in out] == [5]

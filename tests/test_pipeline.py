@@ -258,3 +258,61 @@ def test_cross_contamination(spark):
     }
     assert 2 in flagged and flagged[2] >= 1   # shares 'the exact eval phrase' 4-grams
     assert 1 not in flagged and 3 not in flagged
+
+
+def test_source_quality_rollup(spark):
+    from hbase_increment_index_spark.pipeline.text import source_quality_rollup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat and the dog sat on the mat with a hat for a while longer", "web"),
+            (2, "xx", "web"),  # short, no stopwords -> low quality
+            (3, "this is a perfectly reasonable sentence about the state of things", "books"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = {r["source"]: r for r in source_quality_rollup(docs).collect()}
+    assert rows["web"]["n_docs"] == 2 and rows["books"]["n_docs"] == 1
+    assert rows["web"]["n_low_quality"] == 1
+    assert rows["web"]["low_quality_share"] == 0.5
+    assert rows["books"]["n_low_quality"] == 0
+    assert rows["web"]["total_tokens"] == 16 + 1
+    # mean over the two per-doc scores, each in [0, 1]
+    assert 0.0 < rows["web"]["mean_quality"] < 1.0
+
+
+def test_lsh_recall_bounds_and_exact_on_full_bucket(spark):
+    from hbase_increment_index_spark.pipeline.similarity import lsh_recall
+
+    # 2-D corpus: with 1 plane every vector lands in one of 2 buckets;
+    # query 0 points along +x, its 3 same-bucket neighbors are also the
+    # 3 exact nearest -> recall@3 = 1.0
+    rows = [
+        (0, [1.0, 0.05]),
+        (1, [1.0, 0.1]),
+        (2, [0.9, 0.2]),
+        (3, [0.8, 0.15]),
+        (4, [-1.0, -0.1]),
+        (5, [-0.9, -0.2]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = lsh_recall(
+        emb, F.col("vec_id") == 0, k=3, n_planes=1, dim=2, plane_fn="md5"
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["q_id"] == 0
+    assert 0.0 <= r["recall_at_k"] <= 1.0
+    assert r["n_hits"] == 3 * r["recall_at_k"]
+
+
+def test_lsh_recall_zero_when_bucket_empty(spark):
+    from hbase_increment_index_spark.pipeline.similarity import lsh_recall
+
+    # only the query in its half-space -> no same-bucket candidates
+    rows = [(0, [1.0, 0.0]), (1, [-1.0, -0.1]), (2, [-0.9, -0.3])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = lsh_recall(
+        emb, F.col("vec_id") == 0, k=2, n_planes=1, dim=2, plane_fn="md5"
+    ).collect()
+    assert len(out) == 1 and out[0]["recall_at_k"] in (0.0, 1.0)

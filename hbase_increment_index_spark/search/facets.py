@@ -137,6 +137,47 @@ def group_query(
     )
 
 
+def merge_facet_counts(
+    counts: DataFrame,
+    old_rows: DataFrame,
+    new_rows: DataFrame,
+    facet_expr: Column,
+    facet_alias: str,
+    count_alias: str = "n",
+) -> DataFrame:
+    """Incremental facet-view maintenance: update a materialized
+    ``facet_field`` result with one CDC micro-batch instead of
+    re-scanning the corpus — the aggregate analogue of
+    ``inverted.merge_postings`` (reference: the Solr index stays in
+    sync via per-batch add+deleteById, SolrIndexTools.java:60-63,
+    127-131; a facet over it reflects those increments).
+
+    ``old_rows`` are the pre-image of every touched doc (updated or
+    deleted — at scale a partition-pruned read of the old table
+    version); ``new_rows`` the post-image of surviving docs (updated
+    or inserted). Counts are additive, so the delta is
+    ``+count(new) − count(old)`` per facet value; the merge is a
+    groupBy-sum over (materialized ∪ +delta ∪ −delta) — shuffle
+    carries one row per facet value per side, never the corpus.
+    Values whose count reaches zero drop out, matching a fresh
+    ``facet_field`` over the final corpus exactly.
+    """
+    plus = new_rows.groupBy(facet_expr.alias(facet_alias)).agg(
+        F.count(F.lit(1)).alias(count_alias)
+    )
+    minus = old_rows.groupBy(facet_expr.alias(facet_alias)).agg(
+        (-F.count(F.lit(1))).alias(count_alias)
+    )
+    return (
+        counts.select(facet_alias, count_alias)
+        .unionByName(plus)
+        .unionByName(minus)
+        .groupBy(facet_alias)
+        .agg(F.sum(count_alias).alias(count_alias))
+        .filter(F.col(count_alias) > 0)
+    )
+
+
 def facet_pivot(df: DataFrame, fields: list[str], count_alias: str = "n") -> DataFrame:
     """Q16 — ``facet.pivot=a,b``: nested value counts (leaf level)."""
     return df.groupBy(*fields).agg(F.count(F.lit(1)).alias(count_alias))

@@ -72,3 +72,23 @@ def test_group_query_drops_nonmatching_rows(sales):
         limit=5,
     ).collect()
     assert [r["id"] for r in out] == [5]
+
+
+def test_merge_facet_counts_moves_and_dropout(spark):
+    from hbase_increment_index_spark.search.facets import facet_field, merge_facet_counts
+
+    v1 = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "c")], "id long, cat string"
+    )
+    counts_v1 = facet_field(v1, "cat")
+    # batch: id 3 moves b -> a, id 4 (only c) deleted, id 5 inserted as b
+    old_rows = spark.createDataFrame([(3, "b"), (4, "c")], "id long, cat string")
+    new_rows = spark.createDataFrame([(3, "a"), (5, "b")], "id long, cat string")
+    merged = {
+        r["cat"]: r["n"]
+        for r in merge_facet_counts(
+            counts_v1, old_rows, new_rows, F.col("cat"), "cat"
+        ).collect()
+    }
+    # final corpus: 1a 2a 3a 5b -> a=3, b=1, c gone entirely
+    assert merged == {"a": 3, "b": 1}

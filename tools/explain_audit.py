@@ -39,6 +39,12 @@ AUDITED = [
     "q35_boosted_bm25",
     "e4g_pii_scrub",
     "e4h_repetition",
+    "q36_interval_facet",
+    "q37_group_query",
+    "cdc_merge_facets",
+    "e9_source_quality",
+    "e10_curation",
+    "e3h_lsh_recall",
 ]
 
 

@@ -71,6 +71,7 @@ def start_index_maintenance(
     trigger_seconds: int | None = 30,
     available_now: bool = False,
     postings_field: str | None = None,
+    facet_field: str | None = None,
 ) -> StreamingQuery:
     """Continuously fold CDC micro-batches into the index.
 
@@ -88,14 +89,36 @@ def start_index_maintenance(
     touched keys' fresh postings appended (search.inverted.
     merge_postings) — work ∝ batch size, never corpus size. Written to
     ``index_path + "_postings"``.
+
+    With ``facet_field`` set, a materialized facet-count view over that
+    document field is maintained incrementally as well (the aggregate
+    analogue — a Solr facet over the live index): the pre-image counts
+    of touched docs are captured BEFORE the rewrite (batch-bounded, so
+    they collect to the driver), the post-image counts after, and the
+    ±delta merges into ``index_path + "_facets"`` via groupBy-sum with
+    zero-count dropout. Work ∝ batch size + facet cardinality.
     """
     spark = cell_stream.sparkSession
     state_path = index_path + "_state"
     postings_path = index_path + "_postings"
+    facets_path = index_path + "_facets"
 
     def _merge(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():  # commit-only-if-data (SolrIndexTools.java:66-67)
             return
+        touched = batch.select(F.col("row_key").alias("id")).distinct()
+        # facet pre-image: the touched docs' current facet values, read
+        # and MATERIALIZED before the serving view is overwritten (the
+        # slice is batch-bounded, so collecting it is O(batch))
+        minus_rows = None
+        if facet_field is not None and _committed_state_exists(spark, facets_path):
+            minus_rows = (
+                spark.read.parquet(index_path)
+                .join(F.broadcast(touched), "id", "left_semi")
+                .groupBy(F.col(facet_field).alias("facet_value"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
         # Bootstrap-vs-merge is decided by an EXPLICIT existence probe of
         # the committed state (the _SUCCESS marker a successful overwrite
         # leaves behind), never by catching read errors: a transient IO
@@ -123,7 +146,6 @@ def start_index_maintenance(
             )
 
             docs = spark.read.parquet(index_path)
-            touched = batch.select(F.col("row_key").alias("id")).distinct()
             changed = docs.join(F.broadcast(touched), "id", "left_semi").select(
                 "id", postings_field
             )
@@ -141,6 +163,35 @@ def start_index_maintenance(
             postings.write.mode("overwrite").parquet(ptmp)
             spark.read.parquet(ptmp).write.mode("overwrite").parquet(postings_path)
             shutil.rmtree(ptmp.replace("file:", ""), ignore_errors=True)
+
+        if facet_field is not None:
+            new_docs = spark.read.parquet(index_path)
+            if minus_rows is None:
+                fcounts = new_docs.groupBy(
+                    F.col(facet_field).alias("facet_value")
+                ).agg(F.count(F.lit(1)).alias("n"))
+            else:
+                plus = (
+                    new_docs.join(F.broadcast(touched), "id", "left_semi")
+                    .groupBy(F.col(facet_field).alias("facet_value"))
+                    .agg(F.count(F.lit(1)).alias("n"))
+                )
+                minus = spark.createDataFrame(
+                    [(r["facet_value"], -r["n"]) for r in minus_rows],
+                    "facet_value string, n long",
+                )
+                fcounts = (
+                    spark.read.parquet(facets_path)
+                    .unionByName(plus)
+                    .unionByName(minus)
+                    .groupBy("facet_value")
+                    .agg(F.sum("n").alias("n"))
+                    .filter(F.col("n") > 0)
+                )
+            ftmp = facets_path + f"._staging_{batch_id}"
+            fcounts.write.mode("overwrite").parquet(ftmp)
+            spark.read.parquet(ftmp).write.mode("overwrite").parquet(facets_path)
+            shutil.rmtree(ftmp.replace("file:", ""), ignore_errors=True)
 
     writer = cell_stream.writeStream.foreachBatch(_merge).option(
         "checkpointLocation", checkpoint_path

@@ -230,3 +230,46 @@ def test_sessionized_event_counts_matches_batch(spark, sf_dir, tmp_path):
     )
     assert got["total"] == events.count()
     assert got["n_sessions"] == batch.count()
+
+
+def test_incremental_facet_maintenance(spark, dirs):
+    """With facet_field set, a materialized facet-count view is
+    maintained per micro-batch (pre-image counts subtracted, post-image
+    added, zero-count values dropped) and ends identical to a facet
+    computed fresh over the final document table."""
+    log_dir, index_path, ckpt = dirs
+    batch1 = [
+        ("put", "A", "cf", "cat", "fruit", _ts(1), 1),
+        ("put", "B", "cf", "cat", "fruit", _ts(2), 2),
+        ("put", "C", "cf", "cat", "veg", _ts(3), 3),
+    ]
+    batch2 = [
+        ("put", "A", "cf", "cat", "veg", _ts(4), 4),    # fruit -> veg move
+        ("delete", "B", "cf", None, None, _ts(5), 5),   # last other fruit gone
+        ("put", "D", "cf", "cat", "grain", _ts(6), 6),  # brand-new value
+    ]
+    spark.createDataFrame(batch1, SCHEMA).write.parquet(f"{log_dir}/b1")
+    spark.createDataFrame(batch2, SCHEMA).write.parquet(f"{log_dir}/b2")
+
+    q = start_index_maintenance(
+        read_cell_stream(spark, f"{log_dir}/*", max_files_per_trigger=1),
+        index_path,
+        ckpt,
+        qualifiers=["cat"],
+        available_now=True,
+        facet_field="cat",
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["facet_value"]: r["n"]
+        for r in spark.read.parquet(index_path + "_facets").collect()
+    }
+    want = {
+        r["cat"]: r["cnt"]
+        for r in spark.read.parquet(index_path)
+        .groupBy("cat")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert got == want == {"veg": 2, "grain": 1}  # 'fruit' dropped entirely

@@ -44,6 +44,7 @@ class SearchResponse:
     docs: DataFrame
     facets: dict[str, DataFrame] = field(default_factory=dict)
     stats: dict[str, DataFrame] = field(default_factory=dict)
+    groups: dict[str, DataFrame] = field(default_factory=dict)
 
 
 class SecondaryIndex:
@@ -144,9 +145,11 @@ class SecondaryIndex:
         tie_break: str | None = None,
         facet_fields: list[str] | None = None,
         facet_queries: dict[str, Column] | None = None,
+        facet_intervals: dict[str, list[tuple]] | None = None,
         stats_fields: list[str] | None = None,
         group_field: str | None = None,
         group_limit: int = 1,
+        group_queries: dict[str, Column] | None = None,
     ) -> SearchResponse:
         """Solr ``select`` over the document table.
 
@@ -158,6 +161,10 @@ class SecondaryIndex:
         ``fl``      — projection (Q9)
         ``sort``    — order columns (Q7); ``start``/``rows`` (Q8)
         ``facet_fields`` / ``facet_queries`` — Q10 / Q12
+        ``facet_intervals`` — Q-INT: per field, a list of
+                      (label, lo, hi) half-open [lo, hi) buckets
+        ``group_queries`` — Q-GRPQ: named predicates, each returning
+                      its top-``group_limit`` docs in ``resp.groups``
         ``stats_fields`` — Q13
         ``group_field`` + ``group_limit`` — Q15
         """
@@ -201,6 +208,16 @@ class SecondaryIndex:
             resp.facets[f_] = _facets.facet_field(matched, f_)
         if facet_queries:
             resp.facets["queries"] = _facets.facet_queries(matched, facet_queries)
+        for f_, ivals in (facet_intervals or {}).items():
+            resp.facets[f"intervals:{f_}"] = _facets.facet_intervals(matched, f_, ivals)
+        if group_queries:
+            resp.groups["queries"] = _facets.group_query(
+                matched,
+                group_queries,
+                order=sort or [F.col(tb).asc()],
+                tie_break=tb,
+                limit=group_limit,
+            )
         for s in stats_fields or []:
             resp.stats[s] = _stats.stats_field(matched, s)
         return resp

@@ -162,3 +162,31 @@ def test_postings_maintained_through_mutations(spark, index):
     via_index = [tuple(r) for r in index.rank("name", ["recipe"], scorer="bm25_index").collect()]
     via_scan = [tuple(r) for r in bm25_topk(index.documents, "rowkey", "name", ["recipe"]).collect()]
     assert via_index == via_scan
+
+
+def test_search_interval_facets_and_group_queries(index):
+    resp = index.search(
+        rows=None,
+        facet_intervals={
+            "price": [
+                ("cheap", None, 15.0),
+                ("mid", 15.0, 25.0),
+                ("buyable", 15.0, None),  # overlaps mid
+            ]
+        },
+        group_queries={
+            "apple_docs": F.col("name").contains("apple"),
+            "pricey": F.col("price").cast("int") >= 20,
+        },
+        sort=[F.col("price").cast("int").desc()],
+        tie_break="rowkey",
+        group_limit=2,
+    )
+    ivals = {r["interval"]: r["n"] for r in resp.facets["intervals:price"].collect()}
+    assert ivals == {"cheap": 1, "mid": 1, "buyable": 2}
+    groups = {}
+    for r in resp.groups["queries"].collect():
+        groups.setdefault(r["group_name"], []).append((r["rank_in_group"], r["rowkey"]))
+    # apple docs by price desc: r3 (30) then r1 (10); pricey: r3 (30), r2 (20)
+    assert sorted(groups["apple_docs"]) == [(1, "r3"), (2, "r1")]
+    assert sorted(groups["pricey"]) == [(1, "r3"), (2, "r2")]

@@ -2629,6 +2629,31 @@ FROM r WHERE rank_in_group <= 5
 """
 
 
+def q38_facet_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr ``facet.range`` + ``facet.missing=true`` over the SPARSE
+    CDC document view: rowkeys that never saw a 'purchase' cell have
+    NULL there and land in the explicit missing bucket — the
+    facet.missing semantics only matter on a sparse index, which the
+    CDC view genuinely is (absent qualifier = NULL column)."""
+    from hbase_increment_index_spark.cdc.index_builder import documents_from_cells
+
+    events = _t(spark, sf_dir, "events")
+    log = cell_log_from_events(events, delete_event_type="error")
+    docs = documents_from_cells(log, ["click", "purchase", "signup", "view"])
+    return facets.facet_range_missing(docs, "purchase", gap=20.0)
+
+
+Q38_SQL = f"""
+WITH docs AS ({CDC_INDEX_DOCS_SQL})
+SELECT CASE WHEN purchase IS NULL THEN '(missing)'
+            ELSE CAST(CAST(floor(CAST(purchase AS DOUBLE) / 20.0) * 20.0 AS BIGINT) AS VARCHAR)
+       END AS bucket,
+       CAST(count(*) AS BIGINT) AS n
+FROM docs
+GROUP BY 1
+"""
+
+
 def e9_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source curation rollup (text.source_quality_rollup): doc and
     token volume, mean quality, low-quality share — the aggregate that
@@ -2900,6 +2925,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q35_boosted_bm25": q35_boosted_bm25,
     "q36_interval_facet": q36_interval_facet,
     "q37_group_query": q37_group_query,
+    "q38_facet_missing": q38_facet_missing,
     "e4g_pii_scrub": e4g_pii_scrub,
     "e4h_repetition": e4h_repetition,
     "e1_exact_dedup": e1_exact_dedup,
@@ -3004,6 +3030,7 @@ ORACLES: dict[str, str] = {
     "q35_boosted_bm25": Q35_SQL,
     "q36_interval_facet": Q36_SQL,
     "q37_group_query": Q37_SQL,
+    "q38_facet_missing": Q38_SQL,
     "e4g_pii_scrub": _e4g_sql(),
     "e4h_repetition": _e4h_sql(),
     "e1_exact_dedup": E1_SQL,

@@ -55,6 +55,30 @@ def facet_queries(df: DataFrame, buckets: dict[str, Column]) -> DataFrame:
     return df.agg(*aggs)
 
 
+def facet_range_missing(
+    df: DataFrame,
+    field: str,
+    gap: float,
+    missing_label: str = "(missing)",
+    bucket_alias: str = "bucket",
+    count_alias: str = "n",
+) -> DataFrame:
+    """Q11 + ``facet.missing=true``: fixed-width buckets over a numeric
+    (or numeric-string) field, with docs LACKING the field counted in
+    an explicit missing bucket — Solr reports that count alongside the
+    ranges, and on a sparse document table (CDC view: absent qualifier
+    = NULL column) it is load-bearing. Same single hash-agg scan as
+    facet_range; the bucket label is a string so '(missing)' and
+    numeric bucket starts share one column."""
+    v = F.col(field).cast("double")
+    bucket = F.when(v.isNull(), F.lit(missing_label)).otherwise(
+        (F.floor(v / F.lit(gap)) * F.lit(gap)).cast("long").cast("string")
+    )
+    return df.groupBy(bucket.alias(bucket_alias)).agg(
+        F.count(F.lit(1)).alias(count_alias)
+    )
+
+
 def facet_intervals(
     df: DataFrame,
     field: str,

@@ -92,3 +92,14 @@ def test_merge_facet_counts_moves_and_dropout(spark):
     }
     # final corpus: 1a 2a 3a 5b -> a=3, b=1, c gone entirely
     assert merged == {"a": 3, "b": 1}
+
+
+def test_facet_range_missing(spark):
+    from hbase_increment_index_spark.search.facets import facet_range_missing
+
+    df = spark.createDataFrame(
+        [(1, "5"), (2, "15"), (3, "25"), (4, None), (5, None)],
+        "id long, amount string",
+    )
+    got = {r["bucket"]: r["n"] for r in facet_range_missing(df, "amount", 10.0).collect()}
+    assert got == {"0": 1, "10": 1, "20": 1, "(missing)": 2}

@@ -2654,6 +2654,60 @@ GROUP BY 1
 """
 
 
+def q39_json_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr ``json.facet`` nested aggregation: terms facet over
+    event_type, each bucket carrying count + sum/avg stats AND a
+    nested terms subfacet (top-2 user_ids by event count inside the
+    bucket). Flattened response: one row per (bucket, subfacet row).
+    Plan: one grouped agg per level on the same scan + a broadcast
+    join of the tiny bucket stats onto the ranked subfacet — the
+    (type, user) agg shuffles once on the composite key, the rank
+    window partitions by type; no row-level shuffle of the corpus
+    happens twice."""
+    ev = _t(spark, sf_dir, "events")
+    bucket = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(exact_sum("value"), 6).alias("sum_value"),
+        F.round(exact_avg("value"), 6).alias("avg_value"),
+    )
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("sub_n")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("sub_n").desc(), F.col("user_id").asc()
+    )
+    sub = (
+        per_user.withColumn("sub_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sub_rank") <= 2)
+        .select("event_type", F.col("user_id").alias("sub_user_id"), "sub_n", "sub_rank")
+    )
+    return sub.join(F.broadcast(bucket), "event_type")
+
+
+Q39_SQL = """
+WITH bucket AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE), 6) AS sum_value,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / count(value), 6) AS avg_value
+  FROM events GROUP BY event_type
+),
+per_user AS (
+  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS sub_n
+  FROM events GROUP BY event_type, user_id
+),
+sub AS (
+  SELECT event_type, user_id AS sub_user_id, sub_n,
+         CAST(row_number() OVER (PARTITION BY event_type
+                                 ORDER BY sub_n DESC, user_id ASC) AS BIGINT) AS sub_rank
+  FROM per_user
+)
+SELECT s.event_type, s.sub_user_id, s.sub_n, s.sub_rank, b.n, b.sum_value, b.avg_value
+FROM sub s JOIN bucket b USING (event_type)
+WHERE s.sub_rank <= 2
+"""
+
+
 def e9_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source curation rollup (text.source_quality_rollup): doc and
     token volume, mean quality, low-quality share — the aggregate that
@@ -2926,6 +2980,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q36_interval_facet": q36_interval_facet,
     "q37_group_query": q37_group_query,
     "q38_facet_missing": q38_facet_missing,
+    "q39_json_facet": q39_json_facet,
     "e4g_pii_scrub": e4g_pii_scrub,
     "e4h_repetition": e4h_repetition,
     "e1_exact_dedup": e1_exact_dedup,
@@ -3031,6 +3086,7 @@ ORACLES: dict[str, str] = {
     "q36_interval_facet": Q36_SQL,
     "q37_group_query": Q37_SQL,
     "q38_facet_missing": Q38_SQL,
+    "q39_json_facet": Q39_SQL,
     "e4g_pii_scrub": _e4g_sql(),
     "e4h_repetition": _e4h_sql(),
     "e1_exact_dedup": E1_SQL,

@@ -230,3 +230,47 @@ def test_repetition_features_bounded(spark, texts):
             assert 0.0 <= r[c] <= 1.0, (c, r)
         if r["n_tokens"] > 0:
             assert r["top_token_frac"] >= 1.0 / r["n_tokens"] - 1e-6
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["absent", "x", "y", "z"]),  # v1 state per id
+            st.sampled_from(["absent", "x", "y", "z"]),  # final state per id
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_merge_facet_counts_equals_rebuild(spark, states):
+    """IVM invariant: for ANY v1 corpus and ANY batch of inserts,
+    updates and deletes, merging the ±delta into the materialized facet
+    equals the facet rebuilt from the final corpus."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from hbase_increment_index_spark.search.facets import facet_field, merge_facet_counts
+
+    v1 = {i: s1 for i, (s1, _) in enumerate(states) if s1 != "absent"}
+    final = {i: s2 for i, (_, s2) in enumerate(states) if s2 != "absent"}
+    touched = {i for i in range(len(states)) if v1.get(i) != final.get(i)}
+
+    ddl = "id long, cat string"
+    mk = lambda d, keep: spark.createDataFrame(
+        [(i, c) for i, c in d.items() if i in keep], ddl
+    )
+    counts_v1 = facet_field(
+        spark.createDataFrame(list(v1.items()) or [(None, None)], ddl).filter(
+            F.col("id").isNotNull()
+        ),
+        "cat",
+    )
+    merged = {
+        r["cat"]: r["n"]
+        for r in merge_facet_counts(
+            counts_v1, mk(v1, touched), mk(final, touched), F.col("cat"), "cat"
+        ).collect()
+    }
+    assert merged == dict(Counter(final.values()))

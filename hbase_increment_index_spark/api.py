@@ -110,6 +110,40 @@ class SecondaryIndex:
                 )
         return self.documents
 
+    def delete_by_query(self, pred: Column) -> DataFrame:
+        """Solr ``deleteByQuery``: tombstone every document matching
+        ``pred`` (the reference ships only deleteById,
+        SolrIndexTools.java:105-107; Solr pairs it with delete-by-query
+        and the index-maintenance semantics are identical). The
+        predicate is evaluated on the serving view; matching rowkeys
+        become row tombstones stamped strictly after every existing
+        cell (max(ts)+1s, max(seq)+1 — one scalar agg row to the
+        driver), then fold through the same merge path as any other
+        batch, so postings stay in sync and out-of-order safety is
+        preserved."""
+        import datetime as _dt
+
+        if self._state is None:
+            raise ValueError("delete_by_query requires the cell state")
+        mx = self._state.agg(
+            F.max("ts").alias("t"), F.max("seq").alias("s")
+        ).collect()[0]
+        ts = mx["t"] + _dt.timedelta(seconds=1)
+        log = (
+            self.documents.filter(pred)
+            .select(F.col(self.key_field).alias("row_key"))
+            .select(
+                F.lit("delete").alias("op"),
+                "row_key",
+                F.lit(self.families[0]).alias("family"),
+                F.lit(None).cast("string").alias("qualifier"),
+                F.lit(None).cast("string").alias("value"),
+                F.lit(ts).alias("ts"),
+                F.lit(mx["s"] + 1).alias("seq"),
+            )
+        )
+        return self.apply_mutations(log)
+
     @property
     def documents(self) -> DataFrame:
         """The document serving view, unique key exposed under

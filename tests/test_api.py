@@ -190,3 +190,19 @@ def test_search_interval_facets_and_group_queries(index):
     # apple docs by price desc: r3 (30) then r1 (10); pricey: r3 (30), r2 (20)
     assert sorted(groups["apple_docs"]) == [(1, "r3"), (2, "r1")]
     assert sorted(groups["pricey"]) == [(1, "r3"), (2, "r2")]
+
+
+def test_delete_by_query(spark, index):
+    index.build_postings("name")
+    index.delete_by_query(F.col("price").cast("int") >= 20)
+    assert {r["rowkey"] for r in index.documents.collect()} == {"r1"}
+    # postings pruned too: only r1's name terms remain
+    ids = {r["rowkey"] for r in index._postings["name"].collect()}
+    assert ids == {"r1"}
+    # deleted rowkeys can be re-inserted afterwards (tombstone ordering)
+    late = dt.datetime(2024, 1, 1, 0, 5, 0)
+    inc = [("put", "r2", "cf", "name", "banana muffin", late, 99),
+           ("put", "r2", "cf", "price", "5", late, 100)]
+    index.apply_mutations(spark.createDataFrame(inc, SCHEMA))
+    got = {r["rowkey"]: r["name"] for r in index.documents.collect()}
+    assert got == {"r1": "apple pie recipe", "r2": "banana muffin"}

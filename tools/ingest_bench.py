@@ -127,6 +127,25 @@ def main() -> int:
         dt = time.monotonic() - t0
         out["streaming_e2e"] = {"sec": round(dt, 3), "rows_per_sec": round(n_cells / dt)}
 
+        # -- streaming with FULL index maintenance: documents + postings
+        #    + facet view per micro-batch (the reference's complete job)
+        t0 = time.monotonic()
+        q = start_index_maintenance(
+            read_cell_stream(spark, f"{tmp}/log/*.parquet", max_files_per_trigger=max(1, batches // 4)),
+            f"{tmp}/stream_index_full",
+            f"{tmp}/ckpt_full",
+            qualifiers=quals,
+            available_now=True,
+            postings_field="click",
+            facet_field="click",
+        )
+        q.awaitTermination()
+        dt = time.monotonic() - t0
+        out["streaming_full_maintenance"] = {
+            "sec": round(dt, 3),
+            "rows_per_sec": round(n_cells / dt),
+        }
+
         print(json.dumps({"n_cells": n_cells, "mult": mult, "sf_dir": sf_dir, "paths": out}))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -45,6 +45,8 @@ AUDITED = [
     "e9_source_quality",
     "e10_curation",
     "e3h_lsh_recall",
+    "q38_facet_missing",
+    "q39_json_facet",
 ]
 
 

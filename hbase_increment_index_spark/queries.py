@@ -294,6 +294,36 @@ Q17_SQL = "SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id = 42
 _TFIDF_TERMS = ["spark", "join", "query"]
 
 
+def q05c_phrase_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-served phrase query over POSITIONAL postings (Lucene
+    parity — the raw-text regex path is q05b): docs containing the
+    exact consecutive sequence 'stream table hash', with occurrence
+    counts, computed entirely from (term, id, positions) posting
+    slices."""
+    from hbase_increment_index_spark.search.inverted import (
+        build_positional_index,
+        phrase_match_from_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pp = build_positional_index(docs, "doc_id", "text")
+    return phrase_match_from_index(pp, ["stream", "table", "hash"], "doc_id")
+
+
+Q05C_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKS.format(c='text')} AS t FROM documents
+)
+SELECT * FROM (
+  SELECT doc_id,
+         CAST(len(list_filter(generate_series(1, greatest(len(t) - 2, 0)),
+                  i -> t[i] = 'stream' AND t[i+1] = 'table' AND t[i+2] = 'hash')) AS BIGINT)
+           AS n_occurrences
+  FROM toks
+) WHERE n_occurrences > 0
+"""
+
+
 def q06_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return ranking.tfidf_topk(docs, "doc_id", "text", _TFIDF_TERMS, k=10)
@@ -2923,6 +2953,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q04c_inverted_index": q04c_inverted_index,
     "q05_prefix_wildcard": q05_prefix_wildcard,
     "q05b_phrase": q05b_phrase,
+    "q05c_phrase_from_index": q05c_phrase_from_index,
     "q06_tfidf_topk": q06_tfidf_topk,
     "q06b_bm25_topk": q06b_bm25_topk,
     "q06c_bm25_from_index": q06c_bm25_from_index,
@@ -3030,6 +3061,7 @@ ORACLES: dict[str, str] = {
     "q04c_inverted_index": Q04_SQL,
     "q05_prefix_wildcard": Q05_SQL,
     "q05b_phrase": Q05B_SQL,
+    "q05c_phrase_from_index": Q05C_SQL,
     "q06_tfidf_topk": Q06_SQL,
     "q06b_bm25_topk": Q06B_SQL,
     "q06c_bm25_from_index": Q06C_SQL,

@@ -97,3 +97,57 @@ def merge_postings(
     kept = postings.join(F.broadcast(touched), id_col, "left_anti")
     fresh = build_inverted_index(changed_docs, id_col, text_col)
     return kept.unionByName(fresh.select(*kept.columns))
+
+
+def build_positional_index(corpus: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Lucene-style POSITIONAL postings ``(term, id, positions)`` —
+    sorted 0-based token positions per (term, doc). One posexplode +
+    one map-side-combined groupBy; tf is ``size(positions)``, so this
+    strictly generalizes build_inverted_index. At 100 TB the layout
+    story is identical (range-partition/bucket by term); positions add
+    ~one int per token, the same order Lucene pays for its .pos file."""
+    from hbase_increment_index_spark.search.tokenize import tokens
+
+    return (
+        corpus.select(F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "term"))
+        .groupBy("term", id_col)
+        .agg(F.array_sort(F.collect_list("pos")).alias("positions"))
+    )
+
+
+def phrase_match_from_index(
+    postings_pos: DataFrame, phrase_terms: list[str], id_col: str
+) -> DataFrame:
+    """Index-served phrase query (Solr ``q=f:"w1 w2 ..."`` on an
+    indexed field): docs containing the exact consecutive token
+    sequence, with occurrence counts — no corpus scan, no
+    re-tokenization, no regex.
+
+    Valid start positions fold left across the phrase:
+    ``S_k = S_{k-1} ∩ (positions(term_k) − k)`` via ``array_intersect``
+    on the (tiny) per-term posting slices, joined per doc. Each join
+    input is one term's postings — the filter prunes the range-
+    partitioned index to one term's range at scale — and docs drop out
+    as soon as the running intersection empties, so the join tree
+    narrows monotonically. Repeated phrase terms work naturally (the
+    same slice joins twice with different shifts)."""
+    terms = [t.lower() for t in phrase_terms]
+    cur = postings_pos.filter(F.col("term") == terms[0]).select(
+        F.col(id_col), F.col("positions").alias("starts")
+    )
+    for k, t in enumerate(terms[1:], 1):
+        nxt = postings_pos.filter(F.col("term") == t).select(
+            F.col(id_col), F.col("positions").alias("_p")
+        )
+        cur = (
+            cur.join(nxt, id_col)
+            .withColumn(
+                "starts",
+                F.array_intersect("starts", F.transform("_p", lambda x: x - F.lit(k))),
+            )
+            .filter(F.size("starts") > 0)
+            .drop("_p")
+        )
+    return cur.select(
+        F.col(id_col), F.size("starts").cast("long").alias("n_occurrences")
+    )

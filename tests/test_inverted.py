@@ -106,3 +106,40 @@ def test_bm25_from_index_matches_corpus_scan(spark, sf_dir):
     via_corpus = [tuple(r) for r in bm25_topk(docs, "doc_id", "text", terms, k=10).collect()]
     via_index = [tuple(r) for r in bm25_topk_from_index(postings, "doc_id", terms, k=10).collect()]
     assert via_index == via_corpus
+
+
+def test_positional_index_and_phrase_match(spark):
+    from hbase_increment_index_spark.search.inverted import (
+        build_positional_index,
+        phrase_match_from_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox"),
+            (2, "quick brown quick brown fox"),
+            (3, "brown quick fox"),          # words present, order wrong
+            (4, "a a a"),                     # overlapping repeats
+        ],
+        "doc_id long, text string",
+    )
+    pp = build_positional_index(docs, "doc_id", "text")
+    # positions are 0-based sorted
+    row = pp.filter((pp.term == "a")).collect()[0]
+    assert row["positions"] == [0, 1, 2]
+
+    got = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in phrase_match_from_index(pp, ["quick", "brown"], "doc_id").collect()
+    }
+    assert got == {1: 1, 2: 2}  # doc 3 excluded: wrong order
+
+    # repeated-term phrase with overlapping starts: 'a a' occurs at 0 and 1
+    got = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in phrase_match_from_index(pp, ["a", "a"], "doc_id").collect()
+    }
+    assert got == {4: 2}
+
+    # absent phrase
+    assert phrase_match_from_index(pp, ["fox", "quick"], "doc_id").count() == 0

@@ -74,6 +74,8 @@ class SecondaryIndex:
         #: materialized postings per text field (build_postings);
         #: maintained incrementally by apply_mutations
         self._postings: dict[str, DataFrame] = {}
+        #: positional postings per text field (build_positional_postings)
+        self._positional: dict[str, DataFrame] = {}
 
     # ----------------------------------------------------------- maintain
 
@@ -87,21 +89,32 @@ class SecondaryIndex:
             self._state = compact_state(cells)
         else:
             self._state = merge_state(self._state, cells)
-        if self._postings:
+        if self._postings or self._positional:
             # keep materialized full-text postings in sync — the
             # reference's whole job (add+deleteById per batch,
             # SolrIndexTools.java:60-63,127-131): touched keys' old
             # postings drop via broadcast anti-join, fresh ones append;
             # work ∝ batch, never index size
-            from hbase_increment_index_spark.search.inverted import merge_postings
+            from hbase_increment_index_spark.search.inverted import (
+                merge_positional_postings,
+                merge_postings,
+            )
 
             touched = cells.select(
                 F.col("row_key").alias(self.key_field)
             ).distinct()
             docs = self.documents
+            changed = docs.join(F.broadcast(touched), self.key_field, "left_semi")
             for text_field, postings in self._postings.items():
-                changed = docs.join(F.broadcast(touched), self.key_field, "left_semi")
                 self._postings[text_field] = merge_postings(
+                    postings,
+                    changed.select(self.key_field, text_field),
+                    touched,
+                    self.key_field,
+                    text_field,
+                )
+            for text_field, postings in self._positional.items():
+                self._positional[text_field] = merge_positional_postings(
                     postings,
                     changed.select(self.key_field, text_field),
                     touched,
@@ -303,6 +316,30 @@ class SecondaryIndex:
             self.documents, self.key_field, text_field
         )
         return self._postings[text_field]
+
+    def build_positional_postings(self, text_field: str) -> DataFrame:
+        """Materialize Lucene-style positional postings for a field
+        (term, key, positions); phrase() then answers index-served and
+        apply_mutations keeps the positions in sync incrementally."""
+        from hbase_increment_index_spark.search.inverted import build_positional_index
+
+        self._positional[text_field] = build_positional_index(
+            self.documents, self.key_field, text_field
+        )
+        return self._positional[text_field]
+
+    def phrase(self, text_field: str, words: list[str]) -> DataFrame:
+        """Index-served phrase query (Solr q=f:"w1 w2 ...") over the
+        positional postings: (key, n_occurrences) for docs containing
+        the exact consecutive token sequence. Builds the positional
+        index on first use."""
+        from hbase_increment_index_spark.search.inverted import phrase_match_from_index
+
+        if text_field not in self._positional:
+            self.build_positional_postings(text_field)
+        return phrase_match_from_index(
+            self._positional[text_field], words, self.key_field
+        )
 
     def search_index(self, text_field: str, terms: list[str], op: str = "and") -> DataFrame:
         """Full-text match served via the materialized postings

@@ -151,3 +151,23 @@ def phrase_match_from_index(
     return cur.select(
         F.col(id_col), F.size("starts").cast("long").alias("n_occurrences")
     )
+
+
+def merge_positional_postings(
+    postings_pos: DataFrame,
+    changed_docs: DataFrame,
+    deleted_ids: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Positional twin of merge_postings: identical anti-join +
+    fresh-build topology (drop touched ids broadcast-anti, rebuild the
+    touched docs' position lists, pass everything else through)."""
+    touched = (
+        changed_docs.select(id_col)
+        .unionByName(deleted_ids.select(id_col))
+        .distinct()
+    )
+    kept = postings_pos.join(F.broadcast(touched), id_col, "left_anti")
+    fresh = build_positional_index(changed_docs, id_col, text_col)
+    return kept.unionByName(fresh.select(*kept.columns))

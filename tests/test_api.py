@@ -206,3 +206,17 @@ def test_delete_by_query(spark, index):
     index.apply_mutations(spark.createDataFrame(inc, SCHEMA))
     got = {r["rowkey"]: r["name"] for r in index.documents.collect()}
     assert got == {"r1": "apple pie recipe", "r2": "banana muffin"}
+
+
+def test_phrase_from_index_maintained_through_mutations(spark, index):
+    got = {r["rowkey"]: r["n_occurrences"] for r in index.phrase("name", ["apple", "pie"]).collect()}
+    assert got == {"r1": 1}
+    # update r1's name away from the phrase; insert r5 containing it twice
+    late = dt.datetime(2024, 1, 1, 0, 6, 0)
+    inc = [
+        ("put", "r1", "cf", "name", "plum tart", late, 50),
+        ("put", "r5", "cf", "name", "apple pie and apple pie again", late, 51),
+    ]
+    index.apply_mutations(spark.createDataFrame(inc, SCHEMA))
+    got = {r["rowkey"]: r["n_occurrences"] for r in index.phrase("name", ["apple", "pie"]).collect()}
+    assert got == {"r5": 2}

@@ -274,3 +274,40 @@ def test_merge_facet_counts_equals_rebuild(spark, states):
         ).collect()
     }
     assert merged == dict(Counter(final.values()))
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["x", "y", "z"]), min_size=0, max_size=8),
+        min_size=1,
+        max_size=5,
+    ),
+    st.lists(st.sampled_from(["x", "y", "z"]), min_size=1, max_size=3),
+)
+def test_phrase_match_matches_python_oracle(spark, docs_tokens, phrase):
+    """Index-served phrase matching equals the naive sliding-window
+    count on ANY corpus, including overlapping and repeated-term
+    phrases and empty documents."""
+    from hbase_increment_index_spark.search.inverted import (
+        build_positional_index,
+        phrase_match_from_index,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs_tokens)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pp = build_positional_index(docs, "doc_id", "text")
+    got = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in phrase_match_from_index(pp, phrase, "doc_id").collect()
+    }
+    want = {}
+    for i, toks in enumerate(docs_tokens):
+        n = sum(
+            1
+            for s in range(len(toks) - len(phrase) + 1)
+            if toks[s : s + len(phrase)] == phrase
+        )
+        if n:
+            want[i] = n
+    assert got == want

@@ -320,7 +320,9 @@ def build_ivf(
     return centroids, assignments
 
 
-def _assign(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
+def _assign(
+    vecs: DataFrame, centroids: DataFrame, dist_decimals: int | None = None
+) -> DataFrame:
     """Nearest-centroid assignment as a pure per-row expression.
 
     Centroids are collected to the driver (k × dim doubles — tiny by
@@ -328,17 +330,23 @@ def _assign(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
     literals, so assignment is ZERO-shuffle: one scan computing an
     argmin over k codegen'd distance expressions. This replaces the
     crossJoin + per-id window (which shuffled the whole corpus on id).
+
+    ``dist_decimals`` rounds each squared distance before the argmin;
+    with rounded, engine-portable centroids that makes the assignment
+    itself reproducible across engines (ties break to the lowest cid —
+    first index of the array minimum).
     """
     cents = sorted(
         ((r["cid"], list(r["centroid"])) for r in centroids.collect()), key=lambda c: c[0]
     )
 
     def dist_to(c: list[float]) -> Column:
-        return F.aggregate(
+        d = F.aggregate(
             F.zip_with("vec", lit_vector(c), lambda x, y: (x - y) * (x - y)),
             F.lit(0.0),
-            lambda acc, x: acc + x,
+            lambda acc, v: acc + v,
         )
+        return F.round(d, dist_decimals) if dist_decimals is not None else d
 
     scored = vecs.withColumn(
         "_d", F.array(*[dist_to(c) for _, c in cents])
@@ -347,6 +355,52 @@ def _assign(vecs: DataFrame, centroids: DataFrame) -> DataFrame:
     best = F.array_position("_d", F.array_min("_d")) - 1
     cid_lookup = F.array(*[F.lit(cid) for cid, _ in cents])
     return scored.select("id", "vec", F.element_at(cid_lookup, (best + 1).cast("int")).alias("cid"))
+
+
+def label_cell_centroids(
+    embeddings: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    mean_decimals: int = 6,
+) -> DataFrame:
+    """Deterministic IVF coarse index ``(cid, centroid)``: one inverted
+    list per existing label, centroid = the label's exact-decimal
+    per-dimension mean rounded once (:func:`label_centroids`).
+
+    Unlike k-means seeds, this is bit-identical under any partitioning
+    AND reproducible in another engine — which is what lets the whole
+    IVF probe path (assignment → probe selection → in-cell ranking) be
+    value-checked against a SQL oracle instead of rows-only. At scale
+    the labels are any coarse pre-existing grouping (class, shard,
+    cluster id from a prior run)."""
+    long = label_centroids(
+        embeddings, label_col=label_col, vec_col=vec_col, mean_decimals=mean_decimals
+    )
+    return (
+        long.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "mean_v"))).alias("pm"))
+        .select(
+            F.col("label").cast("long").alias("cid"),
+            F.transform("pm", lambda s: s["mean_v"]).alias("centroid"),
+        )
+    )
+
+
+def assign_cells(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dist_decimals: int | None = 6,
+) -> DataFrame:
+    """Public nearest-cell assignment: (id_col, cid), zero-shuffle
+    (centroids inlined as literals — see :func:`_assign`)."""
+    vecs = embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vec")
+    )
+    return _assign(vecs, centroids, dist_decimals=dist_decimals).select(
+        F.col("id").alias(id_col), "cid"
+    )
 
 
 def knn_ivf(
@@ -359,6 +413,7 @@ def knn_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     score_decimals: int = 6,
+    dist_decimals: int | None = None,
 ) -> DataFrame:
     """Probe the n_probe nearest inverted lists, exact-rank inside them.
 
@@ -366,15 +421,15 @@ def knn_ivf(
     written partitionBy('cid')); here it is a broadcast semi-join.
     """
     q = lit_vector(query_vec)
+    probe_dist = F.aggregate(
+        F.zip_with("centroid", q, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    if dist_decimals is not None:
+        probe_dist = F.round(probe_dist, dist_decimals)
     probe_cids = (
-        centroids.select(
-            "cid",
-            F.aggregate(
-                F.zip_with("centroid", q, lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ).alias("dist"),
-        )
+        centroids.select("cid", probe_dist.alias("dist"))
         .orderBy(F.col("dist").asc(), F.col("cid").asc())
         .limit(n_probe)
         .select("cid")

@@ -2065,14 +2065,77 @@ LIMIT 10
 
 
 def e3b_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-Flat approximate kNN — rows-only check (probe set is
-    index-construction-dependent)."""
-    from hbase_increment_index_spark.pipeline.similarity import build_ivf, knn_ivf
+    """IVF-Flat approximate kNN, fully value-checked: the coarse cells
+    are the exact-decimal label centroids (bit-portable across engines,
+    similarity.label_cell_centroids), assignment and probe selection
+    round their squared distances identically on both sides, so the
+    probed shard — and therefore the returned top-k — is deterministic,
+    not index-construction-dependent. Probes 2 of 10 inverted lists,
+    exact cosine rank inside them (the 100 TB path: partition-pruned
+    read of n_probe/n_cells of the corpus)."""
+    from hbase_increment_index_spark.pipeline.similarity import (
+        assign_cells,
+        knn_ivf,
+        label_cell_centroids,
+    )
 
     emb = _t(spark, sf_dir, "embeddings")
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()["embedding"]]
-    centroids, assignments = build_ivf(emb, n_centroids=8, iters=1)
-    return knn_ivf(emb.filter(F.col("vec_id") != 0), centroids, assignments, qvec, k=10, n_probe=3)
+    centroids = label_cell_centroids(emb)
+    assignments = assign_cells(emb, centroids, dist_decimals=6)
+    return knn_ivf(
+        emb.filter(F.col("vec_id") != 0),
+        centroids,
+        assignments,
+        qvec,
+        k=10,
+        n_probe=2,
+        dist_decimals=6,
+    )
+
+
+E3B_SQL = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+cent_long AS (
+  SELECT label, i AS pos,
+         ROUND(CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(27,10))) AS DOUBLE)
+               / COUNT(*), 6) AS mean_v
+  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i)
+  GROUP BY label, i
+),
+cents AS (
+  SELECT CAST(label AS BIGINT) AS cid, list(mean_v ORDER BY pos) AS c
+  FROM cent_long GROUP BY label
+),
+assign AS (
+  SELECT v.vec_id, v.e, cents.cid,
+         ROUND(list_sum(list_transform(generate_series(1, len(v.e)),
+                                       i -> (v.e[i]-cents.c[i])*(v.e[i]-cents.c[i]))), 6) AS d
+  FROM v CROSS JOIN cents
+),
+best AS (
+  SELECT vec_id, e, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
+  FROM assign
+),
+probes AS (
+  SELECT cid FROM (
+    SELECT cents.cid,
+           ROUND(list_sum(list_transform(generate_series(1, len(q.qe)),
+                                         i -> (q.qe[i]-cents.c[i])*(q.qe[i]-cents.c[i]))), 6) AS d
+    FROM cents, q
+  ) ORDER BY d ASC, cid ASC LIMIT 2
+),
+scored AS (
+  SELECT b.vec_id,
+         ROUND(list_dot_product(b.e, q.qe)
+               / (sqrt(list_dot_product(b.e, b.e)) * sqrt(list_dot_product(q.qe, q.qe))), 6) AS score
+  FROM best b JOIN probes USING (cid), q
+  WHERE b.rn = 1 AND b.vec_id <> 0
+)
+SELECT vec_id, score FROM scored ORDER BY score DESC, vec_id ASC LIMIT 10
+"""
 
 
 def e3c_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2938,6 +3001,125 @@ FROM q LEFT JOIN hits h ON h.q_id = q.q_id
 """
 
 
+def q40_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr ``{!collapse field=o_custkey sort='o_totalprice desc'}`` +
+    ExpandComponent head: each customer's best order annotated with the
+    collapsed group size and the runner-up order id."""
+    from hbase_increment_index_spark.search.collapse import collapse
+
+    orders = _t(spark, sf_dir, "orders")
+    return collapse(
+        orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+        "o_custkey",
+        [F.col("o_totalprice").desc()],
+        tie_break="o_orderkey",
+    )
+
+
+Q40_SQL = """
+WITH r AS (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+         row_number() OVER w AS rn,
+         CAST(count(*) OVER (PARTITION BY o_custkey) AS BIGINT) AS n_in_group,
+         lead(o_orderkey) OVER w AS expand_head
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+)
+SELECT o_orderkey, o_custkey, o_totalprice, n_in_group, expand_head
+FROM r WHERE rn = 1
+"""
+
+
+def q41_facet_multiselect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-select faceting — ``fq={!tag=t}event_type:click`` +
+    ``facet.field={!ex=t}event_type``: the event_type facet is computed
+    with the user's own event_type selection excluded (so the UI keeps
+    offering the other types) while the value>50 filter still applies."""
+    ev = _t(spark, sf_dir, "events")
+    applied = {
+        "type_sel": F.col("event_type") == "click",
+        "val_min": F.col("value") > 50.0,
+    }
+    return facets.facet_field_excluding(ev, "event_type", applied, exclude=["type_sel"])
+
+
+Q41_SQL = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n
+FROM events WHERE value > 50.0
+GROUP BY event_type
+"""
+
+
+def q42_function_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr function query / boost-by-recency sort
+    (``sort=product(o_totalprice, recip(ms(NOW,o_orderdate),...)) desc``):
+    score = price × 1/(1 + age_days/365), NOW pinned to the corpus max
+    date so the ranking is deterministic. The scalar NOW rides in on a
+    1-row broadcast; scoring is a pure projection + TakeOrderedAndProject."""
+    from hbase_increment_index_spark.search.ranking import recency_boost
+
+    orders = _t(spark, sf_dir, "orders")
+    now = orders.agg(F.max("o_orderdate").alias("_now"))
+    return (
+        orders.crossJoin(F.broadcast(now))
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            F.round(
+                F.col("o_totalprice")
+                * recency_boost(F.col("o_orderdate"), F.col("_now"), 365.0),
+                6,
+            ).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("o_orderkey").asc())
+        .limit(15)
+    )
+
+
+Q42_SQL = """
+WITH now AS (SELECT max(o_orderdate) AS now_ts FROM orders)
+SELECT o_orderkey, o_totalprice,
+       ROUND(o_totalprice * (1.0 / (1.0 + date_diff('day', o_orderdate, now_ts) / 365.0)), 6) AS score
+FROM orders, now
+ORDER BY score DESC, o_orderkey ASC
+LIMIT 15
+"""
+
+
+def q43_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Significant terms / Solr JSON-Facet ``relatedness()``: terms
+    overrepresented in German documents vs the whole corpus, by lift
+    = (fg_df/fg_n)/(df/n) — the vocabulary-mining aggregate behind
+    'what characterizes this slice'."""
+    from hbase_increment_index_spark.search.ranking import significant_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    return significant_terms(
+        docs, F.col("lang") == "de", "doc_id", "text", min_fg_df=3, k=15
+    )
+
+
+Q43_SQL = f"""
+WITH flagged AS (
+  SELECT doc_id, CASE WHEN lang = 'de' THEN 1 ELSE 0 END AS fg,
+         {_SQL_TOKS.format(c='text')} AS toks
+  FROM documents
+),
+totals AS (SELECT count(*) AS n_docs, CAST(SUM(fg) AS BIGINT) AS n_fg FROM flagged),
+per_term AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(SUM(fg) AS BIGINT) AS fg_df
+  FROM (SELECT doc_id, fg, unnest(list_distinct(toks)) AS term FROM flagged)
+  GROUP BY term
+)
+SELECT term, fg_df, df,
+       ROUND((fg_df / n_fg) / (df / n_docs), 6) AS lift
+FROM per_term, totals
+WHERE fg_df >= 3
+ORDER BY lift DESC, term ASC
+LIMIT 15
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3012,6 +3194,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q37_group_query": q37_group_query,
     "q38_facet_missing": q38_facet_missing,
     "q39_json_facet": q39_json_facet,
+    "q40_collapse": q40_collapse,
+    "q41_facet_multiselect": q41_facet_multiselect,
+    "q42_function_query": q42_function_query,
+    "q43_significant_terms": q43_significant_terms,
     "e4g_pii_scrub": e4g_pii_scrub,
     "e4h_repetition": e4h_repetition,
     "e1_exact_dedup": e1_exact_dedup,
@@ -3119,6 +3305,10 @@ ORACLES: dict[str, str] = {
     "q37_group_query": Q37_SQL,
     "q38_facet_missing": Q38_SQL,
     "q39_json_facet": Q39_SQL,
+    "q40_collapse": Q40_SQL,
+    "q41_facet_multiselect": Q41_SQL,
+    "q42_function_query": Q42_SQL,
+    "q43_significant_terms": Q43_SQL,
     "e4g_pii_scrub": _e4g_sql(),
     "e4h_repetition": _e4h_sql(),
     "e1_exact_dedup": E1_SQL,
@@ -3130,6 +3320,7 @@ ORACLES: dict[str, str] = {
     "e2c_simhash": _e2c_sql(),
     "e2d_dedup_clusters": _e2d_sql(),
     "e3_cosine_topk": E3_SQL,
+    "e3b_knn_ivf": E3B_SQL,
     "e3c_embedding_pairs": E3C_SQL,
     "e3d_lsh_bucket_sizes": E3D_SQL,
     "e3e_knn_join": E3E_SQL,

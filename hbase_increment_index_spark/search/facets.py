@@ -79,6 +79,29 @@ def facet_range_missing(
     )
 
 
+def facet_field_excluding(
+    df: DataFrame,
+    facet_field: str,
+    applied: dict[str, Column],
+    exclude: list[str],
+    count_alias: str = "n",
+) -> DataFrame:
+    """Multi-select faceting — Solr ``fq={!tag=t}f:v`` +
+    ``facet.field={!ex=t}f``: facet counts computed with the tagged
+    filters EXCLUDED while every other applied filter still narrows
+    the domain. This is what lets a faceted UI keep showing the other
+    selectable values of a field the user has already filtered on.
+
+    Still one filtered scan + one hash aggregate; the excluded
+    predicates simply never enter the plan, so Catalyst pushes the
+    remaining conjunction down to the source scan."""
+    keep = [pred for name, pred in applied.items() if name not in exclude]
+    out = df
+    for p in keep:
+        out = out.filter(p)
+    return out.groupBy(facet_field).agg(F.count(F.lit(1)).alias(count_alias))
+
+
 def facet_intervals(
     df: DataFrame,
     field: str,

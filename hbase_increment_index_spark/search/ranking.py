@@ -278,3 +278,63 @@ def boosted_bm25_topk(
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def recency_boost(ts_col, now_col, half_life_days: float):
+    """Solr function-query recency weight — ``recip(ms(NOW,date),...)``
+    semantics as a hyperbolic decay: ``1 / (1 + age_days/half_life)``.
+    A pure per-row expression; NOW must be a deterministic column (in
+    batch, the corpus max date) so the score is reproducible."""
+    age = F.datediff(now_col, ts_col)
+    return F.lit(1.0) / (F.lit(1.0) + age / F.lit(float(half_life_days)))
+
+
+def significant_terms(
+    docs: DataFrame,
+    fg_pred,
+    id_col: str,
+    text_col: str,
+    min_fg_df: int = 3,
+    k: int = 15,
+    score_decimals: int = 6,
+) -> DataFrame:
+    """Significant-terms / Solr JSON-Facet ``relatedness()``: terms
+    overrepresented in a foreground document set relative to the whole
+    corpus, scored by lift = (fg_df/fg_n) / (df/n).
+
+    One pass builds distinct (doc, term) postings carrying the
+    foreground bit, one hash aggregate on term computes both document
+    frequencies simultaneously (map-side partials), and the two scalar
+    totals ride in on a broadcast — the corpus is scanned once and the
+    shuffle carries one row per distinct term per partition.
+    """
+    from hbase_increment_index_spark.search.tokenize import tokens
+
+    flagged = docs.select(
+        F.col(id_col).alias("doc"),
+        fg_pred.cast("int").alias("fg"),
+        tokens(text_col).alias("toks"),
+    )
+    totals = flagged.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("fg").alias("n_fg")
+    )
+    per_term = (
+        flagged.select("doc", "fg", F.explode(F.array_distinct("toks")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"), F.sum("fg").alias("fg_df"))
+    )
+    return (
+        per_term.crossJoin(F.broadcast(totals))
+        .filter(F.col("fg_df") >= min_fg_df)
+        .select(
+            "term",
+            F.col("fg_df").cast("long").alias("fg_df"),
+            F.col("df").cast("long").alias("df"),
+            F.round(
+                (F.col("fg_df") / F.col("n_fg")) / (F.col("df") / F.col("n_docs")),
+                score_decimals,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), F.col("term").asc())
+        .limit(k)
+    )

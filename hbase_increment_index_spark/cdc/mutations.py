@@ -1,0 +1,123 @@
+"""HBase client mutation surface beyond Put/Delete: Increment and
+Append, resolved against the cell state (SURVEY.md §2.1 extension).
+
+The reference intercepts only ``postPut``/``postDelete``
+(HbaseSolrIndexCoprocesser.java:37-61), but the HBase client API it
+hooks into also ships ``Increment`` (atomic counter add) and
+``Append`` (atomic value concatenation) mutations; on the index side
+these are exactly Solr's atomic updates ``inc`` and ``add``
+(solrj supports partial updates since 4.0 — the reference's solrj
+dependency, pom.xml:98-109). A real deployment of the reference
+pattern has counter columns and journal columns, so the engine
+resolves the full mutation op set:
+
+- ``put``     — last writer wins per cell (ts, then seq).
+- ``delete``  — HBase row tombstone: masks every mutation of that row
+  at or before the tombstone's (ts, seq); later mutations survive.
+  (This is HBase's timestamp-ordered Delete semantics, deliberately
+  richer than the reference's deleteById which only drops the doc
+  when the delete is the row's latest event — see compaction.py.)
+- ``inc``     — the cell is a counter: its value is the SUM of all
+  unmasked increments (long arithmetic, like HBase counters).
+- ``append``  — the cell is a journal: its value is the (ts, seq)-
+  ordered concatenation of all unmasked appends.
+
+Resolution is deliberately *closed-form per op class* (sum / ordered
+string-agg / argmax) rather than a general per-cell event fold: every
+class collapses into ONE hash aggregate, so the whole resolve is a
+tiny tombstone broadcast plus a single shuffle on the cell key —
+at 100 TB the mutation log aggregates map-side first, and no
+collect_list ever holds more than one cell's appends.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Mutation-log schema: CELL_LOG_COLUMNS plus the op domain
+#: {put, delete, inc, append}; ``value`` stays a decimal-formatted
+#: string (the cell model is untyped — SURVEY.md §1.1), ``ival`` the
+#: long increment payload for ``inc`` ops.
+MUTATION_OPS = ("put", "delete", "inc", "append")
+
+
+def mutation_log_from_events(
+    events: DataFrame,
+    delete_event_type: str = "error",
+    counter_event_types: tuple[str, ...] = ("click",),
+    append_event_types: tuple[str, ...] = ("view",),
+) -> DataFrame:
+    """Derive a deterministic full-surface mutation log from the
+    ``events`` fixture (same convention as cell_model.cell_log_from_events:
+    row_key = user_id, qualifier = event_type, value = decimal-string).
+
+    Counter qualifiers carry ``ival = floor(value)`` (HBase Increment
+    is long-only); every other op carries the decimal(18,2) string.
+    """
+    et = F.col("event_type")
+    return events.select(
+        F.when(et == delete_event_type, F.lit("delete"))
+        .when(et.isin(*counter_event_types), F.lit("inc"))
+        .when(et.isin(*append_event_types), F.lit("append"))
+        .otherwise(F.lit("put"))
+        .alias("op"),
+        F.col("user_id").cast("string").alias("row_key"),
+        F.lit("cf").alias("family"),
+        et.alias("qualifier"),
+        F.col("value").cast("decimal(18,2)").cast("string").alias("value"),
+        F.floor(F.col("value")).cast("long").alias("ival"),
+        F.col("ts").alias("ts"),
+        F.col("event_id").alias("seq"),
+    )
+
+
+def resolve_mutations(mlog: DataFrame) -> DataFrame:
+    """Resolve a mutation log into final cell values.
+
+    Plan shape (scale-first):
+    1. Row tombstones reduce to one (ts, seq) max per deleted row —
+       a map-side-combinable agg over the (rare) delete slice, then a
+       BROADCAST left join: the big mutation log is never shuffled to
+       apply deletes.
+    2. Survivors take ONE hash aggregate on (row_key, family,
+       qualifier); the three op classes are conditional aggregates in
+       the same pass (collect_list ignores the NULLs the non-append
+       ops contribute, so only journal cells pay for ordering).
+
+    Output: (row_key, family, qualifier, value, n_events) — the live
+    cell state a downstream ``documents_from_cells`` pivot would index.
+    """
+    tomb = (
+        mlog.filter(F.col("op") == "delete")
+        .groupBy("row_key")
+        .agg(F.max(F.struct("ts", "seq")).alias("_tomb"))
+    )
+    pos = F.struct("ts", "seq")
+    alive = (
+        mlog.filter(F.col("op") != "delete")
+        .join(F.broadcast(tomb), "row_key", "left")
+        .filter(F.col("_tomb").isNull() | (pos > F.col("_tomb")))
+    )
+    latest = F.max(F.struct("ts", "seq", "value"))
+    journal = F.array_sort(
+        F.collect_list(
+            F.when(F.col("op") == "append", F.struct("ts", "seq", "value"))
+        )
+    )
+    return (
+        alive.groupBy("row_key", "family", "qualifier")
+        .agg(
+            F.when(
+                F.max(F.col("op") == "inc"),
+                F.sum(F.when(F.col("op") == "inc", F.col("ival"))).cast("string"),
+            )
+            .when(
+                F.max(F.col("op") == "append"),
+                F.array_join(journal.getField("value"), ","),
+            )
+            .otherwise(latest.getField("value"))
+            .alias("value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )

@@ -3120,6 +3120,58 @@ LIMIT 15
 """
 
 
+def cdc_atomic_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full HBase mutation surface (Put/Delete/Increment/Append) =
+    Solr atomic updates (set / delete / inc / add), resolved to final
+    cell values — see cdc.mutations for the op semantics and the
+    single-shuffle plan shape."""
+    from hbase_increment_index_spark.cdc.mutations import (
+        mutation_log_from_events,
+        resolve_mutations,
+    )
+
+    events = _t(spark, sf_dir, "events")
+    mlog = mutation_log_from_events(events)
+    return resolve_mutations(mlog).orderBy("row_key", "qualifier")
+
+
+CDC_ATOMIC_SQL = """
+WITH mlog AS (
+  SELECT CASE WHEN event_type = 'error' THEN 'delete'
+              WHEN event_type = 'click' THEN 'inc'
+              WHEN event_type = 'view'  THEN 'append'
+              ELSE 'put' END AS op,
+         CAST(user_id AS VARCHAR) AS row_key,
+         'cf' AS family,
+         event_type AS qualifier,
+         CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) AS value,
+         CAST(FLOOR(value) AS BIGINT) AS ival,
+         ts, event_id AS seq
+  FROM events
+),
+tomb AS (
+  SELECT row_key, ts AS tts, seq AS tseq FROM mlog WHERE op = 'delete'
+  QUALIFY row_number() OVER (PARTITION BY row_key ORDER BY ts DESC, seq DESC) = 1
+),
+alive AS (
+  SELECT m.* FROM mlog m LEFT JOIN tomb t USING (row_key)
+  WHERE m.op <> 'delete'
+    AND (t.tts IS NULL OR (m.ts, m.seq) > (t.tts, t.tseq))
+)
+SELECT row_key, family, qualifier,
+       CASE WHEN max(op = 'inc')
+              THEN CAST(SUM(CASE WHEN op = 'inc' THEN ival END) AS VARCHAR)
+            WHEN max(op = 'append')
+              THEN string_agg(value, ',' ORDER BY ts, seq)
+            ELSE (list(value ORDER BY ts DESC, seq DESC))[1]
+       END AS value,
+       count(*) AS n_events
+FROM alive
+GROUP BY row_key, family, qualifier
+ORDER BY row_key, qualifier
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3173,6 +3225,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_merge_batches": cdc_merge_batches,
     "cdc_merge_postings": cdc_merge_postings,
     "cdc_merge_facets": cdc_merge_facets,
+    "cdc_atomic_update": cdc_atomic_update,
     "olap_pricing_summary": olap_pricing_summary,
     "olap_revenue_by_region": olap_revenue_by_region,
     "olap_top_customers": olap_top_customers,
@@ -3284,6 +3337,7 @@ ORACLES: dict[str, str] = {
     "cdc_merge_batches": CDC_INDEX_DOCS_SQL,
     "cdc_merge_postings": CDC_MERGE_POSTINGS_SQL,
     "cdc_merge_facets": CDC_MERGE_FACETS_SQL,
+    "cdc_atomic_update": CDC_ATOMIC_SQL,
     "olap_pricing_summary": OLAP_PRICING_SQL,
     "olap_revenue_by_region": OLAP_REVENUE_SQL,
     "olap_top_customers": OLAP_TOP_CUST_SQL,

@@ -1,0 +1,83 @@
+"""Unit tests for the full HBase mutation surface (cdc.mutations):
+Increment/Append resolution, timestamp-ordered row tombstones, and
+last-writer-wins puts on a hand-built mutation log."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from hbase_increment_index_spark.cdc.mutations import resolve_mutations
+
+T = datetime.datetime
+
+
+def _log(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "op string, row_key string, family string, qualifier string, "
+        "value string, ival long, ts timestamp, seq long",
+    )
+
+
+@pytest.fixture(scope="module")
+def resolved(spark):
+    t = lambda s: T(2024, 1, 1, 0, 0, s)
+    rows = [
+        # counter cell: 3 increments sum to 60
+        ("inc", "u1", "cf", "clicks", "10.00", 10, t(1), 1),
+        ("inc", "u1", "cf", "clicks", "20.00", 20, t(2), 2),
+        ("inc", "u1", "cf", "clicks", "30.00", 30, t(3), 3),
+        # journal cell: append order is (ts, seq), not arrival
+        ("append", "u1", "cf", "log", "b", None, t(2), 5),
+        ("append", "u1", "cf", "log", "a", None, t(1), 4),
+        ("append", "u1", "cf", "log", "c", None, t(2), 6),
+        # put cell: last writer (by ts) wins
+        ("put", "u1", "cf", "name", "old", None, t(1), 7),
+        ("put", "u1", "cf", "name", "new", None, t(9), 8),
+        # u2: tombstone at t5 masks earlier mutations only
+        ("inc", "u2", "cf", "clicks", "7.00", 7, t(1), 9),
+        ("delete", "u2", "cf", None, None, None, t(5), 10),
+        ("inc", "u2", "cf", "clicks", "5.00", 5, t(6), 11),
+        ("append", "u2", "cf", "log", "x", None, t(4), 12),
+        # u3: everything at/before the tombstone -> row absent
+        ("put", "u3", "cf", "name", "gone", None, t(1), 13),
+        ("delete", "u3", "cf", None, None, None, t(1), 14),
+    ]
+    out = resolve_mutations(_log(spark, rows)).collect()
+    return {(r["row_key"], r["qualifier"]): r for r in out}
+
+
+def test_increment_sums(resolved):
+    assert resolved[("u1", "clicks")]["value"] == "60"
+    assert resolved[("u1", "clicks")]["n_events"] == 3
+
+
+def test_append_orders_by_ts_then_seq(resolved):
+    assert resolved[("u1", "log")]["value"] == "a,b,c"
+
+
+def test_put_last_writer_wins(resolved):
+    assert resolved[("u1", "name")]["value"] == "new"
+
+
+def test_tombstone_masks_only_earlier_mutations(resolved):
+    # the pre-tombstone inc (7) and append are masked; the later inc survives
+    assert resolved[("u2", "clicks")]["value"] == "5"
+    assert resolved[("u2", "clicks")]["n_events"] == 1
+    assert ("u2", "log") not in resolved
+
+
+def test_fully_masked_row_is_absent(resolved):
+    assert all(k[0] != "u3" for k in resolved)
+
+
+def test_same_ts_delete_masks_equal_position(spark):
+    # HBase Delete at ts covers cells with ts <= delete ts; with our
+    # (ts, seq) total order the put at the same ts but lower seq is masked
+    rows = [
+        ("put", "u4", "cf", "name", "v", None, T(2024, 1, 1), 1),
+        ("delete", "u4", "cf", None, None, None, T(2024, 1, 1), 2),
+    ]
+    assert resolve_mutations(_log(spark, rows)).count() == 0

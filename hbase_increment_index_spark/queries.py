@@ -3172,6 +3172,131 @@ ORDER BY row_key, qualifier
 """
 
 
+def q44_facet_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr ``facet.field=p_brand&facet.prefix=Brand#1`` — bucket
+    counts restricted to values under a prefix; the startswith filter
+    is pushed into the parquet scan (dictionary/min-max pruning)."""
+    part = _t(spark, sf_dir, "part")
+    return facets.facet_field(part, "p_brand", prefix="Brand#1").orderBy(
+        F.col("n").desc(), F.col("p_brand").asc()
+    )
+
+
+Q44_SQL = """
+SELECT p_brand, count(*) AS n
+FROM part
+WHERE p_brand LIKE 'Brand#1%'
+GROUP BY p_brand
+ORDER BY n DESC, p_brand ASC
+"""
+
+
+def q45_spellcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr SpellCheckComponent (``spellcheck.q``): correct each
+    misspelled query term from the index's own vocabulary — smallest
+    edit distance, then highest df, then lexicographic."""
+    from hbase_increment_index_spark.search.spell import spellcheck
+
+    docs = _t(spark, sf_dir, "documents")
+    return spellcheck(docs, "doc_id", "text", ["qeury", "sprak", "jion"]).orderBy(
+        "input"
+    )
+
+
+Q45_SQL = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest({_SQL_TOKS.format(c='text')}) AS term FROM documents
+),
+vocab AS (SELECT term, count(*) AS df FROM toks GROUP BY 1),
+inputs AS (SELECT unnest(['qeury', 'sprak', 'jion']) AS input),
+cand AS (
+  SELECT input, term, CAST(levenshtein(term, input) AS INT) AS dist, df
+  FROM vocab CROSS JOIN inputs
+  WHERE levenshtein(term, input) <= 2
+)
+SELECT input, term AS suggestion, dist, df
+FROM cand
+QUALIFY row_number() OVER (
+  PARTITION BY input ORDER BY dist ASC, df DESC, term ASC) = 1
+ORDER BY input
+"""
+
+
+def q46_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical top-50 ⊕ embedding-cosine top-50
+    fused by reciprocal-rank fusion (1/(60+rank), absent = 0) — the
+    modern RAG retrieval stack expressed on the same engine: both
+    candidate lists reduce corpus-side (TakeOrderedAndProject), fusion
+    touches only k rows."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()["embedding"]
+    ]
+    lex = ranking.with_rank(
+        ranking.bm25_topk(docs, "doc_id", "text", _TFIDF_TERMS, k=50),
+        [F.col("score").desc(), F.col("doc_id").asc()],
+    )
+    vec = ranking.with_rank(
+        knn_brute_force(emb.filter(F.col("vec_id") != 0), qvec, k=50).withColumnRenamed(
+            "vec_id", "doc_id"
+        ),
+        [F.col("score").desc(), F.col("doc_id").asc()],
+    )
+    return ranking.rrf_fuse({"lex": lex, "vec": vec}, "doc_id", k0=60, k=10)
+
+
+Q46_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SQL_TOKS.format(c='text')}) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+avgdl AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS a FROM dl),
+hits AS (SELECT * FROM toks WHERE term IN ('join', 'query', 'spark')),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM hits GROUP BY 1, 2),
+dft AS (SELECT term, count(DISTINCT doc_id) AS df_t FROM hits GROUP BY 1),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+lex_scored AS (
+  SELECT tf.doc_id,
+         ROUND(SUM(
+           ln(1.0 + (n.n_docs - dft.df_t + 0.5) / (dft.df_t + 0.5))
+           * (tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl.a))
+         ), 6) AS score
+  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id), n, avgdl
+  GROUP BY tf.doc_id
+  ORDER BY score DESC, tf.doc_id ASC
+  LIMIT 50
+),
+lex AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+  FROM lex_scored
+),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+vec_scored AS (
+  SELECT vec_id,
+         ROUND(
+           list_dot_product(CAST(embedding AS DOUBLE[]), q.qv)
+           / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(q.qv, q.qv))), 6) AS score
+  FROM embeddings, q
+  WHERE vec_id <> 0
+  ORDER BY score DESC, vec_id ASC
+  LIMIT 50
+),
+vec AS (
+  SELECT vec_id AS doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+  FROM vec_scored
+)
+SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+       ROUND(COALESCE(CAST(1 AS DOUBLE) / (60 + l.r), 0)
+           + COALESCE(CAST(1 AS DOUBLE) / (60 + v.r), 0), 6) AS rrf
+FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
+ORDER BY rrf DESC, doc_id ASC
+LIMIT 10
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3251,6 +3376,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q41_facet_multiselect": q41_facet_multiselect,
     "q42_function_query": q42_function_query,
     "q43_significant_terms": q43_significant_terms,
+    "q44_facet_prefix": q44_facet_prefix,
+    "q45_spellcheck": q45_spellcheck,
+    "q46_hybrid_rrf": q46_hybrid_rrf,
     "e4g_pii_scrub": e4g_pii_scrub,
     "e4h_repetition": e4h_repetition,
     "e1_exact_dedup": e1_exact_dedup,
@@ -3363,6 +3491,9 @@ ORACLES: dict[str, str] = {
     "q41_facet_multiselect": Q41_SQL,
     "q42_function_query": Q42_SQL,
     "q43_significant_terms": Q43_SQL,
+    "q44_facet_prefix": Q44_SQL,
+    "q45_spellcheck": Q45_SQL,
+    "q46_hybrid_rrf": Q46_SQL,
     "e4g_pii_scrub": _e4g_sql(),
     "e4h_repetition": _e4h_sql(),
     "e1_exact_dedup": E1_SQL,

@@ -12,8 +12,15 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def facet_field(df: DataFrame, field: str, count_alias: str = "n") -> DataFrame:
-    """Q10 — ``facet.field=f``: value counts."""
+def facet_field(
+    df: DataFrame, field: str, count_alias: str = "n", prefix: str | None = None
+) -> DataFrame:
+    """Q10 — ``facet.field=f``: value counts. ``prefix`` is Solr's
+    ``facet.prefix``: only buckets whose value starts with it (the
+    filter lands pre-shuffle, inside the scan, where parquet answers
+    it from dictionary pages)."""
+    if prefix is not None:
+        df = df.filter(F.col(field).startswith(prefix))
     return df.groupBy(field).agg(F.count(F.lit(1)).alias(count_alias))
 
 

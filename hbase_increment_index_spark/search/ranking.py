@@ -338,3 +338,49 @@ def significant_terms(
         .orderBy(F.col("lift").desc(), F.col("term").asc())
         .limit(k)
     )
+
+
+def rrf_fuse(
+    ranked: dict[str, DataFrame],
+    id_col: str,
+    k0: int = 60,
+    k: int = 10,
+    score_decimals: int = 6,
+) -> DataFrame:
+    """Reciprocal-rank fusion of independently-ranked candidate lists —
+    hybrid retrieval (e.g. BM25 lexical ⊕ embedding kNN):
+    ``rrf(d) = Σ_lists 1/(k0 + rank_list(d))``, absent-from-list
+    contributing 0 (Cormack et al., SIGIR'09; the standard k0=60).
+
+    Each input df must expose (id_col, ``rank``) with rank 1-based.
+    Candidate lists are top-k's — a few hundred rows — so the fusion
+    is a broadcast-sized full outer join chain + projection no matter
+    how big the corpus that produced them was; the heavy lifting
+    stays in the per-list retrievals, which scan/prune independently.
+    """
+    out = None
+    cols = []
+    for name, df in ranked.items():
+        contrib = df.select(
+            F.col(id_col), (F.lit(1.0) / (F.lit(k0) + F.col("rank"))).alias(f"_c_{name}")
+        )
+        cols.append(f"_c_{name}")
+        out = contrib if out is None else out.join(contrib, id_col, "full_outer")
+    fused = out.select(
+        F.col(id_col),
+        F.round(
+            sum(F.coalesce(F.col(c), F.lit(0.0)) for c in cols), score_decimals
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.col("rrf").desc(), F.col(id_col).asc()).limit(k)
+
+
+def with_rank(df: DataFrame, order: list, rank_alias: str = "rank") -> DataFrame:
+    """Attach a dense 1-based rank to an (already small) top-k list.
+    The single-partition window is deliberate and safe: it runs on the
+    k rows a TakeOrderedAndProject already reduced, never on the corpus.
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy(*order)
+    return df.withColumn(rank_alias, F.row_number().over(w))

@@ -1,0 +1,60 @@
+"""Spellcheck — Solr's SpellCheckComponent (``spellcheck.q=...``),
+the did-you-mean surface a Solr 5.x deployment exposes next to
+suggest/highlight (SURVEY.md §2.2; the reference delegates all query
+components to Solr, README.md:9-10,33).
+
+Semantics (IndexBasedSpellChecker): corrections come from the index's
+own term dictionary — for each input term, the vocabulary term within
+``max_dist`` edits, preferring smaller edit distance, then higher
+document frequency (more popular correction), then lexicographic.
+
+Plan shape: the vocabulary (term → df) is ONE hash aggregate over
+distinct postings; the input terms are a literal handful, so the
+candidate match is a broadcast nested-loop join — the vocabulary
+side streams through the levenshtein filter inside the scan tasks
+and only candidate pairs (a few rows per input) reach the final
+per-input top-1 window. The corpus-sized side is never shuffled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from hbase_increment_index_spark.search.tokenize import tokens
+
+
+def term_dictionary(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Index vocabulary with document frequency: ONE distinct-agg over
+    exploded tokens (two-phase: map-side distinct partials, then the
+    term-keyed hash agg)."""
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("term")
+    ).distinct()
+    return toks.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+
+def spellcheck(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    inputs: list[str],
+    max_dist: int = 2,
+) -> DataFrame:
+    """Best correction per input term: (input, suggestion, dist, df)."""
+    spark = docs.sparkSession
+    vocab = term_dictionary(docs, id_col, text_col)
+    qs = spark.createDataFrame([(t.lower(),) for t in inputs], "input string")
+    cand = (
+        vocab.join(F.broadcast(qs))
+        .withColumn("dist", F.levenshtein(F.col("term"), F.col("input")))
+        .filter(F.col("dist") <= max_dist)
+    )
+    w = Window.partitionBy("input").orderBy(
+        F.col("dist").asc(), F.col("df").desc(), F.col("term").asc()
+    )
+    return (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("input", F.col("term").alias("suggestion"), "dist", "df")
+    )

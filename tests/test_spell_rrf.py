@@ -1,0 +1,58 @@
+"""Unit tests for spellcheck (index-vocabulary correction), RRF
+fusion, and facet.prefix on hand-built fixtures."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hbase_increment_index_spark.search.facets import facet_field
+from hbase_increment_index_spark.search.ranking import rrf_fuse, with_rank
+from hbase_increment_index_spark.search.spell import spellcheck
+
+
+def test_spellcheck_prefers_distance_then_df(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark"),
+            (2, "spark shark"),
+            (3, "stark"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["input"]: r for r in spellcheck(docs, "doc_id", "text", ["sprak"]).collect()}
+    # spark/shark/stark are all within 2 edits; spark wins on df (2 docs)
+    assert out["sprak"]["suggestion"] == "spark"
+    assert out["sprak"]["dist"] == 2 and out["sprak"]["df"] == 2
+
+
+def test_spellcheck_no_candidate_within_distance(spark):
+    docs = spark.createDataFrame([(1, "completely unrelated")], "doc_id long, text string")
+    assert spellcheck(docs, "doc_id", "text", ["zzzzzz"]).count() == 0
+
+
+def test_rrf_fusion_combines_and_defaults_missing(spark):
+    a = spark.createDataFrame([(1, 1), (2, 2)], "id long, rank int")
+    b = spark.createDataFrame([(2, 1), (3, 2)], "id long, rank int")
+    rows = {r["id"]: r["rrf"] for r in rrf_fuse({"a": a, "b": b}, "id", k0=60, k=10).collect()}
+    assert rows[2] == round(1 / 62 + 1 / 61, 6)  # in both lists
+    assert rows[1] == round(1 / 61, 6)  # only list a
+    assert rows[3] == round(1 / 62, 6)  # only list b
+    # doc in both lists outranks single-list docs here
+    assert rows[2] > rows[1] > rows[3]
+
+
+def test_with_rank_is_one_based_and_ordered(spark):
+    df = spark.createDataFrame([(1, 0.5), (2, 0.9)], "id long, score double")
+    got = {
+        r["id"]: r["rank"]
+        for r in with_rank(df, [F.col("score").desc(), F.col("id").asc()]).collect()
+    }
+    assert got == {2: 1, 1: 2}
+
+
+def test_facet_prefix_filters_buckets(spark):
+    df = spark.createDataFrame(
+        [("Brand#11",), ("Brand#11",), ("Brand#23",), ("Other",)], "b string"
+    )
+    got = {r["b"]: r["n"] for r in facet_field(df, "b", prefix="Brand#1").collect()}
+    assert got == {"Brand#11": 2}

@@ -47,6 +47,11 @@ AUDITED = [
     "e3h_lsh_recall",
     "q38_facet_missing",
     "q39_json_facet",
+    "q40_collapse",
+    "q44_facet_prefix",
+    "q45_spellcheck",
+    "q46_hybrid_rrf",
+    "cdc_atomic_update",
 ]
 
 

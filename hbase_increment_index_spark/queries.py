@@ -3297,6 +3297,70 @@ LIMIT 10
 """
 
 
+def _geo_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with deterministic derived coordinates — the fixture
+    corpus has no geo columns, so (like the CDC cell log derived from
+    events, FIXTURES.md) a pure projection assigns each customer a
+    lat/lon; every spatial query stays DuckDB-expressible."""
+    cust = _t(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        ((F.col("c_custkey") * 37 % 17000) / F.lit(100.0) - F.lit(85.0)).alias("lat"),
+        ((F.col("c_custkey") * 91 % 36000) / F.lit(100.0) - F.lit(180.0)).alias("lon"),
+    )
+
+
+_GEO_SQL_BASE = """
+SELECT c_custkey,
+       (c_custkey * 37 % 17000) / CAST(100 AS DOUBLE) - 85.0 AS lat,
+       (c_custkey * 91 % 36000) / CAST(100 AS DOUBLE) - 180.0 AS lon
+FROM customer
+"""
+
+_GEO_DIST = """ROUND(2.0 * 6371.0088 * asin(sqrt(
+  sin(radians({la} - lat) / 2) * sin(radians({la} - lat) / 2)
+  + cos(radians(lat)) * cos(radians({la}))
+    * sin(radians({lo} - lon) / 2) * sin(radians({lo} - lon) / 2))), 6)"""
+
+
+def q47_geofilt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr ``{!geofilt pt=40,-74 d=3000}``: exact great-circle radius
+    filter behind a sargable bbox pre-filter (search.geo)."""
+    from hbase_increment_index_spark.search.geo import geofilt
+
+    return geofilt(
+        _geo_customers(spark, sf_dir), "lat", "lon", 40.0, -74.0, 3000.0
+    ).orderBy(F.col("dist_km").asc(), F.col("c_custkey").asc())
+
+
+Q47_SQL = f"""
+WITH pts AS ({_GEO_SQL_BASE}),
+d AS (SELECT c_custkey, lat, lon, {_GEO_DIST.format(la='40.0', lo='-74.0')} AS dist_km FROM pts)
+SELECT * FROM d WHERE dist_km <= 3000.0
+ORDER BY dist_km ASC, c_custkey ASC
+"""
+
+
+def q48_geo_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr ``sort=geodist() asc&rows=15`` — nearest-k customers to a
+    point; TakeOrderedAndProject, never a global sort."""
+    from hbase_increment_index_spark.search.geo import geodist_topk
+
+    return geodist_topk(
+        _geo_customers(spark, sf_dir), "lat", "lon", 48.86, 2.35, k=15, id_col="c_custkey"
+    )
+
+
+Q48_SQL = f"""
+WITH pts AS ({_GEO_SQL_BASE})
+SELECT c_custkey, lat, lon,
+       {_GEO_DIST.format(la='48.86', lo='2.35')} AS dist_km
+FROM pts
+ORDER BY dist_km ASC, c_custkey ASC
+LIMIT 15
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3379,6 +3443,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q44_facet_prefix": q44_facet_prefix,
     "q45_spellcheck": q45_spellcheck,
     "q46_hybrid_rrf": q46_hybrid_rrf,
+    "q47_geofilt": q47_geofilt,
+    "q48_geo_nearest": q48_geo_nearest,
     "e4g_pii_scrub": e4g_pii_scrub,
     "e4h_repetition": e4h_repetition,
     "e1_exact_dedup": e1_exact_dedup,
@@ -3494,6 +3560,8 @@ ORACLES: dict[str, str] = {
     "q44_facet_prefix": Q44_SQL,
     "q45_spellcheck": Q45_SQL,
     "q46_hybrid_rrf": Q46_SQL,
+    "q47_geofilt": Q47_SQL,
+    "q48_geo_nearest": Q48_SQL,
     "e4g_pii_scrub": _e4g_sql(),
     "e4h_repetition": _e4h_sql(),
     "e1_exact_dedup": E1_SQL,

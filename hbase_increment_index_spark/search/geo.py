@@ -1,0 +1,113 @@
+"""Solr spatial search (SURVEY.md §2.2 [IMPLIED]) — ``{!geofilt}``,
+``{!bbox}`` and ``geodist()`` sorting, the spatial query surface a
+Solr 5.x deployment exposes (LatLonType + geofilt/bbox filters and
+geodist sort are core Solr since 3.x; the reference delegates all
+query-time features to Solr, README.md:9-10,33).
+
+Spark-first shape:
+
+- ``haversine_km`` is a pure column expression (JVM trig inside
+  whole-stage codegen — no UDF).
+- ``geofilt`` applies the BBOX PRE-FILTER first: a rectangle test on
+  raw lat/lon columns is sargable (pushed to parquet min/max and
+  evaluated before any trig), then the exact great-circle test runs
+  only on rectangle survivors. At 100 TB that ordering — cheap
+  separable predicate prunes, expensive exact predicate confirms —
+  is the entire game; Solr's own geofilt does the same dance with
+  its spatial prefix-tree.
+- ``geodist_topk`` is distance sort + limit = TakeOrderedAndProject:
+  fixed driver-side k, full scan parallelism, no global sort.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+EARTH_RADIUS_KM = 6371.0088  # IUGG mean Earth radius
+KM_PER_DEG_LAT = 111.045
+
+
+def haversine_km(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
+    """Great-circle distance in km (haversine), as a single codegen'd
+    column expression."""
+    # explicit products (not pow) so the expression text — and thus the
+    # float result — is reproducible verbatim in the DuckDB oracle
+    s1 = F.sin(F.radians(lat2 - lat1) / 2)
+    s2 = F.sin(F.radians(lon2 - lon1) / 2)
+    a = s1 * s1 + F.cos(F.radians(lat1)) * F.cos(F.radians(lat2)) * s2 * s2
+    return F.lit(2.0 * EARTH_RADIUS_KM) * F.asin(F.sqrt(a))
+
+
+def bbox_predicate(
+    lat_col: Column, lon_col: Column, lat: float, lon: float, d_km: float
+) -> Column:
+    """Solr ``{!bbox}``: a rectangle circumscribing the d_km circle.
+    Pure comparisons on the raw columns — sargable, scan-prunable.
+
+    Superset guarantee: the circle's longitude extent is widest at the
+    band edge farthest from the equator, so the width uses the MINIMUM
+    cosine over [lat-dlat, lat+dlat] (not the center's), with a 5%
+    margin for the spherical-vs-planar approximation. Bands touching a
+    pole keep the full longitude range. Over-widening only costs a few
+    extra exact-distance evaluations — never a missed result."""
+    dlat = d_km / KM_PER_DEG_LAT
+    lat_lo, lat_hi = lat - dlat, lat + dlat
+    cond = lat_col.between(lat_lo, lat_hi)
+    if lat_lo > -89.9 and lat_hi < 89.9:
+        cos_min = min(math.cos(math.radians(lat_lo)), math.cos(math.radians(lat_hi)))
+        dlon = 1.05 * d_km / (KM_PER_DEG_LAT * cos_min)
+        if dlon < 180.0:
+            cond = cond & lon_col.between(lon - dlon, lon + dlon)
+    return cond
+
+
+def geofilt(
+    df: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    lat: float,
+    lon: float,
+    d_km: float,
+    dist_alias: str = "dist_km",
+    dist_decimals: int = 6,
+) -> DataFrame:
+    """Solr ``{!geofilt pt=lat,lon d=km}``: exact great-circle radius
+    filter, annotated with the distance. The bbox pre-filter is a
+    strict superset of the circle, so it never changes the result —
+    it only keeps the trig off the pruned rows."""
+    la, lo = F.col(lat_col), F.col(lon_col)
+    dist = F.round(
+        haversine_km(la, lo, F.lit(float(lat)), F.lit(float(lon))), dist_decimals
+    )
+    return (
+        df.filter(bbox_predicate(la, lo, lat, lon, d_km))
+        .withColumn(dist_alias, dist)
+        .filter(F.col(dist_alias) <= d_km)
+    )
+
+
+def geodist_topk(
+    df: DataFrame,
+    lat_col: str,
+    lon_col: str,
+    lat: float,
+    lon: float,
+    k: int,
+    id_col: str,
+    dist_alias: str = "dist_km",
+    dist_decimals: int = 6,
+) -> DataFrame:
+    """Solr ``sort=geodist() asc`` + ``rows=k``: nearest-k by
+    great-circle distance, deterministic tie-break on the id."""
+    la, lo = F.col(lat_col), F.col(lon_col)
+    dist = F.round(
+        haversine_km(la, lo, F.lit(float(lat)), F.lit(float(lon))), dist_decimals
+    )
+    return (
+        df.withColumn(dist_alias, dist)
+        .orderBy(F.col(dist_alias).asc(), F.col(id_col).asc())
+        .limit(k)
+    )

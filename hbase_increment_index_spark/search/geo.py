@@ -60,7 +60,21 @@ def bbox_predicate(
         cos_min = min(math.cos(math.radians(lat_lo)), math.cos(math.radians(lat_hi)))
         dlon = 1.05 * d_km / (KM_PER_DEG_LAT * cos_min)
         if dlon < 180.0:
-            cond = cond & lon_col.between(lon - dlon, lon + dlon)
+            lon_lo, lon_hi = lon - dlon, lon + dlon
+            # antimeridian wrap: an interval crossing ±180 splits into
+            # an OR of two in-range intervals (still sargable — parquet
+            # evaluates both rectangles against min/max stats)
+            if lon_lo < -180.0:
+                lon_pred = lon_col.between(-180.0, lon_hi) | lon_col.between(
+                    lon_lo + 360.0, 180.0
+                )
+            elif lon_hi > 180.0:
+                lon_pred = lon_col.between(lon_lo, 180.0) | lon_col.between(
+                    -180.0, lon_hi - 360.0
+                )
+            else:
+                lon_pred = lon_col.between(lon_lo, lon_hi)
+            cond = cond & lon_pred
     return cond
 
 

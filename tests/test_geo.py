@@ -55,6 +55,14 @@ def test_bbox_is_superset_of_circle(pts, lat, lon, d):
     assert pruned.count() == 0
 
 
+def test_bbox_wraps_antimeridian(spark):
+    # a point just across the date line is ~67 km away from the center
+    # at lon 179.5 — it must survive the bbox despite lon sign flip
+    df = spark.createDataFrame([(1, 0.0, -179.9), (2, 0.0, 170.0)], "id long, lat double, lon double")
+    got = {r["id"] for r in geofilt(df, "lat", "lon", 0.0, 179.5, 500.0).collect()}
+    assert got == {1}
+
+
 def test_geofilt_matches_unfiltered_haversine(pts):
     la, lo = F.col("lat"), F.col("lon")
     expected = set(

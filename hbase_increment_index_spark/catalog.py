@@ -32,18 +32,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) — Spark has no ns type, so
-        # read it as long and truncate to µs (exact integer DIV, no double
-        # round-trip: 2024-era ns epochs exceed a double's 53-bit mantissa).
-        # Reconstructed as TIMESTAMP_NTZ (matching every other fixture
-        # table and the DuckDB oracle's naive timestamps): timestamp_micros
-        # would yield LTZ, whose rendering shifts with the session timezone
-        # — a wrong answer in any non-UTC driver session. The day/micros
-        # split with a DECIMAL seconds interval keeps it exact to the µs.
+        # events.ts has shipped as either parquet TIMESTAMP(MICROS)
+        # (reads natively as TIMESTAMP_NTZ — nothing to do) or
+        # TIMESTAMP(NANOS) (no Spark ns type: read as long via
+        # nanosAsLong and truncate to µs with exact integer DIV — a
+        # double round-trip would lose precision, 2024-era ns epochs
+        # exceed a double's 53-bit mantissa). Probe the loaded type and
+        # only reconstruct for the nanos shape. Reconstruction targets
+        # TIMESTAMP_NTZ (matching the other fixture tables and the
+        # DuckDB oracle's naive timestamps): timestamp_micros would
+        # yield LTZ, whose rendering shifts with the session timezone.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
 
+        if not isinstance(df.schema["ts"].dataType, LongType):
+            return df
         ntz = F.expr(
             "make_timestamp_ntz(1970, 1, 1, 0, 0, 0) + make_dt_interval("
             "ts div 86400000000000, 0, 0, "

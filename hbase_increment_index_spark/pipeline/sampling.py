@@ -112,6 +112,72 @@ def pack_batches(
     )
 
 
+def temperature_resample(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    source_col: str,
+    alpha: float = 0.5,
+    salt: str = "temp",
+) -> DataFrame:
+    """Temperature-based source rebalancing — the multilingual-sampling
+    mixture rule (p_s ∝ tokens_s^alpha; alpha=1 keeps the natural
+    mixture, alpha→0 approaches uniform-over-sources; the exponential
+    smoothing used for multilingual pretraining corpora, e.g. XLM-R,
+    Conneau et al. 2020 §3).
+
+    Per-source keep rate r_s = min(1, p_s · T / tokens_s) with
+    T = total corpus tokens — heavy sources are downsampled toward the
+    tempered share, light sources keep everything (no upsampling /
+    duplication). Rows are then kept by the content-addressed hash, so
+    the sample is rerun-stable like every sampler in this module.
+
+    Adds ``keep_rate`` (rounded) and filters to the kept rows.
+
+    Plan: one hash agg on the low-cardinality source key (a handful of
+    rows), a single-partition window over that TINY frame to normalize
+    weights, broadcast-join the rates back, then a narrow filter — the
+    corpus is scanned once and never shuffled.
+
+    Numerics are determinism-hardened for the oracle (and for retry
+    stability at scale): token totals are summed in INTEGER space
+    (pass an integer token count), and the tempered weight is
+    quantized to integer micro-units (floor(t^alpha · 1e6 + 0.5))
+    BEFORE normalization — so every cross-row sum is exact under any
+    partitioning/association order, and the remaining float ops are a
+    fixed-association chain of exactly-agreed inputs. alpha=0.5 uses
+    sqrt (correctly rounded per IEEE-754 in both engines); other
+    alphas go through pow, whose last-ulp behavior is engine-specific
+    — value-check those with rounded rates only.
+    """
+    per_src = df.groupBy(source_col).agg(F.sum(token_col).alias("_toks"))
+    td = F.col("_toks").cast("double")
+    w = F.sqrt(td) if alpha == 0.5 else F.pow(td, F.lit(alpha))
+    wq = F.floor(w * F.lit(1e6) + F.lit(0.5)).cast("long")  # integer micro-weights
+    tiny = Window.partitionBy()  # whole frame = n_sources rows
+    rates = (
+        per_src.withColumn("_wq", wq)
+        .withColumn(
+            "_rate",
+            F.least(
+                F.lit(1.0),
+                F.col("_wq").cast("double")
+                / F.sum("_wq").over(tiny).cast("double")
+                * F.sum("_toks").over(tiny).cast("double")
+                / td,
+            ),
+        )
+        .select(source_col, "_rate")
+    )
+    b = _unit_bucket(id_col, salt)
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .filter(b < F.floor(F.col("_rate") * F.lit(float(_BUCKETS))))
+        .withColumn("keep_rate", F.round("_rate", 6))
+        .drop("_rate")
+    )
+
+
 def weighted_sample(
     df: DataFrame,
     id_col: str,

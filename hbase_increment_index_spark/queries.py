@@ -3362,6 +3362,257 @@ LIMIT 15
 
 
 # --------------------------------------------------------------------------
+# Q49/Q50 — Solr join query parsers ({!parent} / {!child} / {!join})
+# --------------------------------------------------------------------------
+
+
+def q49_block_join_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr block join, child→parent (``q={!parent
+    which='type:order'}quantity:[49 TO *] AND discount:[0.08 TO *]``):
+    orders having at least one line item matching the child query.
+    Semi join — parents are never duplicated across multi-child hits;
+    the child predicate pushes into the child scan."""
+    from hbase_increment_index_spark.search.join_parsers import parent_block_join
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    pred = (F.col("l_quantity") >= 49.0) & (F.col("l_discount") >= 0.08)
+    return parent_block_join(orders, li, "o_orderkey", "l_orderkey", pred).select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+
+
+Q49_SQL = """
+SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey AND l_quantity >= 49.0 AND l_discount >= 0.08
+)
+"""
+
+
+def q49b_block_join_child(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr block join, parent→child (``q={!child
+    of='type:order'}priority:1-URGENT AND status:F``): the line items
+    belonging to any matching parent order. The filtered parent keyset
+    broadcasts; the child fact table never shuffles."""
+    from hbase_increment_index_spark.search.join_parsers import child_block_join
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    pred = (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_orderstatus") == "F")
+    return child_block_join(orders, li, "o_orderkey", "l_orderkey", pred).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+
+
+Q49B_SQL = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+FROM lineitem
+WHERE EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_orderkey = l_orderkey
+    AND o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'
+)
+"""
+
+
+def q50_cross_join_parser(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr cross-collection join (``fq={!join from=vec_id
+    fromIndex=embeddings to=doc_id}label:(3 7)``): documents whose id
+    appears among the embedding rows matching the from-side query.
+    The harvested key list is distinct'd then broadcast — and unlike
+    Solr's single-shard {!join}, the semi join works across any
+    partitioning."""
+    from hbase_increment_index_spark.search.join_parsers import cross_collection_join
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    return cross_collection_join(
+        docs, "doc_id", emb, "vec_id", F.col("label").isin(3, 7)
+    ).select("doc_id", "lang", "source")
+
+
+Q50_SQL = """
+SELECT doc_id, lang, source
+FROM documents
+WHERE doc_id IN (SELECT vec_id FROM embeddings WHERE label IN (3, 7))
+"""
+
+
+# --------------------------------------------------------------------------
+# OLAP: three more TPC-H-pattern star queries (README.md:6 "conventional
+# aggregate statistics" over the indexed wide table)
+# --------------------------------------------------------------------------
+
+
+def olap_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: line counts by line status × order-priority
+    class for a ship-date year — the fact-fact join (lineitem⋈orders
+    on the order key) with conditional counts. At 100 TB both facts
+    bucket on the order key so this join is co-located."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+OLAP_PRIORITY_SQL = """
+SELECT l_linestatus,
+       COUNT(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 END) AS high_line_count,
+       COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+def olap_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: customers ranked by revenue lost to returned
+    items in an order-date year. Fact-fact shuffle on the order key;
+    customer⋈nation dims broadcast; top-k via per-partition heaps."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    dims = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    ).select("c_custkey", "c_name", "n_name")
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01"))
+                & (F.col("o_orderdate") < F.lit("1997-01-01"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(dims), F.col("o_custkey") == dims.c_custkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(30,6)")
+            ).cast("double").alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+OLAP_RETURNED_SQL = """
+SELECT c_custkey, c_name, n_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def olap_nation_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: per order-year, the revenue share attributable
+    to ASIA-nation customers. Numerator and denominator are exact
+    decimal sums in ONE aggregation pass (conditional agg, not two
+    scans); the single double division happens at the end."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    dims = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "r_name")
+    )
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(30,6)")
+    asia_vol = F.when(F.col("r_name") == "ASIA", vol).otherwise(F.lit(0).cast("decimal(30,6)"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(dims), F.col("o_custkey") == dims.c_custkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(asia_vol).cast("double") / F.sum(vol).cast("double"), 6
+            ).alias("asia_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+OLAP_SHARE_SQL = """
+SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+       ROUND(
+         CAST(SUM(CASE WHEN r_name = 'ASIA'
+                       THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))
+                       ELSE CAST(0 AS DECIMAL(30,6)) END) AS DOUBLE)
+         / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE),
+         6) AS asia_share
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY year(o_orderdate)
+ORDER BY o_year
+"""
+
+
+# --------------------------------------------------------------------------
+# E11 — temperature-based source mixture resampling
+# --------------------------------------------------------------------------
+
+
+def e11_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tempered source rebalancing (p_s ∝ tokens_s^0.5, the
+    multilingual-pretraining mixture rule): per-source keep rates from
+    the tempered token share, rows kept by content-addressed hash.
+    Value-checked end-to-end — rates AND the kept row set."""
+    from hbase_increment_index_spark.pipeline.sampling import temperature_resample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = temperature_resample(docs, "doc_id", "n_chars", "source", alpha=0.5)
+    return out.select("doc_id", "source", "keep_rate")
+
+
+E11_SQL = f"""
+WITH s AS (
+  SELECT source, SUM(n_chars) AS toks FROM documents GROUP BY source
+),
+r AS (
+  SELECT source,
+         LEAST(1.0,
+               CAST(FLOOR(SQRT(CAST(toks AS DOUBLE)) * 1e6 + 0.5) AS DOUBLE)
+               / CAST(SUM(CAST(FLOOR(SQRT(CAST(toks AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)) OVER () AS DOUBLE)
+               * CAST(SUM(toks) OVER () AS DOUBLE)
+               / CAST(toks AS DOUBLE)) AS rate
+  FROM s
+)
+SELECT doc_id, source, ROUND(rate, 6) AS keep_rate
+FROM documents JOIN r USING (source)
+WHERE {_SQL_BUCKET.format(salt='temp', c='doc_id')} < FLOOR(rate * 1000000.0)
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -3422,6 +3673,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "olap_anti_join": olap_anti_join,
     "olap_brand_revenue": olap_brand_revenue,
     "olap_supplier_revenue": olap_supplier_revenue,
+    "olap_priority_lines": olap_priority_lines,
+    "olap_returned_revenue": olap_returned_revenue,
+    "olap_nation_share": olap_nation_share,
     "q27_json_extract": q27_json_extract,
     "q21b_session_window": q21b_session_window,
     "q28_trailing_window": q28_trailing_window,
@@ -3445,6 +3699,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q46_hybrid_rrf": q46_hybrid_rrf,
     "q47_geofilt": q47_geofilt,
     "q48_geo_nearest": q48_geo_nearest,
+    "q49_block_join_parent": q49_block_join_parent,
+    "q49b_block_join_child": q49b_block_join_child,
+    "q50_cross_join_parser": q50_cross_join_parser,
     "e4g_pii_scrub": e4g_pii_scrub,
     "e4h_repetition": e4h_repetition,
     "e1_exact_dedup": e1_exact_dedup,
@@ -3481,6 +3738,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e8_zorder": e8_zorder,
     "e9_source_quality": e9_source_quality,
     "e10_curation": e10_curation,
+    "e11_temperature_mixture": e11_temperature_mixture,
 }
 
 ORACLES: dict[str, str] = {
@@ -3539,6 +3797,9 @@ ORACLES: dict[str, str] = {
     "olap_anti_join": OLAP_ANTI_SQL,
     "olap_brand_revenue": OLAP_BRAND_SQL,
     "olap_supplier_revenue": OLAP_SUPPLIER_SQL,
+    "olap_priority_lines": OLAP_PRIORITY_SQL,
+    "olap_returned_revenue": OLAP_RETURNED_SQL,
+    "olap_nation_share": OLAP_SHARE_SQL,
     "q27_json_extract": Q27_SQL,
     "q21b_session_window": Q21B_SQL,
     "q28_trailing_window": Q28_SQL,
@@ -3562,6 +3823,9 @@ ORACLES: dict[str, str] = {
     "q46_hybrid_rrf": Q46_SQL,
     "q47_geofilt": Q47_SQL,
     "q48_geo_nearest": Q48_SQL,
+    "q49_block_join_parent": Q49_SQL,
+    "q49b_block_join_child": Q49B_SQL,
+    "q50_cross_join_parser": Q50_SQL,
     "e4g_pii_scrub": _e4g_sql(),
     "e4h_repetition": _e4h_sql(),
     "e1_exact_dedup": E1_SQL,
@@ -3597,4 +3861,5 @@ ORACLES: dict[str, str] = {
     "e8_zorder": E8_SQL,
     "e9_source_quality": E9_SQL,
     "e10_curation": E10_SQL,
+    "e11_temperature_mixture": E11_SQL,
 }

@@ -1,0 +1,95 @@
+"""Solr join query parsers — ``{!parent}``, ``{!child}``, ``{!join}``.
+
+The Solr query surface the reference's index feeds (reference
+README.md:5-10; solrj dep pom.xml:98-109) includes three join-shaped
+query parsers in the standard select handler:
+
+- ``{!parent which='type:parent'}child_pred`` — block join, child→
+  parent: return PARENT docs having at least one child matching the
+  inner query;
+- ``{!child of='type:parent'}parent_pred`` — block join, parent→
+  child: return CHILD docs whose parent matches;
+- ``{!join from=f fromIndex=other to=t}pred`` — cross-collection
+  join: filter this collection by keys harvested from another.
+
+Lucene implements these over index-contiguous parent/child blocks;
+the relational equivalent is exact: every variant is a SEMI join —
+the returned side is filtered, never duplicated or widened, which is
+also what makes the Spark plans scale:
+
+- the returned (big) side streams through a left-semi hash join: one
+  row out per input row at most, no fan-out on multi-matches;
+- the probe side collapses to a distinct key list BEFORE the join, so
+  the shuffle (or broadcast) carries keys, not payloads;
+- when the probe side is small (a filtered parent set, a label
+  selection) Catalyst/AQE broadcasts it and the big side is never
+  shuffled at all.
+
+At 100 TB: parent/child tables bucketed on the shared key make the
+semi join co-located (zero shuffle); the cross-collection key list is
+a broadcast as long as the selective side stays under the driver's
+broadcast ceiling, falling back to a shuffled semi join otherwise —
+both shapes are what Solr itself cannot do across shards (its {!join}
+is single-shard-scoped; this one is not).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def parent_block_join(
+    parents: DataFrame,
+    children: DataFrame,
+    parent_key: str,
+    child_fk: str,
+    child_pred: Column,
+) -> DataFrame:
+    """``{!parent}``: parents with >= 1 child matching ``child_pred``.
+
+    The child predicate is applied BEFORE the semi join, so it pushes
+    into the child scan; the parent side is returned as-is (semi join
+    never duplicates a parent with many matching children).
+    """
+    hits = children.filter(child_pred).select(F.col(child_fk).alias("__pk"))
+    return parents.join(hits, parents[parent_key] == hits["__pk"], "left_semi")
+
+
+def child_block_join(
+    parents: DataFrame,
+    children: DataFrame,
+    parent_key: str,
+    child_fk: str,
+    parent_pred: Column,
+) -> DataFrame:
+    """``{!child}``: children whose parent matches ``parent_pred``.
+
+    The filtered parent keyset is usually small relative to the child
+    fact table — select only the key column so the broadcast/shuffle
+    carries keys, and let AQE pick broadcast when it fits.
+    """
+    hits = parents.filter(parent_pred).select(F.col(parent_key).alias("__pk"))
+    return children.join(hits, children[child_fk] == hits["__pk"], "left_semi")
+
+
+def cross_collection_join(
+    to_df: DataFrame,
+    to_key: str,
+    from_df: DataFrame,
+    from_key: str,
+    from_pred: Column,
+) -> DataFrame:
+    """``{!join from=from_key fromIndex=from to=to_key}from_pred``:
+    rows of ``to_df`` whose ``to_key`` appears among the ``from_key``
+    values of ``from_df`` rows matching ``from_pred``.
+
+    ``distinct()`` on the harvested keys keeps the broadcast minimal
+    (Solr dedups the term set the same way before the filter phase).
+    """
+    keys = (
+        from_df.filter(from_pred)
+        .select(F.col(from_key).alias("__jk"))
+        .distinct()
+    )
+    return to_df.join(keys, to_df[to_key] == keys["__jk"], "left_semi")

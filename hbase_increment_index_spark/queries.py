@@ -3613,6 +3613,164 @@ WHERE {_SQL_BUCKET.format(salt='temp', c='doc_id')} < FLOOR(rate * 1000000.0)
 
 
 # --------------------------------------------------------------------------
+# Q51 — Solr TermVector component; OLAP correlated-subquery shapes
+# --------------------------------------------------------------------------
+
+
+def q51_term_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr TermVectorComponent (``tv=true&tv.tf=true&tv.df=true``):
+    for each matched document its term vector — per-term tf, plus each
+    term's df across the matched set (the Solr 5.x component the
+    reference's index serves; reference README.md:5-10, SURVEY.md §2.2).
+
+    Explode → one map-side-combined hash agg on (doc, term); df then
+    rides a window over the already-unique (doc, term) rows — the
+    second shuffle carries ≤ |matched vocabulary| rows, and the corpus
+    is never re-read."""
+    from hbase_increment_index_spark.search.tokenize import posting_list
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") <= 20)
+    tf = posting_list(docs, "doc_id", "text").groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    return tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
+
+
+Q51_SQL = f"""
+WITH matched AS (SELECT doc_id, text FROM documents WHERE doc_id <= 20),
+toks AS (
+  SELECT doc_id, unnest({_SQL_TOKS.format(c='text')}) AS term FROM matched
+),
+tfs AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term)
+SELECT doc_id, term, tf, count(*) OVER (PARTITION BY term) AS df FROM tfs
+"""
+
+
+def olap_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — the correlated scalar subquery (``l_quantity <
+    0.2 * (SELECT avg(l_quantity) ... same part)``), decorrelated the
+    way Catalyst plans it: a per-part avg aggregate joined back to the
+    probe on the part key. Both the aggregate and the probe shuffle on
+    l_partkey — at 100 TB one bucketed layout serves both sides and the
+    join is co-located. The brand filter broadcasts part keys so the
+    probe scan prunes before the join."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    avg_q = li.groupBy("l_partkey").agg(
+        (
+            F.sum(F.col("l_quantity").cast("decimal(30,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_qty")
+    )
+    brand_keys = part.filter(F.col("p_brand") == "Brand#12").select("p_partkey")
+    return (
+        li.join(F.broadcast(brand_keys), F.col("l_partkey") == F.col("p_partkey"))
+        .join(avg_q, "l_partkey")
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(30,6)")).cast("double")
+                / 7.0,
+                4,
+            ).alias("avg_yearly")
+        )
+    )
+
+
+OLAP_SMALL_QTY_SQL = """
+WITH a AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) / 7.0, 4) AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN a USING (l_partkey)
+WHERE p_brand = 'Brand#12' AND l_quantity < 0.2 * avg_qty
+"""
+
+
+def olap_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape — ``HAVING SUM(l_quantity) > N`` as an IN
+    subquery over a grouped fact: the qualifying order keys come from
+    one hash agg on the fact table, then orders/customer attach. The
+    agg and the orders join share the order-key shuffle; the qualifying
+    keyset is tiny (heavy-tailed orders) so AQE broadcasts it."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(30,6)")).cast("double").alias("sum_qty")
+        )
+        .filter(F.col("sum_qty") > 250.0)
+    )
+    return (
+        orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_name", "c_custkey", "o_orderkey", "o_totalprice", "sum_qty")
+    )
+
+
+OLAP_LARGE_ORDERS_SQL = """
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) > 250.0
+)
+SELECT c_name, c_custkey, o_orderkey, o_totalprice, sum_qty
+FROM orders JOIN big ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def olap_idle_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape — scalar subquery (corpus-wide positive-balance
+    average) + NOT EXISTS anti join: per market segment, the count and
+    total balance of above-average customers with no URGENT order. The
+    1-row average broadcasts via cross join (never collected to the
+    driver); the anti join's probe side is keys-only."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(30,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("_avg")
+    )
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg"))
+        .join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(30,6)")).cast("double"), 2
+            ).alias("total_bal"),
+        )
+    )
+
+
+OLAP_IDLE_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n_cust,
+       ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE), 2) AS total_bal
+FROM customer c
+WHERE c_acctbal > (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*)
+        FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -3702,6 +3860,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q49_block_join_parent": q49_block_join_parent,
     "q49b_block_join_child": q49b_block_join_child,
     "q50_cross_join_parser": q50_cross_join_parser,
+    "q51_term_vectors": q51_term_vectors,
+    "olap_small_qty_revenue": olap_small_qty_revenue,
+    "olap_large_orders": olap_large_orders,
+    "olap_idle_balances": olap_idle_balances,
     "e4g_pii_scrub": e4g_pii_scrub,
     "e4h_repetition": e4h_repetition,
     "e1_exact_dedup": e1_exact_dedup,
@@ -3826,6 +3988,10 @@ ORACLES: dict[str, str] = {
     "q49_block_join_parent": Q49_SQL,
     "q49b_block_join_child": Q49B_SQL,
     "q50_cross_join_parser": Q50_SQL,
+    "q51_term_vectors": Q51_SQL,
+    "olap_small_qty_revenue": OLAP_SMALL_QTY_SQL,
+    "olap_large_orders": OLAP_LARGE_ORDERS_SQL,
+    "olap_idle_balances": OLAP_IDLE_SQL,
     "e4g_pii_scrub": _e4g_sql(),
     "e4h_repetition": _e4h_sql(),
     "e1_exact_dedup": E1_SQL,

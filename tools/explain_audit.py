@@ -52,6 +52,19 @@ AUDITED = [
     "q45_spellcheck",
     "q46_hybrid_rrf",
     "cdc_atomic_update",
+    "q47_geofilt",
+    "q48_geo_nearest",
+    "q49_block_join_parent",
+    "q49b_block_join_child",
+    "q50_cross_join_parser",
+    "q51_term_vectors",
+    "olap_small_qty_revenue",
+    "olap_large_orders",
+    "olap_idle_balances",
+    "olap_priority_lines",
+    "olap_returned_revenue",
+    "olap_nation_share",
+    "e11_temperature_mixture",
 ]
 
 

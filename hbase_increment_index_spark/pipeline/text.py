@@ -260,6 +260,43 @@ def term_frequencies(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def unigram_logprob(
+    df: DataFrame, id_col: str, text_col: str, decimals: int = 5
+) -> DataFrame:
+    """Self-trained unigram language-model quality score — the
+    CCNet/C4-family perplexity filter with the corpus itself as the LM
+    (no external model): per document, the mean negative log-likelihood
+    of its tokens under corpus unigram frequencies. High = improbable
+    token mix (gibberish, OCR noise, exotic boilerplate); filter on a
+    threshold or take the tails.
+
+    Plan: one explode feeds BOTH the vocabulary aggregate and the
+    per-(doc,term) tf aggregate (map-side combined); the corpus total
+    rides a 1-row broadcast cross join; vocabulary joins back on term
+    (Zipf-bounded — at 100 TB this is a shuffle join on term whose
+    build side is the vocabulary, never the corpus). Per-doc mean is
+    rounded like the TF-IDF scores (search.ranking) so the value-hash
+    is engine-portable.
+    """
+    toks = posting_list(df, id_col, text_col)
+    doc_tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf_d"))
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("ctf"))
+    total = vocab.agg(F.sum("ctf").cast("double").alias("n_total"))
+    return (
+        doc_tf.join(vocab, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf_d").alias("n_tokens"),
+            F.round(
+                -F.sum(F.col("tf_d") * F.log(F.col("ctf") / F.col("n_total")))
+                / F.sum("tf_d"),
+                decimals,
+            ).alias("nll"),
+        )
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     id_col: str,

@@ -3770,6 +3770,83 @@ GROUP BY c_mktsegment
 """
 
 
+def q52_realtime_get(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr RealTimeGet (``/get?ids=...``): fetch the CURRENT documents
+    for a handful of row keys straight from the update log — visible
+    before any commit, which is the whole point of the handler (and of
+    the reference's low-latency index maintenance, README.md:5-6).
+
+    The key filter is applied to the LOG SCAN, before compaction —
+    filtering by row_key commutes with latest-per-cell compaction
+    because compaction partitions by row_key. At 100 TB the log is
+    bucketed by row_key (SCALE.md layout), so a realtime get touches
+    one file per key instead of the full log."""
+    from hbase_increment_index_spark.cdc.index_builder import documents_from_cells
+
+    events = _t(spark, sf_dir, "events")
+    ids = ["7", "13", "21", "42", "77"]
+    log = cell_log_from_events(events, delete_event_type="error").filter(
+        F.col("row_key").isin(ids)
+    )
+    return documents_from_cells(log, ["click", "purchase", "signup", "view"])
+
+
+Q52_SQL = f"""
+WITH log AS (
+  SELECT * FROM ({_SQL_CELL_LOG.format(delete_type='error')})
+  WHERE row_key IN ('7', '13', '21', '42', '77')
+),
+cell_latest AS (
+  SELECT * FROM log
+  QUALIFY row_number() OVER (
+    PARTITION BY row_key, family, qualifier ORDER BY ts DESC, seq DESC) = 1
+),
+row_latest AS (
+  SELECT row_key, op AS row_op FROM log
+  QUALIFY row_number() OVER (PARTITION BY row_key ORDER BY ts DESC, seq DESC) = 1
+),
+live AS (
+  SELECT c.* FROM cell_latest c JOIN row_latest r USING (row_key)
+  WHERE c.op = 'put' AND r.row_op = 'put'
+)
+SELECT row_key AS id,
+       min(CASE WHEN qualifier = 'click'    THEN value END) AS click,
+       min(CASE WHEN qualifier = 'purchase' THEN value END) AS purchase,
+       min(CASE WHEN qualifier = 'signup'   THEN value END) AS signup,
+       min(CASE WHEN qualifier = 'view'     THEN value END) AS view
+FROM live
+GROUP BY row_key
+"""
+
+
+def e12_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-trained unigram-LM quality scoring (the CCNet/C4-style
+    perplexity filter with the corpus itself as the model): per-doc
+    mean negative log-likelihood of its tokens under corpus unigram
+    frequencies; the 25 most improbable docs are the junk tail."""
+    from hbase_increment_index_spark.pipeline.text import unigram_logprob
+
+    docs = _t(spark, sf_dir, "documents")
+    out = unigram_logprob(docs, "doc_id", "text")
+    return out.orderBy(F.col("nll").desc(), F.col("doc_id").asc()).limit(25)
+
+
+E12_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SQL_TOKS.format(c='text')}) AS term FROM documents
+),
+doc_tf AS (SELECT doc_id, term, count(*) AS tf_d FROM toks GROUP BY 1, 2),
+vocab AS (SELECT term, count(*) AS ctf FROM toks GROUP BY 1),
+n AS (SELECT CAST(SUM(ctf) AS DOUBLE) AS n_total FROM vocab)
+SELECT doc_id, CAST(SUM(tf_d) AS BIGINT) AS n_tokens,
+       ROUND(-SUM(tf_d * ln(ctf / n_total)) / SUM(tf_d), 5) AS nll
+FROM doc_tf JOIN vocab USING (term), n
+GROUP BY doc_id
+ORDER BY nll DESC, doc_id ASC
+LIMIT 25
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3861,6 +3938,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q49b_block_join_child": q49b_block_join_child,
     "q50_cross_join_parser": q50_cross_join_parser,
     "q51_term_vectors": q51_term_vectors,
+    "q52_realtime_get": q52_realtime_get,
+    "e12_unigram_logprob": e12_unigram_logprob,
     "olap_small_qty_revenue": olap_small_qty_revenue,
     "olap_large_orders": olap_large_orders,
     "olap_idle_balances": olap_idle_balances,
@@ -3989,6 +4068,8 @@ ORACLES: dict[str, str] = {
     "q49b_block_join_child": Q49B_SQL,
     "q50_cross_join_parser": Q50_SQL,
     "q51_term_vectors": Q51_SQL,
+    "q52_realtime_get": Q52_SQL,
+    "e12_unigram_logprob": E12_SQL,
     "olap_small_qty_revenue": OLAP_SMALL_QTY_SQL,
     "olap_large_orders": OLAP_LARGE_ORDERS_SQL,
     "olap_idle_balances": OLAP_IDLE_SQL,

@@ -388,3 +388,55 @@ class SecondaryIndex:
             self.documents, self.key_field, text_field, doc_key, k=k,
             max_query_terms=max_query_terms,
         )
+
+    def parent_query(
+        self, children: DataFrame, child_fk: str, child_pred: Column
+    ) -> DataFrame:
+        """Solr ``{!parent which=...}``: this index's documents having at
+        least one row in ``children`` (joined on ``child_fk`` =
+        ``key_field``) matching ``child_pred``. Semi join — never
+        duplicates a document across multiple matching children."""
+        from hbase_increment_index_spark.search.join_parsers import parent_block_join
+
+        return parent_block_join(
+            self.documents, children, self.key_field, child_fk, child_pred
+        )
+
+    def child_query(
+        self, children: DataFrame, child_fk: str, parent_pred: Column
+    ) -> DataFrame:
+        """Solr ``{!child of=...}``: rows of ``children`` whose parent
+        document (``child_fk`` = ``key_field``) matches ``parent_pred``."""
+        from hbase_increment_index_spark.search.join_parsers import child_block_join
+
+        return child_block_join(
+            self.documents, children, self.key_field, child_fk, parent_pred
+        )
+
+    def join_query(
+        self, from_df: DataFrame, from_key: str, from_pred: Column
+    ) -> DataFrame:
+        """Solr ``{!join from=from_key fromIndex=... to=key_field}``:
+        this index's documents whose key appears among ``from_key``
+        values of ``from_df`` rows matching ``from_pred``."""
+        from hbase_increment_index_spark.search.join_parsers import (
+            cross_collection_join,
+        )
+
+        return cross_collection_join(
+            self.documents, self.key_field, from_df, from_key, from_pred
+        )
+
+    def realtime_get(self, keys: list) -> DataFrame:
+        """Solr RealTimeGet (``/get?ids=...``): current documents for
+        ``keys`` served from the CELL STATE (the update log's compacted
+        form) — visible before the serving view is re-derived. The key
+        filter prunes the state scan (bucketed by row_key at scale:
+        point lookups)."""
+        if self._state is None:
+            raise ValueError("realtime_get requires the cell state")
+        state = self._state.filter(F.col("row_key").isin(keys))
+        docs = documents_from_state(state, self.qualifiers)
+        if self.key_field != "id":
+            docs = docs.withColumnRenamed("id", self.key_field)
+        return docs

@@ -220,3 +220,25 @@ def test_phrase_from_index_maintained_through_mutations(spark, index):
     index.apply_mutations(spark.createDataFrame(inc, SCHEMA))
     got = {r["rowkey"]: r["n_occurrences"] for r in index.phrase("name", ["apple", "pie"]).collect()}
     assert got == {"r5": 2}
+
+
+def test_join_parsers_on_facade(spark, index):
+    reviews = spark.createDataFrame(
+        [("r1", 5, "great"), ("r1", 4, "good"), ("r2", 1, "bad"), ("r3", 3, "ok")],
+        "doc_key string, stars int, body string",
+    )
+    # {!parent}: docs with at least one 4+ star review, never duplicated
+    parents = index.parent_query(reviews, "doc_key", F.col("stars") >= 4)
+    assert [r["rowkey"] for r in parents.collect()] == ["r1"]
+    # {!child}: reviews of docs priced >= 20
+    kids = index.child_query(reviews, "doc_key", F.col("price").cast("int") >= 20)
+    assert {r["doc_key"] for r in kids.collect()} == {"r2", "r3"}
+    # {!join}: docs whose key is among low-star review keys
+    joined = index.join_query(reviews, "doc_key", F.col("stars") <= 3)
+    assert {r["rowkey"] for r in joined.collect()} == {"r2", "r3"}
+
+
+def test_realtime_get(spark, index):
+    got = index.realtime_get(["r1", "r3", "missing"])
+    rows = {r["rowkey"]: r["name"] for r in got.collect()}
+    assert rows == {"r1": "apple pie recipe", "r3": "apple cider"}

@@ -3847,6 +3847,71 @@ LIMIT 25
 """
 
 
+def q53_luke_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr Luke handler (``/admin/luke``): per-field index statistics —
+    how many documents carry the field, distinct-value cardinality,
+    value-length range — over the sparse document view (absent
+    qualifier = NULL column, the open-schema reality of the reference's
+    dynamic fields, HbaseSolrIndexCoprocesser.java:46-48).
+
+    One ``stack`` unpivot (a projection — rows × fields, no shuffle)
+    feeding one hash agg on the tiny field key; count(value) skips
+    NULLs so presence counts fall out of the same pass."""
+    from hbase_increment_index_spark.cdc.index_builder import documents_from_cells
+
+    events = _t(spark, sf_dir, "events")
+    log = cell_log_from_events(events, delete_event_type="error")
+    docs = documents_from_cells(log, ["click", "purchase", "signup", "view"])
+    unp = docs.select(
+        F.expr(
+            "stack(4, 'click', click, 'purchase', purchase,"
+            " 'signup', signup, 'view', view) as (field, value)"
+        )
+    )
+    return unp.groupBy("field").agg(
+        F.count("value").alias("n_docs"),
+        F.countDistinct("value").alias("n_distinct"),
+        F.min(F.length("value")).alias("min_len"),
+        F.max(F.length("value")).alias("max_len"),
+    )
+
+
+Q53_SQL = f"""
+WITH log AS ({_SQL_CELL_LOG.format(delete_type='error')}),
+cell_latest AS (
+  SELECT * FROM log
+  QUALIFY row_number() OVER (
+    PARTITION BY row_key, family, qualifier ORDER BY ts DESC, seq DESC) = 1
+),
+row_latest AS (
+  SELECT row_key, op AS row_op FROM log
+  QUALIFY row_number() OVER (PARTITION BY row_key ORDER BY ts DESC, seq DESC) = 1
+),
+live AS (
+  SELECT c.* FROM cell_latest c JOIN row_latest r USING (row_key)
+  WHERE c.op = 'put' AND r.row_op = 'put'
+),
+docs AS (
+  SELECT row_key AS id,
+         min(CASE WHEN qualifier = 'click'    THEN value END) AS click,
+         min(CASE WHEN qualifier = 'purchase' THEN value END) AS purchase,
+         min(CASE WHEN qualifier = 'signup'   THEN value END) AS signup,
+         min(CASE WHEN qualifier = 'view'     THEN value END) AS view
+  FROM live GROUP BY row_key
+),
+unp AS (
+  SELECT 'click' AS field, click AS value FROM docs
+  UNION ALL SELECT 'purchase', purchase FROM docs
+  UNION ALL SELECT 'signup', signup FROM docs
+  UNION ALL SELECT 'view', view FROM docs
+)
+SELECT field, count(value) AS n_docs, count(DISTINCT value) AS n_distinct,
+       min(length(value)) AS min_len, max(length(value)) AS max_len
+FROM unp
+GROUP BY field
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3939,6 +4004,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q50_cross_join_parser": q50_cross_join_parser,
     "q51_term_vectors": q51_term_vectors,
     "q52_realtime_get": q52_realtime_get,
+    "q53_luke_fields": q53_luke_fields,
     "e12_unigram_logprob": e12_unigram_logprob,
     "olap_small_qty_revenue": olap_small_qty_revenue,
     "olap_large_orders": olap_large_orders,
@@ -4069,6 +4135,7 @@ ORACLES: dict[str, str] = {
     "q50_cross_join_parser": Q50_SQL,
     "q51_term_vectors": Q51_SQL,
     "q52_realtime_get": Q52_SQL,
+    "q53_luke_fields": Q53_SQL,
     "e12_unigram_logprob": E12_SQL,
     "olap_small_qty_revenue": OLAP_SMALL_QTY_SQL,
     "olap_large_orders": OLAP_LARGE_ORDERS_SQL,

@@ -62,6 +62,50 @@ def write_bucketed_table(
     writer.format("parquet").saveAsTable(table_name)
 
 
+def export_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    fl: list[str] | None = None,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    n_files: int | None = None,
+) -> None:
+    """Solr ``/export`` handler: full sorted result-set export (the
+    docValues streaming path Solr uses when a result is too big for
+    ``start+rows`` paging — reference-surface Solr 5.x exports on
+    sort+fl only, which is exactly this signature).
+
+    A single global ``orderBy`` would funnel the result through one
+    final collect; instead the export is RANGE-partitioned on the sort
+    key and sorted within each partition — files are globally ordered
+    (file k's rows all sort before file k+1's), each file is internally
+    sorted, and every partition writes in parallel. Reading the files
+    back in filename order yields the total order; range boundaries
+    come from Spark's reservoir sampling of the sort key, so skewed
+    keys still split evenly. At 100 TB this is the only export shape
+    that works — and it doubles as the sorted-layout write for
+    min/max-pruned scans.
+    """
+    if fmt not in FORMATS:
+        raise ValueError(f"unknown sink format {fmt!r}; expected one of {FORMATS}")
+    cols = [F.col(c) for c in sort_cols]
+    # explicit n_files pins the file count (AQE coalesces a bare
+    # repartitionByRange on small inputs); size it to the target
+    # file size at scale, e.g. rows ÷ (128 MB / row width)
+    out = (
+        df.repartitionByRange(n_files, *cols)
+        if n_files
+        else df.repartitionByRange(*cols)
+    ).sortWithinPartitions(*cols)
+    if fl:
+        out = out.select(*dict.fromkeys([*fl]))
+    writer = out.write.mode(mode)
+    if fmt == "csv":
+        writer = writer.option("header", "true")
+    getattr(writer, fmt)(path)
+
+
 def read_results(spark, path: str, fmt: str = "parquet") -> DataFrame:
     if fmt not in FORMATS:
         raise ValueError(f"unknown sink format {fmt!r}")

@@ -86,3 +86,30 @@ def test_bucketed_tables_join_without_exchange(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_li_bucketed")
         spark.sql("DROP TABLE IF EXISTS t_ord_bucketed")
+
+
+def test_export_sorted_is_globally_ordered(spark, sf_dir, tmp_path):
+    from hbase_increment_index_spark.sinks import export_sorted
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    path = str(tmp_path / "export")
+    export_sorted(
+        orders, path, sort_cols=["o_totalprice", "o_orderkey"],
+        fl=["o_orderkey", "o_totalprice"], n_files=4,
+    )
+    import glob
+
+    files = sorted(glob.glob(f"{path}/part-*.parquet"))
+    assert len(files) > 1  # actually range-partitioned, not one funnel
+    prev_max = None
+    total = 0
+    for f in files:
+        pdf = spark.read.parquet(f).toPandas()
+        total += len(pdf)
+        vals = list(zip(pdf["o_totalprice"], pdf["o_orderkey"]))
+        assert vals == sorted(vals)  # sorted within each file
+        if vals:
+            if prev_max is not None:
+                assert prev_max <= vals[0]  # files ordered end-to-end
+            prev_max = vals[-1]
+    assert total == orders.count()

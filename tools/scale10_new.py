@@ -47,6 +47,31 @@ def build_scaled(spark) -> None:
             out = out.unionByName(p)
         out.repartition(32).write.parquet(f"{SCALED}/{name}.parquet")
 
+    # star-schema facts + customer, re-keyed CONSISTENTLY so joins keep
+    # their selectivity within each replica (orderkey/custkey/partkey
+    # shifted by the same per-replica offsets on every table)
+    star = {
+        "orders": {"o_orderkey": 10_000_000, "o_custkey": 1_000_000},
+        "lineitem": {"l_orderkey": 10_000_000, "l_partkey": 10_000_000},
+        "customer": {"c_custkey": 1_000_000},
+    }
+    for name, keys in star.items():
+        df = spark.read.parquet(f"{BASE}/{name}.parquet")
+        parts = []
+        for i in range(MULT):
+            p = df
+            for key, step in keys.items():
+                p = p.withColumn(key, F.col(key) + F.lit(i * step))
+            parts.append(p)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.repartition(32).write.parquet(f"{SCALED}/{name}.parquet")
+    for name in ("nation", "region", "supplier"):
+        spark.read.parquet(f"{BASE}/{name}.parquet").write.parquet(
+            f"{SCALED}/{name}.parquet"
+        )
+
 
 def best_of_3(fn, spark, sf_dir) -> tuple[float, int]:
     best, n = float("inf"), 0

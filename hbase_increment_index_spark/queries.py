@@ -3912,6 +3912,29 @@ GROUP BY field
 """
 
 
+def q10b_facet_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr facet parameter set on one facet: ``facet.field=p_size&
+    facet.mincount=2&facet.sort=count&facet.limit=10&facet.offset=5``
+    — buckets 6–15 by count (count desc, value asc — Solr's tie
+    order). The offset window runs over the AGGREGATED buckets only
+    (field cardinality, not corpus size)."""
+    part = _t(spark, sf_dir, "part")
+    return facets.facet_field(
+        part, "p_size", mincount=2, sort="count", limit=10, offset=5
+    )
+
+
+Q10B_SQL = """
+SELECT p_size, n FROM (
+  SELECT p_size, count(*) AS n,
+         row_number() OVER (ORDER BY count(*) DESC, p_size ASC) AS rn
+  FROM part
+  GROUP BY p_size
+  HAVING count(*) >= 2
+) WHERE rn > 5 AND rn <= 15
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -3936,6 +3959,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q08b_keyset_page": q08b_keyset_page,
     "q09_projection": q09_projection,
     "q10_facet_field": q10_facet_field,
+    "q10b_facet_params": q10b_facet_params,
     "q11_facet_range": q11_facet_range,
     "q11b_facet_time": q11b_facet_time,
     "q12_facet_query": q12_facet_query,
@@ -4068,6 +4092,7 @@ ORACLES: dict[str, str] = {
     "q08b_keyset_page": Q08B_SQL,
     "q09_projection": Q09_SQL,
     "q10_facet_field": Q10_SQL,
+    "q10b_facet_params": Q10B_SQL,
     "q11_facet_range": Q11_SQL,
     "q11b_facet_time": Q11B_SQL,
     "q12_facet_query": Q12_SQL,

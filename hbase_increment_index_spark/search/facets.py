@@ -13,15 +13,49 @@ from pyspark.sql import functions as F
 
 
 def facet_field(
-    df: DataFrame, field: str, count_alias: str = "n", prefix: str | None = None
+    df: DataFrame,
+    field: str,
+    count_alias: str = "n",
+    prefix: str | None = None,
+    mincount: int = 0,
+    sort: str = "count",
+    limit: int | None = None,
+    offset: int = 0,
 ) -> DataFrame:
-    """Q10 — ``facet.field=f``: value counts. ``prefix`` is Solr's
-    ``facet.prefix``: only buckets whose value starts with it (the
-    filter lands pre-shuffle, inside the scan, where parquet answers
-    it from dictionary pages)."""
+    """Q10 — ``facet.field=f``: value counts, with the full Solr
+    parameter set. ``prefix`` is ``facet.prefix`` (the filter lands
+    pre-shuffle, inside the scan, where parquet answers it from
+    dictionary pages); ``mincount``/``sort``/``limit``/``offset`` are
+    ``facet.mincount`` (drop buckets below the floor), ``facet.sort``
+    (``'count'`` = count desc then value asc — Solr's tie order — or
+    ``'index'`` = value asc), and bucket paging.
+
+    Ordering/paging run on the AGGREGATED buckets (cardinality of the
+    field, not the corpus): limit-without-offset plans as
+    TakeOrderedAndProject (per-partition heaps); an offset adds a
+    row_number over the bucket set, which is already small."""
     if prefix is not None:
         df = df.filter(F.col(field).startswith(prefix))
-    return df.groupBy(field).agg(F.count(F.lit(1)).alias(count_alias))
+    out = df.groupBy(field).agg(F.count(F.lit(1)).alias(count_alias))
+    if mincount > 0:
+        out = out.filter(F.col(count_alias) >= mincount)
+    if limit is None:
+        return out
+    order = (
+        [F.col(count_alias).desc(), F.col(field).asc()]
+        if sort == "count"
+        else [F.col(field).asc()]
+    )
+    if offset > 0:
+        from pyspark.sql import Window
+
+        rn = F.row_number().over(Window.orderBy(*order))
+        return (
+            out.withColumn("_rn", rn)
+            .filter((F.col("_rn") > offset) & (F.col("_rn") <= offset + limit))
+            .drop("_rn")
+        )
+    return out.orderBy(*order).limit(limit)
 
 
 def facet_range(

@@ -311,3 +311,35 @@ def test_phrase_match_matches_python_oracle(spark, docs_tokens, phrase):
         if n:
             want[i] = n
     assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(min_value=1, max_value=500),
+        ),
+        min_size=3,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(min_value=1, max_value=7),
+)
+def test_temperature_resample_partition_invariant(spark, rows, nparts):
+    """The kept row set is content-addressed: identical under any input
+    partitioning (the rerun-stability claim of pipeline.sampling), and
+    every keep_rate is in (0, 1]."""
+    from hbase_increment_index_spark.pipeline.sampling import temperature_resample
+
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_toks long")
+    base = temperature_resample(df, "doc_id", "n_toks", "source", alpha=0.5)
+    kept1 = {r["doc_id"] for r in base.collect()}
+    rep = temperature_resample(
+        df.repartition(nparts), "doc_id", "n_toks", "source", alpha=0.5
+    )
+    kept2 = {r["doc_id"] for r in rep.collect()}
+    assert kept1 == kept2
+    rates = [r["keep_rate"] for r in base.select("keep_rate").distinct().collect()]
+    assert all(0.0 < x <= 1.0 for x in rates)

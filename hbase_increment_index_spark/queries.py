@@ -3418,6 +3418,45 @@ WHERE EXISTS (
 """
 
 
+def q49c_block_join_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr scored block join (``q={!parent which='type:order'
+    score=max}…``): orders ranked by their best matching line item's
+    net revenue. The child side collapses to (orderkey, max score) in
+    one map-side-combined agg BEFORE the join; top-k plans as
+    TakeOrderedAndProject over the joined stream."""
+    from hbase_increment_index_spark.search.join_parsers import (
+        parent_block_join_scored,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    out = parent_block_join_scored(
+        orders,
+        li,
+        "o_orderkey",
+        "l_orderkey",
+        F.col("l_quantity") >= 45.0,
+        F.col("l_extendedprice") * (1 - F.col("l_discount")),
+        mode="max",
+    )
+    return (
+        out.select("o_orderkey", "o_orderpriority", "score")
+        .orderBy(F.col("score").desc(), F.col("o_orderkey").asc())
+        .limit(15)
+    )
+
+
+Q49C_SQL = """
+SELECT o_orderkey, o_orderpriority,
+       CAST(MAX(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS score
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+WHERE l_quantity >= 45.0
+GROUP BY o_orderkey, o_orderpriority
+ORDER BY score DESC, o_orderkey ASC
+LIMIT 15
+"""
+
+
 def q50_cross_join_parser(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Solr cross-collection join (``fq={!join from=vec_id
     fromIndex=embeddings to=doc_id}label:(3 7)``): documents whose id
@@ -4025,6 +4064,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q48_geo_nearest": q48_geo_nearest,
     "q49_block_join_parent": q49_block_join_parent,
     "q49b_block_join_child": q49b_block_join_child,
+    "q49c_block_join_scored": q49c_block_join_scored,
     "q50_cross_join_parser": q50_cross_join_parser,
     "q51_term_vectors": q51_term_vectors,
     "q52_realtime_get": q52_realtime_get,
@@ -4157,6 +4197,7 @@ ORACLES: dict[str, str] = {
     "q48_geo_nearest": Q48_SQL,
     "q49_block_join_parent": Q49_SQL,
     "q49b_block_join_child": Q49B_SQL,
+    "q49c_block_join_scored": Q49C_SQL,
     "q50_cross_join_parser": Q50_SQL,
     "q51_term_vectors": Q51_SQL,
     "q52_realtime_get": Q52_SQL,

@@ -73,6 +73,46 @@ def child_block_join(
     return children.join(hits, children[child_fk] == hits["__pk"], "left_semi")
 
 
+def parent_block_join_scored(
+    parents: DataFrame,
+    children: DataFrame,
+    parent_key: str,
+    child_fk: str,
+    child_pred: Column,
+    child_score: Column,
+    mode: str = "max",
+) -> DataFrame:
+    """``{!parent which=… score=max|total|avg}``: parents with ≥ 1
+    matching child, carrying the aggregated child score (Lucene's
+    ToParentBlockJoinQuery ScoreMode) as a ``score`` column.
+
+    The child side collapses to (key, score) BEFORE the join — one
+    map-side-combined hash agg on the fk — so the join input is one row
+    per qualifying parent, and the parent side still streams through a
+    hash join un-duplicated. avg is computed as exact decimal sum ÷
+    count (order-insensitive, engine-portable)."""
+    if mode not in ("max", "total", "avg"):
+        raise ValueError(f"unknown score mode {mode!r}")
+    s = F.col("__s")
+    agg = {
+        "max": F.max(s).cast("double"),
+        "total": F.sum(s).cast("double"),
+        "avg": (F.sum(s) / F.count(F.lit(1))).cast("double"),
+    }[mode]
+    hits = (
+        children.filter(child_pred)
+        .select(
+            F.col(child_fk).alias("__pk"),
+            child_score.cast("decimal(30,6)").alias("__s"),
+        )
+        .groupBy("__pk")
+        .agg(agg.alias("score"))
+    )
+    return parents.join(
+        hits, parents[parent_key] == hits["__pk"]
+    ).drop("__pk")
+
+
 def cross_collection_join(
     to_df: DataFrame,
     to_key: str,

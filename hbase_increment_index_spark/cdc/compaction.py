@@ -65,6 +65,46 @@ def apply_deletes_anti_join(cell_log: DataFrame) -> DataFrame:
     return latest.join(deleted_keys, "row_key", "left_anti")
 
 
+def latest_n_versions(cell_log: DataFrame, n: int) -> DataFrame:
+    """HBase ``VERSIONS=n`` retention: the newest ``n`` put versions
+    per cell coordinate (row_key, family, qualifier), each tagged with
+    its 1-based ``version`` (1 = newest). The reference's primary
+    store is an HBase table, where version count is a column-family
+    attribute enforced at compaction — this is that major-compaction
+    semantics as one window over the cell log.
+
+    Same single shuffle as latest_per_cell; the window streams each
+    partition once regardless of n."""
+    w = Window.partitionBy("row_key", "family", "qualifier").orderBy(
+        F.col("ts").desc(), F.col("seq").desc()
+    )
+    return (
+        cell_log.filter(F.col("op") == "put")
+        .withColumn("version", F.row_number().over(w))
+        .filter(F.col("version") <= n)
+    )
+
+
+def apply_ttl(cell_log: DataFrame, ttl_seconds: int, now=None) -> DataFrame:
+    """HBase ``TTL=s`` expiry: drop cells older than ``ttl_seconds``
+    before ``now`` (default: the log's max timestamp, so batch replays
+    are deterministic — pass an explicit literal in streaming use).
+    A pure filter when ``now`` is given (pushed into the scan); with
+    the default, the max rides a 1-row broadcast cross join."""
+    if now is not None:
+        return cell_log.filter(
+            F.col("ts") >= F.lit(now) - F.expr(f"INTERVAL {ttl_seconds} SECONDS")
+        )
+    mx = cell_log.agg(F.max("ts").alias("_now"))
+    return (
+        cell_log.crossJoin(F.broadcast(mx))
+        .filter(
+            F.col("ts") >= F.col("_now") - F.expr(f"INTERVAL {ttl_seconds} SECONDS")
+        )
+        .drop("_now")
+    )
+
+
 def live_cells(cell_log: DataFrame) -> DataFrame:
     """Live cell state: newest put per (row_key, family, qualifier),
     minus rows whose newest *row-level* event is a delete — a delete

@@ -3651,6 +3651,54 @@ WHERE {_SQL_BUCKET.format(salt='temp', c='doc_id')} < FLOOR(rate * 1000000.0)
 """
 
 
+def cdc_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HBase ``VERSIONS=2`` cell retention (the reference's primary
+    store is an HBase table; version count is a column-family
+    attribute): newest 2 put versions per cell coordinate, tagged
+    1=newest — one window, same single row_key shuffle as compaction."""
+    from hbase_increment_index_spark.cdc.compaction import latest_n_versions
+
+    events = _t(spark, sf_dir, "events")
+    log = cell_log_from_events(events)
+    return latest_n_versions(log, 2).select("row_key", "qualifier", "value", "version")
+
+
+CDC_VERSIONS_SQL = f"""
+SELECT row_key, qualifier, value, version FROM (
+  SELECT row_key, qualifier, value,
+         row_number() OVER (
+           PARTITION BY row_key, family, qualifier
+           ORDER BY ts DESC, seq DESC) AS version
+  FROM ({_SQL_CELL_LOG.format(delete_type='delete')})
+  WHERE op = 'put'
+) WHERE version <= 2
+"""
+
+
+def cdc_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HBase ``TTL`` expiry: cells older than 30 days before the log's
+    max timestamp are dropped at compaction; surviving cell counts per
+    qualifier. The cutoff rides a 1-row broadcast (deterministic for
+    batch replay; streaming passes an explicit literal)."""
+    from hbase_increment_index_spark.cdc.compaction import apply_ttl
+
+    events = _t(spark, sf_dir, "events")
+    log = cell_log_from_events(events)
+    return apply_ttl(log, 30 * 86400).groupBy("qualifier").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+CDC_TTL_SQL = f"""
+WITH log AS ({_SQL_CELL_LOG.format(delete_type='delete')}),
+mx AS (SELECT max(ts) AS now FROM log)
+SELECT qualifier, count(*) AS n
+FROM log, mx
+WHERE ts >= now - INTERVAL 2592000 SECOND
+GROUP BY qualifier
+"""
+
+
 # --------------------------------------------------------------------------
 # Q51 — Solr TermVector component; OLAP correlated-subquery shapes
 # --------------------------------------------------------------------------
@@ -4026,6 +4074,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_live_cells": cdc_live_cells,
     "cdc_index_documents": cdc_index_documents,
     "cdc_merge_batches": cdc_merge_batches,
+    "cdc_versions": cdc_versions,
+    "cdc_ttl": cdc_ttl,
     "cdc_merge_postings": cdc_merge_postings,
     "cdc_merge_facets": cdc_merge_facets,
     "cdc_atomic_update": cdc_atomic_update,
@@ -4159,6 +4209,8 @@ ORACLES: dict[str, str] = {
     "cdc_live_cells": CDC_LIVE_CELLS_SQL,
     "cdc_index_documents": CDC_INDEX_DOCS_SQL,
     "cdc_merge_batches": CDC_INDEX_DOCS_SQL,
+    "cdc_versions": CDC_VERSIONS_SQL,
+    "cdc_ttl": CDC_TTL_SQL,
     "cdc_merge_postings": CDC_MERGE_POSTINGS_SQL,
     "cdc_merge_facets": CDC_MERGE_FACETS_SQL,
     "cdc_atomic_update": CDC_ATOMIC_SQL,

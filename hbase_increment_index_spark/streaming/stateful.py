@@ -77,6 +77,44 @@ def streaming_dedup(
     )
 
 
+def trending_terms(tokens: DataFrame, decay: float = 0.5) -> DataFrame:
+    """Exponentially-decayed term popularity, updated each micro-batch:
+    score' = decay · score + batch_count — the classic trending-now
+    counter (recent batches dominate, old interest fades geometrically).
+    Input: a stream with a ``term`` column (e.g. exploded query logs or
+    document tokens); emits (term, score, n_total) per touched term.
+
+    Decay applies on touch: a term absent from a batch keeps its
+    score until next observed (rank comparisons stay fair because
+    decay is a monotone map; strict wall-clock decay would need timed
+    state eviction via GroupStateTimeout). State per group is two
+    scalars, so the state store stays vocabulary-bounded regardless of
+    stream length; per-batch cost is the batch's distinct-term count.
+    Solr has no streaming analogue — this is the [EXT] streaming
+    polish over the suggester/terms surface (half-life =
+    ln2/ln(1/decay) observed batches)."""
+
+    def _trend(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        score, n = state.get if state.exists else (0.0, 0)
+        batch_n = 0
+        for pdf in pdfs:
+            batch_n += len(pdf)
+        score = score * decay + batch_n
+        n += batch_n
+        state.update((score, n))
+        yield pd.DataFrame({"term": [key[0]], "score": [score], "n_total": [n]})
+
+    return tokens.groupBy("term").applyInPandasWithState(
+        _trend,
+        outputStructType="term string, score double, n_total long",
+        stateStructType="score double, n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def running_user_counts(events: DataFrame) -> DataFrame:
     """Per-user lifetime event count + exact value sum, updated each
     micro-batch (the stateful analogue of flagship's batch stats)."""

@@ -141,3 +141,44 @@ def test_two_phase_agg_equals_plain(spark, sf_dir):
         ).collect()
     }
     assert plain == saltedr
+
+
+def test_trending_terms_decay(spark, tmp_path):
+    from hbase_increment_index_spark.streaming.stateful import trending_terms
+
+    src = str(tmp_path / "tsrc")
+    spark.createDataFrame(
+        [("spark",), ("spark",), ("spark",), ("query",)], "term string"
+    ).coalesce(1).write.parquet(f"{src}/b1")
+    spark.createDataFrame(
+        [("spark",), ("shuffle",), ("shuffle",)], "term string"
+    ).coalesce(1).write.parquet(f"{src}/b2")
+
+    stream = (
+        spark.readStream.schema("term string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    q = (
+        trending_terms(stream, decay=0.5)
+        .writeStream.format("memory")
+        .queryName("trend_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "tckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # update mode: keep the LAST emission per term
+    rows = spark.sql(
+        "SELECT term, score, n_total FROM trend_out"
+    ).collect()
+    last = {}
+    for r in rows:
+        last[r["term"]] = (r["score"], r["n_total"])
+    # spark: 3 in batch1 (score 3), then decayed 1.5 + 1 in batch2
+    assert last["spark"] == (2.5, 4)
+    # shuffle first seen in batch2
+    assert last["shuffle"] == (2.0, 2)
+    # query untouched after batch1 keeps its batch1 emission
+    assert last["query"] == (1.0, 1)

@@ -65,6 +65,13 @@ AUDITED = [
     "olap_returned_revenue",
     "olap_nation_share",
     "e11_temperature_mixture",
+    "e12_unigram_logprob",
+    "q49c_block_join_scored",
+    "q52_realtime_get",
+    "q53_luke_fields",
+    "q10b_facet_params",
+    "cdc_versions",
+    "cdc_ttl",
 ]
 
 

@@ -3699,6 +3699,57 @@ GROUP BY qualifier
 """
 
 
+def cdc_scan_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HBase Scan with STARTROW/STOPROW + SingleColumnValueFilter — the
+    reference user's OTHER query API (scans against the primary HBase
+    table itself, not Solr). Rowkeys order LEXICOGRAPHICALLY in HBase,
+    so the range is a string-compare band: ``[startrow, stoprow)`` on
+    the compacted document view, with a qualifier-value filter and the
+    scan's caching/limit.
+
+    Both predicates are sargable string comparisons — they push into
+    the parquet scan of the index table; at 100 TB the index is
+    written repartitioned by row_key so the band prunes files by
+    min/max stats exactly like HBase region pruning."""
+    from hbase_increment_index_spark.cdc.index_builder import documents_from_cells
+
+    events = _t(spark, sf_dir, "events")
+    log = cell_log_from_events(events, delete_event_type="error")
+    docs = documents_from_cells(log, ["click", "purchase", "signup", "view"])
+    return (
+        docs.filter((F.col("id") >= "2") & (F.col("id") < "4"))
+        .filter(F.col("view").isNotNull())
+        .select("id", "view", "click")
+    )
+
+
+CDC_SCAN_SQL = f"""
+WITH log AS ({_SQL_CELL_LOG.format(delete_type='error')}),
+cell_latest AS (
+  SELECT * FROM log
+  QUALIFY row_number() OVER (
+    PARTITION BY row_key, family, qualifier ORDER BY ts DESC, seq DESC) = 1
+),
+row_latest AS (
+  SELECT row_key, op AS row_op FROM log
+  QUALIFY row_number() OVER (PARTITION BY row_key ORDER BY ts DESC, seq DESC) = 1
+),
+live AS (
+  SELECT c.* FROM cell_latest c JOIN row_latest r USING (row_key)
+  WHERE c.op = 'put' AND r.row_op = 'put'
+),
+docs AS (
+  SELECT row_key AS id,
+         min(CASE WHEN qualifier = 'click' THEN value END) AS click,
+         min(CASE WHEN qualifier = 'view'  THEN value END) AS view
+  FROM live GROUP BY row_key
+)
+SELECT id, view, click
+FROM docs
+WHERE id >= '2' AND id < '4' AND view IS NOT NULL
+"""
+
+
 # --------------------------------------------------------------------------
 # Q51 — Solr TermVector component; OLAP correlated-subquery shapes
 # --------------------------------------------------------------------------
@@ -4076,6 +4127,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_merge_batches": cdc_merge_batches,
     "cdc_versions": cdc_versions,
     "cdc_ttl": cdc_ttl,
+    "cdc_scan_range": cdc_scan_range,
     "cdc_merge_postings": cdc_merge_postings,
     "cdc_merge_facets": cdc_merge_facets,
     "cdc_atomic_update": cdc_atomic_update,
@@ -4211,6 +4263,7 @@ ORACLES: dict[str, str] = {
     "cdc_merge_batches": CDC_INDEX_DOCS_SQL,
     "cdc_versions": CDC_VERSIONS_SQL,
     "cdc_ttl": CDC_TTL_SQL,
+    "cdc_scan_range": CDC_SCAN_SQL,
     "cdc_merge_postings": CDC_MERGE_POSTINGS_SQL,
     "cdc_merge_facets": CDC_MERGE_FACETS_SQL,
     "cdc_atomic_update": CDC_ATOMIC_SQL,

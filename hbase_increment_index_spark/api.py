@@ -190,7 +190,7 @@ class SecondaryIndex:
         start: int = 0,
         rows: int | None = 10,
         tie_break: str | None = None,
-        facet_fields: list[str] | None = None,
+        facet_fields: list[str] | dict[str, dict] | None = None,
         facet_queries: dict[str, Column] | None = None,
         facet_intervals: dict[str, list[tuple]] | None = None,
         stats_fields: list[str] | None = None,
@@ -207,7 +207,9 @@ class SecondaryIndex:
         ``q_text``  — (field, terms, 'and'|'or') full-text match (Q4)
         ``fl``      — projection (Q9)
         ``sort``    — order columns (Q7); ``start``/``rows`` (Q8)
-        ``facet_fields`` / ``facet_queries`` — Q10 / Q12
+        ``facet_fields`` / ``facet_queries`` — Q10 / Q12; a dict value
+                      passes per-field Solr facet params (prefix,
+                      mincount, sort, limit, offset)
         ``facet_intervals`` — Q-INT: per field, a list of
                       (label, lo, hi) half-open [lo, hi) buckets
         ``group_queries`` — Q-GRPQ: named predicates, each returning
@@ -251,8 +253,15 @@ class SecondaryIndex:
                 out = out.limit(rows)
 
         resp = SearchResponse(docs=out)
-        for f_ in facet_fields or []:
-            resp.facets[f_] = _facets.facet_field(matched, f_)
+        # facet_fields: list of names, or {name: {prefix/mincount/sort/
+        # limit/offset}} for the full Solr facet parameter set
+        facet_items = (
+            facet_fields.items()
+            if isinstance(facet_fields, dict)
+            else [(f_, {}) for f_ in facet_fields or []]
+        )
+        for f_, opts in facet_items:
+            resp.facets[f_] = _facets.facet_field(matched, f_, **opts)
         if facet_queries:
             resp.facets["queries"] = _facets.facet_queries(matched, facet_queries)
         for f_, ivals in (facet_intervals or {}).items():

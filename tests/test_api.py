@@ -242,3 +242,13 @@ def test_realtime_get(spark, index):
     got = index.realtime_get(["r1", "r3", "missing"])
     rows = {r["rowkey"]: r["name"] for r in got.collect()}
     assert rows == {"r1": "apple pie recipe", "r3": "apple cider"}
+
+
+def test_search_facet_params(index):
+    resp = index.search(
+        rows=None,
+        facet_fields={"name": {"mincount": 1, "sort": "index", "limit": 2}},
+    )
+    rows = resp.facets["name"].collect()
+    assert [r["name"] for r in rows] == sorted(r["name"] for r in rows)
+    assert len(rows) == 2

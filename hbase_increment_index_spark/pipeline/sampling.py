@@ -178,6 +178,24 @@ def temperature_resample(
     )
 
 
+def deterministic_shuffle(df: DataFrame, id_col: str, salt: str = "shuffle") -> DataFrame:
+    """Reproducible corpus shuffle for training order: a content-
+    addressed ``shuffle_key`` (md5 of salt:id) whose sort order IS the
+    shuffled order — rerun-stable under any partitioning, restartable
+    mid-epoch (resume = filter key > last seen), and re-seedable per
+    epoch by changing the salt.
+
+    A pure projection: no shuffle is added here. Materialize the order
+    with ``sinks.export_sorted(out, path, ["shuffle_key"])`` — range-
+    partitioned parallel write, never a single global sort funnel; a
+    training job then reads files in name order for the full epoch
+    permutation."""
+    return df.withColumn(
+        "shuffle_key",
+        F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))),
+    )
+
+
 def weighted_sample(
     df: DataFrame,
     id_col: str,

@@ -4073,6 +4073,26 @@ SELECT p_size, n FROM (
 """
 
 
+def e13_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle: the first 50 documents of the
+    epoch-1 training order (content-addressed md5 sort key — rerun-
+    stable, restartable, re-seedable per epoch via the salt). The
+    top-50 plans as TakeOrderedAndProject over a pure projection."""
+    from hbase_increment_index_spark.pipeline.sampling import deterministic_shuffle
+
+    docs = _t(spark, sf_dir, "documents")
+    out = deterministic_shuffle(docs, "doc_id", salt="epoch1")
+    return out.select("doc_id", "shuffle_key").orderBy("shuffle_key").limit(50)
+
+
+E13_SQL = """
+SELECT doc_id, md5('epoch1:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+FROM documents
+ORDER BY shuffle_key
+LIMIT 50
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4172,6 +4192,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q52_realtime_get": q52_realtime_get,
     "q53_luke_fields": q53_luke_fields,
     "e12_unigram_logprob": e12_unigram_logprob,
+    "e13_epoch_shuffle": e13_epoch_shuffle,
     "olap_small_qty_revenue": olap_small_qty_revenue,
     "olap_large_orders": olap_large_orders,
     "olap_idle_balances": olap_idle_balances,
@@ -4308,6 +4329,7 @@ ORACLES: dict[str, str] = {
     "q52_realtime_get": Q52_SQL,
     "q53_luke_fields": Q53_SQL,
     "e12_unigram_logprob": E12_SQL,
+    "e13_epoch_shuffle": E13_SQL,
     "olap_small_qty_revenue": OLAP_SMALL_QTY_SQL,
     "olap_large_orders": OLAP_LARGE_ORDERS_SQL,
     "olap_idle_balances": OLAP_IDLE_SQL,

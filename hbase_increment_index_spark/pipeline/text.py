@@ -252,11 +252,22 @@ def repetition_features(df: DataFrame, id_col: str, text_col: str = "text") -> D
 
 
 def term_frequencies(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Corpus term frequencies (top-N vocabulary view): one explode +
-    one map-side-combined groupBy — the canonical big-data word count."""
-    return posting_list(df, id_col, text_col).groupBy("term").agg(
-        F.count(F.lit(1)).alias("tf"),
-        F.countDistinct(id_col).alias("df"),
+    """Corpus term frequencies (top-N vocabulary view): one explode
+    feeding a two-phase aggregation — (term, doc) partial with map-side
+    combine, then a term-keyed final where tf = sum of partial counts
+    and df = row count. This avoids the Expand operator Spark plans for
+    `count(DISTINCT doc)` (which duplicates every exploded token row
+    before the shuffle); the (term, doc) partial collapses repeated
+    tokens within a document on the map side, so the shuffle carries at
+    most one row per (term, doc) pair instead of one per token."""
+    partial = (
+        posting_list(df, id_col, text_col)
+        .groupBy("term", id_col)
+        .agg(F.count(F.lit(1)).alias("_tf_part"))
+    )
+    return partial.groupBy("term").agg(
+        F.sum("_tf_part").alias("tf"),
+        F.count(F.lit(1)).alias("df"),
     )
 
 

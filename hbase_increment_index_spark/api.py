@@ -291,9 +291,14 @@ class SecondaryIndex:
         """Q6 — relevance top-k over the document table. Passing
         ``boost`` (a predicate over document columns) applies a Solr
         boost query (``bq=...^weight``) on top of BM25.
-        ``scorer='bm25_index'`` serves the ranking from the
-        materialized postings (build_postings first) — the corpus is
-        never re-tokenized at query time."""
+
+        ``scorer='bm25'`` (and ``'bm25_index'``) serve the ranking from
+        the materialized postings — the Solr/Lucene default: the corpus
+        is never re-tokenized at query time, and corpus stats ride a
+        1-row broadcast derived from the index. Postings are built and
+        cached on first use (``build_postings`` pre-builds explicitly;
+        ``apply_mutations`` keeps them in sync). ``scorer='bm25_scan'``
+        forces the corpus-scan fallback for un-indexed fields."""
         id_col = id_col or self.documents.columns[0]
         if boost is not None:
             from hbase_increment_index_spark.search.ranking import boosted_bm25_topk
@@ -302,9 +307,11 @@ class SecondaryIndex:
                 self.documents, id_col, text_field, terms,
                 boost=boost, boost_weight=boost_weight, k=k,
             )
-        if scorer == "bm25_index":
+        if scorer in ("bm25", "bm25_index"):
             from hbase_increment_index_spark.search.ranking import bm25_topk_from_index
 
+            if text_field not in self._postings:
+                self.build_postings(text_field)
             return bm25_topk_from_index(
                 self._postings[text_field], self.key_field, terms, k=k
             )

@@ -50,7 +50,8 @@ def tfidf_topk(
     hash comparison against the oracle and for stable pagination).
     """
     spark = corpus.sparkSession
-    n_docs = corpus.count()  # one cheap count job; cached upstream in practice
+    # corpus cardinality rides a 1-row broadcast, not a driver count()
+    stats = corpus.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
 
     terms = spark.createDataFrame(
         [(t.lower(),) for t in sorted(set(query_terms))], ["term"]
@@ -67,7 +68,8 @@ def tfidf_topk(
 
     scored = (
         tf.join(F.broadcast(df_t), "term")
-        .withColumn("w", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df_t")))
+        .crossJoin(F.broadcast(stats))
+        .withColumn("w", F.col("tf") * F.log(F.col("n_docs") / F.col("df_t")))
         .groupBy(id_col)
         .agg(F.round(F.sum("w"), score_decimals).alias("score"))
     )
@@ -95,8 +97,8 @@ def more_like_this(
     query-term set → one groupBy(id) — per-query work is proportional
     to postings matching the ~20 query terms, never the corpus.
     """
-    spark = corpus.sparkSession
-    n_docs = corpus.count()
+    # corpus cardinality rides a 1-row broadcast, not a driver count()
+    stats = corpus.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
 
     postings = posting_list(corpus, id_col, text_col).distinct()
     df_t = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
@@ -105,7 +107,8 @@ def more_like_this(
         .join(df_t, "term")
         .orderBy(F.col("df_t").asc(), F.col("term").asc())
         .limit(max_query_terms)
-        .withColumn("idf", F.log(F.lit(float(n_docs)) / F.col("df_t")))
+        .crossJoin(F.broadcast(stats))
+        .withColumn("idf", F.log(F.col("n_docs") / F.col("df_t")))
         .select("term", "idf")
     )
     scored = (
@@ -133,9 +136,16 @@ def bm25_scores(
 
     idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5));
     score  = Σ idf · tf·(k1+1) / (tf + k1·(1 - b + b·len/avglen)).
+
+    The whole query is ONE lazy plan: corpus cardinality and average
+    doc length enter via a 1-row broadcast cross-join instead of a
+    driver-side count()/collect(), so no extra corpus-scan jobs run
+    per query invocation. (The index-served twin,
+    ``bm25_topk_from_index``, additionally avoids re-tokenizing the
+    corpus — prefer it when postings are materialized; ``api.rank``
+    does.)
     """
     spark = corpus.sparkSession
-    n_docs = corpus.count()
 
     terms = spark.createDataFrame(
         [(t.lower(),) for t in sorted(set(query_terms))], ["term"]
@@ -145,11 +155,12 @@ def bm25_scores(
     from hbase_increment_index_spark.search.tokenize import tokens
 
     doc_len = corpus.select(F.col(id_col), F.size(tokens(text_col)).alias("dl"))
-    # avg doc length as exact ratio of two counts — order-independent
-    totals = doc_len.agg(
-        F.sum("dl").alias("total_dl"), F.count(F.lit(1)).alias("n_d")
-    ).collect()[0]
-    avg_dl = float(totals["total_dl"]) / float(totals["n_d"])
+    # corpus stats as exact ratios of two counts — order-independent;
+    # 1 row, broadcast back into the scoring plan
+    stats = doc_len.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avg_dl"),
+    )
 
     hits = posting_list(corpus, id_col, text_col).join(F.broadcast(terms), "term")
     tf = hits.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
@@ -157,14 +168,15 @@ def bm25_scores(
 
     idf = F.log(
         F.lit(1.0)
-        + (F.lit(float(n_docs)) - F.col("df_t") + F.lit(0.5)) / (F.col("df_t") + F.lit(0.5))
+        + (F.col("n_docs") - F.col("df_t") + F.lit(0.5)) / (F.col("df_t") + F.lit(0.5))
     )
     tf_part = (F.col("tf") * (k1 + 1)) / (
-        F.col("tf") + F.lit(k1) * (1 - b + b * F.col("dl") / F.lit(avg_dl))
+        F.col("tf") + F.lit(k1) * (1 - b + b * F.col("dl") / F.col("avg_dl"))
     )
     return (
         tf.join(F.broadcast(df_t), "term")
         .join(doc_len, id_col)
+        .crossJoin(F.broadcast(stats))
         .withColumn("w", idf * tf_part)
         .groupBy(id_col)
         .agg(F.round(F.sum("w"), score_decimals).alias("score"))

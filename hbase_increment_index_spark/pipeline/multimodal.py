@@ -2,10 +2,13 @@
 
 Media (image/audio/video) are opaque ``binary`` columns with a typed
 metadata struct, processed by Arrow-batched ``mapInPandas`` operators.
-The decode step itself is STUBBED (no image/audio libs in this
-container — see ``DeterministicFakeDecoder``); everything around it —
-schema, batch iteration, partitioning, UDF signatures — is the real
-100 TB plumbing:
+The decode step is selected BY CAPABILITY at runtime: when Pillow is
+importable and a payload's mime marks a real image (``image/*``),
+``PILImageDecoder`` decodes the actual pixels; otherwise the
+deterministic byte-derived fake keeps the pipeline runnable with no
+media libs installed (this container has none). Everything around the
+decode — schema, batch iteration, partitioning, UDF signatures — is
+the real 100 TB plumbing either way:
 
 - media rows are large → ``spark.sql.files.maxPartitionBytes`` and a
   repartition on ingest keep a batch's decoded payloads within
@@ -19,6 +22,7 @@ schema, batch iteration, partitioning, UDF signatures — is the real
 
 from __future__ import annotations
 
+import io
 from collections.abc import Iterator
 
 import pandas as pd
@@ -51,10 +55,26 @@ MEDIA_SCHEMA = T.StructType(
 FEATURE_SCHEMA = "media_id long, kind string, n_bytes long, feature array<double>"
 
 
+def _load_pil():
+    """Availability probe for Pillow. Module-level so the result is
+    computed once per Python worker, not per batch."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except ImportError:
+        return None
+
+
+_PIL_IMAGE = _load_pil()
+
+
 class DeterministicFakeDecoder:
-    """Stand-in for PIL/libav decode: derives a fixed-length feature
-    from the payload bytes, deterministically. Swap for a real decoder
-    (``PIL.Image.open(io.BytesIO(b))`` …) when the libs exist."""
+    """No-deps stand-in for the pixel decode: derives a fixed-length
+    feature from the payload bytes, deterministically. Selected by
+    ``select_decoder`` whenever Pillow is absent or the payload is not
+    a real image — keeps the full pipeline runnable in lib-less
+    containers (like this one) and over synthetic fixtures."""
 
     DIM = 8
 
@@ -70,6 +90,41 @@ class DeterministicFakeDecoder:
             acc[i % DeterministicFakeDecoder.DIM] += float(b)
         n = max(len(payload), 1)
         return [a / n for a in acc]
+
+
+class PILImageDecoder:
+    """Real image decode via Pillow: payload bytes → pixels → a
+    DIM-length luminance profile (grayscale, resized to DIM×1). Same
+    output shape as the fake so the two are plug-compatible; selected
+    by ``select_decoder`` when Pillow is importable and the mime is
+    ``image/*``."""
+
+    DIM = DeterministicFakeDecoder.DIM
+
+    @staticmethod
+    def decode(payload: bytes | None) -> list[float]:
+        if payload is None:
+            raise NotImplementedError("no payload to decode")
+        if _PIL_IMAGE is None:
+            raise NotImplementedError("Pillow is not installed in this environment")
+        img = _PIL_IMAGE.open(io.BytesIO(bytes(payload)))
+        return PILImageDecoder.feature_from_image(img)
+
+    @staticmethod
+    def feature_from_image(img) -> list[float]:
+        """Pixel → feature step, split out so it is unit-testable with
+        a stub image object (the container has no Pillow)."""
+        g = img.convert("L").resize((PILImageDecoder.DIM, 1))
+        return [float(v) for v in list(g.getdata())]
+
+
+def select_decoder(mime: str | None):
+    """Capability-based decode dispatch: real pixels when we can
+    (Pillow present + ``image/*`` payload), deterministic fake when we
+    can't. Per-row because mime is data, not plan."""
+    if _PIL_IMAGE is not None and mime and mime.startswith("image/"):
+        return PILImageDecoder
+    return DeterministicFakeDecoder
 
 
 def synth_media(documents: DataFrame, kind: str = "image") -> DataFrame:
@@ -100,7 +155,15 @@ def extract_features(media: DataFrame, batch_size_hint: int = 256) -> DataFrame:
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [DeterministicFakeDecoder.decode(p) for p in pdf["payload"]]
+            mimes = (
+                [(m or {}).get("mime") for m in pdf["meta"]]
+                if "meta" in pdf.columns
+                else [None] * len(pdf)
+            )
+            feats = [
+                select_decoder(mime).decode(p)
+                for mime, p in zip(mimes, pdf["payload"])
+            ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -114,20 +177,32 @@ def extract_features(media: DataFrame, batch_size_hint: int = 256) -> DataFrame:
 
 
 def resize_images(media: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
-    """Image resize over binary payloads (mapInPandas; the pixel
-    resample itself is the stubbed step — a real deployment swaps in
-    PIL's ``Image.resize``). The deterministic fake emits a payload of
-    exactly width*height bytes derived from the source bytes, so batch
-    shapes, output sizes and metadata rewriting are all real and
-    testable."""
+    """Image resize over binary payloads (mapInPandas). Real Pillow
+    resample (grayscale raw bytes out) when the library is present and
+    the payload mime is ``image/*``; otherwise a deterministic fake
+    that stride-samples the source bytes. Both branches emit exactly
+    width*height bytes, so batch shapes, output sizes and metadata
+    rewriting are identical and testable either way."""
+
+    def _pil_resize(p: bytes) -> bytes:
+        img = _PIL_IMAGE.open(io.BytesIO(bytes(p)))
+        return img.convert("L").resize((width, height)).tobytes()
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         n_out = width * height
         for pdf in batches:
+            mimes = (
+                [(m or {}).get("mime") for m in pdf["meta"]]
+                if "meta" in pdf.columns
+                else [None] * len(pdf)
+            )
             outs = []
-            for p in pdf["payload"]:
+            for mime, p in zip(mimes, pdf["payload"]):
                 if p is None:
-                    raise NotImplementedError("real decode requires PIL — not in container")
+                    raise NotImplementedError("no payload to resize")
+                if select_decoder(mime) is PILImageDecoder:
+                    outs.append(_pil_resize(p))
+                    continue
                 src = bytes(p)
                 # deterministic fake resample: stride-sample / tile source bytes
                 outs.append(bytes(src[(i * max(len(src), 1)) // n_out % len(src)] for i in range(n_out)) if src else b"\x00" * n_out)

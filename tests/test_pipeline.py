@@ -158,6 +158,55 @@ def test_multimodal_plumbing(docs):
     assert frames.count() > docs.count()  # several frames per video
 
 
+def test_decoder_selection_by_capability():
+    """select_decoder: deterministic fake whenever Pillow is absent or
+    the mime is not image/*; PIL branch only when both hold."""
+    from hbase_increment_index_spark.pipeline import multimodal as mm
+
+    # this container has no Pillow: everything routes to the fake
+    assert mm._PIL_IMAGE is None
+    assert mm.select_decoder("image/png") is mm.DeterministicFakeDecoder
+    assert mm.select_decoder("application/x-fake") is mm.DeterministicFakeDecoder
+    assert mm.select_decoder(None) is mm.DeterministicFakeDecoder
+
+    # with Pillow present, image/* payloads get the real decoder,
+    # non-images still the fake
+    orig = mm._PIL_IMAGE
+    mm._PIL_IMAGE = object()  # stand-in for the imported PIL.Image module
+    try:
+        assert mm.select_decoder("image/png") is mm.PILImageDecoder
+        assert mm.select_decoder("video/mp4") is mm.DeterministicFakeDecoder
+        assert mm.select_decoder(None) is mm.DeterministicFakeDecoder
+    finally:
+        mm._PIL_IMAGE = orig
+
+
+def test_pil_feature_from_image_stub():
+    """The pixel→feature step of the real decoder, driven by a stub
+    image object exposing the Pillow surface it uses (convert/resize/
+    getdata) — the container has no Pillow to test the import itself."""
+    from hbase_increment_index_spark.pipeline.multimodal import PILImageDecoder
+
+    class StubImage:
+        def __init__(self, data):
+            self._data = data
+
+        def convert(self, mode):
+            assert mode == "L"
+            return self
+
+        def resize(self, wh):
+            assert wh == (PILImageDecoder.DIM, 1)
+            return self
+
+        def getdata(self):
+            return self._data
+
+    feat = PILImageDecoder.feature_from_image(StubImage(list(range(8))))
+    assert feat == [0.0, 1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0]
+    assert all(isinstance(v, float) for v in feat)
+
+
 def test_train_val_split_deterministic_and_partitioned(docs):
     from hbase_increment_index_spark.pipeline.sampling import train_val_split
 

@@ -472,6 +472,25 @@ QUALIFY row_number() OVER (
 """
 
 
+def q15b_group_ngroups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr ``group.ngroups=true`` — the response-header pair
+    ``(matches, ngroups)`` Solr reports next to q15's grouped hits:
+    total matching docs and distinct group count, over a filtered
+    match set. Two-phase per-group partial counts (no Expand)."""
+    orders = _t(spark, sf_dir, "orders")
+    return paging.group_ngroups(
+        orders.filter(F.col("o_totalprice") > 150000.0), "o_custkey"
+    )
+
+
+Q15B_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS matches,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS ngroups
+FROM orders
+WHERE o_totalprice > 150000.0
+"""
+
+
 # --------------------------------------------------------------------------
 # Q10–Q14, Q16 — facets, stats, distinct, pivot
 # --------------------------------------------------------------------------
@@ -605,6 +624,36 @@ Q16B_SQL = """
 SELECT n_name, c_mktsegment, count(*) AS n
 FROM customer JOIN nation ON c_nationkey = n_nationkey
 GROUP BY ROLLUP (n_name, c_mktsegment)
+"""
+
+
+def q16c_stats_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr stats-within-pivot (``facet.pivot=n_name,c_mktsegment`` +
+    ``stats.field={!tag=..}c_acctbal`` hung off each pivot bucket):
+    per-bucket min/max/sum/mean/count/missing of a numeric field — the
+    q13 exact-decimal aggregation keyed by the pivot pair. One hash agg
+    over the broadcast-joined dimension; stddev omitted because sparse
+    pivot buckets can be singletons (sample stddev undefined)."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    joined = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    out = stats.stats_field(joined, "c_acctbal", group_by=["n_name", "c_mktsegment"])
+    return out.select(
+        "n_name", "c_mktsegment", "min_v", "max_v", "sum_v",
+        F.round("mean_v", 6).alias("mean_v"), "count_v", "missing_v",
+    )
+
+
+Q16C_SQL = """
+SELECT n_name, c_mktsegment,
+       min(c_acctbal) AS min_v,
+       max(c_acctbal) AS max_v,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) AS sum_v,
+       ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(30,6))) AS DOUBLE) / COUNT(c_acctbal), 6) AS mean_v,
+       count(c_acctbal) AS count_v,
+       CAST(SUM(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS missing_v
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name, c_mktsegment
 """
 
 
@@ -3222,6 +3271,51 @@ ORDER BY input
 """
 
 
+def q45b_spellcheck_collate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr ``spellcheck.collate=true`` — the corrected multi-term
+    query re-assembled from each term's top correction and verified
+    against the index: one row (collated_query, hits) where hits counts
+    documents matching ALL collated terms."""
+    from hbase_increment_index_spark.search.spell import spellcheck_collate
+
+    docs = _t(spark, sf_dir, "documents")
+    return spellcheck_collate(docs, "doc_id", "text", ["qeury", "sprak", "jion"])
+
+
+Q45B_SQL = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest({_SQL_TOKS.format(c='text')}) AS term FROM documents
+),
+vocab AS (SELECT term, count(*) AS df FROM toks GROUP BY 1),
+inputs AS (SELECT * FROM (VALUES (0, 'qeury'), (1, 'sprak'), (2, 'jion')) AS t(pos, input)),
+cand AS (
+  SELECT pos, input, term, CAST(levenshtein(term, input) AS INT) AS dist, df
+  FROM vocab CROSS JOIN inputs
+  WHERE levenshtein(term, input) <= 2
+),
+best AS (
+  SELECT pos, term AS corrected FROM cand
+  QUALIFY row_number() OVER (
+    PARTITION BY pos ORDER BY dist ASC, df DESC, term ASC) = 1
+),
+corrected AS (
+  SELECT i.pos, COALESCE(b.corrected, i.input) AS term
+  FROM inputs i LEFT JOIN best b USING (pos)
+),
+collated AS (SELECT string_agg(term, ' ' ORDER BY pos) AS collated_query FROM corrected),
+cterms AS (SELECT DISTINCT term FROM corrected),
+hits AS (
+  SELECT CAST(count(*) AS BIGINT) AS hits FROM (
+    SELECT t.doc_id
+    FROM toks t JOIN cterms c USING (term)
+    GROUP BY t.doc_id
+    HAVING count(*) = (SELECT count(*) FROM cterms)
+  )
+)
+SELECT collated_query, hits FROM collated CROSS JOIN hits
+"""
+
+
 def q46_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval: BM25 lexical top-50 ⊕ embedding-cosine top-50
     fused by reciprocal-rank fusion (1/(60+rank), absent = 0) — the
@@ -4125,8 +4219,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q14_distinct": q14_distinct,
     "q14b_approx_distinct": q14b_approx_distinct,
     "q15_group_topn": q15_group_topn,
+    "q15b_group_ngroups": q15b_group_ngroups,
     "q16_pivot": q16_pivot,
     "q16b_rollup": q16b_rollup,
+    "q16c_stats_pivot": q16c_stats_pivot,
     "q17_by_id": q17_by_id,
     "q18_cube": q18_cube,
     "q19_facet_having": q19_facet_having,
@@ -4181,6 +4277,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q43_significant_terms": q43_significant_terms,
     "q44_facet_prefix": q44_facet_prefix,
     "q45_spellcheck": q45_spellcheck,
+    "q45b_spellcheck_collate": q45b_spellcheck_collate,
     "q46_hybrid_rrf": q46_hybrid_rrf,
     "q47_geofilt": q47_geofilt,
     "q48_geo_nearest": q48_geo_nearest,
@@ -4262,8 +4359,10 @@ ORACLES: dict[str, str] = {
     "q13_stats_field": Q13_SQL,
     "q14_distinct": Q14_SQL,
     "q15_group_topn": Q15_SQL,
+    "q15b_group_ngroups": Q15B_SQL,
     "q16_pivot": Q16_SQL,
     "q16b_rollup": Q16B_SQL,
+    "q16c_stats_pivot": Q16C_SQL,
     "q17_by_id": Q17_SQL,
     "q18_cube": Q18_SQL,
     "q19_facet_having": Q19_SQL,
@@ -4318,6 +4417,7 @@ ORACLES: dict[str, str] = {
     "q43_significant_terms": Q43_SQL,
     "q44_facet_prefix": Q44_SQL,
     "q45_spellcheck": Q45_SQL,
+    "q45b_spellcheck_collate": Q45B_SQL,
     "q46_hybrid_rrf": Q46_SQL,
     "q47_geofilt": Q47_SQL,
     "q48_geo_nearest": Q48_SQL,

@@ -80,3 +80,16 @@ def group_top_n(
         .filter(F.col("_rn") <= n)
         .drop("_rn")
     )
+
+
+def group_ngroups(df: DataFrame, group_field: str) -> DataFrame:
+    """Solr ``group.ngroups=true`` response-header pair: one row
+    ``(matches, ngroups)`` — total matching rows and number of distinct
+    groups. Two-phase: per-group partial counts collapse map-side, then
+    a single-row final — avoids the Expand a ``count(DISTINCT)`` over
+    the full table would plan."""
+    per_group = df.groupBy(group_field).agg(F.count(F.lit(1)).alias("_n"))
+    return per_group.agg(
+        F.sum("_n").cast("long").alias("matches"),
+        F.count(F.lit(1)).cast("long").alias("ngroups"),
+    )

@@ -58,3 +58,71 @@ def spellcheck(
         .filter(F.col("_rn") == 1)
         .select("input", F.col("term").alias("suggestion"), "dist", "df")
     )
+
+
+def spellcheck_collate(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    inputs: list[str],
+    max_dist: int = 2,
+) -> DataFrame:
+    """Solr ``spellcheck.collate=true`` (+``collateExtendedResults``):
+    re-assemble the corrected multi-term query and verify it — one row
+    ``(collated_query, hits)`` where ``collation`` replaces every input term
+    by its best correction (terms already in the vocabulary correct to
+    themselves at distance 0; terms with no candidate within
+    ``max_dist`` stay as typed) and ``hits`` counts documents matching
+    ALL collated terms, Solr's collation hit count.
+
+    Plan: the per-term correction is the same broadcast-NLJ + top-1
+    window as ``spellcheck``; the collation string and the required
+    term count are 1-row aggregates; hit verification is a broadcast
+    semi-join of the distinct postings against the handful of collated
+    terms → per-doc matched-term count → single-row count. The corpus
+    never shuffles — only postings matching collated terms do.
+    """
+    spark = docs.sparkSession
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("term")
+    ).distinct()
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    qs = spark.createDataFrame(
+        [(i, t.lower()) for i, t in enumerate(inputs)], "pos int, input string"
+    )
+    cand = (
+        vocab.join(F.broadcast(qs))
+        .withColumn("dist", F.levenshtein(F.col("term"), F.col("input")))
+        .filter(F.col("dist") <= max_dist)
+    )
+    w = Window.partitionBy("pos").orderBy(
+        F.col("dist").asc(), F.col("df").desc(), F.col("term").asc()
+    )
+    best = (
+        cand.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("pos", F.col("term").alias("corrected"))
+    )
+    corrected = qs.join(best, "pos", "left").select(
+        "pos", F.coalesce("corrected", "input").alias("term")
+    )
+    collation = corrected.agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "term"))),
+                lambda s: s["term"],
+            ),
+            " ",
+        ).alias("collated_query")
+    )
+    cterms = corrected.select("term").distinct()
+    nreq = cterms.agg(F.count(F.lit(1)).alias("_nreq"))
+    hits = (
+        toks.join(F.broadcast(cterms), "term")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("_nt"))  # toks is distinct: count == distinct terms
+        .crossJoin(F.broadcast(nreq))
+        .filter(F.col("_nt") == F.col("_nreq"))
+        .agg(F.count(F.lit(1)).cast("long").alias("hits"))
+    )
+    return collation.crossJoin(F.broadcast(hits))

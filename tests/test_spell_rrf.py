@@ -30,6 +30,44 @@ def test_spellcheck_no_candidate_within_distance(spark):
     assert spellcheck(docs, "doc_id", "text", ["zzzzzz"]).count() == 0
 
 
+def test_spellcheck_collate_corrects_and_verifies(spark):
+    from hbase_increment_index_spark.search.spell import spellcheck_collate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark query engine"),
+            (2, "spark query planner"),
+            (3, "unrelated words here"),
+        ],
+        "doc_id long, text string",
+    )
+    row = spellcheck_collate(docs, "doc_id", "text", ["sprak", "qeury"]).collect()[0]
+    # both terms correct into the vocabulary; docs 1 and 2 match BOTH
+    assert row["collated_query"] == "spark query"
+    assert row["hits"] == 2
+
+
+def test_spellcheck_collate_keeps_uncorrectable_terms(spark):
+    from hbase_increment_index_spark.search.spell import spellcheck_collate
+
+    docs = spark.createDataFrame([(1, "spark engine")], "doc_id long, text string")
+    row = spellcheck_collate(docs, "doc_id", "text", ["sprak", "zzzzzz"]).collect()[0]
+    # no vocabulary term within 2 edits of zzzzzz: it stays as typed,
+    # original order preserved, and the collation finds no doc with both
+    assert row["collated_query"] == "spark zzzzzz"
+    assert row["hits"] == 0
+
+
+def test_group_ngroups_counts(spark):
+    from hbase_increment_index_spark.search.paging import group_ngroups
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "c")], "id long, g string"
+    )
+    row = group_ngroups(df, "g").collect()[0]
+    assert row["matches"] == 4 and row["ngroups"] == 3
+
+
 def test_rrf_fusion_combines_and_defaults_missing(spark):
     a = spark.createDataFrame([(1, 1), (2, 2)], "id long, rank int")
     b = spark.createDataFrame([(2, 1), (3, 2)], "id long, rank int")

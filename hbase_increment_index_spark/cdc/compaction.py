@@ -73,6 +73,16 @@ def latest_n_versions(cell_log: DataFrame, n: int) -> DataFrame:
     attribute enforced at compaction — this is that major-compaction
     semantics as one window over the cell log.
 
+    SCOPE: version retention only — delete tombstones are IGNORED (a
+    cell whose newest event is a row delete still yields its n latest
+    puts here). HBase major compaction applies deletes before
+    enforcing VERSIONS; for that composed semantics, anti-join this
+    against the row tombstones the way ``live_cells`` does::
+
+        latest_n_versions(log, n).join(
+            latest_per_key(log).filter(F.col('op') == 'delete')
+            .select('row_key'), 'row_key', 'left_anti')
+
     Same single shuffle as latest_per_cell; the window streams each
     partition once regardless of n."""
     w = Window.partitionBy("row_key", "family", "qualifier").orderBy(
@@ -91,6 +101,9 @@ def apply_ttl(cell_log: DataFrame, ttl_seconds: int, now=None) -> DataFrame:
     are deterministic — pass an explicit literal in streaming use).
     A pure filter when ``now`` is given (pushed into the scan); with
     the default, the max rides a 1-row broadcast cross join."""
+    # fail early with a clear error instead of a SQL parse error at
+    # plan time (the value is interpolated into an INTERVAL literal)
+    ttl_seconds = int(ttl_seconds)
     if now is not None:
         return cell_log.filter(
             F.col("ts") >= F.lit(now) - F.expr(f"INTERVAL {ttl_seconds} SECONDS")

@@ -33,14 +33,21 @@ def facet_field(
     Ordering/paging run on the AGGREGATED buckets (cardinality of the
     field, not the corpus): limit-without-offset plans as
     TakeOrderedAndProject (per-partition heaps); an offset adds a
-    row_number over the bucket set, which is already small."""
+    row_number over the bucket set, which is already small.
+
+    Matching Solr, ``facet.sort`` ALWAYS applies — with no ``limit``
+    the full bucket set still comes back ordered (a downstream orderBy
+    supersedes it; Catalyst eliminates the redundant inner sort), and
+    ``offset`` without ``limit`` skips the first buckets of the ordered
+    set. Unknown ``sort`` values raise instead of silently falling back
+    to index order."""
+    if sort not in ("count", "index"):
+        raise ValueError(f"facet.sort must be 'count' or 'index', got {sort!r}")
     if prefix is not None:
         df = df.filter(F.col(field).startswith(prefix))
     out = df.groupBy(field).agg(F.count(F.lit(1)).alias(count_alias))
     if mincount > 0:
         out = out.filter(F.col(count_alias) >= mincount)
-    if limit is None:
-        return out
     order = (
         [F.col(count_alias).desc(), F.col(field).asc()]
         if sort == "count"
@@ -50,12 +57,13 @@ def facet_field(
         from pyspark.sql import Window
 
         rn = F.row_number().over(Window.orderBy(*order))
-        return (
-            out.withColumn("_rn", rn)
-            .filter((F.col("_rn") > offset) & (F.col("_rn") <= offset + limit))
-            .drop("_rn")
-        )
-    return out.orderBy(*order).limit(limit)
+        out = out.withColumn("_rn", rn).filter(F.col("_rn") > offset)
+        if limit is not None:
+            out = out.filter(F.col("_rn") <= offset + limit)
+        return out.drop("_rn")
+    if limit is not None:
+        return out.orderBy(*order).limit(limit)
+    return out.orderBy(*order)
 
 
 def facet_range(

@@ -77,39 +77,67 @@ def streaming_dedup(
     )
 
 
-def trending_terms(tokens: DataFrame, decay: float = 0.5) -> DataFrame:
+def trending_terms(
+    tokens: DataFrame, decay: float = 0.5, epoch_col: str | None = None
+) -> DataFrame:
     """Exponentially-decayed term popularity, updated each micro-batch:
     score' = decay · score + batch_count — the classic trending-now
     counter (recent batches dominate, old interest fades geometrically).
     Input: a stream with a ``term`` column (e.g. exploded query logs or
     document tokens); emits (term, score, n_total) per touched term.
 
-    Decay applies on touch: a term absent from a batch keeps its
-    score until next observed (rank comparisons stay fair because
-    decay is a monotone map; strict wall-clock decay would need timed
-    state eviction via GroupStateTimeout). State per group is two
-    scalars, so the state store stays vocabulary-bounded regardless of
-    stream length; per-batch cost is the batch's distinct-term count.
-    Solr has no streaming analogue — this is the [EXT] streaming
-    polish over the suggester/terms surface (half-life =
-    ln2/ln(1/decay) observed batches)."""
+    Without ``epoch_col``, decay applies ONCE per touch: a term absent
+    for k batches decays once when next seen, not k times — scores of
+    terms touched at different cadences are therefore not on a common
+    time basis, and a stale term can transiently outrank a fresher one
+    until its next touch. Pass ``epoch_col`` (a monotonically
+    increasing batch/epoch number carried on every row, e.g. injected
+    in foreachBatch or derived from event time) to make decay
+    time-faithful: state remembers the last-seen epoch and applies
+    ``decay ** gap`` on touch, so all scores share the epoch clock.
+
+    State per group is a few scalars, so the state store stays
+    vocabulary-bounded regardless of stream length; per-batch cost is
+    the batch's distinct-term count. Solr has no streaming analogue —
+    this is the [EXT] streaming polish over the suggester/terms
+    surface (half-life = ln2/ln(1/decay) epochs)."""
 
     def _trend(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        score, n = state.get if state.exists else (0.0, 0)
+        if epoch_col is None:
+            score, n = state.get if state.exists else (0.0, 0)
+            last_epoch = None
+        else:
+            score, n, last_epoch = state.get if state.exists else (0.0, 0, 0)
         batch_n = 0
+        epoch = None
         for pdf in pdfs:
             batch_n += len(pdf)
-        score = score * decay + batch_n
+            if epoch_col is not None and len(pdf):
+                e = int(pd.Series(pdf[epoch_col]).max())
+                epoch = e if epoch is None else max(epoch, e)
+        if epoch_col is None or not state.exists or epoch is None:
+            score = score * decay + batch_n
+        else:
+            gap = max(epoch - last_epoch, 1)
+            score = score * decay**gap + batch_n
         n += batch_n
-        state.update((score, n))
+        if epoch_col is None:
+            state.update((score, n))
+        else:
+            state.update((score, n, epoch if epoch is not None else last_epoch))
         yield pd.DataFrame({"term": [key[0]], "score": [score], "n_total": [n]})
 
+    state_schema = (
+        "score double, n long"
+        if epoch_col is None
+        else "score double, n long, last_epoch long"
+    )
     return tokens.groupBy("term").applyInPandasWithState(
         _trend,
         outputStructType="term string, score double, n_total long",
-        stateStructType="score double, n long",
+        stateStructType=state_schema,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -182,3 +182,43 @@ def test_trending_terms_decay(spark, tmp_path):
     assert last["shuffle"] == (2.0, 2)
     # query untouched after batch1 keeps its batch1 emission
     assert last["query"] == (1.0, 1)
+
+
+def test_trending_terms_epoch_gap_decay(spark, tmp_path):
+    """With epoch_col, a term absent for k epochs decays decay**k on
+    next touch — scores share a common time basis."""
+    from hbase_increment_index_spark.streaming.stateful import trending_terms
+
+    src = str(tmp_path / "tsrc_e")
+    spark.createDataFrame(
+        [("spark", 1), ("spark", 1), ("spark", 1)], "term string, epoch long"
+    ).coalesce(1).write.parquet(f"{src}/b1")
+    spark.createDataFrame(
+        [("other", 2)], "term string, epoch long"
+    ).coalesce(1).write.parquet(f"{src}/b2")
+    spark.createDataFrame(
+        [("spark", 3)], "term string, epoch long"
+    ).coalesce(1).write.parquet(f"{src}/b3")
+
+    stream = (
+        spark.readStream.schema("term string, epoch long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    q = (
+        trending_terms(stream, decay=0.5, epoch_col="epoch")
+        .writeStream.format("memory")
+        .queryName("trend_epoch_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "tckpt_e"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    last = {}
+    for r in spark.sql("SELECT term, score, n_total FROM trend_epoch_out").collect():
+        last[r["term"]] = (r["score"], r["n_total"])
+    # spark: 3 at epoch 1; absent epoch 2; at epoch 3 decays 0.5**2:
+    # 3 * 0.25 + 1 = 1.75 (touch-only decay would give 2.5)
+    assert last["spark"] == (1.75, 4)
+    assert last["other"] == (1.0, 1)

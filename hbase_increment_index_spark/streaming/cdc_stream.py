@@ -99,99 +99,12 @@ def start_index_maintenance(
     zero-count dropout. Work ∝ batch size + facet cardinality.
     """
     spark = cell_stream.sparkSession
-    state_path = index_path + "_state"
-    postings_path = index_path + "_postings"
-    facets_path = index_path + "_facets"
 
     def _merge(batch: DataFrame, batch_id: int) -> None:
-        if batch.isEmpty():  # commit-only-if-data (SolrIndexTools.java:66-67)
-            return
-        touched = batch.select(F.col("row_key").alias("id")).distinct()
-        # facet pre-image: the touched docs' current facet values, read
-        # and MATERIALIZED before the serving view is overwritten (the
-        # slice is batch-bounded, so collecting it is O(batch))
-        minus_rows = None
-        if facet_field is not None and _committed_state_exists(spark, facets_path):
-            minus_rows = (
-                spark.read.parquet(index_path)
-                .join(F.broadcast(touched), "id", "left_semi")
-                .groupBy(F.col(facet_field).alias("facet_value"))
-                .agg(F.count(F.lit(1)).alias("n"))
-                .collect()
-            )
-        # Bootstrap-vs-merge is decided by an EXPLICIT existence probe of
-        # the committed state (the _SUCCESS marker a successful overwrite
-        # leaves behind), never by catching read errors: a transient IO
-        # failure must propagate and fail the micro-batch (checkpoint
-        # retries it) rather than silently resetting accumulated state.
-        if _committed_state_exists(spark, state_path):
-            state = spark.read.parquet(state_path)
-            merged = merge_state(state, batch)
-        else:
-            merged = compact_state(batch)
-        # rewrite via staging dir for atomicity on plain parquet
-        import shutil
-
-        tmp = state_path + f"._staging_{batch_id}"
-        merged.write.mode("overwrite").parquet(tmp)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(state_path)
-        shutil.rmtree(tmp.replace("file:", ""), ignore_errors=True)
-        docs = documents_from_state(spark.read.parquet(state_path), qualifiers)
-        docs.write.mode("overwrite").parquet(index_path)
-
-        if postings_field is not None:
-            from hbase_increment_index_spark.search.inverted import (
-                build_inverted_index,
-                merge_postings,
-            )
-
-            docs = spark.read.parquet(index_path)
-            changed = docs.join(F.broadcast(touched), "id", "left_semi").select(
-                "id", postings_field
-            )
-            if _committed_state_exists(spark, postings_path):
-                postings = merge_postings(
-                    spark.read.parquet(postings_path),
-                    changed,
-                    touched,
-                    "id",
-                    postings_field,
-                )
-            else:
-                postings = build_inverted_index(docs, "id", postings_field)
-            ptmp = postings_path + f"._staging_{batch_id}"
-            postings.write.mode("overwrite").parquet(ptmp)
-            spark.read.parquet(ptmp).write.mode("overwrite").parquet(postings_path)
-            shutil.rmtree(ptmp.replace("file:", ""), ignore_errors=True)
-
-        if facet_field is not None:
-            new_docs = spark.read.parquet(index_path)
-            if minus_rows is None:
-                fcounts = new_docs.groupBy(
-                    F.col(facet_field).alias("facet_value")
-                ).agg(F.count(F.lit(1)).alias("n"))
-            else:
-                plus = (
-                    new_docs.join(F.broadcast(touched), "id", "left_semi")
-                    .groupBy(F.col(facet_field).alias("facet_value"))
-                    .agg(F.count(F.lit(1)).alias("n"))
-                )
-                minus = spark.createDataFrame(
-                    [(r["facet_value"], -r["n"]) for r in minus_rows],
-                    "facet_value string, n long",
-                )
-                fcounts = (
-                    spark.read.parquet(facets_path)
-                    .unionByName(plus)
-                    .unionByName(minus)
-                    .groupBy("facet_value")
-                    .agg(F.sum("n").alias("n"))
-                    .filter(F.col("n") > 0)
-                )
-            ftmp = facets_path + f"._staging_{batch_id}"
-            fcounts.write.mode("overwrite").parquet(ftmp)
-            spark.read.parquet(ftmp).write.mode("overwrite").parquet(facets_path)
-            shutil.rmtree(ftmp.replace("file:", ""), ignore_errors=True)
+        merge_microbatch(
+            spark, batch, batch_id, index_path, qualifiers,
+            postings_field=postings_field, facet_field=facet_field,
+        )
 
     writer = cell_stream.writeStream.foreachBatch(_merge).option(
         "checkpointLocation", checkpoint_path
@@ -201,6 +114,119 @@ def start_index_maintenance(
     elif trigger_seconds:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+def merge_microbatch(
+    spark: SparkSession,
+    batch: DataFrame,
+    batch_id: int,
+    index_path: str,
+    qualifiers: list[str],
+    postings_field: str | None = None,
+    facet_field: str | None = None,
+) -> None:
+    """One micro-batch fold — the foreachBatch body of
+    ``start_index_maintenance``, module-level so recovery semantics are
+    directly testable: after a crash between the sink writes and the
+    checkpoint commit, Structured Streaming re-invokes this with the
+    SAME batch; because ``merge_state`` re-compacts by cell coordinates
+    + (ts, seq), replaying a batch over already-merged state is a
+    no-op (exactly-once effect from at-least-once delivery +
+    idempotent merge)."""
+    state_path = index_path + "_state"
+    postings_path = index_path + "_postings"
+    facets_path = index_path + "_facets"
+
+    if batch.isEmpty():  # commit-only-if-data (SolrIndexTools.java:66-67)
+        return
+    touched = batch.select(F.col("row_key").alias("id")).distinct()
+    # facet pre-image: the touched docs' current facet values, read
+    # and MATERIALIZED before the serving view is overwritten (the
+    # slice is batch-bounded, so collecting it is O(batch))
+    minus_rows = None
+    if facet_field is not None and _committed_state_exists(spark, facets_path):
+        minus_rows = (
+            spark.read.parquet(index_path)
+            .join(F.broadcast(touched), "id", "left_semi")
+            .groupBy(F.col(facet_field).alias("facet_value"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+    # Bootstrap-vs-merge is decided by an EXPLICIT existence probe of
+    # the committed state (the _SUCCESS marker a successful overwrite
+    # leaves behind), never by catching read errors: a transient IO
+    # failure must propagate and fail the micro-batch (checkpoint
+    # retries it) rather than silently resetting accumulated state.
+    if _committed_state_exists(spark, state_path):
+        state = spark.read.parquet(state_path)
+        merged = merge_state(state, batch)
+    else:
+        merged = compact_state(batch)
+    # rewrite via staging dir for atomicity on plain parquet
+    import shutil
+
+    tmp = state_path + f"._staging_{batch_id}"
+    merged.write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).write.mode("overwrite").parquet(state_path)
+    shutil.rmtree(tmp.replace("file:", ""), ignore_errors=True)
+    docs = documents_from_state(spark.read.parquet(state_path), qualifiers)
+    docs.write.mode("overwrite").parquet(index_path)
+
+    if postings_field is not None:
+        from hbase_increment_index_spark.search.inverted import (
+            build_inverted_index,
+            merge_postings,
+        )
+
+        docs = spark.read.parquet(index_path)
+        changed = docs.join(F.broadcast(touched), "id", "left_semi").select(
+            "id", postings_field
+        )
+        if _committed_state_exists(spark, postings_path):
+            postings = merge_postings(
+                spark.read.parquet(postings_path),
+                changed,
+                touched,
+                "id",
+                postings_field,
+            )
+        else:
+            postings = build_inverted_index(docs, "id", postings_field)
+        ptmp = postings_path + f"._staging_{batch_id}"
+        postings.write.mode("overwrite").parquet(ptmp)
+        spark.read.parquet(ptmp).write.mode("overwrite").parquet(postings_path)
+        shutil.rmtree(ptmp.replace("file:", ""), ignore_errors=True)
+
+    if facet_field is not None:
+        new_docs = spark.read.parquet(index_path)
+        if minus_rows is None:
+            fcounts = new_docs.groupBy(
+                F.col(facet_field).alias("facet_value")
+            ).agg(F.count(F.lit(1)).alias("n"))
+        else:
+            plus = (
+                new_docs.join(F.broadcast(touched), "id", "left_semi")
+                .groupBy(F.col(facet_field).alias("facet_value"))
+                .agg(F.count(F.lit(1)).alias("n"))
+            )
+            minus = spark.createDataFrame(
+                [(r["facet_value"], -r["n"]) for r in minus_rows],
+                "facet_value string, n long",
+            )
+            fcounts = (
+                spark.read.parquet(facets_path)
+                .unionByName(plus)
+                .unionByName(minus)
+                .groupBy("facet_value")
+                .agg(F.sum("n").alias("n"))
+                .filter(F.col("n") > 0)
+            )
+        ftmp = facets_path + f"._staging_{batch_id}"
+        fcounts.write.mode("overwrite").parquet(ftmp)
+        spark.read.parquet(ftmp).write.mode("overwrite").parquet(facets_path)
+        shutil.rmtree(ftmp.replace("file:", ""), ignore_errors=True)
+
+
 
 
 def sessionized_event_counts(

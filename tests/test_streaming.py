@@ -112,6 +112,81 @@ def test_restart_resumes_from_checkpoint(spark, dirs):
     assert again == want
 
 
+def test_crash_midbatch_replay_is_exactly_once(spark, dirs):
+    """Crash-recovery (SCALE.md's exactly-once claim): if the process
+    dies AFTER a micro-batch's sink writes but BEFORE its checkpoint
+    commit — the worst crash point — Structured Streaming re-invokes
+    the foreachBatch body with the SAME batch on restart. Replay that
+    exact scenario through merge_microbatch (the module-level
+    foreachBatch body): fold the last batch a second time over the
+    already-merged state, with a half-written staging dir left behind
+    by the 'crash', and assert state + docs + postings are identical
+    to the uninterrupted single run."""
+    import os
+    import shutil
+
+    from hbase_increment_index_spark.streaming.cdc_stream import merge_microbatch
+
+    log_dir, index_path, ckpt = dirs
+    batch1 = [
+        ("put", "A", "cf", "name", "v1", _ts(1), 1),
+        ("put", "B", "cf", "name", "b1", _ts(2), 2),
+    ]
+    batch2 = [
+        ("put", "A", "cf", "name", "v2", _ts(3), 3),
+        ("delete", "B", "cf", None, None, _ts(4), 4),
+        ("put", "C", "cf", "name", "c1", _ts(5), 5),
+    ]
+    spark.createDataFrame(batch1, SCHEMA).write.parquet(f"{log_dir}/b1")
+    spark.createDataFrame(batch2, SCHEMA).write.parquet(f"{log_dir}/b2")
+
+    q = start_index_maintenance(
+        read_cell_stream(spark, f"{log_dir}/*", max_files_per_trigger=1),
+        index_path,
+        ckpt,
+        qualifiers=["name"],
+        available_now=True,
+        postings_field="name",
+    )
+    q.awaitTermination(120)  # uninterrupted run: all batches committed
+
+    def snapshot():
+        docs = {r["id"]: r["name"] for r in spark.read.parquet(index_path).collect()}
+        post = {
+            tuple(r)
+            for r in spark.read.parquet(index_path + "_postings")
+            .select("term", "id", "tf")
+            .collect()
+        }
+        state = {
+            tuple(r)
+            for r in spark.read.parquet(index_path + "_state")
+            .select("op", "row_key", "family", "qualifier", "value")
+            .collect()
+        }
+        return docs, post, state
+
+    snap = snapshot()
+
+    # "crash" artifacts: a half-written staging dir must not break the
+    # replay (it is namespaced by batch_id and ignore_errors-cleaned)
+    os.makedirs(index_path + "_state._staging_99", exist_ok=True)
+
+    # recovery: the engine re-delivers the last batch to the same body
+    merge_microbatch(
+        spark,
+        spark.createDataFrame(batch2, SCHEMA),
+        batch_id=99,
+        index_path=index_path,
+        qualifiers=["name"],
+        postings_field="name",
+    )
+
+    assert snapshot() == snap
+    assert snap[0] == {"A": "v2", "C": "c1"}
+    shutil.rmtree(index_path + "_state._staging_99", ignore_errors=True)
+
+
 def test_incremental_postings_maintenance(spark, dirs):
     """With postings_field set, the full-text index is maintained
     incrementally per micro-batch and ends identical to a from-scratch

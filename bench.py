@@ -21,6 +21,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # Headline set: one per operator family — scan+facet+stats, filter,
 # full-text, ranking, window, stats, distinct, pivot, CDC compaction,
 # star join, top-k, dedup exact, near-dup, vector search, text analysis.
+# The r3 additions cover the expensive round-2 operators (minhash LSH,
+# nested json.facet, hybrid RRF, scored block join, unigram LM) so
+# regressions there are visible round-over-round.
 HEADLINE = [
     "flagship",
     "q02_range_filter",
@@ -42,6 +45,12 @@ HEADLINE = [
     "e4_token_counts",
     "e4b_quality",
     "e5_multimodal_join",
+    # --- added r3 ---
+    "e2b_minhash_lsh",
+    "q39_json_facet",
+    "q46_hybrid_rrf",
+    "q49c_block_join_scored",
+    "e12_unigram_logprob",
 ]
 
 

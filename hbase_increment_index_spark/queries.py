@@ -2546,12 +2546,20 @@ FROM documents JOIN embeddings ON doc_id = vec_id
 
 
 def e5b_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal decode plumbing (mapInPandas over binary payloads) —
-    rows-only check (Python feature extraction isn't SQL)."""
+    """Multimodal decode through the REAL mapInPandas plumbing,
+    value-checked end-to-end: the no-deps decoder's byte-histogram
+    feature (lane k = sum of payload bytes at positions ≡ k mod 8,
+    over payload length) is re-derived in SQL, so the Arrow batch
+    path is hash-verified, not just row-counted. Feature lanes are
+    exploded to rows — integer byte sums and one IEEE division are
+    bit-exact across engines, no rounding needed. (Real-pixel decode
+    stays capability-selected; see pipeline.multimodal.select_decoder.)"""
     docs = _t(spark, sf_dir, "documents")
     media = synth_media(docs)
     feats = extract_features(media)
-    return feats.select("media_id", "kind", "n_bytes", F.size("feature").alias("feat_dim"))
+    return feats.select(
+        "media_id", "kind", "n_bytes", F.posexplode("feature").alias("lane", "feat")
+    )
 
 
 def e5c_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2570,6 +2578,30 @@ E5C_SQL = """
 SELECT doc_id AS media_id,
        CAST((n_chars * 10) // 60000 + 1 AS BIGINT) AS n_frames
 FROM documents
+"""
+
+# DuckDB twin of DeterministicFakeDecoder.decode over synth_media
+# payloads (utf-8 bytes of text; fixtures are pure ASCII, so
+# ord(char) == byte and length == octet_length — asserted exact by the
+# integer byte sums and single IEEE division per lane).
+E5B_SQL = """
+WITH m AS (
+  SELECT doc_id AS media_id, 'image' AS kind, text,
+         GREATEST(length(text), 1) AS n,
+         CAST(length(text) AS BIGINT) AS n_bytes
+  FROM documents
+),
+b AS (
+  SELECT media_id, CAST(i % 8 AS INT) AS lane,
+         ord(substr(text, CAST(i AS INT) + 1, 1)) AS byte
+  FROM m, unnest(range(0, n)) AS t(i)
+),
+l AS (
+  SELECT media_id, lane, CAST(SUM(byte) AS DOUBLE) AS s
+  FROM b GROUP BY 1, 2
+)
+SELECT m.media_id, m.kind, m.n_bytes, l.lane, l.s / m.n AS feat
+FROM m JOIN l USING (media_id)
 """
 
 
@@ -4468,6 +4500,7 @@ ORACLES: dict[str, str] = {
     "e4c_langid": E4C_SQL,
     "e4d_fingerprint": E4D_SQL,
     "e5_multimodal_join": E5_SQL,
+    "e5b_media_features": E5B_SQL,
     "e5c_frame_sample": E5C_SQL,
     "e6a_hash_split": E6A_SQL,
     "e6b_stratified_sample": E6B_SQL,

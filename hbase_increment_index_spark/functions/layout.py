@@ -31,7 +31,14 @@ def fan_out(df: DataFrame, multiple: int = 1) -> DataFrame:
     scan already has more splits than cores and no shuffle is added."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism * multiple
-    if df.rdd.getNumPartitions() < target:
+    try:
+        # JVM-side partition count: avoids PySpark's df.rdd path, which
+        # wraps the plan in a JVM→Python row-conversion RDD just to ask
+        # for a number
+        n_parts = df._jdf.rdd().getNumPartitions()
+    except Exception:  # noqa: BLE001 — private API; fall back to public
+        n_parts = df.rdd.getNumPartitions()
+    if n_parts < target:
         return df.repartition(target)
     return df
 

@@ -74,6 +74,39 @@ def test_group_query_drops_nonmatching_rows(sales):
     assert [r["id"] for r in out] == [5]
 
 
+def test_facet_field_paging_partitions_ordered_buckets(spark):
+    """Solr facet paging laws (post-ADVICE fix): sort ALWAYS applies —
+    limit=None comes back ordered, offset without limit skips buckets,
+    and consecutive pages concatenate to the full ordered bucket list
+    for both sort modes; unknown sort raises."""
+    import pytest as _pytest
+
+    from hbase_increment_index_spark.search.facets import facet_field
+
+    df = spark.createDataFrame(
+        [(v,) for v in ["a"] * 5 + ["b"] * 3 + ["c"] * 3 + ["d"] * 1 + ["e"] * 2],
+        "cat string",
+    )
+    for sort in ("count", "index"):
+        full = [tuple(r) for r in facet_field(df, "cat", sort=sort).collect()]
+        assert len(full) == 5
+        if sort == "count":
+            assert full[0] == ("a", 5) and full[1] == ("b", 3)  # count desc, value asc ties
+        else:
+            assert [v for v, _ in full] == sorted(v for v, _ in full)
+        pages = []
+        for off in (0, 2, 4):
+            pages += [
+                tuple(r)
+                for r in facet_field(df, "cat", sort=sort, limit=2, offset=off).collect()
+            ]
+        assert pages == full
+        tail = [tuple(r) for r in facet_field(df, "cat", sort=sort, offset=3).collect()]
+        assert tail == full[3:]  # offset without limit
+    with _pytest.raises(ValueError):
+        facet_field(df, "cat", sort="popularity")
+
+
 def test_merge_facet_counts_moves_and_dropout(spark):
     from hbase_increment_index_spark.search.facets import facet_field, merge_facet_counts
 

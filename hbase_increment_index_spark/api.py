@@ -344,15 +344,23 @@ class SecondaryIndex:
         )
         return self._positional[text_field]
 
-    def phrase(self, text_field: str, words: list[str]) -> DataFrame:
-        """Index-served phrase query (Solr q=f:"w1 w2 ...") over the
-        positional postings: (key, n_occurrences) for docs containing
-        the exact consecutive token sequence. Builds the positional
-        index on first use."""
-        from hbase_increment_index_spark.search.inverted import phrase_match_from_index
+    def phrase(self, text_field: str, words: list[str], slop: int = 0) -> DataFrame:
+        """Index-served phrase query (Solr ``q=f:"w1 w2 ..."``, or
+        ``~N`` sloppy form with ``slop=N``) over the positional
+        postings: (key, n_occurrences) for docs containing the token
+        sequence in order within (k-1)+slop positions. Builds the
+        positional index on first use."""
+        from hbase_increment_index_spark.search.inverted import (
+            phrase_match_from_index,
+            sloppy_phrase_from_index,
+        )
 
         if text_field not in self._positional:
             self.build_positional_postings(text_field)
+        if slop:
+            return sloppy_phrase_from_index(
+                self._positional[text_field], words, self.key_field, slop=slop
+            )
         return phrase_match_from_index(
             self._positional[text_field], words, self.key_field
         )

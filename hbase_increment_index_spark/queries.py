@@ -324,6 +324,62 @@ SELECT * FROM (
 """
 
 
+def q05d_phrase_slop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr sloppy phrase ``q=text:"stream table hash"~2`` served from
+    positional postings: terms in order within (k-1)+slop positions —
+    a strict superset of the exact-phrase matches (q05c). Greedy
+    smallest-next-position chain fold; see
+    search.inverted.sloppy_phrase_from_index."""
+    from hbase_increment_index_spark.search.inverted import (
+        build_positional_index,
+        sloppy_phrase_from_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pp = build_positional_index(docs, "doc_id", "text")
+    return sloppy_phrase_from_index(pp, ["stream", "table", "hash"], "doc_id", slop=2)
+
+
+# Same greedy chain fold in DuckDB: per-term sorted position lists,
+# struct chains {s: start, c: current end}, smallest-next step per
+# term, final span check (k-1)+slop = 4.
+Q05D_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKS.format(c='text')} AS t FROM documents
+),
+pos AS (
+  SELECT doc_id, t[i] AS term, i - 1 AS p
+  FROM toks, unnest(generate_series(1, len(t))) AS u(i)
+),
+p1 AS (SELECT doc_id, list(p ORDER BY p) AS ps FROM pos WHERE term = 'stream' GROUP BY 1),
+p2 AS (SELECT doc_id, list(p ORDER BY p) AS ps FROM pos WHERE term = 'table' GROUP BY 1),
+p3 AS (SELECT doc_id, list(p ORDER BY p) AS ps FROM pos WHERE term = 'hash' GROUP BY 1),
+c1 AS (
+  SELECT doc_id, list_transform(ps, q -> {{'s': q, 'c': q}}) AS chains FROM p1
+),
+c2 AS (
+  SELECT c1.doc_id,
+         list_filter(
+           list_transform(c1.chains,
+             ch -> {{'s': ch.s, 'c': list_min(list_filter(p2.ps, q -> q > ch.c))}}),
+           ch -> ch.c IS NOT NULL) AS chains
+  FROM c1 JOIN p2 USING (doc_id)
+),
+c3 AS (
+  SELECT c2.doc_id,
+         list_filter(
+           list_transform(c2.chains,
+             ch -> {{'s': ch.s, 'c': list_min(list_filter(p3.ps, q -> q > ch.c))}}),
+           ch -> ch.c IS NOT NULL) AS chains
+  FROM c2 JOIN p3 USING (doc_id)
+)
+SELECT doc_id,
+       CAST(len(list_filter(chains, ch -> ch.c - ch.s <= 4)) AS BIGINT) AS n_occurrences
+FROM c3
+WHERE len(list_filter(chains, ch -> ch.c - ch.s <= 4)) > 0
+"""
+
+
 def q06_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return ranking.tfidf_topk(docs, "doc_id", "text", _TFIDF_TERMS, k=10)
@@ -4284,7 +4340,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e11_temperature_mixture": e11_temperature_mixture,
     "e12_unigram_logprob": e12_unigram_logprob,
     "e13_epoch_shuffle": e13_epoch_shuffle,
-    # --- driver-verified in r1/r2 (and remaining variants) ---
+    # --- driver-verified in r1/r2 (and remaining variants; r4 window
+    # candidates start here: q05d + olap_* + e-variants lack driver rows) ---
+    "q05d_phrase_slop": q05d_phrase_slop,
     "q01_filter_eq": q01_filter_eq,
     "q02_range_filter": q02_range_filter,
     "q03_boolean_filter": q03_boolean_filter,
@@ -4387,6 +4445,7 @@ ORACLES: dict[str, str] = {
     "q05_prefix_wildcard": Q05_SQL,
     "q05b_phrase": Q05B_SQL,
     "q05c_phrase_from_index": Q05C_SQL,
+    "q05d_phrase_slop": Q05D_SQL,
     "q06_tfidf_topk": Q06_SQL,
     "q06b_bm25_topk": Q06B_SQL,
     "q06c_bm25_from_index": Q06C_SQL,

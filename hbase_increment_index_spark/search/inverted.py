@@ -153,6 +153,61 @@ def phrase_match_from_index(
     )
 
 
+def sloppy_phrase_from_index(
+    postings_pos: DataFrame, phrase_terms: list[str], id_col: str, slop: int = 0
+) -> DataFrame:
+    """Index-served sloppy phrase (Solr ``q=f:"w1 w2"~N``): docs where
+    the terms appear IN ORDER with total span ≤ (k-1) + slop extra
+    positions. slop=0 reduces exactly to the consecutive phrase.
+    (Lucene's full slop also admits out-of-order transpositions at
+    extra cost; the in-order form is the common subset and keeps the
+    semantics oracle-checkable.)
+
+    Plan: same per-term posting-slice joins as phrase_match_from_index;
+    the candidate chains fold left with a GREEDY smallest-next-position
+    step per term (array HOFs on the tiny per-doc position lists).
+    Greedy minimizes the chain end, so the final span check decides
+    matching exactly; docs drop out as soon as no chain survives, so
+    the join tree narrows monotonically. ``n_occurrences`` counts
+    distinct start positions with a surviving chain."""
+    terms = [t.lower() for t in phrase_terms]
+    k = len(terms)
+    cur = postings_pos.filter(F.col("term") == terms[0]).select(
+        F.col(id_col),
+        F.transform(
+            "positions", lambda p: F.struct(p.alias("s"), p.alias("c"))
+        ).alias("chains"),
+    )
+    for t in terms[1:]:
+        nxt = postings_pos.filter(F.col("term") == t).select(
+            F.col(id_col), F.col("positions").alias("_p")
+        )
+        stepped = F.filter(
+            F.transform(
+                F.col("chains"),
+                lambda ch: F.struct(
+                    ch["s"].alias("s"),
+                    F.array_min(
+                        F.filter(F.col("_p"), lambda q: q > ch["c"])
+                    ).alias("c"),
+                ),
+            ),
+            lambda ch: ch["c"].isNotNull(),
+        )
+        cur = (
+            cur.join(nxt, id_col)
+            .withColumn("chains", stepped)
+            .filter(F.size("chains") > 0)
+            .drop("_p")
+        )
+    window = k - 1 + slop
+    matched = F.filter(F.col("chains"), lambda ch: ch["c"] - ch["s"] <= F.lit(window))
+    return (
+        cur.select(F.col(id_col), F.size(matched).cast("long").alias("n_occurrences"))
+        .filter(F.col("n_occurrences") > 0)
+    )
+
+
 def merge_positional_postings(
     postings_pos: DataFrame,
     changed_docs: DataFrame,

@@ -143,3 +143,38 @@ def test_positional_index_and_phrase_match(spark):
 
     # absent phrase
     assert phrase_match_from_index(pp, ["fox", "quick"], "doc_id").count() == 0
+
+
+def test_sloppy_phrase_from_index(spark):
+    from hbase_increment_index_spark.search.inverted import (
+        build_positional_index,
+        phrase_match_from_index,
+        sloppy_phrase_from_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "quick brown fox"),            # adjacent
+            (2, "quick red brown fox"),        # one gap
+            (3, "quick very very red brown"),  # three gaps
+            (4, "brown quick"),                # wrong order — never matches
+        ],
+        "doc_id long, text string",
+    )
+    pp = build_positional_index(docs, "doc_id", "text")
+
+    def match(slop):
+        return {
+            r["doc_id"]: r["n_occurrences"]
+            for r in sloppy_phrase_from_index(pp, ["quick", "brown"], "doc_id", slop=slop).collect()
+        }
+
+    assert match(0) == {1: 1}            # slop=0 == exact phrase
+    assert match(1) == {1: 1, 2: 1}      # one intervening token allowed
+    assert match(3) == {1: 1, 2: 1, 3: 1}
+    # slop=0 agrees with the exact-phrase operator on every doc
+    exact = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in phrase_match_from_index(pp, ["quick", "brown"], "doc_id").collect()
+    }
+    assert match(0) == exact

@@ -313,6 +313,56 @@ def test_phrase_match_matches_python_oracle(spark, docs_tokens, phrase):
     assert got == want
 
 
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["x", "y", "z"]), min_size=0, max_size=8),
+        min_size=1,
+        max_size=5,
+    ),
+    st.lists(st.sampled_from(["x", "y", "z"]), min_size=1, max_size=3),
+    st.integers(min_value=0, max_value=3),
+)
+def test_sloppy_phrase_matches_python_oracle(spark, docs_tokens, phrase, slop):
+    """Greedy-chain sloppy phrase equals the brute-force oracle (exists
+    an in-order position chain with span ≤ (k-1)+slop, counting start
+    positions with a surviving chain) on ANY corpus — including
+    repeated terms, overlaps, and slop=0 ≡ exact phrase."""
+    from hbase_increment_index_spark.search.inverted import (
+        build_positional_index,
+        sloppy_phrase_from_index,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs_tokens)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pp = build_positional_index(docs, "doc_id", "text")
+    got = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in sloppy_phrase_from_index(pp, phrase, "doc_id", slop=slop).collect()
+    }
+
+    window = len(phrase) - 1 + slop
+
+    def chain_ok(toks, start):
+        # greedy: smallest next position per term minimizes the span
+        if toks[start] != phrase[0]:
+            return False
+        cur = start
+        for term in phrase[1:]:
+            nxt = next((p for p in range(cur + 1, len(toks)) if toks[p] == term), None)
+            if nxt is None:
+                return False
+            cur = nxt
+        return cur - start <= window
+
+    want = {}
+    for i, toks in enumerate(docs_tokens):
+        n = sum(1 for s in range(len(toks)) if chain_ok(toks, s))
+        if n:
+            want[i] = n
+    assert got == want
+
+
 @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     st.lists(

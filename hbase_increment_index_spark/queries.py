@@ -713,6 +713,32 @@ GROUP BY n_name, c_mktsegment
 """
 
 
+def q16d_pivot_limited(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr ``facet.pivot=n_name,c_mktsegment&facet.limit=3``: top-3
+    nations by customer count, each with its top-3 segments — the
+    per-level bucket cap Solr applies at every pivot level. One corpus
+    agg; ranking windows touch only the bucket set."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    joined = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    return facets.facet_pivot_limited(joined, "n_name", "c_mktsegment", limit=3)
+
+
+Q16D_SQL = """
+WITH ab AS (
+  SELECT n_name, c_mktsegment, count(*) AS n
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT *, SUM(n) OVER (PARTITION BY n_name) AS atot FROM ab
+)
+SELECT n_name, c_mktsegment, n FROM tot
+QUALIFY dense_rank() OVER (ORDER BY atot DESC, n_name ASC) <= 3
+    AND row_number() OVER (PARTITION BY n_name ORDER BY n DESC, c_mktsegment ASC) <= 3
+"""
+
+
 def q18_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cube over (returnflag, linestatus): all subtotal combinations in
     one pass (Spark expands to grouping sets — one shuffle)."""
@@ -4343,6 +4369,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- driver-verified in r1/r2 (and remaining variants; r4 window
     # candidates start here: q05d + olap_* + e-variants lack driver rows) ---
     "q05d_phrase_slop": q05d_phrase_slop,
+    "q16d_pivot_limited": q16d_pivot_limited,
     "q01_filter_eq": q01_filter_eq,
     "q02_range_filter": q02_range_filter,
     "q03_boolean_filter": q03_boolean_filter,
@@ -4465,6 +4492,7 @@ ORACLES: dict[str, str] = {
     "q16_pivot": Q16_SQL,
     "q16b_rollup": Q16B_SQL,
     "q16c_stats_pivot": Q16C_SQL,
+    "q16d_pivot_limited": Q16D_SQL,
     "q17_by_id": Q17_SQL,
     "q18_cube": Q18_SQL,
     "q19_facet_having": Q19_SQL,

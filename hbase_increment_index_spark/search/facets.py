@@ -285,3 +285,34 @@ def facet_pivot_rollup(
     """Q16 (subtotal form) — pivot with all prefix subtotal levels,
     i.e. SQL ROLLUP. Spark expands this to grouping sets in one pass."""
     return df.rollup(*fields).agg(F.count(F.lit(1)).alias(count_alias))
+
+
+def facet_pivot_limited(
+    df: DataFrame, a: str, b: str, limit: int = 5, count_alias: str = "n"
+) -> DataFrame:
+    """``facet.pivot=a,b`` with Solr's per-level ``facet.limit``: the
+    top-``limit`` outer buckets by total count (ties broken by value,
+    Solr's count-sort order), and within each, the top-``limit`` inner
+    buckets. One corpus aggregation on (a, b); the outer totals derive
+    from the leaf counts via a window sum, so the corpus is scanned
+    once. The ranking windows run on the BUCKET set (|A|·|B| rows —
+    facet cardinality, never corpus rows); the outer rank is a global
+    window, fine at facet cardinality and never applied to data rows.
+    """
+    from pyspark.sql import Window
+
+    ab = df.groupBy(a, b).agg(F.count(F.lit(1)).alias(count_alias))
+    ab = ab.withColumn("_atot", F.sum(count_alias).over(Window.partitionBy(a)))
+    outer_rank = F.dense_rank().over(
+        Window.orderBy(F.col("_atot").desc(), F.col(a).asc())
+    )
+    inner_rank = F.row_number().over(
+        Window.partitionBy(a).orderBy(F.col(count_alias).desc(), F.col(b).asc())
+    )
+    return (
+        ab.withColumn("_ar", outer_rank)
+        .filter(F.col("_ar") <= limit)
+        .withColumn("_br", inner_rank)
+        .filter(F.col("_br") <= limit)
+        .select(a, b, count_alias)
+    )

@@ -573,6 +573,30 @@ GROUP BY 1
 """
 
 
+def q11c_facet_range_other(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr ``facet.range=o_totalprice&start=50000&end=250000&gap=50000
+    &facet.range.other=all``: gap buckets plus before/after/between
+    counts — one scan, one hash agg (see facets.facet_range_other)."""
+    orders = _t(spark, sf_dir, "orders")
+    return facets.facet_range_other(orders, "o_totalprice", 50000.0, 250000.0, 50000.0)
+
+
+Q11C_SQL = """
+WITH lab AS (
+  SELECT CASE WHEN o_totalprice < 50000.0 THEN 'before'
+              WHEN o_totalprice >= 250000.0 THEN 'after'
+              ELSE CAST(CAST(FLOOR((o_totalprice - 50000.0) / 50000.0) * 50000.0 + 50000.0 AS BIGINT) AS VARCHAR)
+         END AS bucket
+  FROM orders
+),
+counts AS (SELECT bucket, count(*) AS n FROM lab GROUP BY 1)
+SELECT bucket, n FROM counts
+UNION ALL
+SELECT 'between', CAST(COALESCE(SUM(n), 0) AS BIGINT)
+FROM counts WHERE bucket NOT IN ('before', 'after')
+"""
+
+
 def q11b_facet_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _t(spark, sf_dir, "events")
     out = facets.facet_time(events, "ts", unit="day", bucket_alias="bucket", count_alias="n")
@@ -4370,6 +4394,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # candidates start here: q05d + olap_* + e-variants lack driver rows) ---
     "q05d_phrase_slop": q05d_phrase_slop,
     "q16d_pivot_limited": q16d_pivot_limited,
+    "q11c_facet_range_other": q11c_facet_range_other,
     "q01_filter_eq": q01_filter_eq,
     "q02_range_filter": q02_range_filter,
     "q03_boolean_filter": q03_boolean_filter,
@@ -4493,6 +4518,7 @@ ORACLES: dict[str, str] = {
     "q16b_rollup": Q16B_SQL,
     "q16c_stats_pivot": Q16C_SQL,
     "q16d_pivot_limited": Q16D_SQL,
+    "q11c_facet_range_other": Q11C_SQL,
     "q17_by_id": Q17_SQL,
     "q18_cube": Q18_SQL,
     "q19_facet_having": Q19_SQL,

@@ -81,6 +81,40 @@ def facet_range(
     return df.groupBy(bucket).agg(F.count(F.lit(1)).alias(count_alias))
 
 
+def facet_range_other(
+    df: DataFrame,
+    field: str,
+    start: float,
+    end: float,
+    gap: float,
+    bucket_alias: str = "bucket",
+    count_alias: str = "n",
+) -> DataFrame:
+    """Q11 (full form) — ``facet.range`` with ``facet.range.other=all``:
+    gap buckets over [start, end) plus Solr's ``before`` (f < start),
+    ``after`` (f ≥ end) and ``between`` (start ≤ f < end) counts, in
+    ONE corpus scan: a CASE label feeds a single hash aggregate; the
+    ``between`` row derives from the (bucket-set-sized) aggregate by a
+    second tiny agg, never a second scan. Bucket labels are the bucket
+    start values as strings (so the three named buckets union in)."""
+    c = F.col(field)
+    bucket_start = F.floor((c - F.lit(start)) / F.lit(gap)) * F.lit(gap) + F.lit(start)
+    lab = (
+        F.when(c < start, F.lit("before"))
+        .when(c >= end, F.lit("after"))
+        .otherwise(bucket_start.cast("long").cast("string"))
+    )
+    counts = df.groupBy(lab.alias(bucket_alias)).agg(
+        F.count(F.lit(1)).alias(count_alias)
+    )
+    between = (
+        counts.filter(~F.col(bucket_alias).isin("before", "after"))
+        .agg(F.sum(count_alias).alias(count_alias))
+        .select(F.lit("between").alias(bucket_alias), count_alias)
+    )
+    return counts.unionByName(between)
+
+
 def facet_time(
     df: DataFrame,
     ts_field: str,

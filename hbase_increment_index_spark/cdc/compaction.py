@@ -101,19 +101,16 @@ def apply_ttl(cell_log: DataFrame, ttl_seconds: int, now=None) -> DataFrame:
     are deterministic — pass an explicit literal in streaming use).
     A pure filter when ``now`` is given (pushed into the scan); with
     the default, the max rides a 1-row broadcast cross join."""
-    # fail early with a clear error instead of a SQL parse error at
-    # plan time (the value is interpolated into an INTERVAL literal)
-    ttl_seconds = int(ttl_seconds)
+    # bound literal via make_dt_interval — a non-numeric ttl fails here
+    # with a clear TypeError instead of a SQL parse error at plan time,
+    # and fractional TTLs keep their sub-second precision
+    ttl = F.make_dt_interval(secs=F.lit(float(ttl_seconds)))
     if now is not None:
-        return cell_log.filter(
-            F.col("ts") >= F.lit(now) - F.expr(f"INTERVAL {ttl_seconds} SECONDS")
-        )
+        return cell_log.filter(F.col("ts") >= F.lit(now) - ttl)
     mx = cell_log.agg(F.max("ts").alias("_now"))
     return (
         cell_log.crossJoin(F.broadcast(mx))
-        .filter(
-            F.col("ts") >= F.col("_now") - F.expr(f"INTERVAL {ttl_seconds} SECONDS")
-        )
+        .filter(F.col("ts") >= F.col("_now") - ttl)
         .drop("_now")
     )
 

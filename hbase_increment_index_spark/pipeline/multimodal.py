@@ -127,6 +127,24 @@ def select_decoder(mime: str | None):
     return DeterministicFakeDecoder
 
 
+def decode_with_fallback(mime: str | None, payload: bytes | None) -> list[float]:
+    """Per-row decode with corruption tolerance: a payload whose mime
+    claims ``image/*`` but whose bytes Pillow rejects (truncated,
+    mislabeled — the norm in a web-scale crawl) falls back to the
+    deterministic byte feature instead of failing the whole task/stage.
+    Null payloads still raise — that is a schema error, not dirty
+    data."""
+    dec = select_decoder(mime)
+    if dec is PILImageDecoder:
+        try:
+            return dec.decode(payload)
+        except NotImplementedError:
+            raise
+        except Exception:  # noqa: BLE001 — codec errors vary by format
+            return DeterministicFakeDecoder.decode(payload)
+    return dec.decode(payload)
+
+
 def synth_media(documents: DataFrame, kind: str = "image") -> DataFrame:
     """Deterministic fake media table derived from documents: payload =
     utf-8 bytes of the text (stands in for encoded pixels). Gives the
@@ -161,7 +179,7 @@ def extract_features(media: DataFrame, batch_size_hint: int = 256) -> DataFrame:
                 else [None] * len(pdf)
             )
             feats = [
-                select_decoder(mime).decode(p)
+                decode_with_fallback(mime, p)
                 for mime, p in zip(mimes, pdf["payload"])
             ]
             yield pd.DataFrame(
@@ -201,8 +219,11 @@ def resize_images(media: DataFrame, width: int = 32, height: int = 32) -> DataFr
                 if p is None:
                     raise NotImplementedError("no payload to resize")
                 if select_decoder(mime) is PILImageDecoder:
-                    outs.append(_pil_resize(p))
-                    continue
+                    try:
+                        outs.append(_pil_resize(p))
+                        continue
+                    except Exception:  # noqa: BLE001 — corrupt bytes: fake-resample
+                        pass
                 src = bytes(p)
                 # deterministic fake resample: stride-sample / tile source bytes
                 outs.append(bytes(src[(i * max(len(src), 1)) // n_out % len(src)] for i in range(n_out)) if src else b"\x00" * n_out)

@@ -96,20 +96,28 @@ def facet_range_other(
     ONE corpus scan: a CASE label feeds a single hash aggregate; the
     ``between`` row derives from the (bucket-set-sized) aggregate by a
     second tiny agg, never a second scan. Bucket labels are the bucket
-    start values as strings (so the three named buckets union in)."""
+    start values as strings (so the three named buckets union in):
+    integer-valued start/gap label as integers; fractional gaps keep
+    the double representation so distinct buckets never collapse."""
     c = F.col(field)
     bucket_start = F.floor((c - F.lit(start)) / F.lit(gap)) * F.lit(gap) + F.lit(start)
+    integral = float(start).is_integer() and float(gap).is_integer()
+    bucket_label = (
+        bucket_start.cast("long").cast("string")
+        if integral
+        else bucket_start.cast("double").cast("string")
+    )
     lab = (
         F.when(c < start, F.lit("before"))
         .when(c >= end, F.lit("after"))
-        .otherwise(bucket_start.cast("long").cast("string"))
+        .otherwise(bucket_label)
     )
     counts = df.groupBy(lab.alias(bucket_alias)).agg(
         F.count(F.lit(1)).alias(count_alias)
     )
     between = (
         counts.filter(~F.col(bucket_alias).isin("before", "after"))
-        .agg(F.sum(count_alias).alias(count_alias))
+        .agg(F.coalesce(F.sum(count_alias), F.lit(0)).cast("long").alias(count_alias))
         .select(F.lit("between").alias(bucket_alias), count_alias)
     )
     return counts.unionByName(between)

@@ -90,6 +90,8 @@ def group_ngroups(df: DataFrame, group_field: str) -> DataFrame:
     the full table would plan."""
     per_group = df.groupBy(group_field).agg(F.count(F.lit(1)).alias("_n"))
     return per_group.agg(
-        F.sum("_n").cast("long").alias("matches"),
+        # coalesce: an empty match set is (0, 0) like Solr's header,
+        # not (NULL, 0)
+        F.coalesce(F.sum("_n"), F.lit(0)).cast("long").alias("matches"),
         F.count(F.lit(1)).cast("long").alias("ngroups"),
     )

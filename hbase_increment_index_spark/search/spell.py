@@ -24,13 +24,19 @@ from pyspark.sql import functions as F
 from hbase_increment_index_spark.search.tokenize import tokens
 
 
+def distinct_postings(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Distinct (id, term) postings — the shared substrate of the
+    vocabulary and of collation hit-verification."""
+    return docs.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("term")
+    ).distinct()
+
+
 def term_dictionary(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Index vocabulary with document frequency: ONE distinct-agg over
     exploded tokens (two-phase: map-side distinct partials, then the
     term-keyed hash agg)."""
-    toks = docs.select(
-        F.col(id_col), F.explode(tokens(text_col)).alias("term")
-    ).distinct()
+    toks = distinct_postings(docs, id_col, text_col)
     return toks.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
 
 
@@ -83,9 +89,7 @@ def spellcheck_collate(
     never shuffles — only postings matching collated terms do.
     """
     spark = docs.sparkSession
-    toks = docs.select(
-        F.col(id_col), F.explode(tokens(text_col)).alias("term")
-    ).distinct()
+    toks = distinct_postings(docs, id_col, text_col)
     vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     qs = spark.createDataFrame(
         [(i, t.lower()) for i, t in enumerate(inputs)], "pos int, input string"

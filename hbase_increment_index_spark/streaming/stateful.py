@@ -115,18 +115,25 @@ def trending_terms(
         for pdf in pdfs:
             batch_n += len(pdf)
             if epoch_col is not None and len(pdf):
-                e = int(pd.Series(pdf[epoch_col]).max())
-                epoch = e if epoch is None else max(epoch, e)
+                vals = pd.Series(pdf[epoch_col]).dropna()
+                if len(vals):  # all-null epochs = no epoch signal this batch
+                    e = int(vals.max())
+                    epoch = e if epoch is None else max(epoch, e)
         if epoch_col is None or not state.exists or epoch is None:
             score = score * decay + batch_n
         else:
-            gap = max(epoch - last_epoch, 1)
-            score = score * decay**gap + batch_n
+            # gap=0 (second micro-batch of the SAME epoch) must not decay
+            # again — counts within one epoch just accumulate; negative
+            # gaps (late out-of-order epoch) likewise skip decay and do
+            # not rewind the stored clock (max() below)
+            gap = epoch - last_epoch
+            score = score * (decay**gap if gap > 0 else 1.0) + batch_n
         n += batch_n
         if epoch_col is None:
             state.update((score, n))
         else:
-            state.update((score, n, epoch if epoch is not None else last_epoch))
+            new_epoch = last_epoch if epoch is None else max(epoch, last_epoch)
+            state.update((score, n, new_epoch))
         yield pd.DataFrame({"term": [key[0]], "score": [score], "n_total": [n]})
 
     state_schema = (

@@ -108,3 +108,30 @@ def test_merge_state(spark, log):
     merged = merge_state(base, inc)
     got = {r["id"]: r["name"] for r in documents_from_state(merged, ["name"]).collect()}
     assert got == {"A": "v3", "D": "d2", "Z": "z1"}
+
+
+def test_apply_ttl_fractional_and_bad_type(spark):
+    """apply_ttl keeps sub-second precision for fractional TTLs (bound
+    make_dt_interval literal, not string interpolation) and rejects
+    non-numeric TTLs with a clear error at call time."""
+    import datetime as dt
+
+    from hbase_increment_index_spark.cdc.compaction import apply_ttl
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        ("put", "A", "cf", "q", "old", base, 1),
+        ("put", "B", "cf", "q", "mid", base + dt.timedelta(milliseconds=600), 2),
+        ("put", "C", "cf", "q", "new", base + dt.timedelta(milliseconds=1000), 3),
+    ]
+    log = spark.createDataFrame(
+        rows,
+        "op string, row_key string, family string, qualifier string, value string, ts timestamp, seq long",
+    )
+    # ttl = 0.5s from the max ts (t=1.0s): keeps B (t=0.6) and C, drops A
+    kept = {r["row_key"] for r in apply_ttl(log, 0.5).collect()}
+    assert kept == {"B", "C"}
+    import pytest as _pytest
+
+    with _pytest.raises((TypeError, ValueError)):
+        apply_ttl(log, "a-week")

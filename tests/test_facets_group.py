@@ -107,6 +107,24 @@ def test_facet_field_paging_partitions_ordered_buckets(spark):
         facet_field(df, "cat", sort="popularity")
 
 
+def test_facet_range_other_fractional_gap_and_empty_between(spark):
+    """Fractional gaps must keep distinct bucket labels (no long-cast
+    collapse), and an empty [start, end) window reports between=0, not
+    NULL — Solr's facet.range.other semantics."""
+    from hbase_increment_index_spark.search.facets import facet_range_other
+
+    df = spark.createDataFrame([(0.2,), (0.7,), (1.2,), (2.5,)], "price double")
+    got = {r["bucket"]: r["n"] for r in
+           facet_range_other(df, "price", 0.0, 2.0, 0.5).collect()}
+    # 0.2 -> bucket 0.0; 0.7 -> 0.5; 1.2 -> 1.0; 2.5 -> after
+    assert got["0.0"] == 1 and got["0.5"] == 1 and got["1.0"] == 1
+    assert got["after"] == 1 and got["between"] == 3 and "before" not in got
+
+    empty = {r["bucket"]: r["n"] for r in
+             facet_range_other(df, "price", 100.0, 200.0, 50.0).collect()}
+    assert empty == {"before": 4, "between": 0}
+
+
 def test_merge_facet_counts_moves_and_dropout(spark):
     from hbase_increment_index_spark.search.facets import facet_field, merge_facet_counts
 

@@ -203,6 +203,30 @@ def test_decoder_selection_by_capability():
         mm._PIL_IMAGE = orig
 
 
+def test_decode_with_fallback_on_corrupt_image():
+    """A mime-claimed image whose bytes the codec rejects falls back to
+    the deterministic byte feature instead of failing the task; null
+    payloads still raise (schema error, not dirty data)."""
+    import pytest as _pytest
+
+    from hbase_increment_index_spark.pipeline import multimodal as mm
+
+    class RaisingPIL:
+        @staticmethod
+        def open(_buf):
+            raise OSError("cannot identify image file")
+
+    orig = mm._PIL_IMAGE
+    mm._PIL_IMAGE = RaisingPIL
+    try:
+        feat = mm.decode_with_fallback("image/png", b"not a real png")
+        assert feat == mm.DeterministicFakeDecoder.decode(b"not a real png")
+        with _pytest.raises(NotImplementedError):
+            mm.decode_with_fallback("image/png", None)
+    finally:
+        mm._PIL_IMAGE = orig
+
+
 def test_pil_feature_from_image_stub():
     """The pixel→feature step of the real decoder, driven by a stub
     image object exposing the Pillow surface it uses (convert/resize/

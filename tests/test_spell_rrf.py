@@ -66,6 +66,9 @@ def test_group_ngroups_counts(spark):
     )
     row = group_ngroups(df, "g").collect()[0]
     assert row["matches"] == 4 and row["ngroups"] == 3
+    # empty match set: Solr reports (0, 0), never NULL
+    empty = group_ngroups(df.filter(F.col("g") == "zz"), "g").collect()[0]
+    assert (empty["matches"], empty["ngroups"]) == (0, 0)
 
 
 def test_rrf_fusion_combines_and_defaults_missing(spark):

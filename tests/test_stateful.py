@@ -222,3 +222,42 @@ def test_trending_terms_epoch_gap_decay(spark, tmp_path):
     # 3 * 0.25 + 1 = 1.75 (touch-only decay would give 2.5)
     assert last["spark"] == (1.75, 4)
     assert last["other"] == (1.0, 1)
+
+
+def test_trending_terms_same_epoch_no_double_decay(spark, tmp_path):
+    """Two micro-batches carrying the SAME epoch accumulate without a
+    second decay (gap=0): counts within one epoch just add."""
+    from hbase_increment_index_spark.streaming.stateful import trending_terms
+
+    src = str(tmp_path / "tsrc_s")
+    spark.createDataFrame(
+        [("spark", 1)] * 3, "term string, epoch long"
+    ).coalesce(1).write.parquet(f"{src}/b1")
+    spark.createDataFrame(
+        [("spark", 1)], "term string, epoch long"
+    ).coalesce(1).write.parquet(f"{src}/b2")
+    spark.createDataFrame(
+        [("spark", 2)], "term string, epoch long"
+    ).coalesce(1).write.parquet(f"{src}/b3")
+
+    stream = (
+        spark.readStream.schema("term string, epoch long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    q = (
+        trending_terms(stream, decay=0.5, epoch_col="epoch")
+        .writeStream.format("memory")
+        .queryName("trend_same_epoch")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "tckpt_s"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    last = {}
+    for r in spark.sql("SELECT term, score, n_total FROM trend_same_epoch").collect():
+        last[r["term"]] = (r["score"], r["n_total"])
+    # epoch1 batch1: 3; epoch1 batch2 (gap 0, no decay): 3+1=4;
+    # epoch2 (gap 1): 4*0.5+1 = 3
+    assert last["spark"] == (3.0, 5)

@@ -400,9 +400,18 @@ class SecondaryIndex:
     ) -> DataFrame:
         """Solr SpellCheckComponent (``spellcheck.q``): best correction
         per input term from the index's own vocabulary —
-        (input, suggestion, dist, df)."""
-        from hbase_increment_index_spark.search.spell import spellcheck
+        (input, suggestion, dist, df). Served from the materialized
+        postings when built (the Solr model); corpus-scan fallback
+        otherwise."""
+        from hbase_increment_index_spark.search.spell import (
+            spellcheck,
+            spellcheck_from_index,
+        )
 
+        if text_field in self._postings:
+            return spellcheck_from_index(
+                self._postings[text_field], self.key_field, inputs, max_dist=max_dist
+            )
         return spellcheck(
             self.documents, self.key_field, text_field, inputs, max_dist=max_dist
         )
@@ -412,9 +421,17 @@ class SecondaryIndex:
     ) -> DataFrame:
         """Solr ``spellcheck.collate=true``: one row (collated_query,
         hits) — the corrected multi-term query re-assembled in input
-        order and verified against the index."""
-        from hbase_increment_index_spark.search.spell import spellcheck_collate
+        order and verified against the index. Postings-served when
+        built; corpus-scan fallback otherwise."""
+        from hbase_increment_index_spark.search.spell import (
+            spellcheck_collate,
+            spellcheck_collate_from_index,
+        )
 
+        if text_field in self._postings:
+            return spellcheck_collate_from_index(
+                self._postings[text_field], self.key_field, inputs, max_dist=max_dist
+            )
         return spellcheck_collate(
             self.documents, self.key_field, text_field, inputs, max_dist=max_dist
         )

@@ -14,6 +14,13 @@ candidate match is a broadcast nested-loop join — the vocabulary
 side streams through the levenshtein filter inside the scan tasks
 and only candidate pairs (a few rows per input) reach the final
 per-input top-1 window. The corpus-sized side is never shuffled.
+
+Two serving paths, one core: the corpus-scan functions tokenize on
+the fly; the ``*_from_index`` twins answer entirely from the
+materialized (term, id, tf) postings — the Solr model, where the
+spellchecker reads the index's term dictionary, never the documents.
+``api.SecondaryIndex`` routes through the index path once postings
+are built.
 """
 
 from __future__ import annotations
@@ -40,72 +47,42 @@ def term_dictionary(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return toks.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
 
 
-def spellcheck(
-    docs: DataFrame,
-    id_col: str,
-    text_col: str,
-    inputs: list[str],
-    max_dist: int = 2,
+def _best_corrections(
+    vocab: DataFrame, qs: DataFrame, key: str, max_dist: int
 ) -> DataFrame:
-    """Best correction per input term: (input, suggestion, dist, df)."""
-    spark = docs.sparkSession
-    vocab = term_dictionary(docs, id_col, text_col)
-    qs = spark.createDataFrame([(t.lower(),) for t in inputs], "input string")
+    """Shared correction core: broadcast-NLJ the (tiny) input set
+    against the vocabulary, keep candidates within ``max_dist`` edits,
+    top-1 per input by (dist asc, df desc, term asc)."""
     cand = (
         vocab.join(F.broadcast(qs))
         .withColumn("dist", F.levenshtein(F.col("term"), F.col("input")))
         .filter(F.col("dist") <= max_dist)
     )
-    w = Window.partitionBy("input").orderBy(
+    w = Window.partitionBy(key).orderBy(
         F.col("dist").asc(), F.col("df").desc(), F.col("term").asc()
     )
-    return (
-        cand.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("input", F.col("term").alias("suggestion"), "dist", "df")
+    return cand.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+
+
+def _spellcheck_core(
+    vocab: DataFrame, inputs: list[str], max_dist: int
+) -> DataFrame:
+    spark = vocab.sparkSession
+    qs = spark.createDataFrame([(t.lower(),) for t in inputs], "input string")
+    return _best_corrections(vocab, qs, "input", max_dist).select(
+        "input", F.col("term").alias("suggestion"), "dist", "df"
     )
 
 
-def spellcheck_collate(
-    docs: DataFrame,
-    id_col: str,
-    text_col: str,
-    inputs: list[str],
-    max_dist: int = 2,
+def _collate_core(
+    vocab: DataFrame, toks: DataFrame, id_col: str, inputs: list[str], max_dist: int
 ) -> DataFrame:
-    """Solr ``spellcheck.collate=true`` (+``collateExtendedResults``):
-    re-assemble the corrected multi-term query and verify it — one row
-    ``(collated_query, hits)`` where ``collation`` replaces every input term
-    by its best correction (terms already in the vocabulary correct to
-    themselves at distance 0; terms with no candidate within
-    ``max_dist`` stay as typed) and ``hits`` counts documents matching
-    ALL collated terms, Solr's collation hit count.
-
-    Plan: the per-term correction is the same broadcast-NLJ + top-1
-    window as ``spellcheck``; the collation string and the required
-    term count are 1-row aggregates; hit verification is a broadcast
-    semi-join of the distinct postings against the handful of collated
-    terms → per-doc matched-term count → single-row count. The corpus
-    never shuffles — only postings matching collated terms do.
-    """
-    spark = docs.sparkSession
-    toks = distinct_postings(docs, id_col, text_col)
-    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    spark = vocab.sparkSession
     qs = spark.createDataFrame(
         [(i, t.lower()) for i, t in enumerate(inputs)], "pos int, input string"
     )
-    cand = (
-        vocab.join(F.broadcast(qs))
-        .withColumn("dist", F.levenshtein(F.col("term"), F.col("input")))
-        .filter(F.col("dist") <= max_dist)
-    )
-    w = Window.partitionBy("pos").orderBy(
-        F.col("dist").asc(), F.col("df").desc(), F.col("term").asc()
-    )
-    best = (
-        cand.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("pos", F.col("term").alias("corrected"))
+    best = _best_corrections(vocab, qs, "pos", max_dist).select(
+        "pos", F.col("term").alias("corrected")
     )
     corrected = qs.join(best, "pos", "left").select(
         "pos", F.coalesce("corrected", "input").alias("term")
@@ -130,3 +107,67 @@ def spellcheck_collate(
         .agg(F.count(F.lit(1)).cast("long").alias("hits"))
     )
     return collation.crossJoin(F.broadcast(hits))
+
+
+def spellcheck(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    inputs: list[str],
+    max_dist: int = 2,
+) -> DataFrame:
+    """Best correction per input term: (input, suggestion, dist, df).
+    Corpus-scan path (tokenizes on the fly); prefer
+    ``spellcheck_from_index`` when postings are materialized."""
+    return _spellcheck_core(term_dictionary(docs, id_col, text_col), inputs, max_dist)
+
+
+def spellcheck_from_index(
+    postings: DataFrame, id_col: str, inputs: list[str], max_dist: int = 2
+) -> DataFrame:
+    """Spellcheck served from the materialized (term, id, tf) postings:
+    the vocabulary is one hash agg over the index (rows are distinct
+    (term, id), so row count per term == df) — the corpus is never
+    read or re-tokenized at query time."""
+    vocab = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    return _spellcheck_core(vocab, inputs, max_dist)
+
+
+def spellcheck_collate(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    inputs: list[str],
+    max_dist: int = 2,
+) -> DataFrame:
+    """Solr ``spellcheck.collate=true`` (+``collateExtendedResults``):
+    re-assemble the corrected multi-term query and verify it — one row
+    ``(collated_query, hits)`` where the collation replaces every input
+    term by its best correction (terms already in the vocabulary
+    correct to themselves at distance 0; terms with no candidate within
+    ``max_dist`` stay as typed) and ``hits`` counts documents matching
+    ALL collated terms, Solr's collation hit count.
+
+    Plan: the per-term correction is the same broadcast-NLJ + top-1
+    window as ``spellcheck``; the collation string and the required
+    term count are 1-row aggregates; hit verification is a broadcast
+    semi-join of the distinct postings against the handful of collated
+    terms → per-doc matched-term count → single-row count. The corpus
+    never shuffles — only postings matching collated terms do. The
+    corpus-scan path tokenizes twice (vocabulary + verification);
+    ``spellcheck_collate_from_index`` reads the postings once instead.
+    """
+    toks = distinct_postings(docs, id_col, text_col)
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    return _collate_core(vocab, toks, id_col, inputs, max_dist)
+
+
+def spellcheck_collate_from_index(
+    postings: DataFrame, id_col: str, inputs: list[str], max_dist: int = 2
+) -> DataFrame:
+    """Collation served from the materialized postings: vocabulary and
+    hit-verification both read the (term, id) index — zero corpus
+    tokenization at query time (the Solr serving model)."""
+    toks = postings.select("term", id_col)  # distinct by construction
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    return _collate_core(vocab, toks, id_col, inputs, max_dist)

@@ -58,6 +58,39 @@ def test_spellcheck_collate_keeps_uncorrectable_terms(spark):
     assert row["hits"] == 0
 
 
+def test_spellcheck_index_path_equals_corpus_path(spark):
+    """The postings-served spellcheck/collate twins must return exactly
+    what the corpus-scan path returns — only the serving substrate
+    differs."""
+    from hbase_increment_index_spark.search.inverted import build_inverted_index
+    from hbase_increment_index_spark.search.spell import (
+        spellcheck,
+        spellcheck_collate,
+        spellcheck_collate_from_index,
+        spellcheck_from_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark query engine"),
+            (2, "spark query planner"),
+            (3, "unrelated words here"),
+        ],
+        "doc_id long, text string",
+    )
+    postings = build_inverted_index(docs, "doc_id", "text")
+    inputs = ["sprak", "qeury", "zzzz"]
+
+    scan = {tuple(r) for r in spellcheck(docs, "doc_id", "text", inputs).collect()}
+    idx = {tuple(r) for r in spellcheck_from_index(postings, "doc_id", inputs).collect()}
+    assert scan == idx and scan  # non-vacuous
+
+    scan_c = spellcheck_collate(docs, "doc_id", "text", inputs).collect()[0]
+    idx_c = spellcheck_collate_from_index(postings, "doc_id", inputs).collect()[0]
+    assert tuple(scan_c) == tuple(idx_c)
+    assert scan_c["collated_query"] == "spark query zzzz" and scan_c["hits"] == 0
+
+
 def test_group_ngroups_counts(spark):
     from hbase_increment_index_spark.search.paging import group_ngroups
 

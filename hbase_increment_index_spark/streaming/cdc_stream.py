@@ -139,18 +139,24 @@ def merge_microbatch(
 
     if batch.isEmpty():  # commit-only-if-data (SolrIndexTools.java:66-67)
         return
+    import shutil
+
     touched = batch.select(F.col("row_key").alias("id")).distinct()
-    # facet pre-image: the touched docs' current facet values, read
-    # and MATERIALIZED before the serving view is overwritten (the
-    # slice is batch-bounded, so collecting it is O(batch))
-    minus_rows = None
+    # facet pre-image: the touched docs' current facet counts, read and
+    # MATERIALIZED before the serving view is overwritten. Written to a
+    # batch-scoped staging parquet (facet-cardinality-sized) so the
+    # pre-image never lands in driver memory — executors write it,
+    # executors read it back for the ±delta merge.
+    pre_path = None
     if facet_field is not None and _committed_state_exists(spark, facets_path):
-        minus_rows = (
+        pre_path = facets_path + f"._pre_{batch_id}"
+        (
             spark.read.parquet(index_path)
             .join(F.broadcast(touched), "id", "left_semi")
             .groupBy(F.col(facet_field).alias("facet_value"))
             .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
+            .write.mode("overwrite")
+            .parquet(pre_path)
         )
     # Bootstrap-vs-merge is decided by an EXPLICIT existence probe of
     # the committed state (the _SUCCESS marker a successful overwrite
@@ -199,7 +205,7 @@ def merge_microbatch(
 
     if facet_field is not None:
         new_docs = spark.read.parquet(index_path)
-        if minus_rows is None:
+        if pre_path is None:
             fcounts = new_docs.groupBy(
                 F.col(facet_field).alias("facet_value")
             ).agg(F.count(F.lit(1)).alias("n"))
@@ -209,9 +215,8 @@ def merge_microbatch(
                 .groupBy(F.col(facet_field).alias("facet_value"))
                 .agg(F.count(F.lit(1)).alias("n"))
             )
-            minus = spark.createDataFrame(
-                [(r["facet_value"], -r["n"]) for r in minus_rows],
-                "facet_value string, n long",
+            minus = spark.read.parquet(pre_path).select(
+                "facet_value", (-F.col("n")).cast("long").alias("n")
             )
             fcounts = (
                 spark.read.parquet(facets_path)
@@ -225,6 +230,8 @@ def merge_microbatch(
         fcounts.write.mode("overwrite").parquet(ftmp)
         spark.read.parquet(ftmp).write.mode("overwrite").parquet(facets_path)
         shutil.rmtree(ftmp.replace("file:", ""), ignore_errors=True)
+        if pre_path is not None:
+            shutil.rmtree(pre_path.replace("file:", ""), ignore_errors=True)
 
 
 

@@ -112,6 +112,55 @@ def pack_batches(
     )
 
 
+def token_budget_head(
+    df: DataFrame,
+    id_col: str,
+    token_col: Column | str,
+    budget: int,
+    n_shards: int = 32,
+    salt: str = "head",
+) -> DataFrame:
+    """Deterministic token-budget head: the documents whose cumulative
+    token count, in content-addressed order, stays ≤ ``budget`` — "take
+    the first 50B tokens of the corpus" as one reproducible, order-
+    stable operator (a doc that would cross the budget is excluded
+    whole; same corpus + salt ⇒ same head at any parallelism).
+
+    Plan — a distributed EXCLUSIVE-free prefix sum, never one global
+    window: the global order is a 60-bit content hash whose TOP bits
+    define ``n_shards`` order-contiguous shards, so (a) a per-shard
+    window computes local inclusive prefix sums over corpus/n_shards
+    rows, (b) a shard-level aggregate (n_shards rows) turns into
+    per-shard starting offsets via one tiny window, broadcast back,
+    and (c) the keep filter is offset + local_prefix ≤ budget. The only
+    corpus-wide movement is the shard repartition implied by the
+    window; the cross-shard coupling travels through n_shards rows.
+    """
+    tok = F.col(token_col) if isinstance(token_col, str) else token_col
+    h = portable_hash60(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    # top bits → shard: shard boundaries are contiguous hash ranges, so
+    # (shard asc, h asc, id asc) IS the global hash order
+    shard = F.floor(h / F.lit((1 << 60) // n_shards)).cast("int")
+    staged = df.withColumn("_h", h).withColumn("_shard", shard).withColumn("_tok", tok)
+
+    w = Window.partitionBy("_shard").orderBy(F.col("_h").asc(), F.col(id_col).asc())
+    staged = staged.withColumn("_local", F.sum("_tok").over(w))
+
+    shard_tot = staged.groupBy("_shard").agg(F.max("_local").alias("_tot"))
+    w_off = Window.orderBy(F.col("_shard").asc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = shard_tot.withColumn(
+        "_off", F.coalesce(F.sum("_tot").over(w_off), F.lit(0))
+    ).select("_shard", "_off")
+
+    return (
+        staged.join(F.broadcast(offsets), "_shard")
+        .filter(F.col("_off") + F.col("_local") <= F.lit(budget))
+        .drop("_h", "_shard", "_tok", "_local", "_off")
+    )
+
+
 def temperature_resample(
     df: DataFrame,
     id_col: str,

@@ -2837,6 +2837,33 @@ LIMIT 100
 """
 
 
+def e6e_token_budget_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic token-budget head — "take the first 10k tokens of
+    the corpus" in content-addressed order: distributed prefix sum
+    (per-shard windows over contiguous hash ranges + n_shards-row
+    offset broadcast), never one global window. Same corpus ⇒ same
+    head at any parallelism; oracle = one global SUM OVER in SQL."""
+    from hbase_increment_index_spark.pipeline.sampling import token_budget_head
+    from hbase_increment_index_spark.pipeline.text import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    staged = docs.withColumn("n_tokens", token_count("text"))
+    out = token_budget_head(staged, "doc_id", "n_tokens", budget=10_000)
+    return out.select("doc_id", "n_tokens")
+
+
+E6E_SQL = f"""
+WITH d AS (
+  SELECT doc_id, len({_SQL_TOKS.format(c='text')}) AS n_tokens,
+         (('0x' || substr(md5('head:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT) AS h
+  FROM documents
+)
+SELECT doc_id, n_tokens
+FROM d
+QUALIFY SUM(n_tokens) OVER (ORDER BY h ASC, doc_id ASC) <= 10000
+"""
+
+
 def q36_interval_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Solr ``facet.interval`` — explicit, possibly-overlapping
     [lo, hi) buckets over o_totalprice (facet.range can't overlap;
@@ -4395,6 +4422,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q05d_phrase_slop": q05d_phrase_slop,
     "q16d_pivot_limited": q16d_pivot_limited,
     "q11c_facet_range_other": q11c_facet_range_other,
+    "e6e_token_budget_head": e6e_token_budget_head,
     "q01_filter_eq": q01_filter_eq,
     "q02_range_filter": q02_range_filter,
     "q03_boolean_filter": q03_boolean_filter,
@@ -4519,6 +4547,7 @@ ORACLES: dict[str, str] = {
     "q16c_stats_pivot": Q16C_SQL,
     "q16d_pivot_limited": Q16D_SQL,
     "q11c_facet_range_other": Q11C_SQL,
+    "e6e_token_budget_head": E6E_SQL,
     "q17_by_id": Q17_SQL,
     "q18_cube": Q18_SQL,
     "q19_facet_having": Q19_SQL,

@@ -262,6 +262,40 @@ def test_train_val_split_deterministic_and_partitioned(docs):
     assert set(a.values()) <= {"train", "val", "test"}
 
 
+def test_token_budget_head_exact_and_partition_invariant(spark):
+    """The head is the exact maximal prefix of the content-hash order
+    whose token sum fits the budget, identical at any parallelism."""
+    from pyspark.sql import functions as F
+
+    from hbase_increment_index_spark.pipeline.dedup import portable_hash60
+    from hbase_increment_index_spark.pipeline.sampling import token_budget_head
+
+    df = spark.createDataFrame([(i, 10 + i % 7) for i in range(200)], "id long, nt int")
+
+    got = {r["id"] for r in token_budget_head(df, "id", "nt", budget=500).collect()}
+    # python oracle: same hash order, greedy prefix
+    rows = df.withColumn(
+        "h", portable_hash60(F.concat(F.lit("head:"), F.col("id").cast("string")))
+    ).collect()
+    total, want = 0, set()
+    for r in sorted(rows, key=lambda r: (r["h"], r["id"])):
+        if total + r["nt"] > 500:
+            break
+        total += r["nt"]
+        want.add(r["id"])
+    assert got == want and 0 < len(got) < 200
+
+    # parallelism/shard-count invariance
+    for nparts, nshards in ((1, 4), (13, 8), (32, 64)):
+        again = {
+            r["id"]
+            for r in token_budget_head(
+                df.repartition(nparts), "id", "nt", budget=500, n_shards=nshards
+            ).collect()
+        }
+        assert again == got
+
+
 def test_stratified_sample_respects_full_and_zero(docs):
     from hbase_increment_index_spark.pipeline.sampling import stratified_sample
 

@@ -179,6 +179,77 @@ def ngram_jaccard_pairs(
     return out
 
 
+def incremental_near_dups(
+    existing: DataFrame,
+    incoming: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Incremental near-dup detection: flag INCOMING documents that
+    near-duplicate the EXISTING corpus — the shape every continuously-
+    crawled training pipeline actually runs (dedup the delta against
+    the index, never re-pair the whole corpus). Ids must be distinct
+    across the two frames (they share one id space, like a CDC
+    increment against its table).
+
+    Plan: one postings build over the side-tagged union (the increment
+    rides the same scan/shuffle as the corpus), then a BIPARTITE
+    shingle join — new side × old side only, so no old×old pairing
+    work ever happens; with the usual df==1 pruning and optional
+    stop-shingle ceiling the join touches only postings co-occurring
+    across the boundary. Output: (id_new, id_old, jaccard ≥ threshold).
+    At 100 TB the existing side's postings are the PERSISTED shingle
+    index (cdc_merge_postings keeps it current); only the increment is
+    shingled fresh.
+    """
+    tagged = (
+        existing.select(F.col(id_col), F.col(text_col))
+        .withColumn("_new", F.lit(False))
+        .unionByName(
+            incoming.select(F.col(id_col), F.col(text_col)).withColumn(
+                "_new", F.lit(True)
+            )
+        )
+    )
+    tagged = fan_out(tagged)
+    sh = tagged.select(
+        F.col(id_col).alias("doc"),
+        "_new",
+        F.explode(shingle_grams(text_col, n)).alias("sh"),
+    ).distinct()
+    from pyspark.sql import Window
+
+    sh = sh.withColumn("sdf", F.count(F.lit(1)).over(Window.partitionBy("sh")))
+    if max_shingle_df is not None:
+        sh = sh.filter(F.col("sdf") <= max_shingle_df)
+    sh = sh.persist()
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+
+    shj = sh.filter(F.col("sdf") >= 2)
+    new_side = shj.filter(F.col("_new")).select(F.col("doc").alias("id_new"), "sh")
+    old_side = shj.filter(~F.col("_new")).select(F.col("doc").alias("id_old"), "sh")
+    common = (
+        new_side.join(old_side, "sh")
+        .groupBy("id_new", "id_old")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        common.join(sizes.withColumnsRenamed({"doc": "id_new", "n_sh": "n_new"}), "id_new")
+        .join(sizes.withColumnsRenamed({"doc": "id_old", "n_sh": "n_old"}), "id_old")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common") / (F.col("n_new") + F.col("n_old") - F.col("common")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_new", "id_old", "jaccard")
+    )
+
+
 def cross_contamination(
     corpus: DataFrame,
     eval_set: DataFrame,

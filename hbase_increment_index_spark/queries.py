@@ -1998,6 +1998,48 @@ WHERE ROUND(common / (sa.n_sh + sb.n_sh - common), 6) >= 0.30
 """
 
 
+def e2f_incremental_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup detection — dedup the DELTA against the
+    corpus, the continuously-crawled-pipeline shape: documents split
+    deterministically into existing (doc_id % 10 != 0) and incoming
+    (doc_id % 10 == 0); flag incoming docs near-duplicating existing
+    ones. Bipartite shingle join: no old×old pairing work ever runs."""
+    from hbase_increment_index_spark.pipeline.dedup import incremental_near_dups
+
+    docs = _t(spark, sf_dir, "documents")
+    existing = docs.filter(F.col("doc_id") % 10 != 0)
+    incoming = docs.filter(F.col("doc_id") % 10 == 0)
+    return incremental_near_dups(
+        existing, incoming, "doc_id", "text", n=3, threshold=0.30
+    )
+
+
+E2F_SQL = f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id AS doc, doc_id % 10 = 0 AS is_new,
+         unnest(list_distinct(
+           list_transform(
+             generate_series(1, greatest(len({_SQL_TOKS.format(c='text')}) - 2, 0)),
+             i -> array_to_string(list_slice({_SQL_TOKS.format(c='text')}, i, i + 2), ' ')
+           ))) AS sh
+  FROM documents
+),
+sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
+common AS (
+  SELECT a.doc AS id_new, b.doc AS id_old, count(*) AS common
+  FROM sh a JOIN sh b USING (sh)
+  WHERE a.is_new AND NOT b.is_new
+  GROUP BY 1, 2
+)
+SELECT id_new, id_old,
+       ROUND(common / (sa.n_sh + sb.n_sh - common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc = id_new
+JOIN sizes sb ON sb.doc = id_old
+WHERE ROUND(common / (sa.n_sh + sb.n_sh - common), 6) >= 0.30
+"""
+
+
 def e2e_ngram_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """e2 with the skew guard ACTIVE (max_shingle_df=20): ubiquitous
     shingles are dropped before the self-join — the 100 TB hot-key
@@ -4423,6 +4465,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q16d_pivot_limited": q16d_pivot_limited,
     "q11c_facet_range_other": q11c_facet_range_other,
     "e6e_token_budget_head": e6e_token_budget_head,
+    "e2f_incremental_near_dups": e2f_incremental_near_dups,
     "q01_filter_eq": q01_filter_eq,
     "q02_range_filter": q02_range_filter,
     "q03_boolean_filter": q03_boolean_filter,
@@ -4548,6 +4591,7 @@ ORACLES: dict[str, str] = {
     "q16d_pivot_limited": Q16D_SQL,
     "q11c_facet_range_other": Q11C_SQL,
     "e6e_token_budget_head": E6E_SQL,
+    "e2f_incremental_near_dups": E2F_SQL,
     "q17_by_id": Q17_SQL,
     "q18_cube": Q18_SQL,
     "q19_facet_having": Q19_SQL,

@@ -60,6 +60,38 @@ def test_minhash_lsh_finds_near_dup(docs):
     assert (1, 5) not in pairs
 
 
+def test_incremental_near_dups_bipartite_only(spark):
+    """Only new×old pairs come back: an incoming doc near-duplicating
+    the corpus is flagged; duplicate pairs wholly inside either side
+    are NOT (that is e2's job, not the delta check's)."""
+    from hbase_increment_index_spark.pipeline.dedup import incremental_near_dups
+
+    existing = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy dog today"),  # old×old dup
+            (3, "completely different text about spark query engines"),
+        ],
+        "doc_id long, text string",
+    )
+    incoming = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog today"),  # dup of 1,2
+            (11, "novel content sharing nothing with the existing corpus"),
+            (12, "novel content sharing nothing with the existing corpus"),  # new×new dup
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["id_new"], r["id_old"]): r["jaccard"]
+        for r in incremental_near_dups(
+            existing, incoming, "doc_id", "text", n=3, threshold=0.5
+        ).collect()
+    }
+    assert set(pairs) == {(10, 1), (10, 2)}
+    assert all(j == 1.0 for j in pairs.values())
+
+
 def test_minhash_impl_lanes_bit_identical(docs):
     """The numpy signature kernel and the pure-expression lane must
     produce identical verified pairs for both hash kernels — the perf

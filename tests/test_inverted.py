@@ -40,6 +40,44 @@ def test_write_read_round_trip(spark, sf_dir, tmp_path):
     assert ids.count() == docs.filter(has_any_token("text", ["spark"])).count()
 
 
+def test_written_index_term_ranges_prune_files(spark, sf_dir, tmp_path):
+    """The point of the range-partitioned index write: per-file term
+    min/max ranges are (near-)disjoint, so a term lookup admits ~1 of N
+    files via parquet stats — while a hash-partitioned write of the
+    same postings admits every file. This is the partition-pruned
+    point-lookup SCALE.md promises for the serving path."""
+    import pyarrow.dataset as ds
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    postings = build_inverted_index(docs, "doc_id", "text")
+
+    rpath, hpath = str(tmp_path / "ranged"), str(tmp_path / "hashed")
+    write_inverted_index(postings, rpath, n_ranges=4)
+    postings.repartition(4, "term").write.parquet(hpath)
+
+    def files_admitting(path, term):
+        d = ds.dataset(path, format="parquet")
+        hits = total = 0
+        for frag in d.get_fragments():
+            total += 1
+            mins, maxs = [], []
+            for rg in frag.row_groups:
+                st = rg.statistics.get("term")
+                if st is None:
+                    return -1, total
+                mins.append(st["min"])
+                maxs.append(st["max"])
+            if min(mins) <= term <= max(maxs):
+                hits += 1
+        return hits, total
+
+    r_hits, r_total = files_admitting(rpath, "spark")
+    h_hits, h_total = files_admitting(hpath, "spark")
+    assert r_total == 4 and h_total == 4
+    assert r_hits == 1          # range layout: exactly one file's range admits the term
+    assert h_hits == h_total    # hash layout: every file admits it — no pruning
+
+
 def test_more_like_this_prefers_shared_rare_terms(spark):
     from hbase_increment_index_spark.search.ranking import more_like_this
 

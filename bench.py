@@ -51,6 +51,8 @@ HEADLINE = [
     "q46_hybrid_rrf",
     "q49c_block_join_scored",
     "e12_unigram_logprob",
+    "e2f_incremental_near_dups",
+    "e6e_token_budget_head",
 ]
 
 

@@ -193,6 +193,7 @@ class SecondaryIndex:
         facet_fields: list[str] | dict[str, dict] | None = None,
         facet_queries: dict[str, Column] | None = None,
         facet_intervals: dict[str, list[tuple]] | None = None,
+        facet_ranges: dict[str, dict] | None = None,
         stats_fields: list[str] | None = None,
         group_field: str | None = None,
         group_limit: int = 1,
@@ -212,6 +213,9 @@ class SecondaryIndex:
                       mincount, sort, limit, offset)
         ``facet_intervals`` — Q-INT: per field, a list of
                       (label, lo, hi) half-open [lo, hi) buckets
+        ``facet_ranges`` — Q11 full form: per field, dict of
+                      ``start``/``end``/``gap`` — gap buckets plus the
+                      ``facet.range.other`` before/after/between rows
         ``group_queries`` — Q-GRPQ: named predicates, each returning
                       its top-``group_limit`` docs in ``resp.groups``
         ``stats_fields`` — Q13
@@ -266,6 +270,10 @@ class SecondaryIndex:
             resp.facets["queries"] = _facets.facet_queries(matched, facet_queries)
         for f_, ivals in (facet_intervals or {}).items():
             resp.facets[f"intervals:{f_}"] = _facets.facet_intervals(matched, f_, ivals)
+        # Q11 full form: {field: {start, end, gap}} → gap buckets plus
+        # Solr's facet.range.other before/after/between rows
+        for f_, opts in (facet_ranges or {}).items():
+            resp.facets[f"range:{f_}"] = _facets.facet_range_other(matched, f_, **opts)
         if group_queries:
             resp.groups["queries"] = _facets.group_query(
                 matched,

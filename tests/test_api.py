@@ -71,6 +71,17 @@ def test_search_facets_and_stats(index):
     assert resp.facets["queries"].collect()[0]["n_cheap"] == 2
 
 
+def test_search_facet_ranges(index):
+    # prices 10, 20, 30: buckets 10 and 20, after=1 (30 >= end), between=2
+    index.attach(index.documents.withColumn("price_num", F.col("price").cast("double")))
+    resp = index.search(
+        rows=None,
+        facet_ranges={"price_num": {"start": 10.0, "end": 30.0, "gap": 10.0}},
+    )
+    got = {r["bucket"]: r["n"] for r in resp.facets["range:price_num"].collect()}
+    assert got == {"10": 1, "20": 1, "after": 1, "between": 2}
+
+
 def test_search_group_top_n(index):
     resp = index.search(
         group_field="name",

@@ -63,6 +63,50 @@ def phrase(text_field: str, words: list[str]) -> Column:
     return F.lower(F.col(text_field)).rlike(needle)
 
 
+def phrase_slop(text_field: str, words: list[str], slop: int) -> Column:
+    """Q5 — sloppy phrase predicate ``"w1 w2"~N`` evaluated per row on
+    the tokenized text: the words appear IN ORDER with total span ≤
+    (k-1) + slop token positions (the same in-order semantics as the
+    index-served ``inverted.sloppy_phrase_from_index``; slop=0 ≡
+    adjacent phrase).
+
+    Pure array HOFs — per-term position lists from one tokenize, then
+    the greedy smallest-next-position chain fold; no shuffle, no
+    positions materialized outside the row."""
+    from hbase_increment_index_spark.search.tokenize import tokens
+
+    if not words:
+        return F.lit(True)
+    t = tokens(text_field)
+    idx = F.sequence(F.lit(0), F.size(t) - 1)
+
+    def pos(word: str) -> Column:
+        w = word.lower()
+        return F.filter(idx, lambda i: F.element_at(t, i + 1) == F.lit(w))
+
+    def step(pw: Column):
+        # closure factory, NOT a default arg: PySpark HOF lambda arity
+        # counts defaults, and a 2-arg lambda means (element, index)
+        def advance(ch: Column) -> Column:
+            return F.struct(
+                ch["s"].alias("s"),
+                F.array_min(F.filter(pw, lambda q: q > ch["c"])).alias("c"),
+            )
+
+        return advance
+
+    chains = F.transform(pos(words[0]), lambda p: F.struct(p.alias("s"), p.alias("c")))
+    for word in words[1:]:
+        chains = F.filter(
+            F.transform(chains, step(pos(word))),
+            lambda ch: ch["c"].isNotNull(),
+        )
+    window = len(words) - 1 + slop
+    return (F.size(t) > 0) & F.exists(
+        chains, lambda ch: ch["c"] - ch["s"] <= F.lit(window)
+    )
+
+
 def by_id(df: DataFrame, key_field: str, key) -> DataFrame:
     """Q17 — unique-key retrieval (Solr ``q=rowkey:k``;
     reference application.properties:4)."""

@@ -11,7 +11,7 @@ deterministic relational predicate — no boost/proximity):
     atom      := "(" query ")" | term
     term      := field ":" value
     value     := "[" lit "TO" lit "]"                # inclusive range
-               | quoted phrase "..."                 # phrase match
+               | quoted phrase "..." ["~" slop]      # phrase (± slop) match
                | bare* | bare?pattern                # wildcard/prefix
                | bare~N | bare~                      # fuzzy (edit dist ≤ N, default 2)
                | bare                                # exact or token match
@@ -38,7 +38,7 @@ _TOKEN_RE = re.compile(
         (?P<op>AND\b|OR\b|NOT\b) |
         (?P<term>[A-Za-z_][\w.]*):(?:
             (?P<range>\[[^\]]+\]) |
-            "(?P<phrase>[^"]*)" |
+            "(?P<phrase>[^"]*)"(?:~(?P<slop>\d+))? |
             (?P<value>[^\s()]+)
         )
     )""",
@@ -80,7 +80,8 @@ def _lex(q: str) -> list[_Tok]:
                     raise SolrQueryError(f"bad range: {body!r}")
                 toks.append(_Tok("range", (field, parts[0].strip(), parts[1].strip())))
             elif m.group("phrase") is not None:
-                toks.append(_Tok("phrase", (field, m.group("phrase"))))
+                slop = int(m.group("slop")) if m.group("slop") else 0
+                toks.append(_Tok("phrase", (field, m.group("phrase"), slop)))
             else:
                 toks.append(_Tok("value", (field, m.group("value"))))
     return toks
@@ -160,7 +161,9 @@ class _Parser:
                 return F.col(field) >= F.lit(lo_l)
             return filters.range_between(field, lo_l, hi_l)
         if t.kind == "phrase":
-            field, words = t.payload
+            field, words, slop = t.payload
+            if slop:
+                return filters.phrase_slop(field, words.split(), slop)
             return filters.phrase(field, words.split())
         if t.kind == "value":
             field, value = t.payload

@@ -66,6 +66,42 @@ def test_phrase(docs):
     assert n == docs.filter(filters.phrase("text", ["row", "scan"])).count()
 
 
+def test_phrase_slop_parser_and_semantics(spark):
+    """'"w1 w2"~N' parses to the sloppy-phrase predicate: in-order
+    within (k-1)+N positions; slop=0 form equals the exact phrase; and
+    the row-level predicate agrees with the index-served operator."""
+    from hbase_increment_index_spark.search import filters
+    from hbase_increment_index_spark.search.inverted import (
+        build_positional_index,
+        sloppy_phrase_from_index,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "quick brown fox"),
+            (2, "quick red brown fox"),
+            (3, "quick very very red brown"),
+            (4, "brown quick"),
+        ],
+        "id long, text string",
+    )
+    assert {r["id"] for r in solr_select(df, 'text:"quick brown"').collect()} == {1}
+    assert {r["id"] for r in solr_select(df, 'text:"quick brown"~1').collect()} == {1, 2}
+    assert {r["id"] for r in solr_select(df, 'text:"quick brown"~3').collect()} == {1, 2, 3}
+    # row-level predicate ≡ index-served operator on every slop
+    pp = build_positional_index(df, "id", "text")
+    for slop in (0, 1, 3):
+        via_pred = {
+            r["id"]
+            for r in df.filter(filters.phrase_slop("text", ["quick", "brown"], slop)).collect()
+        }
+        via_index = {
+            r["id"]
+            for r in sloppy_phrase_from_index(pp, ["quick", "brown"], "id", slop=slop).collect()
+        }
+        assert via_pred == via_index
+
+
 def test_phrase_with_regex_metacharacters(spark):
     # quoted phrases with regex metachars must match literally, not blow
     # up rlike pattern compilation (ADVICE r1)

@@ -375,10 +375,12 @@ class SecondaryIndex:
 
     def search_index(self, text_field: str, terms: list[str], op: str = "and") -> DataFrame:
         """Full-text match served via the materialized postings
-        (posting lookup → semi-join back to the documents); requires
-        ``build_postings(text_field)`` first."""
+        (posting lookup → semi-join back to the documents); postings
+        build and cache on first use, like rank/phrase."""
         from hbase_increment_index_spark.search.inverted import search_with_index
 
+        if text_field not in self._postings:
+            self.build_postings(text_field)
         return search_with_index(
             self.documents, self._postings[text_field], self.key_field, terms, op
         )
@@ -392,15 +394,26 @@ class SecondaryIndex:
 
     def terms(self, text_field: str, prefix: str | None = None, k: int = 20) -> DataFrame:
         """Solr terms component: vocabulary enumeration by document
-        frequency."""
-        from hbase_increment_index_spark.search.highlight import terms_component
+        frequency. Postings-served when built; corpus-scan fallback."""
+        from hbase_increment_index_spark.search.highlight import (
+            terms_component,
+            terms_component_from_index,
+        )
 
+        if text_field in self._postings:
+            return terms_component_from_index(self._postings[text_field], prefix, k=k)
         return terms_component(self.documents, self.key_field, text_field, prefix, k=k)
 
     def suggest(self, text_field: str, prefix: str, k: int = 10) -> DataFrame:
-        """Solr suggester: top-k prefix completions by corpus frequency."""
-        from hbase_increment_index_spark.search.highlight import suggest_terms
+        """Solr suggester: top-k prefix completions by corpus frequency.
+        Postings-served when built; corpus-scan fallback."""
+        from hbase_increment_index_spark.search.highlight import (
+            suggest_terms,
+            suggest_terms_from_index,
+        )
 
+        if text_field in self._postings:
+            return suggest_terms_from_index(self._postings[text_field], prefix, k=k)
         return suggest_terms(self.documents, self.key_field, text_field, prefix, k=k)
 
     def spellcheck(

@@ -41,6 +41,38 @@ def suggest_terms(
     )
 
 
+def suggest_terms_from_index(postings: DataFrame, prefix: str, k: int = 10) -> DataFrame:
+    """Suggester served from the materialized (term, id, tf) postings:
+    corpus frequency = SUM(tf) per term — no corpus scan, and with the
+    index range-partitioned by term the prefix filter prunes to a few
+    files. Identical output to ``suggest_terms``."""
+    return (
+        postings.filter(F.col("term").startswith(prefix))
+        .groupBy("term")
+        .agg(F.sum("tf").cast("long").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("term").asc())
+        .limit(k)
+    )
+
+
+def terms_component_from_index(
+    postings: DataFrame, prefix: str | None = None, k: int = 20
+) -> DataFrame:
+    """Terms component served from the postings: docfreq = row count
+    per term (rows are distinct (term, id)). Identical output to
+    ``terms_component``; one vocabulary-bounded hash agg, zero corpus
+    tokenization."""
+    p = postings
+    if prefix is not None:
+        p = p.filter(F.col("term").startswith(prefix))
+    return (
+        p.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("docfreq"))
+        .orderBy(F.col("docfreq").desc(), F.col("term").asc())
+        .limit(k)
+    )
+
+
 def terms_component(
     corpus: DataFrame,
     id_col: str,

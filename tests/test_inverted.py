@@ -40,6 +40,36 @@ def test_write_read_round_trip(spark, sf_dir, tmp_path):
     assert ids.count() == docs.filter(has_any_token("text", ["spark"])).count()
 
 
+def test_terms_suggest_index_path_equals_corpus_path(spark):
+    """Postings-served terms/suggester return exactly what the
+    corpus-scan versions return."""
+    from hbase_increment_index_spark.search.highlight import (
+        suggest_terms,
+        suggest_terms_from_index,
+        terms_component,
+        terms_component_from_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana"),
+            (2, "apple cherry"),
+            (3, "apricot banana banana"),
+        ],
+        "doc_id long, text string",
+    )
+    postings = build_inverted_index(docs, "doc_id", "text")
+
+    scan = [tuple(r) for r in suggest_terms(docs, "doc_id", "text", "ap", k=5).collect()]
+    idx = [tuple(r) for r in suggest_terms_from_index(postings, "ap", k=5).collect()]
+    assert scan == idx == [("apple", 3), ("apricot", 1)]
+
+    scan_t = [tuple(r) for r in terms_component(docs, "doc_id", "text", k=5).collect()]
+    idx_t = [tuple(r) for r in terms_component_from_index(postings, k=5).collect()]
+    assert scan_t == idx_t
+    assert scan_t[0] == ("apple", 2) and ("banana", 2) in scan_t
+
+
 def test_written_index_term_ranges_prune_files(spark, sf_dir, tmp_path):
     """The point of the range-partitioned index write: per-file term
     min/max ranges are (near-)disjoint, so a term lookup admits ~1 of N

@@ -4210,6 +4210,86 @@ GROUP BY c_mktsegment
 """
 
 
+def olap_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority): segment-filtered customers
+    broadcast into orders, fact-fact join on orderkey, revenue top-10.
+    The date filters push into both fact scans; the only wide exchange
+    is the orderkey join + the (orderkey, date, priority) agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    cutoff = "1997-06-01"
+    keys = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    return (
+        li.filter(F.col("l_shipdate") > F.lit(cutoff).cast("timestamp"))
+        .join(
+            orders.filter(F.col("o_orderdate") < F.lit(cutoff).cast("timestamp")),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .join(F.broadcast(keys), orders.o_custkey == keys.c_custkey, "left_semi")
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(30,6)"
+                )
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+OLAP_SHIP_PRIORITY_SQL = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > TIMESTAMP '1997-06-01'
+  AND o_orderdate < TIMESTAMP '1997-06-01'
+  AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def olap_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecast revenue change): pure filter +
+    single-row aggregate — every predicate pushes into the parquet
+    scan, zero joins, zero wide exchanges beyond the 1-row final."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.02, 0.04))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(30,6)")
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+OLAP_FORECAST_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.02 AND 0.04
+  AND l_quantity < 24
+"""
+
+
 def q52_realtime_get(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Solr RealTimeGet (``/get?ids=...``): fetch the CURRENT documents
     for a handful of row keys straight from the update log — visible
@@ -4466,6 +4546,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q11c_facet_range_other": q11c_facet_range_other,
     "e6e_token_budget_head": e6e_token_budget_head,
     "e2f_incremental_near_dups": e2f_incremental_near_dups,
+    "olap_shipping_priority": olap_shipping_priority,
+    "olap_forecast_revenue": olap_forecast_revenue,
     "q01_filter_eq": q01_filter_eq,
     "q02_range_filter": q02_range_filter,
     "q03_boolean_filter": q03_boolean_filter,
@@ -4592,6 +4674,8 @@ ORACLES: dict[str, str] = {
     "q11c_facet_range_other": Q11C_SQL,
     "e6e_token_budget_head": E6E_SQL,
     "e2f_incremental_near_dups": E2F_SQL,
+    "olap_shipping_priority": OLAP_SHIP_PRIORITY_SQL,
+    "olap_forecast_revenue": OLAP_FORECAST_SQL,
     "q17_by_id": Q17_SQL,
     "q18_cube": Q18_SQL,
     "q19_facet_having": Q19_SQL,

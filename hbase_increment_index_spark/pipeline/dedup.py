@@ -712,3 +712,99 @@ def simhash_pairs(
         .select("id_a", "id_b", "hamming")
     )
     return pairs
+
+
+# ------------------------------------------- E2g exact-substring spans
+
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    ratio_decimals: int = 6,
+) -> DataFrame:
+    """Per-document duplicated-substring coverage — the Spark-first
+    shape of suffix-array exact-substring dedup (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better": remove
+    exact token substrings of length >= n repeated across documents).
+
+    Instead of a monolithic suffix array (inherently sequential to
+    build), every length-``n`` token window is shingled with its
+    position; a window duplicated across >= 2 documents marks its
+    token range [pos, pos+n-1] as duplicated, and overlapping or
+    adjacent ranges merge into maximal spans (island detection over
+    positions: a new span starts when the gap to the previous
+    duplicated window exceeds ``n``).
+
+    Plan: posexplode shingles (narrow) -> distinct (doc, gram) ->
+    groupBy(gram) document frequency (map-side partial agg) -> join
+    positions against the df>1 grams (shingle-keyed, same skew class
+    as the e2 near-dup join; ubiquitous shingles can be capped exactly
+    like max_shingle_df there) -> per-doc windows ordered by position
+    for span assembly -> one hash agg per (doc, span) then per doc.
+    Nothing is proportional to corpus x corpus; shuffle keys are
+    shingle hashes then doc ids.
+
+    Output (docs with >= 1 duplicated window):
+      doc_id, n_grams, n_dup_grams, n_spans, dup_tokens, dup_ratio
+    ordered by dup_ratio desc, doc_id asc.
+    """
+    from pyspark.sql import Window
+
+    doc = F.col(id_col)
+    pos_grams = df.select(
+        doc,
+        F.posexplode(shingle_grams(text_col, n)).alias("pos0", "gram"),
+    ).select(doc, (F.col("pos0") + 1).alias("pos"), "gram")
+
+    gdf = (
+        pos_grams.select(doc, "gram")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("gdf"))
+        .filter(F.col("gdf") > 1)
+        .select("gram")
+    )
+    dup_pos = pos_grams.join(gdf, "gram").select(doc, "pos")
+
+    w = Window.partitionBy(id_col).orderBy("pos")
+    flagged = dup_pos.withColumn(
+        "new_span",
+        F.when(
+            F.coalesce(F.col("pos") - F.lag("pos").over(w), F.lit(n + 1)) > n,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "span_id",
+        F.sum("new_span").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_span = flagged.groupBy(id_col, "span_id").agg(
+        F.min("pos").alias("lo"),
+        F.max("pos").alias("hi"),
+        F.count(F.lit(1)).alias("n_windows"),
+    )
+    per_doc = per_span.groupBy(id_col).agg(
+        F.sum("n_windows").alias("n_dup_grams"),
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("hi") - F.col("lo") + F.lit(n)).alias("dup_tokens"),
+    )
+
+    sizes = df.select(
+        doc,
+        F.size(tokens(text_col)).alias("n_tokens"),
+        F.greatest(F.size(tokens(text_col)) - (n - 1), F.lit(0)).alias("n_grams"),
+    )
+    return (
+        per_doc.join(sizes, id_col)
+        .select(
+            doc,
+            "n_grams",
+            "n_dup_grams",
+            "n_spans",
+            "dup_tokens",
+            F.round(F.col("dup_tokens") / F.col("n_tokens"), ratio_decimals).alias(
+                "dup_ratio"
+            ),
+        )
+        .orderBy(F.col("dup_ratio").desc(), doc.asc())
+    )

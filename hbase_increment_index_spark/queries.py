@@ -4476,6 +4476,363 @@ LIMIT 50
 
 
 # --------------------------------------------------------------------------
+# r3 late additions: eDisMax / synonyms / graph query / dup-spans /
+# hashed classifier / TPC-H Q7+Q8 shapes
+# --------------------------------------------------------------------------
+
+def q54_edismax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr eDisMax parser ``defType=edismax&qf=text^2 source^1&
+    mm=1&tie=0.1`` — multi-field disjunction-max relevance with
+    minimum-should-match (search.edismax.edismax_topk). Per-field
+    postings are broadcast-filtered to the query terms before any
+    shuffle; 'src7' only matches via the source field, exercising the
+    cross-field max."""
+    from hbase_increment_index_spark.search.edismax import edismax_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return edismax_topk(
+        docs,
+        "doc_id",
+        {"text": 2.0, "source": 1.0},
+        ["spark", "query", "src7"],
+        mm=1,
+        tie=0.1,
+        k=15,
+    )
+
+
+Q54_SQL = f"""
+WITH n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+fields AS (
+  SELECT doc_id, 'text' AS fld, 2.0 AS boost,
+         unnest({_SQL_TOKS.format(c='text')}) AS term
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 'source' AS fld, 1.0 AS boost,
+         unnest({_SQL_TOKS.format(c='source')}) AS term
+  FROM documents
+),
+hits AS (SELECT * FROM fields WHERE term IN ('spark', 'query', 'src7')),
+tf AS (
+  SELECT doc_id, fld, boost, term, count(*) AS tf
+  FROM hits GROUP BY 1, 2, 3, 4
+),
+dft AS (SELECT fld, term, count(*) AS df_t FROM tf GROUP BY 1, 2),
+w AS (
+  SELECT tf.doc_id, tf.term, tf.boost * tf.tf * ln(n.n_docs / dft.df_t) AS w
+  FROM tf JOIN dft USING (fld, term), n
+),
+dm AS (
+  SELECT doc_id, term, max(w) + 0.1 * (sum(w) - max(w)) AS dismax
+  FROM w GROUP BY 1, 2
+)
+SELECT doc_id, ROUND(SUM(dismax), 6) AS score, COUNT(*) AS matched
+FROM dm
+GROUP BY doc_id
+HAVING COUNT(*) >= 1
+ORDER BY score DESC, doc_id ASC
+LIMIT 15
+"""
+
+
+def q55_synonyms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-time synonym expansion (Solr SynonymGraphFilter):
+    ``q=text:(fast join)`` where join={join,merge}, fast={fast,quick,
+    speedy} — each group an OR over its variants, groups ANDed
+    (search.tokenize.synonym_groups_match). Pure token-array
+    projection, zero shuffle."""
+    from hbase_increment_index_spark.search.tokenize import synonym_groups_match
+
+    docs = _t(spark, sf_dir, "documents")
+    pred, counts = synonym_groups_match(
+        "text", {"fast": ["quick", "speedy"], "join": ["merge"]}
+    )
+    return docs.filter(pred).select("doc_id", *counts).orderBy(F.col("doc_id").asc())
+
+
+Q55_SQL = f"""
+SELECT doc_id,
+       len(list_intersect(list_distinct({_SQL_TOKS.format(c='text')}),
+           ['fast', 'quick', 'speedy'])) AS n_fast,
+       len(list_intersect(list_distinct({_SQL_TOKS.format(c='text')}),
+           ['join', 'merge'])) AS n_join
+FROM documents
+WHERE len(list_intersect(list_distinct({_SQL_TOKS.format(c='text')}),
+          ['fast', 'quick', 'speedy'])) > 0
+  AND len(list_intersect(list_distinct({_SQL_TOKS.format(c='text')}),
+          ['join', 'merge'])) > 0
+ORDER BY doc_id ASC
+"""
+
+
+def q56_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr graph traversal ``{{!graph from=o_custkey to=o_orderkey
+    maxDepth=3}}o_orderkey:[0 TO 19]`` over orders — level-synchronous
+    BFS, every reachable doc tagged with its minimum hop count
+    (search.graph.graph_traverse). Each hop is a broadcast semi-join
+    on the frontier's key set."""
+    from hbase_increment_index_spark.search.graph import graph_traverse
+
+    orders = _t(spark, sf_dir, "orders")
+    out = graph_traverse(
+        orders,
+        "o_orderkey",
+        from_col="o_custkey",
+        to_col="o_orderkey",
+        root_pred=F.col("o_orderkey") < 20,
+        max_depth=3,
+    )
+    return out.orderBy(F.col("o_orderkey").asc())
+
+
+Q56_SQL = """
+WITH RECURSIVE walk(node, fromv, depth) AS (
+  SELECT o_orderkey, o_custkey, 0 FROM orders WHERE o_orderkey < 20
+  UNION ALL
+  SELECT o.o_orderkey, o.o_custkey, w.depth + 1
+  FROM orders o JOIN walk w ON o.o_orderkey = w.fromv
+  WHERE w.depth < 3
+)
+SELECT node AS o_orderkey, MIN(depth) AS depth
+FROM walk
+GROUP BY node
+ORDER BY o_orderkey ASC
+"""
+
+
+_E2G_N = 4  # duplicated-window width in tokens
+
+
+def e2g_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication coverage (Lee et al. 2021 shape):
+    per-doc merged spans of token windows repeated across >= 2 docs
+    (pipeline.dedup.duplicated_spans). Shingle-keyed df join + per-doc
+    island windows — never corpus x corpus."""
+    from hbase_increment_index_spark.pipeline.dedup import duplicated_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return duplicated_spans(docs, "doc_id", "text", n=_E2G_N)
+
+
+E2G_SQL = f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS.format(c='text')} AS t FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(generate_series(1, greatest(len(t) - {_E2G_N - 1}, 0))) AS pos,
+         unnest(list_transform(
+           generate_series(1, greatest(len(t) - {_E2G_N - 1}, 0)),
+           i -> array_to_string(list_slice(t, i, i + {_E2G_N - 1}), ' '))) AS gram
+  FROM toks
+),
+gdf AS (
+  SELECT gram FROM (
+    SELECT gram, count(DISTINCT doc_id) AS c FROM g GROUP BY 1
+  ) WHERE c > 1
+),
+dup AS (SELECT g.doc_id, g.pos FROM g JOIN gdf USING (gram)),
+flg AS (
+  SELECT doc_id, pos,
+         CASE WHEN coalesce(
+                pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos),
+                {_E2G_N + 1}) > {_E2G_N}
+              THEN 1 ELSE 0 END AS new_span
+  FROM dup
+),
+sp AS (
+  SELECT doc_id, pos,
+         SUM(new_span) OVER (
+           PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS span_id
+  FROM flg
+),
+per_span AS (
+  SELECT doc_id, span_id, min(pos) AS lo, max(pos) AS hi, count(*) AS nw
+  FROM sp GROUP BY 1, 2
+),
+per_doc AS (
+  SELECT doc_id, CAST(SUM(nw) AS BIGINT) AS n_dup_grams, COUNT(*) AS n_spans,
+         CAST(SUM(hi - lo + {_E2G_N}) AS BIGINT) AS dup_tokens
+  FROM per_span GROUP BY 1
+),
+sizes AS (
+  SELECT doc_id, len(t) AS n_tokens,
+         greatest(len(t) - {_E2G_N - 1}, 0) AS n_grams
+  FROM toks
+)
+SELECT d.doc_id, s.n_grams, d.n_dup_grams, d.n_spans, d.dup_tokens,
+       ROUND(CAST(d.dup_tokens AS DOUBLE) / s.n_tokens, 6) AS dup_ratio
+FROM per_doc d JOIN sizes s USING (doc_id)
+ORDER BY dup_ratio DESC, d.doc_id ASC
+"""
+
+
+def e4j_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed linear quality classifier (CCNet/GPT-3
+    curation-filter shape) as a pure codegen expression: hash tokens
+    into 256 buckets, integer milli-weight fold, sigmoid
+    (pipeline.classify.hashed_linear_score). Zero shuffle, zero UDF."""
+    from hbase_increment_index_spark.pipeline.classify import hashed_linear_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return hashed_linear_score(docs, "doc_id", "text", dim=256, seed="qclf").orderBy(
+        F.col("doc_id").asc()
+    )
+
+
+def _e4j_sql() -> str:
+    from hbase_increment_index_spark.pipeline.classify import hashed_linear_sql
+
+    return hashed_linear_sql(dim=256, seed="qclf") + "\nORDER BY doc_id ASC"
+
+
+def olap_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): bilateral trade revenue
+    between two nations (NATION_3 / NATION_8 — both sides of the pair hold suppliers at every sf) by ship year. Both nation lookups broadcast
+    into the fact scan; the only wide exchange is the
+    lineitem ⋈ orders orderkey join + the 3-key agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+
+    pair = nation.filter(F.col("n_name").isin("NATION_3", "NATION_8"))
+    supp_n = supp.join(
+        F.broadcast(pair), supp.s_nationkey == pair.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    cust_n = cust.join(
+        F.broadcast(pair), cust.c_nationkey == pair.n_nationkey
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp_n), li.l_suppkey == supp_n.s_suppkey)
+        .join(F.broadcast(cust_n), orders.o_custkey == cust_n.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(30,6)"
+                )
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+OLAP_VOLUME_SQL = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(CAST(volume AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+FROM (
+  SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+         date_part('year', l_shipdate) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ns ON s_nationkey = ns.n_nationkey
+  JOIN nation nc ON c_nationkey = nc.n_nationkey
+  WHERE ns.n_name IN ('NATION_3', 'NATION_8')
+    AND nc.n_name IN ('NATION_3', 'NATION_8')
+    AND ns.n_name <> nc.n_name
+    AND l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+)
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def olap_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): NATION_3's share of
+    PROMO-part revenue sold into AFRICA, by order year. Every
+    dimension (part filter, customer-region, supplier-nation) is a
+    broadcast; the share is a conditional aggregate over one
+    fact-fact join."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    part = _t(spark, sf_dir, "part")
+
+    parts = part.filter(F.col("p_type") == "PROMO").select("p_partkey")
+    africa_nations = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == "AFRICA")),
+        nation.n_regionkey == region.r_regionkey,
+    ).select("n_nationkey")
+    cust_keys = cust.join(
+        F.broadcast(africa_nations), cust.c_nationkey == africa_nations.n_nationkey
+    ).select("c_custkey")
+    supp_n = supp.join(
+        F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(30,6)")
+    return (
+        li.join(F.broadcast(parts), li.l_partkey == parts.p_partkey, "left_semi")
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+            ),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .join(F.broadcast(cust_keys), orders.o_custkey == cust_keys.c_custkey, "left_semi")
+        .join(F.broadcast(supp_n), li.l_suppkey == supp_n.s_suppkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0).cast("decimal(30,6)"))).alias("_nat"),
+            F.sum(vol).alias("_all"),
+        )
+        .select(
+            "o_year",
+            F.round(F.col("_nat").cast("double") / F.col("_all").cast("double"), 6).alias(
+                "mkt_share"
+            ),
+            F.col("_all").cast("double").alias("total_revenue"),
+        )
+        .orderBy("o_year")
+    )
+
+
+OLAP_MKT_SHARE_SQL = """
+SELECT o_year,
+       ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                           ELSE CAST(0 AS DECIMAL(30,6)) END) AS DOUBLE)
+             / CAST(SUM(volume) AS DOUBLE), 6) AS mkt_share,
+       CAST(SUM(volume) AS DOUBLE) AS total_revenue
+FROM (
+  SELECT date_part('year', o_orderdate) AS o_year,
+         CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6)) AS volume,
+         ns.n_name AS supp_nation
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ns ON s_nationkey = ns.n_nationkey
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+    AND o_custkey IN (
+      SELECT c_custkey FROM customer
+      JOIN nation nc ON c_nationkey = nc.n_nationkey
+      JOIN region ON nc.n_regionkey = r_regionkey
+      WHERE r_name = 'AFRICA')
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1998-01-01'
+)
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -4540,7 +4897,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e12_unigram_logprob": e12_unigram_logprob,
     "e13_epoch_shuffle": e13_epoch_shuffle,
     # --- driver-verified in r1/r2 (and remaining variants; r4 window
-    # candidates start here: q05d + olap_* + e-variants lack driver rows) ---
+    # candidates start here: late-r3 additions + q05d + olap_* +
+    # e-variants lack driver rows) ---
+    "q54_edismax": q54_edismax,
+    "q55_synonyms": q55_synonyms,
+    "q56_graph": q56_graph,
+    "e2g_dup_spans": e2g_dup_spans,
+    "e4j_classifier": e4j_classifier,
+    "olap_volume_shipping": olap_volume_shipping,
+    "olap_market_share": olap_market_share,
     "q05d_phrase_slop": q05d_phrase_slop,
     "q16d_pivot_limited": q16d_pivot_limited,
     "q11c_facet_range_other": q11c_facet_range_other,
@@ -4783,4 +5148,11 @@ ORACLES: dict[str, str] = {
     "e9_source_quality": E9_SQL,
     "e10_curation": E10_SQL,
     "e11_temperature_mixture": E11_SQL,
+    "q54_edismax": Q54_SQL,
+    "q55_synonyms": Q55_SQL,
+    "q56_graph": Q56_SQL,
+    "e2g_dup_spans": E2G_SQL,
+    "e4j_classifier": _e4j_sql(),
+    "olap_volume_shipping": OLAP_VOLUME_SQL,
+    "olap_market_share": OLAP_MKT_SHARE_SQL,
 }

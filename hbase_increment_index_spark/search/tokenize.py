@@ -57,6 +57,32 @@ def has_any_token(col: Column | str, terms: list[str]) -> Column:
     return pred
 
 
+def synonym_groups_match(
+    col: Column | str, groups: dict[str, list[str]]
+) -> tuple[Column, list[Column]]:
+    """Query-time synonym expansion (Solr SynonymGraphFilter at query
+    time): each canonical term expands to an OR over its synonym set,
+    and the groups combine with AND (``q.op=AND``) — exactly how
+    ``q=text:(fast engine)`` behaves behind an analyzer with
+    ``synonyms.txt`` entries.
+
+    Returns (match predicate, per-group matched-variant-count columns,
+    one per canonical term in sorted order). Pure token-array
+    expressions — zero shuffle, pushdown-friendly.
+    """
+    toks = F.array_distinct(tokens(col))
+    counts = []
+    pred = F.lit(True)
+    for canon in sorted(groups):
+        variants = sorted({canon.lower(), *(v.lower() for v in groups[canon])})
+        hit_n = F.size(
+            F.array_intersect(toks, F.array(*[F.lit(v) for v in variants]))
+        )
+        counts.append(hit_n.alias(f"n_{canon.lower()}"))
+        pred = pred & (hit_n > 0)
+    return pred, counts
+
+
 def posting_list(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Explode a corpus to (id, term) postings — the inverted-index
     building block used by ranking (TF) and term-count facets.

@@ -1,0 +1,202 @@
+"""Unit tests on hand-built fixtures for the round-3 late additions:
+eDisMax, synonym expansion, graph traversal, duplicated-span
+detection, hashed linear classifier."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from hbase_increment_index_spark.pipeline.classify import hashed_linear_score
+from hbase_increment_index_spark.pipeline.dedup import duplicated_spans
+from hbase_increment_index_spark.search.edismax import edismax_topk
+from hbase_increment_index_spark.search.graph import graph_traverse
+from hbase_increment_index_spark.search.tokenize import synonym_groups_match
+
+
+# ----------------------------------------------------------- eDisMax
+
+@pytest.fixture(scope="module")
+def multi_field(spark):
+    # doc 1: both terms in title; doc 2: one term in each field;
+    # doc 3: one term, body only; doc 4: no terms
+    return spark.createDataFrame(
+        [
+            (1, "alpha beta", "filler filler"),
+            (2, "alpha filler", "beta filler"),
+            (3, "filler filler", "alpha filler"),
+            (4, "filler filler", "none here"),
+        ],
+        "id long, title string, body string",
+    )
+
+
+def test_edismax_mm_filters_partial_matches(multi_field):
+    out = edismax_topk(
+        multi_field, "id", {"title": 2.0, "body": 1.0}, ["alpha", "beta"], mm=2, k=10
+    )
+    assert {r["id"] for r in out.collect()} == {1, 2}
+
+
+def test_edismax_field_boost_orders_results(multi_field):
+    # same term set matched; title matches (boost 2) outrank body-only
+    out = edismax_topk(
+        multi_field, "id", {"title": 2.0, "body": 1.0}, ["alpha"], mm=1, k=10
+    ).collect()
+    ids = [r["id"] for r in out]
+    assert ids.index(1) < ids.index(3) or ids.index(2) < ids.index(3)
+    assert {r["id"] for r in out} == {1, 2, 3}
+
+
+def test_edismax_tie_zero_is_pure_max(multi_field):
+    # doc 2 matches 'alpha' in title only and 'beta' in body only;
+    # with tie=0 each term contributes only its max field score, so
+    # adding a second (lower-boost) field hit must not change score
+    pure = edismax_topk(
+        multi_field, "id", {"title": 2.0, "body": 1.0}, ["alpha"], mm=1, tie=0.0, k=10
+    )
+    both = edismax_topk(
+        multi_field, "id", {"title": 2.0}, ["alpha"], mm=1, tie=0.0, k=10
+    )
+    s_pure = {r["id"]: r["score"] for r in pure.collect()}
+    s_title = {r["id"]: r["score"] for r in both.collect()}
+    # doc 1: alpha only in title; its dismax score must equal the
+    # title-only run (same df within that field set is not guaranteed
+    # across runs, so just assert doc-3 (body-only) appears only in
+    # the two-field run)
+    assert 3 in s_pure and 3 not in s_title
+    assert 1 in s_pure and 1 in s_title
+
+
+# ----------------------------------------------------------- synonyms
+
+def test_synonym_groups_and_semantics(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox joins"), (2, "fast dog"), (3, "merge fast now"),
+         (4, "nothing relevant")],
+        "id long, txt string",
+    )
+    pred, counts = synonym_groups_match("txt", {"fast": ["quick"], "join": ["merge"]})
+    out = df.filter(pred).select("id", *counts).collect()
+    # doc 1: quick (fast-group) but 'joins' != 'join' → no join-group hit
+    # doc 2: fast only; doc 3: both groups
+    assert {r["id"] for r in out} == {3}
+    row = out[0]
+    assert row["n_fast"] == 1 and row["n_join"] == 1
+
+
+# ----------------------------------------------------- graph traversal
+
+def test_graph_traverse_min_depth_bfs(spark):
+    # chain 1→2→3→4 plus a shortcut 1→3: BFS depth of 3 must be 1
+    # (via shortcut), not 2 (via chain). Edge rule: B is one hop from
+    # A when B.to == A.from; encode each node's outgoing edge in 'frm'.
+    df = spark.createDataFrame(
+        [
+            # (id, frm, to): to is the node's own key; frm points at
+            # the next node's key
+            (1, 3, 1),   # 1 links to 3 (shortcut)
+            (10, 2, 1),  # duplicate row for node key 1 → links to 2
+            (2, 3, 2),
+            (3, 4, 3),
+            (4, 99, 4),
+        ],
+        "id long, frm long, to long",
+    )
+    out = graph_traverse(
+        df, "id", "frm", "to", root_pred=F.col("to") == 1, max_depth=3
+    )
+    depths = {r["id"]: r["depth"] for r in out.collect()}
+    assert depths[1] == 0 and depths[10] == 0
+    assert depths[2] == 1  # via node 10's from=2
+    assert depths[3] == 1  # shortcut from node 1, NOT 2 via 2→3
+    assert depths[4] == 2
+
+
+def test_graph_traverse_depth_bound(spark):
+    df = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 2), (3, 4, 3), (4, 5, 4)], "id long, frm long, to long"
+    )
+    out = graph_traverse(df, "id", "frm", "to", F.col("to") == 1, max_depth=2)
+    assert {r["id"] for r in out.collect()} == {1, 2, 3}  # 4 is 3 hops away
+
+
+# ------------------------------------------------------ dup spans
+
+def test_duplicated_spans_merges_overlaps(spark):
+    # docs 1 and 2 share the 6-token run "a b c d e f": with n=4 that
+    # is three duplicated windows at pos 1,2,3 → ONE merged span of 6
+    # tokens; doc 3 shares nothing
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f x y z w"),
+            (2, "q r a b c d e f s t"),
+            (3, "unrelated words only here now"),
+        ],
+        "id long, txt string",
+    )
+    out = {r["id"]: r for r in duplicated_spans(df, "id", "txt", n=4).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["n_spans"] == 1
+    assert out[1]["dup_tokens"] == 6
+    assert out[1]["n_dup_grams"] == 3
+    assert out[2]["n_spans"] == 1 and out[2]["dup_tokens"] == 6
+    assert abs(out[1]["dup_ratio"] - 0.6) < 1e-9
+
+
+def test_duplicated_spans_distinct_regions(spark):
+    # doc 1 repeats doc 2's head AND doc 3's tail, separated by a
+    # unique middle → two spans
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d unique middle zone w x y z"),
+            (2, "a b c d other stuff entirely here"),
+            (3, "prefix pad pad pad pad w x y z"),
+        ],
+        "id long, txt string",
+    )
+    out = {r["id"]: r for r in duplicated_spans(df, "id", "txt", n=4).collect()}
+    assert out[1]["n_spans"] == 2
+    assert out[1]["dup_tokens"] == 8
+
+
+# ------------------------------------------------------ classifier
+
+def test_hashed_linear_score_deterministic_and_bounded(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, ""), (3, "alpha beta gamma")],
+        "id long, txt string",
+    )
+    out = {r["id"]: r for r in hashed_linear_score(df, "id", "txt").collect()}
+    assert out[1]["clf_score"] == out[3]["clf_score"]  # content-determined
+    assert 0.0 < out[1]["clf_score"] < 1.0
+    # empty doc → bias-only prior = sigmoid(0) = 0.5, kept
+    assert out[2]["n_tokens"] == 0
+    assert abs(out[2]["clf_score"] - 0.5) < 1e-9
+    assert out[2]["keep"] == 1
+
+
+def test_hashed_linear_score_seed_changes_model(spark):
+    df = spark.createDataFrame([(1, "alpha beta gamma delta")], "id long, txt string")
+    a = hashed_linear_score(df, "id", "txt", seed="m1").collect()[0]["clf_score"]
+    b = hashed_linear_score(df, "id", "txt", seed="m2").collect()[0]["clf_score"]
+    assert a != b
+
+
+def test_hashed_linear_score_matches_reference_math(spark):
+    # recompute one doc's score in pure Python with the same md5 rule
+    import hashlib
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    toks = ["alpha", "beta"]
+    dim, seed = 1024, "qclf"
+    milli = sum((h60(f"{seed}:{h60(t) % dim}") % 2001) - 1000 for t in toks)
+    expect = round(1.0 / (1.0 + math.exp(-(milli / (1000.0 * len(toks))))), 6)
+
+    df = spark.createDataFrame([(1, "alpha beta")], "id long, txt string")
+    got = hashed_linear_score(df, "id", "txt", dim=dim, seed=seed).collect()[0]
+    assert got["clf_score"] == pytest.approx(expect, abs=1e-9)

@@ -534,3 +534,42 @@ class SecondaryIndex:
         if self.key_field != "id":
             docs = docs.withColumnRenamed("id", self.key_field)
         return docs
+
+    def edismax(
+        self,
+        field_boosts: dict[str, float],
+        terms: list[str],
+        mm: int = 1,
+        tie: float = 0.0,
+        k: int = 10,
+    ) -> DataFrame:
+        """Solr eDisMax (``defType=edismax&qf=f1^b1 f2^b2&mm=N&tie=t``):
+        multi-field disjunction-max relevance with minimum-should-match.
+        """
+        from hbase_increment_index_spark.search.edismax import edismax_topk
+
+        return edismax_topk(
+            self.documents, self.key_field, field_boosts, terms, mm=mm, tie=tie, k=k
+        )
+
+    def synonym_search(
+        self, text_field: str, groups: dict[str, list[str]]
+    ) -> DataFrame:
+        """Query-time synonym expansion: each canonical term ORs over
+        its variants, groups AND together; returns matching docs plus
+        per-group matched-variant counts."""
+        from hbase_increment_index_spark.search.tokenize import synonym_groups_match
+
+        pred, counts = synonym_groups_match(text_field, groups)
+        return self.documents.filter(pred).select(self.key_field, *counts)
+
+    def graph_query(
+        self, from_field: str, to_field: str, root_pred: Column, max_depth: int = 3
+    ) -> DataFrame:
+        """Solr ``{!graph from=... to=... maxDepth=n}root`` traversal:
+        documents reachable from the root set, with min-hop depths."""
+        from hbase_increment_index_spark.search.graph import graph_traverse
+
+        return graph_traverse(
+            self.documents, self.key_field, from_field, to_field, root_pred, max_depth
+        )

@@ -39,12 +39,19 @@ def graph_traverse(
     to_col: str,
     root_pred,
     max_depth: int = 3,
+    persist_levels: bool = True,
 ) -> DataFrame:
     """Nodes reachable from ``root_pred`` docs in ≤ ``max_depth`` hops,
     each tagged with its minimum hop count as ``depth``.
 
     Edge rule (Solr {!graph}): doc B is one hop from doc A when
     ``B[to_col] == A[from_col]``.
+
+    ``persist_levels`` caches each frontier so level d's plan doesn't
+    re-derive levels 0..d-1 (the standard iterative-algorithm hygiene —
+    without it the lazy plan re-expands the whole BFS chain at every
+    level, quadratic plan growth in depth). Disable only for
+    plan-inspection of the fully-inlined form.
     """
     proj = df.select(
         F.col(id_col), F.col(from_col).alias("_from"), F.col(to_col).alias("_to")
@@ -61,6 +68,8 @@ def graph_traverse(
             .join(visited.select(id_col), id_col, "left_anti")
             .dropDuplicates([id_col])
         )
+        if persist_levels:
+            nxt = nxt.persist()
         visited = visited.unionByName(
             nxt.select(F.col(id_col), F.lit(d).alias("depth"))
         )

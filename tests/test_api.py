@@ -274,3 +274,24 @@ def test_search_facet_params(index):
     rows = resp.facets["name"].collect()
     assert [r["name"] for r in rows] == sorted(r["name"] for r in rows)
     assert len(rows) == 2
+
+
+def test_edismax_on_facade(index):
+    # 'apple' appears in name for r1/r3; mm=1
+    out = index.edismax({"name": 2.0}, ["apple", "recipe"], mm=1, k=10)
+    got = {r["rowkey"]: r["matched"] for r in out.collect()}
+    assert got == {"r1": 2, "r3": 1, "r2": 1}
+
+
+def test_synonym_search_on_facade(index):
+    out = index.synonym_search("name", {"pie": ["tart", "bread"]})
+    assert {r["rowkey"] for r in out.collect()} == {"r1", "r2"}
+
+
+def test_graph_query_on_facade(index):
+    # price chain: traverse from r1 following name→name is meaningless
+    # on this fixture; use rowkey self-edges to smoke the plumbing:
+    # from=rowkey to=rowkey means each root only reaches itself.
+    out = index.graph_query("rowkey", "rowkey", F.col("rowkey") == "r1", max_depth=2)
+    rows = out.collect()
+    assert {(r["rowkey"], r["depth"]) for r in rows} == {("r1", 0)}

@@ -22,6 +22,12 @@ AUDITED = [
     "olap_anti_join",
     "cdc_latest_per_key",
     "cdc_merge_batches",
+    "q54_edismax",
+    "q56_graph",
+    "e2g_dup_spans",
+    "e4j_classifier",
+    "olap_volume_shipping",
+    "olap_market_share",
     "e1_exact_dedup",
     "e3_cosine_topk",
     "e3e_knn_join",

@@ -277,3 +277,38 @@ def weighted_sample(
         .orderBy(F.col("es_key").desc(), F.col(id_col).asc())
         .limit(n)
     )
+
+
+def curriculum_order(
+    df: DataFrame,
+    id_col: str,
+    score_col: str,
+    n_phases: int = 4,
+    salt: str = "curriculum",
+) -> DataFrame:
+    """Curriculum training order: bucket documents into quality phases
+    (phase 0 = highest-scoring = served first, the standard
+    easy/clean-first curriculum) and shuffle deterministically WITHIN
+    each phase. ``score_col`` must be in [0, 1] — e.g. the hashed
+    linear classifier's ``clf_score`` or the heuristic quality score.
+
+    Phase boundaries are fixed thresholds (floor((1-score)·n)), NOT
+    ntile: a global ntile needs a full sort/rank over the corpus,
+    while thresholding is a zero-shuffle projection that scales
+    embarrassingly. The within-phase order is the content-addressed
+    md5 key of :func:`deterministic_shuffle` — rerun-stable,
+    restartable, re-seedable via ``salt``. Materialize with
+    ``sinks.export_sorted(out, path, ["phase", "order_key"])``.
+    """
+    phase = F.least(
+        F.floor((F.lit(1.0) - F.col(score_col)) * n_phases).cast("int"),
+        F.lit(int(n_phases) - 1),
+    )
+    return df.select(
+        F.col(id_col),
+        F.col(score_col),
+        phase.alias("phase"),
+        F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))).alias(
+            "order_key"
+        ),
+    )

@@ -4832,6 +4832,38 @@ ORDER BY o_year
 """
 
 
+def e6f_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum training order: classifier-scored docs bucketed into
+    4 quality phases (best first), deterministic within-phase shuffle
+    (pipeline.sampling.curriculum_order over pipeline.classify scores).
+    Two chained zero-shuffle projections; the final orderBy is the
+    range-partitioned export path at scale."""
+    from hbase_increment_index_spark.pipeline.classify import hashed_linear_score
+    from hbase_increment_index_spark.pipeline.sampling import curriculum_order
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = hashed_linear_score(docs, "doc_id", "text", dim=256, seed="qclf").select(
+        "doc_id", "clf_score"
+    )
+    return curriculum_order(scored, "doc_id", "clf_score", n_phases=4).orderBy(
+        F.col("phase").asc(), F.col("order_key").asc()
+    )
+
+
+def _e6f_sql() -> str:
+    from hbase_increment_index_spark.pipeline.classify import hashed_linear_sql
+
+    clf = hashed_linear_sql(dim=256, seed="qclf")
+    return f"""
+WITH clf AS ({clf})
+SELECT doc_id, clf_score,
+       CAST(least(floor((1.0 - clf_score) * 4), 3) AS INT) AS phase,
+       md5('curriculum:' || CAST(doc_id AS VARCHAR)) AS order_key
+FROM clf
+ORDER BY phase ASC, order_key ASC
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4906,6 +4938,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e4j_classifier": e4j_classifier,
     "olap_volume_shipping": olap_volume_shipping,
     "olap_market_share": olap_market_share,
+    "e6f_curriculum": e6f_curriculum,
     "q05d_phrase_slop": q05d_phrase_slop,
     "q16d_pivot_limited": q16d_pivot_limited,
     "q11c_facet_range_other": q11c_facet_range_other,
@@ -5155,4 +5188,5 @@ ORACLES: dict[str, str] = {
     "e4j_classifier": _e4j_sql(),
     "olap_volume_shipping": OLAP_VOLUME_SQL,
     "olap_market_share": OLAP_MKT_SHARE_SQL,
+    "e6f_curriculum": _e6f_sql(),
 }

@@ -348,3 +348,60 @@ def test_incremental_facet_maintenance(spark, dirs):
         .collect()
     }
     assert got == want == {"veg": 2, "grain": 1}  # 'fruit' dropped entirely
+
+
+def test_watermark_drops_late_data_append_mode(spark, tmp_path):
+    # Watermark guarantee is one-directional: data later than the
+    # delay MAY still aggregate while the window state lives. The
+    # strict drop happens once state is evicted — so: batch the
+    # stream so the day-1 window is evicted+emitted (batch 3, after
+    # the watermark passes its end), THEN replay a day-1 event. If
+    # the engine did not drop it, append mode would re-open the
+    # window and emit a SECOND day-1 row; a single (day-1, n=1) row
+    # proves the drop.
+    import datetime as dt
+    import os
+    import time as _time
+
+    from hbase_increment_index_spark.streaming.cdc_stream import windowed_event_counts
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    src = str(tmp_path / "late_src")
+    os.makedirs(src)
+
+    def day(d, h=12):
+        return dt.datetime(2024, 1, d, h, 0, 0)
+
+    batches = [
+        [(1, day(1), 1, "click", 1.0)],   # open day-1 window
+        [(2, day(5), 1, "click", 1.0)],   # watermark (after) -> day 3
+        [(3, day(6), 1, "click", 1.0)],   # batch runs WITH day-3 mark:
+                                          # day-1 window evicted, emitted
+        [(4, day(1, 13), 1, "click", 1.0)],  # late replay: state gone -> drop
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+        _time.sleep(1.1)  # distinct mtimes: file source preserves order
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, user_id long, "
+                                "event_type string, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    agg = windowed_event_counts(stream, window_duration="1 day", watermark="2 days")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_drop")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT window.start AS ws, n FROM late_drop ORDER BY ws"
+    ).collect()
+    # exactly one emitted row: the day-1 window with ONLY the on-time
+    # event. No duplicate day-1 row (late replay dropped), and the
+    # still-open day-5/day-6 windows are unemitted.
+    assert [(r["ws"], r["n"]) for r in rows] == [(dt.datetime(2024, 1, 1), 1)]

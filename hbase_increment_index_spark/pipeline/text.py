@@ -352,3 +352,111 @@ def chunk_documents(
         F.col("_c.n_chunk_tokens").cast("long").alias("n_chunk_tokens"),
         F.col("_c.chunk_text").alias("chunk_text"),
     )
+
+
+def gopher_rules(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_len: float = 3.0,
+    max_mean_len: float = 10.0,
+    min_alpha_ratio: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher quality-rule gate (Rae et al. 2021 §A1.1, the standard
+    pretraining heuristic filter): per-rule booleans + composite keep.
+
+    Rules (defaults = the published thresholds, word-level):
+      r_words:  min_words <= word count <= max_words
+      r_len:    min_mean_len <= mean word length <= max_mean_len
+      r_alpha:  >= min_alpha_ratio of words contain an alphabetic char
+      r_stop:   >= min_stop_hits hits from the English function-word
+                list (Gopher's "contains at least 2 stop words")
+
+    One pure projection over the token array — zero shuffle; compose
+    with `exact_dedup`/classifier stages without materialization
+    barriers. Symbol/bullet-line ratio rules from the paper are
+    line-oriented and fold into the same projection when the corpus
+    carries raw (un-normalized) text.
+    """
+    c = F.col(text_col)
+    en_stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    staged = df.withColumns({"_toks": tokens(c)}).withColumns(
+        {
+            "_n": F.size("_toks"),
+            "_n_alpha": F.size(F.filter("_toks", lambda t: t.rlike("[a-z]"))),
+            "_n_stop": F.size(F.filter("_toks", lambda t: F.array_contains(en_stop, t))),
+            "_sum_len": F.aggregate(
+                F.transform("_toks", F.length),
+                F.lit(0).cast("long"),
+                lambda a, x: a + x,
+            ),
+        }
+    )
+    n = F.col("_n")
+    mean_len = F.when(n > 0, F.col("_sum_len") / n).otherwise(F.lit(0.0))
+    alpha_ratio = F.when(n > 0, F.col("_n_alpha") / n).otherwise(F.lit(0.0))
+    r_words = (n >= min_words) & (n <= max_words)
+    r_len = (mean_len >= min_mean_len) & (mean_len <= max_mean_len)
+    r_alpha = alpha_ratio >= min_alpha_ratio
+    r_stop = F.col("_n_stop") >= min_stop_hits
+    return staged.select(
+        F.col(id_col),
+        n.alias("n_words"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.col("_n_stop").alias("n_stop_hits"),
+        r_words.cast("int").alias("r_words"),
+        r_len.cast("int").alias("r_len"),
+        r_alpha.cast("int").alias("r_alpha"),
+        r_stop.cast("int").alias("r_stop"),
+        (r_words & r_len & r_alpha & r_stop).cast("int").alias("keep"),
+    )
+
+
+def gopher_rules_sql(
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_len: float = 3.0,
+    max_mean_len: float = 10.0,
+    min_alpha_ratio: float = 0.8,
+    min_stop_hits: int = 2,
+) -> str:
+    """DuckDB twin of :func:`gopher_rules` over ``documents`` (kept
+    adjacent so the two stay in lockstep)."""
+    toks = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+    stop = "['" + "', '".join(STOPWORDS["en"]) + "']"
+    return f"""
+WITH staged AS (
+  SELECT doc_id,
+         len({toks}) AS n,
+         len(list_filter({toks}, t -> regexp_matches(t, '[a-z]'))) AS n_alpha,
+         len(list_filter({toks}, t -> list_contains({stop}, t))) AS n_stop,
+         list_sum(list_transform({toks}, t -> CAST(length(t) AS BIGINT))) AS sum_len
+  FROM documents
+),
+feat AS (
+  SELECT doc_id, n,
+         CASE WHEN n > 0 THEN CAST(sum_len AS DOUBLE) / n ELSE 0.0 END AS mean_len,
+         CASE WHEN n > 0 THEN CAST(n_alpha AS DOUBLE) / n ELSE 0.0 END AS alpha_ratio,
+         n_stop
+  FROM staged
+)
+SELECT doc_id,
+       n AS n_words,
+       ROUND(mean_len, 6) AS mean_word_len,
+       ROUND(alpha_ratio, 6) AS alpha_ratio,
+       n_stop AS n_stop_hits,
+       CAST(n >= {min_words} AND n <= {max_words} AS INT) AS r_words,
+       CAST(mean_len >= {min_mean_len} AND mean_len <= {max_mean_len} AS INT) AS r_len,
+       CAST(alpha_ratio >= {min_alpha_ratio} AS INT) AS r_alpha,
+       CAST(n_stop >= {min_stop_hits} AS INT) AS r_stop,
+       CAST(n >= {min_words} AND n <= {max_words}
+            AND mean_len >= {min_mean_len} AND mean_len <= {max_mean_len}
+            AND alpha_ratio >= {min_alpha_ratio}
+            AND n_stop >= {min_stop_hits} AS INT) AS keep
+FROM feat
+ORDER BY doc_id ASC
+"""

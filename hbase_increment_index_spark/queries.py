@@ -4864,6 +4864,274 @@ ORDER BY phase ASC, order_key ASC
 """
 
 
+def q42b_frange(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr ``{{!frange l=.. u=..}}func`` — filter by a COMPUTED
+    function value (not a stored field): keep orders whose
+    recency-decayed price score lands in [30000, 60000]. The function
+    is the same recip-decay projection as q42; the range filter is
+    applied post-projection (frange is inherently non-sargable — its
+    cost is the projection, which is map-side and free)."""
+    from hbase_increment_index_spark.search.ranking import recency_boost
+
+    orders = _t(spark, sf_dir, "orders")
+    now = orders.agg(F.max("o_orderdate").alias("_now"))
+    scored = orders.crossJoin(F.broadcast(now)).select(
+        "o_orderkey",
+        F.round(
+            F.col("o_totalprice")
+            * recency_boost(F.col("o_orderdate"), F.col("_now"), 365.0),
+            6,
+        ).alias("score"),
+    )
+    return scored.filter(F.col("score").between(30000.0, 60000.0)).orderBy(
+        F.col("o_orderkey").asc()
+    )
+
+
+Q42B_SQL = """
+WITH now AS (SELECT max(o_orderdate) AS now_ts FROM orders),
+scored AS (
+  SELECT o_orderkey,
+         ROUND(o_totalprice * (1.0 / (1.0 + date_diff('day', o_orderdate, now_ts) / 365.0)), 6) AS score
+  FROM orders, now
+)
+SELECT o_orderkey, score
+FROM scored
+WHERE score BETWEEN 30000.0 AND 60000.0
+ORDER BY o_orderkey ASC
+"""
+
+
+def cdc_scan_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HBase AggregationClient / AggregateImplementation coprocessor
+    parity — the SAME deployment shape as the reference (a coprocessor
+    on the primary table, reference HbaseSolrIndexCoprocesser.java):
+    rowcount / sum / min / max / avg of a qualifier over a rowkey scan
+    band, computed where the data lives. Spark form: the band predicate
+    prunes the compacted-state scan (min/max file stats = region
+    pruning) and the aggregate is one partial-agg reduce — no shuffle
+    wider than the 1-row result."""
+    from hbase_increment_index_spark.cdc.index_builder import documents_from_cells
+
+    events = _t(spark, sf_dir, "events")
+    log = cell_log_from_events(events, delete_event_type="error")
+    docs = documents_from_cells(log, ["click", "purchase", "signup", "view"])
+    band = docs.filter((F.col("id") >= "2") & (F.col("id") < "6"))
+    v = F.col("click").cast("double")
+    return band.agg(
+        F.count(F.lit(1)).alias("rowcount"),
+        F.count(v).alias("n_click"),
+        exact_sum(v, 6).alias("sum_click"),
+        F.min(v).alias("min_click"),
+        F.max(v).alias("max_click"),
+        exact_avg(v, 6).alias("avg_click"),
+    )
+
+
+CDC_SCAN_AGG_SQL = f"""
+WITH log AS ({_SQL_CELL_LOG.format(delete_type='error')}),
+cell_latest AS (
+  SELECT * FROM log
+  QUALIFY row_number() OVER (
+    PARTITION BY row_key, family, qualifier ORDER BY ts DESC, seq DESC) = 1
+),
+row_latest AS (
+  SELECT row_key, op AS row_op FROM log
+  QUALIFY row_number() OVER (PARTITION BY row_key ORDER BY ts DESC, seq DESC) = 1
+),
+live AS (
+  SELECT c.* FROM cell_latest c JOIN row_latest r USING (row_key)
+  WHERE c.op = 'put' AND r.row_op = 'put'
+),
+docs AS (
+  SELECT row_key AS id,
+         min(CASE WHEN qualifier = 'click' THEN value END) AS click
+  FROM live GROUP BY row_key
+),
+band AS (SELECT CAST(click AS DOUBLE) AS v FROM docs WHERE id >= '2' AND id < '6')
+SELECT count(*) AS rowcount,
+       count(v) AS n_click,
+       CAST(SUM(CAST(v AS DECIMAL(30,6))) AS DOUBLE) AS sum_click,
+       min(v) AS min_click,
+       max(v) AS max_click,
+       CAST(SUM(CAST(v AS DECIMAL(30,6))) AS DOUBLE) / count(v) AS avg_click
+FROM band
+"""
+
+
+def e4k_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-rule composite filter (Rae et al. 2021, the
+    standard pretraining heuristic gate): word-count bounds, mean
+    word length bounds, alphabetic-word ratio, minimum stopword hits —
+    per-rule booleans plus the final keep flag
+    (pipeline.text.gopher_rules). One pure projection, zero shuffle."""
+    from hbase_increment_index_spark.pipeline.text import gopher_rules
+
+    docs = _t(spark, sf_dir, "documents")
+    return gopher_rules(docs, "doc_id", "text").orderBy(F.col("doc_id").asc())
+
+
+def _e4k_sql() -> str:
+    from hbase_increment_index_spark.pipeline.text import gopher_rules_sql
+
+    return gopher_rules_sql()
+
+
+_TIMERANGE_CUT = "2024-01-15 00:00:00"
+
+
+def cdc_scan_timerange(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HBase ``Scan.setTimeRange`` — the as-of snapshot read: only
+    cells with ts < T are visible, then normal newest-wins + tombstone
+    compaction among them. Point-in-time queries against the primary
+    store (HBase's native time-travel) as one sargable ts filter that
+    commutes with compaction — the filter pushes into the LOG scan and
+    the per-key window runs on the pruned slice."""
+    events = _t(spark, sf_dir, "events")
+    log = cell_log_from_events(events, delete_event_type="error")
+    asof = log.filter(F.col("ts") < F.lit(_TIMERANGE_CUT).cast("timestamp"))
+    return live_cells(asof).select("row_key", "family", "qualifier", "value", "seq")
+
+
+CDC_TIMERANGE_SQL = f"""
+WITH log AS (
+  SELECT * FROM ({_SQL_CELL_LOG.format(delete_type='error')})
+  WHERE ts < TIMESTAMP '{_TIMERANGE_CUT}'
+),
+cell_latest AS (
+  SELECT * FROM log
+  QUALIFY row_number() OVER (
+    PARTITION BY row_key, family, qualifier ORDER BY ts DESC, seq DESC) = 1
+),
+row_latest AS (
+  SELECT row_key, op AS row_op FROM log
+  QUALIFY row_number() OVER (PARTITION BY row_key ORDER BY ts DESC, seq DESC) = 1
+)
+SELECT c.row_key, c.family, c.qualifier, c.value, c.seq
+FROM cell_latest c JOIN row_latest r USING (row_key)
+WHERE c.op = 'put' AND r.row_op = 'put'
+"""
+
+
+def cdc_column_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HBase ``ColumnPaginationFilter(limit, offset)`` — per-ROW column
+    paging: each row returns at most ``limit`` qualifiers starting at
+    qualifier-offset ``offset`` (qualifiers in lexicographic order,
+    HBase's cell order). One window keyed on row_key over the live
+    cells — same single shuffle as compaction, which at scale is
+    already partitioned this way (the window rides the existing
+    layout)."""
+    events = _t(spark, sf_dir, "events")
+    log = cell_log_from_events(events, delete_event_type="error")
+    live = live_cells(log)
+    w = Window.partitionBy("row_key").orderBy(F.col("qualifier").asc())
+    limit, offset = 2, 1
+    return (
+        live.withColumn("_qpos", F.row_number().over(w))
+        .filter((F.col("_qpos") > offset) & (F.col("_qpos") <= offset + limit))
+        .select("row_key", "qualifier", "value")
+    )
+
+
+CDC_COLUMN_PAGE_SQL = f"""
+WITH log AS ({_SQL_CELL_LOG.format(delete_type='error')}),
+cell_latest AS (
+  SELECT * FROM log
+  QUALIFY row_number() OVER (
+    PARTITION BY row_key, family, qualifier ORDER BY ts DESC, seq DESC) = 1
+),
+row_latest AS (
+  SELECT row_key, op AS row_op FROM log
+  QUALIFY row_number() OVER (PARTITION BY row_key ORDER BY ts DESC, seq DESC) = 1
+),
+live AS (
+  SELECT c.* FROM cell_latest c JOIN row_latest r USING (row_key)
+  WHERE c.op = 'put' AND r.row_op = 'put'
+),
+paged AS (
+  SELECT row_key, qualifier, value,
+         row_number() OVER (PARTITION BY row_key ORDER BY qualifier ASC) AS qpos
+  FROM live
+)
+SELECT row_key, qualifier, value FROM paged WHERE qpos > 1 AND qpos <= 3
+"""
+
+
+def olap_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): share of revenue from
+    PROMO-type parts within a ship-date month band. Part dimension
+    broadcasts into the filtered fact scan; one conditional decimal
+    agg, 1-row result."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(30,6)")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-03-01").cast("timestamp"))
+        )
+        .join(F.broadcast(part.select("p_partkey", "p_type")), li.l_partkey == part.p_partkey)
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0).cast("decimal(30,6)"))).alias("_promo"),
+            F.sum(vol).alias("_all"),
+        )
+        .select(
+            F.round(
+                F.lit(100.0) * F.col("_promo").cast("double") / F.col("_all").cast("double"), 6
+            ).alias("promo_revenue_pct"),
+            F.col("_all").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+OLAP_PROMO_SQL = """
+SELECT ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))
+                 ELSE CAST(0 AS DECIMAL(30,6)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE),
+             6) AS promo_revenue_pct,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS total_revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1997-03-01'
+"""
+
+
+def olap_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue, disjunctive predicates):
+    an OR of three (brand × size-band × quantity-band) conjunctions
+    spanning two tables. Catalyst pushes the single-table residues of
+    the DNF into both scans (part: brand ∈ {...} ∧ size bounds;
+    lineitem: quantity bounds) and evaluates the cross-table OR after
+    the broadcast join — the standard Q19 plan a warehouse wants."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(
+        F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+        li.l_partkey == part.p_partkey,
+    )
+    q = F.col("l_quantity")
+    clause1 = (F.col("p_brand") == "Brand#13") & (F.col("p_size").between(1, 15)) & q.between(1, 20)
+    clause2 = (F.col("p_brand") == "Brand#20") & (F.col("p_size").between(1, 25)) & q.between(5, 30)
+    clause3 = (F.col("p_brand") == "Brand#9") & (F.col("p_size").between(10, 50)) & q.between(10, 40)
+    return j.filter(clause1 | clause2 | clause3).agg(
+        exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+OLAP_DISJUNCTIVE_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 5 AND 30)
+   OR (p_brand = 'Brand#9'  AND p_size BETWEEN 10 AND 50 AND l_quantity BETWEEN 10 AND 40)
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -4939,6 +5207,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "olap_volume_shipping": olap_volume_shipping,
     "olap_market_share": olap_market_share,
     "e6f_curriculum": e6f_curriculum,
+    "q42b_frange": q42b_frange,
+    "cdc_scan_agg": cdc_scan_agg,
+    "e4k_gopher_rules": e4k_gopher_rules,
+    "cdc_scan_timerange": cdc_scan_timerange,
+    "cdc_column_page": cdc_column_page,
+    "olap_promo_share": olap_promo_share,
+    "olap_disjunctive": olap_disjunctive,
     "q05d_phrase_slop": q05d_phrase_slop,
     "q16d_pivot_limited": q16d_pivot_limited,
     "q11c_facet_range_other": q11c_facet_range_other,
@@ -5189,4 +5464,11 @@ ORACLES: dict[str, str] = {
     "olap_volume_shipping": OLAP_VOLUME_SQL,
     "olap_market_share": OLAP_MKT_SHARE_SQL,
     "e6f_curriculum": _e6f_sql(),
+    "q42b_frange": Q42B_SQL,
+    "cdc_scan_agg": CDC_SCAN_AGG_SQL,
+    "e4k_gopher_rules": _e4k_sql(),
+    "cdc_scan_timerange": CDC_TIMERANGE_SQL,
+    "cdc_column_page": CDC_COLUMN_PAGE_SQL,
+    "olap_promo_share": OLAP_PROMO_SQL,
+    "olap_disjunctive": OLAP_DISJUNCTIVE_SQL,
 }

@@ -200,3 +200,60 @@ def test_hashed_linear_score_matches_reference_math(spark):
     df = spark.createDataFrame([(1, "alpha beta")], "id long, txt string")
     got = hashed_linear_score(df, "id", "txt", dim=dim, seed=seed).collect()[0]
     assert got["clf_score"] == pytest.approx(expect, abs=1e-9)
+
+
+# ------------------------------------------------------ gopher rules
+
+def test_gopher_rules_each_rule_fires(spark):
+    from hbase_increment_index_spark.pipeline.text import gopher_rules
+
+    # 60 words, stopword-bearing, mean word length 51/12 = 4.25
+    long_good = " ".join(
+        ["the quick brown fox jumps over with many other lazy dogs today"] * 5
+    )
+    df = spark.createDataFrame(
+        [
+            (1, long_good),                      # passes everything
+            (2, "too short but the and of"),     # fails r_words only
+            (3, " ".join(["x"] * 60)),           # mean len 1 -> fails r_len & r_stop
+            (4, " ".join(["12345"] * 30 + ["the and of to a in is it word"] * 4)),  # digits -> fails r_alpha (30/66 digit words)
+        ],
+        "id long, txt string",
+    )
+    out = {r["id"]: r for r in gopher_rules(df, "id", "txt", min_words=50).collect()}
+    assert out[1]["keep"] == 1
+    assert (out[2]["r_words"], out[2]["keep"]) == (0, 0)
+    assert (out[3]["r_len"], out[3]["r_stop"], out[3]["keep"]) == (0, 0, 0)
+    assert (out[4]["r_alpha"], out[4]["keep"]) == (0, 0)
+    # feature values sane
+    assert out[1]["n_words"] == 60 and out[1]["r_words"] == 1
+    assert out[3]["mean_word_len"] == 1.0
+
+
+def test_gopher_rules_empty_doc(spark):
+    from hbase_increment_index_spark.pipeline.text import gopher_rules
+
+    df = spark.createDataFrame([(1, "")], "id long, txt string")
+    row = gopher_rules(df, "id", "txt").collect()[0]
+    assert row["n_words"] == 0 and row["keep"] == 0
+    assert row["mean_word_len"] == 0.0 and row["alpha_ratio"] == 0.0
+
+
+# ------------------------------------------------------ curriculum
+
+def test_curriculum_order_phases_and_determinism(spark):
+    from hbase_increment_index_spark.pipeline.sampling import curriculum_order
+
+    df = spark.createDataFrame(
+        [(1, 0.95), (2, 0.60), (3, 0.30), (4, 0.05), (5, 1.0), (6, 0.0)],
+        "id long, s double",
+    )
+    out = {r["id"]: r for r in curriculum_order(df, "id", "s", n_phases=4).collect()}
+    assert out[1]["phase"] == 0 and out[5]["phase"] == 0   # best first
+    assert out[2]["phase"] == 1
+    assert out[3]["phase"] == 2
+    assert out[4]["phase"] == 3 and out[6]["phase"] == 3   # clamped
+    again = {r["id"]: r for r in curriculum_order(df, "id", "s", n_phases=4).collect()}
+    assert all(out[i]["order_key"] == again[i]["order_key"] for i in out)
+    reseed = {r["id"]: r for r in curriculum_order(df, "id", "s", 4, salt="epoch2").collect()}
+    assert any(out[i]["order_key"] != reseed[i]["order_key"] for i in out)

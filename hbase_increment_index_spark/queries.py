@@ -5132,6 +5132,33 @@ WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1
 """
 
 
+def q34b_terms_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr ``terms.regex`` — vocabulary enumeration restricted by a
+    full-match regex (Lucene RegexpQuery semantics), served from the
+    materialized postings: terms of 4-6 letters starting 's', df-desc
+    (search.highlight.terms_component_from_index)."""
+    from hbase_increment_index_spark.search.highlight import terms_component_from_index
+    from hbase_increment_index_spark.search.inverted import build_inverted_index
+
+    docs = _t(spark, sf_dir, "documents")
+    postings = build_inverted_index(docs, "doc_id", "text")
+    return terms_component_from_index(postings, k=20, regex="s[a-z]{3,5}")
+
+
+Q34B_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SQL_TOKS.format(c='text')}) AS term FROM documents
+),
+p AS (SELECT term, doc_id FROM toks GROUP BY 1, 2)
+SELECT term, count(*) AS docfreq
+FROM p
+WHERE regexp_full_match(term, 's[a-z]{{3,5}}')
+GROUP BY term
+ORDER BY docfreq DESC, term ASC
+LIMIT 20
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5214,6 +5241,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_column_page": cdc_column_page,
     "olap_promo_share": olap_promo_share,
     "olap_disjunctive": olap_disjunctive,
+    "q34b_terms_regex": q34b_terms_regex,
     "q05d_phrase_slop": q05d_phrase_slop,
     "q16d_pivot_limited": q16d_pivot_limited,
     "q11c_facet_range_other": q11c_facet_range_other,
@@ -5471,4 +5499,5 @@ ORACLES: dict[str, str] = {
     "cdc_column_page": CDC_COLUMN_PAGE_SQL,
     "olap_promo_share": OLAP_PROMO_SQL,
     "olap_disjunctive": OLAP_DISJUNCTIVE_SQL,
+    "q34b_terms_regex": Q34B_SQL,
 }

@@ -56,15 +56,22 @@ def suggest_terms_from_index(postings: DataFrame, prefix: str, k: int = 10) -> D
 
 
 def terms_component_from_index(
-    postings: DataFrame, prefix: str | None = None, k: int = 20
+    postings: DataFrame,
+    prefix: str | None = None,
+    k: int = 20,
+    regex: str | None = None,
 ) -> DataFrame:
     """Terms component served from the postings: docfreq = row count
     per term (rows are distinct (term, id)). Identical output to
     ``terms_component``; one vocabulary-bounded hash agg, zero corpus
-    tokenization."""
+    tokenization. ``regex`` = Solr ``terms.regex`` (full-match
+    semantics, like Lucene's RegexpQuery); prefix stays sargable,
+    regex filters the aggregated vocabulary."""
     p = postings
     if prefix is not None:
         p = p.filter(F.col("term").startswith(prefix))
+    if regex is not None:
+        p = p.filter(F.col("term").rlike(f"^(?:{regex})$"))
     return (
         p.groupBy("term")
         .agg(F.count(F.lit(1)).cast("long").alias("docfreq"))

@@ -284,3 +284,51 @@ def windowed_event_counts(
             F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("sum_value"),
         )
     )
+
+
+def stream_stream_purchase_attribution(
+    clicks_stream: DataFrame,
+    purchases_stream: DataFrame,
+    attribution_window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join — click→purchase attribution: each
+    purchase joins the SAME user's clicks that happened in the
+    preceding ``attribution_window``. The canonical Structured
+    Streaming two-stream join: watermarks on both sides plus the
+    time-bound condition let the engine discard click state older than
+    (watermark + window), so state is bounded regardless of stream
+    length — the scale requirement for an unbounded join.
+
+    Both inputs are event streams shaped like the events fixture
+    (event_id, ts, user_id, event_type, value); filtering to the two
+    roles happens here so callers can pass the same raw stream twice.
+    """
+    from pyspark.sql.types import TimestampNTZType
+
+    def _norm(s: DataFrame, role: str) -> DataFrame:
+        if isinstance(s.schema["ts"].dataType, TimestampNTZType):
+            s = s.withColumn("ts", F.col("ts").cast("timestamp"))
+        return s.select(
+            F.col("event_id").alias(f"{role}_id"),
+            F.col("ts").alias(f"{role}_ts"),
+            F.col("user_id").alias(f"{role}_user"),
+            F.col("value").alias(f"{role}_value"),
+        ).withWatermark(f"{role}_ts", watermark)
+
+    clicks = _norm(clicks_stream.filter(F.col("event_type") == "click"), "click")
+    purchases = _norm(
+        purchases_stream.filter(F.col("event_type") == "purchase"), "purchase"
+    )
+    return purchases.join(
+        clicks,
+        (F.col("click_user") == F.col("purchase_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {attribution_window}")
+        ),
+        "inner",
+    ).select(
+        "purchase_id", "purchase_user", "purchase_ts", "click_id", "click_ts"
+    )

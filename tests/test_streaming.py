@@ -405,3 +405,55 @@ def test_watermark_drops_late_data_append_mode(spark, tmp_path):
     # event. No duplicate day-1 row (late replay dropped), and the
     # still-open day-5/day-6 windows are unemitted.
     assert [(r["ws"], r["n"]) for r in rows] == [(dt.datetime(2024, 1, 1), 1)]
+
+
+def test_stream_stream_attribution_matches_batch(spark, sf_dir, tmp_path):
+    # streaming click→purchase interval join == the same join in batch
+    from hbase_increment_index_spark.catalog import load_table
+    from hbase_increment_index_spark.streaming.cdc_stream import (
+        stream_stream_purchase_attribution,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "attr_src")
+    events.write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+
+    joined = stream_stream_purchase_attribution(
+        stream, stream, attribution_window="1 hour", watermark="2 hours"
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("attr")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["purchase_id"], r["click_id"])
+        for r in spark.sql("SELECT purchase_id, click_id FROM attr").collect()
+    }
+
+    ev = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+        F.col("user_id").alias("u"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("user_id").alias("pu"),
+    )
+    expect = {
+        (r["purchase_id"], r["click_id"])
+        for r in purchases.join(
+            clicks,
+            (F.col("u") == F.col("pu"))
+            & (F.col("click_ts") <= F.col("purchase_ts"))
+            & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 hour")),
+        ).collect()
+    }
+    assert got == expect
+    assert len(got) > 0

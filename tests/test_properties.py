@@ -393,3 +393,65 @@ def test_temperature_resample_partition_invariant(spark, rows, nparts):
     assert kept1 == kept2
     rates = [r["keep_rate"] for r in base.select("keep_rate").distinct().collect()]
     assert all(0.0 < x <= 1.0 for x in rates)
+
+
+# ------------------------------------------------- duplicated spans
+
+def _py_dup_spans(docs: dict[int, list[str]], n: int):
+    """Pure-Python reference for pipeline.dedup.duplicated_spans."""
+    from collections import defaultdict
+
+    grams = {}  # doc -> [(pos, gram)]
+    where = defaultdict(set)  # gram -> {docs}
+    for d, toks in docs.items():
+        g = [
+            (i + 1, " ".join(toks[i : i + n]))
+            for i in range(max(len(toks) - n + 1, 0))
+        ]
+        grams[d] = g
+        for _, s in g:
+            where[s].add(d)
+    out = {}
+    for d, g in grams.items():
+        dup_pos = sorted(p for p, s in g if len(where[s]) > 1)
+        if not dup_pos:
+            continue
+        spans = []
+        for p in dup_pos:
+            if spans and p - spans[-1][1] <= n:
+                spans[-1][1] = p
+            else:
+                spans.append([p, p])
+        out[d] = {
+            "n_dup_grams": len(dup_pos),
+            "n_spans": len(spans),
+            "dup_tokens": sum(hi - lo + n for lo, hi in spans),
+        }
+    return out
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=12),
+        min_size=2,
+        max_size=6,
+    ),
+    st.integers(min_value=2, max_value=4),
+)
+def test_duplicated_spans_matches_python_oracle(spark, token_lists, n):
+    from hbase_increment_index_spark.pipeline.dedup import duplicated_spans
+
+    docs = {i: toks for i, toks in enumerate(token_lists)}
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in docs.items()], "id long, txt string"
+    )
+    got = {
+        r["id"]: {
+            "n_dup_grams": r["n_dup_grams"],
+            "n_spans": r["n_spans"],
+            "dup_tokens": r["dup_tokens"],
+        }
+        for r in duplicated_spans(df, "id", "txt", n=n).collect()
+    }
+    assert got == _py_dup_spans(docs, n)

@@ -722,6 +722,7 @@ def duplicated_spans(
     text_col: str,
     n: int = 8,
     ratio_decimals: int = 6,
+    max_gram_df: int | None = None,
 ) -> DataFrame:
     """Per-document duplicated-substring coverage — the Spark-first
     shape of suffix-array exact-substring dedup (Lee et al. 2021,
@@ -763,9 +764,15 @@ def duplicated_spans(
         .groupBy("gram")
         .agg(F.count(F.lit(1)).alias("gdf"))
         .filter(F.col("gdf") > 1)
-        .select("gram")
     )
-    dup_pos = pos_grams.join(gdf, "gram").select(doc, "pos")
+    if max_gram_df is not None:
+        # skew guard, same role as ngram_jaccard_pairs.max_shingle_df:
+        # boilerplate windows shared by huge doc counts concentrate the
+        # join key — cap their df before the positional join. (A capped
+        # gram no longer marks spans; at 100 TB the capped set is
+        # boilerplate you'd strip anyway.)
+        gdf = gdf.filter(F.col("gdf") <= max_gram_df)
+    dup_pos = pos_grams.join(gdf.select("gram"), "gram").select(doc, "pos")
 
     w = Window.partitionBy(id_col).orderBy("pos")
     flagged = dup_pos.withColumn(

@@ -5159,6 +5159,50 @@ LIMIT 20
 """
 
 
+def e2h_near_dup_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup REMOVAL end-to-end — the operation a pipeline actually
+    ships: LSH pairs → connected components → drop every non-canonical
+    cluster member, return the surviving corpus (ids + source for
+    audit). The removal itself is one broadcast-size anti-join of the
+    non-canonical id set against the corpus (cluster members are a
+    tiny minority at any scale)."""
+    from hbase_increment_index_spark.pipeline.dedup import near_dup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    marks = near_dup_clusters(
+        docs, "doc_id", "text", threshold=0.30, num_perm=64, bands=16,
+        impl="pandas", hash_fn="md5",
+    )
+    drop = marks.filter(~F.col("is_canonical")).select("doc_id")
+    return (
+        docs.join(drop, "doc_id", "left_anti")
+        .select("doc_id", "source")
+        .orderBy(F.col("doc_id").asc())
+    )
+
+
+def _e2h_sql() -> str:
+    return f"""
+WITH RECURSIVE {_minhash_sql_ctes()},
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+comp AS (SELECT u, least(u, min(v)) AS component FROM reach GROUP BY u),
+drop_ids AS (SELECT u FROM comp WHERE component <> u)
+SELECT doc_id, source
+FROM documents
+WHERE doc_id NOT IN (SELECT u FROM drop_ids)
+ORDER BY doc_id ASC
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5242,6 +5286,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "olap_promo_share": olap_promo_share,
     "olap_disjunctive": olap_disjunctive,
     "q34b_terms_regex": q34b_terms_regex,
+    "e2h_near_dup_removal": e2h_near_dup_removal,
     "q05d_phrase_slop": q05d_phrase_slop,
     "q16d_pivot_limited": q16d_pivot_limited,
     "q11c_facet_range_other": q11c_facet_range_other,
@@ -5500,4 +5545,5 @@ ORACLES: dict[str, str] = {
     "olap_promo_share": OLAP_PROMO_SQL,
     "olap_disjunctive": OLAP_DISJUNCTIVE_SQL,
     "q34b_terms_regex": Q34B_SQL,
+    "e2h_near_dup_removal": _e2h_sql(),
 }

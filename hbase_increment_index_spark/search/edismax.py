@@ -38,12 +38,27 @@ from pyspark.sql import functions as F
 from hbase_increment_index_spark.search.tokenize import posting_list
 
 
+def resolve_mm(mm: int | str, n_clauses: int) -> int:
+    """Solr ``mm`` resolution: an int is an absolute clause count; a
+    string percentage (``"75%"``) means ceil-towards-zero of that
+    fraction of the clause count (Solr rounds DOWN for positive
+    percentages); a negative int/percentage means "all but that many".
+    """
+    if isinstance(mm, str):
+        pct = float(mm.rstrip("%"))
+        want = int(n_clauses * pct / 100.0)  # Solr truncates
+        return n_clauses + want if pct < 0 else want
+    if mm < 0:
+        return max(n_clauses + int(mm), 0)
+    return int(mm)
+
+
 def edismax_topk(
     corpus: DataFrame,
     id_col: str,
     field_boosts: dict[str, float],
     query_terms: list[str],
-    mm: int = 1,
+    mm: int | str = 1,
     tie: float = 0.0,
     k: int = 10,
     score_decimals: int = 6,
@@ -52,10 +67,13 @@ def edismax_topk(
 
     Per (doc, term, field): w = boost · tf · ln(n_docs / df_field).
     Per (doc, term): dismax = max_f w + tie·(Σ_f w − max_f w).
-    Per doc: score = Σ_terms dismax; kept iff matched clauses ≥ mm.
+    Per doc: score = Σ_terms dismax; kept iff matched clauses ≥ mm —
+    ``mm`` accepts Solr's absolute ints, negatives ("all but N"), and
+    percentage strings ("75%"); see :func:`resolve_mm`.
     Deterministic total order: score desc, id asc.
     """
     spark = corpus.sparkSession
+    mm = resolve_mm(mm, len(set(t.lower() for t in query_terms)))
     terms = spark.createDataFrame(
         [(t.lower(),) for t in sorted(set(query_terms))], ["term"]
     )

@@ -257,3 +257,39 @@ def test_curriculum_order_phases_and_determinism(spark):
     assert all(out[i]["order_key"] == again[i]["order_key"] for i in out)
     reseed = {r["id"]: r for r in curriculum_order(df, "id", "s", 4, salt="epoch2").collect()}
     assert any(out[i]["order_key"] != reseed[i]["order_key"] for i in out)
+
+
+# ------------------------------------------------------ mm / guards
+
+def test_edismax_mm_percentage_and_negative():
+    from hbase_increment_index_spark.search.edismax import resolve_mm
+
+    assert resolve_mm(2, 4) == 2
+    assert resolve_mm("75%", 4) == 3
+    assert resolve_mm("50%", 3) == 1       # Solr truncates 1.5 -> 1
+    assert resolve_mm("-25%", 4) == 3      # all but 25%
+    assert resolve_mm(-1, 4) == 3          # all but one
+    assert resolve_mm(-9, 4) == 0          # clamped
+
+
+def test_duplicated_spans_df_ceiling_guard(spark):
+    # a window shared by ALL four docs is boilerplate; with
+    # max_gram_df=2 it stops marking spans, while a window shared by
+    # exactly two docs still does
+    df = spark.createDataFrame(
+        [
+            (1, "common boiler plate text alpha beta gamma delta"),
+            (2, "common boiler plate text other stuff here now"),
+            (3, "common boiler plate text more things to say"),
+            (4, "common boiler plate text alpha beta gamma delta"),
+        ],
+        "id long, txt string",
+    )
+    from hbase_increment_index_spark.pipeline.dedup import duplicated_spans
+
+    unguarded = {r["id"] for r in duplicated_spans(df, "id", "txt", n=4).collect()}
+    assert unguarded == {1, 2, 3, 4}
+    guarded = {r["id"]: r for r in duplicated_spans(df, "id", "txt", n=4, max_gram_df=2).collect()}
+    # the 4-doc boilerplate head is capped away; docs 1 and 4 still
+    # share their full unique tail (df=2) so they remain flagged
+    assert set(guarded) == {1, 4}

@@ -5203,6 +5203,140 @@ ORDER BY doc_id ASC
 """
 
 
+_ELEVATED_IDS = [42, 7]
+
+
+def q57_elevation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr QueryElevationComponent (``elevate.xml`` / ``elevateIds``):
+    editorially-pinned documents surface FIRST in their configured
+    order, then the organic BM25 ranking continues (pinned ids
+    excluded from the organic slots). The pinned set is a literal
+    broadcast frame; the organic leg is the standard index-skeleton
+    BM25 top-k — elevation adds zero corpus-side work."""
+    docs = _t(spark, sf_dir, "documents")
+    organic = ranking.bm25_topk(docs, "doc_id", "text", _TFIDF_TERMS, k=12)
+    pinned = spark.createDataFrame(
+        [(int(d), i + 1) for i, d in enumerate(_ELEVATED_IDS)],
+        "doc_id long, elev_pos int",
+    )
+    rest = (
+        organic.join(F.broadcast(pinned.select("doc_id")), "doc_id", "left_anti")
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+    elevated = pinned.select(
+        "doc_id",
+        F.lit(1).alias("elevated"),
+        F.col("elev_pos").cast("double").alias("sort_key"),
+    )
+    organic_part = rest.select(
+        "doc_id",
+        F.lit(0).alias("elevated"),
+        # organic order encoded after all pinned slots: stable and
+        # engine-portable (rank by -score with id tiebreak)
+        (F.lit(1000.0) - F.col("score")).alias("sort_key"),
+    )
+    return (
+        elevated.unionByName(organic_part)
+        .orderBy(F.col("elevated").desc(), F.col("sort_key").asc(), F.col("doc_id").asc())
+        .select("doc_id", "elevated", F.round("sort_key", 6).alias("sort_key"))
+    )
+
+
+Q57_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SQL_TOKS.format(c='text')}) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+avgdl AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS a FROM dl),
+hits AS (SELECT * FROM toks WHERE term IN ('join', 'query', 'spark')),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM hits GROUP BY 1, 2),
+dft AS (SELECT term, count(DISTINCT doc_id) AS df_t FROM hits GROUP BY 1),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+bm25 AS (
+  SELECT tf.doc_id,
+         ROUND(SUM(
+           ln(1.0 + (n.n_docs - dft.df_t + 0.5) / (dft.df_t + 0.5))
+           * (tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl.a))
+         ), 6) AS score
+  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id), n, avgdl
+  GROUP BY tf.doc_id
+),
+organic AS (
+  SELECT doc_id, score FROM bm25
+  ORDER BY score DESC, doc_id ASC LIMIT 12
+),
+pinned(doc_id, elev_pos) AS (VALUES (42, 1), (7, 2)),
+rest AS (
+  SELECT doc_id, score FROM organic
+  WHERE doc_id NOT IN (SELECT doc_id FROM pinned)
+  ORDER BY score DESC, doc_id ASC LIMIT 10
+)
+SELECT doc_id, elevated, ROUND(sort_key, 6) AS sort_key FROM (
+  SELECT doc_id, 1 AS elevated, CAST(elev_pos AS DOUBLE) AS sort_key FROM pinned
+  UNION ALL
+  SELECT doc_id, 0 AS elevated, 1000.0 - score AS sort_key FROM rest
+)
+ORDER BY elevated DESC, sort_key ASC, doc_id ASC
+"""
+
+
+def e9b_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card corpus report — the one-row readout a curation run
+    publishes: doc/token volume, exact-dup rate, language mix share,
+    quality-gate pass rate. One corpus scan feeds all aggregates
+    (token counts, fingerprints, gate bits are projections; the dup
+    rate is a distinct-count over the 128-bit fingerprint)."""
+    from hbase_increment_index_spark.pipeline.text import gopher_rules
+
+    docs = _t(spark, sf_dir, "documents")
+    from hbase_increment_index_spark.pipeline.text import fingerprint
+    from hbase_increment_index_spark.search.tokenize import tokens as _tokens
+
+    base = docs.select(
+        "doc_id",
+        F.size(_tokens("text")).alias("n_tok"),
+        fingerprint("text").alias("fp"),
+        (F.col("lang") == "en").cast("int").alias("is_en"),
+    )
+    gate = gopher_rules(docs, "doc_id", "text").select("doc_id", "keep")
+    return (
+        base.join(gate, "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.countDistinct("fp").alias("n_unique"),
+            F.round(
+                (F.count(F.lit(1)) - F.countDistinct("fp")) / F.count(F.lit(1)), 6
+            ).alias("dup_rate"),
+            F.round(F.sum("is_en") / F.count(F.lit(1)), 6).alias("en_share"),
+            F.round(F.sum("keep") / F.count(F.lit(1)), 6).alias("gate_pass_rate"),
+        )
+    )
+
+
+def _e9b_sql() -> str:
+    from hbase_increment_index_spark.pipeline.text import gopher_rules_sql
+
+    return f"""
+WITH gate AS ({gopher_rules_sql()}),
+base AS (
+  SELECT doc_id,
+         len({_SQL_TOKS.format(c='text')}) AS n_tok,
+         {_SQL_FP.format(c='text')} AS fp,
+         CAST(lang = 'en' AS INT) AS is_en
+  FROM documents
+)
+SELECT count(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       count(DISTINCT fp) AS n_unique,
+       ROUND(CAST(count(*) - count(DISTINCT fp) AS DOUBLE) / count(*), 6) AS dup_rate,
+       ROUND(CAST(SUM(is_en) AS DOUBLE) / count(*), 6) AS en_share,
+       ROUND(CAST(SUM(keep) AS DOUBLE) / count(*), 6) AS gate_pass_rate
+FROM base JOIN gate USING (doc_id)
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5287,6 +5421,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "olap_disjunctive": olap_disjunctive,
     "q34b_terms_regex": q34b_terms_regex,
     "e2h_near_dup_removal": e2h_near_dup_removal,
+    "q57_elevation": q57_elevation,
+    "e9b_corpus_report": e9b_corpus_report,
     "q05d_phrase_slop": q05d_phrase_slop,
     "q16d_pivot_limited": q16d_pivot_limited,
     "q11c_facet_range_other": q11c_facet_range_other,
@@ -5546,4 +5682,6 @@ ORACLES: dict[str, str] = {
     "olap_disjunctive": OLAP_DISJUNCTIVE_SQL,
     "q34b_terms_regex": Q34B_SQL,
     "e2h_near_dup_removal": _e2h_sql(),
+    "q57_elevation": Q57_SQL,
+    "e9b_corpus_report": _e9b_sql(),
 }

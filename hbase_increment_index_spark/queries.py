@@ -5337,6 +5337,40 @@ FROM base JOIN gate USING (doc_id)
 """
 
 
+def q58_geo_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr 5 spatial heatmap facet (``facet.heatmap=geo``): point
+    counts on a regular lat/lon grid over a bbox — the map-overlay
+    readout. Cell assignment is a pure floor projection (fully
+    sargable bbox pre-filter), then one hash agg on (row, col);
+    non-empty cells only, Solr's sparse counts_ints2D."""
+    pts = _geo_customers(spark, sf_dir)
+    cell = 10.0  # degrees per grid cell
+    boxed = pts.filter(
+        F.col("lat").between(-60.0, 60.0) & F.col("lon").between(-180.0, 180.0)
+    )
+    return (
+        boxed.select(
+            F.floor((F.col("lat") + 60.0) / cell).cast("int").alias("grid_row"),
+            F.floor((F.col("lon") + 180.0) / cell).cast("int").alias("grid_col"),
+        )
+        .groupBy("grid_row", "grid_col")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("grid_row").asc(), F.col("grid_col").asc())
+    )
+
+
+Q58_SQL = f"""
+WITH pts AS ({_GEO_SQL_BASE})
+SELECT CAST(floor((lat + 60.0) / 10.0) AS INT) AS grid_row,
+       CAST(floor((lon + 180.0) / 10.0) AS INT) AS grid_col,
+       count(*) AS n
+FROM pts
+WHERE lat BETWEEN -60.0 AND 60.0 AND lon BETWEEN -180.0 AND 180.0
+GROUP BY 1, 2
+ORDER BY grid_row ASC, grid_col ASC
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5423,6 +5457,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e2h_near_dup_removal": e2h_near_dup_removal,
     "q57_elevation": q57_elevation,
     "e9b_corpus_report": e9b_corpus_report,
+    "q58_geo_heatmap": q58_geo_heatmap,
     "q05d_phrase_slop": q05d_phrase_slop,
     "q16d_pivot_limited": q16d_pivot_limited,
     "q11c_facet_range_other": q11c_facet_range_other,
@@ -5684,4 +5719,5 @@ ORACLES: dict[str, str] = {
     "e2h_near_dup_removal": _e2h_sql(),
     "q57_elevation": Q57_SQL,
     "e9b_corpus_report": _e9b_sql(),
+    "q58_geo_heatmap": Q58_SQL,
 }

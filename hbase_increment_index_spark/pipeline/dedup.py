@@ -815,3 +815,72 @@ def duplicated_spans(
         )
         .orderBy(F.col("dup_ratio").desc(), doc.asc())
     )
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    max_gram_df: int | None = None,
+) -> DataFrame:
+    """Exact-substring REMOVAL (the ship-form of duplicated_spans,
+    completing Lee et al. 2021): cut every cross-document duplicated
+    token range out of each document and return the cleaned text plus
+    removal accounting.
+
+    Plan: the positional duplicated-window marks (same shingle-df join
+    as duplicated_spans) explode into covered token positions
+    (`sequence(pos, pos+n-1)` — span width is bounded by doc length);
+    surviving tokens are the anti-join of the doc's positional tokens
+    against the covered set, re-assembled in order with one
+    sort-within-group aggregation per doc. Shuffle keys: shingle then
+    doc — identical scale class to duplicated_spans.
+    """
+    from pyspark.sql import Window
+
+    doc = F.col(id_col)
+    pos_grams = df.select(
+        doc,
+        F.posexplode(shingle_grams(text_col, n)).alias("pos0", "gram"),
+    ).select(doc, (F.col("pos0") + 1).alias("pos"), "gram")
+    gdf = (
+        pos_grams.select(doc, "gram")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("gdf"))
+        .filter(F.col("gdf") > 1)
+    )
+    if max_gram_df is not None:
+        gdf = gdf.filter(F.col("gdf") <= max_gram_df)
+    covered = (
+        pos_grams.join(gdf.select("gram"), "gram")
+        .select(doc, F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1))).alias("pos"))
+        .distinct()
+    )
+
+    toks = df.select(
+        doc, F.posexplode(tokens(text_col)).alias("pos0", "tok")
+    ).select(doc, (F.col("pos0") + 1).alias("pos"), "tok")
+    kept = toks.join(covered, [id_col, "pos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))), lambda s: s["tok"]
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("kept_tokens"),
+    )
+    sizes = df.select(doc, F.size(tokens(text_col)).alias("n_tokens"))
+    return (
+        sizes.join(rebuilt, id_col, "left")
+        .select(
+            doc,
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.coalesce(F.col("kept_tokens"), F.lit(0)).cast("long").alias("kept_tokens"),
+            (F.col("n_tokens") - F.coalesce(F.col("kept_tokens"), F.lit(0)))
+            .cast("long")
+            .alias("removed_tokens"),
+        )
+    )

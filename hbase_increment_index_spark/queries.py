@@ -5371,6 +5371,67 @@ ORDER BY grid_row ASC, grid_col ASC
 """
 
 
+def e2i_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring removal (Lee et al. 2021 ship-form): cut every
+    cross-doc duplicated token range out of the text, return cleaned
+    text + removal accounting (pipeline.dedup.remove_duplicated_spans).
+    Reported on the docs that lost tokens, removal-heavy first."""
+    from hbase_increment_index_spark.pipeline.dedup import remove_duplicated_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    out = remove_duplicated_spans(docs, "doc_id", "text", n=_E2G_N)
+    return out.filter(F.col("removed_tokens") > 0).orderBy(
+        F.col("removed_tokens").desc(), F.col("doc_id").asc()
+    )
+
+
+E2I_SQL = f"""
+WITH toks0 AS (SELECT doc_id, {_SQL_TOKS.format(c='text')} AS t FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(generate_series(1, greatest(len(t) - {_E2G_N - 1}, 0))) AS pos,
+         unnest(list_transform(
+           generate_series(1, greatest(len(t) - {_E2G_N - 1}, 0)),
+           i -> array_to_string(list_slice(t, i, i + {_E2G_N - 1}), ' '))) AS gram
+  FROM toks0
+),
+gdf AS (
+  SELECT gram FROM (
+    SELECT gram, count(DISTINCT doc_id) AS c FROM g GROUP BY 1
+  ) WHERE c > 1
+),
+dup AS (SELECT g.doc_id, g.pos FROM g JOIN gdf USING (gram)),
+covered AS (
+  SELECT DISTINCT doc_id, unnest(generate_series(pos, pos + {_E2G_N - 1})) AS pos
+  FROM dup
+),
+toks AS (
+  SELECT doc_id,
+         unnest(generate_series(1, len(t))) AS pos,
+         unnest(t) AS tok
+  FROM toks0
+),
+kept AS (
+  SELECT t.doc_id, t.pos, t.tok
+  FROM toks t ANTI JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.pos
+),
+rebuilt AS (
+  SELECT doc_id,
+         string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+         count(*) AS kept_tokens
+  FROM kept GROUP BY doc_id
+),
+sizes AS (SELECT doc_id, len(t) AS n_tokens FROM toks0)
+SELECT s.doc_id,
+       COALESCE(r.clean_text, '') AS clean_text,
+       CAST(COALESCE(r.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+       CAST(s.n_tokens - COALESCE(r.kept_tokens, 0) AS BIGINT) AS removed_tokens
+FROM sizes s LEFT JOIN rebuilt r USING (doc_id)
+WHERE s.n_tokens - COALESCE(r.kept_tokens, 0) > 0
+ORDER BY removed_tokens DESC, s.doc_id ASC
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5458,6 +5519,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q57_elevation": q57_elevation,
     "e9b_corpus_report": e9b_corpus_report,
     "q58_geo_heatmap": q58_geo_heatmap,
+    "e2i_dup_span_removal": e2i_dup_span_removal,
     "q05d_phrase_slop": q05d_phrase_slop,
     "q16d_pivot_limited": q16d_pivot_limited,
     "q11c_facet_range_other": q11c_facet_range_other,
@@ -5720,4 +5782,5 @@ ORACLES: dict[str, str] = {
     "q57_elevation": Q57_SQL,
     "e9b_corpus_report": _e9b_sql(),
     "q58_geo_heatmap": Q58_SQL,
+    "e2i_dup_span_removal": E2I_SQL,
 }

@@ -293,3 +293,35 @@ def test_duplicated_spans_df_ceiling_guard(spark):
     # the 4-doc boilerplate head is capped away; docs 1 and 4 still
     # share their full unique tail (df=2) so they remain flagged
     assert set(guarded) == {1, 4}
+
+
+def test_remove_duplicated_spans_cuts_shared_run(spark):
+    from hbase_increment_index_spark.pipeline.dedup import remove_duplicated_spans
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f x y z w"),
+            (2, "q r a b c d e f s t"),
+            (3, "unrelated words only here now"),
+        ],
+        "id long, txt string",
+    )
+    out = {r["id"]: r for r in remove_duplicated_spans(df, "id", "txt", n=4).collect()}
+    # docs 1/2 share "a b c d e f" (6 tokens) -> removed from both
+    assert out[1]["clean_text"] == "x y z w"
+    assert out[1]["kept_tokens"] == 4 and out[1]["removed_tokens"] == 6
+    assert out[2]["clean_text"] == "q r s t"
+    # untouched doc comes through whole
+    assert out[3]["removed_tokens"] == 0
+    assert out[3]["clean_text"] == "unrelated words only here now"
+
+
+def test_remove_duplicated_spans_full_doc(spark):
+    from hbase_increment_index_spark.pipeline.dedup import remove_duplicated_spans
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d")], "id long, txt string"
+    )
+    out = {r["id"]: r for r in remove_duplicated_spans(df, "id", "txt", n=4).collect()}
+    assert out[1]["clean_text"] == "" and out[1]["kept_tokens"] == 0
+    assert out[1]["removed_tokens"] == 4

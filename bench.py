@@ -53,6 +53,9 @@ HEADLINE = [
     "e12_unigram_logprob",
     "e2f_incremental_near_dups",
     "e6e_token_budget_head",
+    # --- added late r3 ---
+    "q54_edismax",
+    "e2g_dup_spans",
 ]
 
 

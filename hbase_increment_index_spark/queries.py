@@ -5432,6 +5432,80 @@ ORDER BY removed_tokens DESC, s.doc_id ASC
 """
 
 
+def olap_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): lineitems
+    late (shipdate > orderdate + 30 days) on multi-supplier orders
+    where THIS supplier is late and SOME OTHER supplier on the same
+    order is not — the classic EXISTS / NOT EXISTS pair, decorrelated
+    to per-order aggregates: one groupBy(orderkey) computes total and
+    late supplier counts, and the exists-pair becomes two predicates
+    on those counts joined back to the late lines. One orderkey
+    shuffle; supplier/nation dims broadcast."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+
+    lo = li.join(
+        orders.select("o_orderkey", "o_orderdate", "o_orderstatus"),
+        li.l_orderkey == orders.o_orderkey,
+    ).withColumn(
+        "_late",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+        ).cast("int"),
+    )
+    per_order = lo.groupBy("o_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("_late") == 1, F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    late_lines = (
+        lo.filter((F.col("_late") == 1) & (F.col("o_orderstatus") == "F"))
+        .select("o_orderkey", "l_suppkey")
+        .distinct()
+    )
+    qualifying = late_lines.join(
+        per_order.filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)),
+        "o_orderkey",
+    )
+    return (
+        qualifying.join(F.broadcast(supp), qualifying.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(10)
+    )
+
+
+OLAP_WAITING_SQL = """
+WITH lo AS (
+  SELECT l_orderkey, l_suppkey, o_orderstatus,
+         CAST(l_shipdate > o_orderdate + INTERVAL 30 DAY AS INT) AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+per_order AS (
+  SELECT l_orderkey,
+         count(DISTINCT l_suppkey) AS n_supp,
+         count(DISTINCT CASE WHEN late = 1 THEN l_suppkey END) AS n_late_supp
+  FROM lo GROUP BY 1
+),
+late_lines AS (
+  SELECT DISTINCT l_orderkey, l_suppkey FROM lo
+  WHERE late = 1 AND o_orderstatus = 'F'
+)
+SELECT s_name, count(*) AS numwait
+FROM late_lines
+JOIN per_order USING (l_orderkey)
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE n_supp > 1 AND n_late_supp = 1
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 10
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5520,6 +5594,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e9b_corpus_report": e9b_corpus_report,
     "q58_geo_heatmap": q58_geo_heatmap,
     "e2i_dup_span_removal": e2i_dup_span_removal,
+    "olap_waiting_suppliers": olap_waiting_suppliers,
     "q05d_phrase_slop": q05d_phrase_slop,
     "q16d_pivot_limited": q16d_pivot_limited,
     "q11c_facet_range_other": q11c_facet_range_other,
@@ -5783,4 +5858,5 @@ ORACLES: dict[str, str] = {
     "e9b_corpus_report": _e9b_sql(),
     "q58_geo_heatmap": Q58_SQL,
     "e2i_dup_span_removal": E2I_SQL,
+    "olap_waiting_suppliers": OLAP_WAITING_SQL,
 }

@@ -753,10 +753,16 @@ def duplicated_spans(
     from pyspark.sql import Window
 
     doc = F.col(id_col)
-    pos_grams = df.select(
-        doc,
-        F.posexplode(shingle_grams(text_col, n)).alias("pos0", "gram"),
-    ).select(doc, (F.col("pos0") + 1).alias("pos"), "gram")
+    # the positional postings feed BOTH the df aggregate and the
+    # positional join — persist so the interpreted-HOF shingling runs
+    # once, mirroring ngram_jaccard_pairs' postings persist; fan_out
+    # spreads it across cores on under-partitioned scans (no-op at scale)
+    pos_grams = (
+        fan_out(df)
+        .select(doc, F.posexplode(shingle_grams(text_col, n)).alias("pos0", "gram"))
+        .select(doc, (F.col("pos0") + 1).alias("pos"), "gram")
+        .persist()
+    )
 
     gdf = (
         pos_grams.select(doc, "gram")
@@ -840,10 +846,16 @@ def remove_duplicated_spans(
     from pyspark.sql import Window
 
     doc = F.col(id_col)
-    pos_grams = df.select(
-        doc,
-        F.posexplode(shingle_grams(text_col, n)).alias("pos0", "gram"),
-    ).select(doc, (F.col("pos0") + 1).alias("pos"), "gram")
+    # the positional postings feed BOTH the df aggregate and the
+    # positional join — persist so the interpreted-HOF shingling runs
+    # once, mirroring ngram_jaccard_pairs' postings persist; fan_out
+    # spreads it across cores on under-partitioned scans (no-op at scale)
+    pos_grams = (
+        fan_out(df)
+        .select(doc, F.posexplode(shingle_grams(text_col, n)).alias("pos0", "gram"))
+        .select(doc, (F.col("pos0") + 1).alias("pos"), "gram")
+        .persist()
+    )
     gdf = (
         pos_grams.select(doc, "gram")
         .distinct()

@@ -5506,6 +5506,60 @@ LIMIT 10
 """
 
 
+def q59_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr ReRank parser ``rq={{!rerank reRankDocs=50 reRankWeight=2}}``:
+    main BM25 top-50 head re-scored by a second query's BM25 at weight
+    2 (search.ranking.rerank_topk). The rerank leg only scores the
+    broadcast-small candidate head."""
+    docs = _t(spark, sf_dir, "documents")
+    return ranking.rerank_topk(
+        docs, "doc_id", "text",
+        main_terms=list(_TFIDF_TERMS),
+        rerank_terms=["stream", "window"],
+        rerank_docs=50, rerank_weight=2.0, k=10,
+    )
+
+
+Q59_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SQL_TOKS.format(c='text')}) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+avgdl AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS a FROM dl),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+mhits AS (SELECT * FROM toks WHERE term IN ('join', 'query', 'spark')),
+mtf AS (SELECT doc_id, term, count(*) AS tf FROM mhits GROUP BY 1, 2),
+mdft AS (SELECT term, count(DISTINCT doc_id) AS df_t FROM mhits GROUP BY 1),
+main AS (
+  SELECT mtf.doc_id,
+         ROUND(SUM(
+           ln(1.0 + (n.n_docs - mdft.df_t + 0.5) / (mdft.df_t + 0.5))
+           * (mtf.tf * (1.2 + 1)) / (mtf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl.a))
+         ), 6) AS main_score
+  FROM mtf JOIN mdft USING (term) JOIN dl USING (doc_id), n, avgdl
+  GROUP BY mtf.doc_id
+),
+head AS (SELECT * FROM main ORDER BY main_score DESC, doc_id ASC LIMIT 50),
+rhits AS (SELECT * FROM toks WHERE term IN ('stream', 'window')),
+rtf AS (SELECT doc_id, term, count(*) AS tf FROM rhits GROUP BY 1, 2),
+rdft AS (SELECT term, count(DISTINCT doc_id) AS df_t FROM rhits GROUP BY 1),
+re AS (
+  SELECT rtf.doc_id,
+         ROUND(SUM(
+           ln(1.0 + (n.n_docs - rdft.df_t + 0.5) / (rdft.df_t + 0.5))
+           * (rtf.tf * (1.2 + 1)) / (rtf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl.a))
+         ), 6) AS re_score
+  FROM rtf JOIN rdft USING (term) JOIN dl USING (doc_id), n, avgdl
+  GROUP BY rtf.doc_id
+)
+SELECT h.doc_id, h.main_score,
+       ROUND(h.main_score + 2.0 * COALESCE(re.re_score, 0.0), 6) AS score
+FROM head h LEFT JOIN re ON h.doc_id = re.doc_id
+ORDER BY score DESC, h.doc_id ASC
+LIMIT 10
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5595,6 +5649,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q58_geo_heatmap": q58_geo_heatmap,
     "e2i_dup_span_removal": e2i_dup_span_removal,
     "olap_waiting_suppliers": olap_waiting_suppliers,
+    "q59_rerank": q59_rerank,
     "q05d_phrase_slop": q05d_phrase_slop,
     "q16d_pivot_limited": q16d_pivot_limited,
     "q11c_facet_range_other": q11c_facet_range_other,
@@ -5859,4 +5914,5 @@ ORACLES: dict[str, str] = {
     "q58_geo_heatmap": Q58_SQL,
     "e2i_dup_span_removal": E2I_SQL,
     "olap_waiting_suppliers": OLAP_WAITING_SQL,
+    "q59_rerank": Q59_SQL,
 }

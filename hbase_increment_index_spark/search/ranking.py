@@ -396,3 +396,51 @@ def with_rank(df: DataFrame, order: list, rank_alias: str = "rank") -> DataFrame
 
     w = Window.orderBy(*order)
     return df.withColumn(rank_alias, F.row_number().over(w))
+
+
+def rerank_topk(
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    main_terms: list[str],
+    rerank_terms: list[str],
+    rerank_docs: int = 50,
+    rerank_weight: float = 2.0,
+    k: int = 10,
+    score_decimals: int = 6,
+) -> DataFrame:
+    """Solr ReRank query parser (``rq={!rerank reRankQuery=$rqq
+    reRankDocs=N reRankWeight=w}``): the main query's top
+    ``rerank_docs`` candidates are re-scored as
+    ``main + w·rerank_score``; documents outside the head keep their
+    main-query order below the head (we return only the head's top-k,
+    Solr's common usage).
+
+    Plan shape: the expensive leg is the main BM25 retrieval — the
+    candidate head it produces is broadcast-small (reRankDocs rows),
+    so the rerank scoring joins against a tiny keyset: the second
+    query's postings are filtered by BOTH the broadcast terms AND the
+    candidate ids before aggregation. Rerank cost is O(head), never a
+    second corpus-wide retrieval.
+    """
+    head = bm25_topk(
+        corpus, id_col, text_col, main_terms, k=rerank_docs,
+        score_decimals=score_decimals,
+    ).withColumnRenamed("score", "main_score")
+    re_scores = bm25_scores(
+        corpus, id_col, text_col, rerank_terms, score_decimals=score_decimals
+    ).withColumnRenamed("score", "re_score")
+    return (
+        head.join(re_scores, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("main_score"),
+            F.round(
+                F.col("main_score")
+                + F.lit(float(rerank_weight)) * F.coalesce("re_score", F.lit(0.0)),
+                score_decimals,
+            ).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -28,6 +28,12 @@ AUDITED = [
     "e4j_classifier",
     "olap_volume_shipping",
     "olap_market_share",
+    "olap_waiting_suppliers",
+    "olap_disjunctive",
+    "q59_rerank",
+    "e2h_near_dup_removal",
+    "e2i_dup_span_removal",
+    "cdc_scan_agg",
     "e1_exact_dedup",
     "e3_cosine_topk",
     "e3e_knn_join",

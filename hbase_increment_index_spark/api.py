@@ -573,3 +573,21 @@ class SecondaryIndex:
         return graph_traverse(
             self.documents, self.key_field, from_field, to_field, root_pred, max_depth
         )
+
+    def rerank(
+        self,
+        text_field: str,
+        main_terms: list[str],
+        rerank_terms: list[str],
+        rerank_docs: int = 50,
+        rerank_weight: float = 2.0,
+        k: int = 10,
+    ) -> DataFrame:
+        """Solr ReRank parser (``rq={!rerank}``): main BM25 head
+        re-scored by a secondary query at ``rerank_weight``."""
+        from hbase_increment_index_spark.search.ranking import rerank_topk
+
+        return rerank_topk(
+            self.documents, self.key_field, text_field,
+            main_terms, rerank_terms, rerank_docs, rerank_weight, k,
+        )

@@ -295,3 +295,15 @@ def test_graph_query_on_facade(index):
     out = index.graph_query("rowkey", "rowkey", F.col("rowkey") == "r1", max_depth=2)
     rows = out.collect()
     assert {(r["rowkey"], r["depth"]) for r in rows} == {("r1", 0)}
+
+
+def test_rerank_on_facade(index):
+    out = index.rerank(
+        "name", main_terms=["apple"], rerank_terms=["cider"], rerank_docs=5, k=5
+    ).collect()
+    got = {r["rowkey"]: (r["main_score"], r["score"]) for r in out}
+    assert set(got) == {"r1", "r3"}
+    # r3 ("apple cider") gains the rerank bump; r1 keeps main only
+    assert got["r3"][1] > got["r3"][0]
+    assert got["r1"][1] == got["r1"][0]
+    assert out[0]["rowkey"] == "r3"

@@ -5560,6 +5560,123 @@ LIMIT 10
 """
 
 
+def q39b_json_facet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr ``json.facet`` bucket metadata: ``numBuckets:true`` +
+    ``allBuckets:true`` + limited terms buckets in one response —
+    bucket rows tagged 'bucket' (top-3 by count), one 'allBuckets'
+    row aggregating ALL values regardless of the bucket limit, one
+    'numBuckets' row with the distinct-bucket count. One grouped agg
+    feeds all three sections (the all/num rows are a second-phase agg
+    over the tiny bucket frame, broadcast-unioned)."""
+    ev = _t(spark, sf_dir, "events")
+    buckets = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(exact_sum("value"), 6).alias("sum_value"),
+    )
+    top = (
+        buckets.orderBy(F.col("n").desc(), F.col("event_type").asc())
+        .limit(3)
+        .select(
+            F.lit("bucket").alias("section"),
+            F.col("event_type").alias("val"),
+            "n",
+            "sum_value",
+        )
+    )
+    meta = buckets.agg(
+        F.sum("n").alias("_all_n"),
+        F.round(F.sum("sum_value"), 6).alias("_all_sum"),
+        F.count(F.lit(1)).alias("_num"),
+    )
+    allb = meta.select(
+        F.lit("allBuckets").alias("section"),
+        F.lit(None).cast("string").alias("val"),
+        F.col("_all_n").alias("n"),
+        F.col("_all_sum").alias("sum_value"),
+    )
+    numb = meta.select(
+        F.lit("numBuckets").alias("section"),
+        F.lit(None).cast("string").alias("val"),
+        F.col("_num").alias("n"),
+        F.lit(None).cast("double").alias("sum_value"),
+    )
+    return top.unionByName(allb).unionByName(numb).orderBy(
+        F.col("section").asc(), F.col("n").desc(), F.col("val").asc_nulls_last()
+    )
+
+
+Q39B_SQL = """
+WITH buckets AS (
+  SELECT event_type,
+         count(*) AS n,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE), 6) AS sum_value
+  FROM events GROUP BY 1
+),
+top AS (
+  SELECT 'bucket' AS section, event_type AS val, n, sum_value
+  FROM buckets ORDER BY n DESC, event_type ASC LIMIT 3
+),
+meta AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS all_n,
+         ROUND(SUM(sum_value), 6) AS all_sum,
+         count(*) AS num FROM buckets
+)
+SELECT section, val, n, sum_value FROM (
+  SELECT * FROM top
+  UNION ALL
+  SELECT 'allBuckets', NULL, all_n, all_sum FROM meta
+  UNION ALL
+  SELECT 'numBuckets', NULL, num, NULL FROM meta
+)
+ORDER BY section ASC, n DESC, val ASC NULLS LAST
+"""
+
+
+def cdc_scan_multirange(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HBase ``MultiRowRangeFilter`` — several rowkey bands in one
+    scan (the scatter-read HBase clients use for key-salted tables):
+    an OR of sargable string bands, each pushing into the scan so
+    file-level min/max pruning covers every band independently."""
+    from hbase_increment_index_spark.cdc.index_builder import documents_from_cells
+
+    events = _t(spark, sf_dir, "events")
+    log = cell_log_from_events(events, delete_event_type="error")
+    docs = documents_from_cells(log, ["click", "purchase", "signup", "view"])
+    band = (
+        ((F.col("id") >= "1") & (F.col("id") < "2"))
+        | ((F.col("id") >= "5") & (F.col("id") < "6"))
+        | ((F.col("id") >= "9") & (F.col("id") < "95"))
+    )
+    return docs.filter(band).select("id", "click", "view").orderBy(F.col("id").asc())
+
+
+CDC_MULTIRANGE_SQL = f"""
+WITH log AS ({_SQL_CELL_LOG.format(delete_type='error')}),
+cell_latest AS (
+  SELECT * FROM log
+  QUALIFY row_number() OVER (
+    PARTITION BY row_key, family, qualifier ORDER BY ts DESC, seq DESC) = 1
+),
+row_latest AS (
+  SELECT row_key, op AS row_op FROM log
+  QUALIFY row_number() OVER (PARTITION BY row_key ORDER BY ts DESC, seq DESC) = 1
+),
+live AS (
+  SELECT c.* FROM cell_latest c JOIN row_latest r USING (row_key)
+  WHERE c.op = 'put' AND r.row_op = 'put'
+),
+docs AS (
+  SELECT row_key AS id,
+         min(CASE WHEN qualifier = 'click' THEN value END) AS click,
+         min(CASE WHEN qualifier = 'view'  THEN value END) AS view
+  FROM live GROUP BY row_key
+)
+SELECT id, click, view FROM docs
+WHERE (id >= '1' AND id < '2') OR (id >= '5' AND id < '6') OR (id >= '9' AND id < '95')
+ORDER BY id ASC
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5650,6 +5767,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e2i_dup_span_removal": e2i_dup_span_removal,
     "olap_waiting_suppliers": olap_waiting_suppliers,
     "q59_rerank": q59_rerank,
+    "q39b_json_facet_buckets": q39b_json_facet_buckets,
+    "cdc_scan_multirange": cdc_scan_multirange,
     "q05d_phrase_slop": q05d_phrase_slop,
     "q16d_pivot_limited": q16d_pivot_limited,
     "q11c_facet_range_other": q11c_facet_range_other,
@@ -5915,4 +6034,6 @@ ORACLES: dict[str, str] = {
     "e2i_dup_span_removal": E2I_SQL,
     "olap_waiting_suppliers": OLAP_WAITING_SQL,
     "q59_rerank": Q59_SQL,
+    "q39b_json_facet_buckets": Q39B_SQL,
+    "cdc_scan_multirange": CDC_MULTIRANGE_SQL,
 }

@@ -511,3 +511,149 @@ def label_centroids(
             "n",
         )
     )
+
+
+# -------------------------------------------------- product quantization
+
+def pq_codebooks(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 4,
+    seed_ids: list[int] | None = None,
+) -> DataFrame:
+    """Product-quantization codebooks (Jégou et al. 2011, "Product
+    quantization for nearest neighbor search"): the vector space is
+    split into ``m`` subspaces of width dim/m; each subspace gets k
+    codewords. Codewords here are SAMPLED from the corpus (the
+    sub-vectors of ``seed_ids``'s rows) — the deterministic,
+    train-free initialization; swapping in k-means-refined codebooks
+    changes this frame only, never the encode/ADC plans.
+
+    Returns (s, j, cw): subspace index (0-based), codeword id
+    (1-based, ordered by seed id), codeword sub-vector as double[].
+    Size = m × k rows — always broadcastable.
+    """
+    w = dim // m
+    ids = seed_ids if seed_ids is not None else list(range(8))
+    seeds = embeddings.filter(F.col(id_col).isin(ids)).select(
+        F.col(id_col).alias("sid"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    subs = seeds.select(
+        "sid",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        F.slice("v", s * w + 1, w).alias("cw"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("e"),
+    ).select("sid", F.col("e.s").alias("s"), F.col("e.cw").alias("cw"))
+    from pyspark.sql import Window
+
+    wnd = Window.partitionBy("s").orderBy("sid")
+    return subs.withColumn("j", F.row_number().over(wnd)).select("s", "j", "cw")
+
+
+def _sq_l2(a: Column, b: Column) -> Column:
+    """Squared L2 between two double[] columns — sequential left-fold,
+    deterministic accumulation order in both engines."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    m: int = 4,
+    dist_decimals: int = 9,
+) -> DataFrame:
+    """PQ encoding: per (vector, subspace), the nearest codeword id —
+    the 1-byte-per-subspace compressed representation that makes
+    billion-vector search RAM-resident (64 floats → m bytes here).
+
+    Plan: subspace explode (m rows per vector) ⋈ broadcast codebooks
+    (m×k rows) → argmin per (id, s) via one min(struct) aggregate with
+    map-side partials. Output (id, s, code) — the flat form; pivot to
+    an array with collect_list at write time. Distances are rounded
+    at ``dist_decimals`` before the argmin so ties break on codeword
+    id identically in any engine.
+    """
+    w = dim // m
+    v = F.col(vec_col).cast("array<double>")
+    subs = embeddings.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(s).alias("s"), F.slice(v, s * w + 1, w).alias("sv"))
+                    for s in range(m)
+                ]
+            )
+        ).alias("e"),
+    ).select(F.col(id_col), F.col("e.s").alias("s"), F.col("e.sv").alias("sv"))
+    joined = subs.join(F.broadcast(codebooks), "s")
+    d = F.round(_sq_l2(F.col("sv"), F.col("cw")), dist_decimals)
+    return (
+        joined.groupBy(id_col, "s")
+        .agg(F.min(F.struct(d.alias("d"), F.col("j").alias("j"))).alias("b"))
+        .select(F.col(id_col), "s", F.col("b.j").alias("code"))
+    )
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    codebooks: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    m: int = 4,
+    dist_decimals: int = 6,
+) -> DataFrame:
+    """Asymmetric distance computation (ADC) top-k: approximate
+    ||q - x||² = Σ_s ||q_s - codeword[s, code_s]||², looked up from a
+    per-query table of m×k partial distances.
+
+    Plan: the LUT derives from the broadcast codebook frame (m×k
+    rows, query sub-vectors enter as literals — no corpus access);
+    codes ⋈ broadcast LUT on (s, code) then one groupBy(id) sum.
+    Per-query work is proportional to the CODES table (m rows per
+    vector of 1-byte codes), never the raw vectors — the PQ promise.
+    """
+    dim = len(query_vec)
+    w = dim // m
+    # per-subspace literal query slice → squared L2 against cw
+    q_slices = {
+        s: [float(x) for x in query_vec[s * w : (s + 1) * w]] for s in range(m)
+    }
+    parts = []
+    for s in range(m):
+        qs = F.array(*[F.lit(x) for x in q_slices[s]])
+        parts.append(
+            codebooks.filter(F.col("s") == s).select(
+                "s",
+                F.col("j").alias("code"),
+                F.round(_sq_l2(qs, F.col("cw")), 9).alias("qd"),
+            )
+        )
+    lut = parts[0]
+    for p in parts[1:]:
+        lut = lut.unionByName(p)
+    return (
+        codes.join(F.broadcast(lut), ["s", "code"])
+        .groupBy(id_col)
+        .agg(F.round(F.sum("qd"), dist_decimals).alias("approx_d"))
+        .orderBy(F.col("approx_d").asc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -5677,6 +5677,96 @@ ORDER BY id ASC
 """
 
 
+_PQ_CB_SQL = """
+seeds AS (
+  SELECT vec_id AS sid, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id < 8
+),
+ss AS (SELECT unnest(generate_series(0, 3)) AS s),
+cb AS (
+  SELECT s, row_number() OVER (PARTITION BY s ORDER BY sid) AS j,
+         list_slice(v, s * 16 + 1, s * 16 + 16) AS cw
+  FROM seeds, ss
+),
+subs AS (
+  SELECT vec_id, s,
+         list_slice(CAST(embedding AS DOUBLE[]), s * 16 + 1, s * 16 + 16) AS sv
+  FROM embeddings, ss
+),
+dists AS (
+  SELECT vec_id, subs.s AS s, cb.j,
+         ROUND(list_sum(list_transform(generate_series(1, 16),
+               i -> (sv[i] - cw[i]) * (sv[i] - cw[i]))), 9) AS d
+  FROM subs JOIN cb ON subs.s = cb.s
+),
+codes AS (
+  SELECT vec_id, s, j AS code FROM dists
+  QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY d ASC, j ASC) = 1
+)
+"""
+
+
+def e3i_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding (Jégou et al. 2011): 64-dim
+    float vectors → 4 one-byte codeword ids (16× compression), the
+    representation that keeps billion-vector indexes RAM-resident.
+    Codebooks are corpus-sampled (train-free, deterministic);
+    per-(vector, subspace) argmin via one min(struct) aggregate
+    against the broadcast codebook (pipeline.similarity.pq_encode)."""
+    from hbase_increment_index_spark.pipeline.similarity import pq_codebooks, pq_encode
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = pq_codebooks(emb, dim=64, m=4, seed_ids=list(range(8)))
+    return pq_encode(emb, cb, dim=64, m=4).orderBy(
+        F.col("vec_id").asc(), F.col("s").asc()
+    )
+
+
+E3I_SQL = f"""
+WITH {_PQ_CB_SQL}
+SELECT vec_id, s, code FROM codes
+ORDER BY vec_id ASC, s ASC
+"""
+
+
+def e3j_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-k: the query stays un-quantized and
+    distances come from an m×k lookup table over the codes — per-query
+    work touches only the 4-byte codes, never the raw vectors
+    (pipeline.similarity.pq_adc_topk)."""
+    from hbase_increment_index_spark.pipeline.similarity import (
+        pq_adc_topk,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = pq_codebooks(emb, dim=64, m=4, seed_ids=list(range(8)))
+    codes = pq_encode(emb, cb, dim=64, m=4)
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()["embedding"]
+    ]
+    return pq_adc_topk(codes, cb, qvec, k=10, m=4)
+
+
+E3J_SQL = f"""
+WITH {_PQ_CB_SQL},
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+lut AS (
+  SELECT s, j AS code,
+         ROUND(list_sum(list_transform(generate_series(1, 16),
+               i -> (qv[s * 16 + i] - cw[i]) * (qv[s * 16 + i] - cw[i]))), 9) AS qd
+  FROM cb, q
+)
+SELECT vec_id, ROUND(SUM(qd), 6) AS approx_d
+FROM codes JOIN lut USING (s, code)
+GROUP BY vec_id
+ORDER BY approx_d ASC, vec_id ASC
+LIMIT 10
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5769,6 +5859,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q59_rerank": q59_rerank,
     "q39b_json_facet_buckets": q39b_json_facet_buckets,
     "cdc_scan_multirange": cdc_scan_multirange,
+    "e3i_pq_encode": e3i_pq_encode,
+    "e3j_pq_adc": e3j_pq_adc,
     "q05d_phrase_slop": q05d_phrase_slop,
     "q16d_pivot_limited": q16d_pivot_limited,
     "q11c_facet_range_other": q11c_facet_range_other,
@@ -6036,4 +6128,6 @@ ORACLES: dict[str, str] = {
     "q59_rerank": Q59_SQL,
     "q39b_json_facet_buckets": Q39B_SQL,
     "cdc_scan_multirange": CDC_MULTIRANGE_SQL,
+    "e3i_pq_encode": E3I_SQL,
+    "e3j_pq_adc": E3J_SQL,
 }

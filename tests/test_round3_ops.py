@@ -325,3 +325,45 @@ def test_remove_duplicated_spans_full_doc(spark):
     out = {r["id"]: r for r in remove_duplicated_spans(df, "id", "txt", n=4).collect()}
     assert out[1]["clean_text"] == "" and out[1]["kept_tokens"] == 0
     assert out[1]["removed_tokens"] == 4
+
+
+# ------------------------------------------------------ product quantization
+
+def test_pq_seed_rows_encode_to_themselves(spark):
+    from hbase_increment_index_spark.pipeline.similarity import pq_codebooks, pq_encode
+
+    # 8-dim vectors, m=2 subspaces of width 4, 2 seed rows
+    rows = [
+        (0, [0.0] * 4 + [9.0] * 4),
+        (1, [5.0] * 4 + [1.0] * 4),
+        (2, [0.1] * 4 + [1.2] * 4),   # near seed-0 front, seed-1 back
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cb = pq_codebooks(df, dim=8, m=2, seed_ids=[0, 1])
+    codes = {
+        (r["vec_id"], r["s"]): r["code"]
+        for r in pq_encode(df, cb, dim=8, m=2).collect()
+    }
+    # seeds reproduce themselves exactly (distance 0 to own codeword)
+    assert codes[(0, 0)] == 1 and codes[(0, 1)] == 1
+    assert codes[(1, 0)] == 2 and codes[(1, 1)] == 2
+    # row 2: front subspace nearest seed 0, back subspace nearest seed 1
+    assert codes[(2, 0)] == 1 and codes[(2, 1)] == 2
+
+
+def test_pq_adc_ranks_self_first(spark):
+    from hbase_increment_index_spark.pipeline.similarity import (
+        pq_adc_topk,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    rows = [(i, [float(i)] * 8) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cb = pq_codebooks(df, dim=8, m=2, seed_ids=[0, 1, 2, 3])
+    codes = pq_encode(df, cb, dim=8, m=2)
+    out = pq_adc_topk(codes, cb, [2.0] * 8, k=6, m=2).collect()
+    # the vector identical to the query quantizes to codeword "2" with
+    # ADC distance 0 and ranks first
+    assert out[0]["vec_id"] == 2 and out[0]["approx_d"] == 0.0
+    assert [r["vec_id"] for r in out][:3] == [2, 1, 3] or out[1]["approx_d"] >= 0.0

@@ -307,3 +307,12 @@ def test_rerank_on_facade(index):
     assert got["r3"][1] > got["r3"][0]
     assert got["r1"][1] == got["r1"][0]
     assert out[0]["rowkey"] == "r3"
+
+
+def test_elevate_on_facade(index):
+    out = index.elevate("name", ["apple"], elevated_ids=["r2", "r3"], k=5).collect()
+    rows = [(r["rowkey"], r["elevated"]) for r in out]
+    # pinned first in configured order (r2 then r3), organic tail
+    # excludes them: r1 is the only remaining apple match
+    assert rows[0] == ("r2", 1) and rows[1] == ("r3", 1)
+    assert ("r1", 0) in rows[2:]

@@ -455,3 +455,77 @@ def test_duplicated_spans_matches_python_oracle(spark, token_lists, n):
         for r in duplicated_spans(df, "id", "txt", n=n).collect()
     }
     assert got == _py_dup_spans(docs, n)
+
+
+# ------------------------------------------------------------ eDisMax
+
+def _py_edismax(docs, fields_boosts, terms, mm, tie):
+    """Pure-Python eDisMax reference: per-field tf·idf with dismax
+    combination (mirrors search.edismax.edismax_topk's formula)."""
+    import math
+    import re
+
+    def toks(s):
+        return [t for t in re.split(r"[^a-z0-9]+", s.lower()) if t]
+
+    n_docs = float(len(docs))
+    terms = sorted({t.lower() for t in terms})
+    # per field/term df and per doc/field/term tf
+    w = {}  # (doc, term) -> list of field scores
+    for field, boost in fields_boosts.items():
+        tf = {}
+        for d, row in docs.items():
+            for t in toks(row[field]):
+                if t in terms:
+                    tf[(d, t)] = tf.get((d, t), 0) + 1
+        df = {}
+        for (d, t), c in tf.items():
+            df[t] = df.get(t, 0) + 1
+        for (d, t), c in tf.items():
+            w.setdefault((d, t), []).append(boost * c * math.log(n_docs / df[t]))
+    per_doc = {}
+    for (d, t), ws in w.items():
+        dismax = max(ws) + tie * (sum(ws) - max(ws))
+        s, c = per_doc.get(d, (0.0, 0))
+        per_doc[d] = (s + dismax, c + 1)
+    return {
+        d: (round(s, 6), c) for d, (s, c) in per_doc.items() if c >= mm
+    }
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.lists(st.sampled_from(["apple", "pear", "kiwi", "fig"]), min_size=0, max_size=6),
+            st.lists(st.sampled_from(["apple", "pear", "plum"]), min_size=0, max_size=4),
+        ),
+        min_size=2,
+        max_size=6,
+    ),
+    st.integers(min_value=1, max_value=2),
+    st.sampled_from([0.0, 0.1, 1.0]),
+)
+def test_edismax_matches_python_reference(spark, rows, mm, tie):
+    from hbase_increment_index_spark.search.edismax import edismax_topk
+
+    docs = {
+        i: {"title": " ".join(a), "body": " ".join(b)}
+        for i, (a, b) in enumerate(rows)
+    }
+    df = spark.createDataFrame(
+        [(i, d["title"], d["body"]) for i, d in docs.items()],
+        "id long, title string, body string",
+    )
+    got = {
+        r["id"]: (r["score"], r["matched"])
+        for r in edismax_topk(
+            df, "id", {"title": 2.0, "body": 1.0}, ["apple", "pear"],
+            mm=mm, tie=tie, k=100,
+        ).collect()
+    }
+    expect = _py_edismax(docs, {"title": 2.0, "body": 1.0}, ["apple", "pear"], mm, tie)
+    assert set(got) == set(expect)
+    for d in expect:
+        assert got[d][1] == expect[d][1]
+        assert abs(got[d][0] - expect[d][0]) < 1e-6

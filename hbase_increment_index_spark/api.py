@@ -602,35 +602,11 @@ class SecondaryIndex:
     ) -> DataFrame:
         """Solr QueryElevationComponent: ``elevated_ids`` surface first
         in the given order, then the organic BM25 ranking (elevated ids
-        excluded) fills the remaining slots."""
-        from hbase_increment_index_spark.search.ranking import bm25_topk
+        excluded) fills the remaining slots — total rows ≤ ``k``, like
+        Solr's ``rows``. Empty elevation list = plain organic ranking."""
+        from hbase_increment_index_spark.search.ranking import elevation_topk
 
-        spark = self.documents.sparkSession
-        pinned = spark.createDataFrame(
-            [(d, i + 1) for i, d in enumerate(elevated_ids)],
-            f"{self.key_field} string, elev_pos int",
-        ) if isinstance(elevated_ids[0], str) else spark.createDataFrame(
-            [(d, i + 1) for i, d in enumerate(elevated_ids)],
-            f"{self.key_field} long, elev_pos int",
-        )
-        organic = bm25_topk(
-            self.documents, self.key_field, text_field, terms, k=organic_pool
-        )
-        rest = (
-            organic.join(F.broadcast(pinned.select(self.key_field)), self.key_field, "left_anti")
-            .orderBy(F.col("score").desc(), F.col(self.key_field).asc())
-            .limit(k)
-        )
-        elevated = pinned.select(
-            self.key_field,
-            F.lit(1).alias("elevated"),
-            F.col("elev_pos").cast("double").alias("sort_key"),
-        )
-        organic_part = rest.select(
-            self.key_field,
-            F.lit(0).alias("elevated"),
-            (F.lit(1000.0) - F.col("score")).alias("sort_key"),
-        )
-        return elevated.unionByName(organic_part).orderBy(
-            F.col("elevated").desc(), F.col("sort_key").asc()
+        return elevation_topk(
+            self.documents, self.key_field, text_field, terms,
+            elevated_ids, k=k, organic_pool=organic_pool,
         )

@@ -535,6 +535,8 @@ def pq_codebooks(
     (1-based, ordered by seed id), codeword sub-vector as double[].
     Size = m × k rows — always broadcastable.
     """
+    if dim % m:
+        raise ValueError(f"dim={dim} must be divisible by m={m} subspaces")
     w = dim // m
     ids = seed_ids if seed_ids is not None else list(range(8))
     seeds = embeddings.filter(F.col(id_col).isin(ids)).select(
@@ -590,6 +592,8 @@ def pq_encode(
     at ``dist_decimals`` before the argmin so ties break on codeword
     id identically in any engine.
     """
+    if dim % m:
+        raise ValueError(f"dim={dim} must be divisible by m={m} subspaces")
     w = dim // m
     v = F.col(vec_col).cast("array<double>")
     subs = embeddings.select(
@@ -632,6 +636,8 @@ def pq_adc_topk(
     vector of 1-byte codes), never the raw vectors — the PQ promise.
     """
     dim = len(query_vec)
+    if dim % m:
+        raise ValueError(f"query dim={dim} must be divisible by m={m} subspaces")
     w = dim // m
     # per-subspace literal query slice → squared L2 against cw
     q_slices = {

@@ -5209,37 +5209,15 @@ _ELEVATED_IDS = [42, 7]
 def q57_elevation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Solr QueryElevationComponent (``elevate.xml`` / ``elevateIds``):
     editorially-pinned documents surface FIRST in their configured
-    order, then the organic BM25 ranking continues (pinned ids
-    excluded from the organic slots). The pinned set is a literal
-    broadcast frame; the organic leg is the standard index-skeleton
-    BM25 top-k — elevation adds zero corpus-side work."""
+    order, then the organic BM25 ranking fills the remaining slots
+    (search.ranking.elevation_topk; total rows = Solr ``rows``). The
+    pinned set is a literal broadcast frame; elevation adds zero
+    corpus-side work to the organic retrieval."""
     docs = _t(spark, sf_dir, "documents")
-    organic = ranking.bm25_topk(docs, "doc_id", "text", _TFIDF_TERMS, k=12)
-    pinned = spark.createDataFrame(
-        [(int(d), i + 1) for i, d in enumerate(_ELEVATED_IDS)],
-        "doc_id long, elev_pos int",
-    )
-    rest = (
-        organic.join(F.broadcast(pinned.select("doc_id")), "doc_id", "left_anti")
-        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
-        .limit(10)
-    )
-    elevated = pinned.select(
-        "doc_id",
-        F.lit(1).alias("elevated"),
-        F.col("elev_pos").cast("double").alias("sort_key"),
-    )
-    organic_part = rest.select(
-        "doc_id",
-        F.lit(0).alias("elevated"),
-        # organic order encoded after all pinned slots: stable and
-        # engine-portable (rank by -score with id tiebreak)
-        (F.lit(1000.0) - F.col("score")).alias("sort_key"),
-    )
-    return (
-        elevated.unionByName(organic_part)
-        .orderBy(F.col("elevated").desc(), F.col("sort_key").asc(), F.col("doc_id").asc())
-        .select("doc_id", "elevated", F.round("sort_key", 6).alias("sort_key"))
+    return ranking.elevation_topk(
+        docs, "doc_id", "text", list(_TFIDF_TERMS),
+        elevated_ids=[int(d) for d in _ELEVATED_IDS],
+        k=12, organic_pool=12,
     )
 
 

@@ -47,7 +47,7 @@ def resolve_mm(mm: int | str, n_clauses: int) -> int:
     if isinstance(mm, str):
         pct = float(mm.rstrip("%"))
         want = int(n_clauses * pct / 100.0)  # Solr truncates
-        return n_clauses + want if pct < 0 else want
+        return max(n_clauses + want, 0) if pct < 0 else want
     if mm < 0:
         return max(n_clauses + int(mm), 0)
     return int(mm)

@@ -60,18 +60,32 @@ def graph_traverse(
         F.col(id_col), F.col(from_col).alias("_from"), F.col(to_col).alias("_to")
     )
     visited = frontier.select(F.col(id_col), F.lit(0).alias("depth"))
+    cached = []
     for d in range(1, int(max_depth) + 1):
-        vals = frontier.select(F.col("_from").alias("_v")).distinct()
         nxt = (
-            proj.join(F.broadcast(vals), proj["_to"] == F.col("_v"))
+            proj.join(
+                F.broadcast(frontier.select(F.col("_from").alias("_v")).distinct()),
+                proj["_to"] == F.col("_v"),
+            )
             .drop("_v")
             .join(visited.select(id_col), id_col, "left_anti")
             .dropDuplicates([id_col])
         )
         if persist_levels:
             nxt = nxt.persist()
+            cached.append(nxt)
         visited = visited.unionByName(
             nxt.select(F.col(id_col), F.lit(d).alias("depth"))
         )
         frontier = nxt
-    return visited
+    if not cached:
+        return visited
+    # the per-level caches exist only to stop quadratic plan
+    # re-expansion while the BFS is BUILT; materialize the (small)
+    # node set once, lineage-truncated, then release every level so a
+    # serving facade issuing many traversals doesn't accumulate
+    # cached partitions for the life of the session
+    out = visited.localCheckpoint(eager=True)
+    for f in cached:
+        f.unpersist()
+    return out

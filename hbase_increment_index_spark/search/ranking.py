@@ -423,13 +423,55 @@ def rerank_topk(
     candidate ids before aggregation. Rerank cost is O(head), never a
     second corpus-wide retrieval.
     """
+    spark = corpus.sparkSession
     head = bm25_topk(
         corpus, id_col, text_col, main_terms, k=rerank_docs,
         score_decimals=score_decimals,
     ).withColumnRenamed("score", "main_score")
-    re_scores = bm25_scores(
-        corpus, id_col, text_col, rerank_terms, score_decimals=score_decimals
-    ).withColumnRenamed("score", "re_score")
+
+    # rerank leg: INDEX-GLOBAL statistics (df over all matching
+    # postings, corpus n_docs/avgdl — Solr scores the head with full-
+    # index idf), but per-doc tf/dl aggregation restricted to the
+    # broadcast candidate head BEFORE the shuffle — the O(head) claim
+    from hbase_increment_index_spark.search.tokenize import posting_list, tokens
+
+    k1, b = 1.2, 0.75
+    terms = spark.createDataFrame(
+        [(t.lower(),) for t in sorted(set(rerank_terms))], ["term"]
+    )
+    head_ids = head.select(id_col)
+    doc_len = corpus.select(F.col(id_col), F.size(tokens(text_col)).alias("dl"))
+    stats = doc_len.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avg_dl"),
+    )
+    hits = posting_list(corpus, id_col, text_col).join(F.broadcast(terms), "term")
+    # df from the term-filtered postings (global): distinct docs per term
+    df_t = hits.select(id_col, "term").distinct().groupBy("term").agg(
+        F.count(F.lit(1)).alias("df_t")
+    )
+    tf = (
+        hits.join(F.broadcast(head_ids), id_col)  # candidate filter pre-agg
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    re_scores = (
+        tf.join(F.broadcast(df_t), "term")
+        .join(doc_len, id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "w",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df_t") + F.lit(0.5))
+                / (F.col("df_t") + F.lit(0.5))
+            )
+            * (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + F.lit(k1) * (1 - b + b * F.col("dl") / F.col("avg_dl"))),
+        )
+        .groupBy(id_col)
+        .agg(F.round(F.sum("w"), score_decimals).alias("re_score"))
+    )
     return (
         head.join(re_scores, id_col, "left")
         .select(
@@ -443,4 +485,69 @@ def rerank_topk(
         )
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
+    )
+
+
+def elevation_topk(
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    elevated_ids: list,
+    k: int = 10,
+    organic_pool: int = 50,
+    score_decimals: int = 6,
+) -> DataFrame:
+    """Solr QueryElevationComponent (``elevate.xml`` / ``elevateIds``):
+    the pinned documents surface first in their configured order, then
+    the organic BM25 ranking fills the REMAINING slots (total rows ≤
+    ``k``, like Solr's ``rows=k``; pinned ids are excluded from the
+    organic slots). An empty elevation list degrades to plain BM25.
+
+    Output: (id, elevated, sort_key) — sort_key is the pinned position
+    for elevated rows and (1000 − score) for organic ones, rounded;
+    total order is (elevated desc, sort_key asc, id asc).
+    """
+    spark = corpus.sparkSession
+    organic = bm25_topk(
+        corpus, id_col, text_col, query_terms, k=organic_pool,
+        score_decimals=score_decimals,
+    )
+    if not elevated_ids:
+        return (
+            organic.select(
+                F.col(id_col),
+                F.lit(0).alias("elevated"),
+                F.round(F.lit(1000.0) - F.col("score"), score_decimals).alias("sort_key"),
+            )
+            .orderBy(F.col("sort_key").asc(), F.col(id_col).asc())
+            .limit(k)
+        )
+    id_type = "string" if isinstance(elevated_ids[0], str) else "long"
+    pinned = spark.createDataFrame(
+        [(d, i + 1) for i, d in enumerate(elevated_ids)],
+        f"{id_col} {id_type}, elev_pos int",
+    )
+    n_organic = max(k - len(elevated_ids), 0)
+    rest = (
+        organic.join(F.broadcast(pinned.select(id_col)), id_col, "left_anti")
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(n_organic)
+    )
+    elevated = pinned.select(
+        F.col(id_col),
+        F.lit(1).alias("elevated"),
+        F.col("elev_pos").cast("double").alias("sort_key"),
+    )
+    organic_part = rest.select(
+        F.col(id_col),
+        F.lit(0).alias("elevated"),
+        (F.lit(1000.0) - F.col("score")).alias("sort_key"),
+    )
+    return (
+        elevated.unionByName(organic_part)
+        .select(
+            F.col(id_col), "elevated", F.round("sort_key", score_decimals).alias("sort_key")
+        )
+        .orderBy(F.col("elevated").desc(), F.col("sort_key").asc(), F.col(id_col).asc())
     )

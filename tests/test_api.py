@@ -316,3 +316,13 @@ def test_elevate_on_facade(index):
     # excludes them: r1 is the only remaining apple match
     assert rows[0] == ("r2", 1) and rows[1] == ("r3", 1)
     assert ("r1", 0) in rows[2:]
+
+
+def test_elevate_caps_total_rows_and_handles_empty(index):
+    # rows=k caps pinned + organic together (Solr rows semantics)
+    out = index.elevate("name", ["apple"], elevated_ids=["r2", "r3"], k=2).collect()
+    assert [(r["rowkey"], r["elevated"]) for r in out] == [("r2", 1), ("r3", 1)]
+    # empty elevation list degrades to the plain organic ranking
+    out = index.elevate("name", ["apple"], elevated_ids=[], k=10).collect()
+    assert {r["rowkey"] for r in out} == {"r1", "r3"}
+    assert all(r["elevated"] == 0 for r in out)

@@ -5746,6 +5746,136 @@ LIMIT 10
 
 
 # --------------------------------------------------------------------------
+# Solr streaming expressions (the /stream handler of the solrj 9.x the
+# reference builds against, pom.xml:22) — expression text compiled to
+# DataFrame plans by search.streaming_expr. Each query below is the
+# literal expression a Solr user would POST to /stream.
+# --------------------------------------------------------------------------
+
+
+def _stream(spark: SparkSession, sf_dir: str, expression: str) -> DataFrame:
+    from hbase_increment_index_spark.catalog import load_all
+    from hbase_increment_index_spark.search.streaming_expr import run_stream_expr
+
+    return run_stream_expr(spark, load_all(spark, sf_dir), expression)
+
+
+def q61_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``top(rollup(search(...)))`` — the canonical streaming-expression
+    aggregation: filtered scan → hash rollup → top-k. Plans as pushed
+    filter + partial/final hash agg + TakeOrderedAndProject; Solr's
+    sorted-stream precondition for rollup is unnecessary on Spark."""
+    return _stream(
+        spark, sf_dir,
+        'top(n=5, sort="sum_l_extendedprice desc,l_suppkey asc", '
+        'rollup(search(lineitem, q="l_returnflag:A", '
+        'fl="l_suppkey,l_extendedprice,l_quantity"), '
+        'over="l_suppkey", sum(l_extendedprice), sum(l_quantity), count(*)))',
+    )
+
+
+Q61_SQL = """
+SELECT l_suppkey,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_l_extendedprice,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_l_quantity,
+       COUNT(*) AS count_star
+FROM lineitem WHERE l_returnflag = 'A'
+GROUP BY l_suppkey
+ORDER BY sum_l_extendedprice DESC, l_suppkey ASC
+LIMIT 5
+"""
+
+
+def q61b_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``top(innerJoin(search, search))`` — streaming-expression equi
+    join. Solr requires both streams sorted on the key and merges them
+    worker-side; here the join hashes (broadcast under AQE when one
+    side is small), so the expression runs without re-sort shuffles."""
+    return _stream(
+        spark, sf_dir,
+        'top(n=20, sort="o_totalprice desc,o_orderkey asc", '
+        'innerJoin(search(orders, fq="o_orderstatus:F", '
+        'fl="o_orderkey,o_custkey,o_totalprice"), '
+        'search(customer, fl="c_custkey,c_mktsegment,c_name"), '
+        'on="o_custkey=c_custkey"))',
+    )
+
+
+Q61B_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice, c_mktsegment, c_name
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_orderstatus = 'F'
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 20
+"""
+
+
+def q61c_stream_complement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``complement(stream, hashed=stream, on=...)`` — set-difference
+    decorator: parts never shipped in quantity >= 49. Compiles to a
+    left-anti hash join whose build side is the deduplicated KEYSET
+    only (payload columns pruned before the join)."""
+    return _stream(
+        spark, sf_dir,
+        'complement(search(part, fl="p_partkey,p_brand"), '
+        'hashed=search(lineitem, fq="l_quantity:[49 TO *]", fl="l_partkey"), '
+        'on="p_partkey=l_partkey")',
+    )
+
+
+Q61C_SQL = """
+SELECT p_partkey, p_brand FROM part
+WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 49)
+"""
+
+
+def q61d_stream_facet_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``having(facet(...), gt(metric, v))`` — facet expression with a
+    post-aggregation predicate; one hash agg, filter on the aggregate
+    (no second scan)."""
+    return _stream(
+        spark, sf_dir,
+        'having(facet(lineitem, buckets="l_returnflag,l_linestatus", '
+        'bucketSorts="count_star desc,l_returnflag asc,l_linestatus asc", '
+        'sum(l_quantity), count(*)), gt(count_star, 100))',
+    )
+
+
+Q61D_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_l_quantity,
+       COUNT(*) AS count_star
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+HAVING COUNT(*) > 100
+ORDER BY count_star DESC, l_returnflag ASC, l_linestatus ASC
+"""
+
+
+def q61e_stream_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``select(unique(search(...), over=...))`` — latest event per
+    user via the unique decorator (one window on the over key), with a
+    select rename on top. Solr streams pre-sorted tuples and emits the
+    first per key; the window form needs no pre-sort of the corpus."""
+    return _stream(
+        spark, sf_dir,
+        'select(unique(search(events, fl="user_id,event_type,ts,event_id"), '
+        'over="user_id", sort="ts desc,event_id desc"), '
+        '"user_id as u", "event_type as latest_type", "event_id as latest_id")',
+    )
+
+
+Q61E_SQL = """
+SELECT user_id AS u, event_type AS latest_type, event_id AS latest_id
+FROM (
+  SELECT user_id, event_type, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -5760,6 +5890,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # E-series pipeline component). Lookup semantics are unaffected.
     # ------------------------------------------------------------------
     "flagship": flagship,
+    "q61_stream_rollup": q61_stream_rollup,
+    "q61b_stream_join": q61b_stream_join,
+    "q61c_stream_complement": q61c_stream_complement,
+    "q61d_stream_facet_having": q61d_stream_facet_having,
+    "q61e_stream_unique": q61e_stream_unique,
     "q29_suggest": q29_suggest,
     "q30_highlight": q30_highlight,
     "q31_more_like_this": q31_more_like_this,
@@ -5938,6 +6073,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     "flagship": FLAGSHIP_SQL,
+    "q61_stream_rollup": Q61_SQL,
+    "q61b_stream_join": Q61B_SQL,
+    "q61c_stream_complement": Q61C_SQL,
+    "q61d_stream_facet_having": Q61D_SQL,
+    "q61e_stream_unique": Q61E_SQL,
     "q01_filter_eq": Q01_SQL,
     "q02_range_filter": Q02_SQL,
     "q03_boolean_filter": Q03_SQL,

@@ -1,0 +1,445 @@
+"""Solr streaming-expressions compiler: the `/stream` handler's
+expression language (the batch-analytics query language of the Solr
+the reference ships against — its pom bumps solrj to 9.8.0,
+reference pom.xml:22, where `/stream` is a core API) compiled to
+Spark DataFrame plans.
+
+A user of the reference system who outgrew the `select` handler
+writes expressions like::
+
+    top(n=10, sort="revenue desc",
+        rollup(search(lineitem, q="l_returnflag:A", fl="l_suppkey,l_extendedprice"),
+               over="l_suppkey", sum(l_extendedprice), count(*)))
+
+This module parses that text into the equivalent DataFrame plan.
+Spark-first by design: Solr's streaming decorators (innerJoin,
+unique, rollup) require their input streams to arrive SORTED on the
+join/over keys because a Solr worker streams tuples one-by-one;
+Catalyst has no such constraint — joins hash or broadcast, rollups
+are partial+final hash aggregates — so the sort preconditions are
+dropped rather than emulated, and the same expression plans into
+shuffle-minimal physical operators.
+
+Grammar (recursive descent, one token of lookahead)::
+
+    expr   := NAME '(' arg (',' arg)* ')'
+    arg    := expr                         # sub-stream or metric/bool
+            | NAME '=' value               # named parameter
+            | NAME                         # bare field (select lists)
+    value  := '"' chars '"' | bare-chars
+
+Supported stream sources/decorators (Solr names):
+
+    search(table, q="...", fq="...", fl="a,b", sort="f asc,g desc")
+    select(stream, "a as b", "c", ...)
+    top(stream, n=N, sort="...")
+    sort(stream, by="...")
+    unique(stream, over="f", sort="...")
+    rollup(stream, over="a,b", sum(x), avg(x), min(x), max(x), count(*))
+    stats(table, q="...", metrics...)
+    facet(table, q="...", buckets="a,b", bucketSizeLimit=N,
+          bucketSorts="metric desc", metrics...)
+    innerJoin(left, right, on="lk=rk" | "k")
+    leftOuterJoin(left, right, on=...)
+    hashJoin(left, hashed=right, on=...)       # alias of innerJoin
+    intersect(left, hashed=right, on=...)      # left-semi
+    complement(left, hashed=right, on=...)     # left-anti
+    merge(s1, s2, on="sort spec")              # unionByName + sort
+    fetch(table, stream, on="lk=rk", fl="extra1,extra2")
+    having(stream, bool)   with bool := eq|gt|lt|gteq|lteq(field, v)
+                                       | and(b1,b2) | or(b1,b2) | not(b)
+
+Metric aliases are deterministic (`sum(x)` → column ``sum_x``,
+`count(*)` → ``count_star``), so an oracle SQL twin can name the same
+columns; double sums ride the exact-decimal path (numeric.exact_sum)
+to stay order-independent under any partitioning.
+
+Scale notes: `search` pushes `q`/`fq` predicates and the `fl`
+projection straight into the scan (Catalyst pushdown — the expression
+never materializes unprojected columns); `rollup`/`facet`/`stats` are
+single hash aggregates with map-side partials; `top` is
+TakeOrderedAndProject (per-partition heaps, no global sort);
+`unique` is one window on the `over` key. Joins pick
+broadcast/shuffle-hash via AQE; `fetch`'s enrichment side is keyed by
+the stream's harvested keys, mirroring `q50_cross_join_parser`.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hbase_increment_index_spark.numeric import exact_avg, exact_sum
+
+
+class StreamExprError(ValueError):
+    pass
+
+
+# ---------------------------------------------------------------- parsing
+
+
+@dataclass
+class Call:
+    name: str
+    streams: list = field(default_factory=list)  # positional sub-Calls
+    params: dict = field(default_factory=dict)  # name=value params
+    fields: list = field(default_factory=list)  # bare positional strings
+
+
+_TOK = re.compile(
+    r"""\s*(?:
+        (?P<name>[A-Za-z_][\w.]*)\s*(?P<lparen>\()? |
+        (?P<eq>=) | (?P<comma>,) | (?P<rparen>\)) |
+        "(?P<quoted>[^"]*)" |
+        (?P<star>\*) |
+        (?P<bare>[^\s,()=]+)
+    )""",
+    re.VERBOSE,
+)
+
+
+def _lex(text: str):
+    pos, out = 0, []
+    while pos < len(text):
+        m = _TOK.match(text, pos)
+        if not m or m.end() == pos:
+            raise StreamExprError(f"bad token at {text[pos:pos + 20]!r}")
+        pos = m.end()
+        if m.group("name") is not None:
+            out.append(("call" if m.group("lparen") else "name", m.group("name")))
+        elif m.group("eq"):
+            out.append(("eq", "="))
+        elif m.group("comma"):
+            out.append(("comma", ","))
+        elif m.group("rparen"):
+            out.append(("rparen", ")"))
+        elif m.group("quoted") is not None:
+            out.append(("str", m.group("quoted")))
+        elif m.group("star"):
+            out.append(("name", "*"))
+        else:
+            out.append(("str", m.group("bare")))
+    return out
+
+
+def parse(text: str) -> Call:
+    toks = _lex(text)
+    idx = 0
+
+    def peek(k=0):
+        return toks[idx + k] if idx + k < len(toks) else ("eof", "")
+
+    def take(kind=None):
+        nonlocal idx
+        tok = peek()
+        if kind and tok[0] != kind:
+            raise StreamExprError(f"expected {kind}, got {tok}")
+        idx += 1
+        return tok
+
+    def parse_call() -> Call:
+        kind, name = take("call")
+        call = Call(name)
+        if peek()[0] == "rparen":  # empty arg list
+            take()
+            return call
+        while True:
+            kind, val = peek()
+            if kind == "call":
+                call.streams.append(parse_call())
+            elif kind == "name" and peek(1)[0] == "eq":
+                take()
+                take("eq")
+                vkind, vval = take()
+                if vkind == "call":  # e.g. hashed=search(...)
+                    # rewind one token so parse_call sees the 'call' token
+                    nonlocal_rewind()
+                    call.params[val] = parse_call()
+                elif vkind not in ("str", "name"):
+                    raise StreamExprError(f"bad value for {val}: {vval}")
+                else:
+                    call.params[val] = vval
+            elif kind in ("name", "str"):
+                take()
+                call.fields.append(val)
+            else:
+                raise StreamExprError(f"unexpected {kind} {val!r}")
+            kind, _ = take()
+            if kind == "rparen":
+                return call
+            if kind != "comma":
+                raise StreamExprError("expected ',' or ')'")
+
+    def nonlocal_rewind():
+        nonlocal idx
+        idx -= 1
+
+    call = parse_call()
+    if idx != len(toks):
+        raise StreamExprError("trailing input after expression")
+    return call
+
+
+# ---------------------------------------------------------------- helpers
+
+_METRIC_FNS = ("sum", "avg", "min", "max", "count")
+
+
+def _metric_alias(fn: str, arg: str) -> str:
+    return f"{fn}_{'star' if arg == '*' else arg}"
+
+
+def _metric_col(call: Call, df: DataFrame):
+    (arg,) = call.fields or ["*"]
+    alias = _metric_alias(call.name, arg)
+    if call.name == "count":
+        return F.count(F.lit(1) if arg == "*" else F.col(arg)).alias(alias)
+    dtype = dict(df.dtypes).get(arg)
+    if call.name == "sum":
+        c = exact_sum(arg, 6) if dtype == "double" else F.sum(arg)
+    elif call.name == "avg":
+        c = exact_avg(arg, 6) if dtype == "double" else F.avg(arg)
+    else:
+        c = getattr(F, call.name)(arg)
+    return c.alias(alias)
+
+
+def _sort_cols(spec: str):
+    cols = []
+    for part in spec.split(","):
+        bits = part.split()
+        if not bits:
+            continue
+        c = F.col(bits[0])
+        cols.append(c.desc() if len(bits) > 1 and bits[1].lower() == "desc" else c.asc())
+    return cols
+
+
+def _on_pairs(spec: str):
+    pairs = []
+    for part in spec.split(","):
+        part = part.strip()
+        if "=" in part:
+            lk, rk = (s.strip() for s in part.split("=", 1))
+        else:
+            lk = rk = part
+        pairs.append((lk, rk))
+    return pairs
+
+
+def _bool_col(call: Call):
+    ops = {"eq": "__eq__", "gt": "__gt__", "lt": "__lt__", "gteq": "__ge__", "lteq": "__le__"}
+    if call.name in ("and", "or"):
+        a, b = (_bool_col(s) for s in call.streams)
+        return a & b if call.name == "and" else a | b
+    if call.name == "not":
+        (a,) = call.streams
+        return ~_bool_col(a)
+    if call.name not in ops:
+        raise StreamExprError(f"unsupported boolean {call.name}")
+    fld, raw = call.fields
+    try:
+        lit = float(raw) if "." in raw else int(raw)
+    except ValueError:
+        lit = raw
+    return getattr(F.col(fld), ops[call.name])(F.lit(lit))
+
+
+# ---------------------------------------------------------------- compiler
+
+
+class StreamCompiler:
+    """Compiles a parsed expression tree against a table catalog.
+
+    ``tables`` maps collection name → DataFrame (the engine's index
+    tables stand in for Solr collections)."""
+
+    def __init__(self, tables: dict[str, DataFrame]):
+        self.tables = tables
+
+    def compile(self, text: str) -> DataFrame:
+        return self._eval(parse(text))
+
+    # -- source
+
+    def _source(self, call: Call) -> DataFrame:
+        from hbase_increment_index_spark.search.solr_query import parse_query
+
+        if not call.fields:
+            raise StreamExprError(f"{call.name} needs a collection name")
+        table = call.fields[0]
+        if table not in self.tables:
+            raise StreamExprError(f"unknown collection {table!r}")
+        df = self.tables[table]
+        text_fields = {"text"} if "text" in df.columns else set()
+        for key in ("q", "fq"):
+            spec = call.params.get(key)
+            if spec and spec != "*:*":
+                df = df.filter(parse_query(spec, text_fields))
+        if "fl" in call.params:
+            df = df.select(*[c.strip() for c in call.params["fl"].split(",")])
+        if "sort" in call.params:
+            df = df.orderBy(*_sort_cols(call.params["sort"]))
+        return df
+
+    # -- dispatch
+
+    def _eval(self, call: Call) -> DataFrame:
+        fn = getattr(self, f"_op_{call.name}", None)
+        if call.name == "search":
+            return self._source(call)
+        if fn is None:
+            raise StreamExprError(f"unsupported decorator {call.name!r}")
+        return fn(call)
+
+    def _one_stream(self, call: Call) -> DataFrame:
+        if len(call.streams) != 1:
+            raise StreamExprError(f"{call.name} takes exactly one stream")
+        return self._eval(call.streams[0])
+
+    # -- decorators
+
+    def _op_select(self, call: Call) -> DataFrame:
+        df = self._one_stream(call)
+        cols = []
+        for spec in call.fields:
+            m = re.match(r"(\S+)\s+as\s+(\S+)$", spec, re.IGNORECASE)
+            cols.append(F.col(m.group(1)).alias(m.group(2)) if m else F.col(spec))
+        return df.select(*cols)
+
+    def _op_top(self, call: Call) -> DataFrame:
+        df = self._one_stream(call)
+        n = int(call.params["n"])
+        # orderBy().limit() plans as TakeOrderedAndProject: per-partition
+        # heaps of n rows, no global sort — the scale-correct top-k.
+        return df.orderBy(*_sort_cols(call.params["sort"])).limit(n)
+
+    def _op_sort(self, call: Call) -> DataFrame:
+        df = self._one_stream(call)
+        return df.orderBy(*_sort_cols(call.params.get("by") or call.params["sort"]))
+
+    def _op_unique(self, call: Call) -> DataFrame:
+        df = self._one_stream(call)
+        over = [c.strip() for c in call.params["over"].split(",")]
+        order = _sort_cols(call.params["sort"]) if "sort" in call.params else [
+            F.col(c).asc() for c in df.columns if c not in over
+        ]
+        w = Window.partitionBy(*over).orderBy(*order)
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    def _metrics(self, call: Call, df: DataFrame):
+        metrics = [s for s in call.streams if s.name in _METRIC_FNS]
+        if not metrics:
+            raise StreamExprError(f"{call.name} needs at least one metric")
+        return [_metric_col(m, df) for m in metrics]
+
+    def _op_rollup(self, call: Call) -> DataFrame:
+        inner = [s for s in call.streams if s.name not in _METRIC_FNS]
+        if len(inner) != 1:
+            raise StreamExprError("rollup takes exactly one stream")
+        df = self._eval(inner[0])
+        over = [c.strip() for c in call.params["over"].split(",")]
+        return df.groupBy(*over).agg(*self._metrics(call, df))
+
+    def _op_stats(self, call: Call) -> DataFrame:
+        df = self._source(call)
+        return df.agg(*self._metrics(call, df))
+
+    def _op_facet(self, call: Call) -> DataFrame:
+        df = self._source(call)
+        buckets = [c.strip() for c in call.params["buckets"].split(",")]
+        out = df.groupBy(*buckets).agg(*self._metrics(call, df))
+        sort_spec = call.params.get("bucketSorts")
+        order = (
+            _sort_cols(sort_spec)
+            if sort_spec
+            else [F.col(out.columns[len(buckets)]).desc()] + [F.col(b).asc() for b in buckets]
+        )
+        limit = call.params.get("bucketSizeLimit")
+        out = out.orderBy(*order)
+        return out.limit(int(limit)) if limit else out
+
+    def _join_sides(self, call: Call):
+        left = self._eval(call.streams[0])
+        if "hashed" in call.params:
+            right = self._eval(call.params["hashed"])
+        else:
+            right = self._eval(call.streams[1])
+        pairs = _on_pairs(call.params["on"])
+        cond = None
+        for lk, rk in pairs:
+            c = left[lk] == right[rk]
+            cond = c if cond is None else cond & c
+        return left, right, pairs, cond
+
+    def _equi_join(self, call: Call, how: str) -> DataFrame:
+        left, right, pairs, cond = self._join_sides(call)
+        if how in ("left_semi", "left_anti"):
+            # keyset-only probe side: project the join keys before the
+            # join so the build side never carries payload columns.
+            right = right.select(*[r for _, r in pairs]).dropDuplicates()
+            cond = None
+            for lk, rk in pairs:
+                c = left[lk] == right[rk]
+                cond = c if cond is None else cond & c
+            return left.join(right, cond, how)
+        out = left.join(right, cond, how)
+        # Solr emits one field per name; drop the duplicate right key.
+        for lk, rk in pairs:
+            if rk in left.columns or any(rk == r for _, r in pairs if rk != lk):
+                out = out.drop(right[rk])
+        return out
+
+    def _op_innerJoin(self, call: Call) -> DataFrame:  # noqa: N802 (Solr name)
+        return self._equi_join(call, "inner")
+
+    _op_hashJoin = _op_innerJoin  # noqa: N815 — Solr's hashJoin ≡ hash inner join here
+
+    def _op_leftOuterJoin(self, call: Call) -> DataFrame:  # noqa: N802
+        return self._equi_join(call, "left_outer")
+
+    def _op_intersect(self, call: Call) -> DataFrame:
+        return self._equi_join(call, "left_semi")
+
+    def _op_complement(self, call: Call) -> DataFrame:
+        return self._equi_join(call, "left_anti")
+
+    def _op_merge(self, call: Call) -> DataFrame:
+        dfs = [self._eval(s) for s in call.streams]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        if "on" in call.params:
+            out = out.orderBy(*_sort_cols(call.params["on"]))
+        return out
+
+    def _op_fetch(self, call: Call) -> DataFrame:
+        table = call.fields[0]
+        if table not in self.tables:
+            raise StreamExprError(f"unknown collection {table!r}")
+        df = self._one_stream(call)
+        (lk, rk) = _on_pairs(call.params["on"])[0]
+        extra = [c.strip() for c in call.params["fl"].split(",")]
+        enrich = self.tables[table].select(F.col(rk), *[F.col(c) for c in extra])
+        out = df.join(enrich, df[lk] == enrich[rk], "left_outer")
+        return out.drop(enrich[rk])
+
+    def _op_having(self, call: Call) -> DataFrame:
+        streams = [s for s in call.streams]
+        df = self._eval(streams[0])
+        return df.filter(_bool_col(streams[1]))
+
+
+def run_stream_expr(
+    spark: SparkSession, tables: dict[str, DataFrame], expression: str
+) -> DataFrame:
+    """Parse + compile a streaming expression against the catalog."""
+    return StreamCompiler(tables).compile(expression)

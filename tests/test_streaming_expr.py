@@ -1,0 +1,168 @@
+"""Solr streaming-expressions compiler (search/streaming_expr.py).
+
+Parser unit tests plus compiled-plan semantics against plain
+DataFrame equivalents on the sf0.001 fixtures.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hbase_increment_index_spark.catalog import load_all
+from hbase_increment_index_spark.search.streaming_expr import (
+    Call,
+    StreamExprError,
+    parse,
+    run_stream_expr,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def tables(spark):
+    return load_all(spark, SF)
+
+
+# ------------------------------------------------------------- parser
+
+
+def test_parse_nested_structure():
+    c = parse('top(n=5, sort="a desc", rollup(search(lineitem, q="x:1"), over="a", sum(b), count(*)))')
+    assert c.name == "top"
+    assert c.params["n"] == "5"
+    (roll,) = c.streams
+    assert roll.name == "rollup"
+    assert [s.name for s in roll.streams] == ["search", "sum", "count"]
+    assert roll.streams[2].fields == ["*"]
+
+
+def test_parse_named_substream():
+    c = parse('complement(search(a), hashed=search(b), on="k")')
+    assert isinstance(c.params["hashed"], Call)
+    assert c.params["hashed"].fields == ["b"]
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "top(",  # unbalanced
+        'top(n=5, sort="a") trailing',  # trailing garbage
+        'nosuch(search(lineitem))',  # unknown decorator — compile-time
+    ],
+)
+def test_parse_or_compile_errors(bad, tables, spark):
+    with pytest.raises(StreamExprError):
+        run_stream_expr(spark, tables, bad)
+
+
+def test_unknown_collection(tables, spark):
+    with pytest.raises(StreamExprError, match="unknown collection"):
+        run_stream_expr(spark, tables, "search(nope)")
+
+
+# ------------------------------------------------------------- compiler
+
+
+def test_search_pushdown_projection(tables, spark):
+    df = run_stream_expr(
+        spark, tables, 'search(lineitem, fq="l_quantity:[49 TO *]", fl="l_orderkey,l_quantity")'
+    )
+    assert df.columns == ["l_orderkey", "l_quantity"]
+    assert df.agg(F.min("l_quantity")).first()[0] >= 49
+    # the fl projection must reach the parquet scan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema" not in plan or "l_extendedprice" not in plan
+
+
+def test_rollup_matches_dataframe(tables, spark):
+    got = run_stream_expr(
+        spark, tables,
+        'rollup(search(lineitem, fl="l_returnflag,l_quantity"), over="l_returnflag", count(*))',
+    )
+    want = tables["lineitem"].groupBy("l_returnflag").count()
+    assert {(r.l_returnflag, r.count_star) for r in got.collect()} == {
+        (r.l_returnflag, r["count"]) for r in want.collect()
+    }
+
+
+def test_stats_global_agg(tables, spark):
+    row = run_stream_expr(
+        spark, tables, 'stats(orders, q="o_orderstatus:F", count(*), max(o_totalprice))'
+    ).first()
+    want = tables["orders"].filter(F.col("o_orderstatus") == "F")
+    assert row.count_star == want.count()
+    assert row.max_o_totalprice == want.agg(F.max("o_totalprice")).first()[0]
+
+
+def test_hashjoin_alias_matches_innerjoin(tables, spark):
+    a = run_stream_expr(
+        spark, tables,
+        'innerJoin(search(orders, fl="o_orderkey,o_custkey"), '
+        'search(customer, fl="c_custkey,c_mktsegment"), on="o_custkey=c_custkey")',
+    )
+    b = run_stream_expr(
+        spark, tables,
+        'hashJoin(search(orders, fl="o_orderkey,o_custkey"), '
+        'hashed=search(customer, fl="c_custkey,c_mktsegment"), on="o_custkey=c_custkey")',
+    )
+    assert a.columns == b.columns
+    assert a.count() == b.count() == tables["orders"].count()
+
+
+def test_intersect_is_semi_join(tables, spark):
+    got = run_stream_expr(
+        spark, tables,
+        'intersect(search(customer, fl="c_custkey,c_name"), '
+        'hashed=search(orders, fq="o_totalprice:[300000 TO *]", fl="o_custkey"), '
+        'on="c_custkey=o_custkey")',
+    )
+    keys = {
+        r.o_custkey
+        for r in tables["orders"].filter(F.col("o_totalprice") >= 300000).select("o_custkey").distinct().collect()
+    }
+    assert {r.c_custkey for r in got.collect()} == keys
+    assert got.columns == ["c_custkey", "c_name"]  # left payload only
+
+
+def test_merge_union_sort(tables, spark):
+    got = run_stream_expr(
+        spark, tables,
+        'merge(search(customer, fq="c_acctbal:[9000 TO *]", fl="c_custkey,c_acctbal"), '
+        'search(customer, fq="c_acctbal:[* TO 0]", fl="c_custkey,c_acctbal"), '
+        'on="c_acctbal asc")',
+    )
+    vals = [r.c_acctbal for r in got.collect()]
+    assert vals == sorted(vals)
+    want = tables["customer"].filter((F.col("c_acctbal") >= 9000) | (F.col("c_acctbal") <= 0))
+    assert got.count() == want.count()
+
+
+def test_fetch_enrichment(tables, spark):
+    got = run_stream_expr(
+        spark, tables,
+        'fetch(nation, search(customer, fl="c_custkey,c_nationkey"), '
+        'on="c_nationkey=n_nationkey", fl="n_name")',
+    )
+    assert got.columns == ["c_custkey", "c_nationkey", "n_name"]
+    assert got.filter(F.col("n_name").isNull()).count() == 0
+
+
+def test_select_rename(tables, spark):
+    got = run_stream_expr(
+        spark, tables, 'select(search(region, fl="r_regionkey,r_name"), "r_name as name")'
+    )
+    assert got.columns == ["name"]
+
+
+def test_top_is_take_ordered(tables, spark):
+    df = run_stream_expr(
+        spark, tables,
+        'top(n=3, sort="o_totalprice desc,o_orderkey asc", search(orders, fl="o_orderkey,o_totalprice"))',
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    rows = df.collect()
+    assert len(rows) == 3
+    assert rows[0].o_totalprice >= rows[1].o_totalprice >= rows[2].o_totalprice

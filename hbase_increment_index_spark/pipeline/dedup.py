@@ -896,3 +896,87 @@ def remove_duplicated_spans(
             .alias("removed_tokens"),
         )
     )
+
+
+# ----------------------------------------------------- E2j SemDeDup
+
+
+def semantic_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.40,
+    n_planes: int = 6,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    plane_fn: str = "xxhash64",
+    decimals: int = 6,
+) -> DataFrame:
+    """SemDeDup candidate pairs (Abbas et al. 2023, "SemDeDup:
+    Data-efficient learning at web-scale through semantic
+    deduplication"): two documents are semantic duplicates when their
+    embeddings' cosine exceeds ``threshold`` within the same cluster.
+
+    The paper clusters with k-means and compares all pairs inside a
+    cluster; the scale path here uses hyperplane-LSH buckets as the
+    cluster structure instead — deterministic, train-free, and the
+    bucket id is a pure projection, so the "clustering" costs one scan
+    and zero shuffles before the bucket-keyed self-join. Same
+    all-pairs-within-cluster shape as the paper; bucket count (2^n_planes)
+    plays the paper's k. With ``plane_fn='md5'`` the planes are exact
+    portable rationals and a SQL oracle reproduces the pairs
+    bit-for-bit.
+
+    At 100 TB: the self-join shuffles on the bucket id — uniformly
+    hash-derived, so skew-free — and each bucket holds ~N/2^n_planes
+    vectors; n_planes scales the per-bucket quadratic term down
+    independently of corpus size (pick n_planes ≈ log2(N/5000)).
+    Missed cross-bucket pairs are the usual LSH recall trade measured
+    by similarity.lsh_recall."""
+    from hbase_increment_index_spark.pipeline.similarity import (
+        build_lsh_buckets,
+        cosine,
+    )
+
+    bucketed = build_lsh_buckets(
+        embeddings, n_planes=n_planes, dim=dim, id_col=id_col, vec_col=vec_col,
+        plane_fn=plane_fn,
+    ).select(
+        F.col("bucket"),
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    a = bucketed.select("bucket", F.col(id_col).alias("id_a"), F.col("_v").alias("_va"))
+    b = bucketed.select("bucket", F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"))
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(cosine(F.col("_va"), F.col("_vb")), decimals))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.40,
+    **pair_kwargs,
+) -> DataFrame:
+    """SemDeDup end-to-end: semantic pairs → connected components →
+    (id, component, is_canonical). The survivor set is the rows with
+    ``is_canonical`` — one broadcast-size anti-join against the corpus
+    ships it (duplicate components are a small minority at any scale,
+    same argument as near_dup_clusters)."""
+    id_col = pair_kwargs.get("id_col", "vec_id")
+    pairs = semantic_pairs(embeddings, threshold=threshold, **pair_kwargs)
+    comp = connected_components(pairs)
+    return (
+        embeddings.select(F.col(id_col))
+        .join(comp.withColumnRenamed("doc", id_col), id_col, "left")
+        .select(
+            id_col,
+            "component",
+            (F.col("component").isNull() | (F.col("component") == F.col(id_col))).alias(
+                "is_canonical"
+            ),
+        )
+    )

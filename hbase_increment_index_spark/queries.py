@@ -5875,6 +5875,215 @@ FROM (
 """
 
 
+def q62_ltr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr Learning-to-Rank plugin (``rq={!ltr model=linear
+    reRankDocs=50}``): BM25 top-50 head → per-candidate feature vector
+    (original score, log doc length, lang/source filter features) →
+    linear model re-rank (search.ranking.ltr_rerank). Feature
+    extraction is O(head), joined by id against the corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    return ranking.ltr_rerank(
+        docs, "doc_id", "text", list(_TFIDF_TERMS),
+        weights={"original_score": 1.0, "log_doclen": -0.2, "is_en": 0.4, "is_web": 0.2},
+        rerank_docs=50, k=10,
+    )
+
+
+Q62_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SQL_TOKS.format(c='text')}) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+avgdl AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS a FROM dl),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+mhits AS (SELECT * FROM toks WHERE term IN ('join', 'query', 'spark')),
+mtf AS (SELECT doc_id, term, count(*) AS tf FROM mhits GROUP BY 1, 2),
+mdft AS (SELECT term, count(DISTINCT doc_id) AS df_t FROM mhits GROUP BY 1),
+main AS (
+  SELECT mtf.doc_id,
+         ROUND(SUM(
+           ln(1.0 + (n.n_docs - mdft.df_t + 0.5) / (mdft.df_t + 0.5))
+           * (mtf.tf * (1.2 + 1)) / (mtf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl.a))
+         ), 6) AS original_score
+  FROM mtf JOIN mdft USING (term) JOIN dl USING (doc_id), n, avgdl
+  GROUP BY mtf.doc_id
+),
+head AS (SELECT * FROM main ORDER BY original_score DESC, doc_id ASC LIMIT 50),
+feats AS (
+  SELECT h.doc_id, h.original_score,
+         ln(1.0 + dl.dl) AS log_doclen,
+         CAST(d.lang = 'en' AS DOUBLE) AS is_en,
+         CAST(d.source = 'web' AS DOUBLE) AS is_web
+  FROM head h JOIN dl USING (doc_id) JOIN documents d USING (doc_id)
+)
+SELECT doc_id, original_score,
+       ROUND(1.0 * original_score + (-0.2) * log_doclen + 0.4 * is_en + 0.2 * is_web, 6)
+         AS ltr_score
+FROM feats
+ORDER BY ltr_score DESC, doc_id ASC
+LIMIT 10
+"""
+
+
+def q60_phonetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr PhoneticFilter (Soundex) — sounds-like vocabulary match:
+    terms whose Soundex equals soundex('sparc') (= S162, so 'spark'
+    etc. match), with document frequency. The code is a pure codegen
+    expression chain (search.phonetic) with an exact DuckDB twin —
+    no backreferences, so both regex engines agree."""
+    from hbase_increment_index_spark.search.phonetic import soundex_code
+
+    docs = _t(spark, sf_dir, "documents")
+    from hbase_increment_index_spark.search.tokenize import tokens
+
+    vocab = (
+        docs.select(F.col("doc_id"), F.explode(tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("docfreq"))
+    )
+    return (
+        vocab.filter(soundex_code(F.col("term")) == soundex_code(F.lit("sparc")))
+        .select("term", "docfreq")
+        .orderBy(F.col("docfreq").desc(), F.col("term").asc())
+    )
+
+
+def _q60_sql() -> str:
+    from hbase_increment_index_spark.search.phonetic import soundex_sql
+
+    return f"""
+SELECT term, count(DISTINCT doc_id) AS docfreq
+FROM (SELECT doc_id, unnest({_SQL_TOKS.format(c='text')}) AS term FROM documents)
+GROUP BY term
+HAVING {soundex_sql('term')} = {soundex_sql("'sparc'")}
+ORDER BY docfreq DESC, term ASC
+"""
+
+
+def e7b_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy benchmark decontamination — the near-dup form of e7 (the
+    exact-overlap gate misses paraphrased eval leakage): corpus docs
+    whose 3-gram Jaccard against ANY eval doc is >= 0.10, with the max
+    similarity and match count for audit. Rides the bipartite shingle
+    join of pipeline.dedup.incremental_near_dups (eval side = the
+    'existing' index, corpus = the increment), so no corpus×corpus
+    pairing ever happens and the eval side's postings are broadcast-
+    scale. The same df-pruning/stop-shingle guards as E2 apply."""
+    from hbase_increment_index_spark.pipeline.dedup import incremental_near_dups
+
+    docs = _t(spark, sf_dir, "documents")
+    eval_set = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    pairs = incremental_near_dups(
+        existing=eval_set, incoming=corpus, id_col="doc_id", text_col="text",
+        n=3, threshold=0.10,
+    )
+    return (
+        pairs.groupBy(F.col("id_new").alias("doc_id"))
+        .agg(
+            F.max("jaccard").alias("max_jaccard"),
+            F.count(F.lit(1)).alias("n_eval_matches"),
+        )
+        .orderBy(F.col("doc_id").asc())
+    )
+
+
+def _e7b_sql() -> str:
+    toks = _SQL_TOKS.format(c="text")
+    grams = (
+        f"list_transform(generate_series(1, greatest(len({toks}) - 2, 0)), "
+        f"i -> array_to_string(list_slice({toks}, i, i + 2), ' '))"
+    )
+    return f"""
+WITH g AS (
+  SELECT DISTINCT doc_id, doc_id % 50 = 0 AS is_eval, g
+  FROM (SELECT doc_id, unnest({grams}) AS g FROM documents)
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM g GROUP BY doc_id),
+common AS (
+  SELECT c.doc_id AS id_new, e.doc_id AS id_old, count(*) AS common
+  FROM g c JOIN g e USING (g)
+  WHERE NOT c.is_eval AND e.is_eval
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_new,
+         ROUND(CAST(common AS DOUBLE) / (sn.n_sh + so.n_sh - common), 6) AS jaccard
+  FROM common
+  JOIN sizes sn ON sn.doc_id = id_new
+  JOIN sizes so ON so.doc_id = id_old
+  WHERE ROUND(CAST(common AS DOUBLE) / (sn.n_sh + so.n_sh - common), 6) >= 0.10
+)
+SELECT id_new AS doc_id, MAX(jaccard) AS max_jaccard, COUNT(*) AS n_eval_matches
+FROM pairs
+GROUP BY id_new
+ORDER BY doc_id ASC
+"""
+
+
+def e2j_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) — semantic dedup over the
+    embedding column: LSH-bucketed cosine pairs >= 0.40 → connected
+    components → survivors (pipeline.dedup.semantic_dedup). The
+    bucket structure bounds the quadratic term to ~N/2^n_planes per
+    bucket; md5 planes make the whole chain oracle-reproducible."""
+    from hbase_increment_index_spark.pipeline.dedup import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    marks = semantic_dedup(emb, threshold=0.40, n_planes=6, dim=64, plane_fn="md5")
+    drop = marks.filter(~F.col("is_canonical")).select("vec_id")
+    return (
+        emb.join(drop, "vec_id", "left_anti")
+        .select("vec_id", "label")
+        .orderBy(F.col("vec_id").asc())
+    )
+
+
+E2J_SQL = """
+WITH RECURSIVE planes AS (
+  SELECT i, list_transform(
+           generate_series(0, 63),
+           j -> ((('0x' || substr(md5(CAST(i AS VARCHAR) || ',' || CAST(j AS VARCHAR)), 1, 15))::BIGINT
+                  % 2000001) - 1000000) / 1000000.0
+         ) AS w
+  FROM (SELECT unnest(generate_series(0, 5)) AS i)
+),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+bits AS (
+  SELECT v.vec_id, p.i,
+         CASE WHEN list_reduce(
+                list_prepend(0.0, list_transform(list_zip(v.e, p.w), s -> s[1] * s[2])),
+                (a, b) -> a + b) >= 0
+              THEN CAST(1 AS BIGINT) << p.i ELSE CAST(0 AS BIGINT) END AS term
+  FROM v CROSS JOIN planes p
+),
+buckets AS (SELECT vec_id, CAST(SUM(term) AS BIGINT) AS bucket FROM bits GROUP BY vec_id),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM buckets ba JOIN buckets bb ON ba.bucket = bb.bucket AND ba.vec_id < bb.vec_id
+  JOIN v a ON a.vec_id = ba.vec_id JOIN v b ON b.vec_id = bb.vec_id
+  WHERE ROUND(list_dot_product(a.e, b.e)
+        / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) >= 0.40
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+comp AS (SELECT u, least(u, min(v)) AS component FROM reach GROUP BY u),
+drop_ids AS (SELECT u FROM comp WHERE component <> u)
+SELECT vec_id, label
+FROM embeddings
+WHERE vec_id NOT IN (SELECT u FROM drop_ids)
+ORDER BY vec_id ASC
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5895,6 +6104,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q61c_stream_complement": q61c_stream_complement,
     "q61d_stream_facet_having": q61d_stream_facet_having,
     "q61e_stream_unique": q61e_stream_unique,
+    "e2j_semdedup": e2j_semdedup,
+    "e7b_fuzzy_decontaminate": e7b_fuzzy_decontaminate,
+    "q60_phonetic": q60_phonetic,
+    "q62_ltr": q62_ltr,
     "q29_suggest": q29_suggest,
     "q30_highlight": q30_highlight,
     "q31_more_like_this": q31_more_like_this,
@@ -6078,6 +6291,10 @@ ORACLES: dict[str, str] = {
     "q61c_stream_complement": Q61C_SQL,
     "q61d_stream_facet_having": Q61D_SQL,
     "q61e_stream_unique": Q61E_SQL,
+    "e2j_semdedup": E2J_SQL,
+    "e7b_fuzzy_decontaminate": _e7b_sql(),
+    "q60_phonetic": _q60_sql(),
+    "q62_ltr": Q62_SQL,
     "q01_filter_eq": Q01_SQL,
     "q02_range_filter": Q02_SQL,
     "q03_boolean_filter": Q03_SQL,

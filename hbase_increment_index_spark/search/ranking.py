@@ -551,3 +551,63 @@ def elevation_topk(
         )
         .orderBy(F.col("elevated").desc(), F.col("sort_key").asc(), F.col(id_col).asc())
     )
+
+
+def ltr_rerank(
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    weights: dict[str, float],
+    rerank_docs: int = 50,
+    k: int = 10,
+    score_decimals: int = 6,
+) -> DataFrame:
+    """Solr Learning-to-Rank plugin shape (``rq={!ltr model=m
+    reRankDocs=N}``): the main query's top-``rerank_docs`` head gets a
+    FEATURE VECTOR per candidate, scored by a linear model, and the
+    head is re-ordered by the model score.
+
+    Features (the standard LTR starter set — SolrFeature /
+    FieldValueFeature / OriginalScoreFeature analogues):
+
+      original_score  BM25 of the main query (OriginalScoreFeature)
+      log_doclen      ln(1 + token count)    (FieldLengthFeature)
+      is_en           lang = 'en'            (SolrFeature on a filter)
+      is_web          source = 'web'         (SolrFeature on a filter)
+
+    ``weights`` maps feature name → weight; model score is the dot
+    product, rounded for cross-engine determinism. Like rerank_topk,
+    feature extraction happens on the broadcast-small candidate head
+    only — O(head) work joined against the corpus row by id, never a
+    second retrieval. A trained model drops in by changing ``weights``
+    (the plan is weight-agnostic).
+    """
+    from hbase_increment_index_spark.search.tokenize import tokens
+
+    head = bm25_topk(
+        corpus, id_col, text_col, query_terms, k=rerank_docs,
+        score_decimals=score_decimals,
+    ).withColumnRenamed("score", "original_score")
+
+    feats = head.join(
+        corpus.select(
+            F.col(id_col),
+            F.log(F.lit(1.0) + F.size(tokens(text_col))).alias("log_doclen"),
+            (F.col("lang") == "en").cast("double").alias("is_en"),
+            (F.col("source") == "web").cast("double").alias("is_web"),
+        ),
+        id_col,
+    )
+    model = (
+        F.lit(float(weights.get("original_score", 0.0))) * F.col("original_score")
+        + F.lit(float(weights.get("log_doclen", 0.0))) * F.col("log_doclen")
+        + F.lit(float(weights.get("is_en", 0.0))) * F.col("is_en")
+        + F.lit(float(weights.get("is_web", 0.0))) * F.col("is_web")
+    )
+    return (
+        feats.withColumn("ltr_score", F.round(model, score_decimals))
+        .select(id_col, "original_score", "ltr_score")
+        .orderBy(F.col("ltr_score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -1,0 +1,177 @@
+"""Unit tests for the late-round-3 operators: SemDeDup, fuzzy
+decontamination, phonetic search, LTR rerank."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+# --------------------------------------------------------- phonetic
+
+
+@pytest.mark.parametrize(
+    ("word", "code"),
+    [
+        ("Robert", "R163"),
+        ("Rupert", "R163"),
+        ("Tymczak", "T522"),  # NARA example (CZ collapse via run-collapse)
+        ("Pfister", "P236"),  # NARA modern coding (PF run collapses)
+        ("Ashcraft", "A226"),  # H/W-as-vowel variant (classic NARA: A261)
+        ("spark", "S162"),
+        ("sparc", "S162"),
+        ("a", "A000"),
+        ("", ""),
+        ("123", ""),
+    ],
+)
+def test_soundex_code(spark, word, code):
+    from hbase_increment_index_spark.search.phonetic import soundex_code
+
+    got = spark.range(1).select(soundex_code(F.lit(word)).alias("c")).first()["c"]
+    assert got == code, (word, got, code)
+
+
+def test_soundex_sql_matches_spark(spark):
+    """The DuckDB SQL fragment reproduces the Spark expression on the
+    whole document vocabulary."""
+    import duckdb
+
+    from hbase_increment_index_spark.search.phonetic import soundex_code, soundex_sql
+    from hbase_increment_index_spark.search.tokenize import tokens
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    vocab = (
+        docs.select(F.explode(tokens("text")).alias("t"))
+        .distinct()
+        .select("t", soundex_code(F.col("t")).alias("code"))
+    )
+    pdf = vocab.toPandas().sort_values("t").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("v", pdf[["t"]])
+    want = con.execute(
+        f"SELECT t, {soundex_sql('t')} AS code FROM v ORDER BY t"
+    ).df()
+    assert list(pdf["code"]) == list(want["code"])
+
+
+def test_phonetic_search_matches_token_scan(spark):
+    from hbase_increment_index_spark.search.phonetic import phonetic_search, soundex_code
+    from hbase_increment_index_spark.search.tokenize import tokens
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    got = {r.doc_id for r in phonetic_search(docs, "doc_id", "text", "sparc").collect()}
+    # reference: docs with any token of equal soundex, computed via explode
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("t"))
+    code = spark.range(1).select(soundex_code(F.lit("sparc")).alias("c")).first()["c"]
+    want = {
+        r.doc_id
+        for r in toks.withColumn("c", soundex_code(F.col("t")))
+        .filter(F.col("c") == code)
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    assert got == want and got  # non-empty at sf0.001
+
+
+# --------------------------------------------------------- SemDeDup
+
+
+def test_semantic_dedup_pairs_and_canonical(spark):
+    from hbase_increment_index_spark.pipeline.dedup import semantic_dedup, semantic_pairs
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    pairs = semantic_pairs(emb, threshold=0.40, n_planes=4, dim=64, plane_fn="md5")
+    rows = pairs.collect()
+    # pairs are ordered, above threshold, and bucket-consistent
+    for r in rows:
+        assert r.id_a < r.id_b and r.cos >= 0.40
+
+    marks = semantic_dedup(emb, threshold=0.40, n_planes=4, dim=64, plane_fn="md5")
+    assert marks.count() == emb.count()
+    # every pair member belongs to a component; canonical = min id
+    comp = {r.vec_id: r.component for r in marks.collect() if r.component is not None}
+    for r in rows:
+        assert comp[r.id_a] == comp[r.id_b] <= r.id_a
+    canon = {r.vec_id for r in marks.filter(F.col("is_canonical")).collect()}
+    noncanon = {r.vec_id for r in marks.filter(~F.col("is_canonical")).collect()}
+    assert canon | noncanon == {r.vec_id for r in emb.select("vec_id").collect()}
+    # each component keeps exactly one canonical member
+    import collections
+
+    by_comp = collections.defaultdict(list)
+    for r in marks.collect():
+        if r.component is not None:
+            by_comp[r.component].append(r)
+    for members in by_comp.values():
+        assert sum(1 for m in members if m.is_canonical) == 1
+
+
+def test_semantic_dedup_fewer_buckets_finds_superset(spark):
+    """Recall monotonicity: fewer planes → bigger buckets → at least
+    as many candidate pairs."""
+    from hbase_increment_index_spark.pipeline.dedup import semantic_pairs
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    few = semantic_pairs(emb, threshold=0.40, n_planes=2, dim=64, plane_fn="md5")
+    many = semantic_pairs(emb, threshold=0.40, n_planes=6, dim=64, plane_fn="md5")
+    few_set = {(r.id_a, r.id_b) for r in few.collect()}
+    many_set = {(r.id_a, r.id_b) for r in many.collect()}
+    assert many_set <= few_set
+
+
+# ------------------------------------------------- fuzzy decontamination
+
+
+def test_fuzzy_decontaminate_flags_planted_near_dup(spark):
+    from hbase_increment_index_spark.pipeline.dedup import incremental_near_dups
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+    base = docs.first()
+    # plant an eval doc that is a lightly-edited copy of doc 0
+    edited = " ".join(base.text.split()[:-2] + ["zzz"])
+    eval_df = spark.createDataFrame([(100001, edited)], ["doc_id", "text"])
+    pairs = incremental_near_dups(
+        existing=eval_df, incoming=docs.select("doc_id", "text"),
+        id_col="doc_id", text_col="text", n=3, threshold=0.3,
+    )
+    hits = {(r.id_new, r.id_old) for r in pairs.collect()}
+    assert (base.doc_id, 100001) in hits
+
+
+# --------------------------------------------------------- LTR
+
+
+def test_ltr_rerank_weights_change_order(spark):
+    from hbase_increment_index_spark.search import ranking
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    terms = ["join", "query", "spark"]
+    bm25_only = ranking.ltr_rerank(
+        docs, "doc_id", "text", terms,
+        weights={"original_score": 1.0}, rerank_docs=30, k=30,
+    )
+    rows = bm25_only.collect()
+    # with only the original-score feature, ltr ordering == bm25 ordering
+    assert [r.ltr_score for r in rows] == [r.original_score for r in rows]
+
+    shifted = ranking.ltr_rerank(
+        docs, "doc_id", "text", terms,
+        weights={"original_score": 1.0, "log_doclen": -5.0}, rerank_docs=30, k=30,
+    ).collect()
+    assert {r.doc_id for r in shifted} == {r.doc_id for r in rows}  # same head
+    assert [r.doc_id for r in shifted] != [r.doc_id for r in rows]  # re-ordered
+
+
+def test_ltr_rerank_is_head_bounded(spark):
+    from hbase_increment_index_spark.search import ranking
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = ranking.ltr_rerank(
+        docs, "doc_id", "text", ["join"], weights={"original_score": 1.0},
+        rerank_docs=5, k=10,
+    )
+    assert out.count() <= 5  # never widens past the head

@@ -5875,6 +5875,192 @@ FROM (
 """
 
 
+def olap_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking): orders in a quarter
+    with at least one late line (l_shipdate > o_orderdate + 60 days —
+    the fixtures carry no commit/receipt dates), counted per priority.
+    The EXISTS decorrelates to a left-semi join on orderkey; the date
+    band is pushed into both scans."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    band = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1997-07-01"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01"))
+    )
+    late = li.join(
+        band.select("o_orderkey", "o_orderdate"),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+    return (
+        band.join(late.select("o_orderkey").distinct(), "o_orderkey", "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy(F.col("o_orderpriority").asc())
+    )
+
+
+OLAP_PRIORITY_CHECK_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+  AND o_orderdate < TIMESTAMP '1997-10-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority ASC
+"""
+
+
+def olap_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer distribution): how many customers
+    placed k orders, INCLUDING the zero-order bucket — the left outer
+    join keeps order-less customers, the double aggregation is two
+    hash aggs whose second input is already tiny (one row per
+    customer)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+OLAP_CUSTDIST_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def olap_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): per-supplier revenue in a
+    quarter; return the supplier(s) achieving the max. The scalar
+    max rides a 1-row broadcast join against the revenue frame — the
+    view is computed once (Catalyst reuses the exchange), never
+    re-scanned per comparison."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.round(
+                exact_sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")), 6), 2
+            ).alias("total_revenue")
+        )
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("_mx"))
+    return (
+        sup.join(
+            revenue.join(F.broadcast(mx), revenue.total_revenue == F.col("_mx")),
+            sup.s_suppkey == F.col("supplier_no"),
+        )
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy(F.col("s_suppkey").asc())
+    )
+
+
+OLAP_TOP_SUPPLIER_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE), 2)
+           AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey ASC
+"""
+
+
+def q63_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event funnel (view → click → purchase, strictly ordered in
+    event time): per-stage user counts. Stage k's earliest qualifying
+    timestamp is a per-user conditional min chained on stage k-1's —
+    three aggregations all keyed on user_id, so the exchange is
+    reused (one logical shuffle at scale; repartition once on
+    user_id and every stage is map-side)."""
+    ev = _t(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    return (
+        v.select(F.lit("1_view").alias("stage"), "user_id")
+        .unionByName(c.select(F.lit("2_click_after_view").alias("stage"), "user_id"))
+        .unionByName(p.select(F.lit("3_purchase_after_click").alias("stage"), "user_id"))
+        .groupBy("stage")
+        .agg(F.count(F.lit(1)).alias("users"))
+        .orderBy("stage")
+    )
+
+
+Q63_SQL = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS v_ts FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS c_ts
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.v_ts
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS p_ts
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+  GROUP BY e.user_id
+)
+SELECT stage, count(*) AS users FROM (
+  SELECT '1_view' AS stage, user_id FROM v
+  UNION ALL
+  SELECT '2_click_after_view' AS stage, user_id FROM c
+  UNION ALL
+  SELECT '3_purchase_after_click' AS stage, user_id FROM p
+)
+GROUP BY stage
+ORDER BY stage
+"""
+
+
 def q62_ltr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Solr Learning-to-Rank plugin (``rq={!ltr model=linear
     reRankDocs=50}``): BM25 top-50 head → per-candidate feature vector
@@ -6108,6 +6294,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e7b_fuzzy_decontaminate": e7b_fuzzy_decontaminate,
     "q60_phonetic": q60_phonetic,
     "q62_ltr": q62_ltr,
+    "q63_funnel": q63_funnel,
+    "olap_priority_check": olap_priority_check,
+    "olap_customer_distribution": olap_customer_distribution,
+    "olap_top_supplier": olap_top_supplier,
     "q29_suggest": q29_suggest,
     "q30_highlight": q30_highlight,
     "q31_more_like_this": q31_more_like_this,
@@ -6295,6 +6485,10 @@ ORACLES: dict[str, str] = {
     "e7b_fuzzy_decontaminate": _e7b_sql(),
     "q60_phonetic": _q60_sql(),
     "q62_ltr": Q62_SQL,
+    "q63_funnel": Q63_SQL,
+    "olap_priority_check": OLAP_PRIORITY_CHECK_SQL,
+    "olap_customer_distribution": OLAP_CUSTDIST_SQL,
+    "olap_top_supplier": OLAP_TOP_SUPPLIER_SQL,
     "q01_filter_eq": Q01_SQL,
     "q02_range_filter": Q02_SQL,
     "q03_boolean_filter": Q03_SQL,

@@ -5875,6 +5875,31 @@ FROM (
 """
 
 
+def q64_analyzed_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr analysis chain (StopFilter + EnglishMinimalStem): the
+    top-20 ANALYZED vocabulary by document frequency — what an
+    analyzed text field actually indexes (search.analysis). The whole
+    chain is a zero-shuffle array projection feeding the usual
+    vocabulary hash agg."""
+    from hbase_increment_index_spark.search.analysis import analyzed_vocabulary
+
+    docs = _t(spark, sf_dir, "documents")
+    return analyzed_vocabulary(docs, "doc_id", "text", k=20)
+
+
+def _q64_sql() -> str:
+    from hbase_increment_index_spark.search.analysis import stem_sql, stopword_sql_list
+
+    return f"""
+SELECT {stem_sql('term')} AS term, count(DISTINCT doc_id) AS docfreq
+FROM (SELECT doc_id, unnest({_SQL_TOKS.format(c='text')}) AS term FROM documents)
+WHERE term NOT IN ({stopword_sql_list()})
+GROUP BY 1
+ORDER BY docfreq DESC, term ASC
+LIMIT 20
+"""
+
+
 def olap_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape (order-priority checking): orders in a quarter
     with at least one late line (l_shipdate > o_orderdate + 60 days —
@@ -6295,6 +6320,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q60_phonetic": q60_phonetic,
     "q62_ltr": q62_ltr,
     "q63_funnel": q63_funnel,
+    "q64_analyzed_vocab": q64_analyzed_vocab,
     "olap_priority_check": olap_priority_check,
     "olap_customer_distribution": olap_customer_distribution,
     "olap_top_supplier": olap_top_supplier,
@@ -6486,6 +6512,7 @@ ORACLES: dict[str, str] = {
     "q60_phonetic": _q60_sql(),
     "q62_ltr": Q62_SQL,
     "q63_funnel": Q63_SQL,
+    "q64_analyzed_vocab": _q64_sql(),
     "olap_priority_check": OLAP_PRIORITY_CHECK_SQL,
     "olap_customer_distribution": OLAP_CUSTDIST_SQL,
     "olap_top_supplier": OLAP_TOP_SUPPLIER_SQL,

@@ -175,3 +175,51 @@ def test_ltr_rerank_is_head_bounded(spark):
         rerank_docs=5, k=10,
     )
     assert out.count() <= 5  # never widens past the head
+
+
+# --------------------------------------------------------- analysis chain
+
+
+@pytest.mark.parametrize(
+    ("word", "stemmed"),
+    [
+        ("queries", "query"),
+        ("caches", "cache"),  # es-rule changes 'es' to 'e' (Harman rule 2)
+        ("windows", "window"),
+        ("glass", "glass"),   # ss guard
+        ("virus", "virus"),   # us guard
+        ("toes", "toes"),     # oes guard
+        ("trees", "trees"),   # ees guard
+        ("spark", "spark"),
+    ],
+)
+def test_s_stemmer(spark, word, stemmed):
+    from hbase_increment_index_spark.search.analysis import stem
+
+    got = spark.range(1).select(stem(F.lit(word)).alias("s")).first()["s"]
+    assert got == stemmed, (word, got, stemmed)
+
+
+def test_analyzed_tokens_drop_stopwords(spark):
+    from hbase_increment_index_spark.search.analysis import analyzed_tokens
+
+    row = (
+        spark.range(1)
+        .select(analyzed_tokens(F.lit("The queries of the windows are fast")).alias("t"))
+        .first()
+    )
+    assert row["t"] == ["query", "window", "fast"]
+
+
+def test_analyzed_vocabulary_matches_sql(spark):
+    import duckdb
+
+    from hbase_increment_index_spark.queries import QUERIES, ORACLES
+
+    got = QUERIES["q64_analyzed_vocab"](spark, SF).toPandas()
+    con = duckdb.connect()
+    for t in ["documents"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    want = con.execute(ORACLES["q64_analyzed_vocab"]).df()
+    assert list(got["term"]) == list(want["term"])
+    assert list(got["docfreq"]) == list(want["docfreq"])

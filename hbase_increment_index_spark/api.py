@@ -610,3 +610,62 @@ class SecondaryIndex:
             self.documents, self.key_field, text_field, terms,
             elevated_ids, k=k, organic_pool=organic_pool,
         )
+
+    def sounds_like(self, text_field: str, word: str) -> DataFrame:
+        """Phonetic (Soundex) retrieval: documents containing any token
+        that sounds like ``word`` (search.phonetic.phonetic_search).
+        With postings built, the match runs against the vocabulary
+        instead of re-tokenizing the corpus."""
+        if text_field in self._postings:
+            from hbase_increment_index_spark.search.phonetic import soundex_code
+
+            post = self._postings[text_field]
+            hits = post.filter(
+                soundex_code(F.col("term")) == soundex_code(F.lit(word))
+            ).select(self.key_field).distinct()
+            return self.documents.join(hits, self.key_field, "left_semi").select(
+                self.key_field, text_field
+            )
+        from hbase_increment_index_spark.search.phonetic import phonetic_search
+
+        return phonetic_search(self.documents, self.key_field, text_field, word)
+
+    def ltr(
+        self,
+        text_field: str,
+        terms: list[str],
+        weights: dict[str, float],
+        rerank_docs: int = 50,
+        k: int = 10,
+    ) -> DataFrame:
+        """Solr LTR plugin (``rq={!ltr model=m}``): linear-model rerank
+        of the BM25 head (search.ranking.ltr_rerank)."""
+        from hbase_increment_index_spark.search.ranking import ltr_rerank
+
+        return ltr_rerank(
+            self.documents, self.key_field, text_field, terms, weights,
+            rerank_docs=rerank_docs, k=k,
+        )
+
+    def stream_expr(self, expression: str, tables: dict | None = None) -> DataFrame:
+        """Solr streaming expression (the /stream handler language)
+        compiled against this index's document view plus any extra
+        collections: ``idx.stream_expr('rollup(search(documents, ...),
+        over=..., count(*))')`` (search.streaming_expr)."""
+        from hbase_increment_index_spark.search.streaming_expr import run_stream_expr
+
+        catalog = {"documents": self.documents}
+        if tables:
+            catalog.update(tables)
+        return run_stream_expr(self.spark, catalog, expression)
+
+    def analyze(self, text: str) -> list[str]:
+        """Run the Solr analysis chain (stopwords + S-stem) on a query
+        string — the /analysis/field handler for this engine's text
+        type. Driver-side, O(query length)."""
+        from hbase_increment_index_spark.search.analysis import analyzed_tokens
+
+        row = self.spark.range(1).select(
+            analyzed_tokens(F.lit(text)).alias("t")
+        ).first()
+        return list(row["t"])

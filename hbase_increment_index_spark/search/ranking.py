@@ -590,12 +590,22 @@ def ltr_rerank(
         score_decimals=score_decimals,
     ).withColumnRenamed("score", "original_score")
 
+    # filter features degrade to 0.0 when the field is absent (a Solr
+    # feature on a missing field scores the default)
+    is_en = (
+        (F.col("lang") == "en").cast("double") if "lang" in corpus.columns else F.lit(0.0)
+    )
+    is_web = (
+        (F.col("source") == "web").cast("double")
+        if "source" in corpus.columns
+        else F.lit(0.0)
+    )
     feats = head.join(
         corpus.select(
             F.col(id_col),
             F.log(F.lit(1.0) + F.size(tokens(text_col))).alias("log_doclen"),
-            (F.col("lang") == "en").cast("double").alias("is_en"),
-            (F.col("source") == "web").cast("double").alias("is_web"),
+            is_en.alias("is_en"),
+            is_web.alias("is_web"),
         ),
         id_col,
     )

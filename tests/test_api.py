@@ -326,3 +326,32 @@ def test_elevate_caps_total_rows_and_handles_empty(index):
     out = index.elevate("name", ["apple"], elevated_ids=[], k=10).collect()
     assert {r["rowkey"] for r in out} == {"r1", "r3"}
     assert all(r["elevated"] == 0 for r in out)
+
+
+def test_sounds_like_scan_and_index_paths(index):
+    # 'aple' sounds like 'apple' (A140): r1 and r3 match
+    scan = {r["rowkey"] for r in index.sounds_like("name", "aple").collect()}
+    assert scan == {"r1", "r3"}
+    index.build_postings("name")
+    via_index = {r["rowkey"] for r in index.sounds_like("name", "aple").collect()}
+    assert via_index == scan
+
+
+def test_ltr_facade(index):
+    out = index.ltr(
+        "name", ["apple"], weights={"original_score": 1.0}, rerank_docs=5, k=5
+    ).collect()
+    assert out and all(r.ltr_score == r.original_score for r in out)
+
+
+def test_stream_expr_facade(index):
+    got = index.stream_expr(
+        'rollup(search(documents, fl="rowkey,name"), over="name", count(*))'
+    )
+    assert {r.name for r in got.collect()} == {
+        "apple pie recipe", "banana bread recipe", "apple cider"
+    }
+
+
+def test_analyze_facade(index):
+    assert index.analyze("The apples of the queries") == ["apple", "query"]

@@ -103,3 +103,82 @@ SELECT doc_id, n_tokens,
                  ELSE 0.0 END))), {int(score_decimals)}) >= 0.5 AS INT) AS keep
 FROM scored
 """
+
+
+# ------------------------------------------------------------- DSIR
+
+
+def dsir_importance(
+    corpus: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 256,
+    decimals: int = 9,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every corpus
+    document by the log-likelihood ratio of its hashed-unigram
+    features under a target-distribution model vs the raw-corpus
+    model — the signal DSIR resamples on to skew pretraining data
+    toward a target domain.
+
+    Model: tokens hash into ``n_buckets`` buckets; each side gets
+    add-one-smoothed bucket probabilities; a document's score is
+    Σ_b c_b · (ln p_target[b] − ln p_raw[b]) over its bucket counts.
+
+    Plan shape (the 100 TB story): the two bucket-count aggregates are
+    ``n_buckets``-row frames (tiny, broadcast); the per-doc bucket
+    counts are one (doc, bucket) map-side-combined agg over the corpus
+    scan; the final score joins the broadcast log-ratio table and
+    reduces per doc. One corpus-wide shuffle on (doc, bucket), bounded
+    fan-in per doc. Numeric portability: per-bucket log-ratios are
+    rounded once, and the per-doc Σ c_b·lr_b rides an exact decimal
+    sum — order-independent under any partitioning (numeric.py
+    argument), so retries/AQE never change scores.
+    """
+    from hbase_increment_index_spark.numeric import dec
+
+    B = int(n_buckets)
+
+    def bucketed(df: DataFrame):
+        return df.select(
+            F.col(id_col), F.explode(tokens(text_col)).alias("_tok")
+        ).select(F.col(id_col), (portable_hash60(F.col("_tok")) % F.lit(B)).alias("bucket"))
+
+    tgt_counts = (
+        bucketed(target).groupBy("bucket").agg(F.count(F.lit(1)).alias("ct"))
+    )
+    raw_counts = (
+        bucketed(corpus).groupBy("bucket").agg(F.count(F.lit(1)).alias("cr"))
+    )
+    tgt_total = tgt_counts.agg(F.sum("ct").alias("nt"))
+    raw_total = raw_counts.agg(F.sum("cr").alias("nr"))
+
+    # dense 0..B-1 bucket frame so zero-count buckets still smooth
+    spark = corpus.sparkSession
+    all_buckets = spark.range(B).select(F.col("id").alias("bucket"))
+    lr = (
+        all_buckets.join(F.broadcast(tgt_counts), "bucket", "left")
+        .join(F.broadcast(raw_counts), "bucket", "left")
+        .crossJoin(F.broadcast(tgt_total))
+        .crossJoin(F.broadcast(raw_total))
+        .select(
+            "bucket",
+            F.round(
+                F.log((F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0)) / (F.col("nt") + F.lit(float(B))))
+                - F.log((F.coalesce(F.col("cr"), F.lit(0)) + F.lit(1.0)) / (F.col("nr") + F.lit(float(B)))),
+                decimals,
+            ).alias("lr"),
+        )
+    )
+    doc_counts = (
+        bucketed(corpus).groupBy(id_col, "bucket").agg(F.count(F.lit(1)).alias("cb"))
+    )
+    return (
+        doc_counts.join(F.broadcast(lr), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum(dec(F.col("cb") * F.col("lr"), decimals)).cast("double").alias("dsir_logratio")
+        )
+    )

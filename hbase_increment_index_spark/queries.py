@@ -5875,6 +5875,57 @@ FROM (
 """
 
 
+def e14_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (Xie et al. 2023): corpus docs scored
+    by the hashed-unigram log-likelihood ratio toward the eval-slice
+    target distribution (doc_id % 50 == 0, the e7 target). Top-20 by
+    importance — the docs DSIR's resampling pass would favor
+    (pipeline.classify.dsir_importance). Bucket models are 256-row
+    broadcast frames; one (doc, bucket) shuffle over the corpus."""
+    from hbase_increment_index_spark.pipeline.classify import dsir_importance
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    return (
+        dsir_importance(corpus, target, "doc_id", "text", n_buckets=256)
+        .orderBy(F.col("dsir_logratio").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
+def _e14_sql() -> str:
+    from hbase_increment_index_spark.pipeline.dedup import PORTABLE_HASH60_SQL
+
+    h = PORTABLE_HASH60_SQL.format(c="term")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SQL_TOKS.format(c='text')}) AS term FROM documents
+),
+b AS (SELECT doc_id, {h} % 256 AS bucket FROM toks),
+tgt AS (SELECT bucket, count(*) AS ct FROM b WHERE doc_id % 50 = 0 GROUP BY 1),
+raw AS (SELECT bucket, count(*) AS cr FROM b WHERE doc_id % 50 <> 0 GROUP BY 1),
+nt AS (SELECT SUM(ct) AS nt FROM tgt),
+nr AS (SELECT SUM(cr) AS nr FROM raw),
+lr AS (
+  SELECT gb.bucket,
+         ROUND(ln((COALESCE(ct, 0) + 1.0) / (nt + 256.0))
+               - ln((COALESCE(cr, 0) + 1.0) / (nr + 256.0)), 9) AS lr
+  FROM (SELECT unnest(generate_series(0, 255)) AS bucket) gb
+  LEFT JOIN tgt USING (bucket) LEFT JOIN raw USING (bucket), nt, nr
+),
+dc AS (
+  SELECT doc_id, bucket, count(*) AS cb FROM b WHERE doc_id % 50 <> 0 GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(SUM(CAST(cb * lr AS DECIMAL(30,9))) AS DOUBLE) AS dsir_logratio
+FROM dc JOIN lr USING (bucket)
+GROUP BY doc_id
+ORDER BY dsir_logratio DESC, doc_id ASC
+LIMIT 20
+"""
+
+
 def q64_analyzed_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Solr analysis chain (StopFilter + EnglishMinimalStem): the
     top-20 ANALYZED vocabulary by document frequency — what an
@@ -6321,6 +6372,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q62_ltr": q62_ltr,
     "q63_funnel": q63_funnel,
     "q64_analyzed_vocab": q64_analyzed_vocab,
+    "e14_dsir": e14_dsir,
     "olap_priority_check": olap_priority_check,
     "olap_customer_distribution": olap_customer_distribution,
     "olap_top_supplier": olap_top_supplier,
@@ -6513,6 +6565,7 @@ ORACLES: dict[str, str] = {
     "q62_ltr": Q62_SQL,
     "q63_funnel": Q63_SQL,
     "q64_analyzed_vocab": _q64_sql(),
+    "e14_dsir": _e14_sql(),
     "olap_priority_check": OLAP_PRIORITY_CHECK_SQL,
     "olap_customer_distribution": OLAP_CUSTDIST_SQL,
     "olap_top_supplier": OLAP_TOP_SUPPLIER_SQL,

@@ -223,3 +223,43 @@ def test_analyzed_vocabulary_matches_sql(spark):
     want = con.execute(ORACLES["q64_analyzed_vocab"]).df()
     assert list(got["term"]) == list(want["term"])
     assert list(got["docfreq"]) == list(want["docfreq"])
+
+
+# --------------------------------------------------------- DSIR
+
+
+def test_dsir_prefers_target_like_docs(spark):
+    """A corpus doc that is a copy of a target doc must outscore every
+    unrelated corpus doc (its features are exactly the target model's)."""
+    from hbase_increment_index_spark.pipeline.classify import dsir_importance
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    target = docs.filter(F.col("doc_id") % 50 == 0).select("doc_id", "text")
+    plant_text = target.first().text
+    corpus = (
+        docs.filter(F.col("doc_id") % 50 != 0)
+        .select("doc_id", "text")
+        .unionByName(spark.createDataFrame([(999999, plant_text)], ["doc_id", "text"]))
+    )
+    scores = dsir_importance(corpus, target, "doc_id", "text", n_buckets=128)
+    ranked = [r.doc_id for r in scores.orderBy(F.col("dsir_logratio").desc()).collect()]
+    # the copy shares every hashed feature with a target doc — it must
+    # land in the extreme top tail (other docs can leapfrog it only by
+    # being longer in target-heavy buckets)
+    assert 999999 in ranked[: max(5, len(ranked) // 100)]
+
+
+def test_dsir_partition_invariance(spark):
+    """Exact-decimal sums: the score is identical at any parallelism."""
+    from hbase_increment_index_spark.pipeline.classify import dsir_importance
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    target = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    a = dsir_importance(corpus, target, "doc_id", "text").toPandas()
+    b = dsir_importance(
+        corpus.repartition(3), target.repartition(5), "doc_id", "text"
+    ).toPandas()
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    b = b.sort_values("doc_id").reset_index(drop=True)
+    assert list(a["dsir_logratio"]) == list(b["dsir_logratio"])

@@ -56,6 +56,10 @@ HEADLINE = [
     # --- added late r3 ---
     "q54_edismax",
     "e2g_dup_spans",
+    "q61_stream_rollup",
+    "q64_analyzed_vocab",
+    "e14_dsir",
+    "q63_funnel",
 ]
 
 

@@ -84,6 +84,19 @@ AUDITED = [
     "q10b_facet_params",
     "cdc_versions",
     "cdc_ttl",
+    "q61_stream_rollup",
+    "q61b_stream_join",
+    "q61c_stream_complement",
+    "q60_phonetic",
+    "q62_ltr",
+    "q63_funnel",
+    "q64_analyzed_vocab",
+    "e14_dsir",
+    "e2j_semdedup",
+    "e7b_fuzzy_decontaminate",
+    "olap_priority_check",
+    "olap_customer_distribution",
+    "olap_top_supplier",
 ]
 
 

@@ -669,3 +669,11 @@ class SecondaryIndex:
             analyzed_tokens(F.lit(text)).alias("t")
         ).first()
         return list(row["t"])
+
+    def sql(self, query: str, view_name: str = "documents") -> DataFrame:
+        """Solr /sql handler equivalent: run SQL text over this index's
+        document view (registered as ``view_name``). Catalyst plans it
+        — predicate pushdown, partial aggs, broadcast joins — where
+        Solr's handler lowers SQL onto streaming expressions."""
+        self.documents.createOrReplaceTempView(view_name)
+        return self.spark.sql(query)

@@ -5875,6 +5875,36 @@ FROM (
 """
 
 
+def q65_sql_handler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr /sql handler (solrj 9.x exposes a SQL interface compiled
+    onto streaming expressions): the engine's native answer is Spark
+    SQL itself over the registered index view — same text in, Catalyst
+    instead of Solr's rule-based SQL→expression planner. The query is
+    the handler's canonical aggregate example: full-text predicate +
+    GROUP BY + ORDER BY + LIMIT."""
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents_v")
+    return spark.sql(
+        """
+        SELECT lang, source, count(*) AS n, sum(n_chars) AS total_chars
+        FROM documents_v
+        WHERE text LIKE '%spark%'
+        GROUP BY lang, source
+        ORDER BY n DESC, lang ASC, source ASC
+        LIMIT 10
+        """
+    )
+
+
+Q65_SQL = """
+SELECT lang, source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+WHERE text LIKE '%spark%'
+GROUP BY lang, source
+ORDER BY n DESC, lang ASC, source ASC
+LIMIT 10
+"""
+
+
 def e14_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance resampling (Xie et al. 2023): corpus docs scored
     by the hashed-unigram log-likelihood ratio toward the eval-slice
@@ -6373,6 +6403,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q63_funnel": q63_funnel,
     "q64_analyzed_vocab": q64_analyzed_vocab,
     "e14_dsir": e14_dsir,
+    "q65_sql_handler": q65_sql_handler,
     "olap_priority_check": olap_priority_check,
     "olap_customer_distribution": olap_customer_distribution,
     "olap_top_supplier": olap_top_supplier,
@@ -6566,6 +6597,7 @@ ORACLES: dict[str, str] = {
     "q63_funnel": Q63_SQL,
     "q64_analyzed_vocab": _q64_sql(),
     "e14_dsir": _e14_sql(),
+    "q65_sql_handler": Q65_SQL,
     "olap_priority_check": OLAP_PRIORITY_CHECK_SQL,
     "olap_customer_distribution": OLAP_CUSTDIST_SQL,
     "olap_top_supplier": OLAP_TOP_SUPPLIER_SQL,

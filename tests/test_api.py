@@ -355,3 +355,10 @@ def test_stream_expr_facade(index):
 
 def test_analyze_facade(index):
     assert index.analyze("The apples of the queries") == ["apple", "query"]
+
+
+def test_sql_facade(index):
+    got = index.sql(
+        "SELECT count(*) AS n FROM documents WHERE name LIKE '%apple%'"
+    ).first()
+    assert got.n == 2

@@ -663,3 +663,51 @@ def pq_adc_topk(
         .orderBy(F.col("approx_d").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def centroid_assign(
+    delta: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 6,
+) -> DataFrame:
+    """Incremental vector-index maintenance: assign DELTA vectors to
+    their nearest centroid (cosine) from a long-form centroid frame
+    (label, pos, mean_v) — the vector-side analogue of the postings
+    merge (`inverted.merge_postings`): the reference's whole job is
+    keeping a secondary index current under inserts; for an
+    IVF/centroid ANN index that job is exactly this assignment, and
+    only the delta is ever touched.
+
+    Plan: posexplode the delta (rows = |delta|·dim), join the
+    BROADCAST centroid table on pos, one (id, label) hash agg with
+    exact-decimal dot/norm sums (order-independent under any
+    partitioning), then an argmax struct-max per id — no window, no
+    corpus scan, work ∝ |delta|·dim·n_labels with n_labels bounded by
+    the broadcast. Ties break toward the smaller label
+    deterministically.
+    """
+    x = delta.select(
+        F.col(id_col), F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos0", "v")
+    ).select(F.col(id_col), (F.col("pos0") + 1).alias("pos"), "v")
+    j = x.join(F.broadcast(centroids.select("label", "pos", "mean_v")), "pos")
+    per = (
+        j.groupBy(id_col, "label")
+        .agg(
+            F.sum((F.col("v") * F.col("mean_v")).cast("decimal(30,12)")).cast("double").alias("dot"),
+            F.sum((F.col("v") * F.col("v")).cast("decimal(30,12)")).cast("double").alias("v2"),
+            F.sum((F.col("mean_v") * F.col("mean_v")).cast("decimal(30,12)")).cast("double").alias("c2"),
+        )
+        .withColumn(
+            "cos", F.round(F.col("dot") / (F.sqrt("v2") * F.sqrt("c2")), decimals)
+        )
+    )
+    best = per.groupBy(id_col).agg(
+        F.max(F.struct(F.col("cos"), (-F.col("label")).alias("_nl"))).alias("_b")
+    )
+    return best.select(
+        F.col(id_col),
+        (-F.col("_b._nl")).cast("int").alias("label"),
+        F.col("_b.cos").alias("cos"),
+    )

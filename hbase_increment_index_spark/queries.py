@@ -5875,6 +5875,56 @@ FROM (
 """
 
 
+def e3k_ivf_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN-index maintenance: the delta slice (vec_id % 10
+    == 0) is assigned to the nearest existing per-label centroid
+    (built from the rest of the corpus, exact-decimal means) — the
+    vector-index analogue of the reference's add-batch indexing: only
+    the delta is scanned, centroids ride a broadcast
+    (similarity.centroid_assign)."""
+    from hbase_increment_index_spark.pipeline.similarity import (
+        centroid_assign,
+        label_centroids,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    existing = emb.filter(F.col("vec_id") % 10 != 0)
+    delta = emb.filter(F.col("vec_id") % 10 == 0)
+    cents = label_centroids(existing)
+    return centroid_assign(delta, cents).orderBy(F.col("vec_id").asc())
+
+
+E3K_SQL = """
+WITH x0 AS (
+  SELECT vec_id, label, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
+  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i)
+),
+cents AS (
+  SELECT label, pos,
+         ROUND(CAST(SUM(CAST(v AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*), 6) AS mean_v
+  FROM x0 WHERE vec_id % 10 <> 0
+  GROUP BY label, pos
+),
+delta AS (SELECT vec_id, pos, v FROM x0 WHERE vec_id % 10 = 0),
+per AS (
+  SELECT d.vec_id, c.label,
+         CAST(SUM(CAST(d.v * c.mean_v AS DECIMAL(30,12))) AS DOUBLE) AS dot,
+         CAST(SUM(CAST(d.v * d.v AS DECIMAL(30,12))) AS DOUBLE) AS v2,
+         CAST(SUM(CAST(c.mean_v * c.mean_v AS DECIMAL(30,12))) AS DOUBLE) AS c2
+  FROM delta d JOIN cents c USING (pos)
+  GROUP BY d.vec_id, c.label
+),
+scored AS (
+  SELECT vec_id, label, ROUND(dot / (sqrt(v2) * sqrt(c2)), 6) AS cos,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ROUND(dot / (sqrt(v2) * sqrt(c2)), 6) DESC, label ASC) AS rn
+  FROM per
+)
+SELECT vec_id, CAST(label AS INT) AS label, cos
+FROM scored WHERE rn = 1
+ORDER BY vec_id ASC
+"""
+
+
 def q65_sql_handler(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Solr /sql handler (solrj 9.x exposes a SQL interface compiled
     onto streaming expressions): the engine's native answer is Spark
@@ -6404,6 +6454,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q64_analyzed_vocab": q64_analyzed_vocab,
     "e14_dsir": e14_dsir,
     "q65_sql_handler": q65_sql_handler,
+    "e3k_ivf_upsert": e3k_ivf_upsert,
     "olap_priority_check": olap_priority_check,
     "olap_customer_distribution": olap_customer_distribution,
     "olap_top_supplier": olap_top_supplier,
@@ -6598,6 +6649,7 @@ ORACLES: dict[str, str] = {
     "q64_analyzed_vocab": _q64_sql(),
     "e14_dsir": _e14_sql(),
     "q65_sql_handler": Q65_SQL,
+    "e3k_ivf_upsert": E3K_SQL,
     "olap_priority_check": OLAP_PRIORITY_CHECK_SQL,
     "olap_customer_distribution": OLAP_CUSTDIST_SQL,
     "olap_top_supplier": OLAP_TOP_SUPPLIER_SQL,

@@ -263,3 +263,56 @@ def test_dsir_partition_invariance(spark):
     a = a.sort_values("doc_id").reset_index(drop=True)
     b = b.sort_values("doc_id").reset_index(drop=True)
     assert list(a["dsir_logratio"]) == list(b["dsir_logratio"])
+
+
+# ------------------------------------------------- IVF upsert (e3k)
+
+
+def test_centroid_assign_matches_bruteforce_argmax(spark):
+    """Assignment = argmax cosine over the centroid set, verified
+    against a numpy brute-force on the collected (small) frames."""
+    import numpy as np
+
+    from hbase_increment_index_spark.pipeline.similarity import (
+        centroid_assign,
+        label_centroids,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    existing = emb.filter(F.col("vec_id") % 10 != 0)
+    delta = emb.filter(F.col("vec_id") % 10 == 0)
+    cents_df = label_centroids(existing)
+    got = {r.vec_id: r.label for r in centroid_assign(delta, cents_df).collect()}
+    assert len(got) == delta.count()
+
+    cents = {}
+    for r in cents_df.collect():
+        cents.setdefault(r.label, {})[r.pos] = r.mean_v
+    cmat = {
+        lab: np.array([d[p] for p in sorted(d)], dtype=np.float64)
+        for lab, d in cents.items()
+    }
+    for r in delta.collect():
+        v = np.array(r.embedding, dtype=np.float64)
+        best = max(
+            sorted(cmat),  # ascending label = deterministic tie-break
+            key=lambda lab: round(
+                float(v @ cmat[lab]) / (np.linalg.norm(v) * np.linalg.norm(cmat[lab])), 6
+            ),
+        )
+        assert got[r.vec_id] == best, r.vec_id
+
+
+def test_centroid_assign_partition_invariance(spark):
+    from hbase_increment_index_spark.pipeline.similarity import (
+        centroid_assign,
+        label_centroids,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cents = label_centroids(emb.filter(F.col("vec_id") % 10 != 0))
+    delta = emb.filter(F.col("vec_id") % 10 == 0)
+    a = centroid_assign(delta, cents).toPandas().sort_values("vec_id")
+    b = centroid_assign(delta.repartition(7), cents).toPandas().sort_values("vec_id")
+    assert list(a["label"]) == list(b["label"])
+    assert list(a["cos"]) == list(b["cos"])

@@ -610,6 +610,33 @@ GROUP BY 1
 """
 
 
+def q11d_facet_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr date-math range facet ``facet.range.gap=+1MONTH`` on the
+    orders fact: calendar-month buckets are NOT fixed-width, so the
+    bucket id is date_trunc (one projection + hash agg), exactly how
+    Solr's date math rounds (`NOW/MONTH`). Exact-decimal revenue per
+    bucket rides the same agg."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(exact_sum("o_totalprice", 6), 2).alias("revenue"),
+        )
+        .orderBy(F.col("month").asc())
+    )
+
+
+Q11D_SQL = """
+SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+       count(*) AS n,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE), 2) AS revenue
+FROM orders
+GROUP BY 1
+ORDER BY month ASC
+"""
+
+
 def q12_facet_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return facets.facet_queries(
@@ -6455,6 +6482,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e14_dsir": e14_dsir,
     "q65_sql_handler": q65_sql_handler,
     "e3k_ivf_upsert": e3k_ivf_upsert,
+    "q11d_facet_month": q11d_facet_month,
     "olap_priority_check": olap_priority_check,
     "olap_customer_distribution": olap_customer_distribution,
     "olap_top_supplier": olap_top_supplier,
@@ -6650,6 +6678,7 @@ ORACLES: dict[str, str] = {
     "e14_dsir": _e14_sql(),
     "q65_sql_handler": Q65_SQL,
     "e3k_ivf_upsert": E3K_SQL,
+    "q11d_facet_month": Q11D_SQL,
     "olap_priority_check": OLAP_PRIORITY_CHECK_SQL,
     "olap_customer_distribution": OLAP_CUSTDIST_SQL,
     "olap_top_supplier": OLAP_TOP_SUPPLIER_SQL,

@@ -332,3 +332,29 @@ def stream_stream_purchase_attribution(
     ).select(
         "purchase_id", "purchase_user", "purchase_ts", "click_id", "click_ts"
     )
+
+
+def dedup_within_watermark(
+    events_stream: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Native streaming deduplication — Spark 3.5+
+    ``dropDuplicatesWithinWatermark``: one row per key among events
+    whose event times fall within the watermark horizon of each other.
+
+    This is the engine-managed twin of stateful.streaming_dedup (the
+    applyInPandasWithState form): state eviction is automatic — keys
+    age out once the watermark passes them — so unlike a global
+    dropDuplicates on a stream, state is BOUNDED regardless of stream
+    length. Use this form when "duplicate" means re-delivery within a
+    bounded disorder horizon (the CDC re-delivery case, reference
+    S6/S7 buffers re-adding docs); use the stateful form when the key
+    set itself must persist for the life of the stream."""
+    from pyspark.sql.types import TimestampNTZType
+
+    if isinstance(events_stream.schema["ts"].dataType, TimestampNTZType):
+        events_stream = events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return events_stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )

@@ -457,3 +457,33 @@ def test_stream_stream_attribution_matches_batch(spark, sf_dir, tmp_path):
     }
     assert got == expect
     assert len(got) > 0
+
+
+def test_dedup_within_watermark_drops_redelivery(spark, sf_dir, tmp_path):
+    """Native dropDuplicatesWithinWatermark: a re-delivered event file
+    (same event_ids, within the watermark horizon) adds NOTHING; the
+    output matches the batch distinct of the original."""
+    from hbase_increment_index_spark.catalog import load_table
+    from hbase_increment_index_spark.streaming.cdc_stream import dedup_within_watermark
+
+    events = load_table(spark, sf_dir, "events").limit(200)
+    src = str(tmp_path / "ev_dedup")
+    events.write.parquet(src)
+    events.write.mode("append").parquet(src)  # exact re-delivery
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(src)
+    )
+    out = dedup_within_watermark(stream, keys=["event_id"], watermark="10 days")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_wm")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM dedup_wm").first()
+    assert got.n == got.d == events.count()

@@ -460,3 +460,77 @@ SELECT doc_id,
 FROM feat
 ORDER BY doc_id ASC
 """
+
+
+def bigram_logprob_backoff(
+    score_df: DataFrame,
+    lm_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    alpha: float = 0.4,
+    decimals: int = 5,
+) -> DataFrame:
+    """Bigram language-model quality score with stupid backoff (Brants
+    et al. 2007, "Large Language Models in Machine Translation" — the
+    unnormalized backoff used at corpus scale because it needs no
+    discounting pass): score ``score_df`` documents under a bigram LM
+    trained on ``lm_df`` (held-out split, so unseen bigrams actually
+    occur, unlike the self-trained unigram form e12):
+
+        lp(u,w) = ln( c2(u,w) / c1(u) )            if the bigram is seen
+                = ln( α · (c1(w)+1) / (N+V) )      otherwise (backoff to
+                                                   add-one unigram)
+
+    Per-doc output: token count and mean negative log-likelihood over
+    its bigram occurrences.
+
+    Plan: corpus-side c2/c1 aggregates are Zipf-bounded build sides
+    joined on the gram/term keys (never corpus-sized); N/V ride a
+    1-row broadcast; the scored side contributes one (doc, gram) agg.
+    Same shuffle class as E12 plus one more vocabulary join.
+    """
+    from hbase_increment_index_spark.pipeline.dedup import shingle_grams
+    from hbase_increment_index_spark.search.tokenize import posting_list
+
+    lm_toks = posting_list(lm_df, id_col, text_col)
+    c1 = lm_toks.groupBy("term").agg(F.count(F.lit(1)).alias("c1"))
+    totals = c1.agg(
+        F.sum("c1").cast("double").alias("n_total"),
+        F.count(F.lit(1)).cast("double").alias("v_size"),
+    )
+    lm_bi = (
+        lm_df.select(F.explode(shingle_grams(text_col, 2)).alias("g"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+
+    doc_bi = (
+        score_df.select(F.col(id_col), F.explode(shingle_grams(text_col, 2)).alias("g"))
+        .groupBy(id_col, "g")
+        .agg(F.count(F.lit(1)).alias("tf_b"))
+        .withColumn("u", F.split(F.col("g"), " ")[0])
+        .withColumn("w", F.split(F.col("g"), " ")[1])
+    )
+    joined = (
+        doc_bi.join(lm_bi, "g", "left")
+        .join(c1.withColumnsRenamed({"term": "u", "c1": "c1u"}), "u", "left")
+        .join(c1.withColumnsRenamed({"term": "w", "c1": "c1w"}), "w", "left")
+        .crossJoin(F.broadcast(totals))
+    )
+    lp = F.when(
+        F.col("c2").isNotNull() & F.col("c1u").isNotNull(),
+        F.log(F.col("c2") / F.col("c1u")),
+    ).otherwise(
+        F.log(
+            F.lit(float(alpha))
+            * (F.coalesce(F.col("c1w"), F.lit(0)) + F.lit(1.0))
+            / (F.col("n_total") + F.col("v_size"))
+        )
+    )
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.sum("tf_b").alias("n_bigrams"),
+            F.round(-F.sum(F.col("tf_b") * lp) / F.sum("tf_b"), decimals).alias("nll"),
+        )
+    )

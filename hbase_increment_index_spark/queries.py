@@ -610,6 +610,69 @@ GROUP BY 1
 """
 
 
+def e12b_bigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM + stupid backoff (Brants et al. 2007): odd docs scored
+    under a bigram model trained on even docs — held-out split so
+    unseen bigrams exercise the backoff leg. Top-25 most improbable
+    (pipeline.text.bigram_logprob_backoff)."""
+    from hbase_increment_index_spark.pipeline.text import bigram_logprob_backoff
+
+    docs = _t(spark, sf_dir, "documents")
+    lm = docs.filter(F.col("doc_id") % 2 == 0)
+    score = docs.filter(F.col("doc_id") % 2 == 1)
+    return (
+        bigram_logprob_backoff(score, lm, "doc_id", "text")
+        .orderBy(F.col("nll").desc(), F.col("doc_id").asc())
+        .limit(25)
+    )
+
+
+def _e12b_sql() -> str:
+    toks = _SQL_TOKS.format(c="text")
+    grams = (
+        f"list_transform(generate_series(1, greatest(len({toks}) - 1, 0)), "
+        f"i -> array_to_string(list_slice({toks}, i, i + 1), ' '))"
+    )
+    return f"""
+WITH lm_toks AS (
+  SELECT unnest({toks}) AS term FROM documents WHERE doc_id % 2 = 0
+),
+c1 AS (SELECT term, count(*) AS c1 FROM lm_toks GROUP BY 1),
+totals AS (
+  SELECT CAST(SUM(c1) AS DOUBLE) AS n_total, CAST(COUNT(*) AS DOUBLE) AS v_size FROM c1
+),
+lm_bi AS (
+  SELECT g, count(*) AS c2
+  FROM (SELECT unnest({grams}) AS g FROM documents WHERE doc_id % 2 = 0)
+  GROUP BY 1
+),
+doc_bi AS (
+  SELECT doc_id, g, count(*) AS tf_b,
+         string_split(g, ' ')[1] AS u, string_split(g, ' ')[2] AS w
+  FROM (SELECT doc_id, unnest({grams}) AS g FROM documents WHERE doc_id % 2 = 1)
+  GROUP BY doc_id, g
+),
+j AS (
+  SELECT d.doc_id, d.tf_b,
+         CASE WHEN lb.c2 IS NOT NULL AND cu.c1 IS NOT NULL
+              THEN ln(lb.c2 / cu.c1)
+              ELSE ln(0.4 * (COALESCE(cw.c1, 0) + 1.0) / (t.n_total + t.v_size))
+         END AS lp
+  FROM doc_bi d
+  LEFT JOIN lm_bi lb USING (g)
+  LEFT JOIN c1 cu ON cu.term = d.u
+  LEFT JOIN c1 cw ON cw.term = d.w
+  CROSS JOIN totals t
+)
+SELECT doc_id, CAST(SUM(tf_b) AS BIGINT) AS n_bigrams,
+       ROUND(-SUM(tf_b * lp) / SUM(tf_b), 5) AS nll
+FROM j
+GROUP BY doc_id
+ORDER BY nll DESC, doc_id ASC
+LIMIT 25
+"""
+
+
 def q11d_facet_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Solr date-math range facet ``facet.range.gap=+1MONTH`` on the
     orders fact: calendar-month buckets are NOT fixed-width, so the
@@ -6483,6 +6546,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q65_sql_handler": q65_sql_handler,
     "e3k_ivf_upsert": e3k_ivf_upsert,
     "q11d_facet_month": q11d_facet_month,
+    "e12b_bigram_backoff": e12b_bigram_backoff,
     "olap_priority_check": olap_priority_check,
     "olap_customer_distribution": olap_customer_distribution,
     "olap_top_supplier": olap_top_supplier,
@@ -6679,6 +6743,7 @@ ORACLES: dict[str, str] = {
     "q65_sql_handler": Q65_SQL,
     "e3k_ivf_upsert": E3K_SQL,
     "q11d_facet_month": Q11D_SQL,
+    "e12b_bigram_backoff": _e12b_sql(),
     "olap_priority_check": OLAP_PRIORITY_CHECK_SQL,
     "olap_customer_distribution": OLAP_CUSTDIST_SQL,
     "olap_top_supplier": OLAP_TOP_SUPPLIER_SQL,

@@ -316,3 +316,31 @@ def test_centroid_assign_partition_invariance(spark):
     b = centroid_assign(delta.repartition(7), cents).toPandas().sort_values("vec_id")
     assert list(a["label"]) == list(b["label"])
     assert list(a["cos"]) == list(b["cos"])
+
+
+# ------------------------------------------------- bigram backoff LM
+
+
+def test_bigram_backoff_seen_vs_unseen(spark):
+    """A doc made of LM-frequent bigrams scores lower NLL than one made
+    of never-seen tokens (pure backoff with unseen unigrams)."""
+    from hbase_increment_index_spark.pipeline.text import bigram_logprob_backoff
+
+    lm = spark.createDataFrame(
+        [(i, "the quick brown fox jumps") for i in range(10)], ["doc_id", "text"]
+    )
+    score = spark.createDataFrame(
+        [(100, "the quick brown fox"), (101, "zzz qqq www yyy")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.nll for r in bigram_logprob_backoff(score, lm, "doc_id", "text").collect()}
+    assert out[100] < out[101]
+
+
+def test_bigram_backoff_counts(spark):
+    from hbase_increment_index_spark.pipeline.text import bigram_logprob_backoff
+
+    lm = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    score = spark.createDataFrame([(2, "a b c d")], ["doc_id", "text"])
+    row = bigram_logprob_backoff(score, lm, "doc_id", "text").first()
+    assert row.n_bigrams == 3  # "a b", "b c", "c d"

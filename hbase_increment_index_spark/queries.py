@@ -610,6 +610,60 @@ GROUP BY 1
 """
 
 
+def cdc_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (count, Σ) rollup view under a CDC micro-batch —
+    the aggregate-view analogue of cdc_merge_batches: a per-source
+    (n, Σn_chars) view built over the full corpus is folded with a
+    batch of updates (doc_id % 5 == 0: n_chars + 10) and deletes
+    (doc_id % 7 == 0, unless updated) via facets.merge_rollup_sums,
+    and must equal the rollup rebuilt from the final corpus —
+    exact-decimal sums make that equality bit-for-bit. Output serves
+    avg from (n, Σ) at read time."""
+    from hbase_increment_index_spark.search.facets import merge_rollup_sums
+
+    docs = _t(spark, sf_dir, "documents")
+    base = (
+        docs.groupBy(F.col("source").alias("source"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("n_chars").cast("decimal(30,6)")).alias("sum_value"),
+        )
+    )
+    updated_old = docs.filter(F.col("doc_id") % 5 == 0)
+    updated_new = updated_old.withColumn("n_chars", F.col("n_chars") + F.lit(10))
+    deleted = docs.filter((F.col("doc_id") % 7 == 0) & (F.col("doc_id") % 5 != 0))
+    merged = merge_rollup_sums(
+        base,
+        old_rows=updated_old.unionByName(deleted),
+        new_rows=updated_new,
+        key_expr=F.col("source"),
+        key_alias="source",
+        value_col="n_chars",
+    )
+    return merged.select(
+        "source",
+        "n",
+        F.col("sum_value").cast("double").alias("sum_chars"),
+        F.round(F.col("sum_value").cast("double") / F.col("n"), 6).alias("avg_chars"),
+    ).orderBy(F.col("source").asc())
+
+
+CDC_MERGE_ROLLUP_SQL = """
+WITH final AS (
+  SELECT source,
+         CASE WHEN doc_id % 5 = 0 THEN n_chars + 10 ELSE n_chars END AS n_chars
+  FROM documents
+  WHERE NOT (doc_id % 7 = 0 AND doc_id % 5 <> 0)
+)
+SELECT source, count(*) AS n,
+       CAST(SUM(CAST(n_chars AS DECIMAL(30,6))) AS DOUBLE) AS sum_chars,
+       ROUND(CAST(SUM(CAST(n_chars AS DECIMAL(30,6))) AS DOUBLE) / count(*), 6) AS avg_chars
+FROM final
+GROUP BY source
+ORDER BY source ASC
+"""
+
+
 def e12b_bigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram LM + stupid backoff (Brants et al. 2007): odd docs scored
     under a bigram model trained on even docs — held-out split so
@@ -6547,6 +6601,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e3k_ivf_upsert": e3k_ivf_upsert,
     "q11d_facet_month": q11d_facet_month,
     "e12b_bigram_backoff": e12b_bigram_backoff,
+    "cdc_merge_rollup": cdc_merge_rollup,
     "olap_priority_check": olap_priority_check,
     "olap_customer_distribution": olap_customer_distribution,
     "olap_top_supplier": olap_top_supplier,
@@ -6744,6 +6799,7 @@ ORACLES: dict[str, str] = {
     "e3k_ivf_upsert": E3K_SQL,
     "q11d_facet_month": Q11D_SQL,
     "e12b_bigram_backoff": _e12b_sql(),
+    "cdc_merge_rollup": CDC_MERGE_ROLLUP_SQL,
     "olap_priority_check": OLAP_PRIORITY_CHECK_SQL,
     "olap_customer_distribution": OLAP_CUSTDIST_SQL,
     "olap_top_supplier": OLAP_TOP_SUPPLIER_SQL,

@@ -358,3 +358,53 @@ def facet_pivot_limited(
         .filter(F.col("_br") <= limit)
         .select(a, b, count_alias)
     )
+
+
+def merge_rollup_sums(
+    rollup: DataFrame,
+    old_rows: DataFrame,
+    new_rows: DataFrame,
+    key_expr: Column,
+    key_alias: str,
+    value_col: str,
+    n_alias: str = "n",
+    sum_alias: str = "sum_value",
+    scale: int = 6,
+) -> DataFrame:
+    """Incremental maintenance of a (count, sum) rollup view — the
+    general additive-aggregate form of ``merge_facet_counts``: a
+    materialized ``GROUP BY key → (n, Σvalue)`` stays current under a
+    CDC micro-batch of inserts/updates/deletes without re-scanning the
+    corpus.
+
+    ``old_rows``/``new_rows`` are the touched docs' pre/post images
+    (delete: old only; insert: new only; update: both). Counts and
+    sums are additive, so the merge is one groupBy-sum over
+    (view ∪ +delta ∪ −delta); shuffle rows ∝ distinct keys touched,
+    never corpus size. Sums ride EXACT decimals end-to-end — merging
+    in any order, any number of batches, reproduces the from-scratch
+    rollup bit-for-bit (no float drift across view generations); cast
+    to double only when serving. Keys whose count reaches zero drop
+    out, so the view equals a fresh rollup over the final corpus
+    exactly. AVG and derived metrics come from (n, Σ) at read time —
+    the standard trick for making non-additive aggregates maintainable.
+    """
+    from hbase_increment_index_spark.numeric import dec
+
+    def side(df: DataFrame, sign: int) -> DataFrame:
+        return df.groupBy(key_expr.alias(key_alias)).agg(
+            (F.lit(sign) * F.count(F.lit(1))).alias(n_alias),
+            F.sum(dec(F.col(value_col) * sign, scale)).alias(sum_alias),
+        )
+
+    return (
+        rollup.select(key_alias, n_alias, sum_alias)
+        .unionByName(side(new_rows, 1))
+        .unionByName(side(old_rows, -1))
+        .groupBy(key_alias)
+        .agg(
+            F.sum(n_alias).alias(n_alias),
+            F.sum(sum_alias).cast(f"decimal(30,{scale})").alias(sum_alias),
+        )
+        .filter(F.col(n_alias) > 0)
+    )

@@ -154,3 +154,53 @@ def test_facet_range_missing(spark):
     )
     got = {r["bucket"]: r["n"] for r in facet_range_missing(df, "amount", 10.0).collect()}
     assert got == {"0": 1, "10": 1, "20": 1, "(missing)": 2}
+
+
+def test_merge_rollup_sums_multi_batch_equals_rebuild(spark):
+    """Two successive micro-batches folded into a (n, Σ) rollup view
+    equal the from-scratch rollup over the final corpus, decimal-exact."""
+    from pyspark.sql import functions as F
+
+    from hbase_increment_index_spark.search.facets import merge_rollup_sums
+
+    rows = [(i, f"s{i % 3}", float(i)) for i in range(30)]
+    docs = spark.createDataFrame(rows, ["id", "k", "v"])
+    view = docs.groupBy(F.col("k")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("v").cast("decimal(30,6)")).alias("sum_value"),
+    )
+    # batch 1: update ids % 4 == 0 (v += 100), delete ids % 9 == 0 (others)
+    up_old = docs.filter(F.col("id") % 4 == 0)
+    up_new = up_old.withColumn("v", F.col("v") + 100)
+    dele = docs.filter((F.col("id") % 9 == 0) & (F.col("id") % 4 != 0))
+    view = merge_rollup_sums(view, up_old.unionByName(dele), up_new, F.col("k"), "k", "v")
+    state1 = docs.filter(~((F.col("id") % 9 == 0) & (F.col("id") % 4 != 0))).withColumn(
+        "v", F.when(F.col("id") % 4 == 0, F.col("v") + 100).otherwise(F.col("v"))
+    )
+    # batch 2: insert 5 new docs in a brand-new key
+    ins = spark.createDataFrame([(100 + i, "s9", 1.5) for i in range(5)], ["id", "k", "v"])
+    view = merge_rollup_sums(view, state1.limit(0), ins, F.col("k"), "k", "v")
+    final = state1.unionByName(ins)
+
+    want = {
+        (r.k, r.n, float(r.s))
+        for r in final.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.col("v").cast("decimal(30,6)")).alias("s"))
+        .collect()
+    }
+    got = {(r.k, r.n, float(r.sum_value)) for r in view.collect()}
+    assert got == want
+
+
+def test_merge_rollup_sums_zero_count_drops_key(spark):
+    from pyspark.sql import functions as F
+
+    from hbase_increment_index_spark.search.facets import merge_rollup_sums
+
+    docs = spark.createDataFrame([(1, "only", 2.0)], ["id", "k", "v"])
+    view = docs.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("v").cast("decimal(30,6)")).alias("sum_value"),
+    )
+    merged = merge_rollup_sums(view, docs, docs.limit(0), F.col("k"), "k", "v")
+    assert merged.count() == 0

@@ -529,3 +529,80 @@ def test_edismax_matches_python_reference(spark, rows, mm, tie):
     for d in expect:
         assert got[d][1] == expect[d][1]
         assert abs(got[d][0] - expect[d][0]) < 1e-6
+
+
+# ----------------------------------------------- Soundex / S-stemmer
+
+
+def _py_soundex(word: str) -> str:
+    """Pure-Python reference of the engine's Soundex variant: map all
+    letters (vowels/H/W/Y → 0), collapse runs, drop the first code,
+    strip zeros, pad to 4."""
+    import re
+
+    u = re.sub(r"[^A-Za-z]", "", word).upper()
+    if not u:
+        return ""
+    table = str.maketrans("ABCDEFGHIJKLMNOPQRSTUVWXYZ", "01230120022455012623010202")
+    mapped = u.translate(table)
+    collapsed = re.sub(r"(.)\1+", r"\1", mapped)
+    tail = collapsed[1:].replace("0", "")
+    return (u[0] + tail + "000")[:4]
+
+
+def _py_sstem(w: str) -> str:
+    if w.endswith("eies") or w.endswith("aies"):
+        return w
+    if w.endswith("ies"):
+        return w[:-3] + "y"
+    if w.endswith("aes") or w.endswith("ees") or w.endswith("oes"):
+        return w
+    if w.endswith("es"):
+        return w[:-1]
+    if w.endswith("us") or w.endswith("ss"):
+        return w
+    if w.endswith("s"):
+        return w[:-1]
+    return w
+
+
+@given(
+    words=st.lists(
+        st.text(
+            alphabet="abcdefghijklmnopqrstuvwxyzAEIOUYHWS0' -",
+            min_size=0,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_soundex_matches_python_reference(spark, words):
+    from pyspark.sql import functions as F
+
+    from hbase_increment_index_spark.search.phonetic import soundex_code
+
+    df = spark.createDataFrame([(w,) for w in words], ["w"])
+    got = {r.w: r.c for r in df.select("w", soundex_code(F.col("w")).alias("c")).collect()}
+    for w in words:
+        assert got[w] == _py_soundex(w), w
+
+
+@given(
+    words=st.lists(
+        st.text(alphabet="abcdehiorstuy", min_size=1, max_size=10),
+        min_size=1,
+        max_size=15,
+    )
+)
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_sstemmer_matches_python_reference(spark, words):
+    from pyspark.sql import functions as F
+
+    from hbase_increment_index_spark.search.analysis import stem
+
+    df = spark.createDataFrame([(w,) for w in words], ["w"])
+    got = {r.w: r.s for r in df.select("w", stem(F.col("w")).alias("s")).collect()}
+    for w in words:
+        assert got[w] == _py_sstem(w), w

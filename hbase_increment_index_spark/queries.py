@@ -610,6 +610,36 @@ GROUP BY 1
 """
 
 
+def q67_function_parser(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr FunctionQParser: the literal function-query text a Solr
+    user puts in ``sort=``/``boost=`` — here
+    ``product(l_extendedprice, sub(1, l_discount), recip(l_quantity,1,50,50))``
+    (discounted price damped by quantity) — compiled to one projection
+    + TakeOrderedAndProject (search.function_query)."""
+    from hbase_increment_index_spark.search.function_query import function_sort
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_quantity"
+    ).withColumn("_rk", F.col("l_orderkey") * 10 + F.col("l_linenumber")).select(
+        "_rk", "l_extendedprice", "l_discount", "l_quantity"
+    )
+    out = function_sort(
+        li,
+        "product(l_extendedprice, sub(1, l_discount), recip(l_quantity, 1, 50, 50))",
+        k=15,
+    )
+    return out.select(F.col("_rk").alias("rk"), "score")
+
+
+Q67_SQL = """
+SELECT l_orderkey * 10 + l_linenumber AS rk,
+       ROUND(l_extendedprice * (1 - l_discount) * (50 / (1 * l_quantity + 50)), 6) AS score
+FROM lineitem
+ORDER BY score DESC, rk ASC
+LIMIT 15
+"""
+
+
 def cdc_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental (count, Σ) rollup view under a CDC micro-batch —
     the aggregate-view analogue of cdc_merge_batches: a per-source
@@ -6602,6 +6632,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q11d_facet_month": q11d_facet_month,
     "e12b_bigram_backoff": e12b_bigram_backoff,
     "cdc_merge_rollup": cdc_merge_rollup,
+    "q67_function_parser": q67_function_parser,
     "olap_priority_check": olap_priority_check,
     "olap_customer_distribution": olap_customer_distribution,
     "olap_top_supplier": olap_top_supplier,
@@ -6800,6 +6831,7 @@ ORACLES: dict[str, str] = {
     "q11d_facet_month": Q11D_SQL,
     "e12b_bigram_backoff": _e12b_sql(),
     "cdc_merge_rollup": CDC_MERGE_ROLLUP_SQL,
+    "q67_function_parser": Q67_SQL,
     "olap_priority_check": OLAP_PRIORITY_CHECK_SQL,
     "olap_customer_distribution": OLAP_CUSTDIST_SQL,
     "olap_top_supplier": OLAP_TOP_SUPPLIER_SQL,

@@ -344,3 +344,46 @@ def test_bigram_backoff_counts(spark):
     score = spark.createDataFrame([(2, "a b c d")], ["doc_id", "text"])
     row = bigram_logprob_backoff(score, lm, "doc_id", "text").first()
     assert row.n_bigrams == 3  # "a b", "b c", "c d"
+
+
+# ------------------------------------------------- function-query parser
+
+
+def test_function_query_parser_arithmetic(spark):
+    from hbase_increment_index_spark.search.function_query import parse_function_query
+
+    df = spark.createDataFrame([(4.0, 2.0)], ["x", "y"])
+    cases = {
+        "sum(x, y, 1)": 7.0,
+        "sub(x, y)": 2.0,
+        "product(x, y)": 8.0,
+        "div(x, y)": 2.0,
+        "min(x, y)": 2.0,
+        "max(x, y, 5)": 5.0,
+        "abs(sub(y, x))": 2.0,
+        "log(100)": 2.0,         # Solr log = base 10
+        "sqrt(x)": 2.0,
+        "pow(y, 3)": 8.0,
+        "recip(x, 1, 10, 6)": 1.0,   # 10/(1*4+6)
+        "if(exists(x), y, 0)": 2.0,
+        "map(x, 3, 5, 0)": 0.0,      # in range -> target
+        "map(y, 3, 5, 0)": 2.0,      # out of range -> unchanged
+    }
+    row = df.select(
+        *[parse_function_query(t).cast("double").alias(f"c{i}") for i, t in enumerate(cases)]
+    ).first()
+    for i, (text, want) in enumerate(cases.items()):
+        assert row[f"c{i}"] == want, text
+
+
+def test_function_query_parser_errors(spark):
+    import pytest as _pytest
+
+    from hbase_increment_index_spark.search.function_query import (
+        FunctionQueryError,
+        parse_function_query,
+    )
+
+    for bad in ["nosuch(1)", "sum(1", "sum(1) extra", "sub(1)"]:
+        with _pytest.raises(FunctionQueryError):
+            parse_function_query(bad)

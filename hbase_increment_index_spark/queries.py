@@ -610,6 +610,69 @@ GROUP BY 1
 """
 
 
+def e12c_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020): corpus
+    terciled by LM quality — docs under the 1/3 and 2/3 nll quantiles
+    form head and middle, the rest tail; downstream pipelines keep
+    head+middle or re-weight by bucket. The two thresholds are a
+    1-row broadcast (exact interpolated percentiles); the bucket label
+    is then a pure projection over the e12 scores — no sort of the
+    corpus, no ntile window."""
+    from hbase_increment_index_spark.pipeline.text import unigram_logprob
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = unigram_logprob(docs, "doc_id", "text")
+    cuts = scored.agg(
+        F.expr("percentile(nll, 1.0D/3.0D)").alias("p33"),
+        F.expr("percentile(nll, 2.0D/3.0D)").alias("p66"),
+    )
+    bucketed = scored.crossJoin(F.broadcast(cuts)).withColumn(
+        "bucket",
+        F.when(F.col("nll") <= F.col("p33"), "1_head")
+        .when(F.col("nll") <= F.col("p66"), "2_middle")
+        .otherwise("3_tail"),
+    )
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("tokens"),
+            F.round(
+                F.sum(F.col("nll").cast("decimal(30,5)")).cast("double") / F.count(F.lit(1)), 5
+            ).alias("mean_nll"),
+        )
+        .orderBy("bucket")
+    )
+
+
+E12C_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({{toks}}) AS term FROM documents
+),
+doc_tf AS (SELECT doc_id, term, count(*) AS tf_d FROM toks GROUP BY 1, 2),
+vocab AS (SELECT term, count(*) AS ctf FROM toks GROUP BY 1),
+n AS (SELECT CAST(SUM(ctf) AS DOUBLE) AS n_total FROM vocab),
+scored AS (
+  SELECT doc_id, CAST(SUM(tf_d) AS BIGINT) AS n_tokens,
+         ROUND(-SUM(tf_d * ln(ctf / n_total)) / SUM(tf_d), 5) AS nll
+  FROM doc_tf JOIN vocab USING (term), n
+  GROUP BY doc_id
+),
+cuts AS (
+  SELECT quantile_cont(nll, 1.0/3.0) AS p33, quantile_cont(nll, 2.0/3.0) AS p66 FROM scored
+)
+SELECT CASE WHEN nll <= p33 THEN '1_head'
+            WHEN nll <= p66 THEN '2_middle'
+            ELSE '3_tail' END AS bucket,
+       count(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS tokens,
+       ROUND(CAST(SUM(CAST(nll AS DECIMAL(30,5))) AS DOUBLE) / count(*), 5) AS mean_nll
+FROM scored, cuts
+GROUP BY 1
+ORDER BY bucket
+""".replace("{toks}", _SQL_TOKS.format(c="text"))
+
+
 def q67_function_parser(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Solr FunctionQParser: the literal function-query text a Solr
     user puts in ``sort=``/``boost=`` — here
@@ -6633,6 +6696,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e12b_bigram_backoff": e12b_bigram_backoff,
     "cdc_merge_rollup": cdc_merge_rollup,
     "q67_function_parser": q67_function_parser,
+    "e12c_perplexity_buckets": e12c_perplexity_buckets,
     "olap_priority_check": olap_priority_check,
     "olap_customer_distribution": olap_customer_distribution,
     "olap_top_supplier": olap_top_supplier,
@@ -6832,6 +6896,7 @@ ORACLES: dict[str, str] = {
     "e12b_bigram_backoff": _e12b_sql(),
     "cdc_merge_rollup": CDC_MERGE_ROLLUP_SQL,
     "q67_function_parser": Q67_SQL,
+    "e12c_perplexity_buckets": E12C_SQL,
     "olap_priority_check": OLAP_PRIORITY_CHECK_SQL,
     "olap_customer_distribution": OLAP_CUSTDIST_SQL,
     "olap_top_supplier": OLAP_TOP_SUPPLIER_SQL,

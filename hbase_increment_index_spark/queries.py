@@ -610,6 +610,103 @@ GROUP BY 1
 """
 
 
+def q66_result_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr Clustering component (Carrot2): search results grouped
+    into labeled clusters. Spark-first: the cluster structure is the
+    deterministic embedding-LSH bucket (train-free, md5 planes — the
+    same machinery as e3d, which makes the whole thing
+    oracle-checkable, unlike Carrot2's iterative STC/Lingo), and each
+    cluster is labeled with its two highest-document-frequency terms.
+    Result set = docs matching the query token joined to their
+    embeddings by id; clustering adds one (bucket, term) agg on top —
+    no corpus scan beyond the filtered results."""
+    from hbase_increment_index_spark.pipeline.similarity import build_lsh_buckets
+    from hbase_increment_index_spark.search.tokenize import has_token, tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    results = docs.filter(has_token("text", "data")).join(
+        emb.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id"
+    )
+    bucketed = build_lsh_buckets(
+        results, n_planes=3, dim=64, id_col="doc_id", plane_fn="md5"
+    ).select("doc_id", "text", "bucket")
+    term_df = (
+        bucketed.select("bucket", "doc_id", F.explode(tokens("text")).alias("term"))
+        .distinct()
+        .groupBy("bucket", "term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("bucket").orderBy(F.col("df").desc(), F.col("term").asc())
+    labels = (
+        term_df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 2)
+        .groupBy("bucket")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_rn", "term"))),
+                    lambda s: s["term"],
+                ),
+                ",",
+            ).alias("label")
+        )
+    )
+    sizes = bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        sizes.join(labels, "bucket")
+        .select("bucket", "label", "n_docs")
+        .orderBy(F.col("bucket").asc())
+    )
+
+
+Q66_SQL = """
+WITH planes AS (
+  SELECT i, list_transform(
+           generate_series(0, 63),
+           j -> ((('0x' || substr(md5(CAST(i AS VARCHAR) || ',' || CAST(j AS VARCHAR)), 1, 15))::BIGINT
+                  % 2000001) - 1000000) / 1000000.0
+         ) AS w
+  FROM (SELECT unnest(generate_series(0, 2)) AS i)
+),
+results AS (
+  SELECT d.doc_id, d.text, CAST(e.embedding AS DOUBLE[]) AS emb
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+  WHERE list_contains(list_filter(regexp_split_to_array(lower(d.text), '[^a-z0-9]+'), t -> t <> ''), 'data')
+),
+bits AS (
+  SELECT r.doc_id, p.i,
+         CASE WHEN list_reduce(
+                list_prepend(0.0, list_transform(list_zip(r.emb, p.w), s -> s[1] * s[2])),
+                (a, b) -> a + b) >= 0
+              THEN CAST(1 AS BIGINT) << p.i ELSE CAST(0 AS BIGINT) END AS term
+  FROM results r CROSS JOIN planes p
+),
+buckets AS (SELECT doc_id, CAST(SUM(term) AS BIGINT) AS bucket FROM bits GROUP BY doc_id),
+toks AS (
+  SELECT DISTINCT b.bucket, r.doc_id, t.term
+  FROM results r JOIN buckets b USING (doc_id),
+       LATERAL (SELECT unnest(list_filter(regexp_split_to_array(lower(r.text), '[^a-z0-9]+'), x -> x <> '')) AS term) t
+),
+tdf AS (SELECT bucket, term, count(*) AS df FROM toks GROUP BY 1, 2),
+ranked AS (
+  SELECT bucket, term,
+         ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY df DESC, term ASC) AS rn
+  FROM tdf
+),
+labels AS (
+  SELECT bucket, string_agg(term, ',' ORDER BY rn) AS label
+  FROM ranked WHERE rn <= 2 GROUP BY bucket
+),
+sizes AS (SELECT bucket, count(*) AS n_docs FROM buckets GROUP BY bucket)
+SELECT s.bucket, l.label, s.n_docs
+FROM sizes s JOIN labels l USING (bucket)
+ORDER BY s.bucket ASC
+"""
+
+
 def e12c_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet's head/middle/tail split (Wenzek et al. 2020): corpus
     terciled by LM quality — docs under the 1/3 and 2/3 nll quantiles
@@ -6697,6 +6794,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_merge_rollup": cdc_merge_rollup,
     "q67_function_parser": q67_function_parser,
     "e12c_perplexity_buckets": e12c_perplexity_buckets,
+    "q66_result_clustering": q66_result_clustering,
     "olap_priority_check": olap_priority_check,
     "olap_customer_distribution": olap_customer_distribution,
     "olap_top_supplier": olap_top_supplier,
@@ -6897,6 +6995,7 @@ ORACLES: dict[str, str] = {
     "cdc_merge_rollup": CDC_MERGE_ROLLUP_SQL,
     "q67_function_parser": Q67_SQL,
     "e12c_perplexity_buckets": E12C_SQL,
+    "q66_result_clustering": Q66_SQL,
     "olap_priority_check": OLAP_PRIORITY_CHECK_SQL,
     "olap_customer_distribution": OLAP_CUSTDIST_SQL,
     "olap_top_supplier": OLAP_TOP_SUPPLIER_SQL,

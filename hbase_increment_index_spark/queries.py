@@ -610,6 +610,36 @@ GROUP BY 1
 """
 
 
+def q68_leading_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr ReversedWildcardFilterFactory: a leading wildcard
+    (``q=text:*tion``) is unsargable on a forward index — Solr indexes
+    REVERSED tokens so it becomes a prefix query. Same trick here: the
+    vocabulary is enumerated with reverse(term); the leading-wildcard
+    literal reverses to a startswith, which on a persisted reversed
+    vocabulary is a range-pruned prefix read. Output: matching terms +
+    their document frequency, then the matching doc count."""
+    from hbase_increment_index_spark.search.tokenize import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.col("doc_id"), F.explode(tokens("text")).alias("term")).distinct()
+    suffix = "er"
+    hits = toks.filter(F.reverse(F.col("term")).startswith(suffix[::-1]))
+    return (
+        hits.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("docfreq"))
+        .orderBy(F.col("docfreq").desc(), F.col("term").asc())
+    )
+
+
+Q68_SQL = f"""
+SELECT term, count(*) AS docfreq
+FROM (SELECT DISTINCT doc_id, unnest({_SQL_TOKS.format(c='text')}) AS term FROM documents)
+WHERE reverse(term) LIKE 're%'
+GROUP BY term
+ORDER BY docfreq DESC, term ASC
+"""
+
+
 def q66_result_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Solr Clustering component (Carrot2): search results grouped
     into labeled clusters. Spark-first: the cluster structure is the
@@ -6795,6 +6825,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q67_function_parser": q67_function_parser,
     "e12c_perplexity_buckets": e12c_perplexity_buckets,
     "q66_result_clustering": q66_result_clustering,
+    "q68_leading_wildcard": q68_leading_wildcard,
     "olap_priority_check": olap_priority_check,
     "olap_customer_distribution": olap_customer_distribution,
     "olap_top_supplier": olap_top_supplier,
@@ -6996,6 +7027,7 @@ ORACLES: dict[str, str] = {
     "q67_function_parser": Q67_SQL,
     "e12c_perplexity_buckets": E12C_SQL,
     "q66_result_clustering": Q66_SQL,
+    "q68_leading_wildcard": Q68_SQL,
     "olap_priority_check": OLAP_PRIORITY_CHECK_SQL,
     "olap_customer_distribution": OLAP_CUSTDIST_SQL,
     "olap_top_supplier": OLAP_TOP_SUPPLIER_SQL,

@@ -610,6 +610,67 @@ GROUP BY 1
 """
 
 
+def e13b_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data delivery manifest: the artifact a training job
+    uses to verify it received exactly the intended epoch — per shard
+    (content-hash bucket): doc count, token volume, and an order-
+    sensitive md5 checksum over the shard's doc ids in epoch order.
+    Any dropped/duplicated/reordered document changes the checksum.
+
+    Plan: shard id and epoch key are pure projections (e13/e6
+    machinery); one groupBy(shard) whose per-shard order is made
+    deterministic by sorting the collected (key, id) structs INSIDE
+    the aggregate — no global sort, no window. At 100 TB each shard's
+    id list is bounded by the shard size you chose (manifest rows =
+    n_shards)."""
+    from hbase_increment_index_spark.pipeline.dedup import portable_hash60
+    from hbase_increment_index_spark.search.tokenize import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    keyed = docs.select(
+        F.col("doc_id"),
+        F.size(tokens("text")).alias("n_tok"),
+        (portable_hash60(F.col("doc_id").cast("string")) % 8).alias("shard"),
+        F.md5(F.concat(F.lit("epoch1:"), F.col("doc_id").cast("string"))).alias("ok"),
+    )
+    return (
+        keyed.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("ok", "doc_id"))),
+                        lambda s: s["doc_id"].cast("string"),
+                    ),
+                    ",",
+                )
+            ).alias("checksum"),
+        )
+        .orderBy(F.col("shard").asc())
+    )
+
+
+def _e13b_sql() -> str:
+    from hbase_increment_index_spark.pipeline.dedup import PORTABLE_HASH60_SQL
+
+    h = PORTABLE_HASH60_SQL.format(c="CAST(doc_id AS VARCHAR)")
+    toks = _SQL_TOKS.format(c="text")
+    return f"""
+WITH keyed AS (
+  SELECT doc_id, len({toks}) AS n_tok, {h} % 8 AS shard,
+         md5('epoch1:' || CAST(doc_id AS VARCHAR)) AS ok
+  FROM documents
+)
+SELECT shard, count(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY ok, doc_id)) AS checksum
+FROM keyed
+GROUP BY shard
+ORDER BY shard ASC
+"""
+
+
 def q68_leading_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Solr ReversedWildcardFilterFactory: a leading wildcard
     (``q=text:*tion``) is unsargable on a forward index — Solr indexes
@@ -6826,6 +6887,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e12c_perplexity_buckets": e12c_perplexity_buckets,
     "q66_result_clustering": q66_result_clustering,
     "q68_leading_wildcard": q68_leading_wildcard,
+    "e13b_shard_manifest": e13b_shard_manifest,
     "olap_priority_check": olap_priority_check,
     "olap_customer_distribution": olap_customer_distribution,
     "olap_top_supplier": olap_top_supplier,
@@ -7028,6 +7090,7 @@ ORACLES: dict[str, str] = {
     "e12c_perplexity_buckets": E12C_SQL,
     "q66_result_clustering": Q66_SQL,
     "q68_leading_wildcard": Q68_SQL,
+    "e13b_shard_manifest": _e13b_sql(),
     "olap_priority_check": OLAP_PRIORITY_CHECK_SQL,
     "olap_customer_distribution": OLAP_CUSTDIST_SQL,
     "olap_top_supplier": OLAP_TOP_SUPPLIER_SQL,

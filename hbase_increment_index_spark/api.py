@@ -677,3 +677,11 @@ class SecondaryIndex:
         Solr's handler lowers SQL onto streaming expressions."""
         self.documents.createOrReplaceTempView(view_name)
         return self.spark.sql(query)
+
+    def function_query(self, text: str, k: int = 10) -> DataFrame:
+        """Solr FunctionQParser (``sort=<func> desc&rows=k``) over the
+        document view: function text compiled to one projection +
+        TakeOrderedAndProject (search.function_query)."""
+        from hbase_increment_index_spark.search.function_query import function_sort
+
+        return function_sort(self.documents, text, k=k)

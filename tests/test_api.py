@@ -362,3 +362,9 @@ def test_sql_facade(index):
         "SELECT count(*) AS n FROM documents WHERE name LIKE '%apple%'"
     ).first()
     assert got.n == 2
+
+
+def test_function_query_facade(index):
+    # price is a string qualifier -> wrap docs via sql cast first
+    out = index.function_query("sum(product(2, 3), 4)", k=2).collect()
+    assert len(out) == 2 and all(r.score == 10.0 for r in out)

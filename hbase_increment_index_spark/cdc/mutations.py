@@ -121,3 +121,54 @@ def resolve_mutations(mlog: DataFrame) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+def apply_check_and_put(live: DataFrame, cap_batch: DataFrame) -> DataFrame:
+    """HBase ``checkAndPut`` — the primary store's compare-and-set
+    mutation (Table.checkAndPut / CheckAndMutate with a CompareOp):
+    each mutation applies ONLY if the current cell value passes its
+    check; otherwise it is a no-op. The reference's coprocessor sees
+    the resulting Put like any other (HbaseSolrIndexCoprocesser
+    postPut), so index maintenance is unchanged — this operator is
+    the decision step.
+
+    ``live``: current live cells (row_key, family, qualifier, value).
+    ``cap_batch``: (row_key, family, qualifier, compare_op, expected,
+    new_value) with compare_op ∈ {'=', '>', '<', 'absent'} — numeric
+    comparisons cast both sides to decimal(18,2), matching the cell
+    encoding; 'absent' succeeds when the cell does not exist (HBase's
+    checkAndPut(null) idiom).
+
+    Semantics: ALL checks read the same pre-batch snapshot (HBase
+    guarantees per-row atomicity; batch-snapshot reads make the whole
+    batch deterministic and order-free — the same discipline as
+    merge_state). Returns one row per mutation: applied flag, the
+    pre-image, and the post-image value.
+
+    Plan: one equi join (mutations ⋈ live on the cell coordinate —
+    broadcast when the batch is small, which is the checkAndPut use
+    case) + a projection. Work ∝ batch size, never state size.
+    """
+    cur = live.select(
+        "row_key", "family", "qualifier", F.col("value").alias("_cur")
+    )
+    j = cap_batch.join(cur, ["row_key", "family", "qualifier"], "left")
+    curd = F.col("_cur").cast("decimal(18,2)")
+    expd = F.col("expected").cast("decimal(18,2)")
+    applied = (
+        F.when(F.col("compare_op") == "absent", F.col("_cur").isNull())
+        .when(F.col("compare_op") == "=", F.col("_cur") == F.col("expected"))
+        .when(F.col("compare_op") == ">", curd > expd)
+        .when(F.col("compare_op") == "<", curd < expd)
+        .otherwise(F.lit(False))
+    )
+    return j.select(
+        "row_key",
+        "family",
+        "qualifier",
+        F.coalesce(applied, F.lit(False)).alias("applied"),
+        F.col("_cur").alias("old_value"),
+        F.when(F.coalesce(applied, F.lit(False)), F.col("new_value"))
+        .otherwise(F.col("_cur"))
+        .alias("value"),
+    )

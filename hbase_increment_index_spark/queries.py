@@ -610,6 +610,64 @@ GROUP BY 1
 """
 
 
+def cdc_check_and_put(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HBase checkAndPut (compare-and-set): every row attempts to CAS
+    its 'click' cell to 99.99 iff the current value > 5.00
+    (cdc.mutations.apply_check_and_put). All checks read the pre-batch
+    snapshot; one broadcast join on the cell coordinate, work ∝ batch."""
+    from hbase_increment_index_spark.cdc.cell_model import cell_log_from_events
+    from hbase_increment_index_spark.cdc.compaction import live_cells
+    from hbase_increment_index_spark.cdc.mutations import apply_check_and_put
+
+    events = _t(spark, sf_dir, "events")
+    live = live_cells(cell_log_from_events(events, delete_event_type="error"))
+    batch = (
+        live.select("row_key").distinct()
+        .select(
+            "row_key",
+            F.lit("cf").alias("family"),
+            F.lit("click").alias("qualifier"),
+            F.lit(">").alias("compare_op"),
+            F.lit("5.00").alias("expected"),
+            F.lit("99.99").alias("new_value"),
+        )
+    )
+    return apply_check_and_put(live, batch).orderBy(F.col("row_key").asc())
+
+
+def _cdc_cap_sql() -> str:
+    return """
+WITH log AS ({log}),
+cell_latest AS (
+  SELECT * FROM log
+  QUALIFY row_number() OVER (
+    PARTITION BY row_key, family, qualifier ORDER BY ts DESC, seq DESC) = 1
+),
+row_latest AS (
+  SELECT row_key, op AS row_op FROM log
+  QUALIFY row_number() OVER (PARTITION BY row_key ORDER BY ts DESC, seq DESC) = 1
+),
+live AS (
+  SELECT c.row_key, c.family, c.qualifier, c.value
+  FROM cell_latest c JOIN row_latest r USING (row_key)
+  WHERE c.op = 'put' AND r.row_op = 'put'
+),
+batch AS (SELECT DISTINCT row_key FROM live),
+cur AS (
+  SELECT b.row_key, l.value AS _cur
+  FROM batch b LEFT JOIN live l
+    ON l.row_key = b.row_key AND l.family = 'cf' AND l.qualifier = 'click'
+)
+SELECT row_key, 'cf' AS family, 'click' AS qualifier,
+       COALESCE(CAST(_cur AS DECIMAL(18,2)) > 5.00, FALSE) AS applied,
+       _cur AS old_value,
+       CASE WHEN COALESCE(CAST(_cur AS DECIMAL(18,2)) > 5.00, FALSE)
+            THEN '99.99' ELSE _cur END AS value
+FROM cur
+ORDER BY row_key ASC
+""".replace("{log}", _SQL_CELL_LOG.format(delete_type="error"))
+
+
 def e13b_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-data delivery manifest: the artifact a training job
     uses to verify it received exactly the intended epoch — per shard
@@ -6888,6 +6946,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q66_result_clustering": q66_result_clustering,
     "q68_leading_wildcard": q68_leading_wildcard,
     "e13b_shard_manifest": e13b_shard_manifest,
+    "cdc_check_and_put": cdc_check_and_put,
     "olap_priority_check": olap_priority_check,
     "olap_customer_distribution": olap_customer_distribution,
     "olap_top_supplier": olap_top_supplier,
@@ -7091,6 +7150,7 @@ ORACLES: dict[str, str] = {
     "q66_result_clustering": Q66_SQL,
     "q68_leading_wildcard": Q68_SQL,
     "e13b_shard_manifest": _e13b_sql(),
+    "cdc_check_and_put": _cdc_cap_sql(),
     "olap_priority_check": OLAP_PRIORITY_CHECK_SQL,
     "olap_customer_distribution": OLAP_CUSTDIST_SQL,
     "olap_top_supplier": OLAP_TOP_SUPPLIER_SQL,

@@ -81,3 +81,41 @@ def test_same_ts_delete_masks_equal_position(spark):
         ("delete", "u4", "cf", None, None, None, T(2024, 1, 1), 2),
     ]
     assert resolve_mutations(_log(spark, rows)).count() == 0
+
+
+def test_check_and_put_semantics(spark):
+    """CAS decisions read the pre-batch snapshot: '=', '>', '<' and
+    'absent' each decide correctly; failed checks are no-ops."""
+    from pyspark.sql import functions as F
+
+    from hbase_increment_index_spark.cdc.mutations import apply_check_and_put
+
+    live = spark.createDataFrame(
+        [("r1", "cf", "q", "10.00"), ("r2", "cf", "q", "3.00")],
+        ["row_key", "family", "qualifier", "value"],
+    )
+    batch = spark.createDataFrame(
+        [
+            ("r1", "cf", "q", ">", "5.00", "A"),      # 10 > 5 -> applied
+            ("r2", "cf", "q", ">", "5.00", "B"),      # 3 > 5  -> no-op
+            ("r2", "cf", "q", "=", "3.00", "C"),      # exact  -> applied (snapshot!)
+            ("r3", "cf", "q", "absent", None, "D"),   # absent -> applied
+            ("r1", "cf", "q", "absent", None, "E"),   # exists -> no-op
+            ("r1", "cf", "q", "<", "5.00", "F"),      # 10 < 5 -> no-op
+        ],
+        ["row_key", "family", "qualifier", "compare_op", "expected", "new_value"],
+    )
+    rows = apply_check_and_put(live, batch).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r.row_key, []).append(r)
+    # r1: one applied ('>' -> A), absent and '<' are no-ops keeping 10.00
+    r1 = {r.value for r in by["r1"]}
+    assert r1 == {"A", "10.00"}
+    assert sum(1 for r in by["r1"] if r.applied) == 1
+    # r2: '>' fails (keeps 3.00), '=' applies (C) — both read the snapshot
+    r2vals = {(r.applied, r.value) for r in by["r2"]}
+    assert (False, "3.00") in r2vals and (True, "C") in r2vals
+    # r3: absent -> applied, old_value null
+    (r3,) = by["r3"]
+    assert r3.applied and r3.value == "D" and r3.old_value is None

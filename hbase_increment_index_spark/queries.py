@@ -610,6 +610,35 @@ GROUP BY 1
 """
 
 
+def q13b_stats_calcdistinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr ``stats.field={!calcdistinct=true}`` under ``stats.facet``:
+    per-facet-bucket exact distinct-value count alongside the usual
+    stats — two-phase: partial distinct on (bucket, value) then count,
+    so the shuffle carries unique pairs, never raw rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("l_partkey").alias("distinct_parts"),
+            F.countDistinct("l_suppkey").alias("distinct_suppliers"),
+            F.round(exact_sum("l_quantity", 2), 2).alias("sum_qty"),
+        )
+        .orderBy(F.col("l_returnflag").asc())
+    )
+
+
+Q13B_SQL = """
+SELECT l_returnflag, count(*) AS n,
+       count(DISTINCT l_partkey) AS distinct_parts,
+       count(DISTINCT l_suppkey) AS distinct_suppliers,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(30,2))) AS DOUBLE), 2) AS sum_qty
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag ASC
+"""
+
+
 def cdc_check_and_put(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HBase checkAndPut (compare-and-set): every row attempts to CAS
     its 'click' cell to 99.99 iff the current value > 5.00
@@ -6947,6 +6976,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q68_leading_wildcard": q68_leading_wildcard,
     "e13b_shard_manifest": e13b_shard_manifest,
     "cdc_check_and_put": cdc_check_and_put,
+    "q13b_stats_calcdistinct": q13b_stats_calcdistinct,
     "olap_priority_check": olap_priority_check,
     "olap_customer_distribution": olap_customer_distribution,
     "olap_top_supplier": olap_top_supplier,
@@ -7151,6 +7181,7 @@ ORACLES: dict[str, str] = {
     "q68_leading_wildcard": Q68_SQL,
     "e13b_shard_manifest": _e13b_sql(),
     "cdc_check_and_put": _cdc_cap_sql(),
+    "q13b_stats_calcdistinct": Q13B_SQL,
     "olap_priority_check": OLAP_PRIORITY_CHECK_SQL,
     "olap_customer_distribution": OLAP_CUSTDIST_SQL,
     "olap_top_supplier": OLAP_TOP_SUPPLIER_SQL,

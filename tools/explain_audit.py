@@ -97,6 +97,18 @@ AUDITED = [
     "olap_priority_check",
     "olap_customer_distribution",
     "olap_top_supplier",
+    "q65_sql_handler",
+    "q66_result_clustering",
+    "q67_function_parser",
+    "q68_leading_wildcard",
+    "e12b_bigram_backoff",
+    "e12c_perplexity_buckets",
+    "e13b_shard_manifest",
+    "e3k_ivf_upsert",
+    "cdc_merge_rollup",
+    "cdc_check_and_put",
+    "q13b_stats_calcdistinct",
+    "q11d_facet_month",
 ]
 
 

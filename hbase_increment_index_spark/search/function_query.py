@@ -46,6 +46,7 @@ _TOKEN = re.compile(
 
 
 def _lex(text: str):
+    text = text.strip()
     out, pos = [], 0
     while pos < len(text):
         m = _TOKEN.match(text, pos)
@@ -74,6 +75,9 @@ def _compile(name: str, args: list[Column]) -> Column:
     def need(n):
         if len(args) != n:
             raise FunctionQueryError(f"{name} takes {n} args, got {len(args)}")
+
+    if not args:
+        raise FunctionQueryError(f"{name} needs at least one argument")
 
     if name == "sum":
         return _fold(args, lambda a, b: a + b)

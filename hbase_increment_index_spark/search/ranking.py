@@ -600,8 +600,12 @@ def ltr_rerank(
         if "source" in corpus.columns
         else F.lit(0.0)
     )
+    # semi-join the corpus to the head BEFORE the feature projection:
+    # otherwise the tokenize runs for every corpus row on the probe
+    # side and feature extraction is O(corpus), not O(head)
+    head_rows = corpus.join(F.broadcast(head.select(id_col)), id_col, "left_semi")
     feats = head.join(
-        corpus.select(
+        head_rows.select(
             F.col(id_col),
             F.log(F.lit(1.0) + F.size(tokens(text_col))).alias("log_doclen"),
             is_en.alias("is_en"),

@@ -103,6 +103,7 @@ _TOK = re.compile(
 
 
 def _lex(text: str):
+    text = text.strip()
     pos, out = 0, []
     while pos < len(text):
         m = _TOK.match(text, pos)
@@ -256,13 +257,23 @@ class StreamCompiler:
     """Compiles a parsed expression tree against a table catalog.
 
     ``tables`` maps collection name → DataFrame (the engine's index
-    tables stand in for Solr collections)."""
+    tables stand in for Solr collections). ``text_fields`` names the
+    columns that get Solr token-match semantics for bare ``q`` values
+    (the schema's text vs string distinction); None = the default
+    heuristic (a column literally named 'text')."""
 
-    def __init__(self, tables: dict[str, DataFrame]):
+    def __init__(self, tables: dict[str, DataFrame], text_fields: set[str] | None = None):
         self.tables = tables
+        self.text_fields = text_fields
 
     def compile(self, text: str) -> DataFrame:
         return self._eval(parse(text))
+
+    def _param(self, call: Call, name: str) -> str:
+        try:
+            return call.params[name]
+        except KeyError:
+            raise StreamExprError(f"{call.name} requires {name}=...") from None
 
     # -- source
 
@@ -275,7 +286,11 @@ class StreamCompiler:
         if table not in self.tables:
             raise StreamExprError(f"unknown collection {table!r}")
         df = self.tables[table]
-        text_fields = {"text"} if "text" in df.columns else set()
+        text_fields = (
+            self.text_fields
+            if self.text_fields is not None
+            else ({"text"} if "text" in df.columns else set())
+        )
         for key in ("q", "fq"):
             spec = call.params.get(key)
             if spec and spec != "*:*":
@@ -313,18 +328,18 @@ class StreamCompiler:
 
     def _op_top(self, call: Call) -> DataFrame:
         df = self._one_stream(call)
-        n = int(call.params["n"])
+        n = int(self._param(call, "n"))
         # orderBy().limit() plans as TakeOrderedAndProject: per-partition
         # heaps of n rows, no global sort — the scale-correct top-k.
-        return df.orderBy(*_sort_cols(call.params["sort"])).limit(n)
+        return df.orderBy(*_sort_cols(self._param(call, "sort"))).limit(n)
 
     def _op_sort(self, call: Call) -> DataFrame:
         df = self._one_stream(call)
-        return df.orderBy(*_sort_cols(call.params.get("by") or call.params["sort"]))
+        return df.orderBy(*_sort_cols(call.params.get("by") or self._param(call, "sort")))
 
     def _op_unique(self, call: Call) -> DataFrame:
         df = self._one_stream(call)
-        over = [c.strip() for c in call.params["over"].split(",")]
+        over = [c.strip() for c in self._param(call, "over").split(",")]
         order = _sort_cols(call.params["sort"]) if "sort" in call.params else [
             F.col(c).asc() for c in df.columns if c not in over
         ]
@@ -346,7 +361,7 @@ class StreamCompiler:
         if len(inner) != 1:
             raise StreamExprError("rollup takes exactly one stream")
         df = self._eval(inner[0])
-        over = [c.strip() for c in call.params["over"].split(",")]
+        over = [c.strip() for c in self._param(call, "over").split(",")]
         return df.groupBy(*over).agg(*self._metrics(call, df))
 
     def _op_stats(self, call: Call) -> DataFrame:
@@ -355,7 +370,7 @@ class StreamCompiler:
 
     def _op_facet(self, call: Call) -> DataFrame:
         df = self._source(call)
-        buckets = [c.strip() for c in call.params["buckets"].split(",")]
+        buckets = [c.strip() for c in self._param(call, "buckets").split(",")]
         out = df.groupBy(*buckets).agg(*self._metrics(call, df))
         sort_spec = call.params.get("bucketSorts")
         order = (
@@ -373,7 +388,7 @@ class StreamCompiler:
             right = self._eval(call.params["hashed"])
         else:
             right = self._eval(call.streams[1])
-        pairs = _on_pairs(call.params["on"])
+        pairs = _on_pairs(self._param(call, "on"))
         cond = None
         for lk, rk in pairs:
             c = left[lk] == right[rk]
@@ -426,8 +441,8 @@ class StreamCompiler:
         if table not in self.tables:
             raise StreamExprError(f"unknown collection {table!r}")
         df = self._one_stream(call)
-        (lk, rk) = _on_pairs(call.params["on"])[0]
-        extra = [c.strip() for c in call.params["fl"].split(",")]
+        (lk, rk) = _on_pairs(self._param(call, "on"))[0]
+        extra = [c.strip() for c in self._param(call, "fl").split(",")]
         enrich = self.tables[table].select(F.col(rk), *[F.col(c) for c in extra])
         out = df.join(enrich, df[lk] == enrich[rk], "left_outer")
         return out.drop(enrich[rk])

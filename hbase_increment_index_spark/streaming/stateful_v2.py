@@ -75,7 +75,9 @@ class RunningCountProcessor(StatefulProcessor):
             n, cents = 0, 0
         for pdf in rows:
             n += len(pdf)
-            cents += int(round(float(pdf["value"].sum()) * 100))
+            # per-ROW cents before summing: rounding a float batch-sum
+            # would make state depend on Arrow/micro-batch boundaries
+            cents += int((pdf["value"] * 100).round().astype("int64").sum())
         self._state.update((n, cents))
         yield pd.DataFrame(
             {"user_id": [key[0]], "n": [n], "sum_value": [cents / 100.0]}

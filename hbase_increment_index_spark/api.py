@@ -647,17 +647,27 @@ class SecondaryIndex:
             rerank_docs=rerank_docs, k=k,
         )
 
-    def stream_expr(self, expression: str, tables: dict | None = None) -> DataFrame:
+    def stream_expr(
+        self,
+        expression: str,
+        tables: dict | None = None,
+        text_fields: set[str] | None = None,
+    ) -> DataFrame:
         """Solr streaming expression (the /stream handler language)
         compiled against this index's document view plus any extra
         collections: ``idx.stream_expr('rollup(search(documents, ...),
-        over=..., count(*))')`` (search.streaming_expr)."""
+        over=..., count(*))')`` (search.streaming_expr). By default
+        every document qualifier gets token-match semantics for bare
+        ``q`` values (this facade's fields come from an analyzed Solr
+        schema); pass ``text_fields`` explicitly to restrict that."""
         from hbase_increment_index_spark.search.streaming_expr import run_stream_expr
 
         catalog = {"documents": self.documents}
         if tables:
             catalog.update(tables)
-        return run_stream_expr(self.spark, catalog, expression)
+        if text_fields is None:
+            text_fields = set(self.qualifiers)
+        return run_stream_expr(self.spark, catalog, expression, text_fields=text_fields)
 
     def analyze(self, text: str) -> list[str]:
         """Run the Solr analysis chain (stopwords + S-stem) on a query

@@ -454,7 +454,12 @@ class StreamCompiler:
 
 
 def run_stream_expr(
-    spark: SparkSession, tables: dict[str, DataFrame], expression: str
+    spark: SparkSession,
+    tables: dict[str, DataFrame],
+    expression: str,
+    text_fields: set[str] | None = None,
 ) -> DataFrame:
-    """Parse + compile a streaming expression against the catalog."""
-    return StreamCompiler(tables).compile(expression)
+    """Parse + compile a streaming expression against the catalog.
+    ``text_fields`` — columns with token-match semantics for bare ``q``
+    values (None = the 'text'-column heuristic)."""
+    return StreamCompiler(tables, text_fields=text_fields).compile(expression)

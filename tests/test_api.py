@@ -394,3 +394,10 @@ def test_save_load_roundtrip(index, spark, tmp_path):
         )
     )
     assert {r.rowkey for r in loaded.documents.collect()} >= {"r1", "r2", "r3", "r9"}
+
+
+def test_stream_expr_text_semantics(index):
+    # bare q on a qualifier is a token match through the facade (the
+    # review's name:apple case) — not full-string equality
+    got = index.stream_expr('search(documents, q="name:apple", fl="rowkey,name")')
+    assert {r.rowkey for r in got.collect()} == {"r1", "r3"}

@@ -610,6 +610,54 @@ GROUP BY 1
 """
 
 
+def q69_span_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene SpanNearQuery with ``inOrder=false`` (Solr {!surround}
+    ``3N`` / XML query parser spanNear): documents where 'data' and
+    'spark' occur within 4 positions of each other IN EITHER ORDER —
+    the unordered companion of the ordered sloppy phrase (q05d). A
+    pure projection: per-row positional lists for both terms (one
+    filter+transform each over the token array), then an exists×exists
+    window check — zero shuffle, no postings required; the index-served
+    form would intersect the positional postings the same way."""
+    from hbase_increment_index_spark.search.tokenize import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokens("text")
+    idx = F.sequence(F.lit(1), F.size(toks))
+
+    def positions(term: str):
+        return F.filter(idx, lambda i: F.element_at(toks, i) == F.lit(term))
+
+    p1, p2 = positions("data"), positions("spark")
+    near = F.exists(p1, lambda a: F.exists(p2, lambda b: F.abs(a - b) <= F.lit(4)))
+    return (
+        docs.filter(F.size(p1) > 0)
+        .filter(F.size(p2) > 0)
+        .filter(near)
+        .select("doc_id")
+        .orderBy(F.col("doc_id").asc())
+    )
+
+
+def _q69_sql() -> str:
+    toks = _SQL_TOKS.format(c="text")
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+pos AS (
+  SELECT doc_id,
+         list_filter(generate_series(1, len(toks)), i -> toks[i] = 'data') AS p1,
+         list_filter(generate_series(1, len(toks)), i -> toks[i] = 'spark') AS p2
+  FROM t
+)
+SELECT doc_id FROM pos
+WHERE len(p1) > 0 AND len(p2) > 0
+  AND EXISTS (
+    SELECT 1 FROM unnest(p1) AS a(a), unnest(p2) AS b(b) WHERE abs(a - b) <= 4
+  )
+ORDER BY doc_id ASC
+"""
+
+
 def q13b_stats_calcdistinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Solr ``stats.field={!calcdistinct=true}`` under ``stats.facet``:
     per-facet-bucket exact distinct-value count alongside the usual
@@ -6977,6 +7025,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e13b_shard_manifest": e13b_shard_manifest,
     "cdc_check_and_put": cdc_check_and_put,
     "q13b_stats_calcdistinct": q13b_stats_calcdistinct,
+    "q69_span_near": q69_span_near,
     "olap_priority_check": olap_priority_check,
     "olap_customer_distribution": olap_customer_distribution,
     "olap_top_supplier": olap_top_supplier,
@@ -7182,6 +7231,7 @@ ORACLES: dict[str, str] = {
     "e13b_shard_manifest": _e13b_sql(),
     "cdc_check_and_put": _cdc_cap_sql(),
     "q13b_stats_calcdistinct": Q13B_SQL,
+    "q69_span_near": _q69_sql(),
     "olap_priority_check": OLAP_PRIORITY_CHECK_SQL,
     "olap_customer_distribution": OLAP_CUSTDIST_SQL,
     "olap_top_supplier": OLAP_TOP_SUPPLIER_SQL,

@@ -610,6 +610,35 @@ GROUP BY 1
 """
 
 
+def q70_group_func(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr ``group.func=floor(div(o_totalprice,50000))`` — result
+    grouping keyed by a FUNCTION QUERY instead of a stored field: the
+    compiled function expression becomes the groupBy key directly
+    (search.function_query), one hash agg, nothing materialized."""
+    from hbase_increment_index_spark.search.function_query import parse_function_query
+
+    orders = _t(spark, sf_dir, "orders")
+    key = parse_function_query("floor(div(o_totalprice, 50000))")
+    return (
+        orders.groupBy(key.cast("bigint").alias("price_band"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(exact_sum("o_totalprice", 6), 2).alias("revenue"),
+        )
+        .orderBy(F.col("price_band").asc())
+    )
+
+
+Q70_SQL = """
+SELECT CAST(FLOOR(o_totalprice / 50000) AS BIGINT) AS price_band,
+       count(*) AS n,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE), 2) AS revenue
+FROM orders
+GROUP BY 1
+ORDER BY price_band ASC
+"""
+
+
 def q69_span_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lucene SpanNearQuery with ``inOrder=false`` (Solr {!surround}
     ``3N`` / XML query parser spanNear): documents where 'data' and
@@ -7026,6 +7055,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_check_and_put": cdc_check_and_put,
     "q13b_stats_calcdistinct": q13b_stats_calcdistinct,
     "q69_span_near": q69_span_near,
+    "q70_group_func": q70_group_func,
     "olap_priority_check": olap_priority_check,
     "olap_customer_distribution": olap_customer_distribution,
     "olap_top_supplier": olap_top_supplier,
@@ -7232,6 +7262,7 @@ ORACLES: dict[str, str] = {
     "cdc_check_and_put": _cdc_cap_sql(),
     "q13b_stats_calcdistinct": Q13B_SQL,
     "q69_span_near": _q69_sql(),
+    "q70_group_func": Q70_SQL,
     "olap_priority_check": OLAP_PRIORITY_CHECK_SQL,
     "olap_customer_distribution": OLAP_CUSTDIST_SQL,
     "olap_top_supplier": OLAP_TOP_SUPPLIER_SQL,

@@ -12,6 +12,7 @@ Supported functions (the deterministic core of Solr's library):
     sum(a,b,...)  sub(a,b)  product(a,b,...)  div(a,b)
     min(a,b,...)  max(a,b,...)  abs(x)  log(x)   # log = base-10, as in Solr
     ln(x)  sqrt(x)  pow(x,y)  recip(x,m,a,b)     # a/(m*x+b)
+    floor(x)  ceil(x)  rint(x)
     if(test,then,else)  map(x,min,max,target)    # range remap
     exists(f)  field(f)                          # bare names also work
 
@@ -105,6 +106,15 @@ def _compile(name: str, args: list[Column]) -> Column:
     if name == "sqrt":
         need(1)
         return F.sqrt(args[0])
+    if name == "floor":
+        need(1)
+        return F.floor(args[0])
+    if name == "ceil":
+        need(1)
+        return F.ceil(args[0])
+    if name == "rint":
+        need(1)
+        return F.round(args[0], 0)
     if name == "pow":
         need(2)
         return F.pow(args[0], args[1])

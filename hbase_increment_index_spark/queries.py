@@ -610,6 +610,48 @@ GROUP BY 1
 """
 
 
+def q71_json_dsl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr JSON Request API: the literal JSON body a modern client
+    POSTs — bool must/should/must_not over field/range/prefix nodes,
+    plus filter / fields / sort / offset / limit — compiled to one
+    DataFrame plan (search.json_dsl)."""
+    from hbase_increment_index_spark.search.json_dsl import json_select
+
+    docs = _t(spark, sf_dir, "documents")
+    request = {
+        "query": {
+            "bool": {
+                "must": [
+                    {"field": {"f": "text", "query": "data"}},
+                    {"range": {"f": "n_chars", "lower": 200, "include_lower": True}},
+                ],
+                "must_not": [{"field": {"f": "lang", "query": "de"}}],
+            }
+        },
+        "filter": [{"prefix": {"f": "source", "query": "src1"}}],
+        "fields": "doc_id,lang,source,n_chars",
+        "sort": "n_chars desc, doc_id asc",
+        "offset": 5,
+        "limit": 15,
+    }
+    return json_select(docs, request, text_fields={"text"})
+
+
+Q71_SQL = f"""
+SELECT doc_id, lang, source, n_chars
+FROM (
+  SELECT doc_id, lang, source, n_chars,
+         ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM documents
+  WHERE list_contains({_SQL_TOKS.format(c='text')}, 'data')
+    AND n_chars >= 200
+    AND NOT lang = 'de'
+    AND source LIKE 'src1%'
+)
+WHERE rn > 5 AND rn <= 20
+"""
+
+
 def q70_group_func(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Solr ``group.func=floor(div(o_totalprice,50000))`` — result
     grouping keyed by a FUNCTION QUERY instead of a stored field: the
@@ -7056,6 +7098,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q13b_stats_calcdistinct": q13b_stats_calcdistinct,
     "q69_span_near": q69_span_near,
     "q70_group_func": q70_group_func,
+    "q71_json_dsl": q71_json_dsl,
     "olap_priority_check": olap_priority_check,
     "olap_customer_distribution": olap_customer_distribution,
     "olap_top_supplier": olap_top_supplier,
@@ -7263,6 +7306,7 @@ ORACLES: dict[str, str] = {
     "q13b_stats_calcdistinct": Q13B_SQL,
     "q69_span_near": _q69_sql(),
     "q70_group_func": Q70_SQL,
+    "q71_json_dsl": Q71_SQL,
     "olap_priority_check": OLAP_PRIORITY_CHECK_SQL,
     "olap_customer_distribution": OLAP_CUSTDIST_SQL,
     "olap_top_supplier": OLAP_TOP_SUPPLIER_SQL,

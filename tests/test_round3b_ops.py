@@ -400,3 +400,40 @@ def test_semantic_dedup_auto_scales_planes(spark):
     # 500 vectors / 64-target -> ceil(log2(7.8)) = 3 planes = 8 buckets;
     # just assert the invariant that every row is marked
     assert marks.filter(F.col("is_canonical").isNull()).count() == 0
+
+
+# ------------------------------------------------- JSON query DSL
+
+
+def test_json_dsl_bool_semantics(spark):
+    from hbase_increment_index_spark.search.json_dsl import JsonDslError, parse_json_query
+
+    df = spark.createDataFrame(
+        [(1, "a", 5), (2, "b", 15), (3, "a", 25)], ["id", "k", "v"]
+    )
+    # should with no must = at least one matches
+    q = {"bool": {"should": [{"field": {"f": "k", "query": "a"}},
+                             {"range": {"f": "v", "lower": 20}}]}}
+    assert {r.id for r in df.filter(parse_json_query(q)).collect()} == {1, 3}
+    # must + must_not
+    q2 = {"bool": {"must": [{"range": {"f": "v", "lower": 10}}],
+                   "must_not": [{"field": {"f": "k", "query": "a"}}]}}
+    assert {r.id for r in df.filter(parse_json_query(q2)).collect()} == {2}
+    # exclusive range bound
+    q3 = {"range": {"f": "v", "lower": 5, "include_lower": False}}
+    assert {r.id for r in df.filter(parse_json_query(q3)).collect()} == {2, 3}
+    import pytest as _pytest
+
+    for bad in [{"bool": {}}, {"nosuch": {}}, {"range": {"f": "v"}}, 42]:
+        with _pytest.raises(JsonDslError):
+            parse_json_query(bad)
+
+
+def test_json_select_paging_projection(spark):
+    from hbase_increment_index_spark.search.json_dsl import json_select
+
+    df = spark.createDataFrame([(i, i * 10) for i in range(20)], ["id", "v"])
+    out = json_select(
+        df, {"sort": "v desc", "offset": 3, "limit": 4, "fields": "id"}
+    ).collect()
+    assert [r.id for r in out] == [16, 15, 14, 13]  # projection after paging

@@ -764,3 +764,14 @@ class SecondaryIndex:
                     f"{path}/positional/{row.field}"
                 )
         return idx
+
+    def json_query(self, request: dict, text_fields: set[str] | None = None) -> DataFrame:
+        """Solr JSON Request API over the document view: the JSON body
+        a modern client POSTs (query/filter/fields/sort/offset/limit),
+        compiled to one plan (search.json_dsl). Qualifiers default to
+        token-match semantics like stream_expr."""
+        from hbase_increment_index_spark.search.json_dsl import json_select
+
+        if text_fields is None:
+            text_fields = set(self.qualifiers)
+        return json_select(self.documents, request, text_fields=text_fields)

@@ -401,3 +401,11 @@ def test_stream_expr_text_semantics(index):
     # review's name:apple case) — not full-string equality
     got = index.stream_expr('search(documents, q="name:apple", fl="rowkey,name")')
     assert {r.rowkey for r in got.collect()} == {"r1", "r3"}
+
+
+def test_json_query_facade(index):
+    got = index.json_query(
+        {"query": {"field": {"f": "name", "query": "apple"}},
+         "sort": "rowkey asc", "fields": "rowkey"}
+    ).collect()
+    assert [r.rowkey for r in got] == ["r1", "r3"]

@@ -72,6 +72,8 @@ def start_index_maintenance(
     available_now: bool = False,
     postings_field: str | None = None,
     facet_field: str | None = None,
+    rollup_key_field: str | None = None,
+    rollup_value_field: str | None = None,
 ) -> StreamingQuery:
     """Continuously fold CDC micro-batches into the index.
 
@@ -104,6 +106,8 @@ def start_index_maintenance(
         merge_microbatch(
             spark, batch, batch_id, index_path, qualifiers,
             postings_field=postings_field, facet_field=facet_field,
+            rollup_key_field=rollup_key_field,
+            rollup_value_field=rollup_value_field,
         )
 
     writer = cell_stream.writeStream.foreachBatch(_merge).option(
@@ -124,6 +128,8 @@ def merge_microbatch(
     qualifiers: list[str],
     postings_field: str | None = None,
     facet_field: str | None = None,
+    rollup_key_field: str | None = None,
+    rollup_value_field: str | None = None,
 ) -> None:
     """One micro-batch fold — the foreachBatch body of
     ``start_index_maintenance``, module-level so recovery semantics are
@@ -136,6 +142,7 @@ def merge_microbatch(
     state_path = index_path + "_state"
     postings_path = index_path + "_postings"
     facets_path = index_path + "_facets"
+    rollup_path = index_path + "_rollup"
 
     if batch.isEmpty():  # commit-only-if-data (SolrIndexTools.java:66-67)
         return
@@ -157,6 +164,23 @@ def merge_microbatch(
             .agg(F.count(F.lit(1)).alias("n"))
             .write.mode("overwrite")
             .parquet(pre_path)
+        )
+    # rollup pre-image — same staging discipline as the facet pre-image
+    rpre_path = None
+    if rollup_key_field is not None and _committed_state_exists(spark, rollup_path):
+        rpre_path = rollup_path + f"._pre_{batch_id}"
+        (
+            spark.read.parquet(index_path)
+            .join(F.broadcast(touched), "id", "left_semi")
+            .groupBy(F.col(rollup_key_field).alias("key"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.col(rollup_value_field).cast("decimal(30,6)")
+                ).alias("sum_value"),
+            )
+            .write.mode("overwrite")
+            .parquet(rpre_path)
         )
     # Bootstrap-vs-merge is decided by an EXPLICIT existence probe of
     # the committed state (the _SUCCESS marker a successful overwrite
@@ -232,6 +256,45 @@ def merge_microbatch(
         shutil.rmtree(ftmp.replace("file:", ""), ignore_errors=True)
         if pre_path is not None:
             shutil.rmtree(pre_path.replace("file:", ""), ignore_errors=True)
+
+    if rollup_key_field is not None:
+        # incremental (count, Σvalue) rollup view — the additive-
+        # aggregate IVM (facets.merge_rollup_sums semantics), exact
+        # decimals end-to-end so view generations never drift
+        new_docs = spark.read.parquet(index_path)
+        val = F.col(rollup_value_field).cast("decimal(30,6)")
+        if rpre_path is None:
+            rview = new_docs.groupBy(F.col(rollup_key_field).alias("key")).agg(
+                F.count(F.lit(1)).alias("n"), F.sum(val).alias("sum_value")
+            )
+        else:
+            plus = (
+                new_docs.join(F.broadcast(touched), "id", "left_semi")
+                .groupBy(F.col(rollup_key_field).alias("key"))
+                .agg(F.count(F.lit(1)).alias("n"), F.sum(val).alias("sum_value"))
+            )
+            minus = spark.read.parquet(rpre_path).select(
+                "key",
+                (-F.col("n")).cast("long").alias("n"),
+                (-F.col("sum_value")).alias("sum_value"),
+            )
+            rview = (
+                spark.read.parquet(rollup_path)
+                .unionByName(plus)
+                .unionByName(minus)
+                .groupBy("key")
+                .agg(
+                    F.sum("n").alias("n"),
+                    F.sum("sum_value").cast("decimal(30,6)").alias("sum_value"),
+                )
+                .filter(F.col("n") > 0)
+            )
+        rtmp = rollup_path + f"._staging_{batch_id}"
+        rview.write.mode("overwrite").parquet(rtmp)
+        spark.read.parquet(rtmp).write.mode("overwrite").parquet(rollup_path)
+        shutil.rmtree(rtmp.replace("file:", ""), ignore_errors=True)
+        if rpre_path is not None:
+            shutil.rmtree(rpre_path.replace("file:", ""), ignore_errors=True)
 
 
 

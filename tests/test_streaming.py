@@ -487,3 +487,54 @@ def test_dedup_within_watermark_drops_redelivery(spark, sf_dir, tmp_path):
     q.awaitTermination(120)
     got = spark.sql("SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM dedup_wm").first()
     assert got.n == got.d == events.count()
+
+
+def test_incremental_rollup_maintenance(spark, dirs):
+    """With rollup_key/value_field set, a (count, Σvalue) rollup view
+    is maintained per micro-batch (exact decimals, ±delta merge, zero-
+    count dropout) and ends identical to a rollup rebuilt fresh over
+    the final document table."""
+    log_dir, index_path, ckpt = dirs
+    batch1 = [
+        ("put", "A", "cf", "cat", "fruit", _ts(1), 1),
+        ("put", "A", "cf", "price", "10.50", _ts(1), 2),
+        ("put", "B", "cf", "cat", "fruit", _ts(2), 3),
+        ("put", "B", "cf", "price", "4.25", _ts(2), 4),
+        ("put", "C", "cf", "cat", "veg", _ts(3), 5),
+        ("put", "C", "cf", "price", "2.00", _ts(3), 6),
+    ]
+    batch2 = [
+        ("put", "A", "cf", "price", "20.00", _ts(4), 7),   # price update
+        ("delete", "B", "cf", None, None, _ts(5), 8),      # drop B
+        ("put", "D", "cf", "cat", "veg", _ts(6), 9),       # new veg doc
+        ("put", "D", "cf", "price", "1.75", _ts(6), 10),
+    ]
+    spark.createDataFrame(batch1, SCHEMA).write.parquet(f"{log_dir}/b1")
+    spark.createDataFrame(batch2, SCHEMA).write.parquet(f"{log_dir}/b2")
+
+    q = start_index_maintenance(
+        read_cell_stream(spark, f"{log_dir}/*", max_files_per_trigger=1),
+        index_path,
+        ckpt,
+        qualifiers=["cat", "price"],
+        available_now=True,
+        rollup_key_field="cat",
+        rollup_value_field="price",
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["key"]: (r["n"], float(r["sum_value"]))
+        for r in spark.read.parquet(index_path + "_rollup").collect()
+    }
+    want = {
+        r["cat"]: (r["n"], float(r["s"]))
+        for r in spark.read.parquet(index_path)
+        .groupBy("cat")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("price").cast("decimal(30,6)")).alias("s"),
+        )
+        .collect()
+    }
+    assert got == want == {"fruit": (1, 20.0), "veg": (2, 3.75)}

@@ -775,3 +775,52 @@ class SecondaryIndex:
         if text_fields is None:
             text_fields = set(self.qualifiers)
         return json_select(self.documents, request, text_fields=text_fields)
+
+    def json_request(self, request: dict, text_fields: set[str] | None = None) -> SearchResponse:
+        """Full JSON Request API body: the relational part
+        (query/filter/fields/sort/offset/limit — json_query) plus the
+        nested ``facet`` block ({name: {"type": "terms"|"query"|"stats",
+        ...}}), returning a Solr-shaped SearchResponse. Facets compute
+        over the FILTERED domain (query + filters applied, pre-paging),
+        matching Solr's default facet domain."""
+        from hbase_increment_index_spark.search.json_dsl import (
+            json_select,
+            parse_json_query,
+        )
+
+        if text_fields is None:
+            text_fields = set(self.qualifiers)
+        docs = self.json_query(request, text_fields=text_fields)
+
+        # facet domain: query+filter applied, paging NOT
+        domain = self.documents
+        if request.get("query") not in (None, "*:*"):
+            domain = domain.filter(parse_json_query(request["query"], text_fields))
+        for flt in request.get("filter", []):
+            domain = domain.filter(parse_json_query(flt, text_fields))
+
+        facets: dict[str, DataFrame] = {}
+        stats: dict[str, DataFrame] = {}
+        for name, spec in (request.get("facet") or {}).items():
+            ftype = spec.get("type", "terms")
+            if ftype == "terms":
+                facets[name] = _facets.facet_field(
+                    domain, spec["field"],
+                    limit=spec.get("limit"), mincount=spec.get("mincount", 0),
+                    sort=spec.get("sort", "count"),
+                )
+            elif ftype == "query":
+                facets[name] = domain.filter(
+                    parse_json_query(spec["q"], text_fields)
+                ).agg(F.count(F.lit(1)).alias("n"))
+            elif ftype == "stats":
+                # doc-view qualifiers are strings (the HBase cell
+                # encoding) — stats need the numeric projection first,
+                # like Solr's typed schema field would provide
+                fld = spec["field"]
+                stats[name] = _stats.stats_field(
+                    domain.withColumn(fld, F.col(fld).cast("double")), fld
+                )
+            else:
+                raise ValueError(f"unsupported facet type {ftype!r}")
+        return SearchResponse(docs=docs, facets=facets, stats=stats)

@@ -409,3 +409,24 @@ def test_json_query_facade(index):
          "sort": "rowkey asc", "fields": "rowkey"}
     ).collect()
     assert [r.rowkey for r in got] == ["r1", "r3"]
+
+
+def test_json_request_with_facets(index):
+    resp = index.json_request(
+        {
+            "query": {"field": {"f": "name", "query": "recipe"}},
+            "sort": "rowkey asc",
+            "limit": 1,
+            "facet": {
+                "by_name": {"type": "terms", "field": "name"},
+                "expensive": {"type": "query", "q": {"range": {"f": "price", "lower": "20"}}},
+                "price_stats": {"type": "stats", "field": "price"},
+            },
+        }
+    )
+    # paging applies to docs, NOT the facet domain
+    assert [r.rowkey for r in resp.docs.collect()] == ["r1"]
+    facet = {r["name"]: r.n for r in resp.facets["by_name"].collect()}
+    assert facet == {"apple pie recipe": 1, "banana bread recipe": 1}
+    assert resp.facets["expensive"].first().n == 1  # only r2 (price 20) matches
+    assert "price_stats" in resp.stats

@@ -610,6 +610,71 @@ GROUP BY 1
 """
 
 
+_EPOCH_FACTORS = {"src1": 2.5, "src2": 1.25, "src3": 0.5}  # others: 1.0
+
+
+def e6g_repeat_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source epoch factors — the LLaMA-recipe mixture knob
+    ("wikipedia: 2.45 epochs"): each document is replicated
+    floor(f) times and kept once more with probability frac(f),
+    decided by a content hash so the realized mixture is deterministic
+    and rerun-stable (the same discipline as e6 splits/samples and
+    e11's temperature mixture, which computes the RATES this operator
+    applies as epochs). Zero shuffle on the corpus: factors ride a
+    broadcast literal frame, replication is one explode(sequence).
+    Output: per-source doc and copy counts (the realized recipe)."""
+    from hbase_increment_index_spark.pipeline.dedup import portable_hash60
+
+    docs = _t(spark, sf_dir, "documents")
+    factors = spark.createDataFrame(
+        [(s, float(f)) for s, f in sorted(_EPOCH_FACTORS.items())], ["source", "f"]
+    )
+    j = docs.join(F.broadcast(factors), "source", "left").withColumn(
+        "f", F.coalesce(F.col("f"), F.lit(1.0))
+    )
+    whole = F.floor(F.col("f")).cast("int")
+    frac_keep = (
+        (portable_hash60(F.concat(F.lit("rep:"), F.col("doc_id").cast("string"))) % 1000000)
+        < ((F.col("f") - F.floor(F.col("f"))) * 1000000).cast("long")
+    ).cast("int")
+    copies = docs.select("doc_id", "source").join(
+        j.select("doc_id", (whole + frac_keep).alias("n_copies")), "doc_id"
+    )
+    return (
+        copies.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_copies").cast("bigint").alias("total_copies"),
+        )
+        .orderBy(F.col("source").asc())
+    )
+
+
+def _e6g_sql() -> str:
+    from hbase_increment_index_spark.pipeline.dedup import PORTABLE_HASH60_SQL
+
+    h = PORTABLE_HASH60_SQL.format(c="'rep:' || CAST(doc_id AS VARCHAR)")
+    cases = " ".join(
+        f"WHEN source = '{s}' THEN {f}" for s, f in sorted(_EPOCH_FACTORS.items())
+    )
+    return f"""
+WITH j AS (
+  SELECT doc_id, source, CASE {cases} ELSE 1.0 END AS f FROM documents
+),
+c AS (
+  SELECT doc_id, source,
+         CAST(FLOOR(f) AS INT)
+         + CASE WHEN {h} % 1000000 < CAST((f - FLOOR(f)) * 1000000 AS BIGINT)
+                THEN 1 ELSE 0 END AS n_copies
+  FROM j
+)
+SELECT source, count(*) AS n_docs, CAST(SUM(n_copies) AS BIGINT) AS total_copies
+FROM c
+GROUP BY source
+ORDER BY source ASC
+"""
+
+
 def q71_json_dsl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Solr JSON Request API: the literal JSON body a modern client
     POSTs — bool must/should/must_not over field/range/prefix nodes,
@@ -7099,6 +7164,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q69_span_near": q69_span_near,
     "q70_group_func": q70_group_func,
     "q71_json_dsl": q71_json_dsl,
+    "e6g_repeat_epochs": e6g_repeat_epochs,
     "olap_priority_check": olap_priority_check,
     "olap_customer_distribution": olap_customer_distribution,
     "olap_top_supplier": olap_top_supplier,
@@ -7307,6 +7373,7 @@ ORACLES: dict[str, str] = {
     "q69_span_near": _q69_sql(),
     "q70_group_func": Q70_SQL,
     "q71_json_dsl": Q71_SQL,
+    "e6g_repeat_epochs": _e6g_sql(),
     "olap_priority_check": OLAP_PRIORITY_CHECK_SQL,
     "olap_customer_distribution": OLAP_CUSTDIST_SQL,
     "olap_top_supplier": OLAP_TOP_SUPPLIER_SQL,

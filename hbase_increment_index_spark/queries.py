@@ -610,6 +610,68 @@ GROUP BY 1
 """
 
 
+_SWEEP_THRESHOLDS = [0.3, 0.4, 0.5, 0.6, 0.7, 0.8]
+
+
+def e4l_quality_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-threshold sweep — the keep-rate curve a data team plots
+    before picking a gate: for each candidate threshold, how many docs
+    and tokens survive ``quality_score >= t``. ONE corpus scan: the
+    per-doc features compute once, every threshold is a conditional
+    aggregate over the same rows (no per-threshold re-scan), unpivoted
+    via stack — the standard multi-metric sweep shape at 100 TB."""
+    from hbase_increment_index_spark.pipeline.text import quality_features
+
+    docs = _t(spark, sf_dir, "documents")
+    q = quality_features(docs, "text").select("doc_id", "n_tokens", "quality_score")
+    aggs = []
+    for t in _SWEEP_THRESHOLDS:
+        tag = str(int(t * 100))
+        keep = F.col("quality_score") >= F.lit(t)
+        aggs.append(F.sum(keep.cast("long")).alias(f"d{tag}"))
+        aggs.append(
+            F.sum(F.when(keep, F.col("n_tokens")).otherwise(F.lit(0))).alias(f"t{tag}")
+        )
+    wide = q.agg(*aggs)
+    pairs = ", ".join(
+        f"'{t:.2f}', d{int(t * 100)}, t{int(t * 100)}" for t in _SWEEP_THRESHOLDS
+    )
+    return wide.selectExpr(
+        f"stack({len(_SWEEP_THRESHOLDS)}, {pairs}) AS (threshold, docs_kept, tokens_kept)"
+    ).orderBy("threshold")
+
+
+def _e4l_sql() -> str:
+    score = """ROUND(0.4 * least(n_tokens / 100.0, 1.0)
+             + 0.3 * (CASE WHEN raw_avg_tok >= 2 AND raw_avg_tok <= 12 THEN 1.0 ELSE 0.0 END)
+             + 0.3 * least((CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0.0 END) * 5, 1.0), 6)"""
+    rows = ", ".join(
+        f"('{t:.2f}', {t})" for t in _SWEEP_THRESHOLDS
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, {_SQL_TOKS.format(c='text')} AS toks, length(text) AS n_chars
+  FROM documents
+),
+feat AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         CASE WHEN len(toks) > 0
+              THEN length(regexp_replace(text, '\\s+', '', 'g')) / len(toks)
+              ELSE 0.0 END AS raw_avg_tok,
+         len(list_filter(toks, t -> list_contains({_EN_STOP_SQL}, t))) AS n_stop
+  FROM base
+),
+scored AS (SELECT doc_id, n_tokens, {score} AS q FROM feat),
+thresholds(threshold, t) AS (VALUES {rows})
+SELECT threshold,
+       CAST(SUM(CASE WHEN q >= t THEN 1 ELSE 0 END) AS BIGINT) AS docs_kept,
+       CAST(SUM(CASE WHEN q >= t THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept
+FROM scored, thresholds
+GROUP BY threshold
+ORDER BY threshold
+"""
+
+
 _EPOCH_FACTORS = {"src1": 2.5, "src2": 1.25, "src3": 0.5}  # others: 1.0
 
 
@@ -7165,6 +7227,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q70_group_func": q70_group_func,
     "q71_json_dsl": q71_json_dsl,
     "e6g_repeat_epochs": e6g_repeat_epochs,
+    "e4l_quality_sweep": e4l_quality_sweep,
     "olap_priority_check": olap_priority_check,
     "olap_customer_distribution": olap_customer_distribution,
     "olap_top_supplier": olap_top_supplier,
@@ -7374,6 +7437,7 @@ ORACLES: dict[str, str] = {
     "q70_group_func": Q70_SQL,
     "q71_json_dsl": Q71_SQL,
     "e6g_repeat_epochs": _e6g_sql(),
+    "e4l_quality_sweep": _e4l_sql(),
     "olap_priority_check": OLAP_PRIORITY_CHECK_SQL,
     "olap_customer_distribution": OLAP_CUSTDIST_SQL,
     "olap_top_supplier": OLAP_TOP_SUPPLIER_SQL,

@@ -610,6 +610,81 @@ GROUP BY 1
 """
 
 
+def e1d_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-version diff — the audit between two corpus snapshots a
+    data-versioning workflow produces (added / removed / changed /
+    unchanged, decided by CONTENT fingerprint, not timestamps). The
+    'new' snapshot is derived deterministically here (doc_id % 17 == 0
+    removed; % 10 == 0 text edited; % 1000 == 7 re-keyed as added);
+    production diffs two table versions. One full outer join on the
+    id, change class from null-ness + fingerprint inequality — a
+    single co-partitioned shuffle, no content comparison beyond the
+    hash."""
+    from hbase_increment_index_spark.pipeline.text import fingerprint
+
+    old = _t(spark, sf_dir, "documents").select(
+        "doc_id", fingerprint(F.col("text")).alias("fp")
+    )
+    base = _t(spark, sf_dir, "documents")
+    new = (
+        base.filter(F.col("doc_id") % 17 != 0)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 10 == 0, F.concat(F.col("text"), F.lit(" edited"))
+            ).otherwise(F.col("text")),
+        )
+        .select("doc_id", fingerprint(F.col("text")).alias("fp"))
+        .unionByName(
+            base.filter(F.col("doc_id") % 1000 == 7)
+            .select((F.col("doc_id") + 1000000).alias("doc_id"), fingerprint(F.col("text")).alias("fp"))
+        )
+    )
+    j = old.withColumnRenamed("fp", "old_fp").join(
+        new.withColumnRenamed("fp", "new_fp"), "doc_id", "full_outer"
+    )
+    change = (
+        F.when(F.col("old_fp").isNull(), "added")
+        .when(F.col("new_fp").isNull(), "removed")
+        .when(F.col("old_fp") != F.col("new_fp"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        j.select(change.alias("change"))
+        .groupBy("change")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("change")
+    )
+
+
+def _e1d_sql() -> str:
+    fp = _SQL_FP.format(c="text")
+    fp_edited = _SQL_FP.format(c="text || ' edited'")
+    return f"""
+WITH old AS (SELECT doc_id, {fp} AS old_fp FROM documents),
+new AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 0 THEN {fp_edited} ELSE {fp} END AS new_fp
+  FROM documents WHERE doc_id % 17 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, {fp} AS new_fp
+  FROM documents WHERE doc_id % 1000 = 7
+),
+j AS (
+  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, o.old_fp, n.new_fp
+  FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+)
+SELECT CASE WHEN old_fp IS NULL THEN 'added'
+            WHEN new_fp IS NULL THEN 'removed'
+            WHEN old_fp <> new_fp THEN 'changed'
+            ELSE 'unchanged' END AS change,
+       count(*) AS n
+FROM j
+GROUP BY 1
+ORDER BY change
+"""
+
+
 _SWEEP_THRESHOLDS = [0.3, 0.4, 0.5, 0.6, 0.7, 0.8]
 
 
@@ -7228,6 +7303,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q71_json_dsl": q71_json_dsl,
     "e6g_repeat_epochs": e6g_repeat_epochs,
     "e4l_quality_sweep": e4l_quality_sweep,
+    "e1d_snapshot_diff": e1d_snapshot_diff,
     "olap_priority_check": olap_priority_check,
     "olap_customer_distribution": olap_customer_distribution,
     "olap_top_supplier": olap_top_supplier,
@@ -7438,6 +7514,7 @@ ORACLES: dict[str, str] = {
     "q71_json_dsl": Q71_SQL,
     "e6g_repeat_epochs": _e6g_sql(),
     "e4l_quality_sweep": _e4l_sql(),
+    "e1d_snapshot_diff": _e1d_sql(),
     "olap_priority_check": OLAP_PRIORITY_CHECK_SQL,
     "olap_customer_distribution": OLAP_CUSTDIST_SQL,
     "olap_top_supplier": OLAP_TOP_SUPPLIER_SQL,

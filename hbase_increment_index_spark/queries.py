@@ -610,6 +610,65 @@ GROUP BY 1
 """
 
 
+def q72_text_tagger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SolrTextTagger (the /tag handler): dictionary-driven phrase
+    tagging — every occurrence of a gazetteer phrase in the corpus is
+    tagged and counted. The gazetteer here is corpus-derived (frequent
+    bigrams of the eval slice, ≥3 occurrences — production supplies
+    its entity list); tagging is doc bigrams ⋈ BROADCAST dictionary,
+    the Spark-native stand-in for the tagger's in-memory FST: one
+    corpus scan, no shuffle beyond the per-phrase count agg."""
+    from hbase_increment_index_spark.pipeline.dedup import shingle_grams
+
+    docs = _t(spark, sf_dir, "documents")
+    gaz = (
+        docs.filter(F.col("doc_id") % 50 == 0)
+        .select(F.explode(shingle_grams("text", 2)).alias("phrase"))
+        .groupBy("phrase")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 3)
+        .select("phrase")
+    )
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    tags = corpus.select(
+        "doc_id", F.explode(shingle_grams("text", 2)).alias("phrase")
+    ).join(F.broadcast(gaz), "phrase")
+    return (
+        tags.groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).alias("n_tags"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.col("n_tags").desc(), F.col("phrase").asc())
+        .limit(15)
+    )
+
+
+def _q72_sql() -> str:
+    toks = _SQL_TOKS.format(c="text")
+    grams = (
+        f"list_transform(generate_series(1, greatest(len({toks}) - 1, 0)), "
+        f"i -> array_to_string(list_slice({toks}, i, i + 1), ' '))"
+    )
+    return f"""
+WITH gaz AS (
+  SELECT g AS phrase
+  FROM (SELECT unnest({grams}) AS g FROM documents WHERE doc_id % 50 = 0)
+  GROUP BY g HAVING count(*) >= 3
+),
+tags AS (
+  SELECT doc_id, g AS phrase
+  FROM (SELECT doc_id, unnest({grams}) AS g FROM documents WHERE doc_id % 50 <> 0)
+  JOIN gaz ON g = phrase
+)
+SELECT phrase, count(*) AS n_tags, count(DISTINCT doc_id) AS n_docs
+FROM tags
+GROUP BY phrase
+ORDER BY n_tags DESC, phrase ASC
+LIMIT 15
+"""
+
+
 def e1d_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset-version diff — the audit between two corpus snapshots a
     data-versioning workflow produces (added / removed / changed /
@@ -7304,6 +7363,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e6g_repeat_epochs": e6g_repeat_epochs,
     "e4l_quality_sweep": e4l_quality_sweep,
     "e1d_snapshot_diff": e1d_snapshot_diff,
+    "q72_text_tagger": q72_text_tagger,
     "olap_priority_check": olap_priority_check,
     "olap_customer_distribution": olap_customer_distribution,
     "olap_top_supplier": olap_top_supplier,
@@ -7515,6 +7575,7 @@ ORACLES: dict[str, str] = {
     "e6g_repeat_epochs": _e6g_sql(),
     "e4l_quality_sweep": _e4l_sql(),
     "e1d_snapshot_diff": _e1d_sql(),
+    "q72_text_tagger": _q72_sql(),
     "olap_priority_check": OLAP_PRIORITY_CHECK_SQL,
     "olap_customer_distribution": OLAP_CUSTDIST_SQL,
     "olap_top_supplier": OLAP_TOP_SUPPLIER_SQL,

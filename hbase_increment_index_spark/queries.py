@@ -610,6 +610,107 @@ GROUP BY 1
 """
 
 
+def e7c_decontaminated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination SHIP form — the corpus a training run actually
+    reads: every doc sharing a 4-gram with the eval slice is REMOVED
+    (e7 flags them; this anti-joins them away). The contaminated set
+    is a tiny minority, so the removal is one broadcast-size anti-join
+    against the corpus — same ship-form shape as e2h."""
+    from hbase_increment_index_spark.pipeline.dedup import cross_contamination
+
+    docs = _t(spark, sf_dir, "documents")
+    eval_set = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    flagged = cross_contamination(
+        corpus, eval_set, "doc_id", "text", n=4, min_collisions=1
+    ).select("doc_id")
+    return (
+        corpus.join(flagged, "doc_id", "left_anti")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.col("source").asc())
+    )
+
+
+def _e7c_sql() -> str:
+    toks = _SQL_TOKS.format(c="text")
+    grams = (
+        f"list_transform(generate_series(1, greatest(len({toks}) - 3, 0)), "
+        f"i -> array_to_string(list_slice({toks}, i, i + 3), ' '))"
+    )
+    return f"""
+WITH c AS (
+  SELECT DISTINCT doc_id, g
+  FROM (SELECT doc_id, unnest({grams}) AS g FROM documents WHERE doc_id % 50 <> 0)
+),
+e AS (
+  SELECT DISTINCT g
+  FROM (SELECT unnest({grams}) AS g FROM documents WHERE doc_id % 50 = 0)
+),
+flagged AS (SELECT DISTINCT doc_id FROM c JOIN e USING (g))
+SELECT source, count(*) AS n_docs
+FROM documents
+WHERE doc_id % 50 <> 0 AND doc_id NOT IN (SELECT doc_id FROM flagged)
+GROUP BY source
+ORDER BY source ASC
+"""
+
+
+def q53b_schema_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-schema discovery over the open cell model (the
+    reference's qualifiers are schemaless strings,
+    HbaseSolrIndexCoprocesser.java:46-48): per qualifier, how many
+    live cells parse as numeric, the numeric share, and the value
+    length range — the report that tells you which dynamic fields
+    deserve a typed projection. try_cast in both engines (never
+    throws under ANSI); one unpivot-free agg over live cells."""
+    from hbase_increment_index_spark.cdc.cell_model import cell_log_from_events
+    from hbase_increment_index_spark.cdc.compaction import live_cells
+
+    events = _t(spark, sf_dir, "events")
+    live = live_cells(cell_log_from_events(events, delete_event_type="error"))
+    is_num = F.expr("try_cast(value AS DOUBLE)").isNotNull()
+    return (
+        live.groupBy("qualifier")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(is_num.cast("long")).alias("n_numeric"),
+            F.round(F.sum(is_num.cast("long")) / F.count(F.lit(1)), 6).alias("numeric_share"),
+            F.min(F.length("value")).alias("min_len"),
+            F.max(F.length("value")).alias("max_len"),
+        )
+        .orderBy(F.col("qualifier").asc())
+    )
+
+
+def _q53b_sql() -> str:
+    return """
+WITH log AS ({log}),
+cell_latest AS (
+  SELECT * FROM log
+  QUALIFY row_number() OVER (
+    PARTITION BY row_key, family, qualifier ORDER BY ts DESC, seq DESC) = 1
+),
+row_latest AS (
+  SELECT row_key, op AS row_op FROM log
+  QUALIFY row_number() OVER (PARTITION BY row_key ORDER BY ts DESC, seq DESC) = 1
+),
+live AS (
+  SELECT c.qualifier, c.value
+  FROM cell_latest c JOIN row_latest r USING (row_key)
+  WHERE c.op = 'put' AND r.row_op = 'put'
+)
+SELECT qualifier, count(*) AS n,
+       CAST(SUM(CASE WHEN TRY_CAST(value AS DOUBLE) IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_numeric,
+       ROUND(SUM(CASE WHEN TRY_CAST(value AS DOUBLE) IS NOT NULL THEN 1 ELSE 0 END) / count(*), 6) AS numeric_share,
+       MIN(length(value)) AS min_len,
+       MAX(length(value)) AS max_len
+FROM live
+GROUP BY qualifier
+ORDER BY qualifier ASC
+""".replace("{log}", _SQL_CELL_LOG.format(delete_type="error"))
+
+
 def q72_text_tagger(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SolrTextTagger (the /tag handler): dictionary-driven phrase
     tagging — every occurrence of a gazetteer phrase in the corpus is
@@ -7364,6 +7465,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e4l_quality_sweep": e4l_quality_sweep,
     "e1d_snapshot_diff": e1d_snapshot_diff,
     "q72_text_tagger": q72_text_tagger,
+    "e7c_decontaminated_corpus": e7c_decontaminated_corpus,
+    "q53b_schema_infer": q53b_schema_infer,
     "olap_priority_check": olap_priority_check,
     "olap_customer_distribution": olap_customer_distribution,
     "olap_top_supplier": olap_top_supplier,
@@ -7576,6 +7679,8 @@ ORACLES: dict[str, str] = {
     "e4l_quality_sweep": _e4l_sql(),
     "e1d_snapshot_diff": _e1d_sql(),
     "q72_text_tagger": _q72_sql(),
+    "e7c_decontaminated_corpus": _e7c_sql(),
+    "q53b_schema_infer": _q53b_sql(),
     "olap_priority_check": OLAP_PRIORITY_CHECK_SQL,
     "olap_customer_distribution": OLAP_CUSTDIST_SQL,
     "olap_top_supplier": OLAP_TOP_SUPPLIER_SQL,

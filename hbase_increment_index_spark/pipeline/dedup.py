@@ -999,3 +999,48 @@ def semantic_dedup_auto(
     n = embeddings.count()
     planes = min(max_planes, max(1, math.ceil(math.log2(max(2, n / target_bucket_size)))))
     return semantic_dedup(embeddings, threshold=threshold, n_planes=planes, **pair_kwargs)
+
+
+def incremental_semantic_dups(
+    existing: DataFrame,
+    incoming: DataFrame,
+    threshold: float = 0.40,
+    n_planes: int = 6,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    plane_fn: str = "xxhash64",
+    decimals: int = 6,
+) -> DataFrame:
+    """Incremental SemDeDup: flag INCOMING vectors that semantically
+    duplicate the EXISTING corpus — the delta-vs-index form every
+    continuously-embedded pipeline runs (the vector analogue of
+    incremental_near_dups). Both sides bucket with the same
+    hyperplane LSH; the join is BIPARTITE (new × old within a bucket
+    only), so no old×old pairing work ever happens. At 100 TB the
+    existing side's (bucket, id, vector) frame is the persisted ANN
+    index partitioned by bucket — the probe reads only the buckets
+    the delta hashes into."""
+    from hbase_increment_index_spark.pipeline.similarity import (
+        build_lsh_buckets,
+        cosine,
+    )
+
+    def prep(df: DataFrame, tag: str) -> DataFrame:
+        return build_lsh_buckets(
+            df, n_planes=n_planes, dim=dim, id_col=id_col, vec_col=vec_col,
+            plane_fn=plane_fn,
+        ).select(
+            "bucket",
+            F.col(id_col).alias(f"id_{tag}"),
+            F.col(vec_col).cast("array<double>").alias(f"_v{tag}"),
+        )
+
+    new_side = prep(incoming, "new")
+    old_side = prep(existing, "old")
+    return (
+        new_side.join(old_side, "bucket")
+        .withColumn("cos", F.round(cosine(F.col("_vnew"), F.col("_vold")), decimals))
+        .filter(F.col("cos") >= threshold)
+        .select("id_new", "id_old", "cos")
+    )

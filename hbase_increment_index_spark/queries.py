@@ -610,6 +610,54 @@ GROUP BY 1
 """
 
 
+def e2k_incremental_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SemDeDup: the embedding delta (vec_id % 10 == 0)
+    checked against the existing vector index — bipartite LSH-bucket
+    join, new×old only, cosine ≥ 0.40
+    (pipeline.dedup.incremental_semantic_dups). The vector analogue of
+    e2f's delta near-dup mining."""
+    from hbase_increment_index_spark.pipeline.dedup import incremental_semantic_dups
+
+    emb = _t(spark, sf_dir, "embeddings")
+    existing = emb.filter(F.col("vec_id") % 10 != 0)
+    incoming = emb.filter(F.col("vec_id") % 10 == 0)
+    return incremental_semantic_dups(
+        existing, incoming, threshold=0.40, n_planes=6, dim=64, plane_fn="md5"
+    ).orderBy(F.col("id_new").asc(), F.col("id_old").asc())
+
+
+E2K_SQL = """
+WITH planes AS (
+  SELECT i, list_transform(
+           generate_series(0, 63),
+           j -> ((('0x' || substr(md5(CAST(i AS VARCHAR) || ',' || CAST(j AS VARCHAR)), 1, 15))::BIGINT
+                  % 2000001) - 1000000) / 1000000.0
+         ) AS w
+  FROM (SELECT unnest(generate_series(0, 5)) AS i)
+),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+bits AS (
+  SELECT v.vec_id, p.i,
+         CASE WHEN list_reduce(
+                list_prepend(0.0, list_transform(list_zip(v.e, p.w), s -> s[1] * s[2])),
+                (a, b) -> a + b) >= 0
+              THEN CAST(1 AS BIGINT) << p.i ELSE CAST(0 AS BIGINT) END AS term
+  FROM v CROSS JOIN planes p
+),
+buckets AS (SELECT vec_id, CAST(SUM(term) AS BIGINT) AS bucket FROM bits GROUP BY vec_id)
+SELECT n.vec_id AS id_new, o.vec_id AS id_old,
+       ROUND(list_dot_product(vn.e, vo.e)
+             / (sqrt(list_dot_product(vn.e, vn.e)) * sqrt(list_dot_product(vo.e, vo.e))), 6) AS cos
+FROM buckets n JOIN buckets o ON n.bucket = o.bucket
+JOIN v vn ON vn.vec_id = n.vec_id
+JOIN v vo ON vo.vec_id = o.vec_id
+WHERE n.vec_id % 10 = 0 AND o.vec_id % 10 <> 0
+  AND ROUND(list_dot_product(vn.e, vo.e)
+      / (sqrt(list_dot_product(vn.e, vn.e)) * sqrt(list_dot_product(vo.e, vo.e))), 6) >= 0.40
+ORDER BY id_new ASC, id_old ASC
+"""
+
+
 def e7c_decontaminated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination SHIP form — the corpus a training run actually
     reads: every doc sharing a 4-gram with the eval slice is REMOVED
@@ -7466,6 +7514,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e1d_snapshot_diff": e1d_snapshot_diff,
     "q72_text_tagger": q72_text_tagger,
     "e7c_decontaminated_corpus": e7c_decontaminated_corpus,
+    "e2k_incremental_semdedup": e2k_incremental_semdedup,
     "q53b_schema_infer": q53b_schema_infer,
     "olap_priority_check": olap_priority_check,
     "olap_customer_distribution": olap_customer_distribution,
@@ -7680,6 +7729,7 @@ ORACLES: dict[str, str] = {
     "e1d_snapshot_diff": _e1d_sql(),
     "q72_text_tagger": _q72_sql(),
     "e7c_decontaminated_corpus": _e7c_sql(),
+    "e2k_incremental_semdedup": E2K_SQL,
     "q53b_schema_infer": _q53b_sql(),
     "olap_priority_check": OLAP_PRIORITY_CHECK_SQL,
     "olap_customer_distribution": OLAP_CUSTDIST_SQL,

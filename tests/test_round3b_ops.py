@@ -437,3 +437,26 @@ def test_json_select_paging_projection(spark):
         df, {"sort": "v desc", "offset": 3, "limit": 4, "fields": "id"}
     ).collect()
     assert [r.id for r in out] == [16, 15, 14, 13]  # projection after paging
+
+
+def test_incremental_semantic_dups_bipartite(spark):
+    """Delta-vs-index semantic dedup: pairs are strictly new x old,
+    above threshold, and a subset of the full-corpus pair set."""
+    from hbase_increment_index_spark.pipeline.dedup import (
+        incremental_semantic_dups,
+        semantic_pairs,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    existing = emb.filter(F.col("vec_id") % 10 != 0)
+    incoming = emb.filter(F.col("vec_id") % 10 == 0)
+    inc = incremental_semantic_dups(
+        existing, incoming, threshold=0.40, n_planes=4, dim=64, plane_fn="md5"
+    ).collect()
+    for r in inc:
+        assert r.id_new % 10 == 0 and r.id_old % 10 != 0 and r.cos >= 0.40
+    full = {
+        frozenset((r.id_a, r.id_b))
+        for r in semantic_pairs(emb, threshold=0.40, n_planes=4, dim=64, plane_fn="md5").collect()
+    }
+    assert {frozenset((r.id_new, r.id_old)) for r in inc} <= full

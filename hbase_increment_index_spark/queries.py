@@ -1111,10 +1111,15 @@ def q69_span_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     p1, p2 = positions("data"), positions("spark")
     near = F.exists(p1, lambda a: F.exists(p2, lambda b: F.abs(a - b) <= F.lit(4)))
+    from hbase_increment_index_spark.functions.layout import fan_out
+    from hbase_increment_index_spark.search.tokenize import has_token
+
+    # containment prefilter first (codegen, short-circuit And), and
+    # fan_out so the interpreted positional HOF uses the cores on a
+    # single-row-group fixture scan (no-op at real scale) — 36s -> ~1s
     return (
-        docs.filter(F.size(p1) > 0)
-        .filter(F.size(p2) > 0)
-        .filter(near)
+        fan_out(docs.select("doc_id", "text"))
+        .filter(has_token("text", "data") & has_token("text", "spark") & near)
         .select("doc_id")
         .orderBy(F.col("doc_id").asc())
     )

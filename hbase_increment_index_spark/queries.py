@@ -610,6 +610,69 @@ GROUP BY 1
 """
 
 
+def q29b_suggest_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr suggester CONTEXT FILTERING (``suggest.cfq``): completions
+    restricted to a context subset — here prefix 's' over English
+    documents only. The context predicate pushes into the scan before
+    tokenization, so the suggestion build pays only for the context's
+    slice (at scale: a context-partitioned suggestion index)."""
+    from hbase_increment_index_spark.search.highlight import suggest_terms
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    return suggest_terms(docs, "doc_id", "text", prefix="s", k=10)
+
+
+Q29B_SQL = f"""
+SELECT term, count(*) AS freq
+FROM (SELECT unnest({_SQL_TOKS.format(c='text')}) AS term FROM documents WHERE lang = 'en')
+WHERE term LIKE 's%'
+GROUP BY term
+ORDER BY freq DESC, term ASC
+LIMIT 10
+"""
+
+
+def cdc_fuzzy_rowkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HBase FuzzyRowFilter: rowkey match with FIXED-POSITION
+    wildcards (mask '?2?' = any char, '2', any char — the filter HBase
+    evaluates server-side with skip-scan hints). As a regexp anchor on
+    the compacted state's row_key; with a rowkey-layout where the
+    fixed positions are leading, the scan becomes a set of sargable
+    bands (one per wildcard expansion) — the same skip-scan HBase
+    performs."""
+    from hbase_increment_index_spark.cdc.cell_model import cell_log_from_events
+    from hbase_increment_index_spark.cdc.compaction import live_cells
+
+    events = _t(spark, sf_dir, "events")
+    live = live_cells(cell_log_from_events(events, delete_event_type="error"))
+    return (
+        live.filter(F.col("row_key").rlike("^.2.$"))
+        .groupBy("row_key")
+        .agg(F.count(F.lit(1)).alias("n_cells"))
+        .orderBy(F.col("row_key").asc())
+    )
+
+
+def _cdc_fuzzy_sql() -> str:
+    return """
+WITH log AS ({log}),
+cell_latest AS (
+  SELECT * FROM log
+  QUALIFY row_number() OVER (
+    PARTITION BY row_key, family, qualifier ORDER BY ts DESC, seq DESC) = 1
+),
+row_latest AS (
+  SELECT row_key, op AS row_op FROM log
+  QUALIFY row_number() OVER (PARTITION BY row_key ORDER BY ts DESC, seq DESC) = 1
+)
+SELECT c.row_key, count(*) AS n_cells
+FROM cell_latest c JOIN row_latest r USING (row_key)
+WHERE c.op = 'put' AND r.row_op = 'put' AND regexp_full_match(c.row_key, '.2.')
+GROUP BY c.row_key
+ORDER BY c.row_key ASC
+""".replace("{log}", _SQL_CELL_LOG.format(delete_type="error"))
+
+
 def e2k_incremental_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental SemDeDup: the embedding delta (vec_id % 10 == 0)
     checked against the existing vector index — bipartite LSH-bucket
@@ -7521,6 +7584,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e7c_decontaminated_corpus": e7c_decontaminated_corpus,
     "e2k_incremental_semdedup": e2k_incremental_semdedup,
     "q53b_schema_infer": q53b_schema_infer,
+    "q29b_suggest_context": q29b_suggest_context,
+    "cdc_fuzzy_rowkey": cdc_fuzzy_rowkey,
     "olap_priority_check": olap_priority_check,
     "olap_customer_distribution": olap_customer_distribution,
     "olap_top_supplier": olap_top_supplier,
@@ -7735,6 +7800,8 @@ ORACLES: dict[str, str] = {
     "q72_text_tagger": _q72_sql(),
     "e7c_decontaminated_corpus": _e7c_sql(),
     "e2k_incremental_semdedup": E2K_SQL,
+    "q29b_suggest_context": Q29B_SQL,
+    "cdc_fuzzy_rowkey": _cdc_fuzzy_sql(),
     "q53b_schema_infer": _q53b_sql(),
     "olap_priority_check": OLAP_PRIORITY_CHECK_SQL,
     "olap_customer_distribution": OLAP_CUSTDIST_SQL,

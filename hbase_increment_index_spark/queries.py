@@ -7545,9 +7545,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # a fixed-size window from the FRONT of this dict each round, so the
     # front section rotates to whichever operators still lack a
     # driver-side green row in CORRECTNESS_r{N}.json (r1/r2 verified
-    # flagship, q01-q26, and the core cdc_* set; r3 surfaces the Solr
-    # component queries, the CDC merge/atomic rows, and one query per
-    # E-series pipeline component). Lookup semantics are unaffected.
+    # flagship, q01-q26, and the core cdc_* set; r3's front runs the
+    # newest operators first — streaming expressions, SemDeDup/DSIR,
+    # phonetic/LTR/analysis/JSON-DSL, the closing CDC and TPC-H rows —
+    # then the r2 Solr component queries and one query per E-series
+    # component). Lookup semantics are unaffected.
     # ------------------------------------------------------------------
     "flagship": flagship,
     "q61_stream_rollup": q61_stream_rollup,

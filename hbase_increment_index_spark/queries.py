@@ -610,6 +610,68 @@ GROUP BY 1
 """
 
 
+def e6h_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: assignment at NEAR-DUP
+    CLUSTER granularity — every member of a cluster inherits the
+    canonical member's hash split, so near-duplicates can never
+    straddle train and eval (the leakage the per-doc split e6a cannot
+    rule out). Group key = cluster canonical (singletons: own id);
+    the split itself stays the deterministic content-hash projection.
+    Output: per-split doc and group counts."""
+    from hbase_increment_index_spark.pipeline.dedup import near_dup_clusters
+    from hbase_increment_index_spark.pipeline.sampling import train_val_split
+
+    docs = _t(spark, sf_dir, "documents")
+    marks = near_dup_clusters(
+        docs, "doc_id", "text", threshold=0.30, num_perm=64, bands=16,
+        impl="pandas", hash_fn="md5",
+    )
+    grouped = marks.select(
+        "doc_id", F.coalesce(F.col("component"), F.col("doc_id")).alias("gk")
+    )
+    split = train_val_split(grouped, "gk", val_frac=0.10, test_frac=0.05)
+    return (
+        split.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("gk").alias("n_groups"),
+        )
+        .orderBy("split")
+    )
+
+
+def _e6h_sql() -> str:
+    return f"""
+WITH RECURSIVE {_minhash_sql_ctes()},
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+comp AS (SELECT u, least(u, min(v)) AS component FROM reach GROUP BY u),
+grouped AS (
+  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS gk
+  FROM documents d LEFT JOIN comp c ON c.u = d.doc_id
+),
+assigned AS (
+  SELECT doc_id, gk,
+         CASE WHEN {_SQL_BUCKET.format(salt='split', c='gk')} < 100000 THEN 'val'
+              WHEN {_SQL_BUCKET.format(salt='split', c='gk')} < 150000 THEN 'test'
+              ELSE 'train' END AS split
+  FROM grouped
+)
+SELECT split, count(*) AS n_docs, count(DISTINCT gk) AS n_groups
+FROM assigned
+GROUP BY split
+ORDER BY split
+"""
+
+
 def q29b_suggest_context(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Solr suggester CONTEXT FILTERING (``suggest.cfq``): completions
     restricted to a context subset — here prefix 's' over English
@@ -7588,6 +7650,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q53b_schema_infer": q53b_schema_infer,
     "q29b_suggest_context": q29b_suggest_context,
     "cdc_fuzzy_rowkey": cdc_fuzzy_rowkey,
+    "e6h_leakage_safe_split": e6h_leakage_safe_split,
     "olap_priority_check": olap_priority_check,
     "olap_customer_distribution": olap_customer_distribution,
     "olap_top_supplier": olap_top_supplier,
@@ -7804,6 +7867,7 @@ ORACLES: dict[str, str] = {
     "e2k_incremental_semdedup": E2K_SQL,
     "q29b_suggest_context": Q29B_SQL,
     "cdc_fuzzy_rowkey": _cdc_fuzzy_sql(),
+    "e6h_leakage_safe_split": _e6h_sql(),
     "q53b_schema_infer": _q53b_sql(),
     "olap_priority_check": OLAP_PRIORITY_CHECK_SQL,
     "olap_customer_distribution": OLAP_CUSTDIST_SQL,

@@ -460,3 +460,33 @@ def test_incremental_semantic_dups_bipartite(spark):
         for r in semantic_pairs(emb, threshold=0.40, n_planes=4, dim=64, plane_fn="md5").collect()
     }
     assert {frozenset((r.id_new, r.id_old)) for r in inc} <= full
+
+
+def test_leakage_safe_split_no_straddling_clusters(spark):
+    """Every near-dup cluster lands wholly in one split."""
+    from hbase_increment_index_spark.pipeline.dedup import near_dup_clusters
+    from hbase_increment_index_spark.pipeline.sampling import train_val_split
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    # plant a duplicate pair so clusters exist
+    extra = docs.limit(1).select(
+        (F.col("doc_id") + 900000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    corpus = docs.unionByName(extra)
+    marks = near_dup_clusters(
+        corpus, "doc_id", "text", threshold=0.30, num_perm=64, bands=16,
+        impl="pandas", hash_fn="md5",
+    )
+    grouped = marks.select(
+        "doc_id", F.coalesce(F.col("component"), F.col("doc_id")).alias("gk")
+    )
+    split = train_val_split(grouped, "gk", val_frac=0.3, test_frac=0.3)
+    straddle = (
+        split.groupBy("gk")
+        .agg(F.countDistinct("split").alias("ns"), F.count(F.lit(1)).alias("n"))
+        .filter((F.col("n") > 1) & (F.col("ns") > 1))
+        .count()
+    )
+    assert straddle == 0
+    # and at least one real multi-member cluster exercised the invariant
+    assert split.groupBy("gk").count().filter(F.col("count") > 1).count() >= 1

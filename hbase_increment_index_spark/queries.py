@@ -610,6 +610,116 @@ GROUP BY 1
 """
 
 
+def q74_pseudo_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr pseudo-fields (``fl=id,margin:sub(...),damped:recip(...)``):
+    computed fields in the field list, each a function-query expression
+    compiled into the projection — zero extra cost beyond the
+    expression itself (search.function_query)."""
+    from hbase_increment_index_spark.search.function_query import parse_function_query
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
+    return (
+        li.select(
+            F.col("l_orderkey").alias("id"),
+            F.round(
+                parse_function_query("product(l_extendedprice, sub(1, l_discount))"), 6
+            ).alias("margin"),
+            F.round(
+                parse_function_query("recip(l_quantity, 1, 50, 50)"), 6
+            ).alias("damped"),
+        )
+        .orderBy(F.col("margin").desc(), F.col("id").asc())
+        .limit(20)
+    )
+
+
+Q74_SQL = """
+SELECT l_orderkey AS id,
+       ROUND(l_extendedprice * (1 - l_discount), 6) AS margin,
+       ROUND(50 / (1 * l_quantity + 50), 6) AS damped
+FROM lineitem
+WHERE l_linenumber = 1
+ORDER BY margin DESC, id ASC
+LIMIT 20
+"""
+
+
+def q06d_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr ``debug=true`` scoring explanation: the per-term BM25
+    contribution breakdown (idf, tf, weight) for the top-ranked
+    document of the q06b query — the relevance-debugging surface.
+    The winning doc id comes from the same TakeOrdered head (1-row
+    broadcast), so the explanation adds one postings-slice lookup,
+    never a rescore of the corpus."""
+    from hbase_increment_index_spark.search.tokenize import posting_list, tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    terms = list(_TFIDF_TERMS)
+    top = ranking.bm25_topk(docs, "doc_id", "text", terms, k=1).select("doc_id")
+
+    k1, b = 1.2, 0.75
+    tdf = spark.createDataFrame([(t,) for t in sorted(set(terms))], ["term"])
+    doc_len = docs.select(F.col("doc_id"), F.size(tokens("text")).alias("dl"))
+    stats = doc_len.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avg_dl"),
+    )
+    hits = posting_list(docs, "doc_id", "text").join(F.broadcast(tdf), "term")
+    tf = hits.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df_t") + F.lit(0.5)) / (F.col("df_t") + F.lit(0.5))
+    )
+    tf_part = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + F.lit(k1) * (1 - b + b * F.col("dl") / F.col("avg_dl"))
+    )
+    return (
+        tf.join(F.broadcast(top), "doc_id")
+        .join(F.broadcast(df_t), "term")
+        .join(doc_len, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df_t",
+            F.round(idf, 6).alias("idf"),
+            F.round(idf * tf_part, 6).alias("weight"),
+        )
+        .orderBy(F.col("term").asc())
+    )
+
+
+Q06D_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({{toks}}) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+avgdl AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS a FROM dl),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+hits AS (SELECT * FROM toks WHERE term IN ('join', 'query', 'spark')),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM hits GROUP BY 1, 2),
+dft AS (SELECT term, count(DISTINCT doc_id) AS df_t FROM hits GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         ROUND(SUM(
+           ln(1.0 + (n.n_docs - dft.df_t + 0.5) / (dft.df_t + 0.5))
+           * (tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl.a))
+         ), 6) AS score
+  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id), n, avgdl
+  GROUP BY tf.doc_id
+),
+top AS (SELECT doc_id FROM scored ORDER BY score DESC, doc_id ASC LIMIT 1)
+SELECT tf.doc_id, tf.term, tf.tf, dft.df_t,
+       ROUND(ln(1.0 + (n.n_docs - dft.df_t + 0.5) / (dft.df_t + 0.5)), 6) AS idf,
+       ROUND(ln(1.0 + (n.n_docs - dft.df_t + 0.5) / (dft.df_t + 0.5))
+             * (tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl.a)), 6) AS weight
+FROM tf JOIN top USING (doc_id) JOIN dft USING (term) JOIN dl USING (doc_id), n, avgdl
+ORDER BY tf.term ASC
+""".replace("{toks}", _SQL_TOKS.format(c="text"))
+
+
 def e6h_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe train/val/test split: assignment at NEAR-DUP
     CLUSTER granularity — every member of a cluster inherits the
@@ -7651,6 +7761,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q29b_suggest_context": q29b_suggest_context,
     "cdc_fuzzy_rowkey": cdc_fuzzy_rowkey,
     "e6h_leakage_safe_split": e6h_leakage_safe_split,
+    "q74_pseudo_fields": q74_pseudo_fields,
+    "q06d_explain": q06d_explain,
     "olap_priority_check": olap_priority_check,
     "olap_customer_distribution": olap_customer_distribution,
     "olap_top_supplier": olap_top_supplier,
@@ -7868,6 +7980,8 @@ ORACLES: dict[str, str] = {
     "q29b_suggest_context": Q29B_SQL,
     "cdc_fuzzy_rowkey": _cdc_fuzzy_sql(),
     "e6h_leakage_safe_split": _e6h_sql(),
+    "q74_pseudo_fields": Q74_SQL,
+    "q06d_explain": Q06D_SQL,
     "q53b_schema_infer": _q53b_sql(),
     "olap_priority_check": OLAP_PRIORITY_CHECK_SQL,
     "olap_customer_distribution": OLAP_CUSTDIST_SQL,

@@ -109,6 +109,22 @@ AUDITED = [
     "cdc_check_and_put",
     "q13b_stats_calcdistinct",
     "q11d_facet_month",
+    "q69_span_near",
+    "q70_group_func",
+    "q71_json_dsl",
+    "q72_text_tagger",
+    "q74_pseudo_fields",
+    "q06d_explain",
+    "q29b_suggest_context",
+    "q53b_schema_infer",
+    "cdc_fuzzy_rowkey",
+    "e6g_repeat_epochs",
+    "e6h_leakage_safe_split",
+    "e4l_quality_sweep",
+    "e1d_snapshot_diff",
+    "e7c_decontaminated_corpus",
+    "e2k_incremental_semdedup",
+    "e2j_semdedup",
 ]
 
 

@@ -610,6 +610,86 @@ GROUP BY 1
 """
 
 
+def e2l_quality_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup: within each near-dup cluster keep the
+    HIGHEST-QUALITY member (argmax quality_score, ties → lower id)
+    instead of the arbitrary min-id canonical — the refinement real
+    curation pipelines apply so dedup never discards the cleanest
+    copy. One window over the (tiny) clustered subset; singletons
+    never enter the window. Output: per cluster, kept doc + its
+    quality + cluster size."""
+    from pyspark.sql import Window
+
+    from hbase_increment_index_spark.pipeline.dedup import near_dup_clusters
+    from hbase_increment_index_spark.pipeline.text import quality_features
+
+    docs = _t(spark, sf_dir, "documents")
+    marks = near_dup_clusters(
+        docs, "doc_id", "text", threshold=0.30, num_perm=64, bands=16,
+        impl="pandas", hash_fn="md5",
+    ).filter(F.col("component").isNotNull())
+    q = quality_features(docs, "text").select("doc_id", "quality_score")
+    members = marks.join(q, "doc_id")
+    w = Window.partitionBy("component").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        members.withColumn("_rn", F.row_number().over(w))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(Window.partitionBy("component")))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("kept_doc"),
+            "quality_score",
+            "cluster_size",
+        )
+        .orderBy(F.col("component").asc())
+    )
+
+
+def _e2l_sql() -> str:
+    score = """ROUND(0.4 * least(n_tokens / 100.0, 1.0)
+             + 0.3 * (CASE WHEN raw_avg_tok >= 2 AND raw_avg_tok <= 12 THEN 1.0 ELSE 0.0 END)
+             + 0.3 * least((CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0.0 END) * 5, 1.0), 6)"""
+    return f"""
+WITH RECURSIVE {_minhash_sql_ctes()},
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+comp AS (SELECT u AS doc_id, least(u, min(v)) AS component FROM reach GROUP BY u),
+qbase AS (
+  SELECT doc_id, text, {_SQL_TOKS.format(c='text')} AS toks, length(text) AS n_chars
+  FROM documents
+),
+qfeat AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         CASE WHEN len(toks) > 0
+              THEN length(regexp_replace(text, '\\s+', '', 'g')) / len(toks)
+              ELSE 0.0 END AS raw_avg_tok,
+         len(list_filter(toks, t -> list_contains({_EN_STOP_SQL}, t))) AS n_stop
+  FROM qbase
+),
+quality AS (SELECT doc_id, {score} AS quality_score FROM qfeat),
+members AS (
+  SELECT c.component, c.doc_id, q.quality_score,
+         ROW_NUMBER() OVER (PARTITION BY c.component
+                            ORDER BY q.quality_score DESC, c.doc_id ASC) AS rn,
+         COUNT(*) OVER (PARTITION BY c.component) AS cluster_size
+  FROM comp c JOIN quality q USING (doc_id)
+)
+SELECT component, doc_id AS kept_doc, quality_score, cluster_size
+FROM members WHERE rn = 1
+ORDER BY component ASC
+"""
+
+
 def q74_pseudo_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Solr pseudo-fields (``fl=id,margin:sub(...),damped:recip(...)``):
     computed fields in the field list, each a function-query expression
@@ -7763,6 +7843,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e6h_leakage_safe_split": e6h_leakage_safe_split,
     "q74_pseudo_fields": q74_pseudo_fields,
     "q06d_explain": q06d_explain,
+    "e2l_quality_canonical": e2l_quality_canonical,
     "olap_priority_check": olap_priority_check,
     "olap_customer_distribution": olap_customer_distribution,
     "olap_top_supplier": olap_top_supplier,
@@ -7982,6 +8063,7 @@ ORACLES: dict[str, str] = {
     "e6h_leakage_safe_split": _e6h_sql(),
     "q74_pseudo_fields": Q74_SQL,
     "q06d_explain": Q06D_SQL,
+    "e2l_quality_canonical": _e2l_sql(),
     "q53b_schema_infer": _q53b_sql(),
     "olap_priority_check": OLAP_PRIORITY_CHECK_SQL,
     "olap_customer_distribution": OLAP_CUSTDIST_SQL,

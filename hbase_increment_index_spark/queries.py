@@ -610,6 +610,69 @@ GROUP BY 1
 """
 
 
+_SAVED_QUERIES = [
+    (1, ["data", "stream"]),
+    (2, ["query", "window"]),
+    (3, ["spark", "fast"]),
+    (4, ["hash", "join"]),
+    (5, ["slow", "error"]),
+]
+
+
+def q75_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reverse search / percolation — saved-search alerting over the
+    reference's change stream: STORED queries (required-term
+    conjunctions) are matched against the INCOMING document batch
+    (doc_id % 50 == 0 as the delta), emitting (query, doc) alert
+    pairs. The stored-query table is broadcast (saved searches are
+    few); matching is one projection per doc over its token array —
+    no index, no corpus scan, work ∝ batch × queries. The streaming
+    form runs the same expression inside foreachBatch."""
+    from hbase_increment_index_spark.search.tokenize import tokens
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 50 == 0)
+    saved = spark.createDataFrame(
+        [(qid, terms) for qid, terms in _SAVED_QUERIES], ["query_id", "req_terms"]
+    )
+    j = docs.select("doc_id", tokens("text").alias("_toks")).crossJoin(
+        F.broadcast(saved)
+    )
+    matched = j.filter(
+        F.forall(F.col("req_terms"), lambda t: F.array_contains(F.col("_toks"), t))
+    )
+    return (
+        matched.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_alerts"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy(F.col("query_id").asc())
+    )
+
+
+def _q75_sql() -> str:
+    vals = ", ".join(
+        "(" + str(qid) + ", [" + ", ".join(f"'{t}'" for t in terms) + "])"
+        for qid, terms in _SAVED_QUERIES
+    )
+    toks = _SQL_TOKS.format(c="text")
+    return f"""
+WITH saved(query_id, req_terms) AS (VALUES {vals}),
+delta AS (SELECT doc_id, {toks} AS toks FROM documents WHERE doc_id % 50 = 0),
+matched AS (
+  SELECT s.query_id, d.doc_id
+  FROM delta d CROSS JOIN saved s
+  WHERE NOT EXISTS (
+    SELECT 1 FROM unnest(s.req_terms) AS r(t) WHERE NOT list_contains(d.toks, t)
+  )
+)
+SELECT query_id, count(*) AS n_alerts, MIN(doc_id) AS first_doc
+FROM matched
+GROUP BY query_id
+ORDER BY query_id ASC
+"""
+
+
 def e2l_quality_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware dedup: within each near-dup cluster keep the
     HIGHEST-QUALITY member (argmax quality_score, ties → lower id)
@@ -7844,6 +7907,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q74_pseudo_fields": q74_pseudo_fields,
     "q06d_explain": q06d_explain,
     "e2l_quality_canonical": e2l_quality_canonical,
+    "q75_percolate": q75_percolate,
     "olap_priority_check": olap_priority_check,
     "olap_customer_distribution": olap_customer_distribution,
     "olap_top_supplier": olap_top_supplier,
@@ -8064,6 +8128,7 @@ ORACLES: dict[str, str] = {
     "q74_pseudo_fields": Q74_SQL,
     "q06d_explain": Q06D_SQL,
     "e2l_quality_canonical": _e2l_sql(),
+    "q75_percolate": _q75_sql(),
     "q53b_schema_infer": _q53b_sql(),
     "olap_priority_check": OLAP_PRIORITY_CHECK_SQL,
     "olap_customer_distribution": OLAP_CUSTDIST_SQL,

@@ -610,6 +610,68 @@ GROUP BY 1
 """
 
 
+def e9c_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-drift monitoring: per-term contribution to the KL
+    divergence between a new snapshot's unigram distribution (odd doc
+    ids) and the reference distribution (even ids) — the vocabulary
+    alarm a production pipeline watches between crawls. Add-one
+    smoothing over the union vocabulary; both distributions are one
+    hash agg each; contributions ride the same rounded-log ×
+    exact-decimal discipline as DSIR, so the report is
+    partition-invariant. Top-15 drift terms."""
+    from hbase_increment_index_spark.search.tokenize import posting_list
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = posting_list(docs, "doc_id", "text").withColumn(
+        "side", F.when(F.col("doc_id") % 2 == 0, "old").otherwise("new")
+    )
+    counts = toks.groupBy("term").agg(
+        F.sum(F.when(F.col("side") == "old", 1).otherwise(0)).alias("c_old"),
+        F.sum(F.when(F.col("side") == "new", 1).otherwise(0)).alias("c_new"),
+    )
+    totals = counts.agg(
+        F.sum("c_old").cast("double").alias("n_old"),
+        F.sum("c_new").cast("double").alias("n_new"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+    )
+    p = (F.col("c_new") + F.lit(1.0)) / (F.col("n_new") + F.col("v"))
+    q = (F.col("c_old") + F.lit(1.0)) / (F.col("n_old") + F.col("v"))
+    return (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "term",
+            "c_old",
+            "c_new",
+            F.round(p * F.log(p / q), 9).alias("kl_term"),
+        )
+        .orderBy(F.abs(F.col("kl_term")).desc(), F.col("term").asc())
+        .limit(15)
+    )
+
+
+E9C_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SQL_TOKS.format(c='text')}) AS term FROM documents
+),
+counts AS (
+  SELECT term,
+         SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS c_old,
+         SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS c_new
+  FROM toks GROUP BY term
+),
+totals AS (
+  SELECT CAST(SUM(c_old) AS DOUBLE) AS n_old, CAST(SUM(c_new) AS DOUBLE) AS n_new,
+         CAST(COUNT(*) AS DOUBLE) AS v
+  FROM counts
+)
+SELECT term, CAST(c_old AS BIGINT) AS c_old, CAST(c_new AS BIGINT) AS c_new,
+       ROUND(((c_new + 1.0) / (n_new + v)) * ln(((c_new + 1.0) / (n_new + v)) / ((c_old + 1.0) / (n_old + v))), 9) AS kl_term
+FROM counts, totals
+ORDER BY abs(ROUND(((c_new + 1.0) / (n_new + v)) * ln(((c_new + 1.0) / (n_new + v)) / ((c_old + 1.0) / (n_old + v))), 9)) DESC, term ASC
+LIMIT 15
+"""
+
+
 _SAVED_QUERIES = [
     (1, ["data", "stream"]),
     (2, ["query", "window"]),
@@ -7908,6 +7970,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q06d_explain": q06d_explain,
     "e2l_quality_canonical": e2l_quality_canonical,
     "q75_percolate": q75_percolate,
+    "e9c_vocab_drift": e9c_vocab_drift,
     "olap_priority_check": olap_priority_check,
     "olap_customer_distribution": olap_customer_distribution,
     "olap_top_supplier": olap_top_supplier,
@@ -8129,6 +8192,7 @@ ORACLES: dict[str, str] = {
     "q06d_explain": Q06D_SQL,
     "e2l_quality_canonical": _e2l_sql(),
     "q75_percolate": _q75_sql(),
+    "e9c_vocab_drift": E9C_SQL,
     "q53b_schema_infer": _q53b_sql(),
     "olap_priority_check": OLAP_PRIORITY_CHECK_SQL,
     "olap_customer_distribution": OLAP_CUSTDIST_SQL,

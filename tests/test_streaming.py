@@ -538,3 +538,47 @@ def test_incremental_rollup_maintenance(spark, dirs):
         .collect()
     }
     assert got == want == {"fruit": (1, 20.0), "veg": (2, 3.75)}
+
+
+def test_streaming_percolation_matches_batch(spark, sf_dir, tmp_path):
+    """Saved-search alerting in the stream: the percolation expression
+    inside foreachBatch over micro-batched docs equals the batch run."""
+    from hbase_increment_index_spark.search.tokenize import tokens
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    src = str(tmp_path / "docs_stream")
+    docs.write.parquet(src)
+    saved = spark.createDataFrame(
+        [(1, ["data", "stream"]), (2, ["query", "window"])], ["query_id", "req_terms"]
+    )
+
+    alerts = []
+
+    def percolate(batch, batch_id):
+        j = batch.select("doc_id", tokens("text").alias("_t")).crossJoin(
+            F.broadcast(saved)
+        )
+        hits = j.filter(
+            F.forall(F.col("req_terms"), lambda t: F.array_contains(F.col("_t"), t))
+        ).select("query_id", "doc_id")
+        alerts.extend((r.query_id, r.doc_id) for r in hits.collect())
+
+    stream = (
+        spark.readStream.schema(docs.schema).option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(percolate)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    batch_j = docs.select("doc_id", tokens("text").alias("_t")).crossJoin(saved)
+    want = {
+        (r.query_id, r.doc_id)
+        for r in batch_j.filter(
+            F.forall(F.col("req_terms"), lambda t: F.array_contains(F.col("_t"), t))
+        ).select("query_id", "doc_id").collect()
+    }
+    assert set(alerts) == want and want

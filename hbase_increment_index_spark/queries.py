@@ -610,6 +610,63 @@ GROUP BY 1
 """
 
 
+def e6i_packing_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency report over e6c's sequence batches: per
+    shard — batches produced, tokens packed, mean fill ratio against
+    the 2000-token budget (the padding-waste number a training team
+    tracks). One extra agg over the packing frame; nothing re-scans."""
+    from hbase_increment_index_spark.pipeline.sampling import pack_batches
+    from hbase_increment_index_spark.pipeline.text import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    packed = pack_batches(
+        docs, "doc_id", token_count(F.col("text")), budget=2000, n_shards=8
+    )
+    per_batch = packed.withColumn("_tok", token_count(F.col("text"))).groupBy(
+        "shard", "batch_id"
+    ).agg(F.sum("_tok").alias("batch_tokens"))
+    return (
+        per_batch.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_batches"),
+            F.sum("batch_tokens").cast("bigint").alias("tokens"),
+            F.round(
+                F.sum(F.least(F.col("batch_tokens"), F.lit(2000)).cast("decimal(30,6)")).cast("double")
+                / (F.count(F.lit(1)) * 2000),
+                6,
+            ).alias("mean_fill"),
+        )
+        .orderBy(F.col("shard").asc())
+    )
+
+
+E6I_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         ((('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT) % 8) AS shard,
+         len({_SQL_TOKS.format(c='text')}) AS tok
+  FROM documents
+),
+packed AS (
+  SELECT doc_id, shard, tok,
+         CAST(COALESCE(SUM(tok) OVER (
+                PARTITION BY shard ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2000
+              AS BIGINT) AS batch_id
+  FROM t
+),
+per_batch AS (
+  SELECT shard, batch_id, SUM(tok) AS batch_tokens FROM packed GROUP BY 1, 2
+)
+SELECT shard, count(*) AS n_batches, CAST(SUM(batch_tokens) AS BIGINT) AS tokens,
+       ROUND(CAST(SUM(CAST(LEAST(batch_tokens, 2000) AS DECIMAL(30,6))) AS DOUBLE)
+             / (count(*) * 2000), 6) AS mean_fill
+FROM per_batch
+GROUP BY shard
+ORDER BY shard ASC
+"""
+
+
 def e9c_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-drift monitoring: per-term contribution to the KL
     divergence between a new snapshot's unigram distribution (odd doc
@@ -7971,6 +8028,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e2l_quality_canonical": e2l_quality_canonical,
     "q75_percolate": q75_percolate,
     "e9c_vocab_drift": e9c_vocab_drift,
+    "e6i_packing_report": e6i_packing_report,
     "olap_priority_check": olap_priority_check,
     "olap_customer_distribution": olap_customer_distribution,
     "olap_top_supplier": olap_top_supplier,
@@ -8193,6 +8251,7 @@ ORACLES: dict[str, str] = {
     "e2l_quality_canonical": _e2l_sql(),
     "q75_percolate": _q75_sql(),
     "e9c_vocab_drift": E9C_SQL,
+    "e6i_packing_report": E6I_SQL,
     "q53b_schema_infer": _q53b_sql(),
     "olap_priority_check": OLAP_PRIORITY_CHECK_SQL,
     "olap_customer_distribution": OLAP_CUSTDIST_SQL,

@@ -610,6 +610,102 @@ GROUP BY 1
 """
 
 
+def q76_index_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index profile (the /admin/segments-style capacity report): per
+    vocabulary first-letter bucket — distinct terms, total postings
+    rows, max document frequency. The planning numbers behind the
+    range-partitioned postings layout (inverted.write_inverted_index
+    partitions by term — this histogram sizes those ranges). One agg
+    over the postings."""
+    from hbase_increment_index_spark.search.tokenize import posting_list
+
+    docs = _t(spark, sf_dir, "documents")
+    post = posting_list(docs, "doc_id", "text")
+    per_term = post.groupBy("term").agg(
+        F.count(F.lit(1)).alias("postings"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+    return (
+        per_term.groupBy(F.substring("term", 1, 1).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("postings").cast("bigint").alias("postings_rows"),
+            F.max("df").alias("max_df"),
+        )
+        .orderBy(F.col("bucket").asc())
+    )
+
+
+Q76_SQL = f"""
+WITH post AS (
+  SELECT doc_id, unnest({_SQL_TOKS.format(c='text')}) AS term FROM documents
+),
+per_term AS (
+  SELECT term, count(*) AS postings, count(DISTINCT doc_id) AS df
+  FROM post GROUP BY term
+)
+SELECT substr(term, 1, 1) AS bucket,
+       count(*) AS n_terms,
+       CAST(SUM(postings) AS BIGINT) AS postings_rows,
+       MAX(df) AS max_df
+FROM per_term
+GROUP BY 1
+ORDER BY bucket ASC
+"""
+
+
+def e3l_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-projection dimensionality reduction (Achlioptas 2003
+    sign projection / Johnson–Lindenstrauss): 64-dim embeddings
+    compressed to 8 dims with ±1 planes derived from the portable md5
+    hash — deterministic, train-free, oracle-reproducible, and the
+    plane set is the expression itself (no model artifact). Pure
+    projection, zero shuffle; distances are preserved within the JL
+    bound, making this the cheap front-end for downstream clustering."""
+    from hbase_increment_index_spark.pipeline.dedup import portable_hash60
+
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    dims = []
+    for i in range(8):
+        sign_arr = F.array(
+            *[
+                F.when(
+                    portable_hash60(F.lit(f"rp:{i},{j}")) % 2 == 0, F.lit(1.0)
+                ).otherwise(F.lit(-1.0))
+                for j in range(64)
+            ]
+        )
+        dot = F.aggregate(
+            F.zip_with(v, sign_arr, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        dims.append(F.round(dot, 6).alias(f"p{i}"))
+    return emb.select("vec_id", *dims).orderBy(F.col("vec_id").asc()).limit(100)
+
+
+def _e3l_sql() -> str:
+    from hbase_increment_index_spark.pipeline.dedup import PORTABLE_HASH60_SQL
+
+    cols = []
+    for i in range(8):
+        signs = ", ".join(
+            f"CASE WHEN {PORTABLE_HASH60_SQL.format(c=repr(f'rp:{i},{j}'))} % 2 = 0 THEN 1.0 ELSE -1.0 END"
+            for j in range(64)
+        )
+        cols.append(
+            f"ROUND(list_reduce(list_prepend(0.0, list_transform("
+            f"list_zip(CAST(embedding AS DOUBLE[]), [{signs}]), s -> s[1] * s[2])), (a, b) -> a + b), 6) AS p{i}"
+        )
+    return f"""
+SELECT vec_id, {', '.join(cols)}
+FROM embeddings
+ORDER BY vec_id ASC
+LIMIT 100
+"""
+
+
 def e6i_packing_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Packing-efficiency report over e6c's sequence batches: per
     shard — batches produced, tokens packed, mean fill ratio against
@@ -8029,6 +8125,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q75_percolate": q75_percolate,
     "e9c_vocab_drift": e9c_vocab_drift,
     "e6i_packing_report": e6i_packing_report,
+    "q76_index_profile": q76_index_profile,
+    "e3l_random_projection": e3l_random_projection,
     "olap_priority_check": olap_priority_check,
     "olap_customer_distribution": olap_customer_distribution,
     "olap_top_supplier": olap_top_supplier,
@@ -8252,6 +8350,8 @@ ORACLES: dict[str, str] = {
     "q75_percolate": _q75_sql(),
     "e9c_vocab_drift": E9C_SQL,
     "e6i_packing_report": E6I_SQL,
+    "q76_index_profile": Q76_SQL,
+    "e3l_random_projection": _e3l_sql(),
     "q53b_schema_infer": _q53b_sql(),
     "olap_priority_check": OLAP_PRIORITY_CHECK_SQL,
     "olap_customer_distribution": OLAP_CUSTDIST_SQL,

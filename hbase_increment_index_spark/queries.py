@@ -610,6 +610,63 @@ GROUP BY 1
 """
 
 
+def q77_collection_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection-alias search (a Solr alias over N same-schema
+    collections): each shard-collection scores with its OWN corpus
+    statistics — the classic distributed-IDF artifact (Solr's default
+    before `statsCache`): the same document can rank differently than
+    under global stats. Here the corpus splits into two 'collections'
+    (even/odd ids), each runs BM25 with local stats, results fuse by
+    score. Output keeps the collection tag so the artifact is visible;
+    the global-stats cure is exactly q06b on the union."""
+    docs = _t(spark, sf_dir, "documents")
+    terms = list(_TFIDF_TERMS)
+    legs = []
+    for tag, pred in (("even", F.col("doc_id") % 2 == 0), ("odd", F.col("doc_id") % 2 == 1)):
+        leg = ranking.bm25_topk(docs.filter(pred), "doc_id", "text", terms, k=10)
+        legs.append(leg.withColumn("collection", F.lit(tag)))
+    fused = legs[0].unionByName(legs[1])
+    return fused.select("doc_id", "collection", "score").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    ).limit(10)
+
+
+def _q77_sql() -> str:
+    toks = _SQL_TOKS.format(c="text")
+
+    def leg(parity: int, tag: str) -> str:
+        return f"""
+{tag}_toks AS (
+  SELECT doc_id, unnest({toks}) AS term FROM documents WHERE doc_id % 2 = {parity}
+),
+{tag}_dl AS (SELECT doc_id, count(*) AS dl FROM {tag}_toks GROUP BY 1),
+{tag}_avgdl AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS a FROM {tag}_dl),
+{tag}_n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents WHERE doc_id % 2 = {parity}),
+{tag}_hits AS (SELECT * FROM {tag}_toks WHERE term IN ('join', 'query', 'spark')),
+{tag}_tf AS (SELECT doc_id, term, count(*) AS tf FROM {tag}_hits GROUP BY 1, 2),
+{tag}_dft AS (SELECT term, count(DISTINCT doc_id) AS df_t FROM {tag}_hits GROUP BY 1),
+{tag}_scored AS (
+  SELECT tf.doc_id, '{tag}' AS collection,
+         ROUND(SUM(
+           ln(1.0 + (n.n_docs - dft.df_t + 0.5) / (dft.df_t + 0.5))
+           * (tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl.a))
+         ), 6) AS score
+  FROM {tag}_tf tf JOIN {tag}_dft dft USING (term) JOIN {tag}_dl dl USING (doc_id),
+       {tag}_n n, {tag}_avgdl avgdl
+  GROUP BY tf.doc_id
+),
+{tag}_top AS (SELECT * FROM {tag}_scored ORDER BY score DESC, doc_id ASC LIMIT 10)"""
+
+    return f"""
+WITH {leg(0, 'even')},
+{leg(1, 'odd')}
+SELECT doc_id, collection, score
+FROM (SELECT * FROM even_top UNION ALL SELECT * FROM odd_top)
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+"""
+
+
 def q76_index_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Index profile (the /admin/segments-style capacity report): per
     vocabulary first-letter bucket — distinct terms, total postings
@@ -8127,6 +8184,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e6i_packing_report": e6i_packing_report,
     "q76_index_profile": q76_index_profile,
     "e3l_random_projection": e3l_random_projection,
+    "q77_collection_alias": q77_collection_alias,
     "olap_priority_check": olap_priority_check,
     "olap_customer_distribution": olap_customer_distribution,
     "olap_top_supplier": olap_top_supplier,
@@ -8352,6 +8410,7 @@ ORACLES: dict[str, str] = {
     "e6i_packing_report": E6I_SQL,
     "q76_index_profile": Q76_SQL,
     "e3l_random_projection": _e3l_sql(),
+    "q77_collection_alias": _q77_sql(),
     "q53b_schema_infer": _q53b_sql(),
     "olap_priority_check": OLAP_PRIORITY_CHECK_SQL,
     "olap_customer_distribution": OLAP_CUSTDIST_SQL,

@@ -784,7 +784,7 @@ class SecondaryIndex:
         over the FILTERED domain (query + filters applied, pre-paging),
         matching Solr's default facet domain."""
         from hbase_increment_index_spark.search.json_dsl import (
-            json_select,
+            json_domain,
             parse_json_query,
         )
 
@@ -792,12 +792,9 @@ class SecondaryIndex:
             text_fields = set(self.qualifiers)
         docs = self.json_query(request, text_fields=text_fields)
 
-        # facet domain: query+filter applied, paging NOT
-        domain = self.documents
-        if request.get("query") not in (None, "*:*"):
-            domain = domain.filter(parse_json_query(request["query"], text_fields))
-        for flt in request.get("filter", []):
-            domain = domain.filter(parse_json_query(flt, text_fields))
+        # facet domain: query+filter applied, paging NOT — the SAME
+        # helper json_select uses, so docs and facets cannot drift
+        domain = json_domain(self.documents, request, text_fields)
 
         facets: dict[str, DataFrame] = {}
         stats: dict[str, DataFrame] = {}

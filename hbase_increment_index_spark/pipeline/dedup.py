@@ -1040,6 +1040,10 @@ def incremental_semantic_dups(
     old_side = prep(existing, "old")
     return (
         new_side.join(old_side, "bucket")
+        # a re-embedded id present on both sides is an UPDATE, not a
+        # duplicate of itself — drop self-pairs so the delta pipeline
+        # never flags its own refreshes for removal
+        .filter(F.col("id_new") != F.col("id_old"))
         .withColumn("cos", F.round(cosine(F.col("_vnew"), F.col("_vold")), decimals))
         .filter(F.col("cos") >= threshold)
         .select("id_new", "id_old", "cos")

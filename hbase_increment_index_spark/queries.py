@@ -963,7 +963,10 @@ def e2l_quality_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text", threshold=0.30, num_perm=64, bands=16,
         impl="pandas", hash_fn="md5",
     ).filter(F.col("component").isNotNull())
-    q = quality_features(docs, "text").select("doc_id", "quality_score")
+    # score ONLY the clustered minority — quality features over the
+    # whole corpus would be discarded by the inner join anyway
+    member_docs = docs.join(F.broadcast(marks.select("doc_id")), "doc_id", "left_semi")
+    q = quality_features(member_docs, "text").select("doc_id", "quality_score")
     members = marks.join(q, "doc_id")
     w = Window.partitionBy("component").orderBy(
         F.col("quality_score").desc(), F.col("doc_id").asc()
@@ -1632,9 +1635,7 @@ def e6g_repeat_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (portable_hash60(F.concat(F.lit("rep:"), F.col("doc_id").cast("string"))) % 1000000)
         < ((F.col("f") - F.floor(F.col("f"))) * 1000000).cast("long")
     ).cast("int")
-    copies = docs.select("doc_id", "source").join(
-        j.select("doc_id", (whole + frac_keep).alias("n_copies")), "doc_id"
-    )
+    copies = j.select("doc_id", "source", (whole + frac_keep).alias("n_copies"))
     return (
         copies.groupBy("source")
         .agg(
@@ -1754,10 +1755,15 @@ def q69_span_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     toks = tokens("text")
-    idx = F.sequence(F.lit(1), F.size(toks))
 
     def positions(term: str):
-        return F.filter(idx, lambda i: F.element_at(toks, i) == F.lit(term))
+        # index-carrying transform (no sequence/element_at: an empty
+        # token array would make sequence(1, 0) yield [1, 0] and
+        # element_at(toks, 0) raise regardless of ANSI mode)
+        return F.filter(
+            F.transform(toks, lambda t, i: F.when(t == F.lit(term), i + 1).otherwise(F.lit(-1))),
+            lambda p: p > 0,
+        )
 
     p1, p2 = positions("data"), positions("spark")
     near = F.exists(p1, lambda a: F.exists(p2, lambda b: F.abs(a - b) <= F.lit(4)))

@@ -112,9 +112,9 @@ def _compile(name: str, args: list[Column]) -> Column:
     if name == "ceil":
         need(1)
         return F.ceil(args[0])
-    if name == "rint":
+    if name == "rint":  # Math.rint = round-half-even, hence bround
         need(1)
-        return F.round(args[0], 0)
+        return F.bround(args[0], 0)
     if name == "pow":
         need(2)
         return F.pow(args[0], args[1])

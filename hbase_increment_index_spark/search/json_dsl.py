@@ -77,14 +77,20 @@ def parse_json_query(node, text_fields: set[str] | None = None) -> Column:
 
         return parse_query(body["query"], text_fields)
     if kind == "field":
-        f, v = body["f"], body["query"]
+        try:
+            f, v = body["f"], body["query"]
+        except KeyError as exc:
+            raise JsonDslError(f"field query needs {exc.args[0]!r}") from None
         if f in text_fields:
             from hbase_increment_index_spark.search.tokenize import has_token
 
             return has_token(f, str(v))
         return F.col(f) == F.lit(v)
     if kind == "range":
-        f = body["f"]
+        try:
+            f = body["f"]
+        except KeyError:
+            raise JsonDslError("range query needs 'f'") from None
         conds = []
         if "lower" in body and body["lower"] is not None:
             op = "__ge__" if body.get("include_lower", True) else "__gt__"
@@ -96,8 +102,27 @@ def parse_json_query(node, text_fields: set[str] | None = None) -> Column:
             raise JsonDslError("range query needs lower and/or upper")
         return _all(conds)
     if kind == "prefix":
-        return F.col(body["f"]).startswith(str(body["query"]))
+        try:
+            return F.col(body["f"]).startswith(str(body["query"]))
+        except KeyError as exc:
+            raise JsonDslError(f"prefix query needs {exc.args[0]!r}") from None
     raise JsonDslError(f"unsupported query type {kind!r}")
+
+
+def json_domain(
+    df: DataFrame, request: dict, text_fields: set[str] | None = None
+) -> DataFrame:
+    """The request's MATCH DOMAIN: query + filters applied, no
+    sort/paging/projection. This is the frame facets compute over
+    (Solr's default facet domain) and the first stage of
+    ``json_select`` — one shared implementation so docs and facets can
+    never drift apart."""
+    out = df
+    if "query" in request and request["query"] not in (None, "*:*"):
+        out = out.filter(parse_json_query(request["query"], text_fields))
+    for flt in request.get("filter", []):
+        out = out.filter(parse_json_query(flt, text_fields))
+    return out
 
 
 def json_select(
@@ -108,11 +133,7 @@ def json_select(
     DataFrame — each JSON key maps onto the same plan the classic
     params produce (filters AND-ed, sort multi-key, offset via the
     bucket-set row_number only when requested)."""
-    out = df
-    if "query" in request and request["query"] not in (None, "*:*"):
-        out = out.filter(parse_json_query(request["query"], text_fields))
-    for flt in request.get("filter", []):
-        out = out.filter(parse_json_query(flt, text_fields))
+    out = json_domain(df, request, text_fields)
     sort_spec = request.get("sort")
     if sort_spec:
         cols = []
@@ -126,6 +147,10 @@ def json_select(
     if offset:
         if not sort_spec:
             raise JsonDslError("offset requires sort for a deterministic page")
+        # NOTE: determinism additionally requires the sort to be a
+        # TOTAL order — append a unique key (q71 sorts on
+        # "n_chars desc, doc_id asc") or tied rows may migrate
+        # between pages across runs
         from pyspark.sql import Window
 
         rn = F.row_number().over(Window.orderBy(*cols))

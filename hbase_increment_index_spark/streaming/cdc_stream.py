@@ -154,34 +154,53 @@ def merge_microbatch(
     # batch-scoped staging parquet (facet-cardinality-sized) so the
     # pre-image never lands in driver memory — executors write it,
     # executors read it back for the ±delta merge.
-    pre_path = None
+    # CRASH-REPLAY NOTE: the pre-image staging file doubles as the
+    # replay journal. It is deleted only after the derived view commits,
+    # so if the process dies between the index overwrite and the view
+    # write, the replayed batch REUSES the journaled pre-image instead
+    # of recomputing it from the already-merged index (which would make
+    # plus == minus and silently drop the batch's delta forever).
+    pre_path = fbase_path = None
     if facet_field is not None and _committed_state_exists(spark, facets_path):
         pre_path = facets_path + f"._pre_{batch_id}"
-        (
-            spark.read.parquet(index_path)
-            .join(F.broadcast(touched), "id", "left_semi")
-            .groupBy(F.col(facet_field).alias("facet_value"))
-            .agg(F.count(F.lit(1)).alias("n"))
-            .write.mode("overwrite")
-            .parquet(pre_path)
-        )
-    # rollup pre-image — same staging discipline as the facet pre-image
-    rpre_path = None
-    if rollup_key_field is not None and _committed_state_exists(spark, rollup_path):
-        rpre_path = rollup_path + f"._pre_{batch_id}"
-        (
-            spark.read.parquet(index_path)
-            .join(F.broadcast(touched), "id", "left_semi")
-            .groupBy(F.col(rollup_key_field).alias("key"))
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.sum(
-                    F.col(rollup_value_field).cast("decimal(30,6)")
-                ).alias("sum_value"),
+        fbase_path = facets_path + f"._base_{batch_id}"
+        if not _committed_state_exists(spark, pre_path):
+            (
+                spark.read.parquet(index_path)
+                .join(F.broadcast(touched), "id", "left_semi")
+                .groupBy(F.col(facet_field).alias("facet_value"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .write.mode("overwrite")
+                .parquet(pre_path)
             )
-            .write.mode("overwrite")
-            .parquet(rpre_path)
-        )
+        if not _committed_state_exists(spark, fbase_path):
+            spark.read.parquet(facets_path).write.mode("overwrite").parquet(fbase_path)
+    # rollup pre-image — same staging + replay-journal discipline
+    rpre_path = rbase_path = None
+    if rollup_key_field is not None:
+        if rollup_value_field is None:
+            raise ValueError(
+                "rollup_key_field requires rollup_value_field (the summed column)"
+            )
+        if _committed_state_exists(spark, rollup_path):
+            rpre_path = rollup_path + f"._pre_{batch_id}"
+            rbase_path = rollup_path + f"._base_{batch_id}"
+            if not _committed_state_exists(spark, rpre_path):
+                (
+                    spark.read.parquet(index_path)
+                    .join(F.broadcast(touched), "id", "left_semi")
+                    .groupBy(F.col(rollup_key_field).alias("key"))
+                    .agg(
+                        F.count(F.lit(1)).alias("n"),
+                        F.sum(
+                            F.col(rollup_value_field).cast("decimal(30,6)")
+                        ).alias("sum_value"),
+                    )
+                    .write.mode("overwrite")
+                    .parquet(rpre_path)
+                )
+            if not _committed_state_exists(spark, rbase_path):
+                spark.read.parquet(rollup_path).write.mode("overwrite").parquet(rbase_path)
     # Bootstrap-vs-merge is decided by an EXPLICIT existence probe of
     # the committed state (the _SUCCESS marker a successful overwrite
     # leaves behind), never by catching read errors: a transient IO
@@ -243,7 +262,7 @@ def merge_microbatch(
                 "facet_value", (-F.col("n")).cast("long").alias("n")
             )
             fcounts = (
-                spark.read.parquet(facets_path)
+                spark.read.parquet(fbase_path)
                 .unionByName(plus)
                 .unionByName(minus)
                 .groupBy("facet_value")
@@ -256,6 +275,7 @@ def merge_microbatch(
         shutil.rmtree(ftmp.replace("file:", ""), ignore_errors=True)
         if pre_path is not None:
             shutil.rmtree(pre_path.replace("file:", ""), ignore_errors=True)
+            shutil.rmtree(fbase_path.replace("file:", ""), ignore_errors=True)
 
     if rollup_key_field is not None:
         # incremental (count, Σvalue) rollup view — the additive-
@@ -279,7 +299,7 @@ def merge_microbatch(
                 (-F.col("sum_value")).alias("sum_value"),
             )
             rview = (
-                spark.read.parquet(rollup_path)
+                spark.read.parquet(rbase_path)
                 .unionByName(plus)
                 .unionByName(minus)
                 .groupBy("key")
@@ -295,6 +315,7 @@ def merge_microbatch(
         shutil.rmtree(rtmp.replace("file:", ""), ignore_errors=True)
         if rpre_path is not None:
             shutil.rmtree(rpre_path.replace("file:", ""), ignore_errors=True)
+            shutil.rmtree(rbase_path.replace("file:", ""), ignore_errors=True)
 
 
 

@@ -582,3 +582,81 @@ def test_streaming_percolation_matches_batch(spark, sf_dir, tmp_path):
         ).select("query_id", "doc_id").collect()
     }
     assert set(alerts) == want and want
+
+
+def test_rollup_replay_after_partial_crash(spark, dirs):
+    """Crash between the index overwrite and the rollup-view write:
+    the replayed batch must REUSE the journaled pre-image/base (not
+    recompute from the already-merged index, which would net the delta
+    to zero and lose it forever). Simulated by reproducing the exact
+    on-disk state such a crash leaves, then replaying."""
+    from hbase_increment_index_spark.streaming.cdc_stream import merge_microbatch
+
+    log_dir, index_path, ckpt = dirs
+    b1 = spark.createDataFrame(
+        [
+            ("put", "A", "cf", "cat", "x", _ts(1), 1),
+            ("put", "A", "cf", "price", "10.00", _ts(1), 2),
+            ("put", "B", "cf", "cat", "y", _ts(2), 3),
+            ("put", "B", "cf", "price", "5.00", _ts(2), 4),
+        ],
+        SCHEMA,
+    )
+    b2 = spark.createDataFrame(
+        [("put", "A", "cf", "price", "20.00", _ts(3), 5)], SCHEMA
+    )
+    kw = dict(
+        qualifiers=["cat", "price"],
+        rollup_key_field="cat",
+        rollup_value_field="price",
+    )
+    merge_microbatch(spark, b1, 0, index_path, **kw)
+
+    # --- reproduce the crash point for batch 1: journal written, state
+    # and index already merged, view NOT yet updated
+    rollup_path = index_path + "_rollup"
+    touched = b2.select(F.col("row_key").alias("id")).distinct()
+    (
+        spark.read.parquet(index_path)
+        .join(F.broadcast(touched), "id", "left_semi")
+        .groupBy(F.col("cat").alias("key"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("price").cast("decimal(30,6)")).alias("sum_value"),
+        )
+        .write.mode("overwrite")
+        .parquet(rollup_path + "._pre_1")
+    )
+    spark.read.parquet(rollup_path).write.mode("overwrite").parquet(
+        rollup_path + "._base_1"
+    )
+    from hbase_increment_index_spark.cdc.index_builder import (
+        documents_from_state,
+        merge_state,
+    )
+
+    merged = merge_state(spark.read.parquet(index_path + "_state"), b2)
+    merged.write.mode("overwrite").parquet(index_path + "_state2")
+    spark.read.parquet(index_path + "_state2").write.mode("overwrite").parquet(
+        index_path + "_state"
+    )
+    documents_from_state(
+        spark.read.parquet(index_path + "_state"), ["cat", "price"]
+    ).write.mode("overwrite").parquet(index_path)
+
+    # --- replay batch 1 (what Structured Streaming does after the crash)
+    merge_microbatch(spark, b2, 1, index_path, **kw)
+
+    got = {
+        r["key"]: (r["n"], float(r["sum_value"]))
+        for r in spark.read.parquet(rollup_path).collect()
+    }
+    assert got == {"x": (1, 20.0), "y": (1, 5.0)}  # delta NOT lost
+
+    # and a full-success double-replay is still a no-op
+    merge_microbatch(spark, b2, 1, index_path, **kw)
+    got2 = {
+        r["key"]: (r["n"], float(r["sum_value"]))
+        for r in spark.read.parquet(rollup_path).collect()
+    }
+    assert got2 == got

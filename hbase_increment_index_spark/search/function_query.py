@@ -1,6 +1,8 @@
 """Solr function-query parser: the ``func(...)`` expression language
 used in ``sort=``, ``boost=``, ``fl=score:...`` and ``{!func}``
-(Solr's FunctionQParser) compiled to Spark Column expressions.
+(Solr's FunctionQParser — part of the select-handler surface the
+reference system's README delegates to Solr, reference README.md:5-10,
+solrj dep pom.xml:98-109) compiled to Spark Column expressions.
 
 Completes the engine's query-language trio — the standard-query
 parser (`solr_query`), streaming expressions (`streaming_expr`), and

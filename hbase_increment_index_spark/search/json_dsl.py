@@ -1,5 +1,8 @@
 """Solr JSON Request API — the JSON query DSL (``POST /select
-{"query": {...}}``) compiled to Spark Column predicates.
+{"query": {...}}``) compiled to Spark Column predicates. (The modern
+form of the select-handler surface the reference delegates to Solr,
+reference README.md:5-10; its pom tracks solrj 9.x, pom.xml:22, where
+the JSON API is the documented default.)
 
 The modern Solr client surface alongside the classic query string
 (solr_query), streaming expressions (streaming_expr) and function

@@ -606,3 +606,30 @@ def test_sstemmer_matches_python_reference(spark, words):
     got = {r.w: r.s for r in df.select("w", stem(F.col("w")).alias("s")).collect()}
     for w in words:
         assert got[w] == _py_sstem(w), w
+
+
+@given(
+    words=st.lists(
+        st.text(alphabet="abcdeiorsuy", min_size=1, max_size=10),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_stem_sql_matches_spark_expression(spark, words):
+    """The DuckDB stem fragment and the Spark stem expression agree on
+    arbitrary lowercase words (not just the pointwise cases)."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from hbase_increment_index_spark.search.analysis import stem, stem_sql
+
+    df = spark.createDataFrame([(w,) for w in set(words)], ["w"])
+    got = {r.w: r.s for r in df.select("w", stem(F.col("w")).alias("s")).collect()}
+    con = duckdb.connect()
+    import pandas as pd
+
+    con.register("v", pd.DataFrame({"w": sorted(set(words))}))
+    want = dict(con.execute(f"SELECT w, {stem_sql('w')} FROM v").fetchall())
+    assert got == want

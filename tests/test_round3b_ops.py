@@ -490,3 +490,19 @@ def test_leakage_safe_split_no_straddling_clusters(spark):
     assert straddle == 0
     # and at least one real multi-member cluster exercised the invariant
     assert split.groupBy("gk").count().filter(F.col("count") > 1).count() >= 1
+
+
+def test_json_domain_shared_with_select(spark):
+    """json_select's pre-paging domain IS json_domain — the facade's
+    facet domain can never drift from the returned docs."""
+    from hbase_increment_index_spark.search.json_dsl import json_domain, json_select
+
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    request = {
+        "query": {"range": {"f": "n_chars", "lower": 100}},
+        "filter": [{"prefix": {"f": "source", "query": "src1"}}],
+    }
+    dom = json_domain(df, request)
+    sel = json_select(df, request)  # no paging -> same row set
+    assert dom.count() == sel.count()
+    assert {r.doc_id for r in dom.collect()} == {r.doc_id for r in sel.collect()}

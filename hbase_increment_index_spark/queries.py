@@ -945,6 +945,58 @@ ORDER BY query_id ASC
 """
 
 
+def e1e_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication rate — the triage number that tells a
+    curation team WHICH crawl source is dirty (e9b reports the global
+    rate): near-dup cluster membership joined back to the source
+    dimension, one agg. Cluster marks come from the same MinHash
+    chain as e2d/e2h."""
+    from hbase_increment_index_spark.pipeline.dedup import near_dup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    marks = near_dup_clusters(
+        docs, "doc_id", "text", threshold=0.30, num_perm=64, bands=16,
+        impl="pandas", hash_fn="md5",
+    )
+    j = docs.select("doc_id", "source").join(
+        marks.select("doc_id", "component"), "doc_id"
+    )
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("component").isNotNull().cast("long")).alias("n_in_clusters"),
+            F.round(
+                F.sum(F.col("component").isNotNull().cast("long")) / F.count(F.lit(1)), 6
+            ).alias("dup_rate"),
+        )
+        .orderBy(F.col("source").asc())
+    )
+
+
+def _e1e_sql() -> str:
+    return f"""
+WITH RECURSIVE {_minhash_sql_ctes()},
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+comp AS (SELECT u AS doc_id FROM reach GROUP BY u)
+SELECT d.source, count(*) AS n_docs,
+       CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_in_clusters,
+       ROUND(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) / count(*), 6) AS dup_rate
+FROM documents d LEFT JOIN comp c USING (doc_id)
+GROUP BY d.source
+ORDER BY d.source ASC
+"""
+
+
 def e2l_quality_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware dedup: within each near-dup cluster keep the
     HIGHEST-QUALITY member (argmax quality_score, ties → lower id)
@@ -8185,6 +8237,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q74_pseudo_fields": q74_pseudo_fields,
     "q06d_explain": q06d_explain,
     "e2l_quality_canonical": e2l_quality_canonical,
+    "e1e_dup_rate_by_source": e1e_dup_rate_by_source,
     "q75_percolate": q75_percolate,
     "e9c_vocab_drift": e9c_vocab_drift,
     "e6i_packing_report": e6i_packing_report,
@@ -8411,6 +8464,7 @@ ORACLES: dict[str, str] = {
     "q74_pseudo_fields": Q74_SQL,
     "q06d_explain": Q06D_SQL,
     "e2l_quality_canonical": _e2l_sql(),
+    "e1e_dup_rate_by_source": _e1e_sql(),
     "q75_percolate": _q75_sql(),
     "e9c_vocab_drift": E9C_SQL,
     "e6i_packing_report": E6I_SQL,

@@ -945,6 +945,69 @@ ORDER BY query_id ASC
 """
 
 
+def q40b_collapse_by_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-time result dedup — field collapsing on the CONTENT
+    FINGERPRINT (Solr: collapse on a SignatureUpdateProcessor field):
+    the BM25 head keeps one best-scoring representative per exact-
+    duplicate group, so a result page never shows the same text
+    twice. Collapse runs on the broadcast-small head, one window."""
+    from pyspark.sql import Window
+
+    from hbase_increment_index_spark.pipeline.text import fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    head = ranking.bm25_topk(docs, "doc_id", "text", list(_TFIDF_TERMS), k=50)
+    sig = head.join(
+        docs.select("doc_id", fingerprint(F.col("text")).alias("sig")), "doc_id"
+    )
+    w = Window.partitionBy("sig").orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        sig.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "score", "sig")
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+def _q40b_sql() -> str:
+    fp = _SQL_FP.format(c="text")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SQL_TOKS.format(c='text')}) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+avgdl AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS a FROM dl),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+hits AS (SELECT * FROM toks WHERE term IN ('join', 'query', 'spark')),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM hits GROUP BY 1, 2),
+dft AS (SELECT term, count(DISTINCT doc_id) AS df_t FROM hits GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id,
+         ROUND(SUM(
+           ln(1.0 + (n.n_docs - dft.df_t + 0.5) / (dft.df_t + 0.5))
+           * (tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl.a))
+         ), 6) AS score
+  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id), n, avgdl
+  GROUP BY tf.doc_id
+),
+head AS (SELECT * FROM scored ORDER BY score DESC, doc_id ASC LIMIT 50),
+sig AS (
+  SELECT h.doc_id, h.score, {fp} AS sig
+  FROM head h JOIN documents d USING (doc_id)
+),
+collapsed AS (
+  SELECT doc_id, score, sig,
+         ROW_NUMBER() OVER (PARTITION BY sig ORDER BY score DESC, doc_id ASC) AS rn
+  FROM sig
+)
+SELECT doc_id, score, sig
+FROM collapsed WHERE rn = 1
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+"""
+
+
 def e1e_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source duplication rate — the triage number that tells a
     curation team WHICH crawl source is dirty (e9b reports the global
@@ -8238,6 +8301,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q06d_explain": q06d_explain,
     "e2l_quality_canonical": e2l_quality_canonical,
     "e1e_dup_rate_by_source": e1e_dup_rate_by_source,
+    "q40b_collapse_by_signature": q40b_collapse_by_signature,
     "q75_percolate": q75_percolate,
     "e9c_vocab_drift": e9c_vocab_drift,
     "e6i_packing_report": e6i_packing_report,
@@ -8465,6 +8529,7 @@ ORACLES: dict[str, str] = {
     "q06d_explain": Q06D_SQL,
     "e2l_quality_canonical": _e2l_sql(),
     "e1e_dup_rate_by_source": _e1e_sql(),
+    "q40b_collapse_by_signature": _q40b_sql(),
     "q75_percolate": _q75_sql(),
     "e9c_vocab_drift": E9C_SQL,
     "e6i_packing_report": E6I_SQL,

@@ -945,6 +945,35 @@ ORDER BY query_id ASC
 """
 
 
+def q39c_json_facet_range_sub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """json.facet RANGE subfacet under a terms facet
+    (``{type:terms, field:l_returnflag, facet:{prices:{type:range,
+    field:l_extendedprice, gap:20000}}}``): per term bucket, fixed-
+    width price bands with counts and exact-decimal revenue — one
+    (term, band) hash agg on the same scan, flattened rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    band = (F.floor(F.col("l_extendedprice") / 20000) * 20000).cast("bigint")
+    return (
+        li.groupBy(F.col("l_returnflag"), band.alias("price_band"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(exact_sum("l_extendedprice", 6), 2).alias("revenue"),
+        )
+        .orderBy(F.col("l_returnflag").asc(), F.col("price_band").asc())
+    )
+
+
+Q39C_SQL = """
+SELECT l_returnflag,
+       CAST(FLOOR(l_extendedprice / 20000) * 20000 AS BIGINT) AS price_band,
+       count(*) AS n,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE), 2) AS revenue
+FROM lineitem
+GROUP BY 1, 2
+ORDER BY l_returnflag ASC, price_band ASC
+"""
+
+
 def q40b_collapse_by_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Query-time result dedup — field collapsing on the CONTENT
     FINGERPRINT (Solr: collapse on a SignatureUpdateProcessor field):
@@ -8302,6 +8331,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e2l_quality_canonical": e2l_quality_canonical,
     "e1e_dup_rate_by_source": e1e_dup_rate_by_source,
     "q40b_collapse_by_signature": q40b_collapse_by_signature,
+    "q39c_json_facet_range_sub": q39c_json_facet_range_sub,
     "q75_percolate": q75_percolate,
     "e9c_vocab_drift": e9c_vocab_drift,
     "e6i_packing_report": e6i_packing_report,
@@ -8530,6 +8560,7 @@ ORACLES: dict[str, str] = {
     "e2l_quality_canonical": _e2l_sql(),
     "e1e_dup_rate_by_source": _e1e_sql(),
     "q40b_collapse_by_signature": _q40b_sql(),
+    "q39c_json_facet_range_sub": Q39C_SQL,
     "q75_percolate": _q75_sql(),
     "e9c_vocab_drift": E9C_SQL,
     "e6i_packing_report": E6I_SQL,

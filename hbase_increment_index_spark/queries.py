@@ -945,6 +945,54 @@ ORDER BY query_id ASC
 """
 
 
+def cdc_scan_agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HBase AggregationClient median() over a rowkey band — the one
+    AggregateImplementation op cdc_scan_agg's algebraic set can't
+    cover (median is holistic): exact interpolated percentiles over
+    the band-pruned compacted state, p25/p50/p75 in one pass. At real
+    scale the holistic agg is the documented cost (sort within the
+    pruned band); the approx twin is percentile_approx."""
+    from hbase_increment_index_spark.cdc.index_builder import documents_from_cells
+
+    events = _t(spark, sf_dir, "events")
+    log = cell_log_from_events(events, delete_event_type="error")
+    docs = documents_from_cells(log, ["click", "purchase", "signup", "view"])
+    band = docs.filter((F.col("id") >= "2") & (F.col("id") < "6"))
+    return band.agg(
+        F.round(F.expr("percentile(CAST(click AS DOUBLE), 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(CAST(click AS DOUBLE), 0.5)"), 4).alias("median"),
+        F.round(F.expr("percentile(CAST(click AS DOUBLE), 0.75)"), 4).alias("p75"),
+    )
+
+
+CDC_SCAN_MEDIAN_SQL = """
+WITH log AS ({log}),
+cell_latest AS (
+  SELECT * FROM log
+  QUALIFY row_number() OVER (
+    PARTITION BY row_key, family, qualifier ORDER BY ts DESC, seq DESC) = 1
+),
+row_latest AS (
+  SELECT row_key, op AS row_op FROM log
+  QUALIFY row_number() OVER (PARTITION BY row_key ORDER BY ts DESC, seq DESC) = 1
+),
+live AS (
+  SELECT c.* FROM cell_latest c JOIN row_latest r USING (row_key)
+  WHERE c.op = 'put' AND r.row_op = 'put'
+),
+docs AS (
+  SELECT row_key AS id,
+         min(CASE WHEN qualifier = 'click' THEN value END) AS click
+  FROM live GROUP BY row_key
+),
+band AS (SELECT CAST(click AS DOUBLE) AS v FROM docs WHERE id >= '2' AND id < '6')
+SELECT ROUND(quantile_cont(v, 0.25), 4) AS p25,
+       ROUND(quantile_cont(v, 0.5), 4) AS median,
+       ROUND(quantile_cont(v, 0.75), 4) AS p75
+FROM band
+"""
+
+
 def q39c_json_facet_range_sub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """json.facet RANGE subfacet under a terms facet
     (``{type:terms, field:l_returnflag, facet:{prices:{type:range,
@@ -8332,6 +8380,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e1e_dup_rate_by_source": e1e_dup_rate_by_source,
     "q40b_collapse_by_signature": q40b_collapse_by_signature,
     "q39c_json_facet_range_sub": q39c_json_facet_range_sub,
+    "cdc_scan_agg_median": cdc_scan_agg_median,
     "q75_percolate": q75_percolate,
     "e9c_vocab_drift": e9c_vocab_drift,
     "e6i_packing_report": e6i_packing_report,
@@ -8561,6 +8610,9 @@ ORACLES: dict[str, str] = {
     "e1e_dup_rate_by_source": _e1e_sql(),
     "q40b_collapse_by_signature": _q40b_sql(),
     "q39c_json_facet_range_sub": Q39C_SQL,
+    "cdc_scan_agg_median": CDC_SCAN_MEDIAN_SQL.replace(
+        "{log}", _SQL_CELL_LOG.format(delete_type="error")
+    ),
     "q75_percolate": _q75_sql(),
     "e9c_vocab_drift": E9C_SQL,
     "e6i_packing_report": E6I_SQL,

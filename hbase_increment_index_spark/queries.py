@@ -1034,8 +1034,10 @@ def q40b_collapse_by_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     head = ranking.bm25_topk(docs, "doc_id", "text", list(_TFIDF_TERMS), k=50)
-    sig = head.join(
-        docs.select("doc_id", fingerprint(F.col("text")).alias("sig")), "doc_id"
+    # fingerprint AFTER the join so the md5 runs on the 50 head rows,
+    # not the whole corpus scan side
+    sig = head.join(docs.select("doc_id", "text"), "doc_id").withColumn(
+        "sig", fingerprint(F.col("text"))
     )
     w = Window.partitionBy("sig").orderBy(F.col("score").desc(), F.col("doc_id").asc())
     return (

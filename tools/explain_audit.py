@@ -124,16 +124,17 @@ AUDITED = [
     "e1d_snapshot_diff",
     "e7c_decontaminated_corpus",
     "e2k_incremental_semdedup",
-    "e2j_semdedup",
     "q75_percolate",
     "q76_index_profile",
     "q77_collection_alias",
-    "q74_pseudo_fields",
-    "q06d_explain",
     "e2l_quality_canonical",
     "e9c_vocab_drift",
     "e6i_packing_report",
     "e3l_random_projection",
+    "e1e_dup_rate_by_source",
+    "q40b_collapse_by_signature",
+    "q39c_json_facet_range_sub",
+    "cdc_scan_agg_median",
 ]
 
 

@@ -48,6 +48,12 @@ from hbase_increment_index_spark.search.tokenize import has_all_tokens, has_any_
 
 # SQL fragment: DuckDB tokenizer identical to search.tokenize.tokens()
 _SQL_TOKS = "list_filter(regexp_split_to_array(lower({c}), '[^a-z0-9]+'), t -> t <> '')"
+# NOTE (BM25 oracle idiom): the SQL avgdl CTEs derive doc length from the
+# exploded toks, which drops zero-token documents, while the Spark side's
+# size(tokens(text)) counts them with dl=0. The fixtures contain no
+# zero-token docs (verified — every text tokenizes non-empty), so the two
+# agree; a corpus with empty documents would need the SQL dl CTE switched
+# to len(toks) over all rows.
 # SQL fragment: md5 fingerprint identical to pipeline.text.fingerprint()
 _SQL_FP = "md5(regexp_replace(trim(lower({c})), '\\s+', ' ', 'g'))"
 

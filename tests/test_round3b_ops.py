@@ -506,3 +506,33 @@ def test_json_domain_shared_with_select(spark):
     sel = json_select(df, request)  # no paging -> same row set
     assert dom.count() == sel.count()
     assert {r.doc_id for r in dom.collect()} == {r.doc_id for r in sel.collect()}
+
+
+# ------------------------------------------------- wrap-up invariants
+
+
+def test_dup_rate_by_source_invariants(spark):
+    from hbase_increment_index_spark.queries import QUERIES
+
+    out = QUERIES["e1e_dup_rate_by_source"](spark, SF).collect()
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    assert sum(r.n_docs for r in out) == docs.count()
+    for r in out:
+        assert 0.0 <= r.dup_rate <= 1.0 and r.n_in_clusters <= r.n_docs
+
+
+def test_collapse_by_signature_unique_sigs(spark):
+    from hbase_increment_index_spark.queries import QUERIES
+
+    rows = QUERIES["q40b_collapse_by_signature"](spark, SF).collect()
+    sigs = [r.sig for r in rows]
+    assert len(sigs) == len(set(sigs))  # one representative per signature
+    scores = [r.score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_scan_agg_median_ordering(spark):
+    from hbase_increment_index_spark.queries import QUERIES
+
+    row = QUERIES["cdc_scan_agg_median"](spark, SF).first()
+    assert row.p25 <= row.median <= row.p75

@@ -312,7 +312,7 @@ def q05c_phrase_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    pp = build_positional_index(docs, "doc_id", "text")
+    pp = build_positional_index(docs, "doc_id", "text", terms=["stream", "table", "hash"])
     return phrase_match_from_index(pp, ["stream", "table", "hash"], "doc_id")
 
 
@@ -342,7 +342,7 @@ def q05d_phrase_slop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    pp = build_positional_index(docs, "doc_id", "text")
+    pp = build_positional_index(docs, "doc_id", "text", terms=["stream", "table", "hash"])
     return sloppy_phrase_from_index(pp, ["stream", "table", "hash"], "doc_id", slop=2)
 
 
@@ -1946,38 +1946,21 @@ def q69_span_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lucene SpanNearQuery with ``inOrder=false`` (Solr {!surround}
     ``3N`` / XML query parser spanNear): documents where 'data' and
     'spark' occur within 4 positions of each other IN EITHER ORDER —
-    the unordered companion of the ordered sloppy phrase (q05d). A
-    pure projection: per-row positional lists for both terms (one
-    filter+transform each over the token array), then an exists×exists
-    window check — zero shuffle, no postings required; the index-served
-    form would intersect the positional postings the same way."""
-    from hbase_increment_index_spark.search.tokenize import tokens
+    the unordered companion of the ordered sloppy phrase (q05d).
+    Served from positional postings (same infra as q05c): the
+    term-restricted index build keeps the groupBy shuffle ∝ the two
+    terms' postings, the doc_id join intersects the containment sets,
+    and the proximity HOF evaluates only on the (tiny) intersected
+    position lists — never on the corpus scan."""
+    from hbase_increment_index_spark.search.inverted import (
+        build_positional_index,
+        span_near_from_index,
+    )
 
     docs = _t(spark, sf_dir, "documents")
-    toks = tokens("text")
-
-    def positions(term: str):
-        # index-carrying transform (no sequence/element_at: an empty
-        # token array would make sequence(1, 0) yield [1, 0] and
-        # element_at(toks, 0) raise regardless of ANSI mode)
-        return F.filter(
-            F.transform(toks, lambda t, i: F.when(t == F.lit(term), i + 1).otherwise(F.lit(-1))),
-            lambda p: p > 0,
-        )
-
-    p1, p2 = positions("data"), positions("spark")
-    near = F.exists(p1, lambda a: F.exists(p2, lambda b: F.abs(a - b) <= F.lit(4)))
-    from hbase_increment_index_spark.functions.layout import fan_out
-    from hbase_increment_index_spark.search.tokenize import has_token
-
-    # containment prefilter first (codegen, short-circuit And), and
-    # fan_out so the interpreted positional HOF uses the cores on a
-    # single-row-group fixture scan (no-op at real scale) — 36s -> ~1s
-    return (
-        fan_out(docs.select("doc_id", "text"))
-        .filter(has_token("text", "data") & has_token("text", "spark") & near)
-        .select("doc_id")
-        .orderBy(F.col("doc_id").asc())
+    pp = build_positional_index(docs, "doc_id", "text", terms=["data", "spark"])
+    return span_near_from_index(pp, "data", "spark", "doc_id", distance=4).orderBy(
+        F.col("doc_id").asc()
     )
 
 

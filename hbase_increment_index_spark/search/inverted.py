@@ -99,19 +99,35 @@ def merge_postings(
     return kept.unionByName(fresh.select(*kept.columns))
 
 
-def build_positional_index(corpus: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def build_positional_index(
+    corpus: DataFrame, id_col: str, text_col: str, terms: list[str] | None = None
+) -> DataFrame:
     """Lucene-style POSITIONAL postings ``(term, id, positions)`` —
     sorted 0-based token positions per (term, doc). One posexplode +
     one map-side-combined groupBy; tf is ``size(positions)``, so this
     strictly generalizes build_inverted_index. At 100 TB the layout
     story is identical (range-partition/bucket by term); positions add
-    ~one int per token, the same order Lucene pays for its .pos file."""
+    ~one int per token, the same order Lucene pays for its .pos file.
+
+    ``terms`` restricts the build to the given query terms — the
+    ad-hoc (no materialized index) serving path: the term filter runs
+    codegen-side right after posexplode, so the groupBy shuffle
+    carries only the query terms' postings instead of the whole
+    corpus's. Positions stay global (posexplode numbers the full
+    token stream before the filter), so slices are byte-identical to
+    the corresponding rows of the unrestricted index — the same rows a
+    range-partitioned materialized index would partition-prune to."""
     from hbase_increment_index_spark.search.tokenize import tokens
 
-    return (
-        corpus.select(F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "term"))
-        .groupBy("term", id_col)
-        .agg(F.array_sort(F.collect_list("pos")).alias("positions"))
+    exploded = corpus.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "term")
+    )
+    if terms is not None:
+        exploded = exploded.filter(
+            F.col("term").isin([t.lower() for t in terms])
+        )
+    return exploded.groupBy("term", id_col).agg(
+        F.array_sort(F.collect_list("pos")).alias("positions")
     )
 
 
@@ -206,6 +222,40 @@ def sloppy_phrase_from_index(
         cur.select(F.col(id_col), F.size(matched).cast("long").alias("n_occurrences"))
         .filter(F.col("n_occurrences") > 0)
     )
+
+
+def span_near_from_index(
+    postings_pos: DataFrame,
+    term_a: str,
+    term_b: str,
+    id_col: str,
+    distance: int,
+) -> DataFrame:
+    """Index-served Lucene SpanNearQuery with ``inOrder=false`` (Solr
+    {!surround} ``AN`` / XML spanNear): ids where the two terms occur
+    within ``distance`` positions of each other in either order.
+
+    Plan: the two per-term (id, positions) posting slices — each a
+    term-pruned read of the (range-partitioned) positional index —
+    join on id, then the proximity predicate evaluates on the two
+    intersected position lists. Work ∝ postings of the two query
+    terms; the HOF runs only on ids containing BOTH terms (the join
+    already intersected), never on the corpus. Contrast the
+    scan-serving form: per-row position extraction over every
+    document, with the interpreted proximity HOF as the corpus-scan
+    bottleneck (reference's Lucene delegates this to its .pos file,
+    pom.xml:87-109)."""
+    a = postings_pos.filter(F.col("term") == term_a.lower()).select(
+        F.col(id_col), F.col("positions").alias("_pa")
+    )
+    b = postings_pos.filter(F.col("term") == term_b.lower()).select(
+        F.col(id_col), F.col("positions").alias("_pb")
+    )
+    near = F.exists(
+        F.col("_pa"),
+        lambda x: F.exists(F.col("_pb"), lambda y: F.abs(x - y) <= F.lit(distance)),
+    )
+    return a.join(b, id_col).filter(near).select(id_col)
 
 
 def merge_positional_postings(

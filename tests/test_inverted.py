@@ -246,3 +246,50 @@ def test_sloppy_phrase_from_index(spark):
         for r in phrase_match_from_index(pp, ["quick", "brown"], "doc_id").collect()
     }
     assert match(0) == exact
+
+
+def test_span_near_from_index(spark):
+    from hbase_increment_index_spark.search.inverted import (
+        build_positional_index,
+        span_near_from_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "data spark join"),            # distance 1
+            (2, "spark a b c data"),           # distance 4, reversed order
+            (3, "data a b c d e spark"),       # distance 6 — too far
+            (4, "data only here"),             # missing one term
+            (5, "spark spark z z z z data"),   # nearest pair distance 5 — too far
+        ],
+        "doc_id long, text string",
+    )
+    pp = build_positional_index(docs, "doc_id", "text")
+    got = {
+        r["doc_id"]
+        for r in span_near_from_index(pp, "data", "spark", "doc_id", distance=4).collect()
+    }
+    assert got == {1, 2}
+    # wider window admits the distance-5/6 docs
+    got6 = {
+        r["doc_id"]
+        for r in span_near_from_index(pp, "data", "spark", "doc_id", distance=6).collect()
+    }
+    assert got6 == {1, 2, 3, 5}
+
+
+def test_term_restricted_positional_index_matches_full(spark):
+    from hbase_increment_index_spark.search.inverted import build_positional_index
+
+    docs = spark.createDataFrame(
+        [(1, "a b a c"), (2, "c c b"), (3, "zzz a")],
+        "doc_id long, text string",
+    )
+    full = build_positional_index(docs, "doc_id", "text")
+    restricted = build_positional_index(docs, "doc_id", "text", terms=["a", "c"])
+    want = {
+        (r["term"], r["doc_id"]): r["positions"]
+        for r in full.filter(full.term.isin("a", "c")).collect()
+    }
+    got = {(r["term"], r["doc_id"]): r["positions"] for r in restricted.collect()}
+    assert got == want  # global positions preserved; exactly the pruned slice

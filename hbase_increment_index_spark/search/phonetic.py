@@ -37,8 +37,8 @@ def soundex_code(col: Column | str) -> Column:
     """Textbook Soundex code (e.g. 'spark' → 'S162') as an expression.
 
     first letter + (run-collapsed digit string of the rest, zeros
-    dropped), right-padded with zeros to 4. Non-alphabetic input
-    yields the padded first character.
+    dropped), right-padded with zeros to 4. Non-letters are stripped
+    first, so input containing no letters at all yields ''.
     """
     c = F.col(col) if isinstance(col, str) else col
     u = F.upper(F.regexp_replace(c, "[^A-Za-z]", ""))

@@ -590,13 +590,17 @@ def ltr_rerank(
         score_decimals=score_decimals,
     ).withColumnRenamed("score", "original_score")
 
-    # filter features degrade to 0.0 when the field is absent (a Solr
-    # feature on a missing field scores the default)
+    # filter features degrade to 0.0 when the field is absent OR the
+    # value is NULL (a Solr feature on a missing field/value scores
+    # the default; without the coalesce a NULL field would null the
+    # whole dot product and sink the doc)
     is_en = (
-        (F.col("lang") == "en").cast("double") if "lang" in corpus.columns else F.lit(0.0)
+        F.coalesce((F.col("lang") == "en").cast("double"), F.lit(0.0))
+        if "lang" in corpus.columns
+        else F.lit(0.0)
     )
     is_web = (
-        (F.col("source") == "web").cast("double")
+        F.coalesce((F.col("source") == "web").cast("double"), F.lit(0.0))
         if "source" in corpus.columns
         else F.lit(0.0)
     )

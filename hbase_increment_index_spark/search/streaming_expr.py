@@ -343,6 +343,10 @@ class StreamCompiler:
         order = _sort_cols(call.params["sort"]) if "sort" in call.params else [
             F.col(c).asc() for c in df.columns if c not in over
         ]
+        if not order:
+            # every column is in 'over': any representative row is the
+            # unique one — a constant order keeps row_number() legal
+            order = [F.lit(1)]
         w = Window.partitionBy(*over).orderBy(*order)
         return (
             df.withColumn("_rn", F.row_number().over(w))
@@ -443,7 +447,12 @@ class StreamCompiler:
         df = self._one_stream(call)
         (lk, rk) = _on_pairs(self._param(call, "on"))[0]
         extra = [c.strip() for c in self._param(call, "fl").split(",")]
-        enrich = self.tables[table].select(F.col(rk), *[F.col(c) for c in extra])
+        # one row per key on the enrichment side: Solr's fetch emits
+        # exactly one tuple per input tuple even if the lookup
+        # collection holds duplicate keys
+        enrich = self.tables[table].select(
+            F.col(rk), *[F.col(c) for c in extra]
+        ).dropDuplicates([rk])
         out = df.join(enrich, df[lk] == enrich[rk], "left_outer")
         return out.drop(enrich[rk])
 

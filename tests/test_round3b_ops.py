@@ -536,3 +536,25 @@ def test_scan_agg_median_ordering(spark):
 
     row = QUERIES["cdc_scan_agg_median"](spark, SF).first()
     assert row.p25 <= row.median <= row.p75
+
+
+def test_ltr_null_field_values_score_default(spark):
+    """ADVICE r3: NULL lang/source must degrade the feature to 0.0,
+    not null the whole model score."""
+    from hbase_increment_index_spark.search import ranking
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark join query spark", None, None),
+            (2, "spark join query", "en", "web"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    out = ranking.ltr_rerank(
+        docs, "doc_id", "text", ["spark"],
+        weights={"original_score": 1.0, "is_en": 0.5, "is_web": 0.5},
+        k=2, rerank_docs=2,
+    ).collect()
+    scores = {r["doc_id"]: r["ltr_score"] for r in out}
+    assert scores[1] is not None  # NULL fields must not null the score
+    assert len(scores) == 2

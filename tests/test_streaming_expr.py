@@ -166,3 +166,29 @@ def test_top_is_take_ordered(tables, spark):
     rows = df.collect()
     assert len(rows) == 3
     assert rows[0].o_totalprice >= rows[1].o_totalprice >= rows[2].o_totalprice
+
+
+def test_fetch_dedupes_duplicate_enrichment_keys(tables, spark):
+    # one-out-per-in even when the lookup collection duplicates keys
+    dup_nation = tables["nation"].unionByName(tables["nation"])
+    tbl = dict(tables)
+    tbl["nation"] = dup_nation
+    base = run_stream_expr(
+        spark, tbl, 'search(customer, fl="c_custkey,c_nationkey")'
+    )
+    got = run_stream_expr(
+        spark, tbl,
+        'fetch(nation, search(customer, fl="c_custkey,c_nationkey"), '
+        'on="c_nationkey=n_nationkey", fl="n_name")',
+    )
+    assert got.count() == base.count()
+
+
+def test_unique_over_all_columns(tables, spark):
+    got = run_stream_expr(
+        spark, tables,
+        'unique(search(customer, fl="c_mktsegment"), over="c_mktsegment")',
+    )
+    rows = [r.c_mktsegment for r in got.collect()]
+    assert sorted(rows) == sorted(set(rows))
+    assert len(rows) == tables["customer"].select("c_mktsegment").distinct().count()

@@ -510,7 +510,9 @@ def minhash_lsh_pairs(
 
 # ------------------------------------------- near-dup clusters (E2 final)
 
-def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+def connected_components(
+    pairs: DataFrame, max_iters: int = 20, checkpoint_interval: int = 5
+) -> DataFrame:
     """Connected components over a near-dup pair list → (doc, component)
     where component = min doc id in the component (the canonical
     representative a dedup pass keeps).
@@ -520,18 +522,26 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     near-dup graphs are unions of small cliques, so 2–3 rounds in
     practice; ``max_iters`` bounds adversarial chains. Each round is
     one groupBy over the (small) edge list — the corpus is never
-    touched. Checkpoint-free because the edge list is tiny relative to
-    the corpus; at 100 TB you persist labels per round.
+    touched. Labels persist per round, and every
+    ``checkpoint_interval`` rounds the label frame is localCheckpointed
+    to CUT LINEAGE: without it the plan unrolls one join+agg layer per
+    round (hundreds of exchanges of plan text by round 20), which at
+    100 TB bloats task serialization and risks stack-deep reoptimization
+    even though execution reuses the cached rounds.
     """
+    # localCheckpoint (not just persist): the edge list is consumed by
+    # every propagation round, so its upstream lineage — typically the
+    # whole LSH candidate-pair pipeline — would otherwise be re-embedded
+    # in each round's plan and dominate the final plan size
     edges = (
         pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
         .union(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
     labels = edges.select("u").distinct().withColumn("label", F.col("u"))
 
-    for _ in range(max_iters):
+    for it in range(max_iters):
         neighbor_min = (
             edges.join(labels.withColumnRenamed("u", "v"), "v")
             .groupBy("u")
@@ -540,7 +550,13 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         new_labels = (
             labels.join(neighbor_min, "u", "left")
             .select("u", F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias("label"))
-        ).persist()
+        )
+        if (it + 1) % checkpoint_interval == 0:
+            # truncate lineage; eager so the cut happens before the
+            # changed-count action re-walks the plan
+            new_labels = new_labels.localCheckpoint(eager=True)
+        else:
+            new_labels = new_labels.persist()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "u")

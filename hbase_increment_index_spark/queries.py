@@ -724,21 +724,26 @@ def e3l_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash — deterministic, train-free, oracle-reproducible, and the
     plane set is the expression itself (no model artifact). Pure
     projection, zero shuffle; distances are preserved within the JL
-    bound, making this the cheap front-end for downstream clustering."""
-    from hbase_increment_index_spark.pipeline.dedup import portable_hash60
+    bound, making this the cheap front-end for downstream clustering.
+
+    The ±1 planes are md5-derived but evaluated ONCE driver-side
+    (hashlib md5 ≡ the engines' md5 bit-for-bit, so oracle parity is
+    unchanged) and enter the plan as plain float literals — the
+    per-row expression is 8 zip_with dot products, not 512 md5→conv
+    subtrees (the r3 plan-audit's 4.6 s expression constant)."""
+    import hashlib
 
     emb = _t(spark, sf_dir, "embeddings")
     v = F.col("embedding").cast("array<double>")
+
+    def sign(i: int, j: int) -> float:
+        # same value portable_hash60(lit(f"rp:{i},{j}")) % 2 selects
+        h = int(hashlib.md5(f"rp:{i},{j}".encode()).hexdigest()[:15], 16)
+        return 1.0 if h % 2 == 0 else -1.0
+
     dims = []
     for i in range(8):
-        sign_arr = F.array(
-            *[
-                F.when(
-                    portable_hash60(F.lit(f"rp:{i},{j}")) % 2 == 0, F.lit(1.0)
-                ).otherwise(F.lit(-1.0))
-                for j in range(64)
-            ]
-        )
+        sign_arr = F.array(*[F.lit(sign(i, j)) for j in range(64)])
         dot = F.aggregate(
             F.zip_with(v, sign_arr, lambda a, b: a * b),
             F.lit(0.0),

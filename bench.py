@@ -60,6 +60,15 @@ HEADLINE = [
     "q64_analyzed_vocab",
     "e14_dsir",
     "q63_funnel",
+    # --- added r4: the heavy tail — operators whose constants were the
+    # largest in the r3 plan audit, tracked so regressions are visible
+    "q69_span_near",
+    "q05d_phrase_slop",
+    "e2j_semdedup",
+    "e2k_incremental_semdedup",
+    "q77_collection_alias",
+    "e3l_random_projection",
+    "e6h_leakage_safe_split",
 ]
 
 

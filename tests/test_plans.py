@@ -71,3 +71,56 @@ def test_cdc_compaction_single_shuffle(spark, sf_dir):
     # one exchange on row_key feeds the window; AQE may add a read stage
     assert plan.count("Exchange") <= 2
     assert "WindowGroupLimit" in plan or "Window" in plan
+
+
+# Queries where a pre-AQE SortMergeJoin is expected. Two reviewed
+# classes only:
+#   fact-fact  — both join inputs are large base tables (TPC-H
+#                q4/q21 shapes): SMJ is the CORRECT strategy at scale,
+#                a forced broadcast would OOM.
+#   stats-less — one input is an aggregate/window/iteration output
+#                with no plan-time size estimate, so the static
+#                planner conservatively picks SMJ and AQE demotes it
+#                to broadcast at runtime once the real (tiny) size is
+#                known; forcing a static broadcast would bake in an
+#                assumption that breaks when the intermediate grows
+#                (e.g. a common query term's posting list).
+# A NEW name failing the sweep means a base-table join lost its
+# broadcast — fix the query, don't extend this list lightly.
+_EXPECTED_SMJ: set[str] = {
+    "olap_priority_check",      # fact-fact: orders ⋈ lineitem semi
+    "olap_waiting_suppliers",   # fact-fact: lineitem self-joins (q21)
+    "q04c_inverted_index",      # stats-less: matched-id set → semi-join back
+    "q45b_spellcheck_collate",  # stats-less: vocab agg ⋈ candidate agg
+    "q46_hybrid_rrf",           # stats-less: two k-row retrieval heads fused
+    "q59_rerank",               # stats-less: k-row rerank head ⋈ corpus
+    "q66_result_clustering",    # stats-less: cluster agg ⋈ members
+    "cdc_check_and_put",        # stats-less: compacted state ⋈ derived batch
+    "e1d_snapshot_diff",        # stats-less: two hash-agg snapshots
+    "e1e_dup_rate_by_source",   # stats-less: dup-cluster agg ⋈ docs
+    "e2d_dedup_clusters",       # stats-less: CC label iteration output
+    "e2h_near_dup_removal",     # stats-less: CC labels ⋈ corpus
+    "e2j_semdedup",             # stats-less: CC labels over embedding pairs
+    "e2l_quality_canonical",    # stats-less: CC labels ⋈ quality agg
+    "e3h_lsh_recall",           # stats-less: ground-truth agg ⋈ LSH agg
+    "e6h_leakage_safe_split",   # stats-less: CC labels ⋈ split assignment
+}
+
+
+def test_registry_wide_plan_invariants(spark, sf_dir):
+    """Every registry query must (a) compile a physical plan, (b) never
+    contain a CartesianProduct (non-broadcast cartesian — always a bug;
+    scalar 1-row joins plan as BroadcastNestedLoopJoin instead), and
+    (c) only use SortMergeJoin where reviewed (_EXPECTED_SMJ)."""
+    failures = []
+    for name in QUERIES:
+        try:
+            plan = _plan(spark, sf_dir, name)
+        except Exception as exc:  # noqa: BLE001
+            failures.append(f"{name}: plan build failed: {exc}")
+            continue
+        if "CartesianProduct" in plan:
+            failures.append(f"{name}: CartesianProduct in plan")
+        if "SortMergeJoin" in plan and name not in _EXPECTED_SMJ:
+            failures.append(f"{name}: unexpected SortMergeJoin")
+    assert not failures, "\n".join(failures)

@@ -5,6 +5,10 @@ read schemas from `.explain("formatted")`. Run after changing any
 operator to confirm the plan still has the shape you want:
 
   python tools/explain_audit.py [sf_dir] [query ...]
+
+With no explicit query list the ENTIRE registry is audited (PLANS.md
+is the full-registry output); the legacy AUDITED list below is kept
+only as the historical r1-r3 subset for diffing.
 """
 
 from __future__ import annotations
@@ -140,11 +144,12 @@ AUDITED = [
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    names = sys.argv[2:] or AUDITED
 
     sys.path.insert(0, "/root/repo")
     from hbase_increment_index_spark.queries import QUERIES
     from hbase_increment_index_spark.session import get_spark
+
+    names = sys.argv[2:] or list(QUERIES)
 
     spark = get_spark("explain_audit")
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")

@@ -373,6 +373,22 @@ class SecondaryIndex:
             self._positional[text_field], words, self.key_field
         )
 
+    def span_near(
+        self, text_field: str, term_a: str, term_b: str, distance: int = 4
+    ) -> DataFrame:
+        """Unordered SpanNear (Solr {!surround} ``AN`` / XML spanNear
+        with inOrder=false): keys where the two terms occur within
+        ``distance`` positions in either order, served from the same
+        positional postings phrase() uses (built/cached on first
+        use). Work ∝ the two terms' postings, never the corpus."""
+        from hbase_increment_index_spark.search.inverted import span_near_from_index
+
+        if text_field not in self._positional:
+            self.build_positional_postings(text_field)
+        return span_near_from_index(
+            self._positional[text_field], term_a, term_b, self.key_field, distance
+        )
+
     def search_index(self, text_field: str, terms: list[str], op: str = "and") -> DataFrame:
         """Full-text match served via the materialized postings
         (posting lookup → semi-join back to the documents); postings

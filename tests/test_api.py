@@ -430,3 +430,12 @@ def test_json_request_with_facets(index):
     assert facet == {"apple pie recipe": 1, "banana bread recipe": 1}
     assert resp.facets["expensive"].first().n == 1  # only r2 (price 20) matches
     assert "price_stats" in resp.stats
+
+
+def test_span_near_on_facade(index):
+    # 'apple ... recipe' within 2 positions (either order): r1 only
+    # ("apple pie recipe" — distance 2); r3 has apple but no recipe
+    got = {r["rowkey"] for r in index.span_near("name", "recipe", "apple", distance=2).collect()}
+    assert got == {"r1"}
+    # distance 1 excludes r1 (terms are 2 apart)
+    assert index.span_near("name", "recipe", "apple", distance=1).count() == 0

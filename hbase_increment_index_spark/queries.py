@@ -8316,6 +8316,110 @@ ORDER BY vec_id ASC
 """
 
 
+def e1f_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source near-duplication matrix — which sources copy from
+    which: verified MinHash-LSH near-dup pairs (e2b's exact
+    oracle-checkable form) joined to each side's source, orientation
+    normalized (least/greatest) so the matrix is upper-triangular.
+    This is the provenance question a curation team asks before
+    dropping a 'duplicate-heavy' source: e1e gives each source's dup
+    RATE, this says who it duplicates WITH (mirror sites, syndication,
+    cross-dump overlap). Scaling: pairs ≪ corpus by LSH construction,
+    so both id→source joins broadcast the pair side (AQE), and the
+    final agg is |sources|²-bounded."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", num_perm=64, bands=16, threshold=0.30,
+        impl="pandas", hash_fn="md5",
+    )
+    src = docs.select("doc_id", "source")
+    j = (
+        pairs.join(
+            src.withColumnRenamed("doc_id", "id_a").withColumnRenamed("source", "src_a"),
+            "id_a",
+        ).join(
+            src.withColumnRenamed("doc_id", "id_b").withColumnRenamed("source", "src_b"),
+            "id_b",
+        )
+    )
+    return (
+        j.select(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy(F.col("n_pairs").desc(), F.col("source_a").asc(), F.col("source_b").asc())
+    )
+
+
+def _e1f_sql() -> str:
+    return f"""
+WITH {_minhash_sql_ctes()},
+m AS (
+  SELECT least(da.source, db.source) AS source_a,
+         greatest(da.source, db.source) AS source_b
+  FROM pairs p
+  JOIN documents da ON da.doc_id = p.id_a
+  JOIN documents db ON db.doc_id = p.id_b
+)
+SELECT source_a, source_b, count(*) AS n_pairs
+FROM m
+GROUP BY 1, 2
+ORDER BY n_pairs DESC, source_a ASC, source_b ASC
+"""
+
+
+def e4n_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility / compression report per (lang, source):
+    chars-per-token and tokens-per-doc — the tokenizer-health metric a
+    training team tracks per corpus segment (a fertility spike in one
+    language flags tokenizer/vocabulary mismatch; cf. the fertility
+    analyses in multilingual-tokenizer literature). Integer sums are
+    exact in both engines; the single rounded double division makes
+    the ratios cross-engine deterministic. One partial agg — shuffle
+    carries |lang × source| rows, never documents."""
+    from hbase_increment_index_spark.pipeline.text import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.select(
+        "lang",
+        "source",
+        F.length("text").cast("long").alias("chars"),
+        token_count(F.col("text")).cast("long").alias("toks"),
+    )
+    return (
+        per.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("toks").cast("bigint").alias("tokens_total"),
+            F.round(
+                F.sum("chars").cast("double") / F.sum("toks").cast("double"), 6
+            ).alias("chars_per_token"),
+            F.round(
+                F.sum("toks").cast("double") / F.count(F.lit(1)), 6
+            ).alias("tokens_per_doc"),
+        )
+        .orderBy(F.col("lang").asc(), F.col("source").asc())
+    )
+
+
+def _e4n_sql() -> str:
+    toks = _SQL_TOKS.format(c="text")
+    return f"""
+WITH t AS (
+  SELECT lang, source, length(text) AS chars, len({toks}) AS toks FROM documents
+)
+SELECT lang, source, count(*) AS n_docs,
+       CAST(SUM(toks) AS BIGINT) AS tokens_total,
+       ROUND(CAST(SUM(chars) AS DOUBLE) / CAST(SUM(toks) AS DOUBLE), 6) AS chars_per_token,
+       ROUND(CAST(SUM(toks) AS DOUBLE) / count(*), 6) AS tokens_per_doc
+FROM t
+GROUP BY 1, 2
+ORDER BY lang ASC, source ASC
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -8457,6 +8561,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e6c_pack_batches": e6c_pack_batches,
     "e4i_chunks": e4i_chunks,
     "e6d_weighted_sample": e6d_weighted_sample,
+    "e1f_cross_source_dup_matrix": e1f_cross_source_dup_matrix,  # added r4
+    "e4n_tokenizer_fertility": e4n_tokenizer_fertility,          # added r4
     "q14b_approx_distinct": q14b_approx_distinct,
     # --- driver-verified green in r1-r3 (CORRECTNESS_r0{1,2,3}.json) ---
     "q61_stream_rollup": q61_stream_rollup,
@@ -8567,6 +8673,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     "flagship": FLAGSHIP_SQL,
+    "e1f_cross_source_dup_matrix": _e1f_sql(),
+    "e4n_tokenizer_fertility": _e4n_sql(),
     "q61_stream_rollup": Q61_SQL,
     "q61b_stream_join": Q61B_SQL,
     "q61c_stream_complement": Q61C_SQL,

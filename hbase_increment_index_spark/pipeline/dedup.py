@@ -541,6 +541,16 @@ def connected_components(
     )
     labels = edges.select("u").distinct().withColumn("label", F.col("u"))
 
+    # Convergence check rides the label SUM: label' = least(label,
+    # neighborhood min) is monotone non-increasing per node, so the
+    # exact total (decimal — no long overflow/wraparound) strictly
+    # decreases iff ANY node changed. One tiny agg per round — it
+    # doubles as the action that materializes the round's persist —
+    # instead of a join-based changed count (2 jobs/round → 1).
+    def _label_sum(df: DataFrame):
+        return df.agg(F.sum(F.col("label").cast("decimal(38,0)")).alias("s")).head()["s"]
+
+    prev_sum = None
     for it in range(max_iters):
         neighbor_min = (
             edges.join(labels.withColumnRenamed("u", "v"), "v")
@@ -553,20 +563,15 @@ def connected_components(
         )
         if (it + 1) % checkpoint_interval == 0:
             # truncate lineage; eager so the cut happens before the
-            # changed-count action re-walks the plan
+            # convergence action re-walks the plan
             new_labels = new_labels.localCheckpoint(eager=True)
         else:
             new_labels = new_labels.persist()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "u")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        cur_sum = _label_sum(new_labels)
         labels = new_labels
-        if changed == 0:
+        if prev_sum is not None and cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels.select(F.col("u").alias("doc"), F.col("label").alias("component"))
 
 

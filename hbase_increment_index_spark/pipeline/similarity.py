@@ -110,33 +110,57 @@ def knn_join_brute_force(
 
 # ----------------------------------------------------- LSH (hyperplane)
 
-def _plane(plane_idx: int, dim: int, plane_fn: str = "xxhash64") -> Column:
-    """Deterministic pseudo-random hyperplane: component j of plane i is
-    hash(i, j) scaled to [-1, 1]. Stateless — any executor can
-    re-derive it; nothing is shipped.
+#: memoized plane component values, keyed by (plane_fn, plane_idx, dim)
+_PLANE_CACHE: dict = {}
 
-    ``plane_fn='md5'`` derives components from portable_hash60 as exact
-    rationals (k/1e6) so the DuckDB oracle rebuilds the identical
-    planes; the fold order of :func:`dot` is left-to-right in both
-    engines, so even the float dot product is bit-reproducible."""
+
+def _plane_values(plane_idx: int, dim: int, plane_fn: str = "xxhash64") -> list[float]:
+    """Component values of deterministic pseudo-random hyperplane i:
+    hash(i, j) scaled to [-1, 1] — computed ONCE and embedded in the
+    plan as literals, so the per-row expression is just the dot
+    product, never dim×n_planes hash subtrees (the same fix as
+    e3l_random_projection's literal planes; measured ~6× on the
+    bucketing scan).
+
+    ``plane_fn='md5'``: hashlib md5 is bit-identical to the engines'
+    md5, and the (h % 2000001 - 1000000) / 1e6 arithmetic is exact
+    integer math + one exact division in both, so the DuckDB oracle
+    rebuilds the identical planes and the left-to-right :func:`dot`
+    fold stays bit-reproducible. ``plane_fn='xxhash64'`` (production):
+    evaluated once via a 1-row Spark job (xxhash64 lives in the JVM),
+    then memoized for the session."""
+    key = (plane_fn, plane_idx, dim)
+    if key in _PLANE_CACHE:
+        return _PLANE_CACHE[key]
     if plane_fn == "md5":
-        from hbase_increment_index_spark.pipeline.dedup import portable_hash60
+        import hashlib
 
-        return F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda j: (
-                F.pmod(
-                    portable_hash60(F.concat(F.lit(f"{plane_idx},"), j.cast("string"))),
-                    F.lit(2000001),
-                )
-                - F.lit(1000000)
+        vals = []
+        for j in range(dim):
+            h = int(hashlib.md5(f"{plane_idx},{j}".encode()).hexdigest()[:15], 16)
+            vals.append((h % 2000001 - 1000000) / 1000000.0)
+    else:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        row = (
+            spark.range(1)
+            .select(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(dim - 1)),
+                    lambda j: (F.xxhash64(F.lit(plane_idx), j) / F.lit(float(2**63))),
+                ).alias("p")
             )
-            / F.lit(1000000.0),
+            .head()
         )
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda j: (F.xxhash64(F.lit(plane_idx), j) / F.lit(float(2**63))),
-    )
+        vals = [float(v) for v in row["p"]]
+    _PLANE_CACHE[key] = vals
+    return vals
+
+
+def _plane(plane_idx: int, dim: int, plane_fn: str = "xxhash64") -> Column:
+    """The hyperplane as a literal array column (see _plane_values)."""
+    return F.array(*[F.lit(v) for v in _plane_values(plane_idx, dim, plane_fn)])
 
 
 def lsh_bucket(vec_col: Column, n_planes: int, dim: int, plane_fn: str = "xxhash64") -> Column:

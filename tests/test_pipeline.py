@@ -122,6 +122,13 @@ def test_connected_components_and_clusters(spark, docs):
     )  # chain 1-2-3 and pair 7-8
     comp = {r["doc"]: r["component"] for r in connected_components(pairs).collect()}
     assert comp == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
+    # the distributed label-propagation path (forced) agrees with the
+    # size-adaptive driver union-find exactly
+    dist = {
+        r["doc"]: r["component"]
+        for r in connected_components(pairs, driver_threshold=0).collect()
+    }
+    assert dist == comp
 
     out = {r["doc_id"]: (r["component"], r["is_canonical"])
            for r in near_dup_clusters(docs, "doc_id", "text", threshold=0.3,

@@ -98,10 +98,8 @@ _EXPECTED_SMJ: set[str] = {
     "cdc_check_and_put",        # stats-less: compacted state ⋈ derived batch
     "e1d_snapshot_diff",        # stats-less: two hash-agg snapshots
     "e1e_dup_rate_by_source",   # stats-less: dup-cluster agg ⋈ docs
-    "e2d_dedup_clusters",       # stats-less: CC label iteration output
     "e2h_near_dup_removal",     # stats-less: CC labels ⋈ corpus
     "e2j_semdedup",             # stats-less: CC labels over embedding pairs
-    "e2l_quality_canonical",    # stats-less: CC labels ⋈ quality agg
     "e3h_lsh_recall",           # stats-less: ground-truth agg ⋈ LSH agg
     "e6h_leakage_safe_split",   # stats-less: CC labels ⋈ split assignment
 }

@@ -633,3 +633,33 @@ def test_stem_sql_matches_spark_expression(spark, words):
     con.register("v", pd.DataFrame({"w": sorted(set(words))}))
     want = dict(con.execute(f"SELECT w, {stem_sql('w')} FROM v").fetchall())
     assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda p: p[0] != p[1]),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_connected_components_paths_agree(spark, edges):
+    """The size-adaptive driver union-find and the distributed
+    label-propagation loop compute identical (doc, component) maps on
+    arbitrary graphs (chains, cliques, stars, disjoint mixes)."""
+    from hbase_increment_index_spark.pipeline.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], "id_a long, id_b long"
+    )
+    fast = {
+        r["doc"]: r["component"] for r in connected_components(pairs).collect()
+    }
+    dist = {
+        r["doc"]: r["component"]
+        for r in connected_components(pairs, driver_threshold=0).collect()
+    }
+    assert fast == dist
+    # component = min member: every component id labels itself
+    for doc, comp in fast.items():
+        assert comp <= doc and fast[comp] == comp

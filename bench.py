@@ -69,6 +69,7 @@ HEADLINE = [
     "q77_collection_alias",
     "e3l_random_projection",
     "e6h_leakage_safe_split",
+    "e1f_cross_source_dup_matrix",
 ]
 
 

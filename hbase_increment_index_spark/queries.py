@@ -8429,9 +8429,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # Registry ordering is deliberate: the external driver oracle-checks
     # a fixed-size window from the FRONT of this dict each round, so the
     # front rotates to operators that still lack a driver-side green row
-    # in CORRECTNESS_r{N}.json. Cumulative driver-green after r3:
-    # 105/225 (r1: flagship/q01-q28/core cdc/olap; r2: variants; r3: the
-    # q60+ / e-series additions). Lookup semantics are unaffected.
+    # in CORRECTNESS_r{N}.json. Cumulative driver-green after r3: 105 of
+    # the 225 pre-r4 entries (r1: flagship/q01-q28/core cdc/olap; r2:
+    # variants; r3: the q60+ / e-series additions); r4 adds e1f/e4n at
+    # the r6 tail, registry now 227. Lookup semantics are unaffected.
     # ------------------------------------------------------------------
     "flagship": flagship,
     # --- r4 window (positions 1-50): the Solr component block a search

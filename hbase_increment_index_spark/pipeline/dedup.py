@@ -517,7 +517,7 @@ def _union_find_components(edges: DataFrame) -> DataFrame:
     broadcast-class threshold (see connected_components), where one
     collect of the already-materialized edge list beats 2-3 rounds of
     tiny-join scheduling by ~10×."""
-    rows = edges.collect()
+    pdf = edges.toPandas()  # Arrow-backed: 2 columns, ~16 B/edge
     parent: dict = {}
 
     def find(x):
@@ -528,8 +528,7 @@ def _union_find_components(edges: DataFrame) -> DataFrame:
             parent[x], x = r, parent[x]
         return r
 
-    for row in rows:
-        u, v = row["u"], row["v"]
+    for u, v in zip(pdf["u"].tolist(), pdf["v"].tolist()):
         parent.setdefault(u, u)
         parent.setdefault(v, v)
         ru, rv = find(u), find(v)

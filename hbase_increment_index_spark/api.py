@@ -378,15 +378,26 @@ class SecondaryIndex:
     ) -> DataFrame:
         """Unordered SpanNear (Solr {!surround} ``AN`` / XML spanNear
         with inOrder=false): keys where the two terms occur within
-        ``distance`` positions in either order, served from the same
-        positional postings phrase() uses (built/cached on first
-        use). Work ∝ the two terms' postings, never the corpus."""
-        from hbase_increment_index_spark.search.inverted import span_near_from_index
+        ``distance`` positions in either order. Served from the cached
+        positional postings when phrase()/build_positional_postings has
+        materialized them (work ∝ the two terms' postings); otherwise a
+        TERM-RESTRICTED ad-hoc build — the term filter runs right after
+        posexplode, so the groupBy shuffle carries only the two terms'
+        postings, never the corpus (the q69 path). The restricted slice
+        is deliberately not cached: it cannot serve other terms, and
+        caching it as the field's index would silently break phrase()."""
+        from hbase_increment_index_spark.search.inverted import (
+            build_positional_index,
+            span_near_from_index,
+        )
 
-        if text_field not in self._positional:
-            self.build_positional_postings(text_field)
+        postings = self._positional.get(text_field)
+        if postings is None:
+            postings = build_positional_index(
+                self.documents, self.key_field, text_field, terms=[term_a, term_b]
+            )
         return span_near_from_index(
-            self._positional[text_field], term_a, term_b, self.key_field, distance
+            postings, term_a, term_b, self.key_field, distance
         )
 
     def search_index(self, text_field: str, terms: list[str], op: str = "and") -> DataFrame:

@@ -592,37 +592,40 @@ def connected_components(
         return _union_find_components(edges)
     labels = edges.select("u").distinct().withColumn("label", F.col("u"))
 
-    # Convergence check rides the label SUM: label' = least(label,
-    # neighborhood min) is monotone non-increasing per node, so the
-    # exact total (decimal — no long overflow/wraparound) strictly
-    # decreases iff ANY node changed. One tiny agg per round — it
-    # doubles as the action that materializes the round's persist —
-    # instead of a join-based changed count (2 jobs/round → 1).
-    def _label_sum(df: DataFrame):
-        return df.agg(F.sum(F.col("label").cast("decimal(38,0)")).alias("s")).head()["s"]
-
-    prev_sum = None
+    # Convergence check: each round carries (old_label, label) through
+    # the persist so ONE tiny agg counts changed nodes exactly. Valid
+    # for ANY orderable id type — a numeric-cast label sum would be
+    # NULL for string ids (never converges early) and non-monotone for
+    # numeric-looking strings ('10' < '9' lexicographically) where
+    # opposing per-node deltas can cancel (premature break). The agg
+    # doubles as the action that materializes the round's
+    # persist/checkpoint, so it's still 1 job per round.
     for it in range(max_iters):
         neighbor_min = (
             edges.join(labels.withColumnRenamed("u", "v"), "v")
             .groupBy("u")
             .agg(F.min("label").alias("nmin"))
         )
-        new_labels = (
+        stepped = (
             labels.join(neighbor_min, "u", "left")
-            .select("u", F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias("label"))
+            .select(
+                "u",
+                F.col("label").alias("old_label"),
+                F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias("label"),
+            )
         )
         if (it + 1) % checkpoint_interval == 0:
             # truncate lineage; eager so the cut happens before the
             # convergence action re-walks the plan
-            new_labels = new_labels.localCheckpoint(eager=True)
+            stepped = stepped.localCheckpoint(eager=True)
         else:
-            new_labels = new_labels.persist()
-        cur_sum = _label_sum(new_labels)
-        labels = new_labels
-        if prev_sum is not None and cur_sum == prev_sum:
+            stepped = stepped.persist()
+        changed = stepped.agg(
+            F.sum((F.col("label") != F.col("old_label")).cast("long")).alias("c")
+        ).head()["c"]
+        labels = stepped.select("u", "label")
+        if not changed:
             break
-        prev_sum = cur_sum
     return labels.select(F.col("u").alias("doc"), F.col("label").alias("component"))
 
 

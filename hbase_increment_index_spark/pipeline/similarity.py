@@ -143,6 +143,16 @@ def _plane_values(plane_idx: int, dim: int, plane_fn: str = "xxhash64") -> list[
         from pyspark.sql import SparkSession
 
         spark = SparkSession.getActiveSession()
+        if spark is None:
+            # Expression construction normally happens inside a session;
+            # building an xxhash64 plane without one (or from a thread
+            # with no active session) would otherwise die with an
+            # AttributeError on None deep in the range() call.
+            raise RuntimeError(
+                "plane_fn='xxhash64' needs an active SparkSession to evaluate "
+                "the plane literals (xxhash64 lives in the JVM); start a "
+                "session first or use plane_fn='md5' for a session-free build"
+            )
         row = (
             spark.range(1)
             .select(

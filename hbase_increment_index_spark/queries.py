@@ -8393,9 +8393,14 @@ def e4n_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("toks").cast("bigint").alias("tokens_total"),
-            F.round(
-                F.sum("chars").cast("double") / F.sum("toks").cast("double"), 6
-            ).alias("chars_per_token"),
+            # zero-token guard: Spark's non-ANSI x/0 gives NULL but the
+            # DuckDB oracle's IEEE division gives ±inf/NaN — pin both
+            # engines to NULL for degenerate (no alphanumeric text) groups
+            F.when(F.sum("toks") == 0, F.lit(None).cast("double"))
+            .otherwise(
+                F.round(F.sum("chars").cast("double") / F.sum("toks").cast("double"), 6)
+            )
+            .alias("chars_per_token"),
             F.round(
                 F.sum("toks").cast("double") / F.count(F.lit(1)), 6
             ).alias("tokens_per_doc"),
@@ -8412,7 +8417,9 @@ WITH t AS (
 )
 SELECT lang, source, count(*) AS n_docs,
        CAST(SUM(toks) AS BIGINT) AS tokens_total,
-       ROUND(CAST(SUM(chars) AS DOUBLE) / CAST(SUM(toks) AS DOUBLE), 6) AS chars_per_token,
+       CASE WHEN SUM(toks) = 0 THEN NULL
+            ELSE ROUND(CAST(SUM(chars) AS DOUBLE) / CAST(SUM(toks) AS DOUBLE), 6)
+       END AS chars_per_token,
        ROUND(CAST(SUM(toks) AS DOUBLE) / count(*), 6) AS tokens_per_doc
 FROM t
 GROUP BY 1, 2
@@ -8427,18 +8434,98 @@ ORDER BY lang ASC, source ASC
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ------------------------------------------------------------------
     # Registry ordering is deliberate: the external driver oracle-checks
-    # a fixed-size window from the FRONT of this dict each round, so the
-    # front rotates to operators that still lack a driver-side green row
-    # in CORRECTNESS_r{N}.json. Cumulative driver-green after r3: 105 of
-    # the 225 pre-r4 entries (r1: flagship/q01-q28/core cdc/olap; r2:
-    # variants; r3: the q60+ / e-series additions); r4 adds e1f/e4n at
-    # the r6 tail, registry now 227. Lookup semantics are unaffected.
+    # a fixed-size window from the FRONT of this dict each round (50
+    # entries including flagship), so the front rotates to operators
+    # that still lack a driver-side green row in CORRECTNESS_r{N}.json.
+    # Cumulative driver-green after r4: 155 of 227 (r1: flagship/q01-
+    # q28/core cdc/olap; r2: variants; r3: q60+/e-series additions;
+    # r4: the Solr component block + CDC merges + E base forms).
+    # Lookup semantics are unaffected by ordering.
     # ------------------------------------------------------------------
     "flagship": flagship,
-    # --- r4 window (positions 1-50): the Solr component block a search
-    # user hits daily (suggest/highlight/MLT/spellcheck/geo/block join/
-    # eDisMax/graph/elevation/rerank), the remaining CDC merge paths,
-    # and one base form per E-series pipeline component ---
+    # --- r5 window (positions 1-49 after flagship): e9 first (it sat
+    # at position 50 of the r4 ordering and missed the 50-wide cut),
+    # then the TPC-H-derived olap_* suite, remaining E-series base
+    # forms, and scan/pivot/facet variants ---
+    "e9_source_quality": e9_source_quality,
+    "olap_priority_check": olap_priority_check,
+    "olap_customer_distribution": olap_customer_distribution,
+    "olap_top_supplier": olap_top_supplier,
+    "q15b_group_ngroups": q15b_group_ngroups,
+    "q16c_stats_pivot": q16c_stats_pivot,
+    "e10_curation": e10_curation,
+    "e11_temperature_mixture": e11_temperature_mixture,
+    "e12_unigram_logprob": e12_unigram_logprob,
+    "e13_epoch_shuffle": e13_epoch_shuffle,
+    "e2g_dup_spans": e2g_dup_spans,
+    "e4j_classifier": e4j_classifier,
+    "olap_volume_shipping": olap_volume_shipping,
+    "olap_market_share": olap_market_share,
+    "e6f_curriculum": e6f_curriculum,
+    "q42b_frange": q42b_frange,
+    "cdc_scan_agg": cdc_scan_agg,
+    "e4k_gopher_rules": e4k_gopher_rules,
+    "cdc_scan_timerange": cdc_scan_timerange,
+    "cdc_column_page": cdc_column_page,
+    "olap_promo_share": olap_promo_share,
+    "olap_disjunctive": olap_disjunctive,
+    "q34b_terms_regex": q34b_terms_regex,
+    "e2h_near_dup_removal": e2h_near_dup_removal,
+    "e9b_corpus_report": e9b_corpus_report,
+    "e2i_dup_span_removal": e2i_dup_span_removal,
+    "olap_waiting_suppliers": olap_waiting_suppliers,
+    "q39b_json_facet_buckets": q39b_json_facet_buckets,
+    "cdc_scan_multirange": cdc_scan_multirange,
+    "e3i_pq_encode": e3i_pq_encode,
+    "e3j_pq_adc": e3j_pq_adc,
+    "q05d_phrase_slop": q05d_phrase_slop,
+    "q16d_pivot_limited": q16d_pivot_limited,
+    "q11c_facet_range_other": q11c_facet_range_other,
+    "e6e_token_budget_head": e6e_token_budget_head,
+    "e2f_incremental_near_dups": e2f_incremental_near_dups,
+    "olap_shipping_priority": olap_shipping_priority,
+    "olap_forecast_revenue": olap_forecast_revenue,
+    "olap_priority_lines": olap_priority_lines,
+    "olap_returned_revenue": olap_returned_revenue,
+    "olap_nation_share": olap_nation_share,
+    "q27_json_extract": q27_json_extract,
+    "q21b_session_window": q21b_session_window,
+    "q28_trailing_window": q28_trailing_window,
+    "olap_small_qty_revenue": olap_small_qty_revenue,
+    "olap_large_orders": olap_large_orders,
+    "olap_idle_balances": olap_idle_balances,
+    "e4g_pii_scrub": e4g_pii_scrub,
+    "e4h_repetition": e4h_repetition,
+    # --- planned r6 window (positions 51-74): e1b/e1c (overflow from
+    # the 50-wide r5 cut), embedding/text/media/sampling variants, and
+    # the two r4 additions e1f/e4n; q14b stays last (HLL sketch,
+    # rows-only by design — no exact oracle exists). r6 closes driver
+    # evidence at 226/227 green + 1 documented no-oracle. ---
+    "e1b_duplicate_clusters": e1b_duplicate_clusters,
+    "e1c_dedup_with_dups": e1c_dedup_with_dups,
+    "e2_ngram_jaccard": e2_ngram_jaccard,
+    "e2e_ngram_guarded": e2e_ngram_guarded,
+    "e2d_dedup_clusters": e2d_dedup_clusters,
+    "e3c_embedding_pairs": e3c_embedding_pairs,
+    "e3d_lsh_bucket_sizes": e3d_lsh_bucket_sizes,
+    "e3e_knn_join": e3e_knn_join,
+    "e3f_quantize": e3f_quantize,
+    "e3g_centroids": e3g_centroids,
+    "e3h_lsh_recall": e3h_lsh_recall,
+    "e4e_bigram_counts": e4e_bigram_counts,
+    "e4f_bpe_token_count": e4f_bpe_token_count,
+    "e4c_langid": e4c_langid,
+    "e4d_fingerprint": e4d_fingerprint,
+    "e5b_media_features": e5b_media_features,
+    "e5c_frame_sample": e5c_frame_sample,
+    "e6b_stratified_sample": e6b_stratified_sample,
+    "e6c_pack_batches": e6c_pack_batches,
+    "e4i_chunks": e4i_chunks,
+    "e6d_weighted_sample": e6d_weighted_sample,
+    "e1f_cross_source_dup_matrix": e1f_cross_source_dup_matrix,  # added r4
+    "e4n_tokenizer_fertility": e4n_tokenizer_fertility,          # added r4
+    "q14b_approx_distinct": q14b_approx_distinct,
+    # --- driver-verified green in r1-r4 (CORRECTNESS_r0{1..4}.json) ---
     "q77_collection_alias": q77_collection_alias,
     "q29_suggest": q29_suggest,
     "q30_highlight": q30_highlight,
@@ -8488,84 +8575,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e6a_hash_split": e6a_hash_split,
     "e7_decontaminate": e7_decontaminate,
     "e8_zorder": e8_zorder,
-    "e9_source_quality": e9_source_quality,
-    # --- planned r5 window (positions 51-100): remaining E-series base
-    # forms, TPC-H-derived olap_* suite, scan/pivot/facet variants ---
-    "olap_priority_check": olap_priority_check,
-    "olap_customer_distribution": olap_customer_distribution,
-    "olap_top_supplier": olap_top_supplier,
-    "q15b_group_ngroups": q15b_group_ngroups,
-    "q16c_stats_pivot": q16c_stats_pivot,
-    "e10_curation": e10_curation,
-    "e11_temperature_mixture": e11_temperature_mixture,
-    "e12_unigram_logprob": e12_unigram_logprob,
-    "e13_epoch_shuffle": e13_epoch_shuffle,
-    "e2g_dup_spans": e2g_dup_spans,
-    "e4j_classifier": e4j_classifier,
-    "olap_volume_shipping": olap_volume_shipping,
-    "olap_market_share": olap_market_share,
-    "e6f_curriculum": e6f_curriculum,
-    "q42b_frange": q42b_frange,
-    "cdc_scan_agg": cdc_scan_agg,
-    "e4k_gopher_rules": e4k_gopher_rules,
-    "cdc_scan_timerange": cdc_scan_timerange,
-    "cdc_column_page": cdc_column_page,
-    "olap_promo_share": olap_promo_share,
-    "olap_disjunctive": olap_disjunctive,
-    "q34b_terms_regex": q34b_terms_regex,
-    "e2h_near_dup_removal": e2h_near_dup_removal,
-    "e9b_corpus_report": e9b_corpus_report,
-    "e2i_dup_span_removal": e2i_dup_span_removal,
-    "olap_waiting_suppliers": olap_waiting_suppliers,
-    "q39b_json_facet_buckets": q39b_json_facet_buckets,
-    "cdc_scan_multirange": cdc_scan_multirange,
-    "e3i_pq_encode": e3i_pq_encode,
-    "e3j_pq_adc": e3j_pq_adc,
-    "q05d_phrase_slop": q05d_phrase_slop,
-    "q16d_pivot_limited": q16d_pivot_limited,
-    "q11c_facet_range_other": q11c_facet_range_other,
-    "e6e_token_budget_head": e6e_token_budget_head,
-    "e2f_incremental_near_dups": e2f_incremental_near_dups,
-    "olap_shipping_priority": olap_shipping_priority,
-    "olap_forecast_revenue": olap_forecast_revenue,
-    "olap_priority_lines": olap_priority_lines,
-    "olap_returned_revenue": olap_returned_revenue,
-    "olap_nation_share": olap_nation_share,
-    "q27_json_extract": q27_json_extract,
-    "q21b_session_window": q21b_session_window,
-    "q28_trailing_window": q28_trailing_window,
-    "olap_small_qty_revenue": olap_small_qty_revenue,
-    "olap_large_orders": olap_large_orders,
-    "olap_idle_balances": olap_idle_balances,
-    "e4g_pii_scrub": e4g_pii_scrub,
-    "e4h_repetition": e4h_repetition,
-    "e1b_duplicate_clusters": e1b_duplicate_clusters,
-    "e1c_dedup_with_dups": e1c_dedup_with_dups,
-    # --- r6 tail: embedding/text/media/sampling variants; q14b last
-    # (HLL sketch, rows-only by design — no exact oracle exists) ---
-    "e2_ngram_jaccard": e2_ngram_jaccard,
-    "e2e_ngram_guarded": e2e_ngram_guarded,
-    "e2d_dedup_clusters": e2d_dedup_clusters,
-    "e3c_embedding_pairs": e3c_embedding_pairs,
-    "e3d_lsh_bucket_sizes": e3d_lsh_bucket_sizes,
-    "e3e_knn_join": e3e_knn_join,
-    "e3f_quantize": e3f_quantize,
-    "e3g_centroids": e3g_centroids,
-    "e3h_lsh_recall": e3h_lsh_recall,
-    "e4e_bigram_counts": e4e_bigram_counts,
-    "e4f_bpe_token_count": e4f_bpe_token_count,
-    "e4c_langid": e4c_langid,
-    "e4d_fingerprint": e4d_fingerprint,
-    "e5b_media_features": e5b_media_features,
-    "e5c_frame_sample": e5c_frame_sample,
-    "e6b_stratified_sample": e6b_stratified_sample,
-    "e6c_pack_batches": e6c_pack_batches,
-    "e4i_chunks": e4i_chunks,
-    "e6d_weighted_sample": e6d_weighted_sample,
-    "e1f_cross_source_dup_matrix": e1f_cross_source_dup_matrix,  # added r4
-    "e4n_tokenizer_fertility": e4n_tokenizer_fertility,          # added r4
-    "q14b_approx_distinct": q14b_approx_distinct,
-    # --- driver-verified green in r1-r3 (CORRECTNESS_r0{1,2,3}.json) ---
     "q61_stream_rollup": q61_stream_rollup,
     "q61b_stream_join": q61b_stream_join,
     "q61c_stream_complement": q61c_stream_complement,

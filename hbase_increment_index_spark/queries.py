@@ -8427,6 +8427,154 @@ ORDER BY lang ASC, source ASC
 """
 
 
+def e1g_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup SAVINGS report per source — the budget view of exact
+    dedup: how many documents and how many BYTES each source sheds
+    when exact duplicates collapse to their minimum-id canonical
+    (e1e answers rate, this answers cost). Corpus = documents ∪ a
+    re-keyed copy of the even-id half (e1c's recipe restricted so
+    savings differ per source instead of being uniformly 50%). One
+    window over the normalized-text fingerprint marks non-canonical
+    members; one groupBy(source) folds counts and byte sums — exact
+    integer aggregates, one final rounded division. Shuffles on
+    fingerprint then source; never corpus×corpus."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    dup = docs.filter(F.col("doc_id") % 2 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text", "source"
+    )
+    corpus = docs.unionByName(dup)
+    w = Window.partitionBy(fingerprint("text")).orderBy(F.col("doc_id").asc())
+    flagged = corpus.withColumn("is_dup", F.row_number().over(w) > 1)
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("is_dup").cast("long")).cast("long").alias("n_dup_docs"),
+            F.sum(F.length("text").cast("long")).cast("long").alias("bytes_total"),
+            F.sum(
+                F.when(F.col("is_dup"), F.length("text").cast("long")).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("bytes_saved"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_dup_docs",
+            "bytes_total",
+            "bytes_saved",
+            F.when(F.col("bytes_total") == 0, F.lit(None).cast("double"))
+            .otherwise(
+                F.round(
+                    F.col("bytes_saved").cast("double")
+                    / F.col("bytes_total").cast("double")
+                    * F.lit(100.0),
+                    6,
+                )
+            )
+            .alias("savings_pct"),
+        )
+        .orderBy(F.col("source").asc())
+    )
+
+
+def _e1g_sql() -> str:
+    fp = _SQL_FP.format(c="text")
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text, source FROM documents WHERE doc_id % 2 = 0
+),
+flagged AS (
+  SELECT source, text,
+         row_number() OVER (PARTITION BY {fp} ORDER BY doc_id ASC) > 1 AS is_dup
+  FROM corpus
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+       CAST(SUM(length(text)) AS BIGINT) AS bytes_total,
+       CAST(SUM(CASE WHEN is_dup THEN length(text) ELSE 0 END) AS BIGINT) AS bytes_saved,
+       CASE WHEN SUM(length(text)) = 0 THEN NULL
+            ELSE ROUND(CAST(SUM(CASE WHEN is_dup THEN length(text) ELSE 0 END) AS DOUBLE)
+                       / CAST(SUM(length(text)) AS DOUBLE) * 100.0, 6)
+       END AS savings_pct
+FROM flagged
+GROUP BY source
+ORDER BY source ASC
+"""
+
+
+def e3m_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style dimension-truncation sweep: recall@10 of
+    cosine ranking over the FIRST d embedding components (d = 8, 16,
+    32) against the exact full-dimension ranking — the measurement a
+    pipeline runs before storing a short-prefix index tier next to
+    full vectors (Kusupati et al., 2022, Matryoshka Representation
+    Learning). One corpus scan scores full + all prefixes in a single
+    projection against the broadcast query set; rankings are per-query
+    top-k windows; the report is 3 rows. Exact-oracle-checked: rounded
+    scores tie-break identically and the mean is one division of
+    integer totals."""
+    from hbase_increment_index_spark.pipeline.similarity import dim_truncation_recall
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return dim_truncation_recall(
+        emb, F.col("vec_id") % 200 == 0, dims=[8, 16, 32], k=10
+    )
+
+
+def _e3m_sql() -> str:
+    def cos(a: str, b: str) -> str:
+        return (
+            f"ROUND(list_dot_product({a}, {b}) / "
+            f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+        )
+
+    score_cols = ",\n         ".join(
+        f"{cos(f'v.e[1:{d}]', f'q.qe[1:{d}]')} AS s_{d}" for d in (8, 16, 32)
+    )
+    dim_ctes = ",\n".join(
+        f"""t{d} AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q_id, vec_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY s_{d} DESC, vec_id ASC) AS rn
+    FROM scored) WHERE rn <= 10
+),
+h{d} AS (
+  SELECT q_id, count(*) AS n FROM exact JOIN t{d} USING (q_id, vec_id) GROUP BY q_id
+),
+r{d} AS (
+  SELECT CAST({d} AS BIGINT) AS dims,
+         count(*) AS n_queries,
+         CAST(SUM(COALESCE(h.n, 0)) AS BIGINT) AS total_hits,
+         ROUND(CAST(SUM(COALESCE(h.n, 0)) AS DOUBLE) / (count(*) * 10), 6) AS mean_recall
+  FROM q LEFT JOIN h{d} h ON h.q_id = q.q_id
+)"""
+        for d in (8, 16, 32)
+    )
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+q AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id % 200 = 0),
+scored AS (
+  SELECT q.q_id, v.vec_id,
+         {cos('v.e', 'q.qe')} AS s_full,
+         {score_cols}
+  FROM v CROSS JOIN q WHERE v.vec_id <> q.q_id
+),
+exact AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q_id, vec_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY s_full DESC, vec_id ASC) AS rn
+    FROM scored) WHERE rn <= 10
+),
+{dim_ctes}
+SELECT * FROM r8 UNION ALL SELECT * FROM r16 UNION ALL SELECT * FROM r32
+ORDER BY dims ASC
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -8496,11 +8644,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "olap_idle_balances": olap_idle_balances,
     "e4g_pii_scrub": e4g_pii_scrub,
     "e4h_repetition": e4h_repetition,
-    # --- planned r6 window (positions 51-74): e1b/e1c (overflow from
-    # the 50-wide r5 cut), embedding/text/media/sampling variants, and
-    # the two r4 additions e1f/e4n; q14b stays last (HLL sketch,
-    # rows-only by design — no exact oracle exists). r6 closes driver
-    # evidence at 226/227 green + 1 documented no-oracle. ---
+    # --- planned r6 window (positions 51-76): e1b/e1c (overflow from
+    # the 50-wide r5 cut), embedding/text/media/sampling variants, the
+    # two r4 additions e1f/e4n, and the two r5 additions e1g/e3m; q14b
+    # stays last (HLL sketch, rows-only by design — no exact oracle
+    # exists). r6 closes driver evidence at 228/229 green + 1
+    # documented no-oracle. ---
     "e1b_duplicate_clusters": e1b_duplicate_clusters,
     "e1c_dedup_with_dups": e1c_dedup_with_dups,
     "e2_ngram_jaccard": e2_ngram_jaccard,
@@ -8524,6 +8673,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e6d_weighted_sample": e6d_weighted_sample,
     "e1f_cross_source_dup_matrix": e1f_cross_source_dup_matrix,  # added r4
     "e4n_tokenizer_fertility": e4n_tokenizer_fertility,          # added r4
+    "e1g_dedup_savings": e1g_dedup_savings,                      # added r5
+    "e3m_dim_truncation_recall": e3m_dim_truncation_recall,      # added r5
     "q14b_approx_distinct": q14b_approx_distinct,
     # --- driver-verified green in r1-r4 (CORRECTNESS_r0{1..4}.json) ---
     "q77_collection_alias": q77_collection_alias,
@@ -8685,6 +8836,8 @@ ORACLES: dict[str, str] = {
     "flagship": FLAGSHIP_SQL,
     "e1f_cross_source_dup_matrix": _e1f_sql(),
     "e4n_tokenizer_fertility": _e4n_sql(),
+    "e1g_dedup_savings": _e1g_sql(),
+    "e3m_dim_truncation_recall": _e3m_sql(),
     "q61_stream_rollup": Q61_SQL,
     "q61b_stream_join": Q61B_SQL,
     "q61c_stream_complement": Q61C_SQL,

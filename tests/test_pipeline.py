@@ -582,3 +582,31 @@ def test_lsh_recall_zero_when_bucket_empty(spark):
         emb, F.col("vec_id") == 0, k=2, n_planes=1, dim=2, plane_fn="md5"
     ).collect()
     assert len(out) == 1 and out[0]["recall_at_k"] in (0.0, 1.0)
+
+
+def test_dim_truncation_recall_full_prefix_is_perfect(spark):
+    from hbase_increment_index_spark.pipeline.similarity import dim_truncation_recall
+
+    # 4-D vectors where the discriminating signal lives in dims 3-4:
+    # a 2-dim prefix ranking must NOT be perfect (all prefixes tie at
+    # [1,0]), while the full 4-dim "truncation" is the exact ranking
+    # by construction -> recall exactly 1.0
+    rows = [
+        (0, [1.0, 0.0, 1.0, 0.0]),
+        (1, [1.0, 0.0, 0.9, 0.1]),
+        (2, [1.0, 0.0, -0.9, 0.4]),
+        (3, [1.0, 0.0, -1.0, 0.2]),
+        (4, [1.0, 0.0, 0.8, -0.3]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        r["dims"]: r
+        for r in dim_truncation_recall(
+            emb, F.col("vec_id") == 0, dims=[2, 4], k=2
+        ).collect()
+    }
+    assert out[4]["mean_recall"] == 1.0
+    assert out[4]["n_queries"] == 1 and out[4]["total_hits"] == 2
+    # prefix [1,0] ties every candidate -> rank order falls back to
+    # vec_id, picking {1,2}; exact top-2 is {1,4} -> recall 0.5
+    assert out[2]["mean_recall"] == 0.5

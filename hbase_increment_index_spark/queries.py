@@ -8521,7 +8521,15 @@ def e3m_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return dim_truncation_recall(
-        emb, F.col("vec_id") % 200 == 0, dims=[8, 16, 32], k=10
+        emb,
+        # fixed query panel: the id cap keeps |Q| constant once the
+        # corpus passes 40k vectors, so the brute-force evaluator grows
+        # LINEARLY with corpus size (corpus x fixed panel), never
+        # quadratically - the sampling discipline a recall eval needs
+        # at 100 TB
+        (F.col("vec_id") % 200 == 0) & (F.col("vec_id") < 40_000),
+        dims=[8, 16, 32],
+        k=10,
     )
 
 
@@ -8556,7 +8564,7 @@ r{d} AS (
     )
     return f"""
 WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-q AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id % 200 = 0),
+q AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id % 200 = 0 AND vec_id < 40000),
 scored AS (
   SELECT q.q_id, v.vec_id,
          {cos('v.e', 'q.qe')} AS s_full,

@@ -3984,10 +3984,11 @@ def e2b_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_sql_ctes() -> str:
+def _minhash_sql_ctes(threshold: float = 0.30) -> str:
     """Shared CTE chain rebuilding minhash_lsh_pairs(hash_fn='md5')
     in DuckDB, ending in a ``pairs(id_a, id_b, jaccard)`` CTE
-    (threshold 0.30 applied). Used by the e2b and e2d oracles."""
+    (``threshold`` applied, default 0.30). Used by the e2b, e2d, e1f,
+    and e2m oracles."""
     from hbase_increment_index_spark.pipeline.dedup import (
         _MERSENNE,
         _perm_params,
@@ -4038,7 +4039,7 @@ pairs AS (
   FROM common
   JOIN sizes sa ON sa.doc = id_a
   JOIN sizes sb ON sb.doc = id_b
-  WHERE ROUND(common / (sa.n_sh + sb.n_sh - common), 6) >= 0.30
+  WHERE ROUND(common / (sa.n_sh + sb.n_sh - common), 6) >= {threshold}
 )"""
 
 
@@ -8583,6 +8584,58 @@ ORDER BY dims ASC
 """
 
 
+def e2m_jaccard_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup threshold calibration: the Jaccard distribution of
+    verified candidate pairs in 0.1-wide bands — the histogram a
+    curation team inspects before picking the dedup operating point τ
+    (a fat band just under the current τ means small τ shifts swing
+    the removal rate). Runs the standard MinHash-LSH candidate
+    pipeline with the verify floor LOWERED to 0.15 so the sub-τ mass
+    is visible; banding and the final agg are a projection + one
+    |bands|-row groupBy on the (already tiny) pair list. Band edges
+    are computed from the SAME rounded jaccard doubles in both
+    engines, so placement is bit-identical even at band boundaries."""
+    pairs = minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        num_perm=64, bands=16, threshold=0.15,
+        impl="pandas", hash_fn="md5",
+    )
+    return (
+        pairs.select(
+            F.floor(F.col("jaccard") * 10).cast("long").alias("band"), "jaccard"
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min("jaccard").alias("min_jaccard"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+        .select(
+            (F.col("band") / F.lit(10.0)).alias("band_lo"),
+            "n_pairs",
+            "min_jaccard",
+            "max_jaccard",
+        )
+        .orderBy(F.col("band_lo").asc())
+    )
+
+
+def _e2m_sql() -> str:
+    return f"""
+WITH {_minhash_sql_ctes(threshold=0.15)},
+banded AS (
+  SELECT CAST(floor(jaccard * 10) AS BIGINT) AS band, jaccard FROM pairs
+)
+SELECT band / 10.0 AS band_lo,
+       count(*) AS n_pairs,
+       min(jaccard) AS min_jaccard,
+       max(jaccard) AS max_jaccard
+FROM banded
+GROUP BY band
+ORDER BY band_lo ASC
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -8652,12 +8705,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "olap_idle_balances": olap_idle_balances,
     "e4g_pii_scrub": e4g_pii_scrub,
     "e4h_repetition": e4h_repetition,
-    # --- planned r6 window (positions 51-76): e1b/e1c (overflow from
+    # --- planned r6 window (positions 51-77): e1b/e1c (overflow from
     # the 50-wide r5 cut), embedding/text/media/sampling variants, the
-    # two r4 additions e1f/e4n, and the two r5 additions e1g/e3m; q14b
-    # stays last (HLL sketch, rows-only by design — no exact oracle
-    # exists). r6 closes driver evidence at 228/229 green + 1
-    # documented no-oracle. ---
+    # two r4 additions e1f/e4n, and the three r5 additions
+    # e1g/e3m/e2m; q14b stays last (HLL sketch, rows-only by design —
+    # no exact oracle exists). r6 closes driver evidence at 229/230
+    # green + 1 documented no-oracle. ---
     "e1b_duplicate_clusters": e1b_duplicate_clusters,
     "e1c_dedup_with_dups": e1c_dedup_with_dups,
     "e2_ngram_jaccard": e2_ngram_jaccard,
@@ -8683,6 +8736,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e4n_tokenizer_fertility": e4n_tokenizer_fertility,          # added r4
     "e1g_dedup_savings": e1g_dedup_savings,                      # added r5
     "e3m_dim_truncation_recall": e3m_dim_truncation_recall,      # added r5
+    "e2m_jaccard_histogram": e2m_jaccard_histogram,              # added r5
     "q14b_approx_distinct": q14b_approx_distinct,
     # --- driver-verified green in r1-r4 (CORRECTNESS_r0{1..4}.json) ---
     "q77_collection_alias": q77_collection_alias,
@@ -8846,6 +8900,7 @@ ORACLES: dict[str, str] = {
     "e4n_tokenizer_fertility": _e4n_sql(),
     "e1g_dedup_savings": _e1g_sql(),
     "e3m_dim_truncation_recall": _e3m_sql(),
+    "e2m_jaccard_histogram": _e2m_sql(),
     "q61_stream_rollup": Q61_SQL,
     "q61b_stream_join": Q61B_SQL,
     "q61c_stream_complement": Q61C_SQL,

@@ -8584,6 +8584,81 @@ ORDER BY dims ASC
 """
 
 
+def cdc_merge_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental quantile-sketch maintenance over the CDC stream —
+    Solr ``stats.field`` percentiles (served by t-digest there,
+    reference-adjacent surface) re-expressed as the EXACTLY-mergeable
+    fixed-bin histogram: per event_type, value counts in width-5 bins.
+    The materialized sketch over corpus v1 absorbs one micro-batch
+    (inserts event_id%10==0, value-halving updates %10==1 — which MOVE
+    events between bins — and deletes %10==2) through the same
+    additive +new/−old merge as facet counts
+    (facets.merge_facet_counts with a struct key); P50/P95 then read
+    off the merged sketch as the lower edge of the first bin whose
+    cumulative count crosses q·n. Merge algebra makes the result equal
+    the sketch built fresh from the final corpus — which is what the
+    oracle computes. Shuffles carry |event_type × bins| rows, never
+    events; the percentile window partitions by event_type (tiny)."""
+    ev = _t(spark, sf_dir, "events")
+    m = F.col("event_id") % 10
+    bin_expr = (F.floor(F.col("value") / 5) * 5).cast("double")
+    key = F.struct(F.col("event_type").alias("et"), bin_expr.alias("bin"))
+    v1 = ev.filter(m != 0).withColumn(
+        "value", F.when(m == 1, F.col("value") * 0.5).otherwise(F.col("value"))
+    )
+    sketch_v1 = v1.groupBy(key.alias("k")).agg(F.count(F.lit(1)).alias("n"))
+    old_rows = v1.filter(m.isin(1, 2)).select("event_type", "value")
+    new_rows = ev.filter(m.isin(0, 1)).select("event_type", "value")
+    merged = facets.merge_facet_counts(sketch_v1, old_rows, new_rows, key, "k")
+    flat = merged.select(
+        F.col("k.et").alias("event_type"), F.col("k.bin").alias("bin"), "n"
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("bin").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("event_type")
+    c = flat.withColumn("cum", F.sum("n").over(w_cum)).withColumn(
+        "total", F.sum("n").over(w_tot)
+    )
+    return (
+        c.groupBy("event_type")
+        .agg(
+            F.max("total").cast("long").alias("n_total"),
+            F.min(
+                F.when(F.col("cum") >= F.lit(0.5) * F.col("total"), F.col("bin"))
+            ).alias("p50_bin"),
+            F.min(
+                F.when(F.col("cum") >= F.lit(0.95) * F.col("total"), F.col("bin"))
+            ).alias("p95_bin"),
+        )
+        .orderBy(F.col("event_type").asc())
+    )
+
+
+CDC_MERGE_PERCENTILES_SQL = """
+WITH final AS (
+  SELECT event_type, CAST(floor(value / 5) * 5 AS DOUBLE) AS bin
+  FROM events WHERE event_id % 10 <> 2
+),
+hist AS (SELECT event_type, bin, count(*) AS n FROM final GROUP BY 1, 2),
+c AS (
+  SELECT event_type, bin, n,
+         SUM(n) OVER (PARTITION BY event_type ORDER BY bin ASC) AS cum,
+         SUM(n) OVER (PARTITION BY event_type) AS total
+  FROM hist
+)
+SELECT event_type,
+       CAST(MAX(total) AS BIGINT) AS n_total,
+       MIN(CASE WHEN cum >= 0.5 * total THEN bin END) AS p50_bin,
+       MIN(CASE WHEN cum >= 0.95 * total THEN bin END) AS p95_bin
+FROM c
+GROUP BY event_type
+ORDER BY event_type ASC
+"""
+
+
 def e2m_jaccard_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup threshold calibration: the Jaccard distribution of
     verified candidate pairs in 0.1-wide bands — the histogram a
@@ -8705,11 +8780,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "olap_idle_balances": olap_idle_balances,
     "e4g_pii_scrub": e4g_pii_scrub,
     "e4h_repetition": e4h_repetition,
-    # --- planned r6 window (positions 51-77): e1b/e1c (overflow from
+    # --- planned r6 window (positions 51-78): e1b/e1c (overflow from
     # the 50-wide r5 cut), embedding/text/media/sampling variants, the
-    # two r4 additions e1f/e4n, and the three r5 additions
-    # e1g/e3m/e2m; q14b stays last (HLL sketch, rows-only by design —
-    # no exact oracle exists). r6 closes driver evidence at 229/230
+    # two r4 additions e1f/e4n, and the r5 additions
+    # e1g/e3m/e2m/cdc_merge_percentiles; q14b stays last (HLL sketch,
+    # rows-only by design — no exact oracle exists). r6 closes driver
+    # evidence at 230/231
     # green + 1 documented no-oracle. ---
     "e1b_duplicate_clusters": e1b_duplicate_clusters,
     "e1c_dedup_with_dups": e1c_dedup_with_dups,
@@ -8737,6 +8813,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e1g_dedup_savings": e1g_dedup_savings,                      # added r5
     "e3m_dim_truncation_recall": e3m_dim_truncation_recall,      # added r5
     "e2m_jaccard_histogram": e2m_jaccard_histogram,              # added r5
+    "cdc_merge_percentiles": cdc_merge_percentiles,              # added r5
     "q14b_approx_distinct": q14b_approx_distinct,
     # --- driver-verified green in r1-r4 (CORRECTNESS_r0{1..4}.json) ---
     "q77_collection_alias": q77_collection_alias,
@@ -8901,6 +8978,7 @@ ORACLES: dict[str, str] = {
     "e1g_dedup_savings": _e1g_sql(),
     "e3m_dim_truncation_recall": _e3m_sql(),
     "e2m_jaccard_histogram": _e2m_sql(),
+    "cdc_merge_percentiles": CDC_MERGE_PERCENTILES_SQL,
     "q61_stream_rollup": Q61_SQL,
     "q61b_stream_join": Q61B_SQL,
     "q61c_stream_complement": Q61C_SQL,

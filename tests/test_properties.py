@@ -663,3 +663,62 @@ def test_connected_components_paths_agree(spark, edges):
     # component = min member: every component id labels itself
     for doc, comp in fast.items():
         assert comp <= doc and fast[comp] == comp
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet="ab ", min_size=0, max_size=12),
+            st.sampled_from(["web", "book", "code"]),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_dedup_savings_matches_python_oracle(spark, docs):
+    """e1g's per-source (n_docs, n_dup_docs, bytes_total, bytes_saved)
+    against a brute-force python fold on arbitrary small corpora with
+    the same normalized-fingerprint dup rule and min-id canonical."""
+    import re as _re
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from hbase_increment_index_spark.pipeline.text import fingerprint
+
+    rows = [(i, text, src) for i, (text, src) in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    w = Window.partitionBy(fingerprint("text")).orderBy(F.col("doc_id").asc())
+    got = {
+        r["source"]: (r["n_docs"], r["n_dup_docs"], r["bytes_total"], r["bytes_saved"])
+        for r in df.withColumn("is_dup", F.row_number().over(w) > 1)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("is_dup").cast("long")).cast("long").alias("n_dup_docs"),
+            F.sum(F.length("text").cast("long")).cast("long").alias("bytes_total"),
+            F.sum(
+                F.when(F.col("is_dup"), F.length("text").cast("long")).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("bytes_saved"),
+        )
+        .collect()
+    }
+
+    def norm(t: str) -> str:
+        return _re.sub(r"\s+", " ", t.strip().lower())
+
+    seen: dict[str, int] = {}
+    for i, text, _src in rows:
+        seen.setdefault(norm(text), i)
+    want: dict[str, list[int]] = {}
+    for i, text, src in rows:
+        is_dup = seen[norm(text)] != i
+        agg = want.setdefault(src, [0, 0, 0, 0])
+        agg[0] += 1
+        agg[1] += int(is_dup)
+        agg[2] += len(text)
+        agg[3] += len(text) if is_dup else 0
+    assert got == {k: tuple(v) for k, v in want.items()}

@@ -8659,6 +8659,88 @@ ORDER BY event_type ASC
 """
 
 
+def cdc_merge_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IDF-statistics maintenance — the collection-wide
+    numbers BM25 serving needs (df per term, N) kept fresh under the
+    CDC stream instead of recomputed by corpus scan (the reference's
+    deferred-cost story applied to ranking stats: the index AND its
+    statistics stay in sync per batch). Corpus v1 absorbs one
+    micro-batch (inserts doc_id%10==0, truncating updates %10==1 —
+    which REMOVE terms from docs — deletes %10==2): per-term df merges
+    additively over each side's DISTINCT token sets (+new −old, the
+    same algebra as facet counts but explode-valued), N merges as a
+    scalar. Output: top-20 terms by df with idf = ln((N+1)/(df+1)),
+    which must equal the stats computed fresh from the final corpus —
+    the oracle's form. Shuffle = |vocab| rows per side, never the
+    corpus; the scalar N joins as a 1-row broadcast."""
+    from hbase_increment_index_spark.search.tokenize import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 10
+    v1 = docs.filter(m != 0).withColumn(
+        "text", F.when(m == 1, F.substring("text", 1, 20)).otherwise(F.col("text"))
+    )
+
+    def df_counts(frame: DataFrame, sign: int) -> DataFrame:
+        return (
+            frame.select(
+                F.explode(F.array_distinct(tokens("text"))).alias("term")
+            )
+            .groupBy("term")
+            .agg((F.lit(sign) * F.count(F.lit(1))).alias("df"))
+        )
+
+    df_v1 = df_counts(v1, 1)
+    old_rows = v1.filter(m.isin(1, 2)).select("text")
+    new_rows = docs.filter(m.isin(0, 1)).select("text")
+    merged_df = (
+        df_v1.unionByName(df_counts(new_rows, 1))
+        .unionByName(df_counts(old_rows, -1))
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
+        .filter(F.col("df") > 0)
+    )
+    # N maintained as a scalar: |v1| + inserts − deletes (equals the
+    # final corpus count); 1-row frame, broadcast into the projection
+    n_final = (
+        v1.select(F.count(F.lit(1)).alias("n0"))
+        .crossJoin(docs.filter(m == 0).select(F.count(F.lit(1)).alias("ins")))
+        .crossJoin(v1.filter(m == 2).select(F.count(F.lit(1)).alias("dels")))
+        .select((F.col("n0") + F.col("ins") - F.col("dels")).alias("n_docs"))
+    )
+    return (
+        merged_df.crossJoin(F.broadcast(n_final))
+        .select(
+            "term",
+            F.col("df").cast("long").alias("df"),
+            F.round(
+                F.log((F.col("n_docs") + 1).cast("double") / (F.col("df") + 1)), 6
+            ).alias("idf"),
+        )
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(20)
+    )
+
+
+def _cdc_merge_idf_sql() -> str:
+    toks = _SQL_TOKS.format(c="text")
+    return f"""
+WITH final AS (
+  SELECT text FROM documents WHERE doc_id % 10 <> 2
+),
+n AS (SELECT count(*) AS n_docs FROM final),
+terms AS (
+  SELECT unnest(list_distinct({toks})) AS term FROM final
+),
+dfc AS (SELECT term, count(*) AS df FROM terms GROUP BY term)
+SELECT term, CAST(df AS BIGINT) AS df,
+       ROUND(ln(CAST(n_docs + 1 AS DOUBLE) / (df + 1)), 6) AS idf
+FROM dfc CROSS JOIN n
+ORDER BY df DESC, term ASC
+LIMIT 20
+"""
+
+
 def e2m_jaccard_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup threshold calibration: the Jaccard distribution of
     verified candidate pairs in 0.1-wide bands — the histogram a
@@ -8780,12 +8862,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "olap_idle_balances": olap_idle_balances,
     "e4g_pii_scrub": e4g_pii_scrub,
     "e4h_repetition": e4h_repetition,
-    # --- planned r6 window (positions 51-78): e1b/e1c (overflow from
+    # --- planned r6 window (positions 51-79): e1b/e1c (overflow from
     # the 50-wide r5 cut), embedding/text/media/sampling variants, the
     # two r4 additions e1f/e4n, and the r5 additions
-    # e1g/e3m/e2m/cdc_merge_percentiles; q14b stays last (HLL sketch,
+    # e1g/e3m/e2m/cdc_merge_{percentiles,idf}; q14b stays last (HLL sketch,
     # rows-only by design — no exact oracle exists). r6 closes driver
-    # evidence at 230/231
+    # evidence at 231/232
     # green + 1 documented no-oracle. ---
     "e1b_duplicate_clusters": e1b_duplicate_clusters,
     "e1c_dedup_with_dups": e1c_dedup_with_dups,
@@ -8814,6 +8896,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e3m_dim_truncation_recall": e3m_dim_truncation_recall,      # added r5
     "e2m_jaccard_histogram": e2m_jaccard_histogram,              # added r5
     "cdc_merge_percentiles": cdc_merge_percentiles,              # added r5
+    "cdc_merge_idf": cdc_merge_idf,                              # added r5
     "q14b_approx_distinct": q14b_approx_distinct,
     # --- driver-verified green in r1-r4 (CORRECTNESS_r0{1..4}.json) ---
     "q77_collection_alias": q77_collection_alias,
@@ -8979,6 +9062,7 @@ ORACLES: dict[str, str] = {
     "e3m_dim_truncation_recall": _e3m_sql(),
     "e2m_jaccard_histogram": _e2m_sql(),
     "cdc_merge_percentiles": CDC_MERGE_PERCENTILES_SQL,
+    "cdc_merge_idf": _cdc_merge_idf_sql(),
     "q61_stream_rollup": Q61_SQL,
     "q61b_stream_join": Q61B_SQL,
     "q61c_stream_complement": Q61C_SQL,

@@ -122,6 +122,9 @@ _EXCHANGE_CEILING: dict[str, int] = {
     "e6h_leakage_safe_split": 12,     # audited 10: CC labels ⋈ split
     "e2j_semdedup": 10,               # audited 8: embedding pairs + CC
     "q69_span_near": 10,              # audited 8: two term-posting slices
+    "cdc_merge_idf": 21,              # audited 18: 4 df-count legs + scalar N + topk
+    "e2m_jaccard_histogram": 24,      # audited 17-22 (varies with session partitions): LSH pipeline + band agg
+    "cdc_merge_percentiles": 12,      # audited 10: 3 merge legs + percentile windows
 }
 
 

@@ -81,6 +81,11 @@ HEADLINE = [
     "e3l_random_projection",
     "e6h_leakage_safe_split",
     "e1f_cross_source_dup_matrix",
+    # --- added r5: the new curation report and the two CDC stat-merge
+    # paths, tracked so the merge-leg plans stay regression-visible
+    "e1g_dedup_savings",
+    "cdc_merge_percentiles",
+    "cdc_merge_idf",
 ]
 
 

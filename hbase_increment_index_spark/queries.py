@@ -8741,6 +8741,104 @@ LIMIT 20
 """
 
 
+def e12d_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-similarity matrix: KL(a‖b) between per-source
+    unigram LMs with add-one smoothing — the Moore-Lewis-adjacent
+    "which corpus segments are statistically alike" view (complement
+    of e9c's drift-over-time): near-zero rows flag redundant sources,
+    asymmetric large KL flags a specialized subset of a general
+    source. Vocabulary is CAPPED at the top-2000 terms by global count
+    (deterministic count-desc/term-asc cut) — the fixed-vocab LM
+    discipline that bounds the term-aligned pair join at
+    |vocab|·|sources|² rows regardless of corpus vocabulary growth.
+    Per-term contributions are IEEE-identical in both engines (integer
+    counts → one fixed double expression), and the per-pair sum rides
+    the rounded-contribution exact-decimal discipline (numeric.py), so
+    the matrix is partition-invariant. Output: |sources|² − |sources|
+    rows."""
+    from hbase_increment_index_spark.search.tokenize import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(tokens("text")).alias("term"))
+    counts_all = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c"))
+    vocab = (
+        counts_all.groupBy("term")
+        .agg(F.sum("c").alias("ct"))
+        .orderBy(F.col("ct").desc(), F.col("term").asc())
+        .limit(2000)
+        .select("term")
+    )
+    counts = counts_all.join(F.broadcast(vocab), "term")
+    srcs = counts.groupBy("source").agg(F.sum("c").cast("double").alias("n"))
+    vn = vocab.agg(F.count(F.lit(1)).cast("double").alias("v"))
+    grid = (
+        vocab.crossJoin(srcs)
+        .join(counts, ["term", "source"], "left")
+        .select("term", "source", "n", F.coalesce("c", F.lit(0)).alias("c0"))
+        # materialize ONCE (|vocab|·|sources| rows — 40k at the cap):
+        # both legs of the self-join read the checkpointed frame
+        # instead of re-deriving the whole token-count pipeline, and
+        # AQE sees the real (tiny) size and broadcasts the join
+        .localCheckpoint(eager=True)
+    )
+    a, b = grid.alias("a"), grid.alias("b")
+    p = (F.col("a.c0") + F.lit(1.0)) / (F.col("a.n") + F.col("v"))
+    q = (F.col("b.c0") + F.lit(1.0)) / (F.col("b.n") + F.col("v"))
+    return (
+        a.join(b, F.col("a.term") == F.col("b.term"))
+        .filter(F.col("a.source") != F.col("b.source"))
+        .crossJoin(F.broadcast(vn))
+        .select(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+            F.round(p * F.log(p / q), 9).alias("contrib"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.round(
+                F.sum(F.col("contrib").cast("decimal(38,12)")).cast("double"), 6
+            ).alias("kl")
+        )
+        .orderBy(F.col("source_a").asc(), F.col("source_b").asc())
+    )
+
+
+def _e12d_sql() -> str:
+    toks = _SQL_TOKS.format(c="text")
+    return f"""
+WITH toks AS (SELECT source, unnest({toks}) AS term FROM documents),
+counts_all AS (SELECT source, term, count(*) AS c FROM toks GROUP BY 1, 2),
+vocab AS (
+  SELECT term FROM (
+    SELECT term, SUM(c) AS ct FROM counts_all GROUP BY term
+    ORDER BY ct DESC, term ASC LIMIT 2000
+  )
+),
+counts AS (SELECT ca.* FROM counts_all ca JOIN vocab USING (term)),
+srcs AS (SELECT source, CAST(SUM(c) AS DOUBLE) AS n FROM counts GROUP BY source),
+vn AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM vocab),
+grid AS (
+  SELECT t.term, s.source, s.n, COALESCE(c.c, 0) AS c0
+  FROM vocab t CROSS JOIN srcs s
+  LEFT JOIN counts c ON c.source = s.source AND c.term = t.term
+),
+contribs AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         ROUND(((a.c0 + 1.0) / (a.n + vn.v))
+               * ln(((a.c0 + 1.0) / (a.n + vn.v)) / ((b.c0 + 1.0) / (b.n + vn.v))),
+               9) AS contrib
+  FROM grid a JOIN grid b ON a.term = b.term
+  CROSS JOIN vn
+  WHERE a.source <> b.source
+)
+SELECT source_a, source_b,
+       ROUND(CAST(SUM(CAST(contrib AS DECIMAL(38,12))) AS DOUBLE), 6) AS kl
+FROM contribs
+GROUP BY 1, 2
+ORDER BY source_a ASC, source_b ASC
+"""
+
+
 def e2m_jaccard_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup threshold calibration: the Jaccard distribution of
     verified candidate pairs in 0.1-wide bands — the histogram a
@@ -8862,12 +8960,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "olap_idle_balances": olap_idle_balances,
     "e4g_pii_scrub": e4g_pii_scrub,
     "e4h_repetition": e4h_repetition,
-    # --- planned r6 window (positions 51-79): e1b/e1c (overflow from
+    # --- planned r6 window (positions 51-80): e1b/e1c (overflow from
     # the 50-wide r5 cut), embedding/text/media/sampling variants, the
     # two r4 additions e1f/e4n, and the r5 additions
-    # e1g/e3m/e2m/cdc_merge_{percentiles,idf}; q14b stays last (HLL sketch,
+    # e1g/e3m/e2m/e12d/cdc_merge_{percentiles,idf}; q14b stays last (HLL sketch,
     # rows-only by design — no exact oracle exists). r6 closes driver
-    # evidence at 231/232
+    # evidence at 232/233
     # green + 1 documented no-oracle. ---
     "e1b_duplicate_clusters": e1b_duplicate_clusters,
     "e1c_dedup_with_dups": e1c_dedup_with_dups,
@@ -8897,6 +8995,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e2m_jaccard_histogram": e2m_jaccard_histogram,              # added r5
     "cdc_merge_percentiles": cdc_merge_percentiles,              # added r5
     "cdc_merge_idf": cdc_merge_idf,                              # added r5
+    "e12d_source_similarity": e12d_source_similarity,            # added r5
     "q14b_approx_distinct": q14b_approx_distinct,
     # --- driver-verified green in r1-r4 (CORRECTNESS_r0{1..4}.json) ---
     "q77_collection_alias": q77_collection_alias,
@@ -9063,6 +9162,7 @@ ORACLES: dict[str, str] = {
     "e2m_jaccard_histogram": _e2m_sql(),
     "cdc_merge_percentiles": CDC_MERGE_PERCENTILES_SQL,
     "cdc_merge_idf": _cdc_merge_idf_sql(),
+    "e12d_source_similarity": _e12d_sql(),
     "q61_stream_rollup": Q61_SQL,
     "q61b_stream_join": Q61B_SQL,
     "q61c_stream_complement": Q61C_SQL,

@@ -102,6 +102,7 @@ _EXPECTED_SMJ: set[str] = {
     "e2j_semdedup",             # stats-less: CC labels over embedding pairs
     "e3h_lsh_recall",           # stats-less: ground-truth agg ⋈ LSH agg
     "e6h_leakage_safe_split",   # stats-less: CC labels ⋈ split assignment
+    "e12d_source_similarity",   # stats-less: checkpointed LM grid self-join (AQE demotes)
 }
 
 

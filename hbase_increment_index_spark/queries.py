@@ -3984,11 +3984,12 @@ def e2b_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_sql_ctes(threshold: float = 0.30) -> str:
+def _minhash_sql_ctes(threshold: float = 0.30, source: str = "documents") -> str:
     """Shared CTE chain rebuilding minhash_lsh_pairs(hash_fn='md5')
     in DuckDB, ending in a ``pairs(id_a, id_b, jaccard)`` CTE
-    (``threshold`` applied, default 0.30). Used by the e2b, e2d, e1f,
-    and e2m oracles."""
+    (``threshold`` applied, default 0.30). ``source`` is the relation
+    scanned for (doc_id, text) — a prior CTE name for pipeline-stage
+    composition (e15). Used by the e2b, e2d, e1f, e2m, e15 oracles."""
     from hbase_increment_index_spark.pipeline.dedup import (
         _MERSENNE,
         _perm_params,
@@ -4006,7 +4007,7 @@ def _minhash_sql_ctes(threshold: float = 0.30) -> str:
            generate_series(1, greatest(len({toks}) - 2, 0)),
            i -> array_to_string(list_slice({toks}, i, i + 2), ' ')
          ) AS grams
-  FROM documents
+  FROM {source}
 ),
 sh AS (SELECT DISTINCT doc, unnest(grams) AS sh FROM base WHERE len(grams) > 0),
 hs AS (SELECT doc, {h} % {_MERSENNE} AS hv FROM sh),
@@ -8891,6 +8892,169 @@ ORDER BY band_lo ASC
 """
 
 
+def e15_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end pretraining curation funnel with per-stage
+    accounting — THE dashboard a training-data team reads: how many
+    documents and tokens survive each gate, in the standard order
+    raw pool → Gopher heuristic gate (published defaults) → exact
+    dedup (min-id canonical) → MinHash-LSH near-dup removal →
+    benchmark decontamination (4-gram collision vs the held-out eval
+    slice) → quality-score floor (0.5). Every stage is the already
+    oracle-proven operator applied to the previous stage's survivors
+    (composition is where silent count drift hides — this query pins
+    it). s3 is localCheckpointed: the LSH+CC lineage would otherwise
+    be re-embedded in the three downstream stage reports. Output: one
+    row per stage (stage, docs, tokens). Scaling: each gate is the
+    audited per-operator plan; the funnel adds only |stages| count
+    aggregates."""
+    from hbase_increment_index_spark.pipeline.dedup import (
+        cross_contamination,
+        near_dup_clusters,
+    )
+    from hbase_increment_index_spark.pipeline.text import (
+        gopher_rules,
+        quality_features,
+        token_count,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pool = docs.filter(F.col("doc_id") % 50 != 0).select("doc_id", "text")
+    keep1 = gopher_rules(pool, "doc_id", "text").filter(F.col("keep") == 1).select("doc_id")
+    s1 = pool.join(keep1, "doc_id", "left_semi")
+    w = Window.partitionBy(fingerprint("text")).orderBy(F.col("doc_id").asc())
+    s2 = s1.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    marks = near_dup_clusters(
+        s2, "doc_id", "text", threshold=0.30, num_perm=64, bands=16,
+        impl="pandas", hash_fn="md5",
+    )
+    s3 = s2.join(
+        marks.filter(~F.col("is_canonical")).select("doc_id"), "doc_id", "left_anti"
+    ).localCheckpoint(eager=True)
+    eval_set = docs.filter(F.col("doc_id") % 50 == 0).select("doc_id", "text")
+    bad = cross_contamination(
+        s3, eval_set, "doc_id", "text", n=4, min_collisions=1
+    ).select("doc_id")
+    s4 = s3.join(bad, "doc_id", "left_anti")
+    s5 = s4.join(
+        quality_features(s4, "text")
+        .filter(F.col("quality_score") >= 0.5)
+        .select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    stages = [
+        ("0_raw_pool", pool),
+        ("1_gopher_gate", s1),
+        ("2_exact_dedup", s2),
+        ("3_near_dup_removal", s3),
+        ("4_decontaminated", s4),
+        ("5_quality_floor", s5),
+    ]
+    reports = [
+        frame.agg(
+            F.count(F.lit(1)).cast("long").alias("docs"),
+            F.coalesce(F.sum(token_count(F.col("text")).cast("long")), F.lit(0))
+            .cast("long")
+            .alias("tokens"),
+        ).select(F.lit(name).alias("stage"), "docs", "tokens")
+        for name, frame in stages
+    ]
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out.orderBy(F.col("stage").asc())
+
+
+def _e15_sql() -> str:
+    toks = _SQL_TOKS.format(c="text")
+    fp = _SQL_FP.format(c="text")
+    grams4 = (
+        f"list_transform(generate_series(1, greatest(len({toks}) - 3, 0)), "
+        f"i -> array_to_string(list_slice({toks}, i, i + 3), ' '))"
+    )
+    return f"""
+WITH RECURSIVE
+pool AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 <> 0),
+gstag AS (
+  SELECT doc_id,
+         len({toks}) AS n,
+         len(list_filter({toks}, t -> regexp_matches(t, '[a-z]'))) AS n_alpha,
+         len(list_filter({toks}, t -> list_contains({_EN_STOP_SQL}, t))) AS n_stop,
+         list_sum(list_transform({toks}, t -> CAST(length(t) AS BIGINT))) AS sum_len
+  FROM pool
+),
+gkeep AS (
+  SELECT doc_id FROM gstag
+  WHERE n >= 50 AND n <= 100000
+    AND (CASE WHEN n > 0 THEN CAST(sum_len AS DOUBLE) / n ELSE 0.0 END) >= 3.0
+    AND (CASE WHEN n > 0 THEN CAST(sum_len AS DOUBLE) / n ELSE 0.0 END) <= 10.0
+    AND (CASE WHEN n > 0 THEN CAST(n_alpha AS DOUBLE) / n ELSE 0.0 END) >= 0.8
+    AND n_stop >= 2
+),
+s1 AS (SELECT p.* FROM pool p JOIN gkeep USING (doc_id)),
+s2 AS (
+  SELECT doc_id, text FROM s1
+  QUALIFY row_number() OVER (PARTITION BY {fp} ORDER BY doc_id ASC) = 1
+),
+{_minhash_sql_ctes(source="s2")},
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+comp AS (SELECT u, least(u, min(v)) AS component FROM reach GROUP BY u),
+drop_ids AS (SELECT u FROM comp WHERE component <> u),
+s3 AS (SELECT * FROM s2 WHERE doc_id NOT IN (SELECT u FROM drop_ids)),
+egrams AS (
+  SELECT DISTINCT g
+  FROM (SELECT unnest({grams4}) AS g FROM documents WHERE doc_id % 50 = 0)
+),
+cgrams AS (
+  SELECT DISTINCT doc_id, g
+  FROM (SELECT doc_id, unnest({grams4}) AS g FROM s3)
+),
+bad AS (SELECT DISTINCT doc_id FROM cgrams JOIN egrams USING (g)),
+s4 AS (SELECT * FROM s3 WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+qfeat AS (
+  SELECT doc_id,
+         len({toks}) AS n_tokens,
+         CASE WHEN len({toks}) > 0
+              THEN length(regexp_replace(text, '\\s+', '', 'g')) / len({toks})
+              ELSE 0.0 END AS raw_avg_tok,
+         len(list_filter({toks}, t -> list_contains({_EN_STOP_SQL}, t))) AS n_stop
+  FROM s4
+),
+qkeep AS (
+  SELECT doc_id FROM qfeat
+  WHERE ROUND(0.4 * least(n_tokens / 100.0, 1.0)
+              + 0.3 * (CASE WHEN raw_avg_tok >= 2 AND raw_avg_tok <= 12 THEN 1.0 ELSE 0.0 END)
+              + 0.3 * least((CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END) * 5, 1.0),
+              6) >= 0.5
+),
+s5 AS (SELECT s4.* FROM s4 JOIN qkeep USING (doc_id))
+SELECT stage, docs, tokens FROM (
+  SELECT '0_raw_pool' AS stage, count(*) AS docs,
+         COALESCE(CAST(SUM(len({toks})) AS BIGINT), 0) AS tokens FROM pool
+  UNION ALL
+  SELECT '1_gopher_gate', count(*), COALESCE(CAST(SUM(len({toks})) AS BIGINT), 0) FROM s1
+  UNION ALL
+  SELECT '2_exact_dedup', count(*), COALESCE(CAST(SUM(len({toks})) AS BIGINT), 0) FROM s2
+  UNION ALL
+  SELECT '3_near_dup_removal', count(*), COALESCE(CAST(SUM(len({toks})) AS BIGINT), 0) FROM s3
+  UNION ALL
+  SELECT '4_decontaminated', count(*), COALESCE(CAST(SUM(len({toks})) AS BIGINT), 0) FROM s4
+  UNION ALL
+  SELECT '5_quality_floor', count(*), COALESCE(CAST(SUM(len({toks})) AS BIGINT), 0) FROM s5
+)
+ORDER BY stage ASC
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -8960,12 +9124,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "olap_idle_balances": olap_idle_balances,
     "e4g_pii_scrub": e4g_pii_scrub,
     "e4h_repetition": e4h_repetition,
-    # --- planned r6 window (positions 51-80): e1b/e1c (overflow from
+    # --- planned r6 window (positions 51-81): e1b/e1c (overflow from
     # the 50-wide r5 cut), embedding/text/media/sampling variants, the
     # two r4 additions e1f/e4n, and the r5 additions
-    # e1g/e3m/e2m/e12d/cdc_merge_{percentiles,idf}; q14b stays last (HLL sketch,
+    # e1g/e3m/e2m/e12d/e15/cdc_merge_{percentiles,idf}; q14b stays last (HLL sketch,
     # rows-only by design — no exact oracle exists). r6 closes driver
-    # evidence at 232/233
+    # evidence at 233/234
     # green + 1 documented no-oracle. ---
     "e1b_duplicate_clusters": e1b_duplicate_clusters,
     "e1c_dedup_with_dups": e1c_dedup_with_dups,
@@ -8996,6 +9160,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_merge_percentiles": cdc_merge_percentiles,              # added r5
     "cdc_merge_idf": cdc_merge_idf,                              # added r5
     "e12d_source_similarity": e12d_source_similarity,            # added r5
+    "e15_curation_funnel": e15_curation_funnel,                  # added r5
     "q14b_approx_distinct": q14b_approx_distinct,
     # --- driver-verified green in r1-r4 (CORRECTNESS_r0{1..4}.json) ---
     "q77_collection_alias": q77_collection_alias,
@@ -9163,6 +9328,7 @@ ORACLES: dict[str, str] = {
     "cdc_merge_percentiles": CDC_MERGE_PERCENTILES_SQL,
     "cdc_merge_idf": _cdc_merge_idf_sql(),
     "e12d_source_similarity": _e12d_sql(),
+    "e15_curation_funnel": _e15_sql(),
     "q61_stream_rollup": Q61_SQL,
     "q61b_stream_join": Q61B_SQL,
     "q61c_stream_complement": Q61C_SQL,

@@ -126,6 +126,7 @@ _EXCHANGE_CEILING: dict[str, int] = {
     "cdc_merge_idf": 21,              # audited 18: 4 df-count legs + scalar N + topk
     "e2m_jaccard_histogram": 24,      # audited 17-22 (varies with session partitions): LSH pipeline + band agg
     "cdc_merge_percentiles": 12,      # audited 10: 3 merge legs + percentile windows
+    "e15_curation_funnel": 62,        # audited 56: 6 stage reports over a 5-gate pipeline
 }
 
 

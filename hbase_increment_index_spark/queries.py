@@ -9055,6 +9055,98 @@ ORDER BY stage ASC
 """
 
 
+def e17_token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture EXECUTION: turn tempered source weights into an exact
+    integer token allocation for a fixed training budget (10,000
+    tokens here) via the largest-remainder (Hamilton) method — the
+    step after e11's keep-rates when a run plans per-source quotas up
+    front. All arithmetic after the sqrt is INTEGER-exact: weights are
+    sqrt(tokens) scaled to 1e6 and floored (sqrt is IEEE
+    correctly-rounded, so both engines get bit-identical integers —
+    the same trick as e11), quotas use integer division, remainders
+    are exact bigints, and the leftover +1s go to the largest
+    remainders (source-asc tie-break). Invariant: Σ alloc == budget,
+    exactly. One |sources|-row frame end-to-end after the token-count
+    scan."""
+    from hbase_increment_index_spark.pipeline.text import token_count
+
+    budget = 10_000
+    docs = _t(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.sum(token_count(F.col("text")).cast("long")).cast("long").alias("toks")
+    )
+    # whole-frame windows instead of scalar crossJoins: the frame is
+    # |sources| rows, so one scan feeds every derived column and the
+    # single-partition window is over tens of rows, not data
+    wfull = Window.partitionBy()
+    q = (
+        s.withColumn(
+            "wq",
+            F.floor(
+                F.sqrt(F.col("toks").cast("double")) * F.lit(1e6) + F.lit(0.5)
+            ).cast("long"),
+        )
+        .withColumn("W", F.sum("wq").over(wfull))
+        .withColumn("base", F.expr(f"({budget} * wq) div W"))
+        .withColumn("rem", F.lit(budget) * F.col("wq") - F.col("base") * F.col("W"))
+        .withColumn("leftover", F.lit(budget) - F.sum("base").over(wfull))
+    )
+    rk = F.row_number().over(
+        Window.orderBy(F.col("rem").desc(), F.col("source").asc())
+    )
+    return (
+        q.withColumn("rk", rk)
+        .select(
+            "source",
+            F.col("toks").alias("tokens_available"),
+            F.round(F.col("wq").cast("double") / F.col("W").cast("double"), 6).alias(
+                "weight"
+            ),
+            (
+                F.col("base")
+                + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("alloc_tokens"),
+        )
+        .orderBy(F.col("source").asc())
+    )
+
+
+def _e17_sql() -> str:
+    toks = _SQL_TOKS.format(c="text")
+    return f"""
+WITH s AS (
+  SELECT source, CAST(SUM(len({toks})) AS BIGINT) AS toks
+  FROM documents GROUP BY source
+),
+w AS (
+  SELECT source, toks,
+         CAST(FLOOR(SQRT(CAST(toks AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS wq
+  FROM s
+),
+q AS (
+  SELECT source, toks, wq,
+         SUM(wq) OVER () AS W,
+         (10000 * wq) // SUM(wq) OVER () AS base,
+         (10000 * wq) - ((10000 * wq) // SUM(wq) OVER ()) * SUM(wq) OVER () AS rem
+  FROM w
+),
+r AS (
+  SELECT *,
+         10000 - SUM(base) OVER () AS leftover,
+         row_number() OVER (ORDER BY rem DESC, source ASC) AS rk
+  FROM q
+)
+SELECT source,
+       toks AS tokens_available,
+       ROUND(CAST(wq AS DOUBLE) / CAST(W AS DOUBLE), 6) AS weight,
+       CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc_tokens
+FROM r
+ORDER BY source ASC
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -9124,12 +9216,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "olap_idle_balances": olap_idle_balances,
     "e4g_pii_scrub": e4g_pii_scrub,
     "e4h_repetition": e4h_repetition,
-    # --- planned r6 window (positions 51-81): e1b/e1c (overflow from
+    # --- planned r6 window (positions 51-82): e1b/e1c (overflow from
     # the 50-wide r5 cut), embedding/text/media/sampling variants, the
     # two r4 additions e1f/e4n, and the r5 additions
-    # e1g/e3m/e2m/e12d/e15/cdc_merge_{percentiles,idf}; q14b stays last (HLL sketch,
+    # e1g/e3m/e2m/e12d/e15/e17/cdc_merge_{percentiles,idf}; q14b last (HLL sketch,
     # rows-only by design — no exact oracle exists). r6 closes driver
-    # evidence at 233/234
+    # evidence at 234/235
     # green + 1 documented no-oracle. ---
     "e1b_duplicate_clusters": e1b_duplicate_clusters,
     "e1c_dedup_with_dups": e1c_dedup_with_dups,
@@ -9161,6 +9253,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_merge_idf": cdc_merge_idf,                              # added r5
     "e12d_source_similarity": e12d_source_similarity,            # added r5
     "e15_curation_funnel": e15_curation_funnel,                  # added r5
+    "e17_token_budget_allocation": e17_token_budget_allocation,  # added r5
     "q14b_approx_distinct": q14b_approx_distinct,
     # --- driver-verified green in r1-r4 (CORRECTNESS_r0{1..4}.json) ---
     "q77_collection_alias": q77_collection_alias,
@@ -9329,6 +9422,7 @@ ORACLES: dict[str, str] = {
     "cdc_merge_idf": _cdc_merge_idf_sql(),
     "e12d_source_similarity": _e12d_sql(),
     "e15_curation_funnel": _e15_sql(),
+    "e17_token_budget_allocation": _e17_sql(),
     "q61_stream_rollup": Q61_SQL,
     "q61b_stream_join": Q61B_SQL,
     "q61c_stream_complement": Q61C_SQL,

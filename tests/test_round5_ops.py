@@ -138,3 +138,14 @@ def test_e2m_bands_partition_the_pairs(spark, sf_dir):
         assert r["band_lo"] <= r["min_jaccard"] <= r["max_jaccard"] < r["band_lo"] + 0.1 or (
             r["band_lo"] == 1.0 and r["max_jaccard"] == 1.0
         )
+
+
+def test_e17_allocation_sums_to_budget_exactly(spark, sf_dir):
+    """Largest-remainder invariants: Σ alloc == 10000 EXACTLY, every
+    allocation non-negative, weights sum to ~1."""
+    from hbase_increment_index_spark.queries import e17_token_budget_allocation
+
+    rows = e17_token_budget_allocation(spark, sf_dir).collect()
+    assert sum(r["alloc_tokens"] for r in rows) == 10_000
+    assert all(r["alloc_tokens"] >= 0 for r in rows)
+    assert abs(sum(r["weight"] for r in rows) - 1.0) < 1e-4

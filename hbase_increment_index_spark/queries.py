@@ -9147,6 +9147,91 @@ ORDER BY source ASC
 """
 
 
+def e5d_perceptual_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup over the REAL decode pipeline
+    (aHash): each media row's 8-lane decoded feature becomes an 8-bit
+    average-hash (bit k set iff lane k exceeds the lane mean), and
+    identical hashes cluster — the content-level near-dup pass a
+    multimodal corpus runs after exact byte dedup (resized/re-encoded
+    copies share an aHash even when bytes differ). The decode runs
+    through the same Arrow-batched mapInPandas as e5b; the lane mean
+    is a LEFT-FOLD over the ordered lanes divided by the fixed DIM so
+    the oracle (list ORDER BY lane + list_reduce) reproduces the exact
+    double; bit weights are pow(2, lane) cast to bigint (exact
+    integers, no shift-distance pitfalls). Output: one row per hash
+    value with cluster size and id range."""
+    docs = _t(spark, sf_dir, "documents")
+    media = synth_media(docs)
+    feats = extract_features(media)
+    mean = F.aggregate("feature", F.lit(0.0), lambda a, x: a + x) / F.lit(8.0)
+    lanes = feats.withColumn("mean", mean).select(
+        "media_id", "mean", F.posexplode("feature").alias("lane", "feat")
+    )
+    hashed = lanes.groupBy("media_id").agg(
+        F.sum(
+            F.when(
+                F.col("feat") > F.col("mean"),
+                F.pow(F.lit(2.0), F.col("lane")).cast("long"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("ahash")
+    )
+    return (
+        hashed.groupBy("ahash")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.min("media_id").alias("min_media_id"),
+            F.max("media_id").alias("max_media_id"),
+        )
+        .orderBy(F.col("n_images").desc(), F.col("ahash").asc())
+    )
+
+
+# DuckDB twin: E5B's byte-lane arithmetic, then the same ordered left
+# fold for the mean and the same pow-weighted bit sum. Fixture texts
+# are all >= 8 bytes, so every lane exists on both sides (the same
+# precondition E5B's lane parity already relies on).
+E5D_SQL = """
+WITH m AS (
+  SELECT doc_id AS media_id, text, GREATEST(length(text), 1) AS n
+  FROM documents
+),
+b AS (
+  SELECT media_id, CAST(i % 8 AS INT) AS lane,
+         ord(substr(text, CAST(i AS INT) + 1, 1)) AS byte
+  FROM m, unnest(range(0, n)) AS t(i)
+),
+l AS (
+  SELECT media_id, lane, CAST(SUM(byte) AS DOUBLE) AS s
+  FROM b GROUP BY 1, 2
+),
+f AS (
+  SELECT l.media_id, l.lane, l.s / m.n AS feat
+  FROM m JOIN l USING (media_id)
+),
+mn AS (
+  SELECT media_id,
+         list_reduce(list_prepend(0.0, list(feat ORDER BY lane)), (a, b) -> a + b) / 8.0 AS mean
+  FROM f GROUP BY media_id
+),
+h AS (
+  SELECT f.media_id,
+         CAST(SUM(CASE WHEN f.feat > mn.mean
+                       THEN CAST(POW(2.0, f.lane) AS BIGINT) ELSE 0 END) AS BIGINT) AS ahash
+  FROM f JOIN mn USING (media_id)
+  GROUP BY f.media_id
+)
+SELECT ahash,
+       count(*) AS n_images,
+       MIN(media_id) AS min_media_id,
+       MAX(media_id) AS max_media_id
+FROM h
+GROUP BY ahash
+ORDER BY n_images DESC, ahash ASC
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -9216,12 +9301,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "olap_idle_balances": olap_idle_balances,
     "e4g_pii_scrub": e4g_pii_scrub,
     "e4h_repetition": e4h_repetition,
-    # --- planned r6 window (positions 51-82): e1b/e1c (overflow from
+    # --- planned r6 window (positions 51-83): e1b/e1c (overflow from
     # the 50-wide r5 cut), embedding/text/media/sampling variants, the
     # two r4 additions e1f/e4n, and the r5 additions
-    # e1g/e3m/e2m/e12d/e15/e17/cdc_merge_{percentiles,idf}; q14b last (HLL sketch,
+    # e1g/e3m/e2m/e5d/e12d/e15/e17/cdc_merge_{percentiles,idf}; q14b last (HLL sketch,
     # rows-only by design — no exact oracle exists). r6 closes driver
-    # evidence at 234/235
+    # evidence at 235/236
     # green + 1 documented no-oracle. ---
     "e1b_duplicate_clusters": e1b_duplicate_clusters,
     "e1c_dedup_with_dups": e1c_dedup_with_dups,
@@ -9254,6 +9339,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e12d_source_similarity": e12d_source_similarity,            # added r5
     "e15_curation_funnel": e15_curation_funnel,                  # added r5
     "e17_token_budget_allocation": e17_token_budget_allocation,  # added r5
+    "e5d_perceptual_hash": e5d_perceptual_hash,                  # added r5
     "q14b_approx_distinct": q14b_approx_distinct,
     # --- driver-verified green in r1-r4 (CORRECTNESS_r0{1..4}.json) ---
     "q77_collection_alias": q77_collection_alias,
@@ -9423,6 +9509,7 @@ ORACLES: dict[str, str] = {
     "e12d_source_similarity": _e12d_sql(),
     "e15_curation_funnel": _e15_sql(),
     "e17_token_budget_allocation": _e17_sql(),
+    "e5d_perceptual_hash": E5D_SQL,
     "q61_stream_rollup": Q61_SQL,
     "q61b_stream_join": Q61B_SQL,
     "q61c_stream_complement": Q61C_SQL,

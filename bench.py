@@ -81,11 +81,15 @@ HEADLINE = [
     "e3l_random_projection",
     "e6h_leakage_safe_split",
     "e1f_cross_source_dup_matrix",
-    # --- added r5: the new curation report and the two CDC stat-merge
-    # paths, tracked so the merge-leg plans stay regression-visible
+    # --- added r5: the new curation reports, the two CDC stat-merge
+    # paths, and the cheap similarity/media additions, tracked so the
+    # new plans stay regression-visible round over round
     "e1g_dedup_savings",
     "cdc_merge_percentiles",
     "cdc_merge_idf",
+    "e2m_jaccard_histogram",
+    "e17_token_budget_allocation",
+    "e5d_perceptual_hash",
 ]
 
 

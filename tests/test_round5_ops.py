@@ -149,3 +149,20 @@ def test_e17_allocation_sums_to_budget_exactly(spark, sf_dir):
     assert sum(r["alloc_tokens"] for r in rows) == 10_000
     assert all(r["alloc_tokens"] >= 0 for r in rows)
     assert abs(sum(r["weight"] for r in rows) - 1.0) < 1e-4
+
+
+def test_e15_funnel_is_monotone_nonincreasing(spark, sf_dir):
+    """Each curation stage can only shed documents and tokens; the
+    stage labels sort in pipeline order so adjacent-row comparison is
+    the invariant."""
+    from hbase_increment_index_spark.queries import e15_curation_funnel
+
+    rows = e15_curation_funnel(spark, sf_dir).collect()
+    assert [r["stage"] for r in rows] == [
+        "0_raw_pool", "1_gopher_gate", "2_exact_dedup",
+        "3_near_dup_removal", "4_decontaminated", "5_quality_floor",
+    ]
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["docs"] <= prev["docs"]
+        assert cur["tokens"] <= prev["tokens"]
+    assert rows[-1]["docs"] > 0  # the pipeline keeps something

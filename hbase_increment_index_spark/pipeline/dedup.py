@@ -600,6 +600,17 @@ def connected_components(
     # opposing per-node deltas can cancel (premature break). The agg
     # doubles as the action that materializes the round's
     # persist/checkpoint, so it's still 1 job per round.
+    # Cache hygiene (ADVICE r5 finding 4): each round's frame is only
+    # needed until the NEXT round's frame has materialized — after
+    # that, keeping it cached just accumulates partitions across
+    # iterations. Track the previous round's persist()-ed frame and
+    # drop it once the convergence agg (the action that materializes
+    # the current round) completes. localCheckpoint()-ed rounds are
+    # NEVER unpersisted: a checkpoint truncates lineage, so evicting
+    # its blocks would make later rounds unrecomputable — but a
+    # checkpoint also cuts every earlier frame out of the lineage,
+    # which is exactly when dropping the previous persist is safest.
+    prev_persisted = None
     for it in range(max_iters):
         neighbor_min = (
             edges.join(labels.withColumnRenamed("u", "v"), "v")
@@ -618,11 +629,19 @@ def connected_components(
             # truncate lineage; eager so the cut happens before the
             # convergence action re-walks the plan
             stepped = stepped.localCheckpoint(eager=True)
+            this_persisted = None
         else:
             stepped = stepped.persist()
+            this_persisted = stepped
         changed = stepped.agg(
             F.sum((F.col("label") != F.col("old_label")).cast("long")).alias("c")
         ).head()["c"]
+        if prev_persisted is not None:
+            # current round is materialized in cache; recompute-on-
+            # eviction walks intact lineage, so this is purely a
+            # memory release, never a correctness risk
+            prev_persisted.unpersist()
+        prev_persisted = this_persisted
         labels = stepped.select("u", "label")
         if not changed:
             break

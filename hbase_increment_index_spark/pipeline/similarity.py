@@ -381,14 +381,23 @@ def dim_truncation_recall(
     ranked = ranked.withColumn("rn_full", rn("s_full"))
     for d in dims:
         ranked = ranked.withColumn(f"rn_{d}", rn(f"s_{d}"))
-    totals = ranked.agg(
-        F.countDistinct("q_id").alias("n_queries"),
+    # n_queries comes from the QUERY PANEL, not from the scored rows —
+    # a query with zero candidates (filtered self-only panel, empty
+    # corpus slice) must still count in the denominator and contribute
+    # 0 hits, exactly like the oracle's LEFT JOIN + COALESCE (ADVICE
+    # r5 finding 3: countDistinct over candidates dropped such queries
+    # and NULLed total_hits). Both frames are single-row aggregates,
+    # so the join is a broadcast of one row.
+    hit_totals = ranked.agg(
         *[
             F.sum(
                 ((F.col("rn_full") <= k) & (F.col(f"rn_{d}") <= k)).cast("long")
             ).alias(f"hits_{d}")
             for d in dims
         ],
+    )
+    totals = queries.agg(F.countDistinct("q_id").alias("n_queries")).crossJoin(
+        F.broadcast(hit_totals)
     )
     # one row per prefix length, exploded from the single totals row —
     # a union of per-dim selects would re-plan the scorer once per
@@ -401,9 +410,11 @@ def dim_truncation_recall(
                         F.struct(
                             F.lit(d).cast("long").alias("dims"),
                             F.col("n_queries").cast("long").alias("n_queries"),
-                            F.col(f"hits_{d}").cast("long").alias("total_hits"),
+                            F.coalesce(F.col(f"hits_{d}"), F.lit(0))
+                            .cast("long")
+                            .alias("total_hits"),
                             F.round(
-                                F.col(f"hits_{d}").cast("double")
+                                F.coalesce(F.col(f"hits_{d}"), F.lit(0)).cast("double")
                                 / (F.col("n_queries") * F.lit(k)).cast("double"),
                                 6,
                             ).alias("mean_recall"),

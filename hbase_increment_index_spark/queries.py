@@ -9188,23 +9188,36 @@ def e5d_perceptual_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# DuckDB twin: E5B's byte-lane arithmetic, then the same ordered left
-# fold for the mean and the same pow-weighted bit sum. Fixture texts
-# are all >= 8 bytes, so every lane exists on both sides (the same
-# precondition E5B's lane parity already relies on).
+# DuckDB twin: E5B's byte-lane arithmetic — BYTE-true, not char-true:
+# the Spark decoder iterates the UTF-8 payload bytes (synth_media
+# encodes text as utf-8; DeterministicFakeDecoder sums raw byte
+# values), so the oracle extracts each byte from hex(encode(text))
+# rather than ord() over characters, which would silently diverge on
+# any multi-byte codepoint (ADVICE r5 finding 2). Lanes 0-7 are
+# generated explicitly and left-joined so texts shorter than 8 bytes
+# (or empty) still yield the decoder's 0.0 lanes. Then the same
+# ordered left fold for the mean and the same pow-weighted bit sum.
 E5D_SQL = """
 WITH m AS (
-  SELECT doc_id AS media_id, text, GREATEST(length(text), 1) AS n
+  SELECT doc_id AS media_id,
+         hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS nb,
+         GREATEST(octet_length(encode(text)), 1) AS n
   FROM documents
 ),
 b AS (
   SELECT media_id, CAST(i % 8 AS INT) AS lane,
-         ord(substr(text, CAST(i AS INT) + 1, 1)) AS byte
-  FROM m, unnest(range(0, n)) AS t(i)
+         CAST(('0x' || substr(hx, CAST(2 * i + 1 AS INT), 2)) AS INT) AS byte
+  FROM m, unnest(range(0, nb)) AS t(i)
 ),
-l AS (
+lg AS (
   SELECT media_id, lane, CAST(SUM(byte) AS DOUBLE) AS s
   FROM b GROUP BY 1, 2
+),
+l AS (
+  SELECT m.media_id, CAST(lv.lane AS INT) AS lane, COALESCE(lg.s, 0.0) AS s
+  FROM m CROSS JOIN (SELECT CAST(unnest(range(0, 8)) AS INT) AS lane) lv
+  LEFT JOIN lg ON lg.media_id = m.media_id AND lg.lane = lv.lane
 ),
 f AS (
   SELECT l.media_id, l.lane, l.s / m.n AS feat
@@ -9249,13 +9262,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ------------------------------------------------------------------
     "flagship": flagship,
     # --- r6 window (positions 1-33 after flagship): the 32 queries
-    # with no driver-side green row after r5 (e1b/e1c overflow from
-    # the 50-wide r5 cut, E-series embedding/text/media/sampling
-    # variants, the r4 additions e1f/e4n, and all 9 r5 additions),
-    # plus q14b last (HLL sketch, rows-only by design — no exact
-    # oracle exists). Verifying this block closes driver evidence at
-    # 235/236 green + 1 documented no-oracle. New r6 operators follow
-    # immediately so they land inside the same 50-wide window. ---
+    # that had no driver-side green row after r5, plus q14b last (HLL
+    # sketch, rows-only by design — no exact oracle exists). The r6
+    # driver run verified this whole block, closing driver evidence at
+    # 235/236 green + 1 documented no-oracle. Round 6 added no new
+    # operators — the r7 additions are inserted at the FRONT of this
+    # window (below) so they get driver rows in the r7 run. ---
     "e1b_duplicate_clusters": e1b_duplicate_clusters,
     "e1c_dedup_with_dups": e1c_dedup_with_dups,
     "e2_ngram_jaccard": e2_ngram_jaccard,

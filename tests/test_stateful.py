@@ -292,22 +292,20 @@ class _FakeHandle:
 def test_transform_with_state_v2_processor_semantics():
     """State-v2 processor logic, driven directly through a fake state
     handle. The transformWithStateInPandas RUNNER needs
-    google.protobuf, which this container does not ship (documented
-    unsupported-in-container in README; on a standard Spark 4 cluster
-    protobuf is a pyspark install dependency and the module runs
-    as-is) — the processor's init/handleInputRows/state round-trip and
-    its integer-cents exactness discipline are fully testable without
-    it, and the stable applyInPandasWithState twins above cover the
-    end-to-end streaming path."""
+    google.protobuf (absent in this container, present on a standard
+    Spark 4 cluster where protobuf is a pyspark install dependency) —
+    the processor's init/handleInputRows/state round-trip and its
+    integer-cents exactness discipline are fully testable without it.
+    This test is environment-agnostic: it runs the processor against a
+    fake handle regardless of protobuf availability; the real-runner
+    end-to-end test below engages only where the runner can start."""
     import pandas as pd
 
     from hbase_increment_index_spark.streaming.stateful_v2 import (
         RunningCountProcessor,
-        is_available,
         running_user_counts_v2,
     )
 
-    assert not is_available()  # this container has no google.protobuf
     assert callable(running_user_counts_v2)
 
     proc = RunningCountProcessor()
@@ -326,3 +324,26 @@ def test_transform_with_state_v2_processor_semantics():
     assert out2.to_dict("records") == [{"user_id": 7, "n": 3, "sum_value": 3.99}]
     assert handle.states["agg"].get() == (3, 399)
     proc.close()
+
+
+def test_transform_with_state_v2_real_runner(spark):
+    """End-to-end transformWithStateInPandas through the real state-v2
+    runner — engages only where google.protobuf is importable (the
+    norm on Spark 4 clusters; this container ships without it, so the
+    test records a skip rather than failing the suite either way)."""
+    from hbase_increment_index_spark.streaming.stateful_v2 import (
+        is_available,
+        running_user_counts_v2,
+    )
+
+    if not is_available():
+        pytest.skip("google.protobuf not installed; state-v2 runner cannot start")
+    events = spark.createDataFrame(
+        [(7, 1.01), (7, 2.0), (9, 0.98)], "user_id long, value double"
+    )
+    rows = {
+        r["user_id"]: (r["n"], r["sum_value"])
+        for r in running_user_counts_v2(events).collect()
+    }
+    assert rows[7] == (2, 3.01)
+    assert rows[9] == (1, 0.98)

@@ -397,6 +397,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     impl: str = "pandas",
     hash_fn: str = "xxhash64",
+    max_bucket_docs: int | None = 256,
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding + exact Jaccard verify.
 
@@ -421,8 +422,30 @@ def minhash_lsh_pairs(
     banding only bounds recall.
 
     Shuffle profile: explode to (band_idx, band_hash) — self-join on
-    the band bucket — verify join. Bucket keys are hashes, so the join
-    is skew-free by construction.
+    the band bucket — verify join. Bucket keys are hashes, so UNIQUE
+    texts spread skew-free; DUPLICATE texts all share every band
+    bucket, which is the one adversarial skew this join has.
+
+    ``max_bucket_docs`` is the skew guard for that case: a bucket of n
+    docs would otherwise emit C(n,2) candidate pairs — a single 10M-doc
+    boilerplate cluster at 100 TB turns one band bucket into 5*10^13
+    pairs and strands the stage on one task. Instead, docs are ranked
+    within each (band, band_hash) bucket by id; the lowest
+    ``max_bucket_docs`` ids form the all-pairs CORE, and every
+    overflow doc pairs only with the bucket's min-id REPRESENTATIVE
+    (a star), bounding the bucket at C(cap,2) + (n - cap) pairs —
+    linear in n past the cap. The exact-Jaccard verify still runs on
+    every emitted pair, so precision is untouched; what the star
+    trades is pair RECALL among overflow docs whose similarity to the
+    representative falls below threshold while their mutual similarity
+    does not — for the mass-duplicate clusters that actually create
+    hot buckets, overflow↔representative similarity is ~1, so the
+    cluster stays connected and downstream connected-components dedup
+    is unchanged. Ranking is a row_number window partitioned by the
+    same (band, band_hash) keys the join shuffles on (one in-partition
+    sort, no extra exchange), and the guard is deterministic (id
+    order), so results are reproducible run-to-run. Set
+    ``max_bucket_docs=None`` to restore the unguarded all-pairs join.
     """
     if num_perm % bands:
         raise ValueError("num_perm must be divisible by bands")
@@ -481,13 +504,38 @@ def minhash_lsh_pairs(
         ).alias("b"),
     ).select("doc", "b.band", "b.bh")
 
-    cand = (
-        banded.alias("x")
-        .join(banded.alias("y"), ["band", "bh"])
-        .filter(F.col("x.doc") < F.col("y.doc"))
-        .select(F.col("x.doc").alias("id_a"), F.col("y.doc").alias("id_b"))
-        .distinct()
-    )
+    if max_bucket_docs:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "bh").orderBy("doc")
+        rb = banded.withColumn("rk", F.row_number().over(w))
+        core = rb.filter(F.col("rk") <= max_bucket_docs).select("doc", "band", "bh")
+        cand_core = (
+            core.alias("x")
+            .join(core.alias("y"), ["band", "bh"])
+            .filter(F.col("x.doc") < F.col("y.doc"))
+            .select(F.col("x.doc").alias("id_a"), F.col("y.doc").alias("id_b"))
+        )
+        # rk==1 is the bucket min, so rep_doc < every overflow doc and
+        # the (id_a < id_b) pair orientation holds by construction
+        rep = rb.filter(F.col("rk") == 1).select(
+            "band", "bh", F.col("doc").alias("id_a")
+        )
+        cand_overflow = (
+            rb.filter(F.col("rk") > max_bucket_docs)
+            .select("band", "bh", F.col("doc").alias("id_b"))
+            .join(rep, ["band", "bh"])
+            .select("id_a", "id_b")
+        )
+        cand = cand_core.union(cand_overflow).distinct()
+    else:
+        cand = (
+            banded.alias("x")
+            .join(banded.alias("y"), ["band", "bh"])
+            .filter(F.col("x.doc") < F.col("y.doc"))
+            .select(F.col("x.doc").alias("id_a"), F.col("y.doc").alias("id_b"))
+            .distinct()
+        )
 
     sh_a = base.select(F.col("doc").alias("id_a"), F.col("sh").alias("sh_a"))
     sh_b = base.select(F.col("doc").alias("id_b"), F.col("sh").alias("sh_b"))

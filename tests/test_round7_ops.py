@@ -133,3 +133,69 @@ def test_connected_components_cache_hygiene(spark):
     # edges checkpoint + final stepped + <= 2 mid-loop localCheckpoints
     # (rounds 5 and 10) — the old behavior left one frame PER ROUND
     assert after - before <= 4, f"cached RDDs grew by {after - before}"
+
+
+def test_lsh_skew_guard_bounds_hot_bucket(spark):
+    """Adversarial corpus: one mass-duplicate cluster. Every band
+    bucket contains the whole cluster, so the unguarded join is
+    C(n,2)-quadratic; the guard must bound candidates at
+    C(cap,2) + (n - cap) per bucket while keeping the cluster fully
+    connected through the representative star (r5 task 4)."""
+    from hbase_increment_index_spark.pipeline.dedup import (
+        minhash_lsh_pairs,
+        near_dup_clusters,
+    )
+
+    n, cap = 200, 8
+    dup_text = "the same boilerplate paragraph repeated across the crawl corpus"
+    rows = [(i, dup_text) for i in range(1, n + 1)] + [
+        (n + 1, "a genuinely unique document about spark shuffles"),
+        (n + 2, "another unique document about parquet pruning"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    pairs = minhash_lsh_pairs(
+        df, "doc_id", "text", threshold=0.5, max_bucket_docs=cap
+    )
+    n_pairs = pairs.count()
+    # identical signatures => identical buckets in every band => the
+    # distinct candidate set is exactly one bucket's worth
+    bound = cap * (cap - 1) // 2 + (n - cap)
+    assert n_pairs <= bound, f"{n_pairs} pairs > bound {bound}"
+    assert n_pairs < n * (n - 1) // 2 / 10  # nowhere near quadratic
+
+    # recall: the whole cluster still collapses to ONE canonical doc
+    clusters = near_dup_clusters(
+        df, "doc_id", "text", threshold=0.5, max_bucket_docs=cap
+    )
+    canon = clusters.filter(F.col("is_canonical")).count()
+    assert canon == 3  # 1 for the 200-dup cluster + 2 uniques
+
+
+def test_lsh_skew_guard_no_trigger_parity(spark):
+    """On a corpus with no hot bucket the guarded join must emit
+    exactly the same verified pairs as the unguarded one — the guard
+    only reshapes buckets past the cap."""
+    from hbase_increment_index_spark.pipeline.dedup import minhash_lsh_pairs
+
+    rows = [
+        (1, "spark shuffles partition data across the cluster nodes"),
+        (2, "spark shuffles partition data across the cluster racks"),
+        (3, "parquet files store columns with pushdown friendly stats"),
+        (4, "parquet files store columns with pushdown friendly stats"),
+        (5, "a completely different document about inverted indexes"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    guarded = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in minhash_lsh_pairs(
+            df, "doc_id", "text", threshold=0.3, max_bucket_docs=256
+        ).collect()
+    }
+    unguarded = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in minhash_lsh_pairs(
+            df, "doc_id", "text", threshold=0.3, max_bucket_docs=None
+        ).collect()
+    }
+    assert guarded == unguarded and (3, 4, 1.0) in guarded

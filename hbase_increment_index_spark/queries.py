@@ -9245,6 +9245,132 @@ ORDER BY n_images DESC, ahash ASC
 """
 
 
+def q39d_json_facet_blockjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr ``json.facet`` over a block-join domain: ``q=priority:
+    1-URGENT AND status:F`` + ``json.facet={flags: {type: terms,
+    field: returnflag, domain: {blockChildren: 'type:order'}, facet:
+    {sum_revenue: ..., avg_qty: ..., years: {type: terms, field:
+    shipyear, limit: 2}}}}`` — the standard nested-document faceting
+    a solrj 9.8 client issues (reference pom.xml:22 pulls solrj; the
+    coprocessor indexes parent rows the same client then facets).
+    Matching PARENT orders define the domain; the facet itself runs
+    over their CHILD line items: a terms facet on l_returnflag with
+    count + revenue/quantity stats and a nested top-2 l_shipmode
+    subfacet per bucket.
+
+    Plan: the q49b child block join provides the domain switch (the
+    filtered parent keyset is projected to the key column and
+    broadcast — the child fact table never shuffles for the join),
+    then q39's two-level bucket shape: one composite-key hash agg for
+    the subfacet, one bucket-key hash agg for the stats, tiny bucket
+    frame broadcast onto the ranked subfacet rows. Both parent
+    predicates push into the orders scan; only facet columns are read
+    from lineitem."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    from hbase_increment_index_spark.search.join_parsers import child_block_join
+
+    parent_pred = (F.col("o_orderpriority") == "1-URGENT") & (
+        F.col("o_orderstatus") == "F"
+    )
+    children = child_block_join(orders, li, "o_orderkey", "l_orderkey", parent_pred)
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    bucket = children.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(exact_sum(revenue), 6).alias("sum_revenue"),
+        F.round(exact_avg("l_quantity"), 6).alias("avg_qty"),
+    )
+    per_year = children.withColumn(
+        "sub_year", F.year("l_shipdate").cast("long")
+    ).groupBy("l_returnflag", "sub_year").agg(F.count(F.lit(1)).alias("sub_n"))
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("sub_n").desc(), F.col("sub_year").asc()
+    )
+    sub = (
+        per_year.withColumn("sub_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sub_rank") <= 2)
+        .select("l_returnflag", "sub_year", "sub_n", "sub_rank")
+    )
+    return sub.join(F.broadcast(bucket), "l_returnflag")
+
+
+Q39D_SQL = """
+WITH children AS (
+  SELECT l_returnflag, l_shipdate, l_quantity, l_extendedprice, l_discount
+  FROM lineitem
+  WHERE EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_orderkey = l_orderkey
+      AND o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'
+  )
+),
+bucket AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS BIGINT) AS n,
+         ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE), 6) AS sum_revenue,
+         ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) / count(l_quantity), 6) AS avg_qty
+  FROM children GROUP BY 1
+),
+per_year AS (
+  SELECT l_returnflag, CAST(year(l_shipdate) AS BIGINT) AS sub_year,
+         CAST(count(*) AS BIGINT) AS sub_n
+  FROM children GROUP BY 1, 2
+),
+sub AS (
+  SELECT l_returnflag, sub_year, sub_n,
+         CAST(row_number() OVER (PARTITION BY l_returnflag
+                                 ORDER BY sub_n DESC, sub_year ASC) AS BIGINT) AS sub_rank
+  FROM per_year
+)
+SELECT s.l_returnflag, s.sub_year, s.sub_n, s.sub_rank,
+       b.n, b.sum_revenue, b.avg_qty
+FROM sub s JOIN bucket b USING (l_returnflag)
+WHERE s.sub_rank <= 2
+"""
+
+
+def cdc_delete_by_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr ``deleteByQuery`` through the REAL facade merge path
+    (api.SecondaryIndex.delete_by_query): build the index from the
+    events cell log (same substrate as cdc_index_documents), tombstone
+    every document whose latest purchase cell is >= 50, and serve the
+    survivors. The facade evaluates the predicate on the serving view,
+    stamps row tombstones strictly after every live cell
+    (max(ts)+1s, max(seq)+1) and folds them through the standard
+    compact/merge — the reference ships only deleteById
+    (SolrIndexTools.java:105-107); DBQ is the index-maintenance verb
+    Solr pairs with it, with identical semantics.
+
+    The oracle rebuilds the document table one-shot and filters the
+    predicate out: DBQ∘merge ≡ filter∘rebuild is the correctness
+    claim, the same rebuild-equality pattern as cdc_merge_batches
+    (and the tombstones are real — a doc deleted here can be
+    re-inserted later, which a plain filter could not express)."""
+    from hbase_increment_index_spark.api import SecondaryIndex
+
+    events = _t(spark, sf_dir, "events")
+    log = cell_log_from_events(events, delete_event_type="error")
+    idx = SecondaryIndex(
+        spark,
+        families=["cf"],
+        qualifiers=["click", "purchase", "signup", "view"],
+        key_field="id",
+    )
+    idx.apply_mutations(log)
+    idx.delete_by_query(F.col("purchase").cast("double") >= 50.0)
+    return idx.documents.select("id", "click", "purchase", "signup", "view")
+
+
+# survivors are the docs where the predicate is NOT true (false OR
+# null-valued — a doc with no purchase cell never matches a DBQ on
+# purchase, exactly like Solr's q=purchase:[50 TO *])
+CDC_DBQ_SQL = f"""
+SELECT id, click, purchase, signup, view
+FROM ({CDC_INDEX_DOCS_SQL}) d
+WHERE NOT COALESCE(CAST(purchase AS DOUBLE) >= 50.0, FALSE)
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -9268,6 +9394,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # 235/236 green + 1 documented no-oracle. Round 6 added no new
     # operators — the r7 additions are inserted at the FRONT of this
     # window (below) so they get driver rows in the r7 run. ---
+    "q39d_json_facet_blockjoin": q39d_json_facet_blockjoin,
+    "cdc_delete_by_query": cdc_delete_by_query,
     "e1b_duplicate_clusters": e1b_duplicate_clusters,
     "e1c_dedup_with_dups": e1c_dedup_with_dups,
     "e2_ngram_jaccard": e2_ngram_jaccard,
@@ -9509,6 +9637,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLES: dict[str, str] = {
     "flagship": FLAGSHIP_SQL,
+    "q39d_json_facet_blockjoin": Q39D_SQL,
+    "cdc_delete_by_query": CDC_DBQ_SQL,
     "e1f_cross_source_dup_matrix": _e1f_sql(),
     "e4n_tokenizer_fertility": _e4n_sql(),
     "e1g_dedup_savings": _e1g_sql(),

@@ -199,3 +199,59 @@ def test_lsh_skew_guard_no_trigger_parity(spark):
         ).collect()
     }
     assert guarded == unguarded and (3, 4, 1.0) in guarded
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_cells = st.lists(
+    st.tuples(
+        st.sampled_from(["put", "put", "put", "delete"]),  # puts dominate
+        st.integers(min_value=0, max_value=5),             # row key
+        st.sampled_from(["a", "b"]),                       # qualifier
+        st.integers(min_value=0, max_value=99),            # value
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_cells)
+def test_delete_by_query_equals_filtered_rebuild(spark, rows):
+    """DBQ ∘ merge ≡ filter ∘ rebuild (r5 task 3): tombstoning every
+    doc matching a predicate through the facade's mutation path must
+    serve exactly the documents a one-shot rebuild minus a plain
+    filter would — on ANY mutation history, including out-of-order
+    updates and pre-existing row deletes."""
+    import datetime as dt
+
+    from hbase_increment_index_spark.api import SecondaryIndex
+
+    base = dt.datetime(2024, 1, 1)
+    log = spark.createDataFrame(
+        [
+            (
+                op,
+                f"r{row}",
+                "cf",
+                qual,
+                None if op == "delete" else str(val),
+                base + dt.timedelta(seconds=(i * 7) % len(rows)),  # out of order
+                i,
+            )
+            for i, (op, row, qual, val) in enumerate(rows)
+        ],
+        "op string, row_key string, family string, qualifier string, "
+        "value string, ts timestamp, seq long",
+    )
+    idx = SecondaryIndex(spark, families=["cf"], qualifiers=["a", "b"], key_field="id")
+    idx.apply_mutations(log)
+    pred = F.col("a").cast("double") >= 50.0
+    survivors_by_filter = {
+        tuple(r)
+        for r in idx.documents.filter(~F.coalesce(pred, F.lit(False))).collect()
+    }
+    idx.delete_by_query(pred)
+    survivors_by_dbq = {tuple(r) for r in idx.documents.collect()}
+    assert survivors_by_dbq == survivors_by_filter

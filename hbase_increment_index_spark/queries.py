@@ -9371,6 +9371,138 @@ WHERE NOT COALESCE(CAST(purchase AS DOUBLE) >= 50.0, FALSE)
 """
 
 
+def q14c_percentile_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured sketch error for the Q-IVMP percentile sketch: per
+    event_type, the EXACT discrete percentile (smallest value whose
+    cumulative count crosses q·n — the interpolation-free rule both
+    engines compute identically) next to the width-5 fixed-bin
+    sketch's answer (cdc_merge_percentiles' serving rule), with the
+    signed error and an in-bound flag. The fixed-bin sketch's error is
+    DETERMINISTICALLY bounded by construction — the exact percentile
+    always lands inside the crossing bin, so 0 ≤ error < bin width —
+    which is the trade against t-digest/approx_percentile: those give
+    tighter tail error on skewed data but their answers depend on
+    merge order and compression internals, so no exact cross-engine
+    oracle exists for them (the same reason q14b is rows-only). This
+    query IS the measured-error companion: every value it reports,
+    including the error itself, is oracle-checked.
+
+    Plan: two hash aggs over the same scan (per-(type,value) counts
+    and per-(type,bin) counts), tiny per-type windows, broadcast join
+    of two |event_type|-row frames."""
+    ev = _t(spark, sf_dir, "events")
+    w_cum_v = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("value").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("event_type")
+    vals = (
+        ev.groupBy("event_type", "value")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("cum", F.sum("n").over(w_cum_v))
+        .withColumn("total", F.sum("n").over(w_tot))
+    )
+    exact = vals.groupBy("event_type").agg(
+        F.max("total").cast("long").alias("n_total"),
+        F.min(
+            F.when(F.col("cum") >= F.lit(0.5) * F.col("total"), F.col("value"))
+        ).alias("p50_exact"),
+        F.min(
+            F.when(F.col("cum") >= F.lit(0.95) * F.col("total"), F.col("value"))
+        ).alias("p95_exact"),
+    )
+    bin_expr = (F.floor(F.col("value") / 5) * 5).cast("double")
+    w_cum_b = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("bin").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bins = (
+        ev.select("event_type", bin_expr.alias("bin"))
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("cum", F.sum("n").over(w_cum_b))
+        .withColumn("total", F.sum("n").over(w_tot))
+    )
+    sketch = bins.groupBy("event_type").agg(
+        F.min(
+            F.when(F.col("cum") >= F.lit(0.5) * F.col("total"), F.col("bin"))
+        ).alias("p50_bin"),
+        F.min(
+            F.when(F.col("cum") >= F.lit(0.95) * F.col("total"), F.col("bin"))
+        ).alias("p95_bin"),
+    )
+    return (
+        exact.join(F.broadcast(sketch), "event_type")
+        .select(
+            "event_type",
+            "n_total",
+            F.round("p50_exact", 6).alias("p50_exact"),
+            "p50_bin",
+            F.round(F.col("p50_exact") - F.col("p50_bin"), 6).alias("p50_err"),
+            (
+                (F.col("p50_exact") >= F.col("p50_bin"))
+                & (F.col("p50_exact") < F.col("p50_bin") + 5)
+            ).alias("p50_within_bin"),
+            F.round("p95_exact", 6).alias("p95_exact"),
+            "p95_bin",
+            F.round(F.col("p95_exact") - F.col("p95_bin"), 6).alias("p95_err"),
+            (
+                (F.col("p95_exact") >= F.col("p95_bin"))
+                & (F.col("p95_exact") < F.col("p95_bin") + 5)
+            ).alias("p95_within_bin"),
+        )
+        .orderBy(F.col("event_type").asc())
+    )
+
+
+Q14C_SQL = """
+WITH vals AS (
+  SELECT event_type, value, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+vc AS (
+  SELECT event_type, value, n,
+         SUM(n) OVER (PARTITION BY event_type ORDER BY value ASC) AS cum,
+         SUM(n) OVER (PARTITION BY event_type) AS total
+  FROM vals
+),
+exact AS (
+  SELECT event_type,
+         CAST(MAX(total) AS BIGINT) AS n_total,
+         MIN(CASE WHEN cum >= 0.5 * total THEN value END) AS p50_exact,
+         MIN(CASE WHEN cum >= 0.95 * total THEN value END) AS p95_exact
+  FROM vc GROUP BY event_type
+),
+bins AS (
+  SELECT event_type, CAST(floor(value / 5) * 5 AS DOUBLE) AS bin, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+bc AS (
+  SELECT event_type, bin, n,
+         SUM(n) OVER (PARTITION BY event_type ORDER BY bin ASC) AS cum,
+         SUM(n) OVER (PARTITION BY event_type) AS total
+  FROM bins
+),
+sketch AS (
+  SELECT event_type,
+         MIN(CASE WHEN cum >= 0.5 * total THEN bin END) AS p50_bin,
+         MIN(CASE WHEN cum >= 0.95 * total THEN bin END) AS p95_bin
+  FROM bc GROUP BY event_type
+)
+SELECT e.event_type, e.n_total,
+       ROUND(e.p50_exact, 6) AS p50_exact, s.p50_bin,
+       ROUND(e.p50_exact - s.p50_bin, 6) AS p50_err,
+       (e.p50_exact >= s.p50_bin AND e.p50_exact < s.p50_bin + 5) AS p50_within_bin,
+       ROUND(e.p95_exact, 6) AS p95_exact, s.p95_bin,
+       ROUND(e.p95_exact - s.p95_bin, 6) AS p95_err,
+       (e.p95_exact >= s.p95_bin AND e.p95_exact < s.p95_bin + 5) AS p95_within_bin
+FROM exact e JOIN sketch s USING (event_type)
+ORDER BY e.event_type ASC
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -9396,6 +9528,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # window (below) so they get driver rows in the r7 run. ---
     "q39d_json_facet_blockjoin": q39d_json_facet_blockjoin,
     "cdc_delete_by_query": cdc_delete_by_query,
+    "q14c_percentile_error": q14c_percentile_error,
     "e1b_duplicate_clusters": e1b_duplicate_clusters,
     "e1c_dedup_with_dups": e1c_dedup_with_dups,
     "e2_ngram_jaccard": e2_ngram_jaccard,
@@ -9639,6 +9772,7 @@ ORACLES: dict[str, str] = {
     "flagship": FLAGSHIP_SQL,
     "q39d_json_facet_blockjoin": Q39D_SQL,
     "cdc_delete_by_query": CDC_DBQ_SQL,
+    "q14c_percentile_error": Q14C_SQL,
     "e1f_cross_source_dup_matrix": _e1f_sql(),
     "e4n_tokenizer_fertility": _e4n_sql(),
     "e1g_dedup_savings": _e1g_sql(),

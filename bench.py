@@ -90,6 +90,12 @@ HEADLINE = [
     "e2m_jaccard_histogram",
     "e17_token_budget_allocation",
     "e5d_perceptual_hash",
+    # --- added r7: the block-join facet composition, the tombstone
+    # delete-by-query path (a full facade build + merge, the heaviest
+    # mutation verb), and the percentile-error report
+    "q39d_json_facet_blockjoin",
+    "cdc_delete_by_query",
+    "q14c_percentile_error",
 ]
 
 
@@ -109,16 +115,18 @@ def main() -> None:
     QUERIES["e4_token_counts"](spark, sf_dir).toPandas()
 
     timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        best, n = float("inf"), 0
+        runs, n = [], 0
         for _ in range(5):
             t0 = time.time()
             # toPandas() forces full materialization to the driver,
             # matching what a client of the engine would receive
             n = len(fn(spark, sf_dir).toPandas())
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            runs.append(round(time.time() - t0, 3))
+        samples[name] = runs
+        timings[name] = min(runs)
         # drop persisted frames this operator left behind so heap/GC
         # pressure doesn't accumulate into later queries' timings
         spark.catalog.clearCache()
@@ -142,6 +150,9 @@ def main() -> None:
         span_near_from_index,
     )
 
+    from hbase_increment_index_spark.search import ranking
+    from hbase_increment_index_spark.search.inverted import build_inverted_index
+
     docs = load_table(spark, sf_dir, "documents")
     idx_dir = tempfile.mkdtemp(prefix="posidx_bench_")
     t0 = time.time()
@@ -150,8 +161,36 @@ def main() -> None:
     )
     index_build_sec = round(time.time() - t0, 3)
     print(f"# positional index build+save (one-time): {index_build_sec:.3f}s", file=sys.stderr)
+    # the BM25 serving leg reads the plain postings index (term, doc,
+    # tf) — the same table cdc_merge_idf keeps fresh under mutations,
+    # so "build once + merge per batch + rank from postings" is the
+    # production topology this pair prices out
+    from pyspark.sql import functions as _F
+
+    t0 = time.time()
+    build_inverted_index(docs, "doc_id", "text").write.mode("overwrite").parquet(
+        f"{idx_dir}/postings"
+    )
+    # the doc-length and corpus-stat side tables ship WITH the index
+    # (and stay fresh under the same per-batch merge as cdc_merge_idf),
+    # so serving never re-aggregates the full postings
+    _tp0 = spark.read.parquet(f"{idx_dir}/postings")
+    _dl = _tp0.groupBy("doc_id").agg(_F.sum("tf").alias("dl"))
+    _dl.write.mode("overwrite").parquet(f"{idx_dir}/doclen")
+    spark.read.parquet(f"{idx_dir}/doclen").agg(
+        _F.count(_F.lit(1)).cast("double").alias("n_docs"),
+        (_F.sum("dl").cast("double") / _F.count(_F.lit(1))).alias("avg_dl"),
+    ).write.mode("overwrite").parquet(f"{idx_dir}/stats")
+    postings_build_sec = round(time.time() - t0, 3)
+    print(f"# postings index build+save (one-time): {postings_build_sec:.3f}s", file=sys.stderr)
     pp = spark.read.parquet(f"{idx_dir}/positional")
+    tp = spark.read.parquet(f"{idx_dir}/postings")
+    dl = spark.read.parquet(f"{idx_dir}/doclen")
+    st = spark.read.parquet(f"{idx_dir}/stats")
     served = {
+        "q06c_bm25_servedidx": lambda: ranking.bm25_topk_from_index(
+            tp, "doc_id", ["join", "query", "spark"], k=10, doc_len=dl, stats=st
+        ),
         "q05c_phrase_servedidx": lambda: phrase_match_from_index(
             pp, ["stream", "table", "hash"], "doc_id"
         ),
@@ -163,12 +202,13 @@ def main() -> None:
         ),
     }
     for name, mk in served.items():
-        best, n = float("inf"), 0
+        runs, n = [], 0
         for _ in range(5):
             t0 = time.time()
             n = len(mk().toPandas())
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            runs.append(round(time.time() - t0, 3))
+        samples[name] = runs
+        timings[name] = min(runs)
         spark.catalog.clearCache()
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
     shutil.rmtree(idx_dir, ignore_errors=True)
@@ -181,8 +221,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "samples": samples,
                 "sf": sf,
                 "positional_index_build_once_sec": index_build_sec,
+                "postings_index_build_once_sec": postings_build_sec,
             }
         )
     )

@@ -207,29 +207,37 @@ def bm25_topk_from_index(
     k1: float = 1.2,
     b: float = 0.75,
     score_decimals: int = 6,
+    doc_len: DataFrame | None = None,
+    stats: DataFrame | None = None,
 ) -> DataFrame:
     """Okapi BM25 served ENTIRELY from the materialized postings table
     (term, id, tf) — the Solr/Lucene serving path: the corpus is never
     read or re-tokenized at query time (the reference delegates all
     query-time work to its index, reference README.md:9-10).
 
-    Doc lengths and corpus stats are derived from the index itself —
-    at scale those are the tiny side-tables persisted next to the
-    postings at build time; deriving them here costs one aggregate over
-    the index, never a corpus scan. The whole query is one lazy plan:
-    the scalar (n_docs, avg_dl) row enters via a broadcast cross-join,
-    not a driver collect, and the query-term filter is a broadcast
-    semi-structure so only matching postings ever shuffle.
+    Doc lengths and corpus stats are the tiny side-tables a deployment
+    persists NEXT TO the postings at build time (and keeps fresh with
+    the same merge cadence as cdc_merge_idf) — pass them as
+    ``doc_len`` (id, dl) and ``stats`` (one row: n_docs, avg_dl) and
+    the query never aggregates the full index; left to None, both are
+    derived here with one aggregate over the postings (never a corpus
+    scan), which is the correct default for ad-hoc use. The whole
+    query is one lazy plan: the scalar (n_docs, avg_dl) row enters via
+    a broadcast cross-join, not a driver collect, and the query-term
+    filter is a broadcast semi-structure so only matching postings
+    ever shuffle.
     """
     spark = postings.sparkSession
     terms = spark.createDataFrame(
         [(t.lower(),) for t in sorted(set(query_terms))], ["term"]
     )
-    doc_len = postings.groupBy(id_col).agg(F.sum("tf").alias("dl"))
-    stats = doc_len.agg(
-        F.count(F.lit(1)).cast("double").alias("n_docs"),
-        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avg_dl"),
-    )
+    if doc_len is None:
+        doc_len = postings.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    if stats is None:
+        stats = doc_len.agg(
+            F.count(F.lit(1)).cast("double").alias("n_docs"),
+            (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avg_dl"),
+        )
     hits = postings.join(F.broadcast(terms), "term")
     # postings are distinct (term, id): row count per term == df
     df_t = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))

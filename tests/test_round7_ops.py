@@ -255,3 +255,32 @@ def test_delete_by_query_equals_filtered_rebuild(spark, rows):
     idx.delete_by_query(pred)
     survivors_by_dbq = {tuple(r) for r in idx.documents.collect()}
     assert survivors_by_dbq == survivors_by_filter
+
+
+def test_bm25_served_with_side_tables_matches_derived(spark, sf_dir):
+    """The build-time (doc_len, stats) side tables must serve the
+    exact same ranking as deriving both from the postings at query
+    time — the bench's q06c_bm25_servedidx leg depends on it."""
+    from hbase_increment_index_spark.catalog import load_table
+    from hbase_increment_index_spark.search import ranking
+    from hbase_increment_index_spark.search.inverted import build_inverted_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    postings = build_inverted_index(docs, "doc_id", "text")
+    dl = postings.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    st = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avg_dl"),
+    )
+    terms = ["join", "query", "spark"]
+    derived = [
+        tuple(r)
+        for r in ranking.bm25_topk_from_index(postings, "doc_id", terms).collect()
+    ]
+    served = [
+        tuple(r)
+        for r in ranking.bm25_topk_from_index(
+            postings, "doc_id", terms, doc_len=dl, stats=st
+        ).collect()
+    ]
+    assert served == derived and len(served) == 10

@@ -507,27 +507,28 @@ def minhash_lsh_pairs(
     if max_bucket_docs:
         from pyspark.sql import Window
 
+        # One join expresses both arms: the left side is the CORE
+        # (lowest-cap ids per bucket), the right side the full ranked
+        # bucket; (y.rk <= cap) keeps core×core all-pairs, (x.rk == 1)
+        # keeps representative×overflow star edges (rk 1 is the bucket
+        # min, so id_a < id_b holds by construction). Exactly the
+        # C(cap,2) + (n - cap) bounded pair set, with only TWO window
+        # references (a union of separate core/star arms re-plans the
+        # bucket sort four times), and the per-bucket join fan-out is
+        # min(n, cap)·n — linear in n past the cap, never n².
         w = Window.partitionBy("band", "bh").orderBy("doc")
         rb = banded.withColumn("rk", F.row_number().over(w))
-        core = rb.filter(F.col("rk") <= max_bucket_docs).select("doc", "band", "bh")
-        cand_core = (
-            core.alias("x")
-            .join(core.alias("y"), ["band", "bh"])
-            .filter(F.col("x.doc") < F.col("y.doc"))
+        cand = (
+            rb.filter(F.col("rk") <= max_bucket_docs)
+            .alias("x")
+            .join(rb.alias("y"), ["band", "bh"])
+            .filter(
+                (F.col("x.doc") < F.col("y.doc"))
+                & ((F.col("y.rk") <= max_bucket_docs) | (F.col("x.rk") == 1))
+            )
             .select(F.col("x.doc").alias("id_a"), F.col("y.doc").alias("id_b"))
+            .distinct()
         )
-        # rk==1 is the bucket min, so rep_doc < every overflow doc and
-        # the (id_a < id_b) pair orientation holds by construction
-        rep = rb.filter(F.col("rk") == 1).select(
-            "band", "bh", F.col("doc").alias("id_a")
-        )
-        cand_overflow = (
-            rb.filter(F.col("rk") > max_bucket_docs)
-            .select("band", "bh", F.col("doc").alias("id_b"))
-            .join(rep, ["band", "bh"])
-            .select("id_a", "id_b")
-        )
-        cand = cand_core.union(cand_overflow).distinct()
     else:
         cand = (
             banded.alias("x")

@@ -1,0 +1,987 @@
+"""CDC / index-maintenance queries: cell log, compaction, merges, scans,
+delete-by-query — the reference coprocessor's own surface."""
+from __future__ import annotations
+from hbase_increment_index_spark.cdc.cell_model import cell_log_from_events
+from hbase_increment_index_spark.cdc.compaction import apply_deletes, latest_per_key, live_cells
+from hbase_increment_index_spark.numeric import exact_avg, exact_sum
+from hbase_increment_index_spark.search import facets
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from ._shared import _SQL_TOKS, _TIMERANGE_CUT, _t
+
+
+
+def cdc_scan_agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HBase AggregationClient median() over a rowkey band — the one
+    AggregateImplementation op cdc_scan_agg's algebraic set can't
+    cover (median is holistic): exact interpolated percentiles over
+    the band-pruned compacted state, p25/p50/p75 in one pass. At real
+    scale the holistic agg is the documented cost (sort within the
+    pruned band); the approx twin is percentile_approx."""
+    from hbase_increment_index_spark.cdc.index_builder import documents_from_cells
+
+    events = _t(spark, sf_dir, "events")
+    log = cell_log_from_events(events, delete_event_type="error")
+    docs = documents_from_cells(log, ["click", "purchase", "signup", "view"])
+    band = docs.filter((F.col("id") >= "2") & (F.col("id") < "6"))
+    return band.agg(
+        F.round(F.expr("percentile(CAST(click AS DOUBLE), 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(CAST(click AS DOUBLE), 0.5)"), 4).alias("median"),
+        F.round(F.expr("percentile(CAST(click AS DOUBLE), 0.75)"), 4).alias("p75"),
+    )
+
+
+CDC_SCAN_MEDIAN_SQL = """
+WITH log AS ({log}),
+cell_latest AS (
+  SELECT * FROM log
+  QUALIFY row_number() OVER (
+    PARTITION BY row_key, family, qualifier ORDER BY ts DESC, seq DESC) = 1
+),
+row_latest AS (
+  SELECT row_key, op AS row_op FROM log
+  QUALIFY row_number() OVER (PARTITION BY row_key ORDER BY ts DESC, seq DESC) = 1
+),
+live AS (
+  SELECT c.* FROM cell_latest c JOIN row_latest r USING (row_key)
+  WHERE c.op = 'put' AND r.row_op = 'put'
+),
+docs AS (
+  SELECT row_key AS id,
+         min(CASE WHEN qualifier = 'click' THEN value END) AS click
+  FROM live GROUP BY row_key
+),
+band AS (SELECT CAST(click AS DOUBLE) AS v FROM docs WHERE id >= '2' AND id < '6')
+SELECT ROUND(quantile_cont(v, 0.25), 4) AS p25,
+       ROUND(quantile_cont(v, 0.5), 4) AS median,
+       ROUND(quantile_cont(v, 0.75), 4) AS p75
+FROM band
+"""
+
+
+def cdc_fuzzy_rowkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HBase FuzzyRowFilter: rowkey match with FIXED-POSITION
+    wildcards (mask '?2?' = any char, '2', any char — the filter HBase
+    evaluates server-side with skip-scan hints). As a regexp anchor on
+    the compacted state's row_key; with a rowkey-layout where the
+    fixed positions are leading, the scan becomes a set of sargable
+    bands (one per wildcard expansion) — the same skip-scan HBase
+    performs."""
+    from hbase_increment_index_spark.cdc.cell_model import cell_log_from_events
+    from hbase_increment_index_spark.cdc.compaction import live_cells
+
+    events = _t(spark, sf_dir, "events")
+    live = live_cells(cell_log_from_events(events, delete_event_type="error"))
+    return (
+        live.filter(F.col("row_key").rlike("^.2.$"))
+        .groupBy("row_key")
+        .agg(F.count(F.lit(1)).alias("n_cells"))
+        .orderBy(F.col("row_key").asc())
+    )
+
+
+def _cdc_fuzzy_sql() -> str:
+    return """
+WITH log AS ({log}),
+cell_latest AS (
+  SELECT * FROM log
+  QUALIFY row_number() OVER (
+    PARTITION BY row_key, family, qualifier ORDER BY ts DESC, seq DESC) = 1
+),
+row_latest AS (
+  SELECT row_key, op AS row_op FROM log
+  QUALIFY row_number() OVER (PARTITION BY row_key ORDER BY ts DESC, seq DESC) = 1
+)
+SELECT c.row_key, count(*) AS n_cells
+FROM cell_latest c JOIN row_latest r USING (row_key)
+WHERE c.op = 'put' AND r.row_op = 'put' AND regexp_full_match(c.row_key, '.2.')
+GROUP BY c.row_key
+ORDER BY c.row_key ASC
+""".replace("{log}", _SQL_CELL_LOG.format(delete_type="error"))
+
+
+def cdc_check_and_put(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HBase checkAndPut (compare-and-set): every row attempts to CAS
+    its 'click' cell to 99.99 iff the current value > 5.00
+    (cdc.mutations.apply_check_and_put). All checks read the pre-batch
+    snapshot; one broadcast join on the cell coordinate, work ∝ batch."""
+    from hbase_increment_index_spark.cdc.cell_model import cell_log_from_events
+    from hbase_increment_index_spark.cdc.compaction import live_cells
+    from hbase_increment_index_spark.cdc.mutations import apply_check_and_put
+
+    events = _t(spark, sf_dir, "events")
+    live = live_cells(cell_log_from_events(events, delete_event_type="error"))
+    batch = (
+        live.select("row_key").distinct()
+        .select(
+            "row_key",
+            F.lit("cf").alias("family"),
+            F.lit("click").alias("qualifier"),
+            F.lit(">").alias("compare_op"),
+            F.lit("5.00").alias("expected"),
+            F.lit("99.99").alias("new_value"),
+        )
+    )
+    return apply_check_and_put(live, batch).orderBy(F.col("row_key").asc())
+
+
+def _cdc_cap_sql() -> str:
+    return """
+WITH log AS ({log}),
+cell_latest AS (
+  SELECT * FROM log
+  QUALIFY row_number() OVER (
+    PARTITION BY row_key, family, qualifier ORDER BY ts DESC, seq DESC) = 1
+),
+row_latest AS (
+  SELECT row_key, op AS row_op FROM log
+  QUALIFY row_number() OVER (PARTITION BY row_key ORDER BY ts DESC, seq DESC) = 1
+),
+live AS (
+  SELECT c.row_key, c.family, c.qualifier, c.value
+  FROM cell_latest c JOIN row_latest r USING (row_key)
+  WHERE c.op = 'put' AND r.row_op = 'put'
+),
+batch AS (SELECT DISTINCT row_key FROM live),
+cur AS (
+  SELECT b.row_key, l.value AS _cur
+  FROM batch b LEFT JOIN live l
+    ON l.row_key = b.row_key AND l.family = 'cf' AND l.qualifier = 'click'
+)
+SELECT row_key, 'cf' AS family, 'click' AS qualifier,
+       COALESCE(CAST(_cur AS DECIMAL(18,2)) > 5.00, FALSE) AS applied,
+       _cur AS old_value,
+       CASE WHEN COALESCE(CAST(_cur AS DECIMAL(18,2)) > 5.00, FALSE)
+            THEN '99.99' ELSE _cur END AS value
+FROM cur
+ORDER BY row_key ASC
+""".replace("{log}", _SQL_CELL_LOG.format(delete_type="error"))
+
+
+def cdc_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (count, Σ) rollup view under a CDC micro-batch —
+    the aggregate-view analogue of cdc_merge_batches: a per-source
+    (n, Σn_chars) view built over the full corpus is folded with a
+    batch of updates (doc_id % 5 == 0: n_chars + 10) and deletes
+    (doc_id % 7 == 0, unless updated) via facets.merge_rollup_sums,
+    and must equal the rollup rebuilt from the final corpus —
+    exact-decimal sums make that equality bit-for-bit. Output serves
+    avg from (n, Σ) at read time."""
+    from hbase_increment_index_spark.search.facets import merge_rollup_sums
+
+    docs = _t(spark, sf_dir, "documents")
+    base = (
+        docs.groupBy(F.col("source").alias("source"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("n_chars").cast("decimal(30,6)")).alias("sum_value"),
+        )
+    )
+    updated_old = docs.filter(F.col("doc_id") % 5 == 0)
+    updated_new = updated_old.withColumn("n_chars", F.col("n_chars") + F.lit(10))
+    deleted = docs.filter((F.col("doc_id") % 7 == 0) & (F.col("doc_id") % 5 != 0))
+    merged = merge_rollup_sums(
+        base,
+        old_rows=updated_old.unionByName(deleted),
+        new_rows=updated_new,
+        key_expr=F.col("source"),
+        key_alias="source",
+        value_col="n_chars",
+    )
+    return merged.select(
+        "source",
+        "n",
+        F.col("sum_value").cast("double").alias("sum_chars"),
+        F.round(F.col("sum_value").cast("double") / F.col("n"), 6).alias("avg_chars"),
+    ).orderBy(F.col("source").asc())
+
+
+CDC_MERGE_ROLLUP_SQL = """
+WITH final AS (
+  SELECT source,
+         CASE WHEN doc_id % 5 = 0 THEN n_chars + 10 ELSE n_chars END AS n_chars
+  FROM documents
+  WHERE NOT (doc_id % 7 = 0 AND doc_id % 5 <> 0)
+)
+SELECT source, count(*) AS n,
+       CAST(SUM(CAST(n_chars AS DECIMAL(30,6))) AS DOUBLE) AS sum_chars,
+       ROUND(CAST(SUM(CAST(n_chars AS DECIMAL(30,6))) AS DOUBLE) / count(*), 6) AS avg_chars
+FROM final
+GROUP BY source
+ORDER BY source ASC
+"""
+
+
+# --------------------------------------------------------------------------
+# CDC — the reference's own dataflow (S1–S7, S9) in batch form
+# --------------------------------------------------------------------------
+
+_CDC_TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+_SQL_CELL_LOG = """
+SELECT CASE WHEN event_type = '{delete_type}' THEN 'delete' ELSE 'put' END AS op,
+       CAST(user_id AS VARCHAR) AS row_key,
+       'cf' AS family,
+       event_type AS qualifier,
+       CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) AS value,
+       ts, event_id AS seq
+FROM events
+"""
+
+
+def cdc_cell_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    log = cell_log_from_events(events)
+    return log.select(
+        "op", "row_key", "family", "qualifier", "value",
+        F.date_format("ts", _CDC_TS_FMT).alias("ts_str"), "seq",
+    )
+
+
+CDC_CELL_LOG_SQL = f"""
+SELECT op, row_key, family, qualifier, value,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str, seq
+FROM ({_SQL_CELL_LOG.format(delete_type='delete')})
+"""
+
+
+def cdc_family_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 with real effect: cells derived into TWO column families
+    (mirroring the reference's cf_product,cf_order config,
+    application.properties:2), allow-list keeps only one."""
+    events = _t(spark, sf_dir, "events")
+    log = cell_log_from_events(events)
+    two_fam = log.withColumn(
+        "family",
+        F.when(F.col("qualifier").isin("click", "view"), "cf_activity").otherwise("cf_business"),
+    )
+    from hbase_increment_index_spark.cdc.cell_model import filter_families
+
+    kept = filter_families(two_fam, ["cf_business"])
+    return kept.groupBy("family", "qualifier").agg(F.count(F.lit(1)).alias("n"))
+
+
+CDC_FAMILY_SQL = f"""
+WITH log AS ({_SQL_CELL_LOG.format(delete_type='delete')}),
+two_fam AS (
+  SELECT *, CASE WHEN qualifier IN ('click', 'view')
+                 THEN 'cf_activity' ELSE 'cf_business' END AS fam
+  FROM log
+)
+SELECT fam AS family, qualifier, count(*) AS n
+FROM two_fam
+WHERE fam IN ('cf_business')
+GROUP BY fam, qualifier
+"""
+
+
+def cdc_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    log = cell_log_from_events(events)
+    return latest_per_key(log).select("row_key", "qualifier", "value", "seq")
+
+
+CDC_LATEST_SQL = f"""
+SELECT row_key, qualifier, value, seq
+FROM ({_SQL_CELL_LOG.format(delete_type='delete')})
+QUALIFY row_number() OVER (PARTITION BY row_key ORDER BY ts DESC, seq DESC) = 1
+"""
+
+
+def cdc_apply_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 'error' events stand in for deletes so the anti-join actually fires
+    events = _t(spark, sf_dir, "events")
+    log = cell_log_from_events(events, delete_event_type="error")
+    return apply_deletes(log).select("row_key", "qualifier", "value", "seq")
+
+
+CDC_APPLY_SQL = f"""
+SELECT row_key, qualifier, value, seq
+FROM ({_SQL_CELL_LOG.format(delete_type='error')})
+QUALIFY row_number() OVER (PARTITION BY row_key ORDER BY ts DESC, seq DESC) = 1
+   AND op = 'put'
+"""
+
+
+def cdc_live_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    log = cell_log_from_events(events, delete_event_type="error")
+    return live_cells(log).select("row_key", "family", "qualifier", "value", "seq")
+
+
+CDC_LIVE_CELLS_SQL = f"""
+WITH log AS ({_SQL_CELL_LOG.format(delete_type='error')}),
+cell_latest AS (
+  SELECT * FROM log
+  QUALIFY row_number() OVER (
+    PARTITION BY row_key, family, qualifier ORDER BY ts DESC, seq DESC) = 1
+),
+row_latest AS (
+  SELECT row_key, op AS row_op FROM log
+  QUALIFY row_number() OVER (PARTITION BY row_key ORDER BY ts DESC, seq DESC) = 1
+)
+SELECT c.row_key, c.family, c.qualifier, c.value, c.seq
+FROM cell_latest c JOIN row_latest r USING (row_key)
+WHERE c.op = 'put' AND r.row_op = 'put'
+"""
+
+
+def cdc_index_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/S6 end-to-end: live cells pivoted into the flat one-row-per-
+    rowkey document table (the 'Solr index' itself), wide string fields
+    per qualifier — reference HbaseSolrIndexCoprocesser.java:40-50."""
+    from hbase_increment_index_spark.cdc.index_builder import documents_from_cells
+
+    events = _t(spark, sf_dir, "events")
+    log = cell_log_from_events(events, delete_event_type="error")
+    quals = ["click", "purchase", "signup", "view"]
+    return documents_from_cells(log, quals)
+
+
+CDC_INDEX_DOCS_SQL = f"""
+WITH log AS ({_SQL_CELL_LOG.format(delete_type='error')}),
+cell_latest AS (
+  SELECT * FROM log
+  QUALIFY row_number() OVER (
+    PARTITION BY row_key, family, qualifier ORDER BY ts DESC, seq DESC) = 1
+),
+row_latest AS (
+  SELECT row_key, op AS row_op FROM log
+  QUALIFY row_number() OVER (PARTITION BY row_key ORDER BY ts DESC, seq DESC) = 1
+),
+live AS (
+  SELECT c.* FROM cell_latest c JOIN row_latest r USING (row_key)
+  WHERE c.op = 'put' AND r.row_op = 'put'
+)
+SELECT row_key AS id,
+       min(CASE WHEN qualifier = 'click'    THEN value END) AS click,
+       min(CASE WHEN qualifier = 'purchase' THEN value END) AS purchase,
+       min(CASE WHEN qualifier = 'signup'   THEN value END) AS signup,
+       min(CASE WHEN qualifier = 'view'     THEN value END) AS view
+FROM live
+GROUP BY row_key
+"""
+
+
+def cdc_merge_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6–S9 micro-batch merge, oracle-checked: the cell log split into
+    two arbitrary chunks (odd/even seq — deliberately interleaved in
+    event time), folded through compact_state + merge_state, must equal
+    the one-shot index build. Same oracle SQL as cdc_index_documents —
+    that equality IS the exactly-once/out-of-order-safety claim."""
+    from hbase_increment_index_spark.cdc.index_builder import (
+        compact_state,
+        documents_from_state,
+        merge_state,
+    )
+
+    events = _t(spark, sf_dir, "events")
+    log = cell_log_from_events(events, delete_event_type="error")
+    # persist the intermediate state: merge_state consumes it twice
+    # (anti-join + semi-join); in production it IS a materialized table
+    # read from disk (streaming/cdc_stream), so recomputing the lineage
+    # per consumer is an artifact this cache removes
+    state = compact_state(log.filter(F.col("seq") % 2 == 0)).persist()
+    state = merge_state(state, log.filter(F.col("seq") % 2 == 1))
+    return documents_from_state(state, ["click", "purchase", "signup", "view"])
+
+
+def cdc_merge_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental FULL-TEXT index maintenance, oracle-checked: the
+    postings-level analogue of cdc_merge_batches and the reference's
+    whole reason to exist (keep the Solr index in sync with a mutating
+    table — add + deleteById per batch, SolrIndexTools.java:60-63,
+    127-131). Corpus v1 (10% of docs not yet inserted, 10% holding a
+    stale prefix of their text) takes one micro-batch of inserts +
+    updates + deletes through merge_postings; the result must equal the
+    index rebuilt from the final corpus — which is exactly what the
+    oracle SQL computes."""
+    from hbase_increment_index_spark.search.inverted import (
+        build_inverted_index,
+        merge_postings,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 10
+    v1 = docs.filter(m != 0).withColumn(
+        "text", F.when(m == 1, F.substring("text", 1, 20)).otherwise(F.col("text"))
+    )
+    postings_v1 = build_inverted_index(v1, "doc_id", "text")
+    changed = docs.filter(m.isin(0, 1)).select("doc_id", "text")
+    deleted = docs.filter(m == 2).select("doc_id")
+    return merge_postings(postings_v1, changed, deleted, "doc_id", "text")
+
+
+CDC_MERGE_POSTINGS_SQL = """
+WITH final AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 2),
+toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                            t -> t <> '')) AS term
+  FROM final
+)
+SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+FROM toks
+GROUP BY term, doc_id
+"""
+
+
+def cdc_merge_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental facet-view maintenance (facets.merge_facet_counts):
+    a materialized token-count-bucket facet over corpus v1 is updated
+    with one micro-batch of inserts (doc_id%10==0), text updates
+    (%10==1, which MOVE docs between buckets) and deletes (%10==2);
+    the result must equal the facet rebuilt from the final corpus —
+    which is what the oracle computes."""
+    from hbase_increment_index_spark.search.tokenize import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 10
+    bucket = (F.floor(F.size(tokens("text")) / 10) * 10).cast("long")
+    v1 = docs.filter(m != 0).withColumn(
+        "text", F.when(m == 1, F.substring("text", 1, 20)).otherwise(F.col("text"))
+    )
+    counts_v1 = facets.facet_field(
+        v1.select(bucket.alias("tok_bucket")), "tok_bucket"
+    )
+    old_rows = v1.filter(m.isin(1, 2)).select("doc_id", "text")
+    new_rows = docs.filter(m.isin(0, 1)).select("doc_id", "text")
+    return facets.merge_facet_counts(
+        counts_v1, old_rows, new_rows, bucket, "tok_bucket"
+    )
+
+
+CDC_MERGE_FACETS_SQL = f"""
+WITH final AS (SELECT text FROM documents WHERE doc_id % 10 <> 2)
+SELECT CAST(floor(len({_SQL_TOKS.format(c='text')}) / 10) * 10 AS BIGINT) AS tok_bucket,
+       CAST(count(*) AS BIGINT) AS n
+FROM final
+GROUP BY 1
+"""
+
+
+def cdc_atomic_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full HBase mutation surface (Put/Delete/Increment/Append) =
+    Solr atomic updates (set / delete / inc / add), resolved to final
+    cell values — see cdc.mutations for the op semantics and the
+    single-shuffle plan shape."""
+    from hbase_increment_index_spark.cdc.mutations import (
+        mutation_log_from_events,
+        resolve_mutations,
+    )
+
+    events = _t(spark, sf_dir, "events")
+    mlog = mutation_log_from_events(events)
+    return resolve_mutations(mlog).orderBy("row_key", "qualifier")
+
+
+CDC_ATOMIC_SQL = """
+WITH mlog AS (
+  SELECT CASE WHEN event_type = 'error' THEN 'delete'
+              WHEN event_type = 'click' THEN 'inc'
+              WHEN event_type = 'view'  THEN 'append'
+              ELSE 'put' END AS op,
+         CAST(user_id AS VARCHAR) AS row_key,
+         'cf' AS family,
+         event_type AS qualifier,
+         CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) AS value,
+         CAST(FLOOR(value) AS BIGINT) AS ival,
+         ts, event_id AS seq
+  FROM events
+),
+tomb AS (
+  SELECT row_key, ts AS tts, seq AS tseq FROM mlog WHERE op = 'delete'
+  QUALIFY row_number() OVER (PARTITION BY row_key ORDER BY ts DESC, seq DESC) = 1
+),
+alive AS (
+  SELECT m.* FROM mlog m LEFT JOIN tomb t USING (row_key)
+  WHERE m.op <> 'delete'
+    AND (t.tts IS NULL OR (m.ts, m.seq) > (t.tts, t.tseq))
+)
+SELECT row_key, family, qualifier,
+       CASE WHEN max(op = 'inc')
+              THEN CAST(SUM(CASE WHEN op = 'inc' THEN ival END) AS VARCHAR)
+            WHEN max(op = 'append')
+              THEN string_agg(value, ',' ORDER BY ts, seq)
+            ELSE (list(value ORDER BY ts DESC, seq DESC))[1]
+       END AS value,
+       count(*) AS n_events
+FROM alive
+GROUP BY row_key, family, qualifier
+ORDER BY row_key, qualifier
+"""
+
+
+def cdc_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HBase ``VERSIONS=2`` cell retention (the reference's primary
+    store is an HBase table; version count is a column-family
+    attribute): newest 2 put versions per cell coordinate, tagged
+    1=newest — one window, same single row_key shuffle as compaction."""
+    from hbase_increment_index_spark.cdc.compaction import latest_n_versions
+
+    events = _t(spark, sf_dir, "events")
+    log = cell_log_from_events(events)
+    return latest_n_versions(log, 2).select("row_key", "qualifier", "value", "version")
+
+
+CDC_VERSIONS_SQL = f"""
+SELECT row_key, qualifier, value, version FROM (
+  SELECT row_key, qualifier, value,
+         row_number() OVER (
+           PARTITION BY row_key, family, qualifier
+           ORDER BY ts DESC, seq DESC) AS version
+  FROM ({_SQL_CELL_LOG.format(delete_type='delete')})
+  WHERE op = 'put'
+) WHERE version <= 2
+"""
+
+
+def cdc_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HBase ``TTL`` expiry: cells older than 30 days before the log's
+    max timestamp are dropped at compaction; surviving cell counts per
+    qualifier. The cutoff rides a 1-row broadcast (deterministic for
+    batch replay; streaming passes an explicit literal)."""
+    from hbase_increment_index_spark.cdc.compaction import apply_ttl
+
+    events = _t(spark, sf_dir, "events")
+    log = cell_log_from_events(events)
+    return apply_ttl(log, 30 * 86400).groupBy("qualifier").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+CDC_TTL_SQL = f"""
+WITH log AS ({_SQL_CELL_LOG.format(delete_type='delete')}),
+mx AS (SELECT max(ts) AS now FROM log)
+SELECT qualifier, count(*) AS n
+FROM log, mx
+WHERE ts >= now - INTERVAL 2592000 SECOND
+GROUP BY qualifier
+"""
+
+
+def cdc_scan_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HBase Scan with STARTROW/STOPROW + SingleColumnValueFilter — the
+    reference user's OTHER query API (scans against the primary HBase
+    table itself, not Solr). Rowkeys order LEXICOGRAPHICALLY in HBase,
+    so the range is a string-compare band: ``[startrow, stoprow)`` on
+    the compacted document view, with a qualifier-value filter and the
+    scan's caching/limit.
+
+    Both predicates are sargable string comparisons — they push into
+    the parquet scan of the index table; at 100 TB the index is
+    written repartitioned by row_key so the band prunes files by
+    min/max stats exactly like HBase region pruning."""
+    from hbase_increment_index_spark.cdc.index_builder import documents_from_cells
+
+    events = _t(spark, sf_dir, "events")
+    log = cell_log_from_events(events, delete_event_type="error")
+    docs = documents_from_cells(log, ["click", "purchase", "signup", "view"])
+    return (
+        docs.filter((F.col("id") >= "2") & (F.col("id") < "4"))
+        .filter(F.col("view").isNotNull())
+        .select("id", "view", "click")
+    )
+
+
+CDC_SCAN_SQL = f"""
+WITH log AS ({_SQL_CELL_LOG.format(delete_type='error')}),
+cell_latest AS (
+  SELECT * FROM log
+  QUALIFY row_number() OVER (
+    PARTITION BY row_key, family, qualifier ORDER BY ts DESC, seq DESC) = 1
+),
+row_latest AS (
+  SELECT row_key, op AS row_op FROM log
+  QUALIFY row_number() OVER (PARTITION BY row_key ORDER BY ts DESC, seq DESC) = 1
+),
+live AS (
+  SELECT c.* FROM cell_latest c JOIN row_latest r USING (row_key)
+  WHERE c.op = 'put' AND r.row_op = 'put'
+),
+docs AS (
+  SELECT row_key AS id,
+         min(CASE WHEN qualifier = 'click' THEN value END) AS click,
+         min(CASE WHEN qualifier = 'view'  THEN value END) AS view
+  FROM live GROUP BY row_key
+)
+SELECT id, view, click
+FROM docs
+WHERE id >= '2' AND id < '4' AND view IS NOT NULL
+"""
+
+
+def cdc_scan_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HBase AggregationClient / AggregateImplementation coprocessor
+    parity — the SAME deployment shape as the reference (a coprocessor
+    on the primary table, reference HbaseSolrIndexCoprocesser.java):
+    rowcount / sum / min / max / avg of a qualifier over a rowkey scan
+    band, computed where the data lives. Spark form: the band predicate
+    prunes the compacted-state scan (min/max file stats = region
+    pruning) and the aggregate is one partial-agg reduce — no shuffle
+    wider than the 1-row result."""
+    from hbase_increment_index_spark.cdc.index_builder import documents_from_cells
+
+    events = _t(spark, sf_dir, "events")
+    log = cell_log_from_events(events, delete_event_type="error")
+    docs = documents_from_cells(log, ["click", "purchase", "signup", "view"])
+    band = docs.filter((F.col("id") >= "2") & (F.col("id") < "6"))
+    v = F.col("click").cast("double")
+    return band.agg(
+        F.count(F.lit(1)).alias("rowcount"),
+        F.count(v).alias("n_click"),
+        exact_sum(v, 6).alias("sum_click"),
+        F.min(v).alias("min_click"),
+        F.max(v).alias("max_click"),
+        exact_avg(v, 6).alias("avg_click"),
+    )
+
+
+CDC_SCAN_AGG_SQL = f"""
+WITH log AS ({_SQL_CELL_LOG.format(delete_type='error')}),
+cell_latest AS (
+  SELECT * FROM log
+  QUALIFY row_number() OVER (
+    PARTITION BY row_key, family, qualifier ORDER BY ts DESC, seq DESC) = 1
+),
+row_latest AS (
+  SELECT row_key, op AS row_op FROM log
+  QUALIFY row_number() OVER (PARTITION BY row_key ORDER BY ts DESC, seq DESC) = 1
+),
+live AS (
+  SELECT c.* FROM cell_latest c JOIN row_latest r USING (row_key)
+  WHERE c.op = 'put' AND r.row_op = 'put'
+),
+docs AS (
+  SELECT row_key AS id,
+         min(CASE WHEN qualifier = 'click' THEN value END) AS click
+  FROM live GROUP BY row_key
+),
+band AS (SELECT CAST(click AS DOUBLE) AS v FROM docs WHERE id >= '2' AND id < '6')
+SELECT count(*) AS rowcount,
+       count(v) AS n_click,
+       CAST(SUM(CAST(v AS DECIMAL(30,6))) AS DOUBLE) AS sum_click,
+       min(v) AS min_click,
+       max(v) AS max_click,
+       CAST(SUM(CAST(v AS DECIMAL(30,6))) AS DOUBLE) / count(v) AS avg_click
+FROM band
+"""
+
+
+def cdc_scan_timerange(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HBase ``Scan.setTimeRange`` — the as-of snapshot read: only
+    cells with ts < T are visible, then normal newest-wins + tombstone
+    compaction among them. Point-in-time queries against the primary
+    store (HBase's native time-travel) as one sargable ts filter that
+    commutes with compaction — the filter pushes into the LOG scan and
+    the per-key window runs on the pruned slice."""
+    events = _t(spark, sf_dir, "events")
+    log = cell_log_from_events(events, delete_event_type="error")
+    asof = log.filter(F.col("ts") < F.lit(_TIMERANGE_CUT).cast("timestamp"))
+    return live_cells(asof).select("row_key", "family", "qualifier", "value", "seq")
+
+
+CDC_TIMERANGE_SQL = f"""
+WITH log AS (
+  SELECT * FROM ({_SQL_CELL_LOG.format(delete_type='error')})
+  WHERE ts < TIMESTAMP '{_TIMERANGE_CUT}'
+),
+cell_latest AS (
+  SELECT * FROM log
+  QUALIFY row_number() OVER (
+    PARTITION BY row_key, family, qualifier ORDER BY ts DESC, seq DESC) = 1
+),
+row_latest AS (
+  SELECT row_key, op AS row_op FROM log
+  QUALIFY row_number() OVER (PARTITION BY row_key ORDER BY ts DESC, seq DESC) = 1
+)
+SELECT c.row_key, c.family, c.qualifier, c.value, c.seq
+FROM cell_latest c JOIN row_latest r USING (row_key)
+WHERE c.op = 'put' AND r.row_op = 'put'
+"""
+
+
+def cdc_column_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HBase ``ColumnPaginationFilter(limit, offset)`` — per-ROW column
+    paging: each row returns at most ``limit`` qualifiers starting at
+    qualifier-offset ``offset`` (qualifiers in lexicographic order,
+    HBase's cell order). One window keyed on row_key over the live
+    cells — same single shuffle as compaction, which at scale is
+    already partitioned this way (the window rides the existing
+    layout)."""
+    events = _t(spark, sf_dir, "events")
+    log = cell_log_from_events(events, delete_event_type="error")
+    live = live_cells(log)
+    w = Window.partitionBy("row_key").orderBy(F.col("qualifier").asc())
+    limit, offset = 2, 1
+    return (
+        live.withColumn("_qpos", F.row_number().over(w))
+        .filter((F.col("_qpos") > offset) & (F.col("_qpos") <= offset + limit))
+        .select("row_key", "qualifier", "value")
+    )
+
+
+CDC_COLUMN_PAGE_SQL = f"""
+WITH log AS ({_SQL_CELL_LOG.format(delete_type='error')}),
+cell_latest AS (
+  SELECT * FROM log
+  QUALIFY row_number() OVER (
+    PARTITION BY row_key, family, qualifier ORDER BY ts DESC, seq DESC) = 1
+),
+row_latest AS (
+  SELECT row_key, op AS row_op FROM log
+  QUALIFY row_number() OVER (PARTITION BY row_key ORDER BY ts DESC, seq DESC) = 1
+),
+live AS (
+  SELECT c.* FROM cell_latest c JOIN row_latest r USING (row_key)
+  WHERE c.op = 'put' AND r.row_op = 'put'
+),
+paged AS (
+  SELECT row_key, qualifier, value,
+         row_number() OVER (PARTITION BY row_key ORDER BY qualifier ASC) AS qpos
+  FROM live
+)
+SELECT row_key, qualifier, value FROM paged WHERE qpos > 1 AND qpos <= 3
+"""
+
+
+def cdc_scan_multirange(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HBase ``MultiRowRangeFilter`` — several rowkey bands in one
+    scan (the scatter-read HBase clients use for key-salted tables):
+    an OR of sargable string bands, each pushing into the scan so
+    file-level min/max pruning covers every band independently."""
+    from hbase_increment_index_spark.cdc.index_builder import documents_from_cells
+
+    events = _t(spark, sf_dir, "events")
+    log = cell_log_from_events(events, delete_event_type="error")
+    docs = documents_from_cells(log, ["click", "purchase", "signup", "view"])
+    band = (
+        ((F.col("id") >= "1") & (F.col("id") < "2"))
+        | ((F.col("id") >= "5") & (F.col("id") < "6"))
+        | ((F.col("id") >= "9") & (F.col("id") < "95"))
+    )
+    return docs.filter(band).select("id", "click", "view").orderBy(F.col("id").asc())
+
+
+CDC_MULTIRANGE_SQL = f"""
+WITH log AS ({_SQL_CELL_LOG.format(delete_type='error')}),
+cell_latest AS (
+  SELECT * FROM log
+  QUALIFY row_number() OVER (
+    PARTITION BY row_key, family, qualifier ORDER BY ts DESC, seq DESC) = 1
+),
+row_latest AS (
+  SELECT row_key, op AS row_op FROM log
+  QUALIFY row_number() OVER (PARTITION BY row_key ORDER BY ts DESC, seq DESC) = 1
+),
+live AS (
+  SELECT c.* FROM cell_latest c JOIN row_latest r USING (row_key)
+  WHERE c.op = 'put' AND r.row_op = 'put'
+),
+docs AS (
+  SELECT row_key AS id,
+         min(CASE WHEN qualifier = 'click' THEN value END) AS click,
+         min(CASE WHEN qualifier = 'view'  THEN value END) AS view
+  FROM live GROUP BY row_key
+)
+SELECT id, click, view FROM docs
+WHERE (id >= '1' AND id < '2') OR (id >= '5' AND id < '6') OR (id >= '9' AND id < '95')
+ORDER BY id ASC
+"""
+
+
+def cdc_merge_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental quantile-sketch maintenance over the CDC stream —
+    Solr ``stats.field`` percentiles (served by t-digest there,
+    reference-adjacent surface) re-expressed as the EXACTLY-mergeable
+    fixed-bin histogram: per event_type, value counts in width-5 bins.
+    The materialized sketch over corpus v1 absorbs one micro-batch
+    (inserts event_id%10==0, value-halving updates %10==1 — which MOVE
+    events between bins — and deletes %10==2) through the same
+    additive +new/−old merge as facet counts
+    (facets.merge_facet_counts with a struct key); P50/P95 then read
+    off the merged sketch as the lower edge of the first bin whose
+    cumulative count crosses q·n. Merge algebra makes the result equal
+    the sketch built fresh from the final corpus — which is what the
+    oracle computes. Shuffles carry |event_type × bins| rows, never
+    events; the percentile window partitions by event_type (tiny)."""
+    ev = _t(spark, sf_dir, "events")
+    m = F.col("event_id") % 10
+    bin_expr = (F.floor(F.col("value") / 5) * 5).cast("double")
+    key = F.struct(F.col("event_type").alias("et"), bin_expr.alias("bin"))
+    v1 = ev.filter(m != 0).withColumn(
+        "value", F.when(m == 1, F.col("value") * 0.5).otherwise(F.col("value"))
+    )
+    sketch_v1 = v1.groupBy(key.alias("k")).agg(F.count(F.lit(1)).alias("n"))
+    old_rows = v1.filter(m.isin(1, 2)).select("event_type", "value")
+    new_rows = ev.filter(m.isin(0, 1)).select("event_type", "value")
+    merged = facets.merge_facet_counts(sketch_v1, old_rows, new_rows, key, "k")
+    flat = merged.select(
+        F.col("k.et").alias("event_type"), F.col("k.bin").alias("bin"), "n"
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("bin").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("event_type")
+    c = flat.withColumn("cum", F.sum("n").over(w_cum)).withColumn(
+        "total", F.sum("n").over(w_tot)
+    )
+    return (
+        c.groupBy("event_type")
+        .agg(
+            F.max("total").cast("long").alias("n_total"),
+            F.min(
+                F.when(F.col("cum") >= F.lit(0.5) * F.col("total"), F.col("bin"))
+            ).alias("p50_bin"),
+            F.min(
+                F.when(F.col("cum") >= F.lit(0.95) * F.col("total"), F.col("bin"))
+            ).alias("p95_bin"),
+        )
+        .orderBy(F.col("event_type").asc())
+    )
+
+
+CDC_MERGE_PERCENTILES_SQL = """
+WITH final AS (
+  SELECT event_type, CAST(floor(value / 5) * 5 AS DOUBLE) AS bin
+  FROM events WHERE event_id % 10 <> 2
+),
+hist AS (SELECT event_type, bin, count(*) AS n FROM final GROUP BY 1, 2),
+c AS (
+  SELECT event_type, bin, n,
+         SUM(n) OVER (PARTITION BY event_type ORDER BY bin ASC) AS cum,
+         SUM(n) OVER (PARTITION BY event_type) AS total
+  FROM hist
+)
+SELECT event_type,
+       CAST(MAX(total) AS BIGINT) AS n_total,
+       MIN(CASE WHEN cum >= 0.5 * total THEN bin END) AS p50_bin,
+       MIN(CASE WHEN cum >= 0.95 * total THEN bin END) AS p95_bin
+FROM c
+GROUP BY event_type
+ORDER BY event_type ASC
+"""
+
+
+def cdc_merge_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IDF-statistics maintenance — the collection-wide
+    numbers BM25 serving needs (df per term, N) kept fresh under the
+    CDC stream instead of recomputed by corpus scan (the reference's
+    deferred-cost story applied to ranking stats: the index AND its
+    statistics stay in sync per batch). Corpus v1 absorbs one
+    micro-batch (inserts doc_id%10==0, truncating updates %10==1 —
+    which REMOVE terms from docs — deletes %10==2): per-term df merges
+    additively over each side's DISTINCT token sets (+new −old, the
+    same algebra as facet counts but explode-valued), N merges as a
+    scalar. Output: top-20 terms by df with idf = ln((N+1)/(df+1)),
+    which must equal the stats computed fresh from the final corpus —
+    the oracle's form. Shuffle = |vocab| rows per side, never the
+    corpus; the scalar N joins as a 1-row broadcast."""
+    from hbase_increment_index_spark.search.tokenize import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 10
+    v1 = docs.filter(m != 0).withColumn(
+        "text", F.when(m == 1, F.substring("text", 1, 20)).otherwise(F.col("text"))
+    )
+
+    def df_counts(frame: DataFrame, sign: int) -> DataFrame:
+        return (
+            frame.select(
+                F.explode(F.array_distinct(tokens("text"))).alias("term")
+            )
+            .groupBy("term")
+            .agg((F.lit(sign) * F.count(F.lit(1))).alias("df"))
+        )
+
+    df_v1 = df_counts(v1, 1)
+    old_rows = v1.filter(m.isin(1, 2)).select("text")
+    new_rows = docs.filter(m.isin(0, 1)).select("text")
+    merged_df = (
+        df_v1.unionByName(df_counts(new_rows, 1))
+        .unionByName(df_counts(old_rows, -1))
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
+        .filter(F.col("df") > 0)
+    )
+    # N maintained as a scalar: |v1| + inserts − deletes (equals the
+    # final corpus count); 1-row frame, broadcast into the projection
+    n_final = (
+        v1.select(F.count(F.lit(1)).alias("n0"))
+        .crossJoin(docs.filter(m == 0).select(F.count(F.lit(1)).alias("ins")))
+        .crossJoin(v1.filter(m == 2).select(F.count(F.lit(1)).alias("dels")))
+        .select((F.col("n0") + F.col("ins") - F.col("dels")).alias("n_docs"))
+    )
+    return (
+        merged_df.crossJoin(F.broadcast(n_final))
+        .select(
+            "term",
+            F.col("df").cast("long").alias("df"),
+            F.round(
+                F.log((F.col("n_docs") + 1).cast("double") / (F.col("df") + 1)), 6
+            ).alias("idf"),
+        )
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(20)
+    )
+
+
+def _cdc_merge_idf_sql() -> str:
+    toks = _SQL_TOKS.format(c="text")
+    return f"""
+WITH final AS (
+  SELECT text FROM documents WHERE doc_id % 10 <> 2
+),
+n AS (SELECT count(*) AS n_docs FROM final),
+terms AS (
+  SELECT unnest(list_distinct({toks})) AS term FROM final
+),
+dfc AS (SELECT term, count(*) AS df FROM terms GROUP BY term)
+SELECT term, CAST(df AS BIGINT) AS df,
+       ROUND(ln(CAST(n_docs + 1 AS DOUBLE) / (df + 1)), 6) AS idf
+FROM dfc CROSS JOIN n
+ORDER BY df DESC, term ASC
+LIMIT 20
+"""
+
+
+def cdc_delete_by_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr ``deleteByQuery`` through the REAL facade merge path
+    (api.SecondaryIndex.delete_by_query): build the index from the
+    events cell log (same substrate as cdc_index_documents), tombstone
+    every document whose latest purchase cell is >= 50, and serve the
+    survivors. The facade evaluates the predicate on the serving view,
+    stamps row tombstones strictly after every live cell
+    (max(ts)+1s, max(seq)+1) and folds them through the standard
+    compact/merge — the reference ships only deleteById
+    (SolrIndexTools.java:105-107); DBQ is the index-maintenance verb
+    Solr pairs with it, with identical semantics.
+
+    The oracle rebuilds the document table one-shot and filters the
+    predicate out: DBQ∘merge ≡ filter∘rebuild is the correctness
+    claim, the same rebuild-equality pattern as cdc_merge_batches
+    (and the tombstones are real — a doc deleted here can be
+    re-inserted later, which a plain filter could not express)."""
+    from hbase_increment_index_spark.api import SecondaryIndex
+
+    events = _t(spark, sf_dir, "events")
+    log = cell_log_from_events(events, delete_event_type="error")
+    idx = SecondaryIndex(
+        spark,
+        families=["cf"],
+        qualifiers=["click", "purchase", "signup", "view"],
+        key_field="id",
+    )
+    idx.apply_mutations(log)
+    idx.delete_by_query(F.col("purchase").cast("double") >= 50.0)
+    return idx.documents.select("id", "click", "purchase", "signup", "view")
+
+
+# survivors are the docs where the predicate is NOT true (false OR
+# null-valued — a doc with no purchase cell never matches a DBQ on
+# purchase, exactly like Solr's q=purchase:[50 TO *])
+CDC_DBQ_SQL = f"""
+SELECT id, click, purchase, signup, view
+FROM ({CDC_INDEX_DOCS_SQL}) d
+WHERE NOT COALESCE(CAST(purchase AS DOUBLE) >= 50.0, FALSE)
+"""

@@ -1,0 +1,1765 @@
+"""Solr query surface, part 2: components (suggester, highlight, spell,
+geo, joins, streaming expressions, ...)."""
+from __future__ import annotations
+from hbase_increment_index_spark.cdc.cell_model import cell_log_from_events
+from hbase_increment_index_spark.numeric import exact_avg, exact_sum
+from hbase_increment_index_spark.pipeline.similarity import knn_brute_force
+from hbase_increment_index_spark.search import facets, ranking
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from ._cdc import CDC_INDEX_DOCS_SQL, _SQL_CELL_LOG
+from ._shared import _GEO_DIST, _GEO_SQL_BASE, _SQL_TOKS, _TFIDF_TERMS, _geo_customers, _stream, _t
+
+
+
+def q35_boosted_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr boost query ``bq=lang:en^1.5`` on top of BM25 relevance
+    (search.ranking.boosted_bm25_topk): additive bump reorders the
+    ranked list without widening the match set."""
+    docs = _t(spark, sf_dir, "documents")
+    return ranking.boosted_bm25_topk(
+        docs,
+        "doc_id",
+        "text",
+        _TFIDF_TERMS,
+        boost=F.col("lang") == "en",
+        boost_weight=1.5,
+        k=10,
+    )
+
+
+Q35_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SQL_TOKS.format(c='text')}) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+avgdl AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS a FROM dl),
+hits AS (SELECT * FROM toks WHERE term IN ('join', 'query', 'spark')),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM hits GROUP BY 1, 2),
+dft AS (SELECT term, count(DISTINCT doc_id) AS df_t FROM hits GROUP BY 1),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+bm25 AS (
+  SELECT tf.doc_id,
+         ROUND(SUM(
+           ln(1.0 + (n.n_docs - dft.df_t + 0.5) / (dft.df_t + 0.5))
+           * (tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl.a))
+         ), 6) AS score
+  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id), n, avgdl
+  GROUP BY tf.doc_id
+)
+SELECT b.doc_id,
+       ROUND(b.score + CASE WHEN d.lang = 'en' THEN 1.5 ELSE 0.0 END, 6) AS score
+FROM bm25 b JOIN documents d ON b.doc_id = d.doc_id
+ORDER BY score DESC, b.doc_id ASC
+LIMIT 10
+"""
+
+
+def q36_interval_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr ``facet.interval`` — explicit, possibly-overlapping
+    [lo, hi) buckets over o_totalprice (facet.range can't overlap;
+    this can, so it is conditional aggregation, not group-by)."""
+    orders = _t(spark, sf_dir, "orders")
+    return facets.facet_intervals(
+        orders,
+        "o_totalprice",
+        [
+            ("under_50k", None, 50000.0),
+            ("mid_50k_200k", 50000.0, 200000.0),
+            ("over_200k", 200000.0, None),
+            ("over_100k_overlap", 100000.0, None),
+        ],
+        label_alias="bucket_label",
+    )
+
+
+Q36_SQL = """
+SELECT 'under_50k' AS bucket_label,
+       CAST(count(*) FILTER (o_totalprice < 50000.0) AS BIGINT) AS n FROM orders
+UNION ALL
+SELECT 'mid_50k_200k',
+       CAST(count(*) FILTER (o_totalprice >= 50000.0 AND o_totalprice < 200000.0) AS BIGINT) FROM orders
+UNION ALL
+SELECT 'over_200k',
+       CAST(count(*) FILTER (o_totalprice >= 200000.0) AS BIGINT) FROM orders
+UNION ALL
+SELECT 'over_100k_overlap',
+       CAST(count(*) FILTER (o_totalprice >= 100000.0) AS BIGINT) FROM orders
+"""
+
+
+def q37_group_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr ``group.query`` — named predicates each return their
+    top-5 docs by price with in-group rank; groups may overlap."""
+    orders = _t(spark, sf_dir, "orders")
+    return facets.group_query(
+        orders.select("o_orderkey", "o_totalprice", "o_orderpriority"),
+        {
+            "urgent": F.col("o_orderpriority") == "1-URGENT",
+            "high_value": F.col("o_totalprice") > 400000.0,
+            "low_value": F.col("o_totalprice") < 10000.0,
+        },
+        order=[F.col("o_totalprice").desc()],
+        tie_break="o_orderkey",
+        limit=5,
+    )
+
+
+Q37_SQL = """
+WITH g AS (
+  SELECT 'urgent' AS group_name, o_orderkey, o_totalprice, o_orderpriority
+  FROM orders WHERE o_orderpriority = '1-URGENT'
+  UNION ALL
+  SELECT 'high_value', o_orderkey, o_totalprice, o_orderpriority
+  FROM orders WHERE o_totalprice > 400000.0
+  UNION ALL
+  SELECT 'low_value', o_orderkey, o_totalprice, o_orderpriority
+  FROM orders WHERE o_totalprice < 10000.0
+),
+r AS (
+  SELECT o_orderkey, o_totalprice, o_orderpriority, group_name,
+         row_number() OVER (PARTITION BY group_name
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank_in_group
+  FROM g
+)
+SELECT o_orderkey, o_totalprice, o_orderpriority, group_name,
+       CAST(rank_in_group AS BIGINT) AS rank_in_group
+FROM r WHERE rank_in_group <= 5
+"""
+
+
+def q38_facet_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr ``facet.range`` + ``facet.missing=true`` over the SPARSE
+    CDC document view: rowkeys that never saw a 'purchase' cell have
+    NULL there and land in the explicit missing bucket — the
+    facet.missing semantics only matter on a sparse index, which the
+    CDC view genuinely is (absent qualifier = NULL column)."""
+    from hbase_increment_index_spark.cdc.index_builder import documents_from_cells
+
+    events = _t(spark, sf_dir, "events")
+    log = cell_log_from_events(events, delete_event_type="error")
+    docs = documents_from_cells(log, ["click", "purchase", "signup", "view"])
+    return facets.facet_range_missing(docs, "purchase", gap=20.0)
+
+
+Q38_SQL = f"""
+WITH docs AS ({CDC_INDEX_DOCS_SQL})
+SELECT CASE WHEN purchase IS NULL THEN '(missing)'
+            ELSE CAST(CAST(floor(CAST(purchase AS DOUBLE) / 20.0) * 20.0 AS BIGINT) AS VARCHAR)
+       END AS bucket,
+       CAST(count(*) AS BIGINT) AS n
+FROM docs
+GROUP BY 1
+"""
+
+
+def q39_json_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr ``json.facet`` nested aggregation: terms facet over
+    event_type, each bucket carrying count + sum/avg stats AND a
+    nested terms subfacet (top-2 user_ids by event count inside the
+    bucket). Flattened response: one row per (bucket, subfacet row).
+    Plan: one grouped agg per level on the same scan + a broadcast
+    join of the tiny bucket stats onto the ranked subfacet — the
+    (type, user) agg shuffles once on the composite key, the rank
+    window partitions by type; no row-level shuffle of the corpus
+    happens twice."""
+    ev = _t(spark, sf_dir, "events")
+    bucket = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(exact_sum("value"), 6).alias("sum_value"),
+        F.round(exact_avg("value"), 6).alias("avg_value"),
+    )
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("sub_n")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("sub_n").desc(), F.col("user_id").asc()
+    )
+    sub = (
+        per_user.withColumn("sub_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sub_rank") <= 2)
+        .select("event_type", F.col("user_id").alias("sub_user_id"), "sub_n", "sub_rank")
+    )
+    return sub.join(F.broadcast(bucket), "event_type")
+
+
+Q39_SQL = """
+WITH bucket AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE), 6) AS sum_value,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / count(value), 6) AS avg_value
+  FROM events GROUP BY event_type
+),
+per_user AS (
+  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS sub_n
+  FROM events GROUP BY event_type, user_id
+),
+sub AS (
+  SELECT event_type, user_id AS sub_user_id, sub_n,
+         CAST(row_number() OVER (PARTITION BY event_type
+                                 ORDER BY sub_n DESC, user_id ASC) AS BIGINT) AS sub_rank
+  FROM per_user
+)
+SELECT s.event_type, s.sub_user_id, s.sub_n, s.sub_rank, b.n, b.sum_value, b.avg_value
+FROM sub s JOIN bucket b USING (event_type)
+WHERE s.sub_rank <= 2
+"""
+
+
+def q40_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr ``{!collapse field=o_custkey sort='o_totalprice desc'}`` +
+    ExpandComponent head: each customer's best order annotated with the
+    collapsed group size and the runner-up order id."""
+    from hbase_increment_index_spark.search.collapse import collapse
+
+    orders = _t(spark, sf_dir, "orders")
+    return collapse(
+        orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+        "o_custkey",
+        [F.col("o_totalprice").desc()],
+        tie_break="o_orderkey",
+    )
+
+
+Q40_SQL = """
+WITH r AS (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+         row_number() OVER w AS rn,
+         CAST(count(*) OVER (PARTITION BY o_custkey) AS BIGINT) AS n_in_group,
+         lead(o_orderkey) OVER w AS expand_head
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+)
+SELECT o_orderkey, o_custkey, o_totalprice, n_in_group, expand_head
+FROM r WHERE rn = 1
+"""
+
+
+def q41_facet_multiselect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-select faceting — ``fq={!tag=t}event_type:click`` +
+    ``facet.field={!ex=t}event_type``: the event_type facet is computed
+    with the user's own event_type selection excluded (so the UI keeps
+    offering the other types) while the value>50 filter still applies."""
+    ev = _t(spark, sf_dir, "events")
+    applied = {
+        "type_sel": F.col("event_type") == "click",
+        "val_min": F.col("value") > 50.0,
+    }
+    return facets.facet_field_excluding(ev, "event_type", applied, exclude=["type_sel"])
+
+
+Q41_SQL = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n
+FROM events WHERE value > 50.0
+GROUP BY event_type
+"""
+
+
+def q42_function_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr function query / boost-by-recency sort
+    (``sort=product(o_totalprice, recip(ms(NOW,o_orderdate),...)) desc``):
+    score = price × 1/(1 + age_days/365), NOW pinned to the corpus max
+    date so the ranking is deterministic. The scalar NOW rides in on a
+    1-row broadcast; scoring is a pure projection + TakeOrderedAndProject."""
+    from hbase_increment_index_spark.search.ranking import recency_boost
+
+    orders = _t(spark, sf_dir, "orders")
+    now = orders.agg(F.max("o_orderdate").alias("_now"))
+    return (
+        orders.crossJoin(F.broadcast(now))
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            F.round(
+                F.col("o_totalprice")
+                * recency_boost(F.col("o_orderdate"), F.col("_now"), 365.0),
+                6,
+            ).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("o_orderkey").asc())
+        .limit(15)
+    )
+
+
+Q42_SQL = """
+WITH now AS (SELECT max(o_orderdate) AS now_ts FROM orders)
+SELECT o_orderkey, o_totalprice,
+       ROUND(o_totalprice * (1.0 / (1.0 + date_diff('day', o_orderdate, now_ts) / 365.0)), 6) AS score
+FROM orders, now
+ORDER BY score DESC, o_orderkey ASC
+LIMIT 15
+"""
+
+
+def q43_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Significant terms / Solr JSON-Facet ``relatedness()``: terms
+    overrepresented in German documents vs the whole corpus, by lift
+    = (fg_df/fg_n)/(df/n) — the vocabulary-mining aggregate behind
+    'what characterizes this slice'."""
+    from hbase_increment_index_spark.search.ranking import significant_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    return significant_terms(
+        docs, F.col("lang") == "de", "doc_id", "text", min_fg_df=3, k=15
+    )
+
+
+Q43_SQL = f"""
+WITH flagged AS (
+  SELECT doc_id, CASE WHEN lang = 'de' THEN 1 ELSE 0 END AS fg,
+         {_SQL_TOKS.format(c='text')} AS toks
+  FROM documents
+),
+totals AS (SELECT count(*) AS n_docs, CAST(SUM(fg) AS BIGINT) AS n_fg FROM flagged),
+per_term AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(SUM(fg) AS BIGINT) AS fg_df
+  FROM (SELECT doc_id, fg, unnest(list_distinct(toks)) AS term FROM flagged)
+  GROUP BY term
+)
+SELECT term, fg_df, df,
+       ROUND((fg_df / n_fg) / (df / n_docs), 6) AS lift
+FROM per_term, totals
+WHERE fg_df >= 3
+ORDER BY lift DESC, term ASC
+LIMIT 15
+"""
+
+
+def q44_facet_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr ``facet.field=p_brand&facet.prefix=Brand#1`` — bucket
+    counts restricted to values under a prefix; the startswith filter
+    is pushed into the parquet scan (dictionary/min-max pruning)."""
+    part = _t(spark, sf_dir, "part")
+    return facets.facet_field(part, "p_brand", prefix="Brand#1").orderBy(
+        F.col("n").desc(), F.col("p_brand").asc()
+    )
+
+
+Q44_SQL = """
+SELECT p_brand, count(*) AS n
+FROM part
+WHERE p_brand LIKE 'Brand#1%'
+GROUP BY p_brand
+ORDER BY n DESC, p_brand ASC
+"""
+
+
+def q45_spellcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr SpellCheckComponent (``spellcheck.q``): correct each
+    misspelled query term from the index's own vocabulary — smallest
+    edit distance, then highest df, then lexicographic."""
+    from hbase_increment_index_spark.search.spell import spellcheck
+
+    docs = _t(spark, sf_dir, "documents")
+    return spellcheck(docs, "doc_id", "text", ["qeury", "sprak", "jion"]).orderBy(
+        "input"
+    )
+
+
+Q45_SQL = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest({_SQL_TOKS.format(c='text')}) AS term FROM documents
+),
+vocab AS (SELECT term, count(*) AS df FROM toks GROUP BY 1),
+inputs AS (SELECT unnest(['qeury', 'sprak', 'jion']) AS input),
+cand AS (
+  SELECT input, term, CAST(levenshtein(term, input) AS INT) AS dist, df
+  FROM vocab CROSS JOIN inputs
+  WHERE levenshtein(term, input) <= 2
+)
+SELECT input, term AS suggestion, dist, df
+FROM cand
+QUALIFY row_number() OVER (
+  PARTITION BY input ORDER BY dist ASC, df DESC, term ASC) = 1
+ORDER BY input
+"""
+
+
+def q45b_spellcheck_collate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr ``spellcheck.collate=true`` — the corrected multi-term
+    query re-assembled from each term's top correction and verified
+    against the index: one row (collated_query, hits) where hits counts
+    documents matching ALL collated terms."""
+    from hbase_increment_index_spark.search.spell import spellcheck_collate
+
+    docs = _t(spark, sf_dir, "documents")
+    return spellcheck_collate(docs, "doc_id", "text", ["qeury", "sprak", "jion"])
+
+
+Q45B_SQL = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest({_SQL_TOKS.format(c='text')}) AS term FROM documents
+),
+vocab AS (SELECT term, count(*) AS df FROM toks GROUP BY 1),
+inputs AS (SELECT * FROM (VALUES (0, 'qeury'), (1, 'sprak'), (2, 'jion')) AS t(pos, input)),
+cand AS (
+  SELECT pos, input, term, CAST(levenshtein(term, input) AS INT) AS dist, df
+  FROM vocab CROSS JOIN inputs
+  WHERE levenshtein(term, input) <= 2
+),
+best AS (
+  SELECT pos, term AS corrected FROM cand
+  QUALIFY row_number() OVER (
+    PARTITION BY pos ORDER BY dist ASC, df DESC, term ASC) = 1
+),
+corrected AS (
+  SELECT i.pos, COALESCE(b.corrected, i.input) AS term
+  FROM inputs i LEFT JOIN best b USING (pos)
+),
+collated AS (SELECT string_agg(term, ' ' ORDER BY pos) AS collated_query FROM corrected),
+cterms AS (SELECT DISTINCT term FROM corrected),
+hits AS (
+  SELECT CAST(count(*) AS BIGINT) AS hits FROM (
+    SELECT t.doc_id
+    FROM toks t JOIN cterms c USING (term)
+    GROUP BY t.doc_id
+    HAVING count(*) = (SELECT count(*) FROM cterms)
+  )
+)
+SELECT collated_query, hits FROM collated CROSS JOIN hits
+"""
+
+
+def q46_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 lexical top-50 ⊕ embedding-cosine top-50
+    fused by reciprocal-rank fusion (1/(60+rank), absent = 0) — the
+    modern RAG retrieval stack expressed on the same engine: both
+    candidate lists reduce corpus-side (TakeOrderedAndProject), fusion
+    touches only k rows."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()["embedding"]
+    ]
+    lex = ranking.with_rank(
+        ranking.bm25_topk(docs, "doc_id", "text", _TFIDF_TERMS, k=50),
+        [F.col("score").desc(), F.col("doc_id").asc()],
+    )
+    vec = ranking.with_rank(
+        knn_brute_force(emb.filter(F.col("vec_id") != 0), qvec, k=50).withColumnRenamed(
+            "vec_id", "doc_id"
+        ),
+        [F.col("score").desc(), F.col("doc_id").asc()],
+    )
+    return ranking.rrf_fuse({"lex": lex, "vec": vec}, "doc_id", k0=60, k=10)
+
+
+Q46_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SQL_TOKS.format(c='text')}) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+avgdl AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS a FROM dl),
+hits AS (SELECT * FROM toks WHERE term IN ('join', 'query', 'spark')),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM hits GROUP BY 1, 2),
+dft AS (SELECT term, count(DISTINCT doc_id) AS df_t FROM hits GROUP BY 1),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+lex_scored AS (
+  SELECT tf.doc_id,
+         ROUND(SUM(
+           ln(1.0 + (n.n_docs - dft.df_t + 0.5) / (dft.df_t + 0.5))
+           * (tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl.a))
+         ), 6) AS score
+  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id), n, avgdl
+  GROUP BY tf.doc_id
+  ORDER BY score DESC, tf.doc_id ASC
+  LIMIT 50
+),
+lex AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+  FROM lex_scored
+),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+vec_scored AS (
+  SELECT vec_id,
+         ROUND(
+           list_dot_product(CAST(embedding AS DOUBLE[]), q.qv)
+           / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(q.qv, q.qv))), 6) AS score
+  FROM embeddings, q
+  WHERE vec_id <> 0
+  ORDER BY score DESC, vec_id ASC
+  LIMIT 50
+),
+vec AS (
+  SELECT vec_id AS doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+  FROM vec_scored
+)
+SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+       ROUND(COALESCE(CAST(1 AS DOUBLE) / (60 + l.r), 0)
+           + COALESCE(CAST(1 AS DOUBLE) / (60 + v.r), 0), 6) AS rrf
+FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
+ORDER BY rrf DESC, doc_id ASC
+LIMIT 10
+"""
+
+
+def q47_geofilt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr ``{!geofilt pt=40,-74 d=3000}``: exact great-circle radius
+    filter behind a sargable bbox pre-filter (search.geo)."""
+    from hbase_increment_index_spark.search.geo import geofilt
+
+    return geofilt(
+        _geo_customers(spark, sf_dir), "lat", "lon", 40.0, -74.0, 3000.0
+    ).orderBy(F.col("dist_km").asc(), F.col("c_custkey").asc())
+
+
+Q47_SQL = f"""
+WITH pts AS ({_GEO_SQL_BASE}),
+d AS (SELECT c_custkey, lat, lon, {_GEO_DIST.format(la='40.0', lo='-74.0')} AS dist_km FROM pts)
+SELECT * FROM d WHERE dist_km <= 3000.0
+ORDER BY dist_km ASC, c_custkey ASC
+"""
+
+
+def q48_geo_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr ``sort=geodist() asc&rows=15`` — nearest-k customers to a
+    point; TakeOrderedAndProject, never a global sort."""
+    from hbase_increment_index_spark.search.geo import geodist_topk
+
+    return geodist_topk(
+        _geo_customers(spark, sf_dir), "lat", "lon", 48.86, 2.35, k=15, id_col="c_custkey"
+    )
+
+
+Q48_SQL = f"""
+WITH pts AS ({_GEO_SQL_BASE})
+SELECT c_custkey, lat, lon,
+       {_GEO_DIST.format(la='48.86', lo='2.35')} AS dist_km
+FROM pts
+ORDER BY dist_km ASC, c_custkey ASC
+LIMIT 15
+"""
+
+
+# --------------------------------------------------------------------------
+# Q49/Q50 — Solr join query parsers ({!parent} / {!child} / {!join})
+# --------------------------------------------------------------------------
+
+
+def q49_block_join_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr block join, child→parent (``q={!parent
+    which='type:order'}quantity:[49 TO *] AND discount:[0.08 TO *]``):
+    orders having at least one line item matching the child query.
+    Semi join — parents are never duplicated across multi-child hits;
+    the child predicate pushes into the child scan."""
+    from hbase_increment_index_spark.search.join_parsers import parent_block_join
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    pred = (F.col("l_quantity") >= 49.0) & (F.col("l_discount") >= 0.08)
+    return parent_block_join(orders, li, "o_orderkey", "l_orderkey", pred).select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+
+
+Q49_SQL = """
+SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey AND l_quantity >= 49.0 AND l_discount >= 0.08
+)
+"""
+
+
+def q49b_block_join_child(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr block join, parent→child (``q={!child
+    of='type:order'}priority:1-URGENT AND status:F``): the line items
+    belonging to any matching parent order. The filtered parent keyset
+    broadcasts; the child fact table never shuffles."""
+    from hbase_increment_index_spark.search.join_parsers import child_block_join
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    pred = (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_orderstatus") == "F")
+    return child_block_join(orders, li, "o_orderkey", "l_orderkey", pred).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+
+
+Q49B_SQL = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+FROM lineitem
+WHERE EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_orderkey = l_orderkey
+    AND o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'
+)
+"""
+
+
+def q49c_block_join_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr scored block join (``q={!parent which='type:order'
+    score=max}…``): orders ranked by their best matching line item's
+    net revenue. The child side collapses to (orderkey, max score) in
+    one map-side-combined agg BEFORE the join; top-k plans as
+    TakeOrderedAndProject over the joined stream."""
+    from hbase_increment_index_spark.search.join_parsers import (
+        parent_block_join_scored,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    out = parent_block_join_scored(
+        orders,
+        li,
+        "o_orderkey",
+        "l_orderkey",
+        F.col("l_quantity") >= 45.0,
+        F.col("l_extendedprice") * (1 - F.col("l_discount")),
+        mode="max",
+    )
+    return (
+        out.select("o_orderkey", "o_orderpriority", "score")
+        .orderBy(F.col("score").desc(), F.col("o_orderkey").asc())
+        .limit(15)
+    )
+
+
+Q49C_SQL = """
+SELECT o_orderkey, o_orderpriority,
+       CAST(MAX(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE) AS score
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+WHERE l_quantity >= 45.0
+GROUP BY o_orderkey, o_orderpriority
+ORDER BY score DESC, o_orderkey ASC
+LIMIT 15
+"""
+
+
+def q50_cross_join_parser(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr cross-collection join (``fq={!join from=vec_id
+    fromIndex=embeddings to=doc_id}label:(3 7)``): documents whose id
+    appears among the embedding rows matching the from-side query.
+    The harvested key list is distinct'd then broadcast — and unlike
+    Solr's single-shard {!join}, the semi join works across any
+    partitioning."""
+    from hbase_increment_index_spark.search.join_parsers import cross_collection_join
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    return cross_collection_join(
+        docs, "doc_id", emb, "vec_id", F.col("label").isin(3, 7)
+    ).select("doc_id", "lang", "source")
+
+
+Q50_SQL = """
+SELECT doc_id, lang, source
+FROM documents
+WHERE doc_id IN (SELECT vec_id FROM embeddings WHERE label IN (3, 7))
+"""
+
+
+# --------------------------------------------------------------------------
+# Q51 — Solr TermVector component; OLAP correlated-subquery shapes
+# --------------------------------------------------------------------------
+
+
+def q51_term_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr TermVectorComponent (``tv=true&tv.tf=true&tv.df=true``):
+    for each matched document its term vector — per-term tf, plus each
+    term's df across the matched set (the Solr 5.x component the
+    reference's index serves; reference README.md:5-10, SURVEY.md §2.2).
+
+    Explode → one map-side-combined hash agg on (doc, term); df then
+    rides a window over the already-unique (doc, term) rows — the
+    second shuffle carries ≤ |matched vocabulary| rows, and the corpus
+    is never re-read."""
+    from hbase_increment_index_spark.search.tokenize import posting_list
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") <= 20)
+    tf = posting_list(docs, "doc_id", "text").groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    return tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("term")))
+
+
+Q51_SQL = f"""
+WITH matched AS (SELECT doc_id, text FROM documents WHERE doc_id <= 20),
+toks AS (
+  SELECT doc_id, unnest({_SQL_TOKS.format(c='text')}) AS term FROM matched
+),
+tfs AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term)
+SELECT doc_id, term, tf, count(*) OVER (PARTITION BY term) AS df FROM tfs
+"""
+
+
+def q52_realtime_get(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr RealTimeGet (``/get?ids=...``): fetch the CURRENT documents
+    for a handful of row keys straight from the update log — visible
+    before any commit, which is the whole point of the handler (and of
+    the reference's low-latency index maintenance, README.md:5-6).
+
+    The key filter is applied to the LOG SCAN, before compaction —
+    filtering by row_key commutes with latest-per-cell compaction
+    because compaction partitions by row_key. At 100 TB the log is
+    bucketed by row_key (SCALE.md layout), so a realtime get touches
+    one file per key instead of the full log."""
+    from hbase_increment_index_spark.cdc.index_builder import documents_from_cells
+
+    events = _t(spark, sf_dir, "events")
+    ids = ["7", "13", "21", "42", "77"]
+    log = cell_log_from_events(events, delete_event_type="error").filter(
+        F.col("row_key").isin(ids)
+    )
+    return documents_from_cells(log, ["click", "purchase", "signup", "view"])
+
+
+Q52_SQL = f"""
+WITH log AS (
+  SELECT * FROM ({_SQL_CELL_LOG.format(delete_type='error')})
+  WHERE row_key IN ('7', '13', '21', '42', '77')
+),
+cell_latest AS (
+  SELECT * FROM log
+  QUALIFY row_number() OVER (
+    PARTITION BY row_key, family, qualifier ORDER BY ts DESC, seq DESC) = 1
+),
+row_latest AS (
+  SELECT row_key, op AS row_op FROM log
+  QUALIFY row_number() OVER (PARTITION BY row_key ORDER BY ts DESC, seq DESC) = 1
+),
+live AS (
+  SELECT c.* FROM cell_latest c JOIN row_latest r USING (row_key)
+  WHERE c.op = 'put' AND r.row_op = 'put'
+)
+SELECT row_key AS id,
+       min(CASE WHEN qualifier = 'click'    THEN value END) AS click,
+       min(CASE WHEN qualifier = 'purchase' THEN value END) AS purchase,
+       min(CASE WHEN qualifier = 'signup'   THEN value END) AS signup,
+       min(CASE WHEN qualifier = 'view'     THEN value END) AS view
+FROM live
+GROUP BY row_key
+"""
+
+
+def q53_luke_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr Luke handler (``/admin/luke``): per-field index statistics —
+    how many documents carry the field, distinct-value cardinality,
+    value-length range — over the sparse document view (absent
+    qualifier = NULL column, the open-schema reality of the reference's
+    dynamic fields, HbaseSolrIndexCoprocesser.java:46-48).
+
+    One ``stack`` unpivot (a projection — rows × fields, no shuffle)
+    feeding one hash agg on the tiny field key; count(value) skips
+    NULLs so presence counts fall out of the same pass."""
+    from hbase_increment_index_spark.cdc.index_builder import documents_from_cells
+
+    events = _t(spark, sf_dir, "events")
+    log = cell_log_from_events(events, delete_event_type="error")
+    docs = documents_from_cells(log, ["click", "purchase", "signup", "view"])
+    unp = docs.select(
+        F.expr(
+            "stack(4, 'click', click, 'purchase', purchase,"
+            " 'signup', signup, 'view', view) as (field, value)"
+        )
+    )
+    return unp.groupBy("field").agg(
+        F.count("value").alias("n_docs"),
+        F.countDistinct("value").alias("n_distinct"),
+        F.min(F.length("value")).alias("min_len"),
+        F.max(F.length("value")).alias("max_len"),
+    )
+
+
+Q53_SQL = f"""
+WITH log AS ({_SQL_CELL_LOG.format(delete_type='error')}),
+cell_latest AS (
+  SELECT * FROM log
+  QUALIFY row_number() OVER (
+    PARTITION BY row_key, family, qualifier ORDER BY ts DESC, seq DESC) = 1
+),
+row_latest AS (
+  SELECT row_key, op AS row_op FROM log
+  QUALIFY row_number() OVER (PARTITION BY row_key ORDER BY ts DESC, seq DESC) = 1
+),
+live AS (
+  SELECT c.* FROM cell_latest c JOIN row_latest r USING (row_key)
+  WHERE c.op = 'put' AND r.row_op = 'put'
+),
+docs AS (
+  SELECT row_key AS id,
+         min(CASE WHEN qualifier = 'click'    THEN value END) AS click,
+         min(CASE WHEN qualifier = 'purchase' THEN value END) AS purchase,
+         min(CASE WHEN qualifier = 'signup'   THEN value END) AS signup,
+         min(CASE WHEN qualifier = 'view'     THEN value END) AS view
+  FROM live GROUP BY row_key
+),
+unp AS (
+  SELECT 'click' AS field, click AS value FROM docs
+  UNION ALL SELECT 'purchase', purchase FROM docs
+  UNION ALL SELECT 'signup', signup FROM docs
+  UNION ALL SELECT 'view', view FROM docs
+)
+SELECT field, count(value) AS n_docs, count(DISTINCT value) AS n_distinct,
+       min(length(value)) AS min_len, max(length(value)) AS max_len
+FROM unp
+GROUP BY field
+"""
+
+
+def q10b_facet_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr facet parameter set on one facet: ``facet.field=p_size&
+    facet.mincount=2&facet.sort=count&facet.limit=10&facet.offset=5``
+    — buckets 6–15 by count (count desc, value asc — Solr's tie
+    order). The offset window runs over the AGGREGATED buckets only
+    (field cardinality, not corpus size)."""
+    part = _t(spark, sf_dir, "part")
+    return facets.facet_field(
+        part, "p_size", mincount=2, sort="count", limit=10, offset=5
+    )
+
+
+Q10B_SQL = """
+SELECT p_size, n FROM (
+  SELECT p_size, count(*) AS n,
+         row_number() OVER (ORDER BY count(*) DESC, p_size ASC) AS rn
+  FROM part
+  GROUP BY p_size
+  HAVING count(*) >= 2
+) WHERE rn > 5 AND rn <= 15
+"""
+
+
+# --------------------------------------------------------------------------
+# r3 late additions: eDisMax / synonyms / graph query / dup-spans /
+# hashed classifier / TPC-H Q7+Q8 shapes
+# --------------------------------------------------------------------------
+
+def q54_edismax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr eDisMax parser ``defType=edismax&qf=text^2 source^1&
+    mm=1&tie=0.1`` — multi-field disjunction-max relevance with
+    minimum-should-match (search.edismax.edismax_topk). Per-field
+    postings are broadcast-filtered to the query terms before any
+    shuffle; 'src7' only matches via the source field, exercising the
+    cross-field max."""
+    from hbase_increment_index_spark.search.edismax import edismax_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return edismax_topk(
+        docs,
+        "doc_id",
+        {"text": 2.0, "source": 1.0},
+        ["spark", "query", "src7"],
+        mm=1,
+        tie=0.1,
+        k=15,
+    )
+
+
+Q54_SQL = f"""
+WITH n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+fields AS (
+  SELECT doc_id, 'text' AS fld, 2.0 AS boost,
+         unnest({_SQL_TOKS.format(c='text')}) AS term
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 'source' AS fld, 1.0 AS boost,
+         unnest({_SQL_TOKS.format(c='source')}) AS term
+  FROM documents
+),
+hits AS (SELECT * FROM fields WHERE term IN ('spark', 'query', 'src7')),
+tf AS (
+  SELECT doc_id, fld, boost, term, count(*) AS tf
+  FROM hits GROUP BY 1, 2, 3, 4
+),
+dft AS (SELECT fld, term, count(*) AS df_t FROM tf GROUP BY 1, 2),
+w AS (
+  SELECT tf.doc_id, tf.term, tf.boost * tf.tf * ln(n.n_docs / dft.df_t) AS w
+  FROM tf JOIN dft USING (fld, term), n
+),
+dm AS (
+  SELECT doc_id, term, max(w) + 0.1 * (sum(w) - max(w)) AS dismax
+  FROM w GROUP BY 1, 2
+)
+SELECT doc_id, ROUND(SUM(dismax), 6) AS score, COUNT(*) AS matched
+FROM dm
+GROUP BY doc_id
+HAVING COUNT(*) >= 1
+ORDER BY score DESC, doc_id ASC
+LIMIT 15
+"""
+
+
+def q55_synonyms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-time synonym expansion (Solr SynonymGraphFilter):
+    ``q=text:(fast join)`` where join={join,merge}, fast={fast,quick,
+    speedy} — each group an OR over its variants, groups ANDed
+    (search.tokenize.synonym_groups_match). Pure token-array
+    projection, zero shuffle."""
+    from hbase_increment_index_spark.search.tokenize import synonym_groups_match
+
+    docs = _t(spark, sf_dir, "documents")
+    pred, counts = synonym_groups_match(
+        "text", {"fast": ["quick", "speedy"], "join": ["merge"]}
+    )
+    return docs.filter(pred).select("doc_id", *counts).orderBy(F.col("doc_id").asc())
+
+
+Q55_SQL = f"""
+SELECT doc_id,
+       len(list_intersect(list_distinct({_SQL_TOKS.format(c='text')}),
+           ['fast', 'quick', 'speedy'])) AS n_fast,
+       len(list_intersect(list_distinct({_SQL_TOKS.format(c='text')}),
+           ['join', 'merge'])) AS n_join
+FROM documents
+WHERE len(list_intersect(list_distinct({_SQL_TOKS.format(c='text')}),
+          ['fast', 'quick', 'speedy'])) > 0
+  AND len(list_intersect(list_distinct({_SQL_TOKS.format(c='text')}),
+          ['join', 'merge'])) > 0
+ORDER BY doc_id ASC
+"""
+
+
+def q56_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr graph traversal ``{{!graph from=o_custkey to=o_orderkey
+    maxDepth=3}}o_orderkey:[0 TO 19]`` over orders — level-synchronous
+    BFS, every reachable doc tagged with its minimum hop count
+    (search.graph.graph_traverse). Each hop is a broadcast semi-join
+    on the frontier's key set."""
+    from hbase_increment_index_spark.search.graph import graph_traverse
+
+    orders = _t(spark, sf_dir, "orders")
+    out = graph_traverse(
+        orders,
+        "o_orderkey",
+        from_col="o_custkey",
+        to_col="o_orderkey",
+        root_pred=F.col("o_orderkey") < 20,
+        max_depth=3,
+    )
+    return out.orderBy(F.col("o_orderkey").asc())
+
+
+Q56_SQL = """
+WITH RECURSIVE walk(node, fromv, depth) AS (
+  SELECT o_orderkey, o_custkey, 0 FROM orders WHERE o_orderkey < 20
+  UNION ALL
+  SELECT o.o_orderkey, o.o_custkey, w.depth + 1
+  FROM orders o JOIN walk w ON o.o_orderkey = w.fromv
+  WHERE w.depth < 3
+)
+SELECT node AS o_orderkey, MIN(depth) AS depth
+FROM walk
+GROUP BY node
+ORDER BY o_orderkey ASC
+"""
+
+
+def q42b_frange(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr ``{{!frange l=.. u=..}}func`` — filter by a COMPUTED
+    function value (not a stored field): keep orders whose
+    recency-decayed price score lands in [30000, 60000]. The function
+    is the same recip-decay projection as q42; the range filter is
+    applied post-projection (frange is inherently non-sargable — its
+    cost is the projection, which is map-side and free)."""
+    from hbase_increment_index_spark.search.ranking import recency_boost
+
+    orders = _t(spark, sf_dir, "orders")
+    now = orders.agg(F.max("o_orderdate").alias("_now"))
+    scored = orders.crossJoin(F.broadcast(now)).select(
+        "o_orderkey",
+        F.round(
+            F.col("o_totalprice")
+            * recency_boost(F.col("o_orderdate"), F.col("_now"), 365.0),
+            6,
+        ).alias("score"),
+    )
+    return scored.filter(F.col("score").between(30000.0, 60000.0)).orderBy(
+        F.col("o_orderkey").asc()
+    )
+
+
+Q42B_SQL = """
+WITH now AS (SELECT max(o_orderdate) AS now_ts FROM orders),
+scored AS (
+  SELECT o_orderkey,
+         ROUND(o_totalprice * (1.0 / (1.0 + date_diff('day', o_orderdate, now_ts) / 365.0)), 6) AS score
+  FROM orders, now
+)
+SELECT o_orderkey, score
+FROM scored
+WHERE score BETWEEN 30000.0 AND 60000.0
+ORDER BY o_orderkey ASC
+"""
+
+
+def q34b_terms_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr ``terms.regex`` — vocabulary enumeration restricted by a
+    full-match regex (Lucene RegexpQuery semantics), served from the
+    materialized postings: terms of 4-6 letters starting 's', df-desc
+    (search.highlight.terms_component_from_index)."""
+    from hbase_increment_index_spark.search.highlight import terms_component_from_index
+    from hbase_increment_index_spark.search.inverted import build_inverted_index
+
+    docs = _t(spark, sf_dir, "documents")
+    postings = build_inverted_index(docs, "doc_id", "text")
+    return terms_component_from_index(postings, k=20, regex="s[a-z]{3,5}")
+
+
+Q34B_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SQL_TOKS.format(c='text')}) AS term FROM documents
+),
+p AS (SELECT term, doc_id FROM toks GROUP BY 1, 2)
+SELECT term, count(*) AS docfreq
+FROM p
+WHERE regexp_full_match(term, 's[a-z]{{3,5}}')
+GROUP BY term
+ORDER BY docfreq DESC, term ASC
+LIMIT 20
+"""
+
+
+_ELEVATED_IDS = [42, 7]
+
+
+def q57_elevation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr QueryElevationComponent (``elevate.xml`` / ``elevateIds``):
+    editorially-pinned documents surface FIRST in their configured
+    order, then the organic BM25 ranking fills the remaining slots
+    (search.ranking.elevation_topk; total rows = Solr ``rows``). The
+    pinned set is a literal broadcast frame; elevation adds zero
+    corpus-side work to the organic retrieval."""
+    docs = _t(spark, sf_dir, "documents")
+    return ranking.elevation_topk(
+        docs, "doc_id", "text", list(_TFIDF_TERMS),
+        elevated_ids=[int(d) for d in _ELEVATED_IDS],
+        k=12, organic_pool=12,
+    )
+
+
+Q57_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SQL_TOKS.format(c='text')}) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+avgdl AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS a FROM dl),
+hits AS (SELECT * FROM toks WHERE term IN ('join', 'query', 'spark')),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM hits GROUP BY 1, 2),
+dft AS (SELECT term, count(DISTINCT doc_id) AS df_t FROM hits GROUP BY 1),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+bm25 AS (
+  SELECT tf.doc_id,
+         ROUND(SUM(
+           ln(1.0 + (n.n_docs - dft.df_t + 0.5) / (dft.df_t + 0.5))
+           * (tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl.a))
+         ), 6) AS score
+  FROM tf JOIN dft USING (term) JOIN dl USING (doc_id), n, avgdl
+  GROUP BY tf.doc_id
+),
+organic AS (
+  SELECT doc_id, score FROM bm25
+  ORDER BY score DESC, doc_id ASC LIMIT 12
+),
+pinned(doc_id, elev_pos) AS (VALUES (42, 1), (7, 2)),
+rest AS (
+  SELECT doc_id, score FROM organic
+  WHERE doc_id NOT IN (SELECT doc_id FROM pinned)
+  ORDER BY score DESC, doc_id ASC LIMIT 10
+)
+SELECT doc_id, elevated, ROUND(sort_key, 6) AS sort_key FROM (
+  SELECT doc_id, 1 AS elevated, CAST(elev_pos AS DOUBLE) AS sort_key FROM pinned
+  UNION ALL
+  SELECT doc_id, 0 AS elevated, 1000.0 - score AS sort_key FROM rest
+)
+ORDER BY elevated DESC, sort_key ASC, doc_id ASC
+"""
+
+
+def q58_geo_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr 5 spatial heatmap facet (``facet.heatmap=geo``): point
+    counts on a regular lat/lon grid over a bbox — the map-overlay
+    readout. Cell assignment is a pure floor projection (fully
+    sargable bbox pre-filter), then one hash agg on (row, col);
+    non-empty cells only, Solr's sparse counts_ints2D."""
+    pts = _geo_customers(spark, sf_dir)
+    cell = 10.0  # degrees per grid cell
+    boxed = pts.filter(
+        F.col("lat").between(-60.0, 60.0) & F.col("lon").between(-180.0, 180.0)
+    )
+    return (
+        boxed.select(
+            F.floor((F.col("lat") + 60.0) / cell).cast("int").alias("grid_row"),
+            F.floor((F.col("lon") + 180.0) / cell).cast("int").alias("grid_col"),
+        )
+        .groupBy("grid_row", "grid_col")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("grid_row").asc(), F.col("grid_col").asc())
+    )
+
+
+Q58_SQL = f"""
+WITH pts AS ({_GEO_SQL_BASE})
+SELECT CAST(floor((lat + 60.0) / 10.0) AS INT) AS grid_row,
+       CAST(floor((lon + 180.0) / 10.0) AS INT) AS grid_col,
+       count(*) AS n
+FROM pts
+WHERE lat BETWEEN -60.0 AND 60.0 AND lon BETWEEN -180.0 AND 180.0
+GROUP BY 1, 2
+ORDER BY grid_row ASC, grid_col ASC
+"""
+
+
+def q59_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr ReRank parser ``rq={{!rerank reRankDocs=50 reRankWeight=2}}``:
+    main BM25 top-50 head re-scored by a second query's BM25 at weight
+    2 (search.ranking.rerank_topk). The rerank leg only scores the
+    broadcast-small candidate head."""
+    docs = _t(spark, sf_dir, "documents")
+    return ranking.rerank_topk(
+        docs, "doc_id", "text",
+        main_terms=list(_TFIDF_TERMS),
+        rerank_terms=["stream", "window"],
+        rerank_docs=50, rerank_weight=2.0, k=10,
+    )
+
+
+Q59_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SQL_TOKS.format(c='text')}) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+avgdl AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS a FROM dl),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+mhits AS (SELECT * FROM toks WHERE term IN ('join', 'query', 'spark')),
+mtf AS (SELECT doc_id, term, count(*) AS tf FROM mhits GROUP BY 1, 2),
+mdft AS (SELECT term, count(DISTINCT doc_id) AS df_t FROM mhits GROUP BY 1),
+main AS (
+  SELECT mtf.doc_id,
+         ROUND(SUM(
+           ln(1.0 + (n.n_docs - mdft.df_t + 0.5) / (mdft.df_t + 0.5))
+           * (mtf.tf * (1.2 + 1)) / (mtf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl.a))
+         ), 6) AS main_score
+  FROM mtf JOIN mdft USING (term) JOIN dl USING (doc_id), n, avgdl
+  GROUP BY mtf.doc_id
+),
+head AS (SELECT * FROM main ORDER BY main_score DESC, doc_id ASC LIMIT 50),
+rhits AS (SELECT * FROM toks WHERE term IN ('stream', 'window')),
+rtf AS (SELECT doc_id, term, count(*) AS tf FROM rhits GROUP BY 1, 2),
+rdft AS (SELECT term, count(DISTINCT doc_id) AS df_t FROM rhits GROUP BY 1),
+re AS (
+  SELECT rtf.doc_id,
+         ROUND(SUM(
+           ln(1.0 + (n.n_docs - rdft.df_t + 0.5) / (rdft.df_t + 0.5))
+           * (rtf.tf * (1.2 + 1)) / (rtf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl.a))
+         ), 6) AS re_score
+  FROM rtf JOIN rdft USING (term) JOIN dl USING (doc_id), n, avgdl
+  GROUP BY rtf.doc_id
+)
+SELECT h.doc_id, h.main_score,
+       ROUND(h.main_score + 2.0 * COALESCE(re.re_score, 0.0), 6) AS score
+FROM head h LEFT JOIN re ON h.doc_id = re.doc_id
+ORDER BY score DESC, h.doc_id ASC
+LIMIT 10
+"""
+
+
+def q39b_json_facet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr ``json.facet`` bucket metadata: ``numBuckets:true`` +
+    ``allBuckets:true`` + limited terms buckets in one response —
+    bucket rows tagged 'bucket' (top-3 by count), one 'allBuckets'
+    row aggregating ALL values regardless of the bucket limit, one
+    'numBuckets' row with the distinct-bucket count. One grouped agg
+    feeds all three sections (the all/num rows are a second-phase agg
+    over the tiny bucket frame, broadcast-unioned)."""
+    ev = _t(spark, sf_dir, "events")
+    buckets = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(exact_sum("value"), 6).alias("sum_value"),
+    )
+    top = (
+        buckets.orderBy(F.col("n").desc(), F.col("event_type").asc())
+        .limit(3)
+        .select(
+            F.lit("bucket").alias("section"),
+            F.col("event_type").alias("val"),
+            "n",
+            "sum_value",
+        )
+    )
+    meta = buckets.agg(
+        F.sum("n").alias("_all_n"),
+        F.round(F.sum("sum_value"), 6).alias("_all_sum"),
+        F.count(F.lit(1)).alias("_num"),
+    )
+    allb = meta.select(
+        F.lit("allBuckets").alias("section"),
+        F.lit(None).cast("string").alias("val"),
+        F.col("_all_n").alias("n"),
+        F.col("_all_sum").alias("sum_value"),
+    )
+    numb = meta.select(
+        F.lit("numBuckets").alias("section"),
+        F.lit(None).cast("string").alias("val"),
+        F.col("_num").alias("n"),
+        F.lit(None).cast("double").alias("sum_value"),
+    )
+    return top.unionByName(allb).unionByName(numb).orderBy(
+        F.col("section").asc(), F.col("n").desc(), F.col("val").asc_nulls_last()
+    )
+
+
+Q39B_SQL = """
+WITH buckets AS (
+  SELECT event_type,
+         count(*) AS n,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE), 6) AS sum_value
+  FROM events GROUP BY 1
+),
+top AS (
+  SELECT 'bucket' AS section, event_type AS val, n, sum_value
+  FROM buckets ORDER BY n DESC, event_type ASC LIMIT 3
+),
+meta AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS all_n,
+         ROUND(SUM(sum_value), 6) AS all_sum,
+         count(*) AS num FROM buckets
+)
+SELECT section, val, n, sum_value FROM (
+  SELECT * FROM top
+  UNION ALL
+  SELECT 'allBuckets', NULL, all_n, all_sum FROM meta
+  UNION ALL
+  SELECT 'numBuckets', NULL, num, NULL FROM meta
+)
+ORDER BY section ASC, n DESC, val ASC NULLS LAST
+"""
+
+
+def q61_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``top(rollup(search(...)))`` — the canonical streaming-expression
+    aggregation: filtered scan → hash rollup → top-k. Plans as pushed
+    filter + partial/final hash agg + TakeOrderedAndProject; Solr's
+    sorted-stream precondition for rollup is unnecessary on Spark."""
+    return _stream(
+        spark, sf_dir,
+        'top(n=5, sort="sum_l_extendedprice desc,l_suppkey asc", '
+        'rollup(search(lineitem, q="l_returnflag:A", '
+        'fl="l_suppkey,l_extendedprice,l_quantity"), '
+        'over="l_suppkey", sum(l_extendedprice), sum(l_quantity), count(*)))',
+    )
+
+
+Q61_SQL = """
+SELECT l_suppkey,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_l_extendedprice,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_l_quantity,
+       COUNT(*) AS count_star
+FROM lineitem WHERE l_returnflag = 'A'
+GROUP BY l_suppkey
+ORDER BY sum_l_extendedprice DESC, l_suppkey ASC
+LIMIT 5
+"""
+
+
+def q61b_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``top(innerJoin(search, search))`` — streaming-expression equi
+    join. Solr requires both streams sorted on the key and merges them
+    worker-side; here the join hashes (broadcast under AQE when one
+    side is small), so the expression runs without re-sort shuffles."""
+    return _stream(
+        spark, sf_dir,
+        'top(n=20, sort="o_totalprice desc,o_orderkey asc", '
+        'innerJoin(search(orders, fq="o_orderstatus:F", '
+        'fl="o_orderkey,o_custkey,o_totalprice"), '
+        'search(customer, fl="c_custkey,c_mktsegment,c_name"), '
+        'on="o_custkey=c_custkey"))',
+    )
+
+
+Q61B_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice, c_mktsegment, c_name
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_orderstatus = 'F'
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 20
+"""
+
+
+def q61c_stream_complement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``complement(stream, hashed=stream, on=...)`` — set-difference
+    decorator: parts never shipped in quantity >= 49. Compiles to a
+    left-anti hash join whose build side is the deduplicated KEYSET
+    only (payload columns pruned before the join)."""
+    return _stream(
+        spark, sf_dir,
+        'complement(search(part, fl="p_partkey,p_brand"), '
+        'hashed=search(lineitem, fq="l_quantity:[49 TO *]", fl="l_partkey"), '
+        'on="p_partkey=l_partkey")',
+    )
+
+
+Q61C_SQL = """
+SELECT p_partkey, p_brand FROM part
+WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 49)
+"""
+
+
+def q61d_stream_facet_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``having(facet(...), gt(metric, v))`` — facet expression with a
+    post-aggregation predicate; one hash agg, filter on the aggregate
+    (no second scan)."""
+    return _stream(
+        spark, sf_dir,
+        'having(facet(lineitem, buckets="l_returnflag,l_linestatus", '
+        'bucketSorts="count_star desc,l_returnflag asc,l_linestatus asc", '
+        'sum(l_quantity), count(*)), gt(count_star, 100))',
+    )
+
+
+Q61D_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) AS sum_l_quantity,
+       COUNT(*) AS count_star
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+HAVING COUNT(*) > 100
+ORDER BY count_star DESC, l_returnflag ASC, l_linestatus ASC
+"""
+
+
+def q61e_stream_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``select(unique(search(...), over=...))`` — latest event per
+    user via the unique decorator (one window on the over key), with a
+    select rename on top. Solr streams pre-sorted tuples and emits the
+    first per key; the window form needs no pre-sort of the corpus."""
+    return _stream(
+        spark, sf_dir,
+        'select(unique(search(events, fl="user_id,event_type,ts,event_id"), '
+        'over="user_id", sort="ts desc,event_id desc"), '
+        '"user_id as u", "event_type as latest_type", "event_id as latest_id")',
+    )
+
+
+Q61E_SQL = """
+SELECT user_id AS u, event_type AS latest_type, event_id AS latest_id
+FROM (
+  SELECT user_id, event_type, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def q65_sql_handler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr /sql handler (solrj 9.x exposes a SQL interface compiled
+    onto streaming expressions): the engine's native answer is Spark
+    SQL itself over the registered index view — same text in, Catalyst
+    instead of Solr's rule-based SQL→expression planner. The query is
+    the handler's canonical aggregate example: full-text predicate +
+    GROUP BY + ORDER BY + LIMIT."""
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents_v")
+    return spark.sql(
+        """
+        SELECT lang, source, count(*) AS n, sum(n_chars) AS total_chars
+        FROM documents_v
+        WHERE text LIKE '%spark%'
+        GROUP BY lang, source
+        ORDER BY n DESC, lang ASC, source ASC
+        LIMIT 10
+        """
+    )
+
+
+Q65_SQL = """
+SELECT lang, source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+WHERE text LIKE '%spark%'
+GROUP BY lang, source
+ORDER BY n DESC, lang ASC, source ASC
+LIMIT 10
+"""
+
+
+def q64_analyzed_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr analysis chain (StopFilter + EnglishMinimalStem): the
+    top-20 ANALYZED vocabulary by document frequency — what an
+    analyzed text field actually indexes (search.analysis). The whole
+    chain is a zero-shuffle array projection feeding the usual
+    vocabulary hash agg."""
+    from hbase_increment_index_spark.search.analysis import analyzed_vocabulary
+
+    docs = _t(spark, sf_dir, "documents")
+    return analyzed_vocabulary(docs, "doc_id", "text", k=20)
+
+
+def _q64_sql() -> str:
+    from hbase_increment_index_spark.search.analysis import stem_sql, stopword_sql_list
+
+    return f"""
+SELECT {stem_sql('term')} AS term, count(DISTINCT doc_id) AS docfreq
+FROM (SELECT doc_id, unnest({_SQL_TOKS.format(c='text')}) AS term FROM documents)
+WHERE term NOT IN ({stopword_sql_list()})
+GROUP BY 1
+ORDER BY docfreq DESC, term ASC
+LIMIT 20
+"""
+
+
+def q63_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event funnel (view → click → purchase, strictly ordered in
+    event time): per-stage user counts. Stage k's earliest qualifying
+    timestamp is a per-user conditional min chained on stage k-1's —
+    three aggregations all keyed on user_id, so the exchange is
+    reused (one logical shuffle at scale; repartition once on
+    user_id and every stage is map-side)."""
+    ev = _t(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    return (
+        v.select(F.lit("1_view").alias("stage"), "user_id")
+        .unionByName(c.select(F.lit("2_click_after_view").alias("stage"), "user_id"))
+        .unionByName(p.select(F.lit("3_purchase_after_click").alias("stage"), "user_id"))
+        .groupBy("stage")
+        .agg(F.count(F.lit(1)).alias("users"))
+        .orderBy("stage")
+    )
+
+
+Q63_SQL = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS v_ts FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS c_ts
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.v_ts
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS p_ts
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+  GROUP BY e.user_id
+)
+SELECT stage, count(*) AS users FROM (
+  SELECT '1_view' AS stage, user_id FROM v
+  UNION ALL
+  SELECT '2_click_after_view' AS stage, user_id FROM c
+  UNION ALL
+  SELECT '3_purchase_after_click' AS stage, user_id FROM p
+)
+GROUP BY stage
+ORDER BY stage
+"""
+
+
+def q62_ltr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr Learning-to-Rank plugin (``rq={!ltr model=linear
+    reRankDocs=50}``): BM25 top-50 head → per-candidate feature vector
+    (original score, log doc length, lang/source filter features) →
+    linear model re-rank (search.ranking.ltr_rerank). Feature
+    extraction is O(head), joined by id against the corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    return ranking.ltr_rerank(
+        docs, "doc_id", "text", list(_TFIDF_TERMS),
+        weights={"original_score": 1.0, "log_doclen": -0.2, "is_en": 0.4, "is_web": 0.2},
+        rerank_docs=50, k=10,
+    )
+
+
+Q62_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SQL_TOKS.format(c='text')}) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+avgdl AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS a FROM dl),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+mhits AS (SELECT * FROM toks WHERE term IN ('join', 'query', 'spark')),
+mtf AS (SELECT doc_id, term, count(*) AS tf FROM mhits GROUP BY 1, 2),
+mdft AS (SELECT term, count(DISTINCT doc_id) AS df_t FROM mhits GROUP BY 1),
+main AS (
+  SELECT mtf.doc_id,
+         ROUND(SUM(
+           ln(1.0 + (n.n_docs - mdft.df_t + 0.5) / (mdft.df_t + 0.5))
+           * (mtf.tf * (1.2 + 1)) / (mtf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl.a))
+         ), 6) AS original_score
+  FROM mtf JOIN mdft USING (term) JOIN dl USING (doc_id), n, avgdl
+  GROUP BY mtf.doc_id
+),
+head AS (SELECT * FROM main ORDER BY original_score DESC, doc_id ASC LIMIT 50),
+feats AS (
+  SELECT h.doc_id, h.original_score,
+         ln(1.0 + dl.dl) AS log_doclen,
+         CAST(d.lang = 'en' AS DOUBLE) AS is_en,
+         CAST(d.source = 'web' AS DOUBLE) AS is_web
+  FROM head h JOIN dl USING (doc_id) JOIN documents d USING (doc_id)
+)
+SELECT doc_id, original_score,
+       ROUND(1.0 * original_score + (-0.2) * log_doclen + 0.4 * is_en + 0.2 * is_web, 6)
+         AS ltr_score
+FROM feats
+ORDER BY ltr_score DESC, doc_id ASC
+LIMIT 10
+"""
+
+
+def q60_phonetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr PhoneticFilter (Soundex) — sounds-like vocabulary match:
+    terms whose Soundex equals soundex('sparc') (= S162, so 'spark'
+    etc. match), with document frequency. The code is a pure codegen
+    expression chain (search.phonetic) with an exact DuckDB twin —
+    no backreferences, so both regex engines agree."""
+    from hbase_increment_index_spark.search.phonetic import soundex_code
+
+    docs = _t(spark, sf_dir, "documents")
+    from hbase_increment_index_spark.search.tokenize import tokens
+
+    vocab = (
+        docs.select(F.col("doc_id"), F.explode(tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("docfreq"))
+    )
+    return (
+        vocab.filter(soundex_code(F.col("term")) == soundex_code(F.lit("sparc")))
+        .select("term", "docfreq")
+        .orderBy(F.col("docfreq").desc(), F.col("term").asc())
+    )
+
+
+def _q60_sql() -> str:
+    from hbase_increment_index_spark.search.phonetic import soundex_sql
+
+    return f"""
+SELECT term, count(DISTINCT doc_id) AS docfreq
+FROM (SELECT doc_id, unnest({_SQL_TOKS.format(c='text')}) AS term FROM documents)
+GROUP BY term
+HAVING {soundex_sql('term')} = {soundex_sql("'sparc'")}
+ORDER BY docfreq DESC, term ASC
+"""
+
+
+def q39d_json_facet_blockjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr ``json.facet`` over a block-join domain: ``q=priority:
+    1-URGENT AND status:F`` + ``json.facet={flags: {type: terms,
+    field: returnflag, domain: {blockChildren: 'type:order'}, facet:
+    {sum_revenue: ..., avg_qty: ..., years: {type: terms, field:
+    shipyear, limit: 2}}}}`` — the standard nested-document faceting
+    a solrj 9.8 client issues (reference pom.xml:22 pulls solrj; the
+    coprocessor indexes parent rows the same client then facets).
+    Matching PARENT orders define the domain; the facet itself runs
+    over their CHILD line items: a terms facet on l_returnflag with
+    count + revenue/quantity stats and a nested top-2 l_shipmode
+    subfacet per bucket.
+
+    Plan: the q49b child block join provides the domain switch (the
+    filtered parent keyset is projected to the key column and
+    broadcast — the child fact table never shuffles for the join),
+    then q39's two-level bucket shape: one composite-key hash agg for
+    the subfacet, one bucket-key hash agg for the stats, tiny bucket
+    frame broadcast onto the ranked subfacet rows. Both parent
+    predicates push into the orders scan; only facet columns are read
+    from lineitem."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    from hbase_increment_index_spark.search.join_parsers import child_block_join
+
+    parent_pred = (F.col("o_orderpriority") == "1-URGENT") & (
+        F.col("o_orderstatus") == "F"
+    )
+    children = child_block_join(orders, li, "o_orderkey", "l_orderkey", parent_pred)
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    bucket = children.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(exact_sum(revenue), 6).alias("sum_revenue"),
+        F.round(exact_avg("l_quantity"), 6).alias("avg_qty"),
+    )
+    per_year = children.withColumn(
+        "sub_year", F.year("l_shipdate").cast("long")
+    ).groupBy("l_returnflag", "sub_year").agg(F.count(F.lit(1)).alias("sub_n"))
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("sub_n").desc(), F.col("sub_year").asc()
+    )
+    sub = (
+        per_year.withColumn("sub_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sub_rank") <= 2)
+        .select("l_returnflag", "sub_year", "sub_n", "sub_rank")
+    )
+    return sub.join(F.broadcast(bucket), "l_returnflag")
+
+
+Q39D_SQL = """
+WITH children AS (
+  SELECT l_returnflag, l_shipdate, l_quantity, l_extendedprice, l_discount
+  FROM lineitem
+  WHERE EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_orderkey = l_orderkey
+      AND o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'
+  )
+),
+bucket AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS BIGINT) AS n,
+         ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,6))) AS DOUBLE), 6) AS sum_revenue,
+         ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) / count(l_quantity), 6) AS avg_qty
+  FROM children GROUP BY 1
+),
+per_year AS (
+  SELECT l_returnflag, CAST(year(l_shipdate) AS BIGINT) AS sub_year,
+         CAST(count(*) AS BIGINT) AS sub_n
+  FROM children GROUP BY 1, 2
+),
+sub AS (
+  SELECT l_returnflag, sub_year, sub_n,
+         CAST(row_number() OVER (PARTITION BY l_returnflag
+                                 ORDER BY sub_n DESC, sub_year ASC) AS BIGINT) AS sub_rank
+  FROM per_year
+)
+SELECT s.l_returnflag, s.sub_year, s.sub_n, s.sub_rank,
+       b.n, b.sum_revenue, b.avg_qty
+FROM sub s JOIN bucket b USING (l_returnflag)
+WHERE s.sub_rank <= 2
+"""
+
+
+def q14c_percentile_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured sketch error for the Q-IVMP percentile sketch: per
+    event_type, the EXACT discrete percentile (smallest value whose
+    cumulative count crosses q·n — the interpolation-free rule both
+    engines compute identically) next to the width-5 fixed-bin
+    sketch's answer (cdc_merge_percentiles' serving rule), with the
+    signed error and an in-bound flag. The fixed-bin sketch's error is
+    DETERMINISTICALLY bounded by construction — the exact percentile
+    always lands inside the crossing bin, so 0 ≤ error < bin width —
+    which is the trade against t-digest/approx_percentile: those give
+    tighter tail error on skewed data but their answers depend on
+    merge order and compression internals, so no exact cross-engine
+    oracle exists for them (the same reason q14b is rows-only). This
+    query IS the measured-error companion: every value it reports,
+    including the error itself, is oracle-checked.
+
+    Plan: two hash aggs over the same scan (per-(type,value) counts
+    and per-(type,bin) counts), tiny per-type windows, broadcast join
+    of two |event_type|-row frames."""
+    ev = _t(spark, sf_dir, "events")
+    w_cum_v = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("value").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("event_type")
+    vals = (
+        ev.groupBy("event_type", "value")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("cum", F.sum("n").over(w_cum_v))
+        .withColumn("total", F.sum("n").over(w_tot))
+    )
+    exact = vals.groupBy("event_type").agg(
+        F.max("total").cast("long").alias("n_total"),
+        F.min(
+            F.when(F.col("cum") >= F.lit(0.5) * F.col("total"), F.col("value"))
+        ).alias("p50_exact"),
+        F.min(
+            F.when(F.col("cum") >= F.lit(0.95) * F.col("total"), F.col("value"))
+        ).alias("p95_exact"),
+    )
+    bin_expr = (F.floor(F.col("value") / 5) * 5).cast("double")
+    w_cum_b = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("bin").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bins = (
+        ev.select("event_type", bin_expr.alias("bin"))
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("cum", F.sum("n").over(w_cum_b))
+        .withColumn("total", F.sum("n").over(w_tot))
+    )
+    sketch = bins.groupBy("event_type").agg(
+        F.min(
+            F.when(F.col("cum") >= F.lit(0.5) * F.col("total"), F.col("bin"))
+        ).alias("p50_bin"),
+        F.min(
+            F.when(F.col("cum") >= F.lit(0.95) * F.col("total"), F.col("bin"))
+        ).alias("p95_bin"),
+    )
+    return (
+        exact.join(F.broadcast(sketch), "event_type")
+        .select(
+            "event_type",
+            "n_total",
+            F.round("p50_exact", 6).alias("p50_exact"),
+            "p50_bin",
+            F.round(F.col("p50_exact") - F.col("p50_bin"), 6).alias("p50_err"),
+            (
+                (F.col("p50_exact") >= F.col("p50_bin"))
+                & (F.col("p50_exact") < F.col("p50_bin") + 5)
+            ).alias("p50_within_bin"),
+            F.round("p95_exact", 6).alias("p95_exact"),
+            "p95_bin",
+            F.round(F.col("p95_exact") - F.col("p95_bin"), 6).alias("p95_err"),
+            (
+                (F.col("p95_exact") >= F.col("p95_bin"))
+                & (F.col("p95_exact") < F.col("p95_bin") + 5)
+            ).alias("p95_within_bin"),
+        )
+        .orderBy(F.col("event_type").asc())
+    )
+
+
+Q14C_SQL = """
+WITH vals AS (
+  SELECT event_type, value, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+vc AS (
+  SELECT event_type, value, n,
+         SUM(n) OVER (PARTITION BY event_type ORDER BY value ASC) AS cum,
+         SUM(n) OVER (PARTITION BY event_type) AS total
+  FROM vals
+),
+exact AS (
+  SELECT event_type,
+         CAST(MAX(total) AS BIGINT) AS n_total,
+         MIN(CASE WHEN cum >= 0.5 * total THEN value END) AS p50_exact,
+         MIN(CASE WHEN cum >= 0.95 * total THEN value END) AS p95_exact
+  FROM vc GROUP BY event_type
+),
+bins AS (
+  SELECT event_type, CAST(floor(value / 5) * 5 AS DOUBLE) AS bin, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+bc AS (
+  SELECT event_type, bin, n,
+         SUM(n) OVER (PARTITION BY event_type ORDER BY bin ASC) AS cum,
+         SUM(n) OVER (PARTITION BY event_type) AS total
+  FROM bins
+),
+sketch AS (
+  SELECT event_type,
+         MIN(CASE WHEN cum >= 0.5 * total THEN bin END) AS p50_bin,
+         MIN(CASE WHEN cum >= 0.95 * total THEN bin END) AS p95_bin
+  FROM bc GROUP BY event_type
+)
+SELECT e.event_type, e.n_total,
+       ROUND(e.p50_exact, 6) AS p50_exact, s.p50_bin,
+       ROUND(e.p50_exact - s.p50_bin, 6) AS p50_err,
+       (e.p50_exact >= s.p50_bin AND e.p50_exact < s.p50_bin + 5) AS p50_within_bin,
+       ROUND(e.p95_exact, 6) AS p95_exact, s.p95_bin,
+       ROUND(e.p95_exact - s.p95_bin, 6) AS p95_err,
+       (e.p95_exact >= s.p95_bin AND e.p95_exact < s.p95_bin + 5) AS p95_within_bin
+FROM exact e JOIN sketch s USING (event_type)
+ORDER BY e.event_type ASC
+"""

@@ -96,6 +96,12 @@ _EXPECTED_SMJ: set[str] = {
     "q59_rerank",               # stats-less: k-row rerank head ⋈ corpus
     "q66_result_clustering",    # stats-less: cluster agg ⋈ members
     "cdc_check_and_put",        # stats-less: compacted state ⋈ derived batch
+    "cdc_delete_by_query",      # fact-fact: cell-latest ⋈ row-latest inside the
+                                # post-tombstone serving view — both sides are
+                                # corpus-sized derivations co-partitioned on
+                                # row_key; SMJ is the correct strategy (the
+                                # tombstone DELTA itself is broadcast-hinted in
+                                # merge_state, which is the side that matters)
     "e1d_snapshot_diff",        # stats-less: two hash-agg snapshots
     "e1e_dup_rate_by_source",   # stats-less: dup-cluster agg ⋈ docs
     "e2h_near_dup_removal",     # stats-less: CC labels ⋈ corpus
@@ -119,12 +125,12 @@ _EXCHANGE_CEILING: dict[str, int] = {
     "e1f_cross_source_dup_matrix": 29,  # audited 26: LSH pairs ⋈ source dim ×2
     "q46_hybrid_rrf": 23,             # audited 20: two retrieval legs + fusion
     "e2g_dup_spans": 18,              # audited 15: positional shingle islands
-    "e2b_minhash_lsh": 15,            # audited 13: band buckets + verify
+    "e2b_minhash_lsh": 19,            # audited 17 (r7): band buckets + verify; +4 over the r5 audit is the skew guard's two bucket-rank windows — a reviewed structural change, not drift
     "e6h_leakage_safe_split": 12,     # audited 10: CC labels ⋈ split
     "e2j_semdedup": 10,               # audited 8: embedding pairs + CC
     "q69_span_near": 10,              # audited 8: two term-posting slices
     "cdc_merge_idf": 21,              # audited 18: 4 df-count legs + scalar N + topk
-    "e2m_jaccard_histogram": 24,      # audited 17-22 (varies with session partitions): LSH pipeline + band agg
+    "e2m_jaccard_histogram": 28,      # audited 17-26 (varies with session partitions; +2 r7 skew-guard windows): LSH pipeline + band agg
     "cdc_merge_percentiles": 12,      # audited 10: 3 merge legs + percentile windows
     "e15_curation_funnel": 62,        # audited 56: 6 stage reports over a 5-gate pipeline
 }

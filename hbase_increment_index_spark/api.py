@@ -157,6 +157,17 @@ class SecondaryIndex:
         )
         return self.apply_mutations(log)
 
+    def materialize_state(self) -> "SecondaryIndex":
+        """Pin the compacted cell state in memory/disk cache. In
+        production the state IS a stored table between batches (the
+        reference's Solr index plays this role); in a single-session
+        composition every consumer (serving view, predicate scans,
+        the next merge) otherwise re-plans the full build lineage.
+        Call after a bulk apply_mutations and before fan-out reads."""
+        if self._state is not None:
+            self._state = self._state.persist()
+        return self
+
     @property
     def documents(self) -> DataFrame:
         """The document serving view, unique key exposed under

@@ -972,6 +972,14 @@ def cdc_delete_by_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         qualifiers=["click", "purchase", "signup", "view"],
         key_field="id",
     )
+    # NOTE on materialization: in production the pre-DBQ state is the
+    # STORED output of the previous batch, so the consumers below read
+    # a table, not a lineage. Here the state is rebuilt from raw
+    # events, and measured at sf0.1 the un-persisted form is FASTER
+    # (3.5 s vs 5.4 s with materialize_state()) because each consumer
+    # prunes the rebuild lineage to the columns it needs, which a
+    # pinned full-width cache cannot — so the query deliberately skips
+    # the facade's materialize_state() hook.
     idx.apply_mutations(log)
     idx.delete_by_query(F.col("purchase").cast("double") >= 50.0)
     return idx.documents.select("id", "click", "purchase", "signup", "view")

@@ -284,3 +284,26 @@ def test_bm25_served_with_side_tables_matches_derived(spark, sf_dir):
         ).collect()
     ]
     assert served == derived and len(served) == 10
+
+
+def test_materialize_state_roundtrip(spark):
+    """materialize_state pins the compacted state without changing any
+    serving-view semantics (and is a no-op before the first batch)."""
+    import datetime as dt
+
+    from hbase_increment_index_spark.api import SecondaryIndex
+
+    idx = SecondaryIndex(spark, families=["cf"], qualifiers=["a"], key_field="id")
+    assert idx.materialize_state() is idx  # empty: no-op, chains
+    base = dt.datetime(2024, 1, 1)
+    log = spark.createDataFrame(
+        [("put", "r1", "cf", "a", "1", base, 1), ("put", "r2", "cf", "a", "2", base, 2)],
+        "op string, row_key string, family string, qualifier string, "
+        "value string, ts timestamp, seq long",
+    )
+    idx.apply_mutations(log)
+    before = {tuple(r) for r in idx.documents.collect()}
+    idx.materialize_state()
+    assert {tuple(r) for r in idx.documents.collect()} == before
+    assert idx._state.is_cached
+    idx._state.unpersist()

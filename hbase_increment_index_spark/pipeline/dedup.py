@@ -504,21 +504,60 @@ def minhash_lsh_pairs(
         ).alias("b"),
     ).select("doc", "b.band", "b.bh")
 
+    # both self-join sides (and the skew probe) re-read the CPU-heavy
+    # band explode — pin it once; ~24 B/row, and at 100 TB this is the
+    # intermediate a deployment checkpoints to a table between the
+    # signature and candidate stages
+    banded = banded.persist()
+
+    # Size-adaptive skew guard — the same judgment-by-measurement
+    # pattern as connected_components' driver_threshold: ONE tiny agg
+    # over the cached banded frame asks "does any bucket exceed the
+    # cap?" (a scalar probe, ~0.2 s at sf0.1), and only when the
+    # answer is yes does the plan switch to the capped form. The
+    # common case (every real fixture: max bucket 4 vs cap 256) keeps
+    # the unguarded hash self-join byte-for-byte — always-on guard
+    # formulations (groupBy routing joins, per-side count windows, a
+    # persisted counted frame) all measured +0.5-0.8 s per LSH query
+    # at sf0.1 for insurance that never pays out.
+    hot_exists = False
     if max_bucket_docs:
+        hot_exists = bool(
+            banded.groupBy("band", "bh")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_bucket_docs)
+            .limit(1)
+            .count()
+        )
+    if hot_exists:
         from pyspark.sql import Window
 
-        # One join expresses both arms: the left side is the CORE
-        # (lowest-cap ids per bucket), the right side the full ranked
-        # bucket; (y.rk <= cap) keeps core×core all-pairs, (x.rk == 1)
-        # keeps representative×overflow star edges (rk 1 is the bucket
-        # min, so id_a < id_b holds by construction). Exactly the
-        # C(cap,2) + (n - cap) bounded pair set, with only TWO window
-        # references (a union of separate core/star arms re-plans the
-        # bucket sort four times), and the per-bucket join fan-out is
-        # min(n, cap)·n — linear in n past the cap, never n².
+        # Capped form, hot buckets only. Bucket sizes come from a
+        # count-over-window on the SAME (band, bh) partitioning the
+        # join shuffles on; the counted frame is persisted so the
+        # explode + shuffle + sort + count run exactly once. Normal
+        # buckets keep the plain all-pairs join; each hot bucket is
+        # bounded at C(cap,2) + (n − cap) pairs: the CORE (lowest-cap
+        # ids, y.rk <= cap) does all-pairs, every overflow doc pairs
+        # only with the bucket representative (x.rk == 1 — the bucket
+        # min, so id_a < id_b holds by construction). Linear in n past
+        # the cap, never n².
+        w_n = Window.partitionBy("band", "bh")
+        b2 = banded.withColumn("_n", F.count(F.lit(1)).over(w_n)).persist()
+        normal = b2.filter(F.col("_n") <= max_bucket_docs).select(
+            "doc", "band", "bh"
+        )
+        cand_normal = (
+            normal.alias("x")
+            .join(normal.alias("y"), ["band", "bh"])
+            .filter(F.col("x.doc") < F.col("y.doc"))
+            .select(F.col("x.doc").alias("id_a"), F.col("y.doc").alias("id_b"))
+        )
         w = Window.partitionBy("band", "bh").orderBy("doc")
-        rb = banded.withColumn("rk", F.row_number().over(w))
-        cand = (
+        rb = b2.filter(F.col("_n") > max_bucket_docs).withColumn(
+            "rk", F.row_number().over(w)
+        )
+        cand_hot = (
             rb.filter(F.col("rk") <= max_bucket_docs)
             .alias("x")
             .join(rb.alias("y"), ["band", "bh"])
@@ -527,8 +566,8 @@ def minhash_lsh_pairs(
                 & ((F.col("y.rk") <= max_bucket_docs) | (F.col("x.rk") == 1))
             )
             .select(F.col("x.doc").alias("id_a"), F.col("y.doc").alias("id_b"))
-            .distinct()
         )
+        cand = cand_normal.union(cand_hot).distinct()
     else:
         cand = (
             banded.alias("x")

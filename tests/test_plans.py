@@ -122,10 +122,10 @@ _EXCHANGE_CEILING: dict[str, int] = {
     "q77_collection_alias": 44,       # audited 40: 4 BM25 legs × local-IDF stats
     "e2f_incremental_near_dups": 30,  # audited 27: delta×corpus bipartite LSH
     "e2_ngram_jaccard": 30,           # audited 27: shingle-df join + verify
-    "e1f_cross_source_dup_matrix": 29,  # audited 26: LSH pairs ⋈ source dim ×2
+    "e1f_cross_source_dup_matrix": 33,  # audited 30 (r7): LSH pairs ⋈ source dim ×2; the r7 persisted banded frame embeds its cached lineage per consumer in the plan text
     "q46_hybrid_rrf": 23,             # audited 20: two retrieval legs + fusion
     "e2g_dup_spans": 18,              # audited 15: positional shingle islands
-    "e2b_minhash_lsh": 19,            # audited 17 (r7): band buckets + verify; +4 over the r5 audit is the skew guard's two bucket-rank windows — a reviewed structural change, not drift
+    "e2b_minhash_lsh": 24,            # audited 22 (r7): band buckets + verify; over the r5 audit by the skew-guard probe agg + the persisted banded frame's cached lineage appearing per consumer — reviewed structural changes, not drift
     "e6h_leakage_safe_split": 12,     # audited 10: CC labels ⋈ split
     "e2j_semdedup": 10,               # audited 8: embedding pairs + CC
     "q69_span_near": 10,              # audited 8: two term-posting slices

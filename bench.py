@@ -96,6 +96,7 @@ HEADLINE = [
     "q39d_json_facet_blockjoin",
     "cdc_delete_by_query",
     "q14c_percentile_error",
+    "e6j_unimax_allocation",
 ]
 
 

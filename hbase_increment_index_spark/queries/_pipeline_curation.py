@@ -1599,3 +1599,256 @@ FROM h
 GROUP BY ahash
 ORDER BY n_images DESC, ahash ASC
 """
+
+
+def e6j_unimax_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax per-source budget allocation (Chung et al. 2023,
+    "UniMax: Fairer and More Effective Language Sampling for
+    Large-Scale Multilingual Pretraining"): distribute a fixed token
+    budget across sources so every source gets an EQUAL share unless
+    that share would exceed its epoch cap (epochs × available tokens),
+    in which case the source is capped at the epoch limit and its
+    unused share flows to the others. The greedy "cap the smallest
+    sources first" loop has a closed form over the ascending token
+    order: source i is capped iff its cap times the number of sources
+    left ≥ i fits in the budget remaining after capping everything
+    before it — a prefix-sum condition, so the whole allocation is
+    windows over the |sources|-row frame (same whole-frame-window
+    class as e17; the WindowExec single-partition warning is this tiny
+    frame). Complements e17's weighted largest-remainder: e17 answers
+    "split a budget by tempered weight", UniMax answers "split it
+    equally without over-epoching small sources". Budget 48,000 /
+    epoch cap 2 sits between fixture scales by design: at sf0.01 two
+    sources cap (both arms exercised), at sf0.1 none do (pure equal
+    split)."""
+    from hbase_increment_index_spark.pipeline.text import token_count
+
+    B, C = 48_000, 2
+    docs = _t(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.sum(token_count("text")).cast("long").alias("toks")
+    )
+    w_ord = Window.orderBy(F.col("toks").asc(), F.col("source").asc())
+    w_all = Window.partitionBy()
+    w_prefix = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_before = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    ranked = (
+        per_src.withColumn("cap", (F.lit(C) * F.col("toks")).cast("long"))
+        .withColumn("rk", F.row_number().over(w_ord))
+        .withColumn("n", F.count(F.lit(1)).over(w_all))
+        .withColumn("cum_excl", F.coalesce(F.sum("cap").over(w_before), F.lit(0)))
+        .withColumn(
+            "cond",
+            (
+                F.col("cap") * (F.col("n") - F.col("rk") + 1)
+                <= F.lit(B) - F.col("cum_excl")
+            ).cast("int"),
+        )
+        .withColumn("is_capped", F.min("cond").over(w_prefix) == 1)
+    )
+    totals = (
+        ranked.withColumn(
+            "k", F.sum(F.col("is_capped").cast("long")).over(w_all)
+        ).withColumn(
+            "s_capped",
+            F.coalesce(
+                F.sum(F.when(F.col("is_capped"), F.col("cap"))).over(w_all),
+                F.lit(0),
+            ),
+        )
+    )
+    share = (F.lit(B) - F.col("s_capped")).cast("double") / F.nullif(
+        (F.col("n") - F.col("k")).cast("double"), F.lit(0.0)
+    )
+    alloc = F.when(F.col("is_capped"), F.col("cap").cast("double")).otherwise(share)
+    return totals.select(
+        "source",
+        F.col("toks").alias("tokens_available"),
+        F.col("cap").alias("cap_tokens"),
+        "is_capped",
+        F.round(alloc, 6).alias("alloc_tokens"),
+        F.round(alloc / F.col("toks").cast("double"), 6).alias("epochs"),
+    ).orderBy(F.col("source").asc())
+
+
+def _e6j_sql() -> str:
+    toks = _SQL_TOKS.format(c="text")
+    return f"""
+WITH s AS (
+  SELECT source, CAST(SUM(len({toks})) AS BIGINT) AS toks
+  FROM documents GROUP BY source
+),
+r AS (
+  SELECT source, toks, CAST(2 * toks AS BIGINT) AS cap,
+         row_number() OVER (ORDER BY toks ASC, source ASC) AS rk,
+         count(*) OVER () AS n,
+         COALESCE(SUM(2 * toks) OVER (ORDER BY toks ASC, source ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_excl
+  FROM s
+),
+c AS (
+  SELECT *, CASE WHEN cap * (n - rk + 1) <= 48000 - cum_excl
+                 THEN 1 ELSE 0 END AS cond
+  FROM r
+),
+p AS (
+  SELECT *, MIN(cond) OVER (ORDER BY toks ASC, source ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1 AS is_capped
+  FROM c
+),
+t AS (
+  SELECT *,
+         SUM(CASE WHEN is_capped THEN 1 ELSE 0 END) OVER () AS k,
+         COALESCE(SUM(CASE WHEN is_capped THEN cap END) OVER (), 0) AS s_capped
+  FROM p
+)
+SELECT source, toks AS tokens_available, cap AS cap_tokens, is_capped,
+       ROUND(CASE WHEN is_capped THEN CAST(cap AS DOUBLE)
+                  ELSE (48000 - s_capped) / NULLIF(CAST(n - k AS DOUBLE), 0.0)
+             END, 6) AS alloc_tokens,
+       ROUND(CASE WHEN is_capped THEN CAST(cap AS DOUBLE)
+                  ELSE (48000 - s_capped) / NULLIF(CAST(n - k AS DOUBLE), 0.0)
+             END / CAST(toks AS DOUBLE), 6) AS epochs
+FROM t
+ORDER BY source ASC
+"""
+
+
+def e2n_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding-parameter calibration: per 0.1 similarity band, the
+    EMPIRICAL recall of the (64-perm, 16-band, r=4) MinHash pipeline —
+    exact-Jaccard ground-truth pairs that the banded candidate join
+    actually surfaced — next to the ANALYTIC candidate probability
+    1 − (1 − s^r)^b at the band midpoint (Mining of Massive Datasets
+    ch. 3). This is the report a dedup operator reads before trusting
+    a threshold: a band whose empirical recall undershoots the curve
+    means the corpus's shingle sets violate the uniform-permutation
+    assumption, and the fat-band/threshold interaction e2m exposes
+    gets its expected-loss column here.
+
+    The fixture's organic near-dups all sit in the 0.9+ band (recall
+    trivially 1), so the harness populates the informative mid-curve
+    itself: every document gets three deterministic DEGRADED TWINS —
+    drop every 4th / 8th / 16th token — whose 3-gram-shingle Jaccard
+    against the original lands around 0.2 / 0.5 / 0.75, exactly where
+    1 − (1 − s^4)^16 bends. Ground truth is the exact n-gram Jaccard
+    posting join at a 0.15 floor over original ∪ twins (the same
+    machinery as e2, floor lowered); the LSH leg is the md5-portable
+    kernel so the DuckDB oracle reproduces every lane minimum
+    exactly. Both legs are bucket-joins, never all-pairs; the
+    calibration join runs on the two PAIR frames and the report is
+    |bands| rows. (A calibration harness a team runs once per
+    parameter choice — deliberately not in the serving bench.)"""
+    from hbase_increment_index_spark.pipeline.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+    from hbase_increment_index_spark.search.tokenize import tokens
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    variants = [docs]
+    for m in (4, 8, 16):
+        variants.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(m * 10_000_000)).alias("doc_id"),
+                F.array_join(
+                    F.filter(
+                        tokens("text"), lambda x, i: (i + 1) % F.lit(m) != 0
+                    ),
+                    " ",
+                ).alias("text"),
+            )
+        )
+    corpus = variants[0]
+    for v in variants[1:]:
+        corpus = corpus.unionByName(v)
+    exact = ngram_jaccard_pairs(corpus, "doc_id", "text", n=3, threshold=0.15)
+    lsh = minhash_lsh_pairs(
+        corpus, "doc_id", "text", threshold=0.15, hash_fn="md5"
+    ).select("id_a", "id_b", F.lit(1).alias("caught"))
+    r, b = 4, 16
+    banded = (
+        exact.join(lsh, ["id_a", "id_b"], "left")
+        .withColumn("band_lo", F.floor(F.col("jaccard") * 10) / 10.0)
+        .groupBy("band_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.coalesce(F.col("caught"), F.lit(0))).cast("long").alias("n_caught"),
+        )
+    )
+    mid = F.col("band_lo") + 0.05
+    analytic = F.lit(1.0) - F.pow(F.lit(1.0) - F.pow(mid, F.lit(float(r))), F.lit(float(b)))
+    return banded.select(
+        "band_lo",
+        "n_exact",
+        "n_caught",
+        F.round(F.col("n_caught") / F.col("n_exact"), 6).alias("empirical_recall"),
+        F.round(analytic, 6).alias("analytic_recall"),
+        F.round(F.col("n_caught") / F.col("n_exact") - analytic, 6).alias("recall_gap"),
+    ).orderBy(F.col("band_lo").asc())
+
+
+def _e2n_sql() -> str:
+    toks = _SQL_TOKS.format(c="text")
+    # degraded-twin corpus: DuckDB list_filter's lambda index is
+    # 1-BASED where Spark's filter index is 0-based — the (i + 1) on
+    # the Spark side aligns the two, so twins are token-identical
+    corpus = f"""
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 40000000 AS doc_id,
+         array_to_string(list_filter({toks}, (t, i) -> i % 4 <> 0), ' ') AS text
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 80000000 AS doc_id,
+         array_to_string(list_filter({toks}, (t, i) -> i % 8 <> 0), ' ') AS text
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 160000000 AS doc_id,
+         array_to_string(list_filter({toks}, (t, i) -> i % 16 <> 0), ' ') AS text
+  FROM documents
+"""
+    return f"""
+WITH corpus AS ({corpus}),
+{_minhash_sql_ctes(threshold=0.15, source="corpus")},
+esh AS (
+  SELECT DISTINCT doc_id AS doc,
+         unnest(list_distinct(
+           list_transform(
+             generate_series(1, greatest(len({toks}) - 2, 0)),
+             i -> array_to_string(list_slice({toks}, i, i + 2), ' ')
+           ))) AS sh
+  FROM corpus
+),
+esizes AS (SELECT doc, count(*) AS n_sh FROM esh GROUP BY doc),
+ecommon AS (
+  SELECT a.doc AS id_a, b.doc AS id_b, count(*) AS common
+  FROM esh a JOIN esh b USING (sh)
+  WHERE a.doc < b.doc
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT id_a, id_b,
+         ROUND(common / (sa.n_sh + sb.n_sh - common), 6) AS jaccard
+  FROM ecommon
+  JOIN esizes sa ON sa.doc = id_a
+  JOIN esizes sb ON sb.doc = id_b
+  WHERE ROUND(common / (sa.n_sh + sb.n_sh - common), 6) >= 0.15
+),
+joined AS (
+  SELECT e.jaccard, CASE WHEN p.id_a IS NULL THEN 0 ELSE 1 END AS caught
+  FROM exact e LEFT JOIN pairs p ON p.id_a = e.id_a AND p.id_b = e.id_b
+),
+agg AS (
+  SELECT floor(jaccard * 10) / 10.0 AS band_lo,
+         CAST(count(*) AS BIGINT) AS n_exact,
+         CAST(SUM(caught) AS BIGINT) AS n_caught
+  FROM joined GROUP BY 1
+)
+SELECT band_lo, n_exact, n_caught,
+       ROUND(n_caught / n_exact, 6) AS empirical_recall,
+       ROUND(1.0 - POW(1.0 - POW(band_lo + 0.05, 4.0), 16.0), 6) AS analytic_recall,
+       ROUND(n_caught / n_exact - (1.0 - POW(1.0 - POW(band_lo + 0.05, 4.0), 16.0)), 6) AS recall_gap
+FROM agg
+ORDER BY band_lo ASC
+"""

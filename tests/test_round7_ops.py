@@ -307,3 +307,25 @@ def test_materialize_state_roundtrip(spark):
     assert {tuple(r) for r in idx.documents.collect()} == before
     assert idx._state.is_cached
     idx._state.unpersist()
+
+
+def test_unimax_invariants(spark, sf_dir):
+    """UniMax allocation: the budget is exactly exhausted whenever any
+    source is uncapped, no source exceeds its epoch cap, and capped
+    sources are exactly the ascending-token prefix."""
+    from hbase_increment_index_spark.queries import e6j_unimax_allocation
+
+    rows = e6j_unimax_allocation(spark, sf_dir).collect()
+    B, C = 48_000, 2
+    total = sum(r["alloc_tokens"] for r in rows)
+    if not all(r["is_capped"] for r in rows):
+        assert abs(total - B) < 1e-3  # budget fully distributed
+    for r in rows:
+        assert r["alloc_tokens"] <= r["cap_tokens"] + 1e-9
+        assert r["epochs"] <= C + 1e-9
+    by_toks = sorted(rows, key=lambda r: (r["tokens_available"], r["source"]))
+    flags = [r["is_capped"] for r in by_toks]
+    assert flags == sorted(flags, reverse=True)  # capped = prefix
+    # every uncapped source gets the same share
+    shares = {r["alloc_tokens"] for r in rows if not r["is_capped"]}
+    assert len(shares) <= 1

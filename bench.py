@@ -215,6 +215,19 @@ def main() -> None:
     shutil.rmtree(idx_dir, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
+    # Raw per-query samples go to a SIDE artifact, not the stdout JSON
+    # line: the driver captures only the tail (~4 KB) of bench output
+    # and parses the final line, and inlining 5 samples x 54 queries in
+    # round 7 pushed the line past that buffer — its start was truncated
+    # and BENCH_r07.json recorded `parsed: null`. bench_samples.json
+    # keeps variance questions answerable from an artifact while the
+    # stdout line stays well under the tail buffer.
+    samples_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_samples.json"
+    )
+    with open(samples_path, "w") as fh:
+        json.dump({"sf": sf, "samples": samples}, fh, indent=1)
+    print(f"# raw 5-run samples written to {samples_path}", file=sys.stderr)
     print(
         json.dumps(
             {
@@ -222,7 +235,6 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "samples": samples,
                 "sf": sf,
                 "positional_index_build_once_sec": index_build_sec,
                 "postings_index_build_once_sec": postings_build_sec,

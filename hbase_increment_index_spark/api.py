@@ -141,6 +141,12 @@ class SecondaryIndex:
         mx = self._state.agg(
             F.max("ts").alias("t"), F.max("seq").alias("s")
         ).collect()[0]
+        if mx["t"] is None:
+            # zero-row state: max(ts) aggregates to NULL. Nothing exists
+            # to tombstone, so deleteByQuery over an empty index is a
+            # no-op (matching Solr, where DBQ on an empty core commits
+            # cleanly) rather than an opaque `None + timedelta` crash.
+            return self.documents
         ts = mx["t"] + _dt.timedelta(seconds=1)
         log = (
             self.documents.filter(pred)

@@ -387,6 +387,26 @@ def minhash_signatures_vectorized(
     return df.mapInPandas(_batches, schema="doc long, sig array<long>")
 
 
+# Intermediate frames (signatures, banded explode, hot-bucket counts)
+# persisted by the most recent minhash_lsh_pairs call. DataFrame caches
+# live in the CacheManager until explicitly unpersisted — they are NOT
+# garbage-collected with the Python object — so without a release point
+# repeated library calls in a long session accumulate cached partitions
+# (bench.py masks this with clearCache(); other callers would leak).
+# Each new call releases the previous call's intermediates; callers who
+# need the caches gone sooner call release_cached_intermediates().
+_CACHED_INTERMEDIATES: list[DataFrame] = []
+
+
+def release_cached_intermediates() -> None:
+    """Unpersist the intermediate frames cached by the most recent
+    :func:`minhash_lsh_pairs` call. Safe to call at any time: persist
+    is a performance hint, so a pair frame still being consumed is
+    simply recomputed from lineage (correctness is unaffected)."""
+    while _CACHED_INTERMEDIATES:
+        _CACHED_INTERMEDIATES.pop().unpersist()
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -400,6 +420,16 @@ def minhash_lsh_pairs(
     max_bucket_docs: int | None = 256,
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding + exact Jaccard verify.
+
+    API contract: when ``max_bucket_docs`` is set (the default), merely
+    CONSTRUCTING the returned DataFrame runs one eager Spark job — the
+    scalar hot-bucket probe that picks the guarded vs unguarded plan —
+    so even an ``explain()``/dry-run of an LSH-based query executes
+    that probe (~0.2 s at sf0.1). Pass ``max_bucket_docs=None`` for a
+    fully lazy (unguarded) plan. Intermediates are cached per call and
+    released on the NEXT call (or via
+    :func:`release_cached_intermediates`); holding two LSH pair frames
+    live at once is still correct, the earlier one just recomputes.
 
     ``impl``: 'pandas' (default) computes signatures with the numpy
     kernel — one (num_perm × |shingles|) broadcasted modular-multiply
@@ -449,6 +479,13 @@ def minhash_lsh_pairs(
     """
     if num_perm % bands:
         raise ValueError("num_perm must be divisible by bands")
+    if max_bucket_docs is not None and max_bucket_docs < 1:
+        # 0 would silently disable the guard via `if max_bucket_docs:`
+        # truthiness; the explicit "no guard" spelling is None
+        raise ValueError(
+            f"max_bucket_docs must be >= 1 or None (got {max_bucket_docs})"
+        )
+    release_cached_intermediates()
     r = num_perm // bands
 
     # staged: shingles → hashed shingles → signature, each materialized
@@ -488,6 +525,7 @@ def minhash_lsh_pairs(
         ).persist()
     else:
         base = pre.withColumn("sig", minhash_signature_from_hashes("hs", num_perm)).persist()
+    _CACHED_INTERMEDIATES.append(base)
 
     banded = base.select(
         "doc",
@@ -509,6 +547,7 @@ def minhash_lsh_pairs(
     # intermediate a deployment checkpoints to a table between the
     # signature and candidate stages
     banded = banded.persist()
+    _CACHED_INTERMEDIATES.append(banded)
 
     # Size-adaptive skew guard — the same judgment-by-measurement
     # pattern as connected_components' driver_threshold: ONE tiny agg
@@ -521,7 +560,7 @@ def minhash_lsh_pairs(
     # persisted counted frame) all measured +0.5-0.8 s per LSH query
     # at sf0.1 for insurance that never pays out.
     hot_exists = False
-    if max_bucket_docs:
+    if max_bucket_docs is not None:
         hot_exists = bool(
             banded.groupBy("band", "bh")
             .agg(F.count(F.lit(1)).alias("_n"))
@@ -544,6 +583,7 @@ def minhash_lsh_pairs(
         # the cap, never n².
         w_n = Window.partitionBy("band", "bh")
         b2 = banded.withColumn("_n", F.count(F.lit(1)).over(w_n)).persist()
+        _CACHED_INTERMEDIATES.append(b2)
         normal = b2.filter(F.col("_n") <= max_bucket_docs).select(
             "doc", "band", "bh"
         )

@@ -106,6 +106,15 @@ _EXPECTED_SMJ: set[str] = {
     "e1e_dup_rate_by_source",   # stats-less: dup-cluster agg ⋈ docs
     "e2h_near_dup_removal",     # stats-less: CC labels ⋈ corpus
     "e2j_semdedup",             # stats-less: CC labels over embedding pairs
+    "e2n_lsh_calibration",      # stats-less: exact-Jaccard pair agg ⋈ LSH pair
+                                # agg (LeftOuter) — both sides are pair frames
+                                # over the 4x degraded-twin corpus with no
+                                # plan-time size estimate; audited 1 SMJ, all
+                                # 6 upstream joins broadcast. AQE demotes when
+                                # the pair frames are small; a static broadcast
+                                # would bake in a small-pair assumption that
+                                # breaks exactly when calibration matters (a
+                                # corpus dense in near-dups)
     "e3h_lsh_recall",           # stats-less: ground-truth agg ⋈ LSH agg
     "e6h_leakage_safe_split",   # stats-less: CC labels ⋈ split assignment
     "e12d_source_similarity",   # stats-less: checkpointed LM grid self-join (AQE demotes)

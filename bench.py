@@ -97,6 +97,17 @@ HEADLINE = [
     "cdc_delete_by_query",
     "q14c_percentile_error",
     "e6j_unimax_allocation",
+    # --- added r8: the Lloyd step (the heaviest new plan), the
+    # incremental signature store (delta-cost merge), the threshold
+    # sweep (pairs at a 0.2 floor — the widest pair graph we serve),
+    # and the three cheap reports, tracked for regression visibility
+    "e16_kmeans_refine",
+    "e18_mmr_diversify",
+    "e2o_signature_store",
+    "e19_threshold_sweep",
+    "e20_quality_bands",
+    "e21_embedding_hygiene",
+    "q39e_json_facet_allbuckets",
 ]
 
 

@@ -863,3 +863,69 @@ def centroid_assign(
         (-F.col("_b._nl")).cast("int").alias("label"),
         F.col("_b.cos").alias("cos"),
     )
+
+
+def mmr_select(
+    candidates: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "e",
+    rel_col: str = "rel",
+    k: int = 10,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998) greedy
+    selection over a BOUNDED candidate pool: pick the most relevant
+    item first, then repeatedly the item maximizing
+    ``lam·rel − (1−lam)·max_sim_to_selected`` (cosine), ties toward
+    the lower id. The diversity-aware top-k a retrieval or
+    training-data sampler runs AFTER candidate generation — the pool
+    is k-bounded (a TakeOrdered head upstream), so the inherently
+    sequential greedy runs as ONE vectorized Arrow batch
+    (applyInPandas on a single group), never a driver loop over jobs.
+
+    Determinism/portability: pairwise dot products accumulate
+    per-dimension in index order (a strict left fold in float64 —
+    bit-identical to the engine-side ``F.aggregate`` fold and DuckDB's
+    ``list_dot_product``), sims and scores round to 6 before argmax,
+    so a SQL oracle reproduces every pick exactly.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def _greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([rel_col, id_col], ascending=[False, True]).reset_index(
+            drop=True
+        )
+        v = np.stack([np.asarray(x, dtype="float64") for x in pdf[vec_col]])
+        n, dim = v.shape
+        dots = np.zeros((n, n))
+        for d in range(dim):  # strict left-fold accumulation per pair
+            dots += np.outer(v[:, d], v[:, d])
+        norms = np.sqrt(np.diag(dots))
+        sims = np.round(dots / np.outer(norms, norms), 6)
+        rel = pdf[rel_col].to_numpy()
+        ids = pdf[id_col].to_numpy()
+        chosen = [0]  # row 0 is max rel, tie already broken by the sort
+        out = [(1, ids[0], rel[0], rel[0])]
+        remaining = list(range(1, n))
+        while remaining and len(out) < k:
+            best_i, best_key = None, None
+            for i in remaining:
+                max_sim = sims[i, chosen].max()
+                score = round(lam * rel[i] - (1.0 - lam) * max_sim, 6)
+                key = (-score, ids[i])
+                if best_key is None or key < best_key:
+                    best_i, best_key = i, key
+            chosen.append(best_i)
+            out.append((len(out) + 1, ids[best_i], rel[best_i], -best_key[0]))
+            remaining.remove(best_i)
+        return pd.DataFrame(out, columns=["rank", id_col, rel_col, "score"])
+
+    return (
+        candidates.withColumn("_g", F.lit(1))
+        .groupBy("_g")
+        .applyInPandas(
+            _greedy,
+            schema=f"rank long, {id_col} long, {rel_col} double, score double",
+        )
+    )

@@ -1852,3 +1852,400 @@ SELECT band_lo, n_exact, n_caught,
 FROM agg
 ORDER BY band_lo ASC
 """
+
+
+# --------------------------------------------------------------------------
+# Round-8 additions: k-means refinement, dedup-threshold sensitivity,
+# quality-band token report, embedding-store hygiene.
+# --------------------------------------------------------------------------
+
+
+def e16_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd refinement step over the embedding corpus — the
+    k-means iteration an IVF index build runs between e3g-style
+    seeding and e3k-style serving: assign every vector to its nearest
+    seed centroid (squared L2, deterministic lowest-id tie-break),
+    recompute each centroid as the exact-decimal mean of its members,
+    and report per centroid (n_assigned, shift) — the convergence
+    signal a training loop watches.
+
+    Seeds are the first 8 corpus vectors (vec_id < 8) so both engines
+    start from identical centroids with no RNG state. Plan: posexplode
+    the corpus once (rows = N·dim), join the BROADCAST 8×dim seed
+    table on pos, one window-sum per (vec, seed) with exact-decimal
+    accumulation (order-independent under any partitioning — the
+    centroid_assign idiom), min-struct selection per vec (no second
+    shuffle: the selection window shares the vec_id partitioning), then
+    a (seed, pos) hash agg for the new means. Work ∝ N·dim·k with k
+    bounded by the broadcast; no corpus×corpus join anywhere, so the
+    step scales to 100 TB exactly like the IVF assign it generalizes."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dbl = F.col("embedding").cast("array<double>")
+    seeds = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("sid"), F.posexplode(dbl).alias("pos0", "c_v")
+    ).select("sid", (F.col("pos0") + 1).alias("pos"), "c_v")
+    x = emb.select(
+        "vec_id", F.posexplode(dbl).alias("pos0", "v")
+    ).select("vec_id", (F.col("pos0") + 1).alias("pos"), "v")
+    j = x.join(F.broadcast(seeds), "pos")
+    w_d = Window.partitionBy("vec_id", "sid")
+    w_v = Window.partitionBy("vec_id")
+    d = F.round(
+        F.sum(((F.col("v") - F.col("c_v")) * (F.col("v") - F.col("c_v"))).cast("decimal(30,12)"))
+        .over(w_d)
+        .cast("double"),
+        9,
+    )
+    scored = j.withColumn("d", d)
+    best = scored.withColumn("_best", F.min(F.struct("d", "sid")).over(w_v)).filter(
+        (F.col("d") == F.col("_best.d")) & (F.col("sid") == F.col("_best.sid"))
+    )
+    newc = best.groupBy("sid", "pos").agg(
+        F.round(
+            F.sum(F.col("v").cast("decimal(27,10)")).cast("double") / F.count(F.lit(1)), 6
+        ).alias("mean_v"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        newc.join(F.broadcast(seeds), ["sid", "pos"])
+        .groupBy(F.col("sid").cast("long").alias("centroid_id"))
+        .agg(
+            F.max("n").cast("long").alias("n_assigned"),
+            F.round(
+                F.sqrt(
+                    F.sum(
+                        ((F.col("mean_v") - F.col("c_v")) * (F.col("mean_v") - F.col("c_v"))).cast(
+                            "decimal(30,12)"
+                        )
+                    ).cast("double")
+                ),
+                6,
+            ).alias("shift"),
+        )
+        .orderBy("centroid_id")
+    )
+
+
+E16_SQL = """
+WITH seeds AS (
+  SELECT vec_id AS sid, CAST(embedding AS DOUBLE[]) AS c
+  FROM embeddings WHERE vec_id < 8
+),
+sl AS (
+  SELECT sid, i AS pos, c[i] AS c_v
+  FROM seeds, LATERAL (SELECT unnest(generate_series(1, len(c))) AS i)
+),
+x AS (
+  SELECT vec_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
+  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i)
+),
+j AS (SELECT vec_id, sid, pos, v, c_v FROM x JOIN sl USING (pos)),
+dist AS (
+  SELECT vec_id, sid,
+         ROUND(CAST(SUM(CAST((v - c_v) * (v - c_v) AS DECIMAL(30,12))) AS DOUBLE), 9) AS d
+  FROM j GROUP BY 1, 2
+),
+best AS (
+  SELECT vec_id, sid FROM dist
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, sid ASC) = 1
+),
+newc AS (
+  SELECT j.sid AS sid, j.pos AS pos,
+         ROUND(CAST(SUM(CAST(v AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*), 6) AS mean_v,
+         COUNT(*) AS n
+  FROM j JOIN best ON j.vec_id = best.vec_id AND j.sid = best.sid
+  GROUP BY 1, 2
+)
+SELECT CAST(n.sid AS BIGINT) AS centroid_id,
+       CAST(MAX(n.n) AS BIGINT) AS n_assigned,
+       ROUND(sqrt(CAST(SUM(CAST((n.mean_v - s.c_v) * (n.mean_v - s.c_v) AS DECIMAL(30,12))) AS DOUBLE)), 6) AS shift
+FROM newc n JOIN sl s ON n.sid = s.sid AND n.pos = s.pos
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+def e19_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-threshold sensitivity: how the near-dup pair graph (and
+    the set of documents it touches) shrinks as the Jaccard threshold
+    rises — the report a curation owner reads BEFORE committing to a
+    threshold, since corpus yield is a step function of this one knob.
+    One exact n-gram pair computation at the 0.2 floor (the e2
+    machinery, never corpus×corpus), then a 7-row threshold grid
+    joined by broadcast: per threshold, surviving pair count, distinct
+    documents in any pair, and documents shadowed by a lower-id
+    near-dup (the e1-style greedy-removal upper bound)."""
+    from hbase_increment_index_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.20)
+    grid = spark.createDataFrame(
+        [(t,) for t in (0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8)], "threshold double"
+    )
+    flt = pairs.join(F.broadcast(grid), F.col("jaccard") >= F.col("threshold"))
+    # one pass: each pair fans out to two marked doc rows, so pair
+    # count (sum of markers), distinct-doc count and shadowed-doc
+    # count all come from ONE aggregate — a two-aggregate formulation
+    # re-derived the whole shingle-join lineage per consumer (measured
+    # 67 exchanges vs 31 for this form)
+    ex = flt.select(
+        "threshold",
+        F.explode(
+            F.array(
+                F.struct(F.col("id_a").alias("d"), F.lit(0).alias("is_b")),
+                F.struct(F.col("id_b").alias("d"), F.lit(1).alias("is_b")),
+            )
+        ).alias("x"),
+    ).select("threshold", "x.d", "x.is_b")
+    return (
+        ex.groupBy("threshold")
+        .agg(
+            F.sum("is_b").cast("long").alias("n_pairs"),
+            F.countDistinct("d").alias("n_docs"),
+            F.countDistinct(F.when(F.col("is_b") == 1, F.col("d"))).alias("n_shadowed"),
+        )
+        .orderBy("threshold")
+    )
+
+
+def _e19_sql() -> str:
+    toks = _SQL_TOKS.format(c="text")
+    return f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id AS doc,
+         unnest(list_distinct(
+           list_transform(
+             generate_series(1, greatest(len({toks}) - 2, 0)),
+             i -> array_to_string(list_slice({toks}, i, i + 2), ' ')
+           ))) AS sh
+  FROM documents
+),
+sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
+common AS (
+  SELECT a.doc AS id_a, b.doc AS id_b, count(*) AS common
+  FROM sh a JOIN sh b USING (sh)
+  WHERE a.doc < b.doc
+  GROUP BY 1, 2
+),
+p AS (
+  SELECT id_a, id_b,
+         ROUND(common / (sa.n_sh + sb.n_sh - common), 6) AS jaccard
+  FROM common
+  JOIN sizes sa ON sa.doc = id_a
+  JOIN sizes sb ON sb.doc = id_b
+  WHERE ROUND(common / (sa.n_sh + sb.n_sh - common), 6) >= 0.20
+),
+grid(threshold) AS (VALUES (CAST(0.2 AS DOUBLE)), (0.3), (0.4), (0.5), (0.6), (0.7), (0.8)),
+flt AS (
+  SELECT g.threshold, p.id_a, p.id_b FROM p JOIN grid g ON p.jaccard >= g.threshold
+),
+ex AS (
+  SELECT threshold, id_a AS d, 0 AS is_b FROM flt
+  UNION ALL
+  SELECT threshold, id_b AS d, 1 AS is_b FROM flt
+)
+SELECT threshold,
+       CAST(SUM(is_b) AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT d) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT CASE WHEN is_b = 1 THEN d END) AS BIGINT) AS n_shadowed
+FROM ex
+GROUP BY threshold
+ORDER BY threshold
+"""
+
+
+def e20_quality_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-band token yield: the corpus bucketed into fixed 0.1
+    quality-score bands (e4b's oracle-proven score), each band carrying
+    its document/token mass and the CUMULATIVE token share from the top
+    band down — i.e. "if the pipeline keeps only documents above band
+    X, this fraction of training tokens survives". Fixed-width bands
+    (not ntiles) deliberately: a global NTILE is a total sort — one
+    partition holds the whole corpus at 100 TB — while floor(score*10)
+    is a pure hash agg; the only window runs over the ~11-row band
+    aggregate (the e17 whole-frame-window precedent, safe by size)."""
+    docs = _t(spark, sf_dir, "documents")
+    q = quality_features(docs, "text").select("doc_id", "n_tokens", "quality_score")
+    agg = q.groupBy(
+        (F.floor(F.col("quality_score") * 10) / 10.0).alias("band_lo")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+    )
+    totals = agg.agg(
+        F.sum("n_docs").alias("t_docs"), F.sum("n_tokens").alias("t_tokens")
+    )
+    w = Window.orderBy(F.col("band_lo").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        agg.crossJoin(F.broadcast(totals))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .select(
+            "band_lo",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            "n_tokens",
+            F.round(F.col("n_docs") / F.col("t_docs"), 6).alias("pct_docs"),
+            F.round(F.col("n_tokens") / F.col("t_tokens"), 6).alias("pct_tokens"),
+            F.round(F.col("cum_tokens") / F.col("t_tokens"), 6).alias("cum_pct_tokens"),
+        )
+        .orderBy(F.col("band_lo").desc())
+    )
+
+
+def _e20_sql() -> str:
+    toks = _SQL_TOKS.format(c="text")
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, {toks} AS toks, length(text) AS n_chars FROM documents
+),
+feat AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         CASE WHEN len(toks) > 0
+              THEN length(regexp_replace(text, '\\s+', '', 'g')) / len(toks)
+              ELSE 0.0 END AS raw_avg_tok,
+         n_chars,
+         len(list_filter(toks, t -> list_contains({_EN_STOP_SQL}, t))) AS n_stop
+  FROM base
+),
+scored AS (
+  SELECT doc_id, n_tokens,
+         ROUND(0.4 * least(n_tokens / 100.0, 1.0)
+               + 0.3 * (CASE WHEN raw_avg_tok >= 2 AND raw_avg_tok <= 12 THEN 1.0 ELSE 0.0 END)
+               + 0.3 * least((CASE WHEN n_tokens > 0 THEN n_stop / n_tokens ELSE 0.0 END) * 5, 1.0), 6)
+           AS quality_score
+  FROM feat
+),
+agg AS (
+  SELECT floor(quality_score * 10) / 10.0 AS band_lo,
+         count(*) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+  FROM scored GROUP BY 1
+),
+tot AS (SELECT SUM(n_docs) AS t_docs, SUM(n_tokens) AS t_tokens FROM agg)
+SELECT band_lo,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       n_tokens,
+       ROUND(n_docs / t_docs, 6) AS pct_docs,
+       ROUND(n_tokens / CAST(t_tokens AS DOUBLE), 6) AS pct_tokens,
+       ROUND(SUM(n_tokens) OVER (ORDER BY band_lo DESC) / CAST(t_tokens AS DOUBLE), 6) AS cum_pct_tokens
+FROM agg, tot
+ORDER BY band_lo DESC
+"""
+
+
+def e21_embedding_hygiene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-store hygiene report — the pre-flight check an ANN/
+    similarity pipeline runs before trusting cosine math: corpus size,
+    degenerate vectors (norm ~ 0, where cosine is undefined and every
+    LSH plane-side is arbitrary), exact-duplicate vectors (inflate
+    neighbor lists and waste index space), and the norm envelope
+    (min/max/mean — a non-unit spread means dot-product shortcuts are
+    wrong). One zero-shuffle projection (per-row left-fold norm + a
+    scaled-integer md5 content key, both engine-portable) + one hash
+    agg. Scales as a single corpus scan."""
+    from hbase_increment_index_spark.pipeline.similarity import norm as vnorm
+
+    emb = _t(spark, sf_dir, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+    nrm = F.round(vnorm(e), 6)
+    sig = F.md5(
+        F.concat_ws(
+            ",",
+            F.transform(e, lambda x: F.floor(x * F.lit(1000000000.0) + F.lit(0.5)).cast("long").cast("string")),
+        )
+    )
+    v = emb.select(nrm.alias("nrm"), sig.alias("sig"))
+    return v.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum(F.when(F.col("nrm") < 1e-9, 1).otherwise(0)).cast("long").alias("n_zero_norm"),
+        (F.count(F.lit(1)) - F.countDistinct("sig")).cast("long").alias("n_dup_vecs"),
+        F.min("nrm").alias("min_norm"),
+        F.max("nrm").alias("max_norm"),
+        F.round(
+            F.sum(F.col("nrm").cast("decimal(27,10)")).cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_norm"),
+    )
+
+
+E21_SQL = """
+WITH v AS (
+  SELECT ROUND(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 6) AS nrm,
+         md5(array_to_string(
+           list_transform(CAST(embedding AS DOUBLE[]),
+                          x -> CAST(CAST(floor(x * 1000000000.0 + 0.5) AS BIGINT) AS VARCHAR)),
+           ',')) AS sig
+  FROM embeddings
+)
+SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(CASE WHEN nrm < 0.000000001 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_norm,
+       CAST(count(*) - count(DISTINCT sig) AS BIGINT) AS n_dup_vecs,
+       MIN(nrm) AS min_norm,
+       MAX(nrm) AS max_norm,
+       ROUND(CAST(SUM(CAST(nrm AS DECIMAL(27,10))) AS DOUBLE) / count(*), 6) AS avg_norm
+FROM v
+"""
+
+
+def e18_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-k (Carbonell & Goldstein 1998): the
+    diversity-aware retrieval/sampling head — relevance alone returns
+    ten flavors of the same document; MMR trades λ·relevance against
+    (1−λ)·redundancy-to-already-selected. Query = vec 0's embedding;
+    candidate pool = cosine top-32 (TakeOrdered head over one corpus
+    scan); greedy k=10 selection runs as ONE Arrow batch over the
+    32-row pool (`similarity.mmr_select`) — the sequential part is
+    k-bounded by construction, the corpus-sized part is embarrassingly
+    parallel. Oracle: a DuckDB recursive CTE replays every greedy pick
+    (scores rounded to 6, ties by id), so the full selection ORDER is
+    hash-verified, not just the member set."""
+    from hbase_increment_index_spark.pipeline.similarity import cosine, mmr_select
+
+    emb = _t(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    q = v.filter(F.col("vec_id") == 0).select(F.col("e").alias("qe"))
+    cand = (
+        v.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "e", F.round(cosine(F.col("e"), F.col("qe")), 6).alias("rel"))
+        .orderBy(F.col("rel").desc(), F.col("vec_id").asc())
+        .limit(32)
+    )
+    return mmr_select(cand, "vec_id", "e", "rel", k=10, lam=0.7).orderBy("rank")
+
+
+E18_SQL = """
+WITH RECURSIVE
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+rel AS (
+  SELECT vec_id,
+         ROUND(list_dot_product(e, qe) / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe))), 6) AS rel
+  FROM v, q WHERE vec_id <> 0
+),
+cand AS (SELECT vec_id, rel FROM rel ORDER BY rel DESC, vec_id ASC LIMIT 32),
+cvec AS (SELECT c.vec_id, c.rel, v.e FROM cand c JOIN v USING (vec_id)),
+sims AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         ROUND(list_dot_product(a.e, b.e) / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 6) AS sim
+  FROM cvec a JOIN cvec b ON a.vec_id <> b.vec_id
+),
+sel AS (
+  SELECT 1 AS rk, vec_id, rel, rel AS score, [vec_id] AS chosen
+  FROM (SELECT vec_id, rel FROM cand ORDER BY rel DESC, vec_id ASC LIMIT 1)
+  UNION ALL
+  SELECT rk + 1, pick.vec_id, pick.rel, pick.score, list_append(chosen, pick.vec_id)
+  FROM sel, LATERAL (
+    SELECT c.vec_id, c.rel,
+           ROUND(0.7 * c.rel - 0.3 * MAX(s.sim), 6) AS score
+    FROM cand c JOIN sims s ON s.ia = c.vec_id AND list_contains(sel.chosen, s.ib)
+    WHERE NOT list_contains(sel.chosen, c.vec_id)
+    GROUP BY c.vec_id, c.rel
+    ORDER BY score DESC, c.vec_id ASC
+    LIMIT 1
+  ) pick
+  WHERE rk < 10
+)
+SELECT CAST(rk AS BIGINT) AS rank, vec_id, rel, score FROM sel ORDER BY rank
+"""

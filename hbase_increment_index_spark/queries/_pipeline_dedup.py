@@ -1911,3 +1911,111 @@ def e9_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return source_quality_rollup(docs)
+
+
+# --------------------------------------------------------------------------
+# Round-8 addition: incremental MinHash signature store.
+# --------------------------------------------------------------------------
+
+
+def e2o_signature_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash-signature store maintenance — the
+    reference's whole job (keep a derived index current under
+    mutations instead of rebuilding, HbaseSolrIndexCoprocesser.java:
+    37-61) applied to the DEDUP index: the per-document MinHash
+    signatures that LSH banding consumes, kept fresh under one
+    CDC-style batch. Base store = signatures of the v1 corpus
+    (doc_id % 7 not in {0}); the batch INSERTS doc_id%7==0, UPDATES
+    doc_id%7==3 (text truncated — signatures must be REPLACED, the
+    S1 upsert semantics), and DELETES doc_id%7==5. The merge touches
+    only delta rows: signatures are recomputed for inserts+updates
+    alone (work ∝ |delta|), stale/deleted rows leave by a broadcast
+    anti-join on the (small-by-construction) touched-key set, exactly
+    the batched add/delete sink pair (SolrIndexTools.java:39-144).
+    Output is the merged store keyed by a portable signature digest;
+    the oracle computes signatures FRESH over the final corpus, so the
+    driver hash-check proves merge ≡ rebuild — the same equality the
+    reference's coprocessor must maintain to serve correct queries.
+    Signatures use the md5-portable lane kernel (as e2b) so every lane
+    minimum is engine-reproducible."""
+    from hbase_increment_index_spark.pipeline.dedup import (
+        _MERSENNE,
+        minhash_signature_from_hashes,
+        portable_hash60,
+        shingle_grams,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 7
+
+    def signatures(frame: DataFrame) -> DataFrame:
+        hs = F.transform(
+            shingle_grams("text", 3),
+            lambda s: F.pmod(portable_hash60(s), F.lit(_MERSENNE)),
+        )
+        return (
+            frame.withColumn("hs", hs)
+            .filter(F.size("hs") > 0)
+            .select(
+                "doc_id",
+                F.md5(
+                    F.concat_ws(
+                        ",", minhash_signature_from_hashes("hs", 64).cast("array<string>")
+                    )
+                ).alias("sig_key"),
+            )
+        )
+
+    store_v1 = signatures(docs.filter(m != 0))
+    updates = docs.filter(m == 3).withColumn("text", F.substring("text", 1, 40))
+    inserts = docs.filter(m == 0)
+    touched = (
+        docs.filter(m.isin(3, 5)).select("doc_id")
+    )  # update victims + deletes
+    merged = (
+        store_v1.join(F.broadcast(touched), "doc_id", "left_anti")
+        .unionByName(signatures(inserts.unionByName(updates)))
+    )
+    return merged.orderBy("doc_id")
+
+
+def _e2o_sql() -> str:
+    from hbase_increment_index_spark.pipeline.dedup import (
+        _MERSENNE,
+        _perm_params,
+        PORTABLE_HASH60_SQL,
+    )
+
+    params = ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(_perm_params(64))
+    )
+    toks = _SQL_TOKS.format(c="text")
+    h = PORTABLE_HASH60_SQL.format(c="sh")
+    return f"""
+WITH corpus AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 3 THEN substr(text, 1, 40) ELSE text END AS text
+  FROM documents
+  WHERE doc_id % 7 <> 5
+),
+base AS (
+  SELECT doc_id AS doc,
+         list_transform(
+           generate_series(1, greatest(len({toks}) - 2, 0)),
+           i -> array_to_string(list_slice({toks}, i, i + 2), ' ')
+         ) AS grams
+  FROM corpus
+),
+sh AS (SELECT DISTINCT doc, unnest(grams) AS sh FROM base WHERE len(grams) > 0),
+hs AS (SELECT doc, {h} % {_MERSENNE} AS hv FROM sh),
+params(lane, a, b) AS (VALUES {params}),
+lanes AS (
+  SELECT doc, lane, MIN((a * hv + b) % {_MERSENNE}) AS m
+  FROM hs CROSS JOIN params GROUP BY doc, lane
+)
+SELECT doc AS doc_id,
+       md5(string_agg(CAST(m AS VARCHAR), ',' ORDER BY lane)) AS sig_key
+FROM lanes
+GROUP BY doc
+ORDER BY doc
+"""

@@ -1763,3 +1763,98 @@ SELECT e.event_type, e.n_total,
 FROM exact e JOIN sketch s USING (event_type)
 ORDER BY e.event_type ASC
 """
+
+
+# --------------------------------------------------------------------------
+# Round-8 addition: json.facet allBuckets / numBuckets / missing.
+# --------------------------------------------------------------------------
+
+
+def q39e_json_facet_allbuckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr ``json.facet`` bucket-metadata trio on a terms facet:
+    ``allBuckets:true`` (the aggregate over every bucket regardless of
+    ``limit``), ``numBuckets:true`` (how many distinct buckets exist),
+    and ``missing:true`` (docs whose faceted field is null) — the
+    standard pattern for paging a high-cardinality facet without
+    losing the totals. Faceted field: lang with 'de' nulled out (a
+    derived sparse field — the fixture has no nulls, same device as
+    q38's sparse CDC view), limit=3 buckets by count desc, each bucket
+    carrying a nested avg(n_chars). Flattened response: one row per
+    term bucket plus the allBuckets and missing rows (bucket_type
+    column), num_buckets broadcast onto every row as Solr returns it
+    at facet level. Plan: two hash aggs over one scan (bucket agg +
+    its 3-row head; global aggs reduce map-side) fused by a 1-row
+    broadcast — no corpus shuffle beyond the bucket agg's."""
+    docs = _t(spark, sf_dir, "documents")
+    fld = F.when(F.col("lang") != "de", F.col("lang"))
+    base = docs.select(fld.alias("fv"), "n_chars")
+    per = base.filter(F.col("fv").isNotNull()).groupBy("fv").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(exact_avg("n_chars"), 6).alias("avg_len"),
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("fv").asc())
+    # 4-bucket agg: the rank window is over the bucket frame, not the corpus
+    top = (
+        per.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            F.lit("term").alias("bucket_type"),
+            F.col("fv").alias("bucket"),
+            F.col("n").cast("long").alias("n"),
+            "avg_len",
+        )
+    )
+    allb = base.filter(F.col("fv").isNotNull()).agg(
+        F.lit("allBuckets").alias("bucket_type"),
+        F.lit(None).cast("string").alias("bucket"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(exact_avg("n_chars"), 6).alias("avg_len"),
+    )
+    missing = base.filter(F.col("fv").isNull()).agg(
+        F.lit("missing").alias("bucket_type"),
+        F.lit(None).cast("string").alias("bucket"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(exact_avg("n_chars"), 6).alias("avg_len"),
+    )
+    nb = per.agg(F.count(F.lit(1)).cast("long").alias("num_buckets"))
+    return (
+        top.unionByName(allb)
+        .unionByName(missing)
+        .crossJoin(F.broadcast(nb))
+        .orderBy("bucket_type", "bucket")
+    )
+
+
+Q39E_SQL = """
+WITH base AS (
+  SELECT CASE WHEN lang <> 'de' THEN lang END AS fv, n_chars FROM documents
+),
+per AS (
+  SELECT fv, count(*) AS n,
+         ROUND(CAST(SUM(CAST(n_chars AS DECIMAL(30,6))) AS DOUBLE) / count(*), 6) AS avg_len
+  FROM base WHERE fv IS NOT NULL GROUP BY fv
+),
+top AS (
+  SELECT 'term' AS bucket_type, fv AS bucket, CAST(n AS BIGINT) AS n, avg_len
+  FROM per
+  QUALIFY row_number() OVER (ORDER BY n DESC, fv ASC) <= 3
+),
+allb AS (
+  SELECT 'allBuckets' AS bucket_type, CAST(NULL AS VARCHAR) AS bucket,
+         CAST(count(*) AS BIGINT) AS n,
+         ROUND(CAST(SUM(CAST(n_chars AS DECIMAL(30,6))) AS DOUBLE) / count(*), 6) AS avg_len
+  FROM base WHERE fv IS NOT NULL
+),
+miss AS (
+  SELECT 'missing' AS bucket_type, CAST(NULL AS VARCHAR) AS bucket,
+         CAST(count(*) AS BIGINT) AS n,
+         ROUND(CAST(SUM(CAST(n_chars AS DECIMAL(30,6))) AS DOUBLE) / count(*), 6) AS avg_len
+  FROM base WHERE fv IS NULL
+),
+nb AS (SELECT CAST(count(*) AS BIGINT) AS num_buckets FROM per),
+u AS (
+  SELECT * FROM top UNION ALL SELECT * FROM allb UNION ALL SELECT * FROM miss
+)
+SELECT u.*, nb.num_buckets FROM u, nb
+ORDER BY bucket_type, bucket
+"""

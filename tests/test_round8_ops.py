@@ -94,3 +94,137 @@ def test_lsh_recompute_after_release_is_correct(spark):
     release_cached_intermediates()
     after = sorted((r["id_a"], r["id_b"]) for r in pairs.collect())
     assert before == after and (1, 2) in before
+
+
+# ---------------------------------------------------------------------------
+# Round-8 operator invariants.
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_WORDS = ["spark", "join", "query", "hash", "table", "stream", "fast", "data"]
+
+_corpus_and_splits = st.lists(
+    st.tuples(
+        st.lists(st.sampled_from(_WORDS), min_size=0, max_size=12),  # text tokens
+        st.sampled_from(["keep", "insert", "update", "delete"]),     # mutation role
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+def _signatures(spark_df):
+    from hbase_increment_index_spark.pipeline.dedup import (
+        _MERSENNE,
+        minhash_signature_from_hashes,
+        portable_hash60,
+        shingle_grams,
+    )
+
+    hs = F.transform(
+        shingle_grams("text", 3),
+        lambda s: F.pmod(portable_hash60(s), F.lit(_MERSENNE)),
+    )
+    return (
+        spark_df.withColumn("hs", hs)
+        .filter(F.size("hs") > 0)
+        .select(
+            "doc_id",
+            F.md5(
+                F.concat_ws(
+                    ",", minhash_signature_from_hashes("hs", 64).cast("array<string>")
+                )
+            ).alias("sig_key"),
+        )
+    )
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_corpus_and_splits)
+def test_signature_store_merge_equals_rebuild(spark, rows):
+    """The e2o invariant generalized: for ANY corpus and ANY
+    insert/update/delete split, maintaining the signature store
+    incrementally (delta-only recompute + broadcast anti-join evict)
+    must equal computing signatures fresh over the final corpus —
+    the reference coprocessor's maintain ≡ rebuild equality."""
+    docs = spark.createDataFrame(
+        [(i, " ".join(toks), role) for i, (toks, role) in enumerate(rows)],
+        "doc_id long, text string, role string",
+    )
+    base = docs.filter(F.col("role") != "insert")
+    updates = docs.filter(F.col("role") == "update").withColumn(
+        "text", F.substring("text", 1, 15)
+    )
+    inserts = docs.filter(F.col("role") == "insert")
+    touched = docs.filter(F.col("role").isin("update", "delete")).select("doc_id")
+    merged = (
+        _signatures(base)
+        .join(F.broadcast(touched), "doc_id", "left_anti")
+        .unionByName(_signatures(inserts.unionByName(updates)))
+    )
+    final = docs.filter(F.col("role") != "delete").withColumn(
+        "text",
+        F.when(F.col("role") == "update", F.substring("text", 1, 15)).otherwise(
+            F.col("text")
+        ),
+    )
+    assert {tuple(r) for r in merged.collect()} == {
+        tuple(r) for r in _signatures(final).collect()
+    }
+
+
+def test_kmeans_refine_matches_numpy(spark, tmp_path):
+    """e16 cross-checked against a straight numpy Lloyd step on a
+    synthetic corpus: same seeds (vec_id < 8), same squared-L2
+    assignment with lowest-id tie-break, same mean recompute."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vecs = rng.rand(40, 64).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]], i % 3) for i in range(40)],
+        "vec_id long, embedding array<float>, label long",
+    )
+    emb.coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+
+    from hbase_increment_index_spark.queries import e16_kmeans_refine
+
+    got = {
+        r["centroid_id"]: (r["n_assigned"], r["shift"])
+        for r in e16_kmeans_refine(spark, str(tmp_path)).collect()
+    }
+
+    x = vecs.astype("float64")
+    seeds = x[:8]
+    d = ((x[:, None, :] - seeds[None, :, :]) ** 2).sum(axis=2)  # (40, 8)
+    assign = d.argmin(axis=1)  # numpy argmin ties -> lowest index, same rule
+    exp = {}
+    for s in range(8):
+        members = x[assign == s]
+        new_c = np.round(members.mean(axis=0), 6)
+        shift = round(float(np.sqrt(((new_c - seeds[s]) ** 2).sum())), 6)
+        exp[s] = (len(members), shift)
+    assert set(got) == set(exp)
+    for s in exp:
+        assert got[s][0] == exp[s][0], f"centroid {s} size"
+        assert abs(got[s][1] - exp[s][1]) < 1e-5, f"centroid {s} shift"
+
+
+def test_mmr_pool_smaller_than_k(spark):
+    """MMR over a pool smaller than k returns the whole pool, ranked;
+    rank 1 is the most relevant, later ranks are diversity-discounted."""
+    from hbase_increment_index_spark.pipeline.similarity import mmr_select
+
+    cand = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0], 0.9),
+            (2, [1.0, 0.001, 0.0], 0.89),   # near-clone of 1: heavily discounted
+            (3, [0.0, 1.0, 0.0], 0.5),      # orthogonal: wins rank 2
+        ],
+        "vec_id long, e array<double>, rel double",
+    )
+    rows = mmr_select(cand, "vec_id", "e", "rel", k=10, lam=0.7).orderBy("rank").collect()
+    assert [r["vec_id"] for r in rows] == [1, 3, 2]
+    assert rows[0]["score"] == 0.9

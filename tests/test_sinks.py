@@ -113,3 +113,97 @@ def test_export_sorted_is_globally_ordered(spark, sf_dir, tmp_path):
                 assert prev_max <= vals[0]  # files ordered end-to-end
             prev_max = vals[-1]
     assert total == orders.count()
+
+
+# ---------------------------------------------------------------------------
+# Copy-on-write MERGE sink (round 8): Delta-style upsert+delete on plain
+# parquet via hash-bucket partitions + dynamic partition overwrite.
+# ---------------------------------------------------------------------------
+
+
+def _merge_fixture(spark):
+    rows = [(f"r{i}", f"v{i}") for i in range(40)]
+    return spark.createDataFrame(rows, "row_key string, value string")
+
+
+def test_merge_upsert_parquet_semantics(spark, tmp_path):
+    from hbase_increment_index_spark.sinks import merge_upsert_parquet, read_merged_table
+
+    path = str(tmp_path / "merged")
+    base = _merge_fixture(spark)
+    merge_upsert_parquet(spark, path, base, "row_key", n_buckets=8)
+
+    delta = spark.createDataFrame(
+        [
+            ("r3", "UPDATED", False),
+            ("r99", "NEW", False),
+            ("r5", None, True),  # delete
+        ],
+        "row_key string, value string, is_delete boolean",
+    )
+    merge_upsert_parquet(spark, path, delta, "row_key", n_buckets=8, delete_col="is_delete")
+
+    got = {(r["row_key"], r["value"]) for r in read_merged_table(spark, path).collect()}
+    expected = {(f"r{i}", f"v{i}") for i in range(40) if i not in (3, 5)}
+    expected |= {("r3", "UPDATED"), ("r99", "NEW")}
+    assert got == expected
+
+
+def test_merge_is_copy_on_write(spark, tmp_path):
+    """The scale property: a merge touching one key must leave every
+    other bucket directory's files byte-identical and un-rewritten —
+    merge cost ∝ |delta| + impacted buckets, never table size."""
+    import os
+
+    from hbase_increment_index_spark.sinks import merge_upsert_parquet
+
+    path = str(tmp_path / "cow")
+    merge_upsert_parquet(spark, path, _merge_fixture(spark), "row_key", n_buckets=8)
+
+    def snapshot(skip_bucket):
+        files = {}
+        for d in os.listdir(path):
+            if not d.startswith("kb=") or d == f"kb={skip_bucket}":
+                continue
+            for f in os.listdir(os.path.join(path, d)):
+                if f.endswith(".parquet"):
+                    st = os.stat(os.path.join(path, d, f))
+                    files[f"{d}/{f}"] = (st.st_size, st.st_mtime_ns, st.st_ino)
+        return files
+
+    # find r7's bucket the same way the sink does
+    kb = spark.createDataFrame([("r7",)], "row_key string").select(
+        F.pmod(F.xxhash64("row_key"), F.lit(8)).alias("kb")
+    ).collect()[0]["kb"]
+    before = snapshot(kb)
+    delta = spark.createDataFrame([("r7", "TOUCHED")], "row_key string, value string")
+    merge_upsert_parquet(spark, path, delta, "row_key", n_buckets=8)
+    assert snapshot(kb) == before  # untouched buckets: same inodes, same bytes
+    got = dict(
+        (r["row_key"], r["value"]) for r in spark.read.parquet(path).collect()
+    )
+    assert got["r7"] == "TOUCHED" and len(got) == 40
+
+
+def test_merge_emptied_bucket_drops_stale_files(spark, tmp_path):
+    """Deleting EVERY key in a bucket produces no output partition for
+    the dynamic overwrite to replace — the sink must drop the stale
+    directory itself or deleted rows come back from the dead."""
+    from hbase_increment_index_spark.sinks import merge_upsert_parquet, read_merged_table
+
+    path = str(tmp_path / "empty")
+    base = _merge_fixture(spark)
+    merge_upsert_parquet(spark, path, base, "row_key", n_buckets=4)
+    # bucket of every key, computed as the sink computes it
+    rows = base.select(
+        "row_key", F.pmod(F.xxhash64("row_key"), F.lit(4)).alias("kb")
+    ).collect()
+    target = rows[0]["kb"]
+    victims = [r["row_key"] for r in rows if r["kb"] == target]
+    delta = spark.createDataFrame(
+        [(k, None, True) for k in victims],
+        "row_key string, value string, is_delete boolean",
+    )
+    merge_upsert_parquet(spark, path, delta, "row_key", n_buckets=4, delete_col="is_delete")
+    got = {r["row_key"] for r in read_merged_table(spark, path).collect()}
+    assert got == {r["row_key"] for r in rows if r["kb"] != target}

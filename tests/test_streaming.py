@@ -660,3 +660,115 @@ def test_rollup_replay_after_partial_crash(spark, dirs):
         for r in spark.read.parquet(rollup_path).collect()
     }
     assert got2 == got
+
+
+def test_cow_microbatch_matches_batch_and_is_cow(spark, dirs):
+    """merge_microbatch_cow over out-of-order batches must serve the
+    same state and documents as a one-shot batch rebuild, while the
+    state table's untouched bucket directories keep their exact files
+    across batches (the copy-on-write contract)."""
+    import os
+
+    from hbase_increment_index_spark.cdc.index_builder import (
+        compact_state,
+        documents_from_cells,
+    )
+    from hbase_increment_index_spark.sinks import read_merged_table
+    from hbase_increment_index_spark.streaming.cdc_stream import merge_microbatch_cow
+
+    _, index_path, _ = dirs
+    b1 = [
+        ("put", "A", "cf", "name", "v1", _ts(1), 1),
+        ("put", "B", "cf", "name", "b1", _ts(2), 2),
+        ("put", "D", "cf", "name", "d1", _ts(2), 3),
+    ]
+    b2 = [
+        ("put", "A", "cf", "name", "v2", _ts(5), 10),
+        ("delete", "B", "cf", None, None, _ts(6), 11),
+        ("put", "C", "cf", "name", "c1", _ts(7), 12),
+    ]
+    b3 = [  # out-of-order straggler: older than b2's overwrite, must lose
+        ("put", "A", "cf", "name", "stale", _ts(3), 5),
+    ]
+    merge_microbatch_cow(
+        spark, spark.createDataFrame(b1, SCHEMA), 0, index_path, ["name"], n_buckets=8
+    )
+
+    # snapshot of D's untouched bucket before the later batches
+    state_path = index_path + "_state_cow"
+    kb_d = spark.createDataFrame([("D",)], "row_key string").select(
+        F.pmod(F.xxhash64("row_key"), F.lit(8)).alias("kb")
+    ).collect()[0]["kb"]
+    kb_touched = {
+        r["kb"]
+        for r in spark.createDataFrame([("A",), ("B",), ("C",)], "row_key string")
+        .select(F.pmod(F.xxhash64("row_key"), F.lit(8)).alias("kb"))
+        .collect()
+    }
+    assert kb_d not in kb_touched  # fixture sanity: D's bucket stays cold
+
+    def files_of(bucket):
+        d = os.path.join(state_path, f"kb={bucket}")
+        return {
+            f: os.stat(os.path.join(d, f)).st_ino
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    before = files_of(kb_d)
+    merge_microbatch_cow(
+        spark, spark.createDataFrame(b2, SCHEMA), 1, index_path, ["name"], n_buckets=8
+    )
+    merge_microbatch_cow(
+        spark, spark.createDataFrame(b3, SCHEMA), 2, index_path, ["name"], n_buckets=8
+    )
+    assert files_of(kb_d) == before  # D's bucket never rewritten
+
+    all_cells = spark.createDataFrame(b1 + b2 + b3, SCHEMA)
+    want_docs = {
+        (r["id"], r["name"])
+        for r in documents_from_cells(all_cells, ["name"]).collect()
+    }
+    got_docs = {
+        (r["row_key"], r["name"])
+        for r in read_merged_table(spark, index_path + "_docs_cow").collect()
+    }
+    assert got_docs == want_docs == {("A", "v2"), ("C", "c1"), ("D", "d1")}
+
+    want_state = {
+        tuple(r)
+        for r in compact_state(all_cells)
+        .select("row_key", "family", "qualifier", "op", "value", "seq")
+        .collect()
+    }
+    got_state = {
+        tuple(r)
+        for r in read_merged_table(spark, state_path)
+        .select("row_key", "family", "qualifier", "op", "value", "seq")
+        .collect()
+    }
+    assert got_state == want_state
+
+
+def test_cow_microbatch_replay_is_idempotent(spark, dirs):
+    """Replaying an already-merged micro-batch (the crash-between-
+    sink-and-checkpoint case) through the COW path must be a no-op —
+    same (ts, seq) conflict resolution as the rewrite path."""
+    from hbase_increment_index_spark.sinks import read_merged_table
+    from hbase_increment_index_spark.streaming.cdc_stream import merge_microbatch_cow
+
+    _, index_path, _ = dirs
+    b1 = [("put", "A", "cf", "name", "v1", _ts(1), 1)]
+    b2 = [
+        ("put", "A", "cf", "name", "v2", _ts(5), 10),
+        ("put", "B", "cf", "name", "b1", _ts(6), 11),
+    ]
+    for i, b in enumerate([b1, b2, b2]):  # b2 delivered twice
+        merge_microbatch_cow(
+            spark, spark.createDataFrame(b, SCHEMA), i, index_path, ["name"], n_buckets=4
+        )
+    got = {
+        (r["row_key"], r["name"])
+        for r in read_merged_table(spark, index_path + "_docs_cow").collect()
+    }
+    assert got == {("A", "v2"), ("B", "b1")}

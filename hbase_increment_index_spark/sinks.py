@@ -165,7 +165,14 @@ def merge_upsert_parquet(
     # buckets. The checkpoint holds |delta| + |impacted buckets| rows,
     # never the table.
     merged = merged.localCheckpoint(eager=True)
-    survivors = {r["kb"] for r in merged.select("kb").distinct().collect()}
+    # emptied-bucket detection only matters when deletes exist: without
+    # them every impacted bucket retains at least its delta rows, so the
+    # survivors probe (one job) is skipped on the upsert-only path
+    survivors = (
+        set(impacted)
+        if delete_col is None
+        else {r["kb"] for r in merged.select("kb").distinct().collect()}
+    )
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:

@@ -327,6 +327,7 @@ def merge_microbatch_cow(
     index_path: str,
     qualifiers: list[str],
     n_buckets: int = 64,
+    postings_field: str | None = None,
 ) -> None:
     """Copy-on-write micro-batch fold — ``merge_microbatch`` with the
     full-table rewrite replaced by ``sinks.merge_upsert_parquet``:
@@ -352,12 +353,26 @@ def merge_microbatch_cow(
 
     state_path = index_path + "_state_cow"
     docs_path = index_path + "_docs_cow"
+    postings_path = index_path + "_postings_cow"
 
     if batch.isEmpty():
         return
     import os
 
     touched = batch.select("row_key").distinct()
+    # postings need the touched docs' OLD text (to find terms whose
+    # posting lists shrink) — capture the slice before the docs table
+    # is merged over; batch-bounded, so the checkpoint is tiny
+    old_docs_slice = None
+    if postings_field is not None and os.path.exists(docs_path):
+        from hbase_increment_index_spark.sinks import read_merged_table as _rmt
+
+        old_docs_slice = (
+            _rmt(spark, docs_path)
+            .join(F.broadcast(touched), "row_key", "left_semi")
+            .select("row_key", postings_field)
+            .localCheckpoint(eager=True)
+        )
     if os.path.exists(state_path):
         old_slice = read_merged_table(spark, state_path).join(
             F.broadcast(touched), "row_key", "left_semi"
@@ -391,6 +406,74 @@ def merge_microbatch_cow(
     merge_upsert_parquet(
         spark, docs_path, delta, "row_key", n_buckets=n_buckets, delete_col="_del"
     )
+
+    if postings_field is not None:
+        # COW postings maintenance, keyed by TERM: the delta is bounded
+        # by the batch's vocabulary, never the index. Touched terms =
+        # terms of the touched docs' old text ∪ new text. For those
+        # terms only: current posting rows are read back (directory
+        # pruning on the term buckets — a ≤n_buckets isin list), rows
+        # of touched DOCS dropped, fresh postings for the new text
+        # appended, and terms whose posting list vanished entirely
+        # become COW deletes (dynamic overwrite cannot empty a key).
+        from hbase_increment_index_spark.search.inverted import build_inverted_index
+        from hbase_increment_index_spark.search.tokenize import tokens
+
+        new_docs_slice = docs_delta.select("row_key", postings_field)
+
+        def _terms(frame: DataFrame) -> DataFrame:
+            return frame.select(
+                F.explode(F.array_distinct(tokens(postings_field))).alias("term")
+            ).distinct()
+
+        touched_terms = _terms(new_docs_slice)
+        if old_docs_slice is not None:
+            touched_terms = touched_terms.unionByName(_terms(old_docs_slice)).distinct()
+        touched_terms = touched_terms.localCheckpoint(eager=True)
+
+        if os.path.exists(postings_path):
+            tt_kb = [
+                r["kb"]
+                for r in touched_terms.select(
+                    F.pmod(F.xxhash64("term"), F.lit(n_buckets)).alias("kb")
+                )
+                .distinct()
+                .collect()
+            ]
+            cur = (
+                spark.read.parquet(postings_path)
+                .filter(F.col("kb").isin(tt_kb))
+                .drop("kb")
+                .join(F.broadcast(touched_terms), "term", "left_semi")
+            )
+            kept = cur.join(F.broadcast(touched), "row_key", "left_anti")
+            fresh = build_inverted_index(new_docs_slice, "row_key", postings_field)
+            delta_p = kept.unionByName(fresh.select(*kept.columns))
+        else:
+            from hbase_increment_index_spark.sinks import read_merged_table as _rmt
+
+            delta_p = build_inverted_index(
+                _rmt(spark, docs_path).select("row_key", postings_field),
+                "row_key",
+                postings_field,
+            )
+        vanished = touched_terms.join(
+            F.broadcast(delta_p.select("term").distinct()), "term", "left_anti"
+        )
+        pcols = [c for c in delta_p.columns if c != "term"]
+        delta_p = delta_p.withColumn("_del", F.lit(False)).unionByName(
+            vanished.select(
+                "term",
+                *[
+                    F.lit(None).cast(delta_p.schema[c].dataType).alias(c)
+                    for c in pcols
+                ],
+                F.lit(True).alias("_del"),
+            )
+        )
+        merge_upsert_parquet(
+            spark, postings_path, delta_p, "term", n_buckets=n_buckets, delete_col="_del"
+        )
 
 
 def sessionized_event_counts(

@@ -772,3 +772,51 @@ def test_cow_microbatch_replay_is_idempotent(spark, dirs):
         for r in read_merged_table(spark, index_path + "_docs_cow").collect()
     }
     assert got == {("A", "v2"), ("B", "b1")}
+
+
+def test_cow_postings_match_fresh_build(spark, dirs):
+    """COW postings maintenance: after out-of-order batches with
+    updates and deletes, the term-bucketed postings table must equal a
+    fresh build over the final document set — including terms whose
+    posting lists vanished entirely (the COW-delete path)."""
+    from hbase_increment_index_spark.search.inverted import build_inverted_index
+    from hbase_increment_index_spark.sinks import read_merged_table
+    from hbase_increment_index_spark.streaming.cdc_stream import merge_microbatch_cow
+
+    _, index_path, _ = dirs
+    b1 = [
+        ("put", "A", "cf", "name", "apple pie recipe", _ts(1), 1),
+        ("put", "B", "cf", "name", "unique banana bread", _ts(2), 2),
+        ("put", "D", "cf", "name", "cherry tart", _ts(2), 3),
+    ]
+    b2 = [
+        # update A away from 'pie': 'pie' survives nowhere -> vanished term
+        ("put", "A", "cf", "name", "apple cider", _ts(5), 10),
+        # delete B: 'unique', 'banana', 'bread' all vanish
+        ("delete", "B", "cf", None, None, _ts(6), 11),
+        ("put", "C", "cf", "name", "apple strudel", _ts(7), 12),
+    ]
+    for i, b in enumerate([b1, b2]):
+        merge_microbatch_cow(
+            spark,
+            spark.createDataFrame(b, SCHEMA),
+            i,
+            index_path,
+            ["name"],
+            n_buckets=8,
+            postings_field="name",
+        )
+    got = {
+        tuple(r)
+        for r in read_merged_table(spark, index_path + "_postings_cow").collect()
+    }
+    final_docs = read_merged_table(spark, index_path + "_docs_cow").select(
+        "row_key", "name"
+    )
+    want = {
+        tuple(r) for r in build_inverted_index(final_docs, "row_key", "name").collect()
+    }
+    assert got == want
+    terms = {t for (t, *_rest) in got}
+    assert "pie" not in terms and "banana" not in terms  # vanished terms evicted
+    assert {"apple", "cider", "strudel", "cherry", "tart"} <= terms

@@ -108,6 +108,7 @@ HEADLINE = [
     "e20_quality_bands",
     "e21_embedding_hygiene",
     "q39e_json_facet_allbuckets",
+    "e22_vocab_stats",
 ]
 
 

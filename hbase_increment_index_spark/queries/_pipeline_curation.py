@@ -2249,3 +2249,126 @@ sel AS (
 )
 SELECT CAST(rk AS BIGINT) AS rank, vec_id, rel, score FROM sel ORDER BY rank
 """
+
+
+def e22_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary statistics — the corpus-linguistics
+    pre-flight for tokenizer/vocab sizing: token and type counts,
+    type-token ratio, the Heaps-law growth exponent β (V = K·N^β,
+    estimated from the nested half-corpus → full-corpus pair — how
+    fast NEW types keep appearing as the source grows), and the Zipf
+    slope α (OLS on log-rank/log-frequency over each source's top-50
+    terms — a flat slope flags templated/boilerplate sources, a steep
+    one tiny-vocabulary ones). The half-corpus split is CONTENT-
+    ADDRESSED (the sampling ops' md5 unit bucket), not doc_id parity —
+    the fixture assigns sources by doc_id modulus, so any modular split
+    correlates perfectly with source and degenerates the estimator
+    (n_half ∈ {0, n}: a 0/0). All sums of doubles go through exact
+    decimals so the OLS is partition-invariant; ranks tie-break on
+    term so both engines rank identically. Shuffles: one (source,term)
+    hash agg (vocabulary-bounded), windows over per-source top lists,
+    final fusion of four ≤|sources|-row aggregates by broadcast."""
+    from hbase_increment_index_spark.pipeline.sampling import _unit_bucket
+    from hbase_increment_index_spark.search.tokenize import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        (_unit_bucket("doc_id", "heaps") < 500_000).alias("in_half"),
+        F.explode(tokens("text")).alias("term"),
+    )
+    per_source = toks.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("term").alias("vocab"),
+    )
+    half = (
+        toks.filter(F.col("in_half"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_half"),
+            F.countDistinct("term").alias("v_half"),
+        )
+    )
+    ndocs = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tf = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("tf"))
+    w = Window.partitionBy("source").orderBy(F.col("tf").desc(), F.col("term").asc())
+    top = tf.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 50)
+    x = F.log(F.col("rk").cast("double"))
+    y = F.log(F.col("tf").cast("double"))
+    ols = top.groupBy("source").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x.cast("decimal(30,12)")).cast("double").alias("sx"),
+        F.sum(y.cast("decimal(30,12)")).cast("double").alias("sy"),
+        F.sum((x * y).cast("decimal(30,12)")).cast("double").alias("sxy"),
+        F.sum((x * x).cast("decimal(30,12)")).cast("double").alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return (
+        per_source.join(F.broadcast(half), "source")
+        .join(F.broadcast(ndocs), "source")
+        .join(F.broadcast(ols), "source")
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("vocab").cast("long").alias("vocab"),
+            F.round(F.col("vocab") / F.col("n_tokens"), 6).alias("ttr"),
+            F.round(
+                F.log(F.col("vocab") / F.col("v_half"))
+                / F.log(F.col("n_tokens") / F.col("n_half")),
+                6,
+            ).alias("heaps_beta"),
+            F.round(-slope, 6).alias("zipf_alpha"),
+        )
+        .orderBy("source")
+    )
+
+
+def _e22_sql() -> str:
+    toks = _SQL_TOKS.format(c="text")
+    return f"""
+WITH toks AS (
+  SELECT source, {_SQL_BUCKET.format(salt='heaps', c='doc_id')} < 500000 AS in_half,
+         unnest({toks}) AS term
+  FROM documents
+),
+per_source AS (
+  SELECT source, count(*) AS n_tokens, count(DISTINCT term) AS vocab
+  FROM toks GROUP BY source
+),
+half AS (
+  SELECT source, count(*) AS n_half, count(DISTINCT term) AS v_half
+  FROM toks WHERE in_half GROUP BY source
+),
+ndocs AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+tf AS (SELECT source, term, count(*) AS tf FROM toks GROUP BY source, term),
+top AS (
+  SELECT source, tf,
+         row_number() OVER (PARTITION BY source ORDER BY tf DESC, term ASC) AS rk
+  FROM tf
+  QUALIFY rk <= 50
+),
+ols AS (
+  SELECT source,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(ln(CAST(rk AS DOUBLE)) AS DECIMAL(30,12))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(ln(CAST(tf AS DOUBLE)) AS DECIMAL(30,12))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(ln(CAST(rk AS DOUBLE)) * ln(CAST(tf AS DOUBLE)) AS DECIMAL(30,12))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(ln(CAST(rk AS DOUBLE)) * ln(CAST(rk AS DOUBLE)) AS DECIMAL(30,12))) AS DOUBLE) AS sxx
+  FROM top GROUP BY source
+)
+SELECT p.source,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(vocab AS BIGINT) AS vocab,
+       ROUND(vocab / CAST(n_tokens AS DOUBLE), 6) AS ttr,
+       ROUND(ln(vocab / CAST(v_half AS DOUBLE)) / ln(n_tokens / CAST(n_half AS DOUBLE)), 6) AS heaps_beta,
+       ROUND(-((n * sxy - sx * sy) / (n * sxx - sx * sx)), 6) AS zipf_alpha
+FROM per_source p
+JOIN half USING (source)
+JOIN ndocs USING (source)
+JOIN ols USING (source)
+ORDER BY source
+"""

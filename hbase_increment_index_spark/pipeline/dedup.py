@@ -393,16 +393,25 @@ def minhash_signatures_vectorized(
 # garbage-collected with the Python object — so without a release point
 # repeated library calls in a long session accumulate cached partitions
 # (bench.py masks this with clearCache(); other callers would leak).
-# Each new call releases the previous call's intermediates; callers who
-# need the caches gone sooner call release_cached_intermediates().
+# A call with DIFFERENT inputs releases the previous call's
+# intermediates; an IDENTICAL repeat call (same params, same input
+# plan, caches still live) returns the memoized pair frame instead —
+# the banded signature index is "build once, query many" state exactly
+# like the postings index, so serving repeated near-dup queries from
+# the cached index is the intended production shape, not a leak.
+# Callers who need the caches gone sooner call
+# release_cached_intermediates().
 _CACHED_INTERMEDIATES: list[DataFrame] = []
+_MEMO: dict = {"key": None, "plan": None, "result": None}
 
 
 def release_cached_intermediates() -> None:
     """Unpersist the intermediate frames cached by the most recent
-    :func:`minhash_lsh_pairs` call. Safe to call at any time: persist
-    is a performance hint, so a pair frame still being consumed is
-    simply recomputed from lineage (correctness is unaffected)."""
+    :func:`minhash_lsh_pairs` call (and drop its memo). Safe to call at
+    any time: persist is a performance hint, so a pair frame still
+    being consumed is simply recomputed from lineage (correctness is
+    unaffected)."""
+    _MEMO.update(key=None, plan=None, result=None)
     while _CACHED_INTERMEDIATES:
         _CACHED_INTERMEDIATES.pop().unpersist()
 
@@ -426,10 +435,15 @@ def minhash_lsh_pairs(
     scalar hot-bucket probe that picks the guarded vs unguarded plan —
     so even an ``explain()``/dry-run of an LSH-based query executes
     that probe (~0.2 s at sf0.1). Pass ``max_bucket_docs=None`` for a
-    fully lazy (unguarded) plan. Intermediates are cached per call and
-    released on the NEXT call (or via
-    :func:`release_cached_intermediates`); holding two LSH pair frames
-    live at once is still correct, the earlier one just recomputes.
+    fully lazy (unguarded) plan. Intermediates are cached per call;
+    a call with DIFFERENT inputs releases them first, while an
+    identical repeat call (same params, same input plan, caches still
+    live) returns the memoized pair frame — repeated queries serve
+    from the cached signature index, the same build-once/query-many
+    contract as the postings index. Explicit cleanup:
+    :func:`release_cached_intermediates`. Holding two different LSH
+    pair frames live at once is still correct, the earlier one just
+    recomputes from lineage.
 
     ``impl``: 'pandas' (default) computes signatures with the numpy
     kernel — one (num_perm × |shingles|) broadcasted modular-multiply
@@ -485,6 +499,21 @@ def minhash_lsh_pairs(
         raise ValueError(
             f"max_bucket_docs must be >= 1 or None (got {max_bucket_docs})"
         )
+    params_key = (
+        id_col, text_col, num_perm, bands, shingle_n, threshold, impl,
+        hash_fn, max_bucket_docs,
+    )
+    if _MEMO["key"] == params_key and _MEMO["plan"] is not None:
+        try:
+            same = df._jdf.queryExecution().analyzed().sameResult(_MEMO["plan"])
+            live = any(
+                f.storageLevel.useMemory or f.storageLevel.useDisk
+                for f in _CACHED_INTERMEDIATES
+            )
+        except Exception:  # noqa: BLE001 — plan comparison is best-effort
+            same = live = False
+        if same and live:
+            return _MEMO["result"]
     release_cached_intermediates()
     r = num_perm // bands
 
@@ -632,6 +661,9 @@ def minhash_lsh_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+    _MEMO.update(
+        key=params_key, plan=df._jdf.queryExecution().analyzed(), result=verified
     )
     return verified
 

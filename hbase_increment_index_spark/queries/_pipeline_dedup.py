@@ -1940,7 +1940,7 @@ def e2o_signature_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     minimum is engine-reproducible."""
     from hbase_increment_index_spark.pipeline.dedup import (
         _MERSENNE,
-        minhash_signature_from_hashes,
+        minhash_signatures_vectorized,
         portable_hash60,
         shingle_grams,
     )
@@ -1949,21 +1949,22 @@ def e2o_signature_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = F.col("doc_id") % 7
 
     def signatures(frame: DataFrame) -> DataFrame:
+        # string shingling/hashing stays JVM-side; the 64 permutation
+        # lanes run in the numpy kernel (bit-identical to the
+        # expression lane, ~4× faster end-to-end — the same measured
+        # trade as minhash_lsh_pairs impl='pandas')
         hs = F.transform(
             shingle_grams("text", 3),
             lambda s: F.pmod(portable_hash60(s), F.lit(_MERSENNE)),
         )
-        return (
+        pre = (
             frame.withColumn("hs", hs)
             .filter(F.size("hs") > 0)
-            .select(
-                "doc_id",
-                F.md5(
-                    F.concat_ws(
-                        ",", minhash_signature_from_hashes("hs", 64).cast("array<string>")
-                    )
-                ).alias("sig_key"),
-            )
+            .select("doc_id", "hs")
+        )
+        return minhash_signatures_vectorized(pre, "doc_id", "hs", 64).select(
+            F.col("doc").alias("doc_id"),
+            F.md5(F.concat_ws(",", F.col("sig").cast("array<string>"))).alias("sig_key"),
         )
 
     store_v1 = signatures(docs.filter(m != 0))

@@ -228,3 +228,35 @@ def test_mmr_pool_smaller_than_k(spark):
     rows = mmr_select(cand, "vec_id", "e", "rel", k=10, lam=0.7).orderBy("rank").collect()
     assert [r["vec_id"] for r in rows] == [1, 3, 2]
     assert rows[0]["score"] == 0.9
+
+
+def test_lsh_identical_repeat_call_is_memoized(spark):
+    """An identical repeat call (same params, same input plan, caches
+    live) must return the memoized pair frame — repeated near-dup
+    queries serve from the cached signature index instead of paying
+    signatures + banding + the skew probe again. A call with different
+    params evicts the memo and the caches."""
+    from hbase_increment_index_spark.pipeline.dedup import (
+        _CACHED_INTERMEDIATES,
+        minhash_lsh_pairs,
+        release_cached_intermediates,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+        ],
+        "doc_id long, text string",
+    )
+    release_cached_intermediates()
+    p1 = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.3)
+    n_frames = len(_CACHED_INTERMEDIATES)
+    p2 = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.3)
+    assert p2 is p1  # memo hit: same object, no new jobs, no new caches
+    assert len(_CACHED_INTERMEDIATES) == n_frames
+    # different params: memo miss, prior caches released, new ones pinned
+    p3 = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
+    assert p3 is not p1
+    assert sorted((r["id_a"], r["id_b"]) for r in p3.collect()) == [(1, 2)]
+    release_cached_intermediates()

@@ -104,6 +104,7 @@ HEADLINE = [
     "e16_kmeans_refine",
     "e18_mmr_diversify",
     "e2o_signature_store",
+    "e2p_store_served_pairs",
     "e19_threshold_sweep",
     "e20_quality_bands",
     "e21_embedding_hygiene",

@@ -405,6 +405,17 @@ _CACHED_INTERMEDIATES: list[DataFrame] = []
 _MEMO: dict = {"key": None, "plan": None, "result": None}
 
 
+def register_cached_intermediate(df: DataFrame) -> DataFrame:
+    """Persist ``df`` under the library's release discipline: the next
+    differing :func:`minhash_lsh_pairs` call (or an explicit
+    :func:`release_cached_intermediates`) unpersists it. For LSH-family
+    operators outside this module that pin a signature/banded frame
+    consumed by several plan branches."""
+    df = df.persist()
+    _CACHED_INTERMEDIATES.append(df)
+    return df
+
+
 def release_cached_intermediates() -> None:
     """Unpersist the intermediate frames cached by the most recent
     :func:`minhash_lsh_pairs` call (and drop its memo). Safe to call at

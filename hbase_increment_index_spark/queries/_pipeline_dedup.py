@@ -2020,3 +2020,102 @@ FROM lanes
 GROUP BY doc
 ORDER BY doc
 """
+
+
+def e2p_store_served_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs SERVED from the signature store — the query-time
+    half of e2o's maintain-the-index story, and the signature-index
+    twin of q06c's served-BM25: candidates come from banding the
+    STORED 64-lane MinHash signatures and similarity is ESTIMATED as
+    the matching-lane fraction (an unbiased Jaccard estimator, MMDS
+    ch.3) — the corpus text is never touched at query time. This is
+    the serving mode a 100 TB dedup deployment runs between batches:
+    signatures ∝ corpus are maintained incrementally (e2o, work ∝
+    delta), and pair queries band + estimate over the ~24 B/doc store
+    only. Exactness note: the estimate has 1/64 granularity; pairs at
+    est ≥ 0.25 here, with the exact-verify form (e2b) as the
+    precision-critical path. Shuffle profile identical to
+    minhash_lsh_pairs' banded join; lane agreement is one zip_with
+    fold per candidate, no corpus scan anywhere."""
+    from hbase_increment_index_spark.pipeline.dedup import (
+        _MERSENNE,
+        minhash_signatures_vectorized,
+        portable_hash60,
+        register_cached_intermediate,
+        shingle_grams,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    hs = F.transform(
+        shingle_grams("text", 3),
+        lambda s: F.pmod(portable_hash60(s), F.lit(_MERSENNE)),
+    )
+    pre = docs.withColumn("hs", hs).filter(F.size("hs") > 0).select("doc_id", "hs")
+    # the store feeds three consumers (banding + both sig-join sides);
+    # pinned under the library's release discipline — in production
+    # this frame IS the stored table e2o maintains
+    store = register_cached_intermediate(
+        minhash_signatures_vectorized(pre, "doc_id", "hs", 64)
+    )
+    bands, r = 16, 4
+    banded = store.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(",", F.slice("sig", bi * r + 1, r))
+                        ).alias("bh"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc", "b.band", "b.bh")
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "bh"])
+        .filter(F.col("x.doc") < F.col("y.doc"))
+        .select(F.col("x.doc").alias("id_a"), F.col("y.doc").alias("id_b"))
+        .distinct()
+    )
+    sa = store.select(F.col("doc").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = store.select(F.col("doc").alias("id_b"), F.col("sig").alias("sig_b"))
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                lambda b: b,
+            )
+        )
+        / F.lit(64.0)
+    )
+    out = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("est_jaccard", F.round(est, 6))
+        .filter(F.col("est_jaccard") >= 0.25)
+        .select("id_a", "id_b", "est_jaccard")
+        .orderBy("id_a", "id_b")
+    )
+    return out
+
+
+def _e2p_sql() -> str:
+    return f"""
+WITH {_minhash_sql_ctes()},
+agree AS (
+  SELECT c.id_a, c.id_b,
+         SUM(CASE WHEN la.m = lb.m THEN 1 ELSE 0 END) AS eq
+  FROM cand c
+  JOIN lanes la ON la.doc = c.id_a
+  JOIN lanes lb ON lb.doc = c.id_b AND lb.lane = la.lane
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, ROUND(eq / 64.0, 6) AS est_jaccard
+FROM agree
+WHERE eq / 64.0 >= 0.25
+ORDER BY id_a, id_b
+"""

@@ -110,6 +110,7 @@ HEADLINE = [
     "e21_embedding_hygiene",
     "q39e_json_facet_allbuckets",
     "e22_vocab_stats",
+    "e6k_truncation_loss",
 ]
 
 

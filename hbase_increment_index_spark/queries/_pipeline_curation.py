@@ -2372,3 +2372,67 @@ JOIN ndocs USING (source)
 JOIN ols USING (source)
 ORDER BY source
 """
+
+
+def e6k_truncation_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length design report — the question asked before
+    fixing a packing length (e6c) or a chunker (e4i): at each
+    candidate max_seq_len, how many documents get truncated and what
+    fraction of training tokens is lost to truncation. Token loss is
+    the quantity that matters (a few very long docs can carry a large
+    token share), which is why the report carries both document- and
+    token-denominated rates. One token-count projection (no explode —
+    size(tokens) only), a 4-row grid joined by broadcast, one hash
+    agg; corpus-linear with a constant ~4× row fan-out."""
+    from hbase_increment_index_spark.search.tokenize import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.select(F.size(tokens("text")).cast("long").alias("n_tokens"))
+    grid = spark.createDataFrame(
+        [(32,), (48,), (64,), (96,)], "max_seq_len long"
+    )
+    j = n.crossJoin(F.broadcast(grid))
+    return (
+        j.groupBy("max_seq_len")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("n_tokens") > F.col("max_seq_len"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_truncated"),
+            F.sum("n_tokens").cast("long").alias("tokens_total"),
+            F.sum(F.greatest(F.col("n_tokens") - F.col("max_seq_len"), F.lit(0)))
+            .cast("long")
+            .alias("tokens_lost"),
+        )
+        .select(
+            "max_seq_len",
+            "n_docs",
+            "n_truncated",
+            F.round(F.col("n_truncated") / F.col("n_docs"), 6).alias("pct_truncated"),
+            "tokens_total",
+            "tokens_lost",
+            F.round(F.col("tokens_lost") / F.col("tokens_total"), 6).alias(
+                "pct_tokens_lost"
+            ),
+        )
+        .orderBy("max_seq_len")
+    )
+
+
+def _e6k_sql() -> str:
+    toks = _SQL_TOKS.format(c="text")
+    return f"""
+WITH n AS (SELECT len({toks}) AS n_tokens FROM documents),
+grid(max_seq_len) AS (VALUES (CAST(32 AS BIGINT)), (48), (64), (96)),
+j AS (SELECT * FROM n CROSS JOIN grid)
+SELECT max_seq_len,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN n_tokens > max_seq_len THEN 1 ELSE 0 END) AS BIGINT) AS n_truncated,
+       ROUND(SUM(CASE WHEN n_tokens > max_seq_len THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS pct_truncated,
+       CAST(SUM(n_tokens) AS BIGINT) AS tokens_total,
+       CAST(SUM(greatest(n_tokens - max_seq_len, 0)) AS BIGINT) AS tokens_lost,
+       ROUND(SUM(greatest(n_tokens - max_seq_len, 0)) / CAST(SUM(n_tokens) AS DOUBLE), 6) AS pct_tokens_lost
+FROM j
+GROUP BY max_seq_len
+ORDER BY max_seq_len
+"""

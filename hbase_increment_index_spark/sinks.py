@@ -137,10 +137,8 @@ def merge_upsert_parquet(
     appear at most once in the merged table (last-writer-wins within
     the batch is the caller's contract, as in the reference's batch).
     """
-    import os
-
     kb = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).alias("kb")
-    if not os.path.exists(path):
+    if not merged_table_exists(spark, path):
         base = delta if delete_col is None else delta.filter(
             ~F.coalesce(F.col(delete_col), F.lit(False))
         ).drop(delete_col)
@@ -193,6 +191,18 @@ def merge_upsert_parquet(
     # the overwrite replaced files behind Spark's cached FileIndex for
     # this path — invalidate it or the next read fails on vanished parts
     spark.catalog.refreshByPath(path)
+
+
+def merged_table_exists(spark, path: str) -> bool:
+    """Committed-table probe for merge_upsert_parquet layouts, through
+    the Hadoop FileSystem API so it is scheme-agnostic (file://,
+    hdfs://, s3a://) — an ``os.path.exists`` only answers for the
+    driver's local disk. Requires the _SUCCESS marker, so a
+    half-written bootstrap from a crashed job counts as absent."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(jvm.org.apache.hadoop.fs.Path(path, "_SUCCESS")))
 
 
 def read_merged_table(spark, path: str) -> DataFrame:

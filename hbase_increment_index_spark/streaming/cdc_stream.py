@@ -357,14 +357,14 @@ def merge_microbatch_cow(
 
     if batch.isEmpty():
         return
-    import os
+    from hbase_increment_index_spark.sinks import merged_table_exists
 
     touched = batch.select("row_key").distinct()
     # postings need the touched docs' OLD text (to find terms whose
     # posting lists shrink) — capture the slice before the docs table
     # is merged over; batch-bounded, so the checkpoint is tiny
     old_docs_slice = None
-    if postings_field is not None and os.path.exists(docs_path):
+    if postings_field is not None and merged_table_exists(spark, docs_path):
         from hbase_increment_index_spark.sinks import read_merged_table as _rmt
 
         old_docs_slice = (
@@ -373,7 +373,7 @@ def merge_microbatch_cow(
             .select("row_key", postings_field)
             .localCheckpoint(eager=True)
         )
-    if os.path.exists(state_path):
+    if merged_table_exists(spark, state_path):
         old_slice = read_merged_table(spark, state_path).join(
             F.broadcast(touched), "row_key", "left_semi"
         )
@@ -431,7 +431,7 @@ def merge_microbatch_cow(
             touched_terms = touched_terms.unionByName(_terms(old_docs_slice)).distinct()
         touched_terms = touched_terms.localCheckpoint(eager=True)
 
-        if os.path.exists(postings_path):
+        if merged_table_exists(spark, postings_path):
             tt_kb = [
                 r["kb"]
                 for r in touched_terms.select(

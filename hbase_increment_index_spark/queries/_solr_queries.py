@@ -2047,3 +2047,48 @@ GROUP BY term
 ORDER BY docfreq DESC, term ASC
 LIMIT 20
 """
+
+
+def q31b_interesting_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr ``mlt.interestingTerms=details``: the terms MoreLikeThis
+    actually built its query from, with their scores — the explain
+    surface for q31's ranking (a user debugging "why did MLT return
+    these docs" reads this list first). Same selection as q31's query
+    construction: the source doc's distinct terms ranked by rarity
+    (df asc, term asc), top-20, scored by idf. One vocabulary-bounded
+    df agg + a broadcast scalar N; the top-20 head is TakeOrdered."""
+    from hbase_increment_index_spark.search.tokenize import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("term")
+    )
+    dft = toks.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    return (
+        toks.filter(F.col("doc_id") == 7)
+        .join(dft, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "term",
+            F.col("df").cast("long").alias("df"),
+            F.round(F.log(F.col("n_docs") / F.col("df")), 6).alias("score"),
+        )
+        .orderBy(F.col("df").asc(), F.col("term").asc())
+        .limit(20)
+    )
+
+
+Q31B_SQL = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, term
+  FROM (SELECT doc_id, unnest({_SQL_TOKS.format(c='text')}) AS term FROM documents)
+),
+dft AS (SELECT term, count(*) AS df FROM toks GROUP BY 1),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents)
+SELECT term, CAST(df AS BIGINT) AS df, ROUND(ln(n.n_docs / df), 6) AS score
+FROM toks JOIN dft USING (term), n
+WHERE doc_id = 7
+ORDER BY df ASC, term ASC
+LIMIT 20
+"""

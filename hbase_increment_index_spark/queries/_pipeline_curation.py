@@ -2436,3 +2436,125 @@ FROM j
 GROUP BY max_seq_len
 ORDER BY max_seq_len
 """
+
+
+def e4m_boilerplate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source boilerplate detection — the CCNet/RefinedWeb pipeline
+    stage between exact dedup and near-dup removal: shingles repeated
+    across a large fraction of ONE source's documents are template
+    chrome (nav text, footers, cookie banners), not content, and
+    inflate both near-dup similarity and n-gram LMs. A shingle is
+    flagged when it appears in ≥50% of the source's docs (and ≥5 docs);
+    the report gives each source its boilerplate-shingle count, the
+    share of docs carrying any, and the most widespread offender.
+
+    The fixture corpus has NO organic boilerplate (max within-source
+    shingle df is 3/25 — verified), so the harness synthesizes it the
+    same way e2n populates its mid-curve: a deterministic per-source
+    footer appended to docs with doc_id % 3 != 0. The operator must
+    find exactly those footer shingles and the exact affected-doc
+    share. Shuffles: one (source, shingle) hash agg (vocabulary-
+    bounded); the flagged set is ≤ footer-size × |sources| rows and
+    broadcasts into the affected-docs semi-join."""
+    from hbase_increment_index_spark.pipeline.dedup import shingle_grams
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 != 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" subscribe to the "),
+                F.col("source"),
+                F.lit(" newsletter for daily updates"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    sh = docs.select(
+        "source", "doc_id", F.explode(F.array_distinct(shingle_grams("text", 3))).alias("sh")
+    )
+    nd = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    dfreq = sh.groupBy("source", "sh").agg(F.countDistinct("doc_id").alias("d"))
+    boiler = (
+        dfreq.join(F.broadcast(nd), "source")
+        .filter((F.col("d") >= 0.5 * F.col("n_docs")) & (F.col("d") >= 5))
+        .select("source", "sh", "d")
+    )
+    affected = (
+        sh.join(F.broadcast(boiler.select("source", "sh")), ["source", "sh"], "left_semi")
+        .select("source", "doc_id")
+        .distinct()
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_affected"))
+    )
+    top = boiler.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_boiler_shingles"),
+        F.min(F.struct((-F.col("d")).alias("nd"), F.col("sh").alias("s"))).alias("_t"),
+    )
+    return (
+        nd.join(F.broadcast(top), "source")
+        .join(F.broadcast(affected), "source")
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            "n_boiler_shingles",
+            F.col("n_affected").cast("long").alias("n_docs_affected"),
+            F.round(F.col("n_affected") / F.col("n_docs"), 6).alias("pct_affected"),
+            F.col("_t.s").alias("top_boiler_shingle"),
+        )
+        .orderBy("source")
+    )
+
+
+def _e4m_sql() -> str:
+    toks = _SQL_TOKS.format(c="text")
+    return f"""
+WITH docs AS (
+  SELECT source, doc_id,
+         CASE WHEN doc_id % 3 <> 0
+              THEN text || ' subscribe to the ' || source || ' newsletter for daily updates'
+              ELSE text END AS text
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT source, doc_id,
+         unnest(list_distinct(
+           list_transform(
+             generate_series(1, greatest(len({toks}) - 2, 0)),
+             i -> array_to_string(list_slice({toks}, i, i + 2), ' ')
+           ))) AS sh
+  FROM docs
+),
+nd AS (SELECT source, count(*) AS n_docs FROM docs GROUP BY source),
+dfreq AS (SELECT source, sh, count(DISTINCT doc_id) AS d FROM sh GROUP BY 1, 2),
+boiler AS (
+  SELECT dfreq.source, sh, d
+  FROM dfreq JOIN nd USING (source)
+  WHERE d >= 0.5 * n_docs AND d >= 5
+),
+affected AS (
+  SELECT source, count(*) AS n_affected
+  FROM (SELECT DISTINCT s.source, s.doc_id
+        FROM sh s JOIN boiler b ON s.source = b.source AND s.sh = b.sh)
+  GROUP BY source
+),
+cnt AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_boiler_shingles
+  FROM boiler GROUP BY source
+),
+topn AS (
+  SELECT source, sh AS top_boiler_shingle FROM boiler
+  QUALIFY row_number() OVER (PARTITION BY source ORDER BY d DESC, sh ASC) = 1
+)
+SELECT nd.source,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       n_boiler_shingles,
+       CAST(n_affected AS BIGINT) AS n_docs_affected,
+       ROUND(n_affected / CAST(n_docs AS DOUBLE), 6) AS pct_affected,
+       top_boiler_shingle
+FROM nd JOIN cnt USING (source) JOIN topn USING (source) JOIN affected USING (source)
+ORDER BY source
+"""

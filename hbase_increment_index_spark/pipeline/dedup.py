@@ -26,6 +26,8 @@ Scale design notes (the part that matters at 100 TB):
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -403,6 +405,11 @@ def minhash_signatures_vectorized(
 # release_cached_intermediates().
 _CACHED_INTERMEDIATES: list[DataFrame] = []
 _MEMO: dict = {"key": None, "plan": None, "result": None}
+# Guards _MEMO/_CACHED_INTERMEDIATES against interleaved release/
+# memoize from concurrent threads sharing one SparkSession (e.g. a
+# thread releasing frames another thread just persisted). RLock so the
+# guarded build path may call release_cached_intermediates itself.
+_MEMO_LOCK = threading.RLock()
 
 
 def register_cached_intermediate(df: DataFrame) -> DataFrame:
@@ -412,7 +419,8 @@ def register_cached_intermediate(df: DataFrame) -> DataFrame:
     operators outside this module that pin a signature/banded frame
     consumed by several plan branches."""
     df = df.persist()
-    _CACHED_INTERMEDIATES.append(df)
+    with _MEMO_LOCK:
+        _CACHED_INTERMEDIATES.append(df)
     return df
 
 
@@ -422,9 +430,10 @@ def release_cached_intermediates() -> None:
     any time: persist is a performance hint, so a pair frame still
     being consumed is simply recomputed from lineage (correctness is
     unaffected)."""
-    _MEMO.update(key=None, plan=None, result=None)
-    while _CACHED_INTERMEDIATES:
-        _CACHED_INTERMEDIATES.pop().unpersist()
+    with _MEMO_LOCK:
+        _MEMO.update(key=None, plan=None, result=None)
+        while _CACHED_INTERMEDIATES:
+            _CACHED_INTERMEDIATES.pop().unpersist()
 
 
 def minhash_lsh_pairs(
@@ -455,6 +464,15 @@ def minhash_lsh_pairs(
     :func:`release_cached_intermediates`. Holding two different LSH
     pair frames live at once is still correct, the earlier one just
     recomputes from lineage.
+
+    Memo caveat — in-place data mutation: the memo keys on the ANALYZED
+    PLAN (sameResult), not the files behind it. If the input path's
+    files are rewritten in place between identical calls (e.g. by this
+    library's own copy-on-write sinks), the plan still compares equal
+    and the memo serves pairs computed over the OLD files. Call
+    :func:`release_cached_intermediates` after mutating a source a
+    live LSH memo was built from (the COW sinks' refreshByPath
+    invalidates Spark's file index, not this memo).
 
     ``impl``: 'pandas' (default) computes signatures with the numpy
     kernel — one (num_perm × |shingles|) broadcasted modular-multiply
@@ -514,18 +532,19 @@ def minhash_lsh_pairs(
         id_col, text_col, num_perm, bands, shingle_n, threshold, impl,
         hash_fn, max_bucket_docs,
     )
-    if _MEMO["key"] == params_key and _MEMO["plan"] is not None:
-        try:
-            same = df._jdf.queryExecution().analyzed().sameResult(_MEMO["plan"])
-            live = any(
-                f.storageLevel.useMemory or f.storageLevel.useDisk
-                for f in _CACHED_INTERMEDIATES
-            )
-        except Exception:  # noqa: BLE001 — plan comparison is best-effort
-            same = live = False
-        if same and live:
-            return _MEMO["result"]
-    release_cached_intermediates()
+    with _MEMO_LOCK:
+        if _MEMO["key"] == params_key and _MEMO["plan"] is not None:
+            try:
+                same = df._jdf.queryExecution().analyzed().sameResult(_MEMO["plan"])
+                live = any(
+                    f.storageLevel.useMemory or f.storageLevel.useDisk
+                    for f in _CACHED_INTERMEDIATES
+                )
+            except Exception:  # noqa: BLE001 — plan comparison is best-effort
+                same = live = False
+            if same and live:
+                return _MEMO["result"]
+        release_cached_intermediates()
     r = num_perm // bands
 
     # staged: shingles → hashed shingles → signature, each materialized
@@ -565,7 +584,8 @@ def minhash_lsh_pairs(
         ).persist()
     else:
         base = pre.withColumn("sig", minhash_signature_from_hashes("hs", num_perm)).persist()
-    _CACHED_INTERMEDIATES.append(base)
+    with _MEMO_LOCK:
+        _CACHED_INTERMEDIATES.append(base)
 
     banded = base.select(
         "doc",
@@ -587,7 +607,8 @@ def minhash_lsh_pairs(
     # intermediate a deployment checkpoints to a table between the
     # signature and candidate stages
     banded = banded.persist()
-    _CACHED_INTERMEDIATES.append(banded)
+    with _MEMO_LOCK:
+        _CACHED_INTERMEDIATES.append(banded)
 
     # Size-adaptive skew guard — the same judgment-by-measurement
     # pattern as connected_components' driver_threshold: ONE tiny agg
@@ -623,7 +644,8 @@ def minhash_lsh_pairs(
         # the cap, never n².
         w_n = Window.partitionBy("band", "bh")
         b2 = banded.withColumn("_n", F.count(F.lit(1)).over(w_n)).persist()
-        _CACHED_INTERMEDIATES.append(b2)
+        with _MEMO_LOCK:
+            _CACHED_INTERMEDIATES.append(b2)
         normal = b2.filter(F.col("_n") <= max_bucket_docs).select(
             "doc", "band", "bh"
         )
@@ -673,9 +695,10 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    _MEMO.update(
-        key=params_key, plan=df._jdf.queryExecution().analyzed(), result=verified
-    )
+    with _MEMO_LOCK:
+        _MEMO.update(
+            key=params_key, plan=df._jdf.queryExecution().analyzed(), result=verified
+        )
     return verified
 
 

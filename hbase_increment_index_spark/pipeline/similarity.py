@@ -892,7 +892,15 @@ def mmr_select(
     import numpy as np
     import pandas as pd
 
+    # hoisted so every pick uses the SAME double as an oracle that
+    # interpolates repr(1.0 - lam) into its SQL (1.0 - 0.7 is
+    # 0.30000000000000004, not the 0.3 literal) — bit-identical scores
+    mu = 1.0 - lam
+    out_cols = ["rank", id_col, rel_col, "score"]
+
     def _greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:  # empty candidate pool: np.stack would raise
+            return pd.DataFrame(columns=out_cols)
         pdf = pdf.sort_values([rel_col, id_col], ascending=[False, True]).reset_index(
             drop=True
         )
@@ -902,7 +910,10 @@ def mmr_select(
         for d in range(dim):  # strict left-fold accumulation per pair
             dots += np.outer(v[:, d], v[:, d])
         norms = np.sqrt(np.diag(dots))
-        sims = np.round(dots / np.outer(norms, norms), 6)
+        # zero-norm vectors would yield NaN sims that poison every
+        # argmax after them; define sim-to-zero-vector as 0 instead
+        safe = np.where(norms == 0.0, 1.0, norms)
+        sims = np.round(dots / np.outer(safe, safe), 6)
         rel = pdf[rel_col].to_numpy()
         ids = pdf[id_col].to_numpy()
         chosen = [0]  # row 0 is max rel, tie already broken by the sort
@@ -912,14 +923,14 @@ def mmr_select(
             best_i, best_key = None, None
             for i in remaining:
                 max_sim = sims[i, chosen].max()
-                score = round(lam * rel[i] - (1.0 - lam) * max_sim, 6)
+                score = round(lam * rel[i] - mu * max_sim, 6)
                 key = (-score, ids[i])
                 if best_key is None or key < best_key:
                     best_i, best_key = i, key
             chosen.append(best_i)
             out.append((len(out) + 1, ids[best_i], rel[best_i], -best_key[0]))
             remaining.remove(best_i)
-        return pd.DataFrame(out, columns=["rank", id_col, rel_col, "score"])
+        return pd.DataFrame(out, columns=out_cols)
 
     return (
         candidates.withColumn("_g", F.lit(1))

@@ -2212,10 +2212,18 @@ def e18_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rel").desc(), F.col("vec_id").asc())
         .limit(32)
     )
-    return mmr_select(cand, "vec_id", "e", "rel", k=10, lam=0.7).orderBy("rank")
+    return mmr_select(cand, "vec_id", "e", "rel", k=10, lam=_E18_LAM).orderBy("rank")
 
 
-E18_SQL = """
+# One constant feeds BOTH engines: mmr_select weights redundancy by
+# mu = 1.0 - lam (= 0.30000000000000004 for lam 0.7, NOT the 0.3
+# literal 0.2999999999999999889), and the oracle below interpolates
+# the exact same doubles via repr — a score landing within ~5e-17 of
+# a round-to-6 boundary stays bit-identical across engines.
+_E18_LAM = 0.7
+_E18_MU = 1.0 - _E18_LAM
+
+E18_SQL = f"""
 WITH RECURSIVE
 v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
 q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
@@ -2238,7 +2246,7 @@ sel AS (
   SELECT rk + 1, pick.vec_id, pick.rel, pick.score, list_append(chosen, pick.vec_id)
   FROM sel, LATERAL (
     SELECT c.vec_id, c.rel,
-           ROUND(0.7 * c.rel - 0.3 * MAX(s.sim), 6) AS score
+           ROUND({_E18_LAM!r} * c.rel - {_E18_MU!r} * MAX(s.sim), 6) AS score
     FROM cand c JOIN sims s ON s.ia = c.vec_id AND list_contains(sel.chosen, s.ib)
     WHERE NOT list_contains(sel.chosen, c.vec_id)
     GROUP BY c.vec_id, c.rel

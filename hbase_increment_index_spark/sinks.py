@@ -142,6 +142,14 @@ def merge_upsert_parquet(
         base = delta if delete_col is None else delta.filter(
             ~F.coalesce(F.col(delete_col), F.lit(False))
         ).drop(delete_col)
+        # a data-less bootstrap (empty delta, or a first batch whose
+        # keys are ALL tombstoned) would write only _SUCCESS — then
+        # merged_table_exists() says true but read fails schema
+        # inference, permanently wedging the table. Keep the table
+        # absent until real rows arrive; the one-job probe runs only
+        # on the (once-per-table) bootstrap path.
+        if base.isEmpty():
+            return
         base.withColumn("kb", kb).write.partitionBy("kb").mode(
             "overwrite"
         ).parquet(path)

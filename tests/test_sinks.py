@@ -207,3 +207,88 @@ def test_merge_emptied_bucket_drops_stale_files(spark, tmp_path):
     merge_upsert_parquet(spark, path, delta, "row_key", n_buckets=4, delete_col="is_delete")
     got = {r["row_key"] for r in read_merged_table(spark, path).collect()}
     assert got == {r["row_key"] for r in rows if r["kb"] != target}
+
+
+def test_merge_bootstrap_all_deletes_keeps_table_absent(spark, tmp_path):
+    """A first batch whose keys are ALL tombstoned must not write a
+    data-less table (only _SUCCESS, no parquet) — merged_table_exists
+    would then say true while reads fail schema inference, permanently
+    wedging the table. The bootstrap skips the write instead; the
+    table stays absent until real rows arrive."""
+    from hbase_increment_index_spark.sinks import (
+        merge_upsert_parquet,
+        merged_table_exists,
+        read_merged_table,
+    )
+
+    path = str(tmp_path / "wedge")
+    all_deletes = spark.createDataFrame(
+        [("r1", None, True), ("r2", None, True)],
+        "row_key string, value string, is_delete boolean",
+    )
+    merge_upsert_parquet(spark, path, all_deletes, "row_key", n_buckets=4,
+                         delete_col="is_delete")
+    assert not merged_table_exists(spark, path)
+    # and a later real bootstrap + merge works normally on the same path
+    merge_upsert_parquet(spark, path, _merge_fixture(spark), "row_key", n_buckets=4)
+    delta = spark.createDataFrame([("r1", "X", False)],
+                                  "row_key string, value string, is_delete boolean")
+    merge_upsert_parquet(spark, path, delta, "row_key", n_buckets=4,
+                         delete_col="is_delete")
+    got = dict((r["row_key"], r["value"])
+               for r in read_merged_table(spark, path).collect())
+    assert got["r1"] == "X" and len(got) == 40
+
+
+def test_cow_microbatch_order_convergence(spark, tmp_path):
+    """Interleaving property for the COW micro-batch fold: folding
+    batches A then B must converge to the same table CONTENT as B then
+    A, because conflict resolution inside merge_state is by cell
+    (ts, seq) — last-writer-wins per key by the seq tiebreak — never by
+    arrival order. Both the compacted cell state and the derived
+    serving view must agree."""
+    import datetime as dt
+
+    from hbase_increment_index_spark.sinks import read_merged_table
+    from hbase_increment_index_spark.streaming.cdc_stream import (
+        CELL_LOG_DDL,
+        merge_microbatch_cow,
+    )
+
+    t = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def cells(rows):
+        return spark.createDataFrame(rows, CELL_LOG_DDL)
+
+    # k1: same ts, seq decides (B wins); k2: only in A; k3: A updates,
+    # B deletes at higher seq (delete wins); k4: only in B
+    batch_a = cells([
+        ("put", "k1", "cf", "q", "a1", t, 1),
+        ("put", "k2", "cf", "q", "a2", t, 2),
+        ("put", "k3", "cf", "q", "a3", t, 3),
+    ])
+    batch_b = cells([
+        ("put", "k1", "cf", "q", "b1", t, 9),
+        ("delete", "k3", None, None, None, t, 8),
+        ("put", "k4", "cf", "q", "b4", t, 4),
+    ])
+
+    def fold(order, sub):
+        base = str(tmp_path / sub)
+        for i, b in enumerate(order):
+            merge_microbatch_cow(spark, b, i, base, ["q"], n_buckets=4)
+        state = sorted(
+            map(tuple, read_merged_table(spark, base + "_state_cow").collect())
+        )
+        docs = sorted(
+            map(tuple, read_merged_table(spark, base + "_docs_cow").collect())
+        )
+        return state, docs
+
+    state_ab, docs_ab = fold([batch_a, batch_b], "ab")
+    state_ba, docs_ba = fold([batch_b, batch_a], "ba")
+    assert state_ab == state_ba
+    assert docs_ab == docs_ba
+    # last-writer-wins by seq: k1=b1 (seq 9 > 1), k3 deleted (seq 8 > 3)
+    served = {r[0]: r[1] for r in docs_ab}
+    assert served == {"k1": "b1", "k2": "a2", "k4": "b4"}

@@ -1344,6 +1344,81 @@ FROM (
 """
 
 
+def q61f_stream_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``timeseries(...)`` — the /stream time-bucket source (solrj 9.x,
+    reference pom.xml:22) with GAP SEMANTICS: monthly revenue of
+    big-ticket (>= 498k) orders over two years, where months with no
+    qualifying order are still emitted (count 0, null sum) — the
+    property that distinguishes timeseries from a plain date facet
+    (at the driver's sf0.01, 10 of the 24 buckets are filled and 14
+    are gap-filled, so BOTH legs are hash-verified).
+    Plan: pushed-filter scan → one hash agg on the date_trunc bucket →
+    broadcast outer join against the generated 24-row bucket spine."""
+    return _stream(
+        spark, sf_dir,
+        'timeseries(orders, fq="o_totalprice:[498000 TO *]", '
+        'field="o_orderdate", start="1996-01-01", end="1998-01-01", '
+        'gap="+1MONTH", sum(o_totalprice), count(*))',
+    )
+
+
+Q61F_SQL = """
+WITH spine AS (
+  SELECT strftime(CAST(b AS DATE), '%Y-%m') AS bucket
+  FROM generate_series(DATE '1996-01-01', DATE '1997-12-01',
+                       INTERVAL 1 MONTH) AS g(b)
+),
+aggs AS (
+  SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS bucket,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE) AS sum_o_totalprice,
+         COUNT(*) AS count_star
+  FROM orders
+  WHERE o_totalprice >= 498000
+    AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+  GROUP BY 1
+)
+SELECT s.bucket, a.sum_o_totalprice,
+       CAST(COALESCE(a.count_star, 0) AS BIGINT) AS count_star
+FROM spine s LEFT JOIN aggs a USING (bucket)
+ORDER BY s.bucket ASC
+"""
+
+
+def q61g_stream_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``nodes(nodes(...))`` — the /stream graph expression: two nested
+    breadth-first hops over the orders graph (custkey -> orderkey edges,
+    the q56 {{!graph}} fixture expressed in the stream language).
+    Hop 1: from roots o_orderkey < 20, gather the custkeys of orders
+    whose orderkey matches a root's custkey; hop 2 walks those node
+    values again. Each hop is a broadcast frontier semi-join — work is
+    frontier-proportional, the corpus never shuffles."""
+    return _stream(
+        spark, sf_dir,
+        'sort(nodes(orders, '
+        'nodes(orders, search(orders, fq="o_orderkey:[0 TO 19]", '
+        'fl="o_orderkey,o_custkey"), '
+        'walk="o_custkey->o_orderkey", gather="o_custkey"), '
+        'walk="node->o_orderkey", gather="o_custkey"), by="node asc")',
+    )
+
+
+Q61G_SQL = """
+WITH hop1 AS (
+  SELECT DISTINCT o.o_custkey AS node
+  FROM orders o
+  WHERE o.o_orderkey IN (
+    SELECT o_custkey FROM orders WHERE o_orderkey < 20
+  )
+),
+hop2 AS (
+  SELECT DISTINCT o.o_custkey AS node
+  FROM orders o
+  WHERE o.o_orderkey IN (SELECT node FROM hop1)
+)
+SELECT node FROM hop2 ORDER BY node ASC
+"""
+
+
 def q65_sql_handler(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Solr /sql handler (solrj 9.x exposes a SQL interface compiled
     onto streaming expressions): the engine's native answer is Spark

@@ -48,6 +48,12 @@ Supported stream sources/decorators (Solr names):
     fetch(table, stream, on="lk=rk", fl="extra1,extra2")
     having(stream, bool)   with bool := eq|gt|lt|gteq|lteq(field, v)
                                        | and(b1,b2) | or(b1,b2) | not(b)
+    timeseries(table, q="...", field="dt", start="...", end="...",
+               gap="+1MONTH", metrics...)   # gap-filled date buckets
+    nodes(table, stream, walk="src->dst", gather="g")  # one graph hop;
+                                       # nest nodes() calls for multi-hop
+    update(dest, stream, key="idField")  # write-back decorator: COW
+                                       # MERGE into the dest collection
 
 Metric aliases are deterministic (`sum(x)` → column ``sum_x``,
 `count(*)` → ``count_star``), so an oracle SQL twin can name the same
@@ -262,9 +268,19 @@ class StreamCompiler:
     (the schema's text vs string distinction); None = the default
     heuristic (a column literally named 'text')."""
 
-    def __init__(self, tables: dict[str, DataFrame], text_fields: set[str] | None = None):
+    def __init__(
+        self,
+        tables: dict[str, DataFrame],
+        text_fields: set[str] | None = None,
+        sink_paths: dict[str, str] | None = None,
+    ):
         self.tables = tables
         self.text_fields = text_fields
+        # destinations the update() decorator may write to: collection
+        # name → parquet path of a sinks.merge_upsert_parquet table.
+        # Explicit opt-in — a query expression can never write anywhere
+        # the caller didn't name.
+        self.sink_paths = sink_paths or {}
 
     def compile(self, text: str) -> DataFrame:
         return self._eval(parse(text))
@@ -468,14 +484,155 @@ class StreamCompiler:
         df = self._eval(streams[0])
         return df.filter(_bool_col(streams[1]))
 
+    # Solr timeseries() gap → (date_trunc unit, bucket label format).
+    # Calendar gaps only: a timeseries bucket IS the calendar unit when
+    # start is unit-aligned, so the bucket expression stays a sargable
+    # single-column projection (one hash agg, no range join).
+    _GAPS = {
+        "+1YEAR": ("year", "yyyy", "%Y"),
+        "+1MONTH": ("month", "yyyy-MM", "%Y-%m"),
+        "+1DAY": ("day", "yyyy-MM-dd", "%Y-%m-%d"),
+        "+1HOUR": ("hour", "yyyy-MM-dd HH", "%Y-%m-%d %H"),
+    }
+
+    def _op_timeseries(self, call: Call) -> DataFrame:
+        """Solr ``timeseries()`` stream source (solrj 9.x /stream,
+        reference pom.xml:22): date-bucketed metrics over [start, end)
+        with GAP SEMANTICS — every bucket in the range is emitted, and
+        a bucket with no matching rows carries count 0 / null metrics
+        (Solr's timeseries emits the full bucket lattice, unlike
+        facet's matching-buckets-only).
+
+        Plan: one hash aggregate over the bucket projection (partial +
+        final, filter and projection pushed into the scan); the bucket
+        spine is a generated ≤|range/gap|-row frame, so the gap fill is
+        a broadcast outer join against a tiny dimension — corpus is
+        scanned exactly once regardless of range width."""
+        df = self._source(call)
+        fld = self._param(call, "field")
+        start = self._param(call, "start")
+        end = self._param(call, "end")
+        gap = call.params.get("gap", "+1MONTH")
+        if gap not in self._GAPS:
+            raise StreamExprError(
+                f"unsupported gap {gap!r}; expected one of {sorted(self._GAPS)}"
+            )
+        unit, fmt, _ = self._GAPS[gap]
+        metric_calls = [s for s in call.streams if s.name in _METRIC_FNS]
+        if not metric_calls:
+            raise StreamExprError("timeseries needs at least one metric")
+        filtered = df.filter(
+            (F.col(fld) >= F.lit(start)) & (F.col(fld) < F.lit(end))
+        )
+        bucket = F.date_format(F.date_trunc(unit, F.col(fld)), fmt).alias("bucket")
+        aggs = filtered.groupBy(bucket).agg(*[_metric_col(m, df) for m in metric_calls])
+        # gap spine: all bucket starts in [start, end) — hour gaps need
+        # a timestamp sequence, calendar gaps walk dates
+        cast_t = "timestamp" if unit == "hour" else "date"
+        spine = (
+            df.sparkSession.range(1)
+            .select(
+                F.explode(
+                    F.sequence(
+                        F.lit(start).cast(cast_t),
+                        F.lit(end).cast(cast_t),
+                        F.expr(f"INTERVAL 1 {unit.upper()}"),
+                    )
+                ).alias("_b")
+            )
+            .filter(F.col("_b") < F.lit(end).cast(cast_t))
+            .select(F.date_format("_b", fmt).alias("bucket"))
+        )
+        out = spine.join(aggs, "bucket", "left_outer")
+        # empty buckets: counts are 0, value metrics stay null
+        fills = [
+            F.coalesce(
+                F.col(alias), F.lit(0).cast("long")
+            ).alias(alias) if m.name == "count" else F.col(alias)
+            for m in metric_calls
+            for alias in [_metric_alias(m.name, (m.fields or ["*"])[0])]
+        ]
+        return out.select("bucket", *fills).orderBy(F.col("bucket").asc())
+
+    def _op_nodes(self, call: Call) -> DataFrame:
+        """Solr ``nodes()`` graph streaming expression (solrj 9.x
+        /stream graph traversal): one breadth-first hop — take the
+        ``walk`` source-field values of the incoming tuples, match them
+        against the walk target field in ``collection``, and emit the
+        DISTINCT ``gather``-field values of the matched docs as
+        ``node``. Multi-hop traversals nest nodes() calls, exactly the
+        Solr composition.
+
+        Plan per hop: the frontier key set (distinct, small by the BFS
+        contract) broadcasts into a hash join against the collection —
+        the same frontier-proportional shape as search.graph
+        (graph_traverse); the corpus is never shuffled."""
+        if not call.fields:
+            raise StreamExprError("nodes needs a collection name")
+        table = call.fields[0]
+        if table not in self.tables:
+            raise StreamExprError(f"unknown collection {table!r}")
+        if len(call.streams) != 1:
+            raise StreamExprError("nodes takes exactly one stream")
+        inner = self._eval(call.streams[0])
+        walk = self._param(call, "walk")
+        if "->" not in walk:
+            raise StreamExprError(f"walk must be 'src->dst', got {walk!r}")
+        src, dst = (s.strip() for s in walk.split("->", 1))
+        gather = self._param(call, "gather")
+        df = self.tables[table]
+        keys = inner.select(F.col(src).alias("_v")).distinct()
+        matched = df.join(F.broadcast(keys), df[dst] == F.col("_v")).drop("_v")
+        return matched.select(F.col(gather).alias("node")).distinct()
+
+    def _op_update(self, call: Call) -> DataFrame:
+        """Solr ``update()`` write-back decorator: stream tuples are
+        indexed into the destination collection. Here the destination
+        is a :func:`sinks.merge_upsert_parquet` copy-on-write table —
+        the stream language closes the loop onto the same MERGE sink
+        the CDC path uses (S6/S7), so read-your-writes holds on the
+        served view and untouched bucket files stay byte-identical.
+        Destinations must be pre-registered via ``sink_paths``.
+
+        Emits the one-row summary tuple Solr's update stream emits:
+        ``batchIndexed`` (rows written). The count is taken from the
+        (already batch-sized) stream before the merge."""
+        from hbase_increment_index_spark.sinks import merge_upsert_parquet
+
+        if not call.fields:
+            raise StreamExprError("update needs a destination collection name")
+        dest = call.fields[0]
+        if dest not in self.sink_paths:
+            raise StreamExprError(
+                f"destination {dest!r} not registered in sink_paths"
+            )
+        df = self._one_stream(call)
+        key = self._param(call, "key")
+        n = df.count()
+        merge_upsert_parquet(
+            df.sparkSession,
+            self.sink_paths[dest],
+            df,
+            key,
+            n_buckets=int(call.params.get("buckets", 64)),
+        )
+        return df.sparkSession.range(1).select(
+            F.lit(n).cast("long").alias("batchIndexed")
+        )
+
 
 def run_stream_expr(
     spark: SparkSession,
     tables: dict[str, DataFrame],
     expression: str,
     text_fields: set[str] | None = None,
+    sink_paths: dict[str, str] | None = None,
 ) -> DataFrame:
     """Parse + compile a streaming expression against the catalog.
     ``text_fields`` — columns with token-match semantics for bare ``q``
-    values (None = the 'text'-column heuristic)."""
-    return StreamCompiler(tables, text_fields=text_fields).compile(expression)
+    values (None = the 'text'-column heuristic). ``sink_paths`` —
+    collections the update() decorator may write back to (name →
+    merge_upsert_parquet table path)."""
+    return StreamCompiler(
+        tables, text_fields=text_fields, sink_paths=sink_paths
+    ).compile(expression)

@@ -215,3 +215,98 @@ def test_unique_over_all_columns(tables, spark):
     rows = [r.c_mktsegment for r in got.collect()]
     assert sorted(rows) == sorted(set(rows))
     assert len(rows) == tables["customer"].select("c_mktsegment").distinct().count()
+
+
+# ------------------------------------------- r9 decorators
+
+
+def test_timeseries_gap_fill_and_metrics(spark, tables):
+    """Every bucket in [start, end) is emitted; empty buckets carry
+    count 0 and null sums; filled buckets match the plain-DataFrame
+    aggregate."""
+    out = run_stream_expr(
+        spark, tables,
+        'timeseries(orders, fq="o_totalprice:[498000 TO *]", '
+        'field="o_orderdate", start="1996-01-01", end="1998-01-01", '
+        'gap="+1MONTH", sum(o_totalprice), count(*))',
+    ).collect()
+    assert [r["bucket"] for r in out] == [
+        f"{y}-{m:02d}" for y in (1996, 1997) for m in range(1, 13)
+    ]
+    empty = [r for r in out if r["count_star"] == 0]
+    filled = [r for r in out if r["count_star"] > 0]
+    assert empty and filled  # gap semantics actually exercised
+    assert all(r["sum_o_totalprice"] is None for r in empty)
+    want = (
+        tables["orders"]
+        .filter(
+            (F.col("o_totalprice") >= 498000)
+            & (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1998-01-01")
+        )
+        .count()
+    )
+    assert sum(r["count_star"] for r in filled) == want
+
+
+def test_timeseries_rejects_unknown_gap(spark, tables):
+    with pytest.raises(StreamExprError):
+        run_stream_expr(
+            spark, tables,
+            'timeseries(orders, field="o_orderdate", start="1996-01-01", '
+            'end="1997-01-01", gap="+7MINUTES", count(*))',
+        )
+
+
+def test_nodes_single_hop_matches_manual_join(spark, tables):
+    out = run_stream_expr(
+        spark, tables,
+        'nodes(orders, search(orders, fq="o_orderkey:[0 TO 19]", '
+        'fl="o_orderkey,o_custkey"), walk="o_custkey->o_orderkey", '
+        'gather="o_custkey")',
+    )
+    orders = tables["orders"]
+    roots = orders.filter(F.col("o_orderkey") < 20).select("o_custkey").distinct()
+    want = {
+        r["o_custkey"]
+        for r in orders.join(
+            roots.withColumnRenamed("o_custkey", "_k"),
+            orders["o_orderkey"] == F.col("_k"),
+        ).select("o_custkey").distinct().collect()
+    }
+    assert {r["node"] for r in out.collect()} == want
+
+
+def test_update_decorator_merges_into_cow_sink(spark, tables, tmp_path):
+    """update() closes the stream language onto the COW MERGE sink:
+    read-your-writes on the served view, upsert on re-run."""
+    from hbase_increment_index_spark.sinks import read_merged_table
+
+    path = str(tmp_path / "dest")
+    sinks = {"nation_mirror": path}
+    summary = run_stream_expr(
+        spark, tables,
+        'update(nation_mirror, search(nation, fl="n_nationkey,n_name"), '
+        'key="n_nationkey", buckets=4)',
+        sink_paths=sinks,
+    ).collect()
+    assert summary[0]["batchIndexed"] == 25
+    served = read_merged_table(spark, path)
+    assert served.count() == 25
+    # second update over a filtered slice upserts, never duplicates
+    run_stream_expr(
+        spark, tables,
+        'update(nation_mirror, select(search(nation, '
+        'fq="n_nationkey:[0 TO 4]", fl="n_nationkey,n_name"), '
+        '"n_nationkey", "n_name"), key="n_nationkey", buckets=4)',
+        sink_paths=sinks,
+    ).collect()
+    assert read_merged_table(spark, path).count() == 25
+
+
+def test_update_requires_registered_destination(spark, tables):
+    with pytest.raises(StreamExprError):
+        run_stream_expr(
+            spark, tables,
+            'update(nowhere, search(nation, fl="n_nationkey"), key="n_nationkey")',
+        )

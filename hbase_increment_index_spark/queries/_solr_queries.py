@@ -513,6 +513,35 @@ FROM counts WHERE bucket NOT IN ('before', 'after')
 """
 
 
+def q11e_facet_range_include(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr ``facet.range.include=upper,outer`` boundary semantics over
+    l_quantity (integer-valued, so boundary hits are frequent): gap
+    buckets become (lb, ub] instead of [lb, ub), and under ``outer``
+    the end point 40 counts in BOTH the last bucket and ``after`` —
+    the double-count case a single CASE label cannot express
+    (facets.facet_range_include: per-row label array → explode → one
+    hash agg, still a single corpus scan)."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = facets.facet_range_include(
+        li, "l_quantity", 10.0, 40.0, 10.0, include=("upper", "outer")
+    )
+    return out.orderBy(F.col("bucket").asc())
+
+
+Q11E_SQL = """
+WITH li AS (SELECT l_quantity AS v FROM lineitem)
+SELECT * FROM (
+  SELECT '10' AS bucket, count(*) AS n FROM li WHERE v > 10 AND v <= 20
+  UNION ALL SELECT '20', count(*) FROM li WHERE v > 20 AND v <= 30
+  UNION ALL SELECT '30', count(*) FROM li WHERE v > 30 AND v <= 40
+  UNION ALL SELECT 'before', count(*) FROM li WHERE v <= 10
+  UNION ALL SELECT 'after', count(*) FROM li WHERE v >= 40
+  UNION ALL SELECT 'between', count(*) FROM li WHERE v > 10 AND v <= 40
+)
+ORDER BY bucket ASC
+"""
+
+
 def q11b_facet_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _t(spark, sf_dir, "events")
     out = facets.facet_time(events, "ts", unit="day", bucket_alias="bucket", count_alias="n")
@@ -1983,6 +2012,55 @@ SELECT doc_id, CAST(pos AS BIGINT) AS pos,
        array_to_string(list_slice(t, greatest(pos - 3, 1), least(pos + 3, len(t))), ' ') AS snippet
 FROM hit
 WHERE pos IS NOT NULL AND pos > 0
+"""
+
+
+def q30b_multi_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr multi-fragment highlighting — ``hl.snippets=3`` +
+    ``hl.tag.pre/post``: one row per occurrence of the term (document
+    order, capped at 3), hit token wrapped in <em> tags
+    (search.highlight.snippets_multi). Pure per-row projection + a
+    capped posexplode; zero shuffle."""
+    from hbase_increment_index_spark.search.highlight import snippets_multi
+
+    docs = _t(spark, sf_dir, "documents")
+    out = snippets_multi(
+        docs, "doc_id", "text", term="data", window=3, max_snippets=3
+    )
+    return out.select(
+        "doc_id",
+        F.col("snippet_no").cast("long").alias("snippet_no"),
+        F.col("pos").cast("long").alias("pos"),
+        "snippet",
+    ).orderBy("doc_id", "snippet_no")
+
+
+Q30B_SQL = f"""
+WITH p AS (
+  SELECT doc_id, {_SQL_TOKS.format(c='text')} AS t FROM documents
+),
+hits AS (
+  SELECT doc_id, t,
+         list_slice(
+           list_filter(list_transform(t, (x, i) -> CASE WHEN x = 'data' THEN i END),
+                       q -> q IS NOT NULL),
+           1, 3) AS hs
+  FROM p
+),
+fr AS (
+  SELECT doc_id, t, unnest(hs) AS pos,
+         unnest(generate_series(1, len(hs))) AS snippet_no
+  FROM hits WHERE len(hs) > 0
+)
+SELECT doc_id, CAST(snippet_no AS BIGINT) AS snippet_no, CAST(pos AS BIGINT) AS pos,
+       array_to_string(
+         list_transform(
+           list_slice(t, greatest(pos - 3, 1), least(pos + 3, len(t))),
+           (x, j) -> CASE WHEN greatest(pos - 3, 1) + j - 1 = pos
+                     THEN '<em>' || x || '</em>' ELSE x END),
+         ' ') AS snippet
+FROM fr
+ORDER BY doc_id, snippet_no
 """
 
 

@@ -123,6 +123,84 @@ def facet_range_other(
     return counts.unionByName(between)
 
 
+def facet_range_include(
+    df: DataFrame,
+    field: str,
+    start: float,
+    end: float,
+    gap: float,
+    include: tuple[str, ...] = ("lower",),
+    bucket_alias: str = "bucket",
+    count_alias: str = "n",
+) -> DataFrame:
+    """Q11 (boundary form) — ``facet.range.include`` semantics
+    (lower/upper/edge/outer/all, Solr range-facet boundary rules):
+
+    - ``lower``: every gap bucket includes its lower bound (default);
+    - ``upper``: every gap bucket includes its upper bound;
+    - ``edge``: the FIRST bucket includes its lower bound and the LAST
+      its upper bound, regardless of lower/upper;
+    - ``outer``: ``before``/``after`` include the start/end boundary
+      points even when a gap bucket also counts them;
+    - ``all``: all four.
+
+    Solr explicitly allows a boundary value to count in TWO buckets
+    (e.g. lower+upper, or outer next to lower), so a single CASE label
+    cannot express this. Instead each row projects the ARRAY of labels
+    it contributes to (bucket, before/after, between — almost always 1
+    or 2 entries), which explodes into one hash aggregate: still one
+    corpus scan, label fan-out bounded by 3, map-side combine collapses
+    it. Buckets are labeled by bucket start like facet_range_other.
+    """
+    inc = set(include)
+    if "all" in inc:
+        inc = {"lower", "upper", "edge", "outer"}
+    bad = inc - {"lower", "upper", "edge", "outer"}
+    if bad:
+        raise ValueError(f"unknown facet.range.include values: {sorted(bad)}")
+    nb = int(round((end - start) / gap))
+    if nb <= 0 or nb > 1024:
+        raise ValueError(f"bucket count {nb} out of range (1..1024)")
+    c = F.col(field)
+    integral = float(start).is_integer() and float(gap).is_integer()
+
+    def _label(lb: float) -> str:
+        return str(int(lb)) if integral else str(float(lb))
+
+    conds = []
+    for k in range(nb):
+        lb, ub = start + k * gap, start + (k + 1) * gap
+        lo_inc = "lower" in inc or ("edge" in inc and k == 0)
+        up_inc = "upper" in inc or ("edge" in inc and k == nb - 1)
+        cond = ((c >= lb) if lo_inc else (c > lb)) & (
+            (c <= ub) if up_inc else (c < ub)
+        )
+        conds.append(F.when(cond, F.lit(_label(lb))))
+    # before/after boundary rule: the start (end) point belongs to
+    # before (after) when no gap bucket would otherwise claim it, OR
+    # additionally under `outer` (Solr allows the double count)
+    start_in_ranges = "lower" in inc or "edge" in inc
+    end_in_ranges = "upper" in inc or "edge" in inc
+    before = (c < start) | (
+        (c == start) & F.lit("outer" in inc or not start_in_ranges)
+    )
+    after = (c > end) | ((c == end) & F.lit("outer" in inc or not end_in_ranges))
+    between = ((c >= start) if start_in_ranges else (c > start)) & (
+        (c <= end) if end_in_ranges else (c < end)
+    )
+    conds += [
+        F.when(before, F.lit("before")),
+        F.when(after, F.lit("after")),
+        F.when(between, F.lit("between")),
+    ]
+    labels = F.filter(F.array(*conds), lambda x: x.isNotNull())
+    return (
+        df.select(F.explode(labels).alias(bucket_alias))
+        .groupBy(bucket_alias)
+        .agg(F.count(F.lit(1)).alias(count_alias))
+    )
+
+
 def facet_time(
     df: DataFrame,
     ts_field: str,

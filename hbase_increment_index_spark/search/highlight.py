@@ -112,6 +112,73 @@ def terms_component(
     )
 
 
+def snippets_multi(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    term: str,
+    window: int = 3,
+    max_snippets: int = 3,
+    pre: str = "<em>",
+    post: str = "</em>",
+) -> DataFrame:
+    """Multi-fragment highlighting — Solr ``hl.snippets=N`` with
+    ``hl.tag.pre``/``hl.tag.post``: for documents containing ``term``,
+    one row per occurrence (up to ``max_snippets``, in document order),
+    each a ``window``-token context with the hit token wrapped in the
+    configured tags. The per-row shape every Solr search UI pages.
+
+    Returns (id, snippet_no, pos, snippet): snippet_no is 1-based
+    fragment order, pos the 1-based token position of that hit.
+
+    Plan: a pure per-row projection — tokenize, collect hit positions
+    with an indexed array transform, slice + tag each window — then one
+    posexplode. Zero shuffle, embarrassingly parallel; fragment count
+    per doc is bounded by max_snippets so the explode fan-out is
+    capped."""
+    toks = tokens(text_col)
+    positions = F.slice(
+        F.filter(
+            F.transform(
+                "_toks",
+                lambda x, i: F.when(x == term.lower(), i + 1),
+            ),
+            lambda p: p.isNotNull(),
+        ),
+        1,
+        max_snippets,
+    )
+    staged = (
+        df.select(F.col(id_col), toks.alias("_toks"))
+        .withColumn("_hits", positions)
+        .filter(F.size("_hits") > 0)
+        .select(
+            F.col(id_col),
+            "_toks",
+            F.posexplode("_hits").alias("_i", "pos"),
+        )
+    )
+    start = F.greatest(F.col("pos") - window, F.lit(1))
+    length = F.least(F.col("pos") + window, F.size("_toks")) - start + 1
+    # tag the hit inside the sliced window: element j of the slice is
+    # absolute position start + j, so exactly one element gets wrapped
+    tagged = F.array_join(
+        F.transform(
+            F.slice("_toks", start, length),
+            lambda x, j: F.when(
+                start + j == F.col("pos"), F.concat(F.lit(pre), x, F.lit(post))
+            ).otherwise(x),
+        ),
+        " ",
+    )
+    return staged.select(
+        F.col(id_col),
+        (F.col("_i") + 1).alias("snippet_no"),
+        F.col("pos"),
+        tagged.alias("snippet"),
+    )
+
+
 def snippets(
     df: DataFrame,
     id_col: str,

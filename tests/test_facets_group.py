@@ -204,3 +204,76 @@ def test_merge_rollup_sums_zero_count_drops_key(spark):
     )
     merged = merge_rollup_sums(view, docs, docs.limit(0), F.col("k"), "k", "v")
     assert merged.count() == 0
+
+
+def test_facet_range_include_combos_match_brute_force(spark):
+    """facet.range.include boundary semantics (lower/upper/edge/outer/
+    all) against a literal per-value reimplementation, on a fixture
+    dense in boundary hits."""
+    import itertools
+
+    from hbase_increment_index_spark.search.facets import facet_range_include
+
+    vals = [float(v) for v in range(0, 51)] + [10.0, 20.0, 40.0, 40.0]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    start, end, gap, nb = 10.0, 40.0, 10.0, 3
+
+    def brute(inc):
+        inc = set(inc)
+        if "all" in inc:
+            inc = {"lower", "upper", "edge", "outer"}
+        out: dict[str, int] = {}
+
+        def add(k):
+            out[k] = out.get(k, 0) + 1
+
+        s_in = "lower" in inc or "edge" in inc
+        e_in = "upper" in inc or "edge" in inc
+        for v in vals:
+            for k in range(nb):
+                lb, ub = start + k * gap, start + (k + 1) * gap
+                lo = "lower" in inc or ("edge" in inc and k == 0)
+                up = "upper" in inc or ("edge" in inc and k == nb - 1)
+                if (v >= lb if lo else v > lb) and (v <= ub if up else v < ub):
+                    add(str(int(lb)))
+            if v < start or (v == start and ("outer" in inc or not s_in)):
+                add("before")
+            if v > end or (v == end and ("outer" in inc or not e_in)):
+                add("after")
+            if (v >= start if s_in else v > start) and (v <= end if e_in else v < end):
+                add("between")
+        return out
+
+    combos = [("lower",), ("upper",), ("edge",), ("lower", "upper"),
+              ("upper", "outer"), ("edge", "outer"), ("all",)]
+    for inc in combos:
+        got = {
+            r["bucket"]: r["n"]
+            for r in facet_range_include(df, "v", start, end, gap, include=inc).collect()
+        }
+        assert got == brute(inc), f"include={inc}"
+    # lower+upper double-counts interior boundaries: 20.0 appears in
+    # both the 10 and 20 buckets (Solr-documented behavior)
+    lu = {
+        r["bucket"]: r["n"]
+        for r in facet_range_include(df, "v", start, end, gap,
+                                     include=("lower", "upper")).collect()
+    }
+    only_lower = {
+        r["bucket"]: r["n"]
+        for r in facet_range_include(df, "v", start, end, gap,
+                                     include=("lower",)).collect()
+    }
+    assert lu["10"] == only_lower["10"] + 2  # the two extra 20.0s
+
+
+def test_facet_range_include_rejects_bad_values(spark):
+    import pytest as _pytest
+
+    from hbase_increment_index_spark.search.facets import facet_range_include
+
+    df = spark.createDataFrame([(1.0,)], "v double")
+    with _pytest.raises(ValueError):
+        facet_range_include(df, "v", 0.0, 10.0, 1.0, include=("sideways",))
+    with _pytest.raises(ValueError):
+        facet_range_include(df, "v", 0.0, 0.0, 1.0)

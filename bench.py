@@ -216,6 +216,36 @@ def main() -> None:
             pp, "data", "spark", "doc_id", distance=4
         ),
     }
+    # --- incremental dedup signature store, bootstrap/serve split: the
+    # registry's e2o_signature_store rebuilds the v1 store in-plan (its
+    # oracle proves merge ≡ rebuild), so its bench row prices the
+    # BOOTSTRAP. Production serves from the persisted store: build it
+    # once (one-time cost below), then per batch recompute signatures
+    # for the delta alone and anti-join the touched keys — the ∝|delta|
+    # merge this row prices.
+    from hbase_increment_index_spark.pipeline.dedup import minhash_digest_store
+
+    m7 = _F.col("doc_id") % 7
+    t0 = time.time()
+    minhash_digest_store(docs.filter(m7 != 0)).write.mode("overwrite").parquet(
+        f"{idx_dir}/sigstore"
+    )
+    sigstore_build_sec = round(time.time() - t0, 3)
+    print(
+        f"# signature store build+save (one-time): {sigstore_build_sec:.3f}s",
+        file=sys.stderr,
+    )
+    sig_store = spark.read.parquet(f"{idx_dir}/sigstore")
+
+    def _sig_store_serve():
+        updates = docs.filter(m7 == 3).withColumn("text", _F.substring("text", 1, 40))
+        inserts = docs.filter(m7 == 0)
+        touched = docs.filter(m7.isin(3, 5)).select("doc_id")
+        return sig_store.join(
+            _F.broadcast(touched), "doc_id", "left_anti"
+        ).unionByName(minhash_digest_store(inserts.unionByName(updates)))
+
+    served["e2o_signature_store_served"] = _sig_store_serve
     for name, mk in served.items():
         runs, n = [], 0
         for _ in range(5):
@@ -229,32 +259,60 @@ def main() -> None:
     shutil.rmtree(idx_dir, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
-    # Raw per-query samples go to a SIDE artifact, not the stdout JSON
-    # line: the driver captures only the tail (~4 KB) of bench output
-    # and parses the final line, and inlining 5 samples x 54 queries in
-    # round 7 pushed the line past that buffer — its start was truncated
-    # and BENCH_r07.json recorded `parsed: null`. bench_samples.json
-    # keeps variance questions answerable from an artifact while the
-    # stdout line stays well under the tail buffer.
+    # Raw per-query samples AND the full per-query minima go to a SIDE
+    # artifact, not the stdout JSON line: the driver captures only the
+    # LAST 2000 CHARS of bench output and parses the final line.
+    # Round 7 (5 samples x 54 queries inline) and round 8 (70 full-
+    # precision timings, ~2060 chars) both overflowed that buffer —
+    # the line's START was cut and BENCH_r{7,8}.json recorded
+    # `parsed: null`. The stdout line therefore carries a curated
+    # subset at 2 decimals with compact separators (~1.2 KB);
+    # bench_samples.json keeps every query's 5 samples + minima.
     samples_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_samples.json"
     )
     with open(samples_path, "w") as fh:
-        json.dump({"sf": sf, "samples": samples}, fh, indent=1)
-    print(f"# raw 5-run samples written to {samples_path}", file=sys.stderr)
+        json.dump({"sf": sf, "samples": samples, "timings": timings}, fh, indent=1)
     print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_clock_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "positional_index_build_once_sec": index_build_sec,
-                "postings_index_build_once_sec": postings_build_sec,
-            }
-        )
+        f"# raw 5-run samples + full timings written to {samples_path}",
+        file=sys.stderr,
     )
+    # One representative per operator family + every served-index row +
+    # the heavy tail the round-over-round comparisons track.
+    stdout_subset = [
+        "flagship", "q02_range_filter", "q04_fulltext_and", "q06_tfidf_topk",
+        "q13_stats_field", "q14_distinct", "q16_pivot", "cdc_latest_per_key",
+        "cdc_merge_batches", "olap_pricing_summary", "olap_top_customers",
+        "e1_exact_dedup", "e2b_minhash_lsh", "e3_cosine_topk",
+        "e4_token_counts", "e5d_perceptual_hash", "e2f_incremental_near_dups",
+        "e2g_dup_spans", "e2j_semdedup", "e12_unigram_logprob",
+        "q39_json_facet", "q46_hybrid_rrf", "q49c_block_join_scored",
+        "q69_span_near", "q05d_phrase_slop", "q61_stream_rollup",
+        "q39d_json_facet_blockjoin", "cdc_delete_by_query",
+        "q14c_percentile_error", "e16_kmeans_refine", "e18_mmr_diversify",
+        "e2o_signature_store", "e2o_signature_store_served",
+        "e2p_store_served_pairs", "e19_threshold_sweep",
+        "q06c_bm25_servedidx", "q05c_phrase_servedidx",
+        "q05d_phrase_slop_servedidx", "q69_span_near_servedidx",
+    ]
+    line = json.dumps(
+        {
+            "metric": "headline_query_wall_clock_total",
+            "value": total,
+            "unit": "sec",
+            "queries": {
+                k: round(timings[k], 2) for k in stdout_subset if k in timings
+            },
+            "sf": sf,
+            "n_queries_total": len(timings),
+            "positional_index_build_once_sec": index_build_sec,
+            "postings_index_build_once_sec": postings_build_sec,
+            "signature_store_build_once_sec": sigstore_build_sec,
+        },
+        separators=(",", ":"),
+    )
+    assert len(line) < 1900, f"stdout JSON line {len(line)} chars; driver tail is 2000"
+    print(line)
 
 
 if __name__ == "__main__":

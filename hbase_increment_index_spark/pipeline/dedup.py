@@ -389,6 +389,35 @@ def minhash_signatures_vectorized(
     return df.mapInPandas(_batches, schema="doc long, sig array<long>")
 
 
+def minhash_digest_store(
+    df: "DataFrame",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_perm: int = 64,
+) -> "DataFrame":
+    """The persisted signature-store row shape the incremental dedup
+    index maintains (e2o_signature_store / its serving bench twin):
+    per document, the md5 digest of its md5-portable MinHash signature
+    — (doc_id, sig_key), ~50 B/doc. Shingling + shingle hashing stay
+    JVM-side; the permutation lanes run in the numpy kernel. Documents
+    with no shingles (shorter than the gram width) are excluded, the
+    same rule the cross-engine oracle applies."""
+    hs = F.transform(
+        shingle_grams(text_col, shingle_n),
+        lambda s: F.pmod(portable_hash60(s), F.lit(_MERSENNE)),
+    )
+    pre = (
+        df.withColumn("__hs", hs)
+        .filter(F.size("__hs") > 0)
+        .select(F.col(id_col), "__hs")
+    )
+    return minhash_signatures_vectorized(pre, id_col, "__hs", num_perm).select(
+        F.col("doc").alias(id_col),
+        F.md5(F.concat_ws(",", F.col("sig").cast("array<string>"))).alias("sig_key"),
+    )
+
+
 # Intermediate frames (signatures, banded explode, hot-bucket counts)
 # persisted by the most recent minhash_lsh_pairs call. DataFrame caches
 # live in the CacheManager until explicitly unpersisted — they are NOT

@@ -1937,35 +1937,19 @@ def e2o_signature_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver hash-check proves merge ≡ rebuild — the same equality the
     reference's coprocessor must maintain to serve correct queries.
     Signatures use the md5-portable lane kernel (as e2b) so every lane
-    minimum is engine-reproducible."""
-    from hbase_increment_index_spark.pipeline.dedup import (
-        _MERSENNE,
-        minhash_signatures_vectorized,
-        portable_hash60,
-        shingle_grams,
-    )
+    minimum is engine-reproducible.
+
+    NOTE on the bench number: this registry form rebuilds the v1 store
+    IN-PLAN because the oracle proves merge ≡ rebuild; in production
+    the store is the persisted output of the previous batch, so the
+    serving cost is the ∝|delta| merge alone — priced separately by
+    bench.py's ``e2o_signature_store_served`` row (store parquet built
+    once, merge+serve timed)."""
+    from hbase_increment_index_spark.pipeline.dedup import minhash_digest_store
 
     docs = _t(spark, sf_dir, "documents")
     m = F.col("doc_id") % 7
-
-    def signatures(frame: DataFrame) -> DataFrame:
-        # string shingling/hashing stays JVM-side; the 64 permutation
-        # lanes run in the numpy kernel (bit-identical to the
-        # expression lane, ~4× faster end-to-end — the same measured
-        # trade as minhash_lsh_pairs impl='pandas')
-        hs = F.transform(
-            shingle_grams("text", 3),
-            lambda s: F.pmod(portable_hash60(s), F.lit(_MERSENNE)),
-        )
-        pre = (
-            frame.withColumn("hs", hs)
-            .filter(F.size("hs") > 0)
-            .select("doc_id", "hs")
-        )
-        return minhash_signatures_vectorized(pre, "doc_id", "hs", 64).select(
-            F.col("doc").alias("doc_id"),
-            F.md5(F.concat_ws(",", F.col("sig").cast("array<string>"))).alias("sig_key"),
-        )
+    signatures = minhash_digest_store
 
     store_v1 = signatures(docs.filter(m != 0))
     updates = docs.filter(m == 3).withColumn("text", F.substring("text", 1, 40))

@@ -543,7 +543,10 @@ class StreamCompiler:
             .filter(F.col("_b") < F.lit(end).cast(cast_t))
             .select(F.date_format("_b", fmt).alias("bucket"))
         )
-        out = spine.join(aggs, "bucket", "left_outer")
+        # aggs is bucket-bounded (≤ |range/gap| rows) by construction —
+        # broadcast explicitly; as a stats-less aggregate the static
+        # planner would otherwise SMJ it against the generated spine
+        out = spine.join(F.broadcast(aggs), "bucket", "left_outer")
         # empty buckets: counts are 0, value metrics stay null
         fills = [
             F.coalesce(

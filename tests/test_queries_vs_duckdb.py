@@ -46,8 +46,10 @@ def test_oracle_match(name, spark, sf_dir, duck):
     assert _norm(sdf) == _norm(odf)
 
 
-@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
-def test_rows_only_runs(name, spark, sf_dir):
-    df = QUERIES[name](spark, sf_dir)
-    assert df.count() >= 0
-    assert len(df.columns) > 0
+def test_every_query_has_an_oracle():
+    """Round 9 closed the last oracle gap (q14b reformulated as an
+    error-bound check): the rows-only escape hatch is retired and every
+    registry query must ship a DuckDB oracle. A new rows-only entry is
+    a deliberate contract change, not an oversight — re-add the
+    rows-only runner if one ever becomes genuinely non-expressible."""
+    assert set(QUERIES) == set(ORACLES)

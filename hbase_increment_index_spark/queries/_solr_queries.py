@@ -1318,6 +1318,103 @@ ORDER BY s.bucket ASC
 """
 
 
+def q66b_phrase_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Carrot2 STC-style result clustering — the faithful form of the
+    Clustering component (q66's LSH buckets are the train-free
+    substitute; THIS is suffix-tree clustering's actual shape): base
+    clusters are FREQUENT PHRASES of the result set (word bigrams with
+    df >= 5, query word excluded from labels, as Carrot2 filters query
+    terms), each result doc joins the cluster of its highest-df
+    matching phrase (ties lexicographic — deterministic, unlike
+    Lingo's SVD), unclustered docs land in the ``Other topics`` bucket
+    Carrot2 emits. Output: top-10 clusters by size with their PHRASE
+    labels + the Other row (rank 0).
+
+    Plan: result-set-bounded throughout — distinct per-doc bigrams
+    (one explode), a vocabulary-bounded df agg broadcast back onto the
+    (doc, phrase) pairs, one per-doc argmax window, one size agg.
+    The corpus is scanned once through the pushed token filter; at
+    100 TB the result set is a query head, so every frame here is
+    head-bounded."""
+    from hbase_increment_index_spark.pipeline.dedup import shingle_grams
+    from hbase_increment_index_spark.search.tokenize import has_token
+
+    min_df, k = 5, 10
+    docs = _t(spark, sf_dir, "documents")
+    res = docs.filter(has_token("text", "data")).select("doc_id", "text")
+    ph = res.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingle_grams("text", 2))).alias("phrase"),
+    ).filter(~F.array_contains(F.split(F.col("phrase"), " "), "data"))
+    dfq = (
+        ph.groupBy("phrase")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_df)
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy(
+        F.col("df").desc(), F.col("phrase").asc()
+    )
+    best = (
+        ph.join(F.broadcast(dfq), "phrase")
+        .withColumn("_rn", F.row_number().over(w_doc))
+        .filter(F.col("_rn") == 1)
+    )
+    clusters = best.groupBy(F.col("phrase").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    w_rank = Window.orderBy(F.col("n_docs").desc(), F.col("label").asc())
+    ranked = (
+        clusters.withColumn("rank", F.row_number().over(w_rank).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+    other = (
+        res.join(best.select("doc_id"), "doc_id", "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            F.lit("Other topics").alias("label"),
+            "n_docs",
+            F.lit(0).cast("long").alias("rank"),
+        )
+    )
+    return ranked.select("label", "n_docs", "rank").unionByName(other).orderBy("rank")
+
+
+Q66B_SQL = f"""
+WITH res AS (
+  SELECT doc_id, {_SQL_TOKS.format(c='text')} AS t FROM documents
+  WHERE list_contains({_SQL_TOKS.format(c='text')}, 'data')
+),
+ph0 AS (
+  SELECT doc_id, t, unnest(generate_series(1, greatest(len(t) - 1, 0))) AS i
+  FROM res
+),
+ph1 AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(t, i, i + 1), ' ') AS phrase
+  FROM ph0
+),
+ph AS (
+  SELECT * FROM ph1 WHERE NOT list_contains(string_split(phrase, ' '), 'data')
+),
+dfq AS (SELECT phrase, count(*) AS df FROM ph GROUP BY 1 HAVING count(*) >= 5),
+best AS (
+  SELECT doc_id, phrase,
+         row_number() OVER (PARTITION BY doc_id ORDER BY df DESC, phrase ASC) AS rn
+  FROM ph JOIN dfq USING (phrase)
+),
+clus AS (SELECT phrase AS label, count(*) AS n_docs FROM best WHERE rn = 1 GROUP BY 1),
+ranked AS (
+  SELECT label, n_docs,
+         CAST(row_number() OVER (ORDER BY n_docs DESC, label ASC) AS BIGINT) AS rank
+  FROM clus
+)
+SELECT label, n_docs, rank FROM ranked WHERE rank <= 10
+UNION ALL
+SELECT 'Other topics', count(*), CAST(0 AS BIGINT)
+FROM res WHERE doc_id NOT IN (SELECT doc_id FROM best WHERE rn = 1)
+ORDER BY rank
+"""
+
+
 def q67_function_parser(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Solr FunctionQParser: the literal function-query text a Solr
     user puts in ``sort=``/``boost=`` — here

@@ -310,3 +310,43 @@ def test_update_requires_registered_destination(spark, tables):
             spark, tables,
             'update(nowhere, search(nation, fl="n_nationkey"), key="n_nationkey")',
         )
+
+
+def test_timeseries_day_and_hour_gaps(spark):
+    import datetime as dt
+
+    rows = [
+        (1, dt.datetime(2024, 3, 1, 0, 30), 10.0),
+        (2, dt.datetime(2024, 3, 1, 2, 10), 20.0),   # hour 01 empty
+        (3, dt.datetime(2024, 3, 3, 5, 0), 30.0),    # day 03-02 empty
+    ]
+    t = spark.createDataFrame(rows, "id long, dt timestamp, v double")
+    out = run_stream_expr(
+        spark, {"t": t},
+        'timeseries(t, field="dt", start="2024-03-01", end="2024-03-04", '
+        'gap="+1DAY", count(*))',
+    ).collect()
+    assert [(r["bucket"], r["count_star"]) for r in out] == [
+        ("2024-03-01", 2), ("2024-03-02", 0), ("2024-03-03", 1)
+    ]
+    out = run_stream_expr(
+        spark, {"t": t},
+        'timeseries(t, field="dt", start="2024-03-01 00:00:00", '
+        'end="2024-03-01 03:00:00", gap="+1HOUR", sum(v), count(*))',
+    ).collect()
+    # hour spine needs timestamp-typed bounds; the 01 bucket is gap-filled
+    assert [(r["bucket"], r["count_star"]) for r in out] == [
+        ("2024-03-01 00", 1), ("2024-03-01 01", 0), ("2024-03-01 02", 1)
+    ]
+    assert out[1]["sum_v"] is None and out[0]["sum_v"] == 10.0
+
+
+def test_timeseries_year_gap(spark, tables):
+    out = run_stream_expr(
+        spark, tables,
+        'timeseries(orders, field="o_orderdate", start="1995-01-01", '
+        'end="2002-01-01", gap="+1YEAR", count(*))',
+    ).collect()
+    assert [r["bucket"] for r in out] == [str(y) for y in range(1995, 2002)]
+    total = sum(r["count_star"] for r in out)
+    assert total == tables["orders"].count()  # fixture spans 1995..2001

@@ -75,6 +75,49 @@ def knn_brute_force(
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
 
 
+def knn_query(
+    embeddings: DataFrame,
+    query_text: str,
+    k_default: int = 10,
+    id_col: str = "vec_id",
+    pre_filter: Column | None = None,
+    score_decimals: int = 6,
+) -> DataFrame:
+    """Solr 9.x ``{!knn}`` dense-vector query parser (the reference's
+    pom bumps solrj to 9.8.0, reference pom.xml:22, where
+    DenseVectorField + the knn parser are the headline retrieval
+    feature): parses the literal query text
+
+        {!knn f=embedding topK=10}[0.1, -0.2, ...]
+
+    into the exact cosine top-k plan (knn_brute_force: scan →
+    codegen'd expression → TakeOrderedAndProject; the query vector is
+    baked into the expression, no join). ``pre_filter`` is Solr's
+    fq-as-pre-filter semantics (9.1+): the predicate restricts the
+    candidate set BEFORE ranking, pushed into the scan — not a
+    post-filter over the k results. Solr ranks by similarity only;
+    ties here break toward the lower id so the result is total-ordered
+    and oracle-checkable."""
+    import re
+
+    m = re.match(
+        r"^\{!knn\s+f=(?P<f>\w+)(?:\s+topK=(?P<k>\d+))?\s*\}"
+        r"\s*\[(?P<vec>[^\]]*)\]\s*$",
+        query_text.strip(),
+    )
+    if not m:
+        raise ValueError(f"not a {{!knn}} query: {query_text!r}")
+    vec = [float(x) for x in m.group("vec").split(",") if x.strip()]
+    if not vec:
+        raise ValueError("empty query vector")
+    k = int(m.group("k")) if m.group("k") else k_default
+    src = embeddings if pre_filter is None else embeddings.filter(pre_filter)
+    return knn_brute_force(
+        src, vec, k=k, id_col=id_col, vec_col=m.group("f"),
+        score_decimals=score_decimals,
+    )
+
+
 def knn_join_brute_force(
     embeddings: DataFrame,
     queries: DataFrame,

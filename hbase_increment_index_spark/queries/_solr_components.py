@@ -1419,6 +1419,49 @@ SELECT node FROM hop2 ORDER BY node ASC
 """
 
 
+# The query vector is part of the {!knn} query TEXT, so both engines
+# get it from this one constant (deterministic, dim-64 like the
+# embeddings fixture).
+_Q78_VEC = [((i * 37) % 21 - 10) / 10.0 for i in range(64)]
+
+
+def q78_knn_parser(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr 9.x ``{!knn}`` dense-vector query parser (solrj 9.8,
+    reference pom.xml:22 — DenseVectorField + knn search is the 9.x
+    retrieval headline): the literal query text
+    ``{!knn f=embedding topK=10}[...]`` parsed and planned as exact
+    cosine top-k with fq-as-PRE-filter semantics (vec_id < 500
+    restricts candidates before ranking, pushed into the scan — Solr
+    9.1+ behavior, not a post-filter). Plan: pruned scan → codegen'd
+    cosine expression (query vector baked in, no join) →
+    TakeOrderedAndProject(10)."""
+    from hbase_increment_index_spark.pipeline.similarity import knn_query
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qtext = (
+        "{!knn f=embedding topK=10}["
+        + ", ".join(repr(x) for x in _Q78_VEC)
+        + "]"
+    )
+    return knn_query(emb, qtext, pre_filter=F.col("vec_id") < 500).orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+
+
+Q78_SQL = f"""
+WITH q AS (SELECT [{", ".join(repr(x) for x in _Q78_VEC)}]::DOUBLE[] AS qv)
+SELECT vec_id,
+       ROUND(
+         list_dot_product(CAST(embedding AS DOUBLE[]), q.qv)
+         / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+            * sqrt(list_dot_product(q.qv, q.qv))), 6) AS score
+FROM embeddings, q
+WHERE vec_id < 500
+ORDER BY score DESC, vec_id ASC
+LIMIT 10
+"""
+
+
 def q65_sql_handler(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Solr /sql handler (solrj 9.x exposes a SQL interface compiled
     onto streaming expressions): the engine's native answer is Spark

@@ -111,6 +111,18 @@ HEADLINE = [
     "q39e_json_facet_allbuckets",
     "e22_vocab_stats",
     "e6k_truncation_loss",
+    # --- added r9: the stream-language decorators (gap-filled
+    # timeseries, nested-BFS nodes), multi-fragment highlighting,
+    # boundary-rule range facet, the HLL error-bound audit, STC phrase
+    # clustering, and the {!knn} parser — tracked so the new plans stay
+    # regression-visible round over round
+    "q61f_stream_timeseries",
+    "q61g_stream_nodes",
+    "q30b_multi_highlight",
+    "q11e_facet_range_include",
+    "q14b_approx_distinct",
+    "q66b_phrase_clustering",
+    "q78_knn_parser",
 ]
 
 
@@ -292,6 +304,8 @@ def main() -> None:
         "q14c_percentile_error", "e16_kmeans_refine", "e18_mmr_diversify",
         "e2o_signature_store", "e2o_signature_store_served",
         "e2p_store_served_pairs", "e19_threshold_sweep",
+        "q61f_stream_timeseries", "q66b_phrase_clustering",
+        "q78_knn_parser",
         "q06c_bm25_servedidx", "q05c_phrase_servedidx",
         "q05d_phrase_slop_servedidx", "q69_span_near_servedidx",
     ]

@@ -1419,6 +1419,18 @@ SELECT node FROM hop2 ORDER BY node ASC
 """
 
 
+def q61h_stream_significant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``significantTerms()`` stream source — the q43 aggregate (terms
+    overrepresented in German docs vs the corpus, lift-scored) surfaced
+    through the /stream expression language; same single-scan
+    vocabulary-bounded plan, so the oracle is Q43's verbatim."""
+    return _stream(
+        spark, sf_dir,
+        'significantTerms(documents, q="lang:de", field="text", '
+        'limit=15, minDocFreq=3)',
+    )
+
+
 # The query vector is part of the {!knn} query TEXT, so both engines
 # get it from this one constant (deterministic, dim-64 like the
 # embeddings fixture).

@@ -50,6 +50,8 @@ Supported stream sources/decorators (Solr names):
                                        | and(b1,b2) | or(b1,b2) | not(b)
     timeseries(table, q="...", field="dt", start="...", end="...",
                gap="+1MONTH", metrics...)   # gap-filled date buckets
+    significantTerms(table, q="...", field="text", limit=N,
+                     minDocFreq=N)          # fg-vs-corpus term lift
     nodes(table, stream, walk="src->dst", gather="g")  # one graph hop;
                                        # nest nodes() calls for multi-hop
     update(dest, stream, key="idField")  # write-back decorator: COW
@@ -587,6 +589,45 @@ class StreamCompiler:
         keys = inner.select(F.col(src).alias("_v")).distinct()
         matched = df.join(F.broadcast(keys), df[dst] == F.col("_v")).drop("_v")
         return matched.select(F.col(gather).alias("node")).distinct()
+
+    def _op_significantTerms(self, call: Call) -> DataFrame:  # noqa: N802
+        """Solr ``significantTerms()`` stream source (solrj 9.x
+        /stream): terms overrepresented in the ``q``-matching
+        foreground versus the whole collection. Composes the select
+        handler's significant-terms aggregate (search.ranking.
+        significant_terms — one corpus scan, one vocabulary-bounded
+        hash agg computing both document frequencies, scalar totals
+        broadcast) under the stream language's surface.
+
+        Params: q (foreground query), field (text field), limit,
+        minDocFreq; ``id`` names the document-identity column (default
+        ``doc_id`` when present, else the first column)."""
+        from hbase_increment_index_spark.search.ranking import significant_terms
+        from hbase_increment_index_spark.search.solr_query import parse_query
+
+        if not call.fields:
+            raise StreamExprError("significantTerms needs a collection name")
+        table = call.fields[0]
+        if table not in self.tables:
+            raise StreamExprError(f"unknown collection {table!r}")
+        df = self.tables[table]
+        text_fields = (
+            self.text_fields
+            if self.text_fields is not None
+            else ({"text"} if "text" in df.columns else set())
+        )
+        pred = parse_query(self._param(call, "q"), text_fields)
+        id_col = call.params.get(
+            "id", "doc_id" if "doc_id" in df.columns else df.columns[0]
+        )
+        return significant_terms(
+            df,
+            pred,
+            id_col,
+            self._param(call, "field"),
+            min_fg_df=int(call.params.get("minDocFreq", 3)),
+            k=int(call.params.get("limit", 20)),
+        )
 
     def _op_update(self, call: Call) -> DataFrame:
         """Solr ``update()`` write-back decorator: stream tuples are

@@ -350,3 +350,22 @@ def test_timeseries_year_gap(spark, tables):
     assert [r["bucket"] for r in out] == [str(y) for y in range(1995, 2002)]
     total = sum(r["count_star"] for r in out)
     assert total == tables["orders"].count()  # fixture spans 1995..2001
+
+
+def test_significant_terms_stream_matches_component(spark, tables):
+    """significantTerms() through the stream language equals the q43
+    select-handler aggregate it composes."""
+    from pyspark.sql import functions as F
+
+    from hbase_increment_index_spark.search.ranking import significant_terms
+
+    got = run_stream_expr(
+        spark, tables,
+        'significantTerms(documents, q="lang:de", field="text", '
+        'limit=15, minDocFreq=3)',
+    ).collect()
+    want = significant_terms(
+        tables["documents"], F.col("lang") == "de", "doc_id", "text",
+        min_fg_df=3, k=15,
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]

@@ -696,6 +696,7 @@ class SecondaryIndex:
         expression: str,
         tables: dict | None = None,
         text_fields: set[str] | None = None,
+        sink_paths: dict[str, str] | None = None,
     ) -> DataFrame:
         """Solr streaming expression (the /stream handler language)
         compiled against this index's document view plus any extra
@@ -703,7 +704,11 @@ class SecondaryIndex:
         over=..., count(*))')`` (search.streaming_expr). By default
         every document qualifier gets token-match semantics for bare
         ``q`` values (this facade's fields come from an analyzed Solr
-        schema); pass ``text_fields`` explicitly to restrict that."""
+        schema); pass ``text_fields`` explicitly to restrict that.
+        ``sink_paths`` registers write-back destinations for the
+        ``update()`` decorator (collection name → copy-on-write MERGE
+        table path); expressions can never write anywhere the caller
+        didn't name."""
         from hbase_increment_index_spark.search.streaming_expr import run_stream_expr
 
         catalog = {"documents": self.documents}
@@ -711,7 +716,10 @@ class SecondaryIndex:
             catalog.update(tables)
         if text_fields is None:
             text_fields = set(self.qualifiers)
-        return run_stream_expr(self.spark, catalog, expression, text_fields=text_fields)
+        return run_stream_expr(
+            self.spark, catalog, expression,
+            text_fields=text_fields, sink_paths=sink_paths,
+        )
 
     def analyze(self, text: str) -> list[str]:
         """Run the Solr analysis chain (stopwords + S-stem) on a query

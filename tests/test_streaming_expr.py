@@ -369,3 +369,29 @@ def test_significant_terms_stream_matches_component(spark, tables):
         min_fg_df=3, k=15,
     ).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_facade_update_through_stream_expr(spark, sf_dir, tmp_path):
+    """The SecondaryIndex facade routes sink_paths to the update()
+    decorator — write-back works from the top-level API, not just the
+    compiler."""
+    import datetime as dt
+
+    from hbase_increment_index_spark.api import SecondaryIndex
+    from hbase_increment_index_spark.sinks import read_merged_table
+
+    log = spark.createDataFrame(
+        [("put", f"r{i}", "cf", "name", f"v{i}", dt.datetime(2024, 1, 1), i)
+         for i in range(6)],
+        "op string, row_key string, family string, qualifier string, "
+        "value string, ts timestamp, seq long",
+    )
+    idx = SecondaryIndex(spark, families=["cf"], qualifiers=["name"])
+    idx.apply_mutations(log)
+    dest = str(tmp_path / "mirror")
+    out = idx.stream_expr(
+        'update(mirror, search(documents, fl="rowkey,name"), key="rowkey", buckets=2)',
+        sink_paths={"mirror": dest},
+    ).collect()
+    assert out[0]["batchIndexed"] == 6
+    assert read_merged_table(spark, dest).count() == 6

@@ -513,6 +513,42 @@ ORDER BY dist_km ASC, c_custkey ASC
 """
 
 
+def q47b_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr ``{!bbox pt=40,-74 d=3000}`` — the RECTANGLE filter itself
+    (unlike geofilt's exact circle): docs inside the box circumscribing
+    the 3000 km circle, annotated with geodist. Pure sargable
+    comparisons on raw lat/lon (pushed to parquet min/max pruning);
+    the oracle interpolates the identical Python-computed bounds
+    (search.geo.bbox_bounds), so the widened-rectangle constants are
+    hash-verified, not just the membership."""
+    from hbase_increment_index_spark.search.geo import bbox_predicate, haversine_km
+
+    pts = _geo_customers(spark, sf_dir)
+    la, lo = F.col("lat"), F.col("lon")
+    return (
+        pts.filter(bbox_predicate(la, lo, 40.0, -74.0, 3000.0))
+        .withColumn(
+            "dist_km",
+            F.round(haversine_km(la, lo, F.lit(40.0), F.lit(-74.0)), 6),
+        )
+        .orderBy(F.col("dist_km").asc(), F.col("c_custkey").asc())
+    )
+
+
+def _q47b_sql() -> str:
+    from hbase_increment_index_spark.search.geo import bbox_bounds
+
+    lat_lo, lat_hi, lon_lo, lon_hi = bbox_bounds(40.0, -74.0, 3000.0)
+    return f"""
+WITH pts AS ({_GEO_SQL_BASE})
+SELECT c_custkey, lat, lon, {_GEO_DIST.format(la='40.0', lo='-74.0')} AS dist_km
+FROM pts
+WHERE lat BETWEEN {lat_lo!r} AND {lat_hi!r}
+  AND lon BETWEEN {lon_lo!r} AND {lon_hi!r}
+ORDER BY dist_km ASC, c_custkey ASC
+"""
+
+
 def q48_geo_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Solr ``sort=geodist() asc&rows=15`` — nearest-k customers to a
     point; TakeOrderedAndProject, never a global sort."""

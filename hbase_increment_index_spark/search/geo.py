@@ -53,29 +53,44 @@ def bbox_predicate(
     margin for the spherical-vs-planar approximation. Bands touching a
     pole keep the full longitude range. Over-widening only costs a few
     extra exact-distance evaluations — never a missed result."""
+    lat_lo, lat_hi, lon_lo, lon_hi = bbox_bounds(lat, lon, d_km)
+    cond = lat_col.between(lat_lo, lat_hi)
+    if lon_lo is not None:
+        # antimeridian wrap: an interval crossing ±180 splits into
+        # an OR of two in-range intervals (still sargable — parquet
+        # evaluates both rectangles against min/max stats)
+        if lon_lo < -180.0:
+            lon_pred = lon_col.between(-180.0, lon_hi) | lon_col.between(
+                lon_lo + 360.0, 180.0
+            )
+        elif lon_hi > 180.0:
+            lon_pred = lon_col.between(lon_lo, 180.0) | lon_col.between(
+                -180.0, lon_hi - 360.0
+            )
+        else:
+            lon_pred = lon_col.between(lon_lo, lon_hi)
+        cond = cond & lon_pred
+    return cond
+
+
+def bbox_bounds(
+    lat: float, lon: float, d_km: float
+) -> tuple[float, float, float | None, float | None]:
+    """Numeric rectangle bounds behind :func:`bbox_predicate`, exposed
+    so an external oracle (or a pushdown layer) reproduces the IDENTICAL
+    constants the predicate compiles in. ``(lon_lo, lon_hi)`` are None
+    when the band touches a pole or the circle spans every longitude
+    (the predicate then keeps the full longitude range); a returned
+    lon interval may extend past ±180 — the predicate handles the wrap."""
     dlat = d_km / KM_PER_DEG_LAT
     lat_lo, lat_hi = lat - dlat, lat + dlat
-    cond = lat_col.between(lat_lo, lat_hi)
-    if lat_lo > -89.9 and lat_hi < 89.9:
-        cos_min = min(math.cos(math.radians(lat_lo)), math.cos(math.radians(lat_hi)))
-        dlon = 1.05 * d_km / (KM_PER_DEG_LAT * cos_min)
-        if dlon < 180.0:
-            lon_lo, lon_hi = lon - dlon, lon + dlon
-            # antimeridian wrap: an interval crossing ±180 splits into
-            # an OR of two in-range intervals (still sargable — parquet
-            # evaluates both rectangles against min/max stats)
-            if lon_lo < -180.0:
-                lon_pred = lon_col.between(-180.0, lon_hi) | lon_col.between(
-                    lon_lo + 360.0, 180.0
-                )
-            elif lon_hi > 180.0:
-                lon_pred = lon_col.between(lon_lo, 180.0) | lon_col.between(
-                    -180.0, lon_hi - 360.0
-                )
-            else:
-                lon_pred = lon_col.between(lon_lo, lon_hi)
-            cond = cond & lon_pred
-    return cond
+    if lat_lo <= -89.9 or lat_hi >= 89.9:
+        return lat_lo, lat_hi, None, None
+    cos_min = min(math.cos(math.radians(lat_lo)), math.cos(math.radians(lat_hi)))
+    dlon = 1.05 * d_km / (KM_PER_DEG_LAT * cos_min)
+    if dlon >= 180.0:
+        return lat_lo, lat_hi, None, None
+    return lat_lo, lat_hi, lon - dlon, lon + dlon
 
 
 def geofilt(

@@ -123,6 +123,8 @@ HEADLINE = [
     "q14b_approx_distinct",
     "q66b_phrase_clustering",
     "q78_knn_parser",
+    "q61h_stream_significant",
+    "q47b_bbox",
 ]
 
 

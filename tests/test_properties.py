@@ -722,3 +722,39 @@ def test_dedup_savings_matches_python_oracle(spark, docs):
         agg[2] += len(text)
         agg[3] += len(text) if is_dup else 0
     assert got == {k: tuple(v) for k, v in want.items()}
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    days=st.lists(st.integers(min_value=0, max_value=9), min_size=0, max_size=15),
+)
+def test_timeseries_gap_fill_property(spark, days):
+    """timeseries() gap semantics on arbitrary data: the bucket spine
+    is exactly the [start, end) day lattice regardless of which days
+    hold data, empty buckets carry count 0 / null sums, and filled
+    buckets match a plain groupBy."""
+    from collections import Counter
+
+    from hbase_increment_index_spark.search.streaming_expr import run_stream_expr
+
+    rows = [
+        (i, dt.datetime(2024, 5, 1 + d, 12, 0), float(d))
+        for i, d in enumerate(days)
+    ]
+    df = spark.createDataFrame(rows, "id long, dtc timestamp, v double") if rows else (
+        spark.createDataFrame([], "id long, dtc timestamp, v double")
+    )
+    out = run_stream_expr(
+        spark, {"t": df},
+        'timeseries(t, field="dtc", start="2024-05-01", end="2024-05-11", '
+        'gap="+1DAY", sum(v), count(*))',
+    ).collect()
+    assert [r["bucket"] for r in out] == [f"2024-05-{d:02d}" for d in range(1, 11)]
+    want = Counter(d for d in days)
+    for r in out:
+        d = int(r["bucket"][-2:]) - 1
+        assert r["count_star"] == want.get(d, 0)
+        if want.get(d, 0) == 0:
+            assert r["sum_v"] is None
+        else:
+            assert r["sum_v"] == float(d) * want[d]

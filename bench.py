@@ -311,23 +311,38 @@ def main() -> None:
         "q06c_bm25_servedidx", "q05c_phrase_servedidx",
         "q05d_phrase_slop_servedidx", "q69_span_near_servedidx",
     ]
-    line = json.dumps(
-        {
-            "metric": "headline_query_wall_clock_total",
-            "value": total,
-            "unit": "sec",
-            "queries": {
-                k: round(timings[k], 2) for k in stdout_subset if k in timings
+    # The driver captures only the LAST 2000 chars of stdout, so the
+    # line must stay under budget. An over-budget subset DEGRADES
+    # (trailing entries dropped, stderr warning) rather than asserting
+    # away the whole measurement run (r9 ADVICE: a post-run assert
+    # would discard 40+ minutes of timings on a one-entry overflow).
+    subset = [k for k in stdout_subset if k in timings]
+
+    def _mk_line(keys):
+        return json.dumps(
+            {
+                "metric": "headline_query_wall_clock_total",
+                "value": total,
+                "unit": "sec",
+                "queries": {k: round(timings[k], 2) for k in keys},
+                "sf": sf,
+                "n_queries_total": len(timings),
+                "positional_index_build_once_sec": index_build_sec,
+                "postings_index_build_once_sec": postings_build_sec,
+                "signature_store_build_once_sec": sigstore_build_sec,
             },
-            "sf": sf,
-            "n_queries_total": len(timings),
-            "positional_index_build_once_sec": index_build_sec,
-            "postings_index_build_once_sec": postings_build_sec,
-            "signature_store_build_once_sec": sigstore_build_sec,
-        },
-        separators=(",", ":"),
-    )
-    assert len(line) < 1900, f"stdout JSON line {len(line)} chars; driver tail is 2000"
+            separators=(",", ":"),
+        )
+
+    line = _mk_line(subset)
+    while len(line) >= 1900 and subset:
+        dropped = subset.pop()
+        print(
+            f"# WARN stdout line over 1900-char budget; dropped {dropped} "
+            "(full timings remain in bench_samples.json)",
+            file=sys.stderr,
+        )
+        line = _mk_line(subset)
     print(line)
 
 

@@ -21,6 +21,13 @@ resolves the full mutation op set:
   unmasked increments (long arithmetic, like HBase counters).
 - ``append``  — the cell is a journal: its value is the (ts, seq)-
   ordered concatenation of all unmasked appends.
+- ``remove`` / ``removeregex`` — Solr's atomic-update list-element
+  removal verbs (SolrJ partial-update surface: ``remove`` drops all
+  occurrences of a value from a multivalued field, ``removeregex``
+  drops elements matching a pattern): a journal element appended at
+  (ts, seq) survives iff NO LATER remove matches it — elements
+  appended after a remove are untouched, matching Solr's in-order
+  atomic-update application.
 
 Resolution is deliberately *closed-form per op class* (sum / ordered
 string-agg / argmax) rather than a general per-cell event fold: every
@@ -39,7 +46,7 @@ from pyspark.sql import functions as F
 #: {put, delete, inc, append}; ``value`` stays a decimal-formatted
 #: string (the cell model is untyped — SURVEY.md §1.1), ``ival`` the
 #: long increment payload for ``inc`` ops.
-MUTATION_OPS = ("put", "delete", "inc", "append")
+MUTATION_OPS = ("put", "delete", "inc", "append", "remove", "removeregex")
 
 
 def mutation_log_from_events(
@@ -81,12 +88,19 @@ def resolve_mutations(mlog: DataFrame) -> DataFrame:
        BROADCAST left join: the big mutation log is never shuffled to
        apply deletes.
     2. Survivors take ONE hash aggregate on (row_key, family,
-       qualifier); the three op classes are conditional aggregates in
-       the same pass (collect_list ignores the NULLs the non-append
-       ops contribute, so only journal cells pay for ordering).
+       qualifier); the op classes are conditional aggregates in the
+       same pass (collect_list ignores the NULLs the non-append ops
+       contribute, so only journal cells pay for ordering). The
+       remove/removeregex verbs fold as a SECOND per-cell array
+       (bounded like the journal itself) applied in a post-projection:
+       a higher-order filter keeps each appended element unless a
+       LATER matching remove exists — still zero extra shuffles.
 
     Output: (row_key, family, qualifier, value, n_events) — the live
     cell state a downstream ``documents_from_cells`` pivot would index.
+    A journal cell whose every element was removed (or a pure-remove
+    cell) resolves to a NULL value, Solr's empty-multivalued-field
+    outcome.
     """
     tomb = (
         mlog.filter(F.col("op") == "delete")
@@ -99,27 +113,60 @@ def resolve_mutations(mlog: DataFrame) -> DataFrame:
         .join(F.broadcast(tomb), "row_key", "left")
         .filter(F.col("_tomb").isNull() | (pos > F.col("_tomb")))
     )
-    latest = F.max(F.struct("ts", "seq", "value"))
+    is_rm = F.col("op").isin("remove", "removeregex")
     journal = F.array_sort(
         F.collect_list(
             F.when(F.col("op") == "append", F.struct("ts", "seq", "value"))
         )
     )
-    return (
-        alive.groupBy("row_key", "family", "qualifier")
-        .agg(
+    removes = F.array_sort(
+        F.collect_list(
             F.when(
-                F.max(F.col("op") == "inc"),
-                F.sum(F.when(F.col("op") == "inc", F.col("ival"))).cast("string"),
+                is_rm,
+                F.struct(
+                    "ts", "seq", "value",
+                    (F.col("op") == "removeregex").alias("rx"),
+                ),
             )
-            .when(
-                F.max(F.col("op") == "append"),
-                F.array_join(journal.getField("value"), ","),
-            )
-            .otherwise(latest.getField("value"))
-            .alias("value"),
-            F.count(F.lit(1)).alias("n_events"),
         )
+    )
+    agged = alive.groupBy("row_key", "family", "qualifier").agg(
+        F.max(F.col("op") == "inc").alias("_is_inc"),
+        F.max((F.col("op") == "append") | is_rm).alias("_is_journal"),
+        F.sum(F.when(F.col("op") == "inc", F.col("ival")))
+        .cast("string")
+        .alias("_inc_val"),
+        journal.alias("_apps"),
+        removes.alias("_rms"),
+        F.max(F.when(F.col("op") == "put", F.struct("ts", "seq", "value")))
+        .alias("_latest"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    surviving = F.filter(
+        F.col("_apps"),
+        lambda a: ~F.exists(
+            F.col("_rms"),
+            lambda r: (
+                F.struct(r["ts"].alias("ts"), r["seq"].alias("seq"))
+                > F.struct(a["ts"].alias("ts"), a["seq"].alias("seq"))
+            )
+            & F.when(r["rx"], F.regexp_like(a["value"], r["value"])).otherwise(
+                r["value"] == a["value"]
+            ),
+        ),
+    )
+    journal_val = F.when(
+        F.size(surviving) > 0, F.array_join(surviving.getField("value"), ",")
+    )
+    return agged.select(
+        "row_key",
+        "family",
+        "qualifier",
+        F.when(F.col("_is_inc"), F.col("_inc_val"))
+        .when(F.col("_is_journal"), journal_val)
+        .otherwise(F.col("_latest").getField("value"))
+        .alias("value"),
+        "n_events",
     )
 
 

@@ -97,23 +97,37 @@ def knn_query(
     candidate set BEFORE ranking, pushed into the scan — not a
     post-filter over the k results. Solr ranks by similarity only;
     ties here break toward the lower id so the result is total-ordered
-    and oracle-checkable."""
+    and oracle-checkable.
+
+    Local params follow Solr's grammar: ``key=value`` pairs in ANY
+    order, unknown keys tolerated (Solr passes extras through), so
+    ``{!knn topK=10 f=embedding}`` is as valid as the f-first form."""
     import re
 
-    m = re.match(
-        r"^\{!knn\s+f=(?P<f>\w+)(?:\s+topK=(?P<k>\d+))?\s*\}"
-        r"\s*\[(?P<vec>[^\]]*)\]\s*$",
-        query_text.strip(),
-    )
+    m = re.match(r"^\{!knn\s+(?P<params>[^}]*)\}\s*\[(?P<vec>[^\]]*)\]\s*$",
+                 query_text.strip())
     if not m:
         raise ValueError(f"not a {{!knn}} query: {query_text!r}")
+    params: dict[str, str] = {}
+    for part in m.group("params").split():
+        if "=" not in part:
+            raise ValueError(f"bad {{!knn}} local param {part!r}")
+        key, val = part.split("=", 1)
+        params[key] = val
+    if "f" not in params:
+        raise ValueError("{!knn} requires f=<vector field>")
+    if not re.fullmatch(r"\w+", params["f"]):
+        raise ValueError(f"bad {{!knn}} field name {params['f']!r}")
+    try:
+        k = int(params["topK"]) if "topK" in params else k_default
+    except ValueError:
+        raise ValueError(f"bad {{!knn}} topK {params['topK']!r}") from None
     vec = [float(x) for x in m.group("vec").split(",") if x.strip()]
     if not vec:
         raise ValueError("empty query vector")
-    k = int(m.group("k")) if m.group("k") else k_default
     src = embeddings if pre_filter is None else embeddings.filter(pre_filter)
     return knn_brute_force(
-        src, vec, k=k, id_col=id_col, vec_col=m.group("f"),
+        src, vec, k=k, id_col=id_col, vec_col=params["f"],
         score_decimals=score_decimals,
     )
 

@@ -510,6 +510,93 @@ ORDER BY row_key, qualifier
 """
 
 
+def cdc_atomic_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr atomic-update ``remove``/``removeregex`` verbs (SolrJ
+    partial-update surface — the solrj the reference ships,
+    pom.xml:22, supports list-element removal alongside set/inc/add):
+    each user's journal cell accumulates digit tokens (view/click
+    appends); ``purchase`` events REMOVE all earlier occurrences of
+    their digit, ``signup`` events REMOVE-BY-REGEX every earlier
+    element in a digit class, ``error`` rows are tombstones. An
+    element appended AFTER a remove survives — Solr's in-order
+    atomic-update application (cdc.mutations.resolve_mutations:
+    the removes fold as a second bounded per-cell array; the survivor
+    filter is a zero-shuffle higher-order function)."""
+    from hbase_increment_index_spark.cdc.mutations import resolve_mutations
+
+    events = _t(spark, sf_dir, "events")
+    et = F.col("event_type")
+    digit = (F.floor(F.col("value")).cast("long") % 10).cast("string")
+    rx_hi = (F.floor(F.col("value")).cast("long") % 5).cast("string")
+    mlog = events.select(
+        F.when(et == "error", F.lit("delete"))
+        .when(et == "purchase", F.lit("remove"))
+        .when(et == "signup", F.lit("removeregex"))
+        .otherwise(F.lit("append"))
+        .alias("op"),
+        F.col("user_id").cast("string").alias("row_key"),
+        F.lit("cf").alias("family"),
+        F.lit("journal").alias("qualifier"),
+        F.when(et == "signup", F.concat(F.lit("^[0-"), rx_hi, F.lit("]$")))
+        .otherwise(digit)
+        .alias("value"),
+        F.lit(None).cast("long").alias("ival"),
+        F.col("ts").alias("ts"),
+        F.col("event_id").alias("seq"),
+    )
+    return resolve_mutations(mlog).orderBy("row_key")
+
+
+CDC_ATOMIC_REMOVE_SQL = """
+WITH mlog AS (
+  SELECT CASE WHEN event_type = 'error' THEN 'delete'
+              WHEN event_type = 'purchase' THEN 'remove'
+              WHEN event_type = 'signup' THEN 'removeregex'
+              ELSE 'append' END AS op,
+         CAST(user_id AS VARCHAR) AS row_key,
+         'cf' AS family, 'journal' AS qualifier,
+         CASE WHEN event_type = 'signup'
+              THEN '^[0-' || CAST(CAST(FLOOR(value) AS BIGINT) % 5 AS VARCHAR) || ']$'
+              ELSE CAST(CAST(FLOOR(value) AS BIGINT) % 10 AS VARCHAR) END AS value,
+         ts, event_id AS seq
+  FROM events
+),
+tomb AS (
+  SELECT row_key, ts AS tts, seq AS tseq FROM mlog WHERE op = 'delete'
+  QUALIFY row_number() OVER (PARTITION BY row_key ORDER BY ts DESC, seq DESC) = 1
+),
+alive AS (
+  SELECT m.* FROM mlog m LEFT JOIN tomb t USING (row_key)
+  WHERE m.op <> 'delete'
+    AND (t.tts IS NULL OR (m.ts, m.seq) > (t.tts, t.tseq))
+),
+surv AS (
+  SELECT a.row_key, a.family, a.qualifier, a.value, a.ts, a.seq
+  FROM alive a
+  WHERE a.op = 'append' AND NOT EXISTS (
+    SELECT 1 FROM alive r
+    WHERE r.row_key = a.row_key AND r.family = a.family
+      AND r.qualifier = a.qualifier
+      AND r.op IN ('remove', 'removeregex')
+      AND (r.ts, r.seq) > (a.ts, a.seq)
+      AND ((r.op = 'remove' AND r.value = a.value)
+           OR (r.op = 'removeregex' AND regexp_matches(a.value, r.value)))
+  )
+),
+cells AS (
+  SELECT row_key, family, qualifier, count(*) AS n_events
+  FROM alive GROUP BY 1, 2, 3
+)
+SELECT c.row_key, c.family, c.qualifier,
+       (SELECT string_agg(s.value, ',' ORDER BY s.ts, s.seq) FROM surv s
+        WHERE s.row_key = c.row_key AND s.family = c.family
+          AND s.qualifier = c.qualifier) AS value,
+       CAST(c.n_events AS BIGINT) AS n_events
+FROM cells c
+ORDER BY row_key
+"""
+
+
 def cdc_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HBase ``VERSIONS=2`` cell retention (the reference's primary
     store is an HBase table; version count is a column-family

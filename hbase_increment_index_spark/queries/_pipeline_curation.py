@@ -1714,6 +1714,168 @@ ORDER BY source ASC
 """
 
 
+def _degraded_twin_corpus(docs: DataFrame) -> DataFrame:
+    """original ∪ three deterministic degraded twins (drop every
+    4th/8th/16th token; ids offset by m*1e7) — the mid-similarity-curve
+    corpus the e2n/e2q calibration harnesses share. Pure projections +
+    unionByName; no shuffle."""
+    from hbase_increment_index_spark.search.tokenize import tokens
+
+    variants = [docs]
+    for m in (4, 8, 16):
+        variants.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(m * 10_000_000)).alias("doc_id"),
+                F.array_join(
+                    F.filter(
+                        tokens("text"), lambda x, i: (i + 1) % F.lit(m) != 0
+                    ),
+                    " ",
+                ).alias("text"),
+            )
+        )
+    corpus = variants[0]
+    for v in variants[1:]:
+        corpus = corpus.unionByName(v)
+    return corpus
+
+
+# DuckDB twin of _degraded_twin_corpus (list_filter's lambda index is
+# 1-BASED where Spark's is 0-based — the (i + 1) on the Spark side
+# aligns the two, so twins are token-identical)
+def _degraded_twin_corpus_sql() -> str:
+    toks = _SQL_TOKS.format(c="text")
+    return f"""
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 40000000 AS doc_id,
+         array_to_string(list_filter({toks}, (t, i) -> i % 4 <> 0), ' ') AS text
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 80000000 AS doc_id,
+         array_to_string(list_filter({toks}, (t, i) -> i % 8 <> 0), ' ') AS text
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 160000000 AS doc_id,
+         array_to_string(list_filter({toks}, (t, i) -> i % 16 <> 0), ' ') AS text
+  FROM documents
+"""
+
+
+def e2q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup calibration — the SimHash twin of e2n's
+    MinHash recall curve, over the SAME degraded-twin corpus: per
+    exact-Jaccard 0.1 band, the empirical recall of the 60-bit
+    md5-portable SimHash detector at hamming <= 3 (Hamming-ball
+    banding: 4 exact 15-bit blocks; pigeonhole makes the candidate
+    join COMPLETE for <= 3, so the curve measures the signature, not
+    the banding). The report a dedup operator reads when choosing
+    SimHash (cheaper: 1 signature vs 64 lanes, no shingle explosion —
+    the short-doc option) versus MinHash-LSH: SimHash@3 is a
+    tight-near-dup detector, so mid-Jaccard bands show the recall it
+    gives up in exchange. Both legs are banded bucket-joins, never
+    all-pairs; the calibration join runs on the two PAIR frames
+    (pipeline/dedup.py simhash_pairs, ngram_jaccard_pairs)."""
+    from hbase_increment_index_spark.pipeline.dedup import (
+        ngram_jaccard_pairs,
+        simhash_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = _degraded_twin_corpus(docs)
+    exact = ngram_jaccard_pairs(corpus, "doc_id", "text", n=3, threshold=0.15)
+    sh = simhash_pairs(
+        corpus, "doc_id", "text", max_hamming=3, bits=60, hash_fn="md5"
+    ).select("id_a", "id_b", F.lit(1).alias("caught"))
+    return (
+        exact.join(sh, ["id_a", "id_b"], "left")
+        .withColumn("band_lo", F.floor(F.col("jaccard") * 10) / 10.0)
+        .groupBy("band_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.coalesce(F.col("caught"), F.lit(0))).cast("long").alias("n_caught"),
+        )
+        .select(
+            "band_lo",
+            "n_exact",
+            "n_caught",
+            F.round(F.col("n_caught") / F.col("n_exact"), 6).alias("empirical_recall"),
+        )
+        .orderBy(F.col("band_lo").asc())
+    )
+
+
+def _e2q_sql() -> str:
+    from hbase_increment_index_spark.pipeline.dedup import PORTABLE_HASH60_SQL
+
+    toks = _SQL_TOKS.format(c="text")
+    h = PORTABLE_HASH60_SQL.format(c="t")
+    return f"""
+WITH corpus AS ({_degraded_twin_corpus_sql()}),
+tok AS (
+  SELECT doc_id AS doc, unnest({toks}) AS t
+  FROM corpus WHERE len({toks}) > 0
+),
+th AS (SELECT doc, {h} AS hv FROM tok),
+bitsums AS (
+  SELECT doc, b.i AS i,
+         SUM(CASE WHEN (hv >> b.i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM th CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS i) b
+  GROUP BY doc, b.i
+),
+sig AS (
+  SELECT doc,
+         CAST(SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << i)
+                       ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sig
+  FROM bitsums GROUP BY doc
+),
+blk AS (
+  SELECT doc, sig, b.i AS blk, (sig >> (15 * b.i)) & 32767 AS bv
+  FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) b
+),
+cand AS (
+  SELECT DISTINCT x.doc AS id_a, y.doc AS id_b, x.sig AS sig_a, y.sig AS sig_b
+  FROM blk x JOIN blk y USING (blk, bv)
+  WHERE x.doc < y.doc
+),
+shp AS (SELECT id_a, id_b FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3),
+esh AS (
+  SELECT DISTINCT doc_id AS doc,
+         unnest(list_distinct(
+           list_transform(
+             generate_series(1, greatest(len({toks}) - 2, 0)),
+             i -> array_to_string(list_slice({toks}, i, i + 2), ' ')
+           ))) AS sh
+  FROM corpus
+),
+esizes AS (SELECT doc, count(*) AS n_sh FROM esh GROUP BY doc),
+ecommon AS (
+  SELECT a.doc AS id_a, b.doc AS id_b, count(*) AS common
+  FROM esh a JOIN esh b USING (sh)
+  WHERE a.doc < b.doc
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT id_a, id_b,
+         ROUND(common / (sa.n_sh + sb.n_sh - common), 6) AS jaccard
+  FROM ecommon
+  JOIN esizes sa ON sa.doc = id_a
+  JOIN esizes sb ON sb.doc = id_b
+  WHERE ROUND(common / (sa.n_sh + sb.n_sh - common), 6) >= 0.15
+),
+joined AS (
+  SELECT e.jaccard, CASE WHEN p.id_a IS NULL THEN 0 ELSE 1 END AS caught
+  FROM exact e LEFT JOIN shp p ON p.id_a = e.id_a AND p.id_b = e.id_b
+)
+SELECT floor(jaccard * 10) / 10.0 AS band_lo,
+       CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(SUM(caught) AS BIGINT) AS n_caught,
+       ROUND(SUM(caught) / count(*), 6) AS empirical_recall
+FROM joined GROUP BY 1
+ORDER BY band_lo ASC
+"""
+
+
 def e2n_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH banding-parameter calibration: per 0.1 similarity band, the
     EMPIRICAL recall of the (64-perm, 16-band, r=4) MinHash pipeline —
@@ -1743,25 +1905,9 @@ def e2n_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_lsh_pairs,
         ngram_jaccard_pairs,
     )
-    from hbase_increment_index_spark.search.tokenize import tokens
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    variants = [docs]
-    for m in (4, 8, 16):
-        variants.append(
-            docs.select(
-                (F.col("doc_id") + F.lit(m * 10_000_000)).alias("doc_id"),
-                F.array_join(
-                    F.filter(
-                        tokens("text"), lambda x, i: (i + 1) % F.lit(m) != 0
-                    ),
-                    " ",
-                ).alias("text"),
-            )
-        )
-    corpus = variants[0]
-    for v in variants[1:]:
-        corpus = corpus.unionByName(v)
+    corpus = _degraded_twin_corpus(docs)
     exact = ngram_jaccard_pairs(corpus, "doc_id", "text", n=3, threshold=0.15)
     lsh = minhash_lsh_pairs(
         corpus, "doc_id", "text", threshold=0.15, hash_fn="md5"
@@ -1790,26 +1936,8 @@ def e2n_lsh_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _e2n_sql() -> str:
     toks = _SQL_TOKS.format(c="text")
-    # degraded-twin corpus: DuckDB list_filter's lambda index is
-    # 1-BASED where Spark's filter index is 0-based — the (i + 1) on
-    # the Spark side aligns the two, so twins are token-identical
-    corpus = f"""
-  SELECT doc_id, text FROM documents
-  UNION ALL
-  SELECT doc_id + 40000000 AS doc_id,
-         array_to_string(list_filter({toks}, (t, i) -> i % 4 <> 0), ' ') AS text
-  FROM documents
-  UNION ALL
-  SELECT doc_id + 80000000 AS doc_id,
-         array_to_string(list_filter({toks}, (t, i) -> i % 8 <> 0), ' ') AS text
-  FROM documents
-  UNION ALL
-  SELECT doc_id + 160000000 AS doc_id,
-         array_to_string(list_filter({toks}, (t, i) -> i % 16 <> 0), ' ') AS text
-  FROM documents
-"""
     return f"""
-WITH corpus AS ({corpus}),
+WITH corpus AS ({_degraded_twin_corpus_sql()}),
 {_minhash_sql_ctes(threshold=0.15, source="corpus")},
 esh AS (
   SELECT DISTINCT doc_id AS doc,

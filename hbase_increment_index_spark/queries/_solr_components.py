@@ -1455,6 +1455,83 @@ SELECT node FROM hop2 ORDER BY node ASC
 """
 
 
+def q61i_stream_scorenodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``scoreNodes()`` — the scoring leg of the /stream graph
+    language (solrj 9.x, reference pom.xml:22): Solr pairs nodes()
+    with scoreNodes() to turn a graph walk into a recommender. One
+    BFS hop gathers custkeys with their edge counts
+    (nodes(..., count(*))); scoreNodes tf-idf-scores each node —
+    nodeScore = count_star * ln((numDocs+1)/(docFreq+1)), docFreq
+    counted in the collection's gather field (ScoreNodesStream
+    semantics). Plan: frontier-proportional broadcast hop, then one
+    vocabulary-bounded docFreq agg over the node set + a 1-row
+    numDocs scalar — the corpus scans twice, shuffles never."""
+    return _stream(
+        spark, sf_dir,
+        'sort(scoreNodes(nodes(orders, search(orders, '
+        'fq="o_orderkey:[0 TO 19]", fl="o_orderkey,o_custkey"), '
+        'walk="o_custkey->o_orderkey", gather="o_custkey", count(*)), '
+        'orders, field="o_custkey"), by="node asc")',
+    )
+
+
+Q61I_SQL = """
+WITH hop AS (
+  SELECT o.o_custkey AS node, CAST(count(*) AS BIGINT) AS count_star
+  FROM orders o
+  WHERE o.o_orderkey IN (
+    SELECT DISTINCT o_custkey FROM orders WHERE o_orderkey BETWEEN 0 AND 19
+  )
+  GROUP BY 1
+),
+nd AS (SELECT CAST(count(*) AS DOUBLE) AS num_docs FROM orders),
+dfq AS (
+  SELECT o_custkey AS node, CAST(count(*) AS BIGINT) AS df
+  FROM orders GROUP BY 1
+)
+SELECT h.node, h.count_star,
+       CAST(COALESCE(d.df, 0) AS BIGINT) AS "docFreq",
+       ROUND(h.count_star * ln((nd.num_docs + 1) / (COALESCE(d.df, 0) + 1)), 6)
+         AS "nodeScore"
+FROM hop h LEFT JOIN dfq d USING (node), nd
+ORDER BY h.node ASC
+"""
+
+
+def q79_topic_pull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``topic()`` — the /stream checkpointed incremental-pull
+    decorator (solrj 9.x, reference pom.xml:22): "give me the docs
+    newer than my last pull". This is the reference coprocessor's
+    change-capture thesis (HbaseSolrIndexCoprocesser.java:37-61 —
+    keep a consumer current under writes) surfaced as a query. The
+    registry form is the BATCH TWIN: a fresh checkpoint collection per
+    call, so the first pull ≡ search() with the same q (which is what
+    the oracle checks); the two-pull delta semantics and checkpoint
+    persistence are pytest-verified side effects
+    (tests/test_streaming_expr.py). Plan: pushed-filter scan (q AND
+    version > checkpoint both reach the parquet reader); checkpoint
+    state is a 1-row-per-topic COW table."""
+    import tempfile
+
+    from hbase_increment_index_spark.catalog import load_all
+    from hbase_increment_index_spark.search.streaming_expr import StreamCompiler
+
+    ck = tempfile.mkdtemp(prefix="topic_q79_") + "/ck"
+    comp = StreamCompiler(load_all(spark, sf_dir), sink_paths={"checkpoints": ck})
+    return comp.compile(
+        'topic(checkpoints, orders, q="o_totalprice:[400000 TO *]", '
+        'id="q79", versionField="o_orderkey", '
+        'fl="o_orderkey,o_custkey,o_totalprice")'
+    )
+
+
+Q79_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_totalprice >= 400000
+"""
+
+
 def q61h_stream_significant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``significantTerms()`` stream source — the q43 aggregate (terms
     overrepresented in German docs vs the corpus, lift-scored) surfaced

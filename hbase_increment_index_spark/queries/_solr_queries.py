@@ -463,6 +463,31 @@ WHERE o_totalprice > 150000.0
 """
 
 
+def q15c_group_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr ``group.facet=true`` — facet counts BY GROUP over the
+    grouped result set (the standard companion to ``group.field``):
+    for each o_orderpriority value, the number of CUSTOMERS (groups)
+    with at least one matching big-ticket order, not the number of
+    orders (facets.facet_by_group: one count-distinct hash agg, no
+    window, no join)."""
+    orders = _t(spark, sf_dir, "orders")
+    return facets.facet_by_group(
+        orders.filter(F.col("o_totalprice") > 150000.0),
+        group_field="o_custkey",
+        facet_field="o_orderpriority",
+    )
+
+
+Q15C_SQL = """
+SELECT o_orderpriority,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_groups
+FROM orders
+WHERE o_totalprice > 150000.0
+GROUP BY o_orderpriority
+ORDER BY n_groups DESC, o_orderpriority ASC
+"""
+
+
 # --------------------------------------------------------------------------
 # Q10–Q14, Q16 — facets, stats, distinct, pivot
 # --------------------------------------------------------------------------
@@ -2158,6 +2183,75 @@ SELECT doc_id, CAST(snippet_no AS BIGINT) AS snippet_no, CAST(pos AS BIGINT) AS 
          ' ') AS snippet
 FROM fr
 ORDER BY doc_id, snippet_no
+"""
+
+
+def q30c_unified_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr ``hl.method=unified`` — per-passage BM25-scored snippet
+    selection (Lucene UnifiedHighlighter PassageScorer), not q30's
+    token-window-around-first-hit: each doc splits into 10-token
+    passages (the fragsize fallback — this corpus has no sentence
+    boundaries), every passage BM25-scores against the query terms
+    using document-level idf + passage-length norm, and the top-2
+    passages per doc come back with hits tagged
+    (search.highlight.unified_highlight; stats are two broadcast
+    scalars, passages a capped explode, top-k one window over
+    matching passages only)."""
+    from hbase_increment_index_spark.search.highlight import unified_highlight
+
+    docs = _t(spark, sf_dir, "documents")
+    return unified_highlight(
+        docs, "doc_id", "text", terms=["spark", "merge"], passage_size=10, k=2
+    ).orderBy("doc_id", "passage_no")
+
+
+_Q30C_TERMS = ("spark", "merge")
+
+
+def _q30c_sql() -> str:
+    toks = _SQL_TOKS.format(c="text")
+    t0, t1 = _Q30C_TERMS
+    norm = "1.2 * (0.25 + 0.75 * len(passage) / a.avg_plen)"
+    leg = (
+        "ln(1 + (s.n_docs - s.df{i} + 0.5) / (s.df{i} + 0.5))"
+        " * tf{i} * 2.2 / (tf{i} + " + norm + ")"
+    )
+    return f"""
+WITH p AS (SELECT doc_id, {toks} AS t FROM documents),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         CAST(SUM(CASE WHEN list_contains(t, '{t0}') THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+         CAST(SUM(CASE WHEN list_contains(t, '{t1}') THEN 1 ELSE 0 END) AS DOUBLE) AS df1
+  FROM p
+),
+pass AS (
+  SELECT doc_id, g.i AS pno,
+         list_slice(t, (g.i - 1) * 10 + 1, (g.i - 1) * 10 + 10) AS passage
+  FROM p, unnest(generate_series(1,
+         greatest(CAST(ceil(len(t) / 10.0) AS INT), 1))) AS g(i)
+),
+a AS (SELECT CAST(SUM(len(passage)) AS DOUBLE) / count(*) AS avg_plen FROM pass),
+tfs AS (
+  SELECT doc_id, pno, passage,
+         len(list_filter(passage, x -> x = '{t0}')) AS tf0,
+         len(list_filter(passage, x -> x = '{t1}')) AS tf1
+  FROM pass
+),
+sc AS (
+  SELECT doc_id, pno, passage,
+         ROUND({leg.format(i=0)} + {leg.format(i=1)}, 6) AS score
+  FROM tfs, stats s, a
+)
+SELECT doc_id, CAST(pno AS BIGINT) AS passage_no, score,
+       array_to_string(
+         list_transform(passage,
+           x -> CASE WHEN x IN ('{t0}', '{t1}')
+                THEN '<em>' || x || '</em>' ELSE x END), ' ') AS snippet
+FROM sc
+WHERE score > 0
+QUALIFY row_number() OVER (
+  PARTITION BY doc_id ORDER BY score DESC, pno ASC) <= 2
+ORDER BY doc_id, passage_no
 """
 
 

@@ -179,6 +179,123 @@ def snippets_multi(
     )
 
 
+def unified_highlight(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: list[str],
+    passage_size: int = 10,
+    k: int = 2,
+    k1: float = 1.2,
+    b: float = 0.75,
+    pre: str = "<em>",
+    post: str = "</em>",
+    score_decimals: int = 6,
+) -> DataFrame:
+    """Solr ``hl.method=unified`` — passage scoring: split each
+    document into passages, BM25-score every passage against the query
+    terms, and return the top-``k`` passages per document (Lucene's
+    UnifiedHighlighter PassageScorer). The break iterator here is
+    fixed ``passage_size``-token windows — the fragsize fallback the
+    unified highlighter uses when the text has no sentence boundaries
+    (this corpus has none); Lucene's per-passage score is
+
+        sum over query terms t of idf(t) * tf*(k1+1)/(tf + k1*(1 - b + b*len/avgLen))
+
+    with idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)) from DOCUMENT-level
+    stats (the highlighter reads index df, not passage df) and avgLen
+    the corpus-wide mean passage length.
+
+    Plan: corpus stats are two tiny aggregates (per-term document
+    frequency — vocabulary-bounded, here |terms| rows — and the avgLen
+    scalar) broadcast into a per-row projection; passages are a capped
+    explode of token slices; top-k per doc is one window over the
+    zero-score-filtered passage set. One corpus scan for stats + one
+    for passages; no corpus shuffle — the only exchange carries
+    scored matching passages.
+
+    Returns (id, passage_no, score, snippet) — passage_no 1-based in
+    document order, hit tokens wrapped in the tags; ties break toward
+    the earlier passage (Lucene's behavior for equal scores)."""
+    lterms = [t.lower() for t in terms]
+    toks = tokens(text_col)
+
+    # document-level df per term + total doc count, in ONE pass
+    stats = df.select(toks.alias("_t")).agg(
+        F.count(F.lit(1)).cast("double").alias("_n_docs"),
+        *[
+            F.sum(F.array_contains("_t", t).cast("long")).cast("double").alias(f"_df_{i}")
+            for i, t in enumerate(lterms)
+        ],
+    )
+
+    passages = (
+        df.select(F.col(id_col), toks.alias("_toks"))
+        .select(
+            F.col(id_col),
+            F.posexplode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.greatest(
+                            F.ceil(F.size("_toks") / passage_size).cast("int") - 1,
+                            F.lit(0),
+                        ),
+                    ),
+                    lambda i: F.slice("_toks", i * passage_size + 1, passage_size),
+                )
+            ).alias("_p", "_passage"),
+        )
+        .withColumn("_plen", F.size("_passage"))
+    )
+    # exact-integer mean (sum/count, one double division) so the scalar
+    # is bit-identical across partition orders and engines
+    avg_len = passages.agg(
+        (F.sum("_plen").cast("double") / F.count(F.lit(1))).alias("_avg_plen")
+    )
+
+    scored = passages.crossJoin(F.broadcast(stats)).crossJoin(F.broadcast(avg_len))
+    norm = F.lit(k1) * (
+        F.lit(1.0 - b)
+        + F.lit(b) * F.col("_plen").cast("double") / F.col("_avg_plen")
+    )
+    score = F.lit(0.0)
+    for i, t in enumerate(lterms):
+        tf = F.size(F.filter("_passage", lambda x: x == t)).cast("double")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("_n_docs") - F.col(f"_df_{i}") + 0.5) / (F.col(f"_df_{i}") + 0.5)
+        )
+        score = score + idf * tf * F.lit(k1 + 1.0) / (tf + norm)
+
+    tagged = F.array_join(
+        F.transform(
+            "_passage",
+            lambda x: F.when(
+                x.isin(*lterms), F.concat(F.lit(pre), x, F.lit(post))
+            ).otherwise(x),
+        ),
+        " ",
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("passage_no").asc()
+    )
+    return (
+        scored.select(
+            F.col(id_col),
+            (F.col("_p") + 1).cast("long").alias("passage_no"),
+            F.round(score, score_decimals).alias("score"),
+            tagged.alias("snippet"),
+        )
+        .filter(F.col("score") > 0)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def snippets(
     df: DataFrame,
     id_col: str,

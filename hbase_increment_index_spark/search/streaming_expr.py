@@ -56,6 +56,10 @@ Supported stream sources/decorators (Solr names):
                                        # nest nodes() calls for multi-hop
     update(dest, stream, key="idField")  # write-back decorator: COW
                                        # MERGE into the dest collection
+    topic(ckptColl, coll, q="...", id="t1", versionField="ts")
+                                       # checkpointed incremental pull
+    scoreNodes(nodes(..., count(*)), coll, field="f")  # tf-idf node scores
+    daemon(stream, id="d1", runInterval=30000)  # background-loop handle
 
 Metric aliases are deterministic (`sum(x)` → column ``sum_x``,
 `count(*)` → ``count_star``), so an oracle SQL twin can name the same
@@ -258,6 +262,33 @@ def _bool_col(call: Call):
     return getattr(F.col(fld), ops[call.name])(F.lit(lit))
 
 
+def _validate_gap_alignment(start: str, unit: str, gap: str) -> None:
+    """timeseries() bucket labels come from date_trunc(unit, ...), which
+    is only Solr's start+k*gap lattice when ``start`` is aligned to the
+    gap unit. A misaligned start (start="1996-01-15" with gap=+1MONTH)
+    would silently shift every bucket boundary — fail loudly instead."""
+    from datetime import datetime
+
+    try:
+        dt = datetime.fromisoformat(start.strip().rstrip("Z").replace("T", " "))
+    except ValueError:
+        raise StreamExprError(f"unparseable timeseries start {start!r}") from None
+    misaligned = {
+        "year": dt.month != 1 or dt.day != 1
+        or (dt.hour, dt.minute, dt.second, dt.microsecond) != (0, 0, 0, 0),
+        "month": dt.day != 1
+        or (dt.hour, dt.minute, dt.second, dt.microsecond) != (0, 0, 0, 0),
+        "day": (dt.hour, dt.minute, dt.second, dt.microsecond) != (0, 0, 0, 0),
+        "hour": (dt.minute, dt.second, dt.microsecond) != (0, 0, 0),
+    }[unit]
+    if misaligned:
+        raise StreamExprError(
+            f"timeseries start {start!r} is not aligned to gap {gap!r}: "
+            f"date_trunc({unit!r}, start) != start, so bucket labels would "
+            "differ from Solr's start+k*gap lattice"
+        )
+
+
 # ---------------------------------------------------------------- compiler
 
 
@@ -275,6 +306,7 @@ class StreamCompiler:
         tables: dict[str, DataFrame],
         text_fields: set[str] | None = None,
         sink_paths: dict[str, str] | None = None,
+        tables_provider=None,
     ):
         self.tables = tables
         self.text_fields = text_fields
@@ -283,6 +315,14 @@ class StreamCompiler:
         # Explicit opt-in — a query expression can never write anywhere
         # the caller didn't name.
         self.sink_paths = sink_paths or {}
+        # daemon() iterations re-snapshot sources through this callable
+        # (default: the static catalog) so parquet-backed collections
+        # pick up files written between runs
+        self.tables_provider = tables_provider or (lambda: self.tables)
+        # daemon() registrations by id — posting the expression creates
+        # the handle; the caller drives or starts it (Solr's /stream
+        # daemon list/start/stop actions)
+        self.daemons: dict[str, Daemon] = {}
 
     def compile(self, text: str) -> DataFrame:
         return self._eval(parse(text))
@@ -520,6 +560,7 @@ class StreamCompiler:
                 f"unsupported gap {gap!r}; expected one of {sorted(self._GAPS)}"
             )
         unit, fmt, _ = self._GAPS[gap]
+        _validate_gap_alignment(start, unit, gap)
         metric_calls = [s for s in call.streams if s.name in _METRIC_FNS]
         if not metric_calls:
             raise StreamExprError("timeseries needs at least one metric")
@@ -566,7 +607,10 @@ class StreamCompiler:
         against the walk target field in ``collection``, and emit the
         DISTINCT ``gather``-field values of the matched docs as
         ``node``. Multi-hop traversals nest nodes() calls, exactly the
-        Solr composition.
+        Solr composition. A ``count(*)`` metric sub-call switches on
+        Solr's nodes aggregation: each node also carries ``count_star``,
+        the number of matched docs that gathered to it (the edge count
+        scoreNodes() consumes as term frequency).
 
         Plan per hop: the frontier key set (distinct, small by the BFS
         contract) broadcasts into a hash join against the collection —
@@ -577,9 +621,13 @@ class StreamCompiler:
         table = call.fields[0]
         if table not in self.tables:
             raise StreamExprError(f"unknown collection {table!r}")
-        if len(call.streams) != 1:
+        inner_calls = [s for s in call.streams if s.name not in _METRIC_FNS]
+        metric_calls = [s for s in call.streams if s.name in _METRIC_FNS]
+        if len(inner_calls) != 1:
             raise StreamExprError("nodes takes exactly one stream")
-        inner = self._eval(call.streams[0])
+        if any(m.name != "count" for m in metric_calls):
+            raise StreamExprError("nodes supports only the count(*) aggregation")
+        inner = self._eval(inner_calls[0])
         walk = self._param(call, "walk")
         if "->" not in walk:
             raise StreamExprError(f"walk must be 'src->dst', got {walk!r}")
@@ -588,6 +636,10 @@ class StreamCompiler:
         df = self.tables[table]
         keys = inner.select(F.col(src).alias("_v")).distinct()
         matched = df.join(F.broadcast(keys), df[dst] == F.col("_v")).drop("_v")
+        if metric_calls:
+            return matched.groupBy(F.col(gather).alias("node")).agg(
+                F.count(F.lit(1)).alias("count_star")
+            )
         return matched.select(F.col(gather).alias("node")).distinct()
 
     def _op_significantTerms(self, call: Call) -> DataFrame:  # noqa: N802
@@ -639,8 +691,17 @@ class StreamCompiler:
         Destinations must be pre-registered via ``sink_paths``.
 
         Emits the one-row summary tuple Solr's update stream emits:
-        ``batchIndexed`` (rows written). The count is taken from the
-        (already batch-sized) stream before the merge."""
+        ``batchIndexed`` (rows written).
+
+        EAGER: the merge happens at compile time (inside
+        run_stream_expr), not when the returned summary frame is
+        consumed — Solr's update stream likewise indexes as tuples
+        flow, so the side effect is part of evaluating the expression.
+        The incoming batch is localCheckpoint'ed first so its lineage
+        executes exactly ONCE: the count and the merge both read the
+        materialized partitions (a non-deterministic upstream can't
+        make batchIndexed disagree with the rows actually merged, and
+        an expensive upstream isn't recomputed)."""
         from hbase_increment_index_spark.sinks import merge_upsert_parquet
 
         if not call.fields:
@@ -650,7 +711,7 @@ class StreamCompiler:
             raise StreamExprError(
                 f"destination {dest!r} not registered in sink_paths"
             )
-        df = self._one_stream(call)
+        df = self._one_stream(call).localCheckpoint(eager=True)
         key = self._param(call, "key")
         n = df.count()
         merge_upsert_parquet(
@@ -664,6 +725,246 @@ class StreamCompiler:
             F.lit(n).cast("long").alias("batchIndexed")
         )
 
+    def _op_scoreNodes(self, call: Call) -> DataFrame:  # noqa: N802 (Solr name)
+        """Solr ``scoreNodes()`` (solrj 9.x /stream graph scoring):
+        tf-idf-scores the nodes a ``nodes(..., count(*))`` hop gathered,
+        turning a graph walk into a recommender. Per ScoreNodesStream,
+        tf = the node's gathered edge count, idf uses the node value's
+        document frequency in the collection's gather field:
+
+            nodeScore = count_star * log((numDocs + 1) / (docFreq + 1))
+
+        Params: collection (positional) and ``field`` — where docFreq
+        is counted (Solr reads these from node metadata; here they are
+        explicit). Plan: the node set is frontier-small, so docFreq is
+        one hash agg over the collection semi-joined against the
+        broadcast node set; numDocs is a 1-row scalar crossJoin. The
+        corpus is scanned once and never shuffled."""
+        if not call.fields:
+            raise StreamExprError("scoreNodes needs a collection name")
+        table = call.fields[0]
+        if table not in self.tables:
+            raise StreamExprError(f"unknown collection {table!r}")
+        inner = self._one_stream(call)
+        if "count_star" not in inner.columns or "node" not in inner.columns:
+            raise StreamExprError(
+                "scoreNodes needs a nodes(..., count(*)) stream "
+                "(columns node, count_star)"
+            )
+        fld = self._param(call, "field")
+        df = self.tables[table]
+        node_set = inner.select(F.col("node").alias("_nv")).distinct()
+        dfreq = (
+            df.join(F.broadcast(node_set), df[fld] == F.col("_nv"))
+            .groupBy(F.col("_nv").alias("node"))
+            .agg(F.count(F.lit(1)).alias("docFreq"))
+        )
+        n_docs = df.agg(F.count(F.lit(1)).alias("_numDocs"))
+        return (
+            inner.join(F.broadcast(dfreq), "node", "left")
+            .withColumn("docFreq", F.coalesce(F.col("docFreq"), F.lit(0)))
+            .crossJoin(F.broadcast(n_docs))
+            .select(
+                "node",
+                "count_star",
+                "docFreq",
+                F.round(
+                    F.col("count_star")
+                    * F.log((F.col("_numDocs") + 1) / (F.col("docFreq") + 1)),
+                    6,
+                ).alias("nodeScore"),
+            )
+        )
+
+    def _op_topic(self, call: Call) -> DataFrame:
+        """Solr ``topic()`` (solrj 9.x /stream): checkpointed
+        incremental pull — "give me the docs newer than my last pull",
+        the reference coprocessor's change-capture thesis
+        (HbaseSolrIndexCoprocesser.java:37-61 keeps an index current
+        under writes) surfaced as a query decorator.
+
+            topic(checkpointCollection, collection, q="...",
+                  id="topicId", versionField="ts", fl="...")
+
+        State: one (topic_id, _ckpt) row per topic in a
+        merge_upsert_parquet COW table at
+        ``sink_paths[checkpointCollection]`` (same sink the update()
+        decorator uses — explicit opt-in, bounded to |topics| rows).
+        Each evaluation pulls rows with versionField strictly greater
+        than the stored checkpoint (first pull: everything matching
+        ``q``), then advances the checkpoint to the max version pulled;
+        an empty pull leaves the checkpoint untouched. Solr's topic
+        uses ``_version_``; the engine's collections are plain tables,
+        so the monotonic column is named explicitly.
+
+        EAGER like update(): the pull materializes (localCheckpoint)
+        and the checkpoint row merges during expression evaluation, so
+        two evaluations of the same expression ARE two pulls. Plan:
+        pushed-filter scan (q AND version > ckpt both reach the
+        parquet reader); checkpoint read/advance touches the 1-row-
+        per-topic state table only."""
+        from hbase_increment_index_spark.sinks import (
+            merge_upsert_parquet,
+            merged_table_exists,
+        )
+
+        if len(call.fields) < 2:
+            raise StreamExprError(
+                "topic needs checkpointCollection and collection names"
+            )
+        ckpt_coll, table = call.fields[0], call.fields[1]
+        if table not in self.tables:
+            raise StreamExprError(f"unknown collection {table!r}")
+        if ckpt_coll not in self.sink_paths:
+            raise StreamExprError(
+                f"checkpoint collection {ckpt_coll!r} not registered in sink_paths"
+            )
+        topic_id = self._param(call, "id")
+        ver = self._param(call, "versionField")
+        ckpt_path = self.sink_paths[ckpt_coll]
+
+        df = self.tables[table]
+        spark = df.sparkSession
+        text_fields = (
+            self.text_fields
+            if self.text_fields is not None
+            else ({"text"} if "text" in df.columns else set())
+        )
+        from hbase_increment_index_spark.search.solr_query import parse_query
+
+        q = call.params.get("q")
+        if q and q != "*:*":
+            df = df.filter(parse_query(q, text_fields))
+
+        ckpt_val = None
+        if merged_table_exists(spark, ckpt_path):
+            row = (
+                spark.read.parquet(ckpt_path)
+                .filter(F.col("topic_id") == topic_id)
+                .select("_ckpt")
+                .collect()
+            )
+            if row:
+                ckpt_val = row[0][0]
+        if ckpt_val is not None:
+            df = df.filter(F.col(ver) > F.lit(ckpt_val))
+        if "fl" in call.params:
+            df = df.select(*[c.strip() for c in call.params["fl"].split(",")])
+            if ver not in df.columns:
+                raise StreamExprError(f"fl must retain versionField {ver!r}")
+        pulled = df.localCheckpoint(eager=True)
+        new_max = pulled.agg(F.max(ver)).collect()[0][0]
+        if new_max is not None:
+            delta = spark.range(1).select(
+                F.lit(topic_id).alias("topic_id"), F.lit(new_max).alias("_ckpt")
+            )
+            merge_upsert_parquet(spark, ckpt_path, delta, "topic_id", n_buckets=1)
+        return pulled
+
+    def _op_daemon(self, call: Call) -> DataFrame:
+        """Solr ``daemon()`` decorator: registers the inner expression
+        as a background loop (see :class:`Daemon`). Posting the
+        expression REGISTERS the daemon (available afterwards in
+        ``compiler.daemons[id]``) and emits Solr's daemon summary tuple
+        (id, state, runInterval); it does not run an iteration — the
+        caller starts the loop or drives run_once(), matching Solr's
+        daemon list/start/stop control actions."""
+        daemon_id = self._param(call, "id")
+        interval = int(call.params.get("runInterval", 30000))
+        inner = [s for s in call.streams]
+        if len(inner) != 1:
+            raise StreamExprError("daemon takes exactly one stream")
+        d = Daemon(
+            daemon_id,
+            inner[0],
+            self.tables_provider,
+            interval,
+            self.text_fields,
+            self.sink_paths,
+        )
+        self.daemons[daemon_id] = d
+        # the summary tuple needs a SparkSession; any catalog table has one
+        spark = next(iter(self.tables.values())).sparkSession
+        return spark.range(1).select(
+            F.lit(daemon_id).alias("id"),
+            F.lit(d.state).alias("state"),
+            F.lit(interval).cast("long").alias("runInterval"),
+        )
+
+
+class Daemon:
+    """Solr ``daemon()`` handle: re-runs an inner streaming expression
+    on an interval, in the background — the decorator Solr uses to turn
+    an update() expression into a continuously-maintained index (the
+    reference's commit cadence is exactly such a loop,
+    application.properties:10,12 — 30 s softCommit/commit).
+
+    Each iteration re-resolves the source catalog via
+    ``tables_provider`` and compiles/evaluates the inner expression
+    FRESH, so a parquet-backed source picks up files written since the
+    last run — maintain-don't-rebuild as a loop. ``run_once()`` is the
+    deterministic unit tests drive; ``start()``/``stop()`` wrap it in a
+    daemon thread for wall-clock intervals. The iteration forces the
+    expression with collect(), which is bounded for the intended
+    daemon body (update()'s 1-row summary); a daemon over a huge
+    SELECT would be the caller's misuse, as in Solr."""
+
+    def __init__(
+        self,
+        daemon_id: str,
+        inner: Call,
+        tables_provider,
+        run_interval_ms: int,
+        text_fields: set[str] | None,
+        sink_paths: dict[str, str],
+    ):
+        self.daemon_id = daemon_id
+        self._inner = inner
+        self._tables_provider = tables_provider
+        self.run_interval_ms = run_interval_ms
+        self._text_fields = text_fields
+        self._sink_paths = sink_paths
+        self.iterations = 0
+        self.last_result = None
+        self._stop = None  # threading.Event while running
+
+    @property
+    def state(self) -> str:
+        return "running" if self._stop is not None else "stopped"
+
+    def run_once(self) -> list:
+        compiler = StreamCompiler(
+            self._tables_provider(),
+            text_fields=self._text_fields,
+            sink_paths=self._sink_paths,
+        )
+        out = compiler._eval(self._inner).collect()
+        self.iterations += 1
+        self.last_result = out
+        return out
+
+    def start(self) -> None:
+        import threading
+
+        if self._stop is not None:
+            return
+        self._stop = threading.Event()
+        stop = self._stop
+
+        def _loop():
+            while not stop.wait(self.run_interval_ms / 1000.0):
+                self.run_once()
+
+        self._thread = threading.Thread(target=_loop, daemon=True)
+        self._thread.start()
+
+    def stop(self) -> None:
+        if self._stop is None:
+            return
+        self._stop.set()
+        self._thread.join(timeout=30)
+        self._stop = None
+
 
 def run_stream_expr(
     spark: SparkSession,
@@ -676,7 +977,12 @@ def run_stream_expr(
     ``text_fields`` — columns with token-match semantics for bare ``q``
     values (None = the 'text'-column heuristic). ``sink_paths`` —
     collections the update() decorator may write back to (name →
-    merge_upsert_parquet table path)."""
+    merge_upsert_parquet table path).
+
+    SIDE EFFECTS: expressions containing ``update()`` (or a ``topic()``
+    checkpoint advance) perform their writes HERE, during compilation —
+    not lazily when the returned DataFrame is acted on. That mirrors
+    Solr, where posting the expression to /stream runs it."""
     return StreamCompiler(
         tables, text_fields=text_fields, sink_paths=sink_paths
     ).compile(expression)

@@ -18,6 +18,26 @@ vs 0.20/0.43; e3 0.34 vs 0.30/0.63; q39 0.34 vs 0.29/0.61) — the plans
 did not regress; the r4 numbers were machine-load/session-pressure
 noise. Best-of-3 → best-of-5 and the per-query clearCache above are
 the mitigations.
+
+Round-10 dedup-family drift investigation (the r8→r9 e2j +45% /
+q06 +59% / e2g / q61 / e2o drift the r9 verdict flagged): an
+INTERLEAVED A/B on one host — the exact r8 commit (33442d2) checked
+out in a worktree vs HEAD, each query isolated in its own fresh
+process, best-of-5, arms alternating — shows the two codebases are
+indistinguishable (q61 r8 {1.16, 1.19, 1.23}s vs r10 {1.07, 1.08,
+1.33}s; e2g r8 {1.67, 1.72}s vs r10 {1.78}s; e2j r8 2.63s vs r10
+2.38s; q06 r8 1.09s vs r10 1.21s; e2o r8 4.01s vs r10 4.26s — every
+pair within the sample spread, r10 faster in half). Decisively: the
+R8 CODE DOES NOT REPRODUCE ITS OWN R8-RECORDED NUMBERS on the
+r9/r10-era host (2.63s vs the 1.84s BENCH_r08 recorded for e2j;
+1.09 vs 0.88 for q06) — and the sf0.1 fixtures are seed-deterministic
+(seed=42, TESTDATA.md), so data is unchanged. The r8→r9 deltas are
+per-round HOST throughput variance (~20-45% on CPU-bound token/hash
+kernels), not plan regressions; the r9-touched code paths
+(_MEMO_LOCK, the larger headline set) are exonerated by the A/B.
+Cross-round comparisons should therefore normalize by a stable
+per-round probe (the flagship warm-up time works) before reading
+per-query deltas as regressions.
 """
 
 from __future__ import annotations
@@ -125,6 +145,18 @@ HEADLINE = [
     "q78_knn_parser",
     "q61h_stream_significant",
     "q47b_bbox",
+    # --- added r10: the topic() pull (checkpoint bootstrap + pushed-
+    # filter scan), scoreNodes(), grouped faceting, the remove-verb
+    # mutation resolve, and unified-highlighter passage scoring.
+    # (e2q_simhash_pairs is a calibration harness like e2n —
+    # deliberately not in the serving bench.)
+    "q79_topic_pull",
+    "q61i_stream_scorenodes",
+    "q15c_group_facet",
+    "cdc_atomic_remove",
+    "q30c_unified_highlight",
+    "q80_knn_search_stream",
+    "q61j_stream_cartesian",
 ]
 
 
@@ -142,6 +174,24 @@ def main() -> None:
     # per-query numbers measure the plan, not process startup
     QUERIES["flagship"](spark, sf_dir).toPandas()
     QUERIES["e4_token_counts"](spark, sf_dir).toPandas()
+
+    # host-throughput calibration probe: a fixed, data-independent
+    # CPU-bound job (hash 50M longs). Per-round hosts differ by
+    # 20-45% on CPU-bound kernels (see the round-10 investigation
+    # above) — cross-round per-query comparisons should divide by the
+    # probe ratio before reading a delta as a plan regression.
+    from pyspark.sql import functions as _Fp
+
+    probe_runs = []
+    for _ in range(3):
+        t0 = time.time()
+        # bit_count keeps the sum far from int64 overflow (ANSI mode)
+        spark.range(50_000_000).select(
+            _Fp.sum(_Fp.bit_count(_Fp.xxhash64("id")))
+        ).collect()
+        probe_runs.append(round(time.time() - t0, 3))
+    cpu_probe_sec = min(probe_runs)
+    print(f"# cpu calibration probe: {cpu_probe_sec:.3f}s {probe_runs}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
@@ -286,7 +336,11 @@ def main() -> None:
         os.path.dirname(os.path.abspath(__file__)), "bench_samples.json"
     )
     with open(samples_path, "w") as fh:
-        json.dump({"sf": sf, "samples": samples, "timings": timings}, fh, indent=1)
+        json.dump(
+            {"sf": sf, "samples": samples, "timings": timings,
+             "cpu_probe_runs": probe_runs},
+            fh, indent=1,
+        )
     print(
         f"# raw 5-run samples + full timings written to {samples_path}",
         file=sys.stderr,
@@ -307,7 +361,8 @@ def main() -> None:
         "e2o_signature_store", "e2o_signature_store_served",
         "e2p_store_served_pairs", "e19_threshold_sweep",
         "q61f_stream_timeseries", "q66b_phrase_clustering",
-        "q78_knn_parser",
+        "q78_knn_parser", "q79_topic_pull", "q61i_stream_scorenodes",
+        "q30c_unified_highlight", "q80_knn_search_stream",
         "q06c_bm25_servedidx", "q05c_phrase_servedidx",
         "q05d_phrase_slop_servedidx", "q69_span_near_servedidx",
     ]
@@ -327,6 +382,7 @@ def main() -> None:
                 "queries": {k: round(timings[k], 2) for k in keys},
                 "sf": sf,
                 "n_queries_total": len(timings),
+                "cpu_probe_sec": cpu_probe_sec,
                 "positional_index_build_once_sec": index_build_sec,
                 "postings_index_build_once_sec": postings_build_sec,
                 "signature_store_build_once_sec": sigstore_build_sec,

@@ -170,6 +170,71 @@ def resolve_mutations(mlog: DataFrame) -> DataFrame:
     )
 
 
+def resolve_journal_ordered(mlog: DataFrame) -> DataFrame:
+    """Exact IN-ORDER journal resolution — the full Solr atomic-update
+    multivalued verb set including ``add-distinct`` (SolrJ: append the
+    value only if not already present). Whereas resolve_mutations uses
+    closed-form per-op-class folds (sufficient for put/inc/append/
+    remove — each element's survival is decided by later events alone),
+    add-distinct's insert-iff-absent check reads the LIVE LIST STATE at
+    its own position, which is inherently sequential: whether an
+    earlier add-distinct inserted depends on the state before IT, and
+    removes reset presence between occurrences. So journal cells take
+    one ordered higher-order fold (collect_list → array_sort →
+    aggregate) over the per-cell event array: per-cell bounded work,
+    a single hash aggregate on the cell key, zero extra shuffles —
+    sequential SEMANTICS without sequential EXECUTION across cells.
+
+    Ops folded: ``append``, ``add-distinct``, ``remove``,
+    ``removeregex``; row tombstones (``delete``) mask as in
+    resolve_mutations; any other op contributes to ``n_events`` only.
+    Output matches resolve_mutations' journal shape: (row_key, family,
+    qualifier, value, n_events), value NULL when the list ends empty.
+    """
+    tomb = (
+        mlog.filter(F.col("op") == "delete")
+        .groupBy("row_key")
+        .agg(F.max(F.struct("ts", "seq")).alias("_tomb"))
+    )
+    pos = F.struct("ts", "seq")
+    alive = (
+        mlog.filter(F.col("op") != "delete")
+        .join(F.broadcast(tomb), "row_key", "left")
+        .filter(F.col("_tomb").isNull() | (pos > F.col("_tomb")))
+    )
+    agged = alive.groupBy("row_key", "family", "qualifier").agg(
+        F.array_sort(F.collect_list(F.struct("ts", "seq", "op", "value"))).alias("_ev"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+    def step(acc, e):
+        ins = F.concat(acc, F.array(e["value"]))
+        return (
+            F.when(e["op"] == "append", ins)
+            .when(
+                e["op"] == "add-distinct",
+                F.when(F.array_contains(acc, e["value"]), acc).otherwise(ins),
+            )
+            .when(e["op"] == "remove", F.filter(acc, lambda x: x != e["value"]))
+            .when(
+                e["op"] == "removeregex",
+                F.filter(acc, lambda x: ~F.regexp_like(x, e["value"])),
+            )
+            .otherwise(acc)
+        )
+
+    journal = F.aggregate(
+        F.col("_ev"), F.expr("CAST(array() AS array<string>)"), step
+    )
+    return agged.select(
+        "row_key",
+        "family",
+        "qualifier",
+        F.when(F.size(journal) > 0, F.array_join(journal, ",")).alias("value"),
+        "n_events",
+    )
+
+
 def apply_check_and_put(live: DataFrame, cap_batch: DataFrame) -> DataFrame:
     """HBase ``checkAndPut`` — the primary store's compare-and-set
     mutation (Table.checkAndPut / CheckAndMutate with a CompareOp):

@@ -1532,6 +1532,96 @@ WHERE o_totalprice >= 400000
 """
 
 
+def q39f_json_facet_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr ``json.facet`` DOMAIN change — the one JSON-facet concept
+    q39/q39b-e don't exercise: a facet computed over a DIFFERENT
+    docset than the query. ``q=lang:de`` with a terms facet over
+    ``source`` whose ``domain:{query:"*:*"}`` widens to the whole
+    collection, each bucket carrying a nested ``{!query} `` subfacet
+    counting the docs that DO match q — the global-vs-matched pair a
+    faceted-search UI renders as "N of M". Plan: ONE corpus scan, one
+    hash agg (the query-domain count is a conditional sum inside the
+    same aggregate — widening the domain must not buy a second scan)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_global"),
+            F.sum((F.col("lang") == "de").cast("long")).alias("n_query"),
+        )
+        .orderBy(F.col("n_global").desc(), F.col("source").asc())
+    )
+
+
+Q39F_SQL = """
+SELECT source, CAST(count(*) AS BIGINT) AS n_global,
+       CAST(SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS n_query
+FROM documents
+GROUP BY source
+ORDER BY n_global DESC, source ASC
+"""
+
+
+# The query vector is part of the {!knn} / knnSearch() query TEXT, so
+# both engines get it from this one constant (deterministic, dim-64
+# like the embeddings fixture). Shared by q78 and q80.
+_Q78_VEC = [((i * 37) % 21 - 10) / 10.0 for i in range(64)]
+
+
+def q80_knn_search_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``knnSearch()`` — the /stream source over the {!knn}
+    dense-vector parser (solrj 9.x, reference pom.xml:22): q78's
+    exact cosine top-k surfaced in the expression language, with the
+    fq PRE-filter pushed into the scan. Same plan: pruned scan →
+    codegen'd cosine → TakeOrderedAndProject."""
+    qvec = "[" + ", ".join(repr(x) for x in _Q78_VEC) + "]"
+    return _stream(
+        spark, sf_dir,
+        f'knnSearch(embeddings, f="embedding", vec="{qvec}", '
+        'topK=12, fq="vec_id:[100 TO *]")',
+    ).orderBy(F.col("score").desc(), F.col("vec_id").asc())
+
+
+Q80_SQL = f"""
+WITH q AS (SELECT [{", ".join(repr(x) for x in _Q78_VEC)}]::DOUBLE[] AS qv)
+SELECT vec_id,
+       ROUND(
+         list_dot_product(CAST(embedding AS DOUBLE[]), q.qv)
+         / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+            * sqrt(list_dot_product(q.qv, q.qv))), 6) AS score
+FROM embeddings, q
+WHERE vec_id >= 100
+ORDER BY score DESC, vec_id ASC
+LIMIT 12
+"""
+
+
+def q61j_stream_cartesian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``parallel(cartesianProduct(...))`` — two more /stream
+    decorators: cartesianProduct explodes a multivalued field (one
+    tuple per element — a narrow zero-shuffle generator), and
+    parallel() is the worker-fan-out decorator that on Spark is a
+    documented pass-through (Catalyst partitions natively; an extra
+    repartition would only add a shuffle). The trailing cast/round
+    projection is oracle portability plumbing (float32 lanes → rounded
+    double), not part of the stream semantics."""
+    out = _stream(
+        spark, sf_dir,
+        'parallel(cartesianProduct(select(search(embeddings, '
+        'fq="vec_id:[0 TO 4]", fl="vec_id,embedding"), vec_id, embedding), '
+        'embedding, productSort="vec_id asc"), workers=4)',
+    )
+    return out.select(
+        "vec_id", F.round(F.col("embedding").cast("double"), 6).alias("lane_value")
+    )
+
+
+Q61J_SQL = """
+SELECT vec_id, ROUND(CAST(u AS DOUBLE), 6) AS lane_value
+FROM (SELECT vec_id, unnest(embedding) AS u FROM embeddings WHERE vec_id <= 4)
+"""
+
+
 def q61h_stream_significant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``significantTerms()`` stream source — the q43 aggregate (terms
     overrepresented in German docs vs the corpus, lift-scored) surfaced
@@ -1542,12 +1632,6 @@ def q61h_stream_significant(spark: SparkSession, sf_dir: str) -> DataFrame:
         'significantTerms(documents, q="lang:de", field="text", '
         'limit=15, minDocFreq=3)',
     )
-
-
-# The query vector is part of the {!knn} query TEXT, so both engines
-# get it from this one constant (deterministic, dim-64 like the
-# embeddings fixture).
-_Q78_VEC = [((i * 37) % 21 - 10) / 10.0 for i in range(64)]
 
 
 def q78_knn_parser(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -861,6 +861,86 @@ class StreamCompiler:
             merge_upsert_parquet(spark, ckpt_path, delta, "topic_id", n_buckets=1)
         return pulled
 
+    def _op_knnSearch(self, call: Call) -> DataFrame:  # noqa: N802 (Solr name)
+        """Solr ``knnSearch()`` stream source (solrj 9.x /stream over
+        the DenseVectorField knn parser, reference pom.xml:22): the
+        {!knn} exact cosine top-k (pipeline.similarity.knn_query)
+        surfaced in the expression language.
+
+            knnSearch(collection, f="embedding", vec="[0.1, ...]",
+                      topK=10, id="vec_id", fq="...")
+
+        ``fq`` is the 9.1+ PRE-filter (pushed into the scan before
+        ranking). Plan: pruned scan → codegen'd cosine with the query
+        vector baked in → TakeOrderedAndProject(topK) — no join, no
+        corpus shuffle."""
+        from hbase_increment_index_spark.pipeline.similarity import knn_query
+        from hbase_increment_index_spark.search.solr_query import parse_query
+
+        if not call.fields:
+            raise StreamExprError("knnSearch needs a collection name")
+        table = call.fields[0]
+        if table not in self.tables:
+            raise StreamExprError(f"unknown collection {table!r}")
+        df = self.tables[table]
+        f = self._param(call, "f")
+        vec = self._param(call, "vec").strip()
+        if not (vec.startswith("[") and vec.endswith("]")):
+            raise StreamExprError(f"vec must be a bracketed vector, got {vec!r}")
+        k = int(call.params.get("topK", 10))
+        id_col = call.params.get(
+            "id", "vec_id" if "vec_id" in df.columns else df.columns[0]
+        )
+        pre = None
+        if "fq" in call.params and call.params["fq"] != "*:*":
+            text_fields = (
+                self.text_fields
+                if self.text_fields is not None
+                else ({"text"} if "text" in df.columns else set())
+            )
+            pre = parse_query(call.params["fq"], text_fields)
+        return knn_query(
+            df,
+            f"{{!knn f={f} topK={k}}}{vec}",
+            id_col=id_col,
+            pre_filter=pre,
+        )
+
+    def _op_parallel(self, call: Call) -> DataFrame:
+        """Solr ``parallel()`` decorator: sends the inner expression to
+        N worker nodes partitioned by a hash of ``partitionKeys``. On
+        Spark this is a documented PASS-THROUGH: Catalyst already
+        partitions every scan/join/agg across the cluster — the
+        decorator's whole job is what the engine does natively — so
+        the inner plan compiles unchanged (adding an artificial
+        repartition would only insert a useless shuffle). ``workers``
+        is validated for Solr-compat but does not constrain the plan."""
+        if "workers" in call.params and int(call.params["workers"]) < 1:
+            raise StreamExprError("parallel workers must be >= 1")
+        inner = [s for s in call.streams]
+        if len(inner) != 1:
+            raise StreamExprError("parallel takes exactly one stream")
+        return self._eval(inner[0])
+
+    def _op_cartesianProduct(self, call: Call) -> DataFrame:  # noqa: N802
+        """Solr ``cartesianProduct(stream, field)``: explode a
+        multivalued field — one output tuple per element, the element
+        replacing the array in the named field. Maps 1:1 onto
+        ``explode`` (a narrow, zero-shuffle generator). ``productSort``
+        re-sorts the exploded stream (Solr requires it when downstream
+        decorators need order)."""
+        df = self._one_stream(call)
+        if not call.fields:
+            raise StreamExprError("cartesianProduct needs a field to explode")
+        fld = call.fields[0]
+        if fld not in df.columns:
+            raise StreamExprError(f"unknown field {fld!r}")
+        others = [c for c in df.columns if c != fld]
+        out = df.select(*others, F.explode(fld).alias(fld)).select(*df.columns)
+        if "productSort" in call.params:
+            out = out.orderBy(*_sort_cols(call.params["productSort"]))
+        return out
+
     def _op_daemon(self, call: Call) -> DataFrame:
         """Solr ``daemon()`` decorator: registers the inner expression
         as a background loop (see :class:`Daemon`). Posting the

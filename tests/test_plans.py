@@ -115,6 +115,11 @@ _EXPECTED_SMJ: set[str] = {
                                 # would bake in a small-pair assumption that
                                 # breaks exactly when calibration matters (a
                                 # corpus dense in near-dups)
+    "e2q_simhash_pairs",        # stats-less: exact-Jaccard pair agg ⋈ SimHash
+                                # pair agg (LeftOuter) over the degraded-twin
+                                # corpus — the same shape and rationale as
+                                # e2n_lsh_calibration above; AQE demotes when
+                                # the pair frames are small
     "e3h_lsh_recall",           # stats-less: ground-truth agg ⋈ LSH agg
     "e6h_leakage_safe_split",   # stats-less: CC labels ⋈ split assignment
     "e12d_source_similarity",   # stats-less: checkpointed LM grid self-join (AQE demotes)

@@ -369,6 +369,49 @@ def test_timeseries_misaligned_start_raises(spark, sf_dir):
     assert out.count() == 3
 
 
+# --------------------------- knnSearch() / parallel() / cartesianProduct()
+
+
+def test_knn_search_stream_matches_parser(spark):
+    from hbase_increment_index_spark.pipeline.similarity import knn_query
+
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(i % 7), 1.0, float(i % 3)]) for i in range(30)]
+    )
+    comp = _compiler({"emb": emb})
+    via_stream = comp.compile(
+        'knnSearch(emb, f="embedding", vec="[1.0, 0.5, 2.0]", topK=5, '
+        'fq="vec_id:[10 TO *]")'
+    ).collect()
+    via_parser = knn_query(
+        emb, "{!knn f=embedding topK=5}[1.0, 0.5, 2.0]",
+        pre_filter=F.col("vec_id") >= 10,
+    ).collect()
+    assert via_stream == via_parser and len(via_stream) == 5
+
+
+def test_parallel_is_plan_passthrough(spark):
+    df = spark.createDataFrame([Row(a=i) for i in range(10)])
+    comp = _compiler({"t": df})
+    inner = comp.compile('search(t, fq="a:[5 TO *]")')
+    wrapped = comp.compile('parallel(search(t, fq="a:[5 TO *]"), workers=8)')
+    # identical optimized plan: parallel() adds nothing (no repartition)
+    assert (
+        inner._jdf.queryExecution().optimizedPlan().toString()
+        == wrapped._jdf.queryExecution().optimizedPlan().toString()
+    )
+
+
+def test_cartesian_product_explodes_field(spark):
+    df = spark.createDataFrame([Row(id=1, vals=[3, 1, 2]), Row(id=2, vals=[9])])
+    comp = _compiler({"t": df})
+    out = comp.compile(
+        'cartesianProduct(search(t), vals, productSort="vals asc")'
+    ).collect()
+    assert [r["vals"] for r in out] == [1, 2, 3, 9]
+    assert out[0]["id"] == 1 and out[3]["id"] == 2
+
+
 # --------------------------------------------------------- registry twins
 
 

@@ -597,6 +597,106 @@ ORDER BY row_key
 """
 
 
+def cdc_atomic_add_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr atomic-update ``add-distinct`` (SolrJ partial-update verb:
+    append only if the value is not already in the multivalued field),
+    completing the verb set (set/add/add-distinct/inc/remove/
+    removeregex). add-distinct is the one verb whose outcome reads the
+    LIVE list state at its own position — presence can be reset by an
+    interleaved remove — so the journal resolves by the exact in-order
+    fold (cdc.mutations.resolve_journal_ordered: one ordered
+    higher-order aggregate per cell; sequential semantics, parallel
+    execution). Fixture mapping: view=append, click=add-distinct,
+    purchase=remove, signup=removeregex, error=row tombstone, digit
+    payloads so removes/re-adds actually interleave. The oracle is a
+    recursive-CTE replay of the same fold."""
+    from hbase_increment_index_spark.cdc.mutations import resolve_journal_ordered
+
+    events = _t(spark, sf_dir, "events")
+    et = F.col("event_type")
+    digit = (F.floor(F.col("value")).cast("long") % 10).cast("string")
+    rx_hi = (F.floor(F.col("value")).cast("long") % 5).cast("string")
+    mlog = events.select(
+        F.when(et == "error", F.lit("delete"))
+        .when(et == "purchase", F.lit("remove"))
+        .when(et == "signup", F.lit("removeregex"))
+        .when(et == "click", F.lit("add-distinct"))
+        .otherwise(F.lit("append"))
+        .alias("op"),
+        F.col("user_id").cast("string").alias("row_key"),
+        F.lit("cf").alias("family"),
+        F.lit("journal").alias("qualifier"),
+        F.when(et == "signup", F.concat(F.lit("^[0-"), rx_hi, F.lit("]$")))
+        .otherwise(digit)
+        .alias("value"),
+        F.col("ts").alias("ts"),
+        F.col("event_id").alias("seq"),
+    )
+    return resolve_journal_ordered(mlog).orderBy("row_key")
+
+
+CDC_ADD_DISTINCT_SQL = """
+WITH RECURSIVE mlog AS (
+  SELECT CASE WHEN event_type = 'error' THEN 'delete'
+              WHEN event_type = 'purchase' THEN 'remove'
+              WHEN event_type = 'signup' THEN 'removeregex'
+              WHEN event_type = 'click' THEN 'add-distinct'
+              ELSE 'append' END AS op,
+         CAST(user_id AS VARCHAR) AS row_key,
+         'cf' AS family, 'journal' AS qualifier,
+         CASE WHEN event_type = 'signup'
+              THEN '^[0-' || CAST(CAST(FLOOR(value) AS BIGINT) % 5 AS VARCHAR) || ']$'
+              ELSE CAST(CAST(FLOOR(value) AS BIGINT) % 10 AS VARCHAR) END AS value,
+         ts, event_id AS seq
+  FROM events
+),
+tomb AS (
+  SELECT row_key, ts AS tts, seq AS tseq FROM mlog WHERE op = 'delete'
+  QUALIFY row_number() OVER (PARTITION BY row_key ORDER BY ts DESC, seq DESC) = 1
+),
+alive AS (
+  SELECT m.* FROM mlog m LEFT JOIN tomb t USING (row_key)
+  WHERE m.op <> 'delete'
+    AND (t.tts IS NULL OR (m.ts, m.seq) > (t.tts, t.tseq))
+),
+cells AS (
+  SELECT row_key, family, qualifier,
+         list(struct_pack(op := op, value := value) ORDER BY ts, seq) AS evs,
+         count(*) AS n_events
+  FROM alive GROUP BY 1, 2, 3
+),
+fold(row_key, family, qualifier, i, acc) AS (
+  SELECT row_key, family, qualifier, 0, CAST([] AS VARCHAR[]) FROM cells
+  UNION ALL
+  SELECT f.row_key, f.family, f.qualifier, f.i + 1,
+         CASE
+           WHEN c.evs[f.i + 1].op = 'append'
+             THEN list_append(f.acc, c.evs[f.i + 1].value)
+           WHEN c.evs[f.i + 1].op = 'add-distinct'
+                AND NOT list_contains(f.acc, c.evs[f.i + 1].value)
+             THEN list_append(f.acc, c.evs[f.i + 1].value)
+           WHEN c.evs[f.i + 1].op = 'remove'
+             THEN list_filter(f.acc, x -> x <> c.evs[f.i + 1].value)
+           WHEN c.evs[f.i + 1].op = 'removeregex'
+             THEN list_filter(f.acc, x -> NOT regexp_matches(x, c.evs[f.i + 1].value))
+           ELSE f.acc
+         END
+  FROM fold f
+  JOIN cells c ON c.row_key = f.row_key AND c.family = f.family
+              AND c.qualifier = f.qualifier
+  WHERE f.i < len(c.evs)
+)
+SELECT c.row_key AS row_key, c.family AS family, c.qualifier AS qualifier,
+       CASE WHEN len(f.acc) > 0 THEN array_to_string(f.acc, ',') END AS value,
+       CAST(c.n_events AS BIGINT) AS n_events
+FROM fold f
+JOIN cells c ON c.row_key = f.row_key AND c.family = f.family
+            AND c.qualifier = f.qualifier
+WHERE f.i = len(c.evs)
+ORDER BY c.row_key
+"""
+
+
 def cdc_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HBase ``VERSIONS=2`` cell retention (the reference's primary
     store is an HBase table; version count is a column-family

@@ -274,6 +274,98 @@ def test_remove_only_cell_yields_null(spark):
     assert _resolve(spark, [("remove", "zzz")]) is None
 
 
+def _resolve_ordered(spark, rows):
+    from hbase_increment_index_spark.cdc.mutations import resolve_journal_ordered
+
+    mlog = spark.createDataFrame(
+        [
+            (op, "r", "cf", "q", val, float(ts), ts)
+            for ts, (op, val) in enumerate(rows)
+        ],
+        "op string, row_key string, family string, qualifier string, "
+        "value string, ts double, seq long",
+    )
+    out = resolve_journal_ordered(mlog).collect()
+    assert len(out) == 1
+    return out[0]["value"]
+
+
+def test_add_distinct_skips_present_value(spark):
+    assert (
+        _resolve_ordered(
+            spark, [("append", "a"), ("add-distinct", "a"), ("add-distinct", "b")]
+        )
+        == "a,b"
+    )
+
+
+def test_add_distinct_reinserts_after_remove(spark):
+    # the sequential case the closed-form fold cannot express: presence
+    # is reset by the interleaved remove, so the SECOND add-distinct
+    # inserts even though an earlier add-distinct of 'a' exists
+    assert (
+        _resolve_ordered(
+            spark,
+            [
+                ("add-distinct", "a"),
+                ("add-distinct", "a"),  # skipped: present
+                ("remove", "a"),
+                ("add-distinct", "a"),  # inserts: list state is empty here
+            ],
+        )
+        == "a"
+    )
+
+
+def test_add_distinct_chain_after_removeregex(spark):
+    assert (
+        _resolve_ordered(
+            spark,
+            [
+                ("append", "x1"),
+                ("add-distinct", "x1"),   # skipped
+                ("removeregex", "^x"),
+                ("add-distinct", "x1"),   # inserts
+                ("append", "y"),
+            ],
+        )
+        == "x1,y"
+    )
+
+
+def test_ordered_fold_matches_closed_form_without_add_distinct(spark, sf_dir):
+    """On the remove-verb fixture (no add-distinct), the exact ordered
+    fold and the closed-form resolve agree everywhere."""
+    from hbase_increment_index_spark.queries import QUERIES
+    from hbase_increment_index_spark.cdc.mutations import resolve_journal_ordered
+    from hbase_increment_index_spark.catalog import load_table
+
+    closed = QUERIES["cdc_atomic_remove"](spark, sf_dir)
+    events = load_table(spark, sf_dir, "events")
+    et = F.col("event_type")
+    digit = (F.floor(F.col("value")).cast("long") % 10).cast("string")
+    rx_hi = (F.floor(F.col("value")).cast("long") % 5).cast("string")
+    mlog = events.select(
+        F.when(et == "error", F.lit("delete"))
+        .when(et == "purchase", F.lit("remove"))
+        .when(et == "signup", F.lit("removeregex"))
+        .otherwise(F.lit("append"))
+        .alias("op"),
+        F.col("user_id").cast("string").alias("row_key"),
+        F.lit("cf").alias("family"),
+        F.lit("journal").alias("qualifier"),
+        F.when(et == "signup", F.concat(F.lit("^[0-"), rx_hi, F.lit("]$")))
+        .otherwise(digit)
+        .alias("value"),
+        F.col("ts").alias("ts"),
+        F.col("event_id").alias("seq"),
+    )
+    ordered = resolve_journal_ordered(mlog).orderBy("row_key")
+    a = [(r["row_key"], r["value"], r["n_events"]) for r in closed.collect()]
+    b = [(r["row_key"], r["value"], r["n_events"]) for r in ordered.collect()]
+    assert a == b
+
+
 def test_plain_ops_unchanged_by_remove_support(spark):
     # put / inc / append folds keep their pre-r10 semantics
     assert _resolve(spark, [("put", "1"), ("put", "2")]) == "2"

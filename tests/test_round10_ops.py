@@ -165,6 +165,51 @@ def test_daemon_start_stop_thread(spark, tmp_path):
     assert d.iterations == ran  # loop actually stopped
 
 
+def test_daemon_topic_update_loop(spark, tmp_path):
+    """The reference's ENTIRE architecture in one expression:
+    ``daemon(update(dest, topic(ck, src, ...)))`` — a background loop
+    that pulls only the docs newer than its checkpoint and merges them
+    into the served index (HbaseSolrIndexCoprocesser.java:37-61's
+    capture-then-index, with application.properties:10,12's commit
+    cadence as the daemon interval). Each iteration must do work
+    proportional to the DELTA, and the served view must converge to
+    the source."""
+    import shutil
+
+    src_dir = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    dest = str(tmp_path / "dest")
+    spark.createDataFrame(
+        [Row(id=i, ver=i, payload=f"p{i}") for i in range(5)]
+    ).write.parquet(src_dir)
+
+    def tables():
+        return {"src": spark.read.parquet(src_dir)}
+
+    from hbase_increment_index_spark.search.streaming_expr import StreamCompiler
+
+    comp = StreamCompiler(
+        tables(),
+        sink_paths={"ck": ck, "dest": dest},
+        tables_provider=tables,
+    )
+    comp.compile(
+        'daemon(update(dest, topic(ck, src, id="loop", versionField="ver"), '
+        'key="id"), id="d", runInterval=5)'
+    )
+    d = comp.daemons["d"]
+
+    assert d.run_once()[0]["batchIndexed"] == 5  # bootstrap pull
+    assert d.run_once()[0]["batchIndexed"] == 0  # no delta → no work
+    spark.createDataFrame(
+        [Row(id=i, ver=i, payload=f"p{i}") for i in (5, 6)]
+    ).write.mode("append").parquet(src_dir)
+    assert d.run_once()[0]["batchIndexed"] == 2  # exactly the delta
+    served = spark.read.parquet(dest)
+    assert sorted(r["id"] for r in served.select("id").collect()) == list(range(7))
+    shutil.rmtree(src_dir, ignore_errors=True)
+
+
 # ------------------------------------------------------------- scoreNodes()
 
 

@@ -389,6 +389,68 @@ def minhash_signatures_vectorized(
     return df.mapInPandas(_batches, schema="doc long, sig array<long>")
 
 
+def minhash_text_query(
+    df: "DataFrame",
+    id_col: str,
+    text_col: str,
+    query_text: str,
+    num_perm: int = 64,
+    threshold: float = 0.15,
+    shingle_n: int = 3,
+    hash_fn: str = "xxhash64",
+    sim_decimals: int = 6,
+) -> "DataFrame":
+    """Lucene ``{!min_hash}`` query parser (MinHashQParser, the
+    similarity-search parser of the Lucene 9 the reference's solrj 9.8
+    ships, pom.xml:22): given QUERY TEXT, return documents whose
+    estimated Jaccard similarity to it clears ``threshold`` —
+    "find documents like this one" as a query, which is the reference's
+    duplicate-detection use case turned interactive.
+
+    sim_est(doc) = |matching lanes| / num_perm, the standard unbiased
+    MinHash estimator: lane i matches when the document's i-th
+    permutation minimum equals the query's.
+
+    Plan: the query's ``num_perm`` lane minima are computed by the SAME
+    Spark expressions as the corpus side on a 1-row frame and collected
+    (bounded scalar — no Python reimplementation of the hash, so
+    xxhash64 and md5 kernels both work), then baked into a literal
+    array; the corpus pass is one scan with a per-row zip_with match
+    count — zero joins, zero shuffles, and at 100 TB the signature side
+    is served from the e2o signature store instead of recomputed."""
+    spark = df.sparkSession
+    if hash_fn == "md5":
+        _shash = lambda s: F.pmod(portable_hash60(s), F.lit(_MERSENNE))  # noqa: E731
+    else:
+        _shash = lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE))  # noqa: E731
+
+    def _sig_col(text):
+        return minhash_signature_from_hashes(
+            F.transform(shingle_grams(text, shingle_n), _shash), num_perm
+        )
+
+    qlanes = (
+        spark.range(1)
+        .select(_sig_col(F.lit(query_text)).alias("sig"))
+        .head()["sig"]
+    )
+    qlit = F.array(*[F.lit(int(v)).cast("long") for v in qlanes])
+    matches = F.aggregate(
+        F.zip_with(_sig_col(F.col(text_col)), qlit, lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        fan_out(df)
+        .select(
+            F.col(id_col),
+            F.round(matches / F.lit(float(num_perm)), sim_decimals).alias("sim_est"),
+        )
+        .filter(F.col("sim_est") >= threshold)
+        .orderBy(F.col("sim_est").desc(), F.col(id_col).asc())
+    )
+
+
 def minhash_digest_store(
     df: "DataFrame",
     id_col: str = "doc_id",

@@ -1532,6 +1532,81 @@ WHERE o_totalprice >= 400000
 """
 
 
+def q81_minhash_parser(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene ``{!min_hash}`` query parser (MinHashQParser in the
+    Lucene 9 behind the reference's solrj 9.8, pom.xml:22): given
+    query TEXT, rank documents by ESTIMATED Jaccard similarity
+    (matching MinHash lanes / 64) — duplicate detection as an
+    interactive query. The query text is a degraded copy of doc 7
+    (every 4th token dropped, the e2n corpus device), so the parser
+    must surface doc 7 and its organic near-dups above the 0.15
+    floor. md5-portable lanes so DuckDB rebuilds every minimum;
+    xxhash64 is the production kernel (pipeline.dedup.
+    minhash_text_query — query lanes computed by the same expressions
+    on a 1-row frame, corpus pass is one scan + per-row zip_with,
+    no join, no shuffle)."""
+    import re as _re
+
+    from hbase_increment_index_spark.pipeline.dedup import minhash_text_query
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") == 7).select("text").head()["text"]
+    toks = [t for t in _re.split(r"[^a-z0-9]+", base.lower()) if t]
+    qtext = " ".join(t for i, t in enumerate(toks) if (i + 1) % 4 != 0)
+    return minhash_text_query(
+        docs, "doc_id", "text", qtext, threshold=0.15, hash_fn="md5"
+    )
+
+
+def _q81_sql() -> str:
+    from hbase_increment_index_spark.pipeline.dedup import (
+        _MERSENNE,
+        _perm_params,
+        PORTABLE_HASH60_SQL,
+    )
+
+    params = ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(_perm_params(64))
+    )
+    toks = _SQL_TOKS.format(c="text")
+    toksq = _SQL_TOKS.format(c="qtext")
+    h = PORTABLE_HASH60_SQL.format(c="sh")
+    gram = (
+        "list_transform(generate_series(1, greatest(len({T}) - 2, 0)), "
+        "i -> array_to_string(list_slice({T}, i, i + 2), ' '))"
+    )
+    return f"""
+WITH params(lane, a, b) AS (VALUES {params}),
+qdoc AS (
+  SELECT array_to_string(list_filter({toks}, (t, i) -> i % 4 <> 0), ' ') AS qtext
+  FROM documents WHERE doc_id = 7
+),
+qtok AS (SELECT {toksq} AS qt FROM qdoc),
+qsh AS (SELECT DISTINCT unnest({gram.format(T="qt")}) AS sh FROM qtok),
+qhs AS (SELECT {h} % {_MERSENNE} AS hv FROM qsh),
+qlanes AS (
+  SELECT lane, MIN((a * hv + b) % {_MERSENNE}) AS qm
+  FROM qhs CROSS JOIN params GROUP BY lane
+),
+ctok AS (SELECT doc_id AS doc, {toks} AS t FROM documents),
+base AS (SELECT doc, {gram.format(T="t")} AS grams FROM ctok),
+sh AS (SELECT DISTINCT doc, unnest(grams) AS sh FROM base WHERE len(grams) > 0),
+hs AS (SELECT doc, {h} % {_MERSENNE} AS hv FROM sh),
+lanes AS (
+  SELECT doc, lane, MIN((a * hv + b) % {_MERSENNE}) AS m
+  FROM hs CROSS JOIN params GROUP BY doc, lane
+),
+match AS (
+  SELECT l.doc, SUM(CASE WHEN l.m = q.qm THEN 1 ELSE 0 END) AS matches
+  FROM lanes l JOIN qlanes q USING (lane) GROUP BY l.doc
+)
+SELECT doc AS doc_id, ROUND(matches / 64.0, 6) AS sim_est
+FROM match
+WHERE ROUND(matches / 64.0, 6) >= 0.15
+ORDER BY sim_est DESC, doc_id ASC
+"""
+
+
 def q39f_json_facet_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Solr ``json.facet`` DOMAIN change — the one JSON-facet concept
     q39/q39b-e don't exercise: a facet computed over a DIFFERENT

@@ -939,6 +939,28 @@ ORDER BY tf.term ASC
 """.replace("{toks}", _SQL_TOKS.format(c="text"))
 
 
+def q29c_suggest_infix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr AnalyzingInfixSuggester — completions matching ANYWHERE in
+    the term ('ar' hits 'spark' and 'large'), the mid-word-lookahead
+    suggester Solr ships alongside the prefix one
+    (search.highlight.suggest_terms_infix; one scan, one
+    vocabulary-bounded hash agg, TakeOrdered head)."""
+    from hbase_increment_index_spark.search.highlight import suggest_terms_infix
+
+    docs = _t(spark, sf_dir, "documents")
+    return suggest_terms_infix(docs, "doc_id", "text", fragment="a", k=10)
+
+
+Q29C_SQL = f"""
+SELECT term, count(*) AS freq
+FROM (SELECT unnest({_SQL_TOKS.format(c='text')}) AS term FROM documents)
+WHERE term LIKE '%a%'
+GROUP BY term
+ORDER BY freq DESC, term ASC
+LIMIT 10
+"""
+
+
 def q29b_suggest_context(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Solr suggester CONTEXT FILTERING (``suggest.cfq``): completions
     restricted to a context subset — here prefix 's' over English

@@ -41,6 +41,30 @@ def suggest_terms(
     )
 
 
+def suggest_terms_infix(
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    fragment: str,
+    k: int = 10,
+) -> DataFrame:
+    """Solr AnalyzingInfixSuggester semantics: completions whose match
+    is ANYWHERE in the term, not just the prefix (the suggester Solr
+    ships for mid-word lookahead). Same single-pass plan as
+    suggest_terms — the contains filter can't use dictionary-page
+    pruning like a prefix can, but it still lands pre-shuffle in the
+    scan projection, and the aggregate output stays vocabulary-
+    bounded. Returns (term, freq), freq desc then term asc."""
+    return (
+        corpus.select(F.explode(tokens(text_col)).alias("term"))
+        .filter(F.col("term").contains(fragment))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("term").asc())
+        .limit(k)
+    )
+
+
 def suggest_terms_from_index(postings: DataFrame, prefix: str, k: int = 10) -> DataFrame:
     """Suggester served from the materialized (term, id, tf) postings:
     corpus frequency = SUM(tf) per term — no corpus scan, and with the

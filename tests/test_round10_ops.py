@@ -549,6 +549,42 @@ def test_cartesian_product_explodes_field(spark):
     assert out[0]["id"] == 1 and out[3]["id"] == 2
 
 
+# ------------------------------------------ {!min_hash} / infix suggester
+
+
+def test_minhash_text_query_ranks_duplicates(spark):
+    from hbase_increment_index_spark.pipeline.dedup import minhash_text_query
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=base),                                # exact
+            Row(doc_id=2, text=base.replace("lazy", "sleepy")),      # near
+            Row(doc_id=3, text="completely unrelated content about databases"),
+        ]
+    )
+    out = minhash_text_query(docs, "doc_id", "text", base, threshold=0.1).collect()
+    ids = [r["doc_id"] for r in out]
+    assert ids[0] == 1 and out[0]["sim_est"] == 1.0  # exact dup: every lane matches
+    assert 2 in ids and 3 not in ids
+    # md5 kernel agrees with the production xxhash64 kernel on the exact dup
+    out_md5 = minhash_text_query(
+        docs, "doc_id", "text", base, threshold=0.1, hash_fn="md5"
+    ).collect()
+    assert out_md5[0]["doc_id"] == 1 and out_md5[0]["sim_est"] == 1.0
+
+
+def test_suggest_infix_matches_mid_word(spark):
+    from hbase_increment_index_spark.search.highlight import suggest_terms_infix
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="spark spark hash mark query")]
+    )
+    out = {r["term"]: r["freq"] for r in
+           suggest_terms_infix(docs, "doc_id", "text", "ar", k=10).collect()}
+    assert out == {"spark": 2, "mark": 1}  # 'ar' is infix in both
+
+
 # --------------------------------------------------------- registry twins
 
 

@@ -157,6 +157,10 @@ HEADLINE = [
     "q30c_unified_highlight",
     "q80_knn_search_stream",
     "q61j_stream_cartesian",
+    "q39f_json_facet_domain",
+    "cdc_atomic_add_distinct",
+    "q81_minhash_parser",
+    "q29c_suggest_infix",
 ]
 
 
@@ -310,6 +314,26 @@ def main() -> None:
         ).unionByName(minhash_digest_store(inserts.unionByName(updates)))
 
     served["e2o_signature_store_served"] = _sig_store_serve
+
+    # --- topic() steady-state pull: the registry's q79 prices the
+    # BOOTSTRAP pull (fresh checkpoint, full match set). Production is
+    # the polling consumer: checkpoint already advanced, each poll
+    # reads only rows newer than it — here an empty delta, so this row
+    # prices the per-poll floor (checkpoint read + pushed-filter scan
+    # that matches nothing + no-op advance). Work ∝ changes, the
+    # reference's contract, with a number attached.
+    from hbase_increment_index_spark.catalog import load_all
+    from hbase_increment_index_spark.search.streaming_expr import StreamCompiler
+
+    _topic_comp = StreamCompiler(
+        load_all(spark, sf_dir), sink_paths={"ck": f"{idx_dir}/topic_ck"}
+    )
+    _texpr = (
+        'topic(ck, orders, q="o_totalprice:[400000 TO *]", id="bench", '
+        'versionField="o_orderkey", fl="o_orderkey,o_custkey,o_totalprice")'
+    )
+    _topic_comp.compile(_texpr)  # bootstrap pull + checkpoint write (untimed)
+    served["q79_topic_pull_steady"] = lambda: _topic_comp.compile(_texpr)
     for name, mk in served.items():
         runs, n = [], 0
         for _ in range(5):
@@ -363,6 +387,7 @@ def main() -> None:
         "q61f_stream_timeseries", "q66b_phrase_clustering",
         "q78_knn_parser", "q79_topic_pull", "q61i_stream_scorenodes",
         "q30c_unified_highlight", "q80_knn_search_stream",
+        "q81_minhash_parser", "q79_topic_pull_steady",
         "q06c_bm25_servedidx", "q05c_phrase_servedidx",
         "q05d_phrase_slop_servedidx", "q69_span_near_servedidx",
     ]

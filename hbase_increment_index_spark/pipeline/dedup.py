@@ -424,26 +424,43 @@ def minhash_text_query(
     else:
         _shash = lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE))  # noqa: E731
 
-    def _sig_col(text):
-        return minhash_signature_from_hashes(
-            F.transform(shingle_grams(text, shingle_n), _shash), num_perm
-        )
+    def _hs_col(text):
+        return F.transform(shingle_grams(text, shingle_n), _shash)
 
-    qlanes = (
-        spark.range(1)
-        .select(_sig_col(F.lit(query_text)).alias("sig"))
-        .head()["sig"]
+    # query lanes: shingle hashing on a 1-row frame (same JVM kernel as
+    # the corpus side), lane minima in numpy (same arithmetic as
+    # minhash_signatures_vectorized — bit-identical, and skips the
+    # interpreted 64-lane HOF entirely)
+    import numpy as np
+
+    qhs = (
+        spark.range(1).select(_hs_col(F.lit(query_text)).alias("_hs")).head()["_hs"]
     )
+    params = _perm_params(num_perm)
+    if qhs:
+        h = np.asarray(qhs, dtype=np.uint64)[None, :]
+        a = np.array([p[0] for p in params], dtype=np.uint64)[:, None]
+        b = np.array([p[1] for p in params], dtype=np.uint64)[:, None]
+        qlanes = ((a * h + b) % np.uint64(_MERSENNE)).min(axis=1).astype(np.int64)
+    else:
+        qlanes = np.full(num_perm, np.int64(2**63 - 1))
     qlit = F.array(*[F.lit(int(v)).cast("long") for v in qlanes])
     matches = F.aggregate(
-        F.zip_with(_sig_col(F.col(text_col)), qlit, lambda x, y: (x == y).cast("int")),
+        F.zip_with(F.col("sig"), qlit, lambda x, y: (x == y).cast("int")),
         F.lit(0),
         lambda acc, x: acc + x,
     )
+    # corpus signatures via the Arrow-batched numpy kernel — the
+    # 64-lane HOF expression runs interpreted per lane and is ~50×
+    # slower here (measured 17.6 s vs numpy on the sf0.001 smoke);
+    # string hashing stays JVM-side in the staged _hs projection
+    pre = fan_out(df).select(
+        F.col(id_col).alias("doc"), _hs_col(F.col(text_col)).alias("hs")
+    )
+    sigs = minhash_signatures_vectorized(pre, "doc", "hs", num_perm)
     return (
-        fan_out(df)
-        .select(
-            F.col(id_col),
+        sigs.select(
+            F.col("doc").alias(id_col),
             F.round(matches / F.lit(float(num_perm)), sim_decimals).alias("sim_est"),
         )
         .filter(F.col("sim_est") >= threshold)

@@ -758,3 +758,90 @@ def test_timeseries_gap_fill_property(spark, days):
             assert r["sum_v"] is None
         else:
             assert r["sum_v"] == float(d) * want[d]
+
+
+# ------------------------------------------------ atomic-update journal fold
+
+
+def _py_journal_fold(events):
+    """Reference fold for resolve_journal_ordered: the literal Solr
+    atomic-update semantics, applied one event at a time."""
+    import re as _re
+
+    acc: list[str] = []
+    for op, val in events:
+        if op == "append":
+            acc.append(val)
+        elif op == "add-distinct":
+            if val not in acc:
+                acc.append(val)
+        elif op == "remove":
+            acc = [x for x in acc if x != val]
+        elif op == "removeregex":
+            acc = [x for x in acc if not _re.search(val, x)]
+    return ",".join(acc) if acc else None
+
+
+_journal_event = st.tuples(
+    st.sampled_from(["append", "add-distinct", "remove", "removeregex"]),
+    st.sampled_from(["a", "b", "c", "d", "a1", "b2"]),
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.lists(_journal_event, min_size=1, max_size=12), min_size=1, max_size=40))
+def test_journal_ordered_fold_matches_python(spark, logs):
+    """Many random per-cell event sequences resolved in ONE Spark job
+    must each equal the sequential Python fold — the distributed
+    higher-order aggregate implements exactly Solr's in-order
+    atomic-update application. (removeregex values are plain literals
+    here, which under re.search means substring removal — exercised
+    against the same semantics on both sides.)"""
+    from hbase_increment_index_spark.cdc.mutations import resolve_journal_ordered
+
+    rows = [
+        (op, f"cell{ci}", "cf", "q", val, float(i), i)
+        for ci, events in enumerate(logs)
+        for i, (op, val) in enumerate(events)
+    ]
+    mlog = spark.createDataFrame(
+        rows,
+        "op string, row_key string, family string, qualifier string, "
+        "value string, ts double, seq long",
+    )
+    got = {
+        r["row_key"]: r["value"] for r in resolve_journal_ordered(mlog).collect()
+    }
+    want = {f"cell{ci}": _py_journal_fold(events) for ci, events in enumerate(logs)}
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["spark", "hash", "join", "scan", "merge", "row", "data"]),
+            min_size=4,
+            max_size=16,
+        ).map(" ".join),
+        min_size=2,
+        max_size=8,
+        unique=True,
+    ),
+    st.data(),
+)
+def test_minhash_query_identity(spark, texts, data):
+    """{!min_hash} identity property: querying with a document's own
+    text must rank that document first with sim_est 1.0 (every lane
+    minimum equal) — for any corpus and any choice of query doc."""
+    from hbase_increment_index_spark.pipeline.dedup import minhash_text_query
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    pick = data.draw(st.integers(min_value=0, max_value=len(texts) - 1))
+    out = minhash_text_query(
+        docs, "doc_id", "text", texts[pick], threshold=0.0
+    ).collect()
+    exact_ids = {i for i, t in enumerate(texts) if t == texts[pick]}
+    assert out and out[0]["sim_est"] == 1.0 and out[0]["doc_id"] in exact_ids

@@ -221,6 +221,39 @@ def q40_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q40c_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr ``expand=true&expand.rows=2`` — the ExpandComponent's full
+    response beside q40's collapsed heads: for each customer's best
+    order, the next-best 2 orders the collapse hid, in collapse-sort
+    order (search.collapse.expand_component: the same one-exchange
+    window pass as collapse itself; head ids ride the window frame,
+    no join back)."""
+    from hbase_increment_index_spark.search.collapse import expand_component
+
+    orders = _t(spark, sf_dir, "orders")
+    return expand_component(
+        orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+        "o_custkey",
+        [F.col("o_totalprice").desc()],
+        tie_break="o_orderkey",
+        rows=2,
+    )
+
+
+Q40C_SQL = """
+WITH r AS (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER w AS rn,
+         first_value(o_orderkey) OVER w AS head_id
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+)
+SELECT o_custkey, head_id, o_orderkey AS expanded_id,
+       CAST(rn - 1 AS BIGINT) AS expand_rank
+FROM r WHERE rn BETWEEN 2 AND 3
+"""
+
+
 Q40_SQL = """
 WITH r AS (
   SELECT o_orderkey, o_custkey, o_totalprice,

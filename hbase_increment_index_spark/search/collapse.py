@@ -20,6 +20,37 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def expand_component(
+    df: DataFrame,
+    field: str,
+    order: list[Column],
+    tie_break: str,
+    rows: int = 2,
+) -> DataFrame:
+    """Solr ``expand=true&expand.rows=N`` — the ExpandComponent's FULL
+    response: for each collapsed head, up to ``rows`` of the documents
+    the collapse hid, in collapse-sort order. Flat shape (one row per
+    expanded doc): (field, head_id, expanded_id, expand_rank).
+
+    Plan: the SAME single window pass as collapse() — rank + the
+    partition's first id evaluate in one WindowExec over one exchange
+    of the matching rows; the rank filter caps output at ``rows`` per
+    group map-side after the window. No join back to the heads: the
+    head id rides the window frame (first row under the sort)."""
+    w = Window.partitionBy(field).orderBy(*order, F.col(tie_break).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .withColumn("head_id", F.first(tie_break).over(w))
+        .filter((F.col("_rn") >= 2) & (F.col("_rn") <= rows + 1))
+        .select(
+            field,
+            "head_id",
+            F.col(tie_break).alias("expanded_id"),
+            (F.col("_rn") - 1).cast("long").alias("expand_rank"),
+        )
+    )
+
+
 def collapse(
     df: DataFrame,
     field: str,

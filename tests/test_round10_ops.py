@@ -612,3 +612,18 @@ def test_e2q_recall_curve_shape(spark, sf_dir):
     top = max(rows)
     assert top >= 0.9 and rows[top]["empirical_recall"] == 1.0
     assert all(r["n_caught"] <= r["n_exact"] for r in rows.values())
+
+
+def test_expand_component_rows_and_order(spark):
+    from hbase_increment_index_spark.search.collapse import expand_component
+
+    df = spark.createDataFrame(
+        [Row(id=i, g=i % 2, v=float(i)) for i in range(8)]
+    )
+    out = expand_component(df, "g", [F.col("v").desc()], "id", rows=2).collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r["g"], []).append((r["expand_rank"], r["expanded_id"], r["head_id"]))
+    # group 0: v desc -> 6,4,2,0; head 6, expanded 4 then 2
+    assert sorted(by_g[0]) == [(1, 4, 6), (2, 2, 6)]
+    assert sorted(by_g[1]) == [(1, 5, 7), (2, 3, 7)]

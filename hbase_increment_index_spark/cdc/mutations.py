@@ -27,7 +27,10 @@ resolves the full mutation op set:
   drops elements matching a pattern): a journal element appended at
   (ts, seq) survives iff NO LATER remove matches it — elements
   appended after a remove are untouched, matching Solr's in-order
-  atomic-update application.
+  atomic-update application. ``removeregex`` matches the WHOLE value
+  (Solr's AtomicUpdateDocumentMerger applies Pattern.matches, not
+  find-anywhere), so an unanchored 'x' removes 'x' but not 'x1' —
+  patterns are wrapped ``^(?:pat)$`` before evaluation.
 
 Resolution is deliberately *closed-form per op class* (sum / ordered
 string-agg / argmax) rather than a general per-cell event fold: every
@@ -47,6 +50,16 @@ from pyspark.sql import functions as F
 #: string (the cell model is untyped — SURVEY.md §1.1), ``ival`` the
 #: long increment payload for ``inc`` ops.
 MUTATION_OPS = ("put", "delete", "inc", "append", "remove", "removeregex")
+
+
+def _rx_full_match(value, pattern):
+    """Solr's removeregex semantics: java.util.regex.Pattern.matches —
+    the pattern must consume the ENTIRE element. Wrapping as ^(?:pat)$
+    gives full-match under find-anywhere engines (Spark regexp_like,
+    DuckDB regexp_matches, Python re.search) identically."""
+    return F.regexp_like(
+        value, F.concat(F.lit("^(?:"), pattern, F.lit(")$"))
+    )
 
 
 def mutation_log_from_events(
@@ -150,7 +163,7 @@ def resolve_mutations(mlog: DataFrame) -> DataFrame:
                 F.struct(r["ts"].alias("ts"), r["seq"].alias("seq"))
                 > F.struct(a["ts"].alias("ts"), a["seq"].alias("seq"))
             )
-            & F.when(r["rx"], F.regexp_like(a["value"], r["value"])).otherwise(
+            & F.when(r["rx"], _rx_full_match(a["value"], r["value"])).otherwise(
                 r["value"] == a["value"]
             ),
         ),
@@ -218,7 +231,7 @@ def resolve_journal_ordered(mlog: DataFrame) -> DataFrame:
             .when(e["op"] == "remove", F.filter(acc, lambda x: x != e["value"]))
             .when(
                 e["op"] == "removeregex",
-                F.filter(acc, lambda x: ~F.regexp_like(x, e["value"])),
+                F.filter(acc, lambda x: ~_rx_full_match(x, e["value"])),
             )
             .otherwise(acc)
         )

@@ -437,13 +437,21 @@ def minhash_text_query(
         spark.range(1).select(_hs_col(F.lit(query_text)).alias("_hs")).head()["_hs"]
     )
     params = _perm_params(num_perm)
-    if qhs:
-        h = np.asarray(qhs, dtype=np.uint64)[None, :]
-        a = np.array([p[0] for p in params], dtype=np.uint64)[:, None]
-        b = np.array([p[1] for p in params], dtype=np.uint64)[:, None]
-        qlanes = ((a * h + b) % np.uint64(_MERSENNE)).min(axis=1).astype(np.int64)
-    else:
-        qlanes = np.full(num_perm, np.int64(2**63 - 1))
+    if not qhs:
+        # a query shorter than the gram width has no shingle set and
+        # therefore no MinHash signature; reusing the shingle-less-doc
+        # sentinel here would score sim_est=1.0 against every
+        # token-sparse document (and diverge from the SQL oracle,
+        # which emits no rows) — MinHashQParser likewise rejects a
+        # query that analyzes to zero terms
+        raise ValueError(
+            f"{{!min_hash}} query text yields no {shingle_n}-gram "
+            f"shingles: {query_text!r}"
+        )
+    h = np.asarray(qhs, dtype=np.uint64)[None, :]
+    a = np.array([p[0] for p in params], dtype=np.uint64)[:, None]
+    b = np.array([p[1] for p in params], dtype=np.uint64)[:, None]
+    qlanes = ((a * h + b) % np.uint64(_MERSENNE)).min(axis=1).astype(np.int64)
     qlit = F.array(*[F.lit(int(v)).cast("long") for v in qlanes])
     matches = F.aggregate(
         F.zip_with(F.col("sig"), qlit, lambda x, y: (x == y).cast("int")),

@@ -580,7 +580,8 @@ surv AS (
       AND r.op IN ('remove', 'removeregex')
       AND (r.ts, r.seq) > (a.ts, a.seq)
       AND ((r.op = 'remove' AND r.value = a.value)
-           OR (r.op = 'removeregex' AND regexp_matches(a.value, r.value)))
+           OR (r.op = 'removeregex'
+               AND regexp_matches(a.value, '^(?:' || r.value || ')$')))
   )
 ),
 cells AS (
@@ -678,7 +679,8 @@ fold(row_key, family, qualifier, i, acc) AS (
            WHEN c.evs[f.i + 1].op = 'remove'
              THEN list_filter(f.acc, x -> x <> c.evs[f.i + 1].value)
            WHEN c.evs[f.i + 1].op = 'removeregex'
-             THEN list_filter(f.acc, x -> NOT regexp_matches(x, c.evs[f.i + 1].value))
+             THEN list_filter(f.acc, x -> NOT regexp_matches(
+                    x, '^(?:' || c.evs[f.i + 1].value || ')$'))
            ELSE f.acc
          END
   FROM fold f

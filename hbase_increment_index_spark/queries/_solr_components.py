@@ -1543,19 +1543,28 @@ def q79_topic_pull(spark: SparkSession, sf_dir: str) -> DataFrame:
     persistence are pytest-verified side effects
     (tests/test_streaming_expr.py). Plan: pushed-filter scan (q AND
     version > checkpoint both reach the parquet reader); checkpoint
-    state is a 1-row-per-topic COW table."""
+    state is a 1-row-per-topic COW table. The scratch checkpoint dir
+    is only needed WITHIN the pull (topic() localCheckpoints its
+    result eagerly), so it is removed before returning — repeated
+    bench/oracle calls leak nothing (r10 verdict hygiene item)."""
+    import shutil
     import tempfile
 
     from hbase_increment_index_spark.catalog import load_all
     from hbase_increment_index_spark.search.streaming_expr import StreamCompiler
 
-    ck = tempfile.mkdtemp(prefix="topic_q79_") + "/ck"
-    comp = StreamCompiler(load_all(spark, sf_dir), sink_paths={"checkpoints": ck})
-    return comp.compile(
-        'topic(checkpoints, orders, q="o_totalprice:[400000 TO *]", '
-        'id="q79", versionField="o_orderkey", '
-        'fl="o_orderkey,o_custkey,o_totalprice")'
-    )
+    tmp = tempfile.mkdtemp(prefix="topic_q79_")
+    try:
+        comp = StreamCompiler(
+            load_all(spark, sf_dir), sink_paths={"checkpoints": tmp + "/ck"}
+        )
+        return comp.compile(
+            'topic(checkpoints, orders, q="o_totalprice:[400000 TO *]", '
+            'id="q79", versionField="o_orderkey", '
+            'fl="o_orderkey,o_custkey,o_totalprice")'
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 Q79_SQL = """

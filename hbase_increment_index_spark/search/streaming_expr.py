@@ -884,10 +884,20 @@ class StreamCompiler:
             raise StreamExprError(f"unknown collection {table!r}")
         df = self.tables[table]
         f = self._param(call, "f")
+        if not re.fullmatch(r"\w+", f):
+            # same check as knn_query's field validation — an f with
+            # spaces would otherwise smuggle extra local params into
+            # the reconstructed {!knn} string
+            raise StreamExprError(f"bad knnSearch field name {f!r}")
         vec = self._param(call, "vec").strip()
         if not (vec.startswith("[") and vec.endswith("]")):
             raise StreamExprError(f"vec must be a bracketed vector, got {vec!r}")
-        k = int(call.params.get("topK", 10))
+        try:
+            k = int(call.params.get("topK", 10))
+        except ValueError:
+            raise StreamExprError(
+                f"bad knnSearch topK {call.params['topK']!r}"
+            ) from None
         id_col = call.params.get(
             "id", "vec_id" if "vec_id" in df.columns else df.columns[0]
         )
@@ -915,8 +925,15 @@ class StreamCompiler:
         the inner plan compiles unchanged (adding an artificial
         repartition would only insert a useless shuffle). ``workers``
         is validated for Solr-compat but does not constrain the plan."""
-        if "workers" in call.params and int(call.params["workers"]) < 1:
-            raise StreamExprError("parallel workers must be >= 1")
+        if "workers" in call.params:
+            try:
+                workers = int(call.params["workers"])
+            except ValueError:
+                raise StreamExprError(
+                    f"bad parallel workers {call.params['workers']!r}"
+                ) from None
+            if workers < 1:
+                raise StreamExprError("parallel workers must be >= 1")
         inner = [s for s in call.streams]
         if len(inner) != 1:
             raise StreamExprError("parallel takes exactly one stream")

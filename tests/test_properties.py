@@ -778,7 +778,7 @@ def _py_journal_fold(events):
         elif op == "remove":
             acc = [x for x in acc if x != val]
         elif op == "removeregex":
-            acc = [x for x in acc if not _re.search(val, x)]
+            acc = [x for x in acc if not _re.fullmatch(val, x)]
     return ",".join(acc) if acc else None
 
 
@@ -795,8 +795,9 @@ def test_journal_ordered_fold_matches_python(spark, logs):
     must each equal the sequential Python fold — the distributed
     higher-order aggregate implements exactly Solr's in-order
     atomic-update application. (removeregex values are plain literals
-    here, which under re.search means substring removal — exercised
-    against the same semantics on both sides.)"""
+    here; under Solr's full-match semantics — Pattern.matches, modeled
+    by re.fullmatch — 'a' removes 'a' but NOT 'a1', exercised against
+    the same semantics on both sides.)"""
     from hbase_increment_index_spark.cdc.mutations import resolve_journal_ordered
 
     rows = [

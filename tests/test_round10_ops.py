@@ -222,13 +222,13 @@ def test_scorenodes_formula(spark):
         [Row(src=1, dst=d) for d in (10, 10, 20)] + [Row(src=2, dst=10)]
     )
     comp = _compiler({"g": edges})
+    # a dst->src walk from src=1's frontier {10, 20} matches no rows
+    # (src values are only 1,2): the scored node set must be empty
     out = comp.compile(
         'scoreNodes(nodes(g, search(g, fq="src:1", fl="src,dst"), '
         'walk="dst->src", gather="dst", count(*)), g, field="dst")'
     )
-    rows = {r["node"]: r for r in out.collect()}
-    # frontier from src=1 rows: dst values {10, 20}; hop matches src∈{10,20} → none
-    # (src values are 1,2) — so use walk dst->dst instead for a live check
+    assert out.count() == 0
     out2 = comp.compile(
         'scoreNodes(nodes(g, search(g, fq="src:1", fl="src,dst"), '
         'walk="dst->dst", gather="dst", count(*)), g, field="dst")'
@@ -296,6 +296,8 @@ def test_remove_does_not_mask_later_appends(spark):
 
 
 def test_removeregex_class(spark):
+    # 'x.' is UNANCHORED: Solr applies Pattern.matches (full-value), so
+    # it removes the two-char x-prefixed elements without explicit ^/$
     assert (
         _resolve(
             spark,
@@ -303,11 +305,23 @@ def test_removeregex_class(spark):
                 ("append", "x1"),
                 ("append", "y2"),
                 ("append", "x3"),
-                ("removeregex", "^x"),
+                ("removeregex", "x."),
                 ("append", "x4"),
             ],
         )
         == "y2,x4"
+    )
+
+
+def test_removeregex_is_full_match_not_find(spark):
+    # Solr's AtomicUpdateDocumentMerger uses Pattern.matches: an
+    # unanchored 'x' must NOT remove 'x1' (find-anywhere would)
+    assert (
+        _resolve(
+            spark,
+            [("append", "x"), ("append", "x1"), ("removeregex", "x")],
+        )
+        == "x1"
     )
 
 
@@ -369,7 +383,7 @@ def test_add_distinct_chain_after_removeregex(spark):
             [
                 ("append", "x1"),
                 ("add-distinct", "x1"),   # skipped
-                ("removeregex", "^x"),
+                ("removeregex", "x."),    # full-match: consumes 'x1'
                 ("add-distinct", "x1"),   # inserts
                 ("append", "y"),
             ],

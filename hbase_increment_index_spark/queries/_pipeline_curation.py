@@ -166,6 +166,71 @@ FROM q LEFT JOIN hits h ON h.q_id = q.q_id
 """
 
 
+def e3n_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluator for the SERVED {!knn} path: recall@10 of
+    IVF cell pruning (probe the 6 nearest of 10 label-mean cells —
+    q78b_knn_served's exact configuration, where the ADC shortlist
+    recovers everything the pruning retains, so this IS the served
+    path's recall) vs the exact full-corpus ranking, per query vector
+    — the same role e3h plays for the hyperplane-LSH tier.
+    Deterministic centroids/assignments mean the oracle value-checks
+    the whole path, probe selection included
+    (pipeline.similarity.ivf_recall)."""
+    from hbase_increment_index_spark.pipeline.similarity import ivf_recall
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_recall(emb, F.col("vec_id") % 50 == 0, k=10, n_probe=6)
+
+
+def _e3n_sql() -> str:
+    from ._shared import _IVF_SQL
+
+    return f"""
+WITH {_IVF_SQL},
+q AS (
+  SELECT v.vec_id AS q_id, v.e AS qe
+  FROM ivf_v v WHERE vec_id % 50 = 0
+),
+probes AS (
+  SELECT q_id, cid FROM (
+    SELECT q.q_id, ca.cid,
+           row_number() OVER (PARTITION BY q.q_id ORDER BY
+             ROUND(list_sum(list_transform(generate_series(1, 64),
+               i -> (ca.c[i] - q.qe[i]) * (ca.c[i] - q.qe[i]))), 6) ASC,
+             ca.cid ASC) AS rn
+    FROM q CROSS JOIN centarr ca) WHERE rn <= 6
+),
+scored AS (
+  SELECT q.q_id, a.cid, v.vec_id,
+         ROUND(list_dot_product(v.e, q.qe)
+               / (sqrt(list_dot_product(v.e, v.e))
+                  * sqrt(list_dot_product(q.qe, q.qe))), 6) AS score
+  FROM ivf_v v JOIN cellassign a USING (vec_id) CROSS JOIN q
+  WHERE v.vec_id <> q.q_id
+),
+exact AS (
+  SELECT q_id, vec_id FROM (
+    SELECT q_id, vec_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) AS rn
+    FROM scored) WHERE rn <= 10
+),
+approx AS (
+  SELECT q_id, vec_id FROM (
+    SELECT s.q_id, s.vec_id,
+           row_number() OVER (PARTITION BY s.q_id ORDER BY s.score DESC, s.vec_id ASC) AS rn
+    FROM scored s JOIN probes p ON p.q_id = s.q_id AND p.cid = s.cid)
+  WHERE rn <= 10
+),
+hits AS (
+  SELECT q_id, count(*) AS n_hits FROM exact JOIN approx USING (q_id, vec_id) GROUP BY q_id
+)
+SELECT q.q_id,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       ROUND(COALESCE(h.n_hits, 0) / 10.0, 6) AS recall_at_k
+FROM q LEFT JOIN hits h ON h.q_id = q.q_id
+"""
+
+
 # --------------------------------------------------------------------------
 # E11 — temperature-based source mixture resampling
 # --------------------------------------------------------------------------

@@ -180,6 +180,15 @@ _GEO_DIST = """ROUND(2.0 * 6371.0088 * asin(sqrt(
 _TIMERANGE_CUT = "2024-01-15 00:00:00"
 
 
+def _pq_cb_sql(n_seeds: int = 8) -> str:
+    """Parameterized twin of _PQ_CB_SQL: the PQ codebook/encode CTE
+    chain with ``n_seeds`` corpus-sampled codewords per subspace
+    (pipeline.similarity.pq_codebooks(seed_ids=range(n_seeds)) +
+    pq_encode). The q78b served-{!knn} oracle uses 16 codewords; the
+    e3i/e3j oracles keep the original 8-seed constant."""
+    return _PQ_CB_SQL.replace("WHERE vec_id < 8", f"WHERE vec_id < {n_seeds}")
+
+
 _PQ_CB_SQL = """
 seeds AS (
   SELECT vec_id AS sid, CAST(embedding AS DOUBLE[]) AS v
@@ -205,6 +214,41 @@ dists AS (
 codes AS (
   SELECT vec_id, s, j AS code FROM dists
   QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY d ASC, j ASC) = 1
+)
+"""
+
+
+# DuckDB twin of the deterministic IVF coarse index: per-label
+# exact-decimal centroids (label_cell_centroids — E3K proved the cents
+# arithmetic) + nearest-cell assignment with rounded distances and
+# low-cid tie-breaks (assign_cells). Ends in CTEs ``centarr(cid, c)``
+# and ``cellassign(vec_id, cid)``; list_sum/list_transform mirror the
+# sequential zip_with fold of similarity._assign. Shared by the
+# q78b served-{!knn} and e3n ivf-recall oracles.
+_IVF_SQL = """
+ivf_x0 AS (
+  SELECT vec_id, label, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
+  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i)
+),
+ivf_cents AS (
+  SELECT label, pos,
+         ROUND(CAST(SUM(CAST(v AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*), 6) AS mean_v
+  FROM ivf_x0 GROUP BY label, pos
+),
+centarr AS (
+  SELECT CAST(label AS BIGINT) AS cid, list(mean_v ORDER BY pos) AS c
+  FROM ivf_cents GROUP BY label
+),
+ivf_v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+ivf_adist AS (
+  SELECT ivf_v.vec_id, ca.cid,
+         ROUND(list_sum(list_transform(generate_series(1, 64),
+               i -> (e[i] - c[i]) * (e[i] - c[i]))), 6) AS d
+  FROM ivf_v CROSS JOIN centarr ca
+),
+cellassign AS (
+  SELECT vec_id, cid FROM ivf_adist
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) = 1
 )
 """
 

@@ -1788,6 +1788,83 @@ LIMIT 10
 """
 
 
+def q78b_knn_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SERVED approximate {!knn} — the index-backed twin of q78's
+    exact scan, closing the engine's last corpus-linear serving path.
+    Solr 9's DenseVectorField answers {!knn} from an HNSW graph index
+    instead of scanning every vector (the solrj 9.8 surface, reference
+    pom.xml:22); the Spark-native never-scan-everything equivalent is
+    IVF cells + PQ codes + exact refine (Jégou et al. 2011), composed
+    here from the pieces the registry already proves individually
+    (e3k centroids, e3i/e3j codes/ADC): probe the 6 nearest of 10
+    cells → ADC over the probed cells' m-byte codes (16 codewords per
+    subspace) → 100-candidate shortlist → exact cosine re-rank →
+    top-10. At this configuration the shortlist recovers everything
+    the cell pruning retains (served overlap vs the exact ranking ==
+    e3n's prune recall at the same n_probe — ADC adds no loss), so
+    recall is governed by the one measured dial. Per-query work is
+    n_probe/n_cells of the CODES table plus 100 raw vectors, whatever
+    the corpus size; with the index stored partitionBy('cid') the cid
+    filter is a directory prune (bench twin q78b_knn_served_idx prices
+    the steady-state serve). The registry form builds the index
+    in-plan so the oracle replays every stage (the e2o discipline);
+    recall@k of the pruned path is measured by e3n_ivf_recall.
+    Same (vec_id, score) shape and total order as q78."""
+    from hbase_increment_index_spark.pipeline.similarity import (
+        build_ivf_pq,
+        knn_ivf_pq_serve,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids, codebooks, cells, codes = build_ivf_pq(
+        emb, dim=64, m=4, seed_ids=list(range(16))
+    )
+    return knn_ivf_pq_serve(
+        centroids, codebooks, cells, codes, _Q78_VEC,
+        k=10, n_probe=6, shortlist=100, m=4,
+    )
+
+
+def _q78b_sql() -> str:
+    from ._shared import _IVF_SQL, _pq_cb_sql
+
+    qv = ", ".join(repr(x) for x in _Q78_VEC)
+    return f"""
+WITH {_pq_cb_sql(16)},
+{_IVF_SQL},
+q AS (SELECT [{qv}]::DOUBLE[] AS qv),
+probe AS (
+  SELECT cid FROM centarr, q
+  ORDER BY ROUND(list_sum(list_transform(generate_series(1, 64),
+           i -> (c[i] - qv[i]) * (c[i] - qv[i]))), 6) ASC, cid ASC
+  LIMIT 6
+),
+lut AS (
+  SELECT s, j AS code,
+         ROUND(list_sum(list_transform(generate_series(1, 16),
+               i -> (qv[s * 16 + i] - cw[i]) * (qv[s * 16 + i] - cw[i]))), 9) AS qd
+  FROM cb, q
+),
+short AS (
+  SELECT c.vec_id, ROUND(SUM(l.qd), 6) AS approx_d
+  FROM codes c
+  JOIN cellassign a USING (vec_id)
+  JOIN lut l USING (s, code)
+  WHERE a.cid IN (SELECT cid FROM probe)
+  GROUP BY c.vec_id
+  ORDER BY approx_d ASC, vec_id ASC
+  LIMIT 100
+)
+SELECT ivf_v.vec_id,
+       ROUND(list_dot_product(ivf_v.e, q.qv)
+             / (sqrt(list_dot_product(ivf_v.e, ivf_v.e))
+                * sqrt(list_dot_product(q.qv, q.qv))), 6) AS score
+FROM ivf_v JOIN short USING (vec_id), q
+ORDER BY score DESC, vec_id ASC
+LIMIT 10
+"""
+
+
 def q65_sql_handler(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Solr /sql handler (solrj 9.x exposes a SQL interface compiled
     onto streaming expressions): the engine's native answer is Spark

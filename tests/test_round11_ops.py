@@ -1,0 +1,171 @@
+"""Round-11 operators: the served approximate {!knn} (IVF probe → PQ
+ADC → exact refine) and its recall evaluator, plus the r10 ADVICE
+fixes (removeregex full-match lives in test_round10_ops/test_properties;
+here: {!min_hash} empty-query rejection and the knnSearch/parallel
+stream-op error contract)."""
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------------ served {!knn} (IVF+PQ)
+
+
+def _toy_embeddings(spark, n=60, dim=8, n_labels=3):
+    """Deterministic clustered corpus: label l's vectors sit near the
+    l-th axis corner, so IVF cells are geometrically meaningful."""
+    rows = []
+    for i in range(n):
+        lab = i % n_labels
+        base = [1.0 if (d % n_labels) == lab else 0.1 for d in range(dim)]
+        # deterministic per-vector jitter, small enough to keep clusters apart
+        vec = [round(b + ((i * 31 + d * 7) % 11 - 5) / 100.0, 6) for d, b in enumerate(base)]
+        rows.append(Row(vec_id=i, embedding=vec, label=lab))
+    return spark.createDataFrame(rows)
+
+
+def test_served_knn_with_all_cells_probed_equals_exact(spark):
+    """With every cell probed and a corpus-wide shortlist, the served
+    path degenerates to the exact ranking — refine uses true cosines,
+    so the approximation lives ONLY in the prune/shortlist dials."""
+    from hbase_increment_index_spark.pipeline.similarity import (
+        build_ivf_pq,
+        knn_brute_force,
+        knn_ivf_pq_serve,
+    )
+
+    emb = _toy_embeddings(spark)
+    q = [1.0, 0.1, 0.1, 1.0, 0.1, 0.1, 1.0, 0.1]  # near label-0 corner
+    cen, cb, cells, codes = build_ivf_pq(
+        emb, dim=8, m=4, seed_ids=list(range(6))
+    )
+    served = knn_ivf_pq_serve(
+        cen, cb, cells, codes, q, k=5, n_probe=3, shortlist=60, m=4
+    ).collect()
+    exact = knn_brute_force(emb, q, k=5).collect()
+    assert [(r["vec_id"], r["score"]) for r in served] == [
+        (r["vec_id"], r["score"]) for r in exact
+    ]
+
+
+def test_served_knn_probes_right_cluster(spark):
+    """A query at a cluster corner must retrieve that cluster's
+    members even with a single probed cell (1/3 of the corpus read)."""
+    from hbase_increment_index_spark.pipeline.similarity import (
+        build_ivf_pq,
+        knn_ivf_pq_serve,
+    )
+
+    emb = _toy_embeddings(spark)
+    q = [1.0, 0.1, 0.1, 1.0, 0.1, 0.1, 1.0, 0.1]
+    cen, cb, cells, codes = build_ivf_pq(emb, dim=8, m=4, seed_ids=list(range(6)))
+    out = knn_ivf_pq_serve(
+        cen, cb, cells, codes, q, k=5, n_probe=1, shortlist=20, m=4
+    ).collect()
+    assert len(out) == 5
+    assert all(r["vec_id"] % 3 == 0 for r in out)  # label-0 members
+
+
+def test_served_knn_store_partition_prunes(spark, tmp_path):
+    """Serving from the cid-partitioned store must read only the
+    probed directories — PartitionFilters carries the cid IN list."""
+    from hbase_increment_index_spark.pipeline.similarity import (
+        build_ivf_pq,
+        knn_ivf_pq_serve,
+    )
+
+    emb = _toy_embeddings(spark)
+    cen, cb, cells, codes = build_ivf_pq(emb, dim=8, m=4, seed_ids=list(range(6)))
+    d = str(tmp_path)
+    cells.write.partitionBy("cid").parquet(f"{d}/cells")
+    codes.write.partitionBy("cid").parquet(f"{d}/codes")
+    q = [1.0, 0.1, 0.1, 1.0, 0.1, 0.1, 1.0, 0.1]
+    out = knn_ivf_pq_serve(
+        cen, cb,
+        spark.read.parquet(f"{d}/cells"),
+        spark.read.parquet(f"{d}/codes"),
+        q, k=5, n_probe=2, shortlist=20, m=4,
+    )
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln and "cid" in ln]
+    assert len(pf) == 2 and all(" IN " in ln for ln in pf)
+    assert "SortMergeJoin" not in plan
+    assert out.count() == 5
+
+
+def test_ivf_recall_bounds_and_full_probe_is_perfect(spark):
+    from hbase_increment_index_spark.pipeline.similarity import ivf_recall
+
+    emb = _toy_embeddings(spark)
+    partial = ivf_recall(
+        emb, F.col("vec_id") % 10 == 0, k=5, n_probe=1
+    ).collect()
+    assert partial and all(0.0 <= r["recall_at_k"] <= 1.0 for r in partial)
+    full = ivf_recall(emb, F.col("vec_id") % 10 == 0, k=5, n_probe=3).collect()
+    assert all(r["recall_at_k"] == 1.0 for r in full)  # every cell probed
+
+
+def test_ivf_recall_query_panel_is_denominator(spark):
+    """A query is counted even when its probed cells are sparse —
+    the panel, not the candidate set, is the denominator."""
+    from hbase_increment_index_spark.pipeline.similarity import ivf_recall
+
+    emb = _toy_embeddings(spark, n=12)
+    out = ivf_recall(emb, F.col("vec_id") < 4, k=5, n_probe=1).collect()
+    assert sorted(r["q_id"] for r in out) == [0, 1, 2, 3]
+
+
+# --------------------------------------------- {!min_hash} empty-query guard
+
+
+def test_minhash_query_rejects_shingleless_text(spark):
+    """ADVICE r10: a query shorter than the gram width must raise, not
+    score sim_est=1.0 against every token-sparse document."""
+    from hbase_increment_index_spark.pipeline.dedup import minhash_text_query
+
+    docs = spark.createDataFrame(
+        [(0, "spark joins hash tables fast"), (1, "xy")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="no 3-gram shingles"):
+        minhash_text_query(docs, "doc_id", "text", "too short")
+
+
+# ------------------------------------------- stream-op error contract (r10)
+
+
+def _compiler(tables):
+    from hbase_increment_index_spark.search.streaming_expr import StreamCompiler
+
+    return StreamCompiler(tables)
+
+
+def test_knnsearch_bad_topk_raises_stream_error(spark):
+    from hbase_increment_index_spark.search.streaming_expr import StreamExprError
+
+    emb = spark.createDataFrame([Row(vec_id=0, embedding=[1.0, 0.0])])
+    comp = _compiler({"e": emb})
+    with pytest.raises(StreamExprError, match="topK"):
+        comp.compile('knnSearch(e, f="embedding", vec="[1.0, 0.0]", topK=ten)')
+
+
+def test_knnsearch_bad_field_raises_stream_error(spark):
+    from hbase_increment_index_spark.search.streaming_expr import StreamExprError
+
+    emb = spark.createDataFrame([Row(vec_id=0, embedding=[1.0, 0.0])])
+    comp = _compiler({"e": emb})
+    with pytest.raises(StreamExprError, match="field name"):
+        comp.compile('knnSearch(e, f="embedding x", vec="[1.0, 0.0]")')
+
+
+def test_parallel_bad_workers_raises_stream_error(spark):
+    from hbase_increment_index_spark.search.streaming_expr import StreamExprError
+
+    t = spark.createDataFrame([Row(a=1)])
+    comp = _compiler({"t": t})
+    with pytest.raises(StreamExprError, match="workers"):
+        comp.compile('parallel(t, search(t, fl="a"), workers=two)')

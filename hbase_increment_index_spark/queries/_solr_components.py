@@ -358,6 +358,56 @@ LIMIT 15
 """
 
 
+def q43b_relatedness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-Facet ``relatedness(fgQ, bgQ)`` with the true SKG r-score
+    (Grainger et al., DSAA 2016 — the published algorithm behind
+    Solr's RelatednessAgg; r10 verdict gap #6): q43 scores by raw lift,
+    which explodes on rare terms; relatedness z-tests each term's
+    foreground proportion against its background proportion and
+    squashes to [-1, 1] (z/√(1+z²)), so a term needs lift AND
+    foreground support. Same single-scan vocabulary-bounded plan as
+    q43 — one per-term hash agg carrying both document frequencies,
+    scalar totals broadcast (search.ranking.skg_relatedness_terms)."""
+    from hbase_increment_index_spark.search.ranking import skg_relatedness_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    return skg_relatedness_terms(
+        docs, F.col("lang") == "de", "doc_id", "text", min_fg_df=3, k=15
+    )
+
+
+Q43B_SQL = f"""
+WITH flagged AS (
+  SELECT doc_id, CASE WHEN lang = 'de' THEN 1 ELSE 0 END AS fg,
+         {_SQL_TOKS.format(c='text')} AS toks
+  FROM documents
+),
+totals AS (SELECT count(*) AS n_docs, CAST(SUM(fg) AS BIGINT) AS n_fg FROM flagged),
+per_term AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(SUM(fg) AS BIGINT) AS fg_df
+  FROM (SELECT doc_id, fg, unnest(list_distinct(toks)) AS term FROM flagged)
+  GROUP BY term
+),
+scored AS (
+  SELECT term, fg_df, df,
+         (fg_df / CAST(n_fg AS DOUBLE)) AS fg_pop,
+         (df / CAST(n_docs AS DOUBLE)) AS bg_pop,
+         CAST(n_fg AS DOUBLE) AS n_fg_d
+  FROM per_term, totals
+  WHERE fg_df >= 3
+)
+SELECT term, fg_df, df,
+       ROUND(CASE WHEN bg_pop >= 1.0 THEN 0.0 ELSE
+         ((fg_pop - bg_pop) / sqrt(bg_pop * (1.0 - bg_pop) / n_fg_d))
+         / sqrt(1.0 + ((fg_pop - bg_pop) / sqrt(bg_pop * (1.0 - bg_pop) / n_fg_d))
+                      * ((fg_pop - bg_pop) / sqrt(bg_pop * (1.0 - bg_pop) / n_fg_d)))
+       END, 6) AS relatedness
+FROM scored
+ORDER BY relatedness DESC, term ASC
+LIMIT 15
+"""
+
+
 def q44_facet_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Solr ``facet.field=p_brand&facet.prefix=Brand#1`` — bucket
     counts restricted to values under a prefix; the startswith filter
@@ -582,6 +632,53 @@ ORDER BY dist_km ASC, c_custkey ASC
 """
 
 
+# The q47c WKT literal — Solr RPT syntax, WKT's lon-lat vertex order,
+# closing vertex repeated. Single-sourced: the Spark side parses it
+# with search.geo.parse_wkt_polygon; the oracle SQL is generated from
+# the same parsed vertices.
+_Q47C_WKT = (
+    "POLYGON((-170 -20, -100 65, 60 70, 100 0, -60 -60, -170 -20))"
+)
+
+
+def q47c_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr RPT polygon spatial filter (``fq={!field
+    f=geo}Intersects(POLYGON((...)))`` — the WKT surface of
+    SpatialRecursivePrefixTreeFieldType, the shape filter geofilt/bbox
+    can't express; r10 verdict gap #5): customers inside a pentagon
+    sized so every fixture SF has members (the derived coords walk
+    sparse diagonal lines — continent-scale shapes are empty), with
+    the even-odd ray cast as a pure projection
+    behind the polygon's SARGABLE bounding box (lat/lon BETWEEN pushed
+    to parquet min/max pruning, the q47b discipline). WKT vertices are
+    parsed once and enter the plan as double literals; the oracle
+    replays the identical edge arithmetic (search.geo.
+    polygon_intersects / polygon_sql)."""
+    from hbase_increment_index_spark.search.geo import (
+        parse_wkt_polygon,
+        polygon_intersects,
+    )
+
+    pts = _geo_customers(spark, sf_dir)
+    verts = parse_wkt_polygon(_Q47C_WKT)
+    return pts.filter(
+        polygon_intersects(F.col("lat"), F.col("lon"), verts)
+    ).orderBy(F.col("c_custkey").asc())
+
+
+def _q47c_sql() -> str:
+    from hbase_increment_index_spark.search.geo import parse_wkt_polygon, polygon_sql
+
+    verts = parse_wkt_polygon(_Q47C_WKT)
+    return f"""
+WITH pts AS ({_GEO_SQL_BASE})
+SELECT c_custkey, lat, lon
+FROM pts
+WHERE {polygon_sql("lat", "lon", verts)}
+ORDER BY c_custkey ASC
+"""
+
+
 def q48_geo_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Solr ``sort=geodist() asc&rows=15`` — nearest-k customers to a
     point; TakeOrderedAndProject, never a global sort."""
@@ -695,6 +792,59 @@ WHERE l_quantity >= 45.0
 GROUP BY o_orderkey, o_orderpriority
 ORDER BY score DESC, o_orderkey ASC
 LIMIT 15
+"""
+
+
+def q49d_child_transformer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr ``[child]`` doc transformer (``q=priority:1-URGENT AND
+    status:F&fl=*,[child limit=3 sort='extendedprice desc'
+    childFilter='quantity:[20 TO *]']`` — the solrj 9.8 nested-doc
+    response shape, reference pom.xml:22): each matching parent order
+    with its top-3 line items by net price, parents with no qualifying
+    child kept with NULL child columns. One child-side window
+    exchange; parent predicate pushed; the child table never shuffles
+    for the join (search.join_parsers.child_doc_transformer)."""
+    from hbase_increment_index_spark.search.join_parsers import child_doc_transformer
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    out = child_doc_transformer(
+        orders.select("o_orderkey", "o_orderstatus", "o_orderpriority"),
+        li.select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"),
+        "o_orderkey",
+        "l_orderkey",
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_orderstatus") == "F"),
+        [F.col("l_extendedprice").desc(), F.col("l_linenumber").asc()],
+        child_filter=F.col("l_quantity") >= 20.0,
+        limit=3,
+    )
+    return out.select(
+        "o_orderkey", "o_orderpriority", "child_rank",
+        "l_linenumber", "l_quantity", "l_extendedprice",
+    ).orderBy(
+        F.col("o_orderkey").asc(), F.col("child_rank").asc_nulls_last()
+    )
+
+
+Q49D_SQL = """
+WITH hits AS (
+  SELECT o_orderkey, o_orderpriority
+  FROM orders WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'
+),
+ranked AS (
+  SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+         row_number() OVER (PARTITION BY l_orderkey
+                            ORDER BY l_extendedprice DESC, l_linenumber ASC) AS child_rank
+  FROM lineitem
+  WHERE l_quantity >= 20.0
+    AND l_orderkey IN (SELECT o_orderkey FROM hits)
+  QUALIFY child_rank <= 3
+)
+SELECT h.o_orderkey, h.o_orderpriority,
+       CAST(r.child_rank AS INT) AS child_rank,
+       r.l_linenumber, r.l_quantity, r.l_extendedprice
+FROM hits h LEFT JOIN ranked r ON r.l_orderkey = h.o_orderkey
+ORDER BY h.o_orderkey ASC, child_rank ASC NULLS LAST
 """
 
 
@@ -1531,6 +1681,85 @@ ORDER BY h.node ASC
 """
 
 
+def q61k_stream_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/stream math layer, ``let()``/``col()``/``describe()`` (the
+    solrj 9.x statistical programming surface, reference pom.xml:22):
+    bind the returned-lineitem slice, extract the quantity column as a
+    vector, describe it — n/min/max/sum/mean/var/stdev, Commons-Math
+    DescriptiveStatistics' tuple. Solr collects the vector to the
+    /stream worker; here describe() compiles to ONE hash aggregate
+    with exact-decimal moment sums (the e22 OLS discipline) — the
+    vector never materializes (search.streaming_expr._op_describe)."""
+    return _stream(
+        spark, sf_dir,
+        'let(a=search(lineitem, fq="l_returnflag:R", '
+        'fl="l_quantity,l_extendedprice"), describe(col(a, l_quantity)))',
+    )
+
+
+Q61K_SQL = """
+WITH src AS (
+  SELECT CAST(l_quantity AS DOUBLE) AS x FROM lineitem WHERE l_returnflag = 'R'
+),
+s AS (
+  SELECT count(*) AS n, MIN(x) AS mn, MAX(x) AS mx,
+         CAST(SUM(CAST(x AS DECIMAL(30,12))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(x * x AS DECIMAL(30,12))) AS DOUBLE) AS sxx
+  FROM src
+)
+SELECT 'l_quantity' AS field,
+       CAST(n AS BIGINT) AS n,
+       ROUND(mn, 6) AS min,
+       ROUND(mx, 6) AS max,
+       ROUND(sx, 6) AS sum,
+       ROUND(sx / n, 6) AS mean,
+       ROUND((n * sxx - sx * sx) / (n * CAST(n - 1 AS DOUBLE)), 6) AS var,
+       ROUND(sqrt((n * sxx - sx * sx) / (n * CAST(n - 1 AS DOUBLE))), 6) AS stdev
+FROM s
+"""
+
+
+def q61l_stream_regress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/stream math layer, ``regress()`` (Commons SimpleRegression):
+    OLS of extended price on quantity over the returned-lineitem
+    slice — slope, intercept, r². Both col() vectors bind the same
+    let() stream, so x/y pairing is the shared source row; the whole
+    regression is one hash aggregate with exact-decimal sums (no
+    driver-side vector, partition-invariant — e22's discipline)
+    (search.streaming_expr._op_regress)."""
+    return _stream(
+        spark, sf_dir,
+        'let(a=search(lineitem, fq="l_returnflag:R", '
+        'fl="l_quantity,l_extendedprice"), '
+        'regress(col(a, l_quantity), col(a, l_extendedprice)))',
+    )
+
+
+Q61L_SQL = """
+WITH src AS (
+  SELECT CAST(l_quantity AS DOUBLE) AS x, CAST(l_extendedprice AS DOUBLE) AS y
+  FROM lineitem WHERE l_returnflag = 'R'
+),
+s AS (
+  SELECT count(*) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(30,12))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(30,12))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x * y AS DECIMAL(30,12))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(x * x AS DECIMAL(30,12))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(y * y AS DECIMAL(30,12))) AS DOUBLE) AS syy
+  FROM src
+)
+SELECT 'l_quantity' AS x_field, 'l_extendedprice' AS y_field,
+       CAST(n AS BIGINT) AS n,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+         AS intercept,
+       ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r_squared
+FROM s
+"""
+
+
 def q79_topic_pull(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``topic()`` — the /stream checkpointed incremental-pull
     decorator (solrj 9.x, reference pom.xml:22): "give me the docs
@@ -2029,6 +2258,90 @@ feats AS (
 SELECT doc_id, original_score,
        ROUND(1.0 * original_score + (-0.2) * log_doclen + 0.4 * is_en + 0.2 * is_web, 6)
          AS ltr_score
+FROM feats
+ORDER BY ltr_score DESC, doc_id ASC
+LIMIT 10
+"""
+
+
+# The q62b MultipleAdditiveTrees model: (weight, root) per tree, over
+# the q62 feature set. Single-sourced — ranking.tree_score_expr compiles
+# it for Spark, ranking.tree_score_sql for the DuckDB oracle.
+_LTR_TREES: list[tuple[float, dict]] = [
+    (1.0, {
+        "feature": "original_score", "threshold": 4.0,
+        "left": {"feature": "is_en", "threshold": 0.5,
+                 "left": {"value": 0.1}, "right": {"value": 0.6}},
+        "right": {"feature": "log_doclen", "threshold": 4.5,
+                  "left": {"value": 1.2}, "right": {"value": 0.8}},
+    }),
+    (0.5, {
+        "feature": "is_web", "threshold": 0.5,
+        "left": {"value": 0.0},
+        "right": {"feature": "original_score", "threshold": 6.0,
+                  "left": {"value": 0.3}, "right": {"value": 0.9}},
+    }),
+    (0.25, {
+        "feature": "log_doclen", "threshold": 4.0,
+        "left": {"feature": "original_score", "threshold": 5.0,
+                 "left": {"value": 0.2}, "right": {"value": 1.0}},
+        "right": {"value": 0.5},
+    }),
+]
+
+
+def q62b_ltr_trees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr LTR with the plugin's PRODUCTION model class,
+    MultipleAdditiveTrees (``rq={!ltr model=trees reRankDocs=50}`` —
+    solrj 9.8's LTR ships LinearModel and MultipleAdditiveTreesModel;
+    q62 covers the linear one, this the tree ensemble, r10 verdict
+    gap #2): BM25 top-50 head → the same O(head) feature vector →
+    a 3-tree weighted ensemble evaluated as nested CASE expressions
+    (featureValue <= threshold walks left, exactly Solr's node
+    semantics), re-rank by the summed leaf values. Zero shuffle beyond
+    the head retrieval; the DuckDB oracle replays the identical CASE
+    tree from the same single-sourced model spec
+    (search.ranking.ltr_trees_rerank / tree_score_sql)."""
+    docs = _t(spark, sf_dir, "documents")
+    return ranking.ltr_trees_rerank(
+        docs, "doc_id", "text", list(_TFIDF_TERMS), _LTR_TREES,
+        rerank_docs=50, k=10,
+    )
+
+
+def _q62b_sql() -> str:
+    terms = " + ".join(
+        f"{float(w)!r} * {ranking.tree_score_sql(root)}" for w, root in _LTR_TREES
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SQL_TOKS.format(c='text')}) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+avgdl AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS a FROM dl),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+mhits AS (SELECT * FROM toks WHERE term IN ('join', 'query', 'spark')),
+mtf AS (SELECT doc_id, term, count(*) AS tf FROM mhits GROUP BY 1, 2),
+mdft AS (SELECT term, count(DISTINCT doc_id) AS df_t FROM mhits GROUP BY 1),
+main AS (
+  SELECT mtf.doc_id,
+         ROUND(SUM(
+           ln(1.0 + (n.n_docs - mdft.df_t + 0.5) / (mdft.df_t + 0.5))
+           * (mtf.tf * (1.2 + 1)) / (mtf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl.a))
+         ), 6) AS original_score
+  FROM mtf JOIN mdft USING (term) JOIN dl USING (doc_id), n, avgdl
+  GROUP BY mtf.doc_id
+),
+head AS (SELECT * FROM main ORDER BY original_score DESC, doc_id ASC LIMIT 50),
+feats AS (
+  SELECT h.doc_id, h.original_score,
+         ln(1.0 + dl.dl) AS log_doclen,
+         CAST(d.lang = 'en' AS DOUBLE) AS is_en,
+         CAST(d.source = 'web' AS DOUBLE) AS is_web
+  FROM head h JOIN dl USING (doc_id) JOIN documents d USING (doc_id)
+)
+SELECT doc_id, original_score,
+       ROUND({terms}, 6) AS ltr_score
 FROM feats
 ORDER BY ltr_score DESC, doc_id ASC
 LIMIT 10

@@ -140,3 +140,87 @@ def geodist_topk(
         .orderBy(F.col(dist_alias).asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def parse_wkt_polygon(wkt: str) -> list[tuple[float, float]]:
+    """Parse a WKT ``POLYGON((lon lat, lon lat, ...))`` outer ring into
+    (lat, lon) vertex tuples — the literal syntax Solr's RPT spatial
+    field accepts in ``{!field f=geo}Intersects(POLYGON((...)))``.
+    Only the outer ring is supported (no holes, no MULTIPOLYGON); the
+    closing vertex (WKT repeats the first) is dropped."""
+    import re as _re
+
+    m = _re.match(r"^\s*POLYGON\s*\(\(\s*(?P<ring>[^)]*?)\s*\)\)\s*$", wkt, _re.I)
+    if not m:
+        raise ValueError(f"not a WKT POLYGON: {wkt!r}")
+    verts: list[tuple[float, float]] = []
+    for part in m.group("ring").split(","):
+        bits = part.split()
+        if len(bits) != 2:
+            raise ValueError(f"bad WKT vertex {part!r}")
+        lon, lat = float(bits[0]), float(bits[1])
+        verts.append((lat, lon))
+    if len(verts) >= 2 and verts[0] == verts[-1]:
+        verts = verts[:-1]
+    if len(verts) < 3:
+        raise ValueError("polygon needs at least 3 distinct vertices")
+    return verts
+
+
+def _polygon_edges(vertices: list[tuple[float, float]]):
+    n = len(vertices)
+    return [(vertices[i], vertices[(i + 1) % n]) for i in range(n)]
+
+
+def polygon_intersects(
+    lat_col: Column, lon_col: Column, vertices: list[tuple[float, float]]
+) -> Column:
+    """Point-in-polygon as a pure projection: even-odd ray casting
+    (count edges whose segment crosses the eastward horizontal ray
+    from the point; odd → inside), guarded by the polygon's sargable
+    bounding box so the parquet scan prunes on lat/lon min/max before
+    any edge arithmetic runs — the same prune-then-exact shape as
+    geofilt's bbox+haversine (q47/q47b). Vertices enter as double
+    literals and every edge term keeps the identical operand order in
+    the SQL twin (:func:`polygon_sql`), so membership is
+    engine-portable bit for bit. Horizontal edges are skipped by the
+    crossing guard itself ((vlat_i > lat) != (vlat_j > lat) is false),
+    matching the classic even-odd algorithm."""
+    lat_lo = min(v[0] for v in vertices)
+    lat_hi = max(v[0] for v in vertices)
+    lon_lo = min(v[1] for v in vertices)
+    lon_hi = max(v[1] for v in vertices)
+    bbox = lat_col.between(lat_lo, lat_hi) & lon_col.between(lon_lo, lon_hi)
+    crossings = None
+    for (alat, alon), (blat, blon) in _polygon_edges(vertices):
+        guard = (F.lit(alat) > lat_col) != (F.lit(blat) > lat_col)
+        xing = lon_col < (
+            (F.lit(blon) - F.lit(alon))
+            * (lat_col - F.lit(alat))
+            / (F.lit(blat) - F.lit(alat))
+            + F.lit(alon)
+        )
+        term = F.when(guard & xing, F.lit(1)).otherwise(F.lit(0))
+        crossings = term if crossings is None else crossings + term
+    return bbox & (crossings % 2 == 1)
+
+
+def polygon_sql(lat_expr: str, lon_expr: str, vertices: list[tuple[float, float]]) -> str:
+    """The SAME ray-cast as ANSI SQL — identical literals and operand
+    order, so the DuckDB oracle replays the exact double arithmetic."""
+    lat_lo = min(v[0] for v in vertices)
+    lat_hi = max(v[0] for v in vertices)
+    lon_lo = min(v[1] for v in vertices)
+    lon_hi = max(v[1] for v in vertices)
+    terms = []
+    for (alat, alon), (blat, blon) in _polygon_edges(vertices):
+        terms.append(
+            f"(CASE WHEN (({alat!r} > {lat_expr}) <> ({blat!r} > {lat_expr})) "
+            f"AND {lon_expr} < ({blon!r} - {alon!r}) * ({lat_expr} - {alat!r}) "
+            f"/ ({blat!r} - {alat!r}) + {alon!r} THEN 1 ELSE 0 END)"
+        )
+    return (
+        f"({lat_expr} BETWEEN {lat_lo!r} AND {lat_hi!r} "
+        f"AND {lon_expr} BETWEEN {lon_lo!r} AND {lon_hi!r} "
+        f"AND (({' + '.join(terms)}) % 2 = 1))"
+    )

@@ -133,3 +133,51 @@ def cross_collection_join(
         .distinct()
     )
     return to_df.join(keys, to_df[to_key] == keys["__jk"], "left_semi")
+
+
+def child_doc_transformer(
+    parents: DataFrame,
+    children: DataFrame,
+    parent_key: str,
+    child_fk: str,
+    parent_pred: Column,
+    child_order: list[Column],
+    child_filter: Column | None = None,
+    limit: int = 3,
+) -> DataFrame:
+    """Solr's ``[child]`` doc transformer (``fl=*,[child limit=N
+    sort=... childFilter=...]``): every matching PARENT comes back
+    with up to N of its children nested in sort order — the response
+    shape every nested-document UI consumes (the r10 verdict gap #3:
+    the q49* block joins return one side flat). The flat-frame
+    equivalent emits one row per (parent, child_rank) with the child
+    columns inline, and the parent row with NULL child columns when no
+    child passes ``child_filter`` (Solr returns the parent with an
+    empty child list — it must not vanish).
+
+    Plan: the parent predicate pushes into the parent scan; the child
+    side takes ONE exchange (the per-parent ranking window over the
+    keyset-restricted children — the semi-restriction rides a
+    broadcast of the matching parent keys, so the child fact table
+    never shuffles for the join); the final parent ⋈ ranked-children
+    join is a plain equi join on the parent key (left, to keep
+    childless parents). Child work is ∝ matching parents' children,
+    never the whole child table.
+    """
+    from pyspark.sql import Window
+
+    hits = parents.filter(parent_pred)
+    keys = hits.select(F.col(parent_key).alias("__pk")).distinct()
+    kids = children.join(
+        F.broadcast(keys), children[child_fk] == keys["__pk"], "left_semi"
+    )
+    if child_filter is not None:
+        kids = kids.filter(child_filter)
+    w = Window.partitionBy(child_fk).orderBy(*child_order)
+    ranked = (
+        kids.withColumn("child_rank", F.row_number().over(w))
+        .filter(F.col("child_rank") <= limit)
+    )
+    return hits.join(
+        ranked, hits[parent_key] == ranked[child_fk], "left"
+    ).drop(child_fk)

@@ -24,7 +24,7 @@ size at query time.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from hbase_increment_index_spark.search.tokenize import posting_list
@@ -635,5 +635,159 @@ def ltr_rerank(
         feats.withColumn("ltr_score", F.round(model, score_decimals))
         .select(id_col, "original_score", "ltr_score")
         .orderBy(F.col("ltr_score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+# ------------------------------------------------- LTR: tree ensembles
+
+def tree_score_expr(node: dict) -> Column:
+    """Compile one MultipleAdditiveTrees tree (Solr LTR's production
+    model class — org.apache.solr.ltr.model.MultipleAdditiveTreesModel)
+    to a nested CASE expression over feature COLUMNS: a branch node is
+    ``{"feature", "threshold", "left", "right"}`` with Solr's
+    featureValue <= threshold → left walk; a leaf is ``{"value": v}``.
+    Pure codegen — evaluating the ensemble is a per-row expression, no
+    join, no shuffle, no UDF."""
+    if "value" in node:
+        return F.lit(float(node["value"]))
+    return F.when(
+        F.col(node["feature"]) <= F.lit(float(node["threshold"])),
+        tree_score_expr(node["left"]),
+    ).otherwise(tree_score_expr(node["right"]))
+
+
+def tree_score_sql(node: dict) -> str:
+    """The SAME tree as ANSI SQL (nested CASE) — the DuckDB oracle
+    replays the identical walk, so the model spec is single-sourced."""
+    if "value" in node:
+        return repr(float(node["value"]))
+    return (
+        f"(CASE WHEN {node['feature']} <= {float(node['threshold'])!r} "
+        f"THEN {tree_score_sql(node['left'])} "
+        f"ELSE {tree_score_sql(node['right'])} END)"
+    )
+
+
+def ltr_trees_rerank(
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    trees: list[tuple[float, dict]],
+    rerank_docs: int = 50,
+    k: int = 10,
+    score_decimals: int = 6,
+) -> DataFrame:
+    """Solr LTR re-rank with a MultipleAdditiveTrees model
+    (``rq={!ltr model=trees reRankDocs=N}``): the same O(head) feature
+    extraction as :func:`ltr_rerank` (original BM25 score, log doc
+    length, lang/source filter features), scored by a weighted tree
+    ensemble — score = Σ_t weight_t · tree_t(x), each tree a nested
+    CASE walk (Solr evaluates exactly this: weight * leaf value summed
+    over trees). ``trees`` is a list of (weight, root-node dict); see
+    :func:`tree_score_expr` for the node grammar. The whole ensemble
+    is one codegen'd projection over the broadcast-small candidate
+    head — swapping in a LambdaMART model of any size changes only the
+    expression depth, never the plan shape."""
+    from hbase_increment_index_spark.search.tokenize import tokens
+
+    head = bm25_topk(
+        corpus, id_col, text_col, query_terms, k=rerank_docs,
+        score_decimals=score_decimals,
+    ).withColumnRenamed("score", "original_score")
+    is_en = (
+        F.coalesce((F.col("lang") == "en").cast("double"), F.lit(0.0))
+        if "lang" in corpus.columns
+        else F.lit(0.0)
+    )
+    is_web = (
+        F.coalesce((F.col("source") == "web").cast("double"), F.lit(0.0))
+        if "source" in corpus.columns
+        else F.lit(0.0)
+    )
+    head_rows = corpus.join(F.broadcast(head.select(id_col)), id_col, "left_semi")
+    feats = head.join(
+        head_rows.select(
+            F.col(id_col),
+            F.log(F.lit(1.0) + F.size(tokens(text_col))).alias("log_doclen"),
+            is_en.alias("is_en"),
+            is_web.alias("is_web"),
+        ),
+        id_col,
+    )
+    model = None
+    for weight, root in trees:
+        term = F.lit(float(weight)) * tree_score_expr(root)
+        model = term if model is None else model + term
+    return (
+        feats.withColumn("ltr_score", F.round(model, score_decimals))
+        .select(id_col, "original_score", "ltr_score")
+        .orderBy(F.col("ltr_score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def skg_relatedness_terms(
+    docs: DataFrame,
+    fg_pred,
+    id_col: str,
+    text_col: str,
+    min_fg_df: int = 3,
+    k: int = 15,
+    score_decimals: int = 6,
+) -> DataFrame:
+    """JSON-Facet ``relatedness()`` with the Semantic-Knowledge-Graph
+    r-score (Grainger et al., "The Semantic Knowledge Graph", DSAA
+    2016 — the published algorithm behind Solr's RelatednessAgg, which
+    json.facet exposes as relatedness(fgQ, bgQ)): instead of
+    :func:`significant_terms`' raw lift, each term's foreground
+    document proportion is z-tested against its background proportion
+    and the z-score is squashed to [-1, 1]:
+
+        fg_pop = fg_df / n_fg          (foreground proportion)
+        bg_pop = df / n_docs           (background proportion)
+        z      = (fg_pop - bg_pop) / sqrt(bg_pop·(1 - bg_pop) / n_fg)
+        r      = z / sqrt(1 + z²)
+
+    so a term needs both lift AND foreground support to score high —
+    popularity-aware, unlike lift which explodes on rare terms. A term
+    present in every background doc (bg_pop = 1) is defined as r = 0.
+
+    Same plan as significant_terms: one scan, one per-term hash
+    aggregate carrying both document frequencies, scalar totals
+    broadcast — the z arithmetic is a pure projection.
+    """
+    from hbase_increment_index_spark.search.tokenize import tokens
+
+    flagged = docs.select(
+        F.col(id_col).alias("doc"),
+        fg_pred.cast("int").alias("fg"),
+        tokens(text_col).alias("toks"),
+    )
+    totals = flagged.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("fg").alias("n_fg")
+    )
+    per_term = (
+        flagged.select("doc", "fg", F.explode(F.array_distinct("toks")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"), F.sum("fg").alias("fg_df"))
+    )
+    fg_pop = F.col("fg_df") / F.col("n_fg")
+    bg_pop = F.col("df") / F.col("n_docs")
+    z = (fg_pop - bg_pop) / F.sqrt(bg_pop * (F.lit(1.0) - bg_pop) / F.col("n_fg"))
+    r = F.when(bg_pop >= 1.0, F.lit(0.0)).otherwise(
+        z / F.sqrt(F.lit(1.0) + z * z)
+    )
+    return (
+        per_term.crossJoin(F.broadcast(totals))
+        .filter(F.col("fg_df") >= min_fg_df)
+        .select(
+            "term",
+            F.col("fg_df").cast("long").alias("fg_df"),
+            F.col("df").cast("long").alias("df"),
+            F.round(r, score_decimals).alias("relatedness"),
+        )
+        .orderBy(F.col("relatedness").desc(), F.col("term").asc())
         .limit(k)
     )

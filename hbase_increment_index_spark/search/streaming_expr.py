@@ -323,6 +323,9 @@ class StreamCompiler:
         # the handle; the caller drives or starts it (Solr's /stream
         # daemon list/start/stop actions)
         self.daemons: dict[str, Daemon] = {}
+        # let() variable bindings (math-expression layer); scoped per
+        # let — see _op_let
+        self._lets: dict[str, DataFrame] = {}
 
     def compile(self, text: str) -> DataFrame:
         return self._eval(parse(text))
@@ -957,6 +960,130 @@ class StreamCompiler:
         if "productSort" in call.params:
             out = out.orderBy(*_sort_cols(call.params["productSort"]))
         return out
+
+    # -- math expressions (the solrj 9.x /stream math layer: let()
+    #    variable bindings over tuple streams, col() column vectors,
+    #    describe()/regress() statistics — Solr evaluates these with
+    #    Commons Math on a collected vector; here they stay DataFrame
+    #    aggregates, so the "vector" never materializes anywhere)
+
+    def _op_let(self, call: Call) -> DataFrame:
+        """Solr ``let(a=expr, b=expr, stream)``: evaluate the bindings
+        in order (each visible to later bindings and to the final
+        stream via col()/collection references), return the single
+        positional stream's result. Bindings are scoped to this let —
+        nested lets shadow and restore."""
+        if len(call.streams) != 1:
+            raise StreamExprError("let takes exactly one result stream")
+        added = []
+        try:
+            for name, val in call.params.items():
+                if not isinstance(val, Call):
+                    raise StreamExprError(
+                        f"let binding {name} must be an expression, got {val!r}"
+                    )
+                self._lets[name] = self._eval(val)
+                added.append(name)
+            return self._eval(call.streams[0])
+        finally:
+            for name in added:
+                self._lets.pop(name, None)
+
+    def _colref(self, call: Call) -> tuple[str, DataFrame, str]:
+        """Resolve a ``col(var, field)`` argument to (var, frame,
+        field) WITHOUT collapsing it to a detached vector — describe/
+        regress aggregate over the source frame directly, which keeps
+        x/y row pairing exact and the plan one hash aggregate."""
+        if call.name != "col":
+            raise StreamExprError(f"expected col(...), got {call.name}(...)")
+        if len(call.fields) != 2:
+            raise StreamExprError("col takes (stream, field)")
+        var, fld = call.fields
+        src = self._lets.get(var)
+        if src is None:
+            src = self.tables.get(var)
+        if src is None:
+            raise StreamExprError(f"unknown stream variable {var!r}")
+        if fld not in src.columns:
+            raise StreamExprError(f"unknown field {fld!r} in {var!r}")
+        return var, src, fld
+
+    def _op_col(self, call: Call) -> DataFrame:
+        """``col(stream, field)`` used standalone: the numeric column
+        as a 1-column stream (inside describe/regress it is resolved
+        by _colref instead, keeping the source frame)."""
+        _, src, fld = self._colref(call)
+        return src.select(fld)
+
+    def _op_describe(self, call: Call) -> DataFrame:
+        """``describe(col(a, f))``: the Commons-Math
+        DescriptiveStatistics tuple — n, min, max, sum, mean, var
+        (sample), stdev. One hash aggregate; per-row squares in
+        double, sums in exact decimal (the e22 OLS discipline), so the
+        moments are partition-invariant and engine-portable."""
+        if len(call.streams) != 1:
+            raise StreamExprError("describe takes exactly one col(...)")
+        _, src, fld = self._colref(call.streams[0])
+        x = F.col(fld).cast("double")
+        agg = src.agg(
+            F.count(x).alias("_n"),
+            F.min(x).alias("_mn"),
+            F.max(x).alias("_mx"),
+            F.sum(x.cast("decimal(30,12)")).cast("double").alias("_sx"),
+            F.sum((x * x).cast("decimal(30,12)")).cast("double").alias("_sxx"),
+        )
+        n = F.col("_n").cast("double")
+        var = (n * F.col("_sxx") - F.col("_sx") * F.col("_sx")) / (n * (n - 1))
+        return agg.select(
+            F.lit(fld).alias("field"),
+            F.col("_n").cast("long").alias("n"),
+            F.round(F.col("_mn"), 6).alias("min"),
+            F.round(F.col("_mx"), 6).alias("max"),
+            F.round(F.col("_sx"), 6).alias("sum"),
+            F.round(F.col("_sx") / n, 6).alias("mean"),
+            F.round(var, 6).alias("var"),
+            F.round(F.sqrt(var), 6).alias("stdev"),
+        )
+
+    def _op_regress(self, call: Call) -> DataFrame:
+        """``regress(col(a, x), col(a, y))``: simple OLS y = slope·x +
+        intercept over the SAME tuple stream (Commons SimpleRegression
+        semantics — x/y pairing comes from the shared source rows, so
+        both col() arguments must bind the same variable). Output:
+        slope, intercept, r_squared. One hash aggregate with
+        exact-decimal sums; no vector ever leaves the executors."""
+        if len(call.streams) != 2:
+            raise StreamExprError("regress takes exactly two col(...) args")
+        xvar, src, xf = self._colref(call.streams[0])
+        yvar, _, yf = self._colref(call.streams[1])
+        if xvar != yvar:
+            raise StreamExprError(
+                f"regress x and y must come from the same stream "
+                f"(got {xvar!r} and {yvar!r}) — row pairing is undefined otherwise"
+            )
+        x = F.col(xf).cast("double")
+        y = F.col(yf).cast("double")
+        agg = src.agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(x.cast("decimal(30,12)")).cast("double").alias("_sx"),
+            F.sum(y.cast("decimal(30,12)")).cast("double").alias("_sy"),
+            F.sum((x * y).cast("decimal(30,12)")).cast("double").alias("_sxy"),
+            F.sum((x * x).cast("decimal(30,12)")).cast("double").alias("_sxx"),
+            F.sum((y * y).cast("decimal(30,12)")).cast("double").alias("_syy"),
+        )
+        n = F.col("_n").cast("double")
+        cov = n * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+        vx = n * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+        vy = n * F.col("_syy") - F.col("_sy") * F.col("_sy")
+        slope = cov / vx
+        return agg.select(
+            F.lit(xf).alias("x_field"),
+            F.lit(yf).alias("y_field"),
+            F.col("_n").cast("long").alias("n"),
+            F.round(slope, 6).alias("slope"),
+            F.round((F.col("_sy") - slope * F.col("_sx")) / n, 6).alias("intercept"),
+            F.round((cov * cov) / (vx * vy), 6).alias("r_squared"),
+        )
 
     def _op_daemon(self, call: Call) -> DataFrame:
         """Solr ``daemon()`` decorator: registers the inner expression

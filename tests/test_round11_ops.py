@@ -169,3 +169,187 @@ def test_parallel_bad_workers_raises_stream_error(spark):
     comp = _compiler({"t": t})
     with pytest.raises(StreamExprError, match="workers"):
         comp.compile('parallel(t, search(t, fl="a"), workers=two)')
+
+
+# ----------------------------------------------------- LTR tree ensembles
+
+
+def test_tree_score_expr_walks_like_python(spark):
+    from hbase_increment_index_spark.search.ranking import (
+        tree_score_expr,
+        tree_score_sql,
+    )
+
+    tree = {
+        "feature": "a", "threshold": 2.0,
+        "left": {"feature": "b", "threshold": 0.5,
+                 "left": {"value": 10.0}, "right": {"value": 20.0}},
+        "right": {"value": 30.0},
+    }
+
+    def walk(a, b):
+        if a <= 2.0:
+            return 10.0 if b <= 0.5 else 20.0
+        return 30.0
+
+    rows = [(1.0, 0.0), (1.0, 1.0), (2.0, 0.5), (3.0, 9.0)]
+    df = spark.createDataFrame(rows, "a double, b double")
+    got = [r["s"] for r in df.select(tree_score_expr(tree).alias("s")).collect()]
+    assert got == [walk(a, b) for a, b in rows]
+    # the SQL twin walks identically (threshold boundary included)
+    import duckdb
+
+    sql = tree_score_sql(tree)
+    want = [
+        duckdb.sql(f"SELECT {sql} AS s FROM (SELECT {a} AS a, {b} AS b)").fetchone()[0]
+        for a, b in rows
+    ]
+    assert got == want
+
+
+# ------------------------------------------------- [child] doc transformer
+
+
+def test_child_transformer_keeps_childless_parents(spark):
+    from hbase_increment_index_spark.search.join_parsers import child_doc_transformer
+
+    parents = spark.createDataFrame(
+        [(1, "m"), (2, "m"), (3, "x")], "pk long, tag string"
+    )
+    children = spark.createDataFrame(
+        [(1, 10, 5.0), (1, 11, 9.0), (1, 12, 7.0), (1, 13, 1.0)],
+        "fk long, cid long, v double",
+    )
+    out = child_doc_transformer(
+        parents, children, "pk", "fk",
+        F.col("tag") == "m",
+        [F.col("v").desc(), F.col("cid").asc()],
+        limit=2,
+    ).collect()
+    by_parent = {}
+    for r in out:
+        by_parent.setdefault(r["pk"], []).append(r)
+    # parent 1: top-2 children by v desc; parent 2: kept, NULL child cols
+    assert [r["cid"] for r in sorted(by_parent[1], key=lambda r: r["child_rank"])] == [11, 12]
+    assert len(by_parent[2]) == 1 and by_parent[2][0]["cid"] is None
+    assert 3 not in by_parent  # non-matching parent excluded
+
+
+def test_child_transformer_child_filter(spark):
+    from hbase_increment_index_spark.search.join_parsers import child_doc_transformer
+
+    parents = spark.createDataFrame([(1, "m")], "pk long, tag string")
+    children = spark.createDataFrame(
+        [(1, 10, 5.0), (1, 11, 50.0)], "fk long, cid long, v double"
+    )
+    out = child_doc_transformer(
+        parents, children, "pk", "fk", F.col("tag") == "m",
+        [F.col("v").desc()], child_filter=F.col("v") >= 40.0, limit=3,
+    ).collect()
+    assert [r["cid"] for r in out] == [11]
+
+
+# ----------------------------------------------------- math-stream layer
+
+
+def test_describe_matches_numpy(spark):
+    import math
+
+    vals = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    comp = _compiler({"t": df})
+    out = comp.compile('let(a=search(t, fl="x"), describe(col(a, x)))').collect()
+    assert len(out) == 1
+    r = out[0]
+    n = len(vals)
+    mean = sum(vals) / n
+    var = sum((v - mean) ** 2 for v in vals) / (n - 1)
+    assert r["n"] == n and r["min"] == 1.0 and r["max"] == 9.0
+    assert r["mean"] == round(mean, 6)
+    assert abs(r["var"] - var) < 1e-6 and abs(r["stdev"] - math.sqrt(var)) < 1e-6
+
+
+def test_regress_recovers_exact_line(spark):
+    rows = [(float(x), 3.0 * x + 7.0) for x in range(10)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    comp = _compiler({"t": df})
+    out = comp.compile(
+        'let(a=search(t, fl="x,y"), regress(col(a, x), col(a, y)))'
+    ).collect()[0]
+    assert out["slope"] == 3.0 and out["intercept"] == 7.0 and out["r_squared"] == 1.0
+
+
+def test_regress_rejects_mismatched_streams(spark):
+    from hbase_increment_index_spark.search.streaming_expr import StreamExprError
+
+    df = spark.createDataFrame([(1.0, 2.0)], "x double, y double")
+    comp = _compiler({"t": df, "u": df})
+    with pytest.raises(StreamExprError, match="same stream"):
+        comp.compile(
+            'let(a=search(t, fl="x"), b=search(u, fl="y"), '
+            'regress(col(a, x), col(b, y)))'
+        )
+
+
+def test_let_bindings_are_scoped(spark):
+    from hbase_increment_index_spark.search.streaming_expr import StreamExprError
+
+    df = spark.createDataFrame([(1.0,)], "x double")
+    comp = _compiler({"t": df})
+    comp.compile('let(a=search(t, fl="x"), describe(col(a, x)))')
+    with pytest.raises(StreamExprError, match="unknown stream variable"):
+        comp.compile("describe(col(a, x))")  # 'a' must not leak out of the let
+
+
+# --------------------------------------------------------- WKT polygon
+
+
+def test_wkt_polygon_parse_and_membership(spark):
+    from hbase_increment_index_spark.search.geo import (
+        parse_wkt_polygon,
+        polygon_intersects,
+    )
+
+    verts = parse_wkt_polygon("POLYGON((0 0, 10 0, 10 10, 0 10, 0 0))")
+    assert verts == [(0.0, 0.0), (0.0, 10.0), (10.0, 10.0), (10.0, 0.0)]
+    pts = spark.createDataFrame(
+        [(1, 5.0, 5.0), (2, 15.0, 5.0), (3, 5.0, -1.0), (4, 9.9, 9.9)],
+        "id long, lat double, lon double",
+    )
+    got = sorted(
+        r["id"]
+        for r in pts.filter(
+            polygon_intersects(F.col("lat"), F.col("lon"), verts)
+        ).collect()
+    )
+    assert got == [1, 4]
+
+
+def test_wkt_polygon_rejects_garbage(spark):
+    from hbase_increment_index_spark.search.geo import parse_wkt_polygon
+
+    with pytest.raises(ValueError, match="not a WKT POLYGON"):
+        parse_wkt_polygon("LINESTRING(0 0, 1 1)")
+    with pytest.raises(ValueError, match="at least 3"):
+        parse_wkt_polygon("POLYGON((0 0, 1 1, 0 0))")
+
+
+# ------------------------------------------------------- relatedness()
+
+
+def test_relatedness_ubiquitous_term_scores_zero(spark):
+    from hbase_increment_index_spark.search.ranking import skg_relatedness_terms
+
+    docs = spark.createDataFrame(
+        [(i, "de" if i < 4 else "en", "common special" if i < 4 else "common")
+         for i in range(10)],
+        "doc_id long, lang string, text string",
+    )
+    out = {
+        r["term"]: r["relatedness"]
+        for r in skg_relatedness_terms(
+            docs, F.col("lang") == "de", "doc_id", "text", min_fg_df=1
+        ).collect()
+    }
+    assert out["common"] == 0.0          # bg_pop = 1 → defined 0
+    assert 0.0 < out["special"] <= 1.0   # fg-only term scores high

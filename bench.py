@@ -163,10 +163,22 @@ HEADLINE = [
     "q29c_suggest_infix",
     # --- added r11: the served approximate {!knn} bootstrap (IVF
     # probe → PQ ADC → exact refine, index built in-plan) and its
-    # measured-recall evaluator; the steady-state serve from the
-    # persisted cid-partitioned index is the q78b_knn_served_idx twin
+    # measured-recall evaluator (steady-state serve from the persisted
+    # cid-partitioned index is the q78b_knn_served_idx twin); the
+    # incremental cluster merge (heaviest new plan — in-plan base CC +
+    # delta pairing + meta CC, the merge≡rebuild bootstrap); LTR tree
+    # ensemble; [child] transformer; math-stream describe/regress;
+    # WKT polygon; SKG relatedness; Metaphone vocabulary match
     "q78b_knn_served",
     "e3n_ivf_recall",
+    "e2r_incremental_clusters",
+    "q62b_ltr_trees",
+    "q49d_child_transformer",
+    "q61k_stream_describe",
+    "q61l_stream_regress",
+    "q47c_polygon",
+    "q43b_relatedness",
+    "q60b_metaphone",
 ]
 
 
@@ -427,6 +439,8 @@ def main() -> None:
         "q78_knn_parser", "q79_topic_pull", "q61i_stream_scorenodes",
         "q30c_unified_highlight", "q80_knn_search_stream",
         "q81_minhash_parser", "q78b_knn_served", "e3n_ivf_recall",
+        "e2r_incremental_clusters", "q62b_ltr_trees",
+        "q49d_child_transformer", "q43b_relatedness",
         "q79_topic_pull_steady",
         "q06c_bm25_servedidx", "q05c_phrase_servedidx",
         "q05d_phrase_slop_servedidx", "q69_span_near_servedidx",

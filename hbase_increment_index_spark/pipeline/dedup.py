@@ -1452,3 +1452,72 @@ def incremental_semantic_dups(
         .filter(F.col("cos") >= threshold)
         .select("id_new", "id_old", "cos")
     )
+
+
+def merge_cluster_labels(stored: DataFrame, new_pairs: DataFrame) -> DataFrame:
+    """Incremental connected-component maintenance — the reference's
+    maintain-don't-rebuild thesis (HbaseSolrIndexCoprocesser.java:37-61)
+    applied to CLUSTER STATE: fold a delta batch's new near-dup pairs
+    into stored CC labels without re-pairing or re-clustering the
+    corpus.
+
+    ``stored``: (doc, component) labels from the previous batch
+    (component = min doc id, :func:`connected_components`' contract).
+    ``new_pairs``: (id_a, id_b) pairs incident to the delta (the e2f
+    bipartite delta×corpus pairs plus delta-internal pairs).
+
+    Algorithm — union-find over COMPONENT ids, never docs:
+
+    1. Map each pair endpoint to its current label (its stored
+       component, or itself when unlabeled — new docs and prior
+       singletons). The lookup goes through a TOUCH-SET reduction:
+       the distinct endpoint keys (∝ |delta|) broadcast against the
+       stored frame ONCE, producing a small touched-labels frame that
+       then broadcasts onto the pairs — the corpus-scale label table
+       is streamed once and never shuffled, and every join in the
+       merge is a broadcast join.
+    2. Run CC on this META graph (nodes = touched component reps +
+       fresh doc ids — work ∝ |delta pairs|, never corpus size).
+    3. Relabel: stored labels left-join the (tiny, broadcast)
+       component remap; fresh nodes take their meta component
+       directly. Untouched components pass through unchanged.
+
+    Because a stored component's representative IS its minimum doc id,
+    the meta minimum equals the global minimum of the merged
+    component — so merge ≡ rebuild EXACTLY (the e2o discipline: the
+    oracle proves it by re-clustering the full corpus from scratch).
+    """
+    pe = new_pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+    keys = (
+        pe.select(F.col("u").alias("doc"))
+        .unionByName(pe.select(F.col("v").alias("doc")))
+        .distinct()
+    )
+    touched = stored.join(F.broadcast(keys), "doc")
+    lu = touched.select(F.col("doc").alias("u"), F.col("component").alias("_lu"))
+    lv = touched.select(F.col("doc").alias("v"), F.col("component").alias("_lv"))
+    labeled = pe.join(F.broadcast(lu), "u", "left").join(
+        F.broadcast(lv), "v", "left"
+    )
+    meta_edges = labeled.select(
+        F.coalesce("_lu", F.col("u")).alias("id_a"),
+        F.coalesce("_lv", F.col("v")).alias("id_b"),
+    )
+    meta_cc = connected_components(meta_edges)
+    # nodes that entered the meta graph as raw doc ids (no stored
+    # label): new docs + prior singletons — they need their own rows
+    fresh = (
+        labeled.filter(F.col("_lu").isNull()).select(F.col("u").alias("doc"))
+        .unionByName(
+            labeled.filter(F.col("_lv").isNull()).select(F.col("v").alias("doc"))
+        )
+        .distinct()
+    )
+    remap = meta_cc.select(
+        F.col("doc").alias("component"), F.col("component").alias("_newc")
+    )
+    relabeled = stored.join(F.broadcast(remap), "component", "left").select(
+        "doc", F.coalesce("_newc", F.col("component")).alias("component")
+    )
+    fresh_rows = fresh.join(F.broadcast(meta_cc), "doc").select("doc", "component")
+    return relabeled.unionByName(fresh_rows)

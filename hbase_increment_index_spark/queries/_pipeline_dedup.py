@@ -1918,6 +1918,95 @@ def e9_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+def e2r_incremental_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup CLUSTER maintenance — the maintain-don't-
+    rebuild thesis applied to the CC labels themselves (r10 verdict
+    #8, completing the chain: e2o keeps signatures fresh, e2f finds
+    the delta's pairs, THIS folds those pairs into stored cluster
+    state). Base state = CC labels over the fixture corpus's exact
+    3-gram-Jaccard pairs (threshold 0.30); the delta batch is a
+    degraded twin (drop every 8th token — Jaccard ≈ 0.5 vs its
+    source, the e2n device) of every doc_id % 5 == 0 document,
+    re-keyed +80M. The merge runs union-find over COMPONENT ids
+    (pipeline.dedup.merge_cluster_labels): work ∝ |delta pairs|, the
+    corpus is never re-paired; the oracle RE-CLUSTERS the full final
+    corpus from scratch, so the driver hash-check proves
+    merge ≡ rebuild — the equality the reference's coprocessor must
+    maintain to serve correct results."""
+    from hbase_increment_index_spark.pipeline.dedup import (
+        connected_components,
+        incremental_near_dups,
+        merge_cluster_labels,
+        ngram_jaccard_pairs,
+    )
+    from hbase_increment_index_spark.search.tokenize import tokens
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    delta = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + F.lit(80_000_000)).alias("doc_id"),
+        F.array_join(
+            F.filter(tokens("text"), lambda x, i: (i + 1) % F.lit(8) != 0), " "
+        ).alias("text"),
+    )
+    base_pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.30)
+    stored = connected_components(base_pairs)
+    bip = incremental_near_dups(
+        docs, delta, "doc_id", "text", n=3, threshold=0.30
+    ).select(F.col("id_new").alias("id_a"), F.col("id_old").alias("id_b"))
+    internal = ngram_jaccard_pairs(delta, "doc_id", "text", n=3, threshold=0.30).select(
+        "id_a", "id_b"
+    )
+    merged = merge_cluster_labels(stored, bip.unionByName(internal))
+    return merged.select(F.col("doc").alias("doc_id"), "component").orderBy("doc_id")
+
+
+def _e2r_sql() -> str:
+    toks = _SQL_TOKS.format(c="text")
+    grams = (
+        f"list_transform(generate_series(1, greatest(len({toks}) - 2, 0)), "
+        f"i -> array_to_string(list_slice({toks}, i, i + 2), ' '))"
+    )
+    return f"""
+WITH RECURSIVE corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 80000000 AS doc_id,
+         array_to_string(list_filter({toks}, (t, i) -> i % 8 <> 0), ' ') AS text
+  FROM documents WHERE doc_id % 5 = 0
+),
+sh AS (
+  SELECT DISTINCT doc_id AS doc, unnest({grams}) AS sh FROM corpus
+),
+sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
+common AS (
+  SELECT a.doc AS id_a, b.doc AS id_b, count(*) AS common
+  FROM sh a JOIN sh b USING (sh)
+  WHERE a.doc < b.doc
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM common
+  JOIN sizes sa ON sa.doc = id_a
+  JOIN sizes sb ON sb.doc = id_b
+  WHERE ROUND(common / (sa.n_sh + sb.n_sh - common), 6) >= 0.30
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+)
+SELECT u AS doc_id, least(u, min(v)) AS component
+FROM reach GROUP BY u
+ORDER BY doc_id
+"""
+
+
 def e2o_signature_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental MinHash-signature store maintenance — the
     reference's whole job (keep a derived index current under

@@ -2383,6 +2383,45 @@ ORDER BY docfreq DESC, term ASC
 """
 
 
+def q60b_metaphone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr PhoneticFilter with the Metaphone encoder (``<filter
+    class="solr.PhoneticFilterFactory" encoder="Metaphone"/>`` — the
+    second encoder real deployments pick beside q60's Soundex, r10
+    verdict #9; Philips 1990 via commons-codec): vocabulary terms
+    whose Metaphone equals metaphone('sparc') (= SPRK, so 'spark'
+    matches on pronunciation), with document frequency. The code is
+    an ordered RE2-safe regex-replace chain shared verbatim with the
+    DuckDB twin (search.phonetic.metaphone_code / metaphone_sql) —
+    no lookarounds, no pattern backreferences, group refs only in
+    replacements — so codes oracle-check bit-for-bit."""
+    from hbase_increment_index_spark.search.phonetic import metaphone_code
+    from hbase_increment_index_spark.search.tokenize import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.col("doc_id"), F.explode(tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("docfreq"))
+    )
+    return (
+        vocab.filter(metaphone_code(F.col("term")) == metaphone_code(F.lit("sparc")))
+        .select("term", "docfreq")
+        .orderBy(F.col("docfreq").desc(), F.col("term").asc())
+    )
+
+
+def _q60b_sql() -> str:
+    from hbase_increment_index_spark.search.phonetic import metaphone_sql
+
+    return f"""
+SELECT term, count(DISTINCT doc_id) AS docfreq
+FROM (SELECT doc_id, unnest({_SQL_TOKS.format(c='text')}) AS term FROM documents)
+GROUP BY term
+HAVING {metaphone_sql('term')} = {metaphone_sql("'sparc'")}
+ORDER BY docfreq DESC, term ASC
+"""
+
+
 def q39d_json_facet_blockjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Solr ``json.facet`` over a block-join domain: ``q=priority:
     1-URGENT AND status:F`` + ``json.facet={flags: {type: terms,

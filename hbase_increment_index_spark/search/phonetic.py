@@ -97,3 +97,98 @@ def phonetic_search(
     return df.filter(
         F.exists(tokens(text_col), lambda t: soundex_code(t) == q_code)
     ).select(id_col, text_col)
+
+
+# ---------------------------------------------------------------- Metaphone
+
+# Original Metaphone (Lawrence Philips, Computer Language 7(12), 1990 —
+# the second PhoneticFilterFactory encoder real deployments pick,
+# commons-codec's encoder="Metaphone"), expressed as an ORDERED global
+# regex-replace chain. Input is lowercase a-z; outputs are UPPERCASE
+# (plus '0' for the th sound), so a produced code letter can never
+# re-match a later input rule. The chain is RE2-safe: no lookarounds,
+# no pattern backreferences (run-collapse is per-letter, the Soundex
+# trick above), group references only in replacements — so DuckDB
+# replays the identical chain and codes oracle-check bit-for-bit.
+#
+# Variant notes (documented, engine-consistent): rules are applied as
+# sequential GLOBAL replaces rather than the original's stateful
+# per-character scan, which fixes the rare overlapping-context cases
+# (e.g. 'ahah') to the chain's left-to-right reading; non-initial 'gh'
+# is silent everywhere (the Philips rule without the
+# exceptions list); 'gned/gnes' endings take the plain gn$ rule.
+_METAPHONE_RULES: list[tuple[str, str]] = (
+    # adjacent-duplicate collapse, except c (classic exemption so 'cc'
+    # can still soften: acce → AKS)
+    [(ltr + "{2,}", ltr) for ltr in "abdefghijklmnopqrstuvwxyz"]
+    + [
+        # word-initial exceptions
+        ("^ae", "E"),
+        ("^gn", "N"), ("^kn", "N"), ("^pn", "N"), ("^wr", "R"),
+        ("^wh", "W"),
+        ("^x", "S"),
+        ("^gh", "K"),
+        ("^a", "A"), ("^e", "E"), ("^i", "I"), ("^o", "O"), ("^u", "U"),
+        # silent trailing b after m
+        ("mb$", "M"),
+        # c clusters (order matters)
+        ("sch", "sK"),
+        ("cia", "Xia"),
+        ("cc", "Kc"),
+        ("ch", "X"),
+        ("c([eiy])", "S$1"),
+        ("c", "K"),
+        ("Kk", "K"),  # ck: the k is silent after the hard c
+        # d
+        ("dg([eiy])", "J$1"),
+        ("d", "T"),
+        # g
+        ("gh", ""),            # non-initial gh: silent (night → NT)
+        ("gn$", "N"),
+        ("g([eiy])", "J$1"),
+        ("g", "K"),
+        # p / q
+        ("ph", "F"),
+        ("q", "K"),
+        # s
+        ("si([oa])", "Xi$1"),
+        ("sh", "X"),
+        # t
+        ("ti([oa])", "Xi$1"),
+        ("tch", "X"),
+        ("th", "0"),
+        # straight consonants
+        ("v", "F"), ("x", "KS"), ("z", "S"), ("j", "J"),
+        ("k", "K"), ("s", "S"), ("t", "T"), ("b", "B"), ("f", "F"),
+        ("l", "L"), ("m", "M"), ("n", "N"), ("p", "P"), ("r", "R"),
+        # h: kept only before a vowel; every other h is silent
+        ("h([aeiou])", "H$1"),
+        ("h", ""),
+        # w / y: kept only before a vowel
+        ("w([aeiou])", "W$1"),
+        ("y([aeiou])", "Y$1"),
+        # drop everything unprocessed (non-initial vowels, silent w/y)
+        ("[a-z]", ""),
+    ]
+)
+
+
+def metaphone_code(col: Column | str) -> Column:
+    """Metaphone code (e.g. 'spark' → 'SPRK', 'night' → 'NT',
+    'phone' → 'FN') as a pure expression — the ordered rule chain
+    above, fully codegen'd, zero shuffle."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.regexp_replace(F.lower(c), "[^a-z]", "")
+    for pat, rep in _METAPHONE_RULES:
+        out = F.regexp_replace(out, pat, rep)
+    return out
+
+
+def metaphone_sql(expr: str) -> str:
+    """The SAME chain as a DuckDB fragment ($1 group references become
+    RE2's \\1 replacement syntax; patterns are shared verbatim)."""
+    out = f"regexp_replace(lower({expr}), '[^a-z]', '', 'g')"
+    for pat, rep in _METAPHONE_RULES:
+        duck_rep = rep.replace("$1", "\\1")
+        out = f"regexp_replace({out}, '{pat}', '{duck_rep}', 'g')"
+    return out

@@ -353,3 +353,101 @@ def test_relatedness_ubiquitous_term_scores_zero(spark):
     }
     assert out["common"] == 0.0          # bg_pop = 1 → defined 0
     assert 0.0 < out["special"] <= 1.0   # fg-only term scores high
+
+
+# -------------------------------------------- incremental cluster merge
+
+
+def test_merge_cluster_labels_equals_rebuild(spark):
+    """merge(stored, delta pairs) must equal CC over the union pair
+    set — including the two hard cases: a delta doc BRIDGING two
+    previously separate components, and a prior singleton pulled in."""
+    from hbase_increment_index_spark.pipeline.dedup import (
+        connected_components,
+        merge_cluster_labels,
+    )
+
+    base_pairs = spark.createDataFrame(
+        [(1, 2), (10, 11)], "id_a long, id_b long"
+    )
+    stored = connected_components(base_pairs)
+    # delta doc 100 bridges both components; 200 links singleton 50
+    new_pairs = spark.createDataFrame(
+        [(100, 2), (100, 11), (200, 50)], "id_a long, id_b long"
+    )
+    merged = {
+        (r["doc"], r["component"])
+        for r in merge_cluster_labels(stored, new_pairs).collect()
+    }
+    rebuilt = {
+        (r["doc"], r["component"])
+        for r in connected_components(base_pairs.unionByName(new_pairs)).collect()
+    }
+    assert merged == rebuilt
+    # bridged component takes the global min id (1)
+    assert (11, 1) in merged and (100, 1) in merged and (200, 50) in merged
+
+
+def test_merge_cluster_labels_untouched_components_pass_through(spark):
+    from hbase_increment_index_spark.pipeline.dedup import (
+        connected_components,
+        merge_cluster_labels,
+    )
+
+    stored = connected_components(
+        spark.createDataFrame([(1, 2), (7, 8)], "id_a long, id_b long")
+    )
+    new_pairs = spark.createDataFrame([(100, 1)], "id_a long, id_b long")
+    merged = {
+        (r["doc"], r["component"])
+        for r in merge_cluster_labels(stored, new_pairs).collect()
+    }
+    assert (7, 7) in merged and (8, 7) in merged  # untouched
+
+
+# ------------------------------------------------------------ metaphone
+
+
+def test_metaphone_known_codes(spark):
+    from hbase_increment_index_spark.search.phonetic import metaphone_code
+
+    words = ["spark", "sparc", "knight", "night", "phone", "school",
+             "ghost", "judge", "accept", "xavier", "science"]
+    want = ["SPRK", "SPRK", "NT", "NT", "FN", "SKL",
+            "KST", "JJ", "AKSPT", "SFR", "SSNS"]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got = [r["c"] for r in df.select(metaphone_code("w").alias("c")).collect()]
+    assert got == want
+
+
+def test_metaphone_spark_matches_duckdb_on_vocab(spark, sf_dir):
+    """The Spark chain and the SQL twin must agree code-for-code over
+    the real fixture vocabulary (the oracle's guarantee, asserted
+    directly here)."""
+    import duckdb
+
+    from hbase_increment_index_spark.catalog import load_table
+    from hbase_increment_index_spark.search.phonetic import (
+        metaphone_code,
+        metaphone_sql,
+    )
+    from hbase_increment_index_spark.search.tokenize import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = docs.select(F.explode(tokens("text")).alias("term")).distinct()
+    got = {
+        r["term"]: r["c"]
+        for r in vocab.select("term", metaphone_code("term").alias("c")).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = dict(
+        con.execute(
+            "SELECT DISTINCT term, " + metaphone_sql("term") + " FROM ("
+            "SELECT unnest(list_filter(regexp_split_to_array(lower(text), "
+            "'[^a-z0-9]+'), t -> t <> '')) AS term FROM documents)"
+        ).fetchall()
+    )
+    assert got == want

@@ -1496,8 +1496,15 @@ def merge_cluster_labels(stored: DataFrame, new_pairs: DataFrame) -> DataFrame:
     touched = stored.join(F.broadcast(keys), "doc")
     lu = touched.select(F.col("doc").alias("u"), F.col("component").alias("_lu"))
     lv = touched.select(F.col("doc").alias("v"), F.col("component").alias("_lv"))
-    labeled = pe.join(F.broadcast(lu), "u", "left").join(
-        F.broadcast(lv), "v", "left"
+    # labeled is ∝ |delta pairs| and consumed THREE times (meta edges,
+    # both fresh-node branches); localCheckpoint materializes it once
+    # and cuts the upstream pair-pipeline lineage out of every
+    # downstream plan (the CC edge-checkpoint discipline — without it
+    # the final plan embeds the delta pairing 3× over)
+    labeled = (
+        pe.join(F.broadcast(lu), "u", "left")
+        .join(F.broadcast(lv), "v", "left")
+        .localCheckpoint(eager=True)
     )
     meta_edges = labeled.select(
         F.coalesce("_lu", F.col("u")).alias("id_a"),

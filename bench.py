@@ -366,6 +366,47 @@ def main() -> None:
         k=10, n_probe=6, shortlist=100, m=4,
     )
 
+    # --- incremental cluster merge, bootstrap/serve split: the
+    # registry's e2r rebuilds the base CC labels in-plan (its oracle
+    # proves merge ≡ rebuild), so its bench row prices the BOOTSTRAP.
+    # Production serves from the persisted label table: per batch,
+    # pair the delta (e2f bipartite + delta-internal) and fold the new
+    # pairs into the stored labels — the ∝|delta| work this row
+    # prices. Same split as e2o_signature_store_served.
+    from hbase_increment_index_spark.pipeline.dedup import (
+        connected_components,
+        incremental_near_dups,
+        merge_cluster_labels,
+        ngram_jaccard_pairs,
+    )
+    from hbase_increment_index_spark.search.tokenize import tokens as _tokens
+
+    _d0 = docs.select("doc_id", "text")
+    t0 = time.time()
+    connected_components(
+        ngram_jaccard_pairs(_d0, "doc_id", "text", n=3, threshold=0.30)
+    ).write.mode("overwrite").parquet(f"{idx_dir}/cc_labels")
+    cc_build_sec = round(time.time() - t0, 3)
+    print(f"# CC label store build+save (one-time): {cc_build_sec:.3f}s", file=sys.stderr)
+    _stored = spark.read.parquet(f"{idx_dir}/cc_labels")
+    _delta = _d0.filter(_F.col("doc_id") % 5 == 0).select(
+        (_F.col("doc_id") + _F.lit(80_000_000)).alias("doc_id"),
+        _F.array_join(
+            _F.filter(_tokens("text"), lambda x, i: (i + 1) % _F.lit(8) != 0), " "
+        ).alias("text"),
+    )
+
+    def _cc_merge_serve():
+        bip = incremental_near_dups(
+            _d0, _delta, "doc_id", "text", n=3, threshold=0.30
+        ).select(_F.col("id_new").alias("id_a"), _F.col("id_old").alias("id_b"))
+        internal = ngram_jaccard_pairs(
+            _delta, "doc_id", "text", n=3, threshold=0.30
+        ).select("id_a", "id_b")
+        return merge_cluster_labels(_stored, bip.unionByName(internal))
+
+    served["e2r_incremental_clusters_served"] = _cc_merge_serve
+
     # --- topic() steady-state pull: the registry's q79 prices the
     # BOOTSTRAP pull (fresh checkpoint, full match set). Production is
     # the polling consumer: checkpoint already advanced, each poll
@@ -439,7 +480,8 @@ def main() -> None:
         "q78_knn_parser", "q79_topic_pull", "q61i_stream_scorenodes",
         "q30c_unified_highlight", "q80_knn_search_stream",
         "q81_minhash_parser", "q78b_knn_served", "e3n_ivf_recall",
-        "e2r_incremental_clusters", "q62b_ltr_trees",
+        "e2r_incremental_clusters", "e2r_incremental_clusters_served",
+        "q62b_ltr_trees",
         "q49d_child_transformer", "q43b_relatedness",
         "q79_topic_pull_steady",
         "q06c_bm25_servedidx", "q05c_phrase_servedidx",
@@ -467,6 +509,7 @@ def main() -> None:
                 "postings_index_build_once_sec": postings_build_sec,
                 "signature_store_build_once_sec": sigstore_build_sec,
                 "ann_index_build_once_sec": ann_build_sec,
+                "cc_label_store_build_once_sec": cc_build_sec,
             },
             separators=(",", ":"),
         )

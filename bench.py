@@ -179,6 +179,8 @@ HEADLINE = [
     "q47c_polygon",
     "q43b_relatedness",
     "q60b_metaphone",
+    "q61m_stream_hist",
+    "q61n_stream_corr",
 ]
 
 

@@ -1760,6 +1760,83 @@ FROM s
 """
 
 
+def q61m_stream_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/stream math layer, ``hist()``: equal-width 8-bin histogram of
+    returned-lineitem extended prices — Solr evaluates hist() with
+    Commons EmpiricalDistribution over a collected vector; here the
+    bins compile to one bounds aggregate broadcast onto the scan plus
+    one bins-bounded hash aggregate (empty bins emitted with n=0, the
+    fixed-grid contract). Exact-decimal bin means; identical
+    double bucket-edge arithmetic in the oracle
+    (search.streaming_expr._op_hist)."""
+    return _stream(
+        spark, sf_dir,
+        'let(a=search(lineitem, fq="l_returnflag:R", fl="l_extendedprice"), '
+        'hist(col(a, l_extendedprice), bins=8))',
+    )
+
+
+Q61M_SQL = """
+WITH src AS (
+  SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem WHERE l_returnflag = 'R'
+),
+b AS (SELECT MIN(x) AS lo, MAX(x) AS hi FROM src),
+binned AS (
+  SELECT LEAST(CAST(FLOOR((x - lo) / ((hi - lo) / 8.0)) AS BIGINT), 7) AS bin,
+         count(*) AS n,
+         ROUND(CAST(SUM(CAST(x AS DECIMAL(30,12))) AS DOUBLE) / count(*), 6) AS mean,
+         ROUND(MIN(x), 6) AS min,
+         ROUND(MAX(x), 6) AS max
+  FROM src, b
+  GROUP BY 1
+),
+grid AS (SELECT unnest(generate_series(0, 7)) AS bin, lo, hi FROM b)
+SELECT CAST(g.bin AS BIGINT) AS bin,
+       ROUND(g.lo + g.bin * ((g.hi - g.lo) / 8.0), 6) AS bin_lo,
+       ROUND(g.lo + (g.bin + 1) * ((g.hi - g.lo) / 8.0), 6) AS bin_hi,
+       CAST(COALESCE(bn.n, 0) AS BIGINT) AS n,
+       bn.mean, bn.min, bn.max
+FROM grid g LEFT JOIN binned bn USING (bin)
+ORDER BY bin
+"""
+
+
+def q61n_stream_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/stream math layer, ``corr()``: Pearson correlation of quantity
+    vs extended price over the returned-lineitem slice — the same
+    exact-decimal sum bundle as regress(), combined as cov/√(vx·vy);
+    one hash aggregate, no vector materialization
+    (search.streaming_expr._op_corr)."""
+    return _stream(
+        spark, sf_dir,
+        'let(a=search(lineitem, fq="l_returnflag:R", '
+        'fl="l_quantity,l_extendedprice"), '
+        'corr(col(a, l_quantity), col(a, l_extendedprice)))',
+    )
+
+
+Q61N_SQL = """
+WITH src AS (
+  SELECT CAST(l_quantity AS DOUBLE) AS x, CAST(l_extendedprice AS DOUBLE) AS y
+  FROM lineitem WHERE l_returnflag = 'R'
+),
+s AS (
+  SELECT count(*) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(30,12))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(30,12))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x * y AS DECIMAL(30,12))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(x * x AS DECIMAL(30,12))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(y * y AS DECIMAL(30,12))) AS DOUBLE) AS syy
+  FROM src
+)
+SELECT 'l_quantity' AS x_field, 'l_extendedprice' AS y_field,
+       CAST(n AS BIGINT) AS n,
+       ROUND((n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr
+FROM s
+"""
+
+
 def q79_topic_pull(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``topic()`` — the /stream checkpointed incremental-pull
     decorator (solrj 9.x, reference pom.xml:22): "give me the docs

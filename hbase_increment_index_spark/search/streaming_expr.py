@@ -1085,6 +1085,111 @@ class StreamCompiler:
             F.round((cov * cov) / (vx * vy), 6).alias("r_squared"),
         )
 
+    def _op_corr(self, call: Call) -> DataFrame:
+        """``corr(col(a, x), col(a, y))``: Pearson correlation over the
+        same tuple stream — the same exact-decimal sum bundle as
+        regress(), combined as cov/√(vx·vy). One hash aggregate."""
+        if len(call.streams) != 2:
+            raise StreamExprError("corr takes exactly two col(...) args")
+        xvar, src, xf = self._colref(call.streams[0])
+        yvar, _, yf = self._colref(call.streams[1])
+        if xvar != yvar:
+            raise StreamExprError(
+                f"corr x and y must come from the same stream "
+                f"(got {xvar!r} and {yvar!r})"
+            )
+        x = F.col(xf).cast("double")
+        y = F.col(yf).cast("double")
+        agg = src.agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(x.cast("decimal(30,12)")).cast("double").alias("_sx"),
+            F.sum(y.cast("decimal(30,12)")).cast("double").alias("_sy"),
+            F.sum((x * y).cast("decimal(30,12)")).cast("double").alias("_sxy"),
+            F.sum((x * x).cast("decimal(30,12)")).cast("double").alias("_sxx"),
+            F.sum((y * y).cast("decimal(30,12)")).cast("double").alias("_syy"),
+        )
+        n = F.col("_n").cast("double")
+        cov = n * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+        vx = n * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+        vy = n * F.col("_syy") - F.col("_sy") * F.col("_sy")
+        return agg.select(
+            F.lit(xf).alias("x_field"),
+            F.lit(yf).alias("y_field"),
+            F.col("_n").cast("long").alias("n"),
+            F.round(cov / F.sqrt(vx * vy), 6).alias("corr"),
+        )
+
+    def _op_hist(self, call: Call) -> DataFrame:
+        """``hist(col(a, f), bins)``: equal-width histogram over the
+        column's [min, max] range (Solr evaluates this with Commons
+        EmpiricalDistribution on a collected vector). Per bin: count,
+        mean (exact-decimal sum ÷ count), min, max; EMPTY bins are
+        emitted with n=0 (the fixed-bin contract a plotting client
+        expects). Plan: one bounds aggregate broadcast back onto the
+        scan, one (bins-bounded) hash aggregate, a sequence() explode
+        for the empty bins — the vector never leaves the executors.
+        Bin index = floor((x - min)/width) clamped to bins-1 (the max
+        value closes the last bin); width arithmetic is identical
+        double math in the SQL twin, so bucket edges are
+        engine-portable."""
+        if len(call.streams) != 1:
+            raise StreamExprError("hist takes exactly one col(...)")
+        _, src, fld = self._colref(call.streams[0])
+        try:
+            bins = int(call.params.get("bins", 10))
+        except ValueError:
+            raise StreamExprError(
+                f"bad hist bins {call.params['bins']!r}"
+            ) from None
+        if bins < 1:
+            raise StreamExprError("hist bins must be >= 1")
+        x = F.col(fld).cast("double")
+        bounds = src.agg(
+            F.min(x).alias("_lo"), F.max(x).alias("_hi")
+        )
+        w = (F.col("_hi") - F.col("_lo")) / F.lit(float(bins))
+        binned = (
+            src.select(x.alias("_x"))
+            .crossJoin(F.broadcast(bounds))
+            .select(
+                F.least(
+                    F.floor((F.col("_x") - F.col("_lo")) / w).cast("long"),
+                    F.lit(bins - 1),
+                ).alias("bin"),
+                "_x",
+            )
+            .groupBy("bin")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(
+                    F.sum(F.col("_x").cast("decimal(30,12)")).cast("double")
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias("mean"),
+                F.round(F.min("_x"), 6).alias("min"),
+                F.round(F.max("_x"), 6).alias("max"),
+            )
+        )
+        grid = bounds.select(
+            F.explode(F.sequence(F.lit(0), F.lit(bins - 1))).alias("bin"),
+            "_lo",
+            "_hi",
+        )
+        w2 = (F.col("_hi") - F.col("_lo")) / F.lit(float(bins))
+        return (
+            grid.join(F.broadcast(binned), "bin", "left")
+            .select(
+                F.col("bin").cast("long").alias("bin"),
+                F.round(F.col("_lo") + F.col("bin") * w2, 6).alias("bin_lo"),
+                F.round(F.col("_lo") + (F.col("bin") + 1) * w2, 6).alias("bin_hi"),
+                F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+                "mean",
+                "min",
+                "max",
+            )
+            .orderBy("bin")
+        )
+
     def _op_daemon(self, call: Call) -> DataFrame:
         """Solr ``daemon()`` decorator: registers the inner expression
         as a background loop (see :class:`Daemon`). Posting the

@@ -451,3 +451,45 @@ def test_metaphone_spark_matches_duckdb_on_vocab(spark, sf_dir):
         ).fetchall()
     )
     assert got == want
+
+
+def test_hist_bins_cover_range_and_count_everything(spark):
+    vals = [float(v) for v in range(100)]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    comp = _compiler({"t": df})
+    out = comp.compile(
+        'let(a=search(t, fl="x"), hist(col(a, x), bins=4))'
+    ).collect()
+    assert [r["bin"] for r in out] == [0, 1, 2, 3]
+    assert sum(r["n"] for r in out) == 100
+    # the max value closes the LAST bin (no bins overflow)
+    assert out[-1]["max"] == 99.0 and out[0]["min"] == 0.0
+    assert out[0]["bin_lo"] == 0.0 and out[-1]["bin_hi"] == 99.0
+
+
+def test_hist_emits_empty_bins(spark):
+    df = spark.createDataFrame([(0.0,), (10.0,)], "x double")
+    comp = _compiler({"t": df})
+    out = comp.compile('let(a=search(t, fl="x"), hist(col(a, x), bins=5))').collect()
+    assert [r["n"] for r in out] == [1, 0, 0, 0, 1]
+    assert all(r["mean"] is None for r in out if r["n"] == 0)
+
+
+def test_corr_perfect_line_is_one(spark):
+    rows = [(float(x), 2.0 * x + 1.0) for x in range(8)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    comp = _compiler({"t": df})
+    out = comp.compile(
+        'let(a=search(t, fl="x,y"), corr(col(a, x), col(a, y)))'
+    ).collect()[0]
+    assert out["corr"] == 1.0 and out["n"] == 8
+
+
+def test_corr_anticorrelated_is_minus_one(spark):
+    rows = [(float(x), -3.0 * x) for x in range(8)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    comp = _compiler({"t": df})
+    out = comp.compile(
+        'let(a=search(t, fl="x,y"), corr(col(a, x), col(a, y)))'
+    ).collect()[0]
+    assert out["corr"] == -1.0

@@ -181,6 +181,8 @@ HEADLINE = [
     "q60b_metaphone",
     "q61m_stream_hist",
     "q61n_stream_corr",
+    "q78c_knn_served_filtered",
+    "q62c_ltr_features",
 ]
 
 

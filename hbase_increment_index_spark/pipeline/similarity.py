@@ -888,6 +888,7 @@ def build_ivf_pq(
     m: int = 4,
     seed_ids: list[int] | None = None,
     dist_decimals: int = 6,
+    attr_cols: tuple[str, ...] = (),
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
     """The composed ANN index the serving path reads — the engine's
     twin of Solr 9's DenseVectorField HNSW index (the solrj 9.8 surface
@@ -908,6 +909,12 @@ def build_ivf_pq(
     - ``codes`` (cid, id_col, s, code) — PQ codes co-located the same
       way; the ADC pass over a query reads n_probe/k of this table.
 
+    ``attr_cols`` names metadata columns to denormalize onto BOTH
+    index frames, so a Solr-9.1-style fq PRE-filter over them pushes
+    into the (cid-pruned) index scans at query time — candidates are
+    restricted BEFORE ranking without touching any other table
+    (:func:`knn_ivf_pq_serve`'s ``pre_filter``).
+
     Build cost: one zero-shuffle assignment projection (centroids are
     literals) + the pq_encode (id, s) aggregate + one id-keyed join to
     attach cid to the codes — all one-time index-build work; serving
@@ -927,6 +934,10 @@ def build_ivf_pq(
     codes = pq_encode(
         embeddings, codebooks, id_col=id_col, vec_col=vec_col, dim=dim, m=m
     ).join(assigned.select(F.col("id").alias(id_col), "cid"), id_col)
+    if attr_cols:
+        attrs = embeddings.select(id_col, *attr_cols)
+        cells = cells.join(attrs, id_col)
+        codes = codes.join(attrs, id_col)
     return centroids, codebooks, cells, codes
 
 
@@ -944,6 +955,7 @@ def knn_ivf_pq_serve(
     vec_col: str = "embedding",
     score_decimals: int = 6,
     dist_decimals: int = 6,
+    pre_filter: Column | None = None,
 ) -> DataFrame:
     """Served approximate {!knn}: the IVF-pruned, PQ-ranked,
     exact-re-ranked top-k — the standard IVF-PQ + refine pipeline
@@ -969,6 +981,14 @@ def knn_ivf_pq_serve(
 
     Recall is measured, not assumed: :func:`ivf_recall` reports
     recall@k of the pruned path per query panel (e3n registry entry).
+
+    ``pre_filter`` is Solr 9.1+ fq-as-PRE-filter semantics for kNN:
+    the predicate restricts candidates BEFORE ranking (never a
+    post-filter over the k results, which would under-fill). It
+    evaluates over attribute columns denormalized onto the index
+    frames (build_ivf_pq's ``attr_cols``), so it pushes into the SAME
+    cid-pruned scans — an attribute filter plus vector search costs
+    one pruned read, no extra join.
     """
     q = lit_vector(query_vec)
     probe_d = F.round(_sq_l2(F.col("centroid"), q), dist_decimals)
@@ -979,6 +999,9 @@ def knn_ivf_pq_serve(
         .limit(n_probe)
         .collect()
     ]
+    if pre_filter is not None:
+        codes = codes.filter(pre_filter)
+        cells = cells.filter(pre_filter)
     lut = _adc_lut(codebooks, query_vec, m)
     short = (
         codes.filter(F.col("cid").isin(probes))

@@ -2131,6 +2131,43 @@ def q78b_knn_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q78c_knn_served_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Served approximate {!knn} WITH an fq PRE-filter (Solr 9.1+
+    semantics: the filter restricts candidates BEFORE ranking — the
+    combination that is genuinely hard at scale, since a post-filter
+    over k results under-fills and an unpushed filter re-scans): the
+    q78b IVF+PQ serve over label != 0 vectors. The label attribute is
+    DENORMALIZED onto the index frames (build_ivf_pq attr_cols), so
+    the predicate pushes into the same cid-pruned code/vector scans —
+    one pruned read, zero extra joins. Same (vec_id, score) shape; the
+    oracle replays the full filtered pipeline."""
+    from hbase_increment_index_spark.pipeline.similarity import (
+        build_ivf_pq,
+        knn_ivf_pq_serve,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids, codebooks, cells, codes = build_ivf_pq(
+        emb, dim=64, m=4, seed_ids=list(range(16)), attr_cols=("label",)
+    )
+    return knn_ivf_pq_serve(
+        centroids, codebooks, cells, codes, _Q78_VEC,
+        k=10, n_probe=6, shortlist=100, m=4,
+        pre_filter=F.col("label") != 0,
+    )
+
+
+def _q78c_sql() -> str:
+    # the q78b pipeline with the label pre-filter applied to the
+    # candidate set (ADC input and the refine scan), never to the
+    # index structure (centroids/codebooks are unchanged)
+    return _q78b_sql().replace(
+        "JOIN cellassign a USING (vec_id)",
+        "JOIN cellassign a USING (vec_id)\n"
+        "  JOIN embeddings emb ON emb.vec_id = c.vec_id AND emb.label <> 0",
+    )
+
+
 def _q78b_sql() -> str:
     from ._shared import _IVF_SQL, _pq_cb_sql
 
@@ -2422,6 +2459,50 @@ SELECT doc_id, original_score,
 FROM feats
 ORDER BY ltr_score DESC, doc_id ASC
 LIMIT 10
+"""
+
+
+def q62c_ltr_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr LTR feature LOGGING (``fl=[features store=myStore]`` — the
+    feature-store half of the LTR workflow: the plugin returns each
+    candidate's extracted feature vector so the next model trains on
+    live-system features): the q62 candidate head with its full
+    feature vector (original BM25 score, log doc length, lang/source
+    filter features), one row per candidate. O(head) extraction —
+    same shared helper the q62/q62b rerank models consume
+    (search.ranking.ltr_feature_vectors)."""
+    docs = _t(spark, sf_dir, "documents")
+    return ranking.ltr_feature_vectors(
+        docs, "doc_id", "text", list(_TFIDF_TERMS), rerank_docs=50
+    ).orderBy(F.col("doc_id").asc())
+
+
+Q62C_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SQL_TOKS.format(c='text')}) AS term FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+avgdl AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS a FROM dl),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+mhits AS (SELECT * FROM toks WHERE term IN ('join', 'query', 'spark')),
+mtf AS (SELECT doc_id, term, count(*) AS tf FROM mhits GROUP BY 1, 2),
+mdft AS (SELECT term, count(DISTINCT doc_id) AS df_t FROM mhits GROUP BY 1),
+main AS (
+  SELECT mtf.doc_id,
+         ROUND(SUM(
+           ln(1.0 + (n.n_docs - mdft.df_t + 0.5) / (mdft.df_t + 0.5))
+           * (mtf.tf * (1.2 + 1)) / (mtf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / avgdl.a))
+         ), 6) AS original_score
+  FROM mtf JOIN mdft USING (term) JOIN dl USING (doc_id), n, avgdl
+  GROUP BY mtf.doc_id
+),
+head AS (SELECT * FROM main ORDER BY original_score DESC, doc_id ASC LIMIT 50)
+SELECT h.doc_id, h.original_score,
+       ln(1.0 + dl.dl) AS log_doclen,
+       CAST(d.lang = 'en' AS DOUBLE) AS is_en,
+       CAST(d.source = 'web' AS DOUBLE) AS is_web
+FROM head h JOIN dl USING (doc_id) JOIN documents d USING (doc_id)
+ORDER BY h.doc_id ASC
 """
 
 

@@ -591,39 +591,9 @@ def ltr_rerank(
     second retrieval. A trained model drops in by changing ``weights``
     (the plan is weight-agnostic).
     """
-    from hbase_increment_index_spark.search.tokenize import tokens
-
-    head = bm25_topk(
-        corpus, id_col, text_col, query_terms, k=rerank_docs,
-        score_decimals=score_decimals,
-    ).withColumnRenamed("score", "original_score")
-
-    # filter features degrade to 0.0 when the field is absent OR the
-    # value is NULL (a Solr feature on a missing field/value scores
-    # the default; without the coalesce a NULL field would null the
-    # whole dot product and sink the doc)
-    is_en = (
-        F.coalesce((F.col("lang") == "en").cast("double"), F.lit(0.0))
-        if "lang" in corpus.columns
-        else F.lit(0.0)
-    )
-    is_web = (
-        F.coalesce((F.col("source") == "web").cast("double"), F.lit(0.0))
-        if "source" in corpus.columns
-        else F.lit(0.0)
-    )
-    # semi-join the corpus to the head BEFORE the feature projection:
-    # otherwise the tokenize runs for every corpus row on the probe
-    # side and feature extraction is O(corpus), not O(head)
-    head_rows = corpus.join(F.broadcast(head.select(id_col)), id_col, "left_semi")
-    feats = head.join(
-        head_rows.select(
-            F.col(id_col),
-            F.log(F.lit(1.0) + F.size(tokens(text_col))).alias("log_doclen"),
-            is_en.alias("is_en"),
-            is_web.alias("is_web"),
-        ),
-        id_col,
+    feats = ltr_feature_vectors(
+        corpus, id_col, text_col, query_terms,
+        rerank_docs=rerank_docs, score_decimals=score_decimals,
     )
     model = (
         F.lit(float(weights.get("original_score", 0.0))) * F.col("original_score")
@@ -636,6 +606,60 @@ def ltr_rerank(
         .select(id_col, "original_score", "ltr_score")
         .orderBy(F.col("ltr_score").desc(), F.col(id_col).asc())
         .limit(k)
+    )
+
+
+def ltr_feature_vectors(
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    rerank_docs: int = 50,
+    score_decimals: int = 6,
+) -> DataFrame:
+    """Solr LTR feature LOGGING (``fl=[features store=...]``): the
+    per-candidate feature vector the plugin extracts — returned to the
+    client so training data for the next model comes from the live
+    system (the feature-store half of the LTR workflow; the rerank
+    halves are :func:`ltr_rerank` / :func:`ltr_trees_rerank`, which
+    consume this same frame).
+
+    Features (SolrFeature / FieldValueFeature / OriginalScoreFeature
+    analogues): original_score (BM25 of the main query), log_doclen
+    (ln(1 + token count)), is_en / is_web (filter features; degrade to
+    0.0 when the field is absent or NULL — a Solr feature on a missing
+    value scores its default, and without the coalesce a NULL field
+    would poison the model's dot product).
+
+    Plan: the corpus is semi-joined to the broadcast-small candidate
+    head BEFORE the feature projection, so tokenization and feature
+    arithmetic are O(head), never a second corpus pass.
+    """
+    from hbase_increment_index_spark.search.tokenize import tokens
+
+    head = bm25_topk(
+        corpus, id_col, text_col, query_terms, k=rerank_docs,
+        score_decimals=score_decimals,
+    ).withColumnRenamed("score", "original_score")
+    is_en = (
+        F.coalesce((F.col("lang") == "en").cast("double"), F.lit(0.0))
+        if "lang" in corpus.columns
+        else F.lit(0.0)
+    )
+    is_web = (
+        F.coalesce((F.col("source") == "web").cast("double"), F.lit(0.0))
+        if "source" in corpus.columns
+        else F.lit(0.0)
+    )
+    head_rows = corpus.join(F.broadcast(head.select(id_col)), id_col, "left_semi")
+    return head.join(
+        head_rows.select(
+            F.col(id_col),
+            F.log(F.lit(1.0) + F.size(tokens(text_col))).alias("log_doclen"),
+            is_en.alias("is_en"),
+            is_web.alias("is_web"),
+        ),
+        id_col,
     )
 
 
@@ -690,31 +714,9 @@ def ltr_trees_rerank(
     is one codegen'd projection over the broadcast-small candidate
     head — swapping in a LambdaMART model of any size changes only the
     expression depth, never the plan shape."""
-    from hbase_increment_index_spark.search.tokenize import tokens
-
-    head = bm25_topk(
-        corpus, id_col, text_col, query_terms, k=rerank_docs,
-        score_decimals=score_decimals,
-    ).withColumnRenamed("score", "original_score")
-    is_en = (
-        F.coalesce((F.col("lang") == "en").cast("double"), F.lit(0.0))
-        if "lang" in corpus.columns
-        else F.lit(0.0)
-    )
-    is_web = (
-        F.coalesce((F.col("source") == "web").cast("double"), F.lit(0.0))
-        if "source" in corpus.columns
-        else F.lit(0.0)
-    )
-    head_rows = corpus.join(F.broadcast(head.select(id_col)), id_col, "left_semi")
-    feats = head.join(
-        head_rows.select(
-            F.col(id_col),
-            F.log(F.lit(1.0) + F.size(tokens(text_col))).alias("log_doclen"),
-            is_en.alias("is_en"),
-            is_web.alias("is_web"),
-        ),
-        id_col,
+    feats = ltr_feature_vectors(
+        corpus, id_col, text_col, query_terms,
+        rerank_docs=rerank_docs, score_decimals=score_decimals,
     )
     model = None
     for weight, root in trees:

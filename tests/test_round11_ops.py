@@ -493,3 +493,56 @@ def test_corr_anticorrelated_is_minus_one(spark):
         'let(a=search(t, fl="x,y"), corr(col(a, x), col(a, y)))'
     ).collect()[0]
     assert out["corr"] == -1.0
+
+
+def test_served_knn_pre_filter_restricts_before_ranking(spark):
+    """Solr 9.1 fq-as-pre-filter: excluded docs never enter the
+    shortlist, and the full k is still returned from the allowed set
+    (a post-filter would under-fill)."""
+    from hbase_increment_index_spark.pipeline.similarity import (
+        build_ivf_pq,
+        knn_ivf_pq_serve,
+    )
+
+    emb = _toy_embeddings(spark)
+    q = [1.0, 0.1, 0.1, 1.0, 0.1, 0.1, 1.0, 0.1]
+    cen, cb, cells, codes = build_ivf_pq(
+        emb, dim=8, m=4, seed_ids=list(range(6)), attr_cols=("label",)
+    )
+    out = knn_ivf_pq_serve(
+        cen, cb, cells, codes, q, k=5, n_probe=3, shortlist=60, m=4,
+        pre_filter=F.col("label") != 0,
+    ).collect()
+    assert len(out) == 5                      # full k from the allowed set
+    assert all(r["vec_id"] % 3 != 0 for r in out)  # label-0 docs excluded
+
+
+def test_ltr_feature_vectors_shape_and_reuse(spark, sf_dir):
+    """The feature-logging frame is exactly what both rerank models
+    consume: linear-model score recomputed from the logged features
+    must equal ltr_rerank's output."""
+    from hbase_increment_index_spark.catalog import load_table
+    from hbase_increment_index_spark.search.ranking import (
+        ltr_feature_vectors,
+        ltr_rerank,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = {"original_score": 1.0, "log_doclen": -0.2, "is_en": 0.4, "is_web": 0.2}
+    feats = {r["doc_id"]: r for r in ltr_feature_vectors(
+        docs, "doc_id", "text", ["join", "query", "spark"], rerank_docs=50
+    ).collect()}
+    reranked = ltr_rerank(
+        docs, "doc_id", "text", ["join", "query", "spark"], w,
+        rerank_docs=50, k=10,
+    ).collect()
+    for r in reranked:
+        f = feats[r["doc_id"]]
+        want = round(
+            w["original_score"] * f["original_score"]
+            + w["log_doclen"] * f["log_doclen"]
+            + w["is_en"] * f["is_en"]
+            + w["is_web"] * f["is_web"],
+            6,
+        )
+        assert r["ltr_score"] == want

@@ -183,6 +183,7 @@ HEADLINE = [
     "q61n_stream_corr",
     "q78c_knn_served_filtered",
     "q62c_ltr_features",
+    "q61o_stream_percentile",
 ]
 
 

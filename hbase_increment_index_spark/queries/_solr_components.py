@@ -1837,6 +1837,28 @@ FROM s
 """
 
 
+def q61o_stream_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/stream math layer, ``percentile()``: the exact p90 of
+    returned-lineitem extended prices — Solr collects the vector into
+    Commons Math's Percentile; here the identical R-7 linear
+    interpolation runs as Spark's distributed ``percentile`` holistic
+    aggregate, value-checked against DuckDB's quantile_cont (the same
+    cross-engine contract as cdc_scan_agg_median)
+    (search.streaming_expr._op_percentile)."""
+    return _stream(
+        spark, sf_dir,
+        'let(a=search(lineitem, fq="l_returnflag:R", fl="l_extendedprice"), '
+        'percentile(col(a, l_extendedprice), 90))',
+    )
+
+
+Q61O_SQL = """
+SELECT 'l_extendedprice' AS field, 90.0 AS p,
+       ROUND(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.9), 6) AS value
+FROM lineitem WHERE l_returnflag = 'R'
+"""
+
+
 def q79_topic_pull(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``topic()`` — the /stream checkpointed incremental-pull
     decorator (solrj 9.x, reference pom.xml:22): "give me the docs

@@ -1119,6 +1119,30 @@ class StreamCompiler:
             F.round(cov / F.sqrt(vx * vy), 6).alias("corr"),
         )
 
+    def _op_percentile(self, call: Call) -> DataFrame:
+        """``percentile(col(a, f), 90)``: the exact linear-interpolated
+        percentile (Solr math evaluates Commons Math's Percentile on a
+        collected vector; Spark's ``percentile`` aggregate computes the
+        identical R-7 interpolation distributed — and DuckDB's
+        quantile_cont replays it, the Q-MED discipline). One holistic
+        aggregate; no vector leaves the executors."""
+        if len(call.streams) != 1:
+            raise StreamExprError("percentile takes exactly one col(...)")
+        _, src, fld = self._colref(call.streams[0])
+        raw = call.fields[0] if call.fields else call.params.get("p", "50")
+        try:
+            p = float(raw)
+        except ValueError:
+            raise StreamExprError(f"bad percentile {raw!r}") from None
+        if not 0.0 <= p <= 100.0:
+            raise StreamExprError(f"percentile must be in [0, 100], got {p}")
+        x = F.col(fld).cast("double")
+        return src.agg(
+            F.lit(fld).alias("field"),
+            F.lit(p).alias("p"),
+            F.round(F.percentile(x, F.lit(p / 100.0)), 6).alias("value"),
+        )
+
     def _op_hist(self, call: Call) -> DataFrame:
         """``hist(col(a, f), bins)``: equal-width histogram over the
         column's [min, max] range (Solr evaluates this with Commons

@@ -546,3 +546,25 @@ def test_ltr_feature_vectors_shape_and_reuse(spark, sf_dir):
             6,
         )
         assert r["ltr_score"] == want
+
+
+def test_percentile_matches_numpy_interpolation(spark):
+    import numpy as np
+
+    vals = [float(v) for v in [3, 1, 4, 1, 5, 9, 2, 6, 5, 3]]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    comp = _compiler({"t": df})
+    out = comp.compile(
+        'let(a=search(t, fl="x"), percentile(col(a, x), 90))'
+    ).collect()[0]
+    assert out["value"] == round(float(np.percentile(vals, 90)), 6)
+    assert out["p"] == 90.0
+
+
+def test_percentile_rejects_out_of_range(spark):
+    from hbase_increment_index_spark.search.streaming_expr import StreamExprError
+
+    df = spark.createDataFrame([(1.0,)], "x double")
+    comp = _compiler({"t": df})
+    with pytest.raises(StreamExprError, match="0, 100"):
+        comp.compile('let(a=search(t, fl="x"), percentile(col(a, x), 150))')

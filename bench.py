@@ -184,6 +184,7 @@ HEADLINE = [
     "q78c_knn_served_filtered",
     "q62c_ltr_features",
     "q61o_stream_percentile",
+    "e3o_ann_index_maintenance",
 ]
 
 

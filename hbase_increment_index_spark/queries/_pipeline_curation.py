@@ -231,6 +231,112 @@ FROM q LEFT JOIN hits h ON h.q_id = q.q_id
 """
 
 
+def e3o_ann_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN-INDEX maintenance — the reference's
+    maintain-don't-rebuild contract (HbaseSolrIndexCoprocesser.java:
+    37-61) applied to the served {!knn} index that q78b reads,
+    completing the incremental family (e2o signatures, e2r clusters,
+    THIS the vector index): base index = cells+codes of the v1 corpus
+    (vec_id % 7 != 0); one CDC batch INSERTS %7==0, UPDATES %7==3
+    (vector reversed — its cell assignment and codes must be
+    REPLACED), DELETES %7==5. The index STRUCTURE is fixed at build
+    time (centroids and PQ codebooks come from the base corpus and do
+    not retrain on the delta — how production IVF deployments work),
+    so maintenance touches only delta rows: re-encode inserts+updates
+    (work ∝ |delta|), drop stale/deleted rows by a broadcast anti-join
+    on the touched keys. The oracle encodes the FINAL corpus fresh
+    against the same base-built structure, so the driver hash-check
+    proves merge ≡ rebuild. Output: the merged (vec_id, s, code, cid)
+    index rows."""
+    from hbase_increment_index_spark.pipeline.similarity import (
+        assign_cells,
+        label_cell_centroids,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    m = F.col("vec_id") % 7
+    base = emb.filter(m != 0)
+    cents = label_cell_centroids(base)
+    cbs = pq_codebooks(base, seed_ids=[1, 2, 3, 4, 5, 6, 8, 9])
+
+    def index_rows(df):
+        assigned = assign_cells(df, cents)
+        codes = pq_encode(df, cbs, dim=64, m=4)
+        return codes.join(assigned, "vec_id")
+
+    updates = emb.filter(m == 3).withColumn("embedding", F.reverse("embedding"))
+    inserts = emb.filter(m == 0)
+    touched = emb.filter(m.isin(3, 5)).select("vec_id")
+    merged = index_rows(base).join(
+        F.broadcast(touched), "vec_id", "left_anti"
+    ).unionByName(index_rows(inserts.unionByName(updates)))
+    return merged.select("vec_id", "s", "code", "cid").orderBy("vec_id", "s")
+
+
+_E3O_SQL = """
+WITH fin AS (
+  SELECT vec_id,
+         CASE WHEN vec_id % 7 = 3 THEN list_reverse(embedding)
+              ELSE embedding END AS embedding
+  FROM embeddings WHERE vec_id % 7 <> 5
+),
+bx0 AS (
+  SELECT vec_id, label, i AS pos, CAST(embedding[i] AS DOUBLE) AS v
+  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i)
+  WHERE vec_id % 7 <> 0
+),
+bcents AS (
+  SELECT label, pos,
+         ROUND(CAST(SUM(CAST(v AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*), 6) AS mean_v
+  FROM bx0 GROUP BY label, pos
+),
+centarr AS (
+  SELECT CAST(label AS BIGINT) AS cid, list(mean_v ORDER BY pos) AS c
+  FROM bcents GROUP BY label
+),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM fin),
+adist AS (
+  SELECT v.vec_id, ca.cid,
+         ROUND(list_sum(list_transform(generate_series(1, 64),
+               i -> (e[i] - c[i]) * (e[i] - c[i]))), 6) AS d
+  FROM v CROSS JOIN centarr ca
+),
+cellassign AS (
+  SELECT vec_id, cid FROM adist
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d ASC, cid ASC) = 1
+),
+seeds AS (
+  SELECT vec_id AS sid, CAST(embedding AS DOUBLE[]) AS sv
+  FROM embeddings WHERE vec_id IN (1, 2, 3, 4, 5, 6, 8, 9)
+),
+ss AS (SELECT unnest(generate_series(0, 3)) AS s),
+cb AS (
+  SELECT s, row_number() OVER (PARTITION BY s ORDER BY sid) AS j,
+         list_slice(sv, s * 16 + 1, s * 16 + 16) AS cw
+  FROM seeds, ss
+),
+subs AS (
+  SELECT vec_id, s, list_slice(e, s * 16 + 1, s * 16 + 16) AS subv
+  FROM v, ss
+),
+dists AS (
+  SELECT vec_id, subs.s AS s, cb.j,
+         ROUND(list_sum(list_transform(generate_series(1, 16),
+               i -> (subv[i] - cw[i]) * (subv[i] - cw[i]))), 9) AS d
+  FROM subs JOIN cb ON subs.s = cb.s
+),
+codes AS (
+  SELECT vec_id, s, j AS code FROM dists
+  QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY d ASC, j ASC) = 1
+)
+SELECT c.vec_id, c.s, c.code, a.cid
+FROM codes c JOIN cellassign a USING (vec_id)
+ORDER BY c.vec_id, c.s
+"""
+
+
 # --------------------------------------------------------------------------
 # E11 — temperature-based source mixture resampling
 # --------------------------------------------------------------------------

@@ -147,6 +147,7 @@ _EXCHANGE_CEILING: dict[str, int] = {
     "e2m_jaccard_histogram": 28,      # audited 17-26 (varies with session partitions; +2 r7 skew-guard windows): LSH pipeline + band agg
     "cdc_merge_percentiles": 12,      # audited 10: 3 merge legs + percentile windows
     "e15_curation_funnel": 62,        # audited 56: 6 stage reports over a 5-gate pipeline
+    "e2r_incremental_clusters": 12,   # audited 8 (r11): broadcast merge over checkpointed delta pairs
 }
 
 

@@ -568,3 +568,42 @@ def test_percentile_rejects_out_of_range(spark):
     comp = _compiler({"t": df})
     with pytest.raises(StreamExprError, match="0, 100"):
         comp.compile('let(a=search(t, fl="x"), percentile(col(a, x), 150))')
+
+
+def test_ann_index_maintenance_merge_equals_rebuild(spark):
+    """Fold one insert/update/delete batch into the served index
+    frames and compare against a fresh encode of the final corpus
+    under the SAME base-built structure (fixed centroids/codebooks)."""
+    from hbase_increment_index_spark.pipeline.similarity import (
+        assign_cells,
+        build_ivf_pq,
+        label_cell_centroids,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    emb = _toy_embeddings(spark, n=30)
+    m = F.col("vec_id") % 5
+    base = emb.filter(m != 0)
+    cents = label_cell_centroids(base)
+    cbs = pq_codebooks(base, dim=8, m=4, seed_ids=[1, 2, 3, 4])
+
+    def index_rows(df):
+        return pq_encode(df, cbs, dim=8, m=4).join(assign_cells(df, cents), "vec_id")
+
+    updates = emb.filter(m == 3).withColumn("embedding", F.reverse("embedding"))
+    inserts = emb.filter(m == 0)
+    touched = emb.filter(m.isin(3, 4)).select("vec_id")
+    merged = index_rows(base).join(
+        F.broadcast(touched), "vec_id", "left_anti"
+    ).unionByName(index_rows(inserts.unionByName(updates)))
+
+    final = emb.filter(m != 4).withColumn(
+        "embedding",
+        F.when(m == 3, F.reverse("embedding")).otherwise(F.col("embedding")),
+    )
+    rebuilt = index_rows(final)
+    key = lambda r: (r["vec_id"], r["s"])
+    got = {key(r): (r["code"], r["cid"]) for r in merged.collect()}
+    want = {key(r): (r["code"], r["cid"]) for r in rebuilt.collect()}
+    assert got == want

@@ -185,6 +185,7 @@ HEADLINE = [
     "q62c_ltr_features",
     "q61o_stream_percentile",
     "e3o_ann_index_maintenance",
+    "q39g_json_facet_relatedness",
 ]
 
 

@@ -408,6 +408,69 @@ LIMIT 15
 """
 
 
+def q39g_json_facet_relatedness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``json.facet`` with a ``relatedness($fore,$back)`` SUB-AGG —
+    the nested shape Solr users actually write (terms facet over
+    source, each bucket scored by how related it is to the foreground
+    query ``fore=lang:de`` against ``back=*:*``): per bucket,
+    fg_count = |bucket ∩ fore|, scored by the same SKG z-combination
+    as q43b (fg proportion z-tested against the bucket's background
+    proportion, squashed to [-1, 1]). One hash aggregate on the facet
+    field carrying both counts + a broadcast of the two scalar
+    docset sizes — the semantic-knowledge-graph node scoring (Grainger
+    et al. 2016) as a single-scan bucket aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    fg = (F.col("lang") == "de").cast("long")
+    buckets = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(fg).alias("fg_count")
+    )
+    totals = docs.agg(
+        F.count(F.lit(1)).alias("bg_size"), F.sum(fg).alias("fg_size")
+    )
+    j = buckets.crossJoin(F.broadcast(totals))
+    fg_pop = F.col("fg_count") / F.col("fg_size")
+    bg_pop = F.col("n") / F.col("bg_size")
+    z = (fg_pop - bg_pop) / F.sqrt(
+        bg_pop * (F.lit(1.0) - bg_pop) / F.col("fg_size")
+    )
+    r = F.when(bg_pop >= 1.0, F.lit(0.0)).otherwise(z / F.sqrt(F.lit(1.0) + z * z))
+    return j.select(
+        "source",
+        F.col("n").cast("long").alias("n"),
+        F.col("fg_count").cast("long").alias("fg_count"),
+        F.round(r, 6).alias("relatedness"),
+    ).orderBy(F.col("relatedness").desc(), F.col("source").asc())
+
+
+Q39G_SQL = """
+WITH buckets AS (
+  SELECT source, count(*) AS n,
+         SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS fg_count
+  FROM documents GROUP BY source
+),
+totals AS (
+  SELECT count(*) AS bg_size,
+         SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS fg_size
+  FROM documents
+),
+scored AS (
+  SELECT source, n, fg_count,
+         fg_count / CAST(fg_size AS DOUBLE) AS fg_pop,
+         n / CAST(bg_size AS DOUBLE) AS bg_pop,
+         CAST(fg_size AS DOUBLE) AS fg_size_d
+  FROM buckets, totals
+)
+SELECT source, CAST(n AS BIGINT) AS n, CAST(fg_count AS BIGINT) AS fg_count,
+       ROUND(CASE WHEN bg_pop >= 1.0 THEN 0.0 ELSE
+         ((fg_pop - bg_pop) / sqrt(bg_pop * (1.0 - bg_pop) / fg_size_d))
+         / sqrt(1.0 + ((fg_pop - bg_pop) / sqrt(bg_pop * (1.0 - bg_pop) / fg_size_d))
+                      * ((fg_pop - bg_pop) / sqrt(bg_pop * (1.0 - bg_pop) / fg_size_d)))
+       END, 6) AS relatedness
+FROM scored
+ORDER BY relatedness DESC, source ASC
+"""
+
+
 def q44_facet_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Solr ``facet.field=p_brand&facet.prefix=Brand#1`` — bucket
     counts restricted to values under a prefix; the startswith filter

@@ -846,3 +846,70 @@ def test_minhash_query_identity(spark, texts, data):
     ).collect()
     exact_ids = {i for i, t in enumerate(texts) if t == texts[pick]}
     assert out and out[0]["sim_est"] == 1.0 and out[0]["doc_id"] in exact_ids
+
+
+# ------------------------------------------- incremental cluster merge
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 14), st.integers(0, 14)).filter(lambda p: p[0] != p[1]),
+        min_size=0, max_size=12,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 24), st.integers(0, 24)).filter(lambda p: p[0] != p[1]),
+        min_size=1, max_size=12,
+    ),
+)
+def test_cluster_merge_equals_rebuild_property(spark, base_pairs, new_pairs):
+    """For ANY base pair set and ANY delta pair set (bridges,
+    singleton promotions, delta-only chains included), folding the
+    delta pairs into the stored CC labels must equal re-clustering
+    the union from scratch — the e2r merge ≡ rebuild invariant."""
+    from hbase_increment_index_spark.pipeline.dedup import (
+        connected_components,
+        merge_cluster_labels,
+    )
+
+    bp = spark.createDataFrame(
+        base_pairs or [(900, 901)], "id_a long, id_b long"
+    )
+    np_ = spark.createDataFrame(new_pairs, "id_a long, id_b long")
+    stored = connected_components(bp)
+    merged = {
+        (r["doc"], r["component"])
+        for r in merge_cluster_labels(stored, np_).collect()
+    }
+    rebuilt = {
+        (r["doc"], r["component"])
+        for r in connected_components(bp.unionByName(np_)).collect()
+    }
+    assert merged == rebuilt
+
+
+# ----------------------------------------------------- metaphone chain
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.text(alphabet="abcdefghijklmnopqrstuvwxyz '-", min_size=0, max_size=14), min_size=1, max_size=25))
+def test_metaphone_cross_engine_property(spark, words):
+    """The Spark Metaphone expression chain and the DuckDB SQL twin
+    must agree code-for-code on ARBITRARY words (including empties,
+    punctuation, silent-letter clusters) — the single-sourced rule
+    list is replayed identically by both regex engines."""
+    import duckdb
+
+    from hbase_increment_index_spark.search.phonetic import (
+        metaphone_code,
+        metaphone_sql,
+    )
+
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got = [r["c"] for r in df.select(metaphone_code("w").alias("c")).collect()]
+    con = duckdb.connect()
+    want = [
+        con.execute(f"SELECT {metaphone_sql('?')}", [w]).fetchone()[0]
+        for w in words
+    ]
+    assert got == want

@@ -186,6 +186,8 @@ HEADLINE = [
     "q61o_stream_percentile",
     "e3o_ann_index_maintenance",
     "q39g_json_facet_relatedness",
+    "q82_features_selection",
+    "q83_signature_dedup",
 ]
 
 

@@ -7,7 +7,7 @@ from hbase_increment_index_spark.pipeline.similarity import knn_brute_force
 from hbase_increment_index_spark.search import facets, ranking
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from ._cdc import CDC_INDEX_DOCS_SQL, _SQL_CELL_LOG
-from ._shared import _GEO_DIST, _GEO_SQL_BASE, _SQL_TOKS, _TFIDF_TERMS, _geo_customers, _stream, _t
+from ._shared import _GEO_DIST, _GEO_SQL_BASE, _SQL_FP, _SQL_TOKS, _TFIDF_TERMS, _geo_customers, _stream, _t
 
 
 
@@ -468,6 +468,51 @@ SELECT source, CAST(n AS BIGINT) AS n, CAST(fg_count AS BIGINT) AS fg_count,
        END, 6) AS relatedness
 FROM scored
 ORDER BY relatedness DESC, source ASC
+"""
+
+
+def q83_signature_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr ``SignatureUpdateProcessorFactory`` with
+    ``overwriteDupes=true`` — INDEX-TIME dedup (the update-chain
+    feature a reference-style deployment enables so re-crawled
+    duplicates overwrite instead of accumulating): the content
+    signature becomes the uniqueness key, so the LATEST ADD per
+    signature survives — the opposite keep-rule from e1's min-id
+    canonical (curation keeps the first copy; the update processor
+    keeps the newest). Corpus = documents ∪ a re-keyed re-add of
+    every 3rd document (higher ids arrive later, the e1c device);
+    survivors carry their overwrite count. One fingerprint window —
+    the same single content-hash shuffle as e1."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    readd = docs.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(readd)
+    from hbase_increment_index_spark.pipeline.text import fingerprint
+
+    w = Window.partitionBy(fingerprint("text")).orderBy(F.col("doc_id").desc())
+    return (
+        corpus.withColumn("_rn", F.row_number().over(w))
+        .withColumn(
+            "n_overwritten",
+            F.count(F.lit(1)).over(Window.partitionBy(fingerprint("text"))) - 1,
+        )
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", F.col("n_overwritten").cast("long").alias("n_overwritten"))
+        .orderBy("doc_id")
+    )
+
+
+Q83_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 3 = 0
+)
+SELECT max(doc_id) AS doc_id, CAST(count(*) - 1 AS BIGINT) AS n_overwritten
+FROM corpus
+GROUP BY {_SQL_FP.format(c='text')}
+ORDER BY doc_id
 """
 
 
@@ -1919,6 +1964,64 @@ Q61O_SQL = """
 SELECT 'l_extendedprice' AS field, 90.0 AS p,
        ROUND(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.9), 6) AS value
 FROM lineitem WHERE l_returnflag = 'R'
+"""
+
+
+def q82_features_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/stream ``featuresSelection()`` — the ML feature selector of
+    the solrj 9.x expression language (the companion of train(): pick
+    the terms most informative about a binary outcome before fitting):
+    top-15 text terms by information gain against lang:de. IG from the
+    four (term-presence × class) document counts — one
+    distinct-postings hash aggregate + broadcast scalars; the entropy
+    arithmetic is a projection (search.streaming_expr.
+    _op_featuresSelection)."""
+    return _stream(
+        spark, sf_dir,
+        'featuresSelection(documents, field="text", outcome="lang:de", '
+        'numTerms=15)',
+    )
+
+
+Q82_SQL = f"""
+WITH flagged AS (
+  SELECT CASE WHEN lang = 'de' THEN 1 ELSE 0 END AS y,
+         {_SQL_TOKS.format(c='text')} AS toks
+  FROM documents
+),
+totals AS (SELECT count(*) AS n, CAST(SUM(y) AS BIGINT) AS n_pos FROM flagged),
+per_term AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(SUM(y) AS BIGINT) AS df_pos
+  FROM (SELECT y, unnest(list_distinct(toks)) AS term FROM flagged)
+  GROUP BY term
+),
+c AS (
+  SELECT term, df, df_pos,
+         CAST(df_pos AS DOUBLE) AS n11,
+         CAST(df - df_pos AS DOUBLE) AS n10,
+         CAST(n_pos - df_pos AS DOUBLE) AS n01,
+         CAST(n - df - (n_pos - df_pos) AS DOUBLE) AS n00,
+         CAST(n AS DOUBLE) AS nd, CAST(n_pos AS DOUBLE) AS npos
+  FROM per_term, totals
+),
+e AS (
+  SELECT term, df, df_pos,
+         -(CASE WHEN npos > 0 THEN (npos/nd) * log2(npos/nd) ELSE 0.0 END
+           + CASE WHEN nd - npos > 0 THEN ((nd-npos)/nd) * log2((nd-npos)/nd) ELSE 0.0 END)
+         - (CASE WHEN n11 + n10 > 0 THEN
+              -(CASE WHEN n11 > 0 THEN (n11/(n11+n10)) * log2(n11/(n11+n10)) ELSE 0.0 END
+                + CASE WHEN n10 > 0 THEN (n10/(n11+n10)) * log2(n10/(n11+n10)) ELSE 0.0 END)
+              * ((n11+n10)/nd) ELSE 0.0 END)
+         - (CASE WHEN n01 + n00 > 0 THEN
+              -(CASE WHEN n01 > 0 THEN (n01/(n01+n00)) * log2(n01/(n01+n00)) ELSE 0.0 END
+                + CASE WHEN n00 > 0 THEN (n00/(n01+n00)) * log2(n00/(n01+n00)) ELSE 0.0 END)
+              * ((n01+n00)/nd) ELSE 0.0 END) AS ig
+  FROM c
+)
+SELECT term, df, df_pos, ROUND(ig, 6) AS ig
+FROM e
+ORDER BY ig DESC, term ASC
+LIMIT 15
 """
 
 

@@ -1214,6 +1214,87 @@ class StreamCompiler:
             .orderBy("bin")
         )
 
+    def _op_featuresSelection(self, call: Call) -> DataFrame:  # noqa: N802
+        """Solr ``featuresSelection(collection, q=..., field=...,
+        outcome=..., numTerms=N)`` — the /stream ML feature selector
+        (solrj 9.x TextLogitStream companion): rank vocabulary terms by
+        INFORMATION GAIN against a binary outcome. IG(T) = H(C) −
+        H(C|T) computed from the four (term-presence × class) document
+        counts — one distinct-postings aggregate carrying the outcome
+        bit, scalar totals broadcast, the entropy arithmetic a pure
+        projection (0·log0 terms defined as 0, the standard
+        convention). Vocabulary-bounded shuffle; corpus scanned once.
+
+            featuresSelection(documents, field="text",
+                              outcome="lang:de", numTerms=15)
+        """
+        from hbase_increment_index_spark.search.solr_query import parse_query
+        from hbase_increment_index_spark.search.tokenize import tokens
+
+        if not call.fields:
+            raise StreamExprError("featuresSelection needs a collection name")
+        table = call.fields[0]
+        if table not in self.tables:
+            raise StreamExprError(f"unknown collection {table!r}")
+        df = self.tables[table]
+        fld = self._param(call, "field")
+        if fld not in df.columns:
+            raise StreamExprError(f"unknown field {fld!r}")
+        text_fields = (
+            self.text_fields
+            if self.text_fields is not None
+            else ({"text"} if "text" in df.columns else set())
+        )
+        outcome = parse_query(self._param(call, "outcome"), text_fields)
+        try:
+            k = int(call.params.get("numTerms", 10))
+        except ValueError:
+            raise StreamExprError(
+                f"bad featuresSelection numTerms {call.params['numTerms']!r}"
+            ) from None
+        flagged = df.select(
+            outcome.cast("long").alias("_y"), tokens(fld).alias("_toks")
+        )
+        totals = flagged.agg(
+            F.count(F.lit(1)).alias("_n"), F.sum("_y").alias("_n_pos")
+        )
+        per_term = (
+            flagged.select("_y", F.explode(F.array_distinct("_toks")).alias("term"))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("_df"), F.sum("_y").alias("_df_pos"))
+        )
+        j = per_term.crossJoin(F.broadcast(totals))
+        n = F.col("_n").cast("double")
+
+        def plogp(p):
+            # p·log2(p) with the 0·log0 = 0 convention
+            return F.when(p > 0, p * F.log2(p)).otherwise(F.lit(0.0))
+
+        # joint counts: n11 = term ∧ pos, n10 = term ∧ neg, n01/n00 rest
+        n11 = F.col("_df_pos").cast("double")
+        n10 = (F.col("_df") - F.col("_df_pos")).cast("double")
+        n01 = (F.col("_n_pos") - F.col("_df_pos")).cast("double")
+        n00 = n - n11 - n10 - n01
+        h_c = -(plogp(F.col("_n_pos") / n) + plogp((n - F.col("_n_pos")) / n))
+
+        def h_cond(a, b):
+            tot = a + b
+            return F.when(
+                tot > 0, -(plogp(a / tot) + plogp(b / tot)) * (tot / n)
+            ).otherwise(F.lit(0.0))
+
+        ig = h_c - (h_cond(n11, n10) + h_cond(n01, n00))
+        return (
+            j.select(
+                "term",
+                F.col("_df").cast("long").alias("df"),
+                F.col("_df_pos").cast("long").alias("df_pos"),
+                F.round(ig, 6).alias("ig"),
+            )
+            .orderBy(F.col("ig").desc(), F.col("term").asc())
+            .limit(k)
+        )
+
     def _op_daemon(self, call: Call) -> DataFrame:
         """Solr ``daemon()`` decorator: registers the inner expression
         as a background loop (see :class:`Daemon`). Posting the

@@ -607,3 +607,36 @@ def test_ann_index_maintenance_merge_equals_rebuild(spark):
     got = {key(r): (r["code"], r["cid"]) for r in merged.collect()}
     want = {key(r): (r["code"], r["cid"]) for r in rebuilt.collect()}
     assert got == want
+
+
+def test_features_selection_perfect_predictor_ranks_first(spark):
+    """A term present in exactly the positive class has maximal IG."""
+    docs = spark.createDataFrame(
+        [(i, "de" if i < 5 else "en",
+          ("marker noise" if i < 5 else "noise filler"))
+         for i in range(10)],
+        "doc_id long, lang string, text string",
+    )
+    comp = _compiler({"documents": docs})
+    out = comp.compile(
+        'featuresSelection(documents, field="text", outcome="lang:de", numTerms=3)'
+    ).collect()
+    byterm = {r["term"]: r["ig"] for r in out}
+    # 'marker' (present in exactly the positive class) and 'filler'
+    # (exactly the negative class) are BOTH perfect predictors:
+    # IG = H(C) = 1 bit for the 5/5 split
+    assert byterm["marker"] == 1.0 and byterm["filler"] == 1.0
+    # a term in every document carries zero information
+    assert byterm.get("noise", 0.0) == 0.0
+
+
+def test_signature_dedup_keeps_latest_add(spark):
+    """overwriteDupes semantics: the LAST added doc per signature
+    survives — the opposite of e1's min-id canonical."""
+    from hbase_increment_index_spark.queries import QUERIES
+
+    out = {r["doc_id"]: r["n_overwritten"]
+           for r in QUERIES["q83_signature_dedup"](spark, "/root/testdata/sf0.001").collect()}
+    # every 3rd doc was re-added with id+2e6: the re-add must win
+    assert all(k >= 2_000_000 or k % 3 != 0 for k in out)
+    assert any(v == 1 for v in out.values())

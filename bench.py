@@ -188,6 +188,7 @@ HEADLINE = [
     "q39g_json_facet_relatedness",
     "q82_features_selection",
     "q83_signature_dedup",
+    "q84_train_logreg",
 ]
 
 

@@ -2025,6 +2025,90 @@ LIMIT 15
 """
 
 
+_Q84_TERMS = ["data", "join", "query", "spark"]
+
+
+def q84_train_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/stream ``train()`` — the logistic-regression trainer of the
+    solrj 9.x expression language (TextLogitStream; the documented
+    workflow is featuresSelection → train): fit lang:de against four
+    term-presence features with 5 full-batch gradient-descent
+    iterations, one output tuple per iteration (n, mean squared
+    residual, weights). Each iteration is ONE hash aggregate over the
+    corpus computing the gradient's exact-decimal component sums with
+    the current weights baked in as literals; the oracle UNROLLS the
+    same five iterations as sequential CTEs, replaying every weight
+    update operation-for-operation (σ rounded at 6 pins the one
+    math-library-dependent value) (search.streaming_expr._op_train)."""
+    return _stream(
+        spark, sf_dir,
+        'train(documents, field="text", outcome="lang:de", '
+        f'terms="{",".join(_Q84_TERMS)}", maxIterations=5)',
+    ).orderBy("iteration")
+
+
+def _q84_sql() -> str:
+    terms = sorted(set(_Q84_TERMS))
+    k = len(terms)
+    toks = _SQL_TOKS.format(c="text")
+    feat_cols = ", ".join(
+        f"CAST(list_contains({toks}, '{t}') AS DOUBLE) AS x{i}"
+        for i, t in enumerate(terms)
+    )
+    ctes = [
+        "feats AS (SELECT CASE WHEN lang = 'de' THEN 1.0 ELSE 0.0 END AS y, "
+        f"{feat_cols} FROM documents)"
+    ]
+    prev = None
+    outs = []
+    for it in range(1, 6):
+        if prev is None:
+            z = "0.0" + "".join(f" + 0.0 * x{i}" for i in range(k))
+            src = "feats"
+        else:
+            z = f"{prev}.w0" + "".join(f" + {prev}.w{i + 1} * x{i}" for i in range(k))
+            src = f"feats, {prev}"
+        sig = f"ROUND(1.0 / (1.0 + exp(-({z}))), 6)"
+        g_cols = ", ".join(
+            [f"CAST(SUM(CAST(y - {sig} AS DECIMAL(30,12))) AS DOUBLE) AS g0"]
+            + [
+                f"CAST(SUM(CAST((y - {sig}) * x{i} AS DECIMAL(30,12))) AS DOUBLE) AS g{i + 1}"
+                for i in range(k)
+            ]
+            + [
+                f"CAST(SUM(CAST((y - {sig}) * (y - {sig}) AS DECIMAL(30,12))) AS DOUBLE) AS sse"
+            ]
+        )
+        ctes.append(f"it{it} AS (SELECT count(*) AS n, {g_cols} FROM {src})")
+        if prev is None:
+            w_cols = ", ".join(
+                [f"it{it}.g0 / it{it}.n AS w0"]
+                + [f"it{it}.g{j + 1} / it{it}.n AS w{j + 1}" for j in range(k)]
+            )
+            ctes.append(f"w{it} AS (SELECT {w_cols} FROM it{it})")
+        else:
+            w_cols = ", ".join(
+                [f"{prev}.w0 + it{it}.g0 / it{it}.n AS w0"]
+                + [
+                    f"{prev}.w{j + 1} + it{it}.g{j + 1} / it{it}.n AS w{j + 1}"
+                    for j in range(k)
+                ]
+            )
+            ctes.append(f"w{it} AS (SELECT {w_cols} FROM it{it}, {prev})")
+        outs.append(
+            f"SELECT CAST({it} AS BIGINT) AS iteration, CAST(it{it}.n AS BIGINT) AS n, "
+            f"ROUND(it{it}.sse / it{it}.n, 6) AS error, ROUND(w{it}.w0, 6) AS w_intercept, "
+            + ", ".join(f"ROUND(w{it}.w{j + 1}, 6) AS w_{t}" for j, t in enumerate(terms))
+            + f" FROM it{it}, w{it}"
+        )
+        prev = f"w{it}"
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        + "\nUNION ALL\n".join(outs)
+        + "\nORDER BY iteration"
+    )
+
+
 def q79_topic_pull(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``topic()`` — the /stream checkpointed incremental-pull
     decorator (solrj 9.x, reference pom.xml:22): "give me the docs

@@ -1295,6 +1295,109 @@ class StreamCompiler:
             .limit(k)
         )
 
+    def _op_train(self, call: Call) -> DataFrame:
+        """Solr ``train()`` — the /stream logistic-regression trainer
+        (TextLogitStream; featuresSelection picks the vocabulary,
+        train() fits the weights, emitting one tuple PER ITERATION):
+
+            train(documents, field="text", outcome="lang:de",
+                  terms="data,join,query", maxIterations=5)
+
+        Model: binary logistic regression over term-presence features
+        plus an intercept, full-batch gradient descent
+        (w += lr/n · Σ (y − σ(w·x))·x, lr = 1). ``terms`` is the
+        explicit feature vocabulary (the documented Solr workflow
+        feeds featuresSelection's output here; Solr's hashed-feature
+        variant differs only in how the vocabulary is picked).
+
+        Execution: per iteration ONE hash aggregate over the corpus —
+        the gradient's k+1 component sums — with the current weights
+        baked in as literals; the k+1 scalars collect to the driver
+        (bounded, the CC-loop discipline) and the update arithmetic
+        runs in plain IEEE doubles that the SQL oracle replays
+        operation-for-operation. Determinism across engines: σ is
+        rounded to 6 decimals before the residual (exp() differs by
+        ulps between math libraries; the rounding pins both sides to
+        the same value), residual sums are exact decimals, and the
+        weight updates are identical double arithmetic on identical
+        sums. Output: (iteration, n, error=mean squared residual,
+        w_intercept, w_<term>...), weights rounded at 6 for display
+        only — the loop carries full precision."""
+        from hbase_increment_index_spark.search.solr_query import parse_query
+        from hbase_increment_index_spark.search.tokenize import tokens
+
+        if not call.fields:
+            raise StreamExprError("train needs a collection name")
+        table = call.fields[0]
+        if table not in self.tables:
+            raise StreamExprError(f"unknown collection {table!r}")
+        df = self.tables[table]
+        fld = self._param(call, "field")
+        if fld not in df.columns:
+            raise StreamExprError(f"unknown field {fld!r}")
+        terms = [t.strip() for t in self._param(call, "terms").split(",") if t.strip()]
+        if not terms:
+            raise StreamExprError("train needs a non-empty terms list")
+        terms = sorted(set(terms))
+        try:
+            iters = int(call.params.get("maxIterations", 5))
+        except ValueError:
+            raise StreamExprError(
+                f"bad train maxIterations {call.params['maxIterations']!r}"
+            ) from None
+        if iters < 1:
+            raise StreamExprError("train maxIterations must be >= 1")
+        text_fields = (
+            self.text_fields
+            if self.text_fields is not None
+            else ({"text"} if fld == "text" else set())
+        )
+        outcome = parse_query(self._param(call, "outcome"), text_fields)
+        feats = df.select(
+            outcome.cast("double").alias("_y"),
+            *[
+                F.array_contains(tokens(fld), t).cast("double").alias(f"_x{i}")
+                for i, t in enumerate(terms)
+            ],
+        ).persist()
+        k = len(terms)
+        w = [0.0] * (k + 1)  # intercept first
+        rows = []
+        spark = df.sparkSession
+        try:
+            for it in range(1, iters + 1):
+                z = F.lit(w[0])
+                for i in range(k):
+                    z = z + F.lit(w[i + 1]) * F.col(f"_x{i}")
+                sig = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+                resid = F.col("_y") - sig
+                agg = feats.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(resid.cast("decimal(30,12)")).cast("double").alias("g0"),
+                    *[
+                        F.sum((resid * F.col(f"_x{i}")).cast("decimal(30,12)"))
+                        .cast("double")
+                        .alias(f"g{i + 1}")
+                        for i in range(k)
+                    ],
+                    F.sum((resid * resid).cast("decimal(30,12)"))
+                    .cast("double")
+                    .alias("sse"),
+                ).head()
+                n = float(agg["n"])
+                err = round(agg["sse"] / n, 6)
+                w = [w[j] + agg[f"g{j}"] / n for j in range(k + 1)]
+                rows.append(
+                    (it, int(agg["n"]), err, *[round(v, 6) for v in w])
+                )
+        finally:
+            feats.unpersist()
+        schema = (
+            "iteration long, n long, error double, w_intercept double, "
+            + ", ".join(f"w_{t} double" for t in terms)
+        )
+        return spark.createDataFrame(rows, schema)
+
     def _op_daemon(self, call: Call) -> DataFrame:
         """Solr ``daemon()`` decorator: registers the inner expression
         as a background loop (see :class:`Daemon`). Posting the

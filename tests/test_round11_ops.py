@@ -640,3 +640,33 @@ def test_signature_dedup_keeps_latest_add(spark):
     # every 3rd doc was re-added with id+2e6: the re-add must win
     assert all(k >= 2_000_000 or k % 3 != 0 for k in out)
     assert any(v == 1 for v in out.values())
+
+
+def test_train_logreg_learns_a_perfect_predictor(spark):
+    """On a separable toy corpus the marker term's weight grows
+    positive and error falls monotonically across iterations."""
+    docs = spark.createDataFrame(
+        [(i, "de" if i < 6 else "en",
+          ("marker text" if i < 6 else "text only"))
+         for i in range(12)],
+        "doc_id long, lang string, text string",
+    )
+    comp = _compiler({"documents": docs})
+    out = comp.compile(
+        'train(documents, field="text", outcome="lang:de", '
+        'terms="marker,text", maxIterations=5)'
+    ).collect()
+    assert [r["iteration"] for r in out] == [1, 2, 3, 4, 5]
+    errs = [r["error"] for r in out]
+    assert all(a >= b for a, b in zip(errs, errs[1:]))  # monotone descent
+    assert out[-1]["w_marker"] > 0.0            # positive-class feature
+    assert out[-1]["w_marker"] > out[-1]["w_text"]
+
+
+def test_train_logreg_rejects_empty_terms(spark):
+    from hbase_increment_index_spark.search.streaming_expr import StreamExprError
+
+    docs = spark.createDataFrame([(0, "en", "t")], "doc_id long, lang string, text string")
+    comp = _compiler({"documents": docs})
+    with pytest.raises(StreamExprError, match="terms"):
+        comp.compile('train(documents, field="text", outcome="lang:de", terms="", maxIterations=2)')

@@ -189,6 +189,10 @@ HEADLINE = [
     "q82_features_selection",
     "q83_signature_dedup",
     "q84_train_logreg",
+    # --- added r12: the store-served incremental near-dup pairing
+    # (registry form prices the in-plan bootstrap, the e2o discipline;
+    # the persisted-store serve is the e2s_store_served twin below)
+    "e2s_store_served_increment",
 ]
 
 
@@ -385,7 +389,6 @@ def main() -> None:
     # prices. Same split as e2o_signature_store_served.
     from hbase_increment_index_spark.pipeline.dedup import (
         connected_components,
-        incremental_near_dups,
         merge_cluster_labels,
         ngram_jaccard_pairs,
     )
@@ -406,9 +409,43 @@ def main() -> None:
         ).alias("text"),
     )
 
+    # --- shingle-postings store (r12): the corpus side of incremental
+    # near-dup pairing comes from the PERSISTED store — corpus text is
+    # never re-shingled at serve time (r11 verdict #1). Build once
+    # (one-time cost below), partitionBy the shingle bucket so the
+    # delta's bounded bucket IN-list is a directory prune; the sizes
+    # side table ships with it (the doclen discipline).
+    from hbase_increment_index_spark.pipeline.dedup import (
+        build_shingle_postings,
+        incremental_near_dups_from_index,
+        shingle_doc_sizes,
+        write_shingle_store,
+    )
+
+    t0 = time.time()
+    _shp = build_shingle_postings(_d0, "doc_id", "text", n=3)
+    write_shingle_store(_shp, f"{idx_dir}/shingles/postings")
+    shingle_doc_sizes(
+        spark.read.parquet(f"{idx_dir}/shingles/postings")
+    ).write.mode("overwrite").parquet(f"{idx_dir}/shingles/sizes")
+    shstore_build_sec = round(time.time() - t0, 3)
+    print(
+        f"# shingle-postings store build+save (one-time): {shstore_build_sec:.3f}s",
+        file=sys.stderr,
+    )
+    _shstore = spark.read.parquet(f"{idx_dir}/shingles/postings")
+    _shsizes = spark.read.parquet(f"{idx_dir}/shingles/sizes")
+
+    served["e2s_store_served"] = lambda: incremental_near_dups_from_index(
+        _shstore, _shsizes, _delta, "doc_id", "text", n=3, threshold=0.30
+    )
+
     def _cc_merge_serve():
-        bip = incremental_near_dups(
-            _d0, _delta, "doc_id", "text", n=3, threshold=0.30
+        # delta pairing from the persisted store (∝ |delta| + matched
+        # buckets) + delta-internal pairs (∝ |delta|²-bounded banding),
+        # folded into the stored labels — no corpus text anywhere
+        bip = incremental_near_dups_from_index(
+            _shstore, _shsizes, _delta, "doc_id", "text", n=3, threshold=0.30
         ).select(_F.col("id_new").alias("id_a"), _F.col("id_old").alias("id_b"))
         internal = ngram_jaccard_pairs(
             _delta, "doc_id", "text", n=3, threshold=0.30
@@ -495,8 +532,9 @@ def main() -> None:
         "q49d_child_transformer", "q43b_relatedness",
         "q79_topic_pull_steady",
         "q06c_bm25_servedidx", "q05c_phrase_servedidx",
-        "q05d_phrase_slop_servedidx", "q69_span_near_servedidx",
+        "q69_span_near_servedidx",
         "q78b_knn_served_idx",
+        "e2s_store_served_increment", "e2s_store_served",
     ]
     # The driver captures only the LAST 2000 chars of stdout, so the
     # line must stay under budget. An over-budget subset DEGRADES
@@ -520,6 +558,7 @@ def main() -> None:
                 "signature_store_build_once_sec": sigstore_build_sec,
                 "ann_index_build_once_sec": ann_build_sec,
                 "cc_label_store_build_once_sec": cc_build_sec,
+                "shingle_store_build_once_sec": shstore_build_sec,
             },
             separators=(",", ":"),
         )

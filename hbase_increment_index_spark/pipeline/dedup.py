@@ -252,6 +252,200 @@ def incremental_near_dups(
     )
 
 
+# ------------------------------------------- shingle-postings store
+#
+# The persisted derived index behind store-served incremental near-dup
+# pairing (r11 verdict #1): instead of re-shingling the EXISTING corpus
+# on every delta batch (incremental_near_dups' tagged-union scan), the
+# corpus side's distinct (doc, shingle) postings live in a parquet
+# store partitioned by a shingle-hash bucket — the cdc_merge_postings
+# discipline (search/inverted.py merge_postings) applied to the dedup
+# index, exactly as the reference keeps its Solr index current instead
+# of rebuilding it per batch (HbaseSolrIndexCoprocesser.java:37-61).
+# Serving a delta then (1) shingles ONLY the increment, (2) collects
+# its bounded bucket set (≤ SHINGLE_STORE_BUCKETS ints — the q78b
+# n_probe device), (3) probes the store with an IN-list the parquet
+# source turns into a DIRECTORY prune, and (4) joins postings-to-
+# postings. Per-batch work ∝ |delta| + the store's matching buckets,
+# never the corpus text.
+
+SHINGLE_STORE_BUCKETS = 32
+
+
+def shingle_bucket(sh: Column | str, n_buckets: int = SHINGLE_STORE_BUCKETS) -> Column:
+    """Partition bucket for a shingle: pmod(xxhash64(sh), n_buckets).
+    A pure function of the shingle, so every posting row of a given
+    shingle lands in one directory — the probe's IN-list prune loses
+    nothing."""
+    sh = F.col(sh) if isinstance(sh, str) else sh
+    return F.pmod(F.xxhash64(sh), F.lit(n_buckets))
+
+
+def build_shingle_postings(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    n_buckets: int = SHINGLE_STORE_BUCKETS,
+) -> DataFrame:
+    """Distinct (doc, sh, shb) shingle postings — the store's row shape.
+    One explode + map-side-combined distinct; write with
+    :func:`write_shingle_store` so ``shb`` becomes a partition column."""
+    out = (
+        fan_out(df)
+        .select(
+            F.col(id_col).alias("doc"),
+            F.explode(shingle_grams(text_col, n)).alias("sh"),
+        )
+        .distinct()
+    )
+    return out.withColumn("shb", shingle_bucket("sh", n_buckets))
+
+
+def shingle_doc_sizes(postings: DataFrame) -> DataFrame:
+    """(doc, n_sh) side table — the dedup index's doclen analogue
+    (bench.py ships doclen/stats WITH the BM25 postings so serving
+    never re-aggregates the store; same rule here). Built once at
+    bootstrap, then maintained per batch by
+    :func:`merge_shingle_sizes`."""
+    return postings.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+
+
+def merge_shingle_postings(
+    postings: DataFrame,
+    changed_docs: DataFrame,
+    deleted_ids: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    n_buckets: int = SHINGLE_STORE_BUCKETS,
+) -> DataFrame:
+    """Fold one CDC micro-batch into the shingle store: drop the
+    touched docs' old postings with a BROADCAST anti-join on the
+    (small-by-construction) touched-id set, append fresh postings
+    shingled from the changed docs alone — work ∝ |delta|, the big
+    side never shuffles. Merge ≡ rebuild from the post-mutation corpus
+    (oracle-proven by e2s_store_served_increment; pytest
+    tests/test_round12_ops.py)."""
+    touched = (
+        changed_docs.select(F.col(id_col).alias("doc"))
+        .unionByName(deleted_ids.select(F.col(id_col).alias("doc")))
+        .distinct()
+    )
+    kept = postings.join(F.broadcast(touched), "doc", "left_anti")
+    fresh = build_shingle_postings(changed_docs, id_col, text_col, n, n_buckets)
+    return kept.unionByName(fresh.select(*kept.columns))
+
+
+def merge_shingle_sizes(
+    sizes: DataFrame,
+    changed_docs: DataFrame,
+    deleted_ids: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Per-batch maintenance of the (doc, n_sh) side table — same
+    anti-join + fresh-rows shape as :func:`merge_shingle_postings`,
+    with the fresh counts computed from the changed docs' text alone
+    (one delta-sized agg, no store scan)."""
+    touched = (
+        changed_docs.select(F.col(id_col).alias("doc"))
+        .unionByName(deleted_ids.select(F.col(id_col).alias("doc")))
+        .distinct()
+    )
+    kept = sizes.join(F.broadcast(touched), "doc", "left_anti")
+    fresh = shingle_doc_sizes(
+        build_shingle_postings(changed_docs, id_col, text_col, n)
+    )
+    return kept.unionByName(fresh.select(*kept.columns))
+
+
+def write_shingle_store(postings: DataFrame, path: str) -> None:
+    """Persist the store partitioned by the shingle bucket — the
+    probe's bucket IN-list becomes PartitionFilters (a directory
+    prune), the same layout contract as the IVF cells/codes store
+    (partitionBy('cid'), bench.py)."""
+    postings.write.mode("overwrite").partitionBy("shb").parquet(path)
+
+
+def incremental_near_dups_from_index(
+    postings: DataFrame,
+    sizes: DataFrame,
+    incoming: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = None,
+    n_buckets: int = SHINGLE_STORE_BUCKETS,
+) -> DataFrame:
+    """Store-served incremental near-dup pairing: flag INCOMING
+    documents that near-duplicate the corpus REPRESENTED BY its
+    persisted shingle store — result-identical to
+    :func:`incremental_near_dups` (property-tested) with the corpus
+    text never scanned, tokenized, or shingled at serve time.
+
+    Plan: shingle the delta only; collect its distinct bucket ids (a
+    bounded ≤ ``n_buckets``-int scalar list, the q78b n_probe device)
+    and push them as an IN filter the partitioned store turns into a
+    directory prune; inner-join delta postings × pruned store postings
+    on the shingle; count common; Jaccard from the delta's own counts
+    + the store's maintained (doc, n_sh) side table.
+
+    Result-identity with the direct form holds at
+    ``max_shingle_df=None`` (the property test's claim). With a
+    ceiling, this form applies it as a JOIN-SIDE skew guard only —
+    high-combined-df shingles (computed over the pruned probe ∪ delta,
+    exact for every shingle that could match) are dropped from the
+    pairing, but Jaccard denominators keep the store's full per-doc
+    counts; the direct form instead also shrinks the denominators,
+    which would require a store rewrite per ceiling value. Same
+    recall guard, honest denominator.
+    Output: (id_new, id_old, jaccard ≥ threshold)."""
+    delta = register_cached_intermediate(
+        build_shingle_postings(incoming, id_col, text_col, n, n_buckets)
+    )
+    bucket_ids = [r[0] for r in delta.select("shb").distinct().collect()]
+    probe = postings.filter(F.col("shb").isin(bucket_ids))
+    delta_sizes = delta.groupBy("doc").agg(F.count(F.lit(1)).alias("n_new"))
+    new_side = delta.select(F.col("doc").alias("id_new"), "sh")
+    old_side = probe.select(F.col("doc").alias("id_old"), "sh")
+    if max_shingle_df is not None:
+        from pyspark.sql import Window
+
+        tagged = new_side.select(
+            F.col("id_new").alias("d"), "sh", F.lit(True).alias("_new")
+        ).unionByName(
+            old_side.select(F.col("id_old").alias("d"), "sh", F.lit(False).alias("_new"))
+        )
+        tagged = tagged.withColumn(
+            "sdf", F.count(F.lit(1)).over(Window.partitionBy("sh"))
+        ).filter(F.col("sdf") <= max_shingle_df)
+        new_side = tagged.filter(F.col("_new")).select(F.col("d").alias("id_new"), "sh")
+        old_side = tagged.filter(~F.col("_new")).select(F.col("d").alias("id_old"), "sh")
+    common = (
+        new_side.join(old_side, "sh")
+        .groupBy("id_new", "id_old")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        common.join(delta_sizes.withColumnRenamed("doc", "id_new"), "id_new")
+        .join(
+            sizes.select(F.col("doc").alias("id_old"), F.col("n_sh").alias("n_old")),
+            "id_old",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common") / (F.col("n_new") + F.col("n_old") - F.col("common")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_new", "id_old", "jaccard")
+    )
+
+
 def cross_contamination(
     corpus: DataFrame,
     eval_set: DataFrame,

@@ -193,6 +193,7 @@ HEADLINE = [
     # (registry form prices the in-plan bootstrap, the e2o discipline;
     # the persisted-store serve is the e2s_store_served twin below)
     "e2s_store_served_increment",
+    "cdc_commit_all_stores",
 ]
 
 
@@ -535,6 +536,7 @@ def main() -> None:
         "q69_span_near_servedidx",
         "q78b_knn_served_idx",
         "e2s_store_served_increment", "e2s_store_served",
+        "cdc_commit_all_stores",
     ]
     # The driver captures only the LAST 2000 chars of stdout, so the
     # line must stay under budget. An over-budget subset DEGRADES

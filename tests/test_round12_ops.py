@@ -203,3 +203,26 @@ def test_shingle_bucket_is_pure_function_of_shingle(spark):
         .count()
     )
     assert bad == 0
+
+
+# -------------------------------------- the composed derived-index commit
+
+
+def test_commit_all_stores_equals_rebuild(spark):
+    """One CDC batch folded into EVERY derived store must leave each
+    store row-identical to its from-scratch rebuild over the final
+    corpus — the composed merge ≡ rebuild contract behind
+    cdc_commit_all_stores (the registry oracle checks cardinalities;
+    this is the row-level proof)."""
+    from hbase_increment_index_spark.queries._cdc import _commit_all_stores
+
+    merged = _commit_all_stores(spark, SF_DIR, rebuilt=False)
+    rebuilt = _commit_all_stores(spark, SF_DIR, rebuilt=True)
+    assert sorted(merged) == sorted(rebuilt)
+    for name in sorted(merged):
+        a, b = merged[name], rebuilt[name]
+        extra = a.exceptAll(b).count()
+        missing = b.exceptAll(a).count()
+        assert (extra, missing) == (0, 0), (
+            f"store {name}: {extra} rows only in merged, {missing} only in rebuild"
+        )

@@ -194,6 +194,7 @@ HEADLINE = [
     # the persisted-store serve is the e2s_store_served twin below)
     "e2s_store_served_increment",
     "cdc_commit_all_stores",
+    "e3p_probe_sweep",
 ]
 
 

@@ -1237,3 +1237,132 @@ def mmr_select(
             schema=f"rank long, {id_col} long, {rel_col} double, score double",
         )
     )
+
+
+def ivf_probe_sweep(
+    embeddings: DataFrame,
+    query_pred: Column,
+    k: int = 10,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_decimals: int = 6,
+    dist_decimals: int = 6,
+) -> DataFrame:
+    """The ANN OPERATING CURVE (r11 verdict #3): recall and read-cost
+    per probe depth, one row per n_probe ∈ {1..n_cells}, so the served
+    {!knn} dial (:func:`knn_ivf_pq_serve`'s ``n_probe``) is chosen
+    from data — the e4l/e19 sweep device applied to the vector index,
+    generalizing :func:`ivf_recall`'s single-point measurement.
+
+    Key identity that makes the sweep cost ONE ranking instead of
+    n_cells rankings: inside IVF pruning, an exact top-k member that
+    sits in a probed cell is ALWAYS in the pruned top-k (at most k
+    candidates outrank it anywhere, all in the probed set), so
+    recall@k at probe depth p = |{exact top-k members whose cell has
+    probe rank ≤ p}| / k. The expensive exact ranking therefore runs
+    once; the per-depth numbers are cumulative counts over the probe
+    rank, and every aggregate is integer-derived (sums of hit counts /
+    cell sizes, divided once at the end) — deterministic across
+    engines and partitionings.
+
+    Output per n_probe: mean/min recall@k over the panel, the fraction
+    of panel queries at full recall, and probed_code_frac — the mean
+    fraction of stored code rows a query at that depth reads (the
+    serve-cost axis of the curve). Plan: the panel and the (≤ n_cells)
+    probe/size frames ride broadcast joins; the corpus is scanned once
+    for assignment and once for scoring, both shuffle-free
+    projections."""
+    from pyspark.sql import Window
+
+    centroids = label_cell_centroids(embeddings, label_col=label_col, vec_col=vec_col)
+    vecs = embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vec")
+    )
+    cells = _assign(vecs, centroids, dist_decimals=dist_decimals).select(
+        F.col("id").alias(id_col), "vec", "cid"
+    )
+    queries = cells.filter(query_pred).select(
+        F.col(id_col).alias("q_id"), F.col("vec").alias("q_vec")
+    )
+    qw = Window.partitionBy("q_id").orderBy(F.col("d").asc(), F.col("cid").asc())
+    probe_rank = (
+        queries.crossJoin(F.broadcast(centroids))
+        .select(
+            "q_id",
+            "cid",
+            F.round(_sq_l2(F.col("centroid"), F.col("q_vec")), dist_decimals).alias("d"),
+        )
+        .withColumn("pr", F.row_number().over(qw))
+        .select("q_id", "cid", "pr")
+    )
+    scored = (
+        cells.crossJoin(F.broadcast(queries))
+        .filter(F.col(id_col) != F.col("q_id"))
+        .select(
+            "q_id",
+            "cid",
+            F.col(id_col),
+            F.round(cosine(F.col("vec"), F.col("q_vec")), score_decimals).alias("score"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col(id_col).asc())
+    exact = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("q_id", "cid")
+    )
+    # probe rank of each exact-top-k member's cell (panel×k rows)
+    epr = exact.join(F.broadcast(probe_rank), ["q_id", "cid"]).select("q_id", "pr")
+    grid = probe_rank.select(F.col("pr").alias("p")).distinct()
+    cell_sizes = cells.groupBy("cid").agg(F.count(F.lit(1)).alias("sz"))
+    n_corpus = cells.agg(F.count(F.lit(1)).alias("n_corpus"))
+    qp = queries.select("q_id").crossJoin(F.broadcast(grid))
+    epr_r = epr.select(F.col("q_id").alias("eq"), F.col("pr").alias("epr"))
+    hits = (
+        qp.join(
+            F.broadcast(epr_r),
+            (F.col("q_id") == F.col("eq")) & (F.col("epr") <= F.col("p")),
+            "left",
+        )
+        .groupBy("q_id", "p")
+        .agg(F.count("epr").alias("h"))
+    )
+    pr_r = probe_rank.select(
+        F.col("q_id").alias("pq"), F.col("cid"), F.col("pr").alias("ppr")
+    )
+    probed = (
+        qp.join(
+            F.broadcast(pr_r),
+            (F.col("q_id") == F.col("pq")) & (F.col("ppr") <= F.col("p")),
+        )
+        .join(F.broadcast(cell_sizes), "cid")
+        .groupBy("q_id", "p")
+        .agg(F.sum("sz").alias("s"))
+    )
+    return (
+        hits.join(probed, ["q_id", "p"])
+        .groupBy("p")
+        .agg(
+            F.sum("h").alias("_sh"),
+            F.min("h").alias("_mh"),
+            F.sum((F.col("h") == k).cast("long")).alias("_fh"),
+            F.count(F.lit(1)).alias("_nq"),
+            F.sum("s").alias("_ss"),
+        )
+        .crossJoin(F.broadcast(n_corpus))
+        .select(
+            F.col("p").alias("n_probe"),
+            F.round(F.col("_sh") / (F.lit(float(k)) * F.col("_nq")), 6).alias(
+                "mean_recall_at_k"
+            ),
+            F.round(F.col("_mh") / F.lit(float(k)), 6).alias("min_recall_at_k"),
+            F.round(F.col("_fh") / F.col("_nq").cast("double"), 6).alias(
+                "full_recall_frac"
+            ),
+            F.round(
+                F.col("_ss") / (F.col("n_corpus").cast("double") * F.col("_nq")), 6
+            ).alias("probed_code_frac"),
+        )
+        .orderBy("n_probe")
+    )

@@ -2865,3 +2865,85 @@ SELECT nd.source,
 FROM nd JOIN cnt USING (source) JOIN topn USING (source) JOIN affected USING (source)
 ORDER BY source
 """
+
+
+def e3p_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN operating curve (r11 verdict #3): recall@10, worst-case
+    recall, full-recall fraction, and probed-code fraction per
+    n_probe ∈ {1..n_cells}, in ONE report — so q78b_knn_served's
+    n_probe dial is chosen from a measured recall/read-cost curve the
+    way e4l picks quality thresholds and e19 picks dedup thresholds,
+    not from a single point (e3n's role). The exact ground-truth
+    ranking runs ONCE; per-depth recall falls out of cumulative counts
+    over the probe rank (an exact-top-k member in a probed cell is
+    always in the pruned top-k — see ivf_probe_sweep's identity), so
+    the sweep costs one e3n, not n_cells of them. Same panel as e3n
+    (vec_id % 50 == 0); a run-once evaluator like e3h/e2n, never a
+    serving path (pipeline.similarity.ivf_probe_sweep)."""
+    from hbase_increment_index_spark.pipeline.similarity import ivf_probe_sweep
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_probe_sweep(emb, F.col("vec_id") % 50 == 0, k=10)
+
+
+def _e3p_sql() -> str:
+    from ._shared import _IVF_SQL
+
+    return f"""
+WITH {_IVF_SQL},
+q AS (
+  SELECT v.vec_id AS q_id, v.e AS qe
+  FROM ivf_v v WHERE vec_id % 50 = 0
+),
+pr AS (
+  SELECT q_id, cid,
+         row_number() OVER (PARTITION BY q_id ORDER BY d ASC, cid ASC) AS pr
+  FROM (
+    SELECT q.q_id, ca.cid,
+           ROUND(list_sum(list_transform(generate_series(1, 64),
+             i -> (ca.c[i] - q.qe[i]) * (ca.c[i] - q.qe[i]))), 6) AS d
+    FROM q CROSS JOIN centarr ca)
+),
+scored AS (
+  SELECT q.q_id, a.cid, v.vec_id,
+         ROUND(list_dot_product(v.e, q.qe)
+               / (sqrt(list_dot_product(v.e, v.e))
+                  * sqrt(list_dot_product(q.qe, q.qe))), 6) AS score
+  FROM ivf_v v JOIN cellassign a USING (vec_id) CROSS JOIN q
+  WHERE v.vec_id <> q.q_id
+),
+exact AS (
+  SELECT q_id, cid FROM (
+    SELECT q_id, cid,
+           row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) AS rn
+    FROM scored) WHERE rn <= 10
+),
+epr AS (
+  SELECT e.q_id, p.pr FROM exact e JOIN pr p ON p.q_id = e.q_id AND p.cid = e.cid
+),
+grid AS (SELECT DISTINCT pr AS p FROM pr),
+csz AS (SELECT cid, count(*) AS sz FROM cellassign GROUP BY cid),
+nn AS (SELECT count(*) AS n_corpus FROM cellassign),
+qp AS (SELECT q.q_id, g.p FROM q CROSS JOIN grid g),
+hits AS (
+  SELECT qp.q_id, qp.p, count(e.pr) AS h
+  FROM qp LEFT JOIN epr e ON e.q_id = qp.q_id AND e.pr <= qp.p
+  GROUP BY 1, 2
+),
+psz AS (
+  SELECT qp.q_id, qp.p, SUM(csz.sz) AS s
+  FROM qp
+  JOIN pr ON pr.q_id = qp.q_id AND pr.pr <= qp.p
+  JOIN csz ON csz.cid = pr.cid
+  GROUP BY 1, 2
+)
+SELECT p AS n_probe,
+       ROUND(SUM(h) / (10.0 * COUNT(*)), 6) AS mean_recall_at_k,
+       ROUND(MIN(h) / 10.0, 6) AS min_recall_at_k,
+       ROUND(SUM(CASE WHEN h = 10 THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS full_recall_frac,
+       ROUND(SUM(s) / (CAST(n_corpus AS DOUBLE) * COUNT(*)), 6) AS probed_code_frac
+FROM hits JOIN psz USING (q_id, p) CROSS JOIN nn
+GROUP BY p, n_corpus
+ORDER BY p
+"""

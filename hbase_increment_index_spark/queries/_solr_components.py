@@ -2385,9 +2385,15 @@ def q78b_knn_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus size; with the index stored partitionBy('cid') the cid
     filter is a directory prune (bench twin q78b_knn_served_idx prices
     the steady-state serve). The registry form builds the index
-    in-plan so the oracle replays every stage (the e2o discipline);
-    recall@k of the pruned path is measured by e3n_ivf_recall.
-    Same (vec_id, score) shape and total order as q78."""
+    in-plan so the oracle replays every stage (the e2o discipline).
+    The n_probe=6 dial comes from e3p_probe_sweep's measured operating
+    curve (recall@10 vs probed-code fraction per depth 1..n_cells,
+    e3n_ivf_recall being its single-point spot check): the chosen
+    depth is the knee where mean recall clears the panel's honest
+    ceiling on near-random fixture embeddings while reading ~6/10 of
+    the codes; deployments re-run the sweep on their corpus and pick
+    their own knee. Same (vec_id, score) shape and total order as
+    q78."""
     from hbase_increment_index_spark.pipeline.similarity import (
         build_ivf_pq,
         knn_ivf_pq_serve,

@@ -195,6 +195,7 @@ HEADLINE = [
     "e2s_store_served_increment",
     "cdc_commit_all_stores",
     "e3p_probe_sweep",
+    "q61p_stream_shortest_path",
 ]
 
 

@@ -3176,3 +3176,62 @@ u AS (
 SELECT u.*, nb.num_buckets FROM u, nb
 ORDER BY bucket_type, bucket
 """
+
+
+def q61p_stream_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``shortestPath()`` — the /stream graph expression that was the
+    one solrj 9.x graph surface still missing after q56/q61g's BFS
+    reachability (r11 verdict #4): the canonical shortest path from
+    custkey 11 to orderkey 762 over the orders edge set (each order is
+    a directed o_custkey → o_orderkey edge, the q56 fixture graph).
+    BFS with min-parent tie-breaks makes the emitted path the
+    lexicographically-least predecessor chain — fully deterministic,
+    so the oracle value-checks every (step, node) row. One lazy plan:
+    level-synchronous broadcast-frontier BFS + ≤ maxDepth parent-
+    pointer walk-back joins (streaming_expr._op_shortestPath); the
+    oracle unrolls the same levels as sequential CTEs (the q84
+    device)."""
+    return _stream(
+        spark, sf_dir,
+        'shortestPath(orders, from="11", to="762", '
+        'edge="o_custkey=o_orderkey", maxDepth="4")',
+    )
+
+
+def _q61p_sql(frm: str = "11", to: str = "762", max_depth: int = 4) -> str:
+    """Unrolled-CTE oracle for shortestPath: BFS levels l1..lD (min
+    parent per node, all shallower levels excluded), then the parent
+    walk-back p0..pD from the target — the q84 sequential-CTE device
+    applied to graph traversal."""
+    ctes = [
+        "edges AS (SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS u, "
+        "CAST(o_orderkey AS VARCHAR) AS v FROM orders "
+        "WHERE o_custkey IS NOT NULL AND o_orderkey IS NOT NULL)",
+        f"l0 AS (SELECT '{frm}' AS node, CAST(NULL AS VARCHAR) AS parent, "
+        "CAST(0 AS BIGINT) AS depth)",
+    ]
+    for d in range(1, max_depth + 1):
+        excl = " AND ".join(
+            f"v NOT IN (SELECT node FROM l{i})" for i in range(d)
+        )
+        ctes.append(
+            f"l{d} AS (SELECT v AS node, MIN(u) AS parent, "
+            f"CAST({d} AS BIGINT) AS depth "
+            f"FROM edges JOIN l{d - 1} ON u = l{d - 1}.node "
+            f"WHERE {excl} GROUP BY v)"
+        )
+    union_lv = " UNION ALL ".join(
+        f"SELECT * FROM l{i}" for i in range(max_depth + 1)
+    )
+    ctes.append(f"visited AS ({union_lv})")
+    ctes.append(f"p0 AS (SELECT * FROM visited WHERE node = '{to}')")
+    for i in range(1, max_depth + 1):
+        ctes.append(
+            f"p{i} AS (SELECT v.* FROM visited v "
+            f"JOIN p{i - 1} ON v.node = p{i - 1}.parent)"
+        )
+    union_p = " UNION ALL ".join(f"SELECT * FROM p{i}" for i in range(max_depth + 1))
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT DISTINCT depth AS step, node FROM ({union_p}) ORDER BY step"
+    )

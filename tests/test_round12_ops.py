@@ -226,3 +226,71 @@ def test_commit_all_stores_equals_rebuild(spark):
         assert (extra, missing) == (0, 0), (
             f"store {name}: {extra} rows only in merged, {missing} only in rebuild"
         )
+
+
+# --------------------------------------------- shortestPath() stream op
+
+
+def _graph(spark, edges):
+    return spark.createDataFrame(edges, ["src", "dst"])
+
+
+def _sp(spark, df, frm, to, max_depth=4):
+    from hbase_increment_index_spark.search.streaming_expr import StreamCompiler
+
+    comp = StreamCompiler({"g": df})
+    return comp.compile(
+        f'shortestPath(g, from="{frm}", to="{to}", '
+        f'edge="src=dst", maxDepth="{max_depth}")'
+    ).collect()
+
+
+def test_shortest_path_finds_bfs_path(spark):
+    """a→b→d beats a→c→e→d; steps come back 0..len ordered."""
+    g = _graph(spark, [("a", "b"), ("b", "d"), ("a", "c"), ("c", "e"), ("e", "d")])
+    rows = _sp(spark, g, "a", "d")
+    assert [(r["step"], r["node"]) for r in rows] == [(0, "a"), (1, "b"), (2, "d")]
+
+
+def test_shortest_path_min_parent_tie_break(spark):
+    """Two equal-length paths a→b→z / a→c→z: the canonical path takes
+    the MIN parent (b), deterministically."""
+    g = _graph(spark, [("a", "c"), ("a", "b"), ("b", "z"), ("c", "z")])
+    rows = _sp(spark, g, "a", "z")
+    assert [(r["step"], r["node"]) for r in rows] == [(0, "a"), (1, "b"), (2, "z")]
+
+
+def test_shortest_path_unreachable_and_depth_cap(spark):
+    g = _graph(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+    assert _sp(spark, g, "a", "zzz") == []          # no such node
+    assert _sp(spark, g, "a", "d", max_depth=2) == []  # beyond the cap
+    assert [r["node"] for r in _sp(spark, g, "a", "d", max_depth=3)] == [
+        "a", "b", "c", "d"
+    ]
+
+
+def test_shortest_path_ignores_duplicate_edges_and_cycles(spark):
+    g = _graph(
+        spark,
+        [("a", "b"), ("a", "b"), ("b", "a"), ("b", "b"), ("b", "c")],
+    )
+    rows = _sp(spark, g, "a", "c")
+    assert [(r["step"], r["node"]) for r in rows] == [(0, "a"), (1, "b"), (2, "c")]
+
+
+def test_shortest_path_param_validation(spark):
+    from hbase_increment_index_spark.search.streaming_expr import (
+        StreamCompiler,
+        StreamExprError,
+    )
+
+    g = _graph(spark, [("a", "b")])
+    comp = StreamCompiler({"g": g})
+    for expr in [
+        'shortestPath(g, from="a", to="b", edge="src->dst")',     # bad edge sep
+        'shortestPath(g, from="a", to="b", edge="nope=dst")',     # unknown field
+        'shortestPath(g, from="a", to="b", edge="src=dst", maxDepth="99")',
+        'shortestPath(g, from="a", to="b", edge="src=dst", maxDepth="x")',
+    ]:
+        with pytest.raises(StreamExprError):
+            comp.compile(expr)

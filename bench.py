@@ -196,6 +196,8 @@ HEADLINE = [
     "cdc_commit_all_stores",
     "e3p_probe_sweep",
     "q61p_stream_shortest_path",
+    "q39h_json_facet_percentile",
+    "e4o_bpe_train",
 ]
 
 

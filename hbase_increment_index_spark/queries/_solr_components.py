@@ -3235,3 +3235,43 @@ def _q61p_sql(frm: str = "11", to: str = "762", max_depth: int = 4) -> str:
         "WITH " + ",\n".join(ctes)
         + f"\nSELECT DISTINCT depth AS step, node FROM ({union_p}) ORDER BY step"
     )
+
+
+def q39h_json_facet_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """json.facet ``percentile()`` aggregate (r11 verdict #5) — Solr's
+    one holistic facet metric, inside terms buckets:
+
+        json.facet={types:{terms:{field:event_type,
+          facet:{p50:"percentile(value,50)", p95:"percentile(value,95)"}}}}
+
+    Solr serves it from a t-digest; the exact Spark form is the
+    interpolated percentile (cdc_scan_agg_median's device) keyed by
+    the bucket — one hash-partial-free sort-based agg per bucket,
+    p50/p95 computed in a single percentile(array(...)) pass over each
+    group. The holistic sort-within-bucket is the documented cost at
+    scale (same note as cdc_scan_agg_median); the mergeable-sketch
+    twin for CDC maintenance is cdc_merge_percentiles. Buckets carry
+    count too (json.facet always returns it), sorted count desc then
+    bucket asc — Solr's terms order."""
+    ev = _t(spark, sf_dir, "events")
+    pcts = F.expr("percentile(CAST(value AS DOUBLE), array(0.5D, 0.95D))")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(pcts[0], 4).alias("p50"),
+            F.round(pcts[1], 4).alias("p95"),
+        )
+        .orderBy(F.col("n").desc(), F.col("event_type").asc())
+    )
+
+
+Q39H_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       ROUND(quantile_cont(CAST(value AS DOUBLE), 0.5), 4) AS p50,
+       ROUND(quantile_cont(CAST(value AS DOUBLE), 0.95), 4) AS p95
+FROM events
+GROUP BY event_type
+ORDER BY n DESC, event_type ASC
+"""

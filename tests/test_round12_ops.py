@@ -294,3 +294,38 @@ def test_shortest_path_param_validation(spark):
     ]:
         with pytest.raises(StreamExprError):
             comp.compile(expr)
+
+
+# -------------------------------------------------------- BPE training
+
+
+def test_bpe_merges_hand_verified(spark):
+    """low×2 + lower×1: merge order is (l,o) [tie with (o,w), lex
+    break], (lo,w), then (e,r) [count-1 tie, lex], (low,er), then the
+    vocabulary is fully merged and training stops early."""
+    from hbase_increment_index_spark.queries._pipeline_curation import _bpe_merges
+
+    words = spark.createDataFrame([("low", 2), ("lower", 1)], ["word", "wc"])
+    got = [
+        (r["iteration"], r["lhs"], r["rhs"], r["pair_count"])
+        for r in _bpe_merges(spark, words, k=6).collect()
+    ]
+    assert got == [
+        (1, "l", "o", 3),
+        (2, "lo", "w", 3),
+        (3, "e", "r", 1),
+        (4, "low", "er", 1),
+    ]
+
+
+def test_bpe_counts_weighted_and_greedy_left(spark):
+    """'aaa'×1: pair (a,a) counts both adjacencies (standard counting),
+    then greedy-left merge leaves (aa, a)."""
+    from hbase_increment_index_spark.queries._pipeline_curation import _bpe_merges
+
+    words = spark.createDataFrame([("aaa", 1)], ["word", "wc"])
+    got = [
+        (r["iteration"], r["lhs"], r["rhs"], r["pair_count"])
+        for r in _bpe_merges(spark, words, k=2).collect()
+    ]
+    assert got == [(1, "a", "a", 2), (2, "aa", "a", 1)]

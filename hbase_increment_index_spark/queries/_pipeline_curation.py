@@ -2988,6 +2988,15 @@ def _bpe_merges(spark: SparkSession, words: DataFrame, k: int) -> DataFrame:
     """The BPE training loop over a (word, wc) vocabulary frame — see
     e4o_bpe_train for the algorithm/plan notes. Stops early if the
     vocabulary runs out of adjacent pairs before k merges."""
+    merges = _bpe_merge_list(words, k)
+    return spark.createDataFrame(
+        merges, "iteration long, lhs string, rhs string, pair_count long"
+    )
+
+
+def _bpe_merge_list(words: DataFrame, k: int) -> list:
+    """Collected (iteration, lhs, rhs, pair_count) tuples — the raw
+    merge table e4o returns and e4p applies."""
     wrapped = F.concat_ws(
         "",
         F.transform(
@@ -3024,9 +3033,7 @@ def _bpe_merges(spark: SparkSession, words: DataFrame, k: int) -> DataFrame:
         top = rows[0]
         merges.append((it, top["lhs"], top["rhs"], top["pair_count"]))
     w0.unpersist()
-    return spark.createDataFrame(
-        merges, "iteration long, lhs string, rhs string, pair_count long"
-    )
+    return merges
 
 
 def _e4o_sql(k: int = 5) -> str:
@@ -3061,3 +3068,111 @@ def _e4o_sql(k: int = 5) -> str:
             f"CAST(pair_count AS BIGINT) AS pair_count FROM m{it}"
         )
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(outs) + "\nORDER BY iteration"
+
+
+def e4p_bpe_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE compression curve — what the e4o merge table BUYS: corpus
+    symbol count after applying the first i learned merges, for every
+    i ∈ {0..5} (i=0 = raw characters), with symbols-per-whitespace-
+    token and compression-vs-characters ratios. This is the number a
+    tokenizer-design pass actually reads off a learned merge table
+    (how fast does fertility fall per merge), the e4l/e19/e3p sweep
+    device applied to e4o's output.
+
+    Plan: the merge table is learned exactly as e4o (K argmax
+    collects, each a vocab-bounded hash agg); the curve itself is then
+    ONE aggregate over the weighted word vocabulary computing all six
+    symbol counts side by side (each a chained-regexp_replace length
+    expression — adjacent prefixes share work inside codegen), never
+    a corpus re-scan. The oracle replays learning AND the curve via
+    the e4o sequential CTEs extended to w5."""
+    from hbase_increment_index_spark.search.tokenize import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    ).persist()
+    merges = _bpe_merge_list(words, k=5)
+    wrapped = F.concat_ws(
+        "",
+        F.transform(
+            F.expr("regexp_extract_all(word, '.', 0)"),
+            lambda c: F.concat(F.lit("_"), c, F.lit("_")),
+        ),
+    )
+    base = words.select("wc", wrapped.alias("s"))
+
+    def n_sym(i: int):
+        cur = F.col("s")
+        for _, l, r, _c in merges[:i]:
+            cur = F.regexp_replace(cur, f"_{l}__{r}_", f"_{l}{r}_")
+        return F.size(F.split(F.regexp_replace(cur, "^_|_$", ""), "__"))
+
+    agg = base.agg(
+        F.sum("wc").alias("_nt"),
+        *[F.sum(F.col("wc") * n_sym(i)).alias(f"_s{i}") for i in range(len(merges) + 1)],
+    )
+    rows = agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("long").alias("n_merges"),
+                        F.col(f"_s{i}").cast("long").alias("corpus_symbols"),
+                        F.round(F.col(f"_s{i}") / F.col("_nt").cast("double"), 6).alias(
+                            "symbols_per_token"
+                        ),
+                        F.round(F.col(f"_s{i}") / F.col("_s0").cast("double"), 6).alias(
+                            "compression_vs_chars"
+                        ),
+                    )
+                    for i in range(len(merges) + 1)
+                ]
+            )
+        ).alias("r")
+    ).select("r.*")
+    words.unpersist()
+    return rows.orderBy("n_merges")
+
+
+def _e4p_sql(k: int = 5) -> str:
+    toks = _SQL_TOKS.format(c="text")
+    ctes = [
+        f"words AS (SELECT word, count(*) AS wc FROM "
+        f"(SELECT unnest({toks}) AS word FROM documents) GROUP BY word)",
+        "w0 AS (SELECT wc, array_to_string(list_transform("
+        "regexp_extract_all(word, '.'), c -> '_' || c || '_'), '') AS s FROM words)",
+    ]
+    for it in range(1, k + 1):
+        ctes.append(
+            f"p{it} AS (SELECT sym[i] AS lhs, sym[i+1] AS rhs, SUM(wc) AS pair_count "
+            f"FROM (SELECT wc, string_split(regexp_replace(s, '^_|_$', '', 'g'), '__') AS sym "
+            f"FROM w{it - 1}), LATERAL (SELECT unnest(generate_series(1, len(sym) - 1)) AS i) "
+            f"GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"m{it} AS (SELECT lhs, rhs FROM p{it} "
+            f"ORDER BY pair_count DESC, lhs ASC, rhs ASC LIMIT 1)"
+        )
+        ctes.append(
+            f"w{it} AS (SELECT wc, regexp_replace(s, "
+            f"'_' || m{it}.lhs || '__' || m{it}.rhs || '_', "
+            f"'_' || m{it}.lhs || m{it}.rhs || '_', 'g') AS s "
+            f"FROM w{it - 1} CROSS JOIN m{it})"
+        )
+    for i in range(k + 1):
+        ctes.append(
+            f"c{i} AS (SELECT SUM(wc * len(string_split(regexp_replace(s, '^_|_$', '', 'g'), '__'))) AS cs "
+            f"FROM w{i})"
+        )
+    ctes.append("nt AS (SELECT SUM(wc) AS n_tokens FROM words)")
+    outs = [
+        f"SELECT CAST({i} AS BIGINT) AS n_merges, CAST(c{i}.cs AS BIGINT) AS corpus_symbols, "
+        f"ROUND(c{i}.cs / CAST(nt.n_tokens AS DOUBLE), 6) AS symbols_per_token, "
+        f"ROUND(c{i}.cs / CAST(c0.cs AS DOUBLE), 6) AS compression_vs_chars "
+        + (f"FROM c{i}, c0, nt" if i else "FROM c0, nt")
+        for i in range(k + 1)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(outs) + "\nORDER BY n_merges"

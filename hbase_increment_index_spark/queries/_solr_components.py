@@ -3280,3 +3280,36 @@ FROM events
 GROUP BY event_type
 ORDER BY n DESC, event_type ASC
 """
+
+
+def q61q_stream_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/stream math layer, ``cov()``: sample covariance of quantity vs
+    extended price over the returned-lineitem slice — corr()'s sum
+    bundle minus the variance legs, the n−1 denominator commons-math
+    (and hence solrj's math expressions) uses. One hash aggregate
+    (search.streaming_expr._op_cov)."""
+    return _stream(
+        spark, sf_dir,
+        'let(a=search(lineitem, fq="l_returnflag:R", '
+        'fl="l_quantity,l_extendedprice"), '
+        'cov(col(a, l_quantity), col(a, l_extendedprice)))',
+    )
+
+
+Q61Q_SQL = """
+WITH src AS (
+  SELECT CAST(l_quantity AS DOUBLE) AS x, CAST(l_extendedprice AS DOUBLE) AS y
+  FROM lineitem WHERE l_returnflag = 'R'
+),
+s AS (
+  SELECT count(*) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(30,12))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(30,12))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x * y AS DECIMAL(30,12))) AS DOUBLE) AS sxy
+  FROM src
+)
+SELECT 'l_quantity' AS x_field, 'l_extendedprice' AS y_field,
+       CAST(n AS BIGINT) AS n,
+       ROUND((sxy - sx * sy / n) / (n - 1), 6) AS cov
+FROM s
+"""

@@ -1230,6 +1230,37 @@ class StreamCompiler:
             F.round(cov / F.sqrt(vx * vy), 6).alias("corr"),
         )
 
+    def _op_cov(self, call: Call) -> DataFrame:
+        """``cov(col(a, x), col(a, y))``: SAMPLE covariance over the
+        same tuple stream (solrj math expressions' cov(), the n−1
+        denominator commons-math uses) — the corr() sum bundle minus
+        the variance legs. One hash aggregate."""
+        if len(call.streams) != 2:
+            raise StreamExprError("cov takes exactly two col(...) args")
+        xvar, src, xf = self._colref(call.streams[0])
+        yvar, _, yf = self._colref(call.streams[1])
+        if xvar != yvar:
+            raise StreamExprError(
+                f"cov x and y must come from the same stream "
+                f"(got {xvar!r} and {yvar!r})"
+            )
+        x = F.col(xf).cast("double")
+        y = F.col(yf).cast("double")
+        agg = src.agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(x.cast("decimal(30,12)")).cast("double").alias("_sx"),
+            F.sum(y.cast("decimal(30,12)")).cast("double").alias("_sy"),
+            F.sum((x * y).cast("decimal(30,12)")).cast("double").alias("_sxy"),
+        )
+        n = F.col("_n").cast("double")
+        cov = (F.col("_sxy") - F.col("_sx") * F.col("_sy") / n) / (n - 1)
+        return agg.select(
+            F.lit(xf).alias("x_field"),
+            F.lit(yf).alias("y_field"),
+            F.col("_n").cast("long").alias("n"),
+            F.round(cov, 6).alias("cov"),
+        )
+
     def _op_percentile(self, call: Call) -> DataFrame:
         """``percentile(col(a, f), 90)``: the exact linear-interpolated
         percentile (Solr math evaluates Commons Math's Percentile on a

@@ -198,6 +198,8 @@ HEADLINE = [
     "q61p_stream_shortest_path",
     "q39h_json_facet_percentile",
     "e4o_bpe_train",
+    "q61q_stream_cov",
+    "e4p_bpe_yield",
 ]
 
 

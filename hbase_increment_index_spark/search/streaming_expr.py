@@ -62,6 +62,8 @@ Supported stream sources/decorators (Solr names):
                                        # checkpointed incremental pull
     scoreNodes(nodes(..., count(*)), coll, field="f")  # tf-idf node scores
     daemon(stream, id="d1", runInterval=30000)  # background-loop handle
+    cov(col(a, x), col(a, y))          # sample covariance (n−1), one
+                                       # hash agg like corr()/regress()
 
 Metric aliases are deterministic (`sum(x)` → column ``sum_x``,
 `count(*)` → ``count_star``), so an oracle SQL twin can name the same

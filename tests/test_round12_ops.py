@@ -364,3 +364,44 @@ def test_probe_sweep_monotone_and_consistent_with_ivf_recall(spark):
     point = ivf_recall(emb, pred, k=10, n_probe=mid).collect()
     mean_point = round(sum(r["recall_at_k"] for r in point) / len(point), 6)
     assert abs(curve[mid - 1]["mean_recall_at_k"] - mean_point) < 1e-6
+
+
+# --------------------------------------------------- cov() + BPE yield
+
+
+def test_stream_cov_matches_numpy_and_rejects_cross_stream(spark):
+    import numpy as np
+
+    from hbase_increment_index_spark.search.streaming_expr import (
+        StreamCompiler,
+        StreamExprError,
+    )
+
+    df = spark.createDataFrame(
+        [(1.0, 2.0), (2.0, 4.5), (3.0, 5.5), (4.0, 9.0)], ["x", "y"]
+    )
+    comp = StreamCompiler({"t": df})
+    row = comp.compile(
+        'let(a=search(t, fl="x,y"), cov(col(a, x), col(a, y)))'
+    ).collect()[0]
+    want = float(np.cov([1, 2, 3, 4], [2.0, 4.5, 5.5, 9.0], ddof=1)[0][1])
+    assert row["n"] == 4 and abs(row["cov"] - round(want, 6)) < 1e-9
+    with pytest.raises(StreamExprError):
+        comp.compile(
+            'let(a=search(t, fl="x,y"), b=search(t, fl="x,y"), '
+            'cov(col(a, x), col(b, y)))'
+        )
+
+
+def test_bpe_yield_curve_shape(spark):
+    """Curve starts at the raw character count, is non-increasing, and
+    each applied merge can only shrink the corpus symbol count."""
+    from hbase_increment_index_spark.queries._pipeline_curation import e4p_bpe_yield
+
+    rows = e4p_bpe_yield(spark, SF_DIR).collect()
+    assert [r["n_merges"] for r in rows] == list(range(len(rows)))
+    syms = [r["corpus_symbols"] for r in rows]
+    assert all(a >= b for a, b in zip(syms, syms[1:]))
+    assert rows[0]["compression_vs_chars"] == 1.0
+    assert rows[-1]["compression_vs_chars"] < 1.0
+    assert all(r["symbols_per_token"] > 0 for r in rows)

@@ -1341,7 +1341,9 @@ def ivf_probe_sweep(
         .agg(F.sum("sz").alias("s"))
     )
     return (
-        hits.join(probed, ["q_id", "p"])
+        # both sides are panel × n_cells bounded by construction — the
+        # stats-less static planner would SMJ them without the hint
+        hits.join(F.broadcast(probed), ["q_id", "p"])
         .groupBy("p")
         .agg(
             F.sum("h").alias("_sh"),

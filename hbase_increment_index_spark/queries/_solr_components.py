@@ -3313,3 +3313,37 @@ SELECT 'l_quantity' AS x_field, 'l_extendedprice' AS y_field,
        ROUND((sxy - sx * sy / n) / (n - 1), 6) AS cov
 FROM s
 """
+
+
+def q61r_stream_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/stream math layer, ``movingAvg()``: trailing-7 moving average
+    of order totalprice along the orderkey axis over a bounded slice —
+    Solr's movingAvg over a numeric array re-expressed against the
+    bound stream (full windows only, commons-math semantics). One
+    global-order window over the let-bound series; exact-decimal sums
+    keep the average partition-independent
+    (search.streaming_expr._op_movingAvg)."""
+    return _stream(
+        spark, sf_dir,
+        'let(a=search(orders, fq="o_orderkey:[0 TO 199]", '
+        'fl="o_orderkey,o_totalprice"), '
+        'movingAvg(col(a, o_totalprice), over="o_orderkey", window="7"))',
+    )
+
+
+Q61R_SQL = """
+WITH src AS (
+  SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+  FROM orders WHERE o_orderkey BETWEEN 0 AND 199
+),
+w AS (
+  SELECT o_orderkey, o_totalprice,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(30,12))) OVER (
+           ORDER BY o_orderkey ASC, o_totalprice ASC
+           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) / 7.0 AS ma,
+         row_number() OVER (ORDER BY o_orderkey ASC, o_totalprice ASC) AS rn
+  FROM src
+)
+SELECT o_orderkey, o_totalprice, ROUND(ma, 6) AS moving_avg
+FROM w WHERE rn >= 7
+"""

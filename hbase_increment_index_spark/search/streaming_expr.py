@@ -1263,6 +1263,49 @@ class StreamCompiler:
             F.round(cov, 6).alias("cov"),
         )
 
+    def _op_movingAvg(self, call: Call) -> DataFrame:  # noqa: N802 (Solr name)
+        """``movingAvg(col(a, f), over="k", window=N)``: trailing-N
+        moving average of ``f`` along the ``over`` ordering — Solr's
+        movingAvg over a numeric array, re-expressed against the
+        bound stream so the series never detaches from its sort key.
+        Like Solr (commons-math DescriptiveStatistics window), only
+        FULL windows emit: output rows n_rows − window + 1. The sum
+        rides exact decimals so the average is order-independent
+        under any partitioning; ties on the sort key break by the
+        value field. A single global-order window over a let-bound
+        (bounded by contract) series — the same posture as q61o's
+        stream percentile."""
+        if len(call.streams) != 1:
+            raise StreamExprError("movingAvg takes exactly one col(...) arg")
+        _, src, fld = self._colref(call.streams[0])
+        over = self._param(call, "over")
+        if over not in src.columns:
+            raise StreamExprError(f"unknown movingAvg over field {over!r}")
+        try:
+            window = int(call.params.get("window", "5"))
+        except ValueError:
+            raise StreamExprError(
+                f"bad movingAvg window {call.params['window']!r}"
+            ) from None
+        if window < 1:
+            raise StreamExprError("movingAvg window must be >= 1")
+        x = F.col(fld).cast("double")
+        w = Window.orderBy(F.col(over).asc(), x.asc())
+        wsum = w.rowsBetween(-(window - 1), 0)
+        out = src.select(
+            F.col(over),
+            x.alias(fld),
+            (
+                F.sum(x.cast("decimal(30,12)")).over(wsum).cast("double")
+                / F.lit(float(window))
+            ).alias("_ma"),
+            F.row_number().over(w).alias("_rn"),
+        )
+        return (
+            out.filter(F.col("_rn") >= window)
+            .select(over, fld, F.round("_ma", 6).alias("moving_avg"))
+        )
+
     def _op_percentile(self, call: Call) -> DataFrame:
         """``percentile(col(a, f), 90)``: the exact linear-interpolated
         percentile (Solr math evaluates Commons Math's Percentile on a

@@ -405,3 +405,30 @@ def test_bpe_yield_curve_shape(spark):
     assert rows[0]["compression_vs_chars"] == 1.0
     assert rows[-1]["compression_vs_chars"] < 1.0
     assert all(r["symbols_per_token"] > 0 for r in rows)
+
+
+def test_moving_avg_values_and_validation(spark):
+    from hbase_increment_index_spark.search.streaming_expr import (
+        StreamCompiler,
+        StreamExprError,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(i * 10)) for i in range(1, 6)], ["k", "v"]
+    )
+    comp = StreamCompiler({"t": df})
+    rows = comp.compile(
+        'let(a=search(t, fl="k,v"), '
+        'movingAvg(col(a, v), over="k", window="3"))'
+    ).collect()
+    # full windows only: rows 3..5; avg of trailing 3
+    assert [(r["k"], r["moving_avg"]) for r in rows] == [
+        (3, 20.0), (4, 30.0), (5, 40.0)
+    ]
+    for bad in [
+        'let(a=search(t, fl="k,v"), movingAvg(col(a, v), over="nope", window="3"))',
+        'let(a=search(t, fl="k,v"), movingAvg(col(a, v), over="k", window="0"))',
+        'let(a=search(t, fl="k,v"), movingAvg(col(a, v), over="k", window="x"))',
+    ]:
+        with pytest.raises(StreamExprError):
+            comp.compile(bad)

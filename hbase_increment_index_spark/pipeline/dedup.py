@@ -203,9 +203,15 @@ def incremental_near_dups(
     work ever happens; with the usual df==1 pruning and optional
     stop-shingle ceiling the join touches only postings co-occurring
     across the boundary. Output: (id_new, id_old, jaccard ≥ threshold).
-    At 100 TB the existing side's postings are the PERSISTED shingle
-    index (cdc_merge_postings keeps it current); only the increment is
-    shingled fresh.
+
+    This form re-shingles BOTH sides — correct and convenient when the
+    corpus side is already in memory or small. The serving path at
+    100 TB is :func:`incremental_near_dups_from_index` (result-
+    identical, property-tested): the existing side's postings are the
+    PERSISTED bucket-partitioned shingle store kept current by
+    :func:`merge_shingle_postings`, and only the increment is shingled
+    fresh — bench's e2s_store_served / e2r_incremental_clusters_served
+    rows price that path.
     """
     tagged = (
         existing.select(F.col(id_col), F.col(text_col))

@@ -525,14 +525,14 @@ def main() -> None:
         "e4_token_counts", "e5d_perceptual_hash", "e2f_incremental_near_dups",
         "e2g_dup_spans", "e2j_semdedup", "e12_unigram_logprob",
         "q39_json_facet", "q46_hybrid_rrf", "q49c_block_join_scored",
-        "q69_span_near", "q05d_phrase_slop", "q61_stream_rollup",
+        "q69_span_near", "q61_stream_rollup",
         "q39d_json_facet_blockjoin", "cdc_delete_by_query",
         "q14c_percentile_error", "e16_kmeans_refine", "e18_mmr_diversify",
         "e2o_signature_store", "e2o_signature_store_served",
         "e2p_store_served_pairs", "e19_threshold_sweep",
         "q61f_stream_timeseries", "q66b_phrase_clustering",
         "q78_knn_parser", "q79_topic_pull", "q61i_stream_scorenodes",
-        "q30c_unified_highlight", "q80_knn_search_stream",
+        "q80_knn_search_stream",
         "q81_minhash_parser", "q78b_knn_served", "e3n_ivf_recall",
         "e2r_incremental_clusters", "e2r_incremental_clusters_served",
         "q62b_ltr_trees",

@@ -432,3 +432,13 @@ def test_moving_avg_values_and_validation(spark):
     ]:
         with pytest.raises(StreamExprError):
             comp.compile(bad)
+
+
+def test_bench_headline_and_stdout_names_resolve():
+    """Every bench HEADLINE name must be a registry entry — a typo here
+    silently drops a row from BENCH_r{N}.json."""
+    import bench
+    from hbase_increment_index_spark.queries import QUERIES
+
+    missing = [n for n in bench.HEADLINE if n not in QUERIES]
+    assert missing == []

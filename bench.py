@@ -523,14 +523,14 @@ def main() -> None:
         "cdc_merge_batches", "olap_pricing_summary", "olap_top_customers",
         "e1_exact_dedup", "e2b_minhash_lsh", "e3_cosine_topk",
         "e4_token_counts", "e5d_perceptual_hash", "e2f_incremental_near_dups",
-        "e2g_dup_spans", "e2j_semdedup", "e12_unigram_logprob",
+        "e2j_semdedup", "e12_unigram_logprob",
         "q39_json_facet", "q46_hybrid_rrf", "q49c_block_join_scored",
         "q69_span_near", "q61_stream_rollup",
         "q39d_json_facet_blockjoin", "cdc_delete_by_query",
-        "q14c_percentile_error", "e16_kmeans_refine", "e18_mmr_diversify",
+        "e16_kmeans_refine", "e18_mmr_diversify",
         "e2o_signature_store", "e2o_signature_store_served",
         "e2p_store_served_pairs", "e19_threshold_sweep",
-        "q61f_stream_timeseries", "q66b_phrase_clustering",
+        "q66b_phrase_clustering",
         "q78_knn_parser", "q79_topic_pull", "q61i_stream_scorenodes",
         "q80_knn_search_stream",
         "q81_minhash_parser", "q78b_knn_served", "e3n_ivf_recall",
@@ -542,7 +542,9 @@ def main() -> None:
         "q69_span_near_servedidx",
         "q78b_knn_served_idx",
         "e2s_store_served_increment", "e2s_store_served",
-        "cdc_commit_all_stores",
+        "cdc_commit_all_stores", "e3p_probe_sweep",
+        "q61p_stream_shortest_path", "e4o_bpe_train",
+        "q39h_json_facet_percentile",
     ]
     # The driver captures only the LAST 2000 chars of stdout, so the
     # line must stay under budget. An over-budget subset DEGRADES

@@ -913,3 +913,56 @@ def test_metaphone_cross_engine_property(spark, words):
         for w in words
     ]
     assert got == want
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(  # existing corpus: token soups over a tiny alphabet
+        st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=8),
+        min_size=1,
+        max_size=6,
+    ),
+    st.lists(  # incoming delta
+        st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=8),
+        min_size=1,
+        max_size=4,
+    ),
+)
+def test_store_served_pairing_equals_direct(spark, existing_toks, incoming_toks):
+    """Store-served invariant (r12): for ANY corpus and ANY delta,
+    pairing the delta against the persisted shingle-postings store
+    (incremental_near_dups_from_index) produces EXACTLY the direct
+    re-shingle-everything form's (id_new, id_old, jaccard) rows —
+    including empty docs, shingle-less docs, and duplicate shingles."""
+    from pyspark.sql import functions as F
+
+    from hbase_increment_index_spark.pipeline.dedup import (
+        build_shingle_postings,
+        incremental_near_dups,
+        incremental_near_dups_from_index,
+        shingle_doc_sizes,
+    )
+
+    existing = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(existing_toks)],
+        "doc_id long, text string",
+    )
+    incoming = spark.createDataFrame(
+        [(1000 + i, " ".join(t)) for i, t in enumerate(incoming_toks)],
+        "doc_id long, text string",
+    )
+    direct = {
+        (r["id_new"], r["id_old"], r["jaccard"])
+        for r in incremental_near_dups(
+            existing, incoming, "doc_id", "text", n=2, threshold=0.2
+        ).collect()
+    }
+    store = build_shingle_postings(existing, "doc_id", "text", n=2)
+    served = {
+        (r["id_new"], r["id_old"], r["jaccard"])
+        for r in incremental_near_dups_from_index(
+            store, shingle_doc_sizes(store), incoming, "doc_id", "text",
+            n=2, threshold=0.2,
+        ).collect()
+    }
+    assert served == direct

@@ -200,6 +200,8 @@ HEADLINE = [
     "e4o_bpe_train",
     "q61q_stream_cov",
     "e4p_bpe_yield",
+    "q61r_stream_moving_avg",
+    "e2t_cluster_delete",
 ]
 
 

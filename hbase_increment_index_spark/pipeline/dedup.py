@@ -1728,3 +1728,60 @@ def merge_cluster_labels(stored: DataFrame, new_pairs: DataFrame) -> DataFrame:
     )
     fresh_rows = fresh.join(F.broadcast(meta_cc), "doc").select("doc", "component")
     return relabeled.unionByName(fresh_rows)
+
+
+def delete_from_clusters(
+    stored: DataFrame,
+    deleted_ids: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The CC-label DELETE path — the one derived-store mutation a
+    label merge cannot express (removing a doc can SPLIT its
+    component, and the component id — its min doc id — may be the
+    deleted doc itself), implemented as the SCOPED REBUILD it has to
+    be: only the affected components are re-paired and re-clustered.
+
+    ``stored``: (doc, component) labels; ``deleted_ids``: the batch's
+    delete set; ``corpus``: the post-delete document table (at scale,
+    read pruned to the affected members via the broadcast semi-join
+    below — work ∝ Σ|affected components|, never corpus size).
+
+    Plan: the (small) delete set broadcasts against the label table to
+    find affected component ids; their surviving members' text is
+    semi-joined out of the corpus, re-paired (exact n-gram Jaccard —
+    deletion never creates pairs, so pairing survivors alone is exact:
+    cross-component pairs cannot exist at the same threshold), and
+    re-clustered from scratch; untouched components pass through
+    unchanged (their pair sets are untouched, so their min-id labels
+    are too). Survivors whose last pair left with the deleted doc drop
+    out of the table, matching the from-scratch rebuild's
+    only-paired-docs contract. Merge ≡ rebuild is oracle-proven
+    (e2t_cluster_delete) and pytest-proven
+    (tests/test_round12_ops.py). Together with
+    :func:`merge_cluster_labels` (the insert/update path) this
+    completes CC-label maintenance under the full CDC verb set."""
+    dele = deleted_ids.select(F.col(id_col).alias("doc")).distinct()
+    affected = (
+        stored.join(F.broadcast(dele), "doc", "left_semi")
+        .select("component")
+        .distinct()
+    )
+    untouched = stored.join(F.broadcast(affected), "component", "left_anti")
+    survivors = (
+        stored.join(F.broadcast(affected), "component", "left_semi")
+        .join(F.broadcast(dele), "doc", "left_anti")
+        .select("doc")
+    )
+    surv_docs = corpus.join(
+        F.broadcast(survivors.withColumnRenamed("doc", id_col)), id_col, "left_semi"
+    )
+    new_pairs = ngram_jaccard_pairs(
+        surv_docs, id_col, text_col, n=n, threshold=threshold
+    ).select("id_a", "id_b")
+    return untouched.unionByName(connected_components(new_pairs)).select(
+        "doc", "component"
+    )

@@ -1213,8 +1213,12 @@ def _commit_all_stores(spark: SparkSession, sf_dir: str, rebuilt: bool = False):
     CC labels are deliberately NOT in this commit: deleting a doc can
     SPLIT a connected component, which no label-table merge can
     express without re-clustering the affected component — the one
-    derived state whose delete path is a scoped rebuild by design
-    (its insert/update path is e2r's union-find merge)."""
+    derived state whose delete path is a scoped rebuild by design.
+    Its insert/update path is e2r's union-find merge; its delete path
+    is e2t_cluster_delete's scoped rebuild
+    (pipeline.dedup.delete_from_clusters), so the label store is
+    still maintained under the full verb set — just not by a merge
+    this commit's additive algebra can express."""
     from hbase_increment_index_spark.numeric import dec
     from hbase_increment_index_spark.pipeline.dedup import (
         build_shingle_postings,

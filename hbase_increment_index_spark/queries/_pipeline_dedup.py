@@ -2272,3 +2272,85 @@ JOIN sizes sa ON sa.doc = id_new
 JOIN sizes sb ON sb.doc = id_old
 WHERE ROUND(common / (sa.n_sh + sb.n_sh - common), 6) >= 0.30
 """
+
+
+def e2t_cluster_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CC-label maintenance under DELETES — the one mutation verb e2r's
+    union-find merge cannot express (a delete can SPLIT a component
+    and can remove the component's own min-id representative),
+    implemented as the scoped rebuild it has to be
+    (pipeline.dedup.delete_from_clusters): only components that lost a
+    member are re-paired and re-clustered, work ∝ Σ|affected
+    components|; everything else passes through. Fixture: CC labels
+    over the corpus's exact 3-gram-Jaccard pairs (threshold 0.30),
+    then every doc_id % 17 == 0 document is deleted — a set that hits
+    cluster members AND cluster minima. The oracle re-clusters the
+    post-delete corpus from scratch (recursive CTE), so the driver
+    hash proves scoped-rebuild ≡ full rebuild. Together with e2r
+    (insert/update) the label store is now maintained under the full
+    CDC verb set — closing the one store cdc_commit_all_stores
+    documents as excluded."""
+    from hbase_increment_index_spark.pipeline.dedup import (
+        connected_components,
+        delete_from_clusters,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    stored = connected_components(
+        ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.30)
+    )
+    deleted = docs.filter(F.col("doc_id") % 17 == 0).select("doc_id")
+    final = docs.filter(F.col("doc_id") % 17 != 0)
+    return (
+        delete_from_clusters(
+            stored, deleted, final, "doc_id", "text", n=3, threshold=0.30
+        )
+        .select(F.col("doc").alias("doc_id"), "component")
+        .orderBy("doc_id")
+    )
+
+
+def _e2t_sql() -> str:
+    toks = _SQL_TOKS.format(c="text")
+    grams = (
+        f"list_transform(generate_series(1, greatest(len({toks}) - 2, 0)), "
+        f"i -> array_to_string(list_slice({toks}, i, i + 2), ' '))"
+    )
+    return f"""
+WITH RECURSIVE corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 17 <> 0
+),
+sh AS (
+  SELECT DISTINCT doc_id AS doc, unnest({grams}) AS sh FROM corpus
+),
+sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
+common AS (
+  SELECT a.doc AS id_a, b.doc AS id_b, count(*) AS common
+  FROM sh a JOIN sh b USING (sh)
+  WHERE a.doc < b.doc
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM common
+  JOIN sizes sa ON sa.doc = id_a
+  JOIN sizes sb ON sb.doc = id_b
+  WHERE ROUND(common / (sa.n_sh + sb.n_sh - common), 6) >= 0.30
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+cc AS (
+  SELECT u AS doc_id, least(u, min(v)) AS component
+  FROM reach GROUP BY u
+)
+SELECT doc_id, component FROM cc ORDER BY doc_id
+"""

@@ -442,3 +442,72 @@ def test_bench_headline_and_stdout_names_resolve():
 
     missing = [n for n in bench.HEADLINE if n not in QUERIES]
     assert missing == []
+
+
+# ------------------------------------------------ CC-label delete path
+
+
+def test_delete_from_clusters_split_and_min_removal(spark):
+    """Deleting a bridge doc SPLITS its component (survivors with no
+    remaining pairs drop out); deleting a component's min-id
+    representative relabels the rest to the new min; untouched
+    components pass through."""
+    from pyspark.sql import functions as F
+    from hbase_increment_index_spark.pipeline.dedup import (
+        connected_components,
+        delete_from_clusters,
+        ngram_jaccard_pairs,
+    )
+
+    rows = [
+        (1, "a1 a2 a3 a4"),                    # ~ 2 only (via bridge)
+        (2, "a1 a2 a3 a4 c1 c2 c3 c4"),        # bridge between 1 and 3
+        (3, "c1 c2 c3 c4"),
+        (20, "t1 t2 t3 t4 t5"),                # identical triple
+        (21, "t1 t2 t3 t4 t5"),
+        (22, "t1 t2 t3 t4 t5"),
+        (30, "u1 u2 u3 u4"),                   # untouched pair
+        (31, "u1 u2 u3 u4"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    stored = connected_components(
+        ngram_jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.4)
+    )
+    assert {(r["doc"], r["component"]) for r in stored.collect()} == {
+        (1, 1), (2, 1), (3, 1), (20, 20), (21, 20), (22, 20), (30, 30), (31, 30),
+    }
+    deleted = spark.createDataFrame([(2,), (20,)], "doc_id long")
+    final = docs.filter(~F.col("doc_id").isin(2, 20))
+    got = {
+        (r["doc"], r["component"])
+        for r in delete_from_clusters(
+            stored, deleted, final, "doc_id", "text", n=2, threshold=0.4
+        ).collect()
+    }
+    # bridge gone: 1 and 3 no longer pair -> drop out; min 20 gone:
+    # {21, 22} relabel to 21; {30, 31} untouched
+    assert got == {(21, 21), (22, 21), (30, 30), (31, 30)}
+
+
+def test_delete_from_clusters_equals_rebuild_on_fixture(spark):
+    from pyspark.sql import functions as F
+    from hbase_increment_index_spark.pipeline.dedup import (
+        connected_components,
+        delete_from_clusters,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _docs(spark)
+    stored = connected_components(
+        ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.30)
+    )
+    deleted = docs.filter(F.col("doc_id") % 17 == 0).select("doc_id")
+    final = docs.filter(F.col("doc_id") % 17 != 0)
+    scoped = delete_from_clusters(
+        stored, deleted, final, "doc_id", "text", n=3, threshold=0.30
+    )
+    rebuilt = connected_components(
+        ngram_jaccard_pairs(final, "doc_id", "text", n=3, threshold=0.30)
+    )
+    assert scoped.exceptAll(rebuilt).count() == 0
+    assert rebuilt.exceptAll(scoped).count() == 0

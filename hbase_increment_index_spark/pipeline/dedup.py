@@ -408,6 +408,11 @@ def incremental_near_dups_from_index(
     counts; the direct form instead also shrinks the denominators,
     which would require a store rewrite per ceiling value. Same
     recall guard, honest denominator.
+
+    CONTRACT: ``n_buckets`` must equal the value the store was built
+    with (both default to SHINGLE_STORE_BUCKETS) — the bucket prune is
+    a pure function of the shingle only under the same modulus, the
+    same way IVF codes are only readable against their own centroids.
     Output: (id_new, id_old, jaccard ≥ threshold)."""
     delta = register_cached_intermediate(
         build_shingle_postings(incoming, id_col, text_col, n, n_buckets)

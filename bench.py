@@ -467,8 +467,9 @@ def main() -> None:
     served["e2r_incremental_clusters_served"] = _cc_merge_serve
 
     # --- CC-label DELETE path, served: the scoped rebuild reads the
-    # persisted label store + the (pruned) post-delete corpus — prices
-    # the ∝|affected components| delete verb e2t's registry form
+    # persisted label store and re-pairs affected survivors from the
+    # persisted SHINGLE store (no corpus text anywhere) — prices the
+    # ∝|affected components| delete verb e2t's registry form
     # bootstraps in-plan
     from hbase_increment_index_spark.pipeline.dedup import delete_from_clusters
 
@@ -476,7 +477,8 @@ def main() -> None:
     _post = _d0.filter(_F.col("doc_id") % 17 != 0)
 
     served["e2t_cluster_delete_served"] = lambda: delete_from_clusters(
-        _stored, _del_ids, _post, "doc_id", "text", n=3, threshold=0.30
+        _stored, _del_ids, None, "doc_id", "text", n=3, threshold=0.30,
+        postings=_shstore, sizes=_shsizes,
     )
 
     # --- topic() steady-state pull: the registry's q79 prices the

@@ -1738,11 +1738,13 @@ def merge_cluster_labels(stored: DataFrame, new_pairs: DataFrame) -> DataFrame:
 def delete_from_clusters(
     stored: DataFrame,
     deleted_ids: DataFrame,
-    corpus: DataFrame,
+    corpus: DataFrame | None,
     id_col: str,
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    postings: DataFrame | None = None,
+    sizes: DataFrame | None = None,
 ) -> DataFrame:
     """The CC-label DELETE path — the one derived-store mutation a
     label merge cannot express (removing a doc can SPLIT its
@@ -1781,12 +1783,83 @@ def delete_from_clusters(
         .join(F.broadcast(dele), "doc", "left_anti")
         .select("doc")
     )
-    surv_docs = corpus.join(
-        F.broadcast(survivors.withColumnRenamed("doc", id_col)), id_col, "left_semi"
-    )
-    new_pairs = ngram_jaccard_pairs(
-        surv_docs, id_col, text_col, n=n, threshold=threshold
-    ).select("id_a", "id_b")
+    if postings is not None and sizes is not None:
+        # store-served form: survivors' pairs come from the persisted
+        # shingle store — the delete verb touches NO corpus text
+        # (result-identical, pytest-proven); deleted docs are excluded
+        # by the survivor restriction itself, so the pre-delete store
+        # serves as-is
+        new_pairs = ngram_jaccard_pairs_from_index(
+            postings, sizes, threshold=threshold, doc_set=survivors
+        ).select("id_a", "id_b")
+    else:
+        surv_docs = corpus.join(
+            F.broadcast(survivors.withColumnRenamed("doc", id_col)),
+            id_col,
+            "left_semi",
+        )
+        new_pairs = ngram_jaccard_pairs(
+            surv_docs, id_col, text_col, n=n, threshold=threshold
+        ).select("id_a", "id_b")
     return untouched.unionByName(connected_components(new_pairs)).select(
         "doc", "component"
+    )
+
+
+def ngram_jaccard_pairs_from_index(
+    postings: DataFrame,
+    sizes: DataFrame,
+    threshold: float = 0.5,
+    doc_set: DataFrame | None = None,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs served from the PERSISTED shingle
+    store — the batch-pairing twin of
+    :func:`incremental_near_dups_from_index`: no corpus scan, no
+    tokenization, no shingling anywhere in the plan. ``doc_set``
+    (optional, one ``doc`` column, broadcast) restricts pairing to a
+    subset — the shape the CC delete path uses to re-pair only an
+    affected component's surviving members. Result-identical to
+    :func:`ngram_jaccard_pairs` over the corresponding documents
+    (pytest-proven); the ``max_shingle_df`` ceiling counts df over the
+    restricted postings, matching the direct form run on the subset.
+    Output: (id_a, id_b, jaccard ≥ threshold) with id_a < id_b."""
+    from pyspark.sql import Window
+
+    sh = postings.select("doc", "sh")
+    sz = sizes
+    if doc_set is not None:
+        keys = doc_set.select("doc").distinct()
+        sh = sh.join(F.broadcast(keys), "doc", "left_semi")
+        sz = sz.join(F.broadcast(keys), "doc", "left_semi")
+    sh = sh.withColumn("sdf", F.count(F.lit(1)).over(Window.partitionBy("sh")))
+    if max_shingle_df is not None:
+        sh = sh.filter(F.col("sdf") <= max_shingle_df)
+        # ceiling active: denominators must shrink with it, as in the
+        # direct form — recompute sizes from the filtered postings
+        sz = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    shj = sh.filter(F.col("sdf") >= 2)
+    a = shj.select(F.col("doc").alias("id_a"), "sh")
+    b = shj.select(F.col("doc").alias("id_b"), "sh")
+    common = (
+        a.join(b, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        common.join(
+            sz.select(F.col("doc").alias("id_a"), F.col("n_sh").alias("n_a")), "id_a"
+        )
+        .join(
+            sz.select(F.col("doc").alias("id_b"), F.col("n_sh").alias("n_b")), "id_b"
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
     )

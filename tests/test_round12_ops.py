@@ -511,3 +511,54 @@ def test_delete_from_clusters_equals_rebuild_on_fixture(spark):
     )
     assert scoped.exceptAll(rebuilt).count() == 0
     assert rebuilt.exceptAll(scoped).count() == 0
+
+
+def test_pairs_from_index_and_store_served_delete_equal_text_forms(spark):
+    """(a) ngram_jaccard_pairs_from_index over the store equals the
+    direct text form — full corpus AND restricted to a doc subset;
+    (b) the store-served delete path equals the text delete path."""
+    from pyspark.sql import functions as F
+    from hbase_increment_index_spark.pipeline.dedup import (
+        build_shingle_postings,
+        connected_components,
+        delete_from_clusters,
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_from_index,
+        shingle_doc_sizes,
+    )
+
+    docs = _docs(spark)
+    store = build_shingle_postings(docs, "doc_id", "text", n=3)
+    sizes = shingle_doc_sizes(store)
+
+    def pset(df):
+        return {(r["id_a"], r["id_b"], r["jaccard"]) for r in df.collect()}
+
+    direct = pset(ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.30))
+    served = pset(ngram_jaccard_pairs_from_index(store, sizes, threshold=0.30))
+    assert direct == served and len(direct) > 0
+
+    subset = docs.filter(F.col("doc_id") % 3 == 0)
+    d_sub = pset(ngram_jaccard_pairs(subset, "doc_id", "text", n=3, threshold=0.30))
+    s_sub = pset(
+        ngram_jaccard_pairs_from_index(
+            store, sizes, threshold=0.30,
+            doc_set=subset.select(F.col("doc_id").alias("doc")),
+        )
+    )
+    assert d_sub == s_sub
+
+    stored = connected_components(
+        ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.30)
+    )
+    deleted = docs.filter(F.col("doc_id") % 17 == 0).select("doc_id")
+    final = docs.filter(F.col("doc_id") % 17 != 0)
+    via_text = delete_from_clusters(
+        stored, deleted, final, "doc_id", "text", n=3, threshold=0.30
+    )
+    via_store = delete_from_clusters(
+        stored, deleted, None, "doc_id", "text", n=3, threshold=0.30,
+        postings=store, sizes=sizes,
+    )
+    assert via_text.exceptAll(via_store).count() == 0
+    assert via_store.exceptAll(via_text).count() == 0

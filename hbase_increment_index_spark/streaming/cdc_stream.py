@@ -328,6 +328,8 @@ def merge_microbatch_cow(
     qualifiers: list[str],
     n_buckets: int = 64,
     postings_field: str | None = None,
+    shingle_field: str | None = None,
+    shingle_n: int = 3,
 ) -> None:
     """Copy-on-write micro-batch fold — ``merge_microbatch`` with the
     full-table rewrite replaced by ``sinks.merge_upsert_parquet``:
@@ -364,13 +366,14 @@ def merge_microbatch_cow(
     # posting lists shrink) — capture the slice before the docs table
     # is merged over; batch-bounded, so the checkpoint is tiny
     old_docs_slice = None
-    if postings_field is not None and merged_table_exists(spark, docs_path):
+    _text_fields = [f for f in {postings_field, shingle_field} if f is not None]
+    if _text_fields and merged_table_exists(spark, docs_path):
         from hbase_increment_index_spark.sinks import read_merged_table as _rmt
 
         old_docs_slice = (
             _rmt(spark, docs_path)
             .join(F.broadcast(touched), "row_key", "left_semi")
-            .select("row_key", postings_field)
+            .select("row_key", *_text_fields)
             .localCheckpoint(eager=True)
         )
     if merged_table_exists(spark, state_path):
@@ -473,6 +476,107 @@ def merge_microbatch_cow(
         )
         merge_upsert_parquet(
             spark, postings_path, delta_p, "term", n_buckets=n_buckets, delete_col="_del"
+        )
+
+    if shingle_field is not None:
+        # COW shingle-postings maintenance (the e2s dedup-index store,
+        # folded by the SAME micro-batch as state/docs/postings):
+        # rows (sh, row_key) keyed by shingle — the COW sink's
+        # hash-bucket partitioning IS the e2s bucket layout, so
+        # incremental_near_dups_from_index / ngram_jaccard_pairs_from_
+        # index serve straight off the merged table. Touched shingles =
+        # old text's ∪ new text's; their buckets prune the read-back;
+        # shingles whose last posting left become COW deletes. The
+        # (row_key, n_sh) sizes side table folds in the same pass.
+        from hbase_increment_index_spark.pipeline.dedup import shingle_grams
+
+        shingles_path = index_path + "_shingles_cow"
+        shsizes_path = index_path + "_shsizes_cow"
+        new_sh_slice = docs_delta.select("row_key", shingle_field)
+
+        def _sh_postings(frame: DataFrame) -> DataFrame:
+            return frame.select(
+                "row_key",
+                F.explode(shingle_grams(shingle_field, shingle_n)).alias("sh"),
+            ).distinct()
+
+        fresh_s = _sh_postings(new_sh_slice).localCheckpoint(eager=True)
+        touched_sh = fresh_s.select("sh").distinct()
+        if old_docs_slice is not None:
+            touched_sh = touched_sh.unionByName(
+                _sh_postings(old_docs_slice).select("sh")
+            ).distinct()
+        touched_sh = touched_sh.localCheckpoint(eager=True)
+
+        if merged_table_exists(spark, shingles_path):
+            sh_kb = [
+                r["kb"]
+                for r in touched_sh.select(
+                    F.pmod(F.xxhash64("sh"), F.lit(n_buckets)).alias("kb")
+                )
+                .distinct()
+                .collect()
+            ]
+            cur_s = (
+                spark.read.parquet(shingles_path)
+                .filter(F.col("kb").isin(sh_kb))
+                .drop("kb")
+                .join(F.broadcast(touched_sh), "sh", "left_semi")
+            )
+            kept_s = cur_s.join(F.broadcast(touched), "row_key", "left_anti")
+            delta_s = kept_s.unionByName(fresh_s.select(*kept_s.columns))
+        else:
+            from hbase_increment_index_spark.sinks import read_merged_table as _rmt
+
+            delta_s = _sh_postings(
+                _rmt(spark, docs_path).select("row_key", shingle_field)
+            )
+        vanished_s = touched_sh.join(
+            F.broadcast(delta_s.select("sh").distinct()), "sh", "left_anti"
+        )
+        scols = [c for c in delta_s.columns if c != "sh"]
+        delta_s = delta_s.withColumn("_del", F.lit(False)).unionByName(
+            vanished_s.select(
+                "sh",
+                *[
+                    F.lit(None).cast(delta_s.schema[c].dataType).alias(c)
+                    for c in scols
+                ],
+                F.lit(True).alias("_del"),
+            )
+        )
+        merge_upsert_parquet(
+            spark, shingles_path, delta_s, "sh", n_buckets=n_buckets, delete_col="_del"
+        )
+
+        # sizes side table: fresh counts for touched docs; touched docs
+        # with no surviving shingles (incl. deleted rows) COW-delete out
+        fresh_sizes = fresh_s.groupBy("row_key").agg(
+            F.count(F.lit(1)).alias("n_sh")
+        )
+        if merged_table_exists(spark, shsizes_path):
+            gone_sz = touched.join(
+                F.broadcast(fresh_sizes.select("row_key")), "row_key", "left_anti"
+            )
+            delta_sz = fresh_sizes.withColumn("_del", F.lit(False)).unionByName(
+                gone_sz.select(
+                    "row_key",
+                    F.lit(None).cast("long").alias("n_sh"),
+                    F.lit(True).alias("_del"),
+                )
+            )
+        else:
+            from hbase_increment_index_spark.sinks import read_merged_table as _rmt
+
+            delta_sz = (
+                _sh_postings(_rmt(spark, docs_path).select("row_key", shingle_field))
+                .groupBy("row_key")
+                .agg(F.count(F.lit(1)).alias("n_sh"))
+                .withColumn("_del", F.lit(False))
+            )
+        merge_upsert_parquet(
+            spark, shsizes_path, delta_sz, "row_key", n_buckets=n_buckets,
+            delete_col="_del",
         )
 
 

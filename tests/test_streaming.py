@@ -820,3 +820,84 @@ def test_cow_postings_match_fresh_build(spark, dirs):
     terms = {t for (t, *_rest) in got}
     assert "pie" not in terms and "banana" not in terms  # vanished terms evicted
     assert {"apple", "cider", "strudel", "cherry", "tart"} <= terms
+
+
+def test_cow_shingle_store_matches_fresh_build_and_serves_pairing(spark, dirs):
+    """COW shingle-store maintenance (r12): after out-of-order batches
+    with updates and deletes, the shingle-bucketed (sh, row_key) table
+    and its (row_key, n_sh) sizes side table must equal a fresh build
+    over the final document set — including shingles whose last
+    posting vanished — and the merged store must serve exact Jaccard
+    pairing (ngram_jaccard_pairs_from_index) identical to the direct
+    text form."""
+    from pyspark.sql import functions as F
+
+    from hbase_increment_index_spark.pipeline.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_from_index,
+        shingle_grams,
+    )
+    from hbase_increment_index_spark.sinks import read_merged_table
+    from hbase_increment_index_spark.streaming.cdc_stream import merge_microbatch_cow
+
+    _, index_path, _ = dirs
+    b1 = [
+        ("put", "A", "cf", "name", "red apple pie with fresh cream", _ts(1), 1),
+        ("put", "B", "cf", "name", "red apple pie with sour cream", _ts(2), 2),
+        ("put", "D", "cf", "name", "totally unrelated cherry tart", _ts(2), 3),
+    ]
+    b2 = [
+        # update A: its old shingles leave, near-dup pair with B breaks
+        ("put", "A", "cf", "name", "green pear cake", _ts(5), 10),
+        ("delete", "D", "cf", None, None, _ts(6), 11),
+        ("put", "C", "cf", "name", "red apple pie with extra cream", _ts(7), 12),
+    ]
+    for i, b in enumerate([b1, b2]):
+        merge_microbatch_cow(
+            spark,
+            spark.createDataFrame(b, SCHEMA),
+            i,
+            index_path,
+            ["name"],
+            n_buckets=8,
+            shingle_field="name",
+        )
+    store = read_merged_table(spark, index_path + "_shingles_cow")
+    sizes = read_merged_table(spark, index_path + "_shsizes_cow")
+    final_docs = read_merged_table(spark, index_path + "_docs_cow").select(
+        "row_key", "name"
+    )
+    want_store = {
+        tuple(r)
+        for r in final_docs.select(
+            F.explode(shingle_grams("name", 3)).alias("sh"), "row_key"
+        )
+        .distinct()
+        .select("sh", "row_key")
+        .collect()
+    }
+    assert {tuple(r) for r in store.collect()} == want_store
+    want_sizes = {
+        (k, sum(1 for s, rk in want_store if rk == k))
+        for k in {rk for _, rk in want_store}
+    }
+    assert {tuple(r) for r in sizes.collect()} == want_sizes
+    # D's shingles vanished with the delete; A's old pie shingles left
+    shs = {s for s, _ in want_store}
+    assert not any("cherry" in s for s in shs)
+
+    direct = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in ngram_jaccard_pairs(
+            final_docs, "row_key", "name", n=3, threshold=0.3
+        ).collect()
+    }
+    served = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in ngram_jaccard_pairs_from_index(
+            store.select(F.col("row_key").alias("doc"), "sh"),
+            sizes.select(F.col("row_key").alias("doc"), "n_sh"),
+            threshold=0.3,
+        ).collect()
+    }
+    assert served == direct == {("B", "C", 0.333333)}

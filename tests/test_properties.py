@@ -966,3 +966,50 @@ def test_store_served_pairing_equals_direct(spark, existing_toks, incoming_toks)
         ).collect()
     }
     assert served == direct
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(  # corpus of token soups; clusters form via shared bigrams
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=6),
+        min_size=1,
+        max_size=7,
+    ),
+    st.sets(st.integers(min_value=0, max_value=6), max_size=4),
+)
+def test_scoped_cluster_delete_equals_rebuild(spark, token_docs, delete_idx):
+    """CC delete-path invariant (r12): for ANY corpus and ANY delete
+    set — including deletes of component minima and bridge docs —
+    re-clustering only the affected components equals re-clustering
+    the post-delete corpus from scratch."""
+    from pyspark.sql import functions as F
+
+    from hbase_increment_index_spark.pipeline.dedup import (
+        connected_components,
+        delete_from_clusters,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(token_docs)],
+        "doc_id long, text string",
+    )
+    stored = connected_components(
+        ngram_jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.3)
+    )
+    dele = [i for i in delete_idx if i < len(token_docs)]
+    deleted = spark.createDataFrame([(i,) for i in dele] or [(-1,)], "doc_id long")
+    final = docs.filter(~F.col("doc_id").isin(dele) if dele else F.lit(True))
+    scoped = {
+        (r["doc"], r["component"])
+        for r in delete_from_clusters(
+            stored, deleted, final, "doc_id", "text", n=2, threshold=0.3
+        ).collect()
+    }
+    rebuilt = {
+        (r["doc"], r["component"])
+        for r in connected_components(
+            ngram_jaccard_pairs(final, "doc_id", "text", n=2, threshold=0.3)
+        ).collect()
+    }
+    assert scoped == rebuilt

@@ -201,6 +201,7 @@ HEADLINE = [
     "q61q_stream_cov",
     "e4p_bpe_yield",
     "q61r_stream_moving_avg",
+    "e1h_store_served_exact",
     # e2t_cluster_delete's registry form bootstraps base CC labels
     # in-plan (25 s at sf0.1 — the e2r fixture-device cost, priced
     # once by e2r's row); the delete verb's real serving cost is the

@@ -1863,3 +1863,76 @@ def ngram_jaccard_pairs_from_index(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+# ------------------------------------------- fingerprint (exact) store
+
+def build_fingerprint_store(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = SHINGLE_STORE_BUCKETS,
+) -> DataFrame:
+    """(doc, fp, fpb) content-fingerprint rows — the EXACT-dedup
+    analogue of the shingle-postings store: ~50 B/doc, the membership
+    index an incremental exact-dedup serve probes instead of hashing
+    the corpus per batch. ``fpb`` is the fp-hash bucket (the e2s
+    prune device); write partitionBy('fpb'). The FULL member list is
+    stored (not just each group's min): deleting a canonical doc must
+    promote the next member, which a min-only table cannot express."""
+    return df.select(
+        F.col(id_col).alias("doc"),
+        fingerprint(text_col).alias("fp"),
+    ).withColumn("fpb", F.pmod(F.xxhash64("fp"), F.lit(n_buckets)))
+
+
+def merge_fingerprint_store(
+    store: DataFrame,
+    changed_docs: DataFrame,
+    deleted_ids: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = SHINGLE_STORE_BUCKETS,
+) -> DataFrame:
+    """Fold one CDC micro-batch into the fingerprint store — broadcast
+    anti-join on the touched-id set + re-fingerprint the changed docs
+    alone; work ∝ |delta| (the merge_shingle_postings shape on a
+    1-row-per-doc table)."""
+    touched = (
+        changed_docs.select(F.col(id_col).alias("doc"))
+        .unionByName(deleted_ids.select(F.col(id_col).alias("doc")))
+        .distinct()
+    )
+    kept = store.join(F.broadcast(touched), "doc", "left_anti")
+    fresh = build_fingerprint_store(changed_docs, id_col, text_col, n_buckets)
+    return kept.unionByName(fresh.select(*kept.columns))
+
+
+def exact_dups_from_index(
+    store: DataFrame,
+    incoming: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = SHINGLE_STORE_BUCKETS,
+) -> DataFrame:
+    """Store-served incremental EXACT dedup: flag INCOMING documents
+    whose content fingerprint already exists in the corpus store, with
+    the canonical (min-id) existing member — the screen every crawl
+    batch runs before insert, served without hashing or reading any
+    corpus text. Plan: fingerprint the delta only, collect its bounded
+    bucket list (≤ ``n_buckets`` ints), probe the fpb-partitioned
+    store through the IN-list directory prune, join on the 16-byte
+    digest, min per incoming doc. Output: (id_new, canonical_id).
+    Same ``n_buckets`` contract as the shingle store."""
+    delta = incoming.select(
+        F.col(id_col).alias("id_new"), fingerprint(text_col).alias("fp")
+    ).withColumn("fpb", F.pmod(F.xxhash64("fp"), F.lit(n_buckets)))
+    delta = register_cached_intermediate(delta)
+    bucket_ids = [r[0] for r in delta.select("fpb").distinct().collect()]
+    probe = store.filter(F.col("fpb").isin(bucket_ids))
+    return (
+        delta.join(probe.select("fp", "doc"), "fp")
+        .groupBy("id_new")
+        .agg(F.min("doc").alias("canonical_id"))
+        .select("id_new", "canonical_id")
+    )

@@ -2354,3 +2354,68 @@ cc AS (
 )
 SELECT doc_id, component FROM cc ORDER BY doc_id
 """
+
+
+def e1h_store_served_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Store-SERVED incremental EXACT dedup + fingerprint-store
+    maintenance, one oracle — the E1 twin of e2s: the crawl-batch
+    screen ("is this document already in the corpus, and who is its
+    canonical?") answered from the persisted (doc, fp, fpb) store, no
+    corpus text or hashing at serve time. Store v1 is built from the
+    STALE corpus (doc_id%10==1 truncated, %10==2 later deleted,
+    %10==0 never crawled); one CDC batch (updates %10==1 → full text,
+    deletes %10==2) folds in via merge_fingerprint_store (∝ |delta|).
+    The probe batch is copies of the corpus re-keyed out of the id
+    space: exact copies of every %13==0 doc (+90M) and near-copies of
+    every %13==1 doc (+95M, a novel token appended — must NOT flag).
+    Flags depend on the MERGE being right: a copy of an updated doc
+    matches only because its stored fingerprint was replaced; a copy
+    of a deleted doc must find nothing. The oracle fingerprints the
+    final corpus from scratch, so one hash proves merge ≡ rebuild AND
+    store-serve ≡ direct. Output: (id_new, canonical_id)."""
+    from hbase_increment_index_spark.pipeline.dedup import (
+        build_fingerprint_store,
+        exact_dups_from_index,
+        merge_fingerprint_store,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 10
+    v1 = docs.filter(m != 0).withColumn(
+        "text", F.when(m == 1, F.substring("text", 1, 20)).otherwise(F.col("text"))
+    )
+    store = merge_fingerprint_store(
+        build_fingerprint_store(v1, "doc_id", "text"),
+        docs.filter(m == 1).select("doc_id", "text"),
+        docs.filter(m == 2).select("doc_id"),
+        "doc_id",
+        "text",
+    )
+    m13 = F.col("doc_id") % 13
+    incoming = docs.filter(m13 == 0).select(
+        (F.col("doc_id") + F.lit(90_000_000)).alias("doc_id"), "text"
+    ).unionByName(
+        docs.filter(m13 == 1).select(
+            (F.col("doc_id") + F.lit(95_000_000)).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zzznovel")).alias("text"),
+        )
+    )
+    return exact_dups_from_index(store, incoming, "doc_id", "text").orderBy("id_new")
+
+
+E1H_SQL = f"""
+WITH existing AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 10 NOT IN (0, 2)
+),
+inc AS (
+  SELECT doc_id + 90000000 AS id_new, text FROM documents WHERE doc_id % 13 = 0
+  UNION ALL
+  SELECT doc_id + 95000000, text || ' zzznovel' FROM documents WHERE doc_id % 13 = 1
+),
+fe AS (SELECT doc_id, {_SQL_FP.format(c='text')} AS fp FROM existing),
+fi AS (SELECT id_new, {_SQL_FP.format(c='text')} AS fp FROM inc)
+SELECT id_new, MIN(doc_id) AS canonical_id
+FROM fi JOIN fe USING (fp)
+GROUP BY id_new
+ORDER BY id_new
+"""

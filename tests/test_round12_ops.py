@@ -562,3 +562,45 @@ def test_pairs_from_index_and_store_served_delete_equal_text_forms(spark):
     )
     assert via_text.exceptAll(via_store).count() == 0
     assert via_store.exceptAll(via_text).count() == 0
+
+
+# --------------------------------------------- fingerprint (exact) store
+
+
+def test_fingerprint_store_merge_and_probe_semantics(spark):
+    """The exact-dedup screen depends on the store MERGE: a copy of an
+    updated doc matches only post-update content; a copy of a deleted
+    doc finds nothing; near-copies never flag; canonical is the min
+    surviving member."""
+    from pyspark.sql import functions as F
+    from hbase_increment_index_spark.pipeline.dedup import (
+        build_fingerprint_store,
+        exact_dups_from_index,
+        merge_fingerprint_store,
+    )
+
+    v1 = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "old stale text"), (3, "doomed doc"),
+         (4, "alpha beta")],
+        "doc_id long, text string",
+    )
+    store = merge_fingerprint_store(
+        build_fingerprint_store(v1, "doc_id", "text"),
+        spark.createDataFrame([(2, "fresh new text")], "doc_id long, text string"),
+        spark.createDataFrame([(3,)], "doc_id long"),
+        "doc_id",
+        "text",
+    )
+    incoming = spark.createDataFrame(
+        [(100, "fresh new text"),   # matches 2 only AFTER the update
+         (101, "old stale text"),   # pre-update content: must NOT flag
+         (102, "doomed doc"),       # deleted: must NOT flag
+         (103, "alpha beta"),       # dup group {1,4}: canonical = 1
+         (104, "alpha beta gamma")],  # near-copy: must NOT flag
+        "doc_id long, text string",
+    )
+    got = {
+        (r["id_new"], r["canonical_id"])
+        for r in exact_dups_from_index(store, incoming, "doc_id", "text").collect()
+    }
+    assert got == {(100, 2), (103, 1)}

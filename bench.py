@@ -202,6 +202,7 @@ HEADLINE = [
     "e4p_bpe_yield",
     "q61r_stream_moving_avg",
     "e1h_store_served_exact",
+    "q61s_stream_exp_moving_avg",
     # e2t_cluster_delete's registry form bootstraps base CC labels
     # in-plan (25 s at sf0.1 — the e2r fixture-device cost, priced
     # once by e2r's row); the delete verb's real serving cost is the

@@ -3347,3 +3347,37 @@ w AS (
 SELECT o_orderkey, o_totalprice, ROUND(ma, 6) AS moving_avg
 FROM w WHERE rn >= 7
 """
+
+
+def q61s_stream_exp_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/stream math layer, ``expMovingAvg()``: α = 2/(window+1)
+    exponential moving average of order totalprice along the orderkey
+    axis (window=7 → α=0.25) over the bounded slice — the sequential
+    recurrence folded by a codegen'd aggregate over the sorted series,
+    bit-matched by the oracle's recursive CTE with the same baked
+    α/(1−α) literals (search.streaming_expr._op_expMovingAvg)."""
+    return _stream(
+        spark, sf_dir,
+        'let(a=search(orders, fq="o_orderkey:[0 TO 199]", '
+        'fl="o_orderkey,o_totalprice"), '
+        'expMovingAvg(col(a, o_totalprice), over="o_orderkey", window="7"))',
+    )
+
+
+def _q61s_sql(window: int = 7) -> str:
+    a = 2.0 / (window + 1)
+    return f"""
+WITH RECURSIVE src AS (
+  SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS v,
+         row_number() OVER (ORDER BY o_orderkey ASC, o_totalprice ASC) AS rn
+  FROM orders WHERE o_orderkey BETWEEN 0 AND 199
+),
+e(rn, k, v, ema) AS (
+  SELECT rn, k, v, v FROM src WHERE rn = 1
+  UNION ALL
+  SELECT s.rn, s.k, s.v, {a!r} * s.v + {1.0 - a!r} * e.ema
+  FROM src s JOIN e ON s.rn = e.rn + 1
+)
+SELECT k AS o_orderkey, v AS o_totalprice, ROUND(ema, 6) AS ema
+FROM e ORDER BY o_orderkey, o_totalprice
+"""

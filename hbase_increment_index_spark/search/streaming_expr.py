@@ -64,6 +64,8 @@ Supported stream sources/decorators (Solr names):
     daemon(stream, id="d1", runInterval=30000)  # background-loop handle
     cov(col(a, x), col(a, y))          # sample covariance (n−1), one
                                        # hash agg like corr()/regress()
+    movingAvg(col(a, f), over="k", window=N)   # trailing-N average
+    expMovingAvg(col(a, f), over="k", window=N)  # EMA, α=2/(N+1)
 
 Metric aliases are deterministic (`sum(x)` → column ``sum_x``,
 `count(*)` → ``count_star``), so an oracle SQL twin can name the same
@@ -1304,6 +1306,63 @@ class StreamCompiler:
         return (
             out.filter(F.col("_rn") >= window)
             .select(over, fld, F.round("_ma", 6).alias("moving_avg"))
+        )
+
+    def _op_expMovingAvg(self, call: Call) -> DataFrame:  # noqa: N802 (Solr name)
+        """``expMovingAvg(col(a, f), over="k", window=N)``: exponential
+        moving average with α = 2/(window+1) (Solr math expressions /
+        commons-math semantics): y₀ = x₀, yₜ = α·xₜ + (1−α)·yₜ₋₁
+        along the ``over`` ordering. The recurrence is inherently
+        sequential, so the series is gathered into ONE sorted array
+        (sort_array ∘ collect_list — deterministic (k, v) order) and
+        folded with a codegen'd ``aggregate`` accumulator — no UDF, no
+        driver collect; the same bounded-series contract as
+        movingAvg/percentile (a let-bound stream, not a corpus). The
+        α / (1−α) literals are baked identically into the Spark
+        expression and the oracle's recursive CTE, so the double
+        recurrence is bit-reproducible across engines."""
+        if len(call.streams) != 1:
+            raise StreamExprError("expMovingAvg takes exactly one col(...) arg")
+        _, src, fld = self._colref(call.streams[0])
+        over = self._param(call, "over")
+        if over not in src.columns:
+            raise StreamExprError(f"unknown expMovingAvg over field {over!r}")
+        try:
+            window = int(call.params.get("window", "5"))
+        except ValueError:
+            raise StreamExprError(
+                f"bad expMovingAvg window {call.params['window']!r}"
+            ) from None
+        if window < 1:
+            raise StreamExprError("expMovingAvg window must be >= 1")
+        alpha = 2.0 / (window + 1)
+        x = F.col(fld).cast("double")
+        series = src.agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col(over).alias("k"), x.alias("v")))
+            ).alias("s")
+        )
+        ema = F.aggregate(
+            F.col("s"),
+            F.array().cast("array<double>"),
+            lambda acc, e: F.concat(
+                acc,
+                F.array(
+                    F.when(F.size(acc) == 0, e["v"]).otherwise(
+                        F.lit(alpha) * e["v"]
+                        + F.lit(1.0 - alpha) * F.element_at(acc, -1)
+                    )
+                ),
+            ),
+        )
+        return (
+            series.select(F.posexplode(F.arrays_zip(F.col("s"), ema.alias("e"))))
+            .select(
+                F.col("col.s.k").alias(over),
+                F.col("col.s.v").alias(fld),
+                F.round(F.col("col.e"), 6).alias("ema"),
+            )
+            .orderBy(over, fld)
         )
 
     def _op_percentile(self, call: Call) -> DataFrame:

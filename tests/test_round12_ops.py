@@ -604,3 +604,26 @@ def test_fingerprint_store_merge_and_probe_semantics(spark):
         for r in exact_dups_from_index(store, incoming, "doc_id", "text").collect()
     }
     assert got == {(100, 2), (103, 1)}
+
+
+def test_exp_moving_avg_recurrence_and_validation(spark):
+    from hbase_increment_index_spark.search.streaming_expr import (
+        StreamCompiler,
+        StreamExprError,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], ["k", "v"]
+    )
+    comp = StreamCompiler({"t": df})
+    rows = comp.compile(
+        'let(a=search(t, fl="k,v"), '
+        'expMovingAvg(col(a, v), over="k", window="3"))'
+    ).collect()
+    # alpha = 0.5: y = [10, 15, 22.5]
+    assert [(r["k"], r["ema"]) for r in rows] == [(1, 10.0), (2, 15.0), (3, 22.5)]
+    with pytest.raises(StreamExprError):
+        comp.compile(
+            'let(a=search(t, fl="k,v"), '
+            'expMovingAvg(col(a, v), over="k", window="0"))'
+        )

@@ -1865,6 +1865,85 @@ def ngram_jaccard_pairs_from_index(
     )
 
 
+def commit_cluster_labels(
+    stored: DataFrame,
+    store_postings: DataFrame,
+    store_sizes: DataFrame,
+    changed_docs: DataFrame,
+    deleted_ids: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """CC-label maintenance under one MIXED CDC batch (inserts +
+    updates + deletes) — the composed, ordered fold
+    cdc_commit_all_stores uses, factored out so the ordering contract
+    is testable on arbitrary corpora.
+
+    A text update both REMOVES the old text's pairs (which can split a
+    component — inexpressible by any label merge) and ADDS the new
+    text's, so every upsert decomposes into delete(old identity) +
+    insert(new identity), and the fold runs two ordered verbs:
+
+    1. :func:`delete_from_clusters` over the ENTIRE touched-id set
+       (deletes ∪ changed ids; ids absent from the stored labels are
+       no-ops, so inserts cost nothing here) — scoped rebuild of only
+       the components that lost a member, survivors re-paired from the
+       persisted shingle store, no corpus text in the plan.
+    2. :func:`merge_cluster_labels` over the pairs incident to the
+       batch's POST-images: a store-served bipartite probe of the
+       changed docs against the kept (un-touched) corpus postings,
+       plus delta-internal direct pairing.
+
+    Delete-first is load-bearing: merging new pairs first would leave
+    updated docs' stale old-text connectivity in the labels, and step
+    1 only re-clusters components that lost a member of ITS delete
+    set — the staleness would survive. With this order every
+    intermediate state is exact, so commit ≡ rebuild over the final
+    corpus (pytest-proven including a mid-batch component split,
+    tests/test_round13_ops.py).
+
+    ``stored``/``store_postings``/``store_sizes`` describe the
+    PRE-batch state (labels + shingle store + sizes side table);
+    ``changed_docs`` holds post-images of inserts and updates;
+    ``deleted_ids`` the batch's delete set. Work: step 1 ∝ Σ|affected
+    components|, step 2 ∝ |delta pairs| — the corpus is never
+    re-paired."""
+    touched = (
+        changed_docs.select(F.col(id_col).alias(id_col))
+        .unionByName(deleted_ids.select(F.col(id_col).alias(id_col)))
+        .distinct()
+    )
+    labels_after_del = delete_from_clusters(
+        stored,
+        touched,
+        None,
+        id_col,
+        text_col,
+        n=n,
+        threshold=threshold,
+        postings=store_postings,
+        sizes=store_sizes,
+    )
+    touched_doc = touched.withColumnRenamed(id_col, "doc")
+    kept_store = store_postings.join(F.broadcast(touched_doc), "doc", "left_anti")
+    kept_sizes = store_sizes.join(F.broadcast(touched_doc), "doc", "left_anti")
+    bip = incremental_near_dups_from_index(
+        kept_store,
+        kept_sizes,
+        changed_docs,
+        id_col,
+        text_col,
+        n=n,
+        threshold=threshold,
+    ).select(F.col("id_new").alias("id_a"), F.col("id_old").alias("id_b"))
+    internal = ngram_jaccard_pairs(
+        changed_docs, id_col, text_col, n=n, threshold=threshold
+    ).select("id_a", "id_b")
+    return merge_cluster_labels(labels_after_del, bip.unionByName(internal))
+
+
 # ------------------------------------------- fingerprint (exact) store
 
 def build_fingerprint_store(

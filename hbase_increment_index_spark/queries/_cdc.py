@@ -1202,28 +1202,51 @@ def _commit_all_stores(spark: SparkSession, sf_dir: str, rebuilt: bool = False):
 
     Store inventory and its merge discipline:
       - postings (term, doc_id, tf)        inverted.merge_postings
+      - positional (term, doc_id, positions) merge_positional_postings (r13)
       - doclen (doc_id, dl)                anti-join + fresh (BM25 side table)
       - signatures (doc_id, sig_key)       e2o: anti-join + re-sign delta
       - shingle_postings (doc, sh, shb)    merge_shingle_postings (r12)
+      - fingerprints (doc, fp, fpb)        merge_fingerprint_store (r13)
       - facet_counts (tok_bucket, n)       merge_facet_counts (+new −old)
+      - percentile_sketch (k, n)           merge_facet_counts on a
+                                           (source, value-bin) struct key —
+                                           the exactly-mergeable histogram
+                                           cdc_merge_percentiles reads
+                                           quantiles off (r13)
       - rollup (source, n, sum_value)      merge_rollup_sums (exact decimals)
       - idf_stats (term, df)               additive ±distinct-token sets
       - ann_index (vec_id, s, code, cid)   e3o: anti-join + re-encode delta
+      - cc_labels (doc, component)         delete_from_clusters THEN
+                                           merge_cluster_labels (r13)
 
-    CC labels are deliberately NOT in this commit: deleting a doc can
-    SPLIT a connected component, which no label-table merge can
-    express without re-clustering the affected component — the one
-    derived state whose delete path is a scoped rebuild by design.
-    Its insert/update path is e2r's union-find merge; its delete path
-    is e2t_cluster_delete's scoped rebuild
-    (pipeline.dedup.delete_from_clusters), so the label store is
-    still maintained under the full verb set — just not by a merge
-    this commit's additive algebra can express."""
+    CC labels need the one non-additive step in the commit: a text
+    UPDATE both removes the old text's pairs (which can SPLIT a
+    component — no label merge expresses that) and adds the new
+    text's. So the label fold decomposes every upsert into
+    delete(old identity) + insert(new identity) and runs in two
+    ordered verbs: (1) `delete_from_clusters` drops the deleted AND
+    updated ids — scoped rebuild of only the components that lost a
+    member, survivors re-paired FROM THE v1 SHINGLE STORE (no corpus
+    text in the plan); (2) `merge_cluster_labels` folds in the pairs
+    incident to the batch's post-images (store-served bipartite probe
+    against the kept corpus + delta-internal direct pairing). This
+    order is load-bearing: merging the new pairs FIRST would leave the
+    updated docs' stale old-text connectivity in the labels, and the
+    scoped delete only re-clusters components that lost a DELETED
+    member, so the staleness would survive. Delete-first makes every
+    intermediate state exact, hence merge ≡ rebuild overall
+    (pytest-proven, including a component split mid-batch)."""
     from hbase_increment_index_spark.numeric import dec
     from hbase_increment_index_spark.pipeline.dedup import (
+        build_fingerprint_store,
         build_shingle_postings,
+        commit_cluster_labels,
+        connected_components,
+        merge_fingerprint_store,
         merge_shingle_postings,
         minhash_digest_store,
+        ngram_jaccard_pairs,
+        shingle_doc_sizes,
     )
     from hbase_increment_index_spark.pipeline.similarity import (
         assign_cells,
@@ -1233,6 +1256,8 @@ def _commit_all_stores(spark: SparkSession, sf_dir: str, rebuilt: bool = False):
     )
     from hbase_increment_index_spark.search.inverted import (
         build_inverted_index,
+        build_positional_index,
+        merge_positional_postings,
         merge_postings,
     )
     from hbase_increment_index_spark.search.tokenize import tokens
@@ -1287,15 +1312,27 @@ def _commit_all_stores(spark: SparkSession, sf_dir: str, rebuilt: bool = False):
             .select("vec_id", "s", "code", "cid")
         )
 
+    vbin = (F.floor(n_toks / 5) * 5).cast("double")
+    skey = F.struct(F.col("source").alias("src"), vbin.alias("bin"))
+    cc_th = 0.30
+
     if rebuilt:
         postings = build_inverted_index(final, "doc_id", "text")
         return {
             "ann_index": index_rows(emb_final),
+            "cc_labels": connected_components(
+                ngram_jaccard_pairs(final, "doc_id", "text", n=3, threshold=cc_th)
+            ).select("doc", "component"),
             "doclen": doclen_of(postings),
             "facet_counts": final.groupBy(bucket.alias("tok_bucket")).agg(
                 F.count(F.lit(1)).alias("n")
             ),
+            "fingerprints": build_fingerprint_store(final, "doc_id", "text"),
             "idf_stats": df_counts(final, 1).filter(F.col("df") > 0),
+            "percentile_sketch": final.groupBy(skey.alias("k")).agg(
+                F.count(F.lit(1)).alias("n")
+            ),
+            "positional": build_positional_index(final, "doc_id", "text"),
             "postings": postings,
             "rollup": rollup_of(final),
             "shingle_postings": build_shingle_postings(final, "doc_id", "text", n=3),
@@ -1316,13 +1353,31 @@ def _commit_all_stores(spark: SparkSession, sf_dir: str, rebuilt: bool = False):
         .join(F.broadcast(v1.filter(m.isin(1, 2)).select("doc_id")), "doc_id", "left_anti")
         .unionByName(minhash_digest_store(changed))
     )
+    # the v1 shingle store feeds THREE consumers: the shingle-store
+    # merge, the CC scoped-delete's survivor re-pairing, and the CC
+    # bipartite probe's kept-corpus side — built once here
+    shingle_store_v1 = build_shingle_postings(v1, "doc_id", "text", n=3)
     merged_shingles = merge_shingle_postings(
-        build_shingle_postings(v1, "doc_id", "text", n=3),
+        shingle_store_v1,
         changed.select("doc_id", "text"),
         deleted,
         "doc_id",
         "text",
         n=3,
+    )
+    merged_positional = merge_positional_postings(
+        build_positional_index(v1, "doc_id", "text"),
+        changed.select("doc_id", "text"),
+        deleted,
+        "doc_id",
+        "text",
+    ).select("term", "doc_id", "positions")
+    merged_fps = merge_fingerprint_store(
+        build_fingerprint_store(v1, "doc_id", "text"),
+        changed.select("doc_id", "text"),
+        deleted,
+        "doc_id",
+        "text",
     )
     merged_facets = facets.merge_facet_counts(
         facets.facet_field(v1.select(bucket.alias("tok_bucket")), "tok_bucket"),
@@ -1352,11 +1407,39 @@ def _commit_all_stores(spark: SparkSession, sf_dir: str, rebuilt: bool = False):
         .join(F.broadcast(emb_touched), "vec_id", "left_anti")
         .unionByName(index_rows(emb_changed))
     )
+    merged_sketch = facets.merge_facet_counts(
+        v1.groupBy(skey.alias("k")).agg(F.count(F.lit(1)).alias("n")),
+        old_rows=v1.filter(m.isin(1, 2)).select("source", "text"),
+        new_rows=changed.select("source", "text"),
+        facet_expr=skey,
+        facet_alias="k",
+    )
+    # CC labels: the composed delete-then-merge fold (see docstring;
+    # factored as pipeline.dedup.commit_cluster_labels so the ordering
+    # contract is property-testable on arbitrary corpora)
+    labels_v1 = connected_components(
+        ngram_jaccard_pairs(v1, "doc_id", "text", n=3, threshold=cc_th)
+    )
+    merged_cc = commit_cluster_labels(
+        labels_v1,
+        shingle_store_v1,
+        shingle_doc_sizes(shingle_store_v1),
+        changed.select("doc_id", "text"),
+        deleted,
+        "doc_id",
+        "text",
+        n=3,
+        threshold=cc_th,
+    ).select("doc", "component")
     return {
         "ann_index": merged_ann,
+        "cc_labels": merged_cc,
         "doclen": merged_doclen,
         "facet_counts": merged_facets,
+        "fingerprints": merged_fps,
         "idf_stats": merged_idf,
+        "percentile_sketch": merged_sketch,
+        "positional": merged_positional,
         "postings": merged_postings,
         "rollup": merged_rollup,
         "shingle_postings": merged_shingles,
@@ -1366,21 +1449,32 @@ def _commit_all_stores(spark: SparkSession, sf_dir: str, rebuilt: bool = False):
 
 def cdc_commit_all_stores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One CDC commit drives EVERY derived store the engine maintains
-    (r11 verdict #2) — postings, doclen, MinHash signatures, shingle
-    postings, facet counts, the (n, Σ) rollup, IDF stats, and the
-    IVF/PQ ANN index — each folded forward by its own ∝|delta| merge
+    (r11 verdict #2, completed to the FULL fleet in r13) — postings,
+    positional postings, doclen, MinHash signatures, shingle postings,
+    content fingerprints, facet counts, the mergeable percentile
+    sketch, the (n, Σ) rollup, IDF stats, the IVF/PQ ANN index, and
+    the CC near-dup labels (delete-then-merge, the one ordered
+    non-additive fold) — each folded forward by its own ∝|delta| merge
     from the same batch, the Spark equivalent of the reference's one
     commit flushing both its add and delete buffers atomically
     (SolrIndexTools.java:59-67). Output: one row per store with the
-    merged store's row count; the oracle computes each count from a
+    merged store's row count (for `positional` the count is restricted
+    to multi-occurrence (term, doc) cells — size(positions) ≥ 2 — so
+    its oracle line is a positional-only statistic rather than a
+    duplicate of `postings`'); the oracle computes each count from a
     DuckDB REBUILD over the final corpus, so a green hash certifies
     every merge commuted with rebuild at the cardinality level (the
-    row-level equality is pytest-proven per store,
-    tests/test_round12_ops.py::test_commit_all_stores_equals_rebuild)."""
+    row-level equality per store, including position lists and CC
+    component ids, is pytest-proven:
+    tests/test_round12_ops.py::test_commit_all_stores_equals_rebuild,
+    tests/test_round13_ops.py::test_commit_cc_labels_split)."""
     stores = _commit_all_stores(spark, sf_dir, rebuilt=False)
     out = None
     for name in sorted(stores):
-        row = stores[name].agg(F.count(F.lit(1)).alias("n_rows")).select(
+        frame = stores[name]
+        if name == "positional":
+            frame = frame.filter(F.size("positions") >= 2)
+        row = frame.agg(F.count(F.lit(1)).alias("n_rows")).select(
             F.lit(name).alias("store"), "n_rows"
         )
         out = row if out is None else out.unionByName(row)
@@ -1393,19 +1487,44 @@ WITH toks AS (
   FROM documents WHERE doc_id % 10 <> 2
 ),
 term_doc AS (SELECT DISTINCT doc_id, unnest(t) AS term FROM toks),
+term_occ AS (SELECT doc_id, unnest(t) AS term FROM toks),
 sh AS (
   SELECT DISTINCT doc_id,
          unnest(list_distinct(list_transform(
            generate_series(1, greatest(len(t) - 2, 0)),
            i -> array_to_string(list_slice(t, i, i + 2), ' ')))) AS s
   FROM toks
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+cc_common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+  FROM sh a JOIN sh b ON a.s = b.s
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+cc_pairs AS (
+  SELECT id_a, id_b
+  FROM cc_common
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE ROUND(common / (sa.n_sh + sb.n_sh - common), 6) >= 0.30
 )
 SELECT 'ann_index' AS store,
        4 * (SELECT count(*) FROM embeddings WHERE vec_id % 10 <> 2) AS n_rows
+UNION ALL SELECT 'cc_labels',
+  (SELECT count(DISTINCT d) FROM
+    (SELECT id_a AS d FROM cc_pairs UNION ALL SELECT id_b FROM cc_pairs))
 UNION ALL SELECT 'doclen', (SELECT count(*) FROM toks WHERE len(t) > 0)
 UNION ALL SELECT 'facet_counts',
   (SELECT count(DISTINCT CAST(floor(len(t) / 10) * 10 AS BIGINT)) FROM toks)
+UNION ALL SELECT 'fingerprints', (SELECT count(*) FROM toks)
 UNION ALL SELECT 'idf_stats', (SELECT count(DISTINCT term) FROM term_doc)
+UNION ALL SELECT 'percentile_sketch',
+  (SELECT count(*) FROM
+    (SELECT DISTINCT source, floor(len(t) / 5) * 5 FROM toks))
+UNION ALL SELECT 'positional',
+  (SELECT count(*) FROM
+    (SELECT doc_id, term FROM term_occ GROUP BY 1, 2 HAVING count(*) >= 2))
 UNION ALL SELECT 'postings', (SELECT count(*) FROM term_doc)
 UNION ALL SELECT 'rollup', (SELECT count(DISTINCT source) FROM toks)
 UNION ALL SELECT 'shingle_postings', (SELECT count(*) FROM sh)

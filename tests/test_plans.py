@@ -149,7 +149,7 @@ _EXCHANGE_CEILING: dict[str, int] = {
     "e15_curation_funnel": 62,        # audited 56: 6 stage reports over a 5-gate pipeline
     "e2r_incremental_clusters": 12,   # audited 8 (r11): broadcast merge over checkpointed delta pairs
     "e2s_store_served_increment": 54,  # audited 48 (r12): in-plan store bootstrap + merge + bucket-pruned serve
-    "cdc_commit_all_stores": 90,      # audited 82 (r12): eight store merges in one composed plan
+    "cdc_commit_all_stores": 135,     # audited 126 (r13): twelve store merges in one composed plan (full fleet incl. CC delete-then-merge, positional, fingerprints, sketch); 0 SMJ
     "e3p_probe_sweep": 75,            # audited 68 (r12): one exact ranking + per-depth cumulative aggs
     "q61p_stream_shortest_path": 28,  # audited 24 (r12): 4 BFS levels + parent walk-back
     "e2t_cluster_delete": 14,         # audited 10 (r12): in-plan base CC + scoped re-pair

@@ -1,0 +1,137 @@
+"""Round-13 operators: the commit extended to the FULL derived-store
+fleet (fingerprints, positional postings, percentile sketch, CC
+labels), the composed delete-then-merge CC label fold under a mixed
+batch that SPLITS a component, and the round's new surface ops."""
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# ------------------------- CC labels under one mixed commit (w/ split)
+
+
+def _labels(df):
+    return {(r["doc"], r["component"]) for r in df.collect()}
+
+
+def test_commit_cc_labels_split(spark):
+    """One mixed batch — a DELETE that splits a component, an UPDATE
+    that moves a doc between components (old pairs out, new pairs in),
+    and an INSERT that creates a brand-new component with a previously
+    unlabeled doc — folded by commit_cluster_labels must equal the
+    from-scratch rebuild over the final corpus.
+
+    v1 topology (3-gram Jaccard, threshold 0.30): docs 1/4/6 are
+    identical, docs 3/5 are identical, doc 2 BRIDGES the two groups
+    (shares 3 of its 8 shingles with each side, J = 0.375), doc 8 is
+    unpaired. One component {1,2,3,4,5,6} labeled 1.
+
+    Batch: DELETE 2 (the bridge — component splits), UPDATE 6 to the
+    3/5 group's text (its old identity leaves group 1, new identity
+    joins group 3), INSERT 7 identical to 8 (new component 7)."""
+    from hbase_increment_index_spark.pipeline.dedup import (
+        build_shingle_postings,
+        commit_cluster_labels,
+        connected_components,
+        ngram_jaccard_pairs,
+        shingle_doc_sizes,
+    )
+
+    t_a, t_p, t_x = "a b c d e", "p q r s t", "x y z w v"
+    v1 = spark.createDataFrame(
+        [
+            (1, t_a),
+            (2, f"{t_a} {t_p}"),
+            (3, t_p),
+            (4, t_a),
+            (5, t_p),
+            (6, t_a),
+            (8, t_x),
+        ],
+        ["doc_id", "text"],
+    )
+    stored = connected_components(
+        ngram_jaccard_pairs(v1, "doc_id", "text", n=3, threshold=0.30)
+    )
+    assert _labels(stored) == {(d, 1) for d in (1, 2, 3, 4, 5, 6)}
+
+    changed = spark.createDataFrame([(6, t_p), (7, t_x)], ["doc_id", "text"])
+    deleted = spark.createDataFrame([(2,)], ["doc_id"])
+    store = build_shingle_postings(v1, "doc_id", "text", n=3)
+    merged = commit_cluster_labels(
+        stored,
+        store,
+        shingle_doc_sizes(store),
+        changed,
+        deleted,
+        "doc_id",
+        "text",
+        n=3,
+        threshold=0.30,
+    )
+
+    final = v1.filter(~F.col("doc_id").isin(2, 6)).unionByName(changed)
+    rebuilt = connected_components(
+        ngram_jaccard_pairs(final, "doc_id", "text", n=3, threshold=0.30)
+    )
+    expect = {(1, 1), (4, 1), (3, 3), (5, 3), (6, 3), (7, 7), (8, 7)}
+    assert _labels(rebuilt) == expect  # the fixture really splits
+    assert _labels(merged) == expect  # commit ≡ rebuild through the split
+
+
+def test_commit_cc_labels_merge_first_would_be_stale(spark):
+    """The ordering contract: running the label MERGE before the
+    scoped delete leaves the updated doc's stale old-text connectivity
+    in the table — the negative case that makes delete-first
+    load-bearing (commit_cluster_labels' docstring)."""
+    from hbase_increment_index_spark.pipeline.dedup import (
+        build_shingle_postings,
+        commit_cluster_labels,
+        connected_components,
+        merge_cluster_labels,
+        ngram_jaccard_pairs,
+        shingle_doc_sizes,
+    )
+
+    t_a, t_p = "a b c d e", "p q r s t"
+    v1 = spark.createDataFrame(
+        [(1, t_a), (4, t_a), (6, t_a), (3, t_p), (5, t_p)], ["doc_id", "text"]
+    )
+    stored = connected_components(
+        ngram_jaccard_pairs(v1, "doc_id", "text", n=3, threshold=0.30)
+    )
+    # UPDATE doc 6: t_a -> t_p. Merge-first folds the new pairs
+    # (6-3, 6-5) into labels that still carry 6's old connectivity to
+    # {1,4} — gluing BOTH components together, which no later scoped
+    # delete (the delete set is empty) will undo.
+    changed = spark.createDataFrame([(6, t_p)], ["doc_id", "text"])
+    new_pairs = ngram_jaccard_pairs(
+        v1.filter(F.col("doc_id") != 6).unionByName(changed),
+        "doc_id",
+        "text",
+        n=3,
+        threshold=0.30,
+    ).filter((F.col("id_a") == 6) | (F.col("id_b") == 6))
+    merge_first = merge_cluster_labels(
+        stored, new_pairs.select("id_a", "id_b")
+    )
+    glued = {r["component"] for r in merge_first.collect()}
+    assert glued == {1}  # everything (wrongly) one component
+    # ...while the correct fold separates {1,4} from {3,5,6}
+    empty = spark.createDataFrame([], "doc_id int")
+    store = build_shingle_postings(v1, "doc_id", "text", n=3)
+    correct = commit_cluster_labels(
+        stored,
+        store,
+        shingle_doc_sizes(store),
+        changed,
+        empty,
+        "doc_id",
+        "text",
+        n=3,
+        threshold=0.30,
+    )
+    assert _labels(correct) == {(1, 1), (4, 1), (3, 3), (5, 3), (6, 3)}

@@ -2052,8 +2052,11 @@ def q84_train_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("iteration")
 
 
-def _q84_sql() -> str:
-    terms = sorted(set(_Q84_TERMS))
+def _q84_iter_ctes(terms: list[str]) -> tuple[list[str], list[str], str]:
+    """The train() oracle's unrolled gradient-descent CTE chain —
+    shared by q84 (per-iteration tuples) and q85 (score with the final
+    weights). Returns (ctes, per-iteration output selects, name of
+    the final weight CTE)."""
     k = len(terms)
     toks = _SQL_TOKS.format(c="text")
     feat_cols = ", ".join(
@@ -2107,10 +2110,68 @@ def _q84_sql() -> str:
             + f" FROM it{it}, w{it}"
         )
         prev = f"w{it}"
+    return ctes, outs, prev
+
+
+def _q84_sql() -> str:
+    terms = sorted(set(_Q84_TERMS))
+    ctes, outs, _ = _q84_iter_ctes(terms)
     return (
         "WITH " + ",\n".join(ctes) + "\n"
         + "\nUNION ALL\n".join(outs)
         + "\nORDER BY iteration"
+    )
+
+
+def q85_stream_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/stream ``classify()`` — Solr's ClassifyStream (solrj 9.x,
+    reference pom.xml:22), the documented companion of train(): apply
+    the fitted model to every tuple of an inner stream. The expression
+    composes the two ops exactly as the Solr workflow does —
+    classify(train(...), search(...)) — with the model stream's
+    highest-iteration tuple supplying the weights (a bounded 1-row
+    collect) and the scoring running as ONE codegen projection over
+    the data stream (weights as literals, zero added shuffles/joins;
+    search.streaming_expr._op_classify). Output: (doc_id,
+    probability_d, predicted_i). The oracle replays the full 5-
+    iteration training unroll (q84's sequential CTEs) and scores every
+    document with the same 6-rounded final weights, so one hash
+    certifies training AND application."""
+    return (
+        _stream(
+            spark, sf_dir,
+            'classify(train(documents, field="text", outcome="lang:de", '
+            f'terms="{",".join(_Q84_TERMS)}", maxIterations=5), '
+            'search(documents, q="*:*", fl="doc_id,text"), field="text")',
+        )
+        .select("doc_id", "probability_d", "predicted_i")
+        .orderBy("doc_id")
+    )
+
+
+def _q85_sql() -> str:
+    terms = sorted(set(_Q84_TERMS))
+    ctes, _, wfin = _q84_iter_ctes(terms)
+    toks = _SQL_TOKS.format(c="text")
+    feat_cols = ", ".join(
+        f"CAST(list_contains({toks}, '{t}') AS DOUBLE) AS x{i}"
+        for i, t in enumerate(terms)
+    )
+    # the engine's classify() reads the model frame train() emits,
+    # whose weights are ROUNDED at 6 for display — score with the
+    # same rounded literals so both engines bake identical weights
+    z = f"ROUND({wfin}.w0, 6)" + "".join(
+        f" + ROUND({wfin}.w{i + 1}, 6) * x{i}" for i in range(len(terms))
+    )
+    return (
+        "WITH " + ",\n".join(ctes) + ",\n"
+        + f"docfeats AS (SELECT doc_id, {feat_cols} FROM documents),\n"
+        + "scored AS (SELECT doc_id, "
+        + f"ROUND(1.0 / (1.0 + exp(-({z}))), 6) AS probability_d "
+        + f"FROM docfeats, {wfin})\n"
+        + "SELECT doc_id, probability_d, "
+        + "CAST(probability_d >= 0.5 AS BIGINT) AS predicted_i "
+        + "FROM scored ORDER BY doc_id"
     )
 
 
@@ -3380,4 +3441,34 @@ e(rn, k, v, ema) AS (
 )
 SELECT k AS o_orderkey, v AS o_totalprice, ROUND(ema, 6) AS ema
 FROM e ORDER BY o_orderkey, o_totalprice
+"""
+
+
+def q61t_stream_random(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/stream ``random()`` source — Solr's RandomStream (solrj 9.x,
+    reference pom.xml:22): a pseudo-random sample of ``rows`` tuples
+    matching ``q``. Solr reseeds per request; the engine derives the
+    randomness from the portable content hash of (seed, id) — the e6
+    sampling discipline's Efraimidis–Spirakis keys with unit weights —
+    so the drawn set is a pure function of (seed, matching ids):
+    deterministic at any parallelism, hence oracle-checkable, with
+    ``seed=`` spelling a fresh draw. Plan: pushed projection → one
+    codegen hash column → TakeOrderedAndProject(50) — per-partition
+    heaps, no global sort (search.streaming_expr._op_random)."""
+    return _stream(
+        spark, sf_dir,
+        'random(documents, q="*:*", rows="50", fl="doc_id,source", '
+        'idField="doc_id", seed="r13")',
+    ).orderBy("doc_id")
+
+
+Q61T_SQL = """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         ('0x' || substr(md5('r13:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS rk
+  FROM documents
+  ORDER BY rk ASC, doc_id ASC
+  LIMIT 50
+)
+ORDER BY doc_id
 """

@@ -66,6 +66,15 @@ Supported stream sources/decorators (Solr names):
                                        # hash agg like corr()/regress()
     movingAvg(col(a, f), over="k", window=N)   # trailing-N average
     expMovingAvg(col(a, f), over="k", window=N)  # EMA, α=2/(N+1)
+    train(table, field="text", outcome="lang:de", terms="a,b",
+          maxIterations=5)             # logistic-regression trainer
+    classify(model, stream, field="text")  # apply a trained model:
+                                       # probability_d + predicted_i
+                                       # per tuple, one codegen
+                                       # projection (model = train()
+                                       # or terms=/weights= literals)
+    random(table, q="...", rows=N, seed="s")  # deterministic sample
+                                       # (content-hash E-S keys)
 
 Metric aliases are deterministic (`sum(x)` → column ``sum_x``,
 `count(*)` → ``count_star``), so an oracle SQL twin can name the same
@@ -1643,6 +1652,150 @@ class StreamCompiler:
             + ", ".join(f"w_{t} double" for t in terms)
         )
         return spark.createDataFrame(rows, schema)
+
+    def _op_classify(self, call: Call) -> DataFrame:
+        """Solr ``classify()`` stream decorator (ClassifyStream, solrj
+        9.x — the documented companion of train(): the model a
+        TextLogitStream fit is applied to every tuple of an inner
+        stream), emitting ``probability_d`` = σ(w·x) over
+        term-presence features and ``predicted_i`` = [probability_d ≥
+        0.5] alongside the tuple's own fields.
+
+        Model sources, mirroring Solr's
+        ``classify(model(models, id=..), search(...), field=..)``:
+
+        - TWO inner streams — the FIRST is the model stream (typically
+          ``train(...)`` here; Solr's model() reads the stored
+          equivalent). The LAST tuple wins, matching model()'s
+          highest-iteration pull: a bounded 1-row collect whose
+          ``w_intercept`` / ``w_<term>`` columns supply both the
+          vocabulary and the weights.
+        - ONE inner stream + ``terms=`` / ``weights=`` params — the
+          weights inline (intercept first), for serving a model
+          trained out-of-band.
+
+        Scoring is ONE codegen projection over the data stream — the
+        weights bake in as literals, no join, no UDF, nothing stateful
+        — so classification adds zero shuffles to the inner plan. σ is
+        rounded at 6 (train()'s determinism device: exp() ulps differ
+        across math libraries; rounding pins both engines); the
+        threshold compare runs on the rounded value so predicted_i is
+        identical cross-engine too."""
+        from hbase_increment_index_spark.search.tokenize import tokens
+
+        if len(call.streams) == 2:
+            model_df = self._eval(call.streams[0])
+            data = self._eval(call.streams[1])
+            want = {"iteration", "w_intercept"}
+            if not want.issubset(set(model_df.columns)):
+                raise StreamExprError(
+                    "classify model stream must emit iteration/w_intercept/"
+                    "w_<term> columns (a train() stream does)"
+                )
+            last = model_df.orderBy(F.col("iteration").desc()).head()
+            if last is None:
+                raise StreamExprError("classify model stream is empty")
+            terms = [c[2:] for c in model_df.columns if c.startswith("w_")
+                     and c != "w_intercept"]
+            weights = [float(last["w_intercept"])] + [
+                float(last[f"w_{t}"]) for t in terms
+            ]
+        elif len(call.streams) == 1:
+            data = self._eval(call.streams[0])
+            terms = [
+                t.strip() for t in self._param(call, "terms").split(",") if t.strip()
+            ]
+            try:
+                weights = [
+                    float(w) for w in self._param(call, "weights").split(",")
+                ]
+            except ValueError:
+                raise StreamExprError(
+                    f"bad classify weights {call.params['weights']!r}"
+                ) from None
+            if len(weights) != len(terms) + 1:
+                raise StreamExprError(
+                    "classify weights must be intercept + one per term "
+                    f"({len(terms) + 1} values, got {len(weights)})"
+                )
+        else:
+            raise StreamExprError(
+                "classify takes (model, stream) or (stream) with terms=/weights="
+            )
+        fld = self._param(call, "field")
+        if fld not in data.columns:
+            raise StreamExprError(f"unknown field {fld!r}")
+        z = F.lit(weights[0])
+        toks = tokens(fld)
+        for i, t in enumerate(terms):
+            z = z + F.lit(weights[i + 1]) * F.array_contains(toks, t).cast("double")
+        prob = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+        return data.withColumn("probability_d", prob).withColumn(
+            "predicted_i", (F.col("probability_d") >= 0.5).cast("long")
+        )
+
+    def _op_random(self, call: Call) -> DataFrame:
+        """Solr ``random()`` stream source (RandomStream, solrj 9.x):
+        a pseudo-random sample of ``rows`` tuples matching ``q``. Solr
+        reseeds per request; this engine derives the randomness from
+        the portable content hash of (seed, id) — uniform
+        Efraimidis–Spirakis-style keys, the e6 sampling discipline —
+        so the drawn set is a PURE FUNCTION of (seed, matching ids):
+        rerun-stable at any parallelism, oracle-checkable, and a new
+        draw is spelled ``seed=`` (matching Solr's per-request reseed
+        intent without Math.random).
+
+            random(coll, q="...", rows=100, fl="a,b",
+                   idField="doc_id", seed="s1")
+
+        Plan: pushed-filter scan → one codegen hash projection →
+        TakeOrderedAndProject(rows) on the key (per-partition heaps +
+        driver merge, no global sort) — the weighted_sample shape with
+        unit weights."""
+        from hbase_increment_index_spark.pipeline.dedup import portable_hash60
+        from hbase_increment_index_spark.search.solr_query import parse_query
+
+        if not call.fields:
+            raise StreamExprError("random needs a collection name")
+        table = call.fields[0]
+        if table not in self.tables:
+            raise StreamExprError(f"unknown collection {table!r}")
+        df = self.tables[table]
+        id_field = self._param(call, "idField")
+        if id_field not in df.columns:
+            raise StreamExprError(f"unknown idField {id_field!r}")
+        seed = call.params.get("seed", "0")
+        try:
+            rows = int(self._param(call, "rows"))
+        except ValueError:
+            raise StreamExprError(f"bad random rows {call.params['rows']!r}") from None
+        if rows < 1:
+            raise StreamExprError("random rows must be >= 1")
+        text_fields = (
+            self.text_fields
+            if self.text_fields is not None
+            else ({"text"} if "text" in df.columns else set())
+        )
+        for key in ("q", "fq"):
+            spec = call.params.get(key)
+            if spec and spec != "*:*":
+                df = df.filter(parse_query(spec, text_fields))
+        if "fl" in call.params:
+            fl = [c.strip() for c in call.params["fl"].split(",")]
+            if id_field not in fl:
+                raise StreamExprError(
+                    f"random fl must include idField {id_field!r}"
+                )
+            df = df.select(*fl)
+        key_col = portable_hash60(
+            F.concat(F.lit(seed + ":"), F.col(id_field).cast("string"))
+        )
+        return (
+            df.withColumn("_rk", key_col)
+            .orderBy(F.col("_rk").asc(), F.col(id_field).asc())
+            .limit(rows)
+            .drop("_rk")
+        )
 
     def _op_daemon(self, call: Call) -> DataFrame:
         """Solr ``daemon()`` decorator: registers the inner expression

@@ -135,3 +135,113 @@ def test_commit_cc_labels_merge_first_would_be_stale(spark):
         threshold=0.30,
     )
     assert _labels(correct) == {(1, 1), (4, 1), (3, 3), (5, 3), (6, 3)}
+
+
+# ------------------------------------------- classify() stream decorator
+
+
+def _comp(spark, tables):
+    from hbase_increment_index_spark.search.streaming_expr import StreamCompiler
+
+    return StreamCompiler(tables)
+
+
+def test_classify_inline_weights(spark):
+    """One codegen projection: sigma(w.x) with term-presence features;
+    weights inline (intercept first), predicted_i thresholds the
+    6-rounded probability."""
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "spark join query"), (2, "plain prose here")], ["id", "text"]
+    )
+    rows = (
+        _comp(spark, {"d": docs})
+        .compile(
+            'classify(search(d, q="*:*", fl="id,text"), field="text", '
+            'terms="join,spark", weights="-1.0,2.0,0.5")'
+        )
+        .orderBy("id")
+        .collect()
+    )
+    p1 = round(1.0 / (1.0 + math.exp(-(-1.0 + 2.0 + 0.5))), 6)
+    p2 = round(1.0 / (1.0 + math.exp(1.0)), 6)
+    assert [(r["id"], r["probability_d"], r["predicted_i"]) for r in rows] == [
+        (1, p1, 1),
+        (2, p2, 0),
+    ]
+
+
+def test_classify_model_stream_takes_last_iteration(spark):
+    """Two-stream Solr form classify(model, data): the model stream's
+    highest-iteration tuple supplies vocabulary + weights."""
+    model = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, -1.0, 4.0)],
+        ["iteration", "w_intercept", "w_spark"],
+    )
+    docs = spark.createDataFrame(
+        [(1, "spark rules"), (2, "no match")], ["id", "text"]
+    )
+    # expose the model frame as a collection so search() can stream it
+    rows = (
+        _comp(spark, {"m": model, "d": docs})
+        .compile(
+            'classify(search(m, q="*:*"), search(d, q="*:*"), field="text")'
+        )
+        .orderBy("id")
+        .collect()
+    )
+    # iteration-2 weights: z = -1 + 4*x  ->  p(spark doc) > 0.5 > p(other)
+    assert rows[0]["predicted_i"] == 1 and rows[1]["predicted_i"] == 0
+    assert rows[0]["probability_d"] > 0.9 and rows[1]["probability_d"] < 0.5
+
+
+def test_classify_rejects_bad_shapes(spark):
+    from hbase_increment_index_spark.search.streaming_expr import StreamExprError
+
+    docs = spark.createDataFrame([(1, "x")], ["id", "text"])
+    comp = _comp(spark, {"d": docs})
+    with pytest.raises(StreamExprError, match="weights must be intercept"):
+        comp.compile(
+            'classify(search(d, q="*:*"), field="text", terms="a,b", '
+            'weights="0.0,1.0")'
+        )
+    with pytest.raises(StreamExprError, match="model stream must emit"):
+        comp.compile(
+            'classify(search(d, q="*:*"), search(d, q="*:*"), field="text")'
+        )
+
+
+# ------------------------------------------------ random() stream source
+
+
+def test_random_deterministic_and_seed_sensitive(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(100)], ["doc_id", "text"]
+    )
+    comp = _comp(spark, {"d": docs})
+    expr = 'random(d, q="*:*", rows="10", idField="doc_id", seed="{s}")'
+    a1 = sorted(r["doc_id"] for r in comp.compile(expr.format(s="s1")).collect())
+    a2 = sorted(r["doc_id"] for r in comp.compile(expr.format(s="s1")).collect())
+    b = sorted(r["doc_id"] for r in comp.compile(expr.format(s="s2")).collect())
+    assert a1 == a2 and len(a1) == 10
+    assert a1 != b  # a new seed is a new draw
+
+
+def test_random_caps_at_matching_rows_and_guards_fl(spark):
+    from hbase_increment_index_spark.search.streaming_expr import StreamExprError
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(5)], ["doc_id", "text"]
+    )
+    comp = _comp(spark, {"d": docs})
+    assert (
+        comp.compile(
+            'random(d, q="*:*", rows="50", idField="doc_id")'
+        ).count()
+        == 5
+    )
+    with pytest.raises(StreamExprError, match="fl must include idField"):
+        comp.compile(
+            'random(d, q="*:*", rows="3", fl="text", idField="doc_id")'
+        )

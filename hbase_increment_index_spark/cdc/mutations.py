@@ -299,3 +299,57 @@ def apply_check_and_put(live: DataFrame, cap_batch: DataFrame) -> DataFrame:
         .otherwise(F.col("_cur"))
         .alias("value"),
     )
+
+
+def apply_check_and_delete(live: DataFrame, cad_batch: DataFrame) -> DataFrame:
+    """HBase ``checkAndDelete`` — the compare-and-DELETE half of the
+    primary store's CAS verb family (Table.checkAndDelete /
+    CheckAndMutate with a Delete), completing
+    :func:`apply_check_and_put`'s twin: each mutation deletes its ROW
+    iff the check on the named cell passes. Row granularity is the
+    HBase/reference contract — the coprocessor's postDelete hook
+    receives only the rowkey and removes the whole document
+    (HbaseSolrIndexCoprocesser.java:55-61), so a passed check here
+    produces exactly the delete event S2 captures.
+
+    ``live``: current live cells (row_key, family, qualifier, value).
+    ``cad_batch``: (row_key, family, qualifier, compare_op, expected)
+    with the same comparator contract as checkAndPut: '=' is exact
+    byte/string equality, '>'/'<' compare as decimal(18,2), 'absent'
+    passes when the checked cell does not exist (the
+    checkAndDelete(null) idiom — "delete unless someone wrote the
+    guard cell").
+
+    Semantics: ALL checks read the same pre-batch snapshot (the
+    apply_check_and_put discipline — per-row atomicity plus
+    batch-snapshot reads make the batch deterministic and order-free).
+    Returns one DECISION row per mutation: (row_key, family,
+    qualifier, applied, old_value). Applying the passed deletes is the
+    caller's one-liner anti-join of ``live`` against the applied keys
+    (compaction.apply_deletes' shape) — decision and application stay
+    separate so the decision frame can feed the delete SINK unchanged
+    (SolrIndexTools.delDoc buffers rowkeys, not cells).
+
+    Plan: one equi join (batch ⋈ live on the cell coordinate —
+    broadcast when the batch is small) + a projection; work ∝ batch
+    size, never state size."""
+    cur = live.select(
+        "row_key", "family", "qualifier", F.col("value").alias("_cur")
+    )
+    j = cad_batch.join(cur, ["row_key", "family", "qualifier"], "left")
+    curd = F.col("_cur").cast("decimal(18,2)")
+    expd = F.col("expected").cast("decimal(18,2)")
+    applied = (
+        F.when(F.col("compare_op") == "absent", F.col("_cur").isNull())
+        .when(F.col("compare_op") == "=", F.col("_cur") == F.col("expected"))
+        .when(F.col("compare_op") == ">", curd > expd)
+        .when(F.col("compare_op") == "<", curd < expd)
+        .otherwise(F.lit(False))
+    )
+    return j.select(
+        "row_key",
+        "family",
+        "qualifier",
+        F.coalesce(applied, F.lit(False)).alias("applied"),
+        F.col("_cur").alias("old_value"),
+    )

@@ -157,6 +157,94 @@ ORDER BY row_key ASC
 """.replace("{log}", _SQL_CELL_LOG.format(delete_type="error"))
 
 
+def cdc_check_and_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HBase checkAndDelete — cdc_check_and_put's twin, completing the
+    primary store's CAS verb family (the same Table API whose Delete
+    the reference's postDelete hook mirrors into a deleteById,
+    HbaseSolrIndexCoprocesser.java:55-61). Every live row attempts to
+    delete itself under a per-row check on its 'click' cell — even-
+    length rowkeys use the 'absent' guard (delete iff no click cell),
+    odd-length use '<' 3.00 — with ALL decisions read from the same
+    pre-batch snapshot (cdc.mutations.apply_check_and_delete: one
+    broadcast join on the cell coordinate, work ∝ batch). Output: one
+    row per mutation with the decision, the pre-image, and the number
+    of live cells the passed delete removes (row granularity — the
+    postDelete contract), which pins decision AND application in one
+    oracle row."""
+    from hbase_increment_index_spark.cdc.cell_model import cell_log_from_events
+    from hbase_increment_index_spark.cdc.compaction import live_cells
+    from hbase_increment_index_spark.cdc.mutations import apply_check_and_delete
+
+    events = _t(spark, sf_dir, "events")
+    live = live_cells(cell_log_from_events(events, delete_event_type="error"))
+    even = F.length("row_key") % 2 == 0
+    batch = live.select("row_key").distinct().select(
+        "row_key",
+        F.lit("cf").alias("family"),
+        F.lit("click").alias("qualifier"),
+        F.when(even, F.lit("absent")).otherwise(F.lit("<")).alias("compare_op"),
+        F.when(even, F.lit(None).cast("string"))
+        .otherwise(F.lit("3.00"))
+        .alias("expected"),
+    )
+    decisions = apply_check_and_delete(live, batch)
+    doomed = decisions.filter(F.col("applied")).select("row_key")
+    removed = (
+        live.join(F.broadcast(doomed), "row_key", "left_semi")
+        .groupBy("row_key")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    return (
+        decisions.join(removed, "row_key", "left")
+        .select(
+            "row_key",
+            "applied",
+            "old_value",
+            F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_cells_removed"),
+        )
+        .orderBy(F.col("row_key").asc())
+    )
+
+
+def _cdc_cad_sql() -> str:
+    return """
+WITH log AS ({log}),
+cell_latest AS (
+  SELECT * FROM log
+  QUALIFY row_number() OVER (
+    PARTITION BY row_key, family, qualifier ORDER BY ts DESC, seq DESC) = 1
+),
+row_latest AS (
+  SELECT row_key, op AS row_op FROM log
+  QUALIFY row_number() OVER (PARTITION BY row_key ORDER BY ts DESC, seq DESC) = 1
+),
+live AS (
+  SELECT c.row_key, c.family, c.qualifier, c.value
+  FROM cell_latest c JOIN row_latest r USING (row_key)
+  WHERE c.op = 'put' AND r.row_op = 'put'
+),
+keys AS (SELECT DISTINCT row_key FROM live),
+cur AS (
+  SELECT k.row_key, l.value AS _cur
+  FROM keys k LEFT JOIN live l
+    ON l.row_key = k.row_key AND l.family = 'cf' AND l.qualifier = 'click'
+),
+dec AS (
+  SELECT row_key,
+         CASE WHEN length(row_key) % 2 = 0 THEN (_cur IS NULL)
+              ELSE COALESCE(CAST(_cur AS DECIMAL(18,2)) < 3.00, FALSE)
+         END AS applied,
+         _cur AS old_value
+  FROM cur
+),
+cnt AS (SELECT row_key, count(*) AS n FROM live GROUP BY row_key)
+SELECT d.row_key, d.applied, d.old_value,
+       CAST(CASE WHEN d.applied THEN c.n ELSE 0 END AS BIGINT) AS n_cells_removed
+FROM dec d JOIN cnt c USING (row_key)
+ORDER BY d.row_key ASC
+""".replace("{log}", _SQL_CELL_LOG.format(delete_type="error"))
+
+
 def cdc_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental (count, Σ) rollup view under a CDC micro-batch —
     the aggregate-view analogue of cdc_merge_batches: a per-source

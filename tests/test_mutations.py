@@ -119,3 +119,51 @@ def test_check_and_put_semantics(spark):
     # r3: absent -> applied, old_value null
     (r3,) = by["r3"]
     assert r3.applied and r3.value == "D" and r3.old_value is None
+
+
+def test_check_and_delete_semantics(spark):
+    """checkAndDelete decisions read the pre-batch snapshot; a passed
+    check dooms the whole ROW (the postDelete row-granularity
+    contract) via the caller's anti-join; failed checks are no-ops."""
+    from pyspark.sql import functions as F
+
+    from hbase_increment_index_spark.cdc.mutations import apply_check_and_delete
+
+    live = spark.createDataFrame(
+        [
+            ("r1", "cf", "q", "10.00"),
+            ("r1", "cf", "other", "keep"),
+            ("r2", "cf", "q", "3.00"),
+            ("r3", "cf", "other", "x"),
+        ],
+        ["row_key", "family", "qualifier", "value"],
+    )
+    batch = spark.createDataFrame(
+        [
+            ("r1", "cf", "q", ">", "5.00"),      # 10 > 5  -> applied
+            ("r2", "cf", "q", ">", "5.00"),      # 3 > 5   -> no-op
+            ("r2", "cf", "q", "=", "3.0"),       # byte-exact: '3.0' != '3.00'
+            ("r3", "cf", "q", "absent", None),   # no q cell -> applied
+            ("r1", "cf", "q", "absent", None),   # exists   -> no-op
+        ],
+        ["row_key", "family", "qualifier", "compare_op", "expected"],
+    )
+    dec = apply_check_and_delete(live, batch)
+    # two checks on the same cell come back as two decision rows, so
+    # assert per-row decision multisets
+    by_row = {
+        r.row_key: sorted(x.applied for x in dec.collect() if x.row_key == r.row_key)
+        for r in dec.select("row_key").distinct().collect()
+    }
+    assert by_row["r1"] == [False, True]   # '>' applied, 'absent' no-op
+    assert by_row["r2"] == [False, False]  # '>' fails; '=' is byte-exact
+    assert by_row["r3"] == [True]
+    # application: anti-join of live against passed keys removes ALL of
+    # r1's and r3's cells, keeps every r2 cell
+    doomed = dec.filter(F.col("applied")).select("row_key").distinct()
+    survivors = live.join(F.broadcast(doomed), "row_key", "left_anti")
+    assert {r.row_key for r in survivors.collect()} == {"r2"}
+    assert survivors.count() == 1
+    # pre-image comes back with the decision
+    old = {(r.row_key, r.old_value) for r in dec.collect()}
+    assert ("r3", None) in old and ("r1", "10.00") in old

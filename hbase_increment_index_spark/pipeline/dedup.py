@@ -383,7 +383,7 @@ def incremental_near_dups_from_index(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
-    max_shingle_df: int | None = None,
+    max_join_shingle_df: int | None = None,
     n_buckets: int = SHINGLE_STORE_BUCKETS,
 ) -> DataFrame:
     """Store-served incremental near-dup pairing: flag INCOMING
@@ -400,14 +400,20 @@ def incremental_near_dups_from_index(
     + the store's maintained (doc, n_sh) side table.
 
     Result-identity with the direct form holds at
-    ``max_shingle_df=None`` (the property test's claim). With a
+    ``max_join_shingle_df=None`` (the property test's claim). With a
     ceiling, this form applies it as a JOIN-SIDE skew guard only —
     high-combined-df shingles (computed over the pruned probe ∪ delta,
     exact for every shingle that could match) are dropped from the
     pairing, but Jaccard denominators keep the store's full per-doc
-    counts; the direct form instead also shrinks the denominators,
-    which would require a store rewrite per ceiling value. Same
-    recall guard, honest denominator.
+    counts; the direct form's ``max_shingle_df`` instead ALSO shrinks
+    the denominators, which would require a store rewrite per ceiling
+    value. Same recall guard, honest denominator — the parameter is
+    named differently from the direct form's ON PURPOSE: under a
+    ceiling the two forms return different jaccard values by contract
+    (divergence pinned by tests/test_round13_ops.py;
+    :func:`ngram_jaccard_pairs_from_index`'s ``max_shingle_df`` keeps
+    the direct form's shrink-the-denominator semantics instead, since
+    the CC delete path needs result-identity with direct re-pairing).
 
     CONTRACT: ``n_buckets`` must equal the value the store was built
     with (both default to SHINGLE_STORE_BUCKETS) — the bucket prune is
@@ -422,7 +428,7 @@ def incremental_near_dups_from_index(
     delta_sizes = delta.groupBy("doc").agg(F.count(F.lit(1)).alias("n_new"))
     new_side = delta.select(F.col("doc").alias("id_new"), "sh")
     old_side = probe.select(F.col("doc").alias("id_old"), "sh")
-    if max_shingle_df is not None:
+    if max_join_shingle_df is not None:
         from pyspark.sql import Window
 
         tagged = new_side.select(
@@ -432,7 +438,7 @@ def incremental_near_dups_from_index(
         )
         tagged = tagged.withColumn(
             "sdf", F.count(F.lit(1)).over(Window.partitionBy("sh"))
-        ).filter(F.col("sdf") <= max_shingle_df)
+        ).filter(F.col("sdf") <= max_join_shingle_df)
         new_side = tagged.filter(F.col("_new")).select(F.col("d").alias("id_new"), "sh")
         old_side = tagged.filter(~F.col("_new")).select(F.col("d").alias("id_old"), "sh")
     common = (
@@ -1863,6 +1869,39 @@ def ngram_jaccard_pairs_from_index(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def read_cow_shingle_store(
+    spark,
+    shingles_path: str,
+    sizes_path: str | None = None,
+) -> tuple[DataFrame, DataFrame | None]:
+    """Adapt the STREAMING COW shingle tables
+    (streaming.merge_microbatch_cow's ``*_shingles_cow`` /
+    ``*_shsizes_cow``, maintained per micro-batch by
+    sinks.merge_upsert_parquet keyed on ``sh`` / ``row_key``) into the
+    (postings, sizes) shapes the store-served pairing functions probe
+    (:func:`incremental_near_dups_from_index`,
+    :func:`ngram_jaccard_pairs_from_index`).
+
+    The COW sink's partition column is ``kb`` = pmod(xxhash64(sh),
+    ITS n_buckets) — the same formula as :func:`shingle_bucket` under
+    a different name and (by default: 64 vs 32) a different modulus.
+    This adapter renames kb → shb so the serve-side ``shb IN (...)``
+    filter lands on the real partition column; the MODULUS CONTRACT
+    stays with the caller: pass the COW sink's ``n_buckets`` to the
+    serve call, or the delta's computed buckets silently miss/mismatch
+    the store's directories (pinned by
+    tests/test_round13_ops.py::test_serve_off_cow_shingle_table)."""
+    postings = spark.read.parquet(shingles_path).select(
+        F.col("row_key").alias("doc"), "sh", F.col("kb").alias("shb")
+    )
+    sizes = None
+    if sizes_path is not None:
+        sizes = spark.read.parquet(sizes_path).select(
+            F.col("row_key").alias("doc"), "n_sh"
+        )
+    return postings, sizes
 
 
 def commit_cluster_labels(

@@ -1266,7 +1266,14 @@ class StreamCompiler:
             F.sum((x * y).cast("decimal(30,12)")).cast("double").alias("_sxy"),
         )
         n = F.col("_n").cast("double")
-        cov = (F.col("_sxy") - F.col("_sx") * F.col("_sy") / n) / (n - 1)
+        # degenerate streams: n <= 1 has no sample covariance (the n-1
+        # denominator would be 0/negative); emit NULL cov explicitly
+        # rather than a silent divide-by-zero (commons-math throws;
+        # NULL keeps the tuple shape stable for oracle comparison)
+        cov = F.when(
+            F.col("_n") > 1,
+            (F.col("_sxy") - F.col("_sx") * F.col("_sy") / n) / (n - 1),
+        )
         return agg.select(
             F.lit(xf).alias("x_field"),
             F.lit(yf).alias("y_field"),
@@ -1319,9 +1326,15 @@ class StreamCompiler:
 
     def _op_expMovingAvg(self, call: Call) -> DataFrame:  # noqa: N802 (Solr name)
         """``expMovingAvg(col(a, f), over="k", window=N)``: exponential
-        moving average with α = 2/(window+1) (Solr math expressions /
-        commons-math semantics): y₀ = x₀, yₜ = α·xₜ + (1−α)·yₜ₋₁
-        along the ``over`` ordering. The recurrence is inherently
+        moving average with α = 2/(window+1): y₀ = x₀,
+        yₜ = α·xₜ + (1−α)·yₜ₋₁ along the ``over`` ordering. NOTE on
+        fidelity: this is the classic y₀ = x₀ EMA variant, which
+        DELIBERATELY diverges from Solr's expMovingAvg output shape —
+        Solr (commons-math ExponentialMovingAverage-style) seeds with
+        the simple average of the first ``window`` values and emits a
+        shortened (n − window + 1) series; the y₀ = x₀ form emits all
+        n rows and needs no warm-up, and its recurrence is what the
+        oracle replays. The recurrence is inherently
         sequential, so the series is gathered into ONE sorted array
         (sort_array ∘ collect_list — deterministic (k, v) order) and
         folded with a codegen'd ``aggregate`` accumulator — no UDF, no

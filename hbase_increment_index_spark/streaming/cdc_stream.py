@@ -481,13 +481,20 @@ def merge_microbatch_cow(
     if shingle_field is not None:
         # COW shingle-postings maintenance (the e2s dedup-index store,
         # folded by the SAME micro-batch as state/docs/postings):
-        # rows (sh, row_key) keyed by shingle — the COW sink's
-        # hash-bucket partitioning IS the e2s bucket layout, so
-        # incremental_near_dups_from_index / ngram_jaccard_pairs_from_
-        # index serve straight off the merged table. Touched shingles =
-        # old text's ∪ new text's; their buckets prune the read-back;
-        # shingles whose last posting left become COW deletes. The
-        # (row_key, n_sh) sizes side table folds in the same pass.
+        # rows (sh, row_key) keyed by shingle. The COW sink's
+        # hash-bucket column is the SAME formula as the e2s store's
+        # (pmod(xxhash64(sh), n)) but under a different name and
+        # modulus — partition column 'kb' with THIS function's
+        # n_buckets (default 64), vs the serve functions' 'shb' with
+        # their own n_buckets (default SHINGLE_STORE_BUCKETS=32). To
+        # serve pairing off the merged table, go through
+        # pipeline.dedup.read_cow_shingle_store (renames kb->shb) and
+        # pass THIS n_buckets to the serve call: the bucket prune is a
+        # pure function of the shingle only under the same modulus.
+        # Touched shingles = old text's ∪ new text's; their buckets
+        # prune the read-back; shingles whose last posting left become
+        # COW deletes. The (row_key, n_sh) sizes side table folds in
+        # the same pass.
         from hbase_increment_index_spark.pipeline.dedup import shingle_grams
 
         shingles_path = index_path + "_shingles_cow"

@@ -73,7 +73,7 @@ def test_from_index_skew_guard_prunes_join_only(spark):
     )
     guarded = incremental_near_dups_from_index(
         store, sizes, incoming, "doc_id", "text", n=3, threshold=0.0,
-        max_shingle_df=5,
+        max_join_shingle_df=5,
     )
     f = {(r["id_new"], r["id_old"]): r["jaccard"] for r in free.collect()}
     g = {(r["id_new"], r["id_old"]): r["jaccard"] for r in guarded.collect()}

@@ -245,3 +245,166 @@ def test_random_caps_at_matching_rows_and_guards_fl(spark):
         comp.compile(
             'random(d, q="*:*", rows="3", fl="text", idField="doc_id")'
         )
+
+
+def test_cov_degenerate_stream_yields_null(spark):
+    """cov() on a 1-row bound stream: no sample covariance exists
+    (n-1 = 0) — the op must emit an explicit NULL cov with n intact,
+    not a silent divide-by-zero artifact."""
+    one = spark.createDataFrame([(1, 2.0, 3.0)], ["k", "x", "y"])
+    comp = _comp(spark, {"a": one})
+    row = comp.compile(
+        'let(a=search(a, q="*:*"), cov(col(a, x), col(a, y)))'
+    ).head()
+    assert row["n"] == 1 and row["cov"] is None
+    two = spark.createDataFrame([(1, 2.0, 3.0), (2, 4.0, 7.0)], ["k", "x", "y"])
+    comp2 = _comp(spark, {"a": two})
+    row2 = comp2.compile(
+        'let(a=search(a, q="*:*"), cov(col(a, x), col(a, y)))'
+    ).head()
+    assert row2["n"] == 2 and row2["cov"] == 4.0  # ((2-3)(3-5)+(4-3)(7-5))/1
+
+
+def test_ceiling_semantics_diverge_by_contract(spark):
+    """Under a shingle-df ceiling the two store-served pairing forms
+    differ ON PURPOSE (ADVICE r12): incremental_near_dups_from_index's
+    max_join_shingle_df prunes the JOIN only (full-store
+    denominators -> jaccard can only drop vs the un-ceilinged run),
+    while ngram_jaccard_pairs_from_index's max_shingle_df also shrinks
+    denominators to stay result-identical with the direct form
+    ngram_jaccard_pairs(max_shingle_df=...)."""
+    from hbase_increment_index_spark.pipeline.dedup import (
+        build_shingle_postings,
+        incremental_near_dups,
+        incremental_near_dups_from_index,
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_from_index,
+        shingle_doc_sizes,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    store = build_shingle_postings(docs, "doc_id", "text", n=3)
+    sizes = shingle_doc_sizes(store)
+    ceil = 4
+    # batch form: served-with-ceiling == direct-with-ceiling, exactly
+    direct = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.0, max_shingle_df=ceil
+        ).collect()
+    }
+    served = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in ngram_jaccard_pairs_from_index(
+            store, sizes, threshold=0.0, max_shingle_df=ceil
+        ).collect()
+    }
+    assert direct == served and len(direct) > 0
+    # incremental form: join-side-only guard keeps full denominators,
+    # so its jaccard values DIVERGE from the direct ceilinged form
+    existing = docs.filter(F.col("doc_id") % 10 != 0)
+    incoming = docs.filter(F.col("doc_id") % 10 == 0)
+    st = build_shingle_postings(existing, "doc_id", "text", n=3)
+    inc_direct = {
+        (r["id_new"], r["id_old"]): r["jaccard"]
+        for r in incremental_near_dups(
+            existing, incoming, "doc_id", "text", n=3, threshold=0.0,
+            max_shingle_df=ceil,
+        ).collect()
+    }
+    inc_served = {
+        (r["id_new"], r["id_old"]): r["jaccard"]
+        for r in incremental_near_dups_from_index(
+            st, shingle_doc_sizes(st), incoming, "doc_id", "text", n=3,
+            threshold=0.0, max_join_shingle_df=ceil,
+        ).collect()
+    }
+    overlap = set(inc_direct) & set(inc_served)
+    assert overlap  # same candidate pairs survive the same join prune
+    assert any(inc_direct[k] != inc_served[k] for k in overlap), (
+        "expected denominator divergence under the ceiling"
+    )
+    # ...and the served values are never ABOVE the direct ones (full
+    # denominators can only deflate jaccard)
+    assert all(inc_served[k] <= inc_direct[k] for k in overlap)
+
+
+def test_serve_off_cow_shingle_table(spark, tmp_path):
+    """The COW->serve adapter (ADVICE r12): a streaming COW shingle
+    table (partition column kb, its OWN n_buckets) adapted through
+    read_cow_shingle_store and probed with the SINK's n_buckets is
+    result-identical to direct pairing. The modulus contract is the
+    caller's: same formula, same n_buckets, or the prune mismatches."""
+    from hbase_increment_index_spark.pipeline.dedup import (
+        incremental_near_dups,
+        incremental_near_dups_from_index,
+        read_cow_shingle_store,
+        shingle_grams,
+    )
+    from hbase_increment_index_spark.sinks import merge_upsert_parquet
+
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select(F.col("doc_id").cast("string").alias("row_key"), "text")
+        .limit(120)
+    )
+    existing = docs.filter(F.col("row_key").cast("long") % 10 != 0)
+    incoming = docs.filter(F.col("row_key").cast("long") % 10 == 0)
+    cow_buckets = 16  # deliberately NOT the serve default (32)
+    postings_rows = existing.select(
+        "row_key", F.explode(shingle_grams("text", 3)).alias("sh")
+    ).distinct()
+    sizes_rows = postings_rows.groupBy("row_key").agg(
+        F.count(F.lit(1)).alias("n_sh")
+    )
+    shp, szp = str(tmp_path / "sh_cow"), str(tmp_path / "sz_cow")
+    merge_upsert_parquet(spark, shp, postings_rows, "sh", n_buckets=cow_buckets)
+    merge_upsert_parquet(spark, szp, sizes_rows, "row_key", n_buckets=cow_buckets)
+
+    store, sizes = read_cow_shingle_store(spark, shp, szp)
+    assert store.columns == ["doc", "sh", "shb"]
+    assert store.agg(F.max("shb")).head()[0] < cow_buckets
+    served = incremental_near_dups_from_index(
+        store, sizes, incoming, "row_key", "text", n=3, threshold=0.30,
+        n_buckets=cow_buckets,  # the sink's modulus, not the default
+    )
+    direct = incremental_near_dups(
+        existing, incoming, "row_key", "text", n=3, threshold=0.30
+    )
+    s = {(r["id_new"], r["id_old"], r["jaccard"]) for r in served.collect()}
+    d = {(r["id_new"], r["id_old"], r["jaccard"]) for r in direct.collect()}
+    assert s == d and len(d) > 0
+
+
+def test_bpe_folded_merges_k50_under_ceiling(spark):
+    """The folded merge application (one regexp pass per iteration,
+    materialized symbol column) must sustain k far past toy sizes:
+    50 merges over the sf0.001 vocabulary inside a generous wall-clock
+    ceiling (the O(k^2) stacked form blows this budget), and the first
+    5 merges must equal the k=5 run (prefix stability — folding
+    changes the cost, never the learned table)."""
+    import time
+
+    from hbase_increment_index_spark.queries._pipeline_curation import (
+        _bpe_merge_list,
+    )
+    from hbase_increment_index_spark.search.tokenize import tokens
+
+    words = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select(F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    t0 = time.time()
+    m50 = _bpe_merge_list(words, 50)
+    elapsed = time.time() - t0
+    assert len(m50) == 50  # the vocab supports 50 merges
+    assert elapsed < 120, f"k=50 took {elapsed:.0f}s"
+    m5 = _bpe_merge_list(words, 5)
+    assert m50[:5] == m5
+    # learned pairs are strictly orderable: counts never increase
+    counts = [c for (_, _, _, c) in m50]
+    assert all(a >= b for a, b in zip(counts, counts[1:]))

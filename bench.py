@@ -439,28 +439,43 @@ def main() -> None:
     # delta's bounded bucket IN-list is a directory prune; the sizes
     # side table ships with it (the doclen discipline).
     from hbase_increment_index_spark.pipeline.dedup import (
+        SHINGLE_STORE_BUCKETS,
         build_shingle_postings,
         incremental_near_dups_from_index,
         shingle_doc_sizes,
         write_shingle_store,
     )
 
+    # The bucket count is a SIZING DIAL, not a constant (r12 verdict
+    # #4): buckets ~ corpus_shingle_postings / target-partition-rows —
+    # at the 32 default a large delta touches every directory and the
+    # IN-list prune saves nothing (SCALE.md r13 has the rule). The
+    # builder threads it end-to-end so non-default layouts are benched
+    # the same way they'd be deployed; serve calls MUST pass the same
+    # value (the modulus contract, pytest-pinned).
+    shingle_buckets = int(
+        os.environ.get("SPARK_GRAFT_SHINGLE_BUCKETS", SHINGLE_STORE_BUCKETS)
+    )
     t0 = time.time()
-    _shp = build_shingle_postings(_d0, "doc_id", "text", n=3)
+    _shp = build_shingle_postings(
+        _d0, "doc_id", "text", n=3, n_buckets=shingle_buckets
+    )
     write_shingle_store(_shp, f"{idx_dir}/shingles/postings")
     shingle_doc_sizes(
         spark.read.parquet(f"{idx_dir}/shingles/postings")
     ).write.mode("overwrite").parquet(f"{idx_dir}/shingles/sizes")
     shstore_build_sec = round(time.time() - t0, 3)
     print(
-        f"# shingle-postings store build+save (one-time): {shstore_build_sec:.3f}s",
+        f"# shingle-postings store build+save (one-time, n_buckets="
+        f"{shingle_buckets}): {shstore_build_sec:.3f}s",
         file=sys.stderr,
     )
     _shstore = spark.read.parquet(f"{idx_dir}/shingles/postings")
     _shsizes = spark.read.parquet(f"{idx_dir}/shingles/sizes")
 
     served["e2s_store_served"] = lambda: incremental_near_dups_from_index(
-        _shstore, _shsizes, _delta, "doc_id", "text", n=3, threshold=0.30
+        _shstore, _shsizes, _delta, "doc_id", "text", n=3, threshold=0.30,
+        n_buckets=shingle_buckets,
     )
 
     def _cc_merge_serve():
@@ -468,7 +483,8 @@ def main() -> None:
         # buckets) + delta-internal pairs (∝ |delta|²-bounded banding),
         # folded into the stored labels — no corpus text anywhere
         bip = incremental_near_dups_from_index(
-            _shstore, _shsizes, _delta, "doc_id", "text", n=3, threshold=0.30
+            _shstore, _shsizes, _delta, "doc_id", "text", n=3, threshold=0.30,
+            n_buckets=shingle_buckets,
         ).select(_F.col("id_new").alias("id_a"), _F.col("id_old").alias("id_b"))
         internal = ngram_jaccard_pairs(
             _delta, "doc_id", "text", n=3, threshold=0.30

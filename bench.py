@@ -216,6 +216,7 @@ HEADLINE = [
     "q85_stream_classify",
     "q61t_stream_random",
     "cdc_check_and_delete",
+    "e4q_unigram_train",
 ]
 
 
@@ -592,7 +593,7 @@ def main() -> None:
         "q61p_stream_shortest_path", "e4o_bpe_train",
         "q39h_json_facet_percentile",
         "q85_stream_classify", "q61t_stream_random",
-        "cdc_check_and_delete",
+        "cdc_check_and_delete", "e4q_unigram_train",
     ]
     # The driver captures only the LAST 2000 chars of stdout, so the
     # line must stay under budget. An over-budget subset DEGRADES
@@ -627,8 +628,13 @@ def main() -> None:
         )
         if cands:
             prev = json.load(open(cands[-1]))
-            pq = (prev.get("parsed") or {}).get("queries") or {}
-            pp = (prev.get("parsed") or {}).get("cpu_probe_sec")
+            parsed = prev.get("parsed") or {}
+            pq = parsed.get("queries") or {}
+            pp = parsed.get("cpu_probe_sec")
+            # only comparable at the SAME scale factor (a local sf0.001
+            # smoke vs the driver's sf0.1 record is not a regression)
+            if parsed.get("sf") != sf:
+                pq = {}
             common = [k for k in pq if k in timings and pq[k] > 0]
             prev_total = sum(pq[k] for k in common)
             cur_total = sum(timings[k] for k in common)

@@ -3189,3 +3189,251 @@ def _e4p_sql(k: int = 5) -> str:
         for i in range(k + 1)
     ]
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(outs) + "\nORDER BY n_merges"
+
+
+# --------------------------------------------- E4q unigram-LM (EM) training
+
+
+def e4q_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer LEARNING (r12 verdict #6) — the
+    SentencePiece-style EM companion to e4o's BPE (Kudo 2018, the
+    public algorithm): fit piece probabilities by
+    expectation-maximization over the frequency-weighted word
+    vocabulary. Bounded fixture form (every bound documented):
+    candidate inventory = ALL single characters (so every word stays
+    segmentable) + the top-16 substrings of length 2–3 by
+    frequency-weighted occurrence count (ties lexicographic); initial
+    probabilities ∝ those counts; 3 EM iterations; max piece length 3.
+
+    E-step — the real thing, not Viterbi: per word, forward/backward
+    lattice sums (αᵢ = Σ_k p(w[i−k..i])·αᵢ₋ₖ, β symmetric) give each
+    candidate occurrence its posterior mass wc·α·p·β/α_L; expected
+    counts sum those. M-step: renormalize. Spark plan per iteration —
+    the q84/e4o device: α and β fold as codegen'd ``aggregate``
+    accumulators over the word's positions (probabilities baked in as
+    a ≤~50-entry map literal, no UDF, no join), expected counts are
+    ONE vocabulary-bounded hash aggregate over the (i,k) slice
+    explode riding exact decimals, and the per-iteration |V|-row
+    collect becomes the next iteration's literals (the bounded CC-loop
+    discipline). Determinism across engines: the recurrences are
+    written with IDENTICAL operation order in the Spark expressions
+    and the oracle's recursive CTEs, sums are exact decimals, and the
+    only divisions are IEEE doubles on identical operands — the
+    whole EM replayed operation-for-operation in SQL (6 recursive
+    CTEs, the q61s/e4o device). Output: (iteration, piece, prob) for
+    every candidate, all three iterations."""
+    from hbase_increment_index_spark.search.tokenize import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    return _unigram_em(spark, words, k_multi=16, iters=3)
+
+
+def _unigram_em(
+    spark: SparkSession, words: DataFrame, k_multi: int, iters: int
+) -> DataFrame:
+    """The EM loop over a (word, wc) vocabulary frame — see
+    e4q_unigram_train for algorithm/plan/determinism notes."""
+    words = words.localCheckpoint(eager=True)  # consumed once per iteration
+
+    def slices(frame: DataFrame) -> DataFrame:
+        return (
+            frame.withColumn("i", F.explode(F.sequence(F.lit(1), F.length("word"))))
+            .withColumn("k", F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))))
+            .filter(F.col("k") <= F.col("i"))
+            .withColumn(
+                "piece",
+                F.col("word").substr(F.col("i") - F.col("k") + F.lit(1), F.col("k")),
+            )
+        )
+
+    occ = slices(words).groupBy("piece").agg(F.sum("wc").alias("cnt"))
+    singles = occ.filter(F.length("piece") == 1).collect()
+    multi = (
+        occ.filter(F.length("piece") >= 2)
+        .orderBy(F.col("cnt").desc(), F.col("piece").asc())
+        .limit(k_multi)
+        .collect()
+    )
+    cand = {r["piece"]: int(r["cnt"]) for r in [*singles, *multi]}
+    total0 = sum(cand.values())
+    probs = {p: float(c) / float(total0) for p, c in cand.items()}
+
+    def pmap():
+        flat = []
+        for piece in sorted(probs):
+            flat += [F.lit(piece), F.lit(probs[piece])]
+        return F.create_map(*flat)
+
+    def lookup(pm, piece_col):
+        return F.coalesce(F.try_element_at(pm, piece_col), F.lit(0.0))
+
+    def alpha_expr(pm):
+        # alpha[0..L], 1-based array positions m+1 for alpha_m
+        def step(acc, i):
+            t1 = lookup(pm, F.col("word").substr(i, F.lit(1))) * F.element_at(acc, i)
+            t2 = F.when(
+                i >= 2,
+                lookup(pm, F.col("word").substr(i - 1, F.lit(2)))
+                * F.element_at(acc, i - 1),
+            ).otherwise(F.lit(0.0))
+            t3 = F.when(
+                i >= 3,
+                lookup(pm, F.col("word").substr(i - 2, F.lit(3)))
+                * F.element_at(acc, i - 2),
+            ).otherwise(F.lit(0.0))
+            return F.concat(acc, F.array(t1 + t2 + t3))
+
+        return F.aggregate(
+            F.sequence(F.lit(1), F.length("word")),
+            F.array(F.lit(1.0)),
+            step,
+        )
+
+    def beta_expr(pm):
+        # reversed: array position p holds beta_{L-p+1}
+        def step(acc, j):
+            start = F.length("word") - j + 1
+            t1 = lookup(pm, F.col("word").substr(start, F.lit(1))) * F.element_at(
+                acc, j
+            )
+            t2 = F.when(
+                j >= 2,
+                lookup(pm, F.col("word").substr(start, F.lit(2)))
+                * F.element_at(acc, j - 1),
+            ).otherwise(F.lit(0.0))
+            t3 = F.when(
+                j >= 3,
+                lookup(pm, F.col("word").substr(start, F.lit(3)))
+                * F.element_at(acc, j - 2),
+            ).otherwise(F.lit(0.0))
+            return F.concat(acc, F.array(t1 + t2 + t3))
+
+        return F.aggregate(
+            F.sequence(F.lit(1), F.length("word")),
+            F.array(F.lit(1.0)),
+            step,
+        )
+
+    out_rows: list[tuple[int, str, float]] = []
+    for t in range(1, iters + 1):
+        pm = pmap()
+        wa = words.select(
+            "word",
+            "wc",
+            alpha_expr(pm).alias("alpha"),
+            beta_expr(pm).alias("beta_rev"),
+        )
+        sl = slices(wa)
+        ln = F.length("word")
+        a_v = F.element_at(F.col("alpha"), F.col("i") - F.col("k") + 1)
+        b_v = F.element_at(F.col("beta_rev"), ln - F.col("i") + 1)
+        z_v = F.element_at(F.col("alpha"), ln + 1)
+        p_v = F.try_element_at(pm, F.col("piece"))
+        contrib = F.col("wc") * a_v * p_v * b_v / z_v
+        e_rows = (
+            sl.filter(p_v.isNotNull())
+            .groupBy("piece")
+            .agg(F.sum(contrib.cast("decimal(30,12)")).alias("ec"))
+            .collect()  # bounded: |V| <= singles + k_multi rows
+        )
+        total = sum(r["ec"] for r in e_rows)
+        probs = {r["piece"]: float(r["ec"]) / float(total) for r in e_rows}
+        out_rows += [(t, p, probs[p]) for p in sorted(probs)]
+    return (
+        spark.createDataFrame(out_rows, "iteration long, piece string, prob double")
+        .select("iteration", "piece", F.round("prob", 6).alias("prob"))
+        .orderBy("iteration", "piece")
+    )
+
+
+def _e4q_sql(k_multi: int = 16, iters: int = 3) -> str:
+    """The unigram-EM oracle: candidate selection + initial probs +
+    every EM iteration replayed as sequential CTEs, with alpha/beta
+    lattice recurrences as recursive CTEs carrying the last three
+    values (max piece length 3) — operation order identical to the
+    Spark expressions (see _unigram_em)."""
+    toks = _SQL_TOKS.format(c="text")
+    ctes = [
+        f"words AS MATERIALIZED (SELECT word, count(*) AS wc FROM "
+        f"(SELECT unnest({toks}) AS word FROM documents) GROUP BY word)",
+        "slices AS MATERIALIZED (SELECT w.word, w.wc, t1.i, t2.k, "
+        "substr(w.word, t1.i - t2.k + 1, t2.k) AS piece FROM words w, "
+        "LATERAL (SELECT unnest(generate_series(1, length(w.word))) AS i) t1, "
+        "LATERAL (SELECT unnest([1, 2, 3]) AS k) t2 WHERE t2.k <= t1.i)",
+        "occ AS MATERIALIZED (SELECT piece, SUM(wc) AS cnt FROM slices GROUP BY piece)",
+        "cand AS MATERIALIZED (SELECT piece, cnt FROM occ WHERE length(piece) = 1 "
+        "UNION ALL SELECT piece, cnt FROM (SELECT piece, cnt FROM occ "
+        f"WHERE length(piece) >= 2 ORDER BY cnt DESC, piece ASC LIMIT {k_multi}))",
+        "p0 AS MATERIALIZED (SELECT piece, CAST(cnt AS DOUBLE) / "
+        "CAST((SELECT SUM(cnt) FROM cand) AS DOUBLE) AS p FROM cand)",
+    ]
+    outs = []
+    for t in range(1, iters + 1):
+        prev = f"p{t - 1}"
+        ctes.append(
+            f"a{t}(word, wc, i, a0, a1, a2) AS ("
+            "SELECT word, wc, 0, CAST(1.0 AS DOUBLE), CAST(0.0 AS DOUBLE), "
+            "CAST(0.0 AS DOUBLE) FROM words "
+            "UNION ALL "
+            "SELECT s.word, s.wc, s.i + 1, "
+            "COALESCE(p1.p, 0.0) * s.a0 "
+            "+ CASE WHEN s.i >= 1 THEN COALESCE(p2.p, 0.0) * s.a1 ELSE 0.0 END "
+            "+ CASE WHEN s.i >= 2 THEN COALESCE(p3.p, 0.0) * s.a2 ELSE 0.0 END, "
+            "s.a0, s.a1 "
+            f"FROM a{t} s "
+            f"LEFT JOIN {prev} p1 ON p1.piece = substr(s.word, s.i + 1, 1) "
+            f"LEFT JOIN {prev} p2 ON s.i >= 1 AND p2.piece = substr(s.word, s.i, 2) "
+            f"LEFT JOIN {prev} p3 ON s.i >= 2 AND p3.piece = substr(s.word, s.i - 1, 3) "
+            "WHERE s.i < length(s.word))"
+        )
+        ctes.append(
+            f"b{t}(word, j, b0, b1, b2) AS ("
+            "SELECT word, 0, CAST(1.0 AS DOUBLE), CAST(0.0 AS DOUBLE), "
+            "CAST(0.0 AS DOUBLE) FROM words "
+            "UNION ALL "
+            "SELECT s.word, s.j + 1, "
+            "COALESCE(q1.p, 0.0) * s.b0 "
+            "+ CASE WHEN s.j >= 1 THEN COALESCE(q2.p, 0.0) * s.b1 ELSE 0.0 END "
+            "+ CASE WHEN s.j >= 2 THEN COALESCE(q3.p, 0.0) * s.b2 ELSE 0.0 END, "
+            "s.b0, s.b1 "
+            f"FROM b{t} s "
+            f"LEFT JOIN {prev} q1 ON q1.piece = "
+            "substr(s.word, length(s.word) - s.j, 1) "
+            f"LEFT JOIN {prev} q2 ON s.j >= 1 AND q2.piece = "
+            "substr(s.word, length(s.word) - s.j, 2) "
+            f"LEFT JOIN {prev} q3 ON s.j >= 2 AND q3.piece = "
+            "substr(s.word, length(s.word) - s.j, 3) "
+            "WHERE s.j < length(s.word))"
+        )
+        ctes.append(
+            f"e{t} AS MATERIALIZED (SELECT sl.piece, "
+            "SUM(CAST(sl.wc * aa.a0 * pr.p * bb.b0 / z.z AS DECIMAL(30,12))) AS ec "
+            "FROM slices sl "
+            f"JOIN {prev} pr ON pr.piece = sl.piece "
+            f"JOIN a{t} aa ON aa.word = sl.word AND aa.i = sl.i - sl.k "
+            f"JOIN b{t} bb ON bb.word = sl.word "
+            "AND length(sl.word) - bb.j = sl.i "
+            f"JOIN (SELECT word, a0 AS z FROM a{t} WHERE i = length(word)) z "
+            "ON z.word = sl.word "
+            "GROUP BY 1)"
+        )
+        ctes.append(
+            f"p{t} AS MATERIALIZED (SELECT piece, CAST(ec AS DOUBLE) / "
+            f"CAST((SELECT SUM(ec) FROM e{t}) AS DOUBLE) AS p FROM e{t})"
+        )
+        outs.append(
+            f"SELECT CAST({t} AS BIGINT) AS iteration, piece, "
+            f"ROUND(p, 6) AS prob FROM p{t}"
+        )
+    return (
+        "WITH RECURSIVE "
+        + ",\n".join(ctes)
+        + "\n"
+        + "\nUNION ALL\n".join(outs)
+        + "\nORDER BY iteration, piece"
+    )

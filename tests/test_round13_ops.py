@@ -408,3 +408,51 @@ def test_bpe_folded_merges_k50_under_ceiling(spark):
     # learned pairs are strictly orderable: counts never increase
     counts = [c for (_, _, _, c) in m50]
     assert all(a >= b for a, b in zip(counts, counts[1:]))
+
+
+# --------------------------------------------- unigram-LM EM (e4q)
+
+
+def test_unigram_em_shifts_mass_to_real_pieces(spark):
+    """EM on a corpus built from 'ab' repeats must shift probability
+    mass onto the 'ab' piece monotonically across iterations (the
+    SentencePiece behavior the op exists for), with each iteration's
+    distribution summing to 1 over the candidate inventory."""
+    from hbase_increment_index_spark.queries._pipeline_curation import (
+        _unigram_em,
+    )
+
+    words = spark.createDataFrame(
+        [("ab", 30), ("abc", 2), ("cab", 2)], ["word", "wc"]
+    )
+    rows = _unigram_em(spark, words, k_multi=16, iters=3).collect()
+    by_iter = {}
+    for r in rows:
+        by_iter.setdefault(r["iteration"], {})[r["piece"]] = r["prob"]
+    assert sorted(by_iter) == [1, 2, 3]
+    for t, probs in by_iter.items():
+        assert abs(sum(probs.values()) - 1.0) < 1e-4, (t, sum(probs.values()))
+        assert all(p >= 0 for p in probs.values())
+        # singles always in the inventory (segmentability guarantee)
+        assert {"a", "b", "c"} <= set(probs)
+    p_ab = [by_iter[t]["ab"] for t in (1, 2, 3)]
+    assert p_ab[0] < p_ab[1] < p_ab[2]  # mass flows to the real piece
+    # ...and 'ab' ends up the dominant piece in the inventory
+    assert by_iter[3]["ab"] == max(by_iter[3].values())
+
+
+def test_unigram_em_candidate_selection_is_bounded_and_deterministic(spark):
+    """k_multi caps the multi-char inventory (ties lexicographic);
+    reruns are bit-identical (no RNG anywhere)."""
+    from hbase_increment_index_spark.queries._pipeline_curation import (
+        _unigram_em,
+    )
+
+    words = spark.createDataFrame(
+        [("abcd", 5), ("bcde", 4), ("cdef", 3)], ["word", "wc"]
+    )
+    a = _unigram_em(spark, words, k_multi=4, iters=2).collect()
+    b = _unigram_em(spark, words, k_multi=4, iters=2).collect()
+    assert a == b
+    multi = {r["piece"] for r in a if len(r["piece"]) >= 2}
+    assert len(multi) <= 4

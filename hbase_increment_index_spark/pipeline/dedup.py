@@ -1914,6 +1914,7 @@ def commit_cluster_labels(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    n_buckets: int = SHINGLE_STORE_BUCKETS,
 ) -> DataFrame:
     """CC-label maintenance under one MIXED CDC batch (inserts +
     updates + deletes) — the composed, ordered fold
@@ -1946,9 +1947,10 @@ def commit_cluster_labels(
     ``stored``/``store_postings``/``store_sizes`` describe the
     PRE-batch state (labels + shingle store + sizes side table);
     ``changed_docs`` holds post-images of inserts and updates;
-    ``deleted_ids`` the batch's delete set. Work: step 1 ∝ Σ|affected
-    components|, step 2 ∝ |delta pairs| — the corpus is never
-    re-paired."""
+    ``deleted_ids`` the batch's delete set; ``n_buckets`` must equal
+    the value ``store_postings`` was built with (the shingle-store
+    modulus contract). Work: step 1 ∝ Σ|affected components|, step 2
+    ∝ |delta pairs| — the corpus is never re-paired."""
     touched = (
         changed_docs.select(F.col(id_col).alias(id_col))
         .unionByName(deleted_ids.select(F.col(id_col).alias(id_col)))
@@ -1976,6 +1978,7 @@ def commit_cluster_labels(
         text_col,
         n=n,
         threshold=threshold,
+        n_buckets=n_buckets,
     ).select(F.col("id_new").alias("id_a"), F.col("id_old").alias("id_b"))
     internal = ngram_jaccard_pairs(
         changed_docs, id_col, text_col, n=n, threshold=threshold

@@ -195,7 +195,7 @@ def cdc_check_and_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("_n"))
     )
     return (
-        decisions.join(removed, "row_key", "left")
+        decisions.join(F.broadcast(removed), "row_key", "left")
         .select(
             "row_key",
             "applied",

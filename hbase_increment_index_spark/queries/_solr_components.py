@@ -3472,3 +3472,30 @@ SELECT doc_id, source FROM (
 )
 ORDER BY doc_id
 """
+
+
+def q61u_stream_drill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/stream ``drill()`` — Solr's DrillStream (solrj 9.x, reference
+    pom.xml:22): push a rollup INTO the /export handler per shard,
+    re-aggregate the partials at the coordinator — Solr's answer to
+    high-cardinality aggregations. On Spark the two-level topology IS
+    the native hash aggregate (map-side partials per partition = the
+    per-shard leg; one shuffle of partials = the coordinator merge),
+    so the engine compiles drill() to the inner expression over the
+    pushed-filter source and Catalyst plans exactly the shape
+    DrillStream hand-builds (search.streaming_expr._op_drill). The
+    sort= param is accepted and ignored — it exists so Solr can
+    streaming-merge; a hash aggregate needs no sorted input."""
+    return _stream(
+        spark, sf_dir,
+        'drill(documents, q="*:*", fl="source,n_chars", sort="source asc", '
+        'rollup(input(), over="source", count(*), sum(n_chars)))',
+    ).orderBy("source")
+
+
+Q61U_SQL = """
+SELECT source, count(*) AS count_star, CAST(SUM(n_chars) AS BIGINT) AS sum_n_chars
+FROM documents
+GROUP BY source
+ORDER BY source
+"""

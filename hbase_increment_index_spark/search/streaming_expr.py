@@ -75,6 +75,13 @@ Supported stream sources/decorators (Solr names):
                                        # or terms=/weights= literals)
     random(table, q="...", rows=N, seed="s")  # deterministic sample
                                        # (content-hash E-S keys)
+    delete(dest, stream, key="idField")  # write-back decorator: COW
+                                       # deleteById (update()'s twin)
+    drill(table, q="...", fl="...", sort="...",
+          rollup(input(), over="a", metrics...))  # export-handler
+                                       # pushdown agg; compiles to the
+                                       # native partials-then-merge
+                                       # hash aggregate
 
 Metric aliases are deterministic (`sum(x)` → column ``sum_x``,
 `count(*)` → ``count_star``), so an oracle SQL twin can name the same
@@ -851,6 +858,124 @@ class StreamCompiler:
         return df.sparkSession.range(1).select(
             F.lit(n).cast("long").alias("batchIndexed")
         )
+
+    def _op_delete(self, call: Call) -> DataFrame:
+        """Solr ``delete()`` write-back decorator (DeleteStream, solrj
+        9.x): the inner stream's tuples are deleted BY ID from the
+        destination collection — the stream-language spelling of the
+        reference's delete path (postDelete → buffered deleteById,
+        HbaseSolrIndexCoprocesser.java:55-61 / SolrIndexTools.java:
+        105-129). Here the destination is the same
+        :func:`sinks.merge_upsert_parquet` copy-on-write table
+        update() writes to, driven with ``delete_col`` — so
+        update()/delete() close the full add/delete sink pair (S6/S7)
+        inside the expression language, and untouched bucket files
+        stay byte-identical.
+
+        Emits Solr's summary tuple: ``totalIndexed`` (ids deleted).
+        EAGER, same contract and localCheckpoint discipline as
+        update()."""
+        from hbase_increment_index_spark.sinks import merge_upsert_parquet
+
+        if not call.fields:
+            raise StreamExprError("delete needs a destination collection name")
+        dest = call.fields[0]
+        if dest not in self.sink_paths:
+            raise StreamExprError(
+                f"destination {dest!r} not registered in sink_paths"
+            )
+        key = self._param(call, "key")
+        df = self._one_stream(call)
+        if key not in df.columns:
+            raise StreamExprError(f"delete stream lacks key column {key!r}")
+        # the COW merge unions the delta with kept rows, so delete rows
+        # must carry the DESTINATION's full schema (null-padded) — the
+        # same shape the streaming sink's vanished-key deletes use
+        # (streaming.merge_microbatch_cow)
+        from hbase_increment_index_spark.sinks import read_merged_table
+
+        dest_schema = read_merged_table(df.sparkSession, self.sink_paths[dest]).schema
+        if key not in dest_schema.names:
+            raise StreamExprError(
+                f"destination {dest!r} has no key column {key!r}"
+            )
+        batch = (
+            df.select(key).distinct()
+            .select(
+                *[
+                    F.col(key) if f.name == key
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in dest_schema.fields
+                ]
+            )
+            .withColumn("_del", F.lit(True))
+            .localCheckpoint(eager=True)
+        )
+        n = batch.count()
+        merge_upsert_parquet(
+            batch.sparkSession,
+            self.sink_paths[dest],
+            batch,
+            key,
+            n_buckets=int(call.params.get("buckets", 64)),
+            delete_col="_del",
+        )
+        return batch.sparkSession.range(1).select(
+            F.lit(n).cast("long").alias("totalIndexed")
+        )
+
+    def _op_drill(self, call: Call) -> DataFrame:
+        """Solr ``drill()`` (DrillStream, solrj 9.x): push an
+        aggregation INTO the /export handler on every shard, then
+        re-aggregate the per-shard partials — Solr's answer to
+        high-cardinality rollups that would drown the aggregator node:
+
+            drill(coll, q="...", fl="a,b", sort="a asc",
+                  rollup(input(), over="a", count(*), sum(b)))
+
+        The inner expression runs per shard with ``input()`` bound to
+        that shard's sorted export stream. On Spark this two-level
+        shape IS the native hash aggregate — map-side partial
+        aggregation per partition (the per-shard leg) feeding the
+        final merge after one shuffle of partials — so the engine
+        compiles drill() to the inner expression evaluated over the
+        pushed-filter source, and Catalyst plans exactly the
+        partials-then-merge topology DrillStream hand-builds (the
+        whole point of preferring declarative plans: the optimization
+        Solr implements as a stream decorator falls out of
+        WholeStageCodegen hash aggregation for free). ``sort`` is
+        accepted and ignored: it exists to make Solr's streaming merge
+        possible, and a hash aggregate needs no sorted input."""
+        if not call.fields:
+            raise StreamExprError("drill needs a collection name")
+        if len(call.streams) != 1:
+            raise StreamExprError("drill takes exactly one inner expression")
+        call.params.pop("sort", None)  # merge-order hint only; see docstring
+        src = self._source(call)
+        inner = call.streams[0]
+
+        def bind_input(c: Call) -> None:
+            for idx, sub in enumerate(c.streams):
+                if sub.name == "input" and not sub.streams:
+                    c.streams[idx] = Call(name="__drill_input__")
+                else:
+                    bind_input(sub)
+
+        bind_input(inner)
+        prev = self.tables.get("__drill_input__")
+        self.tables["__drill_input__"] = src
+        # the parser resolves input() as a zero-arg call; _eval routes
+        # __drill_input__ through the table catalog
+        try:
+            return self._eval(inner)
+        finally:
+            if prev is None:
+                self.tables.pop("__drill_input__", None)
+            else:
+                self.tables["__drill_input__"] = prev
+
+    def _op___drill_input__(self, call: Call) -> DataFrame:  # noqa: N802
+        return self.tables["__drill_input__"]
 
     def _op_scoreNodes(self, call: Call) -> DataFrame:  # noqa: N802 (Solr name)
         """Solr ``scoreNodes()`` (solrj 9.x /stream graph scoring):

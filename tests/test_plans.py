@@ -96,6 +96,10 @@ _EXPECTED_SMJ: set[str] = {
     "q59_rerank",               # stats-less: k-row rerank head ⋈ corpus
     "q66_result_clustering",    # stats-less: cluster agg ⋈ members
     "cdc_check_and_put",        # stats-less: compacted state ⋈ derived batch
+    "cdc_check_and_delete",     # same shape as cdc_check_and_put: the CAS
+                                # decision join (compacted state ⋈ derived
+                                # batch) is stats-less; the application-side
+                                # removed-count join IS broadcast-hinted
     "cdc_delete_by_query",      # fact-fact: cell-latest ⋈ row-latest inside the
                                 # post-tombstone serving view — both sides are
                                 # corpus-sized derivations co-partitioned on

@@ -456,3 +456,81 @@ def test_unigram_em_candidate_selection_is_bounded_and_deterministic(spark):
     assert a == b
     multi = {r["piece"] for r in a if len(r["piece"]) >= 2}
     assert len(multi) <= 4
+
+
+# ------------------------------------- delete() / drill() stream ops
+
+
+def test_delete_decorator_removes_ids_from_cow_sink(spark, tmp_path):
+    """delete() is update()'s twin: the inner stream's ids leave the
+    COW destination (the reference's buffered deleteById path,
+    SolrIndexTools.java:105-129, as a stream decorator); untouched
+    rows survive, re-running the delete is idempotent."""
+    from hbase_increment_index_spark.search.streaming_expr import (
+        run_stream_expr,
+    )
+    from hbase_increment_index_spark.sinks import read_merged_table
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(20)], ["doc_id", "text"]
+    )
+    path = str(tmp_path / "dest")
+    sinks = {"mirror": path}
+    tables = {"d": docs}
+    run_stream_expr(
+        spark, tables,
+        'update(mirror, search(d, q="*:*"), key="doc_id", buckets=4)',
+        sink_paths=sinks,
+    ).collect()
+    summary = run_stream_expr(
+        spark, tables,
+        'delete(mirror, search(d, fq="doc_id:[0 TO 4]", fl="doc_id"), '
+        'key="doc_id", buckets=4)',
+        sink_paths=sinks,
+    ).collect()
+    assert summary[0]["totalIndexed"] == 5
+    served = read_merged_table(spark, path)
+    assert served.count() == 15
+    assert served.filter(F.col("doc_id") <= 4).count() == 0
+    # idempotent: deleting the same ids again is a no-op on the view
+    run_stream_expr(
+        spark, tables,
+        'delete(mirror, search(d, fq="doc_id:[0 TO 4]", fl="doc_id"), '
+        'key="doc_id", buckets=4)',
+        sink_paths=sinks,
+    ).collect()
+    assert read_merged_table(spark, path).count() == 15
+
+
+def test_drill_equals_direct_rollup_and_plans_one_hash_agg(spark):
+    """drill() compiles to the inner rollup over the pushed source —
+    result-identical to rollup(search(...)) and planned as ONE hash
+    aggregate pair (partials + final), no sort from the ignored
+    sort= hint."""
+    from hbase_increment_index_spark.search.streaming_expr import (
+        run_stream_expr,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, ["a", "b", "c"][i % 3], i * 10) for i in range(30)],
+        ["doc_id", "src", "n"],
+    )
+    tables = {"d": docs}
+    drilled = run_stream_expr(
+        spark, tables,
+        'drill(d, q="*:*", fl="src,n", sort="src asc", '
+        'rollup(input(), over="src", count(*), sum(n)))',
+    )
+    direct = run_stream_expr(
+        spark, tables,
+        'rollup(search(d, q="*:*", fl="src,n"), over="src", '
+        "count(*), sum(n))",
+    )
+    assert sorted(map(tuple, drilled.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    plan = drilled._sc._jvm.PythonSQLUtils.explainString(
+        drilled._jdf.queryExecution(), "formatted"
+    )
+    assert plan.count("HashAggregate") >= 2  # partials + merge
+    assert "Sort" not in plan  # the sort= hint must not add a sort

@@ -217,6 +217,10 @@ HEADLINE = [
     "q61t_stream_random",
     "cdc_check_and_delete",
     "e4q_unigram_train",
+    "q61u_stream_drill",
+    "q61x_stream_facet2d",
+    "q61v_stream_moving_median",
+    "q61w_stream_zscores",
 ]
 
 
@@ -772,7 +776,7 @@ def main() -> None:
         "q39h_json_facet_percentile",
         "q85_stream_classify", "q61t_stream_random",
         "cdc_check_and_delete", "e4q_unigram_train",
-        "cdc_commit_served",
+        "cdc_commit_served", "q61x_stream_facet2d",
     ]
     # The driver captures only the LAST 2000 chars of stdout, so the
     # line must stay under budget. An over-budget subset DEGRADES

@@ -3499,3 +3499,113 @@ FROM documents
 GROUP BY source
 ORDER BY source
 """
+
+
+def q61v_stream_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/stream math layer, ``movingMedian()``: trailing-5 moving
+    MEDIAN of order totalprice along the orderkey axis — movingAvg's
+    robust twin (commons-math DescriptiveStatistics window; full
+    windows only). Exact: the trailing frame gathers via collect_list
+    and the median reads off the sorted window array — no percentile
+    sketch (search.streaming_expr._op_movingMedian). Odd window so
+    both engines read the same single middle element."""
+    return _stream(
+        spark, sf_dir,
+        'let(a=search(orders, fq="o_orderkey:[0 TO 199]", '
+        'fl="o_orderkey,o_totalprice"), '
+        'movingMedian(col(a, o_totalprice), over="o_orderkey", window="5"))',
+    )
+
+
+Q61V_SQL = """
+WITH src AS (
+  SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+  FROM orders WHERE o_orderkey BETWEEN 0 AND 199
+),
+w AS (
+  SELECT o_orderkey, o_totalprice,
+         MEDIAN(o_totalprice) OVER (
+           ORDER BY o_orderkey ASC, o_totalprice ASC
+           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS mm,
+         row_number() OVER (ORDER BY o_orderkey ASC, o_totalprice ASC) AS rn
+  FROM src
+)
+SELECT o_orderkey, o_totalprice, ROUND(mm, 6) AS moving_median
+FROM w WHERE rn >= 5
+"""
+
+
+def q61w_stream_zscores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/stream math layer, ``zscores()``: standardize the bound series
+    — (x − mean) / sample-stddev (commons-math n−1 form), each tuple
+    keeping its sort key. One exact-decimal hash aggregate for the
+    moments, broadcast back onto a codegen projection; IEEE sqrt is
+    correctly rounded so both engines compute identical z values
+    (search.streaming_expr._op_zscores)."""
+    return _stream(
+        spark, sf_dir,
+        'let(a=search(orders, fq="o_orderkey:[0 TO 199]", '
+        'fl="o_orderkey,o_totalprice"), '
+        'zscores(col(a, o_totalprice)))',
+    ).orderBy("o_orderkey", "o_totalprice")
+
+
+Q61W_SQL = """
+WITH src AS (
+  SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+  FROM orders WHERE o_orderkey BETWEEN 0 AND 199
+),
+m AS (
+  SELECT count(*) AS n,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(30,12))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(30,12))) AS DOUBLE) AS sxx
+  FROM src
+),
+s AS (
+  SELECT sx / n AS mean,
+         sqrt((sxx - sx * sx / n) / (n - 1)) AS sd
+  FROM m
+)
+SELECT o_orderkey, o_totalprice,
+       ROUND((o_totalprice - mean) / sd, 6) AS zscore
+FROM src, s
+ORDER BY o_orderkey, o_totalprice
+"""
+
+
+def q61x_stream_facet2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/stream ``facet2D()`` (solrj 9.x): two-dimensional faceting —
+    top-5 sources by document count, and within each the top-3
+    languages. One (x, y) hash aggregate for the cells; the x
+    dimension ranks by the metric recomputed at x level (correct for
+    any metric) and broadcasts its ≤nx keys onto the cells; the y rank
+    is one window partitioned by x
+    (search.streaming_expr._op_facet2D)."""
+    return _stream(
+        spark, sf_dir,
+        'facet2D(documents, q="*:*", x="source", y="lang", '
+        'dimensions="5,3", count(*))',
+    ).orderBy("source", "lang")
+
+
+Q61X_SQL = """
+WITH cells AS (
+  SELECT source, lang, count(*) AS count_star
+  FROM documents GROUP BY source, lang
+),
+xtot AS (
+  SELECT source FROM (
+    SELECT source, count(*) AS c FROM documents GROUP BY source
+    ORDER BY c DESC, source ASC LIMIT 5
+  )
+),
+ranked AS (
+  SELECT c.source, c.lang, c.count_star,
+         row_number() OVER (
+           PARTITION BY c.source
+           ORDER BY c.count_star DESC, c.lang ASC) AS r
+  FROM cells c JOIN xtot USING (source)
+)
+SELECT source, lang, count_star FROM ranked WHERE r <= 3
+ORDER BY source, lang
+"""

@@ -77,6 +77,13 @@ Supported stream sources/decorators (Solr names):
                                        # (content-hash E-S keys)
     delete(dest, stream, key="idField")  # write-back decorator: COW
                                        # deleteById (update()'s twin)
+    facet2D(table, q="...", x="fx", y="fy", dimensions="nx,ny",
+            metric)                    # 2-D faceting: top-nx x buckets,
+                                       # top-ny y within each
+    movingMedian(col(a, f), over="k", window=N)  # trailing-N exact
+                                       # median (full windows only)
+    zscores(col(a, f))                 # standardize the series,
+                                       # (x-mean)/sample-stddev
     drill(table, q="...", fl="...", sort="...",
           rollup(input(), over="a", metrics...))  # export-handler
                                        # pushdown agg; compiles to the
@@ -1447,6 +1454,144 @@ class StreamCompiler:
         return (
             out.filter(F.col("_rn") >= window)
             .select(over, fld, F.round("_ma", 6).alias("moving_avg"))
+        )
+
+    def _op_movingMedian(self, call: Call) -> DataFrame:  # noqa: N802 (Solr name)
+        """``movingMedian(col(a, f), over="k", window=N)``: trailing-N
+        moving MEDIAN along the ``over`` ordering — Solr math
+        expressions' movingMedian (commons-math DescriptiveStatistics
+        window), the robust twin of movingAvg. Full windows only
+        (n − window + 1 output rows), ties on the sort key break by
+        the value field.
+
+        Plan: same single global-order window as movingAvg, but the
+        trailing frame is gathered with collect_list and the median
+        read off the array_sort'd window — exact, no percentile
+        sketch. For even windows the two middle values average (the
+        R-7/commons-math convention)."""
+        if len(call.streams) != 1:
+            raise StreamExprError("movingMedian takes exactly one col(...) arg")
+        _, src, fld = self._colref(call.streams[0])
+        over = self._param(call, "over")
+        if over not in src.columns:
+            raise StreamExprError(f"unknown movingMedian over field {over!r}")
+        try:
+            window = int(call.params.get("window", "5"))
+        except ValueError:
+            raise StreamExprError(
+                f"bad movingMedian window {call.params['window']!r}"
+            ) from None
+        if window < 1:
+            raise StreamExprError("movingMedian window must be >= 1")
+        x = F.col(fld).cast("double")
+        w = Window.orderBy(F.col(over).asc(), x.asc())
+        frame = w.rowsBetween(-(window - 1), 0)
+        arr = F.array_sort(F.collect_list(x).over(frame))
+        mid = window // 2
+        med = (
+            F.element_at(arr, mid + 1)
+            if window % 2 == 1
+            else (F.element_at(arr, mid) + F.element_at(arr, mid + 1)) / F.lit(2.0)
+        )
+        out = src.select(
+            F.col(over),
+            x.alias(fld),
+            med.alias("_mm"),
+            F.row_number().over(w).alias("_rn"),
+        )
+        return (
+            out.filter(F.col("_rn") >= window)
+            .select(over, fld, F.round("_mm", 6).alias("moving_median"))
+        )
+
+    def _op_zscores(self, call: Call) -> DataFrame:
+        """``zscores(col(a, f))`` — Solr math expressions' zscores():
+        standardize the bound series, (x − mean) / sample-stddev
+        (commons-math StandardDeviation, the n−1 form). Emits the
+        series with its sort key so values never detach from rows.
+
+        Plan: ONE hash aggregate computes the exact-decimal sum and
+        sum-of-squares (order-independent under any partitioning);
+        mean/stddev derive in IEEE doubles on those exact sums and
+        broadcast back as a 1-row frame onto a codegen projection —
+        no second scan, no window. sqrt is correctly rounded by IEEE,
+        so both engines compute the identical z, pinned at 6."""
+        if len(call.streams) != 1:
+            raise StreamExprError("zscores takes exactly one col(...) arg")
+        _, src, fld = self._colref(call.streams[0])
+        x = F.col(fld).cast("double")
+        stats = src.agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(x.cast("decimal(30,12)")).cast("double").alias("_sx"),
+            F.sum((x * x).cast("decimal(30,12)")).cast("double").alias("_sxx"),
+        )
+        n = F.col("_n").cast("double")
+        var = F.when(
+            F.col("_n") > 1,
+            (F.col("_sxx") - F.col("_sx") * F.col("_sx") / n) / (n - 1),
+        )
+        stats = stats.select(
+            (F.col("_sx") / n).alias("_mean"),
+            F.sqrt(var).alias("_sd"),
+        )
+        return (
+            src.crossJoin(F.broadcast(stats))
+            .select(
+                "*",
+                F.round((x - F.col("_mean")) / F.col("_sd"), 6).alias("zscore"),
+            )
+            .drop("_mean", "_sd")
+        )
+
+    def _op_facet2D(self, call: Call) -> DataFrame:  # noqa: N802 (Solr name)
+        """Solr ``facet2D()`` (solrj 9.x): two-dimensional faceting —
+        the top-``nx`` x buckets by the metric, and within each the
+        top-``ny`` y buckets:
+
+            facet2D(coll, q="*:*", x="fx", y="fy",
+                    dimensions="3,2", count(*))
+
+        Plan: one (x, y) hash aggregate for the cells; the x dimension
+        ranks by the metric recomputed at x level (correct for ANY
+        metric, not just additive ones) and broadcasts its ≤nx keys
+        onto the cells; the y rank is one window partitioned by x.
+        Ties break ascending on the bucket value (deterministic, the
+        facet() convention)."""
+        df = self._source(call)
+        xf, yf = self._param(call, "x"), self._param(call, "y")
+        for c in (xf, yf):
+            if c not in df.columns:
+                raise StreamExprError(f"unknown facet2D field {c!r}")
+        dims = [d.strip() for d in self._param(call, "dimensions").split(",")]
+        if len(dims) != 2:
+            raise StreamExprError("facet2D dimensions must be 'nx,ny'")
+        try:
+            nx, ny = int(dims[0]), int(dims[1])
+        except ValueError:
+            raise StreamExprError(
+                f"bad facet2D dimensions {call.params['dimensions']!r}"
+            ) from None
+        if nx < 1 or ny < 1:
+            raise StreamExprError("facet2D dimensions must be >= 1")
+        metrics = self._metrics(call, df)
+        if len(metrics) != 1:
+            raise StreamExprError("facet2D takes exactly one metric")
+        metric = metrics[0]
+        alias = df.select(metric).columns[0]
+        cells = df.groupBy(xf, yf).agg(metric)
+        top_x = (
+            df.groupBy(xf)
+            .agg(metric)
+            .orderBy(F.col(alias).desc(), F.col(xf).asc())
+            .limit(nx)
+            .select(xf)
+        )
+        wy = Window.partitionBy(xf).orderBy(F.col(alias).desc(), F.col(yf).asc())
+        return (
+            cells.join(F.broadcast(top_x), xf)
+            .withColumn("_r", F.row_number().over(wy))
+            .filter(F.col("_r") <= ny)
+            .select(xf, yf, alias)
         )
 
     def _op_expMovingAvg(self, call: Call) -> DataFrame:  # noqa: N802 (Solr name)

@@ -534,3 +534,74 @@ def test_drill_equals_direct_rollup_and_plans_one_hash_agg(spark):
     )
     assert plan.count("HashAggregate") >= 2  # partials + merge
     assert "Sort" not in plan  # the sort= hint must not add a sort
+
+
+# --------------------------- facet2D / movingMedian / zscores stream ops
+
+
+def test_facet2d_dimensions_and_tie_breaks(spark):
+    docs = spark.createDataFrame(
+        [(i, ["s1", "s1", "s1", "s2", "s2", "s3"][i % 6],
+          ["de", "en", "en"][i % 3]) for i in range(60)],
+        ["id", "source", "lang"],
+    )
+    rows = (
+        _comp(spark, {"d": docs})
+        .compile(
+            'facet2D(d, q="*:*", x="source", y="lang", '
+            'dimensions="2,1", count(*))'
+        )
+        .collect()
+    )
+    got = {(r["source"], r["lang"], r["count_star"]) for r in rows}
+    # top-2 sources: s1 (30), s2 (20). s1's top lang = en (20 vs 10);
+    # s2 ties de/en at 10 -> ascending tie-break picks de
+    assert got == {("s1", "en", 20), ("s2", "de", 10)}
+
+
+def test_moving_median_exact_and_full_windows_only(spark):
+    series = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([5, 1, 9, 3, 7])], ["k", "v"]
+    )
+    rows = (
+        _comp(spark, {"a": series})
+        .compile(
+            'let(a=search(a, q="*:*"), '
+            'movingMedian(col(a, v), over="k", window="3"))'
+        )
+        .orderBy("k")
+        .collect()
+    )
+    # windows: [5,1,9]->5, [1,9,3]->3, [9,3,7]->7 ; first two rows drop
+    assert [(r["k"], r["moving_median"]) for r in rows] == [
+        (2, 5.0), (3, 3.0), (4, 7.0),
+    ]
+
+
+def test_moving_median_even_window_interpolates(spark):
+    series = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([4, 8, 2, 6])], ["k", "v"]
+    )
+    rows = (
+        _comp(spark, {"a": series})
+        .compile(
+            'let(a=search(a, q="*:*"), '
+            'movingMedian(col(a, v), over="k", window="4"))'
+        )
+        .collect()
+    )
+    assert [(r["k"], r["moving_median"]) for r in rows] == [(3, 5.0)]
+
+
+def test_zscores_standardizes(spark):
+    series = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([2, 4, 6])], ["k", "v"]
+    )
+    rows = (
+        _comp(spark, {"a": series})
+        .compile('let(a=search(a, q="*:*"), zscores(col(a, v)))')
+        .orderBy("k")
+        .collect()
+    )
+    # mean 4, sample sd 2 -> z = -1, 0, 1
+    assert [r["zscore"] for r in rows] == [-1.0, 0.0, 1.0]

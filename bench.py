@@ -221,6 +221,7 @@ HEADLINE = [
     "q61x_stream_facet2d",
     "q61v_stream_moving_median",
     "q61w_stream_zscores",
+    "e4r_unigram_segment",
 ]
 
 

@@ -3233,25 +3233,26 @@ def e4q_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _unigram_em(spark, words, k_multi=16, iters=3)
 
 
-def _unigram_em(
-    spark: SparkSession, words: DataFrame, k_multi: int, iters: int
-) -> DataFrame:
-    """The EM loop over a (word, wc) vocabulary frame — see
-    e4q_unigram_train for algorithm/plan/determinism notes."""
-    words = words.localCheckpoint(eager=True)  # consumed once per iteration
-
-    def slices(frame: DataFrame) -> DataFrame:
-        return (
-            frame.withColumn("i", F.explode(F.sequence(F.lit(1), F.length("word"))))
-            .withColumn("k", F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))))
-            .filter(F.col("k") <= F.col("i"))
-            .withColumn(
-                "piece",
-                F.col("word").substr(F.col("i") - F.col("k") + F.lit(1), F.col("k")),
-            )
+def _unigram_slices(frame: DataFrame) -> DataFrame:
+    """All (word, wc, i, k, piece) substring slices, k ∈ 1..3."""
+    return (
+        frame.withColumn("i", F.explode(F.sequence(F.lit(1), F.length("word"))))
+        .withColumn("k", F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))))
+        .filter(F.col("k") <= F.col("i"))
+        .withColumn(
+            "piece",
+            F.col("word").substr(F.col("i") - F.col("k") + F.lit(1), F.col("k")),
         )
+    )
 
-    occ = slices(words).groupBy("piece").agg(F.sum("wc").alias("cnt"))
+
+def _unigram_candidates(words: DataFrame, k_multi: int) -> dict[str, float]:
+    """Initial candidate inventory + probabilities (see
+    e4q_unigram_train): ALL single characters + the top-``k_multi``
+    length-2..3 substrings by frequency-weighted occurrence count
+    (ties lexicographic), p₀ ∝ count. Bounded collect (the CC-loop
+    discipline)."""
+    occ = _unigram_slices(words).groupBy("piece").agg(F.sum("wc").alias("cnt"))
     singles = occ.filter(F.length("piece") == 1).collect()
     multi = (
         occ.filter(F.length("piece") >= 2)
@@ -3261,7 +3262,17 @@ def _unigram_em(
     )
     cand = {r["piece"]: int(r["cnt"]) for r in [*singles, *multi]}
     total0 = sum(cand.values())
-    probs = {p: float(c) / float(total0) for p, c in cand.items()}
+    return {p: float(c) / float(total0) for p, c in cand.items()}
+
+
+def _unigram_em(
+    spark: SparkSession, words: DataFrame, k_multi: int, iters: int
+) -> DataFrame:
+    """The EM loop over a (word, wc) vocabulary frame — see
+    e4q_unigram_train for algorithm/plan/determinism notes."""
+    words = words.localCheckpoint(eager=True)  # consumed once per iteration
+    slices = _unigram_slices
+    probs = _unigram_candidates(words, k_multi)
 
     def pmap():
         flat = []
@@ -3437,3 +3448,174 @@ def _e4q_sql(k_multi: int = 16, iters: int = 3) -> str:
         + "\nUNION ALL\n".join(outs)
         + "\nORDER BY iteration, piece"
     )
+
+
+def e4r_unigram_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer APPLICATION — the Viterbi encode step that
+    completes e4q's learn→apply pairing (exactly as e4p completes
+    e4o's BPE): segment every vocabulary word under the candidate
+    inventory + probabilities (e4q's p₀ form) by maximum-probability
+    segmentation, and report the corpus fertility histogram —
+    (n_pieces, n_words, total_wc) — the number a tokenizer-design pass
+    reads off a fitted unigram model (SentencePiece's encode;
+    Kudo 2018).
+
+    Determinism is structural, not numeric: the Viterbi recurrence
+    carries the segmentation-probability PRODUCT (plain IEEE
+    multiplications of identical literals — no log/exp, so no
+    math-library variance), ties break on fewer pieces then on the
+    shortest candidate piece (a fixed CASE-chain order both engines
+    replay), and the OUTPUT is integer-only (piece counts and word
+    counts), so the driver hash cannot drift on float formatting.
+
+    Spark plan: one pass over the weighted word vocabulary; the
+    recurrence folds as a codegen'd ``aggregate`` accumulator carrying
+    (score, n_pieces) per position (probabilities baked as a map
+    literal — no UDF, no join), then one tiny hash aggregate over
+    n_pieces. The oracle replays the same recurrence as a recursive
+    CTE carrying the last three states (the e4q device with max+CASE
+    in place of Σ)."""
+    from hbase_increment_index_spark.search.tokenize import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    return _unigram_viterbi_hist(words, k_multi=16)
+
+
+def _unigram_viterbi_hist(words: DataFrame, k_multi: int) -> DataFrame:
+    """The Viterbi fold + fertility histogram over a (word, wc)
+    vocabulary frame — see e4r_unigram_segment."""
+    probs = _unigram_candidates(words, k_multi=k_multi)
+    flat = []
+    for piece in sorted(probs):
+        flat += [F.lit(piece), F.lit(probs[piece])]
+    pm = F.create_map(*flat)
+
+    def step(acc, i):
+        # candidate k: extend the best path ending at i-k with the
+        # k-length piece ending at i; -1 sentinel = not a candidate
+        def cand(k):
+            prev = F.element_at(acc, i - k + 1)
+            p = F.try_element_at(
+                pm, F.col("word").substr(i - k + 1, F.lit(k))
+            )
+            return F.when(
+                (i >= F.lit(k)) & p.isNotNull(),
+                F.struct(
+                    (prev["s"] * p).alias("s"),
+                    (prev["np"] + F.lit(1)).alias("np"),
+                ),
+            ).otherwise(
+                F.struct(
+                    F.lit(-1.0).alias("s"),
+                    F.lit(0).cast("long").alias("np"),
+                )
+            )
+
+        def better(a, b):
+            # strictly-better replaces: higher score, then fewer
+            # pieces; evaluation order k=1,2,3 breaks remaining ties
+            # toward the SHORTEST piece (fixed chain, both engines)
+            return F.when(
+                (b["s"] > a["s"]) | ((b["s"] == a["s"]) & (b["np"] < a["np"])),
+                b,
+            ).otherwise(a)
+
+        best = better(better(cand(1), cand(2)), cand(3))
+        return F.concat(acc, F.array(best))
+
+    init = F.array(
+        F.struct(F.lit(1.0).alias("s"), F.lit(0).cast("long").alias("np"))
+    )
+    fold = F.aggregate(F.sequence(F.lit(1), F.length("word")), init, step)
+    final = F.element_at(fold, F.length("word") + 1)
+    return (
+        words.select("wc", final["np"].alias("n_pieces"))
+        .groupBy("n_pieces")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("wc").alias("total_wc"),
+        )
+        .orderBy("n_pieces")
+    )
+
+
+def _e4r_sql(k_multi: int = 16) -> str:
+    """Viterbi oracle: candidate/p0 CTEs (e4q's) + one recursive CTE
+    carrying the last three (score, n_pieces) states with the same
+    max/CASE chain as the Spark fold; integer-only output."""
+    toks = _SQL_TOKS.format(c="text")
+    return f"""
+WITH RECURSIVE words AS MATERIALIZED (
+  SELECT word, count(*) AS wc FROM
+  (SELECT unnest({toks}) AS word FROM documents) GROUP BY word
+),
+slices AS MATERIALIZED (
+  SELECT w.word, w.wc, t1.i, t2.k,
+         substr(w.word, t1.i - t2.k + 1, t2.k) AS piece
+  FROM words w,
+  LATERAL (SELECT unnest(generate_series(1, length(w.word))) AS i) t1,
+  LATERAL (SELECT unnest([1, 2, 3]) AS k) t2
+  WHERE t2.k <= t1.i
+),
+occ AS MATERIALIZED (SELECT piece, SUM(wc) AS cnt FROM slices GROUP BY piece),
+cand AS MATERIALIZED (SELECT piece, cnt FROM occ WHERE length(piece) = 1
+  UNION ALL SELECT piece, cnt FROM (SELECT piece, cnt FROM occ
+  WHERE length(piece) >= 2 ORDER BY cnt DESC, piece ASC LIMIT {k_multi})),
+p0 AS MATERIALIZED (SELECT piece, CAST(cnt AS DOUBLE) /
+  CAST((SELECT SUM(cnt) FROM cand) AS DOUBLE) AS p FROM cand),
+v(word, wc, i, s0, n0, s1, n1, s2, n2) AS (
+  SELECT word, wc, 0, CAST(1.0 AS DOUBLE), CAST(0 AS BIGINT),
+         CAST(-1.0 AS DOUBLE), CAST(0 AS BIGINT),
+         CAST(-1.0 AS DOUBLE), CAST(0 AS BIGINT)
+  FROM words
+  UNION ALL
+  SELECT word, wc, i + 1, nbs, nbn, s0, n0, s1, n1 FROM (
+    SELECT s.word, s.wc, s.i,
+           s.s0, s.n0, s.s1, s.n1,
+           CASE WHEN b2s_gt THEN c3s ELSE b2s END AS nbs,
+           CASE WHEN b2s_gt THEN c3n ELSE b2n END AS nbn
+    FROM (
+      SELECT s.word, s.wc, s.i, s.s0, s.n0, s.s1, s.n1,
+             b2s, b2n, c3s, c3n,
+             (c3s > b2s OR (c3s = b2s AND c3n < b2n)) AS b2s_gt
+      FROM (
+        SELECT s.word, s.wc, s.i, s.s0, s.n0, s.s1, s.n1,
+               CASE WHEN c2s > c1s OR (c2s = c1s AND c2n < c1n)
+                    THEN c2s ELSE c1s END AS b2s,
+               CASE WHEN c2s > c1s OR (c2s = c1s AND c2n < c1n)
+                    THEN c2n ELSE c1n END AS b2n,
+               c3s, c3n
+        FROM (
+          SELECT s.word, s.wc, s.i, s.s0, s.n0, s.s1, s.n1,
+                 CASE WHEN q1.p IS NOT NULL THEN s.s0 * q1.p ELSE -1.0 END AS c1s,
+                 CASE WHEN q1.p IS NOT NULL THEN s.n0 + 1 ELSE 0 END AS c1n,
+                 CASE WHEN s.i >= 1 AND q2.p IS NOT NULL AND s.s1 >= 0.0
+                      THEN s.s1 * q2.p ELSE -1.0 END AS c2s,
+                 CASE WHEN s.i >= 1 AND q2.p IS NOT NULL AND s.s1 >= 0.0
+                      THEN s.n1 + 1 ELSE 0 END AS c2n,
+                 CASE WHEN s.i >= 2 AND q3.p IS NOT NULL AND s.s2 >= 0.0
+                      THEN s.s2 * q3.p ELSE -1.0 END AS c3s,
+                 CASE WHEN s.i >= 2 AND q3.p IS NOT NULL AND s.s2 >= 0.0
+                      THEN s.n2 + 1 ELSE 0 END AS c3n
+          FROM v s
+          LEFT JOIN p0 q1 ON q1.piece = substr(s.word, s.i + 1, 1)
+          LEFT JOIN p0 q2 ON s.i >= 1 AND q2.piece = substr(s.word, s.i, 2)
+          LEFT JOIN p0 q3 ON s.i >= 2 AND q3.piece = substr(s.word, s.i - 1, 3)
+          WHERE s.i < length(s.word)
+        ) s
+      ) s
+    ) s
+  ) s
+)
+SELECT n_pieces, count(*) AS n_words, CAST(SUM(wc) AS BIGINT) AS total_wc
+FROM (
+  SELECT word, wc, n0 AS n_pieces FROM v WHERE i = length(word)
+)
+GROUP BY n_pieces
+ORDER BY n_pieces
+"""

@@ -605,3 +605,64 @@ def test_zscores_standardizes(spark):
     )
     # mean 4, sample sd 2 -> z = -1, 0, 1
     assert [r["zscore"] for r in rows] == [-1.0, 0.0, 1.0]
+
+
+def test_unigram_viterbi_picks_max_probability_segmentation(spark):
+    """Hand-checked Viterbi: for the corpus {'abab' x10} the candidate
+    probs are a=b=ab=2/9, ba=aba=bab=1/9, and [ab][ab] (p=(2/9)^2)
+    beats [aba][b]/[a][bab] ((1/9)(2/9)) and the 4-single split — so
+    every word segments into 2 pieces."""
+    from hbase_increment_index_spark.queries._pipeline_curation import (
+        _unigram_viterbi_hist,
+    )
+
+    words = spark.createDataFrame([("abab", 10)], ["word", "wc"])
+    rows = _unigram_viterbi_hist(words, k_multi=16).collect()
+    assert [(r["n_pieces"], r["n_words"], r["total_wc"]) for r in rows] == [
+        (2, 1, 10)
+    ]
+
+
+def test_unigram_viterbi_tie_breaks_on_fewer_pieces(spark):
+    """When two segmentations have EQUAL probability the fold keeps
+    the one with fewer pieces: corpus {'aa' x1} has p(a)=p(aa)=... the
+    candidate counts give aa one occurrence and a two, so [aa] wins on
+    probability only if p(aa) > p(a)^2 — construct the equal case via
+    'aaaa': verify the histogram is a single deterministic row either
+    way and n_pieces matches the recomputed best."""
+    from hbase_increment_index_spark.queries._pipeline_curation import (
+        _unigram_candidates,
+        _unigram_viterbi_hist,
+    )
+
+    words = spark.createDataFrame([("aaaa", 1)], ["word", "wc"])
+    probs = _unigram_candidates(words, k_multi=16)
+    # brute-force the best segmentation in python (same tie rules)
+    import itertools
+
+    def segs(n):
+        if n == 0:
+            yield []
+            return
+        for k in (1, 2, 3):
+            if k <= n:
+                for rest in segs(n - k):
+                    yield [k] + rest
+
+    best = None
+    for ks in segs(4):
+        pos, p = 0, 1.0
+        ok = True
+        for k in ks:
+            piece = "aaaa"[pos:pos + k]
+            if piece not in probs:
+                ok = False
+                break
+            p *= probs[piece]
+            pos += k
+        if ok:
+            cand = (p, -len(ks))
+            if best is None or cand > best:
+                best = cand
+    rows = _unigram_viterbi_hist(words, k_multi=16).collect()
+    assert len(rows) == 1 and rows[0]["n_pieces"] == -best[1]

@@ -222,6 +222,7 @@ HEADLINE = [
     "q61v_stream_moving_median",
     "q61w_stream_zscores",
     "e4r_unigram_segment",
+    "e7d_decontaminate_served",
 ]
 
 

@@ -1904,6 +1904,43 @@ def read_cow_shingle_store(
     return postings, sizes
 
 
+def decontaminate_from_index(
+    postings: DataFrame,
+    eval_set: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 4,
+    min_collisions: int = 1,
+    n_buckets: int = SHINGLE_STORE_BUCKETS,
+) -> DataFrame:
+    """Store-SERVED benchmark decontamination — the
+    :func:`cross_contamination` screen served from the PERSISTED
+    n-gram postings store instead of re-shingling the corpus per eval
+    set. This is the shape the hygiene check actually runs at 100 TB:
+    eval sets arrive far more often than the corpus changes, so the
+    corpus side is the store :func:`merge_shingle_postings` already
+    maintains (built with THIS ``n`` and ``n_buckets`` — the modulus
+    contract) and each screen shingles ONLY the eval set (tiny),
+    pushes its bounded bucket IN-list as a directory prune, joins on
+    the shingle, and counts distinct colliding grams per corpus doc.
+    Result-identical to the direct form over the same corpus
+    (pytest-proven). Output: (doc, n_collisions ≥ min_collisions)."""
+    ev = (
+        build_shingle_postings(eval_set, id_col, text_col, n, n_buckets)
+        .select("sh", "shb")
+        .distinct()
+    )
+    ev = register_cached_intermediate(ev)
+    bucket_ids = [r[0] for r in ev.select("shb").distinct().collect()]
+    probe = postings.filter(F.col("shb").isin(bucket_ids))
+    return (
+        probe.join(ev.select("sh"), "sh")
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("n_collisions"))
+        .filter(F.col("n_collisions") >= min_collisions)
+    )
+
+
 def commit_cluster_labels(
     stored: DataFrame,
     store_postings: DataFrame,

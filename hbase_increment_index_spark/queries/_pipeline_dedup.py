@@ -1612,6 +1612,59 @@ HAVING count(*) >= 1
 """
 
 
+def e7d_decontaminate_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Store-SERVED decontamination (e7's serving twin): the corpus
+    side comes from the PERSISTED 4-gram postings store — the layout
+    merge_shingle_postings maintains — and each screen shingles ONLY
+    the eval slice and probes through the bounded bucket IN-list
+    (pipeline.dedup.decontaminate_from_index). The 100 TB posture:
+    eval sets arrive far more often than the corpus changes, so the
+    per-screen cost is ∝ |eval shingles| + matched buckets, with zero
+    corpus text in the serve plan. Registry form builds the store
+    in-plan (the e2o bootstrap discipline so the oracle replays every
+    stage); store-serve ≡ direct is pinned by the shared e7 oracle
+    shape and pytest."""
+    from hbase_increment_index_spark.pipeline.dedup import (
+        build_shingle_postings,
+        decontaminate_from_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    eval_set = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    store = build_shingle_postings(corpus, "doc_id", "text", n=4)
+    return (
+        decontaminate_from_index(
+            store, eval_set, "doc_id", "text", n=4, min_collisions=1
+        )
+        .select(F.col("doc").alias("doc_id"), "n_collisions")
+        .orderBy("doc_id")
+    )
+
+
+def _e7d_sql() -> str:
+    toks = _SQL_TOKS.format(c="text")
+    grams = (
+        f"list_transform(generate_series(1, greatest(len({toks}) - 3, 0)), "
+        f"i -> array_to_string(list_slice({toks}, i, i + 3), ' '))"
+    )
+    return f"""
+WITH c AS (
+  SELECT DISTINCT doc_id, g
+  FROM (SELECT doc_id, unnest({grams}) AS g FROM documents WHERE doc_id % 50 <> 0)
+),
+e AS (
+  SELECT DISTINCT g
+  FROM (SELECT unnest({grams}) AS g FROM documents WHERE doc_id % 50 = 0)
+)
+SELECT doc_id, count(*) AS n_collisions
+FROM c JOIN e USING (g)
+GROUP BY doc_id
+HAVING count(*) >= 1
+ORDER BY doc_id
+"""
+
+
 def e4_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     tf = term_frequencies(docs, "doc_id", "text")

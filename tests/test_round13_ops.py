@@ -666,3 +666,34 @@ def test_unigram_viterbi_tie_breaks_on_fewer_pieces(spark):
                 best = cand
     rows = _unigram_viterbi_hist(words, k_multi=16).collect()
     assert len(rows) == 1 and rows[0]["n_pieces"] == -best[1]
+
+
+def test_decontaminate_from_index_equals_direct(spark):
+    """Store-served decontamination must reproduce the direct
+    (re-shingle the corpus) screen exactly — ids and collision
+    counts — and respect the min_collisions floor."""
+    from hbase_increment_index_spark.pipeline.dedup import (
+        build_shingle_postings,
+        cross_contamination,
+        decontaminate_from_index,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    eval_set = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    direct = {
+        (r["doc_id"], r["n_collisions"])
+        for r in cross_contamination(
+            corpus, eval_set, "doc_id", "text", n=4, min_collisions=2
+        ).collect()
+    }
+    store = build_shingle_postings(corpus, "doc_id", "text", n=4)
+    served = {
+        (r["doc"], r["n_collisions"])
+        for r in decontaminate_from_index(
+            store, eval_set, "doc_id", "text", n=4, min_collisions=2
+        ).collect()
+    }
+    assert served == direct and len(direct) > 0

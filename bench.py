@@ -747,7 +747,10 @@ def main() -> None:
     # stay; bootstraps remain in bench_samples), q39_json_facet
     # (q39d/q39h stay), q02_range_filter (flagship covers the filter
     # family), e2s_store_served_increment (e2s_store_served stays),
-    # q14_distinct (q13/q16 cover the stats family).
+    # q14_distinct (q13/q16 cover the stats family),
+    # q61_stream_rollup (q61u_stream_drill is the same rollup through
+    # the drill decorator), q49c_block_join_scored (q49d + q39d keep
+    # the block-join family covered).
     stdout_subset = [
         "flagship", "q04_fulltext_and", "q06_tfidf_topk",
         "q13_stats_field", "q16_pivot", "cdc_latest_per_key",
@@ -755,8 +758,8 @@ def main() -> None:
         "e1_exact_dedup", "e2b_minhash_lsh", "e3_cosine_topk",
         "e4_token_counts", "e5d_perceptual_hash", "e2f_incremental_near_dups",
         "e2j_semdedup", "e12_unigram_logprob",
-        "q46_hybrid_rrf", "q49c_block_join_scored",
-        "q69_span_near", "q61_stream_rollup",
+        "q46_hybrid_rrf",
+        "q69_span_near",
         "q39d_json_facet_blockjoin", "cdc_delete_by_query",
         "e16_kmeans_refine", "e18_mmr_diversify",
         "e2o_signature_store_served",
@@ -779,6 +782,7 @@ def main() -> None:
         "q85_stream_classify", "q61t_stream_random",
         "cdc_check_and_delete", "e4q_unigram_train",
         "cdc_commit_served", "q61x_stream_facet2d",
+        "q61u_stream_drill",
     ]
     # The driver captures only the LAST 2000 chars of stdout, so the
     # line must stay under budget. An over-budget subset DEGRADES
@@ -825,7 +829,14 @@ def main() -> None:
             cur_total = sum(timings[k] for k in common)
             if common and prev_total > 0 and pp and cpu_probe_sec > 0:
                 host_ratio = cpu_probe_sec / pp
+                # emit BOTH ratios: the probe tracks CPU-burst
+                # throughput, not end-to-end query time, so when the
+                # two disagree the raw ratio is the sanity anchor; and
+                # neither knows which registry forms DELIBERATELY grew
+                # (a bootstrap-priced fixture extension reads as a
+                # "regression" here — check the per-query deltas)
                 norm_fields = {
+                    "raw_vs_prev": round(cur_total / prev_total, 3),
                     "normalized_vs_prev": round(
                         (cur_total / prev_total) / host_ratio, 3
                     ),

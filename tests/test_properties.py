@@ -1013,3 +1013,83 @@ def test_scoped_cluster_delete_equals_rebuild(spark, token_docs, delete_idx):
         ).collect()
     }
     assert scoped == rebuilt
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(  # v1 corpus of token soups; clusters form via shared bigrams
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=6),
+        min_size=1,
+        max_size=6,
+    ),
+    st.sets(st.integers(min_value=0, max_value=5), max_size=3),  # deletes
+    st.lists(  # upserts: (index, new token soup) — index < len reuses an
+        st.tuples(  # existing id (UPDATE), index >= len is an INSERT
+            st.integers(min_value=0, max_value=9),
+            st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=6),
+        ),
+        max_size=3,
+    ),
+)
+def test_commit_cluster_labels_equals_rebuild(spark, v1_toks, delete_idx, upserts):
+    """Composed CC commit invariant (r13): for ANY v1 corpus and ANY
+    mixed batch — deletes (incl. bridges and minima), text-changing
+    updates (old pairs out AND new pairs in), inserts — the ordered
+    delete-then-merge fold (commit_cluster_labels) equals a
+    from-scratch re-clustering of the final corpus."""
+    from pyspark.sql import functions as F
+
+    from hbase_increment_index_spark.pipeline.dedup import (
+        build_shingle_postings,
+        commit_cluster_labels,
+        connected_components,
+        ngram_jaccard_pairs,
+        shingle_doc_sizes,
+    )
+
+    dele = sorted(i for i in delete_idx if i < len(v1_toks))
+    changed_map: dict[int, str] = {}
+    for idx, toks in upserts:
+        if idx in dele:
+            continue  # a key can't be both upserted and deleted here
+        changed_map[idx] = " ".join(toks)
+    v1 = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(v1_toks)],
+        "doc_id long, text string",
+    )
+    stored = connected_components(
+        ngram_jaccard_pairs(v1, "doc_id", "text", n=2, threshold=0.3)
+    )
+    store = build_shingle_postings(v1, "doc_id", "text", n=2)
+    changed = spark.createDataFrame(
+        [(i, t) for i, t in sorted(changed_map.items())] or [(-1, "")],
+        "doc_id long, text string",
+    )
+    if not changed_map:
+        changed = changed.filter(F.lit(False))
+    deleted = spark.createDataFrame([(i,) for i in dele] or [(-1,)], "doc_id long")
+    merged = {
+        (r["doc"], r["component"])
+        for r in commit_cluster_labels(
+            stored,
+            store,
+            shingle_doc_sizes(store),
+            changed,
+            deleted,
+            "doc_id",
+            "text",
+            n=2,
+            threshold=0.3,
+        ).collect()
+    }
+    final = v1.filter(
+        ~F.col("doc_id").isin([*dele, *changed_map]) if (dele or changed_map)
+        else F.lit(True)
+    ).unionByName(changed)
+    rebuilt = {
+        (r["doc"], r["component"])
+        for r in connected_components(
+            ngram_jaccard_pairs(final, "doc_id", "text", n=2, threshold=0.3)
+        ).collect()
+    }
+    assert merged == rebuilt

@@ -89,6 +89,11 @@ Supported stream sources/decorators (Solr names):
                                        # pushdown agg; compiles to the
                                        # native partials-then-merge
                                        # hash aggregate
+    model(models, id="m1")             # pull a stored model's tuples
+                                       # (feeds classify)
+    list(s1, s2, ...)                  # concatenate streams
+    commit(dest, update(...))          # pass-through: COW merges are
+                                       # durable per batch
 
 Metric aliases are deterministic (`sum(x)` → column ``sum_x``,
 `count(*)` → ``count_star``), so an oracle SQL twin can name the same
@@ -865,6 +870,68 @@ class StreamCompiler:
         return df.sparkSession.range(1).select(
             F.lit(n).cast("long").alias("batchIndexed")
         )
+
+    def _op_model(self, call: Call) -> DataFrame:
+        """Solr ``model(models, id="m1")`` (ModelStream, solrj 9.x):
+        pull a trained model's tuples from a model collection by id —
+        the storage half of the documented train → update(models) →
+        classify(model(...), ...) workflow. The collection is any
+        registered table (e.g. a COW sink update() wrote train()'s
+        iteration tuples into); ``id`` filters its ``id_`` field when
+        present (a single-model table needs no id). classify() then
+        takes the highest-iteration tuple, matching Solr's
+        cached-latest-model pull."""
+        if not call.fields:
+            raise StreamExprError("model needs a collection name")
+        table = call.fields[0]
+        if table not in self.tables:
+            raise StreamExprError(f"unknown collection {table!r}")
+        df = self.tables[table]
+        model_id = call.params.get("id")
+        if model_id is not None:
+            id_col = "id_" if "id_" in df.columns else "id"
+            if id_col not in df.columns:
+                raise StreamExprError(
+                    f"model collection {table!r} has no id/id_ column"
+                )
+            df = df.filter(F.col(id_col) == model_id)
+        return df
+
+    def _op_list(self, call: Call) -> DataFrame:
+        """Solr ``list(s1, s2, ...)``: run the streams in order and
+        emit all their tuples — unionByName with missing columns
+        null-filled (Solr tuples are open maps, so heterogenous
+        streams concatenate the same way)."""
+        if not call.streams:
+            raise StreamExprError("list needs at least one stream")
+        out = None
+        for sub in call.streams:
+            df = self._eval(sub)
+            out = df if out is None else out.unionByName(
+                df, allowMissingColumns=True
+            )
+        return out
+
+    def _op_commit(self, call: Call) -> DataFrame:
+        """Solr ``commit(dest, batchSize=N, update(...))``: forward the
+        inner (update/delete) stream and issue commits as tuples flow.
+        The engine's COW MERGE sink is durable per merged micro-batch —
+        there is no separate commit step to issue — so commit() is a
+        pass-through decorator kept for expression compatibility: it
+        validates the destination and returns the inner summary
+        unchanged (``batchSize`` accepted and ignored; Solr's
+        buffering is subsumed by the batch the inner decorator already
+        merged, the same way Spark micro-batching subsumes the
+        reference's add_batchCount threshold, SolrIndexTools.java:
+        93-95)."""
+        if not call.fields:
+            raise StreamExprError("commit needs a destination collection name")
+        dest = call.fields[0]
+        if dest not in self.sink_paths:
+            raise StreamExprError(
+                f"destination {dest!r} not registered in sink_paths"
+            )
+        return self._one_stream(call)
 
     def _op_delete(self, call: Call) -> DataFrame:
         """Solr ``delete()`` write-back decorator (DeleteStream, solrj

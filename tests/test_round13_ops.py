@@ -697,3 +697,83 @@ def test_decontaminate_from_index_equals_direct(spark):
         ).collect()
     }
     assert served == direct and len(direct) > 0
+
+
+# ------------------------------ model() / list() / commit() workflow glue
+
+
+def test_train_update_model_classify_workflow(spark, tmp_path):
+    """The documented Solr workflow, spelled verbatim: train a model,
+    update() it into a model collection, pull it back with model(),
+    classify a stream with it — end to end through the expression
+    language."""
+    from hbase_increment_index_spark.search.streaming_expr import (
+        run_stream_expr,
+    )
+    from hbase_increment_index_spark.sinks import read_merged_table
+
+    docs = spark.createDataFrame(
+        [(i, "spark query" if i % 2 == 0 else "plain prose", 
+          "de" if i % 2 == 0 else "en") for i in range(40)],
+        ["doc_id", "text", "lang"],
+    )
+    path = str(tmp_path / "models")
+    sinks = {"models": path}
+    tables = {"d": docs}
+    # train + store (iteration is the upsert key: 5 model tuples live)
+    run_stream_expr(
+        spark, tables,
+        'commit(models, update(models, '
+        'train(d, field="text", outcome="lang:de", terms="spark,prose", '
+        'maxIterations=5), key="iteration", buckets=2))',
+        sink_paths=sinks,
+    ).collect()
+    stored = read_merged_table(spark, path)
+    assert stored.count() == 5
+    # serve: model() pulls the stored tuples; classify applies the
+    # highest iteration
+    tables2 = {"d": docs, "models": stored}
+    rows = (
+        run_stream_expr(
+            spark, tables2,
+            'classify(model(models), search(d, q="*:*", fl="doc_id,text"), '
+            'field="text")',
+        )
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert len(rows) == 40
+    spark_docs = [r for r in rows if r["doc_id"] % 2 == 0]
+    prose_docs = [r for r in rows if r["doc_id"] % 2 == 1]
+    assert all(r["predicted_i"] == 1 for r in spark_docs)
+    assert all(r["predicted_i"] == 0 for r in prose_docs)
+
+
+def test_list_concatenates_heterogeneous_streams(spark):
+    from hbase_increment_index_spark.search.streaming_expr import (
+        run_stream_expr,
+    )
+
+    a = spark.createDataFrame([(1, "x")], ["id", "s"])
+    b = spark.createDataFrame([(2, 9.5)], ["id", "v"])
+    rows = run_stream_expr(
+        spark, {"a": a, "b": b},
+        'list(search(a, q="*:*"), search(b, q="*:*"))',
+    ).orderBy("id").collect()
+    assert [(r["id"], r["s"], r["v"]) for r in rows] == [
+        (1, "x", None), (2, None, 9.5),
+    ]
+
+
+def test_commit_requires_registered_destination(spark):
+    from hbase_increment_index_spark.search.streaming_expr import (
+        StreamExprError,
+        run_stream_expr,
+    )
+
+    d = spark.createDataFrame([(1,)], ["id"])
+    with pytest.raises(StreamExprError, match="not registered"):
+        run_stream_expr(
+            spark, {"d": d},
+            'commit(nowhere, search(d, q="*:*"))',
+        )

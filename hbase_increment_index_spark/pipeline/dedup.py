@@ -1904,6 +1904,19 @@ def read_cow_shingle_store(
     return postings, sizes
 
 
+def read_cow_fingerprint_store(spark, fps_path: str) -> DataFrame:
+    """Adapt the streaming COW fingerprint table
+    (streaming.merge_microbatch_cow's ``*_fps_cow``, keyed on ``fp`` so
+    its partition column ``kb`` = pmod(xxhash64(fp), the sink's
+    n_buckets)) into the (doc, fp, fpb) shape
+    :func:`exact_dups_from_index` probes — the fingerprint twin of
+    :func:`read_cow_shingle_store`, with the same caller-side modulus
+    contract: pass the SINK's n_buckets to the probe."""
+    return spark.read.parquet(fps_path).select(
+        F.col("row_key").alias("doc"), "fp", F.col("kb").alias("fpb")
+    )
+
+
 def decontaminate_from_index(
     postings: DataFrame,
     eval_set: DataFrame,

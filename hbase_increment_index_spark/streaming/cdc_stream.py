@@ -330,6 +330,7 @@ def merge_microbatch_cow(
     postings_field: str | None = None,
     shingle_field: str | None = None,
     shingle_n: int = 3,
+    fingerprint_field: str | None = None,
 ) -> None:
     """Copy-on-write micro-batch fold — ``merge_microbatch`` with the
     full-table rewrite replaced by ``sinks.merge_upsert_parquet``:
@@ -366,7 +367,11 @@ def merge_microbatch_cow(
     # posting lists shrink) — capture the slice before the docs table
     # is merged over; batch-bounded, so the checkpoint is tiny
     old_docs_slice = None
-    _text_fields = [f for f in {postings_field, shingle_field} if f is not None]
+    _text_fields = [
+        f
+        for f in {postings_field, shingle_field, fingerprint_field}
+        if f is not None
+    ]
     if _text_fields and merged_table_exists(spark, docs_path):
         from hbase_increment_index_spark.sinks import read_merged_table as _rmt
 
@@ -584,6 +589,77 @@ def merge_microbatch_cow(
         merge_upsert_parquet(
             spark, shsizes_path, delta_sz, "row_key", n_buckets=n_buckets,
             delete_col="_del",
+        )
+
+    if fingerprint_field is not None:
+        # COW fingerprint-store maintenance (the e1h exact-dedup store,
+        # folded by the SAME micro-batch): rows (fp, row_key) — one per
+        # live doc — KEYED BY fp, so the partition column kb =
+        # pmod(xxhash64(fp), n_buckets) IS the e1h fpb layout under the
+        # COW sink's column name (read back via
+        # pipeline.dedup.read_cow_fingerprint_store and probe with THIS
+        # n_buckets — the same modulus contract as the shingle store
+        # above). fp is NOT unique (exact duplicates share it), so the
+        # fold follows the shingle discipline: current rows of touched
+        # fps read back through the bucket prune, touched DOCS' rows
+        # dropped, fresh fps appended, fps whose last doc left become
+        # COW deletes. A doc's fp change removes its old row (old fp
+        # captured from the pre-merge docs slice) and adds the new one.
+        from hbase_increment_index_spark.pipeline.text import (
+            fingerprint as _fpr,
+        )
+
+        fps_path = index_path + "_fps_cow"
+        fresh_f = docs_delta.select(
+            _fpr(fingerprint_field).alias("fp"), "row_key"
+        ).localCheckpoint(eager=True)
+        touched_f = fresh_f.select("fp").distinct()
+        if old_docs_slice is not None:
+            touched_f = touched_f.unionByName(
+                old_docs_slice.select(_fpr(fingerprint_field).alias("fp"))
+            ).distinct()
+        touched_f = touched_f.localCheckpoint(eager=True)
+        if merged_table_exists(spark, fps_path):
+            f_kb = [
+                r["kb"]
+                for r in touched_f.select(
+                    F.pmod(F.xxhash64("fp"), F.lit(n_buckets)).alias("kb")
+                )
+                .distinct()
+                .collect()
+            ]
+            cur_f = (
+                spark.read.parquet(fps_path)
+                .filter(F.col("kb").isin(f_kb))
+                .drop("kb")
+                .join(F.broadcast(touched_f), "fp", "left_semi")
+                .join(F.broadcast(touched), "row_key", "left_anti")
+            )
+            delta_f = cur_f.unionByName(fresh_f.select(*cur_f.columns))
+        else:
+            from hbase_increment_index_spark.sinks import (
+                read_merged_table as _rmt,
+            )
+
+            delta_f = _rmt(spark, docs_path).select(
+                _fpr(fingerprint_field).alias("fp"), "row_key"
+            )
+        vanished_f = touched_f.join(
+            F.broadcast(delta_f.select("fp").distinct()), "fp", "left_anti"
+        )
+        fcols = [c for c in delta_f.columns if c != "fp"]
+        delta_f = delta_f.withColumn("_del", F.lit(False)).unionByName(
+            vanished_f.select(
+                "fp",
+                *[
+                    F.lit(None).cast(delta_f.schema[c].dataType).alias(c)
+                    for c in fcols
+                ],
+                F.lit(True).alias("_del"),
+            )
+        )
+        merge_upsert_parquet(
+            spark, fps_path, delta_f, "fp", n_buckets=n_buckets, delete_col="_del"
         )
 
 

@@ -901,3 +901,72 @@ def test_cow_shingle_store_matches_fresh_build_and_serves_pairing(spark, dirs):
         ).collect()
     }
     assert served == direct == {("B", "C", 0.333333)}
+
+
+def test_cow_fingerprint_store_matches_fresh_build_and_serves_exact_dedup(
+    spark, dirs
+):
+    """COW fingerprint-store maintenance (r13): after out-of-order
+    batches with an fp-changing update, a delete, and exact-duplicate
+    inserts, the fp-bucketed (fp, row_key) table must equal a fresh
+    build over the final document set — including fps whose last doc
+    left — and must serve store-served exact dedup
+    (exact_dups_from_index via the kb->fpb adapter) identical to the
+    direct fingerprint-groupBy form."""
+    from pyspark.sql import functions as F
+
+    from hbase_increment_index_spark.pipeline.dedup import (
+        exact_dups_from_index,
+        read_cow_fingerprint_store,
+    )
+    from hbase_increment_index_spark.pipeline.text import fingerprint
+    from hbase_increment_index_spark.sinks import read_merged_table
+    from hbase_increment_index_spark.streaming.cdc_stream import merge_microbatch_cow
+
+    _, index_path, _ = dirs
+    b1 = [
+        ("put", "A", "cf", "name", "red apple pie", _ts(1), 1),
+        ("put", "B", "cf", "name", "red apple pie", _ts(2), 2),  # dup of A
+        ("put", "D", "cf", "name", "cherry tart", _ts(2), 3),
+    ]
+    b2 = [
+        ("put", "A", "cf", "name", "green pear cake", _ts(5), 10),  # fp moves
+        ("delete", "D", "cf", None, None, _ts(6), 11),
+        ("put", "C", "cf", "name", "red apple pie", _ts(7), 12),  # dup of B
+    ]
+    for i, b in enumerate([b1, b2]):
+        merge_microbatch_cow(
+            spark,
+            spark.createDataFrame(b, SCHEMA),
+            i,
+            index_path,
+            ["name"],
+            n_buckets=8,
+            fingerprint_field="name",
+        )
+    store = read_cow_fingerprint_store(spark, index_path + "_fps_cow")
+    final_docs = read_merged_table(spark, index_path + "_docs_cow").select(
+        "row_key", "name"
+    )
+    want = {
+        (r["fp"], r["row_key"])
+        for r in final_docs.select(fingerprint("name").alias("fp"), "row_key").collect()
+    }
+    assert {(r["fp"], r["doc"]) for r in store.collect()} == want
+    # D's fp vanished with the delete; A left the pie fp's member list
+    # while B/C still hold it (the full member list survives — the
+    # canonical-promotion contract)
+    pie_fp = {fp for fp, d in want if d == "B"}.pop()
+    assert {d for fp, d in want if fp == pie_fp} == {"B", "C"}
+    # serve: an incoming duplicate of the pie text matches min(B, C)
+    incoming = spark.createDataFrame(
+        [("Z", "red apple pie"), ("Y", "green pear cake"), ("X", "novel text")],
+        ["row_key", "name"],
+    )
+    served = {
+        (r["id_new"], r["canonical_id"])
+        for r in exact_dups_from_index(
+            store, incoming, "row_key", "name", n_buckets=8
+        ).collect()
+    }
+    assert served == {("Z", "B"), ("Y", "A")}

@@ -385,6 +385,7 @@ def incremental_near_dups_from_index(
     threshold: float = 0.5,
     max_join_shingle_df: int | None = None,
     n_buckets: int = SHINGLE_STORE_BUCKETS,
+    incoming_postings: DataFrame | None = None,
 ) -> DataFrame:
     """Store-served incremental near-dup pairing: flag INCOMING
     documents that near-duplicate the corpus REPRESENTED BY its
@@ -419,10 +420,17 @@ def incremental_near_dups_from_index(
     with (both default to SHINGLE_STORE_BUCKETS) — the bucket prune is
     a pure function of the shingle only under the same modulus, the
     same way IVF codes are only readable against their own centroids.
-    Output: (id_new, id_old, jaccard ≥ threshold)."""
-    delta = register_cached_intermediate(
-        build_shingle_postings(incoming, id_col, text_col, n, n_buckets)
-    )
+    ``incoming_postings`` (optional): the delta's (doc, sh, shb)
+    postings, ALREADY built with this same n/n_buckets and ideally
+    materialized — callers that also self-pair the delta
+    (:func:`commit_cluster_labels`) pass it so the delta is shingled
+    once, not per pairing. Output: (id_new, id_old, jaccard ≥
+    threshold)."""
+    delta = incoming_postings
+    if delta is None:
+        delta = register_cached_intermediate(
+            build_shingle_postings(incoming, id_col, text_col, n, n_buckets)
+        )
     bucket_ids = [r[0] for r in delta.select("shb").distinct().collect()]
     probe = postings.filter(F.col("shb").isin(bucket_ids))
     delta_sizes = delta.groupBy("doc").agg(F.count(F.lit(1)).alias("n_new"))
@@ -1751,6 +1759,7 @@ def delete_from_clusters(
     threshold: float = 0.5,
     postings: DataFrame | None = None,
     sizes: DataFrame | None = None,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """The CC-label DELETE path — the one derived-store mutation a
     label merge cannot express (removing a doc can SPLIT its
@@ -1789,7 +1798,31 @@ def delete_from_clusters(
         .join(F.broadcast(dele), "doc", "left_anti")
         .select("doc")
     )
-    if postings is not None and sizes is not None:
+    if pairs is not None:
+        # pair-list form: ``pairs`` is the PRE-delete corpus's pair
+        # list at this same threshold (e.g. the one the caller already
+        # materialized to bootstrap the stored labels). A pair's
+        # jaccard is a function of ITS TWO docs' shingle sets alone —
+        # deleting other docs changes nothing and deletion never
+        # CREATES pairs — so the survivor re-pairing is exactly the
+        # stored list restricted to pairs with BOTH endpoints
+        # surviving: two broadcast semi-joins instead of a fresh
+        # pairing job (result-identical to the store-served and direct
+        # forms, pytest-pinned).
+        new_pairs = (
+            pairs.join(
+                F.broadcast(survivors.withColumnRenamed("doc", "id_a")),
+                "id_a",
+                "left_semi",
+            )
+            .join(
+                F.broadcast(survivors.withColumnRenamed("doc", "id_b")),
+                "id_b",
+                "left_semi",
+            )
+            .select("id_a", "id_b")
+        )
+    elif postings is not None and sizes is not None:
         # store-served form: survivors' pairs come from the persisted
         # shingle store — the delete verb touches NO corpus text
         # (result-identical, pytest-proven); deleted docs are excluded
@@ -1965,6 +1998,7 @@ def commit_cluster_labels(
     n: int = 3,
     threshold: float = 0.5,
     n_buckets: int = SHINGLE_STORE_BUCKETS,
+    store_pairs: DataFrame | None = None,
 ) -> DataFrame:
     """CC-label maintenance under one MIXED CDC batch (inserts +
     updates + deletes) — the composed, ordered fold
@@ -1999,13 +2033,28 @@ def commit_cluster_labels(
     ``changed_docs`` holds post-images of inserts and updates;
     ``deleted_ids`` the batch's delete set; ``n_buckets`` must equal
     the value ``store_postings`` was built with (the shingle-store
-    modulus contract). Work: step 1 ∝ Σ|affected components|, step 2
-    ∝ |delta pairs| — the corpus is never re-paired."""
+    modulus contract). ``store_pairs`` (optional): the PRE-batch
+    corpus pair list at this threshold — when the caller already has
+    it materialized (the in-plan bootstrap does, it just built the
+    stored labels from it), step 1's survivor re-pairing becomes two
+    broadcast semi-joins on it instead of a pairing job (see
+    :func:`delete_from_clusters`). Work: step 1 ∝ Σ|affected
+    components|, step 2 ∝ |delta pairs| — the corpus is never
+    re-paired."""
     touched = (
         changed_docs.select(F.col(id_col).alias(id_col))
         .unionByName(deleted_ids.select(F.col(id_col).alias(id_col)))
         .distinct()
     )
+    # labels_after_del feeds merge_cluster_labels THREE ways (the
+    # touched-label lookup for each pair side, then the final
+    # relabel) — without a cut each consumer re-runs the scoped
+    # rebuild (survivor re-pairing + CC), tripling step 1 (r13 verdict
+    # finding 1: this tripling was most of the commit capstone's
+    # wall). The post-delete label table is ∝ paired docs — the same
+    # size class the stored labels came in at, so materializing it is
+    # never larger than the input; at cluster scale the equivalent cut
+    # is writing the post-delete labels back to the label store.
     labels_after_del = delete_from_clusters(
         stored,
         touched,
@@ -2016,10 +2065,18 @@ def commit_cluster_labels(
         threshold=threshold,
         postings=store_postings,
         sizes=store_sizes,
-    )
+        pairs=store_pairs,
+    ).localCheckpoint(eager=True)
     touched_doc = touched.withColumnRenamed(id_col, "doc")
     kept_store = store_postings.join(F.broadcast(touched_doc), "doc", "left_anti")
     kept_sizes = store_sizes.join(F.broadcast(touched_doc), "doc", "left_anti")
+    # shingle the delta ONCE: the materialized postings feed the
+    # bipartite probe's delta side AND the delta-internal self-pairing
+    # (the from-index form, result-identical to direct pairing) — the
+    # delta text is tokenized exactly once in the whole fold
+    delta_postings = build_shingle_postings(
+        changed_docs, id_col, text_col, n, n_buckets
+    ).localCheckpoint(eager=True)
     bip = incremental_near_dups_from_index(
         kept_store,
         kept_sizes,
@@ -2029,9 +2086,10 @@ def commit_cluster_labels(
         n=n,
         threshold=threshold,
         n_buckets=n_buckets,
+        incoming_postings=delta_postings,
     ).select(F.col("id_new").alias("id_a"), F.col("id_old").alias("id_b"))
-    internal = ngram_jaccard_pairs(
-        changed_docs, id_col, text_col, n=n, threshold=threshold
+    internal = ngram_jaccard_pairs_from_index(
+        delta_postings, shingle_doc_sizes(delta_postings), threshold=threshold
     ).select("id_a", "id_b")
     return merge_cluster_labels(labels_after_del, bip.unionByName(internal))
 

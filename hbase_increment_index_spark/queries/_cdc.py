@@ -1334,6 +1334,7 @@ def _commit_all_stores(spark: SparkSession, sf_dir: str, rebuilt: bool = False):
         merge_shingle_postings,
         minhash_digest_store,
         ngram_jaccard_pairs,
+        ngram_jaccard_pairs_from_index,
         shingle_doc_sizes,
     )
     from hbase_increment_index_spark.pipeline.similarity import (
@@ -1427,7 +1428,30 @@ def _commit_all_stores(spark: SparkSession, sf_dir: str, rebuilt: bool = False):
             "signatures": minhash_digest_store(final),
         }
 
-    postings_v1 = build_inverted_index(v1, "doc_id", "text")
+    # The twelve merge pipelines below are UNION BRANCHES of one plan:
+    # without a materialization each branch re-reads the documents
+    # parquet and re-tokenizes (r13 verdict: tokens(text) recomputed
+    # ~10x per run), and the v1-side bootstraps re-derive their input
+    # scans. localCheckpoint(eager) materializes each shared frame
+    # ONCE and truncates lineage, so every consumer reads the stored
+    # partitions. On a cluster the same sharing is persist(MEMORY_AND_
+    # DISK) or — in production, where the v1 stores already live on
+    # disk — the persisted store reads the bench's cdc_commit_served
+    # twin prices; the in-plan bootstrap here exists so the oracle can
+    # replay merge ≡ rebuild from the raw table alone.
+    v1 = v1.localCheckpoint(eager=True)
+    changed = changed.localCheckpoint(eager=True)
+    touched = touched.localCheckpoint(eager=True)
+    emb_v1 = emb_v1.localCheckpoint(eager=True)
+    emb_changed = emb_changed.localCheckpoint(eager=True)
+    # centroids/codebooks are k-row frames but aggregate the full
+    # emb_v1 per consumer (two index_rows calls) — checkpoint the
+    # small RESULT, not the scan
+    cents = cents.localCheckpoint(eager=True)
+    cbs = cbs.localCheckpoint(eager=True)
+    postings_v1 = build_inverted_index(v1, "doc_id", "text").localCheckpoint(
+        eager=True
+    )
     # column order normalized to the rebuild's (term, doc_id, tf) so
     # positional comparisons (exceptAll) line up
     merged_postings = merge_postings(
@@ -1444,7 +1468,9 @@ def _commit_all_stores(spark: SparkSession, sf_dir: str, rebuilt: bool = False):
     # the v1 shingle store feeds THREE consumers: the shingle-store
     # merge, the CC scoped-delete's survivor re-pairing, and the CC
     # bipartite probe's kept-corpus side — built once here
-    shingle_store_v1 = build_shingle_postings(v1, "doc_id", "text", n=3)
+    shingle_store_v1 = build_shingle_postings(
+        v1, "doc_id", "text", n=3
+    ).localCheckpoint(eager=True)
     merged_shingles = merge_shingle_postings(
         shingle_store_v1,
         changed.select("doc_id", "text"),
@@ -1504,20 +1530,32 @@ def _commit_all_stores(spark: SparkSession, sf_dir: str, rebuilt: bool = False):
     )
     # CC labels: the composed delete-then-merge fold (see docstring;
     # factored as pipeline.dedup.commit_cluster_labels so the ordering
-    # contract is property-testable on arbitrary corpora)
-    labels_v1 = connected_components(
-        ngram_jaccard_pairs(v1, "doc_id", "text", n=3, threshold=cc_th)
-    )
+    # contract is property-testable on arbitrary corpora). The v1
+    # bootstrap labels pair FROM THE CHECKPOINTED SHINGLE STORE
+    # (result-identical to direct pairing, pytest-proven) — the v1
+    # corpus is never re-shingled for the CC leg, and the sizes side
+    # table is cut once for its two consumers (bootstrap pairing +
+    # the fold's survivor re-pairing).
+    sizes_v1 = shingle_doc_sizes(shingle_store_v1).localCheckpoint(eager=True)
+    # pair the v1 corpus ONCE: the materialized list bootstraps the
+    # labels AND serves the delete fold's survivor re-pairing (a pair's
+    # jaccard never changes when other docs are deleted), so the fold
+    # runs zero further corpus pairing jobs
+    pairs_v1 = ngram_jaccard_pairs_from_index(
+        shingle_store_v1, sizes_v1, threshold=cc_th
+    ).localCheckpoint(eager=True)
+    labels_v1 = connected_components(pairs_v1)
     merged_cc = commit_cluster_labels(
         labels_v1,
         shingle_store_v1,
-        shingle_doc_sizes(shingle_store_v1),
+        sizes_v1,
         changed.select("doc_id", "text"),
         deleted,
         "doc_id",
         "text",
         n=3,
         threshold=cc_th,
+        store_pairs=pairs_v1,
     ).select("doc", "component")
     return {
         "ann_index": merged_ann,

@@ -193,7 +193,11 @@ HEADLINE = [
     # (registry form prices the in-plan bootstrap, the e2o discipline;
     # the persisted-store serve is the e2s_store_served twin below)
     "e2s_store_served_increment",
-    "cdc_commit_all_stores",
+    # cdc_commit_all_stores moved out of the headline loop in r14: its
+    # registry form prices the 12-store BOOTSTRAP (in-plan v1 rebuild so
+    # the oracle can replay merge ≡ rebuild) — a one-time cost class,
+    # now reported as commit_bootstrap_sec beside the *_build_once_sec
+    # fields; the steady-state number is cdc_commit_served below.
     "e3p_probe_sweep",
     "q61p_stream_shortest_path",
     "q39h_json_facet_percentile",
@@ -248,15 +252,20 @@ def main() -> None:
     # probe ratio before reading a delta as a plan regression.
     from pyspark.sql import functions as _Fp
 
+    # r13 verdict finding 2: a 0.17s probe is noise-dominated (a 43%
+    # swing amplified normalized_vs_prev into an alarming headline) —
+    # 5 runs of a ≥1s kernel, MEDIAN kept, samples persisted to
+    # bench_samples.json so the next round can audit the spread.
+    PROBE_ROWS = 300_000_000
     probe_runs = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.time()
         # bit_count keeps the sum far from int64 overflow (ANSI mode)
-        spark.range(50_000_000).select(
+        spark.range(PROBE_ROWS).select(
             _Fp.sum(_Fp.bit_count(_Fp.xxhash64("id")))
         ).collect()
         probe_runs.append(round(time.time() - t0, 3))
-    cpu_probe_sec = min(probe_runs)
+    cpu_probe_sec = sorted(probe_runs)[len(probe_runs) // 2]
     print(f"# cpu calibration probe: {cpu_probe_sec:.3f}s {probe_runs}", file=sys.stderr)
 
     timings: dict[str, float] = {}
@@ -276,6 +285,25 @@ def main() -> None:
         # pressure doesn't accumulate into later queries' timings
         spark.catalog.clearCache()
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    # --- commit BOOTSTRAP, timed outside the headline set (r13 verdict
+    # #1): the registry's cdc_commit_all_stores rebuilds every v1 store
+    # in-plan so its oracle can replay merge ≡ rebuild — a ONE-TIME cost
+    # class like the *_build_once_sec index builds, not a steady-state
+    # serving number, so it reports beside them instead of inflating the
+    # headline total. The steady-state commit is cdc_commit_served below.
+    boot_runs = []
+    for _ in range(3):
+        t0 = time.time()
+        QUERIES["cdc_commit_all_stores"](spark, sf_dir).toPandas()
+        boot_runs.append(round(time.time() - t0, 3))
+        spark.catalog.clearCache()
+    commit_bootstrap_sec = min(boot_runs)
+    samples["cdc_commit_all_stores_bootstrap"] = boot_runs
+    print(
+        f"# commit 12-store bootstrap (one-time): {commit_bootstrap_sec:.3f}s",
+        file=sys.stderr,
+    )
 
     # --- materialized-index serving path: SCALE.md's "the build
     # disappears" claim, substantiated with numbers. The ad-hoc
@@ -426,11 +454,24 @@ def main() -> None:
 
     _d0 = docs.select("doc_id", "text")
     t0 = time.time()
-    connected_components(
-        ngram_jaccard_pairs(_d0, "doc_id", "text", n=3, threshold=0.30)
-    ).write.mode("overwrite").parquet(f"{idx_dir}/cc_labels")
+    # the PAIR LIST persists beside the labels (r14): labels derive
+    # from it at build time, and each commit's delete step then
+    # re-pairs survivors by FILTERING the stored list (two broadcast
+    # semi-joins) instead of a fresh pairing job — see
+    # pipeline.dedup.commit_cluster_state, which also maintains the
+    # store per batch (work ∝ |delta|)
+    ngram_jaccard_pairs(
+        _d0, "doc_id", "text", n=3, threshold=0.30
+    ).write.mode("overwrite").parquet(f"{idx_dir}/cc_pairs")
+    _stored_pairs = spark.read.parquet(f"{idx_dir}/cc_pairs")
+    connected_components(_stored_pairs).write.mode("overwrite").parquet(
+        f"{idx_dir}/cc_labels"
+    )
     cc_build_sec = round(time.time() - t0, 3)
-    print(f"# CC label store build+save (one-time): {cc_build_sec:.3f}s", file=sys.stderr)
+    print(
+        f"# CC label + pair store build+save (one-time): {cc_build_sec:.3f}s",
+        file=sys.stderr,
+    )
     _stored = spark.read.parquet(f"{idx_dir}/cc_labels")
     _delta = _d0.filter(_F.col("doc_id") % 5 == 0).select(
         (_F.col("doc_id") + _F.lit(80_000_000)).alias("doc_id"),
@@ -527,7 +568,7 @@ def main() -> None:
     from hbase_increment_index_spark.numeric import dec as _dec
     from hbase_increment_index_spark.pipeline.dedup import (
         build_fingerprint_store,
-        commit_cluster_labels,
+        commit_cluster_state,
         merge_fingerprint_store,
     )
     from hbase_increment_index_spark.pipeline.similarity import (
@@ -588,20 +629,30 @@ def main() -> None:
         upd = docs.filter(m10 == 1).withColumn(
             "text", _F.substring("text", 1, 20)
         )
-        chg = ins.unionByName(upd)
+        # the delta frames feed every one of the merges below (chg is
+        # tokenized by postings/positional/doclen/signatures/facets/
+        # rollup/idf/sketch/fingerprints/shingles/CC) — cut them once
+        # per commit, the same sharing the registry bootstrap form
+        # applies (r13 verdict finding 1); cost ∝ |batch|, the frames a
+        # production commit holds in memory anyway. The three cuts are
+        # independent, so they materialize CONCURRENTLY (one scheduling
+        # round, not three — functions.layout.checkpoint_all).
+        from hbase_increment_index_spark.functions.layout import checkpoint_all
+
         dels = docs.filter(m10 == 2).select("doc_id")
-        touched = chg.select("doc_id").unionByName(dels).distinct()
-        old_rows = docs.filter(m10.isin(1, 2))
         me = _F.col("vec_id") % 10
-        echg = (
+        chg, old_rows, echg = checkpoint_all(
+            ins.unionByName(upd),
+            docs.filter(m10.isin(1, 2)),
             emb.filter(me == 0)
             .withColumn("vec_id", _F.col("vec_id") + _F.lit(90_000_000))
             .unionByName(
                 emb.filter(me == 1).withColumn(
                     "embedding", _F.reverse("embedding")
                 )
-            )
+            ),
         )
+        touched = chg.select("doc_id").unionByName(dels).distinct()
         etouch = (
             echg.select("vec_id")
             .unionByName(emb.filter(me == 2).select("vec_id"))
@@ -670,11 +721,17 @@ def main() -> None:
             "ann_cells": _scells.select("cid", "vec_id", "embedding")
             .join(_F.broadcast(etouch), "vec_id", "left_anti")
             .unionByName(fresh_cells),
-            "cc_labels": commit_cluster_labels(
-                _stored, _shstore, _shsizes, chg_dt, dels, "doc_id", "text",
-                n=3, threshold=0.30, n_buckets=shingle_buckets,
-            ),
         }
+        # the CC fold maintains BOTH cluster tables from one shared
+        # delta pairing: labels (delete-then-merge) and the pair store
+        # the next commit's delete step filters instead of re-pairing
+        cc_state = commit_cluster_state(
+            _stored, _shstore, _shsizes, chg_dt, dels, "doc_id", "text",
+            n=3, threshold=0.30, n_buckets=shingle_buckets,
+            store_pairs=_stored_pairs,
+        )
+        stores["cc_labels"] = cc_state["labels"]
+        stores["cc_pairs"] = cc_state["pairs"]
         out = None
         for name in sorted(stores):
             row = stores[name].agg(_F.count(_F.lit(1)).alias("n_rows")).select(
@@ -776,7 +833,7 @@ def main() -> None:
         "q69_span_near_servedidx",
         "q78b_knn_served_idx",
         "e2s_store_served",
-        "cdc_commit_all_stores", "e3p_probe_sweep",
+        "e3p_probe_sweep",
         "q61p_stream_shortest_path", "e4o_bpe_train",
         "q39h_json_facet_percentile",
         "q85_stream_classify", "q61t_stream_random",
@@ -828,7 +885,11 @@ def main() -> None:
             prev_total = sum(pq[k] for k in common)
             cur_total = sum(timings[k] for k in common)
             if common and prev_total > 0 and pp and cpu_probe_sec > 0:
-                host_ratio = cpu_probe_sec / pp
+                # probe sizes differ across rounds (r14 grew the kernel
+                # 50M → 300M rows for a ≥1s sample) — normalize both to
+                # per-row throughput before taking the host ratio
+                prev_rows = parsed.get("cpu_probe_rows") or 50_000_000
+                host_ratio = (cpu_probe_sec / PROBE_ROWS) / (pp / prev_rows)
                 # emit BOTH ratios: the probe tracks CPU-burst
                 # throughput, not end-to-end query time, so when the
                 # two disagree the raw ratio is the sanity anchor; and
@@ -856,6 +917,8 @@ def main() -> None:
                 "sf": sf,
                 "n_queries_total": len(timings),
                 "cpu_probe_sec": cpu_probe_sec,
+                "cpu_probe_rows": PROBE_ROWS,
+                "commit_bootstrap_sec": commit_bootstrap_sec,
                 "positional_index_build_once_sec": index_build_sec,
                 "postings_index_build_once_sec": postings_build_sec,
                 "signature_store_build_once_sec": sigstore_build_sec,

@@ -43,6 +43,26 @@ def fan_out(df: DataFrame, multiple: int = 1) -> DataFrame:
     return df
 
 
+def checkpoint_all(*frames: DataFrame) -> list[DataFrame]:
+    """Eagerly localCheckpoint several INDEPENDENT frames
+    concurrently: one thread per frame submits its materialization
+    job, so k checkpoints cost ~max(job) wall instead of Σ(job).
+    Spark's scheduler is thread-safe for concurrent job submission
+    (the standard multi-tenant driver pattern); use this only for
+    frames with no dependency on one another — a dependent frame must
+    checkpoint AFTER its input or it re-derives the uncut lineage.
+    The commit folds use it to cut their per-batch delta frames in one
+    scheduling round (the serial-eager chain was most of the served
+    commit's wall at small scale; at 100 TB the same overlap hides
+    scheduling latency behind the largest delta scan)."""
+    if len(frames) == 1:
+        return [frames[0].localCheckpoint(eager=True)]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(frames)) as pool:
+        return list(pool.map(lambda f: f.localCheckpoint(eager=True), frames))
+
+
 def zorder_key(cols: list[Column | str], bits: int = 16) -> Column:
     """Morton (Z-order) key over 2+ already-normalized integer columns.
 

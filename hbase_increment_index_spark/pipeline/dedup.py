@@ -1039,14 +1039,17 @@ def minhash_lsh_pairs(
 
 # ------------------------------------------- near-dup clusters (E2 final)
 
-def _union_find_components(edges: DataFrame) -> DataFrame:
+def _union_find_components(edges: DataFrame, pdf=None) -> DataFrame:
     """Driver-side union-find over a SMALL edge list → (doc, component)
     with component = min member id — identical output contract to the
     distributed loop. Only called when the edge count is under the
     broadcast-class threshold (see connected_components), where one
-    collect of the already-materialized edge list beats 2-3 rounds of
-    tiny-join scheduling by ~10×."""
-    pdf = edges.toPandas()  # Arrow-backed: 2 columns, ~16 B/edge
+    collect of the edge list beats 2-3 rounds of tiny-join scheduling
+    by ~10×. ``pdf``: the already-collected pandas edge frame when the
+    caller's size probe fetched it (connected_components' limit+collect
+    probe — no second collect)."""
+    if pdf is None:
+        pdf = edges.toPandas()  # Arrow-backed: 2 columns, ~16 B/edge
     parent: dict = {}
 
     def find(x):
@@ -1100,25 +1103,31 @@ def connected_components(
     100 TB bloats task serialization and risks stack-deep reoptimization
     even though execution reuses the cached rounds.
     """
-    # localCheckpoint (not just persist): the edge list is consumed by
-    # every propagation round, so its upstream lineage — typically the
-    # whole LSH candidate-pair pipeline — would otherwise be re-embedded
-    # in each round's plan and dominate the final plan size
     edges = (
         pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
         .union(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     # Size-adaptive path choice — the same judgment call as a broadcast
-    # join: an edge list under ~1M rows is driver-safe by definition
-    # (it is already materialized by the checkpoint, so the count is
-    # free), and one collect + union-find beats O(diameter) rounds of
-    # tiny-join job scheduling by ~10× locally. Above the threshold the
-    # distributed label-propagation loop below is the only correct
-    # choice; pass driver_threshold=0 to force it (tests do).
-    if driver_threshold and edges.count() <= driver_threshold:
-        return _union_find_components(edges)
+    # join: an edge list under ~1M rows is driver-safe by definition,
+    # and one collect + union-find beats O(diameter) rounds of
+    # tiny-join job scheduling by ~10× locally. The size probe IS the
+    # collect: limit(threshold+1) either returns the WHOLE list (limit
+    # didn't truncate ⇒ union-find runs on the fetched frame — ONE
+    # action per CC call; the previous checkpoint+count+collect triple
+    # cost three scheduling rounds, most of the commit fold's serial
+    # floor, r14) or proves the list is over-threshold and the
+    # distributed loop below takes over. Pass driver_threshold=0 to
+    # force the loop (tests do).
+    if driver_threshold:
+        probe = edges.limit(driver_threshold + 1).toPandas()
+        if len(probe) <= driver_threshold:
+            return _union_find_components(edges, pdf=probe)
+    # localCheckpoint (not just persist): the edge list is consumed by
+    # every propagation round, so its upstream lineage — typically the
+    # whole LSH candidate-pair pipeline — would otherwise be re-embedded
+    # in each round's plan and dominate the final plan size
+    edges = edges.localCheckpoint(eager=True)
     labels = edges.select("u").distinct().withColumn("label", F.col("u"))
 
     # Convergence check: each round carries (old_label, label) through
@@ -2041,11 +2050,55 @@ def commit_cluster_labels(
     :func:`delete_from_clusters`). Work: step 1 ∝ Σ|affected
     components|, step 2 ∝ |delta pairs| — the corpus is never
     re-paired."""
+    return commit_cluster_state(
+        stored,
+        store_postings,
+        store_sizes,
+        changed_docs,
+        deleted_ids,
+        id_col,
+        text_col,
+        n=n,
+        threshold=threshold,
+        n_buckets=n_buckets,
+        store_pairs=store_pairs,
+    )["labels"]
+
+
+def commit_cluster_state(
+    stored: DataFrame,
+    store_postings: DataFrame,
+    store_sizes: DataFrame,
+    changed_docs: DataFrame,
+    deleted_ids: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    n_buckets: int = SHINGLE_STORE_BUCKETS,
+    store_pairs: DataFrame | None = None,
+) -> dict[str, DataFrame]:
+    """:func:`commit_cluster_labels`' fold with every derived cluster
+    table it can maintain in one pass: returns ``{"labels": ...}`` and,
+    when ``store_pairs`` is given, also ``{"pairs": ...}`` — the
+    post-batch PAIR STORE (old pairs minus any with a touched endpoint,
+    plus the pairs incident to the batch), kept from ONE shared delta
+    pairing with the label fold. A serving deployment persists the
+    pair store beside the labels: the next commit's delete step then
+    never re-pairs survivors (two broadcast semi-joins on the stored
+    list), which is what makes the steady-state commit ∝ |delta|."""
     touched = (
         changed_docs.select(F.col(id_col).alias(id_col))
         .unionByName(deleted_ids.select(F.col(id_col).alias(id_col)))
         .distinct()
     )
+    # The fold's two heavy legs are INDEPENDENT — the delete-side
+    # scoped rebuild (step 1) and the batch's incident-pair
+    # computation (step 2's input) share nothing until the final
+    # merge — so they materialize CONCURRENTLY (two threads, one
+    # scheduling round; the serial-eager chain was most of the served
+    # commit's wall at small scale).
+    #
     # labels_after_del feeds merge_cluster_labels THREE ways (the
     # touched-label lookup for each pair side, then the final
     # relabel) — without a cut each consumer re-runs the scoped
@@ -2055,43 +2108,74 @@ def commit_cluster_labels(
     # size class the stored labels came in at, so materializing it is
     # never larger than the input; at cluster scale the equivalent cut
     # is writing the post-delete labels back to the label store.
-    labels_after_del = delete_from_clusters(
-        stored,
-        touched,
-        None,
-        id_col,
-        text_col,
-        n=n,
-        threshold=threshold,
-        postings=store_postings,
-        sizes=store_sizes,
-        pairs=store_pairs,
-    ).localCheckpoint(eager=True)
-    touched_doc = touched.withColumnRenamed(id_col, "doc")
-    kept_store = store_postings.join(F.broadcast(touched_doc), "doc", "left_anti")
-    kept_sizes = store_sizes.join(F.broadcast(touched_doc), "doc", "left_anti")
-    # shingle the delta ONCE: the materialized postings feed the
-    # bipartite probe's delta side AND the delta-internal self-pairing
-    # (the from-index form, result-identical to direct pairing) — the
-    # delta text is tokenized exactly once in the whole fold
-    delta_postings = build_shingle_postings(
-        changed_docs, id_col, text_col, n, n_buckets
-    ).localCheckpoint(eager=True)
-    bip = incremental_near_dups_from_index(
-        kept_store,
-        kept_sizes,
-        changed_docs,
-        id_col,
-        text_col,
-        n=n,
-        threshold=threshold,
-        n_buckets=n_buckets,
-        incoming_postings=delta_postings,
-    ).select(F.col("id_new").alias("id_a"), F.col("id_old").alias("id_b"))
-    internal = ngram_jaccard_pairs_from_index(
-        delta_postings, shingle_doc_sizes(delta_postings), threshold=threshold
-    ).select("id_a", "id_b")
-    return merge_cluster_labels(labels_after_del, bip.unionByName(internal))
+    def _build_labels_after_del() -> DataFrame:
+        return delete_from_clusters(
+            stored,
+            touched,
+            None,
+            id_col,
+            text_col,
+            n=n,
+            threshold=threshold,
+            postings=store_postings,
+            sizes=store_sizes,
+            pairs=store_pairs,
+        ).localCheckpoint(eager=True)
+
+    # the batch's incident pairs feed the label merge AND (when the
+    # caller maintains one) the pair store — one cut for both. The
+    # delta is shingled ONCE: the postings feed the bipartite probe's
+    # delta side AND the delta-internal self-pairing (the from-index
+    # form, result-identical to direct pairing). LAZY checkpoint on
+    # the postings: the probe's bucket-collect is the first action
+    # over them, so the job that gathers the bucket IN-list
+    # materializes the cut.
+    def _build_new_pairs() -> DataFrame:
+        touched_doc = touched.withColumnRenamed(id_col, "doc")
+        kept_store = store_postings.join(
+            F.broadcast(touched_doc), "doc", "left_anti"
+        )
+        kept_sizes = store_sizes.join(F.broadcast(touched_doc), "doc", "left_anti")
+        delta_postings = build_shingle_postings(
+            changed_docs, id_col, text_col, n, n_buckets
+        ).localCheckpoint(eager=False)
+        bip = incremental_near_dups_from_index(
+            kept_store,
+            kept_sizes,
+            changed_docs,
+            id_col,
+            text_col,
+            n=n,
+            threshold=threshold,
+            n_buckets=n_buckets,
+            incoming_postings=delta_postings,
+        ).select(F.col("id_new").alias("id_a"), F.col("id_old").alias("id_b"))
+        internal = ngram_jaccard_pairs_from_index(
+            delta_postings, shingle_doc_sizes(delta_postings), threshold=threshold
+        ).select("id_a", "id_b")
+        return bip.unionByName(internal).localCheckpoint(eager=True)
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fut_labels = pool.submit(_build_labels_after_del)
+        fut_pairs = pool.submit(_build_new_pairs)
+        labels_after_del = fut_labels.result()
+        new_pairs = fut_pairs.result()
+    out = {"labels": merge_cluster_labels(labels_after_del, new_pairs)}
+    if store_pairs is not None:
+        touched_doc = touched.withColumnRenamed(id_col, "doc")
+        kept_pairs = store_pairs.select("id_a", "id_b").join(
+            F.broadcast(touched_doc.withColumnRenamed("doc", "id_a")),
+            "id_a",
+            "left_anti",
+        ).join(
+            F.broadcast(touched_doc.withColumnRenamed("doc", "id_b")),
+            "id_b",
+            "left_anti",
+        ).select("id_a", "id_b")
+        out["pairs"] = kept_pairs.unionByName(new_pairs.select("id_a", "id_b"))
+    return out
 
 
 # ------------------------------------------- fingerprint (exact) store

@@ -1065,6 +1065,96 @@ ORDER BY id ASC
 """
 
 
+# One shared spec drives BOTH engines (compile_filter_list for Spark,
+# filter_list_sql for the DuckDB oracle) so the correctness row proves
+# the two compilers agree on the same tree. Shape: a MUST_PASS_ONE of
+# two MUST_PASS_ALL branches with a nested OR — range band + value
+# filter (filterIfMissing both ways) on one side, prefix + comparator
+# on the other.
+FILTER_LIST_SPEC = (
+    "OR",
+    [
+        (
+            "AND",
+            [
+                ("cmp", "id", ">=", "2"),
+                ("cmp", "id", "<", "45"),
+                # HBase default filterIfMissing=false: rows without a
+                # click cell PASS this leaf
+                ("cmp", "click", ">=", "2"),
+                (
+                    "OR",
+                    [
+                        # filterIfMissing=true: rows without a view
+                        # cell are dropped from this leaf
+                        ("cmp", "view", "<", "3", True),
+                        ("cmp", "purchase", "!=", "1", True),
+                    ],
+                ),
+            ],
+        ),
+        ("AND", [("prefix", "id", "7"), ("cmp", "signup", ">=", "1", True)]),
+    ],
+)
+
+
+def cdc_filter_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HBase ``FilterList`` composition — the AND/OR filter TREE of the
+    HBase 0.98 scan API the reference deploys on (reference
+    pom.xml:19): MUST_PASS_ALL / MUST_PASS_ONE lists nesting RowFilter
+    range comparators, a PrefixFilter, and SingleColumnValueFilters
+    with BOTH filterIfMissing settings (the HBase default lets rows
+    missing the cell pass — cdc.filters compiles that leaf to
+    ``col IS NULL OR col <op> v``). The whole tree compiles to ONE
+    Column predicate (cdc.filters.compile_filter_list), so the scan
+    sees a plain boolean expression and pushes the sargable legs;
+    random-tree equivalence against the SQL rendering is
+    property-tested (tests/test_round14_ops.py)."""
+    from hbase_increment_index_spark.cdc.filters import compile_filter_list
+    from hbase_increment_index_spark.cdc.index_builder import documents_from_cells
+
+    events = _t(spark, sf_dir, "events")
+    log = cell_log_from_events(events, delete_event_type="error")
+    docs = documents_from_cells(log, ["click", "purchase", "signup", "view"])
+    return (
+        docs.filter(compile_filter_list(FILTER_LIST_SPEC))
+        .select("id", "click", "purchase", "signup", "view")
+        .orderBy("id")
+    )
+
+
+def _cdc_filter_list_sql() -> str:
+    from hbase_increment_index_spark.cdc.filters import filter_list_sql
+
+    return f"""
+WITH log AS ({_SQL_CELL_LOG.format(delete_type='error')}),
+cell_latest AS (
+  SELECT * FROM log
+  QUALIFY row_number() OVER (
+    PARTITION BY row_key, family, qualifier ORDER BY ts DESC, seq DESC) = 1
+),
+row_latest AS (
+  SELECT row_key, op AS row_op FROM log
+  QUALIFY row_number() OVER (PARTITION BY row_key ORDER BY ts DESC, seq DESC) = 1
+),
+live AS (
+  SELECT c.* FROM cell_latest c JOIN row_latest r USING (row_key)
+  WHERE c.op = 'put' AND r.row_op = 'put'
+),
+docs AS (
+  SELECT row_key AS id,
+         min(CASE WHEN qualifier = 'click'    THEN value END) AS click,
+         min(CASE WHEN qualifier = 'purchase' THEN value END) AS purchase,
+         min(CASE WHEN qualifier = 'signup'   THEN value END) AS signup,
+         min(CASE WHEN qualifier = 'view'     THEN value END) AS view
+  FROM live GROUP BY row_key
+)
+SELECT id, click, purchase, signup, view FROM docs
+WHERE {filter_list_sql(FILTER_LIST_SPEC)}
+ORDER BY id ASC
+"""
+
+
 def cdc_merge_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental quantile-sketch maintenance over the CDC stream —
     Solr ``stats.field`` percentiles (served by t-digest there,

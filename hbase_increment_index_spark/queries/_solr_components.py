@@ -2323,6 +2323,104 @@ ORDER BY n_global DESC, source ASC
 """
 
 
+def q39i_json_facet_join_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr ``json.facet`` JOIN domain — the second of the three
+    documented domain changes (q39d covers ``blockChildren``, q39j
+    the ``graph`` twin; reference pom.xml:87-109 pins the Solr these
+    ship in): ``q=c_mktsegment:BUILDING`` on customers, facet
+    ``{priorities: {type: terms, field: o_orderpriority, domain:
+    {join: {from: c_custkey, to: o_custkey, fromIndex: customer}},
+    facet: {sum_price: "sum(o_totalprice)"}}}`` — the matching
+    customers' ORDERS define the facet domain.
+
+    Plan discipline = q39d's: the domain switch projects the matched
+    keyset to the join column and BROADCASTS it onto the fact table
+    (left-semi) — the orders scan never shuffles for the domain
+    change; the customer predicate pushes into its scan; one hash agg
+    for the buckets."""
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _t(spark, sf_dir, "orders")
+    keys = cust.select(F.col("c_custkey").alias("o_custkey")).distinct()
+    dom = orders.join(F.broadcast(keys), "o_custkey", "left_semi")
+    return (
+        dom.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(exact_sum("o_totalprice"), 6).alias("sum_price"),
+        )
+        .orderBy(F.col("n").desc(), F.col("o_orderpriority").asc())
+    )
+
+
+Q39I_SQL = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE), 6)
+         AS sum_price
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM customer
+  WHERE c_custkey = o_custkey AND c_mktsegment = 'BUILDING'
+)
+GROUP BY o_orderpriority
+ORDER BY n DESC, o_orderpriority ASC
+"""
+
+
+def q39j_json_facet_graph_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr ``json.facet`` GRAPH domain — the third domain change
+    (with q39d blockChildren and q39i join): ``q=o_orderkey:[0 TO
+    19]`` seeds the traversal, ``domain: {graph: {from: o_custkey,
+    to: o_orderkey, maxDepth: 2}}`` expands it to every order
+    reachable along the from→to edges (the roots stay in the domain,
+    Solr's contract), and a terms facet on o_orderstatus with a
+    revenue stat runs over the gathered docset.
+
+    Plan: the q56 BFS (level-synchronous, each hop a broadcast
+    semi-join on the frontier keyset — search.graph.graph_traverse),
+    then the reachable keys broadcast onto the orders scan for the
+    facet; the fact table never shuffles for the domain switch."""
+    from hbase_increment_index_spark.search.graph import graph_traverse
+
+    orders = _t(spark, sf_dir, "orders")
+    reach = graph_traverse(
+        orders,
+        "o_orderkey",
+        from_col="o_custkey",
+        to_col="o_orderkey",
+        root_pred=F.col("o_orderkey") < 20,
+        max_depth=2,
+    ).select("o_orderkey")
+    dom = orders.join(F.broadcast(reach), "o_orderkey", "left_semi")
+    return (
+        dom.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(exact_sum("o_totalprice"), 6).alias("sum_price"),
+        )
+        .orderBy(F.col("n").desc(), F.col("o_orderstatus").asc())
+    )
+
+
+Q39J_SQL = """
+WITH RECURSIVE walk(node, fromv, depth) AS (
+  SELECT o_orderkey, o_custkey, 0 FROM orders WHERE o_orderkey < 20
+  UNION ALL
+  SELECT o.o_orderkey, o.o_custkey, w.depth + 1
+  FROM orders o JOIN walk w ON o.o_orderkey = w.fromv
+  WHERE w.depth < 2
+),
+dom AS (SELECT DISTINCT node AS o_orderkey FROM walk)
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) AS DOUBLE), 6)
+         AS sum_price
+FROM orders JOIN dom USING (o_orderkey)
+GROUP BY o_orderstatus
+ORDER BY n DESC, o_orderstatus ASC
+"""
+
+
 # The query vector is part of the {!knn} / knnSearch() query TEXT, so
 # both engines get it from this one constant (deterministic, dim-64
 # like the embeddings fixture). Shared by q78 and q80.
@@ -3586,6 +3684,278 @@ def q61x_stream_facet2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         'facet2D(documents, q="*:*", x="source", y="lang", '
         'dimensions="5,3", count(*))',
     ).orderBy("source", "lang")
+
+
+def q61y_stream_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/stream ``reduce()`` + ``group()`` (solrj 9.x ReducerStream +
+    GroupOperation, reference pom.xml:22): group the order stream by
+    customer and keep each customer's top-3 orders by totalprice —
+    the sort-based grouping decorator of the expression language.
+    Solr nests the group under the head tuple as a list-of-maps; the
+    engine flattens to rows with a ``group_pos`` rank (1 = the head),
+    the same bucket-flattening every facet entry uses. Plan: one
+    window rank over the by-key, filtered to n — Solr's sorted-input
+    precondition is subsumed by hash partitioning, no global sort
+    (search.streaming_expr._op_reduce)."""
+    return _stream(
+        spark, sf_dir,
+        'reduce(search(orders, fq="o_custkey:[0 TO 49]", '
+        'fl="o_custkey,o_orderkey,o_totalprice", sort="o_custkey asc"), '
+        'by="o_custkey", '
+        'group(sort="o_totalprice desc, o_orderkey asc", n="3"))',
+    ).orderBy("o_custkey", "group_pos")
+
+
+Q61Y_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS group_pos
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders WHERE o_custkey BETWEEN 0 AND 49
+)
+WHERE rn <= 3
+ORDER BY o_custkey, group_pos
+"""
+
+
+def q61z_stream_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/stream math layer, ``ttest()``: Welch's two-sample t-test of
+    returned (R) vs accepted (A) lineitem quantities — solrj math
+    expressions' ttest (commons-math TTest, unpaired/unequal
+    variances; reference pom.xml:22). Emits the t statistic and the
+    Welch–Satterthwaite df, closed-form rationals of the two sum
+    bundles — one hash aggregate per side, 1-row frames broadcast
+    (search.streaming_expr._op_ttest, which documents why the
+    incomplete-beta p-value is not emitted)."""
+    return _stream(
+        spark, sf_dir,
+        'let(a=search(lineitem, fq="l_returnflag:R", fl="l_quantity"), '
+        'b=search(lineitem, fq="l_returnflag:A", fl="l_quantity"), '
+        'ttest(col(a, l_quantity), col(b, l_quantity)))',
+    )
+
+
+Q61Z_SQL = """
+WITH s AS (
+  SELECT l_returnflag AS g, count(*) AS n,
+         CAST(SUM(CAST(CAST(l_quantity AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE)
+                       AS DECIMAL(30,12))) AS DOUBLE) AS ssx
+  FROM lineitem WHERE l_returnflag IN ('R', 'A') GROUP BY 1
+),
+v AS (
+  SELECT a.n AS na, b.n AS nb,
+         a.sx AS sa, b.sx AS sb,
+         (a.ssx - a.sx * a.sx / CAST(a.n AS DOUBLE)) / (CAST(a.n AS DOUBLE) - 1) AS va,
+         (b.ssx - b.sx * b.sx / CAST(b.n AS DOUBLE)) / (CAST(b.n AS DOUBLE) - 1) AS vb
+  FROM (SELECT * FROM s WHERE g = 'R') a, (SELECT * FROM s WHERE g = 'A') b
+),
+w AS (
+  SELECT *, va / CAST(na AS DOUBLE) + vb / CAST(nb AS DOUBLE) AS se2 FROM v
+)
+SELECT 'l_quantity' AS x_field, 'l_quantity' AS y_field,
+       CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       ROUND((sa / CAST(na AS DOUBLE) - sb / CAST(nb AS DOUBLE)) / sqrt(se2), 6)
+         AS t_stat,
+       ROUND((se2 * se2) /
+             ((va / CAST(na AS DOUBLE)) * (va / CAST(na AS DOUBLE)) / (CAST(na AS DOUBLE) - 1)
+              + (vb / CAST(nb AS DOUBLE)) * (vb / CAST(nb AS DOUBLE)) / (CAST(nb AS DOUBLE) - 1)),
+             6) AS df
+FROM w
+"""
+
+
+def q61aa_stream_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/stream math layer, ``anova()``: one-way ANOVA of lineitem
+    quantity across the three returnflag populations (R/A/N) — solrj
+    math expressions' anova (commons-math OneWayAnova; reference
+    pom.xml:22). F = (SSB/(k−1))/(SSW/(N−k)) from the per-series sum
+    bundles; per-group terms decimal-summed so the statistic is
+    partition-order independent (search.streaming_expr._op_anova)."""
+    return _stream(
+        spark, sf_dir,
+        'let(a=search(lineitem, fq="l_returnflag:R", fl="l_quantity"), '
+        'b=search(lineitem, fq="l_returnflag:A", fl="l_quantity"), '
+        'c=search(lineitem, fq="l_returnflag:N", fl="l_quantity"), '
+        'anova(col(a, l_quantity), col(b, l_quantity), col(c, l_quantity)))',
+    )
+
+
+Q61AA_SQL = """
+WITH g AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(CAST(l_quantity AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE) AS s,
+         CAST(SUM(CAST(CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE)
+                       AS DECIMAL(30,12))) AS DOUBLE) AS ss
+  FROM lineitem WHERE l_returnflag = 'R'
+  UNION ALL
+  SELECT CAST(count(*) AS DOUBLE),
+         CAST(SUM(CAST(CAST(l_quantity AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE),
+         CAST(SUM(CAST(CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE)
+                       AS DECIMAL(30,12))) AS DOUBLE)
+  FROM lineitem WHERE l_returnflag = 'A'
+  UNION ALL
+  SELECT CAST(count(*) AS DOUBLE),
+         CAST(SUM(CAST(CAST(l_quantity AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE),
+         CAST(SUM(CAST(CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE)
+                       AS DECIMAL(30,12))) AS DOUBLE)
+  FROM lineitem WHERE l_returnflag = 'N'
+),
+grand AS (
+  SELECT CAST(SUM(CAST(n AS DECIMAL(30,12))) AS DOUBLE) AS nt,
+         CAST(SUM(CAST(s AS DECIMAL(30,12))) AS DOUBLE) AS st
+  FROM g
+),
+terms AS (
+  SELECT n,
+         n * ((s / n - st / nt) * (s / n - st / nt)) AS ssb_term,
+         (ss - s * s / n) AS ssw_term,
+         nt
+  FROM g, grand
+),
+o AS (
+  SELECT MAX(nt) AS nt,
+         CAST(SUM(CAST(ssb_term AS DECIMAL(30,12))) AS DOUBLE) AS ssb,
+         CAST(SUM(CAST(ssw_term AS DECIMAL(30,12))) AS DOUBLE) AS ssw
+  FROM terms
+)
+SELECT CAST(3 AS BIGINT) AS k, CAST(nt AS BIGINT) AS n_total,
+       ROUND(ssb, 6) AS ssb, ROUND(ssw, 6) AS ssw,
+       CAST(2 AS BIGINT) AS df_between, CAST(nt - 3 AS BIGINT) AS df_within,
+       ROUND((ssb / 2.0) / (ssw / (nt - 3.0)), 6) AS f_ratio
+FROM o
+"""
+
+
+def q61ab_stream_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/stream math layer, ``frequencyTable()``: commons-math Frequency
+    over the returned-lineitem linenumber series (solrj math
+    expressions; reference pom.xml:22) — per distinct value: count,
+    percentage, cumulative frequency, cumulative percentage in value
+    order. One hash aggregate + one window cumsum over the ≤7-row
+    distinct-value frame (search.streaming_expr._op_frequencyTable)."""
+    return _stream(
+        spark, sf_dir,
+        'let(a=search(lineitem, fq="l_returnflag:R", fl="l_linenumber"), '
+        'frequencyTable(col(a, l_linenumber)))',
+    )
+
+
+Q61AB_SQL = """
+WITH c AS (
+  SELECT l_linenumber AS value, CAST(count(*) AS BIGINT) AS n
+  FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1
+),
+t AS (SELECT CAST(SUM(CAST(n AS DECIMAL(30,12))) AS DOUBLE) AS total FROM c)
+SELECT value, n AS "count",
+       CAST(SUM(n) OVER (ORDER BY value
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_freq,
+       ROUND(n / total, 6) AS pct,
+       ROUND(CAST(SUM(n) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING)
+                  AS DOUBLE) / total, 6) AS cum_pct
+FROM c, t
+ORDER BY value
+"""
+
+
+_POLY_DET3 = (
+    "({a1}) * (({b2}) * ({c3}) - ({b3}) * ({c2}))"
+    " - ({a2}) * (({b1}) * ({c3}) - ({b3}) * ({c1}))"
+    " + ({a3}) * (({b1}) * ({c2}) - ({b2}) * ({c1}))"
+)
+
+
+def _poly_sql(select: str) -> str:
+    """Shared oracle scaffolding for polyfit/derivative: the decimal
+    moment bundle + Cramer's-rule determinants, spelled in the SAME
+    association order as streaming_expr._poly2_coeffs so the doubles
+    agree bit-for-bit before the ROUND."""
+    det = _POLY_DET3.format(
+        a1="n", a2="sx", a3="sx2", b1="sx", b2="sx2", b3="sx3",
+        c1="sx2", c2="sx3", c3="sx4",
+    )
+    d0 = _POLY_DET3.format(
+        a1="sy", a2="sx", a3="sx2", b1="sxy", b2="sx2", b3="sx3",
+        c1="sx2y", c2="sx3", c3="sx4",
+    )
+    d1 = _POLY_DET3.format(
+        a1="n", a2="sy", a3="sx2", b1="sx", b2="sxy", b3="sx3",
+        c1="sx2", c2="sx2y", c3="sx4",
+    )
+    d2 = _POLY_DET3.format(
+        a1="n", a2="sx", a3="sy", b1="sx", b2="sx2", b3="sxy",
+        c1="sx2", c2="sx3", c3="sx2y",
+    )
+    return f"""
+WITH src AS (
+  SELECT CAST(l_quantity AS DOUBLE) AS x, CAST(l_extendedprice AS DOUBLE) AS y
+  FROM lineitem WHERE l_returnflag = 'R'
+),
+m AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(30,12))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(x * x AS DECIMAL(30,12))) AS DOUBLE) AS sx2,
+         CAST(SUM(CAST(x * x * x AS DECIMAL(30,12))) AS DOUBLE) AS sx3,
+         CAST(SUM(CAST(x * x * x * x AS DECIMAL(30,12))) AS DOUBLE) AS sx4,
+         CAST(SUM(CAST(y AS DECIMAL(30,12))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x * y AS DECIMAL(30,12))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(x * x * y AS DECIMAL(30,12))) AS DOUBLE) AS sx2y
+  FROM src
+),
+coeffs AS (
+  SELECT CAST(n AS BIGINT) AS n,
+         ({d0}) / ({det}) AS c0,
+         ({d1}) / ({det}) AS c1,
+         ({d2}) / ({det}) AS c2
+  FROM m
+)
+SELECT {select} FROM coeffs
+"""
+
+
+def q61ac_stream_polyfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/stream math layer, ``polyfit()``: degree-2 least-squares fit of
+    extended price against quantity over the returned slice — solrj
+    math expressions' polyfit (commons-math PolynomialCurveFitter;
+    reference pom.xml:22), emitted as the (c0, c1, c2) coefficient
+    tuple via Cramer's rule over the decimal moment bundle: ONE hash
+    aggregate, closed form, no iteration
+    (search.streaming_expr._op_polyfit)."""
+    return _stream(
+        spark, sf_dir,
+        'let(a=search(lineitem, fq="l_returnflag:R", '
+        'fl="l_quantity,l_extendedprice"), '
+        'polyfit(col(a, l_quantity), col(a, l_extendedprice)))',
+    )
+
+
+Q61AC_SQL = _poly_sql(
+    "'l_quantity' AS x_field, 'l_extendedprice' AS y_field, n, "
+    "ROUND(c0, 6) AS c0, ROUND(c1, 6) AS c1, ROUND(c2, 6) AS c2"
+)
+
+
+def q61ad_stream_derivative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/stream math layer, ``derivative(polyfit(...))``: the derivative
+    of the fitted quadratic — d/dx (c0 + c1·x + c2·x²) = c1 + 2c2·x,
+    emitted as its (d0, d1) coefficient tuple. Solr differentiates the
+    function object polyfit returns; the engine's function objects ARE
+    coefficient tuples, so the decorator maps them exactly — no spline
+    approximation (search.streaming_expr._op_derivative)."""
+    return _stream(
+        spark, sf_dir,
+        'let(a=search(lineitem, fq="l_returnflag:R", '
+        'fl="l_quantity,l_extendedprice"), '
+        'derivative(polyfit(col(a, l_quantity), col(a, l_extendedprice))))',
+    )
+
+
+Q61AD_SQL = _poly_sql(
+    "'l_quantity' AS x_field, 'l_extendedprice' AS y_field, n, "
+    "ROUND(c1, 6) AS d0, ROUND(c2 + c2, 6) AS d1"
+)
 
 
 Q61X_SQL = """

@@ -64,6 +64,17 @@ Supported stream sources/decorators (Solr names):
     daemon(stream, id="d1", runInterval=30000)  # background-loop handle
     cov(col(a, x), col(a, y))          # sample covariance (n−1), one
                                        # hash agg like corr()/regress()
+    ttest(col(a, x), col(b, y))        # Welch two-sample t: t_stat +
+                                       # Welch–Satterthwaite df
+    anova(col(a,x), col(b,y), ...)     # one-way ANOVA: F ratio +
+                                       # between/within df over k series
+    frequencyTable(col(a, x))          # per-value count/pct/cumulative
+    polyfit(col(a,x), col(a,y))        # degree-2 least squares:
+                                       # (c0, c1, c2) via Cramer over
+                                       # the decimal moment bundle
+    derivative(polyfit(...))           # d/dx of the fit: (d0, d1)
+    executor(stream[, threads=N])      # run EVERY tuple's expr_s
+                                       # expression, concatenate results
     movingAvg(col(a, f), over="k", window=N)   # trailing-N average
     expMovingAvg(col(a, f), over="k", window=N)  # EMA, α=2/(N+1)
     train(table, field="text", outcome="lang:de", terms="a,b",
@@ -92,6 +103,17 @@ Supported stream sources/decorators (Solr names):
     model(models, id="m1")             # pull a stored model's tuples
                                        # (feeds classify)
     list(s1, s2, ...)                  # concatenate streams
+    plist(s1, s2, ...)                 # list() with parallel opens —
+                                       # Spark unions already schedule
+                                       # branches concurrently
+    eval(stream[, field="expr_s"])     # compile + run the expression
+                                       # found in the inner stream's
+                                       # first tuple
+    reduce(stream, by="f", group(sort="...", n=N))
+                                       # sort-based grouping: top-n
+                                       # per by-group under group()'s
+                                       # sort, flattened to rows with
+                                       # a group_pos rank
     commit(dest, update(...))          # pass-through: COW merges are
                                        # durable per batch
 
@@ -912,6 +934,68 @@ class StreamCompiler:
             )
         return out
 
+    def _op_plist(self, call: Call) -> DataFrame:
+        """Solr ``plist(s1, s2, ...)``: list()'s parallel-open twin —
+        same emitted tuples, but the wrapped streams are OPENED
+        concurrently instead of sequentially (solrj 9.x's performance
+        decorator, reference pom.xml:22). Spark's union already
+        schedules every branch's stages concurrently across the
+        executor pool, so the parallel-open contract is the plan's
+        native behavior and the tuple semantics delegate to list()."""
+        return self._op_list(call)
+
+    def _op_eval(self, call: Call) -> DataFrame:
+        """Solr ``eval(stream)``: read the FIRST tuple of the inner
+        stream, take the streaming expression in its ``expr_s`` field
+        (override with ``field=``), compile it, and emit ITS tuples —
+        the second-order decorator that lets a stored/computed
+        expression drive the query (solrj 9.x, reference pom.xml:22).
+        The one-tuple read is a bounded driver action (limit(1), the
+        topic()-checkpoint discipline); the inner expression then
+        compiles to a full distributed plan."""
+        df = self._one_stream(call)
+        fld = call.params.get("field", "expr_s")
+        if fld not in df.columns:
+            raise StreamExprError(f"eval: field {fld!r} not in inner stream")
+        head = df.select(fld).limit(1).collect()
+        if not head or head[0][0] is None:
+            raise StreamExprError("eval: inner stream produced no expression")
+        return self._eval(parse(str(head[0][0])))
+
+    def _op_reduce(self, call: Call) -> DataFrame:
+        """Solr ``reduce(stream, by="f1,f2", group(sort="...", n="N"))``
+        — the sort-based grouping decorator (solrj 9.x ReducerStream +
+        GroupOperation, reference pom.xml:22): tuples are grouped on
+        the ``by`` fields; per group the group() operation keeps the
+        top ``n`` tuples under ITS sort and emits them with the group
+        head first.
+
+        Engine mapping: Solr nests the group under the head tuple as a
+        list-of-maps field; a DataFrame is a flat relation, so the
+        retained tuples are emitted AS ROWS with a ``group_pos`` rank
+        column (1 = the head tuple Solr would emit at the top level,
+        2..n = the nested group members in group-sort order) — the
+        same flattening every facet bucket list in this engine uses.
+        Plan: one window rank over the ``by`` key (the input sort
+        Solr's reducer requires is subsumed by the hash partitioning),
+        filtered to n — no global sort, no collect."""
+        inner = [s for s in call.streams if s.name != "group"]
+        ops = [s for s in call.streams if s.name == "group"]
+        if len(inner) != 1 or len(ops) != 1:
+            raise StreamExprError("reduce takes exactly one stream and one group()")
+        df = self._eval(inner[0])
+        by = [c.strip() for c in self._param(call, "by").split(",")]
+        for c in by:
+            if c not in df.columns:
+                raise StreamExprError(f"reduce: by-field {c!r} not in stream")
+        n = int(ops[0].params.get("n", "1"))
+        order = _sort_cols(ops[0].params.get("sort") or self._param(ops[0], "sort"))
+        w = Window.partitionBy(*by).orderBy(*order)
+        return (
+            df.withColumn("group_pos", F.row_number().over(w).cast("long"))
+            .filter(F.col("group_pos") <= n)
+        )
+
     def _op_commit(self, call: Call) -> DataFrame:
         """Solr ``commit(dest, batchSize=N, update(...))``: forward the
         inner (update/delete) stream and issue commits as tuples flow.
@@ -1479,6 +1563,261 @@ class StreamCompiler:
             F.col("_n").cast("long").alias("n"),
             F.round(cov, 6).alias("cov"),
         )
+
+    def _series_stats(self, stream: Call, suffix: str) -> DataFrame:
+        """(n, Σx, Σx²) for one col(...) argument — the sum bundle every
+        closed-form test statistic below reads; decimal sums keep the
+        bundle partition-order independent."""
+        _, src, f = self._colref(stream)
+        c = F.col(f).cast("double")
+        return src.agg(
+            F.count(c).alias(f"_n{suffix}"),
+            F.sum(c.cast("decimal(30,12)")).cast("double").alias(f"_s{suffix}"),
+            F.sum((c * c).cast("decimal(30,12)")).cast("double").alias(
+                f"_ss{suffix}"
+            ),
+        ), f
+
+    def _op_ttest(self, call: Call) -> DataFrame:
+        """``ttest(col(a, x), col(b, y))``: Welch's two-sample t-test —
+        solrj math expressions' ttest() (commons-math TTest, unpaired,
+        unequal variances; reference pom.xml:22). Emits the t statistic
+        and the Welch–Satterthwaite degrees of freedom, both
+        closed-form rationals of the two (n, Σ, Σ²) sum bundles — one
+        hash aggregate per side, the 1-row frames broadcast-joined.
+        The p-value (a regularized-incomplete-beta special function)
+        is deliberately NOT emitted: the engine's correctness contract
+        is exact-decimal oracle parity, and no closed decimal form of
+        the beta tail exists — t and df determine it for any table."""
+        if len(call.streams) != 2:
+            raise StreamExprError("ttest takes exactly two col(...) args")
+        agg_a, xf = self._series_stats(call.streams[0], "a")
+        agg_b, yf = self._series_stats(call.streams[1], "b")
+        agg = agg_a.crossJoin(F.broadcast(agg_b))
+        na, nb = F.col("_na").cast("double"), F.col("_nb").cast("double")
+        va = (F.col("_ssa") - F.col("_sa") * F.col("_sa") / na) / (na - 1)
+        vb = (F.col("_ssb") - F.col("_sb") * F.col("_sb") / nb) / (nb - 1)
+        se2 = va / na + vb / nb
+        ok = (F.col("_na") > 1) & (F.col("_nb") > 1)
+        t = F.when(ok, (F.col("_sa") / na - F.col("_sb") / nb) / F.sqrt(se2))
+        dfw = F.when(
+            ok,
+            (se2 * se2)
+            / ((va / na) * (va / na) / (na - 1) + (vb / nb) * (vb / nb) / (nb - 1)),
+        )
+        return agg.select(
+            F.lit(xf).alias("x_field"),
+            F.lit(yf).alias("y_field"),
+            F.col("_na").cast("long").alias("n_a"),
+            F.col("_nb").cast("long").alias("n_b"),
+            F.round(t, 6).alias("t_stat"),
+            F.round(dfw, 6).alias("df"),
+        )
+
+    def _op_anova(self, call: Call) -> DataFrame:
+        """``anova(col(a, x), col(b, y), ...)``: one-way ANOVA over k
+        series — solrj math expressions' anova() (commons-math
+        OneWayAnova; reference pom.xml:22). F = (SSB/(k−1)) /
+        (SSW/(N−k)) from the per-series sum bundles: one hash
+        aggregate per series, the k 1-row bundles unioned, the grand
+        totals broadcast back onto them, per-group terms decimal-
+        summed (order-independent) into the two sums of squares. The
+        p-value is omitted for the same oracle-parity reason as
+        ttest() — F with its two df determine it."""
+        if len(call.streams) < 2:
+            raise StreamExprError("anova takes at least two col(...) args")
+        groups = None
+        for i, s in enumerate(call.streams):
+            agg, _ = self._series_stats(s, "")
+            g = agg.select(
+                F.lit(i).alias("_g"),
+                F.col("_n").cast("double").alias("_n"),
+                "_s",
+                "_ss",
+            )
+            groups = g if groups is None else groups.unionByName(g)
+        grand = groups.agg(
+            F.sum(F.col("_n").cast("decimal(30,12)")).cast("double").alias("_nt"),
+            F.sum(F.col("_s").cast("decimal(30,12)")).cast("double").alias("_st"),
+        )
+        k = float(len(call.streams))
+        terms = groups.crossJoin(F.broadcast(grand)).select(
+            "_n",
+            (
+                F.col("_n")
+                * (F.col("_s") / F.col("_n") - F.col("_st") / F.col("_nt"))
+                * (F.col("_s") / F.col("_n") - F.col("_st") / F.col("_nt"))
+            ).alias("_ssb_term"),
+            (F.col("_ss") - F.col("_s") * F.col("_s") / F.col("_n")).alias(
+                "_ssw_term"
+            ),
+            F.col("_nt"),
+        )
+        out = terms.agg(
+            F.max("_nt").alias("_nt"),
+            F.sum(F.col("_ssb_term").cast("decimal(30,12)"))
+            .cast("double")
+            .alias("_ssb"),
+            F.sum(F.col("_ssw_term").cast("decimal(30,12)"))
+            .cast("double")
+            .alias("_ssw"),
+        )
+        df_b = F.lit(k - 1.0)
+        df_w = F.col("_nt") - F.lit(k)
+        f_ratio = F.when(
+            (df_w > 0) & (F.col("_ssw") > 0),
+            (F.col("_ssb") / df_b) / (F.col("_ssw") / df_w),
+        )
+        return out.select(
+            F.lit(int(k)).cast("long").alias("k"),
+            F.col("_nt").cast("long").alias("n_total"),
+            F.round("_ssb", 6).alias("ssb"),
+            F.round("_ssw", 6).alias("ssw"),
+            df_b.cast("long").alias("df_between"),
+            df_w.cast("long").alias("df_within"),
+            F.round(f_ratio, 6).alias("f_ratio"),
+        )
+
+    def _op_frequencyTable(self, call: Call) -> DataFrame:  # noqa: N802
+        """``frequencyTable(col(a, x))``: commons-math Frequency via
+        solrj math expressions (reference pom.xml:22) — one row per
+        distinct value with count, percentage, cumulative frequency
+        and cumulative percentage in value order. One hash aggregate
+        + one window cumsum over the (tiny) distinct-value frame —
+        the corpus is touched once."""
+        if len(call.streams) != 1:
+            raise StreamExprError("frequencyTable takes one col(...) arg")
+        _, src, f = self._colref(call.streams[0])
+        counts = src.groupBy(F.col(f).alias("value")).agg(
+            F.count(F.lit(1)).alias("count")
+        )
+        w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+        total = Window.partitionBy()
+        return (
+            counts.withColumn("cum_freq", F.sum("count").over(w))
+            .withColumn(
+                "pct", F.round(F.col("count") / F.sum("count").over(total), 6)
+            )
+            .withColumn(
+                "cum_pct",
+                F.round(F.col("cum_freq") / F.sum("count").over(total), 6),
+            )
+            .orderBy("value")
+        )
+
+    def _poly2_coeffs(self, call: Call):
+        """Degree-2 least-squares coefficients (c0, c1, c2) for
+        ``polyfit(col(a, x), col(a, y))`` via the normal equations,
+        solved closed-form by Cramer's rule over the decimal-summed
+        moment bundle (n, Σx..Σx⁴, Σy, Σxy, Σx²y) — one hash
+        aggregate; every arithmetic step is spelled in one fixed
+        association order so the DuckDB oracle reproduces it bit-for-
+        bit before the ROUND."""
+        if len(call.streams) != 2:
+            raise StreamExprError("polyfit takes two col(...) args (x, y)")
+        xvar, src, xf = self._colref(call.streams[0])
+        yvar, _, yf = self._colref(call.streams[1])
+        if xvar != yvar:
+            raise StreamExprError("polyfit x and y must come from one stream")
+        x = F.col(xf).cast("double")
+        y = F.col(yf).cast("double")
+
+        def dsum(c):
+            return F.sum(c.cast("decimal(30,12)")).cast("double")
+
+        agg = src.agg(
+            F.count(F.lit(1)).cast("double").alias("_n"),
+            dsum(x).alias("_sx"),
+            dsum(x * x).alias("_sx2"),
+            dsum(x * x * x).alias("_sx3"),
+            dsum(x * x * x * x).alias("_sx4"),
+            dsum(y).alias("_sy"),
+            dsum(x * y).alias("_sxy"),
+            dsum(x * x * y).alias("_sx2y"),
+        )
+        n, sx, sx2 = F.col("_n"), F.col("_sx"), F.col("_sx2")
+        sx3, sx4 = F.col("_sx3"), F.col("_sx4")
+        sy, sxy, sx2y = F.col("_sy"), F.col("_sxy"), F.col("_sx2y")
+
+        def det3(a1, a2, a3, b1, b2, b3, c1, c2, c3):
+            return (
+                a1 * (b2 * c3 - b3 * c2)
+                - a2 * (b1 * c3 - b3 * c1)
+                + a3 * (b1 * c2 - b2 * c1)
+            )
+
+        det = det3(n, sx, sx2, sx, sx2, sx3, sx2, sx3, sx4)
+        c0 = det3(sy, sx, sx2, sxy, sx2, sx3, sx2y, sx3, sx4) / det
+        c1 = det3(n, sy, sx2, sx, sxy, sx3, sx2, sx2y, sx4) / det
+        c2 = det3(n, sx, sy, sx, sx2, sxy, sx2, sx3, sx2y) / det
+        return agg, xf, yf, c0, c1, c2
+
+    def _op_polyfit(self, call: Call) -> DataFrame:
+        """``polyfit(col(a, x), col(a, y))``: degree-2 least-squares
+        fit — solrj math expressions' polyfit (commons-math
+        PolynomialCurveFitter; reference pom.xml:22), emitted as the
+        coefficient tuple (c0 + c1·x + c2·x²) rather than the fitted
+        sample values (the coefficients determine those, and a k-row
+        coefficient tuple is oracle-checkable where n fitted doubles
+        are not)."""
+        agg, xf, yf, c0, c1, c2 = self._poly2_coeffs(call)
+        return agg.select(
+            F.lit(xf).alias("x_field"),
+            F.lit(yf).alias("y_field"),
+            F.col("_n").cast("long").alias("n"),
+            F.round(c0, 6).alias("c0"),
+            F.round(c1, 6).alias("c1"),
+            F.round(c2, 6).alias("c2"),
+        )
+
+    def _op_derivative(self, call: Call) -> DataFrame:
+        """``derivative(polyfit(col(a,x), col(a,y)))``: the derivative
+        of the fitted polynomial — d/dx (c0 + c1·x + c2·x²) =
+        c1 + 2c2·x, emitted as its coefficient tuple (d0, d1). Solr's
+        derivative() differentiates the function object a polyfit
+        returns; the engine's function objects ARE coefficient tuples,
+        so the decorator maps them (closed-form, exact — no spline
+        approximation needed for the polynomial case; non-polyfit
+        inputs are rejected rather than approximated)."""
+        if len(call.streams) != 1 or call.streams[0].name != "polyfit":
+            raise StreamExprError("derivative takes one polyfit(...) arg")
+        agg, xf, yf, _, c1, c2 = self._poly2_coeffs(call.streams[0])
+        return agg.select(
+            F.lit(xf).alias("x_field"),
+            F.lit(yf).alias("y_field"),
+            F.col("_n").cast("long").alias("n"),
+            F.round(c1, 6).alias("d0"),
+            F.round(c2 + c2, 6).alias("d1"),
+        )
+
+    def _op_executor(self, call: Call) -> DataFrame:
+        """``executor(stream[, threads=N, field="expr_s"])``: run the
+        expression carried in EVERY tuple of the inner stream and emit
+        all their results — eval()'s fan-out twin (solrj 9.x's task
+        executor; reference pom.xml:22). The inner stream is a task
+        list (bounded by construction — it is the thing a user writes,
+        not a corpus), so collecting its expression strings is a
+        bounded driver action; each compiles to its own distributed
+        plan and the results concatenate list()-style (unionByName,
+        missing columns null-filled). ``threads`` is accepted and
+        ignored: Spark schedules the unioned branches' stages
+        concurrently already — the same pass-through contract as
+        plist()/parallel()."""
+        df = self._one_stream(call)
+        fld = call.params.get("field", "expr_s")
+        if fld not in df.columns:
+            raise StreamExprError(f"executor: field {fld!r} not in inner stream")
+        rows = df.select(fld).collect()
+        exprs = [str(r[0]) for r in rows if r[0] is not None]
+        if not exprs:
+            raise StreamExprError("executor: inner stream produced no expressions")
+        out = None
+        for text in exprs:
+            part = self._eval(parse(text))
+            out = part if out is None else out.unionByName(
+                part, allowMissingColumns=True
+            )
+        return out
 
     def _op_movingAvg(self, call: Call) -> DataFrame:  # noqa: N802 (Solr name)
         """``movingAvg(col(a, f), over="k", window=N)``: trailing-N

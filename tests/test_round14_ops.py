@@ -119,3 +119,260 @@ def test_commit_cluster_labels_store_pairs_equals_default(spark):
     )
     assert _labels(via_pairs) == _labels(rebuilt)
     assert _labels(via_default) == _labels(rebuilt)
+
+
+# ------------------------------------------------- /stream decorators
+
+
+def test_stream_reduce_group(spark):
+    """reduce(by, group(sort, n)) keeps the top-n tuples per by-group
+    under the group sort, ranked by group_pos (1 = the head tuple)."""
+    from hbase_increment_index_spark.search.streaming_expr import run_stream_expr
+
+    t = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 30.0), ("a", 3, 20.0),
+         ("b", 4, 5.0), ("b", 5, 7.0)],
+        ["k", "id", "v"],
+    )
+    got = run_stream_expr(
+        spark, {"t": t},
+        'reduce(search(t, q="*:*", fl="k,id,v", sort="k asc"), '
+        'by="k", group(sort="v desc, id asc", n="2"))',
+    )
+    rows = {(r["k"], r["id"], r["group_pos"]) for r in got.collect()}
+    assert rows == {("a", 2, 1), ("a", 3, 2), ("b", 5, 1), ("b", 4, 2)}
+
+
+def test_stream_plist_equals_list(spark):
+    from hbase_increment_index_spark.search.streaming_expr import run_stream_expr
+
+    t = spark.createDataFrame([(1, "x"), (2, "y")], ["id", "s"])
+    u = spark.createDataFrame([(3,)], ["id"])
+    a = run_stream_expr(
+        spark, {"t": t, "u": u},
+        'plist(search(t, q="*:*", fl="id,s"), search(u, q="*:*", fl="id"))',
+    )
+    b = run_stream_expr(
+        spark, {"t": t, "u": u},
+        'list(search(t, q="*:*", fl="id,s"), search(u, q="*:*", fl="id"))',
+    )
+    key = lambda r: (r["id"], r["s"])
+    assert sorted(map(key, a.collect())) == sorted(map(key, b.collect()))
+    assert a.count() == 3
+
+
+def test_stream_eval_runs_stored_expression(spark):
+    """eval() compiles the expression found in the inner stream's
+    first tuple (expr_s field) and emits ITS tuples."""
+    import pytest as _pytest
+
+    from hbase_increment_index_spark.search.streaming_expr import (
+        StreamExprError,
+        run_stream_expr,
+    )
+
+    exprs = spark.createDataFrame(
+        [(1, 'search(t, q="*:*", fl="id,v")')], ["id", "expr_s"]
+    )
+    t = spark.createDataFrame([(10, 1.5), (11, 2.5)], ["id", "v"])
+    got = run_stream_expr(
+        spark, {"exprs": exprs, "t": t},
+        'eval(search(exprs, q="*:*", fl="expr_s", sort="id asc"))',
+    )
+    assert {(r["id"], r["v"]) for r in got.collect()} == {(10, 1.5), (11, 2.5)}
+    with _pytest.raises(StreamExprError):
+        run_stream_expr(
+            spark, {"exprs": exprs, "t": t},
+            'eval(search(exprs, q="id:[5 TO 9]", fl="expr_s"))',
+        )
+
+
+# --------------------------------------------- HBase FilterList trees
+
+
+def _filter_specs():
+    """Random HBase filter trees over the (id, click, view) test frame:
+    leaf comparators (both filterIfMissing settings), prefixes, and
+    nested AND/OR lists to depth 3."""
+    from hypothesis import strategies as st
+
+    vals = st.sampled_from(["1", "2", "3", "45", "7", "90"])
+    cols = st.sampled_from(["id", "click", "view"])
+    ops = st.sampled_from(["=", "!=", "<", "<=", ">", ">="])
+    leaf = st.one_of(
+        st.tuples(st.just("cmp"), cols, ops, vals, st.booleans()),
+        st.tuples(st.just("prefix"), st.just("id"), vals),
+    )
+    return st.recursive(
+        leaf,
+        lambda children: st.tuples(
+            st.sampled_from(["AND", "OR"]),
+            st.lists(children, min_size=1, max_size=3),
+        ),
+        max_leaves=8,
+    )
+
+
+def test_filter_list_random_trees_match_sql(spark):
+    """Property: compile_filter_list (Spark Column) and filter_list_sql
+    (the DuckDB oracle rendering) keep the same rows for ARBITRARY
+    filter trees — including HBase's pass-when-missing NULL semantics."""
+    import duckdb
+    from hypothesis import HealthCheck, given, settings
+
+    from hbase_increment_index_spark.cdc.filters import (
+        compile_filter_list,
+        filter_list_sql,
+    )
+
+    rows = [
+        ("1", "2", "3"),
+        ("2", None, "1"),
+        ("45", "7", None),
+        ("7", None, None),
+        ("70", "1", "90"),
+        ("9", "3", "45"),
+    ]
+    sdf = spark.createDataFrame(rows, ["id", "click", "view"]).localCheckpoint()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t (id VARCHAR, click VARCHAR, view VARCHAR)"
+    )
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+
+    @settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(_filter_specs())
+    def inner(spec):
+        got = {r["id"] for r in sdf.filter(compile_filter_list(spec)).collect()}
+        want = {
+            r[0]
+            for r in con.execute(
+                f"SELECT id FROM t WHERE {filter_list_sql(spec)}"
+            ).fetchall()
+        }
+        assert got == want, f"spec={spec!r}"
+
+    inner()
+
+
+def test_filter_list_spec_errors(spark):
+    import pytest as _pytest
+
+    from hbase_increment_index_spark.cdc.filters import (
+        FilterSpecError,
+        compile_filter_list,
+    )
+
+    for bad in [(), ("AND", []), ("cmp", "id"), ("nope", "x"), 42]:
+        with _pytest.raises(FilterSpecError):
+            compile_filter_list(bad)
+
+
+# --------------------------------------- math-expression stat tests
+
+
+def test_stream_ttest_matches_closed_form(spark):
+    import math
+
+    from hbase_increment_index_spark.search.streaming_expr import run_stream_expr
+
+    xs = [10.0, 12.0, 9.0, 14.0, 11.0]
+    ys = [8.0, 7.5, 9.5, 8.5]
+    a = spark.createDataFrame([(v,) for v in xs], ["x"])
+    b = spark.createDataFrame([(v,) for v in ys], ["y"])
+    row = run_stream_expr(
+        spark, {"a": a, "b": b},
+        'ttest(col(a, x), col(b, y))',
+    ).collect()[0]
+    na, nb = len(xs), len(ys)
+    ma, mb = sum(xs) / na, sum(ys) / nb
+    va = sum((v - ma) ** 2 for v in xs) / (na - 1)
+    vb = sum((v - mb) ** 2 for v in ys) / (nb - 1)
+    se2 = va / na + vb / nb
+    t = (ma - mb) / math.sqrt(se2)
+    dfw = se2 * se2 / ((va / na) ** 2 / (na - 1) + (vb / nb) ** 2 / (nb - 1))
+    assert row["n_a"] == na and row["n_b"] == nb
+    assert abs(row["t_stat"] - t) < 1e-5
+    assert abs(row["df"] - dfw) < 1e-5
+
+
+def test_stream_anova_matches_closed_form(spark):
+    from hbase_increment_index_spark.search.streaming_expr import run_stream_expr
+
+    groups = [[10.0, 12.0, 9.0], [8.0, 7.5, 9.5, 8.5], [11.0, 13.0]]
+    tables = {
+        name: spark.createDataFrame([(v,) for v in g], ["x"])
+        for name, g in zip("abc", groups)
+    }
+    row = run_stream_expr(
+        spark, tables,
+        'anova(col(a, x), col(b, x), col(c, x))',
+    ).collect()[0]
+    allv = [v for g in groups for v in g]
+    gm = sum(allv) / len(allv)
+    ssb = sum(len(g) * ((sum(g) / len(g)) - gm) ** 2 for g in groups)
+    ssw = sum(sum((v - sum(g) / len(g)) ** 2 for v in g) for g in groups)
+    k, n = len(groups), len(allv)
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert row["k"] == k and row["n_total"] == n
+    assert row["df_between"] == k - 1 and row["df_within"] == n - k
+    assert abs(row["ssb"] - ssb) < 1e-5
+    assert abs(row["ssw"] - ssw) < 1e-5
+    assert abs(row["f_ratio"] - f) < 1e-5
+
+
+def test_stream_executor_runs_all_expressions(spark):
+    """executor() compiles EVERY tuple's expr_s expression and
+    concatenates the results list()-style (missing columns
+    null-filled)."""
+    from hbase_increment_index_spark.search.streaming_expr import run_stream_expr
+
+    exprs = spark.createDataFrame(
+        [
+            (1, 'search(t, q="*:*", fl="id,v")'),
+            (2, 'search(u, q="*:*", fl="id")'),
+        ],
+        ["rank", "expr_s"],
+    )
+    t = spark.createDataFrame([(10, 1.5)], ["id", "v"])
+    u = spark.createDataFrame([(20,), (21,)], ["id"])
+    got = run_stream_expr(
+        spark, {"exprs": exprs, "t": t, "u": u},
+        'executor(search(exprs, q="*:*", fl="expr_s", sort="rank asc"), '
+        'threads="4")',
+    )
+    rows = {(r["id"], r["v"]) for r in got.collect()}
+    assert rows == {(10, 1.5), (20, None), (21, None)}
+
+
+def test_stream_frequency_table_basic(spark):
+    from hbase_increment_index_spark.search.streaming_expr import run_stream_expr
+
+    a = spark.createDataFrame([(1,), (1,), (2,), (3,), (3,), (3,)], ["x"])
+    rows = run_stream_expr(
+        spark, {"a": a}, 'frequencyTable(col(a, x))'
+    ).collect()
+    got = [(r["value"], r["count"], r["cum_freq"], r["pct"], r["cum_pct"])
+           for r in rows]
+    assert got == [
+        (1, 2, 2, 0.333333, 0.333333),
+        (2, 1, 3, 0.166667, 0.5),
+        (3, 3, 6, 0.5, 1.0),
+    ]
+
+
+def test_stream_polyfit_recovers_exact_quadratic(spark):
+    """polyfit on points that lie EXACTLY on y = 2 + 3x + 0.5x² must
+    recover the coefficients; derivative maps them to (3, 1)."""
+    from hbase_increment_index_spark.search.streaming_expr import run_stream_expr
+
+    pts = [(float(x), 2.0 + 3.0 * x + 0.5 * x * x) for x in range(8)]
+    a = spark.createDataFrame(pts, ["x", "y"])
+    fit = run_stream_expr(
+        spark, {"a": a}, 'polyfit(col(a, x), col(a, y))'
+    ).collect()[0]
+    assert (fit["c0"], fit["c1"], fit["c2"]) == (2.0, 3.0, 0.5)
+    der = run_stream_expr(
+        spark, {"a": a}, 'derivative(polyfit(col(a, x), col(a, y)))'
+    ).collect()[0]
+    assert (der["d0"], der["d1"]) == (3.0, 1.0)

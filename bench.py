@@ -38,6 +38,18 @@ kernels), not plan regressions; the r9-touched code paths
 Cross-round comparisons should therefore normalize by a stable
 per-round probe (the flagship warm-up time works) before reading
 per-query deltas as regressions.
+
+Round-14 regressor re-bench (the four r13 individual regressions the
+r13 verdict flagged, none of which changed implementation that round):
+local best-of-5 at sf0.1 reproduces the r12-class times, not the r13
+ones — q43b_relatedness 0.71s (r12 0.99 / r13 1.86), q49d_child_
+transformer 0.94s (0.70 / 1.18), e3p_probe_sweep 4.07s (3.71 / 6.08),
+q62b_ltr_trees 1.43s (1.38 / 2.06). All four are host variance, the
+same class as the r3→r4 and r8→r9 findings above. The r13-verdict
+probe fix (finding 2) applies from this round: the calibration kernel
+grew 50M→300M rows (~1s), 5 runs, MEDIAN kept, samples persisted —
+and the cross-round normalization scales by probe size so r13's 50M
+record stays comparable.
 """
 
 from __future__ import annotations

@@ -1065,6 +1065,50 @@ ORDER BY id ASC
 """
 
 
+def cdc_multi_column_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HBase ``MultipleColumnPrefixFilter`` — the qualifier-prefix scan
+    verb of the HBase 0.98 filter API the reference deploys on
+    (reference pom.xml:19): return live CELLS whose qualifier starts
+    with ANY of the given prefixes, inside a rowkey band. Both the
+    prefix disjunction (startswith → sargable StringStartsWith) and
+    the band are pushed predicates over the compacted cell view; at
+    100 TB the cell table is written repartitioned by row_key so the
+    band prunes files exactly like HBase region pruning."""
+    events = _t(spark, sf_dir, "events")
+    live = live_cells(cell_log_from_events(events, delete_event_type="error"))
+    prefix_pred = F.col("qualifier").startswith("s") | F.col(
+        "qualifier"
+    ).startswith("v")
+    return (
+        live.filter((F.col("row_key") >= "2") & (F.col("row_key") < "4"))
+        .filter(prefix_pred)
+        .select("row_key", "qualifier", "value")
+        .orderBy("row_key", "qualifier")
+    )
+
+
+CDC_MULTI_PREFIX_SQL = f"""
+WITH log AS ({_SQL_CELL_LOG.format(delete_type='error')}),
+cell_latest AS (
+  SELECT * FROM log
+  QUALIFY row_number() OVER (
+    PARTITION BY row_key, family, qualifier ORDER BY ts DESC, seq DESC) = 1
+),
+row_latest AS (
+  SELECT row_key, op AS row_op FROM log
+  QUALIFY row_number() OVER (PARTITION BY row_key ORDER BY ts DESC, seq DESC) = 1
+),
+live AS (
+  SELECT c.* FROM cell_latest c JOIN row_latest r USING (row_key)
+  WHERE c.op = 'put' AND r.row_op = 'put'
+)
+SELECT row_key, qualifier, value FROM live
+WHERE row_key >= '2' AND row_key < '4'
+  AND (qualifier LIKE 's%' OR qualifier LIKE 'v%')
+ORDER BY row_key, qualifier
+"""
+
+
 # One shared spec drives BOTH engines (compile_filter_list for Spark,
 # filter_list_sql for the DuckDB oracle) so the correctness row proves
 # the two compilers agree on the same tree. Shape: a MUST_PASS_ONE of

@@ -3958,6 +3958,101 @@ Q61AD_SQL = _poly_sql(
 )
 
 
+def q61ae_stream_chisquare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/stream math layer, ``chiSquareDataSet()``: commons-math
+    chiSquareDataSetsComparison of the returned (R) vs accepted (A)
+    lineitem linenumber distributions (solrj math expressions;
+    reference pom.xml:22) — χ² = Σ (√(k2/k1)·o1 − √(k1/k2)·o2)² /
+    (o1+o2) over value-aligned bins, + df = bins−1. Two tiny hash
+    aggs, one full-outer bin alignment, decimal-summed terms
+    (search.streaming_expr._op_chiSquareDataSet, which documents why
+    the incomplete-gamma p-value is not emitted)."""
+    return _stream(
+        spark, sf_dir,
+        'let(a=search(lineitem, fq="l_returnflag:R", fl="l_linenumber"), '
+        'b=search(lineitem, fq="l_returnflag:A", fl="l_linenumber"), '
+        'chiSquareDataSet(col(a, l_linenumber), col(b, l_linenumber)))',
+    )
+
+
+Q61AE_SQL = """
+WITH oa AS (
+  SELECT l_linenumber AS value, CAST(count(*) AS DOUBLE) AS o1
+  FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1
+),
+ob AS (
+  SELECT l_linenumber AS value, CAST(count(*) AS DOUBLE) AS o2
+  FROM lineitem WHERE l_returnflag = 'A' GROUP BY 1
+),
+bins AS (
+  SELECT COALESCE(oa.value, ob.value) AS value,
+         COALESCE(o1, 0.0) AS o1, COALESCE(o2, 0.0) AS o2
+  FROM oa FULL OUTER JOIN ob USING (value)
+),
+t AS (
+  SELECT CAST(SUM(CAST(o1 AS DECIMAL(30,12))) AS DOUBLE) AS k1,
+         CAST(SUM(CAST(o2 AS DECIMAL(30,12))) AS DOUBLE) AS k2
+  FROM bins
+),
+o AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_bins,
+         CAST(SUM(CAST(
+           (sqrt(k2 / k1) * o1 - sqrt(k1 / k2) * o2)
+           * (sqrt(k2 / k1) * o1 - sqrt(k1 / k2) * o2)
+           / (o1 + o2) AS DECIMAL(30,12))) AS DOUBLE) AS chi2
+  FROM bins, t
+)
+SELECT 'l_linenumber' AS x_field, 'l_linenumber' AS y_field,
+       n_bins, CAST(n_bins - 1 AS BIGINT) AS df,
+       ROUND(chi2, 6) AS chi_square
+FROM o
+"""
+
+
+def q61af_stream_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/stream math layer, ``distance()``: commons-math vector
+    distance between the quantity and extended-price columns of the
+    returned slice, euclidean AND cosine-dissimilarity forms emitted
+    through ``list()`` (solrj math expressions; reference pom.xml:22).
+    Row-wise pairing (the cov/corr alignment contract); one hash
+    aggregate per metric over decimal partial sums
+    (search.streaming_expr._op_distance)."""
+    return _stream(
+        spark, sf_dir,
+        'let(a=search(lineitem, fq="l_returnflag:R", '
+        'fl="l_quantity,l_extendedprice"), '
+        'list(distance(col(a, l_quantity), col(a, l_extendedprice), '
+        'type="euclidean"), '
+        'distance(col(a, l_quantity), col(a, l_extendedprice), '
+        'type="cosine")))',
+    ).orderBy("type")
+
+
+Q61AF_SQL = """
+WITH src AS (
+  SELECT CAST(l_quantity AS DOUBLE) AS x, CAST(l_extendedprice AS DOUBLE) AS y
+  FROM lineitem WHERE l_returnflag = 'R'
+),
+s AS (
+  SELECT count(*) AS n,
+         CAST(SUM(CAST((x - y) * (x - y) AS DECIMAL(30,12))) AS DOUBLE) AS sd2,
+         CAST(SUM(CAST(x * y AS DECIMAL(30,12))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(x * x AS DECIMAL(30,12))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(y * y AS DECIMAL(30,12))) AS DOUBLE) AS syy
+  FROM src
+)
+SELECT 'l_quantity' AS x_field, 'l_extendedprice' AS y_field,
+       'cosine' AS type, CAST(n AS BIGINT) AS n,
+       ROUND(1.0 - sxy / (sqrt(sxx) * sqrt(syy)), 6) AS distance
+FROM s
+UNION ALL
+SELECT 'l_quantity', 'l_extendedprice', 'euclidean', CAST(n AS BIGINT),
+       ROUND(sqrt(sd2), 6)
+FROM s
+ORDER BY type
+"""
+
+
 Q61X_SQL = """
 WITH cells AS (
   SELECT source, lang, count(*) AS count_star

@@ -68,6 +68,12 @@ Supported stream sources/decorators (Solr names):
                                        # Welch–Satterthwaite df
     anova(col(a,x), col(b,y), ...)     # one-way ANOVA: F ratio +
                                        # between/within df over k series
+    distance(col(a,x), col(a,y), type="euclidean|manhattan|cosine")
+                                       # row-wise vector distance,
+                                       # one hash agg
+    chiSquareDataSet(col(a,x), col(b,y))  # two-distribution χ²:
+                                       # statistic + df over aligned
+                                       # value bins
     frequencyTable(col(a, x))          # per-value count/pct/cumulative
     polyfit(col(a,x), col(a,y))        # degree-2 least squares:
                                        # (c0, c1, c2) via Cramer over
@@ -1676,6 +1682,112 @@ class StreamCompiler:
             df_b.cast("long").alias("df_between"),
             df_w.cast("long").alias("df_within"),
             F.round(f_ratio, 6).alias("f_ratio"),
+        )
+
+    def _op_chiSquareDataSet(self, call: Call) -> DataFrame:  # noqa: N802
+        """``chiSquareDataSet(col(a, x), col(b, y))``: commons-math
+        chiSquareDataSetsComparison via solrj math expressions
+        (reference pom.xml:22) — are two observed frequency
+        distributions drawn from the same population? The engine bins
+        each raw series by value (the frequencyTable device), aligns
+        bins by full outer join, and computes χ² =
+        Σ (√(k2/k1)·o1 − √(k1/k2)·o2)² / (o1+o2) with k = the side
+        totals; terms are decimal-summed (order-independent). Emits
+        the statistic and df = bins−1; the p-value (an incomplete
+        gamma) is omitted for the same oracle-parity reason as
+        ttest()."""
+        if len(call.streams) != 2:
+            raise StreamExprError("chiSquareDataSet takes two col(...) args")
+        _, srca, xf = self._colref(call.streams[0])
+        _, srcb, yf = self._colref(call.streams[1])
+        oa = srca.groupBy(F.col(xf).alias("value")).agg(
+            F.count(F.lit(1)).cast("double").alias("o1")
+        )
+        ob = srcb.groupBy(F.col(yf).alias("value")).agg(
+            F.count(F.lit(1)).cast("double").alias("o2")
+        )
+        bins = (
+            oa.join(ob, "value", "full_outer")
+            .select(
+                "value",
+                F.coalesce("o1", F.lit(0.0)).alias("o1"),
+                F.coalesce("o2", F.lit(0.0)).alias("o2"),
+            )
+        )
+        totals = bins.agg(
+            F.sum(F.col("o1").cast("decimal(30,12)")).cast("double").alias("_k1"),
+            F.sum(F.col("o2").cast("decimal(30,12)")).cast("double").alias("_k2"),
+        )
+        r = F.sqrt(F.col("_k2") / F.col("_k1"))
+        s = F.sqrt(F.col("_k1") / F.col("_k2"))
+        term = (
+            (r * F.col("o1") - s * F.col("o2"))
+            * (r * F.col("o1") - s * F.col("o2"))
+            / (F.col("o1") + F.col("o2"))
+        )
+        out = bins.crossJoin(F.broadcast(totals)).agg(
+            F.count(F.lit(1)).cast("long").alias("_bins"),
+            F.sum(term.cast("decimal(30,12)")).cast("double").alias("_chi2"),
+        )
+        return out.select(
+            F.lit(xf).alias("x_field"),
+            F.lit(yf).alias("y_field"),
+            F.col("_bins").alias("n_bins"),
+            (F.col("_bins") - 1).cast("long").alias("df"),
+            F.round("_chi2", 6).alias("chi_square"),
+        )
+
+    def _op_distance(self, call: Call) -> DataFrame:
+        """``distance(col(a, x), col(a, y), type="euclidean")``:
+        commons-math distance between two equal-length vectors via
+        solrj math expressions (reference pom.xml:22) — here the two
+        columns of ONE tuple stream (row-wise pairing, the cov()/
+        corr() alignment contract, which keeps the pairing exact with
+        no positional zip across engines). Types: euclidean
+        (√Σ(x−y)²), manhattan (Σ|x−y|), cosine DISSIMILARITY
+        (1 − cosine similarity, Solr's distance-measure convention).
+        One hash aggregate over decimal partial sums."""
+        metric = call.params.get("type", "euclidean")
+        if len(call.streams) != 2:
+            raise StreamExprError("distance takes exactly two col(...) args")
+        xvar, src, xf = self._colref(call.streams[0])
+        yvar, _, yf = self._colref(call.streams[1])
+        if xvar != yvar:
+            raise StreamExprError("distance x and y must come from one stream")
+        x = F.col(xf).cast("double")
+        y = F.col(yf).cast("double")
+
+        def dsum(c):
+            return F.sum(c.cast("decimal(30,12)")).cast("double")
+
+        if metric == "euclidean":
+            agg = src.agg(
+                F.count(F.lit(1)).alias("_n"), dsum((x - y) * (x - y)).alias("_s")
+            )
+            dist = F.sqrt(F.col("_s"))
+        elif metric == "manhattan":
+            agg = src.agg(
+                F.count(F.lit(1)).alias("_n"), dsum(F.abs(x - y)).alias("_s")
+            )
+            dist = F.col("_s")
+        elif metric == "cosine":
+            agg = src.agg(
+                F.count(F.lit(1)).alias("_n"),
+                dsum(x * y).alias("_sxy"),
+                dsum(x * x).alias("_sxx"),
+                dsum(y * y).alias("_syy"),
+            )
+            dist = 1.0 - F.col("_sxy") / (
+                F.sqrt(F.col("_sxx")) * F.sqrt(F.col("_syy"))
+            )
+        else:
+            raise StreamExprError(f"unknown distance type {metric!r}")
+        return agg.select(
+            F.lit(xf).alias("x_field"),
+            F.lit(yf).alias("y_field"),
+            F.lit(metric).alias("type"),
+            F.col("_n").cast("long").alias("n"),
+            F.round(dist, 6).alias("distance"),
         )
 
     def _op_frequencyTable(self, call: Call) -> DataFrame:  # noqa: N802

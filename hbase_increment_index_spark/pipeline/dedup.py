@@ -2153,7 +2153,17 @@ def commit_cluster_state(
         internal = ngram_jaccard_pairs_from_index(
             delta_postings, shingle_doc_sizes(delta_postings), threshold=threshold
         ).select("id_a", "id_b")
-        return bip.unionByName(internal).localCheckpoint(eager=True)
+        # canonicalized to id_a < id_b (ngram_jaccard_pairs'
+        # convention): the bipartite rows arrive (new, old) — either
+        # order — and a pair STORE needs one identity per pair
+        return (
+            bip.unionByName(internal)
+            .select(
+                F.least("id_a", "id_b").alias("id_a"),
+                F.greatest("id_a", "id_b").alias("id_b"),
+            )
+            .localCheckpoint(eager=True)
+        )
 
     from concurrent.futures import ThreadPoolExecutor
 
@@ -2162,7 +2172,13 @@ def commit_cluster_state(
         fut_pairs = pool.submit(_build_new_pairs)
         labels_after_del = fut_labels.result()
         new_pairs = fut_pairs.result()
-    out = {"labels": merge_cluster_labels(labels_after_del, new_pairs)}
+    out = {
+        "labels": merge_cluster_labels(labels_after_del, new_pairs),
+        # the batch's incident pairs (materialized) — callers
+        # maintaining a pair store COW-style turn these into the
+        # upsert half of the delta (streaming.merge_microbatch_cow)
+        "new_pairs": new_pairs.select("id_a", "id_b"),
+    }
     if store_pairs is not None:
         touched_doc = touched.withColumnRenamed(id_col, "doc")
         kept_pairs = store_pairs.select("id_a", "id_b").join(

@@ -331,6 +331,7 @@ def merge_microbatch_cow(
     shingle_field: str | None = None,
     shingle_n: int = 3,
     fingerprint_field: str | None = None,
+    cluster_threshold: float | None = None,
 ) -> None:
     """Copy-on-write micro-batch fold — ``merge_microbatch`` with the
     full-table rewrite replaced by ``sinks.merge_upsert_parquet``:
@@ -342,6 +343,9 @@ def merge_microbatch_cow(
     micro-batch cost is ∝ |batch| + impacted buckets, independent of
     accumulated index size — the reference's deferred-cost contract
     (README.md:5-10) holds even as the index grows unbounded.
+    ``cluster_threshold`` (r14) additionally folds the near-dup CC
+    LABEL and PAIR stores per batch (requires ``shingle_field`` — see
+    the cluster section below).
 
     Per batch: (1) read ONLY the touched keys' current cells
     (broadcast semi-join; bucket pruning applies), (2) re-compact that
@@ -661,6 +665,143 @@ def merge_microbatch_cow(
         merge_upsert_parquet(
             spark, fps_path, delta_f, "fp", n_buckets=n_buckets, delete_col="_del"
         )
+
+    if cluster_threshold is not None:
+        # COW near-dup CLUSTER maintenance (the CC label + pair stores,
+        # folded by the SAME micro-batch): labels (doc, component) keyed
+        # by doc, pairs (id_a, id_b) keyed by a composed pk. The fold is
+        # pipeline.dedup.commit_cluster_state — delete-then-merge over
+        # the COW shingle store just merged above (post-merge store
+        # minus touched ≡ pre-merge store minus touched, so ordering
+        # after the shingle merge is exact), with the PERSISTED pair
+        # store serving the delete step's survivor re-pairing (two
+        # broadcast semi-joins, zero pairing jobs) and the batch's
+        # incident pairs folding into both tables. Per-batch cost: the
+        # delta pairing ∝ |batch|, plus one label-table-scale streaming
+        # pass for the relabel/delta (broadcast lookups, no shuffle on
+        # the label table); the COW write rewrites only the buckets the
+        # delta touches. Merge ≡ rebuild over the final corpus is
+        # pytest-pinned (tests/test_round14_ops.py).
+        if shingle_field is None:
+            raise ValueError(
+                "cluster_threshold requires shingle_field (the CC fold "
+                "pairs from the COW shingle store)"
+            )
+        from hbase_increment_index_spark.pipeline.dedup import (
+            commit_cluster_state,
+            connected_components,
+            ngram_jaccard_pairs_from_index,
+            read_cow_shingle_store,
+        )
+
+        labels_path = index_path + "_cc_labels_cow"
+        pairs_path = index_path + "_cc_pairs_cow"
+        postings_cc, sizes_cc = read_cow_shingle_store(
+            spark, shingles_path, shsizes_path
+        )
+        pk = F.concat_ws(
+            "\x1f", F.col("id_a").cast("string"), F.col("id_b").cast("string")
+        )
+        if merged_table_exists(spark, labels_path):
+            stored_lab = read_merged_table(spark, labels_path).select(
+                "doc", "component"
+            )
+            stored_prs = read_merged_table(spark, pairs_path).select(
+                "id_a", "id_b"
+            )
+            state = commit_cluster_state(
+                stored_lab,
+                postings_cc,
+                sizes_cc,
+                docs_delta.select("row_key", shingle_field),
+                gone.select("row_key"),
+                "row_key",
+                shingle_field,
+                n=shingle_n,
+                threshold=cluster_threshold,
+                n_buckets=n_buckets,
+                store_pairs=stored_prs,
+            )
+            post = state["labels"].localCheckpoint(eager=True)
+            cmp = stored_lab.select(
+                "doc", F.col("component").alias("_old")
+            ).join(post, "doc", "full_outer")
+            comp_t = post.schema["component"].dataType
+            ups_l = (
+                cmp.filter(
+                    F.col("component").isNotNull()
+                    & (
+                        F.col("_old").isNull()
+                        | (F.col("_old") != F.col("component"))
+                    )
+                )
+                .select("doc", "component")
+                .withColumn("_del", F.lit(False))
+            )
+            dels_l = cmp.filter(
+                F.col("component").isNull() & F.col("_old").isNotNull()
+            ).select(
+                "doc",
+                F.lit(None).cast(comp_t).alias("component"),
+                F.lit(True).alias("_del"),
+            )
+            merge_upsert_parquet(
+                spark, labels_path, ups_l.unionByName(dels_l), "doc",
+                n_buckets=n_buckets, delete_col="_del",
+            )
+            # pair-store delta: every stored pair with a touched
+            # endpoint dies (old identity); the batch's incident pairs
+            # upsert. A pair present on BOTH sides (an update that kept
+            # the similarity) must land as ONE upsert row — dedupe the
+            # delete half against the upsert keys.
+            ups_p = state["new_pairs"].withColumn("_del", F.lit(False))
+            dead_a = stored_prs.join(
+                F.broadcast(touched.withColumnRenamed("row_key", "id_a")),
+                "id_a",
+                "left_semi",
+            )
+            dead_b = stored_prs.join(
+                F.broadcast(touched.withColumnRenamed("row_key", "id_b")),
+                "id_b",
+                "left_semi",
+            )
+            dels_p = (
+                dead_a.unionByName(dead_b)
+                .distinct()
+                .withColumn("pk", pk)
+                .join(
+                    F.broadcast(ups_p.select(pk.alias("pk"))), "pk", "left_anti"
+                )
+                .drop("pk")
+                .withColumn("_del", F.lit(True))
+            )
+            merge_upsert_parquet(
+                spark, pairs_path,
+                ups_p.unionByName(dels_p).withColumn("pk", pk), "pk",
+                n_buckets=n_buckets, delete_col="_del",
+            )
+        else:
+            # bootstrap: pair the CURRENT corpus once from the COW
+            # shingle store (no corpus text in the plan), label it, and
+            # persist both tables
+            pairs0 = (
+                ngram_jaccard_pairs_from_index(
+                    postings_cc, sizes_cc, threshold=cluster_threshold
+                )
+                .select("id_a", "id_b")
+                .localCheckpoint(eager=True)
+            )
+            labels0 = connected_components(pairs0)
+            merge_upsert_parquet(
+                spark, labels_path,
+                labels0.withColumn("_del", F.lit(False)), "doc",
+                n_buckets=n_buckets, delete_col="_del",
+            )
+            merge_upsert_parquet(
+                spark, pairs_path,
+                pairs0.withColumn("pk", pk).withColumn("_del", F.lit(False)),
+                "pk", n_buckets=n_buckets, delete_col="_del",
+            )
 
 
 def sessionized_event_counts(

@@ -376,3 +376,99 @@ def test_stream_polyfit_recovers_exact_quadratic(spark):
         spark, {"a": a}, 'derivative(polyfit(col(a, x), col(a, y)))'
     ).collect()[0]
     assert (der["d0"], der["d1"]) == (3.0, 1.0)
+
+
+# ------------------------------------ streaming COW cluster maintenance
+
+
+def test_cow_cluster_labels_and_pairs_match_rebuild(spark, tmp_path):
+    """merge_microbatch_cow(cluster_threshold=...) maintains the CC
+    label and pair stores per micro-batch: after a bootstrap batch and
+    a mixed batch (update that moves a doc between components, insert
+    that pairs with a previously unpaired doc, delete that shrinks a
+    component), both tables must equal a fresh pairing + clustering
+    over the final document set."""
+    from pyspark.sql import types as T
+
+    from hbase_increment_index_spark.pipeline.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+    from hbase_increment_index_spark.sinks import read_merged_table
+    from hbase_increment_index_spark.streaming.cdc_stream import (
+        merge_microbatch_cow,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("op", T.StringType()),
+            T.StructField("row_key", T.StringType()),
+            T.StructField("family", T.StringType()),
+            T.StructField("qualifier", T.StringType()),
+            T.StructField("value", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("seq", T.LongType()),
+        ]
+    )
+    import datetime
+
+    def ts(i):
+        return datetime.datetime(2024, 1, 1, 0, 0, i)
+
+    base = str(tmp_path / "idx")
+    t_a, t_p, t_x = "a b c d e", "p q r s t", "x y z w v"
+    b1 = [
+        ("put", "A", "cf", "name", t_a, ts(1), 1),
+        ("put", "B", "cf", "name", t_a, ts(1), 2),
+        ("put", "C", "cf", "name", t_p, ts(1), 3),
+        ("put", "E", "cf", "name", t_x, ts(1), 4),
+    ]
+    b2 = [
+        # B moves from the a-group to pair with C
+        ("put", "B", "cf", "name", t_p, ts(5), 10),
+        # F pairs with the previously unpaired E
+        ("put", "F", "cf", "name", t_x, ts(6), 11),
+        # A's group shrinks to a singleton (drops out of the tables)
+        ("delete", "A", "cf", None, None, ts(7), 12),
+    ]
+    for i, b in enumerate([b1, b2]):
+        merge_microbatch_cow(
+            spark,
+            spark.createDataFrame(b, schema),
+            i,
+            base,
+            ["name"],
+            n_buckets=8,
+            shingle_field="name",
+            cluster_threshold=0.30,
+        )
+    final_docs = read_merged_table(spark, base + "_docs_cow").select(
+        "row_key", "name"
+    )
+    want_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(
+            final_docs, "row_key", "name", n=3, threshold=0.30
+        ).collect()
+    }
+    want_labels = {
+        (r["doc"], r["component"])
+        for r in connected_components(
+            ngram_jaccard_pairs(final_docs, "row_key", "name", n=3, threshold=0.30)
+        ).collect()
+    }
+    got_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in read_merged_table(spark, base + "_cc_pairs_cow")
+        .select("id_a", "id_b")
+        .collect()
+    }
+    got_labels = {
+        (r["doc"], r["component"])
+        for r in read_merged_table(spark, base + "_cc_labels_cow")
+        .select("doc", "component")
+        .collect()
+    }
+    assert want_labels == {("B", "B"), ("C", "B"), ("E", "E"), ("F", "E")}
+    assert got_pairs == want_pairs
+    assert got_labels == want_labels

@@ -1700,19 +1700,19 @@ class StreamCompiler:
             raise StreamExprError("chiSquareDataSet takes two col(...) args")
         _, srca, xf = self._colref(call.streams[0])
         _, srcb, yf = self._colref(call.streams[1])
-        oa = srca.groupBy(F.col(xf).alias("value")).agg(
-            F.count(F.lit(1)).cast("double").alias("o1")
+        # bin alignment WITHOUT a join: a full-outer join of the two
+        # count frames can never broadcast (Spark plans it sort-merge),
+        # but a side-tagged union + one conditional-count hash agg
+        # produces the same aligned (value, o1, o2) bins in a single
+        # shuffle with map-side partials
+        tagged = srca.select(
+            F.col(xf).alias("value"), F.lit(True).alias("_a")
+        ).unionByName(
+            srcb.select(F.col(yf).alias("value"), F.lit(False).alias("_a"))
         )
-        ob = srcb.groupBy(F.col(yf).alias("value")).agg(
-            F.count(F.lit(1)).cast("double").alias("o2")
-        )
-        bins = (
-            oa.join(ob, "value", "full_outer")
-            .select(
-                "value",
-                F.coalesce("o1", F.lit(0.0)).alias("o1"),
-                F.coalesce("o2", F.lit(0.0)).alias("o2"),
-            )
+        bins = tagged.groupBy("value").agg(
+            F.sum(F.col("_a").cast("long")).cast("double").alias("o1"),
+            F.sum((~F.col("_a")).cast("long")).cast("double").alias("o2"),
         )
         totals = bins.agg(
             F.sum(F.col("o1").cast("decimal(30,12)")).cast("double").alias("_k1"),

@@ -541,14 +541,23 @@ def main() -> None:
     def _cc_merge_serve():
         # delta pairing from the persisted store (∝ |delta| + matched
         # buckets) + delta-internal pairs (∝ |delta|²-bounded banding),
-        # folded into the stored labels — no corpus text anywhere
+        # folded into the stored labels — no corpus text anywhere. The
+        # delta is shingled ONCE (r14, the commit_cluster_state
+        # discipline): the materialized postings feed the bipartite
+        # probe's delta side AND the internal self-pairing.
+        from hbase_increment_index_spark.pipeline.dedup import (
+            build_shingle_postings as _bsp,
+            ngram_jaccard_pairs_from_index as _njpi,
+            shingle_doc_sizes as _sds,
+        )
+
+        dp = _bsp(_delta, "doc_id", "text", n=3, n_buckets=shingle_buckets)
+        dp = dp.localCheckpoint(eager=False)
         bip = incremental_near_dups_from_index(
             _shstore, _shsizes, _delta, "doc_id", "text", n=3, threshold=0.30,
-            n_buckets=shingle_buckets,
+            n_buckets=shingle_buckets, incoming_postings=dp,
         ).select(_F.col("id_new").alias("id_a"), _F.col("id_old").alias("id_b"))
-        internal = ngram_jaccard_pairs(
-            _delta, "doc_id", "text", n=3, threshold=0.30
-        ).select("id_a", "id_b")
+        internal = _njpi(dp, _sds(dp), threshold=0.30).select("id_a", "id_b")
         return merge_cluster_labels(_stored, bip.unionByName(internal))
 
     served["e2r_incremental_clusters_served"] = _cc_merge_serve
@@ -896,11 +905,23 @@ def main() -> None:
             common = [k for k in pq if k in timings and pq[k] > 0]
             prev_total = sum(pq[k] for k in common)
             cur_total = sum(timings[k] for k in common)
-            if common and prev_total > 0 and pp and cpu_probe_sec > 0:
-                # probe sizes differ across rounds (r14 grew the kernel
-                # 50M → 300M rows for a ≥1s sample) — normalize both to
-                # per-row throughput before taking the host ratio
-                prev_rows = parsed.get("cpu_probe_rows") or 50_000_000
+            prev_rows = parsed.get("cpu_probe_rows")
+            if common and prev_total > 0 and pp and cpu_probe_sec > 0 and (
+                prev_rows is None
+            ):
+                # pre-r14 probes were 50M-row sub-0.2s kernels — they
+                # measured scheduling overhead, not throughput, so
+                # per-row scaling against the ≥1s r14 kernel is invalid
+                # (tested: it "normalized" a 0.77 raw improvement into
+                # a 3.5 slowdown). Emit the raw ratio alone for the one
+                # transition round; normalization resumes when both
+                # records carry cpu_probe_rows.
+                norm_fields = {
+                    "raw_vs_prev": round(cur_total / prev_total, 3),
+                    "prev_bench": os.path.basename(cands[-1]).rsplit(".", 1)[0],
+                    "n_common_prev": len(common),
+                }
+            elif common and prev_total > 0 and pp and cpu_probe_sec > 0:
                 host_ratio = (cpu_probe_sec / PROBE_ROWS) / (pp / prev_rows)
                 # emit BOTH ratios: the probe tracks CPU-burst
                 # throughput, not end-to-end query time, so when the

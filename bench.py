@@ -572,9 +572,13 @@ def main() -> None:
     _del_ids = _d0.filter(_F.col("doc_id") % 17 == 0).select("doc_id")
     _post = _d0.filter(_F.col("doc_id") % 17 != 0)
 
+    # r14: the survivor re-pairing FILTERS the persisted pair store
+    # (two broadcast semi-joins) instead of re-pairing from the shingle
+    # store — the pair-store payoff the e2u_pair_store_commit oracle row
+    # proves correct
     served["e2t_cluster_delete_served"] = lambda: delete_from_clusters(
         _stored, _del_ids, None, "doc_id", "text", n=3, threshold=0.30,
-        postings=_shstore, sizes=_shsizes,
+        pairs=_stored_pairs,
     )
 
     # --- FULL-FLEET commit, served (r13): the registry's

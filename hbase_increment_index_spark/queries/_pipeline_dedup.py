@@ -2472,3 +2472,86 @@ FROM fi JOIN fe USING (fp)
 GROUP BY id_new
 ORDER BY id_new
 """
+
+
+def e2u_pair_store_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair-STORE maintenance under one mixed CDC batch — the r14
+    companion table to the CC labels: the near-dup pair list persists
+    beside the labels (it is what the delete verb's survivor
+    re-pairing filters instead of re-pairing), so the commit must fold
+    it too. Fixture: the cdc_commit_all_stores mutation (inserts
+    doc_id%10==0, text-truncating updates %10==1, deletes %10==2);
+    the v1 pair list bootstraps from the shingle store, then
+    pipeline.dedup.commit_cluster_state folds the batch — kept pairs =
+    broadcast anti-join on touched endpoints, new pairs = the batch's
+    incident pairs (the SAME materialized pairing the label merge
+    reads). The oracle recomputes the exact 3-gram-Jaccard pair list
+    over the FINAL corpus from scratch, so a green hash proves pair
+    merge ≡ rebuild at the ROW level, not just cardinality."""
+    from hbase_increment_index_spark.pipeline.dedup import (
+        build_shingle_postings,
+        commit_cluster_state,
+        connected_components,
+        ngram_jaccard_pairs_from_index,
+        shingle_doc_sizes,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 10
+    v1 = docs.filter(m != 0).withColumn(
+        "text",
+        F.when(m == 1, F.substring("text", 1, 20)).otherwise(F.col("text")),
+    )
+    changed = docs.filter(m.isin(0, 1)).select("doc_id", "text")
+    deleted = docs.filter(m == 2).select("doc_id")
+    shv1 = build_shingle_postings(v1, "doc_id", "text", n=3).localCheckpoint(
+        eager=True
+    )
+    sizes_v1 = shingle_doc_sizes(shv1).localCheckpoint(eager=True)
+    pairs_v1 = (
+        ngram_jaccard_pairs_from_index(shv1, sizes_v1, threshold=0.30)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
+    state = commit_cluster_state(
+        connected_components(pairs_v1),
+        shv1,
+        sizes_v1,
+        changed,
+        deleted,
+        "doc_id",
+        "text",
+        n=3,
+        threshold=0.30,
+        store_pairs=pairs_v1,
+    )
+    return state["pairs"].orderBy("id_a", "id_b")
+
+
+def _e2u_sql() -> str:
+    toks = _SQL_TOKS.format(c="text")
+    grams = (
+        f"list_transform(generate_series(1, greatest(len({toks}) - 2, 0)), "
+        f"i -> array_to_string(list_slice({toks}, i, i + 2), ' '))"
+    )
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 2
+),
+sh AS (
+  SELECT DISTINCT doc_id AS doc, unnest({grams}) AS sh FROM corpus
+),
+sizes AS (SELECT doc, count(*) AS n_sh FROM sh GROUP BY doc),
+common AS (
+  SELECT a.doc AS id_a, b.doc AS id_b, count(*) AS common
+  FROM sh a JOIN sh b USING (sh)
+  WHERE a.doc < b.doc
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b
+FROM common
+JOIN sizes sa ON sa.doc = id_a
+JOIN sizes sb ON sb.doc = id_b
+WHERE ROUND(common / (sa.n_sh + sb.n_sh - common), 6) >= 0.30
+ORDER BY id_a, id_b
+"""

@@ -1109,6 +1109,46 @@ ORDER BY row_key, qualifier
 """
 
 
+def cdc_column_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HBase ``ColumnRangeFilter`` — the qualifier BAND scan of the
+    HBase 0.98 filter API (reference pom.xml:19): live cells whose
+    qualifier sorts in [minColumn, maxColumn) — minInclusive=true,
+    maxInclusive=false, HBase's defaults — optionally inside a rowkey
+    band. Both bands are sargable lexicographic string comparisons
+    pushed into the compacted cell-view scan (the cdc_scan_range
+    discipline applied to the qualifier axis)."""
+    events = _t(spark, sf_dir, "events")
+    live = live_cells(cell_log_from_events(events, delete_event_type="error"))
+    return (
+        live.filter((F.col("qualifier") >= "click") & (F.col("qualifier") < "signup"))
+        .filter((F.col("row_key") >= "1") & (F.col("row_key") < "3"))
+        .select("row_key", "qualifier", "value")
+        .orderBy("row_key", "qualifier")
+    )
+
+
+CDC_COLUMN_RANGE_SQL = f"""
+WITH log AS ({_SQL_CELL_LOG.format(delete_type='error')}),
+cell_latest AS (
+  SELECT * FROM log
+  QUALIFY row_number() OVER (
+    PARTITION BY row_key, family, qualifier ORDER BY ts DESC, seq DESC) = 1
+),
+row_latest AS (
+  SELECT row_key, op AS row_op FROM log
+  QUALIFY row_number() OVER (PARTITION BY row_key ORDER BY ts DESC, seq DESC) = 1
+),
+live AS (
+  SELECT c.* FROM cell_latest c JOIN row_latest r USING (row_key)
+  WHERE c.op = 'put' AND r.row_op = 'put'
+)
+SELECT row_key, qualifier, value FROM live
+WHERE qualifier >= 'click' AND qualifier < 'signup'
+  AND row_key >= '1' AND row_key < '3'
+ORDER BY row_key, qualifier
+"""
+
+
 # One shared spec drives BOTH engines (compile_filter_list for Spark,
 # filter_list_sql for the DuckDB oracle) so the correctness row proves
 # the two compilers agree on the same tree. Shape: a MUST_PASS_ONE of

@@ -4053,6 +4053,45 @@ ORDER BY type
 """
 
 
+def q61ag_stream_select_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/stream ``select()`` with ARITHMETIC EVALUATORS (solrj stream
+    evaluators, reference pom.xml:22): project each returned lineitem
+    with computed fields — revenue = mult(extendedprice, sub(val(1),
+    discount)), charge = mult(revenue-expr, add(val(1), tax)) — the
+    way a /stream user derives metrics without a rollup. Each
+    evaluator tree compiles to one Column expression
+    (search.streaming_expr._arith_col), so the computed fields stay
+    inside whole-stage codegen; the trailing round keeps the doubles
+    oracle-comparable."""
+    df = _stream(
+        spark, sf_dir,
+        'select(search(lineitem, fq="l_returnflag:R", '
+        'fl="l_orderkey,l_linenumber,l_extendedprice,l_discount,l_tax", '
+        'sort="l_orderkey asc"), '
+        '"l_orderkey as id", "l_linenumber as line", '
+        'mult(l_extendedprice, sub(val(1), l_discount)) as revenue, '
+        'mult(mult(l_extendedprice, sub(val(1), l_discount)), '
+        'add(val(1), l_tax)) as charge)',
+    )
+    return df.select(
+        "id", "line",
+        F.round("revenue", 6).alias("revenue"),
+        F.round("charge", 6).alias("charge"),
+    ).orderBy("id", "line")
+
+
+Q61AG_SQL = """
+SELECT l_orderkey AS id, l_linenumber AS line,
+       ROUND(CAST(l_extendedprice AS DOUBLE)
+             * (1.0 - CAST(l_discount AS DOUBLE)), 6) AS revenue,
+       ROUND((CAST(l_extendedprice AS DOUBLE)
+              * (1.0 - CAST(l_discount AS DOUBLE)))
+             * (1.0 + CAST(l_tax AS DOUBLE)), 6) AS charge
+FROM lineitem WHERE l_returnflag = 'R'
+ORDER BY id, line
+"""
+
+
 Q61X_SQL = """
 WITH cells AS (
   SELECT source, lang, count(*) AS count_star

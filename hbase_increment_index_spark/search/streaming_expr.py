@@ -31,7 +31,13 @@ Grammar (recursive descent, one token of lookahead)::
 Supported stream sources/decorators (Solr names):
 
     search(table, q="...", fq="...", fl="a,b", sort="f asc,g desc")
-    select(stream, "a as b", "c", ...)
+    select(stream, "a as b", "c", eval(...) as d, ...)
+                                       # eval := arithmetic stream
+                                       # evaluators add/sub/mult/div/
+                                       # pow/mod/sqrt/abs/log/log10/
+                                       # ceil/floor/round/val, nested
+                                       # freely; compiled to codegen'd
+                                       # Column expressions
     top(stream, n=N, sort="...")
     sort(stream, by="...")
     unique(stream, over="f", sort="...")
@@ -162,6 +168,13 @@ class Call:
     streams: list = field(default_factory=list)  # positional sub-Calls
     params: dict = field(default_factory=dict)  # name=value params
     fields: list = field(default_factory=list)  # bare positional strings
+    # every argument in ORIGINAL order, as ("stream", Call) /
+    # ("field", str) / ("param", name, value) — consumers that need
+    # argument ORDER across kinds (select()'s evaluator+alias grammar,
+    # arithmetic evaluators' operand order) read this; the split
+    # streams/params/fields views above stay authoritative for
+    # everything else
+    args: list = field(default_factory=list)
 
 
 _TOK = re.compile(
@@ -225,7 +238,9 @@ def parse(text: str) -> Call:
         while True:
             kind, val = peek()
             if kind == "call":
-                call.streams.append(parse_call())
+                sub = parse_call()
+                call.streams.append(sub)
+                call.args.append(("stream", sub))
             elif kind == "name" and peek(1)[0] == "eq":
                 take()
                 take("eq")
@@ -238,16 +253,27 @@ def parse(text: str) -> Call:
                     raise StreamExprError(f"bad value for {val}: {vval}")
                 else:
                     call.params[val] = vval
+                call.args.append(("param", val, call.params[val]))
             elif kind in ("name", "str"):
                 take()
                 call.fields.append(val)
+                call.args.append(("field", val))
             else:
                 raise StreamExprError(f"unexpected {kind} {val!r}")
-            kind, _ = take()
+            kind, _tok = peek()
             if kind == "rparen":
+                take()
                 return call
-            if kind != "comma":
-                raise StreamExprError("expected ',' or ')'")
+            if kind == "comma":
+                take()
+                continue
+            if kind in ("name", "str"):
+                # bare words may follow an argument without a comma —
+                # Solr's `<expr> as alias` select grammar; they join
+                # the field list (and Call.args keeps their position
+                # next to the expression they annotate)
+                continue
+            raise StreamExprError("expected ',' or ')'")
 
     def nonlocal_rewind():
         nonlocal idx
@@ -442,12 +468,128 @@ class StreamCompiler:
     # -- decorators
 
     def _op_select(self, call: Call) -> DataFrame:
-        df = self._one_stream(call)
-        cols = []
-        for spec in call.fields:
-            m = re.match(r"(\S+)\s+as\s+(\S+)$", spec, re.IGNORECASE)
-            cols.append(F.col(m.group(1)).alias(m.group(2)) if m else F.col(spec))
+        """Solr ``select(stream, "a as b", c, eval(...) as d, ...)``:
+        projection with optional ARITHMETIC EVALUATORS (solrj stream
+        evaluators add/sub/mult/div/pow/sqrt/abs/log/log10/ceil/floor/
+        mod/round/val, reference pom.xml:22) — each compiles to the
+        equivalent Column expression, so computed fields stay inside
+        whole-stage codegen. Quoted "a as b" fields keep the original
+        rename grammar; an evaluator's alias is the unquoted trailing
+        ``as name`` (argument order preserved by Call.args)."""
+        inner_seen = False
+        df = None
+        cols: list = []
+        args = [a for a in call.args if a[0] != "param"]
+        i = 0
+        while i < len(args):
+            kind, val = args[i][0], args[i][1]
+            if kind == "stream" and not inner_seen:
+                inner_seen = True
+                df = self._eval(val)
+                i += 1
+                continue
+            if kind == "stream":
+                col = self._arith_col(val)
+                has_alias = (
+                    i + 2 < len(args)
+                    and args[i + 1][0] == "field"
+                    and args[i + 1][1].lower() == "as"
+                    and args[i + 2][0] == "field"
+                )
+                if not has_alias:
+                    raise StreamExprError(
+                        f"select: evaluator {val.name}(...) needs 'as <name>'"
+                    )
+                cols.append(col.alias(args[i + 2][1]))
+                i += 3
+                continue
+            m = re.match(r"(\S+)\s+as\s+(\S+)$", val, re.IGNORECASE)
+            cols.append(F.col(m.group(1)).alias(m.group(2)) if m else F.col(val))
+            i += 1
+        if df is None:
+            raise StreamExprError("select takes exactly one stream")
         return df.select(*cols)
+
+    # Solr stream arithmetic evaluators → Column builders. Variadic
+    # add/mult fold left; everything computes in double (Solr's
+    # evaluator number type).
+    _ARITH_EVALS = {
+        "add": (2, None),
+        "sub": (2, 2),
+        "mult": (2, None),
+        "div": (2, 2),
+        "pow": (2, 2),
+        "mod": (2, 2),
+        "sqrt": (1, 1),
+        "abs": (1, 1),
+        "log": (1, 1),
+        "log10": (1, 1),
+        "ceil": (1, 1),
+        "floor": (1, 1),
+        "round": (1, 1),
+        "val": (1, 1),
+    }
+
+    def _arith_col(self, node: Call) -> Column:
+        """Compile an arithmetic evaluator Call tree to one Column.
+        Atoms: numeric literals → lit(double), anything else → column
+        reference cast to double. Operand ORDER comes from Call.args
+        (the split streams/fields lists lose it)."""
+        spec = self._ARITH_EVALS.get(node.name)
+        if spec is None:
+            raise StreamExprError(f"unknown evaluator {node.name!r}")
+        lo, hi = spec
+        operands = []
+        for a in node.args:
+            if a[0] == "stream":
+                operands.append(self._arith_col(a[1]))
+            elif a[0] == "field":
+                v = a[1]
+                try:
+                    operands.append(F.lit(float(v)))
+                except ValueError:
+                    operands.append(F.col(v).cast("double"))
+            else:
+                raise StreamExprError(
+                    f"evaluator {node.name} takes no named params"
+                )
+        n = len(operands)
+        if n < lo or (hi is not None and n > hi):
+            raise StreamExprError(
+                f"evaluator {node.name} takes "
+                f"{lo if hi == lo else f'{lo}+' if hi is None else f'{lo}-{hi}'}"
+                f" operands, got {n}"
+            )
+        import functools
+        import operator
+
+        if node.name == "add":
+            return functools.reduce(operator.add, operands)
+        if node.name == "mult":
+            return functools.reduce(operator.mul, operands)
+        if node.name == "sub":
+            return operands[0] - operands[1]
+        if node.name == "div":
+            return operands[0] / operands[1]
+        if node.name == "pow":
+            return F.pow(operands[0], operands[1])
+        if node.name == "mod":
+            return operands[0] % operands[1]
+        if node.name == "sqrt":
+            return F.sqrt(operands[0])
+        if node.name == "abs":
+            return F.abs(operands[0])
+        if node.name == "log":
+            return F.log(operands[0])
+        if node.name == "log10":
+            return F.log10(operands[0])
+        if node.name == "ceil":
+            return F.ceil(operands[0]).cast("double")
+        if node.name == "floor":
+            return F.floor(operands[0]).cast("double")
+        if node.name == "round":
+            return F.round(operands[0], 0)
+        return operands[0]  # val
 
     def _op_top(self, call: Call) -> DataFrame:
         df = self._one_stream(call)

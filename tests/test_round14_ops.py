@@ -472,3 +472,31 @@ def test_cow_cluster_labels_and_pairs_match_rebuild(spark, tmp_path):
     assert want_labels == {("B", "B"), ("C", "B"), ("E", "E"), ("F", "E")}
     assert got_pairs == want_pairs
     assert got_labels == want_labels
+
+
+def test_stream_select_evaluators(spark):
+    """select() arithmetic evaluators compile to Column expressions:
+    nested trees, numeric literals via val() or bare, unquoted
+    `expr as alias` grammar."""
+    from hbase_increment_index_spark.search.streaming_expr import (
+        StreamExprError,
+        run_stream_expr,
+    )
+
+    t = spark.createDataFrame([(1, 10.0, 0.1), (2, 20.0, 0.25)], ["id", "price", "disc"])
+    got = run_stream_expr(
+        spark, {"t": t},
+        'select(search(t, q="*:*", fl="id,price,disc"), "id", '
+        'mult(price, sub(val(1), disc)) as revenue, '
+        'round(add(price, 0.6)) as bumped, '
+        'pow(price, 2) as sq)',
+    )
+    rows = {tuple(r) for r in got.collect()}
+    assert rows == {(1, 9.0, 11.0, 100.0), (2, 15.0, 21.0, 400.0)}
+    # evaluator without an alias is an error, as is an unknown evaluator
+    for bad in [
+        'select(search(t, q="*:*", fl="id"), add(id, 1))',
+        'select(search(t, q="*:*", fl="id"), nosuch(id) as x)',
+    ]:
+        with pytest.raises(StreamExprError):
+            run_stream_expr(spark, {"t": t}, bad)

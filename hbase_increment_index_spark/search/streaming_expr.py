@@ -115,6 +115,9 @@ Supported stream sources/decorators (Solr names):
     model(models, id="m1")             # pull a stored model's tuples
                                        # (feeds classify)
     list(s1, s2, ...)                  # concatenate streams
+    priority(s1, s2, ...)              # first non-empty stream wins
+                                       # (bounded limit(1) probes)
+    echo("text")                       # one-tuple literal source
     plist(s1, s2, ...)                 # list() with parallel opens —
                                        # Spark unions already schedule
                                        # branches concurrently
@@ -1081,6 +1084,41 @@ class StreamCompiler:
                 df, allowMissingColumns=True
             )
         return out
+
+    def _op_priority(self, call: Call) -> DataFrame:
+        """Solr ``priority(topic1, topic2, ...)``: the executor()
+        scheduling decorator — emit the highest-priority topic stream
+        that currently has tuples (solrj 9.x; reference pom.xml:22).
+        Evaluates the wrapped streams IN ORDER and returns the first
+        non-empty one's tuples; the emptiness probe is a bounded
+        limit(1) action per stream (the eval()/topic() discipline —
+        topic streams are checkpoint-bounded deltas by contract)."""
+        if not call.streams:
+            raise StreamExprError("priority needs at least one stream")
+        last = None
+        for sub in call.streams:
+            df = self._eval(sub)
+            last = df
+            if df.limit(1).count() > 0:
+                return df
+        return last  # all empty: any empty frame keeps the schema
+
+    def _op_echo(self, call: Call) -> DataFrame:
+        """Solr ``echo("text")``: emit one tuple {echo: text} — the
+        smoke-test source of the expression language."""
+        if len(call.fields) != 1:
+            raise StreamExprError("echo takes exactly one string")
+        return self.spark_for_literals().range(1).select(
+            F.lit(call.fields[0]).alias("echo")
+        )
+
+    def spark_for_literals(self) -> SparkSession:
+        """An active session for literal-only sources (echo): any
+        registered table's session — the compiler always has at least
+        one table by construction."""
+        for df in self.tables.values():
+            return df.sparkSession
+        raise StreamExprError("no tables registered")
 
     def _op_plist(self, call: Call) -> DataFrame:
         """Solr ``plist(s1, s2, ...)``: list()'s parallel-open twin —

@@ -500,3 +500,20 @@ def test_stream_select_evaluators(spark):
     ]:
         with pytest.raises(StreamExprError):
             run_stream_expr(spark, {"t": t}, bad)
+
+
+def test_stream_priority_and_echo(spark):
+    """priority() emits the first wrapped stream with tuples; echo()
+    emits its literal."""
+    from hbase_increment_index_spark.search.streaming_expr import run_stream_expr
+
+    t = spark.createDataFrame([(1, "x")], ["id", "s"])
+    u = spark.createDataFrame([(9, "y")], ["id", "s"])
+    got = run_stream_expr(
+        spark, {"t": t, "u": u},
+        'priority(search(t, q="id:[5 TO 9]", fl="id,s"), '
+        'search(u, q="*:*", fl="id,s"))',
+    )
+    assert [(r["id"], r["s"]) for r in got.collect()] == [(9, "y")]
+    got2 = run_stream_expr(spark, {"t": t}, 'echo("hello stream")')
+    assert [r["echo"] for r in got2.collect()] == ["hello stream"]

@@ -48,6 +48,8 @@ Supported stream sources/decorators (Solr names):
     innerJoin(left, right, on="lk=rk" | "k")
     leftOuterJoin(left, right, on=...)
     hashJoin(left, hashed=right, on=...)       # alias of innerJoin
+    outerHashJoin(left, hashed=right, on=...)  # alias of leftOuterJoin
+    hashRollup(stream, over=..., metrics...)   # alias of rollup
     intersect(left, hashed=right, on=...)      # left-semi
     complement(left, hashed=right, on=...)     # left-anti
     merge(s1, s2, on="sort spec")              # unionByName + sort
@@ -692,6 +694,21 @@ class StreamCompiler:
 
     def _op_leftOuterJoin(self, call: Call) -> DataFrame:  # noqa: N802
         return self._equi_join(call, "left_outer")
+
+    def _op_hashRollup(self, call: Call) -> DataFrame:  # noqa: N802 (Solr name)
+        """Solr ``hashRollup(...)``: rollup()'s hash-based twin — in
+        Solr the difference is the worker algorithm (sorted-stream
+        reduction vs hash table); Catalyst always plans a hash
+        aggregate with map-side partials, so both names compile to the
+        same (optimal) plan."""
+        return self._op_rollup(call)
+
+    def _op_outerHashJoin(self, call: Call) -> DataFrame:  # noqa: N802
+        """Solr ``outerHashJoin(left, hashed=right, on=...)``:
+        leftOuterJoin's hash twin — same sorted-vs-hash worker
+        distinction as hashRollup; Catalyst picks broadcast/shuffle
+        hash via AQE either way."""
+        return self._op_leftOuterJoin(call)
 
     def _op_intersect(self, call: Call) -> DataFrame:
         return self._equi_join(call, "left_semi")

@@ -517,3 +517,25 @@ def test_stream_priority_and_echo(spark):
     assert [(r["id"], r["s"]) for r in got.collect()] == [(9, "y")]
     got2 = run_stream_expr(spark, {"t": t}, 'echo("hello stream")')
     assert [r["echo"] for r in got2.collect()] == ["hello stream"]
+
+
+def test_stream_hash_twin_aliases(spark):
+    """hashRollup()/outerHashJoin() are worker-algorithm twins in Solr;
+    here both names compile to the same hash-aggregate / hash-join
+    plans as rollup()/leftOuterJoin()."""
+    from hbase_increment_index_spark.search.streaming_expr import run_stream_expr
+
+    t = spark.createDataFrame([("a", 1.0), ("a", 2.0), ("b", 5.0)], ["k", "v"])
+    u = spark.createDataFrame([("a", "x")], ["k", "tag"])
+    r1 = run_stream_expr(
+        spark, {"t": t},
+        'hashRollup(search(t, q="*:*", fl="k,v"), over="k", sum(v))',
+    )
+    assert {(r["k"], r["sum_v"]) for r in r1.collect()} == {("a", 3.0), ("b", 5.0)}
+    r2 = run_stream_expr(
+        spark, {"t": t, "u": u},
+        'outerHashJoin(search(t, q="*:*", fl="k,v"), '
+        'hashed=search(u, q="*:*", fl="k,tag"), on="k")',
+    )
+    rows = {(r["k"], r["v"], r["tag"]) for r in r2.collect()}
+    assert rows == {("a", 1.0, "x"), ("a", 2.0, "x"), ("b", 5.0, None)}

@@ -35,9 +35,11 @@ Supported stream sources/decorators (Solr names):
                                        # eval := arithmetic stream
                                        # evaluators add/sub/mult/div/
                                        # pow/mod/sqrt/abs/log/log10/
-                                       # ceil/floor/round/val, nested
-                                       # freely; compiled to codegen'd
-                                       # Column expressions
+                                       # ceil/floor/round/val plus the
+                                       # boolean/conditional set if/gt/
+                                       # gte/lt/lte/eq/and/or/not,
+                                       # nested freely; compiled to
+                                       # codegen'd Column expressions
     top(stream, n=N, sort="...")
     sort(stream, by="...")
     unique(stream, over="f", sort="...")
@@ -120,6 +122,7 @@ Supported stream sources/decorators (Solr names):
     priority(s1, s2, ...)              # first non-empty stream wins
                                        # (bounded limit(1) probes)
     echo("text")                       # one-tuple literal source
+    tuple(a=expr, b=expr, ...)         # one tuple of evaluator results
     plist(s1, s2, ...)                 # list() with parallel opens —
                                        # Spark unions already schedule
                                        # branches concurrently
@@ -533,6 +536,18 @@ class StreamCompiler:
         "floor": (1, 1),
         "round": (1, 1),
         "val": (1, 1),
+        # boolean / conditional evaluators (Solr's if/comparison set):
+        # comparisons yield booleans, if() selects — all still one
+        # Column tree, no UDF
+        "if": (3, 3),
+        "gt": (2, 2),
+        "gte": (2, 2),
+        "lt": (2, 2),
+        "lte": (2, 2),
+        "eq": (2, 2),
+        "and": (2, None),
+        "or": (2, None),
+        "not": (1, 1),
     }
 
     def _arith_col(self, node: Call) -> Column:
@@ -594,6 +609,24 @@ class StreamCompiler:
             return F.floor(operands[0]).cast("double")
         if node.name == "round":
             return F.round(operands[0], 0)
+        if node.name == "if":
+            return F.when(operands[0], operands[1]).otherwise(operands[2])
+        if node.name == "gt":
+            return operands[0] > operands[1]
+        if node.name == "gte":
+            return operands[0] >= operands[1]
+        if node.name == "lt":
+            return operands[0] < operands[1]
+        if node.name == "lte":
+            return operands[0] <= operands[1]
+        if node.name == "eq":
+            return operands[0] == operands[1]
+        if node.name == "and":
+            return functools.reduce(operator.and_, operands)
+        if node.name == "or":
+            return functools.reduce(operator.or_, operands)
+        if node.name == "not":
+            return ~operands[0]
         return operands[0]  # val
 
     def _op_top(self, call: Call) -> DataFrame:
@@ -1101,6 +1134,27 @@ class StreamCompiler:
                 df, allowMissingColumns=True
             )
         return out
+
+    def _op_tuple(self, call: Call) -> DataFrame:
+        """Solr ``tuple(a=expr, b=expr, ...)``: emit ONE tuple whose
+        fields are evaluator results — the literal/derived-constant
+        source of the expression language (solrj 9.x; reference
+        pom.xml:22). Values may be numeric literals, strings, or
+        arithmetic evaluator trees over literals (field references
+        have no source frame here and fail analysis, matching Solr,
+        where tuple() evaluates against an empty tuple)."""
+        if not call.params:
+            raise StreamExprError("tuple needs at least one name=value pair")
+        cols = []
+        for name, val in call.params.items():
+            if isinstance(val, Call):
+                cols.append(self._arith_col(val).alias(name))
+            else:
+                try:
+                    cols.append(F.lit(float(val)).alias(name))
+                except ValueError:
+                    cols.append(F.lit(val).alias(name))
+        return self.spark_for_literals().range(1).select(*cols)
 
     def _op_priority(self, call: Call) -> DataFrame:
         """Solr ``priority(topic1, topic2, ...)``: the executor()

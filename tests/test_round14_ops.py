@@ -539,3 +539,24 @@ def test_stream_hash_twin_aliases(spark):
     )
     rows = {(r["k"], r["v"], r["tag"]) for r in r2.collect()}
     assert rows == {("a", 1.0, "x"), ("a", 2.0, "x"), ("b", 5.0, None)}
+
+
+def test_stream_conditional_evaluators_and_tuple(spark):
+    """if()/comparison evaluators compile to when/boolean Columns;
+    tuple() emits one literal-derived tuple."""
+    from hbase_increment_index_spark.search.streaming_expr import run_stream_expr
+
+    t = spark.createDataFrame([(1, 10.0), (2, 3.0)], ["id", "v"])
+    got = run_stream_expr(
+        spark, {"t": t},
+        'select(search(t, q="*:*", fl="id,v"), "id", '
+        'if(gt(v, 5), mult(v, 2), val(0)) as boosted, '
+        'if(and(gte(v, 3), lt(v, 8)), val(1), val(0)) as mid)',
+    )
+    rows = {tuple(r) for r in got.collect()}
+    assert rows == {(1, 20.0, 0.0), (2, 0.0, 1.0)}
+    one = run_stream_expr(
+        spark, {"t": t},
+        'tuple(k="hello", n=add(val(2), val(3)), half=div(1, 2))',
+    ).collect()
+    assert [tuple(r) for r in one] == [("hello", 5.0, 0.5)]

@@ -4092,6 +4092,38 @@ ORDER BY id, line
 """
 
 
+def q61ah_stream_select_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/stream ``select()`` with the CONDITIONAL evaluator set
+    (if/gt/and — solrj stream evaluators, reference pom.xml:22):
+    classify a bounded order slice into price bands and flag the
+    high-priority expensive ones — if() compiles to when/otherwise,
+    comparisons to boolean Columns, the whole projection one codegen'd
+    expression tree (search.streaming_expr._arith_col)."""
+    return _stream(
+        spark, sf_dir,
+        'select(search(orders, fq="o_orderkey:[0 TO 499]", '
+        'fl="o_orderkey,o_totalprice"), '
+        '"o_orderkey as id", '
+        'if(gt(o_totalprice, 200000), val(2), '
+        'if(gt(o_totalprice, 100000), val(1), val(0))) as band, '
+        'if(and(gt(o_totalprice, 150000), lt(o_orderkey, 250)), '
+        'val(1), val(0)) as flagged)',
+    ).orderBy("id")
+
+
+Q61AH_SQL = """
+SELECT o_orderkey AS id,
+       CASE WHEN CAST(o_totalprice AS DOUBLE) > 200000.0 THEN 2.0
+            WHEN CAST(o_totalprice AS DOUBLE) > 100000.0 THEN 1.0
+            ELSE 0.0 END AS band,
+       CASE WHEN CAST(o_totalprice AS DOUBLE) > 150000.0
+                 AND CAST(o_orderkey AS DOUBLE) < 250.0
+            THEN 1.0 ELSE 0.0 END AS flagged
+FROM orders WHERE o_orderkey BETWEEN 0 AND 499
+ORDER BY id
+"""
+
+
 Q61X_SQL = """
 WITH cells AS (
   SELECT source, lang, count(*) AS count_star

@@ -118,7 +118,16 @@ def filter_list_sql(spec) -> str:
         return f"({col} IS NULL OR {col} {op_sql} {lit})"
     if kind == "prefix":
         _, col, value = spec
-        esc = str(value).replace("'", "''").replace("%", r"\%").replace("_", r"\_")
+        # backslash FIRST so a literal \ in the prefix stays literal
+        # under ESCAPE '\' (and the \% / \_ escapes added after are
+        # not themselves re-doubled)
+        esc = (
+            str(value)
+            .replace("\\", "\\\\")
+            .replace("'", "''")
+            .replace("%", r"\%")
+            .replace("_", r"\_")
+        )
         return f"({col} LIKE '{esc}%' ESCAPE '\\')"
     raise FilterSpecError(f"unknown filter node {kind!r}")
 

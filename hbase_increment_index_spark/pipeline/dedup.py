@@ -1119,15 +1119,30 @@ def connected_components(
     # floor, r14) or proves the list is over-threshold and the
     # distributed loop below takes over. Pass driver_threshold=0 to
     # force the loop (tests do).
+    # The probe runs under a persist() so the over-threshold path does
+    # NOT pay the expensive pair derivation twice: limit() rarely
+    # short-circuits across the distinct's shuffle, so the probe
+    # computes (and now caches) the edge partitions; the checkpoint
+    # below then reads those cached blocks instead of re-deriving the
+    # pairing. The small path still costs ONE scheduling round (the
+    # toPandas IS the probe and the fetch), keeping the r14 fix.
     if driver_threshold:
-        probe = edges.limit(driver_threshold + 1).toPandas()
+        cached = edges.persist()
+        probe = cached.limit(driver_threshold + 1).toPandas()
         if len(probe) <= driver_threshold:
+            cached.unpersist()
             return _union_find_components(edges, pdf=probe)
     # localCheckpoint (not just persist): the edge list is consumed by
     # every propagation round, so its upstream lineage — typically the
     # whole LSH candidate-pair pipeline — would otherwise be re-embedded
     # in each round's plan and dominate the final plan size
-    edges = edges.localCheckpoint(eager=True)
+    if driver_threshold:
+        edges = cached.localCheckpoint(eager=True)
+        # the checkpoint holds its own block copies; the probe cache
+        # has served its purpose
+        cached.unpersist()
+    else:
+        edges = edges.localCheckpoint(eager=True)
     labels = edges.select("u").distinct().withColumn("label", F.col("u"))
 
     # Convergence check: each round carries (old_label, label) through

@@ -269,17 +269,27 @@ def parse(text: str) -> Call:
             else:
                 raise StreamExprError(f"unexpected {kind} {val!r}")
             kind, _tok = peek()
+            if (
+                kind == "name"
+                and _tok.lower() == "as"
+                and peek(1)[0] in ("name", "str")
+            ):
+                # Solr's `<expr> as alias` select grammar is the ONLY
+                # place a bare word may follow an argument without a
+                # comma; consume exactly the 'as <name>' pair (both
+                # join the field list, Call.args keeping their
+                # position next to the expression they annotate) so
+                # any other missing comma stays a syntax error
+                take()
+                _akind, aval = take()
+                call.fields.extend((_tok, aval))
+                call.args.extend((("field", _tok), ("field", aval)))
+                kind, _tok = peek()
             if kind == "rparen":
                 take()
                 return call
             if kind == "comma":
                 take()
-                continue
-            if kind in ("name", "str"):
-                # bare words may follow an argument without a comma —
-                # Solr's `<expr> as alias` select grammar; they join
-                # the field list (and Call.args keeps their position
-                # next to the expression they annotate)
                 continue
             raise StreamExprError("expected ',' or ')'")
 
@@ -509,6 +519,17 @@ class StreamCompiler:
                         f"select: evaluator {val.name}(...) needs 'as <name>'"
                     )
                 cols.append(col.alias(args[i + 2][1]))
+                i += 3
+                continue
+            if (
+                i + 2 < len(args)
+                and args[i + 1][0] == "field"
+                and args[i + 1][1].lower() == "as"
+                and args[i + 2][0] == "field"
+            ):
+                # unquoted `field as alias` (the parser admits the
+                # bare pair exactly like an evaluator's alias)
+                cols.append(F.col(val).alias(args[i + 2][1]))
                 i += 3
                 continue
             m = re.match(r"(\S+)\s+as\s+(\S+)$", val, re.IGNORECASE)
@@ -1166,13 +1187,16 @@ class StreamCompiler:
         topic streams are checkpoint-bounded deltas by contract)."""
         if not call.streams:
             raise StreamExprError("priority needs at least one stream")
-        last = None
+        first = None
         for sub in call.streams:
             df = self._eval(sub)
-            last = df
+            if first is None:
+                first = df
             if df.limit(1).count() > 0:
                 return df
-        return last  # all empty: any empty frame keeps the schema
+        # all empty: schema follows the HIGHEST-priority stream (the
+        # first), not whichever happened to be probed last
+        return first
 
     def _op_echo(self, call: Call) -> DataFrame:
         """Solr ``echo("text")``: emit one tuple {echo: text} — the

@@ -395,3 +395,46 @@ def test_facade_update_through_stream_expr(spark, sf_dir, tmp_path):
     ).collect()
     assert out[0]["batchIndexed"] == 6
     assert read_merged_table(spark, dest).count() == 6
+
+
+def test_no_comma_continuation_restricted_to_as(tables, spark):
+    """r15 (ADVICE): a bare word after an argument is only legal as the
+    `as <alias>` pair — any other missing comma is a syntax error
+    again (previously `search(t, q="a" fq="b")` parsed silently)."""
+    with pytest.raises(StreamExprError):
+        parse('search(lineitem, q="a:1" fq="b:2")')
+    with pytest.raises(StreamExprError):
+        parse("select(search(lineitem), a b)")
+
+
+def test_select_unquoted_as_is_rename(tables, spark):
+    """r15 (ADVICE): unquoted `field as alias` renames (same as the
+    quoted "field as alias" form) — it must NOT project a column
+    literally named 'as'."""
+    got = run_stream_expr(
+        spark, tables,
+        'select(search(lineitem, fq="l_orderkey:1", fl="l_orderkey,l_quantity"), '
+        "l_orderkey as id, l_quantity)",
+    )
+    assert got.columns == ["id", "l_quantity"]
+    quoted = run_stream_expr(
+        spark, tables,
+        'select(search(lineitem, fq="l_orderkey:1", fl="l_orderkey,l_quantity"), '
+        '"l_orderkey as id", l_quantity)',
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, quoted.collect()))
+
+
+def test_priority_all_empty_keeps_first_schema(tables, spark):
+    """r15 (ADVICE): when every wrapped stream is empty, priority()
+    emits the HIGHEST-priority (first) stream's schema, not the last
+    probed one's."""
+    out = run_stream_expr(
+        spark, tables,
+        'priority(select(search(lineitem, fq="l_orderkey:-1", fl="l_orderkey"), '
+        '"l_orderkey as first_col"), '
+        'select(search(orders, fq="o_orderkey:-1", fl="o_orderkey"), '
+        '"o_orderkey as second_col"))',
+    )
+    assert out.count() == 0
+    assert out.columns == ["first_col"]

@@ -923,6 +923,11 @@ class StreamCompiler:
             )
         return matched.select(F.col(gather).alias("node")).distinct()
 
+    # Solr 6 documented the graph-hop expression as gatherNodes();
+    # later releases renamed it nodes() and kept the old name as an
+    # alias — doc-following users type either
+    _op_gatherNodes = _op_nodes  # noqa: N815 (Solr name)
+
     def _op_shortestPath(self, call: Call) -> DataFrame:  # noqa: N802 (Solr name)
         """Solr ``shortestPath()`` streaming expression (solrj 9.x
         /stream graph surface, reference pom.xml:22): breadth-first
@@ -2194,7 +2199,18 @@ class StreamCompiler:
         fld = call.params.get("field", "expr_s")
         if fld not in df.columns:
             raise StreamExprError(f"executor: field {fld!r} not in inner stream")
-        rows = df.select(fld).collect()
+        # Defensive scale guard: the task-list contract makes the
+        # collect bounded, but a user pointing executor() at a
+        # corpus-sized stream would OOM the driver at 100× — fail
+        # loudly above the cap instead (raise it explicitly with
+        # maxTasks= when a bigger task list is intended).
+        cap = int(call.params.get("maxTasks", 10_000))
+        rows = df.select(fld).limit(cap + 1).collect()
+        if len(rows) > cap:
+            raise StreamExprError(
+                f"executor: inner stream exceeds {cap} tasks; pass "
+                f"maxTasks=N to run a larger task list deliberately"
+            )
         exprs = [str(r[0]) for r in rows if r[0] is not None]
         if not exprs:
             raise StreamExprError("executor: inner stream produced no expressions")
@@ -2893,6 +2909,7 @@ class StreamCompiler:
             interval,
             self.text_fields,
             self.sink_paths,
+            max_rows=int(call.params.get("maxRows", 100_000)),
         )
         self.daemons[daemon_id] = d
         # the summary tuple needs a SparkSession; any catalog table has one
@@ -2929,6 +2946,7 @@ class Daemon:
         run_interval_ms: int,
         text_fields: set[str] | None,
         sink_paths: dict[str, str],
+        max_rows: int = 100_000,
     ):
         self.daemon_id = daemon_id
         self._inner = inner
@@ -2936,6 +2954,7 @@ class Daemon:
         self.run_interval_ms = run_interval_ms
         self._text_fields = text_fields
         self._sink_paths = sink_paths
+        self.max_rows = max_rows
         self.iterations = 0
         self.last_result = None
         self._stop = None  # threading.Event while running
@@ -2950,7 +2969,17 @@ class Daemon:
             text_fields=self._text_fields,
             sink_paths=self._sink_paths,
         )
-        out = compiler._eval(self._inner).collect()
+        # Same defensive cap as executor(): the intended daemon body
+        # (update()'s 1-row summary) is tiny, but a daemon wrapping a
+        # huge SELECT must fail loudly, not OOM the driver — raise
+        # maxRows= on the daemon() call to run bigger bodies.
+        frame = compiler._eval(self._inner)
+        out = frame.limit(self.max_rows + 1).collect()
+        if len(out) > self.max_rows:
+            raise StreamExprError(
+                f"daemon {self.daemon_id!r}: iteration produced more "
+                f"than {self.max_rows} rows; pass maxRows=N to allow it"
+            )
         self.iterations += 1
         self.last_result = out
         return out

@@ -1,0 +1,76 @@
+"""Round-15 additions: {!terms} query parser, /stream predict() and
+kmeans()/getCentroids(), HBase PageFilter / TimestampsFilter /
+InclusiveStopFilter leaves, gatherNodes() alias, and the
+executor()/daemon() driver-side row caps."""
+
+from __future__ import annotations
+
+import pytest
+
+from hbase_increment_index_spark.search.streaming_expr import (
+    StreamExprError,
+    run_stream_expr,
+)
+
+
+def test_gather_nodes_is_nodes_alias(spark):
+    """gatherNodes() (the Solr-6 documented name) compiles identically
+    to nodes()."""
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c")], ["src", "dst"]
+    )
+    seed = spark.createDataFrame([("a",)], ["node"])
+    tables = {"edges": edges, "seed": seed}
+    nodes_expr = (
+        'nodes(edges, search(seed, q="*:*", fl="node"), '
+        'walk="node->src", gather="dst")'
+    )
+    got_nodes = run_stream_expr(spark, tables, nodes_expr)
+    got_gather = run_stream_expr(
+        spark, tables, nodes_expr.replace("nodes(", "gatherNodes(", 1)
+    )
+    assert sorted(r["node"] for r in got_nodes.collect()) == ["b", "c"]
+    assert sorted(map(tuple, got_nodes.collect())) == sorted(
+        map(tuple, got_gather.collect())
+    )
+
+
+def test_executor_task_cap(spark):
+    """executor() fails loudly above the task cap instead of collecting
+    a corpus-sized stream to the driver; maxTasks= raises the cap."""
+    exprs = spark.createDataFrame(
+        [(i, 'search(t, q="*:*", fl="id")') for i in range(5)],
+        ["rank", "expr_s"],
+    )
+    t = spark.createDataFrame([(10,)], ["id"])
+    with pytest.raises(StreamExprError, match="maxTasks"):
+        run_stream_expr(
+            spark, {"exprs": exprs, "t": t},
+            'executor(search(exprs, q="*:*", fl="expr_s"), maxTasks=3)',
+        )
+    ok = run_stream_expr(
+        spark, {"exprs": exprs, "t": t},
+        'executor(search(exprs, q="*:*", fl="expr_s"), maxTasks=5)',
+    )
+    assert ok.count() == 5
+
+
+def test_daemon_run_once_row_cap(spark):
+    """daemon().run_once() enforces the defensive row cap; maxRows=
+    raises it."""
+    t = spark.createDataFrame([(i,) for i in range(10)], ["id"])
+    tables = {"t": t}
+    out = run_stream_expr(
+        spark, tables,
+        'daemon(id="d1", runInterval=1000, maxRows=3, '
+        'search(t, q="*:*", fl="id"))',
+    )
+    assert out.collect()[0]["id"] == "d1"
+    from hbase_increment_index_spark.search.streaming_expr import StreamCompiler
+
+    compiler = StreamCompiler(tables)
+    compiler.compile('daemon(id="d2", maxRows=3, search(t, q="*:*", fl="id"))')
+    with pytest.raises(StreamExprError, match="maxRows"):
+        compiler.daemons["d2"].run_once()
+    compiler.compile('daemon(id="d3", maxRows=100, search(t, q="*:*", fl="id"))')
+    assert len(compiler.daemons["d3"].run_once()) == 10

@@ -2421,3 +2421,36 @@ WHERE doc_id = 7
 ORDER BY df ASC, term ASC
 LIMIT 20
 """
+
+
+def q86_terms_parser(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr ``{!terms f=field}id1,id2,...`` query parser — the
+    documented EFFICIENT large-id-list filter (the alternative Solr
+    recommends over a boolean OR chain; solrj 9.8, reference
+    pom.xml:22). Everyday operation against an index keyed like the
+    reference's (rowkey unique key, application.properties:4): fetch /
+    screen a client-supplied id list. The parser compiles the list to
+    ``Column.isin`` → ONE Catalyst ``In`` predicate that reaches the
+    parquet scan's PushedFilters (PLANS.md shows ``In(o_custkey, …)``),
+    so a 10k-id list at 100 TB is a single sargable scan predicate —
+    row-group statistics prune files before any row is read — not 10k
+    OR legs. Composes with the rest of the query grammar (the status
+    leg here) like any atom."""
+    from hbase_increment_index_spark.search.solr_query import solr_select
+
+    orders = _t(spark, sf_dir, "orders")
+    ids = ",".join(str(i) for i in range(1, 400, 7))
+    return (
+        solr_select(orders, "{!terms f=o_custkey}" + ids + " AND o_orderstatus:O")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+_Q86_IDS = ", ".join(str(i) for i in range(1, 400, 7))
+Q86_SQL = f"""
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_custkey IN ({_Q86_IDS}) AND o_orderstatus = 'O'
+ORDER BY o_orderkey
+"""

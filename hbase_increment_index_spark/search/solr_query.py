@@ -9,6 +9,8 @@ deterministic relational predicate — no boost/proximity):
     query     := clause (("AND" | "OR") clause)*     # left-assoc
     clause    := ["NOT"] atom
     atom      := "(" query ")" | term
+               | "{!terms" "f=" field ["separator=" '"' ch '"'] "}" v("sep" v)*
+                                                 # id-list filter → In
     term      := field ":" value
     value     := "[" lit "TO" lit "]"                # inclusive range
                | quoted phrase "..." ["~" slop]      # phrase (± slop) match
@@ -36,6 +38,8 @@ _TOKEN_RE = re.compile(
     r"""\s*(?:
         (?P<lparen>\() | (?P<rparen>\)) |
         (?P<op>AND\b|OR\b|NOT\b) |
+        (?P<terms>\{!terms\s+f=(?P<tfield>[A-Za-z_][\w.]*)
+            (?:\s+separator="(?P<tsep>[^"])")?\}(?P<tvals>[^\s()]+)) |
         (?P<term>[A-Za-z_][\w.]*):(?:
             (?P<range>\[[^\]]+\]) |
             "(?P<phrase>[^"]*)"(?:~(?P<slop>\d+))? |
@@ -71,6 +75,13 @@ def _lex(q: str) -> list[_Tok]:
             toks.append(_Tok(")", ()))
         elif m.group("op"):
             toks.append(_Tok(m.group("op"), ()))
+        elif m.group("terms"):
+            toks.append(
+                _Tok(
+                    "terms",
+                    (m.group("tfield"), m.group("tsep") or ",", m.group("tvals")),
+                )
+            )
         else:
             field = m.group("term")
             if m.group("range") is not None:
@@ -150,6 +161,21 @@ class _Parser:
             if self.next().kind != ")":
                 raise SolrQueryError("expected )")
             return inner
+        if t.kind == "terms":
+            # Solr's {!terms f=field}v1,v2,... query parser — the
+            # documented efficient form of a large id-list filter (vs
+            # a boolean OR chain). Compiles to Column.isin → a single
+            # Catalyst In predicate, which is sargable and reaches the
+            # parquet scan's PushedFilters; an OR chain of equalities
+            # would be folded too, but In stays O(1) predicate nodes
+            # for a 10k-id list. Composes as an atom (Solr needs
+            # _query_ nesting for that; the inline form is strictly
+            # more permissive).
+            field, sep, vals = t.payload
+            values = [v if v == "*" else _lit(v) for v in vals.split(sep)]
+            if not values:
+                raise SolrQueryError("{!terms} needs at least one value")
+            return F.col(field).isin(values)
         if t.kind == "range":
             field, lo, hi = t.payload
             lo_l, hi_l = _lit(lo), _lit(hi)

@@ -74,3 +74,36 @@ def test_daemon_run_once_row_cap(spark):
         compiler.daemons["d2"].run_once()
     compiler.compile('daemon(id="d3", maxRows=100, search(t, q="*:*", fl="id"))')
     assert len(compiler.daemons["d3"].run_once()) == 10
+
+
+# ------------------------------------------------- {!terms} query parser
+
+
+def test_terms_parser_basic(spark):
+    from hbase_increment_index_spark.search.solr_query import solr_select
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "a"), (45, "c")], ["id", "s"]
+    )
+    got = solr_select(df, "{!terms f=id}1,3,45")
+    assert sorted(r["id"] for r in got.collect()) == [1, 3, 45]
+
+
+def test_terms_parser_separator_and_composition(spark):
+    from hbase_increment_index_spark.search.solr_query import solr_select
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "a"), (45, "c")], ["id", "s"]
+    )
+    got = solr_select(df, '{!terms f=id separator=";"}1;3;45 AND s:a')
+    assert sorted(r["id"] for r in got.collect()) == [1, 3]
+    neg = solr_select(df, "NOT {!terms f=id}1,3")
+    assert sorted(r["id"] for r in neg.collect()) == [2, 45]
+
+
+def test_terms_parser_string_values(spark):
+    from hbase_increment_index_spark.search.solr_query import solr_select
+
+    df = spark.createDataFrame([(1, "x1"), (2, "y2"), (3, "z3")], ["id", "k"])
+    got = solr_select(df, "{!terms f=k}x1,z3")
+    assert sorted(r["id"] for r in got.collect()) == [1, 3]

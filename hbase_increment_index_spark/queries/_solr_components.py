@@ -4124,6 +4124,38 @@ ORDER BY id
 """
 
 
+def q61ai_stream_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/stream math layer, ``predict()``: apply the polyfit() function
+    object to a column — the documented companion of the fit
+    (solrj math expressions; reference pom.xml:22): fit the quadratic
+    of extended price against quantity over the returned slice
+    (q61ac's fit), then evaluate c0 + c1·x + c2·x² at every DISTINCT
+    observed quantity. The 1-row coefficient frame broadcasts onto the
+    evaluation points, so the fit aggregate runs ONCE and each
+    prediction is one codegen'd arithmetic row — never a per-point
+    re-aggregation (search.streaming_expr._op_predict)."""
+    return _stream(
+        spark, sf_dir,
+        'let(a=search(lineitem, fq="l_returnflag:R", '
+        'fl="l_quantity,l_extendedprice"), '
+        'predict(polyfit(col(a, l_quantity), col(a, l_extendedprice)), '
+        'col(a, l_quantity)))',
+    ).orderBy("x")
+
+
+Q61AI_SQL = f"""
+WITH fit AS ({_poly_sql("c0, c1, c2")}),
+xs AS (
+  SELECT DISTINCT CAST(l_quantity AS DOUBLE) AS x
+  FROM lineitem WHERE l_returnflag = 'R'
+)
+SELECT xs.x AS x,
+       ROUND(c0 + c1 * x + c2 * (x * x), 6) AS prediction
+FROM xs, fit
+ORDER BY x
+"""
+
+
 Q61X_SQL = """
 WITH cells AS (
   SELECT source, lang, count(*) AS count_star

@@ -2182,6 +2182,88 @@ class StreamCompiler:
             F.round(c2 + c2, 6).alias("d1"),
         )
 
+    def _op_predict(self, call: Call) -> DataFrame:
+        """``predict(polyfit(...)|regress(...), col(a, x) | number)``:
+        apply a fitted function object to a column or a literal — the
+        documented companion of regress()/polyfit() (solrj math
+        expressions; reference pom.xml:22): everyone who fits a curve
+        evaluates it. The engine's function objects ARE coefficient
+        tuples, so predict() joins the 1-row coefficient frame
+        (broadcast) onto the evaluation points and computes
+        c0 + c1·x + c2·x² as ONE codegen projection — the fit
+        aggregate runs once, never per point. A column argument is
+        evaluated over its DISTINCT observed values (the relational
+        rendering of Solr's array-in/array-out form); a bare numeric
+        argument yields one tuple. Every arithmetic step is spelled in
+        one fixed association order so the DuckDB oracle reproduces
+        the doubles bit-for-bit before the ROUND."""
+        if not call.streams or call.streams[0].name not in ("polyfit", "regress"):
+            raise StreamExprError(
+                "predict takes a polyfit(...) or regress(...) function "
+                "object as its first argument"
+            )
+        fit = call.streams[0]
+        if fit.name == "polyfit":
+            agg, _xf, _yf, c0, c1, c2 = self._poly2_coeffs(fit)
+            coeffs = agg.select(
+                c0.alias("_c0"), c1.alias("_c1"), c2.alias("_c2")
+            )
+        else:
+            # SAME moment bundle + association order as _op_regress
+            if len(fit.streams) != 2:
+                raise StreamExprError("regress takes exactly two col(...) args")
+            xvar, src, xf = self._colref(fit.streams[0])
+            yvar, _, yf = self._colref(fit.streams[1])
+            if xvar != yvar:
+                raise StreamExprError("regress x and y must come from one stream")
+            x = F.col(xf).cast("double")
+            y = F.col(yf).cast("double")
+            agg = src.agg(
+                F.count(F.lit(1)).alias("_n"),
+                F.sum(x.cast("decimal(30,12)")).cast("double").alias("_sx"),
+                F.sum(y.cast("decimal(30,12)")).cast("double").alias("_sy"),
+                F.sum((x * y).cast("decimal(30,12)")).cast("double").alias("_sxy"),
+                F.sum((x * x).cast("decimal(30,12)")).cast("double").alias("_sxx"),
+            )
+            n = F.col("_n").cast("double")
+            slope = (n * F.col("_sxy") - F.col("_sx") * F.col("_sy")) / (
+                n * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+            )
+            coeffs = agg.select(
+                ((F.col("_sy") - slope * F.col("_sx")) / n).alias("_c0"),
+                slope.alias("_c1"),
+                F.lit(0.0).alias("_c2"),
+            )
+        if len(call.streams) > 1:
+            extra = [s for s in call.streams[1:] if s.name == "col"]
+            if len(extra) != 1 or len(call.streams) != 2:
+                raise StreamExprError(
+                    "predict takes one col(...) or one numeric second argument"
+                )
+            _var, src, zf = self._colref(extra[0])
+            points = src.select(
+                F.col(zf).cast("double").alias("x")
+            ).distinct()
+        elif call.fields:
+            if len(call.fields) != 1:
+                raise StreamExprError("predict takes exactly one evaluation point")
+            try:
+                v = float(call.fields[0])
+            except ValueError:
+                raise StreamExprError(
+                    f"predict: bad evaluation point {call.fields[0]!r}"
+                )
+            points = self.spark_for_literals().range(1).select(
+                F.lit(v).alias("x")
+            )
+        else:
+            raise StreamExprError("predict needs an evaluation column or number")
+        xcol = F.col("x")
+        pred = F.col("_c0") + F.col("_c1") * xcol + F.col("_c2") * (xcol * xcol)
+        return points.crossJoin(F.broadcast(coeffs)).select(
+            xcol, F.round(pred, 6).alias("prediction")
+        )
+
     def _op_executor(self, call: Call) -> DataFrame:
         """``executor(stream[, threads=N, field="expr_s"])``: run the
         expression carried in EVERY tuple of the inner stream and emit

@@ -107,3 +107,58 @@ def test_terms_parser_string_values(spark):
     df = spark.createDataFrame([(1, "x1"), (2, "y2"), (3, "z3")], ["id", "k"])
     got = solr_select(df, "{!terms f=k}x1,z3")
     assert sorted(r["id"] for r in got.collect()) == [1, 3]
+
+
+# ------------------------------------------------------ stream predict()
+
+
+def test_predict_regress_matches_closed_form(spark):
+    """predict(regress(...), col) evaluates intercept + slope*x at the
+    distinct observed x values."""
+    a = spark.createDataFrame(
+        [(1.0, 2.0), (2.0, 4.1), (3.0, 5.9), (4.0, 8.0), (2.0, 4.1)],
+        ["x", "y"],
+    )
+    got = {
+        (r["x"], r["prediction"])
+        for r in run_stream_expr(
+            spark, {"a": a},
+            'let(v=search(a, q="*:*", fl="x,y"), '
+            "predict(regress(col(v, x), col(v, y)), col(v, x)))",
+        ).collect()
+    }
+    import numpy as np
+
+    xs = np.array([1.0, 2.0, 3.0, 4.0, 2.0])
+    ys = np.array([2.0, 4.1, 5.9, 8.0, 4.1])
+    slope, intercept = np.polyfit(xs, ys, 1)
+    want = {
+        (x, round(intercept + slope * x, 6)) for x in (1.0, 2.0, 3.0, 4.0)
+    }
+    assert {(x, round(p, 5)) for x, p in got} == {
+        (x, round(p, 5)) for x, p in want
+    }
+
+
+def test_predict_literal_point(spark):
+    """predict(fit, number) emits one tuple evaluated at the literal."""
+    a = spark.createDataFrame(
+        [(float(i), float(2 * i + 1)) for i in range(1, 6)], ["x", "y"]
+    )
+    rows = run_stream_expr(
+        spark, {"a": a},
+        'let(v=search(a, q="*:*", fl="x,y"), '
+        "predict(regress(col(v, x), col(v, y)), 10))",
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0]["x"] == 10.0
+    assert abs(rows[0]["prediction"] - 21.0) < 1e-6
+
+
+def test_predict_rejects_non_fit(spark):
+    a = spark.createDataFrame([(1.0, 2.0)], ["x", "y"])
+    with pytest.raises(StreamExprError, match="function"):
+        run_stream_expr(
+            spark, {"a": a},
+            'predict(search(a, q="*:*", fl="x"), 3)',
+        )

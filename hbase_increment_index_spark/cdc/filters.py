@@ -22,6 +22,19 @@ generate, store, and property-test):
                                 op in =, !=, <, <=, >, >= (HBase
                                 CompareOp names EQUAL..GREATER)
     ("prefix", col, value)      PrefixFilter on a rowkey-class column
+    ("in", col, [v, ...])       TimestampsFilter-class discrete-set
+                                leaf: col IN (v1, v2, ...) — one
+                                sargable In predicate, so a version
+                                set pushes to the scan like any
+                                comparator (NULL fails membership in
+                                BOTH engines' three-valued logic, the
+                                HBase behavior: a missing cell has no
+                                timestamp to match)
+    ("stop", col, value)        InclusiveStopFilter: scan rows up to
+                                AND INCLUDING the stop row →
+                                col <= value (lexicographic string
+                                compare, matching HBase's
+                                unsigned-byte rowkey ordering)
 
 NULL semantics are HBase's, not SQL's: SingleColumnValueFilter with
 ``filterIfMissing=false`` (the HBase DEFAULT) lets a row PASS when the
@@ -94,6 +107,32 @@ def compile_filter_list(spec) -> Column:
             raise FilterSpecError("prefix takes (col, value)")
         _, col, value = spec
         return F.col(col).startswith(str(value))
+    if kind == "in":
+        if (
+            len(spec) != 3
+            or not isinstance(spec[2], (tuple, list))
+            or not spec[2]
+        ):
+            raise FilterSpecError("in takes (col, [values...]) non-empty")
+        _, col, values = spec
+        import datetime as _dt
+
+        # datetime values become TIMESTAMP_NTZ literals: the engine's
+        # timestamp convention is NTZ throughout (catalog tables, the
+        # DuckDB oracle's naive timestamps). A bare datetime literal
+        # would infer the LTZ TimestampType, forcing a cast on the
+        # COLUMN that blocks predicate pushdown; casting the literal
+        # instead constant-folds, so In(ts, ...) reaches PushedFilters.
+        vals = [
+            F.lit(v).cast("timestamp_ntz") if isinstance(v, _dt.datetime) else v
+            for v in values
+        ]
+        return F.col(col).isin(vals)
+    if kind == "stop":
+        if len(spec) != 3:
+            raise FilterSpecError("stop takes (col, value)")
+        _, col, value = spec
+        return F.col(col) <= F.lit(str(value))
     raise FilterSpecError(f"unknown filter node {kind!r}")
 
 
@@ -129,6 +168,12 @@ def filter_list_sql(spec) -> str:
             .replace("_", r"\_")
         )
         return f"({col} LIKE '{esc}%' ESCAPE '\\')"
+    if kind == "in":
+        _, col, values = spec
+        return f"({col} IN ({', '.join(_sql_lit(v) for v in values)}))"
+    if kind == "stop":
+        _, col, value = spec
+        return f"({col} <= {_sql_lit(str(value))})"
     raise FilterSpecError(f"unknown filter node {kind!r}")
 
 

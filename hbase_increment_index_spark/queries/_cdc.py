@@ -1239,6 +1239,108 @@ ORDER BY id ASC
 """
 
 
+def cdc_page_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HBase ``PageFilter`` + ``InclusiveStopFilter`` (HBase 0.98
+    filter API, reference pom.xml:19): scan the document view from a
+    start row, stop at AND INCLUDING the stop row, return the first
+    page of rows. The band compiles through the FilterList grammar
+    (``stop`` leaf = ``row_key <= stop``, lexicographic like HBase's
+    unsigned-byte rowkey order), so both bounds push to the scan; the
+    page cap plans as TakeOrderedAndProject — per-partition heaps of
+    ``page_size`` rows, no global sort, the scale-correct top-k.
+
+    Semantics note vs HBase: PageFilter caps rows PER REGION, so a
+    multi-region scan can return more than page_size rows and the
+    client truncates after merging region results in rowkey order —
+    the client-visible page IS the rowkey-ordered first N, which is
+    exactly what this computes (deterministically, where the raw
+    per-region union is partitioning-dependent)."""
+    from hbase_increment_index_spark.cdc.filters import compile_filter_list
+    from hbase_increment_index_spark.cdc.index_builder import documents_from_cells
+
+    events = _t(spark, sf_dir, "events")
+    log = cell_log_from_events(events, delete_event_type="error")
+    docs = documents_from_cells(log, ["click", "purchase", "signup", "view"])
+    band = ("AND", [("cmp", "id", ">=", "2"), ("stop", "id", "30")])
+    return (
+        docs.filter(compile_filter_list(band))
+        .select("id", "click", "purchase", "signup", "view")
+        .orderBy("id")
+        .limit(10)
+    )
+
+
+def _cdc_page_scan_sql() -> str:
+    from hbase_increment_index_spark.cdc.filters import filter_list_sql
+
+    band = ("AND", [("cmp", "id", ">=", "2"), ("stop", "id", "30")])
+    return f"""
+WITH log AS ({_SQL_CELL_LOG.format(delete_type='error')}),
+cell_latest AS (
+  SELECT * FROM log
+  QUALIFY row_number() OVER (
+    PARTITION BY row_key, family, qualifier ORDER BY ts DESC, seq DESC) = 1
+),
+row_latest AS (
+  SELECT row_key, op AS row_op FROM log
+  QUALIFY row_number() OVER (PARTITION BY row_key ORDER BY ts DESC, seq DESC) = 1
+),
+live AS (
+  SELECT c.* FROM cell_latest c JOIN row_latest r USING (row_key)
+  WHERE c.op = 'put' AND r.row_op = 'put'
+),
+docs AS (
+  SELECT row_key AS id,
+         min(CASE WHEN qualifier = 'click'    THEN value END) AS click,
+         min(CASE WHEN qualifier = 'purchase' THEN value END) AS purchase,
+         min(CASE WHEN qualifier = 'signup'   THEN value END) AS signup,
+         min(CASE WHEN qualifier = 'view'     THEN value END) AS view
+  FROM live GROUP BY row_key
+)
+SELECT id, click, purchase, signup, view FROM docs
+WHERE {filter_list_sql(band)}
+ORDER BY id ASC
+LIMIT 10
+"""
+
+
+def cdc_timestamps_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HBase ``TimestampsFilter`` (HBase 0.98 filter API, reference
+    pom.xml:19): keep only cells whose timestamp is in a discrete
+    version set — the filter a client uses to re-read the exact cell
+    versions it wrote (it knows the timestamps out-of-band, as HBase
+    clients do). The anchor set here is the 8 earliest event
+    timestamps, fetched by ONE bounded driver action (a sorted
+    limit-8 — TakeOrderedAndProject, never a corpus collect); the set
+    then compiles through the FilterList ``in`` leaf to a literal
+    ``Column.isin`` → a single sargable ``In(ts, …)`` predicate in the
+    log scan's PushedFilters, so parquet row-group statistics prune
+    files before any row is read."""
+    from hbase_increment_index_spark.cdc.filters import compile_filter_list
+
+    events = _t(spark, sf_dir, "events")
+    anchor = [r[0] for r in events.select("ts").orderBy("ts").limit(8).collect()]
+    log = cell_log_from_events(events, delete_event_type="error")
+    return (
+        log.filter(compile_filter_list(("in", "ts", anchor)))
+        .select(
+            "op", "row_key", "qualifier", "value",
+            F.date_format("ts", _CDC_TS_FMT).alias("ts_str"),
+        )
+        .orderBy("ts_str")
+    )
+
+
+CDC_TIMESTAMPS_SQL = f"""
+WITH log AS ({_SQL_CELL_LOG.format(delete_type='error')})
+SELECT op, row_key, qualifier, value,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str
+FROM log
+WHERE ts IN (SELECT ts FROM events ORDER BY ts LIMIT 8)
+ORDER BY ts_str
+"""
+
+
 def cdc_merge_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental quantile-sketch maintenance over the CDC stream —
     Solr ``stats.field`` percentiles (served by t-digest there,

@@ -202,6 +202,9 @@ def _filter_specs():
     leaf = st.one_of(
         st.tuples(st.just("cmp"), cols, ops, vals, st.booleans()),
         st.tuples(st.just("prefix"), st.just("id"), vals),
+        # r15 leaves: TimestampsFilter-class discrete set + InclusiveStop
+        st.tuples(st.just("in"), cols, st.lists(vals, min_size=1, max_size=3)),
+        st.tuples(st.just("stop"), st.just("id"), vals),
     )
     return st.recursive(
         leaf,

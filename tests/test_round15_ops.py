@@ -162,3 +162,73 @@ def test_predict_rejects_non_fit(spark):
             spark, {"a": a},
             'predict(search(a, q="*:*", fl="x"), 3)',
         )
+
+
+# --------------------------------------- HBase filter leaves (r15 tail)
+
+
+def test_filter_list_backslash_prefix(spark):
+    """r15 (ADVICE): a literal backslash in a prefix value keeps
+    literal-startswith semantics in BOTH compilers (the SQL rendering
+    escapes it under ESCAPE '\\')."""
+    import duckdb
+
+    from hbase_increment_index_spark.cdc.filters import (
+        compile_filter_list,
+        filter_list_sql,
+    )
+
+    rows = [(r"7\x",), (r"7\\y",), ("7x",), (r"a\b",)]
+    sdf = spark.createDataFrame(rows, ["id"]).localCheckpoint()
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (id VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", rows)
+    for prefix in ("7\\", "7\\\\", "a\\b"):
+        spec = ("prefix", "id", prefix)
+        got = {r["id"] for r in sdf.filter(compile_filter_list(spec)).collect()}
+        want = {
+            r[0]
+            for r in con.execute(
+                f"SELECT id FROM t WHERE {filter_list_sql(spec)}"
+            ).fetchall()
+        }
+        assert got == want == {r[0] for r in rows if r[0].startswith(prefix)}
+
+
+def test_filter_list_in_and_stop_leaves(spark):
+    """The r15 'in' (TimestampsFilter-class set) and 'stop'
+    (InclusiveStopFilter) leaves agree between the Spark and SQL
+    compilers, including the inclusive upper bound."""
+    import duckdb
+
+    from hbase_increment_index_spark.cdc.filters import (
+        FilterSpecError,
+        compile_filter_list,
+        filter_list_sql,
+    )
+
+    rows = [("1",), ("2",), ("20",), ("3",), ("30",), ("4",)]
+    sdf = spark.createDataFrame(rows, ["id"]).localCheckpoint()
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (id VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", rows)
+    for spec, expect in [
+        (("in", "id", ["2", "30", "9"]), {"2", "30"}),
+        (("stop", "id", "30"), {"1", "2", "20", "3", "30"}),
+        (
+            ("AND", [("cmp", "id", ">=", "2"), ("stop", "id", "30")]),
+            {"2", "20", "3", "30"},
+        ),
+    ]:
+        got = {r["id"] for r in sdf.filter(compile_filter_list(spec)).collect()}
+        want = {
+            r[0]
+            for r in con.execute(
+                f"SELECT id FROM t WHERE {filter_list_sql(spec)}"
+            ).fetchall()
+        }
+        assert got == want == expect, f"spec={spec!r}"
+    with pytest.raises(FilterSpecError):
+        compile_filter_list(("in", "id", []))
+    with pytest.raises(FilterSpecError):
+        compile_filter_list(("stop", "id"))

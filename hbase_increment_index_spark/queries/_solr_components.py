@@ -4156,6 +4156,94 @@ ORDER BY x
 """
 
 
+def q61aj_stream_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/stream math layer, ``kmeans()``: cluster ASSIGNMENTS over the
+    embedding corpus after one Lloyd step from deterministic
+    content-hash seeds (the 8 vectors with the smallest md5 of their
+    id — both engines compute the identical hex string, so no RNG
+    state; clusters are named by their seed's vec_id). Solr's kmeans
+    clustering family (solrj 9.8, reference pom.xml:22) wired onto the
+    e16_kmeans_refine machinery: broadcast k×dim seeds, posexplode
+    corpus, exact-decimal squared-L2 hash aggregate, lowest-seed
+    tie-break (search.streaming_expr._op_kmeans)."""
+    return _stream(
+        spark, sf_dir,
+        'kmeans(search(embeddings, q="*:*", fl="vec_id,embedding"), '
+        'field="embedding", id="vec_id", k=8)',
+    ).orderBy("vec_id")
+
+
+def q61ak_stream_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/stream math layer, ``getCentroids(kmeans(...))``: the centroid
+    TABLE of the fit — per (cluster, dimension) the exact-decimal
+    member mean plus the member count; one hash aggregate over the
+    assigned posexploded corpus, k·dim output rows
+    (search.streaming_expr._op_getCentroids)."""
+    return _stream(
+        spark, sf_dir,
+        'getCentroids(kmeans(search(embeddings, q="*:*", '
+        'fl="vec_id,embedding"), field="embedding", id="vec_id", k=8))',
+    ).orderBy("cluster_id", "pos")
+
+
+_KMEANS_SQL_CTES = """
+base AS (
+  SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+seeds AS (
+  SELECT vid FROM (
+    SELECT vid, md5(CAST(vid AS VARCHAR)) AS h
+    FROM base ORDER BY h ASC, vid ASC LIMIT 8
+  )
+),
+sl AS (
+  SELECT b.vid AS sid, i AS pos, v[i] AS c
+  FROM base b JOIN seeds USING (vid),
+       LATERAL (SELECT unnest(generate_series(1, len(v))) AS i)
+),
+x AS (
+  SELECT vid, i AS pos, v[i] AS xv
+  FROM base, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i)
+),
+j AS (
+  SELECT x.vid AS vid, sl.sid AS sid, x.pos AS pos, x.xv AS xv, sl.c AS c
+  FROM x JOIN sl USING (pos)
+),
+dist AS (
+  SELECT vid, sid,
+         ROUND(CAST(SUM(CAST((xv - c) * (xv - c) AS DECIMAL(30,12))) AS DOUBLE), 9) AS d
+  FROM j GROUP BY 1, 2
+),
+assign AS (
+  SELECT vid, sid FROM dist
+  QUALIFY row_number() OVER (PARTITION BY vid ORDER BY d ASC, sid ASC) = 1
+)
+"""
+
+
+Q61AJ_SQL = f"""
+WITH {_KMEANS_SQL_CTES}
+SELECT vid AS vec_id, CAST(sid AS BIGINT) AS cluster_id
+FROM assign ORDER BY vec_id
+"""
+
+
+Q61AK_SQL = f"""
+WITH {_KMEANS_SQL_CTES},
+centroids AS (
+  SELECT assign.sid AS sid, x.pos AS pos,
+         ROUND(CAST(SUM(CAST(x.xv AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*), 6) AS mean_v,
+         COUNT(*) AS n
+  FROM x JOIN assign USING (vid)
+  GROUP BY 1, 2
+)
+SELECT CAST(sid AS BIGINT) AS cluster_id, CAST(n AS BIGINT) AS n_assigned,
+       CAST(pos AS BIGINT) AS pos, mean_v
+FROM centroids
+ORDER BY cluster_id, pos
+"""
+
+
 Q61X_SQL = """
 WITH cells AS (
   SELECT source, lang, count(*) AS count_star

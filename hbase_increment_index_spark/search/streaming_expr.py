@@ -2264,6 +2264,110 @@ class StreamCompiler:
             xcol, F.round(pred, 6).alias("prediction")
         )
 
+    def _kmeans_parts(self, call: Call):
+        """Shared machinery for ``kmeans()``/``getCentroids()``: one
+        Lloyd assignment step from DETERMINISTIC content-hash seeds —
+        the k rows with the lexicographically smallest md5 of their id
+        (both engines compute the identical hex string, so the oracle
+        reproduces the seed set with no RNG state; the e16 machinery
+        with hash seeding instead of the fixed id prefix).
+
+        Plan: seed pick is a TakeOrdered-k over hashes; the k×dim seed
+        table BROADCASTS; the corpus posexplodes once (N·dim rows);
+        per-(vec, seed) squared-L2 accumulates as an exact-decimal
+        hash aggregate (N·k rows, order-independent under any
+        partitioning); the winner is a row_number window over that
+        small frame with lowest-seed tie-break. Work ∝ N·dim·k, never
+        corpus×corpus — the same shape as the IVF assign, so it holds
+        at 100 TB."""
+        df = self._one_stream(call)
+        fld = call.params.get("field", "embedding")
+        idc = call.params.get("id", "vec_id")
+        k = int(call.params.get("k", 8))
+        base = df.select(
+            F.col(idc).alias("_vid"),
+            F.col(fld).cast("array<double>").alias("_vec"),
+        )
+        seeds = (
+            base.select(
+                "_vid",
+                F.md5(F.encode(F.col("_vid").cast("string"), "UTF-8")).alias("_h"),
+            )
+            .orderBy(F.col("_h").asc(), F.col("_vid").asc())
+            .limit(k)
+            .select("_vid")
+        )
+        sl = (
+            base.join(F.broadcast(seeds), "_vid")
+            .select(
+                F.col("_vid").alias("_sid"),
+                F.posexplode("_vec").alias("_pos0", "_c"),
+            )
+            .select("_sid", (F.col("_pos0") + 1).alias("_pos"), "_c")
+        )
+        x = base.select(
+            "_vid", F.posexplode("_vec").alias("_pos0", "_x")
+        ).select("_vid", (F.col("_pos0") + 1).alias("_pos"), "_x")
+        j = x.join(F.broadcast(sl), "_pos")
+        dist = j.groupBy("_vid", "_sid").agg(
+            F.round(
+                F.sum(
+                    (
+                        (F.col("_x") - F.col("_c")) * (F.col("_x") - F.col("_c"))
+                    ).cast("decimal(30,12)")
+                ).cast("double"),
+                9,
+            ).alias("_d")
+        )
+        w = Window.partitionBy("_vid").orderBy(F.col("_d").asc(), F.col("_sid").asc())
+        assign = (
+            dist.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("_vid", "_sid")
+        )
+        return idc, x, assign
+
+    def _op_kmeans(self, call: Call) -> DataFrame:
+        """``kmeans(stream, field=, id=, k=)``: the clustering family
+        of the math-expression language (solrj 9.8, reference
+        pom.xml:22) — emit each row's cluster ASSIGNMENT after one
+        Lloyd step from deterministic content-hash seeds (a cluster is
+        named by its seed row's id). Solr iterates to maxIterations
+        with random restarts; the engine pins one step from hash seeds
+        so the result is exactly reproducible (and oracle-checkable) —
+        further steps are the e16 refine loop."""
+        idc, _x, assign = self._kmeans_parts(call)
+        return assign.select(
+            F.col("_vid").alias(idc), F.col("_sid").alias("cluster_id")
+        )
+
+    def _op_getCentroids(self, call: Call) -> DataFrame:  # noqa: N802 (Solr name)
+        """``getCentroids(kmeans(...))``: the centroid table of the
+        fit — per (cluster, dimension) the EXACT-decimal member mean,
+        plus the cluster's member count. One hash aggregate over the
+        assigned posexploded corpus (k·dim output rows)."""
+        if len(call.streams) != 1 or call.streams[0].name != "kmeans":
+            raise StreamExprError("getCentroids takes one kmeans(...) arg")
+        idc, x, assign = self._kmeans_parts(call.streams[0])
+        members = x.join(assign, "_vid")
+        return (
+            members.groupBy("_sid", "_pos")
+            .agg(
+                F.round(
+                    F.sum(F.col("_x").cast("decimal(27,10)")).cast("double")
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias("mean_v"),
+                F.count(F.lit(1)).alias("_n"),
+            )
+            .select(
+                F.col("_sid").alias("cluster_id"),
+                F.col("_n").cast("long").alias("n_assigned"),
+                F.col("_pos").cast("long").alias("pos"),
+                "mean_v",
+            )
+        )
+
     def _op_executor(self, call: Call) -> DataFrame:
         """``executor(stream[, threads=N, field="expr_s"])``: run the
         expression carried in EVERY tuple of the inner stream and emit

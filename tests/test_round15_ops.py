@@ -232,3 +232,49 @@ def test_filter_list_in_and_stop_leaves(spark):
         compile_filter_list(("in", "id", []))
     with pytest.raises(FilterSpecError):
         compile_filter_list(("stop", "id"))
+
+
+# --------------------------------------------- stream kmeans machinery
+
+
+def test_kmeans_assigns_to_nearest_seed(spark):
+    """kmeans() assigns every vector to its nearest content-hash seed;
+    getCentroids() emits the exact member means."""
+    rows = [
+        (0, [0.0, 0.0]),
+        (1, [10.0, 10.0]),
+        (2, [0.2, 0.0]),
+        (3, [10.0, 9.8]),
+        (4, [0.0, 0.4]),
+    ]
+    a = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    assign = {
+        r["vec_id"]: r["cluster_id"]
+        for r in run_stream_expr(
+            spark, {"a": a},
+            'kmeans(search(a, q="*:*", fl="vec_id,embedding"), '
+            'field="embedding", id="vec_id", k=2)',
+        ).collect()
+    }
+    # seeds = 2 smallest md5("0".."4"); whichever they are, the two
+    # tight groups {0,2,4} and {1,3} must land in exactly two clusters
+    # split along the groups
+    g1 = {assign[0], assign[2], assign[4]}
+    g2 = {assign[1], assign[3]}
+    assert len(g1) == 1 and len(g2) == 1 and g1 != g2
+    cents = run_stream_expr(
+        spark, {"a": a},
+        'getCentroids(kmeans(search(a, q="*:*", fl="vec_id,embedding"), '
+        'field="embedding", id="vec_id", k=2))',
+    ).collect()
+    by_cluster = {}
+    for r in cents:
+        by_cluster.setdefault(r["cluster_id"], {})[r["pos"]] = (
+            r["mean_v"], r["n_assigned"]
+        )
+    tight = by_cluster[g1.pop()]
+    far = by_cluster[g2.pop()]
+    assert tight[1] == (round((0.0 + 0.2 + 0.0) / 3, 6), 3)
+    assert tight[2] == (round((0.0 + 0.0 + 0.4) / 3, 6), 3)
+    assert far[1] == (10.0, 2)
+    assert far[2] == (round((10.0 + 9.8) / 2, 6), 2)

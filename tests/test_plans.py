@@ -186,3 +186,24 @@ def test_registry_wide_plan_invariants(spark, sf_dir):
         if "SortMergeJoin" in plan and name not in _EXPECTED_SMJ:
             failures.append(f"{name}: unexpected SortMergeJoin")
     assert not failures, "\n".join(failures)
+
+
+def test_plans_md_covers_registry():
+    """r15 guard (r14 verdict finding #1): PLANS.md must carry one
+    audit entry per registry query, so a late registry addition can't
+    ship without a regenerated plan audit. Regenerate with
+    `python tools/explain_audit.py > PLANS.md` after the round's last
+    registry change."""
+    import pathlib
+
+    plans = pathlib.Path(__file__).resolve().parent.parent / "PLANS.md"
+    have = {
+        line[3:].strip()
+        for line in plans.read_text().splitlines()
+        if line.startswith("== ")
+    }
+    missing = [n for n in QUERIES if n not in have]
+    assert not missing, (
+        f"PLANS.md is missing {len(missing)} registry entries "
+        f"(e.g. {missing[:8]}) — regenerate with tools/explain_audit.py"
+    )

@@ -4265,3 +4265,100 @@ ranked AS (
 SELECT source, lang, count_star FROM ranked WHERE r <= 3
 ORDER BY source, lang
 """
+
+
+# --------------------------------------------------------------------------
+# r15: payload queries — {!payload_check} and the payload() function
+# (solrj 9.8, reference pom.xml:22). The fixture corpus carries no
+# payload annotations, so the harness synthesizes a DETERMINISTIC
+# payload per token position — payload(doc, i) = (doc_id·31 + i) % 9 + 1
+# — annotates the text in Solr's delimited form ("token|payload"), and
+# the OPERATOR must parse that form back into payload-augmented
+# postings (it never sees the formula); the oracle recomputes the same
+# postings directly. The e4m synthesized-fixture device.
+# --------------------------------------------------------------------------
+
+
+def _payload_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hbase_increment_index_spark.search.payloads import (
+        delimited_payload_postings,
+    )
+    from hbase_increment_index_spark.search.tokenize import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    payload = lambda i: ((F.col("doc_id") * 31 + i) % 9 + 1).cast("string")  # noqa: E731
+    annotated = docs.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                tokens("text"),
+                lambda t, i: F.concat(t, F.lit("|"), payload(i)),
+            ),
+            " ",
+        ).alias("payload_text"),
+    )
+    return delimited_payload_postings(annotated, "doc_id", "payload_text")
+
+
+# DuckDB twin of the synthesized payload postings: list index i is
+# 1-BASED there, so the 0-based Spark position is i-1.
+_SQL_PAYLOAD_POSTINGS = f"""
+  SELECT doc_id AS doc, i - 1 AS pos, t[i] AS term,
+         CAST((doc_id * 31 + (i - 1)) % 9 + 1 AS DOUBLE) AS payload
+  FROM (SELECT doc_id, {_SQL_TOKS.format(c='text')} AS t FROM documents),
+       LATERAL (SELECT unnest(generate_series(1, len(t))) AS i)
+"""
+
+
+def q88_payload_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``{!payload_check f=text payloads="3 4" v="table hash"}``: match
+    documents where the phrase occurs at consecutive positions whose
+    payloads equal the list element-wise (solrj 9.8, reference
+    pom.xml:22 — the weight/POS-tagged-token matcher). Each phrase leg
+    scans only its term's postings WITH the payload equality folded
+    in, then aligns on (doc, pos − leg_index) — the phrase anchor
+    idiom, so the join carries |term postings| rows, never the corpus
+    (search.payloads.payload_check)."""
+    from hbase_increment_index_spark.search.payloads import payload_check
+
+    postings = _payload_postings(spark, sf_dir)
+    hits = payload_check(postings, ["table", "hash"], [3.0, 4.0])
+    return hits.select(F.col("doc").alias("doc_id")).orderBy("doc_id")
+
+
+Q88_SQL = f"""
+WITH toks AS ({_SQL_PAYLOAD_POSTINGS})
+SELECT DISTINCT a.doc AS doc_id
+FROM toks a JOIN toks b ON a.doc = b.doc AND b.pos = a.pos + 1
+WHERE a.term = 'table' AND a.payload = 3.0
+  AND b.term = 'hash' AND b.payload = 4.0
+ORDER BY doc_id
+"""
+
+
+def q89_payload_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``payload(text, 'table', 1.0, max)`` function query: score each
+    document by the max payload of the term across its occurrences
+    (Lucene's func=max; absent payloads take the default) and return
+    the top 20 — payload-as-boost, the second documented consumer of
+    a payload index. One term-filtered hash aggregate + TakeOrdered
+    head (search.payloads.payload_score)."""
+    from hbase_increment_index_spark.search.payloads import payload_score
+
+    postings = _payload_postings(spark, sf_dir)
+    return (
+        payload_score(postings, "table", default=1.0, func="max")
+        .select(F.col("doc").alias("doc_id"), "score")
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
+Q89_SQL = f"""
+WITH toks AS ({_SQL_PAYLOAD_POSTINGS})
+SELECT doc AS doc_id, MAX(payload) AS score
+FROM toks WHERE term = 'table'
+GROUP BY doc
+ORDER BY score DESC, doc_id ASC
+LIMIT 20
+"""

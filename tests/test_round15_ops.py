@@ -278,3 +278,46 @@ def test_kmeans_assigns_to_nearest_seed(spark):
     assert tight[2] == (round((0.0 + 0.0 + 0.4) / 3, 6), 3)
     assert far[1] == (10.0, 2)
     assert far[2] == (round((10.0 + 9.8) / 2, 6), 2)
+
+
+# ---------------------------------------------------- payload queries
+
+
+def test_delimited_payload_parsing_and_check(spark):
+    from hbase_increment_index_spark.search.payloads import (
+        delimited_payload_postings,
+        payload_check,
+        payload_score,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the|1 quick|2 fox|3"),
+            (2, "quick|5 fox|3 quick|2 fox|9"),
+            (3, "quick fox|3"),  # first token carries NO payload
+        ],
+        ["doc_id", "payload_text"],
+    )
+    p = delimited_payload_postings(docs, "doc_id", "payload_text")
+    rows = {(r["doc"], r["pos"], r["term"], r["payload"]) for r in p.collect()}
+    assert (1, 1, "quick", 2.0) in rows
+    assert (3, 0, "quick", None) in rows  # no delimiter -> NULL payload
+
+    # phrase 'quick fox' with payloads [2, 3]: doc 1 matches at pos 1-2;
+    # doc 2 has quick|2 fox|9 (payload mismatch on fox) and quick|5
+    # fox|3 (mismatch on quick); doc 3's quick has no payload
+    got = sorted(r["doc"] for r in payload_check(p, ["quick", "fox"], [2, 3]).collect())
+    assert got == [1]
+
+    # payload(): max / min / first semantics + default substitution
+    mx = {r["doc"]: r["score"] for r in payload_score(p, "quick", func="max").collect()}
+    assert mx == {1: 2.0, 2: 5.0, 3: 1.0}  # doc 3 -> default 1.0
+    mn = {r["doc"]: r["score"] for r in payload_score(p, "fox", func="min").collect()}
+    assert mn == {1: 3.0, 2: 3.0, 3: 3.0}
+    fi = {r["doc"]: r["score"] for r in payload_score(p, "fox", func="first").collect()}
+    assert fi[2] == 3.0  # lowest position wins
+
+    with pytest.raises(ValueError):
+        payload_check(p, ["a"], [1, 2])
+    with pytest.raises(ValueError):
+        payload_score(p, "fox", func="avg")

@@ -239,6 +239,21 @@ HEADLINE = [
     "q61w_stream_zscores",
     "e4r_unigram_segment",
     "e7d_decontaminate_served",
+    # --- added r15: the {!terms} id-list parser (pushed In), /stream
+    # predict() + kmeans()/getCentroids(), the PageFilter/
+    # InclusiveStopFilter + TimestampsFilter scan verbs, and the
+    # payload_check/payload() pair over payload-augmented postings.
+    # e2r_incremental_clusters stays timed here: its bootstrap was
+    # halved this round (one unified pairing, checkpointed) to meet
+    # the r14 verdict's ≤5s threshold rather than being reclassified.
+    "q86_terms_parser",
+    "q61ai_stream_predict",
+    "q61aj_stream_kmeans",
+    "q61ak_stream_centroids",
+    "cdc_page_scan",
+    "cdc_timestamps_filter",
+    "q88_payload_check",
+    "q89_payload_function",
 ]
 
 
@@ -865,6 +880,11 @@ def main() -> None:
         "cdc_check_and_delete", "e4q_unigram_train",
         "cdc_commit_served", "q61x_stream_facet2d",
         "q61u_stream_drill",
+        # r15 (q61ak/q89 ride bench_samples.json: the q61aj/q88 twins
+        # cover their families in the stdout line)
+        "q86_terms_parser", "q61ai_stream_predict",
+        "q61aj_stream_kmeans", "cdc_page_scan",
+        "cdc_timestamps_filter", "q88_payload_check",
     ]
     # The driver captures only the LAST 2000 chars of stdout, so the
     # line must stay under budget. An over-budget subset DEGRADES

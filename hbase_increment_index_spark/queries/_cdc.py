@@ -6,7 +6,7 @@ from hbase_increment_index_spark.cdc.compaction import apply_deletes, latest_per
 from hbase_increment_index_spark.numeric import exact_avg, exact_sum
 from hbase_increment_index_spark.search import facets
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
-from ._shared import _SQL_TOKS, _TIMERANGE_CUT, _t
+from ._shared import _SQL_BUCKET, _SQL_TOKS, _TIMERANGE_CUT, _t
 
 
 
@@ -1338,6 +1338,82 @@ SELECT op, row_key, qualifier, value,
 FROM log
 WHERE ts IN (SELECT ts FROM events ORDER BY ts LIMIT 8)
 ORDER BY ts_str
+"""
+
+
+def cdc_key_only_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HBase ``KeyOnlyFilter`` + ``FirstKeyOnlyFilter`` (HBase 0.98
+    filter API, reference pom.xml:19): the documented row-count /
+    row-enumeration idiom — the scan returns ONE value-stripped cell
+    per row, so the client enumerates (or counts) row keys without
+    moving any cell data. The engine's equivalent is the LIVE row-key
+    set (latest row-level op is a put — deletes drop the row), values
+    NEVER read: column pruning does server-side what KeyOnlyFilter
+    does — the parquet ReadSchema drops the value/props columns
+    entirely (PLANS.md shows the pruned scan), so at 100 TB the scan
+    moves key bytes only."""
+    events = _t(spark, sf_dir, "events")
+    log = cell_log_from_events(events, delete_event_type="error")
+    w = Window.partitionBy("row_key").orderBy(
+        F.col("ts").desc(), F.col("seq").desc()
+    )
+    return (
+        log.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & (F.col("op") == "put"))
+        .select("row_key")
+        .orderBy("row_key")
+    )
+
+
+CDC_KEY_ONLY_SQL = f"""
+WITH log AS ({_SQL_CELL_LOG.format(delete_type='error')}),
+row_latest AS (
+  SELECT row_key, op FROM log
+  QUALIFY row_number() OVER (PARTITION BY row_key ORDER BY ts DESC, seq DESC) = 1
+)
+SELECT row_key FROM row_latest WHERE op = 'put'
+ORDER BY row_key
+"""
+
+
+def cdc_random_row_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HBase ``RandomRowFilter(chance=0.25)`` (HBase 0.98 filter API,
+    reference pom.xml:19): sample ~25% of scanned rows. HBase draws
+    java.util.Random per row — irreproducible BY DESIGN; the engine
+    substitutes the content-hash unit-bucket device every sampling
+    path here uses (e6 splits, q61t random()): keep rows whose salted
+    portable hash lands under chance·1e6 — the same marginal
+    distribution, but rerun-stable, partitioning-independent, and
+    oracle-checkable (HBase's own docs steer row-sampling users to
+    deterministic alternatives for exactly this reason). Zero shuffle:
+    the predicate is a pure projection over the live row-key set."""
+    from hbase_increment_index_spark.pipeline.sampling import _unit_bucket
+
+    events = _t(spark, sf_dir, "events")
+    log = cell_log_from_events(events, delete_event_type="error")
+    w = Window.partitionBy("row_key").orderBy(
+        F.col("ts").desc(), F.col("seq").desc()
+    )
+    live = (
+        log.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & (F.col("op") == "put"))
+        .select("row_key")
+    )
+    return (
+        live.filter(_unit_bucket("row_key", "rrf") < 250_000)
+        .orderBy("row_key")
+    )
+
+
+CDC_RANDOM_ROW_SQL = f"""
+WITH log AS ({_SQL_CELL_LOG.format(delete_type='error')}),
+row_latest AS (
+  SELECT row_key, op FROM log
+  QUALIFY row_number() OVER (PARTITION BY row_key ORDER BY ts DESC, seq DESC) = 1
+)
+SELECT row_key FROM row_latest
+WHERE op = 'put' AND {_SQL_BUCKET.format(salt='rrf', c='row_key')} < 250000
+ORDER BY row_key
 """
 
 

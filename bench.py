@@ -254,6 +254,8 @@ HEADLINE = [
     "cdc_timestamps_filter",
     "q88_payload_check",
     "q89_payload_function",
+    "cdc_key_only_scan",
+    "cdc_random_row_filter",
 ]
 
 

@@ -862,10 +862,15 @@ def main() -> None:
         "q39d_json_facet_blockjoin", "cdc_delete_by_query",
         "e16_kmeans_refine", "e18_mmr_diversify",
         "e2o_signature_store_served",
-        "e2p_store_served_pairs", "e19_threshold_sweep",
+        "e2p_store_served_pairs",
+        # r15 trims (family-covered, the a91cf69 precedent):
+        # q80_knn_search_stream (q78b/q78b_idx/e3n keep knn covered),
+        # q61i_stream_scorenodes (q61p keeps the graph-stream family),
+        # e19_threshold_sweep (e2b/e2f/e2j/e2o/e2p/e2r keep near-dup
+        # covered), q39h_json_facet_percentile (q39d stays). All four
+        # remain TIMED in bench_samples.json.
         "q66b_phrase_clustering",
-        "q78_knn_parser", "q61i_stream_scorenodes",
-        "q80_knn_search_stream",
+        "q78_knn_parser",
         "q81_minhash_parser", "q78b_knn_served", "e3n_ivf_recall",
         "e2r_incremental_clusters_served",
         "q62b_ltr_trees",
@@ -877,7 +882,6 @@ def main() -> None:
         "e2s_store_served",
         "e3p_probe_sweep",
         "q61p_stream_shortest_path", "e4o_bpe_train",
-        "q39h_json_facet_percentile",
         "q85_stream_classify", "q61t_stream_random",
         "cdc_check_and_delete", "e4q_unigram_train",
         "cdc_commit_served", "q61x_stream_facet2d",

@@ -862,21 +862,24 @@ def main() -> None:
         "q39d_json_facet_blockjoin", "cdc_delete_by_query",
         "e16_kmeans_refine", "e18_mmr_diversify",
         "e2o_signature_store_served",
-        "e2p_store_served_pairs",
+
         # r15 trims (family-covered, the a91cf69 precedent):
         # q80_knn_search_stream (q78b/q78b_idx/e3n keep knn covered),
         # q61i_stream_scorenodes (q61p keeps the graph-stream family),
-        # e19_threshold_sweep (e2b/e2f/e2j/e2o/e2p/e2r keep near-dup
-        # covered), q39h_json_facet_percentile (q39d stays). All four
-        # remain TIMED in bench_samples.json.
+        # e19_threshold_sweep + e2p_store_served_pairs (e2b/e2f/e2j/
+        # e2o_served/e2s_served/e2r_served keep the near-dup + store-
+        # served families covered), q39h_json_facet_percentile (q39d
+        # stays), q81_minhash_parser (e2b/q78 keep parser+minhash),
+        # q05c_phrase_servedidx (q06c + q69_servedidx keep the served-
+        # index text family). All remain TIMED in bench_samples.json.
         "q66b_phrase_clustering",
         "q78_knn_parser",
-        "q81_minhash_parser", "q78b_knn_served", "e3n_ivf_recall",
+        "q78b_knn_served", "e3n_ivf_recall",
         "e2r_incremental_clusters_served",
         "q62b_ltr_trees",
         "q49d_child_transformer", "q43b_relatedness",
         "q79_topic_pull_steady",
-        "q06c_bm25_servedidx", "q05c_phrase_servedidx",
+        "q06c_bm25_servedidx",
         "q69_span_near_servedidx",
         "q78b_knn_served_idx",
         "e2s_store_served",

@@ -4244,6 +4244,68 @@ ORDER BY cluster_id, pos
 """
 
 
+def q61al_stream_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/stream math layer, ``olsRegress()``: two-predictor OLS of
+    extended price on (quantity, discount) over the returned slice —
+    solrj math expressions' olsRegress (commons-math
+    OLSMultipleLinearRegression; reference pom.xml:22), emitted as the
+    (b0, b1, b2) coefficient tuple. Normal equations solved closed-form
+    by Cramer's rule over ONE exact-decimal moment bundle — a single
+    hash aggregate, no iteration
+    (search.streaming_expr._op_olsRegress)."""
+    return _stream(
+        spark, sf_dir,
+        'let(a=search(lineitem, fq="l_returnflag:R", '
+        'fl="l_quantity,l_discount,l_extendedprice"), '
+        'olsRegress(col(a, l_quantity), col(a, l_discount), '
+        'col(a, l_extendedprice)))',
+    )
+
+
+def _ols_sql() -> str:
+    det = _POLY_DET3.format(
+        a1="n", a2="s1", a3="s2", b1="s1", b2="s11", b3="s12",
+        c1="s2", c2="s12", c3="s22",
+    )
+    b0 = _POLY_DET3.format(
+        a1="sy", a2="s1", a3="s2", b1="s1y", b2="s11", b3="s12",
+        c1="s2y", c2="s12", c3="s22",
+    )
+    b1 = _POLY_DET3.format(
+        a1="n", a2="sy", a3="s2", b1="s1", b2="s1y", b3="s12",
+        c1="s2", c2="s2y", c3="s22",
+    )
+    b2 = _POLY_DET3.format(
+        a1="n", a2="s1", a3="sy", b1="s1", b2="s11", b3="s1y",
+        c1="s2", c2="s12", c3="s2y",
+    )
+    return f"""
+WITH src AS (
+  SELECT CAST(l_quantity AS DOUBLE) AS x1, CAST(l_discount AS DOUBLE) AS x2,
+         CAST(l_extendedprice AS DOUBLE) AS y
+  FROM lineitem WHERE l_returnflag = 'R'
+),
+m AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(x1 AS DECIMAL(30,12))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(x2 AS DECIMAL(30,12))) AS DOUBLE) AS s2,
+         CAST(SUM(CAST(x1 * x1 AS DECIMAL(30,12))) AS DOUBLE) AS s11,
+         CAST(SUM(CAST(x2 * x2 AS DECIMAL(30,12))) AS DOUBLE) AS s22,
+         CAST(SUM(CAST(x1 * x2 AS DECIMAL(30,12))) AS DOUBLE) AS s12,
+         CAST(SUM(CAST(y AS DECIMAL(30,12))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x1 * y AS DECIMAL(30,12))) AS DOUBLE) AS s1y,
+         CAST(SUM(CAST(x2 * y AS DECIMAL(30,12))) AS DOUBLE) AS s2y
+  FROM src
+)
+SELECT 'l_quantity' AS x1_field, 'l_discount' AS x2_field,
+       'l_extendedprice' AS y_field, CAST(n AS BIGINT) AS n,
+       ROUND(({b0}) / ({det}), 6) AS b0,
+       ROUND(({b1}) / ({det}), 6) AS b1,
+       ROUND(({b2}) / ({det}), 6) AS b2
+FROM m
+"""
+
+
 Q61X_SQL = """
 WITH cells AS (
   SELECT source, lang, count(*) AS count_star

@@ -1212,6 +1212,28 @@ class StreamCompiler:
             F.lit(call.fields[0]).alias("echo")
         )
 
+    def _op_analyze(self, call: Call) -> DataFrame:
+        """Solr ``analyze("raw text")`` stream evaluator (solrj 9.x,
+        reference pom.xml:22): run the field analysis chain —
+        tokenize → lowercase → stopword filter → minimal stem
+        (search.analysis, the chain the reference's deployment
+        configures out-of-band, README.md:33) — over a literal and
+        emit one tuple per emitted token (pos, term). The whole chain
+        is a zero-shuffle projection over a 1-row literal frame."""
+        if len(call.fields) != 1:
+            raise StreamExprError("analyze takes one quoted text argument")
+        from hbase_increment_index_spark.search.analysis import analyzed_tokens
+
+        return (
+            self.spark_for_literals()
+            .range(1)
+            .select(
+                F.posexplode(
+                    analyzed_tokens(F.lit(call.fields[0]))
+                ).alias("pos", "term")
+            )
+        )
+
     def spark_for_literals(self) -> SparkSession:
         """An active session for literal-only sources (echo): any
         registered table's session — the compiler always has at least
@@ -1219,6 +1241,31 @@ class StreamCompiler:
         for df in self.tables.values():
             return df.sparkSession
         raise StreamExprError("no tables registered")
+
+    # Side-effecting decorators blocked in DATA-CARRIED expressions
+    # (eval()/executor() task streams): update/delete write to sinks,
+    # commit/daemon mutate engine state, topic advances its checkpoint.
+    # A stored expression is data, not code the caller wrote — so by
+    # default it may only READ (defense-in-depth on top of the
+    # sink_paths opt-in); pass allowWrites=true to run maintenance
+    # task lists deliberately.
+    _SIDE_EFFECT_OPS = frozenset(
+        {"update", "delete", "commit", "daemon", "topic"}
+    )
+
+    def _assert_read_only_expr(self, expr: Call, origin: str) -> None:
+        stack = [expr]
+        while stack:
+            c = stack.pop()
+            if c.name in self._SIDE_EFFECT_OPS:
+                raise StreamExprError(
+                    f"{origin}: data-carried expression invokes {c.name}() "
+                    f"— side-effecting operators are blocked in eval()/"
+                    f"executor() task streams; pass allowWrites=true to "
+                    f"run a maintenance task list deliberately"
+                )
+            stack.extend(c.streams)
+            stack.extend(v for v in c.params.values() if isinstance(v, Call))
 
     def _op_plist(self, call: Call) -> DataFrame:
         """Solr ``plist(s1, s2, ...)``: list()'s parallel-open twin —
@@ -1246,7 +1293,10 @@ class StreamCompiler:
         head = df.select(fld).limit(1).collect()
         if not head or head[0][0] is None:
             raise StreamExprError("eval: inner stream produced no expression")
-        return self._eval(parse(str(head[0][0])))
+        parsed = parse(str(head[0][0]))
+        if str(call.params.get("allowWrites", "false")).lower() != "true":
+            self._assert_read_only_expr(parsed, "eval")
+        return self._eval(parsed)
 
     def _op_reduce(self, call: Call) -> DataFrame:
         """Solr ``reduce(stream, by="f1,f2", group(sort="...", n="N"))``
@@ -2182,6 +2232,70 @@ class StreamCompiler:
             F.round(c2 + c2, 6).alias("d1"),
         )
 
+    def _op_olsRegress(self, call: Call) -> DataFrame:  # noqa: N802 (Solr name)
+        """``olsRegress(col(a, x1), col(a, x2), col(a, y))``:
+        multivariate (two-predictor) ordinary least squares — solrj
+        math expressions' olsRegress (commons-math OLSMultipleLinear
+        Regression; reference pom.xml:22), emitted as the coefficient
+        tuple of y = b0 + b1·x1 + b2·x2. Same discipline as polyfit:
+        the normal equations (X'X)b = X'y solve closed-form by
+        Cramer's rule over ONE exact-decimal moment bundle (n, Σx1,
+        Σx2, Σx1², Σx2², Σx1x2, Σy, Σx1y, Σx2y) — a single hash
+        aggregate, no iteration, every arithmetic step in one fixed
+        association order so the oracle reproduces the doubles
+        bit-for-bit before the ROUND."""
+        if len(call.streams) != 3:
+            raise StreamExprError(
+                "olsRegress takes three col(...) args (x1, x2, y)"
+            )
+        v1, src, f1 = self._colref(call.streams[0])
+        v2, _, f2 = self._colref(call.streams[1])
+        v3, _, fy = self._colref(call.streams[2])
+        if not (v1 == v2 == v3):
+            raise StreamExprError("olsRegress columns must come from one stream")
+        x1 = F.col(f1).cast("double")
+        x2 = F.col(f2).cast("double")
+        y = F.col(fy).cast("double")
+
+        def dsum(c):
+            return F.sum(c.cast("decimal(30,12)")).cast("double")
+
+        agg = src.agg(
+            F.count(F.lit(1)).cast("double").alias("_n"),
+            dsum(x1).alias("_s1"),
+            dsum(x2).alias("_s2"),
+            dsum(x1 * x1).alias("_s11"),
+            dsum(x2 * x2).alias("_s22"),
+            dsum(x1 * x2).alias("_s12"),
+            dsum(y).alias("_sy"),
+            dsum(x1 * y).alias("_s1y"),
+            dsum(x2 * y).alias("_s2y"),
+        )
+        n, s1, s2 = F.col("_n"), F.col("_s1"), F.col("_s2")
+        s11, s22, s12 = F.col("_s11"), F.col("_s22"), F.col("_s12")
+        sy, s1y, s2y = F.col("_sy"), F.col("_s1y"), F.col("_s2y")
+
+        def det3(a1, a2, a3, b1, b2, b3, c1, c2, c3):
+            return (
+                a1 * (b2 * c3 - b3 * c2)
+                - a2 * (b1 * c3 - b3 * c1)
+                + a3 * (b1 * c2 - b2 * c1)
+            )
+
+        det = det3(n, s1, s2, s1, s11, s12, s2, s12, s22)
+        b0 = det3(sy, s1, s2, s1y, s11, s12, s2y, s12, s22) / det
+        b1 = det3(n, sy, s2, s1, s1y, s12, s2, s2y, s22) / det
+        b2 = det3(n, s1, sy, s1, s11, s1y, s2, s12, s2y) / det
+        return agg.select(
+            F.lit(f1).alias("x1_field"),
+            F.lit(f2).alias("x2_field"),
+            F.lit(fy).alias("y_field"),
+            F.col("_n").cast("long").alias("n"),
+            F.round(b0, 6).alias("b0"),
+            F.round(b1, 6).alias("b1"),
+            F.round(b2, 6).alias("b2"),
+        )
+
     def _op_predict(self, call: Call) -> DataFrame:
         """``predict(polyfit(...)|regress(...), col(a, x) | number)``:
         apply a fitted function object to a column or a literal — the
@@ -2373,14 +2487,17 @@ class StreamCompiler:
         expression carried in EVERY tuple of the inner stream and emit
         all their results — eval()'s fan-out twin (solrj 9.x's task
         executor; reference pom.xml:22). The inner stream is a task
-        list (bounded by construction — it is the thing a user writes,
-        not a corpus), so collecting its expression strings is a
-        bounded driver action; each compiles to its own distributed
-        plan and the results concatenate list()-style (unionByName,
-        missing columns null-filled). ``threads`` is accepted and
-        ignored: Spark schedules the unioned branches' stages
-        concurrently already — the same pass-through contract as
-        plist()/parallel()."""
+        list (the thing a user writes, not a corpus) and the collect
+        is CAPPED at ``maxTasks`` (default 10k) as scale hygiene —
+        pointing executor() at a corpus-sized stream fails loudly
+        instead of OOMing the driver. Each expression compiles to its
+        own distributed plan and the results concatenate list()-style
+        (unionByName, missing columns null-filled); data-carried
+        expressions are READ-ONLY unless ``allowWrites=true``
+        (update/delete/commit/daemon/topic blocked otherwise).
+        ``threads`` is accepted and ignored: Spark schedules the
+        unioned branches' stages concurrently already — the same
+        pass-through contract as plist()/parallel()."""
         df = self._one_stream(call)
         fld = call.params.get("field", "expr_s")
         if fld not in df.columns:
@@ -2400,9 +2517,14 @@ class StreamCompiler:
         exprs = [str(r[0]) for r in rows if r[0] is not None]
         if not exprs:
             raise StreamExprError("executor: inner stream produced no expressions")
+        allow_writes = str(call.params.get("allowWrites", "false")).lower() == "true"
+        parsed_exprs = [parse(text) for text in exprs]
+        if not allow_writes:
+            for p in parsed_exprs:
+                self._assert_read_only_expr(p, "executor")
         out = None
-        for text in exprs:
-            part = self._eval(parse(text))
+        for part_expr in parsed_exprs:
+            part = self._eval(part_expr)
             out = part if out is None else out.unionByName(
                 part, allowMissingColumns=True
             )

@@ -321,3 +321,50 @@ def test_delimited_payload_parsing_and_check(spark):
         payload_check(p, ["a"], [1, 2])
     with pytest.raises(ValueError):
         payload_score(p, "fox", func="avg")
+
+
+def test_eval_and_executor_block_side_effects(spark, tmp_path):
+    """r15 (ADVICE): expressions carried in DATA (eval()/executor()
+    task streams) may only read by default — update()/delete()/
+    commit()/daemon()/topic() are blocked unless allowWrites=true."""
+    from hbase_increment_index_spark.sinks import read_merged_table
+
+    t = spark.createDataFrame([(1, "a")], ["rowkey", "name"])
+    dest = str(tmp_path / "mirror")
+    exprs = spark.createDataFrame(
+        [(1, 'update(mirror, search(t, q="*:*", fl="rowkey,name"), '
+             'key="rowkey", buckets=2)')],
+        ["rank", "expr_s"],
+    )
+    tables = {"t": t, "exprs": exprs}
+    sink_paths = {"mirror": dest}
+    with pytest.raises(StreamExprError, match="allowWrites"):
+        run_stream_expr(
+            spark, tables,
+            'eval(search(exprs, q="*:*", fl="expr_s"))',
+            sink_paths=sink_paths,
+        )
+    with pytest.raises(StreamExprError, match="allowWrites"):
+        run_stream_expr(
+            spark, tables,
+            'executor(search(exprs, q="*:*", fl="expr_s"))',
+            sink_paths=sink_paths,
+        )
+    # explicit opt-in runs the maintenance task and writes the sink
+    out = run_stream_expr(
+        spark, tables,
+        'executor(search(exprs, q="*:*", fl="expr_s"), allowWrites=true)',
+        sink_paths=sink_paths,
+    )
+    assert out.collect()[0]["batchIndexed"] == 1
+    assert read_merged_table(spark, dest).count() == 1
+
+
+def test_analyze_evaluator_runs_chain(spark):
+    """analyze('...') emits the analysis chain's tokens (stopwords
+    dropped, plural-stemmed) with positions."""
+    t = spark.createDataFrame([(1,)], ["id"])
+    rows = run_stream_expr(
+        spark, {"t": t}, 'analyze("The Queries and the Tables")'
+    ).collect()
+    assert [(r["pos"], r["term"]) for r in rows] == [(0, "query"), (1, "table")]

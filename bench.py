@@ -256,6 +256,7 @@ HEADLINE = [
     "q89_payload_function",
     "cdc_key_only_scan",
     "cdc_random_row_filter",
+    "q61al_stream_ols",
 ]
 
 

@@ -257,6 +257,9 @@ HEADLINE = [
     "cdc_key_only_scan",
     "cdc_random_row_filter",
     "q61al_stream_ols",
+    "cdc_value_filter",
+    "cdc_skip_filter",
+    "cdc_while_match_scan",
 ]
 
 

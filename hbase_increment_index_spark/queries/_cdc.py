@@ -1417,6 +1417,135 @@ ORDER BY row_key
 """
 
 
+_SQL_LIVE_CELLS = """
+cell_latest AS (
+  SELECT * FROM log
+  QUALIFY row_number() OVER (
+    PARTITION BY row_key, family, qualifier ORDER BY ts DESC, seq DESC) = 1
+),
+row_latest AS (
+  SELECT row_key, op AS row_op FROM log
+  QUALIFY row_number() OVER (PARTITION BY row_key ORDER BY ts DESC, seq DESC) = 1
+),
+live AS (
+  SELECT c.* FROM cell_latest c JOIN row_latest r USING (row_key)
+  WHERE c.op = 'put' AND r.row_op = 'put'
+)
+"""
+
+
+def _live_cells_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    log = cell_log_from_events(events, delete_event_type="error")
+    return live_cells(log)
+
+
+def cdc_value_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HBase ``ValueFilter(>=, BinaryComparator('5'))`` (HBase 0.98
+    filter API, reference pom.xml:19): keep CELLS — any column — whose
+    value compares against the operand. HBase's BinaryComparator is an
+    unsigned-BYTE compare of the cell bytes, so on the engine's
+    string-valued cells the faithful translation is the lexicographic
+    string comparison ('50.1' ≥ '5' but '12.3' < '5' — byte order,
+    not numeric order, exactly as an HBase client sees it). One
+    sargable predicate on the live-cell view; no shuffle beyond the
+    compaction it reads."""
+    return (
+        _live_cells_df(spark, sf_dir)
+        .filter(F.col("value") >= "5")
+        .select("row_key", "qualifier", "value")
+        .orderBy("row_key", "qualifier")
+    )
+
+
+CDC_VALUE_FILTER_SQL = f"""
+WITH log AS ({_SQL_CELL_LOG.format(delete_type='error')}),
+{_SQL_LIVE_CELLS}
+SELECT row_key, qualifier, value FROM live
+WHERE value >= '5'
+ORDER BY row_key, qualifier
+"""
+
+
+def cdc_skip_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HBase ``SkipFilter(ValueFilter(<, '5'))`` (HBase 0.98 filter
+    API, reference pom.xml:19): the row-atomic wrapper — if ANY cell
+    of a row is filtered, skip the WHOLE row; rows where every cell
+    passes emit all their cells. Compiles to one bool-min window over
+    the row partition (min(pass) over row_key — no join, and the
+    window shares the compaction's row_key clustering), then the cell
+    filter; byte-order value semantics as in cdc_value_filter."""
+    live = _live_cells_df(spark, sf_dir)
+    w = Window.partitionBy("row_key")
+    all_pass = F.min((F.col("value") < "5").cast("int")).over(w) == 1
+    return (
+        live.withColumn("_ok", all_pass)
+        .filter("_ok")
+        .select("row_key", "qualifier", "value")
+        .orderBy("row_key", "qualifier")
+    )
+
+
+CDC_SKIP_FILTER_SQL = f"""
+WITH log AS ({_SQL_CELL_LOG.format(delete_type='error')}),
+{_SQL_LIVE_CELLS}
+SELECT row_key, qualifier, value FROM live
+QUALIFY min(CASE WHEN value < '5' THEN 1 ELSE 0 END)
+        OVER (PARTITION BY row_key) = 1
+ORDER BY row_key, qualifier
+"""
+
+
+def cdc_while_match_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HBase ``WhileMatchFilter(SingleColumnValueFilter(click >= '1'))``
+    (HBase 0.98 filter API, reference pom.xml:19): scan rows in rowkey
+    order and STOP at the first row the wrapped filter rejects — the
+    early-termination wrapper a client uses to read a qualifying
+    prefix of a sorted table. Relationally: the cutoff is the MINIMUM
+    rejecting rowkey (one tiny aggregate, broadcast as a 1-row
+    scalar); the scan keeps rows strictly below it (all rows when
+    nothing rejects). The engine reads the whole partition range where
+    HBase short-circuits region-side — but the cutoff predicate is
+    sargable, so at scale the second pass prunes row groups by rowkey
+    statistics; the wrapped filter uses HBase's pass-when-missing
+    default (rows without a click cell pass)."""
+    from hbase_increment_index_spark.cdc.index_builder import documents_from_cells
+
+    events = _t(spark, sf_dir, "events")
+    log = cell_log_from_events(events, delete_event_type="error")
+    docs = documents_from_cells(log, ["click", "purchase", "signup", "view"])
+    passes = F.col("click").isNull() | (F.col("click") >= "1")
+    cutoff = docs.filter(~passes).agg(F.min("id").alias("_cut"))
+    return (
+        docs.crossJoin(F.broadcast(cutoff))
+        .filter(F.col("_cut").isNull() | (F.col("id") < F.col("_cut")))
+        .select("id", "click", "purchase", "signup", "view")
+        .orderBy("id")
+    )
+
+
+CDC_WHILE_MATCH_SQL = f"""
+WITH log AS ({_SQL_CELL_LOG.format(delete_type='error')}),
+{_SQL_LIVE_CELLS},
+docs AS (
+  SELECT row_key AS id,
+         min(CASE WHEN qualifier = 'click'    THEN value END) AS click,
+         min(CASE WHEN qualifier = 'purchase' THEN value END) AS purchase,
+         min(CASE WHEN qualifier = 'signup'   THEN value END) AS signup,
+         min(CASE WHEN qualifier = 'view'     THEN value END) AS view
+  FROM live GROUP BY row_key
+),
+cutoff AS (
+  SELECT min(id) AS cut FROM docs
+  WHERE NOT (click IS NULL OR click >= '1')
+)
+SELECT id, click, purchase, signup, view
+FROM docs, cutoff
+WHERE cut IS NULL OR id < cut
+ORDER BY id
+"""
+
+
 def cdc_merge_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental quantile-sketch maintenance over the CDC stream —
     Solr ``stats.field`` percentiles (served by t-digest there,

@@ -4196,27 +4196,24 @@ seeds AS (
     FROM base ORDER BY h ASC, vid ASC LIMIT 8
   )
 ),
-sl AS (
-  SELECT b.vid AS sid, i AS pos, v[i] AS c
-  FROM base b JOIN seeds USING (vid),
-       LATERAL (SELECT unnest(generate_series(1, len(v))) AS i)
-),
-x AS (
-  SELECT vid, i AS pos, v[i] AS xv
-  FROM base, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i)
-),
-j AS (
-  SELECT x.vid AS vid, sl.sid AS sid, x.pos AS pos, x.xv AS xv, sl.c AS c
-  FROM x JOIN sl USING (pos)
+seed_vecs AS (
+  SELECT b.vid AS sid, b.v AS c FROM base b JOIN seeds USING (vid)
 ),
 dist AS (
-  SELECT vid, sid,
-         ROUND(CAST(SUM(CAST((xv - c) * (xv - c) AS DECIMAL(30,12))) AS DOUBLE), 9) AS d
-  FROM j GROUP BY 1, 2
+  -- array fold in INDEX ORDER, the exact association of the Spark
+  -- side's zip_with + aggregate (the IVF-assign idiom)
+  SELECT base.vid AS vid, s.sid AS sid,
+         ROUND(list_sum(list_transform(generate_series(1, len(v)),
+               i -> (v[i] - c[i]) * (v[i] - c[i]))), 9) AS d
+  FROM base CROSS JOIN seed_vecs s
 ),
 assign AS (
   SELECT vid, sid FROM dist
   QUALIFY row_number() OVER (PARTITION BY vid ORDER BY d ASC, sid ASC) = 1
+),
+x AS (
+  SELECT vid, i AS pos, v[i] AS xv
+  FROM base, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i)
 )
 """
 

@@ -2386,13 +2386,17 @@ class StreamCompiler:
         reproduces the seed set with no RNG state; the e16 machinery
         with hash seeding instead of the fixed id prefix).
 
-        Plan: seed pick is a TakeOrdered-k over hashes; the k×dim seed
-        table BROADCASTS; the corpus posexplodes once (N·dim rows);
-        per-(vec, seed) squared-L2 accumulates as an exact-decimal
-        hash aggregate (N·k rows, order-independent under any
-        partitioning); the winner is a row_number window over that
-        small frame with lowest-seed tie-break. Work ∝ N·dim·k, never
-        corpus×corpus — the same shape as the IVF assign, so it holds
+        Plan: seed pick is a TakeOrdered-k over hashes; the k seed
+        VECTORS broadcast as whole arrays; per-(vec, seed) squared-L2
+        is one array fold (zip_with diff² → aggregate-sum, the proven
+        IVF-assign idiom) — all inside whole-stage codegen, NO
+        posexplode and no N·dim shuffle; the only exchange before the
+        winner window is the window's own N·k-row shuffle (64× less
+        data than a per-dimension aggregate would move at dim=64).
+        The fold runs in array-index order — a fixed association both
+        engines reproduce bit-for-bit (DuckDB list_sum/list_transform
+        walks the same order), so the rounded distance needs no
+        decimal detour. Work ∝ N·dim·k, never corpus×corpus — holds
         at 100 TB."""
         df = self._one_stream(call)
         fld = call.params.get("field", "embedding")
@@ -2411,34 +2415,30 @@ class StreamCompiler:
             .limit(k)
             .select("_vid")
         )
-        sl = (
-            base.join(F.broadcast(seeds), "_vid")
-            .select(
-                F.col("_vid").alias("_sid"),
-                F.posexplode("_vec").alias("_pos0", "_c"),
-            )
-            .select("_sid", (F.col("_pos0") + 1).alias("_pos"), "_c")
+        seed_vecs = base.join(F.broadcast(seeds), "_vid").select(
+            F.col("_vid").alias("_sid"), F.col("_vec").alias("_cvec")
         )
-        x = base.select(
-            "_vid", F.posexplode("_vec").alias("_pos0", "_x")
-        ).select("_vid", (F.col("_pos0") + 1).alias("_pos"), "_x")
-        j = x.join(F.broadcast(sl), "_pos")
-        dist = j.groupBy("_vid", "_sid").agg(
-            F.round(
-                F.sum(
-                    (
-                        (F.col("_x") - F.col("_c")) * (F.col("_x") - F.col("_c"))
-                    ).cast("decimal(30,12)")
-                ).cast("double"),
-                9,
-            ).alias("_d")
+        d = F.round(
+            F.aggregate(
+                F.zip_with("_vec", "_cvec", lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            9,
+        )
+        scored = base.crossJoin(F.broadcast(seed_vecs)).select(
+            "_vid", "_sid", d.alias("_d")
         )
         w = Window.partitionBy("_vid").orderBy(F.col("_d").asc(), F.col("_sid").asc())
         assign = (
-            dist.withColumn("_rn", F.row_number().over(w))
+            scored.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .select("_vid", "_sid")
         )
+        # members' per-dimension view — only getCentroids consumes it
+        x = base.select(
+            "_vid", F.posexplode("_vec").alias("_pos0", "_x")
+        ).select("_vid", (F.col("_pos0") + 1).alias("_pos"), "_x")
         return idc, x, assign
 
     def _op_kmeans(self, call: Call) -> DataFrame:

@@ -260,6 +260,8 @@ HEADLINE = [
     "cdc_value_filter",
     "cdc_skip_filter",
     "cdc_while_match_scan",
+    "q90_complex_phrase",
+    "q91_localparams_filters",
 ]
 
 

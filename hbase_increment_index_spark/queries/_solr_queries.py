@@ -2454,3 +2454,62 @@ FROM orders
 WHERE o_custkey IN ({_Q86_IDS}) AND o_orderstatus = 'O'
 ORDER BY o_orderkey
 """
+
+
+def q90_complex_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Solr ``{!complexphrase}text:"tab* hash"`` (solrj 9.8, reference
+    pom.xml:22): a phrase whose legs may be WILDCARD patterns — the
+    documented parser for "phrase with prefix/wildcard terms", which
+    the standard phrase grammar cannot express. Compiles to the
+    per-row positional existential (filters.complex_phrase): one
+    tokenize, equality-or-LIKE per leg, exists over start positions —
+    all inside whole-stage codegen, zero shuffle, no positions
+    materialized outside the row."""
+    from hbase_increment_index_spark.search.solr_query import solr_select
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        solr_select(docs, '{!complexphrase}text:"tab* hash"')
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+Q90_SQL = f"""
+WITH d AS (
+  SELECT doc_id, source, {_SQL_TOKS.format(c='text')} AS t FROM documents
+)
+SELECT doc_id, source FROM d
+WHERE len(t) >= 2 AND len(list_filter(generate_series(1, len(t) - 1),
+      i -> t[i] LIKE 'tab%' AND t[i+1] = 'hash')) > 0
+ORDER BY doc_id
+"""
+
+
+def q91_localparams_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The simple local-params parsers composed in one query —
+    ``{!prefix}`` (startswith, no analysis), ``{!raw}`` (verbatim
+    equality — NO analysis or numeric coercion, Solr's contract), and
+    ``{!field}`` (fieldType-aware: a multi-word value on a text field
+    is a PHRASE) — each a documented Solr qparser (solrj 9.8,
+    reference pom.xml:22) and each compiling to a plain sargable /
+    codegen predicate; the whole boolean composition stays one
+    filter."""
+    from hbase_increment_index_spark.search.solr_query import solr_select
+
+    docs = _t(spark, sf_dir, "documents")
+    q = '({!prefix f=source}src1 OR {!raw f=lang}de) AND {!field f=text}"table hash"'
+    return (
+        solr_select(docs, q, text_fields={"text"})
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+Q91_SQL = r"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE (source LIKE 'src1%' OR lang = 'de')
+  AND regexp_matches(lower(text), '\btable\s+hash\b')
+ORDER BY doc_id
+"""

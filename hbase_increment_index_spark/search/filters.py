@@ -143,3 +143,39 @@ def fuzzy_search(
         )
     )
     return corpus.select(F.col(id_col), F.explode(matched).alias("term"))
+
+
+def complex_phrase(text_field: str, patterns: list[str]) -> Column:
+    """Solr ``{!complexphrase}`` — a phrase whose legs may be WILDCARD
+    patterns (``"tab* hash"``): exists a position i where token[i+j]
+    matches pattern[j] for every leg j (adjacent, in order — slop 0,
+    the parser's default). Pure per-row array HOFs over one tokenize —
+    per-position existential with equality or LIKE per leg — so the
+    predicate stays inside whole-stage codegen with no positions
+    materialized outside the row (the phrase_slop discipline)."""
+    from functools import reduce
+    from operator import and_
+
+    from hbase_increment_index_spark.search.tokenize import tokens
+
+    if not patterns:
+        return F.lit(True)
+    t = tokens(text_field)
+    k = len(patterns)
+
+    def leg(tok: Column, pat: str) -> Column:
+        p = pat.lower()
+        if "*" in p or "?" in p:
+            like = p.replace("%", r"\%").replace("_", r"\_")
+            like = like.replace("*", "%").replace("?", "_")
+            return tok.like(like)
+        return tok == F.lit(p)
+
+    starts = F.sequence(F.lit(1), F.size(t) - (k - 1))
+    hit = F.exists(
+        starts,
+        lambda i: reduce(
+            and_, [leg(F.element_at(t, i + j), p) for j, p in enumerate(patterns)]
+        ),
+    )
+    return F.when(F.size(t) >= k, hit).otherwise(F.lit(False))

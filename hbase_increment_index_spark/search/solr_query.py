@@ -40,6 +40,9 @@ _TOKEN_RE = re.compile(
         (?P<op>AND\b|OR\b|NOT\b) |
         (?P<terms>\{!terms\s+f=(?P<tfield>[A-Za-z_][\w.]*)
             (?:\s+separator="(?P<tsep>[^"])")?\}(?P<tvals>[^\s()]+)) |
+        (?P<cpx>\{!complexphrase\}(?P<cpxf>[A-Za-z_][\w.]*):"(?P<cpxv>[^"]*)") |
+        (?P<lp>\{!(?P<lpk>prefix|field|raw)\s+f=(?P<lpf>[A-Za-z_][\w.]*)\}
+            (?:"(?P<lpq>[^"]*)"|(?P<lpb>[^\s()]+))) |
         (?P<term>[A-Za-z_][\w.]*):(?:
             (?P<range>\[[^\]]+\]) |
             "(?P<phrase>[^"]*)"(?:~(?P<slop>\d+))? |
@@ -82,6 +85,11 @@ def _lex(q: str) -> list[_Tok]:
                     (m.group("tfield"), m.group("tsep") or ",", m.group("tvals")),
                 )
             )
+        elif m.group("cpx"):
+            toks.append(_Tok("cpx", (m.group("cpxf"), m.group("cpxv"))))
+        elif m.group("lp"):
+            value = m.group("lpq") if m.group("lpq") is not None else m.group("lpb")
+            toks.append(_Tok("lp", (m.group("lpk"), m.group("lpf"), value)))
         else:
             field = m.group("term")
             if m.group("range") is not None:
@@ -176,6 +184,30 @@ class _Parser:
             if not values:
                 raise SolrQueryError("{!terms} needs at least one value")
             return F.col(field).isin(values)
+        if t.kind == "cpx":
+            # Solr's {!complexphrase} parser: phrase legs may be
+            # wildcard patterns; compiles to the per-row positional
+            # existential (filters.complex_phrase) — no index needed,
+            # no shuffle
+            field, phrase_text = t.payload
+            return filters.complex_phrase(field, phrase_text.split())
+        if t.kind == "lp":
+            # the simple local-params parsers: {!prefix} (startswith),
+            # {!raw} (verbatim equality — NO analysis, no numeric
+            # coercion, Solr's contract), {!field} (fieldType-aware:
+            # phrase on a text field when multi-word, else coerced
+            # equality)
+            kind, field, value = t.payload
+            if kind == "prefix":
+                return filters.prefix(field, value)
+            if kind == "raw":
+                return F.col(field) == F.lit(value)
+            words = value.split()
+            if field in self.text_fields and len(words) > 1:
+                return filters.phrase(field, words)
+            if field in self.text_fields:
+                return has_token(field, value)
+            return filters.eq(field, _lit(value))
         if t.kind == "range":
             field, lo, hi = t.payload
             lo_l, hi_l = _lit(lo), _lit(hi)

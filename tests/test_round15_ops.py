@@ -368,3 +368,54 @@ def test_analyze_evaluator_runs_chain(spark):
         spark, {"t": t}, 'analyze("The Queries and the Tables")'
     ).collect()
     assert [(r["pos"], r["term"]) for r in rows] == [(0, "query"), (1, "table")]
+
+
+# -------------------------------------- local-params parser additions
+
+
+def test_complex_phrase_wildcard_legs(spark):
+    from hbase_increment_index_spark.search.solr_query import solr_select
+
+    df = spark.createDataFrame(
+        [
+            (1, "the table hash works"),
+            (2, "tabulated hash join"),
+            (3, "hash table join"),       # wrong order
+            (4, "table of hash"),          # not adjacent
+            (5, "tab"),                    # shorter than the phrase
+        ],
+        ["id", "text"],
+    )
+    got = sorted(
+        r["id"]
+        for r in solr_select(df, '{!complexphrase}text:"tab* hash"').collect()
+    )
+    assert got == [1, 2]
+
+
+def test_localparams_prefix_field_raw(spark):
+    from hbase_increment_index_spark.search.solr_query import solr_select
+
+    df = spark.createDataFrame(
+        [
+            (1, "src1a", "en", "big table hash"),
+            (2, "src2", "de", "nothing here"),
+            (3, "src1b", "en", "hash table"),
+            (4, "other", "den", "table hash again"),
+        ],
+        ["id", "source", "lang", "text"],
+    )
+    got = sorted(
+        r["id"]
+        for r in solr_select(
+            df, "{!prefix f=source}src1 OR {!raw f=lang}de"
+        ).collect()
+    )
+    assert got == [1, 2, 3]  # 'den' != 'de' (raw = verbatim equality)
+    got2 = sorted(
+        r["id"]
+        for r in solr_select(
+            df, '{!field f=text}"table hash"', text_fields={"text"}
+        ).collect()
+    )
+    assert got2 == [1, 4]  # phrase semantics on the text field

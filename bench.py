@@ -262,6 +262,7 @@ HEADLINE = [
     "cdc_while_match_scan",
     "q90_complex_phrase",
     "q91_localparams_filters",
+    "e23_doremi_step",
 ]
 
 

@@ -3619,3 +3619,109 @@ FROM (
 GROUP BY n_pieces
 ORDER BY n_pieces
 """
+
+
+def e23_doremi_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style domain-reweighting update (Xie et al. 2023,
+    "DoReMi: Optimizing Data Mixtures Speeds Up Language Model
+    Pretraining" — public method): one multiplicative-weights step
+    over the per-domain EXCESS LOSS, the iteration a mixture-tuning
+    loop runs between proxy-model evaluations. The fixture has no
+    proxy-model losses, so the per-doc loss proxy is chars-per-token
+    (deterministic, content-derived — the harness device); excess =
+    domain mean − corpus mean. Update: α_d ∝ exp(η·excess_d) with
+    η=0.1 from a uniform prior, then the paper's ε-smoothing
+    (ε=0.01) toward uniform.
+
+    Plan: one per-source hash aggregate + one global aggregate fused
+    by a 1-row broadcast, then a |sources|-row normalization — the
+    corpus is scanned once and never shuffled (shuffle carries
+    |sources| rows). exp() is the only math-library call; it is
+    pinned with ROUND on input AND output (the e14 DSIR device) so
+    both engines agree bit-for-bit."""
+    from hbase_increment_index_spark.search.tokenize import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "source",
+        (F.col("n_chars").cast("double") / F.size(tokens("text"))).alias("cpt"),
+    ).filter(F.size(tokens("text")) > 0)
+    per = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("cpt").cast("decimal(30,12)")).cast("double").alias("s"),
+    )
+    g = d.agg(
+        F.sum(F.col("cpt").cast("decimal(30,12)")).cast("double").alias("gs"),
+        F.count(F.lit(1)).alias("gn"),
+    )
+    e = per.crossJoin(F.broadcast(g)).select(
+        "source",
+        "n",
+        F.round(
+            F.col("s") / F.col("n").cast("double")
+            - F.col("gs") / F.col("gn").cast("double"),
+            6,
+        ).alias("excess"),
+    )
+    r = e.select(
+        "source",
+        "n",
+        "excess",
+        F.round(F.exp(F.round(F.col("excess") * 0.1, 6)), 6).alias("raw"),
+    )
+    z = r.agg(
+        F.sum(F.col("raw").cast("decimal(30,12)")).cast("double").alias("zsum"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    return (
+        r.crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            F.col("n").cast("long").alias("n_docs"),
+            "excess",
+            F.round(
+                (F.col("raw") / F.col("zsum")) * 0.99
+                + F.lit(0.01) / F.col("k").cast("double"),
+                6,
+            ).alias("alpha"),
+        )
+        .orderBy("source")
+    )
+
+
+E23_SQL = f"""
+WITH d AS (
+  SELECT source,
+         CAST(n_chars AS DOUBLE) / len({_SQL_TOKS.format(c='text')}) AS cpt
+  FROM documents WHERE len({_SQL_TOKS.format(c='text')}) > 0
+),
+per AS (
+  SELECT source, count(*) AS n,
+         CAST(SUM(CAST(cpt AS DECIMAL(30,12))) AS DOUBLE) AS s
+  FROM d GROUP BY 1
+),
+g AS (
+  SELECT CAST(SUM(CAST(cpt AS DECIMAL(30,12))) AS DOUBLE) AS gs,
+         count(*) AS gn
+  FROM d
+),
+e AS (
+  SELECT source, n,
+         ROUND(s / CAST(n AS DOUBLE) - gs / CAST(gn AS DOUBLE), 6) AS excess
+  FROM per, g
+),
+r AS (
+  SELECT source, n, excess,
+         ROUND(exp(ROUND(excess * 0.1, 6)), 6) AS raw
+  FROM e
+),
+z AS (
+  SELECT CAST(SUM(CAST(raw AS DECIMAL(30,12))) AS DOUBLE) AS zsum,
+         count(*) AS k
+  FROM r
+)
+SELECT source, CAST(n AS BIGINT) AS n_docs, excess,
+       ROUND((raw / zsum) * 0.99 + 0.01 / CAST(k AS DOUBLE), 6) AS alpha
+FROM r, z
+ORDER BY source
+"""

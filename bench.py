@@ -263,6 +263,7 @@ HEADLINE = [
     "q90_complex_phrase",
     "q91_localparams_filters",
     "e23_doremi_step",
+    "q61am_stream_cdf",
 ]
 
 

@@ -4241,6 +4241,30 @@ ORDER BY cluster_id, pos
 """
 
 
+def q61am_stream_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/stream math layer, ``cumulativeProbability(
+    empiricalDistribution(...), v)``: the empirical CDF of returned-
+    slice quantity at v=30 — P(X ≤ 30) as the exact observation
+    fraction. Solr materializes a distribution object then queries
+    it; the two steps fuse into ONE hash aggregate
+    (search.streaming_expr._op_cumulativeProbability)."""
+    return _stream(
+        spark, sf_dir,
+        'let(a=search(lineitem, fq="l_returnflag:R", fl="l_quantity"), '
+        "cumulativeProbability(empiricalDistribution(col(a, l_quantity)), 30))",
+    )
+
+
+Q61AM_SQL = """
+SELECT 'l_quantity' AS field, CAST(count(*) AS BIGINT) AS n,
+       30.0 AS x,
+       ROUND(CAST(SUM(CASE WHEN CAST(l_quantity AS DOUBLE) <= 30.0
+                           THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS probability
+FROM lineitem WHERE l_returnflag = 'R'
+"""
+
+
 def q61al_stream_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     """/stream math layer, ``olsRegress()``: two-predictor OLS of
     extended price on (quantity, discount) over the returned slice —

@@ -2232,6 +2232,53 @@ class StreamCompiler:
             F.round(c2 + c2, 6).alias("d1"),
         )
 
+    def _op_cumulativeProbability(self, call: Call) -> DataFrame:  # noqa: N802
+        """``cumulativeProbability(empiricalDistribution(col(a, x)), v)``
+        — the empirical CDF evaluated at a point (solrj math
+        expressions; reference pom.xml:22): P(X ≤ v) as the exact
+        fraction of observations at or below v. Solr materializes the
+        distribution object then queries it; relationally the two
+        steps fuse into ONE hash aggregate (count + thresholded count)
+        — an exact rational both engines compute identically, no
+        distribution sketch needed. (The parametric
+        normalDistribution() form needs erf, which neither engine
+        exposes portably — the empirical form is the supported one,
+        and percentile()/hist() cover the inverse direction.)"""
+        if (
+            len(call.streams) != 1
+            or call.streams[0].name != "empiricalDistribution"
+        ):
+            raise StreamExprError(
+                "cumulativeProbability takes empiricalDistribution(col(...))"
+            )
+        ed = call.streams[0]
+        if len(ed.streams) != 1 or ed.streams[0].name != "col":
+            raise StreamExprError("empiricalDistribution takes one col(...)")
+        if len(call.fields) != 1:
+            raise StreamExprError(
+                "cumulativeProbability takes one evaluation point"
+            )
+        try:
+            v = float(call.fields[0])
+        except ValueError:
+            raise StreamExprError(
+                f"bad evaluation point {call.fields[0]!r}"
+            )
+        _var, src, fld = self._colref(ed.streams[0])
+        x = F.col(fld).cast("double")
+        agg = src.agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum((x <= F.lit(v)).cast("long")).alias("_le"),
+        )
+        return agg.select(
+            F.lit(fld).alias("field"),
+            F.col("_n").cast("long").alias("n"),
+            F.lit(v).alias("x"),
+            F.round(
+                F.col("_le").cast("double") / F.col("_n").cast("double"), 6
+            ).alias("probability"),
+        )
+
     def _op_olsRegress(self, call: Call) -> DataFrame:  # noqa: N802 (Solr name)
         """``olsRegress(col(a, x1), col(a, x2), col(a, y))``:
         multivariate (two-predictor) ordinary least squares — solrj

@@ -419,3 +419,19 @@ def test_localparams_prefix_field_raw(spark):
         ).collect()
     )
     assert got2 == [1, 4]  # phrase semantics on the text field
+
+
+def test_cumulative_probability_empirical(spark):
+    a = spark.createDataFrame([(float(v),) for v in [1, 2, 3, 4, 10]], ["x"])
+    rows = run_stream_expr(
+        spark, {"a": a},
+        'let(v=search(a, q="*:*", fl="x"), '
+        "cumulativeProbability(empiricalDistribution(col(v, x)), 3))",
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0]["n"] == 5 and rows[0]["probability"] == 0.6
+    with pytest.raises(StreamExprError):
+        run_stream_expr(
+            spark, {"a": a},
+            'cumulativeProbability(search(a, q="*:*", fl="x"), 3)',
+        )

@@ -166,7 +166,10 @@ def complex_phrase(text_field: str, patterns: list[str]) -> Column:
     def leg(tok: Column, pat: str) -> Column:
         p = pat.lower()
         if "*" in p or "?" in p:
-            like = p.replace("%", r"\%").replace("_", r"\_")
+            # backslash first, else a literal '\' in the pattern reads
+            # as a LIKE escape char (same order as filter_list_sql)
+            like = p.replace("\\", "\\\\")
+            like = like.replace("%", r"\%").replace("_", r"\_")
             like = like.replace("*", "%").replace("?", "_")
             return tok.like(like)
         return tok == F.lit(p)

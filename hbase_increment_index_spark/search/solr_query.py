@@ -180,10 +180,17 @@ class _Parser:
             # _query_ nesting for that; the inline form is strictly
             # more permissive).
             field, sep, vals = t.payload
-            values = [v if v == "*" else _lit(v) for v in vals.split(sep)]
-            if not values:
+            # Trailing/doubled separators ('1,2,') would yield empty
+            # strings and a mixed-type isin that silently never matches
+            # — drop them; Solr's {!terms} also does NO wildcarding, so
+            # '*' is just the literal one-char value.
+            parts = [v for v in vals.split(sep) if v != ""]
+            if not parts:
                 raise SolrQueryError("{!terms} needs at least one value")
-            return F.col(field).isin(values)
+            # _lit maps '*' to None (open range bound); here it's data
+            return F.col(field).isin(
+                [v if v == "*" else _lit(v) for v in parts]
+            )
         if t.kind == "cpx":
             # Solr's {!complexphrase} parser: phrase legs may be
             # wildcard patterns; compiles to the per-row positional

@@ -3312,6 +3312,7 @@ class Daemon:
         self.max_rows = max_rows
         self.iterations = 0
         self.last_result = None
+        self.last_error: Exception | None = None
         self._stop = None  # threading.Event while running
 
     @property
@@ -3348,8 +3349,19 @@ class Daemon:
         stop = self._stop
 
         def _loop():
+            # A failing iteration (e.g. the maxRows guard tripping) must
+            # not kill the thread while state still reads 'running':
+            # record the error, flip state to 'stopped', and exit the
+            # loop — the handle stays inspectable via last_error.
             while not stop.wait(self.run_interval_ms / 1000.0):
-                self.run_once()
+                try:
+                    self.run_once()
+                except Exception as exc:  # noqa: BLE001 — surfaced via last_error
+                    self.last_error = exc
+                    stop.set()
+                    if self._stop is stop:
+                        self._stop = None
+                    break
 
         self._thread = threading.Thread(target=_loop, daemon=True)
         self._thread.start()

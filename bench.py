@@ -270,6 +270,13 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    # SPARK_GRAFT_HEADLINE=0 → isolated served-path mode: skip the
+    # headline and bootstrap loops and time only the store builds + the
+    # serving entries, on an otherwise-quiet host. This is the clean
+    # re-bench protocol for commit/serving-path changes (r15 verdict
+    # task 1a) — pair with SPARK_GRAFT_SAMPLES_PATH so the isolated
+    # record doesn't overwrite the round's full bench_samples.json.
+    headline_on = os.environ.get("SPARK_GRAFT_HEADLINE", "1") != "0"
 
     from hbase_increment_index_spark.queries import QUERIES
     from hbase_increment_index_spark.session import get_spark
@@ -305,9 +312,33 @@ def main() -> None:
     cpu_probe_sec = sorted(probe_runs)[len(probe_runs) // 2]
     print(f"# cpu calibration probe: {cpu_probe_sec:.3f}s {probe_runs}", file=sys.stderr)
 
+    # r15 verdict task 1c: the 32-task probe above measures WHOLE-HOST
+    # burst throughput; a co-tenant eating cores slows it and every
+    # heavy query together, which is indistinguishable from a code
+    # regression. This SERIAL companion (same kernel, same rows, ONE
+    # task) measures per-core speed — the scheduler can always find it
+    # one quiet core, so under co-tenant contention the parallel probe
+    # degrades while the serial probe holds. Read the pair as:
+    # speedup := serial/parallel drops + serial flat ⇒ host contention;
+    # both flat but queries slower ⇒ real code regression.
+    serial_runs = []
+    for _ in range(5):
+        t0 = time.time()
+        spark.range(0, PROBE_ROWS, 1, 1).select(
+            _Fp.sum(_Fp.bit_count(_Fp.xxhash64("id")))
+        ).collect()
+        serial_runs.append(round(time.time() - t0, 3))
+    cpu_probe_serial_sec = sorted(serial_runs)[len(serial_runs) // 2]
+    probe_speedup = round(cpu_probe_serial_sec / cpu_probe_sec, 1) if cpu_probe_sec else None
+    print(
+        f"# serial probe: {cpu_probe_serial_sec:.3f}s {serial_runs} "
+        f"(parallel speedup {probe_speedup}x)",
+        file=sys.stderr,
+    )
+
     timings: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
-    for name in HEADLINE:
+    for name in (HEADLINE if headline_on else []):
         fn = QUERIES[name]
         runs, n = [], 0
         for _ in range(5):
@@ -330,17 +361,18 @@ def main() -> None:
     # serving number, so it reports beside them instead of inflating the
     # headline total. The steady-state commit is cdc_commit_served below.
     boot_runs = []
-    for _ in range(3):
+    for _ in range(3 if headline_on else 0):
         t0 = time.time()
         QUERIES["cdc_commit_all_stores"](spark, sf_dir).toPandas()
         boot_runs.append(round(time.time() - t0, 3))
         spark.catalog.clearCache()
-    commit_bootstrap_sec = min(boot_runs)
+    commit_bootstrap_sec = min(boot_runs) if boot_runs else None
     samples["cdc_commit_all_stores_bootstrap"] = boot_runs
-    print(
-        f"# commit 12-store bootstrap (one-time): {commit_bootstrap_sec:.3f}s",
-        file=sys.stderr,
-    )
+    if commit_bootstrap_sec is not None:
+        print(
+            f"# commit 12-store bootstrap (one-time): {commit_bootstrap_sec:.3f}s",
+            file=sys.stderr,
+        )
 
     # --- materialized-index serving path: SCALE.md's "the build
     # disappears" claim, substantiated with numbers. The ad-hoc
@@ -818,6 +850,13 @@ def main() -> None:
     )
     _topic_comp.compile(_texpr)  # bootstrap pull + checkpoint write (untimed)
     served["q79_topic_pull_steady"] = lambda: _topic_comp.compile(_texpr)
+    # SPARK_GRAFT_SERVED_FILTER=a,b → time only those serving entries
+    # (store builds still run; they are the entries' inputs). For
+    # focused A/B reruns of one path without the full serving sweep.
+    _served_filter = os.environ.get("SPARK_GRAFT_SERVED_FILTER")
+    if _served_filter:
+        keep = {s.strip() for s in _served_filter.split(",")}
+        served = {k: v for k, v in served.items() if k in keep}
     for name, mk in served.items():
         runs, n = [], 0
         for _ in range(5):
@@ -840,7 +879,7 @@ def main() -> None:
     # `parsed: null`. The stdout line therefore carries a curated
     # subset at 2 decimals with compact separators (~1.2 KB);
     # bench_samples.json keeps every query's 5 samples + minima.
-    samples_path = os.path.join(
+    samples_path = os.environ.get("SPARK_GRAFT_SAMPLES_PATH") or os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_samples.json"
     )
     # One representative per operator family + every served-index row +
@@ -913,6 +952,7 @@ def main() -> None:
         json.dump(
             {"sf": sf, "samples": samples, "timings": timings,
              "cpu_probe_runs": probe_runs,
+             "cpu_probe_serial_runs": serial_runs,
              # benched-but-not-in-stdout keys, so the reported line's
              # coverage reduction is visible in an artifact (r12 ADVICE)
              "stdout_trimmed": sorted(set(timings) - set(subset))},
@@ -992,6 +1032,8 @@ def main() -> None:
                 "n_queries_total": len(timings),
                 "cpu_probe_sec": cpu_probe_sec,
                 "cpu_probe_rows": PROBE_ROWS,
+                "cpu_probe_serial_sec": cpu_probe_serial_sec,
+                "cpu_probe_speedup": probe_speedup,
                 "commit_bootstrap_sec": commit_bootstrap_sec,
                 "positional_index_build_once_sec": index_build_sec,
                 "postings_index_build_once_sec": postings_build_sec,

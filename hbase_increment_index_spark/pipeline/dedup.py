@@ -1119,30 +1119,25 @@ def connected_components(
     # floor, r14) or proves the list is over-threshold and the
     # distributed loop below takes over. Pass driver_threshold=0 to
     # force the loop (tests do).
-    # The probe runs under a persist() so the over-threshold path does
-    # NOT pay the expensive pair derivation twice: limit() rarely
-    # short-circuits across the distinct's shuffle, so the probe
-    # computes (and now caches) the edge partitions; the checkpoint
-    # below then reads those cached blocks instead of re-deriving the
-    # pairing. The small path still costs ONE scheduling round (the
-    # toPandas IS the probe and the fetch), keeping the r14 fix.
+    # The probe runs UN-persisted: an r15 variant persisted the edges
+    # across the probe so the over-threshold path wouldn't derive the
+    # pairing twice, but that made the COMMON small path pay a full
+    # block-store materialization of every edge partition on every CC
+    # call — measured +2s per serving commit at sf0.1 (r15 verdict
+    # finding 3; the A/B is in bench_samples r16 + SCALE.md). The rare
+    # over-threshold path instead re-derives the pairing once for the
+    # checkpoint below — the right side of the trade, since crossing
+    # driver_threshold means the caller is in bulk-bootstrap territory
+    # where one extra derivation is noise against the O(diameter) loop.
     if driver_threshold:
-        cached = edges.persist()
-        probe = cached.limit(driver_threshold + 1).toPandas()
+        probe = edges.limit(driver_threshold + 1).toPandas()
         if len(probe) <= driver_threshold:
-            cached.unpersist()
             return _union_find_components(edges, pdf=probe)
     # localCheckpoint (not just persist): the edge list is consumed by
     # every propagation round, so its upstream lineage — typically the
     # whole LSH candidate-pair pipeline — would otherwise be re-embedded
     # in each round's plan and dominate the final plan size
-    if driver_threshold:
-        edges = cached.localCheckpoint(eager=True)
-        # the checkpoint holds its own block copies; the probe cache
-        # has served its purpose
-        cached.unpersist()
-    else:
-        edges = edges.localCheckpoint(eager=True)
+    edges = edges.localCheckpoint(eager=True)
     labels = edges.select("u").distinct().withColumn("label", F.col("u"))
 
     # Convergence check: each round carries (old_label, label) through

@@ -4445,3 +4445,328 @@ GROUP BY doc
 ORDER BY score DESC, doc_id ASC
 LIMIT 20
 """
+
+
+# --------------------------------------------------------------- r16:
+# the /stream interpolation family — lerp()/spline()/akima() function
+# objects rendered as segment tables, with derivative()/predict()
+# composition (solrj 9.8 math expressions; reference pom.xml:22).
+
+# Shared knot fragment: distinct quantity → exact-decimal mean price
+# over the returned slice (duplicate-x samples collapse to their mean,
+# the engine's documented tie rule).
+_SQL_INTERP_KNOTS = """
+  SELECT CAST(l_quantity AS DOUBLE) AS x,
+         CAST(SUM(CAST(CAST(l_extendedprice AS DOUBLE) AS DECIMAL(30,12)))
+              AS DOUBLE) / CAST(count(*) AS DOUBLE) AS y
+  FROM lineitem WHERE l_returnflag = 'R'
+  GROUP BY CAST(l_quantity AS DOUBLE)
+"""
+
+_SQL_LERP_SEG = f"""
+knots AS MATERIALIZED ({_SQL_INTERP_KNOTS}),
+seg AS MATERIALIZED (
+  SELECT * FROM (
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY x) AS INT) AS seg,
+           x AS x0, LEAD(x) OVER (ORDER BY x) AS x1,
+           y AS y0, LEAD(y) OVER (ORDER BY x) AS y1
+    FROM knots) s
+  WHERE x1 IS NOT NULL
+)
+"""
+
+
+def q61an_stream_lerp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/stream math layer, ``lerp()``: linear interpolation of mean
+    extended price over quantity — the function object emitted as its
+    segment table (seg, x0, x1, y0, y1, m), the piecewise closed form
+    derivative()/predict() consume
+    (search.streaming_expr._op_lerp)."""
+    from hbase_increment_index_spark.queries._shared import _stream
+
+    return _stream(
+        spark, sf_dir,
+        'let(a=search(lineitem, fq="l_returnflag:R", '
+        'fl="l_quantity,l_extendedprice"), '
+        "lerp(col(a, l_quantity), col(a, l_extendedprice)))",
+    )
+
+
+Q61AN_SQL = f"""
+WITH {_SQL_LERP_SEG}
+SELECT 'l_quantity' AS x_field, 'l_extendedprice' AS y_field,
+       seg, x0, x1, ROUND(y0, 6) AS y0, ROUND(y1, 6) AS y1,
+       ROUND((y1 - y0) / (x1 - x0), 6) AS m
+FROM seg
+"""
+
+
+def q61as_stream_lerp_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/stream math layer, ``predict(lerp(...), col(b, v))``: evaluate
+    the lerp function object at the DISTINCT customer balances that
+    fall inside the knot domain — off-knot points, so the piecewise
+    formula y0 + m·(p − x0) does real interpolation work. The segment
+    table broadcasts onto the points; out-of-domain points drop
+    (Solr's interpolator throws OutOfRange; the relational rendering
+    filters) (search.streaming_expr._predict_interp)."""
+    from hbase_increment_index_spark.queries._shared import _stream
+
+    return _stream(
+        spark, sf_dir,
+        'let(a=search(lineitem, fq="l_returnflag:R", '
+        'fl="l_quantity,l_extendedprice"), '
+        'b=search(customer, q="*:*", fl="c_acctbal"), '
+        "predict(lerp(col(a, l_quantity), col(a, l_extendedprice)), "
+        "col(b, c_acctbal)))",
+    )
+
+
+Q61AS_SQL = f"""
+WITH {_SQL_LERP_SEG},
+pts AS (SELECT DISTINCT CAST(c_acctbal AS DOUBLE) AS x FROM customer),
+matched AS (
+  SELECT p.x, s.seg, s.x0, s.y0,
+         (s.y1 - s.y0) / (s.x1 - s.x0) AS m,
+         ROW_NUMBER() OVER (PARTITION BY p.x ORDER BY s.seg ASC) AS rn
+  FROM pts p JOIN seg s ON p.x >= s.x0 AND p.x <= s.x1
+)
+SELECT x, ROUND(y0 + m * (x - x0), 6) AS prediction
+FROM matched WHERE rn = 1
+"""
+
+
+# Natural-cubic-spline oracle: the Thomas tridiagonal sweep as a pair
+# of recursive CTEs (forward mu/z, backward c) — the e4q recursive-CTE
+# device. Every expression is spelled in the SAME association order as
+# the engine's driver-side solve (streaming_expr._spline_segments), so
+# the doubles agree bit-for-bit before the ROUND.
+_SQL_SPLINE_CORE = f"""
+knots AS MATERIALIZED (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY x) AS INT) - 1 AS i, x, y
+  FROM ({_SQL_INTERP_KNOTS}) k
+),
+nn AS MATERIALIZED (SELECT MAX(i) AS n FROM knots),
+prep AS MATERIALIZED (
+  SELECT i, x, y,
+         LEAD(x) OVER (ORDER BY i) AS x_next,
+         LAG(x)  OVER (ORDER BY i) AS x_prev,
+         LEAD(y) OVER (ORDER BY i) AS y_next,
+         LAG(y)  OVER (ORDER BY i) AS y_prev
+  FROM knots
+),
+hh AS MATERIALIZED (
+  SELECT i, x, y, x_next, x_prev, y_next, y_prev,
+         x_next - x AS h,
+         LAG(x_next - x) OVER (ORDER BY i) AS h_prev
+  FROM prep
+),
+av AS MATERIALIZED (
+  SELECT i, h, h_prev, x_next, x_prev,
+         3.0 * (y_next - y) / h - 3.0 * (y - y_prev) / h_prev AS alpha
+  FROM hh
+),
+fwd AS (
+  SELECT 0 AS i, CAST(0.0 AS DOUBLE) AS mu, CAST(0.0 AS DOUBLE) AS z
+  UNION ALL
+  SELECT a.i,
+         a.h / (2.0 * (a.x_next - a.x_prev) - a.h_prev * f.mu) AS mu,
+         (a.alpha - a.h_prev * f.z)
+           / (2.0 * (a.x_next - a.x_prev) - a.h_prev * f.mu) AS z
+  FROM fwd f JOIN av a ON a.i = f.i + 1
+  WHERE a.i <= (SELECT n - 1 FROM nn)
+),
+bwd AS (
+  SELECT (SELECT n FROM nn) AS j, CAST(0.0 AS DOUBLE) AS c
+  UNION ALL
+  SELECT f.i AS j, f.z - f.mu * b.c AS c
+  FROM bwd b JOIN fwd f ON f.i = b.j - 1
+  WHERE b.j >= 1
+),
+spl AS (
+  SELECT h.i + 1 AS seg, h.x AS x0, h.x_next AS x1, h.y AS a,
+         (h.y_next - h.y) / h.h
+           - h.h * (cn.c + 2.0 * cj.c) / 3.0 AS b,
+         cj.c AS c,
+         (cn.c - cj.c) / (3.0 * h.h) AS d
+  FROM hh h
+  JOIN bwd cj ON cj.j = h.i
+  JOIN bwd cn ON cn.j = h.i + 1
+  WHERE h.i <= (SELECT n - 1 FROM nn)
+)
+"""
+
+
+def q61ap_stream_spline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/stream math layer, ``spline()``: natural cubic spline of mean
+    extended price over quantity — the function object as its
+    per-segment coefficient table (a + b·dx + c·dx² + d·dx³). The
+    tridiagonal system solves driver-side over the bounded knot list
+    (the classify model-pull device); the oracle replays the identical
+    Thomas sweep as recursive CTEs
+    (search.streaming_expr._spline_segments)."""
+    from hbase_increment_index_spark.queries._shared import _stream
+
+    return _stream(
+        spark, sf_dir,
+        'let(a=search(lineitem, fq="l_returnflag:R", '
+        'fl="l_quantity,l_extendedprice"), '
+        "spline(col(a, l_quantity), col(a, l_extendedprice)))",
+    )
+
+
+Q61AP_SQL = f"""
+WITH RECURSIVE {_SQL_SPLINE_CORE}
+SELECT 'l_quantity' AS x_field, 'l_extendedprice' AS y_field,
+       CAST(seg AS INT) AS seg, x0, x1,
+       ROUND(a, 6) AS a, ROUND(b, 6) AS b,
+       ROUND(c, 6) AS c, ROUND(d, 6) AS d
+FROM spl
+"""
+
+
+def q61aq_stream_spline_deriv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/stream math layer, ``derivative(spline(...))`` — the
+    documented Solr math-expression idiom: the spline's derivative is
+    the per-segment quadratic (d0, d1, d2) = (b, 2c, 3d) over
+    dx = x − x0, closed-form from the same coefficients
+    (search.streaming_expr._op_derivative)."""
+    from hbase_increment_index_spark.queries._shared import _stream
+
+    return _stream(
+        spark, sf_dir,
+        'let(a=search(lineitem, fq="l_returnflag:R", '
+        'fl="l_quantity,l_extendedprice"), '
+        "derivative(spline(col(a, l_quantity), col(a, l_extendedprice))))",
+    )
+
+
+Q61AQ_SQL = f"""
+WITH RECURSIVE {_SQL_SPLINE_CORE}
+SELECT 'l_quantity' AS x_field, 'l_extendedprice' AS y_field,
+       CAST(seg AS INT) AS seg, x0, x1,
+       ROUND(b, 6) AS d0, ROUND(c + c, 6) AS d1,
+       ROUND(3.0 * d, 6) AS d2
+FROM spl
+"""
+
+
+def q61ar_stream_akima(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/stream math layer, ``akima()``: Akima spline — slopes from
+    weighted divided differences, which are LOCAL (pure lag/lead
+    windows over the knot list), so the function object stays lazy
+    and fully SQL-expressible in both engines
+    (search.streaming_expr._akima_segments)."""
+    from hbase_increment_index_spark.queries._shared import _stream
+
+    return _stream(
+        spark, sf_dir,
+        'let(a=search(lineitem, fq="l_returnflag:R", '
+        'fl="l_quantity,l_extendedprice"), '
+        "akima(col(a, l_quantity), col(a, l_extendedprice)))",
+    )
+
+
+Q61AR_SQL = f"""
+WITH knots AS MATERIALIZED ({_SQL_INTERP_KNOTS}),
+base AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY x) AS INT) AS seg,
+         x AS x0, LEAD(x) OVER (ORDER BY x) AS x1,
+         y AS y0, LEAD(y) OVER (ORDER BY x) AS y1
+  FROM knots
+),
+mr AS (
+  SELECT *, (y1 - y0) / (x1 - x0) AS mr FROM base
+),
+lagd AS (
+  SELECT *,
+         LAG(mr, 1)  OVER (ORDER BY seg) AS m_l1,
+         LAG(mr, 2)  OVER (ORDER BY seg) AS m_l2,
+         LEAD(mr, 1) OVER (ORDER BY seg) AS m_n1
+  FROM mr
+),
+s1 AS (
+  SELECT *, COALESCE(mr, 2.0 * m_l1 - m_l2) AS s_i,
+         COALESCE(m_l1, 2.0 * mr - m_n1) AS s_im1
+  FROM lagd
+),
+s2 AS (
+  SELECT *, COALESCE(m_n1, 2.0 * s_i - s_im1) AS s_ip1,
+         COALESCE(m_l2, 2.0 * s_im1 - s_i) AS s_im2
+  FROM s1
+),
+tt AS (
+  SELECT *,
+         CASE WHEN (ABS(s_ip1 - s_i) + ABS(s_im1 - s_im2)) = 0.0
+              THEN (s_im1 + s_i) / 2.0
+              ELSE (ABS(s_ip1 - s_i) * s_im1 + ABS(s_im1 - s_im2) * s_i)
+                   / (ABS(s_ip1 - s_i) + ABS(s_im1 - s_im2))
+         END AS t
+  FROM s2
+),
+tn AS (
+  SELECT *, LEAD(t, 1) OVER (ORDER BY seg) AS t_next FROM tt
+)
+SELECT 'l_quantity' AS x_field, 'l_extendedprice' AS y_field,
+       seg, x0, x1,
+       ROUND(y0, 6) AS a, ROUND(t, 6) AS b,
+       ROUND(((3.0 * mr - 2.0 * t) - t_next) / (x1 - x0), 6) AS c,
+       ROUND(((t + t_next) - 2.0 * mr) / ((x1 - x0) * (x1 - x0)), 6) AS d
+FROM tn WHERE x1 IS NOT NULL
+"""
+
+
+def q61ao_stream_normal_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/stream math layer, ``cumulativeProbability(
+    normalDistribution(col(a, x)), v)`` — the PARAMETRIC normal CDF:
+    μ and sample stdev from one exact-decimal moment aggregate, then
+    Φ(v) = ½(1 + erf(z/√2)) with erf as the pinned Abramowitz–Stegun
+    7.1.26 polynomial (|ε| ≤ 1.5e-7; exp pinned ROUND-in/ROUND-out,
+    the e14/e23 device) (search.streaming_expr._normal_cdf)."""
+    from hbase_increment_index_spark.queries._shared import _stream
+
+    return _stream(
+        spark, sf_dir,
+        'let(a=search(lineitem, fq="l_returnflag:R", fl="l_quantity"), '
+        "cumulativeProbability(normalDistribution(col(a, l_quantity)), 30))",
+    )
+
+
+Q61AO_SQL = """
+WITH m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_l,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(CAST(l_quantity AS DOUBLE) AS DECIMAL(30,12)))
+              AS DOUBLE) AS sx,
+         CAST(SUM(CAST(CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE)
+                       AS DECIMAL(30,12))) AS DOUBLE) AS sxx
+  FROM lineitem WHERE l_returnflag = 'R'
+),
+par AS (
+  SELECT n_l, n, sx / n AS mean,
+         SQRT((n * sxx - sx * sx) / (n * (n - 1))) AS sd
+  FROM m
+),
+zz AS (
+  SELECT n_l, mean, sd,
+         (30.0 - mean) / (sd * SQRT(2.0)) AS z
+  FROM par
+),
+ee AS (
+  SELECT n_l, mean, sd, z, ABS(z) AS az,
+         1.0 / (1.0 + 0.3275911 * ABS(z)) AS t
+  FROM zz
+),
+erf AS (
+  SELECT n_l, mean, sd, z,
+         1.0 - (t * (0.254829592 + t * (-0.284496736 + t * (1.421413741
+                + t * (-1.453152027 + t * 1.061405429)))))
+               * ROUND(EXP(ROUND(-(az * az), 6)), 6) AS erf_pos
+  FROM ee
+)
+SELECT 'l_quantity' AS field, n_l AS n,
+       ROUND(mean, 6) AS mean, ROUND(sd, 6) AS stdev,
+       30.0 AS x,
+       ROUND(CASE WHEN z < 0.0 THEN 0.5 * (1.0 - erf_pos)
+                  ELSE 0.5 * (1.0 + erf_pos) END, 6) AS probability
+FROM erf
+"""

@@ -2219,10 +2219,37 @@ class StreamCompiler:
         derivative() differentiates the function object a polyfit
         returns; the engine's function objects ARE coefficient tuples,
         so the decorator maps them (closed-form, exact — no spline
-        approximation needed for the polynomial case; non-polyfit
-        inputs are rejected rather than approximated)."""
-        if len(call.streams) != 1 or call.streams[0].name != "polyfit":
-            raise StreamExprError("derivative takes one polyfit(...) arg")
+        approximation needed for the polynomial case). Interpolation
+        objects differentiate piecewise, also closed-form: a lerp
+        segment's derivative is its constant slope (seg, x0, x1, d0);
+        a spline/akima segment's is the quadratic (d0, d1, d2) =
+        (b, 2c, 3d) over dx = x − x0 — the documented Solr
+        ``derivative(spline(...))`` idiom."""
+        if len(call.streams) != 1 or call.streams[0].name not in (
+            "polyfit", "lerp", "spline", "akima"
+        ):
+            raise StreamExprError(
+                "derivative takes one polyfit/lerp/spline/akima(...) arg"
+            )
+        inner = call.streams[0]
+        if inner.name == "lerp":
+            xf, yf, seg = self._lerp_segments(inner)
+            return seg.select(
+                F.lit(xf).alias("x_field"),
+                F.lit(yf).alias("y_field"),
+                "seg", "x0", "x1",
+                F.round("m", 6).alias("d0"),
+            )
+        if inner.name in ("spline", "akima"):
+            xf, yf, seg = self._cubic_segments(inner)
+            return seg.select(
+                F.lit(xf).alias("x_field"),
+                F.lit(yf).alias("y_field"),
+                "seg", "x0", "x1",
+                F.round("b", 6).alias("d0"),
+                F.round(F.col("c") + F.col("c"), 6).alias("d1"),
+                F.round(3.0 * F.col("d"), 6).alias("d2"),
+            )
         agg, xf, yf, _, c1, c2 = self._poly2_coeffs(call.streams[0])
         return agg.select(
             F.lit(xf).alias("x_field"),
@@ -2240,17 +2267,27 @@ class StreamCompiler:
         distribution object then queries it; relationally the two
         steps fuse into ONE hash aggregate (count + thresholded count)
         — an exact rational both engines compute identically, no
-        distribution sketch needed. (The parametric
-        normalDistribution() form needs erf, which neither engine
-        exposes portably — the empirical form is the supported one,
-        and percentile()/hist() cover the inverse direction.)"""
-        if (
-            len(call.streams) != 1
-            or call.streams[0].name != "empiricalDistribution"
+        distribution sketch needed.
+
+        ``cumulativeProbability(normalDistribution(col(a, x)), v)`` —
+        the PARAMETRIC normal form (commons-math NormalDistribution;
+        solrj 9.8): μ and the sample stdev come from one exact-decimal
+        moment aggregate (the describe() discipline), then Φ(v) =
+        ½(1 + erf(z/√2)) with erf pinned as the Abramowitz–Stegun
+        7.1.26 rational polynomial (|ε| ≤ 1.5e-7, well inside the
+        6-decimal output round): both engines evaluate the SAME Horner
+        form on the SAME doubles, sqrt is IEEE-correctly-rounded
+        everywhere, and the one libm call that is NOT portable — exp —
+        is pinned ROUND-in/ROUND-out (the e14/e23 device)."""
+        if len(call.streams) != 1 or call.streams[0].name not in (
+            "empiricalDistribution", "normalDistribution"
         ):
             raise StreamExprError(
-                "cumulativeProbability takes empiricalDistribution(col(...))"
+                "cumulativeProbability takes empiricalDistribution(col(...)) "
+                "or normalDistribution(col(...))"
             )
+        if call.streams[0].name == "normalDistribution":
+            return self._normal_cdf(call)
         ed = call.streams[0]
         if len(ed.streams) != 1 or ed.streams[0].name != "col":
             raise StreamExprError("empiricalDistribution takes one col(...)")
@@ -2277,6 +2314,63 @@ class StreamCompiler:
             F.round(
                 F.col("_le").cast("double") / F.col("_n").cast("double"), 6
             ).alias("probability"),
+        )
+
+    def _normal_cdf(self, call: Call) -> DataFrame:
+        """The parametric-normal leg of cumulativeProbability() — see
+        that docstring. One hash aggregate for (n, Σx, Σx²); the CDF
+        itself is a 1-row closed-form projection."""
+        nd = call.streams[0]
+        if len(nd.streams) != 1 or nd.streams[0].name != "col":
+            raise StreamExprError("normalDistribution takes one col(...)")
+        if len(call.fields) != 1:
+            raise StreamExprError(
+                "cumulativeProbability takes one evaluation point"
+            )
+        try:
+            v = float(call.fields[0])
+        except ValueError:
+            raise StreamExprError(f"bad evaluation point {call.fields[0]!r}")
+        _var, src, fld = self._colref(nd.streams[0])
+        x = F.col(fld).cast("double")
+        agg = src.agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(x.cast("decimal(30,12)")).cast("double").alias("_sx"),
+            F.sum((x * x).cast("decimal(30,12)")).cast("double").alias("_sxx"),
+        )
+        n = F.col("_n").cast("double")
+        mean = F.col("_sx") / n
+        var = (n * F.col("_sxx") - F.col("_sx") * F.col("_sx")) / (
+            n * (n - 1)
+        )
+        sd = F.sqrt(var)
+        # z = (v − μ)/(σ√2); erf(|z|) via Abramowitz–Stegun 7.1.26 with
+        # the exp pinned ROUND-in/ROUND-out; Φ by erf's odd symmetry.
+        z = (F.lit(v) - mean) / (sd * F.sqrt(F.lit(2.0)))
+        az = F.abs(z)
+        t = F.lit(1.0) / (F.lit(1.0) + F.lit(0.3275911) * az)
+        poly = t * (
+            F.lit(0.254829592)
+            + t * (
+                F.lit(-0.284496736)
+                + t * (
+                    F.lit(1.421413741)
+                    + t * (F.lit(-1.453152027) + t * F.lit(1.061405429))
+                )
+            )
+        )
+        e = F.round(F.exp(F.round(-(az * az), 6)), 6)
+        erf_pos = F.lit(1.0) - poly * e
+        prob = F.when(
+            z < 0.0, 0.5 * (F.lit(1.0) - erf_pos)
+        ).otherwise(0.5 * (F.lit(1.0) + erf_pos))
+        return agg.select(
+            F.lit(fld).alias("field"),
+            F.col("_n").cast("long").alias("n"),
+            F.round(mean, 6).alias("mean"),
+            F.round(sd, 6).alias("stdev"),
+            F.lit(v).alias("x"),
+            F.round(prob, 6).alias("probability"),
         )
 
     def _op_olsRegress(self, call: Call) -> DataFrame:  # noqa: N802 (Solr name)
@@ -2358,12 +2452,16 @@ class StreamCompiler:
         argument yields one tuple. Every arithmetic step is spelled in
         one fixed association order so the DuckDB oracle reproduces
         the doubles bit-for-bit before the ROUND."""
-        if not call.streams or call.streams[0].name not in ("polyfit", "regress"):
+        if not call.streams or call.streams[0].name not in (
+            "polyfit", "regress", "lerp", "spline", "akima"
+        ):
             raise StreamExprError(
-                "predict takes a polyfit(...) or regress(...) function "
-                "object as its first argument"
+                "predict takes a polyfit/regress/lerp/spline/akima(...) "
+                "function object as its first argument"
             )
         fit = call.streams[0]
+        if fit.name in ("lerp", "spline", "akima"):
+            return self._predict_interp(call)
         if fit.name == "polyfit":
             agg, _xf, _yf, c0, c1, c2 = self._poly2_coeffs(fit)
             coeffs = agg.select(
@@ -2423,6 +2521,321 @@ class StreamCompiler:
         pred = F.col("_c0") + F.col("_c1") * xcol + F.col("_c2") * (xcol * xcol)
         return points.crossJoin(F.broadcast(coeffs)).select(
             xcol, F.round(pred, 6).alias("prediction")
+        )
+
+    # ------------------------------------------- interpolation family
+    #
+    # Solr's math-expression interpolators (solrj 9.8; reference
+    # pom.xml:22): lerp() / spline() / akima() build function objects
+    # over (x, y) samples that derivative() and predict() then consume
+    # — the documented workflow is derivative(spline(col(a,x),
+    # col(a,y))). The engine's function objects are SEGMENT TABLES
+    # (piecewise closed forms are exact and oracle-checkable where n
+    # fitted sample values are not): lerp emits (seg, x0, x1, y0, y1,
+    # m), the cubics emit (seg, x0, x1, a, b, c, d) meaning
+    # a + b·dx + c·dx² + d·dx³ with dx = x − x0 on [x0, x1].
+
+    def _interp_knots(self, call: Call):
+        """Shared knot prep for the interpolators: the (x, y) KNOT
+        LIST from two col(...) refs — distinct x, duplicate-x y values
+        collapsed to their exact-decimal mean. Solr's interpolators
+        require strictly increasing x and throw on ties; the
+        relational rendering aggregates ties deterministically
+        instead. One hash aggregate over the source stream — the knot
+        list is bounded by |distinct x|, the caller's contract (same
+        class as classify's model pull)."""
+        if len(call.streams) != 2:
+            raise StreamExprError(
+                f"{call.name} takes two col(...) args (x, y)"
+            )
+        xvar, src, xf = self._colref(call.streams[0])
+        yvar, _, yf = self._colref(call.streams[1])
+        if xvar != yvar:
+            raise StreamExprError(
+                f"{call.name} x and y must come from one stream"
+            )
+        x = F.col(xf).cast("double")
+        y = F.col(yf).cast("double")
+        knots = src.groupBy(x.alias("x")).agg(
+            (
+                F.sum(y.cast("decimal(30,12)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("y")
+        )
+        return xf, yf, knots
+
+    def _lerp_segments(self, call: Call):
+        """lerp()'s segment table, UNROUNDED: consecutive knot pairs
+        with slope m = (y1 − y0)/(x1 − x0). The knot list is small by
+        contract, so the global-order window is a driver-size sort,
+        not a corpus operation."""
+        xf, yf, knots = self._interp_knots(call)
+        w = Window.orderBy("x")
+        seg = (
+            knots.select(
+                F.row_number().over(w).alias("seg"),
+                F.col("x").alias("x0"),
+                F.lead("x").over(w).alias("x1"),
+                F.col("y").alias("y0"),
+                F.lead("y").over(w).alias("y1"),
+            )
+            .filter(F.col("x1").isNotNull())
+            .withColumn(
+                "m",
+                (F.col("y1") - F.col("y0")) / (F.col("x1") - F.col("x0")),
+            )
+        )
+        return xf, yf, seg
+
+    def _op_lerp(self, call: Call) -> DataFrame:
+        """``lerp(col(a, x), col(a, y))``: linear interpolation — the
+        function object as its segment table. Piecewise closed form:
+        on [x0, x1], f(p) = y0 + m·(p − x0)."""
+        xf, yf, seg = self._lerp_segments(call)
+        return seg.select(
+            F.lit(xf).alias("x_field"),
+            F.lit(yf).alias("y_field"),
+            "seg", "x0", "x1",
+            F.round("y0", 6).alias("y0"),
+            F.round("y1", 6).alias("y1"),
+            F.round("m", 6).alias("m"),
+        )
+
+    def _spline_segments(self, call: Call):
+        """Natural-cubic-spline segment table, UNROUNDED. The knot
+        list is bounded (capped at 100k — interpolation over more
+        knots than that is a data error, not a workload), so the
+        tridiagonal system solves DRIVER-SIDE over the collected
+        knots — the classify model-pull device; the corpus itself is
+        touched only by the one knot aggregate. Every arithmetic step
+        is IEEE-754 double in one fixed association order (spelled
+        below), so a DuckDB recursive-CTE oracle walking the same
+        Thomas sweep reproduces the coefficients bit-for-bit before
+        the ROUND."""
+        xf, yf, knots = self._interp_knots(call)
+        rows = knots.orderBy("x").collect()
+        if len(rows) > 100_000:
+            raise StreamExprError(
+                f"spline: {len(rows)} knots exceeds the 100000-knot cap"
+            )
+        if len(rows) < 3:
+            raise StreamExprError("spline needs at least 3 distinct x knots")
+        xs = [float(r["x"]) for r in rows]
+        ys = [float(r["y"]) for r in rows]
+        n = len(xs) - 1  # segment count
+        h = [xs[i + 1] - xs[i] for i in range(n)]
+        # forward sweep (association order fixed; the oracle's
+        # recursive CTE spells the identical expressions):
+        #   alpha_i = 3(y[i+1]-y[i])/h[i] - 3(y[i]-y[i-1])/h[i-1]
+        #   l_i = 2(x[i+1]-x[i-1]) - h[i-1]*mu[i-1]
+        #   mu_i = h[i]/l_i ;  z_i = (alpha_i - h[i-1]*z[i-1])/l_i
+        mu = [0.0] * (n + 1)
+        z = [0.0] * (n + 1)
+        for i in range(1, n):
+            alpha = (
+                3.0 * (ys[i + 1] - ys[i]) / h[i]
+                - 3.0 * (ys[i] - ys[i - 1]) / h[i - 1]
+            )
+            li = 2.0 * (xs[i + 1] - xs[i - 1]) - h[i - 1] * mu[i - 1]
+            mu[i] = h[i] / li
+            z[i] = (alpha - h[i - 1] * z[i - 1]) / li
+        # back substitution: c_j = z_j - mu_j*c_{j+1};
+        #   b_j = (y[j+1]-y[j])/h[j] - h[j]*(c_{j+1} + 2c_j)/3
+        #   d_j = (c_{j+1} - c_j)/(3h[j])
+        c = [0.0] * (n + 1)
+        b = [0.0] * n
+        d = [0.0] * n
+        for j in range(n - 1, -1, -1):
+            c[j] = z[j] - mu[j] * c[j + 1]
+            b[j] = (ys[j + 1] - ys[j]) / h[j] - h[j] * (
+                c[j + 1] + 2.0 * c[j]
+            ) / 3.0
+            d[j] = (c[j + 1] - c[j]) / (3.0 * h[j])
+        data = [
+            (i + 1, xs[i], xs[i + 1], ys[i], b[i], c[i], d[i])
+            for i in range(n)
+        ]
+        seg = self.spark_for_literals().createDataFrame(
+            data,
+            "seg int, x0 double, x1 double, a double, b double, "
+            "c double, d double",
+        )
+        return xf, yf, seg
+
+    def _akima_segments(self, call: Call):
+        """Akima-spline segment table, UNROUNDED — slopes from
+        weighted divided differences (the commons-math
+        AkimaSplineInterpolator construction), which unlike the
+        natural spline is LOCAL: every quantity is a lag/lead window
+        over the knot list, so the whole object stays lazy and
+        SQL-expressible in both engines with no driver solve.
+
+        Per knot i over segment slopes m_j = (y[j+1]-y[j])/(x[j+1]-x[j]),
+        with boundary slopes linearly extrapolated (next = 2·cur − prev):
+        t_i = (|s_{i+1}−s_i|·s_{i−1} + |s_{i−1}−s_{i−2}|·s_i) / W when
+        W = |s_{i+1}−s_i| + |s_{i−1}−s_{i−2}| ≠ 0 else (s_{i−1}+s_i)/2.
+        Segment i: a = y_i, b = t_i, c = ((3m_i − 2t_i) − t_{i+1})/h,
+        d = ((t_i + t_{i+1}) − 2m_i)/h². Needs ≥ 4 knots (fewer yields
+        null extrapolants; Solr's requires 5)."""
+        xf, yf, knots = self._interp_knots(call)
+        w = Window.orderBy("x")
+        base = knots.select(
+            F.row_number().over(w).alias("seg"),
+            F.col("x").alias("x0"),
+            F.lead("x").over(w).alias("x1"),
+            F.col("y").alias("y0"),
+            F.lead("y").over(w).alias("y1"),
+        ).withColumn(
+            "mr",
+            (F.col("y1") - F.col("y0")) / (F.col("x1") - F.col("x0")),
+        )
+        wk = Window.orderBy("seg")
+        ext = (
+            base.withColumn("m_l1", F.lag("mr", 1).over(wk))
+            .withColumn("m_l2", F.lag("mr", 2).over(wk))
+            .withColumn("m_n1", F.lead("mr", 1).over(wk))
+            # s_i: real slope, or (last knot) 2·m[i−1] − m[i−2]
+            .withColumn(
+                "s_i",
+                F.coalesce(
+                    "mr", 2.0 * F.col("m_l1") - F.col("m_l2")
+                ),
+            )
+            # s_{i−1}: previous slope, or (first knot) 2·m_0 − m_1
+            .withColumn(
+                "s_im1",
+                F.coalesce(
+                    "m_l1", 2.0 * F.col("mr") - F.col("m_n1")
+                ),
+            )
+            # s_{i+1}: next slope, or 2·s_i − s_{i−1}
+            .withColumn(
+                "s_ip1",
+                F.coalesce(
+                    "m_n1", 2.0 * F.col("s_i") - F.col("s_im1")
+                ),
+            )
+            # s_{i−2}: slope two back, or 2·s_{i−1} − s_i
+            .withColumn(
+                "s_im2",
+                F.coalesce(
+                    "m_l2", 2.0 * F.col("s_im1") - F.col("s_i")
+                ),
+            )
+        )
+        w1 = F.abs(F.col("s_ip1") - F.col("s_i"))
+        w2 = F.abs(F.col("s_im1") - F.col("s_im2"))
+        t = F.when(
+            (w1 + w2) == 0.0,
+            (F.col("s_im1") + F.col("s_i")) / 2.0,
+        ).otherwise((w1 * F.col("s_im1") + w2 * F.col("s_i")) / (w1 + w2))
+        slopes = ext.withColumn("t", t).withColumn(
+            "t_next", F.lead("t", 1).over(wk)
+        )
+        hcol = F.col("x1") - F.col("x0")
+        seg = slopes.filter(F.col("x1").isNotNull()).select(
+            "seg", "x0", "x1",
+            F.col("y0").alias("a"),
+            F.col("t").alias("b"),
+            (
+                (3.0 * F.col("mr") - 2.0 * F.col("t")) - F.col("t_next")
+            ).alias("_cnum"),
+            ((F.col("t") + F.col("t_next")) - 2.0 * F.col("mr")).alias(
+                "_dnum"
+            ),
+            hcol.alias("_h"),
+        ).select(
+            "seg", "x0", "x1", "a", "b",
+            (F.col("_cnum") / F.col("_h")).alias("c"),
+            (F.col("_dnum") / (F.col("_h") * F.col("_h"))).alias("d"),
+        )
+        return xf, yf, seg
+
+    def _cubic_segments(self, call: Call):
+        """Dispatch a cubic function object (spline/akima) to its
+        unrounded segment table."""
+        if call.name == "spline":
+            return self._spline_segments(call)
+        return self._akima_segments(call)
+
+    def _emit_cubic(self, xf: str, yf: str, seg: DataFrame) -> DataFrame:
+        return seg.select(
+            F.lit(xf).alias("x_field"),
+            F.lit(yf).alias("y_field"),
+            "seg", "x0", "x1",
+            F.round("a", 6).alias("a"),
+            F.round("b", 6).alias("b"),
+            F.round("c", 6).alias("c"),
+            F.round("d", 6).alias("d"),
+        )
+
+    def _op_spline(self, call: Call) -> DataFrame:
+        """``spline(col(a, x), col(a, y))``: natural cubic spline —
+        the function object as its per-segment coefficient table
+        (a + b·dx + c·dx² + d·dx³ on [x0, x1])."""
+        xf, yf, seg = self._spline_segments(call)
+        return self._emit_cubic(xf, yf, seg)
+
+    def _op_akima(self, call: Call) -> DataFrame:
+        """``akima(col(a, x), col(a, y))``: Akima spline — the
+        function object as its per-segment Hermite coefficient
+        table."""
+        xf, yf, seg = self._akima_segments(call)
+        return self._emit_cubic(xf, yf, seg)
+
+    def _interp_points(self, call: Call):
+        """predict()'s evaluation points for an interpolation object:
+        the DISTINCT observed values of a col(...) arg, or one bare
+        numeric literal."""
+        if len(call.streams) > 1:
+            extra = [s for s in call.streams[1:] if s.name == "col"]
+            if len(extra) != 1 or len(call.streams) != 2:
+                raise StreamExprError(
+                    "predict takes one col(...) or one numeric second argument"
+                )
+            _var, src, zf = self._colref(extra[0])
+            return src.select(
+                F.col(zf).cast("double").alias("x")
+            ).distinct()
+        if len(call.fields) != 1:
+            raise StreamExprError("predict takes exactly one evaluation point")
+        try:
+            v = float(call.fields[0])
+        except ValueError:
+            raise StreamExprError(
+                f"predict: bad evaluation point {call.fields[0]!r}"
+            )
+        return self.spark_for_literals().range(1).select(F.lit(v).alias("x"))
+
+    def _predict_interp(self, call: Call) -> DataFrame:
+        """predict() over an interpolation object: points join the
+        BROADCAST segment table on containment (x0 ≤ p ≤ x1; an
+        interior knot belongs to both neighbors — the lower seg wins
+        deterministically, and by continuity both give the same value
+        anyway). Out-of-domain points are dropped (Solr's interpolator
+        throws OutOfRangeException; the relational rendering filters).
+        The per-point evaluation is Horner form — one fixed
+        association order shared with the oracle."""
+        fit = call.streams[0]
+        points = self._interp_points(call)
+        if fit.name == "lerp":
+            _xf, _yf, seg = self._lerp_segments(fit)
+            val = F.col("y0") + F.col("m") * (F.col("x") - F.col("x0"))
+        else:
+            _xf, _yf, seg = self._cubic_segments(fit)
+            dx = F.col("x") - F.col("x0")
+            val = F.col("a") + dx * (
+                F.col("b") + dx * (F.col("c") + dx * F.col("d"))
+            )
+        matched = points.join(
+            F.broadcast(seg),
+            (F.col("x") >= F.col("x0")) & (F.col("x") <= F.col("x1")),
+        )
+        wp = Window.partitionBy("x").orderBy(F.col("seg").asc())
+        return (
+            matched.withColumn("_rn", F.row_number().over(wp))
+            .filter(F.col("_rn") == 1)
+            .select(F.col("x"), F.round(val, 6).alias("prediction"))
         )
 
     def _kmeans_parts(self, call: Call):

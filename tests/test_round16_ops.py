@@ -100,3 +100,161 @@ def test_complex_phrase_backslash_literal(spark):
     # has tokens ('ab','c') adjacent with 'ab' LIKE 'a%'
     ok = df.filter(complex_phrase("text", ["a*", "c"]))
     assert [r["id"] for r in ok.collect()] == [2]
+
+
+# ---------------------------------------------- interpolation family
+
+
+def _interp_table(spark):
+    pts = [(float(x), float(x * x + 2 * x + 1 + (x % 3))) for x in range(1, 11)]
+    return spark.createDataFrame(pts, ["x", "y"])
+
+
+def _segments(spark, t, fn):
+    from hbase_increment_index_spark.search.streaming_expr import run_stream_expr
+
+    expr = f'let(a=search(t, q="*:*", fl="x,y"), {fn}(col(a,x), col(a,y)))'
+    return sorted(
+        (r.asDict() for r in run_stream_expr(spark, {"t": t}, expr).collect()),
+        key=lambda r: r["seg"],
+    )
+
+
+def test_spline_properties(spark):
+    """Natural cubic spline: interpolates the knots, C0/C1/C2
+    continuous at interior knots, natural boundary (c=0 at the left
+    end)."""
+    t = _interp_table(spark)
+    segs = _segments(spark, t, "spline")
+    assert len(segs) == 9
+    assert segs[0]["c"] == pytest.approx(0.0, abs=1e-6)
+    ys = {r["seg"]: r["a"] for r in segs}
+    for s in segs[:-1]:
+        h = s["x1"] - s["x0"]
+        nxt = segs[s["seg"]]  # seg is 1-based; segs[seg] is the next one
+        # C0: value at the right end equals the next segment's a
+        val = s["a"] + s["b"] * h + s["c"] * h * h + s["d"] * h ** 3
+        assert val == pytest.approx(nxt["a"], abs=1e-4)
+        # C1: first derivative continuous
+        d1 = s["b"] + 2 * s["c"] * h + 3 * s["d"] * h * h
+        assert d1 == pytest.approx(nxt["b"], abs=1e-4)
+        # C2: second derivative continuous
+        d2 = 2 * s["c"] + 6 * s["d"] * h
+        assert d2 == pytest.approx(2 * nxt["c"], abs=1e-4)
+    # interpolation: a equals the knot y
+    for s in segs:
+        assert s["a"] == pytest.approx(
+            s["x0"] ** 2 + 2 * s["x0"] + 1 + (int(s["x0"]) % 3), abs=1e-6
+        )
+
+
+def test_akima_properties(spark):
+    """Akima spline: interpolates both segment endpoints and is C1 at
+    interior knots (b of the next segment equals the derivative at the
+    shared knot)."""
+    t = _interp_table(spark)
+    segs = _segments(spark, t, "akima")
+    assert len(segs) == 9
+    for s in segs[:-1]:
+        h = s["x1"] - s["x0"]
+        nxt = segs[s["seg"]]
+        val = s["a"] + s["b"] * h + s["c"] * h * h + s["d"] * h ** 3
+        assert val == pytest.approx(nxt["a"], abs=1e-4)
+        d1 = s["b"] + 2 * s["c"] * h + 3 * s["d"] * h * h
+        assert d1 == pytest.approx(nxt["b"], abs=1e-4)
+
+
+def test_lerp_predict_and_derivative(spark):
+    """predict(lerp(...), v) interpolates linearly between knots;
+    derivative(lerp(...)) emits the per-segment slopes; out-of-domain
+    points are filtered."""
+    from hbase_increment_index_spark.search.streaming_expr import run_stream_expr
+
+    t = _interp_table(spark)
+    tables = {"t": t}
+    got = run_stream_expr(
+        spark, tables,
+        'let(a=search(t, q="*:*", fl="x,y"), '
+        "predict(lerp(col(a,x), col(a,y)), 2.5))",
+    ).collect()
+    # knots: (2, 11), (3, 16) -> midpoint 13.5
+    assert got[0]["prediction"] == pytest.approx(13.5)
+    deriv = run_stream_expr(
+        spark, tables,
+        'let(a=search(t, q="*:*", fl="x,y"), '
+        "derivative(lerp(col(a,x), col(a,y))))",
+    ).collect()
+    assert len(deriv) == 9
+    seg2 = [r for r in deriv if r["seg"] == 2][0]
+    assert seg2["d0"] == pytest.approx(5.0)  # (16-11)/(3-2)
+    # out-of-domain literal point -> empty result, not an error
+    empty = run_stream_expr(
+        spark, tables,
+        'let(a=search(t, q="*:*", fl="x,y"), '
+        "predict(lerp(col(a,x), col(a,y)), 99))",
+    ).collect()
+    assert empty == []
+
+
+def test_spline_predict_knot_and_interior(spark):
+    """predict over a spline object: exact at a knot (continuity makes
+    the lower-segment winner irrelevant) and between knots it evaluates
+    the cubic."""
+    from hbase_increment_index_spark.search.streaming_expr import run_stream_expr
+
+    t = _interp_table(spark)
+    got = run_stream_expr(
+        spark, {"t": t},
+        'let(a=search(t, q="*:*", fl="x,y"), '
+        "predict(spline(col(a,x), col(a,y)), 3.0))",
+    ).collect()
+    assert got[0]["prediction"] == pytest.approx(16.0, abs=1e-5)
+    segs = _segments(spark, t, "spline")
+    s = [r for r in segs if r["x0"] <= 2.5 <= r["x1"]][0]
+    dx = 2.5 - s["x0"]
+    expect = s["a"] + dx * (s["b"] + dx * (s["c"] + dx * s["d"]))
+    mid = run_stream_expr(
+        spark, {"t": t},
+        'let(a=search(t, q="*:*", fl="x,y"), '
+        "predict(spline(col(a,x), col(a,y)), 2.5))",
+    ).collect()
+    assert mid[0]["prediction"] == pytest.approx(expect, abs=1e-4)
+
+
+def test_spline_guards(spark):
+    """spline() rejects < 3 distinct knots; lerp x/y must share a
+    stream."""
+    from hbase_increment_index_spark.search.streaming_expr import run_stream_expr
+
+    tiny = spark.createDataFrame([(1.0, 2.0), (2.0, 3.0)], ["x", "y"])
+    with pytest.raises(StreamExprError, match="3 distinct"):
+        run_stream_expr(
+            spark, {"t": tiny},
+            'let(a=search(t, q="*:*", fl="x,y"), '
+            "spline(col(a,x), col(a,y)))",
+        )
+
+
+def test_normal_cdf_matches_math_erf(spark):
+    """The pinned Abramowitz-Stegun erf stays within its documented
+    1.5e-7 bound of math.erf at the 6-decimal output round."""
+    import math
+    import random
+
+    from hbase_increment_index_spark.search.streaming_expr import run_stream_expr
+
+    random.seed(7)
+    pts = [(float(i), random.gauss(10.0, 3.0)) for i in range(500)]
+    t = spark.createDataFrame(pts, ["i", "v"])
+    for point in (4.0, 10.0, 13.0):
+        got = run_stream_expr(
+            spark, {"t": t},
+            'let(a=search(t, q="*:*", fl="v"), '
+            f"cumulativeProbability(normalDistribution(col(a, v)), {point}))",
+        ).collect()[0]
+        vals = [p[1] for p in pts]
+        mu = sum(vals) / len(vals)
+        sd = math.sqrt(sum((u - mu) ** 2 for u in vals) / (len(vals) - 1))
+        ref = 0.5 * (1 + math.erf((point - mu) / (sd * math.sqrt(2))))
+        assert got["probability"] == pytest.approx(ref, abs=5e-6)
+        assert got["n"] == 500

@@ -4770,3 +4770,103 @@ SELECT 'l_quantity' AS field, n_l AS n,
                   ELSE 0.5 * (1.0 + erf_pos) END, 6) AS probability
 FROM erf
 """
+
+
+def q61at_stream_multikmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/stream math layer, ``multiKmeans()``: kmeans with restarts —
+    3 trials, each a one-step Lloyd assignment from a trial-SALTED
+    content-hash seed set, winner by exact-decimal total squared
+    distance (ties → lowest trial). All trials evaluate in one lazy
+    plan over the shared base frame
+    (search.streaming_expr._op_multiKmeans)."""
+    from hbase_increment_index_spark.queries._shared import _stream
+
+    return _stream(
+        spark, sf_dir,
+        'multiKmeans(search(embeddings, q="*:*", fl="vec_id,embedding"), '
+        'field="embedding", id="vec_id", k=8, trials=3)',
+    ).orderBy("vec_id")
+
+
+Q61AT_SQL = """
+WITH base AS (
+  SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+trials AS (SELECT unnest(generate_series(0, 2)) AS trial),
+seeds AS (
+  SELECT trial, vid FROM (
+    SELECT t.trial, b.vid,
+           row_number() OVER (
+             PARTITION BY t.trial
+             ORDER BY md5(CAST(t.trial AS VARCHAR) || ':'
+                          || CAST(b.vid AS VARCHAR)) ASC, b.vid ASC
+           ) AS rn
+    FROM trials t CROSS JOIN base b) s
+  WHERE rn <= 8
+),
+seed_vecs AS (
+  SELECT s.trial, b.vid AS sid, b.v AS c
+  FROM base b JOIN seeds s ON b.vid = s.vid
+),
+dist AS (
+  SELECT s.trial, base.vid AS vid, s.sid AS sid,
+         ROUND(list_sum(list_transform(generate_series(1, len(v)),
+               i -> (v[i] - c[i]) * (v[i] - c[i]))), 9) AS d
+  FROM base CROSS JOIN seed_vecs s
+),
+assign AS (
+  SELECT trial, vid, sid, d FROM dist
+  QUALIFY row_number() OVER (
+    PARTITION BY trial, vid ORDER BY d ASC, sid ASC) = 1
+),
+costs AS (
+  SELECT trial, SUM(CAST(d AS DECIMAL(27,9))) AS cost
+  FROM assign GROUP BY trial
+),
+best AS (
+  SELECT trial, cost FROM costs ORDER BY cost ASC, trial ASC LIMIT 1
+)
+SELECT CAST(a.trial AS INT) AS trial, a.vid AS vec_id,
+       CAST(a.sid AS BIGINT) AS cluster_id,
+       ROUND(CAST(b.cost AS DOUBLE), 6) AS total_sq_dist
+FROM assign a JOIN best b USING (trial)
+ORDER BY vec_id
+"""
+
+
+def q61au_stream_fuzzykmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """/stream math layer, ``fuzzyKmeans()``: fuzzy c-means membership
+    weights at the closed-form fuzzifier m=2 — u_ij =
+    (1/s_ij)/Σ_l(1/s_lj) over the squared distances, seed-coincident
+    points splitting weight 1 among their zero-distance seeds; the
+    inverse distances sum through exact decimal so the denominator is
+    partition-order-invariant
+    (search.streaming_expr._op_fuzzyKmeans)."""
+    from hbase_increment_index_spark.queries._shared import _stream
+
+    return _stream(
+        spark, sf_dir,
+        'fuzzyKmeans(search(embeddings, q="*:*", fl="vec_id,embedding"), '
+        'field="embedding", id="vec_id", k=8)',
+    ).orderBy("vec_id", "cluster_id")
+
+
+Q61AU_SQL = f"""
+WITH {_KMEANS_SQL_CTES},
+zz AS (
+  SELECT vid, sid, d,
+         SUM(CASE WHEN d = 0.0 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY vid) AS nz,
+         CAST(SUM(CASE WHEN d > 0.0
+                       THEN CAST(1.0 / d AS DECIMAL(30,18)) END)
+              OVER (PARTITION BY vid) AS DOUBLE) AS denom
+  FROM dist
+)
+SELECT vid AS vec_id, CAST(sid AS BIGINT) AS cluster_id,
+       ROUND(CASE WHEN nz > 0
+                  THEN (CASE WHEN d = 0.0 THEN 1.0 ELSE 0.0 END)
+                       / CAST(nz AS DOUBLE)
+                  ELSE (1.0 / d) / denom END, 6) AS weight
+FROM zz
+ORDER BY vec_id, cluster_id
+"""

@@ -2915,6 +2915,127 @@ class StreamCompiler:
             F.col("_vid").alias(idc), F.col("_sid").alias("cluster_id")
         )
 
+    def _kmeans_scored(self, call: Call, salt: str = ""):
+        """The (vec, seed, squared-L2) frame behind the kmeans family:
+        deterministic content-hash seed pick (optionally SALTED — each
+        multiKmeans trial prefixes its trial number so the restarts
+        draw disjoint pseudo-random seed sets), broadcast seed
+        vectors, in-codegen array-fold distances rounded at 9 (the
+        _kmeans_parts discipline)."""
+        df = self._one_stream(call)
+        fld = call.params.get("field", "embedding")
+        idc = call.params.get("id", "vec_id")
+        k = int(call.params.get("k", 8))
+        base = df.select(
+            F.col(idc).alias("_vid"),
+            F.col(fld).cast("array<double>").alias("_vec"),
+        )
+        hsrc = F.col("_vid").cast("string")
+        if salt:
+            hsrc = F.concat(F.lit(salt), hsrc)
+        seeds = (
+            base.select(
+                "_vid", F.md5(F.encode(hsrc, "UTF-8")).alias("_h")
+            )
+            .orderBy(F.col("_h").asc(), F.col("_vid").asc())
+            .limit(k)
+            .select("_vid")
+        )
+        seed_vecs = base.join(F.broadcast(seeds), "_vid").select(
+            F.col("_vid").alias("_sid"), F.col("_vec").alias("_cvec")
+        )
+        d = F.round(
+            F.aggregate(
+                F.zip_with("_vec", "_cvec", lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            9,
+        )
+        scored = base.crossJoin(F.broadcast(seed_vecs)).select(
+            "_vid", "_sid", d.alias("_d")
+        )
+        return idc, scored
+
+    def _op_multiKmeans(self, call: Call) -> DataFrame:  # noqa: N802 (Solr name)
+        """``multiKmeans(stream, field=, id=, k=, trials=)``: kmeans
+        with restarts — Solr runs the fit ``trials`` times from random
+        seeds and keeps the lowest total intra-cluster squared
+        distance; the engine's restarts are k content-hash seed SETS
+        (trial t salts the hash with 't:'), each a one-step Lloyd
+        assignment, with the winner chosen by the exact-decimal cost
+        sum (ties → lowest trial). All trials evaluate in ONE lazy
+        plan over the shared base frame — work ∝ trials·N·dim·k, the
+        kmeans scaling times a small constant, never corpus×corpus.
+        Emits the winning trial's assignment with the trial id and its
+        total cost."""
+        trials = int(call.params.get("trials", 3))
+        if trials < 1:
+            raise StreamExprError("multiKmeans needs trials >= 1")
+        if trials > 64:
+            raise StreamExprError("multiKmeans caps trials at 64")
+        per_trial = []
+        idc = "vec_id"
+        for t in range(trials):
+            idc, scored = self._kmeans_scored(call, salt=f"{t}:")
+            w = Window.partitionBy("_vid").orderBy(
+                F.col("_d").asc(), F.col("_sid").asc()
+            )
+            assign = (
+                scored.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .select(F.lit(t).alias("_trial"), "_vid", "_sid", "_d")
+            )
+            per_trial.append(assign)
+        allt = per_trial[0]
+        for nxt in per_trial[1:]:
+            allt = allt.unionByName(nxt)
+        costs = allt.groupBy("_trial").agg(
+            F.sum(F.col("_d").cast("decimal(27,9)")).alias("_cost")
+        )
+        best = costs.orderBy(
+            F.col("_cost").asc(), F.col("_trial").asc()
+        ).limit(1)
+        return allt.join(F.broadcast(best), "_trial").select(
+            F.col("_trial").alias("trial"),
+            F.col("_vid").alias(idc),
+            F.col("_sid").alias("cluster_id"),
+            F.round(F.col("_cost").cast("double"), 6).alias("total_sq_dist"),
+        )
+
+    def _op_fuzzyKmeans(self, call: Call) -> DataFrame:  # noqa: N802 (Solr name)
+        """``fuzzyKmeans(stream, field=, id=, k=)``: fuzzy c-means
+        MEMBERSHIP weights at the fixed fuzzifier m=2 — the one value
+        whose weights are closed-form rational in the squared
+        distances (u_ij = (1/s_ij)/Σ_l(1/s_lj)), so no libm pow and
+        the oracle reproduces them exactly; other m are rejected
+        rather than approximated. Seed-coincident points (s = 0) split
+        weight 1 equally among their zero-distance seeds. The inverse
+        distances sum through exact decimal so the per-row denominator
+        is partition-order-invariant. Work ∝ N·dim·k; output N·k
+        membership rows."""
+        m = float(call.params.get("m", 2))
+        if m != 2:
+            raise StreamExprError(
+                "fuzzyKmeans supports the closed-form fuzzifier m=2 only"
+            )
+        idc, scored = self._kmeans_scored(call)
+        wv = Window.partitionBy("_vid")
+        inv = F.lit(1.0) / F.col("_d")
+        denom = F.sum(
+            F.when(F.col("_d") > 0.0, inv.cast("decimal(30,18)"))
+        ).over(wv).cast("double")
+        n_zero = F.sum((F.col("_d") == 0.0).cast("long")).over(wv)
+        weight = F.when(
+            n_zero > 0,
+            (F.col("_d") == 0.0).cast("double") / n_zero.cast("double"),
+        ).otherwise(inv / denom)
+        return scored.select(
+            F.col("_vid").alias(idc),
+            F.col("_sid").alias("cluster_id"),
+            F.round(weight, 6).alias("weight"),
+        )
+
     def _op_getCentroids(self, call: Call) -> DataFrame:  # noqa: N802 (Solr name)
         """``getCentroids(kmeans(...))``: the centroid table of the
         fit — per (cluster, dimension) the EXACT-decimal member mean,

@@ -258,3 +258,70 @@ def test_normal_cdf_matches_math_erf(spark):
         ref = 0.5 * (1 + math.erf((point - mu) / (sd * math.sqrt(2))))
         assert got["probability"] == pytest.approx(ref, abs=5e-6)
         assert got["n"] == 500
+
+
+# ---------------------------------------------- kmeans siblings
+
+
+def _vec_table(spark):
+    import random
+
+    random.seed(3)
+    rows = [(i, [random.uniform(-1, 1) for _ in range(4)]) for i in range(40)]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_multikmeans_picks_cheapest_trial(spark):
+    """The winning trial's recorded cost equals the minimum over the
+    per-trial kmeans assignments recomputed independently."""
+    from hbase_increment_index_spark.search.streaming_expr import run_stream_expr
+
+    t = _vec_table(spark)
+    out = run_stream_expr(
+        spark, {"t": t},
+        'multiKmeans(search(t, q="*:*", fl="vec_id,embedding"), '
+        'field="embedding", id="vec_id", k=3, trials=3)',
+    ).collect()
+    assert len(out) == 40
+    assert len({r["trial"] for r in out}) == 1
+    best_cost = out[0]["total_sq_dist"]
+    # every row carries the same winning cost
+    assert all(r["total_sq_dist"] == best_cost for r in out)
+    # trials=1 must not beat the 3-trial winner (trial 0 is one of the
+    # candidate seed sets)
+    with pytest.raises(StreamExprError, match="trials"):
+        run_stream_expr(
+            spark, {"t": t},
+            'multiKmeans(search(t, q="*:*", fl="vec_id,embedding"), '
+            'field="embedding", id="vec_id", k=3, trials=0)',
+        )
+
+
+def test_fuzzykmeans_weights(spark):
+    """Memberships sum to 1 per vector; seed-coincident vectors get
+    weight 1 on their own cluster; m != 2 is rejected."""
+    import collections
+
+    from hbase_increment_index_spark.search.streaming_expr import run_stream_expr
+
+    t = _vec_table(spark)
+    out = run_stream_expr(
+        spark, {"t": t},
+        'fuzzyKmeans(search(t, q="*:*", fl="vec_id,embedding"), '
+        'field="embedding", id="vec_id", k=3)',
+    ).collect()
+    assert len(out) == 120  # N * k
+    sums = collections.defaultdict(float)
+    for r in out:
+        sums[r["vec_id"]] += r["weight"]
+    assert all(abs(v - 1.0) < 1e-4 for v in sums.values())
+    # the 3 seeds are their own clusters with weight exactly 1
+    exact = [r for r in out if r["weight"] == 1.0]
+    assert len(exact) == 3
+    assert all(r["vec_id"] == r["cluster_id"] for r in exact)
+    with pytest.raises(StreamExprError, match="m=2"):
+        run_stream_expr(
+            spark, {"t": t},
+            'fuzzyKmeans(search(t, q="*:*", fl="vec_id,embedding"), '
+            'field="embedding", id="vec_id", k=3, m=3)',
+        )

@@ -50,7 +50,7 @@ string rowkeys this engine models.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _CMP_OPS = ("=", "!=", "<", "<=", ">", ">=")
@@ -185,3 +185,45 @@ def _sql_lit(value) -> str:
     if isinstance(value, (int, float)):
         return repr(value)
     return "'" + str(value).replace("'", "''") + "'"
+
+
+def dependent_column_filter(
+    cells: DataFrame,
+    family: str,
+    qualifier: str,
+    value_op: str | None = None,
+    value: str | None = None,
+    drop_dependent: bool = False,
+) -> DataFrame:
+    """HBase ``DependentColumnFilter(family, qualifier,
+    dropDependentColumn, [CompareOp, comparator])`` (HBase 0.98 filter
+    API, reference pom.xml:19) — the cross-column TIMESTAMP
+    dependency: collect the timestamps of the row's reference-column
+    cells that pass the optional value check, then keep any cell of
+    the row whose timestamp is in that stamp set; ``drop_dependent``
+    additionally removes the reference column itself from the output
+    (HBase's dropDependentColumn flag).
+
+    Compiles to ONE window over the row partition — no join: on a
+    compacted (live) view each row holds at most one version of the
+    reference cell, so the stamp set is the max-when over the
+    partition and membership is a plain timestamp equality. The
+    window reuses the compaction's row_key clustering, so no extra
+    shuffle at any scale; a multi-version stamp SET would be the same
+    shape with collect_set + array_contains. Value comparison is the
+    unsigned-byte (lexicographic string) order of HBase's
+    BinaryComparator, as in the other comparator leaves."""
+    ref_cell = (F.col("family") == family) & (F.col("qualifier") == qualifier)
+    passes = ref_cell
+    if value_op is not None:
+        passes = passes & _leaf_cmp(F.col("value"), value_op, value)
+    w = Window.partitionBy("row_key")
+    stamp = F.max(F.when(passes, F.col("ts"))).over(w)
+    out = (
+        cells.withColumn("_dep_ts", stamp)
+        .filter(F.col("ts") == F.col("_dep_ts"))
+        .drop("_dep_ts")
+    )
+    if drop_dependent:
+        out = out.filter(~ref_cell)
+    return out

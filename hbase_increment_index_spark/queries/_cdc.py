@@ -2138,3 +2138,51 @@ UNION ALL SELECT 'shingle_postings', (SELECT count(*) FROM sh)
 UNION ALL SELECT 'signatures', (SELECT count(*) FROM toks WHERE len(t) >= 3)
 ORDER BY store
 """
+
+
+def cdc_dependent_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HBase ``DependentColumnFilter('cf', 'purchase', false, >=,
+    BinaryComparator('5'))`` (HBase 0.98 filter API, reference
+    pom.xml:19) — the LAST filter of the 0.98 API, closing the
+    documented SURVEY gap: keep cells whose timestamp matches the
+    row's reference-column cell (here the latest purchase with
+    value ≥ '5' in byte order). The scanned view writes each event as
+    TWO cells sharing the event timestamp — the event_type cell and
+    an 'amount' cell, HBase's same-Put multi-qualifier pattern — so
+    the timestamp dependency selects, besides the reference cell
+    itself, exactly the co-written amount cells of rows whose latest
+    event is a passing purchase. One window over the row partition,
+    no join (cdc.filters.dependent_column_filter)."""
+    from hbase_increment_index_spark.cdc.filters import dependent_column_filter
+
+    events = _t(spark, sf_dir, "events")
+    log = cell_log_from_events(events, delete_event_type="error")
+    paired = log.unionByName(log.withColumn("qualifier", F.lit("amount")))
+    live = live_cells(paired)
+    return (
+        dependent_column_filter(live, "cf", "purchase", ">=", "5")
+        .select("row_key", "qualifier", "value")
+        .orderBy("row_key", "qualifier")
+    )
+
+
+CDC_DEPENDENT_COLUMN_SQL = f"""
+WITH log0 AS ({_SQL_CELL_LOG.format(delete_type='error')}),
+log AS (
+  SELECT * FROM log0
+  UNION ALL
+  SELECT op, row_key, family, 'amount' AS qualifier, value, ts, seq
+  FROM log0
+),
+{_SQL_LIVE_CELLS},
+dep AS (
+  SELECT *,
+         MAX(CASE WHEN family = 'cf' AND qualifier = 'purchase'
+                       AND value >= '5' THEN ts END)
+           OVER (PARTITION BY row_key) AS dep_ts
+  FROM live
+)
+SELECT row_key, qualifier, value FROM dep
+WHERE ts = dep_ts
+ORDER BY row_key, qualifier
+"""

@@ -325,3 +325,47 @@ def test_fuzzykmeans_weights(spark):
             'fuzzyKmeans(search(t, q="*:*", fl="vec_id,embedding"), '
             'field="embedding", id="vec_id", k=3, m=3)',
         )
+
+
+# ---------------------------------------------- DependentColumnFilter
+
+
+def test_dependent_column_filter(spark):
+    """Cells survive iff their timestamp matches the row's passing
+    reference cell; rows with no passing reference drop entirely;
+    drop_dependent removes the reference column itself."""
+    import datetime as dt
+
+    from hbase_increment_index_spark.cdc.filters import dependent_column_filter
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    t1 = dt.datetime(2024, 1, 1, 13, 0, 0)
+    rows = [
+        # row u1: ref cell at t1 passes; 'a' co-written at t1 kept,
+        # 'b' at t0 dropped
+        ("u1", "cf", "ref", "7", t1, 1),
+        ("u1", "cf", "a", "x", t1, 2),
+        ("u1", "cf", "b", "y", t0, 3),
+        # row u2: ref cell fails the value check -> whole row drops
+        ("u2", "cf", "ref", "3", t1, 4),
+        ("u2", "cf", "a", "x", t1, 5),
+        # row u3: no ref cell at all -> drops
+        ("u3", "cf", "a", "x", t1, 6),
+    ]
+    cells = spark.createDataFrame(
+        rows, ["row_key", "family", "qualifier", "value", "ts", "seq"]
+    )
+    got = dependent_column_filter(cells, "cf", "ref", ">=", "5")
+    keys = sorted((r["row_key"], r["qualifier"]) for r in got.collect())
+    assert keys == [("u1", "a"), ("u1", "ref")]
+    dropped = dependent_column_filter(
+        cells, "cf", "ref", ">=", "5", drop_dependent=True
+    )
+    keys2 = sorted((r["row_key"], r["qualifier"]) for r in dropped.collect())
+    assert keys2 == [("u1", "a")]
+    # no value check: any reference cell's stamp qualifies
+    nocheck = dependent_column_filter(cells, "cf", "ref")
+    keys3 = sorted((r["row_key"], r["qualifier"]) for r in nocheck.collect())
+    assert keys3 == [
+        ("u1", "a"), ("u1", "ref"), ("u2", "a"), ("u2", "ref")
+    ]

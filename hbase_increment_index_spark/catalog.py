@@ -9,7 +9,23 @@ column pruning and partition pruning for free.
 
 from __future__ import annotations
 
+from weakref import WeakKeyDictionary
+
 from pyspark.sql import DataFrame, SparkSession
+
+# Per-session memo of fixture-table DataFrames (r16, guide §1.2 "per
+# task work"/§6 file listing): each `spark.read.parquet` call re-reads
+# the footer to infer the schema and rebuilds the file index — a fixed
+# ~10-40 ms of driver work per table per call. A stream-language query
+# loads all ten tables, so the bench paid that ten-fold on every one
+# of its 5 runs per query. A DataFrame is an immutable PLAN — reusing
+# the object re-executes the scan from parquet on every action, so no
+# result is cached (the bench/oracle contract): only the
+# schema-inference/analysis work is deduplicated, exactly what a
+# production engine's catalog holds resident. Keyed weakly per
+# SparkSession so a stopped session's frames are never reused, and
+# per sf_dir; the fixture dirs are immutable (read-only mounts).
+_FRAME_MEMO: WeakKeyDictionary = WeakKeyDictionary()
 
 TABLES = (
     "region",
@@ -31,6 +47,17 @@ BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "customer", "part"})
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    per_session = _FRAME_MEMO.setdefault(spark, {})
+    key = (sf_dir, name)
+    cached = per_session.get(key)
+    if cached is not None:
+        return cached
+    df = _load_table_uncached(spark, sf_dir, name)
+    per_session[key] = df
+    return df
+
+
+def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.ts has shipped as either parquet TIMESTAMP(MICROS)
         # (reads natively as TIMESTAMP_NTZ — nothing to do) or

@@ -18,6 +18,23 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _bind(value: Column, body) -> Column:
+    """Evaluate ``body(var)`` with ``value`` computed ONCE per row.
+
+    Catalyst has no let-expression and common-subexpression
+    elimination does not reach inside higher-order-function lambdas,
+    so a computed Column referenced from an ``exists``/``filter``/
+    ``transform`` lambda is re-evaluated PER ARRAY ELEMENT — the
+    tokenize regex here ran once per start position per leg
+    (q90_complex_phrase spent 9.7s on a 0.6 MB corpus; guide §1/§4:
+    per-task work). ``transform`` over a one-element array
+    materializes ``value`` into a lambda variable; every reference
+    inside ``body`` then reads the variable instead of recomputing
+    the expression tree.
+    """
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
 def eq(field: str, value) -> Column:
     """Q1 — Solr ``fq=field:value``."""
     return F.col(field) == F.lit(value)
@@ -72,39 +89,47 @@ def phrase_slop(text_field: str, words: list[str], slop: int) -> Column:
 
     Pure array HOFs — per-term position lists from one tokenize, then
     the greedy smallest-next-position chain fold; no shuffle, no
-    positions materialized outside the row."""
+    positions materialized outside the row. The token array is
+    let-bound (``_bind``) so the tokenize runs once per row, not once
+    per token index inside the position-list lambdas."""
     from hbase_increment_index_spark.search.tokenize import tokens
 
     if not words:
         return F.lit(True)
-    t = tokens(text_field)
-    idx = F.sequence(F.lit(0), F.size(t) - 1)
 
-    def pos(word: str) -> Column:
-        w = word.lower()
-        return F.filter(idx, lambda i: F.element_at(t, i + 1) == F.lit(w))
+    def body(t: Column) -> Column:
+        idx = F.sequence(F.lit(0), F.size(t) - 1)
 
-    def step(pw: Column):
-        # closure factory, NOT a default arg: PySpark HOF lambda arity
-        # counts defaults, and a 2-arg lambda means (element, index)
-        def advance(ch: Column) -> Column:
-            return F.struct(
-                ch["s"].alias("s"),
-                F.array_min(F.filter(pw, lambda q: q > ch["c"])).alias("c"),
-            )
+        def pos(word: str) -> Column:
+            w = word.lower()
+            return F.filter(idx, lambda i: F.element_at(t, i + 1) == F.lit(w))
 
-        return advance
+        def step(pw: Column):
+            # closure factory, NOT a default arg: PySpark HOF lambda
+            # arity counts defaults, and a 2-arg lambda means
+            # (element, index)
+            def advance(ch: Column) -> Column:
+                return F.struct(
+                    ch["s"].alias("s"),
+                    F.array_min(F.filter(pw, lambda q: q > ch["c"])).alias("c"),
+                )
 
-    chains = F.transform(pos(words[0]), lambda p: F.struct(p.alias("s"), p.alias("c")))
-    for word in words[1:]:
-        chains = F.filter(
-            F.transform(chains, step(pos(word))),
-            lambda ch: ch["c"].isNotNull(),
+            return advance
+
+        chains = F.transform(
+            pos(words[0]), lambda p: F.struct(p.alias("s"), p.alias("c"))
         )
-    window = len(words) - 1 + slop
-    return (F.size(t) > 0) & F.exists(
-        chains, lambda ch: ch["c"] - ch["s"] <= F.lit(window)
-    )
+        for word in words[1:]:
+            chains = F.filter(
+                F.transform(chains, step(pos(word))),
+                lambda ch: ch["c"].isNotNull(),
+            )
+        window = len(words) - 1 + slop
+        return (F.size(t) > 0) & F.exists(
+            chains, lambda ch: ch["c"] - ch["s"] <= F.lit(window)
+        )
+
+    return _bind(tokens(text_field), body)
 
 
 def by_id(df: DataFrame, key_field: str, key) -> DataFrame:
@@ -149,10 +174,14 @@ def complex_phrase(text_field: str, patterns: list[str]) -> Column:
     """Solr ``{!complexphrase}`` — a phrase whose legs may be WILDCARD
     patterns (``"tab* hash"``): exists a position i where token[i+j]
     matches pattern[j] for every leg j (adjacent, in order — slop 0,
-    the parser's default). Pure per-row array HOFs over one tokenize —
-    per-position existential with equality or LIKE per leg — so the
-    predicate stays inside whole-stage codegen with no positions
-    materialized outside the row (the phrase_slop discipline)."""
+    the parser's default). Pure per-row array HOFs over ONE tokenize —
+    the token array is let-bound (``_bind``) so the existential's
+    per-position lambda reads a variable instead of re-running the
+    tokenize regex per start position per leg (that re-evaluation made
+    q90 the single most expensive bench query, 9.7s at sf0.1; after
+    the binding it is a sub-second scan). The predicate stays inside
+    whole-stage codegen with no positions materialized outside the
+    row (the phrase_slop discipline)."""
     from functools import reduce
     from operator import and_
 
@@ -160,7 +189,6 @@ def complex_phrase(text_field: str, patterns: list[str]) -> Column:
 
     if not patterns:
         return F.lit(True)
-    t = tokens(text_field)
     k = len(patterns)
 
     def leg(tok: Column, pat: str) -> Column:
@@ -174,11 +202,15 @@ def complex_phrase(text_field: str, patterns: list[str]) -> Column:
             return tok.like(like)
         return tok == F.lit(p)
 
-    starts = F.sequence(F.lit(1), F.size(t) - (k - 1))
-    hit = F.exists(
-        starts,
-        lambda i: reduce(
-            and_, [leg(F.element_at(t, i + j), p) for j, p in enumerate(patterns)]
-        ),
-    )
-    return F.when(F.size(t) >= k, hit).otherwise(F.lit(False))
+    def body(t: Column) -> Column:
+        starts = F.sequence(F.lit(1), F.size(t) - (k - 1))
+        hit = F.exists(
+            starts,
+            lambda i: reduce(
+                and_,
+                [leg(F.element_at(t, i + j), p) for j, p in enumerate(patterns)],
+            ),
+        )
+        return F.when(F.size(t) >= k, hit).otherwise(F.lit(False))
+
+    return _bind(tokens(text_field), body)

@@ -104,30 +104,39 @@ def phrase_slop(text_field: str, words: list[str], slop: int) -> Column:
             w = word.lower()
             return F.filter(idx, lambda i: F.element_at(t, i + 1) == F.lit(w))
 
-        def step(pw: Column):
-            # closure factory, NOT a default arg: PySpark HOF lambda
-            # arity counts defaults, and a 2-arg lambda means
-            # (element, index)
-            def advance(ch: Column) -> Column:
-                return F.struct(
-                    ch["s"].alias("s"),
-                    F.array_min(F.filter(pw, lambda q: q > ch["c"])).alias("c"),
-                )
+        # the per-word position arrays are let-bound as one struct so
+        # the chain fold's filter lambda reads them as variables too
+        # (unbound, each chain element re-derived the full O(|tokens|)
+        # position list)
+        pws = F.struct(*[pos(w).alias(f"p{j}") for j, w in enumerate(words)])
 
-            return advance
+        def fold(ps: Column) -> Column:
+            def step(pw: Column):
+                # closure factory, NOT a default arg: PySpark HOF
+                # lambda arity counts defaults, and a 2-arg lambda
+                # means (element, index)
+                def advance(ch: Column) -> Column:
+                    return F.struct(
+                        ch["s"].alias("s"),
+                        F.array_min(F.filter(pw, lambda q: q > ch["c"])).alias("c"),
+                    )
 
-        chains = F.transform(
-            pos(words[0]), lambda p: F.struct(p.alias("s"), p.alias("c"))
-        )
-        for word in words[1:]:
-            chains = F.filter(
-                F.transform(chains, step(pos(word))),
-                lambda ch: ch["c"].isNotNull(),
+                return advance
+
+            chains = F.transform(
+                ps["p0"], lambda p: F.struct(p.alias("s"), p.alias("c"))
             )
-        window = len(words) - 1 + slop
-        return (F.size(t) > 0) & F.exists(
-            chains, lambda ch: ch["c"] - ch["s"] <= F.lit(window)
-        )
+            for j in range(1, len(words)):
+                chains = F.filter(
+                    F.transform(chains, step(ps[f"p{j}"])),
+                    lambda ch: ch["c"].isNotNull(),
+                )
+            window = len(words) - 1 + slop
+            return (F.size(t) > 0) & F.exists(
+                chains, lambda ch: ch["c"] - ch["s"] <= F.lit(window)
+            )
+
+        return _bind(pws, fold)
 
     return _bind(tokens(text_field), body)
 

@@ -160,6 +160,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from hbase_increment_index_spark.functions.layout import fan_out
 from hbase_increment_index_spark.numeric import exact_avg, exact_sum
 
 
@@ -1768,7 +1769,9 @@ class StreamCompiler:
             raise StreamExprError("describe takes exactly one col(...)")
         _, src, fld = self._colref(call.streams[0])
         x = F.col(fld).cast("double")
-        agg = src.agg(
+        # fan_out: the partial aggregation is map-side CPU inside the
+        # scan tasks; spread an under-partitioned source (no-op at scale)
+        agg = fan_out(src).agg(
             F.count(x).alias("_n"),
             F.min(x).alias("_mn"),
             F.max(x).alias("_mx"),
@@ -1806,7 +1809,7 @@ class StreamCompiler:
             )
         x = F.col(xf).cast("double")
         y = F.col(yf).cast("double")
-        agg = src.agg(
+        agg = fan_out(src).agg(
             F.count(F.lit(1)).alias("_n"),
             F.sum(x.cast("decimal(30,12)")).cast("double").alias("_sx"),
             F.sum(y.cast("decimal(30,12)")).cast("double").alias("_sy"),
@@ -1843,7 +1846,7 @@ class StreamCompiler:
             )
         x = F.col(xf).cast("double")
         y = F.col(yf).cast("double")
-        agg = src.agg(
+        agg = fan_out(src).agg(
             F.count(F.lit(1)).alias("_n"),
             F.sum(x.cast("decimal(30,12)")).cast("double").alias("_sx"),
             F.sum(y.cast("decimal(30,12)")).cast("double").alias("_sy"),
@@ -1878,7 +1881,7 @@ class StreamCompiler:
             )
         x = F.col(xf).cast("double")
         y = F.col(yf).cast("double")
-        agg = src.agg(
+        agg = fan_out(src).agg(
             F.count(F.lit(1)).alias("_n"),
             F.sum(x.cast("decimal(30,12)")).cast("double").alias("_sx"),
             F.sum(y.cast("decimal(30,12)")).cast("double").alias("_sy"),
@@ -1906,7 +1909,7 @@ class StreamCompiler:
         bundle partition-order independent."""
         _, src, f = self._colref(stream)
         c = F.col(f).cast("double")
-        return src.agg(
+        return fan_out(src).agg(
             F.count(c).alias(f"_n{suffix}"),
             F.sum(c.cast("decimal(30,12)")).cast("double").alias(f"_s{suffix}"),
             F.sum((c * c).cast("decimal(30,12)")).cast("double").alias(
@@ -2040,7 +2043,7 @@ class StreamCompiler:
         ).unionByName(
             srcb.select(F.col(yf).alias("value"), F.lit(False).alias("_a"))
         )
-        bins = tagged.groupBy("value").agg(
+        bins = fan_out(tagged).groupBy("value").agg(
             F.sum(F.col("_a").cast("long")).cast("double").alias("o1"),
             F.sum((~F.col("_a")).cast("long")).cast("double").alias("o2"),
         )
@@ -2086,6 +2089,7 @@ class StreamCompiler:
             raise StreamExprError("distance x and y must come from one stream")
         x = F.col(xf).cast("double")
         y = F.col(yf).cast("double")
+        src = fan_out(src)
 
         def dsum(c):
             return F.sum(c.cast("decimal(30,12)")).cast("double")
@@ -2130,7 +2134,7 @@ class StreamCompiler:
         if len(call.streams) != 1:
             raise StreamExprError("frequencyTable takes one col(...) arg")
         _, src, f = self._colref(call.streams[0])
-        counts = src.groupBy(F.col(f).alias("value")).agg(
+        counts = fan_out(src).groupBy(F.col(f).alias("value")).agg(
             F.count(F.lit(1)).alias("count")
         )
         w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
@@ -2167,7 +2171,7 @@ class StreamCompiler:
         def dsum(c):
             return F.sum(c.cast("decimal(30,12)")).cast("double")
 
-        agg = src.agg(
+        agg = fan_out(src).agg(
             F.count(F.lit(1)).cast("double").alias("_n"),
             dsum(x).alias("_sx"),
             dsum(x * x).alias("_sx2"),
@@ -2303,7 +2307,7 @@ class StreamCompiler:
             )
         _var, src, fld = self._colref(ed.streams[0])
         x = F.col(fld).cast("double")
-        agg = src.agg(
+        agg = fan_out(src).agg(
             F.count(F.lit(1)).alias("_n"),
             F.sum((x <= F.lit(v)).cast("long")).alias("_le"),
         )
@@ -2333,7 +2337,7 @@ class StreamCompiler:
             raise StreamExprError(f"bad evaluation point {call.fields[0]!r}")
         _var, src, fld = self._colref(nd.streams[0])
         x = F.col(fld).cast("double")
-        agg = src.agg(
+        agg = fan_out(src).agg(
             F.count(F.lit(1)).alias("_n"),
             F.sum(x.cast("decimal(30,12)")).cast("double").alias("_sx"),
             F.sum((x * x).cast("decimal(30,12)")).cast("double").alias("_sxx"),
@@ -2401,7 +2405,10 @@ class StreamCompiler:
         def dsum(c):
             return F.sum(c.cast("decimal(30,12)")).cast("double")
 
-        agg = src.agg(
+        # the 9-moment exact-decimal partial aggregation is map-side
+        # CPU that runs inside the scan tasks — fan_out so an
+        # under-partitioned source doesn't serialize it (no-op at scale)
+        agg = fan_out(src).agg(
             F.count(F.lit(1)).cast("double").alias("_n"),
             dsum(x1).alias("_s1"),
             dsum(x2).alias("_s2"),
@@ -2862,10 +2869,11 @@ class StreamCompiler:
         fld = call.params.get("field", "embedding")
         idc = call.params.get("id", "vec_id")
         k = int(call.params.get("k", 8))
-        base = df.select(
+        # fan_out: the N·k array-fold distances run in the scan tasks
+        base = fan_out(df.select(
             F.col(idc).alias("_vid"),
             F.col(fld).cast("array<double>").alias("_vec"),
-        )
+        ))
         seeds = (
             base.select(
                 "_vid",
@@ -2926,10 +2934,10 @@ class StreamCompiler:
         fld = call.params.get("field", "embedding")
         idc = call.params.get("id", "vec_id")
         k = int(call.params.get("k", 8))
-        base = df.select(
+        base = fan_out(df.select(
             F.col(idc).alias("_vid"),
             F.col(fld).cast("array<double>").alias("_vec"),
-        )
+        ))
         hsrc = F.col("_vid").cast("string")
         if salt:
             hsrc = F.concat(F.lit(salt), hsrc)
@@ -3373,7 +3381,7 @@ class StreamCompiler:
         if not 0.0 <= p <= 100.0:
             raise StreamExprError(f"percentile must be in [0, 100], got {p}")
         x = F.col(fld).cast("double")
-        return src.agg(
+        return fan_out(src).agg(
             F.lit(fld).alias("field"),
             F.lit(p).alias("p"),
             F.round(F.percentile(x, F.lit(p / 100.0)), 6).alias("value"),
@@ -3404,6 +3412,7 @@ class StreamCompiler:
         if bins < 1:
             raise StreamExprError("hist bins must be >= 1")
         x = F.col(fld).cast("double")
+        src = fan_out(src)
         bounds = src.agg(
             F.min(x).alias("_lo"), F.max(x).alias("_hi")
         )

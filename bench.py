@@ -1021,6 +1021,52 @@ def main() -> None:
     except (OSError, ValueError, KeyError, TypeError) as exc:  # noqa: PERF203
         print(f"# WARN normalized_vs_prev unavailable: {exc}", file=sys.stderr)
 
+    # Mover protocol (r15 verdict task 8): any common-set key whose
+    # best-of-5 moved >1.3× vs the last committed record gets an
+    # automatic ISOLATED best-of-5 side sample taken at the END of the
+    # run (quiet point: every store build and headline loop is done),
+    # recorded as "<name>_isolated_runs" in bench_samples.json. The
+    # next judge round can then separate process-state accumulation
+    # (isolated min ≪ in-run min — the r15 cdc_commit_served class)
+    # from real plan regressions (isolated min ≈ in-run min) without
+    # a manual re-bench.
+    isolated: dict[str, list[float]] = {}
+    try:
+        if norm_fields.get("raw_vs_prev") is not None:
+            prev_q = (prev.get("parsed") or {}).get("queries") or {}
+            movers = [
+                k for k, pv in prev_q.items()
+                if pv and pv > 0 and k in timings and timings[k] / pv > 1.3
+            ]
+            for name in movers:
+                mk = served.get(name) or (
+                    (lambda n=name: QUERIES[n](spark, sf_dir))
+                    if name in QUERIES
+                    else None
+                )
+                if mk is None:
+                    continue
+                runs = []
+                for _ in range(5):
+                    t0 = time.time()
+                    mk().toPandas()
+                    runs.append(round(time.time() - t0, 3))
+                    spark.catalog.clearCache()
+                isolated[f"{name}_isolated_runs"] = runs
+                print(
+                    f"# mover >1.3x {name}: in-run {timings[name]:.3f}s, "
+                    f"isolated best {min(runs):.3f}s {runs}",
+                    file=sys.stderr,
+                )
+            if isolated:
+                with open(samples_path) as fh:
+                    _sm = json.load(fh)
+                _sm.update(isolated)
+                with open(samples_path, "w") as fh:
+                    json.dump(_sm, fh, indent=1)
+    except (OSError, ValueError, KeyError, TypeError) as exc:  # noqa: PERF203
+        print(f"# WARN mover protocol skipped: {exc}", file=sys.stderr)
+
     def _mk_line(keys):
         return json.dumps(
             {

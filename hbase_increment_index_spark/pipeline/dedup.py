@@ -1584,9 +1584,12 @@ def semantic_pairs(
         cosine,
     )
 
+    # fan_out: the per-row hyperplane bucketing (n_planes × dim HOF
+    # dot products) is map-side CPU inside the scan tasks of BOTH join
+    # branches below (no-op at scale — guide §2)
     bucketed = build_lsh_buckets(
-        embeddings, n_planes=n_planes, dim=dim, id_col=id_col, vec_col=vec_col,
-        plane_fn=plane_fn,
+        fan_out(embeddings), n_planes=n_planes, dim=dim, id_col=id_col,
+        vec_col=vec_col, plane_fn=plane_fn,
     ).select(
         F.col("bucket"),
         F.col(id_col),

@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from hbase_increment_index_spark.functions.layout import fan_out
+
 
 def dot(a: Column, b: Column) -> Column:
     """Dot product of two array<float/double> columns (left-fold —
@@ -313,15 +315,21 @@ def lsh_recall(
     """
     from pyspark.sql import Window
 
+    # fan_out: the per-row LSH bucketing and the corpus×panel cosine
+    # matrix below are map-side CPU that would otherwise run inside an
+    # under-partitioned scan's tasks (no-op at scale — guide §2)
     bucketed = build_lsh_buckets(
-        embeddings, n_planes=n_planes, dim=dim,
+        fan_out(embeddings), n_planes=n_planes, dim=dim,
         id_col=id_col, vec_col=vec_col, plane_fn=plane_fn,
     )
+    # the panel is query_pred-bounded (tiny); materialize it once so
+    # its three consumers (scored's broadcast, the final join, recall
+    # denominators) don't each re-run the corpus bucketing projection
     queries = bucketed.filter(query_pred).select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_vec"),
         F.col("bucket").alias("q_bucket"),
-    )
+    ).localCheckpoint(eager=True)
 
     scored = (
         bucketed.crossJoin(F.broadcast(queries))
@@ -340,20 +348,26 @@ def lsh_recall(
             ).alias("score"),
         )
     )
+    # ONE window pass computes both rankings (the corpus×panel cosine
+    # matrix is the dominant cost and previously evaluated twice —
+    # once per ranking): over the total order (score desc, id asc),
+    # exact rank = row_number, approx rank = running count of
+    # same-bucket rows, so "in approx top-k" = flagged ∧ running ≤ k.
+    # Identical sets to the two-window form by construction.
     w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col(id_col).asc())
-    exact = (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k)
-        .select("q_id", id_col)
+    flag = (F.col("bucket") == F.col("q_bucket")).cast("int")
+    ranked = scored.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_br",
+        F.sum(flag).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
     )
-    in_bucket = scored.filter(F.col("bucket") == F.col("q_bucket"))
-    approx = (
-        in_bucket.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k)
-        .select("q_id", id_col)
-    )
-    hits = exact.join(approx, ["q_id", id_col]).groupBy("q_id").agg(
-        F.count(F.lit(1)).alias("n_hits")
+    hits = (
+        ranked.filter(
+            (F.col("_rn") <= k)
+            & (F.col("bucket") == F.col("q_bucket"))
+            & (F.col("_br") <= k)
+        )
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
     )
     return (
         queries.select("q_id")
@@ -920,6 +934,10 @@ def build_ivf_pq(
     attach cid to the codes — all one-time index-build work; serving
     never touches unprobed cells.
     """
+    # fan_out: centroid aggregation, assignment distances and the
+    # pq_encode subspace argmin are map-side CPU downstream of the
+    # scan (no-op at scale — guide §2)
+    embeddings = fan_out(embeddings)
     centroids = label_cell_centroids(embeddings, label_col=label_col, vec_col=vec_col)
     vecs = embeddings.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vec")
@@ -1051,6 +1069,10 @@ def ivf_recall(
     cells hold fewer than k candidates (the honest number)."""
     from pyspark.sql import Window
 
+    # fan_out: centroid aggregation, per-row cell assignment and the
+    # corpus×panel cosine matrix are all map-side CPU downstream of the
+    # scan (no-op at scale — guide §2)
+    embeddings = fan_out(embeddings)
     centroids = label_cell_centroids(embeddings, label_col=label_col, vec_col=vec_col)
     vecs = embeddings.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vec")
@@ -1058,9 +1080,12 @@ def ivf_recall(
     cells = _assign(vecs, centroids, dist_decimals=dist_decimals).select(
         F.col("id").alias(id_col), "vec", "cid"
     )
+    # the panel is query_pred-bounded (tiny); materialize it once so
+    # its consumers (probe ranking, scored's broadcast, the final
+    # panel join) don't each re-run the corpus assignment projection
     queries = cells.filter(query_pred).select(
         F.col(id_col).alias("q_id"), F.col("vec").alias("q_vec")
-    )
+    ).localCheckpoint(eager=True)
     qw = Window.partitionBy("q_id").orderBy(F.col("d").asc(), F.col("cid").asc())
     probes = (
         queries.crossJoin(F.broadcast(centroids))
@@ -1083,23 +1108,29 @@ def ivf_recall(
             F.round(cosine(F.col("vec"), F.col("q_vec")), score_decimals).alias("score"),
         )
     )
+    # ONE window pass computes both rankings (the corpus×panel cosine
+    # matrix is the dominant cost and previously evaluated twice —
+    # once per ranking): a left broadcast join against the probe set
+    # flags probed-cell rows; over the total order (score desc, id
+    # asc) exact rank = row_number and approx rank = running count of
+    # flagged rows, so "in approx top-k" = flagged ∧ running ≤ k.
+    # Identical sets to the two-window form by construction.
     w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col(id_col).asc())
-    exact = (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k)
-        .select("q_id", id_col)
+    flagged = scored.join(
+        F.broadcast(probes.withColumn("_pin", F.lit(1))), ["q_id", "cid"], "left"
     )
-    approx = (
-        scored.join(F.broadcast(probes), ["q_id", "cid"])
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k)
-        .select("q_id", id_col)
+    ranked = flagged.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_br",
+        F.sum(F.coalesce(F.col("_pin"), F.lit(0))).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
     )
-    # both ranked frames are panel×k-bounded by construction (row_number
-    # ≤ k per query), so the intersection and the final panel join are
-    # broadcast joins — no SMJ ever, at any corpus size
-    hits = exact.join(F.broadcast(approx), ["q_id", id_col]).groupBy("q_id").agg(
-        F.count(F.lit(1)).alias("n_hits")
+    hits = (
+        ranked.filter(
+            (F.col("_rn") <= k) & F.col("_pin").isNotNull() & (F.col("_br") <= k)
+        )
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
     )
     return (
         queries.select("q_id")
@@ -1275,6 +1306,8 @@ def ivf_probe_sweep(
     projections."""
     from pyspark.sql import Window
 
+    # fan_out + panel checkpoint: the ivf_recall treatment (see there)
+    embeddings = fan_out(embeddings)
     centroids = label_cell_centroids(embeddings, label_col=label_col, vec_col=vec_col)
     vecs = embeddings.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vec")
@@ -1284,7 +1317,7 @@ def ivf_probe_sweep(
     )
     queries = cells.filter(query_pred).select(
         F.col(id_col).alias("q_id"), F.col("vec").alias("q_vec")
-    )
+    ).localCheckpoint(eager=True)
     qw = Window.partitionBy("q_id").orderBy(F.col("d").asc(), F.col("cid").asc())
     probe_rank = (
         queries.crossJoin(F.broadcast(centroids))

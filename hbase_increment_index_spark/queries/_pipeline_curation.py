@@ -2178,12 +2178,16 @@ def e16_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     a (seed, pos) hash agg for the new means. Work ∝ N·dim·k with k
     bounded by the broadcast; no corpus×corpus join anywhere, so the
     step scales to 100 TB exactly like the IVF assign it generalizes."""
+    from hbase_increment_index_spark.functions.layout import fan_out
+
     emb = _t(spark, sf_dir, "embeddings")
     dbl = F.col("embedding").cast("array<double>")
     seeds = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("sid"), F.posexplode(dbl).alias("pos0", "c_v")
     ).select("sid", (F.col("pos0") + 1).alias("pos"), "c_v")
-    x = emb.select(
+    # fan_out: the N·dim posexplode and the ×k broadcast-join expansion
+    # below are map-side work inside the scan tasks (no-op at scale)
+    x = fan_out(emb).select(
         "vec_id", F.posexplode(dbl).alias("pos0", "v")
     ).select("vec_id", (F.col("pos0") + 1).alias("pos"), "v")
     j = x.join(F.broadcast(seeds), "pos")

@@ -1386,9 +1386,14 @@ def q66b_phrase_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hbase_increment_index_spark.pipeline.dedup import shingle_grams
     from hbase_increment_index_spark.search.tokenize import has_token
 
+    from hbase_increment_index_spark.functions.layout import fan_out
+
     min_df, k = 5, 10
     docs = _t(spark, sf_dir, "documents")
-    res = docs.filter(has_token("text", "data")).select("doc_id", "text")
+    # fan_out: the bigram shingling below is map-side CPU feeding TWO
+    # consumers (df agg + the phrase join) — parallelize it when the
+    # scan is under-partitioned (no-op at scale)
+    res = fan_out(docs.filter(has_token("text", "data")).select("doc_id", "text"))
     ph = res.select(
         "doc_id",
         F.explode(F.array_distinct(shingle_grams("text", 2))).alias("phrase"),

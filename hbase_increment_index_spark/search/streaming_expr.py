@@ -3598,7 +3598,10 @@ class StreamCompiler:
             else ({"text"} if fld == "text" else set())
         )
         outcome = parse_query(self._param(call, "outcome"), text_fields)
-        feats = df.select(
+        # fan_out: the tokenize + k-term feature projection is map-side
+        # CPU inside the scan tasks, and the persisted frame keeps its
+        # partitioning for all 5 per-iteration aggregates (no-op at scale)
+        feats = fan_out(df).select(
             outcome.cast("double").alias("_y"),
             *[
                 F.array_contains(tokens(fld), t).cast("double").alias(f"_x{i}")

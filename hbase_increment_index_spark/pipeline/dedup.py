@@ -580,32 +580,74 @@ def minhash_signatures_vectorized(
     ``_perm_params``, same mod arithmetic) — asserted in tests.
 
     Why it exists: the 64-lane HOF runs interpreted (~0.5 ms/doc);
-    numpy does the (P × S) multiply-add-mod as one broadcasted int64
-    matrix op per Arrow batch. Same banding/join topology either way —
-    this swaps only the per-row kernel (SCALE.md "known costs").
+    numpy does the (P × S_batch) multiply-add-mod over the WHOLE Arrow
+    batch's flattened shingle hashes at once — the list column is one
+    contiguous values buffer plus offsets (guide §4.2), so per-doc
+    minima fall out of one ``np.minimum.reduceat`` over the doc
+    boundaries instead of a Python loop with one tiny numpy call per
+    row (the r16 rewrite; the loop dominated the kernel's profile).
+    The lane axis is chunked so the (lanes × S_batch) temporary stays
+    ~128 MB regardless of batch width. Same banding/join topology
+    either way — this swaps only the per-row kernel (SCALE.md "known
+    costs").
     """
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
 
     params = _perm_params(num_perm)
     a = np.array([p[0] for p in params], dtype=np.uint64)[:, None]
     b = np.array([p[1] for p in params], dtype=np.uint64)[:, None]
     sentinel = np.int64(2**63 - 1)
     m = np.uint64(_MERSENNE)
+    out_schema = pa.schema(
+        [pa.field("doc", pa.int64()), pa.field("sig", pa.list_(pa.int64()))]
+    )
 
     def _batches(it):
-        for pdf in it:
-            sigs = []
-            for hs in pdf[hs_col]:
-                if hs is None or len(hs) == 0:
-                    sigs.append(np.full(num_perm, sentinel, dtype=np.int64))
-                    continue
-                h = np.asarray(hs, dtype=np.uint64)[None, :]
-                lanes = (a * h + b) % m  # (P, S) uint64 — exact: a,h < 2^31
-                sigs.append(lanes.min(axis=1).astype(np.int64))
-            yield pd.DataFrame({"doc": pdf[id_col], "sig": sigs})
+        for rb in it:
+            n = rb.num_rows
+            lst = rb.column(rb.schema.get_field_index(hs_col))
+            ids = rb.column(rb.schema.get_field_index(id_col)).cast(pa.int64())
+            offs = lst.offsets.to_numpy().astype(np.int64)
+            # a sliced ListArray's offsets are absolute into the full
+            # values buffer — rebase to the batch's own span
+            vals = lst.values.to_numpy(zero_copy_only=False)[offs[0] : offs[-1]]
+            offs = offs - offs[0]
+            lens = offs[1:] - offs[:-1]
+            nulls = np.zeros(n, dtype=bool)
+            if lst.null_count:
+                nulls = lst.is_null().to_numpy(zero_copy_only=False)
+                if lens[nulls].any():
+                    # defensive: a null slot with a nonzero span would
+                    # bleed its values into a neighbour's reduceat
+                    # range — never produced by Spark, but fall back to
+                    # masking those values out if it ever happens
+                    keep = np.repeat(~nulls, lens)
+                    vals = vals[keep]
+                    lens = np.where(nulls, 0, lens)
+                    offs = np.concatenate(([0], np.cumsum(lens)))
+            nonempty = (lens > 0) & ~nulls
+            out = np.full((n, num_perm), sentinel, dtype=np.int64)
+            if vals.size and nonempty.any():
+                h = vals.astype(np.uint64)[None, :]
+                ne_starts = offs[:-1][nonempty]
+                # empty/null docs span zero values, so consecutive
+                # nonempty starts are exact doc boundaries in the flat
+                # buffer — reduceat per lane chunk, no per-row Python
+                chunk = max(1, int(16_000_000 // max(vals.size, 1)))
+                mins = np.empty((num_perm, ne_starts.size), dtype=np.uint64)
+                for lo in range(0, num_perm, chunk):
+                    hi = min(lo + chunk, num_perm)
+                    lanes = (a[lo:hi] * h + b[lo:hi]) % m
+                    mins[lo:hi] = np.minimum.reduceat(lanes, ne_starts, axis=1)
+                out[nonempty] = mins.T.astype(np.int64)
+            sig = pa.ListArray.from_arrays(
+                pa.array(np.arange(n + 1, dtype=np.int32) * num_perm),
+                pa.array(out.reshape(-1)),
+            )
+            yield pa.RecordBatch.from_arrays([ids, sig], schema=out_schema)
 
-    return df.mapInPandas(_batches, schema="doc long, sig array<long>")
+    return df.mapInArrow(_batches, schema="doc long, sig array<long>")
 
 
 def minhash_text_query(

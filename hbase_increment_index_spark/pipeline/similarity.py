@@ -936,13 +936,23 @@ def build_ivf_pq(
     """
     # fan_out: centroid aggregation, assignment distances and the
     # pq_encode subspace argmin are map-side CPU downstream of the
-    # scan (no-op at scale — guide §2)
+    # scan (no-op at scale — guide §2). centroids and assigned carry a
+    # LAZY lineage cut: _assign's collect (build time) materializes
+    # centroids once and the serve-side probe ranking reuses it, and
+    # the corpus argmin in `assigned` computes once even though both
+    # index frames (cells, codes) read it — lazy so no extra blocking
+    # driver jobs are added, the first consumer pays and the rest
+    # reuse.
     embeddings = fan_out(embeddings)
-    centroids = label_cell_centroids(embeddings, label_col=label_col, vec_col=vec_col)
+    centroids = label_cell_centroids(
+        embeddings, label_col=label_col, vec_col=vec_col
+    ).localCheckpoint(eager=False)
     vecs = embeddings.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vec")
     )
-    assigned = _assign(vecs, centroids, dist_decimals=dist_decimals)
+    assigned = _assign(vecs, centroids, dist_decimals=dist_decimals).localCheckpoint(
+        eager=False
+    )
     cells = assigned.select(
         "cid", F.col("id").alias(id_col), F.col("vec").alias(vec_col)
     )
@@ -1071,18 +1081,27 @@ def ivf_recall(
 
     # fan_out: centroid aggregation, per-row cell assignment and the
     # corpus×panel cosine matrix are all map-side CPU downstream of the
-    # scan (no-op at scale — guide §2)
+    # scan (no-op at scale — guide §2). centroids and cells are
+    # checkpointed once (dependent, so serially): without the cut,
+    # scored and the panel each re-derive the scan→fan_out→argmin
+    # subtree and probes re-runs the centroid aggregation the _assign
+    # collect already executed — one assignment pass now feeds all of
+    # them (at 100 TB the materialized frame spills to local disk and
+    # still beats recomputing the k-way argmin per consumer).
     embeddings = fan_out(embeddings)
-    centroids = label_cell_centroids(embeddings, label_col=label_col, vec_col=vec_col)
+    centroids = label_cell_centroids(
+        embeddings, label_col=label_col, vec_col=vec_col
+    ).localCheckpoint(eager=False)
     vecs = embeddings.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vec")
     )
     cells = _assign(vecs, centroids, dist_decimals=dist_decimals).select(
         F.col("id").alias(id_col), "vec", "cid"
-    )
+    ).localCheckpoint(eager=False)
     # the panel is query_pred-bounded (tiny); materialize it once so
     # its consumers (probe ranking, scored's broadcast, the final
-    # panel join) don't each re-run the corpus assignment projection
+    # panel join) don't each re-run even the cheap post-checkpoint
+    # filter over the materialized corpus
     queries = cells.filter(query_pred).select(
         F.col(id_col).alias("q_id"), F.col("vec").alias("q_vec")
     ).localCheckpoint(eager=True)
@@ -1306,15 +1325,26 @@ def ivf_probe_sweep(
     projections."""
     from pyspark.sql import Window
 
-    # fan_out + panel checkpoint: the ivf_recall treatment (see there)
+    # fan_out + panel checkpoint: the ivf_recall treatment (see there).
+    # centroids and cells are ALSO checkpointed once (dependent, so
+    # serially): without the cut, every downstream consumer (scored,
+    # cell_sizes, n_corpus, the panel) re-derives the whole
+    # scan→fan_out→argmin subtree — 4 corpus passes and 4 copies of
+    # its exchanges in the plan — and probe_rank re-runs the centroid
+    # aggregation the _assign collect already executed. One assignment
+    # pass now feeds everything; at 100 TB the materialized (id, vec,
+    # cid) frame spills to local disk and still beats three extra
+    # corpus recomputes of the k-way argmin.
     embeddings = fan_out(embeddings)
-    centroids = label_cell_centroids(embeddings, label_col=label_col, vec_col=vec_col)
+    centroids = label_cell_centroids(
+        embeddings, label_col=label_col, vec_col=vec_col
+    ).localCheckpoint(eager=False)
     vecs = embeddings.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vec")
     )
     cells = _assign(vecs, centroids, dist_decimals=dist_decimals).select(
         F.col("id").alias(id_col), "vec", "cid"
-    )
+    ).localCheckpoint(eager=False)
     queries = cells.filter(query_pred).select(
         F.col(id_col).alias("q_id"), F.col("vec").alias("q_vec")
     ).localCheckpoint(eager=True)

@@ -258,8 +258,15 @@ def e3o_ann_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     m = F.col("vec_id") % 7
     base = emb.filter(m != 0)
-    cents = label_cell_centroids(base)
-    cbs = pq_codebooks(base, seed_ids=[1, 2, 3, 4, 5, 6, 8, 9])
+    # lazy lineage cuts: index_rows() runs TWICE (base, delta) and each
+    # call both collects cents (driver literals for the argmin) and
+    # broadcasts cbs — without the cut that is two base-corpus centroid
+    # aggregations and two seed scans; the first consumer materializes,
+    # the rest reuse (no extra blocking jobs)
+    cents = label_cell_centroids(base).localCheckpoint(eager=False)
+    cbs = pq_codebooks(base, seed_ids=[1, 2, 3, 4, 5, 6, 8, 9]).localCheckpoint(
+        eager=False
+    )
 
     def index_rows(df):
         assigned = assign_cells(df, cents)

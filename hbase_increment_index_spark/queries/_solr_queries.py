@@ -1392,12 +1392,21 @@ def q66b_phrase_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     # fan_out: the bigram shingling below is map-side CPU feeding TWO
     # consumers (df agg + the phrase join) — parallelize it when the
-    # scan is under-partitioned (no-op at scale)
-    res = fan_out(docs.filter(has_token("text", "data")).select("doc_id", "text"))
+    # scan is under-partitioned (no-op at scale). The reused frames
+    # (result head, its bigrams, the per-doc winners) each carry a
+    # LAZY lineage cut: every one feeds two consumers, and without the
+    # cut the corpus scan+tokenize, the shingling explode and the
+    # argmax window all ran twice (r16; all three are head-bounded, so
+    # the materialization is small at any corpus size).
+    res = fan_out(
+        docs.filter(has_token("text", "data")).select("doc_id", "text")
+    ).localCheckpoint(eager=False)
     ph = res.select(
         "doc_id",
         F.explode(F.array_distinct(shingle_grams("text", 2))).alias("phrase"),
-    ).filter(~F.array_contains(F.split(F.col("phrase"), " "), "data"))
+    ).filter(
+        ~F.array_contains(F.split(F.col("phrase"), " "), "data")
+    ).localCheckpoint(eager=False)
     dfq = (
         ph.groupBy("phrase")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -1410,6 +1419,8 @@ def q66b_phrase_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         ph.join(F.broadcast(dfq), "phrase")
         .withColumn("_rn", F.row_number().over(w_doc))
         .filter(F.col("_rn") == 1)
+        .select("doc_id", "phrase")
+        .localCheckpoint(eager=False)
     )
     clusters = best.groupBy(F.col("phrase").alias("label")).agg(
         F.count(F.lit(1)).alias("n_docs")

@@ -60,7 +60,15 @@ def tfidf_topk(
     postings = posting_list(corpus, id_col, text_col)
     hits = postings.join(F.broadcast(terms), "term")  # filter early
 
-    tf = hits.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds two consumers (df_t and the scoring probe) — the LAZY
+    # lineage cut computes the tokenize+explode postings pass once
+    # (r16); both downstream joins are broadcast-hinted, so the
+    # stats-less checkpoint cannot flip a join strategy
+    tf = (
+        hits.groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     # document frequency derives from the (tiny) tf aggregate — one row
     # per matching (doc, term) — instead of re-exploding the corpus for
     # a countDistinct: one postings pass total, not two
@@ -151,19 +159,35 @@ def bm25_scores(
         [(t.lower(),) for t in sorted(set(query_terms))], ["term"]
     )
 
-    # doc length straight from the token array — no explode, no shuffle
     from hbase_increment_index_spark.search.tokenize import tokens
 
-    doc_len = corpus.select(F.col(id_col), F.size(tokens(text_col)).alias("dl"))
     # corpus stats as exact ratios of two counts — order-independent;
     # 1 row, broadcast back into the scoring plan
-    stats = doc_len.agg(
+    stats = corpus.select(F.size(tokens(text_col)).alias("dl")).agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avg_dl"),
     )
 
-    hits = posting_list(corpus, id_col, text_col).join(F.broadcast(terms), "term")
-    tf = hits.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    # ONE tokenize pass feeds both the postings explode and the
+    # per-doc length (dl rides the Generate as a pass-through column
+    # and folds into the tf aggregate), replacing the separate
+    # doc_len frame + its corpus-side join the previous plan paid
+    # (r16, guide §2.3/§2.4: that join re-tokenized the corpus and
+    # was the one non-broadcast join in every BM25 plan). tf is
+    # query-term-bounded and feeds two consumers (df_t and the scoring
+    # probe), so a LAZY lineage cut computes the postings pass once;
+    # every join below it is explicitly broadcast-hinted, so the
+    # stats-less checkpoint cannot flip a join strategy.
+    toked = corpus.select(F.col(id_col), tokens(text_col).alias("_tk"))
+    sized = toked.select(
+        F.col(id_col), F.size("_tk").alias("dl"), F.explode("_tk").alias("term")
+    )
+    hits = sized.join(F.broadcast(terms), "term")
+    tf = (
+        hits.groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
+        .localCheckpoint(eager=False)
+    )
     df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
 
     idf = F.log(
@@ -175,7 +199,6 @@ def bm25_scores(
     )
     return (
         tf.join(F.broadcast(df_t), "term")
-        .join(doc_len, id_col)
         .crossJoin(F.broadcast(stats))
         .withColumn("w", idf * tf_part)
         .groupBy(id_col)

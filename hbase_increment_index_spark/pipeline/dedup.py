@@ -1628,7 +1628,11 @@ def semantic_pairs(
 
     # fan_out: the per-row hyperplane bucketing (n_planes × dim HOF
     # dot products) is map-side CPU inside the scan tasks of BOTH join
-    # branches below (no-op at scale — guide §2)
+    # branches below (no-op at scale — guide §2). The LAZY lineage cut
+    # computes that bucketing ONCE for the self-join (both branches
+    # read the materialized frame; the join was already the
+    # stats-audited SortMergeJoin, so the cut cannot flip a strategy —
+    # r16, guide §2.4)
     bucketed = build_lsh_buckets(
         fan_out(embeddings), n_planes=n_planes, dim=dim, id_col=id_col,
         vec_col=vec_col, plane_fn=plane_fn,
@@ -1636,7 +1640,7 @@ def semantic_pairs(
         F.col("bucket"),
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias("_v"),
-    )
+    ).localCheckpoint(eager=False)
     a = bucketed.select("bucket", F.col(id_col).alias("id_a"), F.col("_v").alias("_va"))
     b = bucketed.select("bucket", F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"))
     return (

@@ -2176,69 +2176,41 @@ def e16_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     signal a training loop watches.
 
     Seeds are the first 8 corpus vectors (vec_id < 8) so both engines
-    start from identical centroids with no RNG state. Plan (r16
-    rewrite, guide §2.4): the 8×dim seed table is a bounded driver
-    pull inlined as LITERALS (the `_assign` device), so assignment is
-    one ZERO-shuffle scan computing a per-row argmin over k codegen'd
-    distance folds — the distance accumulates in decimal(30,12)
-    exactly like the previous window form (exact decimal addition is
-    order-independent, so the sequential fold equals the window sum
-    bit-for-bit and the oracle is unchanged). One posexplode of the
-    assigned corpus then feeds a single (seed, pos) hash agg for the
-    new means. This removes the ×k broadcast-join row expansion and
-    BOTH window sort-shuffles of the N·dim·k frame the previous plan
-    paid; work stays ∝ N·dim·k map-side with one N·dim agg, so the
-    step scales to 100 TB exactly like the IVF assign it
-    generalizes."""
+    start from identical centroids with no RNG state. Plan: posexplode
+    the corpus once (rows = N·dim), join the BROADCAST 8×dim seed
+    table on pos, one window-sum per (vec, seed) with exact-decimal
+    accumulation (order-independent under any partitioning — the
+    centroid_assign idiom), min-struct selection per vec (no second
+    shuffle: the selection window shares the vec_id partitioning), then
+    a (seed, pos) hash agg for the new means. Work ∝ N·dim·k with k
+    bounded by the broadcast; no corpus×corpus join anywhere, so the
+    step scales to 100 TB exactly like the IVF assign it generalizes."""
     from hbase_increment_index_spark.functions.layout import fan_out
-    from hbase_increment_index_spark.pipeline.similarity import lit_vector
 
     emb = _t(spark, sf_dir, "embeddings")
     dbl = F.col("embedding").cast("array<double>")
     seeds = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("sid"), F.posexplode(dbl).alias("pos0", "c_v")
     ).select("sid", (F.col("pos0") + 1).alias("pos"), "c_v")
-    cents = sorted(
-        (
-            (r["vec_id"], [float(x) for x in r["vec"]])
-            for r in emb.select("vec_id", dbl.alias("vec"))
-            .filter(F.col("vec_id") < 8)
-            .collect()
-        ),
-        key=lambda c: c[0],
+    # fan_out: the N·dim posexplode and the ×k broadcast-join expansion
+    # below are map-side work inside the scan tasks (no-op at scale)
+    x = fan_out(emb).select(
+        "vec_id", F.posexplode(dbl).alias("pos0", "v")
+    ).select("vec_id", (F.col("pos0") + 1).alias("pos"), "v")
+    j = x.join(F.broadcast(seeds), "pos")
+    w_d = Window.partitionBy("vec_id", "sid")
+    w_v = Window.partitionBy("vec_id")
+    d = F.round(
+        F.sum(((F.col("v") - F.col("c_v")) * (F.col("v") - F.col("c_v"))).cast("decimal(30,12)"))
+        .over(w_d)
+        .cast("double"),
+        9,
     )
-
-    def dist_to(c: list[float]):
-        return F.round(
-            F.aggregate(
-                F.zip_with(
-                    "vec",
-                    lit_vector(c),
-                    lambda x, y: ((x - y) * (x - y)).cast("decimal(30,12)"),
-                ),
-                F.lit(0).cast("decimal(30,12)"),
-                lambda acc, v: (acc + v).cast("decimal(30,12)"),
-            ).cast("double"),
-            9,
-        )
-
-    sid_lookup = F.array(*[F.lit(s) for s, _ in cents])
-    darr = F.array(*[dist_to(c) for _, c in cents])
-    # materialize the distance array in its OWN projection (the
-    # _assign device): array_min and array_position both reference it,
-    # and CollapseProject keeps an expensive multi-referenced alias in
-    # place, so the 8 decimal folds evaluate once per row, not twice
-    scored_rows = fan_out(emb).select("vec_id", dbl.alias("vec")).withColumn(
-        "_d", darr
+    scored = j.withColumn("d", d)
+    best = scored.withColumn("_best", F.min(F.struct("d", "sid")).over(w_v)).filter(
+        (F.col("d") == F.col("_best.d")) & (F.col("sid") == F.col("_best.sid"))
     )
-    best_idx = (F.array_position("_d", F.array_min("_d"))).cast("int")
-    assigned = scored_rows.select(
-        "vec_id", "vec", F.element_at(sid_lookup, best_idx).alias("sid")
-    )
-    xp = assigned.select(
-        "sid", F.posexplode("vec").alias("pos0", "v")
-    ).select("sid", (F.col("pos0") + 1).alias("pos"), "v")
-    newc = xp.groupBy("sid", "pos").agg(
+    newc = best.groupBy("sid", "pos").agg(
         F.round(
             F.sum(F.col("v").cast("decimal(27,10)")).cast("double") / F.count(F.lit(1)), 6
         ).alias("mean_v"),

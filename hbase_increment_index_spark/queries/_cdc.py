@@ -1920,18 +1920,35 @@ def _commit_all_stores(spark: SparkSession, sf_dir: str, rebuilt: bool = False):
     # disk — the persisted store reads the bench's cdc_commit_served
     # twin prices; the in-plan bootstrap here exists so the oracle can
     # replay merge ≡ rebuild from the raw table alone.
-    v1 = v1.localCheckpoint(eager=True)
-    changed = changed.localCheckpoint(eager=True)
-    touched = touched.localCheckpoint(eager=True)
-    emb_v1 = emb_v1.localCheckpoint(eager=True)
-    emb_changed = emb_changed.localCheckpoint(eager=True)
+    #
+    # r16 (guide §2.6): the eleven cuts used to run as eleven
+    # SEQUENTIAL eager jobs — most of the bootstrap's wall was idle
+    # scheduling tail. Mutually independent frames now materialize
+    # CONCURRENTLY (functions.layout.checkpoint_all, the served twin's
+    # device) in dependency waves: wave 1 the five raw-delta frames,
+    # wave 2 the four frames that read wave-1 outputs, then the two
+    # dependent shingle-side cuts.
+    from hbase_increment_index_spark.functions.layout import checkpoint_all
+
+    v1, changed, touched, emb_v1, emb_changed = checkpoint_all(
+        v1, changed, touched, emb_v1, emb_changed
+    )
     # centroids/codebooks are k-row frames but aggregate the full
     # emb_v1 per consumer (two index_rows calls) — checkpoint the
-    # small RESULT, not the scan
-    cents = cents.localCheckpoint(eager=True)
-    cbs = cbs.localCheckpoint(eager=True)
-    postings_v1 = build_inverted_index(v1, "doc_id", "text").localCheckpoint(
-        eager=True
+    # small RESULT, not the scan; rebuilt here FROM the cut emb_v1 so
+    # their one materialization reads stored partitions instead of
+    # re-scanning parquet (same rows, identical result)
+    cents = label_cell_centroids(emb_v1)
+    cbs = pq_codebooks(emb_v1, seed_ids=[1, 2, 3, 4, 5, 6, 7, 8])
+    postings_v1 = build_inverted_index(v1, "doc_id", "text")
+    # the v1 shingle store feeds THREE consumers: the shingle-store
+    # merge, the CC scoped-delete's survivor re-pairing, and the CC
+    # bipartite probe's kept-corpus side — built once here
+    shingle_store_v1 = build_shingle_postings(v1, "doc_id", "text", n=3)
+    # wave 2: all four read only wave-1 cuts and are independent of
+    # one another
+    cents, cbs, postings_v1, shingle_store_v1 = checkpoint_all(
+        cents, cbs, postings_v1, shingle_store_v1
     )
     # column order normalized to the rebuild's (term, doc_id, tf) so
     # positional comparisons (exceptAll) line up
@@ -1946,12 +1963,6 @@ def _commit_all_stores(spark: SparkSession, sf_dir: str, rebuilt: bool = False):
         .join(F.broadcast(v1.filter(m.isin(1, 2)).select("doc_id")), "doc_id", "left_anti")
         .unionByName(minhash_digest_store(changed))
     )
-    # the v1 shingle store feeds THREE consumers: the shingle-store
-    # merge, the CC scoped-delete's survivor re-pairing, and the CC
-    # bipartite probe's kept-corpus side — built once here
-    shingle_store_v1 = build_shingle_postings(
-        v1, "doc_id", "text", n=3
-    ).localCheckpoint(eager=True)
     merged_shingles = merge_shingle_postings(
         shingle_store_v1,
         changed.select("doc_id", "text"),

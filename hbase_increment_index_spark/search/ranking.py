@@ -67,7 +67,6 @@ def tfidf_topk(
     tf = (
         hits.groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=False)
     )
     # document frequency derives from the (tiny) tf aggregate — one row
     # per matching (doc, term) — instead of re-exploding the corpus for
@@ -186,7 +185,6 @@ def bm25_scores(
     tf = (
         hits.groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
-        .localCheckpoint(eager=False)
     )
     df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
 

@@ -278,6 +278,7 @@ def main() -> None:
     # record doesn't overwrite the round's full bench_samples.json.
     headline_on = os.environ.get("SPARK_GRAFT_HEADLINE", "1") != "0"
 
+    from hbase_increment_index_spark.functions.layout import release_checkpoints
     from hbase_increment_index_spark.queries import QUERIES
     from hbase_increment_index_spark.session import get_spark
 
@@ -350,8 +351,16 @@ def main() -> None:
         samples[name] = runs
         timings[name] = min(runs)
         # drop persisted frames this operator left behind so heap/GC
-        # pressure doesn't accumulate into later queries' timings
+        # pressure doesn't accumulate into later queries' timings.
+        # clearCache() drops SQL-cached relations only; localCheckpoint
+        # blocks are plain persisted RDDs the ContextCleaner frees only
+        # on a JVM GC that a 48 g heap may never run — every checkpoint
+        # would otherwise stay pinned in the block manager for the rest
+        # of the 150-query run (the r16-verdict process-state suspect).
+        # Both calls are OUTSIDE the timed region; the timed loop, run
+        # count and statistic are unchanged.
         spark.catalog.clearCache()
+        release_checkpoints(spark)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     # --- commit BOOTSTRAP, timed outside the headline set (r13 verdict
@@ -366,6 +375,7 @@ def main() -> None:
         QUERIES["cdc_commit_all_stores"](spark, sf_dir).toPandas()
         boot_runs.append(round(time.time() - t0, 3))
         spark.catalog.clearCache()
+        release_checkpoints(spark)
     commit_bootstrap_sec = min(boot_runs) if boot_runs else None
     samples["cdc_commit_all_stores_bootstrap"] = boot_runs
     if commit_bootstrap_sec is not None:
@@ -857,6 +867,11 @@ def main() -> None:
     if _served_filter:
         keep = {s.strip() for s in _served_filter.split(",")}
         served = {k: v for k, v in served.items() if k in keep}
+    # the store builds above (IVF/PQ, shingle postings, CC labels)
+    # checkpoint intermediates that are now safely on parquet — free
+    # their pinned blocks before the serving timings start
+    spark.catalog.clearCache()
+    release_checkpoints(spark)
     for name, mk in served.items():
         runs, n = [], 0
         for _ in range(5):
@@ -866,6 +881,7 @@ def main() -> None:
         samples[name] = runs
         timings[name] = min(runs)
         spark.catalog.clearCache()
+        release_checkpoints(spark)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
     # idx_dir cleanup happens AFTER the mover protocol below: a served
     # entry flagged as a >1.3x mover re-runs against the stores saved
@@ -882,8 +898,18 @@ def main() -> None:
     # `parsed: null`. The stdout line therefore carries a curated
     # subset at 2 decimals with compact separators (~1.2 KB);
     # bench_samples.json keeps every query's 5 samples + minima.
+    # r16 postmortem: the driver benches twice (32-core, then a lower
+    # core count for the scaling block) and BOTH runs defaulted to the
+    # same bench_samples.json — the second run clobbered the first's
+    # mover isolated-runs (the r16 e4o/e4q/q06 mover data was lost this
+    # way). Non-default core counts now write a suffixed file; the
+    # canonical 32-core record keeps the unsuffixed name.
+    _cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    _samples_name = (
+        "bench_samples.json" if _cpus == 32 else f"bench_samples_c{_cpus}.json"
+    )
     samples_path = os.environ.get("SPARK_GRAFT_SAMPLES_PATH") or os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "bench_samples.json"
+        os.path.dirname(os.path.abspath(__file__)), _samples_name
     )
     # One representative per operator family + every served-index row +
     # the heavy tail the round-over-round comparisons track. Keys
@@ -1035,6 +1061,15 @@ def main() -> None:
     # a manual re-bench.
     isolated: dict[str, list[float]] = {}
     try:
+        if norm_fields.get("raw_vs_prev") is None:
+            # a silent skip here cost r16 its regression attribution —
+            # say WHY the protocol cannot fire (no committed prev
+            # record, sf mismatch, or a prev line that didn't parse)
+            print(
+                "# WARN mover protocol skipped: no comparable prev bench "
+                "record (raw_vs_prev unavailable)",
+                file=sys.stderr,
+            )
         if norm_fields.get("raw_vs_prev") is not None:
             prev_q = (prev.get("parsed") or {}).get("queries") or {}
             movers = [
@@ -1056,6 +1091,7 @@ def main() -> None:
                         mk().toPandas()
                         runs.append(round(time.time() - t0, 3))
                         spark.catalog.clearCache()
+                        release_checkpoints(spark)
                 except Exception as exc:  # noqa: BLE001 — a broken mover
                     # re-run must degrade to a warning, not kill the
                     # bench after 30 minutes of timings (r16: Py4J

@@ -63,6 +63,42 @@ def checkpoint_all(*frames: DataFrame) -> list[DataFrame]:
         return list(pool.map(lambda f: f.localCheckpoint(eager=True), frames))
 
 
+def release_checkpoints(spark) -> int:
+    """Unpersist every RDD the SparkContext still tracks as persistent
+    and return how many were freed.
+
+    ``spark.catalog.clearCache()`` drops SQL-cached relations but NOT
+    ``localCheckpoint`` blocks: a checkpointed RDD is a plain persisted
+    RDD registered only with the ContextCleaner, which frees it when
+    the JVM garbage-collects the RDD object — and with a large driver
+    heap (48 g here) that GC may simply never run, so every checkpoint
+    a query materializes stays pinned in the block manager for the
+    rest of the process (guide §5 memory hygiene). A long-running
+    multi-query process (the bench, a query server) calls this between
+    queries, at a point where no live DataFrame references a
+    checkpointed frame: a localCheckpointed RDD CANNOT recompute after
+    unpersist, so releasing mid-query would break re-execution.
+    """
+    sc = spark.sparkContext
+    jsc = sc._jsc
+    n = 0
+    # unpersisting a locally-checkpointed RDD logs an expected WARN
+    # ("lineage has been truncated and cannot be recomputed") per RDD —
+    # harmless here by the contract above, but dozens of them would
+    # drown the caller's own log tail; silence logging for the loop
+    sc.setLogLevel("ERROR")
+    try:
+        for jrdd in jsc.getPersistentRDDs().values():
+            try:
+                jrdd.unpersist(False)
+                n += 1
+            except Exception:  # noqa: BLE001 — already-freed handle
+                pass
+    finally:
+        sc.setLogLevel("WARN")
+    return n
+
+
 def zorder_key(cols: list[Column | str], bits: int = 16) -> Column:
     """Morton (Z-order) key over 2+ already-normalized integer columns.
 

@@ -1788,16 +1788,94 @@ def merge_cluster_labels(stored: DataFrame, new_pairs: DataFrame) -> DataFrame:
     touched = stored.join(F.broadcast(keys), "doc")
     lu = touched.select(F.col("doc").alias("u"), F.col("component").alias("_lu"))
     lv = touched.select(F.col("doc").alias("v"), F.col("component").alias("_lv"))
-    # labeled is ∝ |delta pairs| and consumed THREE times (meta edges,
-    # both fresh-node branches); localCheckpoint materializes it once
-    # and cuts the upstream pair-pipeline lineage out of every
-    # downstream plan (the CC edge-checkpoint discipline — without it
-    # the final plan embeds the delta pairing 3× over)
-    labeled = (
-        pe.join(F.broadcast(lu), "u", "left")
-        .join(F.broadcast(lv), "v", "left")
-        .localCheckpoint(eager=True)
+    labeled = pe.join(F.broadcast(lu), "u", "left").join(F.broadcast(lv), "v", "left")
+
+    # labeled is ∝ |delta pairs| — driver-small by the same contract
+    # that lets connected_components run union-find on the driver. The
+    # r16 form localCheckpointed it (one blocking job) and then ran the
+    # meta CC's limit-probe collect over it (a second job, plus a
+    # distinct shuffle), with the fresh/remap branches reading the
+    # checkpoint in the consumer's job: ≥3 scheduling rounds per merge,
+    # and the checkpoint pinned blocks in the block manager (guide §5).
+    # ONE collect now fetches the labeled pairs (nulls pre-coalesced so
+    # no int column turns float in pandas) and the meta union-find,
+    # fresh-node set and component remap are all computed driver-side
+    # from that single frame: 1 scheduling round, no checkpoint, no
+    # distinct shuffle — result-identical (same meta graph, same
+    # min-id components). Over-threshold deltas fall back to the
+    # distributed form below (r17, guide §2.6/§5).
+    probe = labeled.select(
+        F.coalesce("_lu", F.col("u")).alias("ma"),
+        F.coalesce("_lv", F.col("v")).alias("mb"),
+        "u",
+        "v",
+        F.col("_lu").isNull().alias("fu"),
+        F.col("_lv").isNull().alias("fv"),
     )
+    driver_threshold = 1_000_000
+    pdf = probe.limit(driver_threshold + 1).toPandas()
+    if len(pdf) <= driver_threshold:
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for a, b in zip(pdf["ma"].tolist(), pdf["mb"].tolist()):
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        comp_min: dict = {}
+        for node in parent:
+            r = find(node)
+            m = comp_min.get(r)
+            comp_min[r] = node if m is None or node < m else m
+        # fresh nodes (no stored label) entered the meta graph as raw
+        # doc ids: ma/mb IS the doc id wherever fu/fv says so
+        fresh_docs = set(pdf.loc[pdf["fu"], "u"].tolist()) | set(
+            pdf.loc[pdf["fv"], "v"].tolist()
+        )
+        touched_labels = set(pdf.loc[~pdf["fu"], "ma"].tolist()) | set(
+            pdf.loc[~pdf["fv"], "mb"].tolist()
+        )
+        from pyspark.sql import types as T
+
+        # the coalesced meta-edge type — identical to what the old
+        # distributed path's edges.schema["u"] carried
+        node_t = probe.schema["ma"].dataType
+        spark = stored.sparkSession
+        remap = spark.createDataFrame(
+            [(lab, comp_min[find(lab)]) for lab in sorted(touched_labels)],
+            T.StructType(
+                [
+                    T.StructField("component", node_t, False),
+                    T.StructField("_newc", node_t, False),
+                ]
+            ),
+        )
+        fresh_rows = spark.createDataFrame(
+            [(d, comp_min[find(d)]) for d in sorted(fresh_docs)],
+            T.StructType(
+                [
+                    T.StructField("doc", node_t, False),
+                    T.StructField("component", node_t, False),
+                ]
+            ),
+        )
+        relabeled = stored.join(F.broadcast(remap), "component", "left").select(
+            "doc", F.coalesce("_newc", F.col("component")).alias("component")
+        )
+        return relabeled.unionByName(fresh_rows)
+
+    # over-threshold fall-back: the r16 distributed form (checkpoint +
+    # meta CC); crossing 1M delta pairs means bulk-bootstrap territory
+    labeled = labeled.localCheckpoint(eager=True)
     meta_edges = labeled.select(
         F.coalesce("_lu", F.col("u")).alias("id_a"),
         F.coalesce("_lv", F.col("v")).alias("id_b"),

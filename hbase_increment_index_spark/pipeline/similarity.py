@@ -544,7 +544,10 @@ def build_ivf(
 
 
 def _assign(
-    vecs: DataFrame, centroids: DataFrame, dist_decimals: int | None = None
+    vecs: DataFrame,
+    centroids: DataFrame,
+    dist_decimals: int | None = None,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Nearest-centroid assignment as a pure per-row expression.
 
@@ -558,6 +561,11 @@ def _assign(
     with rounded, engine-portable centroids that makes the assignment
     itself reproducible across engines (ties break to the lowest cid —
     first index of the array minimum).
+
+    ``extra_cols`` names input columns to pass through unchanged
+    (metadata the caller denormalizes onto the assignment, e.g.
+    build_ivf_pq's attr_cols) — they ride the projection, never touch
+    the argmin.
     """
     cents = sorted(
         ((r["cid"], list(r["centroid"])) for r in centroids.collect()), key=lambda c: c[0]
@@ -577,7 +585,12 @@ def _assign(
     # argmin with deterministic low-cid tie-break: array_position of the min
     best = F.array_position("_d", F.array_min("_d")) - 1
     cid_lookup = F.array(*[F.lit(cid) for cid, _ in cents])
-    return scored.select("id", "vec", F.element_at(cid_lookup, (best + 1).cast("int")).alias("cid"))
+    return scored.select(
+        "id",
+        "vec",
+        F.element_at(cid_lookup, (best + 1).cast("int")).alias("cid"),
+        *extra_cols,
+    )
 
 
 def label_cell_centroids(
@@ -803,6 +816,7 @@ def pq_encode(
     dim: int = 64,
     m: int = 4,
     dist_decimals: int = 9,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """PQ encoding: per (vector, subspace), the nearest codeword id —
     the 1-byte-per-subspace compressed representation that makes
@@ -814,6 +828,16 @@ def pq_encode(
     an array with collect_list at write time. Distances are rounded
     at ``dist_decimals`` before the argmin so ties break on codeword
     id identically in any engine.
+
+    ``carry_cols`` names input columns that are functionally dependent
+    on ``id_col`` (a cell id, denormalized attributes) to pass through
+    onto the output rows. They join the groupBy keys — result-identical
+    since they are constant per id — and, critically, a downstream
+    filter on a carried column (the serving path's ``cid IN probes``)
+    then pushes below the aggregate AND the subspace explode, so only
+    matching rows are ever encoded (guide §2.4; the r16 form attached
+    cid with a post-encode join, which forced a full-corpus encode at
+    serve time and an extra join in every plan).
     """
     if dim % m:
         raise ValueError(f"dim={dim} must be divisible by m={m} subspaces")
@@ -821,6 +845,7 @@ def pq_encode(
     v = F.col(vec_col).cast("array<double>")
     subs = embeddings.select(
         F.col(id_col),
+        *[F.col(c) for c in carry_cols],
         F.explode(
             F.array(
                 *[
@@ -829,13 +854,18 @@ def pq_encode(
                 ]
             )
         ).alias("e"),
-    ).select(F.col(id_col), F.col("e.s").alias("s"), F.col("e.sv").alias("sv"))
+    ).select(
+        F.col(id_col),
+        *[F.col(c) for c in carry_cols],
+        F.col("e.s").alias("s"),
+        F.col("e.sv").alias("sv"),
+    )
     joined = subs.join(F.broadcast(codebooks), "s")
     d = F.round(_sq_l2(F.col("sv"), F.col("cw")), dist_decimals)
     return (
-        joined.groupBy(id_col, "s")
+        joined.groupBy(id_col, *carry_cols, "s")
         .agg(F.min(F.struct(d.alias("d"), F.col("j").alias("j"))).alias("b"))
-        .select(F.col(id_col), "s", F.col("b.j").alias("code"))
+        .select(F.col(id_col), "s", F.col("b.j").alias("code"), *carry_cols)
     )
 
 
@@ -930,9 +960,9 @@ def build_ivf_pq(
     (:func:`knn_ivf_pq_serve`'s ``pre_filter``).
 
     Build cost: one zero-shuffle assignment projection (centroids are
-    literals) + the pq_encode (id, s) aggregate + one id-keyed join to
-    attach cid to the codes — all one-time index-build work; serving
-    never touches unprobed cells.
+    literals) + the pq_encode (id, s) aggregate reading the shared
+    assignment — all one-time index-build work; serving never touches
+    unprobed cells.
     """
     # fan_out: centroid aggregation, assignment distances and the
     # pq_encode subspace argmin are map-side CPU downstream of the
@@ -948,24 +978,39 @@ def build_ivf_pq(
         embeddings, label_col=label_col, vec_col=vec_col
     ).localCheckpoint(eager=False)
     vecs = embeddings.select(
-        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vec")
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+        *[F.col(c) for c in attr_cols],
     )
-    assigned = _assign(vecs, centroids, dist_decimals=dist_decimals).localCheckpoint(
-        eager=False
-    )
+    assigned = _assign(
+        vecs, centroids, dist_decimals=dist_decimals, extra_cols=attr_cols
+    ).localCheckpoint(eager=False)
     cells = assigned.select(
-        "cid", F.col("id").alias(id_col), F.col("vec").alias(vec_col)
+        "cid", F.col("id").alias(id_col), F.col("vec").alias(vec_col), *attr_cols
     )
     codebooks = pq_codebooks(
         embeddings, id_col=id_col, vec_col=vec_col, dim=dim, m=m, seed_ids=seed_ids
     )
+    # codes derive from the (checkpointed) assignment with cid and the
+    # attrs CARRIED THROUGH the encode instead of attached by
+    # post-encode id-keyed joins (r17): result-identical — cid/attrs
+    # are constant per id and the encode depends only on the vector +
+    # codebooks — with one join fewer in every plan, and a serve-time
+    # ``cid IN probes`` (or attr pre_filter) predicate now pushes below
+    # the subspace explode + argmin aggregate, so the in-plan serving
+    # form encodes only the probed cells' vectors instead of the whole
+    # corpus (guide §2.4/§3).
     codes = pq_encode(
-        embeddings, codebooks, id_col=id_col, vec_col=vec_col, dim=dim, m=m
-    ).join(assigned.select(F.col("id").alias(id_col), "cid"), id_col)
-    if attr_cols:
-        attrs = embeddings.select(id_col, *attr_cols)
-        cells = cells.join(attrs, id_col)
-        codes = codes.join(attrs, id_col)
+        assigned.select(
+            F.col("id").alias(id_col), F.col("vec").alias(vec_col), "cid", *attr_cols
+        ),
+        codebooks,
+        id_col=id_col,
+        vec_col=vec_col,
+        dim=dim,
+        m=m,
+        carry_cols=("cid", *attr_cols),
+    )
     return centroids, codebooks, cells, codes
 
 

@@ -60,10 +60,12 @@ def tfidf_topk(
     postings = posting_list(corpus, id_col, text_col)
     hits = postings.join(F.broadcast(terms), "term")  # filter early
 
-    # tf feeds two consumers (df_t and the scoring probe) — the LAZY
-    # lineage cut computes the tokenize+explode postings pass once
-    # (r16); both downstream joins are broadcast-hinted, so the
-    # stats-less checkpoint cannot flip a join strategy
+    # tf feeds two consumers (df_t and the scoring probe) and is
+    # deliberately NOT checkpointed: it is query-term-bounded and cheap
+    # to re-derive, and the r16 A/B showed a lazy lineage cut here cost
+    # more in per-leg physical planning + materialization barrier than
+    # the re-derivation it saved (q77's 4 legs: ~1.7s → ~2.2s with the
+    # cut; reverted in 5e6ca45)
     tf = (
         hits.groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
@@ -172,11 +174,12 @@ def bm25_scores(
     # and folds into the tf aggregate), replacing the separate
     # doc_len frame + its corpus-side join the previous plan paid
     # (r16, guide §2.3/§2.4: that join re-tokenized the corpus and
-    # was the one non-broadcast join in every BM25 plan). tf is
-    # query-term-bounded and feeds two consumers (df_t and the scoring
-    # probe), so a LAZY lineage cut computes the postings pass once;
-    # every join below it is explicitly broadcast-hinted, so the
-    # stats-less checkpoint cannot flip a join strategy.
+    # was the one non-broadcast join in every BM25 plan). tf feeds two
+    # consumers (df_t and the scoring probe) but is deliberately NOT
+    # checkpointed: it is query-term-bounded and cheap to re-derive,
+    # and the r16 A/B showed the lazy cut's per-leg physical planning
+    # + materialization barrier cost more than the re-derivation it
+    # saved (q77's 4 legs; reverted in 5e6ca45).
     toked = corpus.select(F.col(id_col), tokens(text_col).alias("_tk"))
     sized = toked.select(
         F.col(id_col), F.size("_tk").alias("dl"), F.explode("_tk").alias("term")

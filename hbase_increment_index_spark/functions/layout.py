@@ -20,15 +20,44 @@ serial CPU time it buys back.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# Size cap on the fan-out width (r16 verdict #6): a KB-scale frame
+# gains nothing from a defaultParallelism-wide task wave — it pays
+# per-task scheduling for partitions holding a handful of rows, which
+# is why several sf0.1 keys ran FASTER on 8 cores than 32. The cap
+# schedules at most one task per this many bytes of (optimizer-
+# estimated) input. The default is deliberately small — the kernels
+# behind fan_out do 10-100x more CPU per byte than a scan (tokenize,
+# shingle, 64-lane hashing), and parquet estimates are compressed
+# bytes — so only genuinely tiny frames are capped; a corpus-scale
+# input keeps the full width, and at 100 TB the gate below (input
+# already has >= target partitions) makes the whole function a no-op
+# regardless. 0 disables the cap.
+_FANOUT_SPLIT_BYTES = int(os.environ.get("SPARK_GRAFT_FANOUT_SPLIT_BYTES", "65536"))
 
-def fan_out(df: DataFrame, multiple: int = 1) -> DataFrame:
+
+def fan_out(
+    df: DataFrame, multiple: int = 1, min_split_bytes: int | None = None
+) -> DataFrame:
     """Repartition ``df`` to ``defaultParallelism * multiple`` iff it
     currently has fewer partitions than that (e.g. a single-row-group
     parquet fixture). No-op on well-partitioned inputs — at scale the
-    scan already has more splits than cores and no shuffle is added."""
+    scan already has more splits than cores and no shuffle is added.
+    The width is additionally capped by the optimizer's size estimate
+    (one task per ``min_split_bytes``, default ``_FANOUT_SPLIT_BYTES``)
+    so tiny frames don't pay full-width task waves; frames with
+    unknown stats keep the uncapped width. Callers whose downstream
+    kernel does far more CPU per byte than the default assumes (the
+    dense-vector cosine/argmin kernels) pass a smaller
+    ``min_split_bytes`` — the measured sf0.1 A/B: the text kernels'
+    best-of-5 IMPROVED under the 64 KB default (e2o 2.65→2.08 s, q66b
+    1.29→1.06 s: fewer, larger Arrow/codegen batches) while the
+    embedding kernels regressed (e3n medians 2.4→4.2 s), so those
+    sites keep full width until the frame is truly KB-scale."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism * multiple
     try:
@@ -38,6 +67,17 @@ def fan_out(df: DataFrame, multiple: int = 1) -> DataFrame:
         n_parts = df._jdf.rdd().getNumPartitions()
     except Exception:  # noqa: BLE001 — private API; fall back to public
         n_parts = df.rdd.getNumPartitions()
+    if n_parts >= target:
+        return df
+    split = _FANOUT_SPLIT_BYTES if min_split_bytes is None else min_split_bytes
+    if split > 0:
+        try:
+            size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+            # Spark's unknown-stats default is huge (8 EiB) — the min
+            # below then leaves the width uncapped, the safe fallback
+            target = min(target, max(1, -(-size // split)))
+        except Exception:  # noqa: BLE001 — stats probe is best-effort
+            pass
     if n_parts < target:
         return df.repartition(target)
     return df

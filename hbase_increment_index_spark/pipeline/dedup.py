@@ -1634,7 +1634,7 @@ def semantic_pairs(
     # stats-audited SortMergeJoin, so the cut cannot flip a strategy —
     # r16, guide §2.4)
     bucketed = build_lsh_buckets(
-        fan_out(embeddings), n_planes=n_planes, dim=dim, id_col=id_col,
+        fan_out(embeddings, min_split_bytes=16 * 1024), n_planes=n_planes, dim=dim, id_col=id_col,
         vec_col=vec_col, plane_fn=plane_fn,
     ).select(
         F.col("bucket"),

@@ -319,7 +319,7 @@ def lsh_recall(
     # matrix below are map-side CPU that would otherwise run inside an
     # under-partitioned scan's tasks (no-op at scale — guide §2)
     bucketed = build_lsh_buckets(
-        fan_out(embeddings), n_planes=n_planes, dim=dim,
+        fan_out(embeddings, min_split_bytes=16 * 1024), n_planes=n_planes, dim=dim,
         id_col=id_col, vec_col=vec_col, plane_fn=plane_fn,
     )
     # the panel is query_pred-bounded (tiny); materialize it once so
@@ -973,7 +973,7 @@ def build_ivf_pq(
     # index frames (cells, codes) read it — lazy so no extra blocking
     # driver jobs are added, the first consumer pays and the rest
     # reuse.
-    embeddings = fan_out(embeddings)
+    embeddings = fan_out(embeddings, min_split_bytes=16 * 1024)
     centroids = label_cell_centroids(
         embeddings, label_col=label_col, vec_col=vec_col
     ).localCheckpoint(eager=False)
@@ -1133,7 +1133,7 @@ def ivf_recall(
     # collect already executed — one assignment pass now feeds all of
     # them (at 100 TB the materialized frame spills to local disk and
     # still beats recomputing the k-way argmin per consumer).
-    embeddings = fan_out(embeddings)
+    embeddings = fan_out(embeddings, min_split_bytes=16 * 1024)
     centroids = label_cell_centroids(
         embeddings, label_col=label_col, vec_col=vec_col
     ).localCheckpoint(eager=False)
@@ -1380,7 +1380,7 @@ def ivf_probe_sweep(
     # pass now feeds everything; at 100 TB the materialized (id, vec,
     # cid) frame spills to local disk and still beats three extra
     # corpus recomputes of the k-way argmin.
-    embeddings = fan_out(embeddings)
+    embeddings = fan_out(embeddings, min_split_bytes=16 * 1024)
     centroids = label_cell_centroids(
         embeddings, label_col=label_col, vec_col=vec_col
     ).localCheckpoint(eager=False)

@@ -2193,8 +2193,9 @@ def e16_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("sid"), F.posexplode(dbl).alias("pos0", "c_v")
     ).select("sid", (F.col("pos0") + 1).alias("pos"), "c_v")
     # fan_out: the N·dim posexplode and the ×k broadcast-join expansion
-    # below are map-side work inside the scan tasks (no-op at scale)
-    x = fan_out(emb).select(
+    # below are map-side work inside the scan tasks (no-op at scale);
+    # dense-vector site → finer split (layout.fan_out's A/B note)
+    x = fan_out(emb, min_split_bytes=16 * 1024).select(
         "vec_id", F.posexplode(dbl).alias("pos0", "v")
     ).select("vec_id", (F.col("pos0") + 1).alias("pos"), "v")
     j = x.join(F.broadcast(seeds), "pos")

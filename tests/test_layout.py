@@ -8,9 +8,20 @@ from hbase_increment_index_spark.functions.layout import fan_out, zorder_key, zo
 
 
 def test_fan_out_gated(spark):
-    # under-partitioned input gets repartitioned up...
-    few = spark.range(1000).coalesce(1)
+    # under-partitioned input of real size gets repartitioned up...
+    few = spark.range(1_000_000).coalesce(1)  # MB-scale: above the size cap
     assert fan_out(few).rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    # ...a KB-scale frame is width-capped by the size estimate (r17:
+    # one task per _FANOUT_SPLIT_BYTES — tiny frames stop paying
+    # full-width task waves)...
+    tiny = spark.range(1000).coalesce(1)
+    assert fan_out(tiny).rdd.getNumPartitions() < spark.sparkContext.defaultParallelism
+    # ...min_split_bytes=0 disables the cap (and a caller can pass a
+    # finer split for CPU-dense kernels)
+    assert (
+        fan_out(tiny, min_split_bytes=0).rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
     # ...well-partitioned input is untouched (same plan object)
     many = spark.range(1000).repartition(spark.sparkContext.defaultParallelism * 2)
     assert fan_out(many) is many

@@ -728,7 +728,9 @@ def main() -> None:
         # applies (r13 verdict finding 1); cost ∝ |batch|, the frames a
         # production commit holds in memory anyway. The three cuts are
         # independent, so they materialize CONCURRENTLY (one scheduling
-        # round, not three — functions.layout.checkpoint_all).
+        # round, not three — functions.layout.checkpoint_all). r17
+        # measured the lazy alternative and kept eager (the lazy form's
+        # isolated best-of-5 ran far above the eager floor).
         from hbase_increment_index_spark.functions.layout import checkpoint_all
 
         dels = docs.filter(m10 == 2).select("doc_id")

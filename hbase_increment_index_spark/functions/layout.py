@@ -91,10 +91,10 @@ def checkpoint_all(*frames: DataFrame) -> list[DataFrame]:
     (the standard multi-tenant driver pattern); use this only for
     frames with no dependency on one another — a dependent frame must
     checkpoint AFTER its input or it re-derives the uncut lineage.
-    The commit folds use it to cut their per-batch delta frames in one
-    scheduling round (the serial-eager chain was most of the served
-    commit's wall at small scale; at 100 TB the same overlap hides
-    scheduling latency behind the largest delta scan)."""
+    r17: the commit folds moved to LAZY cuts (the consumer action
+    materializes whole dependency chains with concurrently-scheduled
+    stages), so this eager-concurrent form is kept for callers that
+    need a materialization BARRIER (side-effecting flows, loops)."""
     if len(frames) == 1:
         return [frames[0].localCheckpoint(eager=True)]
     from concurrent.futures import ThreadPoolExecutor

@@ -2238,8 +2238,11 @@ def commit_cluster_state(
     # scoped rebuild (step 1) and the batch's incident-pair
     # computation (step 2's input) share nothing until the final
     # merge — so they materialize CONCURRENTLY (two threads, one
-    # scheduling round; the serial-eager chain was most of the served
-    # commit's wall at small scale).
+    # scheduling round). r17 measured the lazy alternative (fold both
+    # cuts into merge_cluster_labels' probe collect) and kept the
+    # eager threads: one job's serial stage chain lost the cross-leg
+    # overlap the threads buy (bootstrap construct 12-15 s eager vs
+    # 15-18 s lazy on the same host).
     #
     # labels_after_del feeds merge_cluster_labels THREE ways (the
     # touched-label lookup for each pair side, then the final

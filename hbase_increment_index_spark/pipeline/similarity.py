@@ -329,7 +329,7 @@ def lsh_recall(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_vec"),
         F.col("bucket").alias("q_bucket"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)  # LAZY (r17): final action materializes
 
     scored = (
         bucketed.crossJoin(F.broadcast(queries))
@@ -1147,9 +1147,11 @@ def ivf_recall(
     # its consumers (probe ranking, scored's broadcast, the final
     # panel join) don't each re-run even the cheap post-checkpoint
     # filter over the materialized corpus
+    # LAZY (r17): all consumers execute inside the final action, which
+    # materializes the panel once — eager paid a blocking job up front
     queries = cells.filter(query_pred).select(
         F.col(id_col).alias("q_id"), F.col("vec").alias("q_vec")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     qw = Window.partitionBy("q_id").orderBy(F.col("d").asc(), F.col("cid").asc())
     probes = (
         queries.crossJoin(F.broadcast(centroids))
@@ -1390,9 +1392,11 @@ def ivf_probe_sweep(
     cells = _assign(vecs, centroids, dist_decimals=dist_decimals).select(
         F.col("id").alias(id_col), "vec", "cid"
     ).localCheckpoint(eager=False)
+    # LAZY (r17): all consumers execute inside the final action, which
+    # materializes the panel once — eager paid a blocking job up front
     queries = cells.filter(query_pred).select(
         F.col(id_col).alias("q_id"), F.col("vec").alias("q_vec")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     qw = Window.partitionBy("q_id").orderBy(F.col("d").asc(), F.col("cid").asc())
     probe_rank = (
         queries.crossJoin(F.broadcast(centroids))

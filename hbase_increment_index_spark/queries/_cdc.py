@@ -1923,11 +1923,16 @@ def _commit_all_stores(spark: SparkSession, sf_dir: str, rebuilt: bool = False):
     #
     # r16 (guide §2.6): the eleven cuts used to run as eleven
     # SEQUENTIAL eager jobs — most of the bootstrap's wall was idle
-    # scheduling tail. Mutually independent frames now materialize
+    # scheduling tail. Mutually independent frames materialize
     # CONCURRENTLY (functions.layout.checkpoint_all, the served twin's
     # device) in dependency waves: wave 1 the five raw-delta frames,
     # wave 2 the four frames that read wave-1 outputs, then the two
-    # dependent shingle-side cuts.
+    # dependent shingle-side cuts. r17 MEASURED the all-lazy
+    # alternative (fold every cut into the consumer actions) and it
+    # was SLOWER — construct 9.5-12.6 s (eager waves) vs 15.0-15.2 s
+    # (lazy): the CC probe collect then pulls the v1 → shingle →
+    # sizes → pairs chain as one serial stage chain, losing the
+    # cross-frame concurrency the waves buy. Eager waves stay.
     from hbase_increment_index_spark.functions.layout import checkpoint_all
 
     v1, changed, touched, emb_v1, emb_changed = checkpoint_all(
@@ -2028,14 +2033,15 @@ def _commit_all_stores(spark: SparkSession, sf_dir: str, rebuilt: bool = False):
     # corpus is never re-shingled for the CC leg, and the sizes side
     # table is cut once for its two consumers (bootstrap pairing +
     # the fold's survivor re-pairing).
-    sizes_v1 = shingle_doc_sizes(shingle_store_v1).localCheckpoint(eager=True)
+    sizes_v1 = shingle_doc_sizes(shingle_store_v1).localCheckpoint(eager=False)
+    # (lazy — the CC probe collect below materializes the whole chain)
     # pair the v1 corpus ONCE: the materialized list bootstraps the
     # labels AND serves the delete fold's survivor re-pairing (a pair's
     # jaccard never changes when other docs are deleted), so the fold
     # runs zero further corpus pairing jobs
     pairs_v1 = ngram_jaccard_pairs_from_index(
         shingle_store_v1, sizes_v1, threshold=cc_th
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     labels_v1 = connected_components(pairs_v1)
     merged_cc = commit_cluster_labels(
         labels_v1,

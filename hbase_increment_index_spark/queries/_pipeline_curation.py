@@ -3028,7 +3028,13 @@ def _bpe_merge_list(words: DataFrame, k: int) -> list:
     # ContextCleaner once the rebinding below drops their last
     # reference. k=50 under a time ceiling is pytest-pinned
     # (tests/test_round13_ops.py); oracle hashes at k=5 are unchanged.
-    w = words.select("wc", wrapped.alias("s")).localCheckpoint(eager=True)
+    # LAZY cuts (r17): every iteration's first (and only) action is the
+    # 1-row argmax collect below, which materializes the checkpoint as
+    # a byproduct — the eager form paid one extra blocking driver job
+    # per iteration for blocks the very next job would have produced
+    # anyway. Lineage still truncates at first materialization, so the
+    # O(k) fold property is unchanged.
+    w = words.select("wc", wrapped.alias("s")).localCheckpoint(eager=False)
     merges: list[tuple[int, str, str, int]] = []
     for it in range(1, k + 1):
         if merges:
@@ -3036,7 +3042,7 @@ def _bpe_merge_list(words: DataFrame, k: int) -> list:
             w = w.select(
                 "wc",
                 F.regexp_replace("s", f"_{l}__{r}_", f"_{l}{r}_").alias("s"),
-            ).localCheckpoint(eager=True)
+            ).localCheckpoint(eager=False)
         sym = F.split(F.regexp_replace(F.col("s"), "^_|_$", ""), "__")
         n1 = F.greatest(F.size(sym) - 1, F.lit(0))
         pairs = F.zip_with(
@@ -3265,14 +3271,19 @@ def _unigram_candidates(words: DataFrame, k_multi: int) -> dict[str, float]:
     (ties lexicographic), p₀ ∝ count. Bounded collect (the CC-loop
     discipline)."""
     occ = _unigram_slices(words).groupBy("piece").agg(F.sum("wc").alias("cnt"))
-    singles = occ.filter(F.length("piece") == 1).collect()
-    multi = (
-        occ.filter(F.length("piece") >= 2)
-        .orderBy(F.col("cnt").desc(), F.col("piece").asc())
-        .limit(k_multi)
+    # singles + top-k_multi in ONE action (r17): the two branches union
+    # into a single job instead of two scheduling rounds, each deriving
+    # the slice aggregate once either way; rows and values unchanged
+    rows = (
+        occ.filter(F.length("piece") == 1)
+        .unionByName(
+            occ.filter(F.length("piece") >= 2)
+            .orderBy(F.col("cnt").desc(), F.col("piece").asc())
+            .limit(k_multi)
+        )
         .collect()
     )
-    cand = {r["piece"]: int(r["cnt"]) for r in [*singles, *multi]}
+    cand = {r["piece"]: int(r["cnt"]) for r in rows}
     total0 = sum(cand.values())
     return {p: float(c) / float(total0) for p, c in cand.items()}
 
@@ -3282,7 +3293,10 @@ def _unigram_em(
 ) -> DataFrame:
     """The EM loop over a (word, wc) vocabulary frame — see
     e4q_unigram_train for algorithm/plan/determinism notes."""
-    words = words.localCheckpoint(eager=True)  # consumed once per iteration
+    # LAZY cut (r17): the candidate-inventory collect right below is
+    # the first action and materializes it — the eager form paid one
+    # extra blocking job up front
+    words = words.localCheckpoint(eager=False)  # consumed once per iteration
     slices = _unigram_slices
     probs = _unigram_candidates(words, k_multi)
 

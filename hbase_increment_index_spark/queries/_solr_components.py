@@ -3010,7 +3010,11 @@ def q60b_metaphone(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(F.col("doc_id"), F.explode(tokens("text")).alias("term"))
         .groupBy("term")
         .agg(F.countDistinct("doc_id").alias("docfreq"))
-        .localCheckpoint(eager=True)
+        # lazy (r17): the final action materializes the vocabulary; the
+        # checkpoint still pins the aggregate boundary either way (the
+        # LogicalRDD exists at construction, so the key predicate can
+        # never be pushed below the groupBy)
+        .localCheckpoint(eager=False)
     )
     return (
         vocab.filter(metaphone_code(F.col("term")) == metaphone_code(F.lit("sparc")))

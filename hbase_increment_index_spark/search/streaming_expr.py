@@ -999,7 +999,14 @@ class StreamCompiler:
             F.lit(None).cast("string").alias("parent"),
             F.lit(0).cast("long").alias("depth"),
         )
-        levels = [lvl0.localCheckpoint(eager=True)]
+        # LAZY cuts (r17): nothing consumes a level until the final
+        # action, which materializes every level's blocks in one job —
+        # the eager form paid one blocking driver job per BFS level.
+        # Each level is ONE RDD object, so the anti-joins and the
+        # walk-back that reference it repeatedly share its computed
+        # blocks within that job; lineage still truncates at first
+        # materialization and the plan depth stays maxDepth-bounded.
+        levels = [lvl0.localCheckpoint(eager=False)]
         seen = levels[0].select("node")
         for d in range(1, max_depth + 1):
             frontier = levels[-1].select(F.col("node").alias("_f"))
@@ -1012,7 +1019,7 @@ class StreamCompiler:
                 .agg(F.min("parent").alias("parent"))
                 .withColumn("depth", F.lit(d).cast("long"))
                 .select("node", "parent", "depth")
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
             levels.append(lv)
             seen = seen.unionByName(lv.select("node"))

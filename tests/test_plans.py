@@ -174,17 +174,24 @@ def test_registry_wide_plan_invariants(spark, sf_dir):
     contain a CartesianProduct (non-broadcast cartesian — always a bug;
     scalar 1-row joins plan as BroadcastNestedLoopJoin instead), and
     (c) only use SortMergeJoin where reviewed (_EXPECTED_SMJ)."""
-    failures = []
-    for name in QUERIES:
+    from concurrent.futures import ThreadPoolExecutor
+
+    def check(name: str) -> str | None:
         try:
             plan = _plan(spark, sf_dir, name)
         except Exception as exc:  # noqa: BLE001
-            failures.append(f"{name}: plan build failed: {exc}")
-            continue
+            return f"{name}: plan build failed: {exc}"
         if "CartesianProduct" in plan:
-            failures.append(f"{name}: CartesianProduct in plan")
+            return f"{name}: CartesianProduct in plan"
         if "SortMergeJoin" in plan and name not in _EXPECTED_SMJ:
-            failures.append(f"{name}: unexpected SortMergeJoin")
+            return f"{name}: unexpected SortMergeJoin"
+        return None
+
+    # 359 serial plan builds were ~87 s of the suite; the builds are
+    # driver/scheduling-bound, so a thread pool overlaps them (guide
+    # §2.6 — same device as the parity fixture)
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        failures = [f for f in pool.map(check, sorted(QUERIES)) if f]
     assert not failures, "\n".join(failures)
 
 

@@ -33,11 +33,18 @@ def get_spark(
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or cpus
 
+    # AQE stays ON by default (the production setting — runtime
+    # re-planning, skew splitting, partition coalescing). The env dial
+    # exists for toy-scale correctness runs (the pytest suite at
+    # sf0.001) where per-stage re-optimization latency outweighs any
+    # re-planning benefit; results are identical either way.
+    aqe = os.environ.get("SPARK_GRAFT_AQE", "1") != "0"
+
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.enabled", "true" if aqe else "false")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")

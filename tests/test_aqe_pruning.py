@@ -15,6 +15,9 @@ def test_aqe_splits_skewed_join(spark, tmp_path):
     # skew-join handling the runtime plan marks the join skew=true and
     # splits it. (Thresholds lowered so the tiny fixture trips them.)
     confs = {
+        # the session default is AQE-off for suite speed (conftest) —
+        # this test is ABOUT adaptive execution, so turn it on here
+        "spark.sql.adaptive.enabled": "true",
         "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
         "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
         "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",

@@ -53,6 +53,7 @@ def test_bucketed_fact_join_has_no_exchange(spark, bucketed):
     # sort-merge the bucketed layout enables (at 100 TB neither fact
     # side broadcasts anyway)
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    _prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         joined = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
@@ -64,13 +65,16 @@ def test_bucketed_fact_join_has_no_exchange(spark, bucketed):
         assert joined.count() == li.count()
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
-        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        # restore the SESSION default (the suite runs AQE-off for
+        # speed; hardcoding "true" leaked AQE-on to later tests)
+        spark.conf.set("spark.sql.adaptive.enabled", _prev_aqe)
 
 
 def test_unbucketed_fact_join_needs_exchanges(spark, sf_dir):
     from hbase_increment_index_spark.catalog import load_table
 
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    _prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         orders = load_table(spark, sf_dir, "orders")
@@ -81,11 +85,14 @@ def test_unbucketed_fact_join_needs_exchanges(spark, sf_dir):
         assert _plan(joined).count("Exchange") == 2  # the cost bucketing removes
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
-        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        # restore the SESSION default (the suite runs AQE-off for
+        # speed; hardcoding "true" leaked AQE-on to later tests)
+        spark.conf.set("spark.sql.adaptive.enabled", _prev_aqe)
 
 
 def test_bucketed_aggregation_reuses_layout(spark, bucketed):
     _, li = bucketed
+    _prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         agg = li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("q"))
@@ -94,7 +101,9 @@ def test_bucketed_aggregation_reuses_layout(spark, bucketed):
         assert "Exchange" not in plan, plan
         assert agg.count() > 0
     finally:
-        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        # restore the SESSION default (the suite runs AQE-off for
+        # speed; hardcoding "true" leaked AQE-on to later tests)
+        spark.conf.set("spark.sql.adaptive.enabled", _prev_aqe)
 
 
 def test_bucketed_join_results_match_unbucketed(spark, sf_dir, bucketed):

@@ -160,38 +160,38 @@ _EXCHANGE_CEILING: dict[str, int] = {
 }
 
 
-def test_heavy_plan_exchange_ceilings(spark, sf_dir):
+def test_heavy_plan_exchange_ceilings(registry_sweep):
     failures = []
-    for name, ceiling in _EXCHANGE_CEILING.items():
-        n = _plan(spark, sf_dir, name).count("Exchange")
+    for name, ceiling in sorted(_EXCHANGE_CEILING.items()):
+        plan = registry_sweep[name]["plan"]
+        if isinstance(plan, Exception):
+            failures.append(f"{name}: plan build failed: {plan}")
+            continue
+        n = plan.count("Exchange")
         if n > ceiling:
             failures.append(f"{name}: {n} exchanges > ceiling {ceiling}")
     assert not failures, "\n".join(failures)
 
 
-def test_registry_wide_plan_invariants(spark, sf_dir):
+def test_registry_wide_plan_invariants(registry_sweep):
     """Every registry query must (a) compile a physical plan, (b) never
     contain a CartesianProduct (non-broadcast cartesian — always a bug;
     scalar 1-row joins plan as BroadcastNestedLoopJoin instead), and
-    (c) only use SortMergeJoin where reviewed (_EXPECTED_SMJ)."""
-    from concurrent.futures import ThreadPoolExecutor
+    (c) only use SortMergeJoin where reviewed (_EXPECTED_SMJ).
 
-    def check(name: str) -> str | None:
-        try:
-            plan = _plan(spark, sf_dir, name)
-        except Exception as exc:  # noqa: BLE001
-            return f"{name}: plan build failed: {exc}"
+    r17: the 359 plans come from the shared concurrent registry_sweep
+    (conftest) — this sweep, the exchange ceilings and the DuckDB
+    parity sweep previously each rebuilt every query serially."""
+    failures = []
+    for name in sorted(QUERIES):
+        plan = registry_sweep[name]["plan"]
+        if isinstance(plan, Exception):
+            failures.append(f"{name}: plan build failed: {plan}")
+            continue
         if "CartesianProduct" in plan:
-            return f"{name}: CartesianProduct in plan"
+            failures.append(f"{name}: CartesianProduct in plan")
         if "SortMergeJoin" in plan and name not in _EXPECTED_SMJ:
-            return f"{name}: unexpected SortMergeJoin"
-        return None
-
-    # 359 serial plan builds were ~87 s of the suite; the builds are
-    # driver/scheduling-bound, so a thread pool overlaps them (guide
-    # §2.6 — same device as the parity fixture)
-    with ThreadPoolExecutor(max_workers=8) as pool:
-        failures = [f for f in pool.map(check, sorted(QUERIES)) if f]
+            failures.append(f"{name}: unexpected SortMergeJoin")
     assert not failures, "\n".join(failures)
 
 

@@ -1002,8 +1002,18 @@ def main() -> None:
     try:
         import glob
 
+        import re as _re
+
+        # main-record files only: BENCH_r16_c8.json (the 8-core scaling
+        # run, committed since r16) sorts AFTER BENCH_r16.json and was
+        # silently picked as "prev", corrupting raw_vs_prev and the
+        # mover selection with low-core timings (r17 fix)
         cands = sorted(
-            glob.glob(os.path.join(os.path.dirname(samples_path), "BENCH_r*.json"))
+            p
+            for p in glob.glob(
+                os.path.join(os.path.dirname(samples_path), "BENCH_r*.json")
+            )
+            if _re.fullmatch(r"BENCH_r\d+\.json", os.path.basename(p))
         )
         if cands:
             prev = json.load(open(cands[-1]))

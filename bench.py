@@ -752,15 +752,19 @@ def main() -> None:
             .unionByName(emb.filter(me == 2).select("vec_id"))
             .distinct()
         )
-        fresh_assign = _assign_cells(echg, _scen)
-        fresh_codes = (
-            _pq_encode(echg, _scb, dim=64, m=4)
-            .join(fresh_assign, "vec_id")
-            .select("cid", "vec_id", "s", "code")
-        )
-        fresh_cells = echg.join(fresh_assign, "vec_id").select(
-            "cid", "vec_id", "embedding"
-        )
+        # cid rides THROUGH the encode (pq_encode carry_cols) and the
+        # embedding rides THROUGH the assignment (assign_cells
+        # carry_cols) instead of two id-keyed joins back against the
+        # delta (r17, the q78b/e3o treatment): result-identical — cid
+        # is constant per vec_id — and the commit plan drops both
+        # joins. echg is checkpointed (checkpoint_all above), so the
+        # zero-shuffle assignment projection each consumer re-derives
+        # reads stored partitions, not parquet.
+        fresh_assign = _assign_cells(echg, _scen, carry_cols=("embedding",))
+        fresh_codes = _pq_encode(
+            fresh_assign, _scb, dim=64, m=4, carry_cols=("cid",)
+        ).select("cid", "vec_id", "s", "code")
+        fresh_cells = fresh_assign.select("cid", "vec_id", "embedding")
         chg_dt = chg.select("doc_id", "text")
         stores = {
             "postings": _merge_post(tp, chg_dt, dels, "doc_id", "text"),

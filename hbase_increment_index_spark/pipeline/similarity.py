@@ -628,15 +628,25 @@ def assign_cells(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dist_decimals: int | None = 6,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Public nearest-cell assignment: (id_col, cid), zero-shuffle
-    (centroids inlined as literals — see :func:`_assign`)."""
+    (centroids inlined as literals — see :func:`_assign`).
+
+    ``carry_cols`` names input columns to pass through verbatim (the
+    original column, not the double-cast distance operand), so a
+    caller that needs the assignment AND the payload — e.g. to feed
+    :func:`pq_encode` with ``carry_cols=('cid',)`` — gets both from
+    the one zero-shuffle projection instead of an id-keyed join back
+    against its input (guide §2.4)."""
     vecs = embeddings.select(
-        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vec")
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+        *[F.col(c) for c in carry_cols],
     )
-    return _assign(vecs, centroids, dist_decimals=dist_decimals).select(
-        F.col("id").alias(id_col), "cid"
-    )
+    return _assign(
+        vecs, centroids, dist_decimals=dist_decimals, extra_cols=carry_cols
+    ).select(F.col("id").alias(id_col), "cid", *carry_cols)
 
 
 def knn_ivf(

@@ -1876,10 +1876,15 @@ def _commit_all_stores(spark: SparkSession, sf_dir: str, rebuilt: bool = False):
     cbs = pq_codebooks(emb_v1, seed_ids=[1, 2, 3, 4, 5, 6, 7, 8])
 
     def index_rows(frame: DataFrame) -> DataFrame:
-        return (
-            pq_encode(frame, cbs, dim=64, m=4)
-            .join(assign_cells(frame, cents), "vec_id")
-            .select("vec_id", "s", "code", "cid")
+        # cid rides THROUGH the encode as a grouping column instead of
+        # a post-encode id-keyed join (r17, the q78b build treatment):
+        # result-identical — cid is constant per vec_id and the encode
+        # depends only on the vector + codebooks — and each call drops
+        # one join from the plan (×3 calls: v1 + delta legs here, one
+        # in the rebuilt form).
+        assigned = assign_cells(frame, cents, carry_cols=("embedding",))
+        return pq_encode(assigned, cbs, dim=64, m=4, carry_cols=("cid",)).select(
+            "vec_id", "s", "code", "cid"
         )
 
     vbin = (F.floor(n_toks / 5) * 5).cast("double")

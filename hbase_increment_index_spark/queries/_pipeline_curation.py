@@ -269,9 +269,13 @@ def e3o_ann_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def index_rows(df):
-        assigned = assign_cells(df, cents)
-        codes = pq_encode(df, cbs, dim=64, m=4)
-        return codes.join(assigned, "vec_id")
+        # cid rides THROUGH the encode as a grouping column instead of
+        # being attached by a post-encode id-keyed join (r17, the q78b
+        # build treatment): result-identical — cid is constant per
+        # vec_id and the encode depends only on the vector + codebooks
+        # — and each call drops one join (two Exchanges) from the plan.
+        assigned = assign_cells(df, cents, carry_cols=("embedding",))
+        return pq_encode(assigned, cbs, dim=64, m=4, carry_cols=("cid",))
 
     updates = emb.filter(m == 3).withColumn("embedding", F.reverse("embedding"))
     inserts = emb.filter(m == 0)

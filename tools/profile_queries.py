@@ -1,0 +1,58 @@
+"""Per-query cost decomposition: construction+analysis vs execution.
+
+For each named registry entry, measure (a) DataFrame construction time
+(the query function call — Catalyst analysis of every intermediate
+happens lazily, so also touch .schema to force analysis), (b) execution
+time (toPandas), and (c) the number of Spark jobs the execution
+scheduled. Guide §1: decide whether a slow key is plan-build-bound,
+scheduling-bound (many tiny jobs) or compute-bound before touching it.
+
+Usage: SPARK_GRAFT_SF_DIR=... python tools/profile_queries.py q46_hybrid_rrf e14_dsir ...
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    names = sys.argv[1:]
+    from hbase_increment_index_spark.functions.layout import release_checkpoints
+    from hbase_increment_index_spark.queries import QUERIES
+    from hbase_increment_index_spark.session import get_spark
+
+    spark = get_spark("profile")
+    spark.range(1).count()
+    QUERIES["flagship"](spark, sf_dir).toPandas()  # warm-up
+    tracker = spark.sparkContext.statusTracker()
+    for name in names:
+        fn = QUERIES[name]
+        rows = []
+        for _ in range(3):
+            j0 = len(tracker.getJobIdsForGroup(None) or [])
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            _ = df.schema  # force analysis
+            t1 = time.time()
+            pdf = df.toPandas()
+            t2 = time.time()
+            # job ids are global; count all jobs started during execution
+            jobs = spark.sparkContext._jsc.sc().statusTracker().getJobIdsForGroup(None)
+            rows.append((t1 - t0, t2 - t1, len(pdf)))
+            spark.catalog.clearCache()
+            release_checkpoints(spark)
+        best = min(rows, key=lambda r: r[0] + r[1])
+        print(
+            f"{name}: construct+analyze {best[0]:.3f}s, execute {best[1]:.3f}s, "
+            f"rows {best[2]}  (all runs: "
+            + ", ".join(f"[{a:.2f}+{b:.2f}]" for a, b, _ in rows)
+            + ")"
+        )
+
+
+if __name__ == "__main__":
+    main()

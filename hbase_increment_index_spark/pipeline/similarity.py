@@ -172,6 +172,17 @@ def knn_join_brute_force(
 #: memoized plane component values, keyed by (plane_fn, plane_idx, dim)
 _PLANE_CACHE: dict = {}
 
+#: memoized _assign distance/cid-lookup expression pairs, keyed by
+#: (centroid values, dist_decimals) — see _assign for the rationale
+_ASSIGN_EXPR_MEMO: dict = {}
+
+#: memoized plane literal COLUMNS, same key — a Column is an immutable
+#: expression tree, so one build serves every call site; rebuilding it
+#: per call paid `dim` py4j round-trips per plane per query (plan-side
+#: only, same class as the catalog's DataFrame memo — every action
+#: still recomputes from the inputs)
+_PLANE_COL_CACHE: dict = {}
+
 
 def _plane_values(plane_idx: int, dim: int, plane_fn: str = "xxhash64") -> list[float]:
     """Component values of deterministic pseudo-random hyperplane i:
@@ -229,7 +240,12 @@ def _plane_values(plane_idx: int, dim: int, plane_fn: str = "xxhash64") -> list[
 
 def _plane(plane_idx: int, dim: int, plane_fn: str = "xxhash64") -> Column:
     """The hyperplane as a literal array column (see _plane_values)."""
-    return F.array(*[F.lit(v) for v in _plane_values(plane_idx, dim, plane_fn)])
+    key = (plane_fn, plane_idx, dim)
+    col = _PLANE_COL_CACHE.get(key)
+    if col is None:
+        col = F.array(*[F.lit(v) for v in _plane_values(plane_idx, dim, plane_fn)])
+        _PLANE_COL_CACHE[key] = col
+    return col
 
 
 def lsh_bucket(vec_col: Column, n_planes: int, dim: int, plane_fn: str = "xxhash64") -> Column:
@@ -571,20 +587,42 @@ def _assign(
         ((r["cid"], list(r["centroid"])) for r in centroids.collect()), key=lambda c: c[0]
     )
 
-    def dist_to(c: list[float]) -> Column:
-        d = F.aggregate(
-            F.zip_with("vec", lit_vector(c), lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        return F.round(d, dist_decimals) if dist_decimals is not None else d
-
-    scored = vecs.withColumn(
-        "_d", F.array(*[dist_to(c) for _, c in cents])
+    # The k-way distance array is a k×dim-literal expression tree
+    # (~1000 nodes at k=16, dim=64) whose construction costs ~0.5 s of
+    # driver time in py4j round-trips ALONE — per _assign call, before
+    # any analysis. The tree is a pure function of (centroid values,
+    # dist_decimals) and Columns are immutable expression trees, so it
+    # is memoized per that key and rebuilt only for a new centroid set
+    # (plan-side memo, the catalog-DataFrame-memo class: every action
+    # still recomputes from the inputs; measured repeat construction
+    # 0.72 s → 0.12 s at sf0.1 with identical plans and results).
+    memo_key = (
+        tuple((cid, tuple(map(float, c))) for cid, c in cents),
+        dist_decimals,
     )
+    cached = _ASSIGN_EXPR_MEMO.get(memo_key)
+    if cached is None:
+
+        def dist_to(c: list[float]) -> Column:
+            d = F.aggregate(
+                F.zip_with("vec", lit_vector(c), lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            return F.round(d, dist_decimals) if dist_decimals is not None else d
+
+        cached = (
+            F.array(*[dist_to(c) for _, c in cents]),
+            F.array(*[F.lit(cid) for cid, _ in cents]),
+        )
+        if len(_ASSIGN_EXPR_MEMO) >= 32:
+            _ASSIGN_EXPR_MEMO.pop(next(iter(_ASSIGN_EXPR_MEMO)))
+        _ASSIGN_EXPR_MEMO[memo_key] = cached
+    darr, cid_lookup = cached
+
+    scored = vecs.withColumn("_d", darr)
     # argmin with deterministic low-cid tie-break: array_position of the min
     best = F.array_position("_d", F.array_min("_d")) - 1
-    cid_lookup = F.array(*[F.lit(cid) for cid, _ in cents])
     return scored.select(
         "id",
         "vec",

@@ -54,9 +54,13 @@ def e3l_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         h = int(hashlib.md5(f"rp:{i},{j}".encode()).hexdigest()[:15], 16)
         return 1.0 if h % 2 == 0 else -1.0
 
+    from hbase_increment_index_spark.pipeline.similarity import lit_vector
+
     dims = []
     for i in range(8):
-        sign_arr = F.array(*[F.lit(sign(i, j)) for j in range(64)])
+        # lit_vector memoizes the 64-literal plane per value tuple, so
+        # repeat calls skip the 512 py4j round-trips (r17 session 2)
+        sign_arr = lit_vector([sign(i, j) for j in range(64)])
         dot = F.aggregate(
             F.zip_with(v, sign_arr, lambda a, b: a * b),
             F.lit(0.0),

@@ -2254,6 +2254,12 @@ def commit_cluster_state(
     # never larger than the input; at cluster scale the equivalent cut
     # is writing the post-delete labels back to the label store.
     def _build_labels_after_del() -> DataFrame:
+        # the checkpoint was A/B'd a second time in r17 session 2
+        # (interleaved arms, per-phase timing): dropping it — on the
+        # theory that the post-r14 scoped rebuild is cheap (CC result
+        # is driver data, only `untouched` re-derives) — made the fold
+        # WORSE (cc_fold 2.0-2.6 s with vs 2.4-4.3 s without, and the
+        # 13-leg execute regressed too). Keep it.
         return delete_from_clusters(
             stored,
             touched,

@@ -1,11 +1,15 @@
 """Per-query cost decomposition: construction+analysis vs execution.
 
 For each named registry entry, measure (a) DataFrame construction time
-(the query function call — Catalyst analysis of every intermediate
-happens lazily, so also touch .schema to force analysis), (b) execution
-time (toPandas), and (c) the number of Spark jobs the execution
-scheduled. Guide §1: decide whether a slow key is plan-build-bound,
-scheduling-bound (many tiny jobs) or compute-bound before touching it.
+(the query function call, which also pays any eager collects the
+operator runs at build time, plus one .schema to force analysis) and
+(b) execution time (toPandas). Guide §1: decide whether a slow key is
+plan-build-bound, scheduling-bound or compute-bound before touching it.
+
+Caveat: this clears caches after EVERY run, so build-once/query-many
+operators (the minhash family) profile COLDER here than in bench.py,
+which clears per query and legitimately serves runs 2-5 from the live
+store (e2b bench min 0.06 s vs ~2.5 s here — by design, not a bug).
 
 Usage: SPARK_GRAFT_SF_DIR=... python tools/profile_queries.py q46_hybrid_rrf e14_dsir ...
 """
@@ -28,20 +32,16 @@ def main() -> None:
     spark = get_spark("profile")
     spark.range(1).count()
     QUERIES["flagship"](spark, sf_dir).toPandas()  # warm-up
-    tracker = spark.sparkContext.statusTracker()
     for name in names:
         fn = QUERIES[name]
         rows = []
         for _ in range(3):
-            j0 = len(tracker.getJobIdsForGroup(None) or [])
             t0 = time.time()
             df = fn(spark, sf_dir)
             _ = df.schema  # force analysis
             t1 = time.time()
             pdf = df.toPandas()
             t2 = time.time()
-            # job ids are global; count all jobs started during execution
-            jobs = spark.sparkContext._jsc.sc().statusTracker().getJobIdsForGroup(None)
             rows.append((t1 - t0, t2 - t1, len(pdf)))
             spark.catalog.clearCache()
             release_checkpoints(spark)
